@@ -1,0 +1,78 @@
+"""Determinism helpers (SURVEY.md §2.0 policy).
+
+Cross-engine value-hash matching demands bit-identical outputs from
+Spark and DuckDB. The rules, shared by every declared query:
+
+- Sums/avgs over double money/qty columns go through exact
+  DECIMAL(18,4) accumulation (associative ⇒ immune to Spark's
+  partial-aggregation order), then a single cast back to DOUBLE and
+  a ROUND. Per-row double arithmetic (a*b, 1-x) is IEEE-deterministic
+  in both engines; only *reductions* need the decimal detour.
+- AVG is expressed as decimal-SUM / COUNT (DuckDB's AVG accumulates
+  in floating point, which is order-sensitive).
+- Timestamps: never emit a raw timestamp column; emit
+  ``date_format(...)`` strings or epoch integers.
+- Collections: emit sorted arrays or string-joined sorted arrays.
+- Every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+# Raw money columns in the fixtures are exactly 2-decimal (verified at
+# sf0.1), so casting them to DECIMAL(12,2) is lossless; products of
+# D2-cast factors stay exact in decimal ((12,2)*(12,2)->(25,4),
+# *(12,2)->(38,6)) — never round a multi-factor double to decimal, the
+# tie-rounding differs between Spark (HALF_UP) and DuckDB.
+D2 = "decimal(12,2)"
+
+
+def money(c: Column) -> Column:
+    """Lossless decimal image of a 2-decimal money/qty double column."""
+    return c.cast(D2)
+
+
+def dsum(c: Column, alias: str, scale: int = 4) -> Column:
+    """Order-insensitive SUM of a double column, rounded, as double."""
+    return F.round(F.sum(c.cast(DEC)).cast("double"), scale).alias(alias)
+
+
+def dsum_dec(c: Column, alias: str, scale: int = 4) -> Column:
+    """SUM of an already-exact decimal expression, rounded double."""
+    return F.round(F.sum(c).cast("double"), scale).alias(alias)
+
+
+def davg(c: Column, alias: str, scale: int = 6) -> Column:
+    """Order-insensitive AVG: exact decimal sum / count, rounded double."""
+    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), scale).alias(alias)
+
+
+def sql_sum(x: str, alias: str, scale: int = 4) -> str:
+    return f"ROUND(CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE), {scale}) AS {alias}"
+
+
+def sql_money(x: str) -> str:
+    return f"CAST({x} AS DECIMAL(12,2))"
+
+
+def sql_sum_dec(x: str, alias: str, scale: int = 4) -> str:
+    return f"ROUND(CAST(SUM({x}) AS DOUBLE), {scale}) AS {alias}"
+
+
+def sql_avg(x: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+        f" / COUNT({x}), {scale}) AS {alias}"
+    )
+
+
+def fmt_ts(c: Column, alias: str) -> Column:
+    """Timestamp → 'yyyy-MM-dd HH:mm:ss' string (tz-safe, ns-safe)."""
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(alias)
+
+
+def sql_fmt_ts(x: str, alias: str) -> str:
+    return f"strftime({x}, '%Y-%m-%d %H:%M:%S') AS {alias}"

@@ -1,0 +1,6 @@
+"""Declared operator surface (SURVEY.md §2) — importing this package
+registers every query + oracle into plankton_spark.registry."""
+
+from plankton_spark.queries import (  # noqa: F401
+    aggregations,
+)

@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Scale posture (SURVEY.md §4.2, §8): AQE on (coalesce partitions,
+skew-join splitting, runtime plan switch), explicit shuffle
+partitions sized for the local harness, UTC session timezone so
+timestamp literals agree with the DuckDB oracle, and Arrow enabled
+for every Python<->JVM interchange (pandas UDFs, toPandas).
+
+On a real cluster the same builder is used with
+``spark.sql.shuffle.partitions`` sized to ~2-3x total cores and
+``spark.sql.files.maxPartitionBytes`` left at 128m so a 100 TB scan
+fans out to ~800k input splits; nothing in the engine assumes
+single-JVM execution.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "plankton-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Local-mode session for tests/bench; cluster deploys reuse the confs."""
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.cbo.enabled", "true")
+    )
+    return builder.getOrCreate()
