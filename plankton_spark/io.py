@@ -13,6 +13,7 @@ partition-path conventions; query code never touches file paths.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLES = [
@@ -128,9 +129,21 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a fixture table. Plain parquet scan → full pushdown/pruning."""
+    """Read a fixture table. Plain parquet scan → full pushdown/pruning.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as epoch-nanos LONG and floor-convert to
+    TimestampType (µs). Declared queries never emit sub-second ``ts``
+    (SURVEY.md §2.0), so the ns→µs floor is not hash-observable.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        ).select([f.name for f in SCHEMAS["events"].fields])
     return spark.read.parquet(table_path(sf_dir, name))
 
 

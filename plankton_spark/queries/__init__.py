@@ -3,4 +3,8 @@ registers every query + oracle into plankton_spark.registry."""
 
 from plankton_spark.queries import (  # noqa: F401
     aggregations,
+    filters,
+    joins,
+    setops,
+    sorts,
 )
