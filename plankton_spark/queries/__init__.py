@@ -7,4 +7,5 @@ from plankton_spark.queries import (  # noqa: F401
     joins,
     setops,
     sorts,
+    windows,
 )

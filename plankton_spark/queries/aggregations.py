@@ -93,3 +93,292 @@ def q_agg_global(spark, sf_dir):
         F.max("l_quantity").alias("max_qty"),
         F.count("l_orderkey").alias("n_orderkeys"),
     )
+
+
+@query(
+    "q_agg_countdistinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_countdistinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) per group (expand + two-phase agg)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+
+
+@query(
+    "q_agg_approxdistinct",
+    oracle="""
+    SELECT l_returnflag, TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approxdistinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) sanity-gated against the exact
+    count: emits whether the estimate is within ±5%. HLL sketches are
+    merge-commutative, so the estimate is order-deterministic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")).alias(
+            "within_5pct"
+        ),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle=f"""
+    SELECT c_mktsegment, {sql_sum('o_totalprice', 'revenue')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    HAVING SUM(CAST(o_totalprice AS DECIMAL(18,4))) > 745000000
+    """,
+)
+def q_agg_having(spark, sf_dir):
+    """HAVING — post-aggregation filter."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum(F.col("o_totalprice"), "revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("_raw"),
+        )
+        .where(F.col("_raw") > 745000000)
+        .drop("_raw")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+           COUNT(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy (region → nation → grand total) + grouping_id."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    j = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_sum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    """CUBE — all 4 grouping combinations in one pass."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+@query(
+    "q_agg_groupingsets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           {sql_sum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_groupingsets(spark, sf_dir):
+    """Explicit GROUPING SETS via the SQL entry point (E2)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               {sql_sum('o_totalprice', 'revenue')}
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    """Statistical aggregates (stddev/variance/corr/covar), rounded."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 4) AS med_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark, sf_dir):
+    """Exact median / interpolated percentiles per group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+    )
+
+
+@query(
+    "q_agg_firstlast",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey AS best_orderkey, o_totalprice AS best_price
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY o_totalprice DESC, o_orderkey DESC
+      ) AS rn FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_firstlast(spark, sf_dir):
+    """max_by with a struct ordering key (tie-broken arg-max)."""
+    o = read_table(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", key).alias("best_orderkey"),
+        F.max("o_totalprice").alias("best_price"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT r_name,
+           list_aggregate(list_sort(list(n_name)), 'string_agg', ',') AS nations_csv,
+           CAST(LENGTH(list_distinct(list(n_regionkey))) AS INTEGER) AS n_distinct_rk
+    FROM nation
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_agg_collect(spark, sf_dir):
+    """collect_list/collect_set emitted as sorted CSV / cardinality
+    (never hash a raw unordered collection)."""
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    j = n.join(r, n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations_csv"),
+        F.size(F.collect_set("n_regionkey")).alias("n_distinct_rk"),
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases,
+           {sql_sum("CASE WHEN event_type = 'error' THEN value ELSE 0 END", 'error_value')}
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_conditional(spark, sf_dir):
+    """count_if / conditional SUM (CASE WHEN) per group."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        dsum(
+            F.when(F.col("event_type") == "error", F.col("value")).otherwise(0.0),
+            "error_value",
+        ),
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_agg_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {', '.join(sql_sum(f"CASE WHEN event_type = '{t}' THEN value ELSE 0 END", t) for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_pivot(spark, sf_dir):
+    """PIVOT event_type → one summed column per category."""
+    e = read_table(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")))
+    )
+    cols = [F.col("user_id")] + [
+        F.round(F.coalesce(F.col(t), F.lit(0)).cast("double"), 4).alias(t)
+        for t in EVENT_TYPES
+    ]
+    return pivoted.select(*cols)
+
+
+@query(
+    "q_agg_distinct_multi",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct_multi(spark, sf_dir):
+    """Multiple DISTINCT aggregates in one pass (expand-based)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
