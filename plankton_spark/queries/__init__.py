@@ -5,6 +5,10 @@ from plankton_spark.queries import (  # noqa: F401
     aggregations,
     filters,
     joins,
+    scalars_coll,
+    scalars_date,
+    scalars_math,
+    scalars_str,
     setops,
     sorts,
     windows,

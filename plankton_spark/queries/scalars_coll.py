@@ -1,0 +1,252 @@
+"""Array / map / JSON / struct scalar functions (SURVEY.md §2.8).
+
+Hash-safety rules: arrays are emitted either element-rounded (doubles)
+or sorted; maps are never emitted raw (sorted key/value projections
+instead); both engines index lists 1-based (Spark element_at, DuckDB
+[]), which these queries rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.registry import query
+
+
+@query(
+    "q_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(LENGTH(embedding) AS INTEGER) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_component,
+           ROUND(CAST(embedding[8] AS DOUBLE), 6) AS eighth_component,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_component,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component,
+           CAST(LENGTH(embedding[1:8]) AS INTEGER) AS slice_len
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def q_array_ops(spark, sf_dir):
+    """size / element_at (1-based) / array_min / array_max / slice."""
+    e = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
+        F.round(F.element_at("embedding", 8).cast("double"), 6).alias("eighth_component"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_component"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_component"),
+        F.size(F.slice("embedding", 1, 8)).alias("slice_len"),
+    )
+
+
+@query(
+    "q_array_explode",
+    oracle="""
+    SELECT lang, token, cnt FROM (
+      SELECT lang, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+      FROM (
+        SELECT lang, token, COUNT(*) AS cnt
+        FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        )
+        GROUP BY lang, token
+      )
+    ) WHERE rn <= 5
+    """,
+)
+def q_array_explode(spark, sf_dir):
+    """explode(split(...)) → token counts → top-5 words per language."""
+    d = read_table(spark, sf_dir, "documents")
+    tokens = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    counts = tokens.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "token", "cnt")
+    )
+
+
+@query(
+    "q_array_higherorder",
+    # Sum via exact decimal over unnest (order-free); Spark folds the
+    # array left-to-right with the same per-element decimal image.
+    oracle="""
+    SELECT e.vec_id,
+           list_transform(e.embedding[1:4], x -> ROUND(CAST(x AS DOUBLE) * 2, 6)) AS first4_doubled,
+           CAST(LENGTH(list_filter(e.embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           s.sum_components
+    FROM embeddings e
+    JOIN (
+      SELECT vec_id,
+             ROUND(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE), 6)
+               AS sum_components
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) u
+      GROUP BY vec_id
+    ) s USING (vec_id)
+    WHERE e.vec_id < 100
+    """,
+)
+def q_array_higherorder(spark, sf_dir):
+    """Higher-order fns: transform / filter / aggregate (lambda)."""
+    e = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    dec = "decimal(28,10)"
+    return e.select(
+        "vec_id",
+        F.transform(
+            F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double") * 2, 6)
+        ).alias("first4_doubled"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0).cast(dec),
+                lambda acc, x: (acc + x.cast("double").cast(dec)).cast(dec),
+            ).cast("double"),
+            6,
+        ).alias("sum_components"),
+    )
+
+
+@query(
+    "q_array_setops",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique_tokens,
+           CAST(LENGTH(list_intersect(string_split(text, ' '),
+                                      ['the', 'fast', 'key', 'order'])) AS INTEGER) AS n_probe_hits,
+           list_has_any(string_split(text, ' '), ['zebra', 'order']) AS mentions_order,
+           COALESCE(array_to_string(list_sort(list_distinct(list_intersect(
+             string_split(text, ' '), ['the', 'fast', 'key', 'order']))), ','), '') AS probe_csv
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_array_setops(spark, sf_dir):
+    """array_distinct / array_intersect / arrays_overlap / sorted join."""
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    probe = F.array(F.lit("the"), F.lit("fast"), F.lit("key"), F.lit("order"))
+    probe2 = F.array(F.lit("zebra"), F.lit("order"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.array_distinct(F.array_intersect(toks, probe))).alias("n_probe_hits"),
+        F.arrays_overlap(toks, probe2).alias("mentions_order"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.array_intersect(toks, probe))), ","
+        ).alias("probe_csv"),
+    )
+
+
+@query(
+    "q_map_ops",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(event_type)), ',') AS type_keys_csv,
+           array_to_string(list_transform(list_sort(list(event_type || ':' || CAST(cnt AS VARCHAR))), x -> x), '|') AS type_count_csv
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    )
+    GROUP BY user_id
+    """,
+)
+def q_map_ops(spark, sf_dir):
+    """map_from_entries / map_keys emitted as sorted projections
+    (raw MapType never reaches the hasher)."""
+    e = read_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    entries = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return entries.select(
+        "user_id",
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("type_keys_csv"),
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    F.map_entries("m"),
+                    lambda kv: F.concat_ws(":", kv["key"], kv["value"].cast("string")),
+                )
+            ),
+            "|",
+        ).alias("type_count_csv"),
+    )
+
+
+@query(
+    "q_json_get",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_get(spark, sf_dir):
+    """get_json_object path extraction → typed aggregation."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_json_struct",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+)
+def q_json_struct(spark, sf_dir):
+    """from_json into a typed struct, then field access + aggregation."""
+    e = read_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    parsed = e.withColumn("j", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("user_id").agg(
+        F.sum(F.col("j.k")).alias("sum_k"),
+        F.max(F.col("j.k")).alias("max_k"),
+    )
+
+
+@query(
+    "q_struct_nested",
+    oracle="""
+    SELECT o_orderstatus,
+           o_totalprice AS top_price,
+           o_orderkey AS top_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS top_date
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey DESC
+      ) AS rn FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_struct_nested(spark, sf_dir):
+    """Build struct, MAX over struct (lexicographic), nested access."""
+    o = read_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderdate").alias("dt"),
+    )
+    best = o.groupBy("o_orderstatus").agg(F.max(s).alias("best"))
+    return best.select(
+        "o_orderstatus",
+        F.col("best.price").alias("top_price"),
+        F.col("best.key").alias("top_orderkey"),
+        F.date_format(F.col("best.dt"), "yyyy-MM-dd").alias("top_date"),
+    )
