@@ -9,7 +9,9 @@ from plankton_spark.queries import (  # noqa: F401
     scalars_date,
     scalars_math,
     scalars_str,
+    scans,
     setops,
     sorts,
+    udfs,
     windows,
 )
