@@ -12,6 +12,7 @@ from plankton_spark.queries import (  # noqa: F401
     scans,
     setops,
     sorts,
+    streaming_shadows,
     udfs,
     windows,
 )

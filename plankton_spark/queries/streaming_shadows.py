@@ -1,0 +1,240 @@
+"""Streaming operators, oracle-checked via batch execution
+(SURVEY.md §2.9).
+
+Spark's window/session_window functions are batch/stream symmetric:
+the *same* transformation functions (plankton_spark.streaming.jobs)
+run here on a batch DataFrame for the DuckDB oracle, and in
+tests/test_streaming.py on a readStream replay with availableNow —
+the integration test asserts both paths produce identical tables.
+
+All event timestamps are second-truncated before any window math
+(ns-vs-µs safety, SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.registry import query
+from plankton_spark.streaming import jobs
+
+_EVENTS_SECOND = """
+  SELECT event_id, user_id, event_type, value,
+         CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts2
+  FROM events
+"""
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND})
+    SELECT strftime(date_trunc('hour', ts2), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+    FROM e
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 1h event-time windows (same code path as the stream)."""
+    return jobs.tumbling_counts(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    slid AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', ts2)
+               - k * INTERVAL '15 minutes' AS window_start,
+             ts2
+      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM slid
+    WHERE ts2 < window_start + INTERVAL '1 hour'
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding 1h/15m windows — each event lands in 4 buckets."""
+    return jobs.sliding_counts(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_session",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    marked AS (
+      SELECT user_id, ts2,
+             CASE WHEN LAG(ts2) OVER w IS NULL
+                       OR ts2 - LAG(ts2) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts2)
+    ),
+    numbered AS (
+      SELECT user_id, ts2,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, sid, COUNT(*) AS n,
+             epoch(MAX(ts2)) - epoch(MIN(ts2)) AS dur
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_sec
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q_stream_session(spark, sf_dir):
+    """session_window (30 min gap): the shadow reconstructs sessions
+    with the lag-gap + cumulative-sum idiom and must agree exactly."""
+    return jobs.session_stats(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_watermark",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    wm AS (
+      SELECT event_id, ts2,
+             MAX(ts2) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high_water
+      FROM e
+    )
+    SELECT CAST(COUNT(CASE WHEN ts2 < high_water - INTERVAL '1 hour' THEN 1 END) AS BIGINT)
+             AS n_late_dropped,
+           COUNT(*) AS n_total
+    FROM wm
+    """,
+)
+def q_stream_watermark(spark, sf_dir):
+    """Watermark semantics, batch-modeled: an event is droppable when
+    it arrives (event_id order = arrival order) with event time more
+    than 1h behind the high-water mark already seen. The streaming
+    replay test asserts the same count via .withWatermark."""
+    e = jobs.with_second_ts(read_table(spark, sf_dir, "events"))
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    wm = e.withColumn("high_water", F.max("ts2").over(w))
+    return wm.agg(
+        F.count(
+            F.when(
+                F.col("ts2") < F.col("high_water") - F.expr("INTERVAL 1 HOUR"), 1
+            )
+        )
+        .cast("long")
+        .alias("n_late_dropped"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT COUNT(DISTINCT event_id) AS n_unique_ids,
+           COUNT(DISTINCT (user_id, event_type)) AS n_user_type,
+           COUNT(*) AS n_total
+    FROM events
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dropDuplicates shadow: distinct cardinalities the
+    watermarked streaming dedup must reproduce (see streaming test)."""
+    e = read_table(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("event_id").alias("n_unique_ids"),
+        F.countDistinct("user_id", "event_type").alias("n_user_type"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "q_stream_staticjoin",
+    oracle="""
+    SELECT CASE CAST(user_id % 3 AS INTEGER) WHEN 0 THEN 'bronze'
+                WHEN 1 THEN 'silver' ELSE 'gold' END AS segment,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_staticjoin(spark, sf_dir):
+    """Stream-static broadcast join with a synthetic user dimension."""
+    return jobs.segment_rollup(spark, read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_stream_stateful",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND})
+    SELECT user_id, event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts2, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 4) AS running_total
+    FROM e
+    WHERE event_type = 'purchase' AND user_id < 20
+    """,
+)
+def q_stream_stateful(spark, sf_dir):
+    """Custom-state shadow: per-user running purchase total. The
+    streaming twin keeps the total in a value state per key
+    (transformWithStateInPandas, tests/test_streaming.py)."""
+    e = jobs.with_second_ts(read_table(spark, sf_dir, "events")).where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 20)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts2", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"), 4
+        ).alias("running_total"),
+    )
+
+
+@query(
+    "q_stream_foreachbatch",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_foreachbatch(spark, sf_dir):
+    """REAL streaming run inside the gate: replay events through a
+    foreachBatch parquet sink (availableNow), read the sink back and
+    aggregate — must equal the batch aggregate over the source."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"{jobs.SCRATCH}/{tag}/foreachbatch_events"
+    stream = jobs.read_events_stream(spark, sf_dir)
+    jobs.run_foreach_batch_to_parquet(stream, out)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )

@@ -1,0 +1,234 @@
+"""Structured Streaming jobs over the replayable `events` table.
+
+Batch/stream symmetry is the design: every transformation here takes
+a DataFrame (batch or streaming — Spark's unified model) so the
+declared batch queries in queries/streaming_shadows.py and the
+streaming replays in tests/test_streaming.py share one code path.
+
+Scale posture: watermarks bound state (session/tumbling aggs evict
+state once the watermark passes), availableNow gives backfill-with-
+bounded-resources semantics, checkpoints make every job exactly-once
+into its sink.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plankton_spark.io import table_path
+
+SCRATCH = "/root/repo/.scratch/streaming"
+
+EVENTS_NANOS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a replayable file-source stream.
+
+    The file source consumes a *directory* (files arriving over time),
+    so the fixture file is staged into a scratch dir once. Same ns→µs
+    handling as the batch reader (io.read_table): ts is
+    TIMESTAMP(NANOS) in the footer, so we read epoch-nanos as long and
+    floor to µs TimestampType.
+    """
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = f"{SCRATCH}/{tag}/events_src"
+    os.makedirs(stage, exist_ok=True)
+    dst = f"{stage}/events.parquet"
+    if not os.path.exists(dst):
+        shutil.copyfile(table_path(sf_dir, "events"), dst)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .format("parquet")
+        .load(stage)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def with_second_ts(df: DataFrame) -> DataFrame:
+    """Normalize ts to second precision (cross-engine-safe granularity)."""
+    return df.withColumn("ts2", F.date_trunc("second", F.col("ts")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1h windows: count + decimal-sum(value) per (hour, type)."""
+    e = with_second_ts(events)
+    return (
+        e.groupBy(F.window("ts2", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding 1h windows every 15 min."""
+    e = with_second_ts(events)
+    return (
+        e.groupBy(F.window("ts2", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """First-level session-window aggregation (streamable: a single
+    stateful aggregation; the per-user rollup happens downstream —
+    streaming allows only one stateful agg per query)."""
+    e = with_second_ts(events)
+    return e.groupBy(F.session_window("ts2", "30 minutes").alias("sw"), "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts2").alias("first_ts"),
+        F.max("ts2").alias("last_ts"),
+    ).select("user_id", "n", "first_ts", "last_ts")
+
+
+def rollup_sessions(sessions: DataFrame) -> DataFrame:
+    """Batch rollup of session rows to per-user stats."""
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(
+            F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts")
+        )
+        .cast("long")
+        .alias("total_dur_sec"),
+    )
+
+
+def session_stats(events: DataFrame) -> DataFrame:
+    """Session windows (30 min gap) per user → per-user session stats."""
+    return rollup_sessions(session_windows(events))
+
+
+def enrich_with_user_dim(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """Stream-static join: events enriched with a synthetic user dim.
+
+    The static side is tiny → Spark broadcasts it into every
+    micro-batch; no stream-side shuffle.
+    """
+    dim = spark.range(0, 100_000).select(
+        F.col("id").alias("user_id"),
+        F.elt((F.col("id") % 3 + 1).cast("int"), F.lit("bronze"), F.lit("silver"), F.lit("gold")).alias(
+            "segment"
+        ),
+    )
+    return events.join(F.broadcast(dim), "user_id")
+
+
+def segment_rollup(spark: SparkSession, events: DataFrame) -> DataFrame:
+    e = enrich_with_user_dim(spark, events)
+    return e.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
+
+
+def run_available_now(
+    df: DataFrame, *, run_name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming DataFrame with the availableNow trigger into a
+    memory sink and return the final table (batch DataFrame)."""
+    name = run_name or f"mem_{uuid.uuid4().hex[:8]}"
+    ckpt = f"{SCRATCH}/ckpt_{name}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def purchase_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running purchase total kept
+    in executor state (applyInPandasWithState — the GroupState API;
+    transformWithStateInPandas is the Spark 4 successor but its state
+    client requires google.protobuf, absent in this environment, so
+    the engine ships the GroupState implementation as the supported
+    path and gates the newer API behind availability).
+
+    State is one double per user — at 100 TB of events this is
+    bounded by |users|, checkpointed, and evicted per watermark.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def running_total(key, pdfs, state):
+        total = state.get[0] if state.exists else 0.0
+        n = 0
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [round(total, 4)], "n_rows": [n]}
+        )
+
+    e = with_second_ts(events).where(F.col("event_type") == "purchase")
+    return (
+        e.withWatermark("ts2", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            running_total,
+            outputStructType="user_id long, total_value double, n_rows long",
+            stateStructType="total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_foreach_batch_to_parquet(events: DataFrame, out_path: str) -> None:
+    """foreachBatch sink: per-micro-batch custom writer (append parquet).
+
+    foreachBatch is the escape hatch for sinks Spark lacks natively;
+    the batch_df inside is a normal DataFrame, so any batch writer
+    works, with checkpoint-tracked exactly-once batch ids.
+    """
+    ckpt = f"{out_path}_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
