@@ -5,6 +5,8 @@ from plankton_spark.queries import (  # noqa: F401
     aggregations,
     filters,
     joins,
+    llm_dedup,
+    llm_text,
     scalars_coll,
     scalars_date,
     scalars_math,

@@ -1,0 +1,256 @@
+"""Text-analysis operators for training-data pipelines
+(SURVEY.md §2.11 + the north-star brief: language-ID, quality
+scoring, token counting, fingerprinting).
+
+All hot paths are JVM built-ins (split/regexp/sha2/higher-order fns);
+nothing here drops to Python. At 100 TB these are embarrassingly
+parallel map-side transforms — no shuffle except the final
+aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.registry import query
+
+# Fixed, arbitrary marker lists (the *mechanism* is the deliverable:
+# the fixture text is synthetic word salad sharing one vocabulary, so
+# any real lexicon would be equally synthetic).
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["order", "group", "window"],
+    "en": ["the", "a", "fast"],
+    "es": ["data", "table", "row"],
+    "fr": ["merge", "sort", "key"],
+    "zh": ["scan", "hash", "join"],
+}
+
+STOPWORDS = ["the", "a", "value", "data"]
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           ROUND(CAST(SUM(CAST(LENGTH(u.tok) AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_token_len,
+           MAX(CAST(LENGTH(text) = n_chars AS BOOLEAN)) AS chars_ok
+    FROM (SELECT doc_id, text, n_chars, unnest(string_split(text, ' ')) AS tok
+          FROM documents) u
+    GROUP BY doc_id, text
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Per-doc token stats + n_chars recomputation check."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    dec = "decimal(18,4)"
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                toks,
+                F.lit(0).cast(dec),
+                lambda acc, t: (acc + F.length(t).cast(dec)).cast(dec),
+            ).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+        (F.length("text") == F.col("n_chars")).alias("chars_ok"),
+    )
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))),
+                          ' +', ' ', 'g') AS norm_text,
+           CAST(LENGTH(regexp_replace(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))),
+                       ' +', ' ', 'g')) AS INTEGER) AS norm_len
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Normalization: lowercase, strip punctuation, collapse runs of
+    whitespace — the canonical pre-dedup transform."""
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))), " +", " "
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )
+
+
+@query(
+    "q_text_lang_agg",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_chars
+      FROM documents GROUP BY lang, source
+    ),
+    types AS (
+      SELECT lang, source, COUNT(DISTINCT tok) AS n_token_types
+      FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, mean_chars, n_token_types
+    FROM per_doc JOIN types USING (lang, source)
+    """,
+)
+def q_text_lang_agg(spark, sf_dir):
+    """Docs, mean length, distinct token types per (lang, source)."""
+    d = read_table(spark, sf_dir, "documents")
+    per_doc = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("n_chars").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_chars"),
+    )
+    types = (
+        d.select("lang", "source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "source")
+        .agg(F.countDistinct("tok").alias("n_token_types"))
+    )
+    return per_doc.join(types, ["lang", "source"])
+
+
+def _langid_scores_sql() -> str:
+    rows = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        cond = " OR ".join(f"tok = '{m}'" for m in markers)
+        rows.append(
+            f"SELECT doc_id, '{lang}' AS cand,"
+            f" CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT) AS score"
+            " FROM toks GROUP BY doc_id"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "q_text_langid",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    scores AS ({_langid_scores_sql()})
+    SELECT doc_id, cand AS predicted_lang, score
+    FROM scores
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) = 1
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    """Language-ID by marker-token scoring: count marker hits per
+    candidate language, argmax with alphabetical tie-break."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    scores = None
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        s = toks.groupBy("doc_id").agg(
+            F.count_if(F.col("tok").isin(markers)).alias("score")
+        ).select("doc_id", F.lit(lang).alias("cand"), "score")
+        scores = s if scores is None else scores.unionByName(s)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("predicted_lang"), "score")
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             CAST(LENGTH(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(LENGTH(list_filter(string_split(text, ' '),
+               x -> {' OR '.join(f"x = '{s}'" for s in STOPWORDS)})) AS INTEGER) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(LEAST(n_chars / 400.0, 1.0), 6) AS len_score,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           ROUND(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6) AS avg_word_len,
+           ROUND(0.5 * LEAST(n_chars / 400.0, 1.0)
+                 + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
+    FROM t
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length score, stopword ratio, avg word length,
+    blended quality metric (the heuristics used to filter pretraining
+    corpora, over a synthetic corpus)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    len_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        F.round(len_score, 6).alias("len_score"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round((F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens, 6).alias(
+            "avg_word_len"
+        ),
+        F.round(0.5 * len_score + 0.5 * stop_ratio, 6).alias("quality"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(LENGTH(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER)
+             AS n_bpe_ish,
+           CAST(LENGTH(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER) AS n_subword
+    FROM documents WHERE doc_id < 250
+    """,
+)
+def q_text_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens vs BPE-ish regex pieces vs
+    fixed-width subword chunks."""
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "n_bpe_ish"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{1,4}"), 0)).alias("n_subword"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(lower(text)) AS fp,
+           substring(sha256(lower(text)), 1, 8) AS fp_bucket,
+           CAST(LENGTH(string_split(text, ' ')) AS INTEGER) AS n_tokens
+    FROM documents WHERE doc_id < 250
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: content hash + bucket prefix (the
+    building block of exact dedup and shard-stable sampling)."""
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    fp = F.sha2(F.lower("text"), 256)
+    return d.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.substring(fp, 1, 8).alias("fp_bucket"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
