@@ -6,7 +6,9 @@ from plankton_spark.queries import (  # noqa: F401
     filters,
     joins,
     llm_dedup,
+    llm_multimodal,
     llm_text,
+    llm_vectors,
     scalars_coll,
     scalars_date,
     scalars_math,

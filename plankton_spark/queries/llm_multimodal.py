@@ -1,0 +1,62 @@
+"""Multimodal-column queries (SURVEY.md §2.11 q_multimodal_meta +
+decode plumbing check). The binary payload is manufactured from the
+documents fixture (n_bytes == n_chars — ASCII verified), so the
+oracle shadows every metadata computation via n_chars."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from plankton_spark import multimodal
+from plankton_spark.io import read_table
+from plankton_spark.registry import query
+
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT CASE WHEN lang IN ('en', 'de') THEN 'image/png'
+                WHEN lang IN ('es', 'fr') THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           COUNT(*) AS n_blobs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           CAST(MAX(n_chars) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Binary payload + typed metadata struct; filter/aggregate on
+    metadata only — the payload column is pruned from the scan."""
+    media = multimodal.attach_media(read_table(spark, sf_dir, "documents"))
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+    )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT CASE WHEN lang IN ('en', 'de') THEN 'image/png'
+                WHEN lang IN ('es', 'fr') THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(SUM(16 + n_chars % 64) AS BIGINT) AS sum_width,
+           CAST(SUM(9 + n_chars % 36) AS BIGINT) AS sum_height,
+           CAST(SUM(CASE WHEN lang IN ('zh',) THEN 24 ELSE 1 END) AS BIGINT) AS total_frames
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_multimodal_decode(spark, sf_dir):
+    """mapInPandas decode plumbing (deterministic fake decoder — real
+    codecs are absent in this container; see plankton_spark.multimodal):
+    schema, batching and aggregation are the real pipeline."""
+    media = multimodal.attach_media(read_table(spark, sf_dir, "documents"))
+    decoded = multimodal.decode_media(media)
+    return decoded.groupBy("media_type").agg(
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+    )

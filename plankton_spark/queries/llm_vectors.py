@@ -1,0 +1,320 @@
+"""Vector / similarity-search operators (SURVEY.md §2.11):
+brute-force cosine top-k (the correctness baseline), label centroids,
+norms, and two approximate scale paths — random-hyperplane LSH and an
+IVF-style coarse quantizer — each emitting recall vs the exact top-k.
+
+Scale design: brute force is O(Q·N·d) and exists as the oracle-able
+baseline on a bounded query slice; the LSH/IVF variants prune the
+candidate set via bucket equality / nearest-centroid probes, which is
+the shape that survives 100 TB (bucket join instead of crossJoin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.queries.llm_dedup import SQL_PAIR_COSINE, dot_cosine
+from plankton_spark.registry import query
+
+TOP_K = 5
+N_QUERIES = 20  # vec_id < 20 are the query vectors
+
+
+@query(
+    "q_vec_norms",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
+        SELECT vec_id, UNNEST(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id < 100
+      )
+    ),
+    agg AS (
+      SELECT vec_id,
+             ROUND(sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)), 6) AS l2_norm
+      FROM u GROUP BY vec_id
+    )
+    SELECT e.vec_id, agg.l2_norm,
+           ROUND(CAST(list_min(e.embedding) AS DOUBLE), 6) AS min_comp,
+           ROUND(CAST(list_max(e.embedding) AS DOUBLE), 6) AS max_comp,
+           CAST(list_position(e.embedding, list_max(e.embedding)) AS BIGINT) AS argmax_idx
+    FROM embeddings e JOIN agg USING (vec_id)
+    WHERE e.vec_id < 100
+    """,
+)
+def q_vec_norms(spark, sf_dir):
+    """L2 norm (exact decimal), min/max component, 1-based argmax."""
+    e = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    dec = "decimal(30,12)"
+    sumsq = F.aggregate(
+        F.transform("embedding", lambda x: (x.cast("double") * x.cast("double")).cast(dec)),
+        F.lit(0).cast(dec),
+        lambda acc, x: (acc + x).cast(dec),
+    ).cast("double")
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_comp"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_comp"),
+        F.array_position(F.col("embedding"), F.array_max("embedding")).alias("argmax_idx"),
+    )
+
+
+def _brute_force_topk(spark, sf_dir):
+    """Exact top-k neighbors for query vectors (vec_id < N_QUERIES)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"))
+    pairs = q.join(F.broadcast(c), F.col("q_id") != F.col("n_id"))
+    scored = pairs.withColumn("cos", F.round(dot_cosine("qe", "ne"), 6))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "cos", "rnk")
+    )
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle=f"""
+    WITH pc AS ({SQL_PAIR_COSINE.format(a_filter="WHERE vec_id < " + str(N_QUERIES),
+                                        pair_cond="a.vec_id <> b.vec_id")})
+    SELECT vec_a AS q_id, vec_b AS n_id, ROUND(cosine, 6) AS cos,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY vec_a ORDER BY ROUND(cosine, 6) DESC, vec_b
+           ) AS INTEGER) AS rnk
+    FROM pc
+    QUALIFY rnk <= {TOP_K}
+    """,
+)
+def q_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 per query vector — the ANN baseline.
+    The candidate side is broadcast; ranking ties break on rounded
+    cosine then neighbor id so both engines agree exactly."""
+    return _brute_force_topk(spark, sf_dir)
+
+
+@query(
+    "q_sim_centroid",
+    oracle="""
+    WITH u AS (
+      SELECT label, CAST(x AS DOUBLE) AS x, i FROM (
+        SELECT label, UNNEST(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+    ),
+    cent AS (
+      SELECT label AS c_label, i,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM u GROUP BY label, i
+    ),
+    v AS (
+      SELECT vec_id, label, CAST(x AS DOUBLE) AS x, i FROM (
+        SELECT vec_id, label, UNNEST(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+    ),
+    dists AS (
+      SELECT v.vec_id, v.label, cent.c_label,
+             ROUND(CAST(SUM(CAST((v.x - cent.c) * (v.x - cent.c) AS DECIMAL(30,12)))
+                   AS DOUBLE), 6) AS d2
+      FROM v JOIN cent ON v.i = cent.i
+      GROUP BY v.vec_id, v.label, cent.c_label
+    ),
+    assigned AS (
+      SELECT vec_id, label, c_label AS assigned_label
+      FROM dists
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY d2, c_label
+      ) = 1
+    )
+    SELECT label, assigned_label, COUNT(*) AS n_vectors
+    FROM assigned GROUP BY label, assigned_label
+    """,
+)
+def q_sim_centroid(spark, sf_dir):
+    """Nearest label-centroid assignment + confusion counts.
+
+    Centroids: posexplode → per-(label, dim) exact-decimal mean.
+    Assignment: broadcast the 10 centroids, argmin of rounded squared
+    distance (ties → smaller label).
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    dec = "decimal(30,12)"
+    cent = comps.groupBy(F.col("label").alias("c_label"), "i").agg(
+        (F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    dists = (
+        comps.join(F.broadcast(cent), "i")
+        .withColumn("dd", ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(dec))
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.round(F.sum("dd").cast("double"), 6).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("assigned_label"))
+    )
+    return assigned.groupBy("label", "assigned_label").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+N_TABLES = 16
+BITS_PER_TABLE = 3
+
+
+def _hyperplanes(n_planes: int, dim: int = 64) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded, embedded as literals)."""
+    rng = np.random.RandomState(42)
+    return [[float(v) for v in row] for row in rng.randn(n_planes, dim)]
+
+
+@query("q_knn_lsh")  # rows-only: self-referential recall metric
+def q_knn_lsh(spark, sf_dir):
+    """ANN via random-hyperplane LSH, multi-table form: 16 tables × 3
+    sign bits (48 seeded planes). A candidate is any vector sharing a
+    bucket with the query in ≥1 table — a bucket-equality join, never
+    a crossJoin. Emits recall@5 vs the exact top-k.
+
+    The fixture vectors are near-isotropic (max cosine 0.51), the
+    adversarial case for hyperplane LSH — many shallow tables buy
+    recall where one deep signature finds nothing; on clustered real
+    embeddings the same shape prunes much harder per table.
+
+    Rows-only by design (the metric is defined against q_sim_cosine_topk,
+    not expressible as an independent oracle).
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(N_TABLES * BITS_PER_TABLE)
+    dec = "decimal(30,12)"
+
+    def sign_bit(plane: list[float]) -> F.Column:
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                "embedding", lit_plane, lambda x, y: (x.cast("double") * y).cast(dec)
+            ),
+            F.lit(0).cast(dec),
+            lambda acc, x: (acc + x).cast(dec),
+        ).cast("double")
+        return F.when(dot > 0, 1).otherwise(0)
+
+    # bucket id per table: table_idx * 2^bits + bit pattern
+    buckets = []
+    for t in range(N_TABLES):
+        bits = F.lit(t * (1 << BITS_PER_TABLE))
+        for b in range(BITS_PER_TABLE):
+            bits = bits + sign_bit(planes[t * BITS_PER_TABLE + b]) * (1 << b)
+        buckets.append(bits)
+    tabled = e.select(
+        "vec_id", "embedding", F.explode(F.array(*buckets)).alias("bucket")
+    )
+    q = tabled.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = tabled.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"), "bucket"
+    )
+    cand = (
+        q.join(c, "bucket")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+        .join(
+            e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")),
+            "q_id",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne")),
+            "n_id",
+        )
+    )
+    scored = cand.withColumn("cos", F.round(dot_cosine("qe", "ne"), 6))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    approx = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id")
+    )
+    exact = _brute_force_topk(spark, sf_dir).select("q_id", "n_id")
+    hits = approx.join(exact, ["q_id", "n_id"], "inner").count()
+    total = exact.count()
+    recall = round(hits / total, 4) if total else 0.0
+    return spark.createDataFrame(
+        [(recall, hits, total)], "recall_at_5 double, n_hits long, n_exact long"
+    )
+
+
+@query("q_knn_ivf")  # rows-only: self-referential recall metric
+def q_knn_ivf(spark, sf_dir):
+    """ANN via IVF-style coarse quantization: label centroids are the
+    coarse codebook; each query probes its 3 nearest centroids and
+    searches only vectors assigned to those lists. Emits recall@5 vs
+    exact top-k."""
+    e = read_table(spark, sf_dir, "embeddings")
+    comps = e.select("vec_id", F.posexplode("embedding").alias("i", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    labels = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    dec = "decimal(30,12)"
+    cent = (
+        comps.join(labels, "vec_id")
+        .groupBy(F.col("label").alias("c_label"), "i")
+        .agg((F.sum(F.col("x").cast(dec)).cast("double") / F.count(F.lit(1))).alias("c"))
+    )
+    # distance of every vector to every centroid (broadcast centroids)
+    dists = (
+        comps.join(F.broadcast(cent), "i")
+        .withColumn("dd", ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(dec))
+        .groupBy("vec_id", "c_label")
+        .agg(F.round(F.sum("dd").cast("double"), 6).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    ranked = dists.withColumn("rn", F.row_number().over(w))
+    assignment = ranked.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("n_id"), F.col("c_label").alias("list_id")
+    )
+    probes = ranked.where((F.col("rn") <= 3) & (F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("q_id"), F.col("c_label").alias("list_id")
+    )
+    emb = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"))
+    qemb = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cand = (
+        probes.join(assignment, "list_id")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+        .join(qemb, "q_id")
+        .join(emb, "n_id")
+    )
+    scored = cand.withColumn("cos", F.round(dot_cosine("qe", "ne"), 6))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    approx = (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id")
+    )
+    exact = _brute_force_topk(spark, sf_dir).select("q_id", "n_id")
+    hits = approx.join(exact, ["q_id", "n_id"], "inner").count()
+    total = exact.count()
+    recall = round(hits / total, 4) if total else 0.0
+    return spark.createDataFrame(
+        [(recall, hits, total)], "recall_at_5 double, n_hits long, n_exact long"
+    )
