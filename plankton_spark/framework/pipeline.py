@@ -1,0 +1,193 @@
+"""Pipeline: named-operator DAG with cycle detection, fingerprint
+caching and ledger-backed observability (SURVEY.md §2.12).
+
+Execution model vs the reference: plankton runs independent subtrees
+on goroutines because each Task materializes side effects eagerly.
+Here every operator contributes to ONE lazy Spark plan; "parallelism
+between siblings" is free (independent stages schedule concurrently
+inside Spark), and an operator only materializes when it is a sink
+(``outputs``) or explicitly persisted as a reused fan-out node.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from plankton_spark.framework.ledger import RunLedger
+from plankton_spark.framework.operator import Operator
+
+
+class CycleError(ValueError):
+    pass
+
+
+@dataclass
+class _Node:
+    op: Operator
+    deps: list[str] = field(default_factory=list)
+    sink_path: str | None = None  # parquet output → makes the op a sink
+
+
+class Pipeline:
+    def __init__(
+        self,
+        name: str,
+        spark: SparkSession,
+        ledger: RunLedger | None = None,
+        cache_window_sec: float | None = None,
+    ) -> None:
+        self.name = name
+        self.spark = spark
+        self.ledger = ledger
+        self.cache_window_sec = cache_window_sec
+        self._nodes: dict[str, _Node] = {}
+
+    # -- construction -------------------------------------------------
+    def add(
+        self,
+        op: Operator,
+        deps: Sequence[str] = (),
+        sink_path: str | None = None,
+    ) -> "Pipeline":
+        if op.name in self._nodes:
+            raise ValueError(f"duplicate operator name {op.name!r}")
+        self._nodes[op.name] = _Node(op, list(deps), sink_path)
+        return self
+
+    def topo_order(self) -> list[str]:
+        """Kahn's algorithm; raises CycleError naming a cycle member."""
+        indeg = {n: 0 for n in self._nodes}
+        for name, node in self._nodes.items():
+            for d in node.deps:
+                if d not in self._nodes:
+                    raise KeyError(f"{name!r} depends on unknown operator {d!r}")
+                indeg[name] += 1
+        ready = sorted(n for n, d in indeg.items() if d == 0)
+        order: list[str] = []
+        while ready:
+            n = ready.pop(0)
+            order.append(n)
+            for m, node in sorted(self._nodes.items()):
+                if n in node.deps:
+                    indeg[m] -= 1
+                    if indeg[m] == 0:
+                        ready.append(m)
+            ready.sort()
+        if len(order) != len(self._nodes):
+            stuck = sorted(set(self._nodes) - set(order))
+            raise CycleError(f"dependency cycle involving {stuck}")
+        return order
+
+    # -- execution ----------------------------------------------------
+    def run(self, force: bool = False) -> dict[str, DataFrame]:
+        """Compose and execute the DAG.
+
+        Each operator's fingerprint chains its upstream fingerprints;
+        a sink whose fingerprint has a fresh ledger success (and whose
+        output exists) is skipped and re-read — plankton's cache-skip.
+        """
+        run_id = uuid.uuid4().hex[:12]
+        results: dict[str, DataFrame] = {}
+        fps: dict[str, str] = {}
+        fanout = self._fanout_counts()
+        for name in self.topo_order():
+            node = self._nodes[name]
+            fp = node.op.fingerprint([fps[d] for d in node.deps])
+            fps[name] = fp
+            cached = (
+                not force
+                and node.sink_path is not None
+                and self.ledger is not None
+                and self.ledger.has_fresh_success(fp, self.cache_window_sec)
+            )
+            if cached:
+                results[name] = self.spark.read.parquet(node.sink_path)
+                self._log(run_id, name, fp, "skipped_cached", node.sink_path)
+                continue
+            self._log(run_id, name, fp, "running", node.sink_path)
+            t0 = time.time()
+            try:
+                df = node.op.transform({d: results[d] for d in node.deps})
+                if fanout.get(name, 0) > 1:
+                    # reused fan-out node: persist once instead of
+                    # recomputing the subtree per consumer
+                    df = df.persist()
+                if node.sink_path is not None:
+                    df.write.mode("overwrite").parquet(node.sink_path)
+                    df = self.spark.read.parquet(node.sink_path)
+                results[name] = df
+            except Exception:
+                self._log(run_id, name, fp, "failed", node.sink_path, t0)
+                raise
+            self._log(run_id, name, fp, "success", node.sink_path, t0)
+        return results
+
+    def _fanout_counts(self) -> dict[str, int]:
+        counts: dict[str, int] = {}
+        for node in self._nodes.values():
+            for d in node.deps:
+                counts[d] = counts.get(d, 0) + 1
+        return counts
+
+    def _log(
+        self,
+        run_id: str,
+        op: str,
+        fp: str,
+        state: str,
+        output_path: str | None,
+        t0: float | None = None,
+    ) -> None:
+        if self.ledger is None:
+            return
+        rec = {
+            "run_id": run_id,
+            "pipeline": self.name,
+            "op": op,
+            "fingerprint": fp,
+            "state": state,
+            "output_path": output_path,
+        }
+        if t0 is not None:
+            rec["elapsed_sec"] = round(time.time() - t0, 3)
+        self.ledger.append(rec)
+
+    # -- observability ------------------------------------------------
+    def describe(self, fmt: str = "text") -> str:
+        """DAG rendering (plankton's terminal viz, sans colors)."""
+        order = self.topo_order()
+        if fmt == "mermaid":
+            lines = ["graph TD"]
+            for name in order:
+                for d in self._nodes[name].deps:
+                    lines.append(f"  {d} --> {name}")
+                if not self._nodes[name].deps:
+                    lines.append(f"  {name}")
+            return "\n".join(lines)
+        lines = [f"pipeline {self.name}:"]
+        for name in order:
+            deps = self._nodes[name].deps
+            sink = self._nodes[name].sink_path
+            arrow = f" <- {', '.join(deps)}" if deps else ""
+            mark = f"  [sink {sink}]" if sink else ""
+            lines.append(f"  {name}{arrow}{mark}")
+        return "\n".join(lines)
+
+
+def pipeline_status(ledger: RunLedger) -> str:
+    """`pipeline status` CLI view over the ledger."""
+    rows = ledger.status()
+    if not rows:
+        return "no runs recorded"
+    width = max(len(f"{r['pipeline']}/{r['op']}") for r in rows)
+    out = []
+    for r in rows:
+        key = f"{r['pipeline']}/{r['op']}"
+        extra = f" ({r['elapsed_sec']}s)" if "elapsed_sec" in r else ""
+        out.append(f"{key:{width}s}  {r['state']}{extra}")
+    return "\n".join(out)
