@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set spans the engine's load-bearing paths: columnar
+scan+agg, shuffle joins (broadcast + sort-merge), window top-k,
+MinHash-LSH dedup, cosine top-k, streaming-window shadow, pivot.
+Each query is executed by collecting to count (forces full plan,
+keeps driver transfer negligible).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from plankton_spark.registry import all_queries  # noqa: E402
+from plankton_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_agg_group",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_topk_pergroup",
+    "q_win_running",
+    "q_agg_pivot",
+    "q_stream_tumbling",
+    "q_dedup_minhash",
+    "q_sim_cosine_topk",
+    "q_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("plankton-bench", shuffle_partitions=32)
+    qs = all_queries()
+
+    # one warm-up action so JVM/codegen startup isn't billed to q1
+    qs["q_scan_parquet"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -64,17 +64,6 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-def _shingles(df):
-    """Distinct 5-gram (token) shingles per doc, exploded."""
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1)))
-    sh = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
-    )
-    return df.select("doc_id", F.explode(sh).alias("shingle"))
-
-
 _SHINGLES_SQL = """
   SELECT doc_id, unnest(list_distinct(list_transform(
            generate_series(1, GREATEST(LENGTH(string_split(text,' ')) - 4, 1)),
@@ -107,16 +96,30 @@ def q_dedup_minhash(spark, sf_dir):
     O(n²) Jaccard; LSH must match it exactly at this threshold.
     """
     d = read_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
-
-    # 64 min-hashes in one aggregation pass over exploded shingles.
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-            for i in range(N_PERM)
-        ]
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1)))
+    sh_arr = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
     )
-    # Band signature = hash of its 8 minhash slots.
+    sets = d.select("doc_id", sh_arr.alias("s"))
+
+    # Min-hashes computed array-side (pure map, whole-stage codegen —
+    # no explode, no shuffle): h_i = min over shingles of
+    # xxhash64(seed_i, shingle); band signature hashes its 8 slots.
+    def _seeded(i: int):
+        # NB: must stay a one-arg lambda — a second parameter would be
+        # bound to the array index by F.transform, not the seed.
+        return lambda sgl: F.xxhash64(F.lit(i), sgl)
+
+    mins = sets.select(
+        "doc_id",
+        "s",
+        *[
+            F.array_min(F.transform("s", _seeded(i))).alias(f"h{i}")
+            for i in range(N_PERM)
+        ],
+    )
     bands = mins.select(
         "doc_id",
         *[
@@ -144,8 +147,7 @@ def q_dedup_minhash(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verification on shingle sets (array form).
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    # Exact verification on the same shingle arrays.
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     verified = (
