@@ -102,38 +102,58 @@ def q_dedup_minhash(spark, sf_dir):
     sh_arr = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
     )
-    sets = d.select("doc_id", sh_arr.alias("s"))
+    # persist(): without it Catalyst's project-collapse would inline
+    # the shingle/hash array construction into all 64 minhash
+    # expressions (64x recompute); the cached arrays are also reused
+    # twice more by the verification joins below.
+    sets = d.select(
+        "doc_id",
+        sh_arr.alias("s"),
+        F.transform(sh_arr, lambda sgl: F.xxhash64(sgl)).alias("hs"),
+    ).persist()
 
-    # Min-hashes computed array-side (pure map, whole-stage codegen —
-    # no explode, no shuffle): h_i = min over shingles of
-    # xxhash64(seed_i, shingle); band signature hashes its 8 slots.
-    def _seeded(i: int):
-        # NB: must stay a one-arg lambda — a second parameter would be
-        # bound to the array index by F.transform, not the seed.
-        return lambda sgl: F.xxhash64(F.lit(i), sgl)
+    # Min-hashes via universal hashing: each shingle is string-hashed
+    # ONCE (hs above); permutation i is h -> (a_i*(h mod M) + b_i) mod M
+    # with 31-bit constants so products fit a long under ANSI mode (the
+    # outer mod is what makes the permutations independent — without it
+    # argmin(a*h+b) = argmin(h) for every i). The whole signature is
+    # ONE nested higher-order expression (seq(64) x shingles), not 64
+    # generated projections: keeps the codegen method small enough to
+    # JIT — the 64-column formulation compiled to a huge interpreted-
+    # only method and was ~10x slower on a warm JVM (measured).
+    M = 2147483647  # 2^31 - 1
+    a_lits = F.array(
+        *[F.lit((0x9E3779B9 * (2 * i + 1)) % M | 1) for i in range(N_PERM)]
+    )
+    b_lits = F.array(*[F.lit((0xC2B2AE3D * (i + 1)) % M) for i in range(N_PERM)])
 
-    mins = sets.select(
-        "doc_id",
-        "s",
-        *[
-            F.array_min(F.transform("s", _seeded(i))).alias(f"h{i}")
-            for i in range(N_PERM)
-        ],
+    def _min_for_perm(i):
+        ai = F.element_at(a_lits, i + 1)
+        bi = F.element_at(b_lits, i + 1)
+        return F.array_min(
+            F.transform(
+                "hs", lambda h: F.pmod(F.pmod(h, F.lit(M)) * ai + bi, F.lit(M))
+            )
+        )
+
+    sig = F.transform(F.sequence(F.lit(0), F.lit(N_PERM - 1)), _min_for_perm)
+
+    # Band hash: polynomial fold over each 8-slot slice (31-bit safe).
+    def _band_hash(b):
+        return F.aggregate(
+            F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, F.lit(ROWS_PER_BAND)),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * 1000003 + x, F.lit(M)),
+        )
+
+    bands_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.struct(b.alias("band_idx"), _band_hash(b).alias("band_hash")),
     )
-    bands = mins.select(
-        "doc_id",
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
-    )
-    band_rows = bands.selectExpr(
-        "doc_id",
-        "stack({}, {}) AS (band_idx, band_hash)".format(
-            N_BANDS, ", ".join(f"{b}, band{b}" for b in range(N_BANDS))
-        ),
+    band_rows = (
+        sets.select("doc_id", sig.alias("sig"))
+        .select("doc_id", F.explode(bands_arr).alias("bb"))
+        .select("doc_id", F.col("bb.band_idx"), F.col("bb.band_hash"))
     )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -147,9 +167,11 @@ def q_dedup_minhash(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact verification on the same shingle arrays.
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    # Exact verification on the hashed shingle arrays (same Jaccard —
+    # xxhash64 collisions among ~500 shingles are ~1e-16 — but long
+    # intersection beats 25-char string intersection).
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
     verified = (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -257,8 +279,57 @@ def q_sim_jaccard(spark, sf_dir):
 _DOT_DECIMAL = "decimal(30,12)"
 
 
+def explode_comps(df, id_col: str, emb_col: str, out_id: str, out_x: str):
+    """(id, i, x_double) component rows — the join-friendly layout for
+    pairwise vector math (built-in hash aggregates instead of
+    higher-order folds, which generate JIT-hostile giant methods)."""
+    return df.select(
+        F.col(id_col).alias(out_id), F.posexplode(emb_col).alias("i", out_x)
+    ).withColumn(out_x, F.col(out_x).cast("double"))
+
+
+def vector_norms(comps, id_col: str, x_col: str, out: str):
+    """sqrt of exact-decimal sum of squares per vector."""
+    return comps.groupBy(id_col).agg(
+        F.sqrt(
+            F.sum((F.col(x_col) * F.col(x_col)).cast(_DOT_DECIMAL)).cast("double")
+        ).alias(out)
+    )
+
+
+def pair_cosines(embeddings, a_filter=None, pair_cond=None):
+    """All-pairs cosine via component-join: explode both sides on the
+    dimension index, join on i (+ the pair condition), decimal-sum the
+    products per pair, normalize. Everything is built-in codegen
+    (scan→join→hash-agg); this is the shape that scales out — and the
+    exact mirror of the SQL_PAIR_COSINE oracle."""
+    a = embeddings if a_filter is None else embeddings.where(a_filter)
+    ac = explode_comps(a, "vec_id", "embedding", "vec_a", "xa")
+    bc = explode_comps(embeddings, "vec_id", "embedding", "vec_b", "xb")
+    cond = (F.col("i") == F.col("j"))
+    bc = bc.withColumnRenamed("i", "j")
+    if pair_cond is not None:
+        cond = cond & pair_cond
+    dots = (
+        ac.join(bc, cond)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum((F.col("xa") * F.col("xb")).cast(_DOT_DECIMAL)).cast("double").alias("dot"))
+    )
+    comps_all = explode_comps(embeddings, "vec_id", "embedding", "vec_id", "x")
+    norms = vector_norms(comps_all, "vec_id", "x", "nrm")
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "vec_a")
+        .join(F.broadcast(nb), "vec_b")
+        .select("vec_a", "vec_b", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"))
+    )
+
+
 def dot_cosine(a_col: str, b_col: str):
-    """Exact-decimal cosine between two float-array columns.
+    """Exact-decimal cosine between two float-array columns
+    (higher-order-fold form — use only on small candidate sets;
+    pair_cosines is the scale path).
 
     Per-element double products are IEEE-deterministic; the reduction
     runs in DECIMAL(30,12) so accumulation order cannot matter.
@@ -326,12 +397,8 @@ def q_dedup_embcos(spark, sf_dir):
     decimal dot products. Brute-force all-pairs here; the bucketed
     scale path is llm_vectors.q_knn_lsh."""
     e = read_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
-    cos = dot_cosine("ea", "eb")
+    pc = pair_cosines(e, pair_cond=F.col("vec_a") < F.col("vec_b"))
     return (
-        pairs.withColumn("cos_raw", cos)
-        .where(F.col("cos_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
+        pc.where(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )

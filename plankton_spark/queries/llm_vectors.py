@@ -17,7 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from plankton_spark.io import read_table
-from plankton_spark.queries.llm_dedup import SQL_PAIR_COSINE, dot_cosine
+from plankton_spark.queries.llm_dedup import SQL_PAIR_COSINE, dot_cosine, pair_cosines
 from plankton_spark.registry import query
 
 TOP_K = 5
@@ -66,14 +66,19 @@ def q_vec_norms(spark, sf_dir):
 
 
 def _brute_force_topk(spark, sf_dir):
-    """Exact top-k neighbors for query vectors (vec_id < N_QUERIES)."""
+    """Exact top-k neighbors for query vectors (vec_id < N_QUERIES):
+    component-join cosines (pair_cosines) + per-query window top-k."""
     e = read_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    pc = pair_cosines(
+        e,
+        a_filter=F.col("vec_id") < N_QUERIES,
+        pair_cond=F.col("vec_a") != F.col("vec_b"),
     )
-    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"))
-    pairs = q.join(F.broadcast(c), F.col("q_id") != F.col("n_id"))
-    scored = pairs.withColumn("cos", F.round(dot_cosine("qe", "ne"), 6))
+    scored = pc.select(
+        F.col("vec_a").alias("q_id"),
+        F.col("vec_b").alias("n_id"),
+        F.round("cosine", 6).alias("cos"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
