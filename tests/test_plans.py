@@ -1,0 +1,99 @@
+"""Physical-plan audits (the 100 TB posture, SURVEY.md §4.2).
+
+Correctness says the answer is right; these tests pin that the PLAN
+is right — filters reach the parquet scan, projections prune the read
+schema, small dims broadcast, partition filters prune directories,
+and rank-filters become per-group limits. A regression here means a
+query that still passes the oracle but would melt at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.registry import all_queries
+from tests.conftest import SF0001
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = all_queries()["q_filter_cmp"](spark, SF0001)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "l_quantity" in m.group(1), m
+
+
+def test_column_pruning_reads_two_columns(spark):
+    df = all_queries()["q_scan_pruned"](spark, SF0001)
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert sorted(cols) == ["l_orderkey", "l_quantity"], cols
+
+
+def test_broadcast_join_pinned(spark):
+    df = all_queries()["q_join_broadcast"](spark, SF0001)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_partition_pruning_on_partitioned_sink(spark):
+    df = all_queries()["q_sink_partition_prune"](spark, SF0001)
+    plan = plan_of(df)
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan
+
+
+def test_topk_pergroup_uses_window_group_limit(spark):
+    df = all_queries()["q_topk_pergroup"](spark, SF0001)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    df = all_queries()["q_topk_global"](spark, SF0001)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_agg_is_partial_then_final(spark):
+    df = all_queries()["q_agg_group"](spark, SF0001)
+    plan = plan_of(df)
+    # two HashAggregate nodes around the exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    df = all_queries()["q_join_semi"](spark, SF0001)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+
+
+def test_scans_use_vectorized_columnar_reader(spark):
+    df = read_table(spark, SF0001, "lineitem").select("l_orderkey")
+    plan = plan_of(df)
+    assert "ColumnarToRow" in plan or "Scan parquet" in plan
+
+
+def test_minhash_has_no_cartesian_product(spark):
+    df = all_queries()["q_dedup_minhash"](spark, SF0001)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, "LSH must not cross-join"
+
+
+def test_events_filter_pushdown_survives_ns_conversion(spark):
+    e = read_table(spark, SF0001, "events").where(F.col("user_id") == 3)
+    plan = plan_of(e)
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "user_id" in m.group(1), plan
