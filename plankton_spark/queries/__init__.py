@@ -16,7 +16,9 @@ from plankton_spark.queries import (  # noqa: F401
     scans,
     setops,
     sorts,
+    sources_extra,
     streaming_shadows,
+    subqueries,
     udfs,
     windows,
 )

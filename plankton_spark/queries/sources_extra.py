@@ -1,0 +1,99 @@
+"""Additional sources/sinks (SURVEY.md §2.1 note): ORC roundtrip,
+text-lines roundtrip, in-memory frames, and a null-safe join — each
+with a shadow oracle on the original table (lossy roundtrips fail the
+hash)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import SCHEMAS, read_table
+from plankton_spark.queries.scans import _scratch
+from plankton_spark.registry import query
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+           MIN(s_name) AS min_name
+    FROM supplier
+    """,
+)
+def q_scan_orc(spark, sf_dir):
+    """ORC sink → source roundtrip (columnar alternative to parquet)."""
+    path = _scratch(sf_dir, "supplier_orc")
+    read_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("s_suppkey").cast("long").alias("sum_key"),
+        F.min("s_name").alias("min_name"),
+    )
+
+
+@query(
+    "q_scan_text",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(LENGTH(r_name)) AS BIGINT) AS total_chars
+    FROM region
+    """,
+)
+def q_scan_text(spark, sf_dir):
+    """text-lines sink → source (one string column per line)."""
+    path = _scratch(sf_dir, "region_text")
+    read_table(spark, sf_dir, "region").select("r_name").write.mode("overwrite").text(
+        path
+    )
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "q_source_memory",
+    oracle="""
+    SELECT grp, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total
+    FROM (VALUES (0, 1), (0, 2), (1, 3), (1, 4), (2, 5)) AS t(grp, v)
+    GROUP BY grp
+    """,
+)
+def q_source_memory(spark, sf_dir):
+    """In-memory source (createDataFrame) — the driver-literal path."""
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5)], "grp int, v int"
+    )
+    return df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").cast("long").alias("total")
+    )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS st FROM orders
+      WHERE o_orderkey < 500
+    ),
+    b AS (
+      SELECT NULLIF(x, 'P') AS st, tag FROM (
+        VALUES ('F', 'final'), ('O', 'open'), ('P', 'pending')
+      ) AS t(x, tag)
+    )
+    SELECT a.o_orderkey, b.tag
+    FROM a JOIN b ON a.st IS NOT DISTINCT FROM b.st
+    """,
+)
+def q_join_nullsafe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    keys match each other instead of dropping out."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    a = o.select("o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("st"))
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")], "x string, tag string"
+    ).select(F.nullif("x", F.lit("P")).alias("st"), "tag")
+    return a.join(dim, a.st.eqNullSafe(dim.st)).select("o_orderkey", "tag")

@@ -47,5 +47,6 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.warehouse.dir", "/root/repo/.scratch/warehouse")
     )
     return builder.getOrCreate()
