@@ -84,6 +84,82 @@ def test_foreachbatch_sink_roundtrip(spark):
     assert got == want
 
 
+def test_stream_watermark_drops_late_rows(spark, tmp_path):
+    """Real late-data semantics: batch 1 advances the watermark to
+    (max ts - 1h); batch 2 replays rows older than that → they must
+    be excluded from the windowed aggregation."""
+    import os
+
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    on_time = [
+        Row(event_id=i, ts_ms=1704067200000 + i * 60_000, user_id=i % 3, value=1.0)
+        for i in range(240)  # 4 hours of minutely events
+    ]
+    # watermark eviction applies one batch after it advances, so the
+    # late rows go in a THIRD batch, after a small batch that runs
+    # with the advanced watermark and evicts the old windows.
+    nudge = [Row(event_id=900, ts_ms=1704067200000 + 240 * 60_000, user_id=0, value=1.0)]
+    late = [
+        Row(event_id=1000 + i, ts_ms=1704067200000 + i * 60_000, user_id=0, value=1.0)
+        for i in range(10)  # replays of hour 1 — far behind the watermark
+    ]
+    # Stage as two plain files with strictly increasing mtimes — the
+    # file source orders micro-batches by modification time.
+    import glob
+    import shutil
+    import time as _time
+
+    ages = {"a": 120, "b": 60, "c": 0}
+    for tag, rows in (("a", on_time), ("b", nudge), ("c", late)):
+        tmp = str(tmp_path / f"stage_{tag}")
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src}/{tag}.parquet"
+        shutil.copyfile(part, dst)
+        now = _time.time()
+        os.utime(dst, (now, now - ages[tag]))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_ms long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_drop_t")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only finalized windows; total counted events
+    # must equal the on-time rows (240) — none of the 10 late rows may
+    # appear in any emitted or pending window beyond the watermark.
+    # Windows finalize once the watermark (max ts - 1h = 3:00 after
+    # the nudge) passes their end: hours 1-3 emit exactly 60 on-time
+    # events each; hour 4 stays pending; the 10 late replays of hour 1
+    # arrive after eviction and are dropped by the watermark.
+    emitted = spark.table("late_drop_t").agg(F.sum("n")).collect()[0][0] or 0
+    assert emitted == 180, spark.table("late_drop_t").collect()
+    # late rows pre-aggregate into one partial row per window before
+    # the stateful operator, so the drop metric counts >= 1, not 10
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    )
+    assert dropped >= 1, dropped
+
+
 def test_stream_stateful_group_state(spark):
     """applyInPandasWithState: per-user running purchase totals in
     executor state must equal the batch per-user sums."""
