@@ -13,6 +13,7 @@ from plankton_spark.queries import (  # noqa: F401
     scalars_date,
     scalars_math,
     scalars_str,
+    scale_patterns,
     scans,
     setops,
     sorts,

@@ -1,0 +1,146 @@
+"""Scale-pattern operators: the techniques SCALE.md prescribes for
+100 TB, declared as oracle-checked queries so their *semantics* are
+pinned (each must produce exactly what the naive formulation does).
+
+- Salted join: skewed-key joins pre-split the hot keys by a salt so
+  no single task receives the whole key. Results must equal the plain
+  join (the oracle IS the plain join).
+- Hash-mod sampling: shard-stable deterministic sampling (the
+  training-data idiom — resampling a corpus must not depend on
+  partitioning or row order, unlike .sample()).
+- Connected components: iterative min-label propagation over the
+  near-dup pair graph → canonical doc ids (dedup's final step). The
+  oracle is a recursive CTE; the Spark side is the loop-until-fixpoint
+  pattern used at scale (each iteration one join + agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from plankton_spark.functions import dsum, sql_sum
+from plankton_spark.io import read_table
+from plankton_spark.registry import query
+
+N_SALT = 8
+
+
+@query(
+    "q_join_salted",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders, {sql_sum('o_totalprice', 'revenue')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Salted equi-join: the fact side gets salt = hash(rowkey) mod 8;
+    the dim side is replicated 8x with every salt value, and the join
+    key becomes (key, salt) — a skewed o_custkey now spreads over 8
+    tasks. Must equal the unsalted join exactly."""
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(N_SALT)).cast("int")
+    )
+    c = read_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALT)]))
+    )
+    j = o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE (doc_id * 2654435761) % 100 < 10
+    GROUP BY lang
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~10% sample by key-hash arithmetic — identical on
+    every run, partitioning and engine (unlike .sample(), whose output
+    depends on partition layout)."""
+    d = read_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") * 2654435761) % 100 < 10
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+    )
+
+
+@query(
+    "q_dedup_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(LENGTH(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (LENGTH(a.s) + LENGTH(b.s) - LENGTH(list_intersect(a.s, b.s))) AS j
+        FROM (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, GREATEST(LENGTH(string_split(text,' ')) - 4, 1)),
+                 i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS s
+              FROM documents) a
+        JOIN (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, GREATEST(LENGTH(string_split(text,' ')) - 4, 1)),
+                 i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS s
+              FROM documents) b
+          ON a.doc_id < b.doc_id
+      ) WHERE j >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS canonical_id
+    FROM walk GROUP BY node
+    """,
+)
+def q_dedup_components(spark, sf_dir):
+    """Connected components over the verified near-dup pair graph:
+    canonical_id = min doc_id reachable. Iterative min-label
+    propagation (loop of join + min-agg until fixpoint) — the pattern
+    for iterative graph algorithms on DataFrames; components here are
+    tiny so it converges in 2-3 rounds. Oracle: recursive CTE."""
+    from plankton_spark.queries.llm_dedup import q_dedup_minhash as _  # noqa: F401
+    from plankton_spark.registry import all_queries
+
+    pairs = all_queries()["q_dedup_minhash"](spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    ).persist()
+    for _round in range(20):
+        # candidate labels from neighbors
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lab")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        ).persist()
+        changed = (
+            prop.alias("p")
+            .join(labels.alias("l"), "node")
+            .where(F.col("p.lab") != F.col("l.lab"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").cast("long").alias("canonical_id")
+    )
