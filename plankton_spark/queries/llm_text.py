@@ -234,6 +234,98 @@ def q_text_tokens(spark, sf_dir):
 
 
 @query(
+    "q_text_chunks",
+    oracle="""
+    SELECT doc_id, chunk_idx,
+           array_to_string(toks[chunk_idx * 25 + 1 : chunk_idx * 25 + 50], ' ') AS chunk_text,
+           CAST(LENGTH(toks[chunk_idx * 25 + 1 : chunk_idx * 25 + 50]) AS INTEGER) AS chunk_len
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             unnest(generate_series(0,
+               CAST(CEIL(GREATEST(LENGTH(string_split(text, ' ')) - 25, 1) / 25.0) AS BIGINT) - 1))
+               AS chunk_idx
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+)
+def q_text_chunks(spark, sf_dir):
+    """Sliding-window chunking: 50-token chunks, stride 25 (overlap
+    25) — the context-window packing transform. Pure array ops, no
+    Python in the row path."""
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.greatest(F.size(toks) - 25, F.lit(1)) / 25.0).cast("long")
+    chunks = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_idx") * 25 + 1, F.lit(50)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("chunk_len"),
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS n,
+             SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS doc_len
+      FROM tok GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok
+    ),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND((CAST(tf.n AS DOUBLE) / tf.doc_len)
+                   * LN(CAST(n_docs.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n_docs
+    )
+    SELECT doc_id, tok AS top_token, tfidf
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) = 1
+    """,
+)
+def q_text_tfidf(spark, sf_dir):
+    """TF-IDF: term frequency x inverse document frequency; emits each
+    doc's top-scoring token (tie-broken). The df side is tiny (vocab)
+    → broadcast; tf is one explode + two aggregations."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    doc_len = Window.partitionBy("doc_id")
+    tf = tf.withColumn("doc_len", F.sum("n").over(doc_len))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            (F.col("n").cast("double") / F.col("doc_len"))
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_token"), "tfidf")
+    )
+
+
+@query(
     "q_text_fingerprint",
     oracle="""
     SELECT doc_id,
