@@ -17,7 +17,11 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from plankton_spark.io import read_table
-from plankton_spark.queries.llm_dedup import SQL_PAIR_COSINE, dot_cosine, pair_cosines
+from plankton_spark.queries.llm_dedup import (
+    SQL_PAIR_COSINE,
+    dot_cosine,
+    rescore_pairs_exact,
+)
 from plankton_spark.registry import query
 
 TOP_K = 5
@@ -65,15 +69,56 @@ def q_vec_norms(spark, sf_dir):
     )
 
 
+def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5):
+    """Per-query top-k candidate pairs via block GEMM, superset-exact.
+
+    Queries (vec_id < n_queries) stream through mapInPandas; the full
+    matrix is broadcast (same grid-GEMM blocking story as
+    llm_dedup.gemm_candidates). Per query row we keep every neighbor
+    whose float64 cosine is within `margin` of the k-th largest —
+    margin 1e-5 dominates both the float64 dot error (~1e-15) and the
+    final ROUND(...,6) tie window (5e-7), so the true rounded top-k
+    (ties broken by n_id) is always inside the candidate set."""
+    import pandas as pd  # noqa: F401
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_ids, b_mat, b_nrm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
+            cos[a_ids[:, None] == b_ids[None, :]] = -np.inf  # exclude self
+            kth = np.partition(cos, -k, axis=1)[:, -k]
+            ra, cb = np.nonzero(cos >= (kth[:, None] - margin))
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ra].astype(np.int64), "vec_b": b_ids[cb].astype(np.int64)}
+            )
+
+    probe = embeddings.where(F.col("vec_id") < n_queries).select("vec_id", "embedding")
+    return probe.mapInPandas(gen, "vec_a bigint, vec_b bigint")
+
+
 def _brute_force_topk(spark, sf_dir):
     """Exact top-k neighbors for query vectors (vec_id < N_QUERIES):
-    component-join cosines (pair_cosines) + per-query window top-k."""
+    GEMM candidate prefilter (superset of the rounded top-k), exact
+    decimal rescore, then per-query window top-k. Value-identical to
+    the all-pairs component join (pair_cosines) it replaced."""
     e = read_table(spark, sf_dir, "embeddings")
-    pc = pair_cosines(
-        e,
-        a_filter=F.col("vec_id") < N_QUERIES,
-        pair_cond=F.col("vec_a") != F.col("vec_b"),
-    )
+    cand = _gemm_topk_candidates(spark, e, N_QUERIES, TOP_K)
+    pc = rescore_pairs_exact(e, cand)
     scored = pc.select(
         F.col("vec_a").alias("q_id"),
         F.col("vec_b").alias("n_id"),
