@@ -251,29 +251,35 @@ def q_knn_lsh(spark, sf_dir):
     """
     e = read_table(spark, sf_dir, "embeddings")
     planes = _hyperplanes(N_TABLES * BITS_PER_TABLE)
-    dec = "decimal(30,12)"
 
-    def sign_bit(plane: list[float]) -> F.Column:
-        lit_plane = F.array(*[F.lit(v) for v in plane])
+    # All 48 sign bits via ONE nested higher-order expression: the
+    # plane matrix is a 2D literal indexed dynamically, the dot is a
+    # fixed-order double fold (IEEE-deterministic run-to-run, which is
+    # all a rows-only recall metric needs). 48 per-row decimal folds
+    # unrolled into flat codegen blew past JIT method limits and ran
+    # interpreted (the minhash lesson) — this compiles to one small
+    # loop-shaped method instead.
+    planes_lit = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
+
+    def sign_bit(i: F.Column) -> F.Column:  # i: 0-based plane index Column
         dot = F.aggregate(
             F.zip_with(
-                "embedding", lit_plane, lambda x, y: (x.cast("double") * y).cast(dec)
+                "embedding",
+                F.element_at(planes_lit, i + 1),
+                lambda x, y: x.cast("double") * y,
             ),
-            F.lit(0).cast(dec),
-            lambda acc, x: (acc + x).cast(dec),
-        ).cast("double")
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         return F.when(dot > 0, 1).otherwise(0)
 
-    # bucket id per table: table_idx * 2^bits + bit pattern
-    buckets = []
-    for t in range(N_TABLES):
-        bits = F.lit(t * (1 << BITS_PER_TABLE))
-        for b in range(BITS_PER_TABLE):
-            bits = bits + sign_bit(planes[t * BITS_PER_TABLE + b]) * (1 << b)
-        buckets.append(bits)
-    tabled = e.select(
-        "vec_id", "embedding", F.explode(F.array(*buckets)).alias("bucket")
+    # bucket id per table t: t * 2^bits + sign-bit pattern of its planes
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(N_TABLES - 1)),
+        lambda t: t * (1 << BITS_PER_TABLE)
+        + sum(sign_bit(t * BITS_PER_TABLE + b) * (1 << b) for b in range(BITS_PER_TABLE)),
     )
+    tabled = e.select("vec_id", "embedding", F.explode(buckets).alias("bucket"))
     q = tabled.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
     )
