@@ -211,6 +211,93 @@ def purchase_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def read_events_stream_batched(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """events as a multi-micro-batch stream: the fixture is staged as
+    `n_files` time-sorted parquet slices and the file source consumes
+    one per trigger (maxFilesPerTrigger=1), so watermarks advance
+    batch-over-batch exactly as they would on a live ingest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = f"{SCRATCH}/{tag}/events_src_split{n_files}"
+    if not os.path.exists(stage):
+        os.makedirs(stage, exist_ok=True)
+        tbl = pq.read_table(table_path(sf_dir, "events"))
+        tbl = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        n = tbl.num_rows
+        for i in range(n_files):
+            lo, hi = i * n // n_files, (i + 1) * n // n_files
+            dst = f"{stage}/part{i:02d}.parquet"
+            pq.write_table(tbl.slice(lo, hi - lo), dst)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def watermarked_tumbling(events: DataFrame) -> DataFrame:
+    """Append-mode tumbling rollup under a 1h watermark: a window row is
+    emitted exactly once, after the watermark passes its end — the
+    shape of an exactly-once hourly rollup feeding a downstream table
+    at 100 TB (state is bounded to open windows, eviction is free)."""
+    e = with_second_ts(events)
+    return (
+        e.withWatermark("ts2", "1 hour")
+        .groupBy(F.window("ts2", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_foreach_batch_windowed(events: DataFrame, out_path: str) -> None:
+    """foreachBatch windowed sink: finalized windows (append mode) land
+    in parquet per micro-batch, tagged with batch_id so the write is
+    idempotent under retries (checkpoint replays a batch → same rows,
+    same batch_id → dedup-able downstream)."""
+    ckpt = f"{out_path}_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out_path, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    q = (
+        watermarked_tumbling(events)
+        .writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_foreach_batch_to_parquet(events: DataFrame, out_path: str) -> None:
     """foreachBatch sink: per-micro-batch custom writer (append parquet).
 

@@ -1,0 +1,92 @@
+"""AQE skew-join demonstration (SURVEY.md §4.2 — "AQE: skew-join
+split" as a key 100 TB lever).
+
+A hot key is the canonical scale failure: one shuffle partition gets
+~all the rows and a single task runs for hours while 999 executors
+idle. Spark's adaptive skew-join split (OptimizeSkewedJoin) detects
+the oversized partition at the shuffle-stage boundary and splits it
+across tasks — no salting code needed when AQE can see the skew.
+
+This test manufactures a hot key, lowers the skew thresholds so the
+local fixture sizes trip the same code path a 100 TB run would, and
+asserts (a) the executed plan actually took the skew-split branch
+(`skew=true` on the sort-merge join) and (b) results are identical to
+the non-adaptive plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SKEW_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local-scale equivalents of the 100 TB defaults (256m/5x): any
+    # shuffle partition > 64k and > 2x median is considered skewed
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+    # force a shuffle join: broadcast would hide the skew entirely
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    # keep the post-shuffle coalescer from merging the probe side away
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1k",
+}
+
+
+def _skewed_frames(spark):
+    # fact: key 0 carries 200k rows, keys 1..49 carry 200 each
+    hot = spark.range(200_000).select(
+        F.lit(0).alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    cold = spark.range(10_000).select(
+        (F.col("id") % 49 + 1).alias("k"), (F.col("id") % 89).cast("double").alias("v")
+    )
+    fact = hot.unionByName(cold)
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("name_"), F.col("id")).alias("name")
+    )
+    return fact, dim
+
+
+def _with_confs(spark, confs):
+    saved = {}
+    for key, val in confs.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    return saved
+
+
+def _restore_confs(spark, saved):
+    for key, val in saved.items():
+        if val is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, val)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    saved = _with_confs(spark, SKEW_CONFS)
+    try:
+        fact, dim = _skewed_frames(spark)
+        joined = fact.join(dim, "k").groupBy("name").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,4)")).alias("sv"),
+        )
+        rows = {r["name"]: (r["n"], r["sv"]) for r in joined.collect()}
+        # (a) the adaptive plan really split the hot partition
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        # (b) value-identical to the non-adaptive execution
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plain = fact.join(dim, "k").groupBy("name").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,4)")).alias("sv"),
+        )
+        assert {r["name"]: (r["n"], r["sv"]) for r in plain.collect()} == rows
+        assert rows["name_0"][0] == 200_000
+    finally:
+        _restore_confs(spark, saved)

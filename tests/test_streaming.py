@@ -84,6 +84,30 @@ def test_foreachbatch_sink_roundtrip(spark):
     assert got == want
 
 
+def test_foreachbatch_windowed_sink_emits_finalized_windows(spark):
+    """Append-mode windowed foreachBatch sink: every window the final
+    watermark (max event time - 1h) has passed is emitted exactly once
+    — incrementally across micro-batches, not as one final dump — and
+    values match the batch shadow restricted to that watermark cut."""
+    out = f"{jobs.SCRATCH}/sf0.001/test_feb_windowed"
+    stream = jobs.read_events_stream_batched(spark, SF0001)
+    jobs.run_foreach_batch_windowed(stream, out)
+    back = spark.read.parquet(out)
+
+    ev = read_table(spark, SF0001, "events")
+    maxts = ev.agg(F.max(F.date_trunc("second", "ts"))).collect()[0][0]
+    wm = F.date_format(F.lit(maxts) - F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss")
+    shadow = jobs.watermarked_tumbling(ev).where(F.col("window_end") <= wm)
+
+    assert_same(back.drop("batch_id"), shadow)
+    # incremental emission: more than one micro-batch contributed
+    assert back.select("batch_id").distinct().count() > 1
+    # exactly-once per window key
+    assert (
+        back.groupBy("window_start", "event_type").count().where("count > 1").count() == 0
+    )
+
+
 def test_stream_watermark_drops_late_rows(spark, tmp_path):
     """Real late-data semantics: batch 1 advances the watermark to
     (max ts - 1h); batch 2 replays rows older than that → they must
