@@ -346,3 +346,147 @@ def q_text_fingerprint(spark, sf_dir):
         F.substring(fp, 1, 8).alias("fp_bucket"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
+
+
+PACK_BUDGET = 2000  # tokens per training shard
+
+
+@query(
+    "q_text_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, LENGTH(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, n_tok,
+             SUM(n_tok) OVER (
+               PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST(FLOOR((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY lang, shard_id
+    """,
+)
+def q_text_pack(spark, sf_dir):
+    """Sequence packing: assign docs to fixed-token-budget training
+    shards, greedy by doc_id order within each lang (shard = tokens
+    seen before the doc, integer-divided by the budget).
+
+    At 100 TB this is the standard pretraining-shard builder: one
+    window (running sum) per partition key, then a cheap map — no
+    second shuffle; shard boundaries are deterministic under
+    repartitioning because the order key (doc_id) is total."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn(
+            "shard_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(float(PACK_BUDGET))),
+        )
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok FROM counts GROUP BY doc_id
+    ),
+    top AS (
+      SELECT doc_id, tok AS top_token, cnt
+      FROM counts
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY cnt DESC, tok
+      ) = 1
+    )
+    SELECT t.doc_id, t.top_token,
+           ROUND(CAST(t.cnt AS DOUBLE) / tot.n_tok, 6) AS top_ratio,
+           CAST(CAST(t.cnt AS DOUBLE) / tot.n_tok > 0.1 AS BOOLEAN) AS repetitious
+    FROM top t JOIN tot USING (doc_id)
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Repetition scoring (Gopher-style quality rule): most frequent
+    token's share of the doc; docs above 10% are flagged. Explode →
+    two hash aggs → per-doc top-1 via WindowGroupLimit — all JVM
+    built-ins, map-side partial aggs at scale."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("n_tok"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "tok")
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_token"), "cnt")
+    )
+    ratio = F.col("cnt").cast("double") / F.col("n_tok")
+    return top.join(tot, "doc_id").select(
+        "doc_id",
+        "top_token",
+        F.round(ratio, 6).alias("top_ratio"),
+        (ratio > 0.1).alias("repetitious"),
+    )
+
+
+@query(
+    "q_text_redact",
+    oracle="""
+    WITH r AS (
+      SELECT c_nationkey,
+             c_name,
+             regexp_replace(c_name, '[0-9]', '#', 'g') AS redacted
+      FROM customer
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN redacted <> c_name THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_redacted,
+           CAST(COUNT(DISTINCT redacted) AS BIGINT) AS n_distinct_forms
+    FROM r GROUP BY c_nationkey
+    """,
+)
+def q_text_redact(spark, sf_dir):
+    """PII-style redaction pattern: mask digit runs, then audit how
+    many rows changed and how many distinct surface forms remain per
+    nation (re-identification risk check). Spark regexp_replace is
+    global by default; DuckDB needs the 'g' flag — dialect delta
+    pinned here."""
+    c = read_table(spark, sf_dir, "customer")
+    r = c.select(
+        "c_nationkey",
+        "c_name",
+        F.regexp_replace("c_name", "[0-9]", "#").alias("redacted"),
+    )
+    return r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("redacted") != F.col("c_name"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_redacted"),
+        F.countDistinct("redacted").alias("n_distinct_forms"),
+    )
