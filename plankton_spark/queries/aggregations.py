@@ -382,3 +382,96 @@ def q_agg_distinct_multi(spark, sf_dir):
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "q_unpivot",
+    oracle=f"""
+    SELECT user_id, event_type,
+           {sql_sum("CAST(value AS DECIMAL(18,4))", "sum_value")}
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: the pivoted wide frame back to long form —
+    round-trip twin of q_agg_pivot. Zero cells (absent combos; values
+    are strictly positive so a real sum can't be 0) are dropped to
+    match the natural long-form group-by."""
+    e = read_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4))
+    )
+    return (
+        wide.unpivot(
+            ids=["user_id"],
+            values=EVENT_TYPES,
+            variableColumnName="event_type",
+            valueColumnName="sum_value",
+        )
+        .where(F.col("sum_value").isNotNull())
+    )
+
+
+@query(
+    "q_agg_hll",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_exact,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_hll(spark, sf_dir):
+    """Mergeable HLL sketches (Datasketches): per-(flag,status) partial
+    sketches union-merged up to flag level — the two-level shape that
+    makes distinct-counting a map-side-combinable agg at 100 TB
+    (sketches travel, raw keys don't). Emits exact count + a bool that
+    the merged estimate lands within 5%, which is what the oracle can
+    check."""
+    li = read_table(spark, sf_dir, "lineitem")
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.countDistinct("l_partkey").alias("nd_part"),
+    )
+    merged = partial.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact")
+    )
+    return exact.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_agg_stringagg(spark, sf_dir):
+    """LISTAGG ... WITHIN GROUP (ORDER BY) — SQL-standard ordered
+    string aggregation (Spark 4), vs DuckDB's string_agg ORDER BY."""
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("pl_nation")
+    read_table(spark, sf_dir, "region").createOrReplaceTempView("pl_region")
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM pl_nation JOIN pl_region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )

@@ -250,3 +250,27 @@ def q_struct_nested(spark, sf_dir):
         F.col("best.key").alias("top_orderkey"),
         F.date_format(F.col("best.dt"), "yyyy-MM-dd").alias("top_date"),
     )
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_variant(spark, sf_dir):
+    """Spark 4 VARIANT ingestion: parse_json → binary variant column,
+    typed path access via try_variant_get. Variant keeps shredded
+    binary JSON columnar-friendly at scale (no per-row string
+    re-parse per field access)."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count_if(k.isNotNull()).alias("n_with_k"),
+    )
