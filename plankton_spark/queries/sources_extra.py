@@ -97,3 +97,44 @@ def q_join_nullsafe(spark, sf_dir):
         [("F", "final"), ("O", "open"), ("P", "pending")], "x string, tag string"
     ).select(F.nullif("x", F.lit("P")).alias("st"), "tag")
     return a.join(dim, a.st.eqNullSafe(dim.st)).select("o_orderkey", "tag")
+
+
+@query(
+    "q_source_pyds",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(i % 50) AS BIGINT) AS sum_user,
+           ROUND(CAST(SUM(CAST((i % 97) / 10.0 AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_value
+    FROM (
+      SELECT range AS i,
+             CASE range % 5 WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+                            WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup'
+                            ELSE 'view' END AS event_type
+      FROM range(0, 10000)
+    ) GROUP BY event_type
+    """,
+)
+def q_source_pyds(spark, sf_dir):
+    """Custom connector via the Spark 4 Python DataSource API
+    (sources/pyds.py): a deterministic generator whose `partitions()`
+    fan out like a file scan. The oracle reproduces the generator
+    arithmetic over DuckDB's range() — proving the custom source's
+    content, not just its row count."""
+    from plankton_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 10_000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").alias("sum_user"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )

@@ -97,3 +97,19 @@ def test_events_filter_pushdown_survives_ns_conversion(spark):
     plan = plan_of(e)
     m = re.search(r"PushedFilters: \[(.*?)\]", plan)
     assert m and "user_id" in m.group(1), plan
+
+
+def test_python_datasource_partition_fanout(spark):
+    """The custom Python DataSource's partitions() must drive scan
+    parallelism — 8 declared slices → 8 scan partitions."""
+    from plankton_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 1000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
