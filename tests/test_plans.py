@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from plankton_spark.io import read_table
 from plankton_spark.registry import all_queries
-from tests.conftest import SF0001
+from tests.conftest import SF0001, SF001
 
 
 def plan_of(df) -> str:
@@ -113,3 +113,26 @@ def test_python_datasource_partition_fanout(spark):
     )
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == 1000
+
+
+def test_dynamic_partition_pruning(spark):
+    """DPP: joining a partitioned fact on its partition column against
+    a filtered dim must inject a runtime partition filter (the scan
+    waits for the dim's broadcast result and prunes directories) —
+    at 100 TB this is the difference between scanning one day and
+    scanning the archive."""
+    from plankton_spark.io import read_table
+    from plankton_spark.queries.scans import _scratch
+
+    path = _scratch(SF001, "orders_dpp")
+    read_table(spark, SF001, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")], "st string, label string"
+    ).where(F.col("label") == "finished")
+    joined = fact.join(dim, fact.o_orderstatus == dim.st).groupBy("st").count()
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
