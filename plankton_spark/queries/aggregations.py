@@ -475,3 +475,32 @@ def q_agg_stringagg(spark, sf_dir):
         GROUP BY r_name
         """
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice >= 500000 THEN 11
+                     WHEN o_totalprice < 0 THEN 0
+                     ELSE FLOOR(o_totalprice / 50000) + 1 END AS INTEGER) AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 2) AS min_price,
+           ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 2) AS max_price
+    FROM orders GROUP BY bucket
+    """,
+)
+def q_agg_histogram(spark, sf_dir):
+    """Equal-width histogram via width_bucket (10 buckets over
+    [0, 500k)); the oracle spells out the same floor arithmetic
+    (DuckDB 1.0 lacks width_bucket). Bucket boundaries are integer
+    multiples of 50 000 — exact in double — so both engines agree
+    even for values exactly on an edge."""
+    o = read_table(spark, sf_dir, "orders")
+    b = F.width_bucket(
+        "o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(10)
+    ).cast("int")
+    return o.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

@@ -125,3 +125,48 @@ def q_date_format(spark, sf_dir):
             dsum(F.col("o_totalprice"), "revenue"),
         )
     )
+
+
+@query(
+    "q_date_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ),
+    days AS (
+      SELECT unnest(generate_series(
+               (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+               INTERVAL 1 DAY)) AS d
+    ),
+    counts AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_orders,
+           CAST(counts.n IS NULL AS BOOLEAN) AS is_gap
+    FROM days LEFT JOIN counts ON days.d = counts.d
+    """,
+)
+def q_date_gapfill(spark, sf_dir):
+    """Time-series gap filling: generate the full calendar between the
+    observed min/max dates (sequence + explode — a few thousand rows
+    from a 2-row bound frame, never a driver loop), left-join daily
+    counts, flag the gaps. The calendar side is tiny and broadcast;
+    the counts side is a partial-aggregated shuffle — scale-safe."""
+    o = read_table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    return days.join(counts, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+        F.col("n").isNull().alias("is_gap"),
+    )

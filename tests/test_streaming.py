@@ -263,3 +263,22 @@ def test_stream_stateful_running_total(spark):
     got = {r["user_id"]: r["total_value"] for r in streamed.collect()}
     want = {r["user_id"]: r["total_value"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_dedup_within_watermark(spark):
+    """dropDuplicatesWithinWatermark: rows duplicated into the same
+    micro-batch (same event time) are collapsed; state for old keys is
+    evicted once the watermark passes — the bounded-state dedup for
+    at-least-once sources at scale."""
+    stream = jobs.with_second_ts(jobs.read_events_stream_batched(spark, SF0001))
+    doubled = stream.withColumn("copy", F.explode(F.array(F.lit(1), F.lit(2))))
+    dd = doubled.withWatermark("ts2", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    streamed = jobs.run_available_now(
+        dd.groupBy().agg(F.count(F.lit(1)).alias("n")),
+        run_name="ddww_t",
+        output_mode="complete",
+    )
+    n_batch = read_table(spark, SF0001, "events").count()
+    assert streamed.collect()[0]["n"] == n_batch
