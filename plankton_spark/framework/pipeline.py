@@ -16,7 +16,7 @@ import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 
 from plankton_spark.framework.ledger import RunLedger
 from plankton_spark.framework.operator import Operator
@@ -31,6 +31,7 @@ class _Node:
     op: Operator
     deps: list[str] = field(default_factory=list)
     sink_path: str | None = None  # parquet output → makes the op a sink
+    metrics: dict[str, Column] | None = None  # observe() aggregates
 
 
 class Pipeline:
@@ -53,10 +54,23 @@ class Pipeline:
         op: Operator,
         deps: Sequence[str] = (),
         sink_path: str | None = None,
+        metrics: dict[str, Column] | None = None,
     ) -> "Pipeline":
+        """``metrics`` are ``df.observe()`` aggregate expressions
+        (e.g. ``{"rows": F.count(F.lit(1))}``) recorded into the
+        ledger's success row. They piggyback on the sink's own write
+        action — zero extra scans, unlike a separate ``df.count()`` —
+        so they require ``sink_path`` (nothing materializes
+        otherwise; plankton's run-record row counts, Spark-side).
+        """
         if op.name in self._nodes:
             raise ValueError(f"duplicate operator name {op.name!r}")
-        self._nodes[op.name] = _Node(op, list(deps), sink_path)
+        if metrics and sink_path is None:
+            raise ValueError(
+                f"operator {op.name!r}: metrics need a sink_path — "
+                "observe() only fires when an action materializes"
+            )
+        self._nodes[op.name] = _Node(op, list(deps), sink_path, metrics)
         return self
 
     def topo_order(self) -> list[str]:
@@ -111,12 +125,19 @@ class Pipeline:
                 continue
             self._log(run_id, name, fp, "running", node.sink_path)
             t0 = time.time()
+            observation: Observation | None = None
             try:
                 df = node.op.transform({d: results[d] for d in node.deps})
                 if fanout.get(name, 0) > 1:
                     # reused fan-out node: persist once instead of
                     # recomputing the subtree per consumer
                     df = df.persist()
+                if node.metrics:
+                    observation = Observation(f"{name}-{run_id}")
+                    df = df.observe(
+                        observation,
+                        *[c.alias(k) for k, c in node.metrics.items()],
+                    )
                 if node.sink_path is not None:
                     df.write.mode("overwrite").parquet(node.sink_path)
                     df = self.spark.read.parquet(node.sink_path)
@@ -124,7 +145,15 @@ class Pipeline:
             except Exception:
                 self._log(run_id, name, fp, "failed", node.sink_path, t0)
                 raise
-            self._log(run_id, name, fp, "success", node.sink_path, t0)
+            self._log(
+                run_id,
+                name,
+                fp,
+                "success",
+                node.sink_path,
+                t0,
+                metrics=observation.get if observation is not None else None,
+            )
         return results
 
     def _fanout_counts(self) -> dict[str, int]:
@@ -142,6 +171,7 @@ class Pipeline:
         state: str,
         output_path: str | None,
         t0: float | None = None,
+        metrics: dict | None = None,
     ) -> None:
         if self.ledger is None:
             return
@@ -155,6 +185,8 @@ class Pipeline:
         }
         if t0 is not None:
             rec["elapsed_sec"] = round(time.time() - t0, 3)
+        if metrics is not None:
+            rec["metrics"] = metrics
         self.ledger.append(rec)
 
     # -- observability ------------------------------------------------

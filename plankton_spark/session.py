@@ -42,7 +42,7 @@ def get_spark(
         # interpreter with ~10x slowdowns; observed live on the bench
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

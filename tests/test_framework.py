@@ -149,3 +149,43 @@ def test_describe_and_status(spark, tmp_path):
     p.run()
     status = pipeline_status(ledger)
     assert "t/agg_by_flag" in status and "success" in status
+
+
+def test_observed_metrics_land_in_ledger(spark, tmp_path):
+    """observe() aggregates piggyback on the sink write (one action)
+    and land in the ledger success row — plankton's run-record row
+    counts without a second scan."""
+    ledger = RunLedger(str(tmp_path / "ledger.jsonl"))
+    sink = str(tmp_path / "agg_out")
+    src = Operator.wrap("read_lineitem", lambda _: read_table(spark, SF0001, "lineitem"))
+    agg = Operator.wrap(
+        "agg_by_flag",
+        lambda ins: ins["read_lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    p = Pipeline("obs", spark, ledger=ledger)
+    p.add(src).add(
+        agg,
+        deps=["read_lineitem"],
+        sink_path=sink,
+        metrics={
+            "rows": F.count(F.lit(1)),
+            "total_n": F.sum("n"),
+            "max_n": F.max("n"),
+        },
+    )
+    res = p.run()
+    out = {r["l_returnflag"]: r["n"] for r in res["agg_by_flag"].collect()}
+    rec = [r for r in ledger.records() if r["op"] == "agg_by_flag"][-1]
+    assert rec["state"] == "success"
+    m = rec["metrics"]
+    assert m["rows"] == len(out)
+    assert m["total_n"] == sum(out.values())
+    assert m["max_n"] == max(out.values())
+
+
+def test_metrics_require_sink(spark):
+    p = Pipeline("bad", spark)
+    with pytest.raises(ValueError, match="sink_path"):
+        p.add(Operator.wrap("a", lambda i: None), metrics={"rows": F.count(F.lit(1))})
