@@ -4,6 +4,7 @@ registers every query + oracle into plankton_spark.registry."""
 from plankton_spark.queries import (  # noqa: F401
     aggregations,
     filters,
+    graph,
     joins,
     llm_dedup,
     llm_multimodal,

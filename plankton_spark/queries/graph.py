@@ -1,0 +1,118 @@
+"""Graph operators over the trade network (SURVEY.md §2.11 adjunct —
+iterative algorithms as DataFrame loops, the Pregel-on-DataFrames
+pattern that also powers q_dedup_components).
+
+Vertices are nations; an edge src→dst with weight w means customers
+of nation src bought w lineitems from suppliers of nation dst.
+
+Determinism: ranks are held in integer "micro-units" (1e12 == rank
+1.0) and every step uses integer div, so Spark and DuckDB compute
+bit-identical BIGINTs — no FP accumulation-order risk at all, which
+matters because a 5-deep iterative plan multiplies any per-step ulp
+drift.
+
+Scale: each iteration is one broadcast-or-shuffle join (ranks ⋈
+edges) plus one groupBy(dst) — the same plan GraphX/Pregel lowers
+to. Ranks are persisted per iteration so iteration N+1 rereads a
+materialized 25-row (or at 100 TB, 10^9-row) table instead of
+recomputing the whole lineage; AQE picks broadcast automatically
+while ranks stay small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.registry import query
+
+SCALE = 1_000_000_000_000  # rank 1.0 in micro-units
+ITERS = 5
+
+_EDGES_SQL = """
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle(iters: int = ITERS) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (DuckDB has
+    no iterative construct; 5 unrolled steps are mechanical)."""
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "wout AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY 1),",
+        f"r0 AS (SELECT n_nationkey AS node, CAST({SCALE} AS BIGINT) AS pr FROM nation)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", c{i} AS (
+  SELECT e.dst AS node, CAST(SUM((r.pr * e.w) // wo.wout) AS BIGINT) AS s
+  FROM edges e
+  JOIN wout wo ON wo.src = e.src
+  JOIN r{i - 1} r ON r.node = e.src
+  GROUP BY 1
+), r{i} AS (
+  SELECT n.n_nationkey AS node,
+         CAST({SCALE * 15 // 100} + (COALESCE(c.s, 0) * 85) // 100 AS BIGINT) AS pr
+  FROM nation n LEFT JOIN c{i} c ON c.node = n.n_nationkey
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n.n_name AS nation, r.pr AS rank_micro
+FROM r{iters} r JOIN nation n ON n.n_nationkey = r.node
+"""
+    )
+    return "\n".join(parts)
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark, sf_dir):
+    """Weighted PageRank (damping 0.85, 5 fixed iterations) over the
+    customer-nation → supplier-nation trade graph. All positive
+    integers, so Spark's `div` (truncate) and DuckDB's `//` (floor)
+    agree exactly."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    # annotated edge list reused every iteration → materialize once
+    ew = edges.join(wout, "src").persist()
+
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ranks = nodes.select("node", F.lit(SCALE).alias("pr"))
+    base = SCALE * 15 // 100
+    for _ in range(ITERS):
+        contrib = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select("dst", F.expr("(pr * w) div wout").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(base) + F.expr("(coalesce(s, 0) * 85) div 100")).alias("pr"),
+            )
+            .persist()
+        )
+    return ranks.join(nation, ranks.node == nation.n_nationkey).select(
+        F.col("n_name").alias("nation"), F.col("pr").alias("rank_micro")
+    )

@@ -490,3 +490,50 @@ def q_text_redact(spark, sf_dir):
         .alias("n_redacted"),
         F.countDistinct("redacted").alias("n_distinct_forms"),
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           ROUND(
+             LOG2(len(toks)) - list_sum(
+               list_transform(
+                 list_sort(list_transform(list_distinct(toks),
+                                          t -> len(list_filter(toks, x -> x = t)))),
+                 c -> c * LOG2(c))) / len(toks),
+             6) AS entropy_bits
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def q_text_entropy(spark, sf_dir):
+    """Shannon token-entropy per document (quality signal: near-zero
+    entropy = degenerate repetition; ~log2(n) = all-unique tokens).
+
+    Shape: H = log2(L) - sum(c*log2(c))/L over token counts c —
+    computed entirely with higher-order array functions (no explode,
+    no shuffle; one codegen'd projection, embarrassingly parallel at
+    100 TB). Counts are sorted before the fold so the FP summation
+    order is engine-identical; final round(6) absorbs libm log2 ulp
+    differences."""
+    toks = F.split("text", " ")
+    counts = F.array_sort(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    ent = F.round(
+        F.log2(F.size(toks))
+        - F.aggregate(counts, F.lit(0.0), lambda acc, c: acc + c * F.log2(c))
+        / F.size(toks),
+        6,
+    )
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        ent.alias("entropy_bits"),
+    )

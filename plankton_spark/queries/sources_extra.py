@@ -138,3 +138,54 @@ def q_source_pyds(spark, sf_dir):
             "sum_value"
         ),
     )
+
+
+@query(
+    "q_sink_pyds",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sink_pyds(spark, sf_dir):
+    """Custom SINK via the Spark 4 Python DataSourceWriter
+    (sources/pyds.py): write orders through the pyjsonl two-phase-
+    commit writer, read the files back, aggregate. The oracle runs on
+    the ORIGINAL table, so a lossy writer (dropped row, mangled
+    double) breaks the value hash. Doubles survive because
+    json.dumps(repr) round-trips IEEE754 exactly."""
+    from pyspark.sql import types as T
+
+    from plankton_spark.sources.pyds import register_sink
+
+    register_sink(spark)
+    path = _scratch(sf_dir, "orders_pyjsonl")
+    (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.format("pyjsonl")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    back_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(back_schema).json(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_custkey").cast("long").alias("sum_cust"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue"),
+    )

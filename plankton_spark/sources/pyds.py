@@ -68,3 +68,79 @@ class SyntheticEventsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration of the custom format."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# -- writer side ------------------------------------------------------
+#
+# Spark 4 Python DataSourceWriter: the no-jar custom SINK extension
+# point. Each task serializes its partition to a uniquely-named JSONL
+# file and returns a WriterCommitMessage naming it; the driver-side
+# commit() writes a manifest and removes any orphan files (from
+# retried/speculative tasks), giving the same two-phase-commit
+# atomicity contract a FileFormat sink has. Rows are pure-Python here,
+# so this path is for interchange, not the 100 TB hot path — parquet
+# remains the performance sink.
+
+import json
+import os
+import uuid
+
+from pyspark import TaskContext
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator) -> _FileCommit:
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, "." + name)
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+        os.replace(tmp, os.path.join(self.path, name))
+        return _FileCommit(name)
+
+    def commit(self, messages) -> None:
+        committed = {m.filename for m in messages if m is not None}
+        for existing in os.listdir(self.path):
+            if existing.endswith(".jsonl") and existing not in committed:
+                os.remove(os.path.join(self.path, existing))  # task-retry orphans
+        manifest = os.path.join(self.path, "_manifest.json")
+        with open(manifest, "w", encoding="utf-8") as f:
+            json.dump(sorted(committed), f)
+
+    def abort(self, messages) -> None:
+        for existing in list(os.listdir(self.path)):
+            if existing.endswith(".jsonl"):
+                os.remove(os.path.join(self.path, existing))
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """`df.write.format("pyjsonl").option("path", dir).save()`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pyjsonl sink requires .option('path', ...)")
+        if overwrite and os.path.isdir(path):
+            for existing in os.listdir(path):
+                if existing.endswith((".jsonl", ".json")):
+                    os.remove(os.path.join(path, existing))
+        return JsonLinesWriter(path)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesSinkDataSource)
