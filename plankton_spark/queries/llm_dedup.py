@@ -326,54 +326,82 @@ def pair_cosines(embeddings, a_filter=None, pair_cond=None):
     )
 
 
-def gemm_candidates(spark, embeddings, threshold, margin=1e-6):
-    """No-false-negative cosine candidate pairs via block GEMM.
+GEMM_BLOCKS = 4
 
-    The build side (the full embedding matrix) is collected and
-    broadcast — the same driver-side materialization a broadcast hash
-    join performs — and the probe side streams through mapInPandas in
-    Arrow batches, each batch doing one BLAS matmul against the
-    broadcast block. At 100 TB you grid BOTH sides into blocks and
-    run the identical per-block kernel (block outer-product GEMM);
-    locally one broadcast block suffices.
+
+def gemm_candidates(spark, embeddings, threshold, margin=1e-6, n_blocks=GEMM_BLOCKS):
+    """No-false-negative cosine candidate pairs via grid-blocked GEMM.
+
+    Fully distributed — nothing is collected to the driver. Each vector
+    gets a stable hash block id (pmod(xxhash64(vec_id), n_blocks));
+    side A of grid cell (p, q) carries block p's rows, side B block q's,
+    and only the upper triangle p <= q is materialized (the unordered
+    pair {x, y} lands in exactly one cell). One applyInPandas task per
+    cell runs a single BLAS matmul over its two blocks. Replication is
+    ~(n_blocks/2 + 1)× per side — the inherent cost of all-pairs work
+    split so every block fits in one executor; at 100 TB you raise
+    n_blocks until ~(corpus/n_blocks) rows fit per task, and the plan
+    shape (exchange on (pa, pb) → grouped GEMM) is unchanged.
 
     Float64 relative error on a 64-dim dot product is ~1e-15, so
     `threshold - margin` with margin=1e-6 cannot drop a true pair;
     the caller removes false positives with an exact-decimal rescore
     (dot_cosine), keeping results bit-identical to the brute-force
-    oracle. Emits only (vec_a < vec_b) pairs.
+    oracle. Emits only (vec_a < vec_b) pairs, each exactly once.
     """
-    import numpy as np
-    import pandas as pd  # noqa: F401  (needed inside the generator)
-
-    rows = embeddings.select("vec_id", "embedding").collect()
-    rows.sort(key=lambda r: r.vec_id)
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+    e = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("blk"),
+    )
+    # Upper-triangle grid: block p serves as side A of cells (p, p..max),
+    # block q as side B of cells (0..q, q).
+    side_a = e.select(
+        F.col("blk").alias("pa"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("pb"),
+        F.lit(0).alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    side_b = e.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pa"),
+        F.col("blk").alias("pb"),
+        F.lit(1).alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    cells = side_a.unionByName(side_b)
     cut = threshold - margin
 
-    def gen(batches):
+    def kernel(pdf):
         import numpy as np
         import pandas as pd
 
-        b_ids, b_mat, b_nrm = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
-            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
-            ra, cb = np.nonzero((cos >= cut) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ra].astype(np.int64), "vec_b": b_ids[cb].astype(np.int64)}
-            )
+        a_pdf = pdf[pdf["side"] == 0].sort_values("vec_id")
+        b_pdf = pdf[pdf["side"] == 1].sort_values("vec_id")
+        empty = pd.DataFrame(
+            {"vec_a": np.array([], dtype=np.int64), "vec_b": np.array([], dtype=np.int64)}
+        )
+        if a_pdf.empty or b_pdf.empty:
+            return empty
+        a_ids = a_pdf["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.array([list(v) for v in a_pdf["embedding"]], dtype=np.float64)
+        b_mat = np.array([list(v) for v in b_pdf["embedding"]], dtype=np.float64)
+        a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        cos = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
+        ra, cb = np.nonzero((cos >= cut) & (a_ids[:, None] != b_ids[None, :]))
+        if ra.size == 0:
+            return empty
+        # Canonicalize to (min, max); the diagonal cell sees each pair in
+        # both orientations — np.unique collapses them to one row.
+        va = np.minimum(a_ids[ra], b_ids[cb])
+        vb = np.maximum(a_ids[ra], b_ids[cb])
+        pairs = np.unique(np.stack([va, vb], axis=1), axis=0)
+        return pd.DataFrame({"vec_a": pairs[:, 0], "vec_b": pairs[:, 1]})
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        gen, "vec_a bigint, vec_b bigint"
-    )
+    return cells.groupBy("pa", "pb").applyInPandas(kernel, "vec_a bigint, vec_b bigint")
 
 
 def rescore_pairs_exact(embeddings, cand):

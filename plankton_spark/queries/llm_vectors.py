@@ -69,46 +69,97 @@ def q_vec_norms(spark, sf_dir):
     )
 
 
-def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5):
-    """Per-query top-k candidate pairs via block GEMM, superset-exact.
+GEMM_BLOCKS = 4
 
-    Queries (vec_id < n_queries) stream through mapInPandas; the full
-    matrix is broadcast (same grid-GEMM blocking story as
-    llm_dedup.gemm_candidates). Per query row we keep every neighbor
-    whose float64 cosine is within `margin` of the k-th largest —
+
+def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
+                          n_blocks=GEMM_BLOCKS):
+    """Per-query top-k candidate pairs via grid-blocked GEMM,
+    superset-exact and fully distributed (no driver collect).
+
+    The base side gets a stable hash block id; the probe side
+    (vec_id < n_queries) is replicated to every base block, so grid
+    cell q pairs all probes against base block q in one BLAS matmul
+    per applyInPandas task. Each cell keeps every neighbor within
+    `margin` of its LOCAL k-th largest cosine — a provable superset of
+    the global top-k members present in that cell (if a row is pruned,
+    k cell-mates beat it by > margin, so k global rows do too). A
+    second, tiny pass computes the k-th largest over the surviving
+    candidates per query (identical to the k-th over the full set,
+    since the true top-k all survive) and re-applies the margin cut.
+
     margin 1e-5 dominates both the float64 dot error (~1e-15) and the
     final ROUND(...,6) tie window (5e-7), so the true rounded top-k
-    (ties broken by n_id) is always inside the candidate set."""
-    import pandas as pd  # noqa: F401
+    (ties broken by n_id) is always inside the candidate set. At
+    100 TB you also block the probe side (same pa/pb grid as
+    llm_dedup.gemm_candidates); probes here are bounded small."""
+    base = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("pb"),
+    )
+    probe = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("pb"),
+        F.lit(0).alias("side"),
+        "vec_id",
+        "embedding",
+    )
+    cells = probe.unionByName(
+        base.select("pb", F.lit(1).alias("side"), "vec_id", "embedding")
+    )
 
-    rows = embeddings.select("vec_id", "embedding").collect()
-    rows.sort(key=lambda r: r.vec_id)
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, nrm))
-
-    def gen(batches):
+    def kernel(pdf):
         import numpy as np
         import pandas as pd
 
-        b_ids, b_mat, b_nrm = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
-            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
-            cos[a_ids[:, None] == b_ids[None, :]] = -np.inf  # exclude self
+        a_pdf = pdf[pdf["side"] == 0].sort_values("vec_id")
+        b_pdf = pdf[pdf["side"] == 1].sort_values("vec_id")
+        empty = pd.DataFrame(
+            {
+                "vec_a": np.array([], dtype=np.int64),
+                "vec_b": np.array([], dtype=np.int64),
+                "cosf": np.array([], dtype=np.float64),
+            }
+        )
+        if a_pdf.empty or b_pdf.empty:
+            return empty
+        a_ids = a_pdf["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.array([list(v) for v in a_pdf["embedding"]], dtype=np.float64)
+        b_mat = np.array([list(v) for v in b_pdf["embedding"]], dtype=np.float64)
+        a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
+        cos = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
+        cos[a_ids[:, None] == b_ids[None, :]] = -np.inf  # exclude self
+        if cos.shape[1] >= k:
             kth = np.partition(cos, -k, axis=1)[:, -k]
-            ra, cb = np.nonzero(cos >= (kth[:, None] - margin))
-            yield pd.DataFrame(
-                {"vec_a": a_ids[ra].astype(np.int64), "vec_b": b_ids[cb].astype(np.int64)}
-            )
+        else:
+            kth = np.full(cos.shape[0], -np.inf)
+        ra, cb = np.nonzero((cos >= (kth[:, None] - margin)) & np.isfinite(cos))
+        return pd.DataFrame(
+            {
+                "vec_a": a_ids[ra].astype(np.int64),
+                "vec_b": b_ids[cb].astype(np.int64),
+                "cosf": cos[ra, cb],
+            }
+        )
 
-    probe = embeddings.where(F.col("vec_id") < n_queries).select("vec_id", "embedding")
-    return probe.mapInPandas(gen, "vec_a bigint, vec_b bigint")
+    local = cells.groupBy("pb").applyInPandas(
+        kernel, "vec_a bigint, vec_b bigint, cosf double"
+    )
+    # Global margin cut over the cell survivors: the k-th largest among
+    # survivors equals the k-th over the full set (the true top-k all
+    # survive the local pass), so this reproduces the single-block cut.
+    w = Window.partitionBy("vec_a").orderBy(F.col("cosf").desc(), F.col("vec_b"))
+    ranked = local.withColumn("rn", F.row_number().over(w))
+    kth_val = ranked.where(F.col("rn") == k).select(
+        "vec_a", F.col("cosf").alias("kth_cosf")
+    )
+    return (
+        local.join(F.broadcast(kth_val), "vec_a", "left")
+        .where(F.col("kth_cosf").isNull() | (F.col("cosf") >= F.col("kth_cosf") - margin))
+        .select("vec_a", "vec_b")
+    )
 
 
 def _brute_force_topk(spark, sf_dir):

@@ -115,6 +115,40 @@ def test_python_datasource_partition_fanout(spark):
     assert df.count() == 1000
 
 
+def test_gemm_ops_never_collect_to_driver(spark, monkeypatch):
+    """The grid-GEMM similarity ops must be fully distributed: building
+    AND executing them may not pull query data to the driver. At 100 TB
+    a collect() here means the whole vector corpus on one machine."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side collect() in a GEMM op")
+
+    monkeypatch.setattr(cdf.DataFrame, "collect", boom)
+    qs = all_queries()
+    for name in ("q_dedup_embcos", "q_sim_cosine_topk"):
+        df = qs[name](spark, SF0001)
+        assert df.count() >= 0  # executes the full plan, collect-free
+
+
+def test_text_pack_window_is_two_level(spark):
+    """The heavy running-sum window must partition on (lang, blk), not
+    lang alone — with ~5 languages a lang-only window serializes each
+    language through one task at scale. The lang-only window may only
+    appear at block granularity (the tiny offsets frame)."""
+    df = all_queries()["q_text_pack"](spark, SF001)
+    plan = plan_of(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    doc_level = [s for s in specs if "doc_id" in s]
+    assert doc_level and all("blk" in s for s in doc_level), specs
+    # and the per-row side still sees many partitions, not #langs
+    t = read_table(spark, SF001, "documents").select(
+        "lang", F.floor(F.col("doc_id") / 64).alias("blk")
+    )
+    assert t.select("lang", "blk").distinct().count() > 5
+
+
 def test_dynamic_partition_pruning(spark):
     """DPP: joining a partitioned fact on its partition column against
     a filtered dim must inject a runtime partition filter (the scan
