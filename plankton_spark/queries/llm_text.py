@@ -349,6 +349,7 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 PACK_BUDGET = 2000  # tokens per training shard
+PACK_BLOCK_SPAN = 64  # doc_ids per block; raise until a block fits one task
 
 
 @query(
@@ -377,22 +378,46 @@ def q_text_pack(spark, sf_dir):
     shards, greedy by doc_id order within each lang (shard = tokens
     seen before the doc, integer-divided by the budget).
 
-    At 100 TB this is the standard pretraining-shard builder: one
-    window (running sum) per partition key, then a cheap map — no
-    second shuffle; shard boundaries are deterministic under
-    repartitioning because the order key (doc_id) is total."""
+    Two-level prefix sum so no language ever serializes through one
+    task (there are ~5 langs — a plain partitionBy(lang) window would
+    pull the whole English corpus into a single straggler at 100 TB):
+    doc_id ranges form blocks (blk = doc_id div span, order-preserving
+    within lang), the heavy running sum runs per (lang, blk), and a
+    tiny per-(lang, blk) total frame — one row per block, windowed per
+    lang at block granularity — supplies each block's starting offset
+    via a broadcast join. cum = in-block prefix + block offset is
+    identical to the single-window form, so shard assignment (and the
+    oracle hash) is unchanged."""
     d = read_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok"))
-    w = (
-        Window.partitionBy("lang")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.floor(F.col("doc_id") / F.lit(PACK_BLOCK_SPAN)).alias("blk"),
+    )
+    w_in = (
+        Window.partitionBy("lang", "blk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    c = t.withColumn("cum_in", F.sum("n_tok").over(w_in))
+    w_blk = (
+        Window.partitionBy("lang")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        t.groupBy("lang", "blk")
+        .agg(F.sum("n_tok").alias("blk_tok"))
+        .withColumn("off", F.coalesce(F.sum("blk_tok").over(w_blk), F.lit(0)))
+        .select("lang", "blk", "off")
+    )
+    cum = F.col("cum_in") + F.col("off")
     return (
-        c.withColumn(
+        c.join(F.broadcast(offsets), ["lang", "blk"])
+        .withColumn(
             "shard_id",
-            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(float(PACK_BUDGET))),
+            F.floor((cum - F.col("n_tok")) / F.lit(float(PACK_BUDGET))),
         )
         .groupBy("lang", "shard_id")
         .agg(
