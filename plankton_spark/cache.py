@@ -1,0 +1,63 @@
+"""Bounded lifecycle for persisted intermediates.
+
+Two leak patterns this fixes (flagged in round-1 review):
+
+1. Iterative loops (PageRank, label propagation) persisted each
+   iteration's frame and left every predecessor pinned — at 10^9-node
+   scale the superseded iterations hold executor storage for nothing.
+   Fix: materialize the successor, then `unpersist()` the predecessor
+   inside the loop (see graph.q_graph_pagerank,
+   scale_patterns.min_label_propagation).
+
+2. Queries whose *returned* plan depends on a persisted frame (e.g.
+   q_dedup_minhash's shingle sets) cannot unpersist before returning —
+   but repeated invocation in one long-lived session (the 141-query
+   oracle gate) accumulates one pinned cache per call. Fix: register
+   the frame under a stable key with persist_swap(); the next
+   invocation of the same query releases the previous generation, so
+   at most one generation per key is ever pinned.
+"""
+
+from __future__ import annotations
+
+_TRACKED: dict[str, object] = {}
+
+
+def track(key: str, df):
+    """Register an already-persisted frame under `key`, releasing the
+    frame the previous invocation registered there. Returns `df`."""
+    old = _TRACKED.get(key)
+    if old is not None and old is not df:
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session torn down / already released
+    _TRACKED[key] = df
+    return df
+
+
+def persist_swap(key: str, df):
+    """persist() `df` and register it under `key` (see track).
+
+    If the previous generation has the semantically identical plan
+    (same query, same inputs — e.g. a warm re-invocation), reuse it:
+    Spark's CacheManager matches on the logical plan, so unpersisting
+    the old frame would evict the very cache the new one was about to
+    hit. Only a genuinely different plan triggers the swap."""
+    old = _TRACKED.get(key)
+    if old is not None:
+        try:
+            if old.sameSemantics(df):
+                return old
+        except Exception:
+            pass  # stale session — fall through and replace
+    return track(key, df.persist())
+
+
+def release(key: str) -> None:
+    df = _TRACKED.pop(key, None)
+    if df is not None:
+        try:
+            df.unpersist()
+        except Exception:
+            pass

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from plankton_spark import cache
 from plankton_spark.io import read_table
 from plankton_spark.registry import query
 
@@ -93,11 +94,12 @@ def q_graph_pagerank(spark, sf_dir):
     )
     wout = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     # annotated edge list reused every iteration → materialize once
-    ew = edges.join(wout, "src").persist()
+    ew = cache.persist_swap("q_graph_pagerank:ew", edges.join(wout, "src"))
 
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     ranks = nodes.select("node", F.lit(SCALE).alias("pr"))
     base = SCALE * 15 // 100
+    prev = None
     for _ in range(ITERS):
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
@@ -113,6 +115,13 @@ def q_graph_pagerank(spark, sf_dir):
             )
             .persist()
         )
+        # materialize the successor, then release the superseded
+        # iteration — otherwise every round stays pinned in storage
+        ranks.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    cache.track("q_graph_pagerank:ranks", ranks)
     return ranks.join(nation, ranks.node == nation.n_nationkey).select(
         F.col("n_name").alias("nation"), F.col("pr").alias("rank_micro")
     )

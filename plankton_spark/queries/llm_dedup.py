@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from plankton_spark import cache
 from plankton_spark.io import read_table
 from plankton_spark.registry import query
 
@@ -105,12 +106,16 @@ def q_dedup_minhash(spark, sf_dir):
     # persist(): without it Catalyst's project-collapse would inline
     # the shingle/hash array construction into all 64 minhash
     # expressions (64x recompute); the cached arrays are also reused
-    # twice more by the verification joins below.
-    sets = d.select(
-        "doc_id",
-        sh_arr.alias("s"),
-        F.transform(sh_arr, lambda sgl: F.xxhash64(sgl)).alias("hs"),
-    ).persist()
+    # twice more by the verification joins below. persist_swap bounds
+    # the cache to one generation across repeated invocations.
+    sets = cache.persist_swap(
+        "q_dedup_minhash:sets",
+        d.select(
+            "doc_id",
+            sh_arr.alias("s"),
+            F.transform(sh_arr, lambda sgl: F.xxhash64(sgl)).alias("hs"),
+        ),
+    )
 
     # Min-hashes via universal hashing: each shingle is string-hashed
     # ONCE (hs above); permutation i is h -> (a_i*(h mod M) + b_i) mod M

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from plankton_spark import cache
 from plankton_spark.functions import dsum, sql_sum
 from plankton_spark.io import read_table
 from plankton_spark.registry import query
@@ -57,16 +58,20 @@ def q_join_salted(spark, sf_dir):
     SELECT lang, COUNT(*) AS n_sampled,
            CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
     FROM documents
-    WHERE (doc_id * 2654435761) % 100 < 10
+    WHERE ((doc_id % 1000003) * 2654435761) % 100 < 10
     GROUP BY lang
     """,
 )
 def q_sample_hash(spark, sf_dir):
     """Deterministic ~10% sample by key-hash arithmetic — identical on
     every run, partitioning and engine (unlike .sample(), whose output
-    depends on partition layout)."""
+    depends on partition layout). doc_id is folded mod a prime before
+    the Knuth multiply so the product stays far below int64 overflow
+    for ANY doc_id (bare doc_id * 2654435761 overflows past
+    doc_id ≈ 3.5e9 — ANSI Spark throws, DuckDB silently promotes to
+    INT128, breaking engine-identical sampling exactly at scale)."""
     d = read_table(spark, sf_dir, "documents").where(
-        (F.col("doc_id") * 2654435761) % 100 < 10
+        ((F.col("doc_id") % 1000003) * 2654435761) % 100 < 10
     )
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_sampled"),
@@ -117,13 +122,39 @@ def q_dedup_components(spark, sf_dir):
 
     pairs = all_queries()["q_dedup_minhash"](spark, sf_dir).select("doc_a", "doc_b")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = fwd.unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "lab", F.col("node")
-    ).persist()
-    for _round in range(20):
+    edges = cache.persist_swap(
+        "q_dedup_components:edges",
+        fwd.unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        ),
+    )
+    labels = min_label_propagation(edges)
+    cache.track("q_dedup_components:labels", labels)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").cast("long").alias("canonical_id")
+    )
+
+
+def min_label_propagation(edges, max_rounds: int = 40, checkpoint_every: int = 6):
+    """Connected components by min-label propagation over a directed
+    edge list (src, dst) that already contains both orientations.
+    Returns (node, lab) at fixpoint.
+
+    Scale hygiene for the loop-until-fixpoint pattern:
+    - each round materializes its frame (the `changed` count) and then
+      unpersists the superseded predecessor, so exactly one generation
+      is pinned at a time;
+    - every `checkpoint_every` rounds the labels are localCheckpoint'ed,
+      truncating a lineage that otherwise grows one join+agg per round
+      (deep lineage = quadratic replanning cost and stack-depth risk on
+      long-diameter graphs)."""
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .persist()
+    )
+    for rnd in range(max_rounds):
         # candidate labels from neighbors
         prop = (
             edges.join(labels, edges.src == labels.node)
@@ -138,9 +169,12 @@ def q_dedup_components(spark, sf_dir):
             .where(F.col("p.lab") != F.col("l.lab"))
             .count()
         )
+        labels.unpersist()  # superseded — prop is materialized now
         labels = prop
         if changed == 0:
             break
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("lab").cast("long").alias("canonical_id")
-    )
+        if (rnd + 1) % checkpoint_every == 0:
+            chk = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = chk
+    return labels

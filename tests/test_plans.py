@@ -149,6 +149,48 @@ def test_text_pack_window_is_two_level(spark):
     assert t.select("lang", "blk").distinct().count() > 5
 
 
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_iterative_loops_release_superseded_cache(spark):
+    """PageRank and label propagation persist per-iteration frames;
+    superseded generations must be unpersisted inside the loop, and
+    repeated invocation of the same query must not accumulate caches
+    (one pinned generation per key, via cache.persist_swap)."""
+    spark.catalog.clearCache()
+    qs = all_queries()
+    base = _n_persistent_rdds(spark)
+    qs["q_graph_pagerank"](spark, SF0001).count()
+    after_one = _n_persistent_rdds(spark)
+    # ew + final ranks only — not one frame per iteration
+    assert after_one - base <= 2, (base, after_one)
+    qs["q_graph_pagerank"](spark, SF0001).count()
+    assert _n_persistent_rdds(spark) - base <= 2  # swap, not accumulate
+
+    base = _n_persistent_rdds(spark)
+    qs["q_dedup_components"](spark, SF0001).count()
+    qs["q_dedup_components"](spark, SF0001).count()
+    # minhash sets + edges + final labels, single generation each
+    assert _n_persistent_rdds(spark) - base <= 3
+
+
+def test_label_propagation_checkpoints_long_chains(spark):
+    """A 24-node path graph needs ~22 propagation rounds — enough to
+    cross the checkpoint interval twice. The fixpoint must still be
+    exact (every node labeled with the chain's minimum)."""
+    from plankton_spark.queries.scale_patterns import min_label_propagation
+
+    n = 24
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    labs = min_label_propagation(edges, max_rounds=40, checkpoint_every=6)
+    rows = {r.node: r.lab for r in labs.collect()}
+    assert rows == {i: 0 for i in range(n)}
+
+
 def test_dynamic_partition_pruning(spark):
     """DPP: joining a partitioned fact on its partition column against
     a filtered dim must inject a runtime partition filter (the scan
