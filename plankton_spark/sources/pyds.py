@@ -95,12 +95,19 @@ class _FileCommit(WriterCommitMessage):
 
 
 class JsonLinesWriter(DataSourceWriter):
-    def __init__(self, path: str):
+    def __init__(self, path: str, overwrite: bool = True):
         self.path = path
+        self.overwrite = overwrite
+        # Every file this run writes carries this prefix; commit()/
+        # abort() clean up ONLY files bearing it. Without the scoping,
+        # an append into a directory holding a previous committed write
+        # would delete that data (commit() treated every .jsonl not in
+        # this run's messages as an orphan, and abort() removed all).
+        self.run_id = uuid.uuid4().hex
 
     def write(self, iterator) -> _FileCommit:
         pid = TaskContext.get().partitionId()
-        name = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        name = f"part-{self.run_id}-{pid:05d}-{uuid.uuid4().hex}.jsonl"
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, "." + name)
         with open(tmp, "w", encoding="utf-8") as f:
@@ -109,19 +116,35 @@ class JsonLinesWriter(DataSourceWriter):
         os.replace(tmp, os.path.join(self.path, name))
         return _FileCommit(name)
 
+    def _run_files(self):
+        prefix = f"part-{self.run_id}-"
+        return [
+            e
+            for e in os.listdir(self.path)
+            if e.startswith(prefix) and e.endswith(".jsonl")
+        ]
+
     def commit(self, messages) -> None:
         committed = {m.filename for m in messages if m is not None}
-        for existing in os.listdir(self.path):
-            if existing.endswith(".jsonl") and existing not in committed:
+        for existing in self._run_files():
+            if existing not in committed:
                 os.remove(os.path.join(self.path, existing))  # task-retry orphans
         manifest = os.path.join(self.path, "_manifest.json")
+        prior: set[str] = set()
+        if not self.overwrite and os.path.exists(manifest):
+            with open(manifest, encoding="utf-8") as f:
+                # keep only prior files that still exist on disk
+                prior = {
+                    n
+                    for n in json.load(f)
+                    if n not in committed and os.path.exists(os.path.join(self.path, n))
+                }
         with open(manifest, "w", encoding="utf-8") as f:
-            json.dump(sorted(committed), f)
+            json.dump(sorted(prior | committed), f)
 
     def abort(self, messages) -> None:
-        for existing in list(os.listdir(self.path)):
-            if existing.endswith(".jsonl"):
-                os.remove(os.path.join(self.path, existing))
+        for existing in self._run_files():
+            os.remove(os.path.join(self.path, existing))
 
 
 class JsonLinesSinkDataSource(DataSource):
@@ -139,7 +162,7 @@ class JsonLinesSinkDataSource(DataSource):
             for existing in os.listdir(path):
                 if existing.endswith((".jsonl", ".json")):
                     os.remove(os.path.join(path, existing))
-        return JsonLinesWriter(path)
+        return JsonLinesWriter(path, overwrite=overwrite)
 
 
 def register_sink(spark) -> None:

@@ -44,6 +44,39 @@ def test_overwrite_replaces_and_orphans_removed(spark, tmp_path):
     assert sorted(r["id"] for r in back.collect()) == list(range(6))
 
 
+def test_append_preserves_prior_committed_files(spark, tmp_path):
+    """Append into a directory holding a previous committed write must
+    keep that data: run-scoped prefixes stop commit() from treating the
+    older run's files as orphans (a silent data-loss path before)."""
+    path = str(tmp_path / "out")
+    _write(spark, path, n_rows=10, parts=2)
+    _write(spark, path, n_rows=6, parts=2, mode="append")
+    back = spark.read.json(path)
+    assert sorted(r["id"] for r in back.collect()) == sorted(
+        list(range(10)) + list(range(6))
+    )
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    files = sorted(f for f in os.listdir(path) if f.endswith(".jsonl"))
+    assert sorted(manifest) == files  # manifest covers both runs
+
+
+def test_abort_scoped_to_run(spark, tmp_path):
+    """abort() may only delete the failing run's own files."""
+    import pytest
+
+    path = str(tmp_path / "out")
+    _write(spark, path, n_rows=10, parts=2)
+    register_sink(spark)
+    bad = spark.range(4).selectExpr(
+        "id", "CAST(raise_error('boom') AS STRING) AS k"
+    )
+    with pytest.raises(Exception):
+        bad.write.format("pyjsonl").mode("append").option("path", path).save()
+    back = spark.read.json(path)
+    assert sorted(r["id"] for r in back.collect()) == list(range(10))
+
+
 def test_writer_requires_path(spark):
     import pytest
 
