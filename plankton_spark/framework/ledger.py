@@ -35,12 +35,24 @@ class RunLedger:
                     yield json.loads(line)
 
     def latest_success(self, fp: str) -> dict[str, Any] | None:
-        """Most recent successful record for a fingerprint."""
+        """Most recent successful record for a fingerprint — but only
+        if no LATER attempt of the same fingerprint failed or is still
+        in flight. A forced re-run that dies mid-overwrite leaves a
+        partially-written sink (parquet overwrite is not atomic on a
+        local FS); trusting the older success would read that partial
+        output as cached. Any newer failed/running record therefore
+        invalidates prior successes."""
         best = None
         for rec in self.records():
-            if rec.get("fingerprint") == fp and rec.get("state") == "success":
+            if rec.get("fingerprint") != fp:
+                continue
+            state = rec.get("state")
+            if state == "success":
                 if best is None or rec["ts"] > best["ts"]:
                     best = rec
+            elif state in ("failed", "running"):
+                if best is not None and rec["ts"] > best["ts"]:
+                    best = None
         return best
 
     def has_fresh_success(self, fp: str, max_age_sec: float | None) -> bool:

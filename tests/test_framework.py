@@ -116,6 +116,29 @@ def test_ledger_cache_skip(spark, tmp_path):
     assert agg_recs[-1]["state"] == "success"
 
 
+def test_failed_rerun_invalidates_prior_success(spark, tmp_path):
+    """A failed (or crashed-mid-overwrite, i.e. dangling 'running')
+    re-run of the same fingerprint must invalidate the older success:
+    parquet overwrite is not atomic on a local FS, so the sink may be
+    partially rewritten and must be recomputed, not read as cached."""
+    ledger = RunLedger(str(tmp_path / "ledger.jsonl"))
+    sink = str(tmp_path / "agg_out")
+    _build(spark, ledger=ledger, cache_window=3600, sink=sink).run()
+    fp = [r for r in ledger.records() if r["op"] == "agg_by_flag"][-1]["fingerprint"]
+    assert ledger.has_fresh_success(fp, 3600)
+
+    # simulate a forced re-run dying mid-overwrite
+    ledger.append({"op": "agg_by_flag", "fingerprint": fp, "state": "running"})
+    ledger.append({"op": "agg_by_flag", "fingerprint": fp, "state": "failed"})
+    assert not ledger.has_fresh_success(fp, 3600)
+
+    # the next run must recompute (and its success re-arms the cache)
+    _build(spark, ledger=ledger, cache_window=3600, sink=sink).run()
+    agg_recs = [r for r in ledger.records() if r["op"] == "agg_by_flag"]
+    assert agg_recs[-1]["state"] == "success"
+    assert ledger.has_fresh_success(fp, 3600)
+
+
 def test_param_change_invalidates_cache(spark, tmp_path):
     ledger = RunLedger(str(tmp_path / "ledger.jsonl"))
     sink = str(tmp_path / "agg_out")
