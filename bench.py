@@ -6,8 +6,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 The headline set spans the engine's load-bearing paths: columnar
 scan+agg, shuffle joins (broadcast + sort-merge), window top-k,
 MinHash-LSH dedup, cosine top-k, streaming-window shadow, pivot.
-Each query is executed by collecting to count (forces full plan,
-keeps driver transfer negligible).
+Each query is materialized with a noop-format write: unlike count(),
+which lets Catalyst prune every column the row count doesn't need
+(e.g. the decimal sums in q_agg_group), the noop sink evaluates and
+serializes every output column on the executors while writing nothing
+— full query work, negligible driver transfer.
 """
 
 from __future__ import annotations
@@ -41,13 +44,16 @@ def main() -> None:
     spark = get_spark("plankton-bench", shuffle_partitions=32)
     qs = all_queries()
 
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # one warm-up action so JVM/codegen startup isn't billed to q1
-    qs["q_scan_parquet"](spark, sf_dir).count()
+    materialize(qs["q_scan_parquet"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]

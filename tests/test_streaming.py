@@ -205,12 +205,22 @@ def test_stream_stateful_group_state(spark):
 
 
 def test_stream_stateful_running_total(spark):
-    """transformWithStateInPandas (Spark 4 custom state); falls back to
-    skip if the API/state-store combo is unavailable in local mode."""
-    try:
-        from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-    except ImportError:
-        pytest.skip("transformWithStateInPandas API not available")
+    """transformWithStateInPandas (Spark 4 custom state). The TWS
+    Python driver worker speaks protobuf to the JVM; without
+    google.protobuf it crashes at startup, so gate on that SPECIFIC
+    missing dependency — any other exception is a real regression and
+    must fail, not skip."""
+    import importlib.util
+
+    if importlib.util.find_spec("google") is None or importlib.util.find_spec(
+        "google.protobuf"
+    ) is None:
+        pytest.skip(
+            "google.protobuf not installed — transformWithStateInPandas's "
+            "driver worker requires it (applyInPandasWithState is the "
+            "shipped stateful path, tested below)"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     import pandas as pd  # noqa: F811
 
@@ -249,8 +259,6 @@ def test_stream_stateful_running_total(spark):
             timeMode="None",
         )
         streamed = jobs.run_available_now(result, run_name="twsip_t", output_mode="update")
-    except Exception as e:  # noqa: BLE001
-        pytest.skip(f"transformWithStateInPandas unavailable: {type(e).__name__}: {e}")
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
