@@ -10,7 +10,7 @@ import json
 import sys
 
 from plankton_spark.framework.ledger import RunLedger
-from plankton_spark.framework.pipeline import pipeline_status
+from plankton_spark.framework.pipeline import pipeline_status, pipeline_watch
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -21,6 +21,17 @@ def main(argv: list[str] | None = None) -> int:
     tl = sub.add_parser("tail", help="print raw ledger records")
     tl.add_argument("ledger")
     tl.add_argument("-n", type=int, default=10)
+    wt = sub.add_parser(
+        "watch",
+        help="live per-op DAG state of the latest run (re-renders until "
+        "every op reaches a terminal state)",
+    )
+    wt.add_argument("ledger")
+    wt.add_argument("--pipeline", default=None)
+    wt.add_argument("--interval", type=float, default=0.5)
+    wt.add_argument(
+        "--frames", type=int, default=0, help="max frames (0 = until terminal)"
+    )
     args = ap.parse_args(argv)
 
     ledger = RunLedger(args.ledger)
@@ -30,6 +41,21 @@ def main(argv: list[str] | None = None) -> int:
         recs = list(ledger.records())[-args.n :]
         for r in recs:
             print(json.dumps(r, sort_keys=True))
+    elif args.cmd == "watch":
+        import time as _time
+
+        n = 0
+        while True:
+            frame = pipeline_watch(ledger, args.pipeline)
+            print(frame, flush=True)
+            n += 1
+            terminal = frame == "no runs recorded" or not any(
+                s in frame for s in ("waiting", "running")
+            )
+            if terminal or (args.frames and n >= args.frames):
+                break
+            print("---", flush=True)
+            _time.sleep(args.interval)
     return 0
 
 

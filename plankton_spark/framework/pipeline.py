@@ -109,7 +109,13 @@ class Pipeline:
         results: dict[str, DataFrame] = {}
         fps: dict[str, str] = {}
         fanout = self._fanout_counts()
-        for name in self.topo_order():
+        order = self.topo_order()
+        # pre-log every op as waiting so a live watcher (cli watch /
+        # pipeline_watch) sees the full DAG with per-op states from the
+        # first instant of the run — plankton's terminal task view.
+        for name in order:
+            self._log(run_id, name, "", "waiting", self._nodes[name].sink_path)
+        for name in order:
             node = self._nodes[name]
             fp = node.op.fingerprint([fps[d] for d in node.deps])
             fps[name] = fp
@@ -222,4 +228,44 @@ def pipeline_status(ledger: RunLedger) -> str:
         key = f"{r['pipeline']}/{r['op']}"
         extra = f" ({r['elapsed_sec']}s)" if "elapsed_sec" in r else ""
         out.append(f"{key:{width}s}  {r['state']}{extra}")
+    return "\n".join(out)
+
+
+_STATE_GLYPH = {
+    "waiting": "○",
+    "running": "◐",
+    "success": "●",
+    "skipped_cached": "◌",
+    "failed": "✗",
+}
+
+
+def pipeline_watch(ledger: RunLedger, pipeline: str | None = None) -> str:
+    """Live per-op state frame for the LATEST run of each pipeline
+    (plankton's in-flight terminal DAG view, read from the ledger tail
+    while run() executes in another process/thread). Ops appear in
+    run order with waiting/running/success/skipped/failed glyphs."""
+    latest_run: dict[str, str] = {}
+    for rec in ledger.records():  # file order == time order
+        p = rec.get("pipeline", "?")
+        if pipeline is not None and p != pipeline:
+            continue
+        rid = rec.get("run_id")
+        if rid:
+            latest_run[p] = rid
+    if not latest_run:
+        return "no runs recorded"
+    # latest state per op within each pipeline's newest run
+    states: dict[str, dict[str, dict]] = {p: {} for p in latest_run}
+    for rec in ledger.records():
+        p = rec.get("pipeline", "?")
+        if p in latest_run and rec.get("run_id") == latest_run[p]:
+            states[p][rec.get("op", "?")] = rec
+    out = []
+    for p in sorted(states):
+        out.append(f"{p} [{latest_run[p]}]")
+        for op, rec in states[p].items():  # dict preserves insertion order
+            st = rec.get("state", "?")
+            extra = f" ({rec['elapsed_sec']}s)" if "elapsed_sec" in rec else ""
+            out.append(f"  {_STATE_GLYPH.get(st, '?')} {op:24s} {st}{extra}")
     return "\n".join(out)
