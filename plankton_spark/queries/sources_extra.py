@@ -100,6 +100,49 @@ def q_join_nullsafe(spark, sf_dir):
 
 
 @query(
+    "q_jdbc_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           MIN(n_name) AS min_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_jdbc_roundtrip(spark, sf_dir):
+    """JDBC sink → partitioned JDBC source, against the Derby embedded
+    database whose driver ships inside the Spark distribution (no
+    external service needed). The read back uses
+    column/lowerBound/upperBound/numPartitions so Spark opens one
+    connection PER PARTITION and each executor pulls a key range —
+    the shape that parallelizes an RDBMS ingest on a real cluster
+    (swap the URL for postgres/mysql, nothing else changes). Shadow
+    oracle on the original table proves the roundtrip lossless."""
+    path = _scratch(sf_dir, "jdbc_derby/db")
+    url = f"jdbc:derby:{path};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    (
+        read_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.jdbc(url, "NATION_T", mode="overwrite", properties=props)
+    )
+    back = spark.read.jdbc(
+        url,
+        "NATION_T",
+        column="n_nationkey",
+        lowerBound=0,
+        upperBound=25,
+        numPartitions=4,
+        properties=props,
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("sum_key"),
+        F.min("n_name").alias("min_name"),
+    )
+
+
+@query(
     "q_source_pyds",
     oracle="""
     SELECT event_type,
