@@ -85,3 +85,153 @@ def fake_decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched decode over mapInPandas (fake decoder)."""
     return media.mapInPandas(fake_decode_meta, schema=DECODED_SCHEMA)
+
+
+# -- real-bytes path: uncompressed BMP / PCM WAV ----------------------
+#
+# Compressed codecs (PNG/JPEG/MP4) need libraries this container lacks,
+# but BMP and RIFF/WAVE are plain struct layouts — author the bytes in
+# pure Python, decode by parsing the actual headers. This makes the
+# decode pipeline real end-to-end: payload bytes in, header-derived
+# metadata out; a wrong writer OR parser breaks the oracle hash.
+
+import struct
+
+MEDIA_BIN_SCHEMA = "doc_id long, media_type string, payload binary"
+
+DECODED_BIN_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "n_channels int, sample_rate int, n_samples long"
+)
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """Minimal 24bpp uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + zeroed pixel rows, 4-byte row padding)."""
+    row = width * 3
+    pad = (-row) % 4
+    data = (b"\x00" * (row + pad)) * height
+    pixel_offset = 14 + 40
+    fh = struct.pack("<2sIHHI", b"BM", pixel_offset + len(data), 0, 0, pixel_offset)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return fh + ih + data
+
+
+def make_wav(n_samples: int, sample_rate: int, n_channels: int) -> bytes:
+    """Minimal PCM16 RIFF/WAVE with zeroed samples."""
+    data = b"\x00\x00" * n_samples * n_channels
+    fmt = struct.pack(
+        "<4sIHHIIHH",
+        b"fmt ",
+        16,
+        1,
+        n_channels,
+        sample_rate,
+        sample_rate * n_channels * 2,
+        n_channels * 2,
+        16,
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_bmp_header(b: bytes) -> tuple[int, int]:
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    width, height = struct.unpack_from("<ii", b, 18)
+    return width, abs(height)
+
+
+def decode_wav_header(b: bytes) -> tuple[int, int, int]:
+    """Returns (n_channels, sample_rate, n_samples) by walking the
+    RIFF chunk list to the data chunk."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    n_channels, sample_rate = struct.unpack_from("<HI", b, 22)
+    off = 12
+    while off + 8 <= len(b):
+        cid, csize = struct.unpack_from("<4sI", b, off)
+        if cid == b"data":
+            return n_channels, sample_rate, csize // (n_channels * 2)
+        off += 8 + csize
+    raise ValueError("WAV payload has no data chunk")
+
+
+def author_media_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic binary corpus from the documents fixture: even
+    doc_ids become BMPs sized by n_chars, odd become WAVs — pure
+    arithmetic, so an ANSI-SQL oracle can shadow every header field."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mtypes = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                if doc_id % 2 == 0:
+                    payloads.append(
+                        make_bmp(4 + int(n_chars) % 32, 3 + int(n_chars) % 24)
+                    )
+                    mtypes.append("image/bmp")
+                else:
+                    payloads.append(
+                        make_wav(
+                            100 + int(n_chars) % 1000,
+                            8000 * (1 + int(n_chars) % 3),
+                            1 + int(n_chars) % 2,
+                        )
+                    )
+                    mtypes.append("audio/wav")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": mtypes, "payload": payloads}
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        gen, schema=MEDIA_BIN_SCHEMA
+    )
+
+
+def decode_media_bin(media: DataFrame) -> DataFrame:
+    """Real header decode over mapInPandas: every output value is
+    parsed from the payload bytes, never recomputed from metadata."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "media_type": [],
+                "width": [],
+                "height": [],
+                "n_channels": [],
+                "sample_rate": [],
+                "n_samples": [],
+            }
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mtype)
+                if mtype == "image/bmp":
+                    w, h = decode_bmp_header(b)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_channels"].append(0)
+                    rows["sample_rate"].append(0)
+                    rows["n_samples"].append(0)
+                else:
+                    ch, rate, n = decode_wav_header(b)
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["n_channels"].append(ch)
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(n)
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["n_channels"] = out["n_channels"].astype("int32")
+            out["sample_rate"] = out["sample_rate"].astype("int32")
+            out["n_samples"] = out["n_samples"].astype("int64")
+            yield out
+
+    return media.mapInPandas(gen, schema=DECODED_BIN_SCHEMA)

@@ -60,3 +60,50 @@ def q_multimodal_decode(spark, sf_dir):
         F.sum("height").cast("long").alias("sum_height"),
         F.sum("n_frames").cast("long").alias("total_frames"),
     )
+
+
+@query(
+    "q_multimodal_decode_bin",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                  ELSE 'audio/wav' END AS media_type
+      FROM documents
+    )
+    SELECT media_type,
+           COUNT(*) AS n_blobs,
+           CAST(SUM(CASE WHEN media_type = 'image/bmp'
+                         THEN 4 + n_chars % 32 ELSE 0 END) AS BIGINT) AS sum_width,
+           CAST(SUM(CASE WHEN media_type = 'image/bmp'
+                         THEN 3 + n_chars % 24 ELSE 0 END) AS BIGINT) AS sum_height,
+           CAST(SUM(CASE WHEN media_type = 'audio/wav'
+                         THEN 1 + n_chars % 2 ELSE 0 END) AS BIGINT) AS sum_channels,
+           CAST(SUM(CASE WHEN media_type = 'audio/wav'
+                         THEN 8000 * (1 + n_chars % 3) ELSE 0 END) AS BIGINT)
+             AS sum_rate,
+           CAST(SUM(CASE WHEN media_type = 'audio/wav'
+                         THEN 100 + n_chars % 1000 ELSE 0 END) AS BIGINT)
+             AS sum_samples
+    FROM m GROUP BY media_type
+    """,
+)
+def q_multimodal_decode_bin(spark, sf_dir):
+    """REAL-bytes decode: author uncompressed BMP/PCM-WAV payloads in
+    pure Python (struct layouts need no codec library), then parse the
+    actual binary headers back in an Arrow-batched mapInPandas stage.
+    Every aggregated value is read out of the payload bytes; the oracle
+    shadows the authoring arithmetic, so a wrong writer or parser
+    breaks the value hash — unlike q_multimodal_decode's documented
+    fake-decoder stand-in."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = multimodal.author_media_corpus(docs)
+    decoded = multimodal.decode_media_bin(media)
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.sum("n_channels").cast("long").alias("sum_channels"),
+        F.sum("sample_rate").cast("long").alias("sum_rate"),
+        F.sum("n_samples").cast("long").alias("sum_samples"),
+    )
