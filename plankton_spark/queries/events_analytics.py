@@ -1,0 +1,162 @@
+"""Event-analytics operators (SURVEY.md §2.11 round-2 additions):
+funnel conversion and cohort retention — the bread-and-butter product
+analytics an engine must serve next to the OLAP core.
+
+Scale design: both are hash-agg pipelines over (user_id)-keyed data —
+partial aggs combine map-side, the per-user frames are tiny, and no
+window ever partitions on a low-cardinality key. Timestamps are
+second-truncated before any arithmetic (ns-vs-µs policy, SURVEY §1.2)
+and emitted as strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.registry import query
+
+_EVENTS_SECOND = """
+  SELECT event_id, user_id, event_type, value,
+         CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts2
+  FROM events
+"""
+
+
+def _events_second(spark, sf_dir):
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_trunc("second", "ts").alias("ts2"),
+    )
+
+
+@query(
+    "q_funnel",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    v AS (
+      SELECT user_id, MIN(ts2) AS t_view FROM e
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts2) AS t_click
+      FROM e JOIN v ON e.user_id = v.user_id AND e.ts2 >= v.t_view
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts2) AS t_purchase
+      FROM e JOIN c ON e.user_id = c.user_id AND e.ts2 >= c.t_click
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+           (SELECT CAST(COALESCE(SUM(epoch(c.t_click) - epoch(v.t_view)), 0) AS BIGINT)
+            FROM c JOIN v USING (user_id)) AS view_to_click_sec,
+           (SELECT CAST(COALESCE(SUM(epoch(p.t_purchase) - epoch(c.t_click)), 0) AS BIGINT)
+            FROM p JOIN c USING (user_id)) AS click_to_purchase_sec
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: each stage's
+    timestamp is the user's first qualifying event AT OR AFTER the
+    previous stage. Three hash-aggs chained by (user_id) joins — the
+    per-user frames stay tiny, so at scale each stage is one shuffle
+    on user_id with map-side combine."""
+    e = _events_second(spark, sf_dir)
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts2").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts2") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts2").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts2") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts2").alias("t_purchase"))
+    )
+    lat_vc = (
+        c.join(v, "user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.unix_timestamp("t_click") - F.unix_timestamp("t_view")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("view_to_click_sec")
+        )
+    )
+    lat_cp = (
+        p.join(c, "user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.unix_timestamp("t_purchase") - F.unix_timestamp("t_click")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("click_to_purchase_sec")
+        )
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+    return counts.crossJoin(lat_vc).crossJoin(lat_cp)
+
+
+@query(
+    "q_retention",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    d AS (SELECT user_id, CAST(date_trunc('day', ts2) AS DATE) AS day FROM e),
+    cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT c.cohort_day, datediff('day', c.cohort_day, d.day) AS day_offset,
+             d.user_id
+      FROM d JOIN cohort c USING (user_id)
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def q_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day; for each
+    (cohort, day-offset) the count of distinct users active that day.
+    distinct → hash-agg, cohort assignment is one user_id-keyed join;
+    the output matrix is tiny no matter the input size."""
+    e = _events_second(spark, sf_dir)
+    d = e.select("user_id", F.to_date(F.date_trunc("day", "ts2")).alias("day"))
+    cohort = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        d.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_users",
+    )

@@ -562,3 +562,64 @@ def q_text_entropy(spark, sf_dir):
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         ent.alias("entropy_bits"),
     )
+
+
+EVAL_SET_MAX_ID = 20  # doc_id < 20 is the held-out eval slice
+CONTAM_NGRAM = 8
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, GREATEST(LENGTH(string_split(text, ' ')) - {CONTAM_NGRAM - 1}, 1)),
+               i -> array_to_string((string_split(text, ' '))[i:i + {CONTAM_NGRAM - 1}], ' '))) AS grams
+      FROM documents
+    ),
+    eg AS (
+      SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id < {EVAL_SET_MAX_ID}
+    ),
+    tg AS (
+      SELECT doc_id, UNNEST(grams) AS gram FROM g WHERE doc_id >= {EVAL_SET_MAX_ID}
+    )
+    SELECT tg.doc_id,
+           COUNT(DISTINCT tg.gram) AS n_shared_grams,
+           CAST(TRUE AS BOOLEAN) AS contaminated
+    FROM tg JOIN eg USING (gram)
+    GROUP BY tg.doc_id
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Train/eval contamination detection: training docs sharing any
+    8-gram with the held-out eval slice (doc_id < 20) — the
+    decontamination step every LLM data pipeline runs before training.
+
+    Shape: distinct 8-grams per doc (one pass), eval grams are a small
+    broadcast set, candidates come from a gram-equality hash join —
+    shuffles grams, never documents, and never goes all-pairs. At
+    100 TB you hash the grams (xxhash64, as q_dedup_minhash does) so
+    the join keys are 8-byte longs instead of strings; the string form
+    here mirrors the oracle exactly."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (CONTAM_NGRAM - 1), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, CONTAM_NGRAM)))
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    eg = (
+        g.where(F.col("doc_id") < EVAL_SET_MAX_ID)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    tg = g.where(F.col("doc_id") >= EVAL_SET_MAX_ID).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+        .select("doc_id", "n_shared_grams", F.lit(True).alias("contaminated"))
+    )

@@ -275,6 +275,70 @@ def q_sim_centroid(spark, sf_dir):
     )
 
 
+@query(
+    "q_emb_quantize",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x FROM (
+        SELECT vec_id, UNNEST(embedding) AS x
+        FROM embeddings WHERE vec_id < 200
+      )
+    ),
+    s AS (
+      SELECT vec_id, MAX(ABS(x)) / 127 AS scale FROM u GROUP BY vec_id
+    ),
+    q AS (
+      SELECT u.vec_id, s.scale,
+             FLOOR(u.x / s.scale + 0.5) AS qv,
+             ABS(u.x - FLOOR(u.x / s.scale + 0.5) * s.scale) AS err
+      FROM u JOIN s USING (vec_id)
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           CAST(SUM(qv) AS BIGINT) AS q_sum,
+           ROUND(MAX(err), 6) AS max_err
+    FROM q GROUP BY vec_id, scale
+    """,
+)
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 quantization per vector (absmax / 127 scale) +
+    max reconstruction error — the storage-shrink step before ANN at
+    scale (4x fewer bytes shuffled/cached than float32).
+
+    Determinism policy: rounding is written as floor(x/scale + 0.5) on
+    BOTH engines instead of round() — Spark and DuckDB disagree on
+    round-half semantics for doubles, floor does not. Every value is a
+    fixed per-element expression or a max (no FP accumulation order),
+    so the hash matches bitwise."""
+    e = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    x = lambda c: c.cast("double")  # noqa: E731
+    absmax = F.array_max(F.transform("embedding", lambda v: F.abs(x(v))))
+    withs = e.select("vec_id", "embedding", (absmax / F.lit(127.0)).alias("scale"))
+    qv = lambda v: F.floor(x(v) / F.col("scale") + F.lit(0.5))  # noqa: E731
+    # note: round the outputs in a SEPARATE projection — a round(...)
+    # .alias("scale") in the same select list would capture the
+    # lambdas' F.col("scale") via lateral-column-alias resolution and
+    # quantize against the 6dp-rounded scale (observed, off-by-one qv)
+    raw = withs.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.transform("embedding", qv), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("q_sum"),
+        F.array_max(
+            F.transform(
+                "embedding",
+                lambda v: F.abs(x(v) - qv(v).cast("double") * F.col("scale")),
+            )
+        ).alias("max_err_raw"),
+    )
+    return raw.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "q_sum",
+        F.round("max_err_raw", 6).alias("max_err"),
+    )
+
+
 N_TABLES = 16
 BITS_PER_TABLE = 3
 

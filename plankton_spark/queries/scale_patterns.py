@@ -16,6 +16,7 @@ pinned (each must produce exactly what the naive formulation does).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from plankton_spark import cache
@@ -76,6 +77,52 @@ def q_sample_hash(spark, sf_dir):
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("n_chars").cast("long").alias("sampled_chars"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    WITH h AS (
+      SELECT lang, doc_id, n_chars,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 AS hk
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+      FROM h
+    )
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM ranked WHERE rn <= 50 GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified fixed-size sampling: exactly 50 docs per language,
+    chosen by deterministic key-hash order (partitioning- and
+    engine-independent, like q_sample_hash, but with per-stratum
+    equal allocation — the class-balance idiom for eval-set carving).
+    The per-stratum pick is a WindowGroupLimit (rank-filter pushes into
+    a per-group top-k, no full sort), and the hash arithmetic stays in
+    overflow-safe int64 range for any doc_id."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        (((F.col("doc_id") % 1000003) * 2654435761) % 1000000007).alias("hk"),
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
     )
 
 
