@@ -9,6 +9,7 @@ row per (partition, group) — the right plan without hints.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from plankton_spark.functions import (
@@ -503,4 +504,152 @@ def q_agg_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_partkey) AS pk_and,
+           bit_or(l_partkey) AS pk_or,
+           bit_xor(l_partkey) AS pk_xor,
+           bool_and(l_quantity > 0) AS all_pos,
+           bool_or(l_discount > 0.09) AS any_big_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitwise(spark, sf_dir):
+    """Bitwise (bit_and/bit_or/bit_xor) and boolean (bool_and/bool_or)
+    aggregates — pure integer/boolean lattice ops, so they are
+    map-side-combinable, order-insensitive, and bit-identical on any
+    engine by construction."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_partkey").alias("pk_and"),
+        F.bit_or("l_partkey").alias("pk_or"),
+        F.bit_xor("l_partkey").alias("pk_xor"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+    )
+
+
+@query(
+    "q_agg_regr",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sx,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sy,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxy,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 * CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sxx,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+)
+def q_agg_regr(spark, sf_dir):
+    """Linear-regression aggregates (slope/intercept/R² of
+    l_extendedprice on l_quantity per return flag) — the regr_* family.
+
+    Determinism policy: NOT regr_slope() on both engines (those
+    accumulate doubles in partition order). Instead all five moments
+    are EXACT integer sums of 100x-scaled decimals (int64 per-row,
+    int128/decimal(38) for the n·Sxy − Sx·Sy combination), and only the
+    final division happens in double — the cancellation-prone
+    subtraction is exact, so a 6dp round is bit-stable cross-engine.
+    Scale note: moments are plain map-side-combinable sums, so this is
+    one partial+final hash agg at 100 TB, same as q_agg_group."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")
+    y = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (d(F.col("n")) * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy"))).cast(
+        "double"
+    )
+    den_x = (d(F.col("n")) * d(F.col("sxx")) - d(F.col("sx")) * d(F.col("sx"))).cast(
+        "double"
+    )
+    den_y = (d(F.col("n")) * d(F.col("syy")) - d(F.col("sy")) * d(F.col("sy"))).cast(
+        "double"
+    )
+    slope = num / den_x
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(100.0)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority
+             ) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_occurrences
+    FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark, sf_dir):
+    """MODE per group with a PINNED tie-break (highest count, then
+    lexicographically smallest value) — engines' built-in mode() leaves
+    ties unspecified, so the deterministic form is count + window
+    top-1. The rank-filter collapses to WindowGroupLimit over the tiny
+    (status, priority) count table, so at 100 TB the heavy lifting is
+    one hash agg; the window touches only |groups| rows."""
+    o = read_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_occurrences"),
+        )
     )

@@ -238,3 +238,39 @@ def q_stream_foreachbatch(spark, sf_dir):
             "sum_value"
         ),
     )
+
+
+@query(
+    "q_stream_streamjoin",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    v AS (
+      SELECT user_id, ts2 AS view_ts FROM e WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id, ts2 AS click_ts FROM e WHERE event_type = 'click'
+    )
+    SELECT v.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(epoch(c.click_ts) - epoch(v.view_ts)) AS BIGINT)
+             AS total_lag_sec,
+           strftime(MIN(v.view_ts), '%Y-%m-%d %H:%M:%S') AS first_view
+    FROM v JOIN c
+      ON v.user_id = c.user_id
+     AND c.click_ts >= v.view_ts
+     AND c.click_ts < v.view_ts + INTERVAL '10 minutes'
+    GROUP BY v.user_id
+    """,
+)
+def q_stream_streamjoin(spark, sf_dir):
+    """Stream-stream interval join (clicks to views within 10 min per
+    user), same jobs.view_click_pairs code path the streaming test
+    replays; the batch shadow rolls pairs up per user."""
+    pairs = jobs.view_click_pairs(read_table(spark, sf_dir, "events"))
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts"))
+        .cast("long")
+        .alias("total_lag_sec"),
+        F.date_format(F.min("view_ts"), "yyyy-MM-dd HH:mm:ss").alias("first_view"),
+    )

@@ -319,3 +319,33 @@ def run_foreach_batch_to_parquet(events: DataFrame, out_path: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def view_click_pairs(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each click matched to the same
+    user's views in the preceding 10 minutes.
+
+    Both sides carry a 1h watermark and the join condition bounds
+    click_ts to [view_ts, view_ts + 10 min) — exactly what Spark needs
+    to evict join state: a buffered view can be dropped once the click
+    watermark passes view_ts + 10 min. Unbounded-state stream joins
+    don't survive at 100 TB; interval-bounded ones do. In batch the
+    watermarks are no-ops and this is a plain range join."""
+    e = with_second_ts(events)
+    views = (
+        e.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts2").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), F.col("ts2").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("user_id", "view_ts", "click_ts")

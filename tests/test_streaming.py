@@ -290,3 +290,14 @@ def test_stream_dedup_within_watermark(spark):
     )
     n_batch = read_table(spark, SF0001, "events").count()
     assert streamed.collect()[0]["n"] == n_batch
+
+
+def test_stream_stream_join_equals_batch(spark):
+    # Stream-stream interval join emits in append mode (no agg state);
+    # self-joining two filtered views of one file-source stream.
+    stream = jobs.read_events_stream(spark, SF0001)
+    streamed = jobs.run_available_now(
+        jobs.view_click_pairs(stream), run_name="ssjoin_t", output_mode="append"
+    )
+    batch = jobs.view_click_pairs(read_table(spark, SF0001, "events"))
+    assert_same(streamed, batch)
