@@ -232,3 +232,46 @@ def q_sink_pyds(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
         ).alias("revenue"),
     )
+
+
+@query(
+    "q_scan_avro",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS sum_bal,
+           MIN(c_name) AS min_name
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_scan_avro(spark, sf_dir):
+    """Avro sink → source roundtrip through the pure-Python OCF
+    connector (sources/avro_ocf.py — the spark-avro jar is absent from
+    the pip distribution, so the engine ships its own spec-compliant
+    codec behind the Python DataSource API). Deflate-compressed blocks,
+    self-describing schema read back from the file header, one
+    partition per file. Shadow oracle on the original customer table
+    proves the roundtrip lossless across int/long/double/string."""
+    from plankton_spark.sources import avro_ocf
+
+    avro_ocf.register(spark)
+    path = _scratch(sf_dir, "customer_avro")
+    (
+        read_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .write.format("pyavro")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    back = spark.read.format("pyavro").option("path", path).load()
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("sum_key"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("sum_bal"),
+        F.min("c_name").alias("min_name"),
+    )

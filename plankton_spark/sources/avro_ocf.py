@@ -1,0 +1,397 @@
+"""Avro Object Container File source/sink via the Spark 4 Python
+DataSource API (SURVEY.md §2.1 — the "Avro connector" gap).
+
+The spark-avro JVM module is not bundled in the pip distribution
+(`format("avro")` fails at runtime), so this ships a pure-Python codec
+for the public Avro 1.x spec instead — written against the published
+binary encoding (zigzag varint longs, IEEE little-endian doubles,
+length-prefixed UTF-8) and container layout (magic `Obj\\x01`, file
+metadata map carrying the writer schema JSON + codec, 16-byte sync
+marker, then independent blocks). Scope: FLAT record schemas over
+null/boolean/int/long/float/double/string/bytes, nullable as the
+`["null", T]` union, `null` and `deflate` (zlib) codecs — the
+interchange subset, not a full Avro implementation.
+
+Scale shape: every OCF *block* is independently decodable (that is why
+the format has sync markers), and every file is self-describing, so
+the reader fans out one partition per file and a 1000-executor cluster
+scans an Avro directory exactly like parquet. The writer is two-phase:
+tasks write run-scoped uniquely-named files, driver commit() keeps only
+acknowledged ones (same contract as the pyjsonl sink). Python-side
+decode makes this the interchange path, not the 100 TB hot path —
+parquet remains the performance format.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+
+# ---------------------------------------------------------------------
+# Avro binary primitives (public spec, "Binary encoding" section)
+# ---------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    n = _zigzag_encode(n)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_long(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("truncated varint")
+        b = byte[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _zigzag_decode(acc)
+        shift += 7
+
+
+def write_bytes(buf: io.BytesIO, data: bytes) -> None:
+    write_long(buf, len(data))
+    buf.write(data)
+
+
+def read_bytes(buf: io.BytesIO) -> bytes:
+    n = read_long(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError("truncated bytes")
+    return data
+
+
+_PRIMITIVE_WRITERS = {
+    "null": lambda buf, v: None,
+    "boolean": lambda buf, v: buf.write(b"\x01" if v else b"\x00"),
+    "int": write_long,
+    "long": write_long,
+    "float": lambda buf, v: buf.write(struct.pack("<f", v)),
+    "double": lambda buf, v: buf.write(struct.pack("<d", v)),
+    "string": lambda buf, v: write_bytes(buf, v.encode("utf-8")),
+    "bytes": write_bytes,
+}
+
+_PRIMITIVE_READERS = {
+    "null": lambda buf: None,
+    "boolean": lambda buf: buf.read(1) == b"\x01",
+    "int": read_long,
+    "long": read_long,
+    "float": lambda buf: struct.unpack("<f", buf.read(4))[0],
+    "double": lambda buf: struct.unpack("<d", buf.read(8))[0],
+    "string": lambda buf: read_bytes(buf).decode("utf-8"),
+    "bytes": read_bytes,
+}
+
+
+def _write_value(buf: io.BytesIO, ftype, v) -> None:
+    if isinstance(ftype, list):  # ["null", T] union: branch index, then value
+        if v is None:
+            write_long(buf, ftype.index("null"))
+            return
+        branch = next(i for i, t in enumerate(ftype) if t != "null")
+        write_long(buf, branch)
+        _PRIMITIVE_WRITERS[ftype[branch]](buf, v)
+    else:
+        _PRIMITIVE_WRITERS[ftype](buf, v)
+
+
+def _read_value(buf: io.BytesIO, ftype):
+    if isinstance(ftype, list):
+        return _PRIMITIVE_READERS[ftype[read_long(buf)]](buf)
+    return _PRIMITIVE_READERS[ftype](buf)
+
+
+# ---------------------------------------------------------------------
+# Container file layer
+# ---------------------------------------------------------------------
+
+
+def _field_types(schema: dict) -> list[tuple[str, object]]:
+    if schema.get("type") != "record":
+        raise ValueError("only flat record schemas are supported")
+    return [(f["name"], f["type"]) for f in schema["fields"]]
+
+
+def write_ocf(
+    path: str,
+    schema: dict,
+    rows,
+    *,
+    codec: str = "deflate",
+    block_rows: int = 4096,
+) -> int:
+    """Write rows (sequences matching schema field order) as one OCF."""
+    fields = _field_types(schema)
+    sync = uuid.uuid5(uuid.NAMESPACE_URL, path).bytes  # deterministic 16B
+    n_total = 0
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        meta = {
+            "avro.schema": json.dumps(schema, sort_keys=True).encode(),
+            "avro.codec": codec.encode(),
+        }
+        head = io.BytesIO()
+        write_long(head, len(meta))
+        for k, v in sorted(meta.items()):
+            write_bytes(head, k.encode())
+            write_bytes(head, v)
+        write_long(head, 0)  # end of metadata map
+        f.write(head.getvalue())
+        f.write(sync)
+
+        pending: list = []
+
+        def flush() -> None:
+            nonlocal n_total
+            if not pending:
+                return
+            body = io.BytesIO()
+            for row in pending:
+                for (_, ftype), v in zip(fields, row):
+                    _write_value(body, ftype, v)
+            payload = body.getvalue()
+            if codec == "deflate":  # raw deflate, no zlib header (per spec)
+                payload = zlib.compress(payload)[2:-4]
+            blk = io.BytesIO()
+            write_long(blk, len(pending))
+            write_bytes(blk, payload)
+            f.write(blk.getvalue())
+            f.write(sync)
+            n_total += len(pending)
+            pending.clear()
+
+        for row in rows:
+            pending.append(row)
+            if len(pending) >= block_rows:
+                flush()
+        flush()
+    return n_total
+
+
+def read_ocf_header(path: str) -> tuple[dict, str, bytes, int]:
+    """Return (schema, codec, sync, data_offset)."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an Avro object container file")
+        buf = io.BytesIO(f.read())
+    meta: dict[str, bytes] = {}
+    n = read_long(buf)
+    while n != 0:
+        for _ in range(abs(n)):
+            k = read_bytes(buf).decode()
+            meta[k] = read_bytes(buf)
+        n = read_long(buf)
+    sync = buf.read(SYNC_SIZE)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    return schema, codec, sync, 4 + buf.tell()
+
+
+def read_ocf(path: str):
+    """Yield rows (tuples) from one OCF file."""
+    schema, codec, sync, offset = read_ocf_header(path)
+    fields = _field_types(schema)
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read()
+    buf = io.BytesIO(data)
+    while buf.tell() < len(data):
+        n_rows = read_long(buf)
+        payload = read_bytes(buf)
+        if buf.read(SYNC_SIZE) != sync:
+            raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec: {codec}")
+        body = io.BytesIO(payload)
+        for _ in range(n_rows):
+            yield tuple(_read_value(body, ftype) for _, ftype in fields)
+
+
+# ---------------------------------------------------------------------
+# Spark type mapping
+# ---------------------------------------------------------------------
+
+_SPARK_TO_AVRO = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "bytes",
+}
+
+_AVRO_TO_SPARK = {v: k for k, v in _SPARK_TO_AVRO.items()}
+
+
+def schema_to_avro(spark_schema) -> dict:
+    fields = []
+    for f in spark_schema.fields:
+        t = _SPARK_TO_AVRO.get(f.dataType.typeName())
+        if t is None:
+            raise ValueError(
+                f"avro_ocf: unsupported Spark type {f.dataType.typeName()!r} "
+                f"for field {f.name!r} (flat primitive subset only)"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": "spark_row", "fields": fields}
+
+
+def avro_to_ddl(schema: dict) -> str:
+    parts = []
+    for name, ftype in _field_types(schema):
+        base = (
+            next(t for t in ftype if t != "null")
+            if isinstance(ftype, list)
+            else ftype
+        )
+        parts.append(f"{name} {_AVRO_TO_SPARK[base]}")
+    return ", ".join(parts)
+
+
+# ---------------------------------------------------------------------
+# DataSource registration (reader + two-phase-commit writer)
+# ---------------------------------------------------------------------
+
+from pyspark import TaskContext  # noqa: E402
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+
+def _list_avro(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, e)
+        for e in os.listdir(path)
+        if e.endswith(".avro") and not e.startswith(".")
+    )
+
+
+class _AvroFile(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class AvroOCFReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def partitions(self):
+        return [_AvroFile(p) for p in _list_avro(self.path)]
+
+    def read(self, partition: _AvroFile):
+        yield from read_ocf(partition.path)
+
+
+class _AvroCommit(WriterCommitMessage):
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+class AvroOCFWriter(DataSourceWriter):
+    def __init__(self, path: str, avro_schema: dict, codec: str):
+        self.path = path
+        self.avro_schema = avro_schema
+        self.codec = codec
+        self.run_id = uuid.uuid4().hex  # scoped cleanup, as pyjsonl sink
+
+    def write(self, iterator) -> _AvroCommit:
+        pid = TaskContext.get().partitionId()
+        name = f"part-{self.run_id}-{pid:05d}-{uuid.uuid4().hex}.avro"
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, "." + name)
+        write_ocf(
+            tmp,
+            self.avro_schema,
+            (tuple(row) for row in iterator),
+            codec=self.codec,
+        )
+        os.replace(tmp, os.path.join(self.path, name))
+        return _AvroCommit(name)
+
+    def _run_files(self) -> list[str]:
+        prefix = f"part-{self.run_id}-"
+        return [e for e in os.listdir(self.path) if e.startswith(prefix)]
+
+    def commit(self, messages) -> None:
+        committed = {m.filename for m in messages if m is not None}
+        for existing in self._run_files():
+            if existing not in committed:
+                os.remove(os.path.join(self.path, existing))
+
+    def abort(self, messages) -> None:
+        for existing in self._run_files():
+            os.remove(os.path.join(self.path, existing))
+
+
+class AvroOCFDataSource(DataSource):
+    """`spark.read.format("pyavro").option("path", dir)` /
+    `df.write.format("pyavro").option("path", dir).save()`.
+    Read schema comes from the first file's embedded writer schema
+    (OCFs are self-describing); write codec via .option("codec")."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyavro"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pyavro requires .option('path', ...)")
+        return path
+
+    def schema(self) -> str:
+        files = _list_avro(self._path())
+        if not files:
+            raise ValueError(f"no .avro files under {self._path()}")
+        return avro_to_ddl(read_ocf_header(files[0])[0])
+
+    def reader(self, schema) -> AvroOCFReader:
+        return AvroOCFReader(self._path())
+
+    def writer(self, schema, overwrite: bool) -> AvroOCFWriter:
+        path = self._path()
+        if overwrite and os.path.isdir(path):
+            for existing in os.listdir(path):
+                if existing.endswith(".avro"):
+                    os.remove(os.path.join(path, existing))
+        return AvroOCFWriter(
+            path, schema_to_avro(schema), self.options.get("codec", "deflate")
+        )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(AvroOCFDataSource)
