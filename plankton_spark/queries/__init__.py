@@ -22,6 +22,7 @@ from plankton_spark.queries import (  # noqa: F401
     sources_extra,
     streaming_shadows,
     subqueries,
+    table_ops,
     udfs,
     windows,
 )

@@ -1,0 +1,119 @@
+"""Declared queries over the planktable transactional table format
+(plankton_spark/table_format.py): time travel and MERGE, each shadow-
+oracled by re-deriving the expected snapshot from the source fixtures
+in plain SQL — a lossy log replay, broken snapshot isolation, or a
+wrong merge rewrite all fail the value hash."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.queries.scans import _scratch
+from plankton_spark.registry import query
+from plankton_spark.table_format import PlankTable
+
+
+def _fresh_table(spark, sf_dir: str, name: str) -> PlankTable:
+    path = _scratch(sf_dir, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return PlankTable(spark, path)
+
+
+@query(
+    "q_table_timetravel",
+    oracle="""
+    WITH v0 AS (
+      SELECT * FROM orders WHERE o_orderkey < 1000
+    ),
+    v1 AS (
+      SELECT * FROM orders WHERE o_orderkey < 2000
+    ),
+    v2 AS (
+      SELECT * FROM orders WHERE o_orderkey < 2000 AND o_orderstatus <> 'F'
+    )
+    SELECT 0 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM v0
+    UNION ALL
+    SELECT 1, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM v1
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM v2
+    """,
+)
+def q_table_timetravel(spark, sf_dir):
+    """ACID table time travel: CREATE (orders < 1000), APPEND
+    (1000..1999), DELETE (status 'F'), then read all three versions —
+    versionAsOf semantics over the commit log. Each version's file set
+    comes from log replay, so the query proves snapshot isolation (the
+    delete rewrote files without disturbing v0/v1 reads)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = _fresh_table(spark, sf_dir, "pt_orders")
+    t.create(o.where(F.col("o_orderkey") < 1000))
+    t.append(o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    t.delete_where(F.col("o_orderstatus") == "F")
+    frames = [
+        t.read(version=v)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .select(F.lit(v).alias("version"), "n_rows", "key_sum")
+        for v in (0, 1, 2)
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+@query(
+    "q_table_merge",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer WHERE c_custkey <= 500
+    ),
+    src AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(c_acctbal AS DECIMAL(12,2)) + 1000 AS bal
+      FROM customer WHERE c_custkey > 250 AND c_custkey <= 750
+    ),
+    merged AS (
+      SELECT * FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM src)
+      UNION ALL
+      SELECT * FROM src
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(bal) AS DOUBLE), 2) AS total_bal
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def q_table_merge(spark, sf_dir):
+    """MERGE/upsert into a planktable: keys 251..500 get updated
+    balances, 501..750 are inserts. The merge rewrites only the files
+    whose footer key-range overlaps the source (file-stats pruning);
+    the oracle re-derives the post-merge table relationally."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    t = _fresh_table(spark, sf_dir, "pt_customer")
+    t.create(c.where(F.col("c_custkey") <= 500))
+    src = c.where((F.col("c_custkey") > 250) & (F.col("c_custkey") <= 750)).select(
+        "c_custkey", "c_mktsegment", (F.col("bal") + 1000).alias("bal")
+    )
+    t.merge(src, "c_custkey")
+    return (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("bal").cast("double"), 2).alias("total_bal"),
+        )
+    )

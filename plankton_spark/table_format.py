@@ -1,0 +1,378 @@
+"""planktable: a minimal log-structured transactional table format
+(SURVEY.md §2.1/§2.12 — the "Delta-style ACID table" capability gap).
+
+Public-knowledge design (the pattern published by the Delta Lake /
+Iceberg papers): a table is a directory of immutable parquet data
+files plus an append-only `_log/` of JSON commit files. Readers replay
+the log to a version to get the exact file set (snapshot isolation —
+a reader never sees a half-finished write); writers stage data files,
+then publish ONE commit file atomically; version numbers are claimed
+with O_EXCL file creation, so two concurrent writers cannot both
+commit the same version (optimistic concurrency — the loser retries
+on top of the winner's snapshot).
+
+Scale posture:
+- Data files are ordinary parquet: the 100 TB scan path is Spark's
+  native vectorized reader over an explicit file list — the format
+  adds zero read-path overhead beyond the (tiny) log replay.
+- Every `add` action carries per-column min/max stats collected from
+  the parquet footers at commit time; `scan(predicate_ranges=...)`
+  prunes whole files BEFORE Spark ever opens them — the same
+  data-skipping shape Delta/Iceberg use to avoid listing+reading
+  irrelevant terabytes.
+- The log is checkpointed every CHECKPOINT_EVERY commits (a single
+  JSON snapshot of the live file set), so replay cost is O(recent
+  commits), not O(table lifetime).
+- MERGE rewrites only the files whose key range overlaps the source
+  (file-stats pruning again), not the whole table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHECKPOINT_EVERY = 10
+_STATS_TYPES = ("int32", "int64", "double", "float", "string", "large_string")
+
+
+class CommitConflict(Exception):
+    """Another writer claimed this version first."""
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_log")
+
+
+def _version_file(path: str, v: int) -> str:
+    return os.path.join(_log_dir(path), f"{v:08d}.json")
+
+
+def _checkpoint_file(path: str, v: int) -> str:
+    return os.path.join(_log_dir(path), f"{v:08d}.checkpoint.json")
+
+
+def _collect_stats(file_path: str) -> dict:
+    """Per-column min/max from the parquet footer (no data read)."""
+    md = pq.ParquetFile(file_path).metadata
+    stats: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            try:  # pyarrow can't extract stats for some types (DECIMAL)
+                s = col.statistics
+                if s is None or not s.has_min_max:
+                    continue
+                mn, mx = s.min, s.max
+            except Exception:
+                continue
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            name = col.path_in_schema
+            if name in stats:
+                stats[name]["min"] = min(stats[name]["min"], mn)
+                stats[name]["max"] = max(stats[name]["max"], mx)
+            else:
+                stats[name] = {"min": mn, "max": mx}
+    return stats
+
+
+class PlankTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- log replay ----------------------------------------------------
+
+    def versions(self) -> list[int]:
+        d = _log_dir(self.path)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(e.split(".")[0])
+            for e in os.listdir(d)
+            if e.endswith(".json") and not e.endswith(".checkpoint.json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"{self.path}: not a planktable (empty _log)")
+        return vs[-1]
+
+    def _snapshot(self, version: int | None = None) -> dict[str, dict]:
+        """Replay log → {relative_file: stats} live at `version`.
+        Starts from the newest checkpoint ≤ version, if any."""
+        target = self.latest_version() if version is None else version
+        d = _log_dir(self.path)
+        ckpts = sorted(
+            int(e.split(".")[0])
+            for e in os.listdir(d)
+            if e.endswith(".checkpoint.json") and int(e.split(".")[0]) <= target
+        )
+        live: dict[str, dict] = {}
+        start = 0
+        if ckpts:
+            with open(_checkpoint_file(self.path, ckpts[-1])) as f:
+                live = json.load(f)["live"]
+            start = ckpts[-1] + 1
+        for v in range(start, target + 1):
+            vf = _version_file(self.path, v)
+            if not os.path.exists(vf):
+                raise FileNotFoundError(f"{self.path}: missing log version {v}")
+            with open(vf) as f:
+                commit = json.load(f)
+            for rm in commit.get("remove", []):
+                live.pop(rm, None)
+            for add in commit.get("add", []):
+                live[add["file"]] = add.get("stats", {})
+        return live
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self.versions():
+            with open(_version_file(self.path, v)) as f:
+                c = json.load(f)
+            out.append(
+                {
+                    "version": v,
+                    "operation": c.get("operation"),
+                    "n_added": len(c.get("add", [])),
+                    "n_removed": len(c.get("remove", [])),
+                }
+            )
+        return out
+
+    # -- read path -----------------------------------------------------
+
+    def files(self, version: int | None = None) -> list[str]:
+        return sorted(
+            os.path.join(self.path, rel) for rel in self._snapshot(version)
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (optionally `versionAsOf`-style time travel)."""
+        files = self.files(version)
+        if not files:
+            # empty snapshot: derive schema from any historic file
+            any_file = next(
+                (
+                    os.path.join(self.path, a["file"])
+                    for v in self.versions()
+                    for a in json.load(open(_version_file(self.path, v))).get(
+                        "add", []
+                    )
+                ),
+                None,
+            )
+            if any_file is None:
+                raise FileNotFoundError(f"{self.path}: table has no data files")
+            return self.spark.read.parquet(any_file).limit(0)
+        return self.spark.read.parquet(*files)
+
+    def scan(self, predicate_ranges: dict, version: int | None = None) -> DataFrame:
+        """File-skipping read: `predicate_ranges={"col": (lo, hi)}`
+        keeps only files whose footer min/max overlaps every range.
+        The caller still applies the row-level filter; this prunes at
+        FILE granularity before Spark opens anything."""
+        snap = self._snapshot(version)
+        keep = []
+        for rel, stats in snap.items():
+            ok = True
+            for col, (lo, hi) in predicate_ranges.items():
+                s = stats.get(col)
+                if s is None:
+                    continue  # no stats → cannot prune, must keep
+                if (hi is not None and s["min"] > hi) or (
+                    lo is not None and s["max"] < lo
+                ):
+                    ok = False
+                    break
+            if ok:
+                keep.append(os.path.join(self.path, rel))
+        if not keep:
+            return self.read(version).limit(0)
+        return self.spark.read.parquet(*sorted(keep))
+
+    # -- write path ----------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> list[dict]:
+        """Write df as parquet data files under a unique staging name;
+        returns add-actions (file + stats). Files are invisible until
+        a commit references them."""
+        stage_id = uuid.uuid4().hex
+        stage_dir = os.path.join(self.path, f".stage-{stage_id}")
+        df.write.mode("overwrite").parquet(stage_dir)
+        adds = []
+        for e in sorted(os.listdir(stage_dir)):
+            if not e.endswith(".parquet"):
+                continue
+            rel = f"data-{stage_id}-{e}"
+            os.replace(
+                os.path.join(stage_dir, e), os.path.join(self.path, rel)
+            )
+            adds.append(
+                {
+                    "file": rel,
+                    "stats": _collect_stats(os.path.join(self.path, rel)),
+                }
+            )
+        # clear remaining markers (_SUCCESS etc.) and the stage dir
+        for e in os.listdir(stage_dir):
+            os.remove(os.path.join(stage_dir, e))
+        os.rmdir(stage_dir)
+        return adds
+
+    def _commit(
+        self,
+        version: int,
+        *,
+        operation: str,
+        add: list[dict],
+        remove: list[str],
+    ) -> int:
+        """Atomically claim `version`. O_EXCL creation is the lock: if
+        the file exists, a concurrent writer won — raise
+        CommitConflict so the caller can rebase and retry."""
+        os.makedirs(_log_dir(self.path), exist_ok=True)
+        payload = {
+            "version": version,
+            "operation": operation,
+            "ts": time.time(),
+            "add": add,
+            "remove": remove,
+        }
+        tmp = _version_file(self.path, version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            fd = os.open(
+                _version_file(self.path, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            os.remove(tmp)
+            raise CommitConflict(
+                f"{self.path}: version {version} already committed"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            with open(tmp) as t:
+                f.write(t.read())
+        os.remove(tmp)
+        if version % CHECKPOINT_EVERY == 0 and version > 0:
+            # snapshot BEFORE creating the file: an open("w") first
+            # would leave an empty checkpoint visible to the very
+            # _snapshot() call that builds it
+            live = self._snapshot(version)
+            ctmp = _checkpoint_file(self.path, version) + f".tmp-{uuid.uuid4().hex}"
+            with open(ctmp, "w") as f:
+                json.dump({"live": live}, f)
+            os.replace(ctmp, _checkpoint_file(self.path, version))
+        return version
+
+    def _next_version(self) -> int:
+        vs = self.versions()
+        return (vs[-1] + 1) if vs else 0
+
+    def _commit_with_retry(self, operation, make_actions, max_retries=20) -> int:
+        """Optimistic concurrency loop: recompute actions against the
+        current snapshot, try to claim the next version, rebase on
+        conflict."""
+        for _ in range(max_retries):
+            v = self._next_version()
+            add, remove = make_actions()
+            try:
+                return self._commit(v, operation=operation, add=add, remove=remove)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"{self.path}: gave up after {max_retries} retries")
+
+    def create(self, df: DataFrame) -> int:
+        if self.versions():
+            raise FileExistsError(f"{self.path}: table already exists")
+        adds = self._stage(df)
+        return self._commit_with_retry("CREATE", lambda: (adds, []))
+
+    def append(self, df: DataFrame) -> int:
+        adds = self._stage(df)
+        return self._commit_with_retry("APPEND", lambda: (adds, []))
+
+    def overwrite(self, df: DataFrame) -> int:
+        adds = self._stage(df)
+        return self._commit_with_retry(
+            "OVERWRITE", lambda: (adds, sorted(self._snapshot()))
+        )
+
+    def delete_where(self, condition) -> int:
+        """Row-level delete: rewrite only the files that contain
+        matching rows; untouched files stay live as-is."""
+        snap = self._snapshot()
+        hit_files = [
+            r[0]
+            for r in self.read()
+            .withColumn("_pt_file", F.input_file_name())
+            .where(condition)
+            .select("_pt_file")
+            .distinct()
+            .collect()
+        ]
+        hit_rel = sorted(
+            rel for rel in snap if any(h.endswith(rel) for h in hit_files)
+        )
+        if not hit_rel:
+            return self._commit_with_retry("DELETE", lambda: ([], []))
+        survivors = self.spark.read.parquet(
+            *[os.path.join(self.path, r) for r in hit_rel]
+        ).where(~condition)
+        adds = self._stage(survivors) if not survivors.isEmpty() else []
+        return self._commit_with_retry("DELETE", lambda: (adds, hit_rel))
+
+    def merge(self, source: DataFrame, key: str) -> int:
+        """Upsert (MERGE): update matching keys from `source`, insert
+        the rest. Only files whose key-range overlaps the source's are
+        rewritten — the file-stats pruning that keeps MERGE from
+        rewriting 100 TB to change one partition's worth of rows."""
+        lo, hi = source.agg(F.min(key), F.max(key)).first()
+        if lo is None:  # empty source → MERGE is a no-op commit
+            return self._commit_with_retry("MERGE", lambda: ([], []))
+        snap = self._snapshot()
+        overlap = []
+        for rel, stats in snap.items():
+            s = stats.get(key)
+            if s is None or not (s["max"] < lo or s["min"] > hi):
+                overlap.append(rel)
+        overlap = sorted(overlap)
+        if overlap:
+            hot = self.spark.read.parquet(
+                *[os.path.join(self.path, r) for r in overlap]
+            )
+            merged = hot.join(source, key, "left_anti").unionByName(source)
+        else:
+            merged = source
+        adds = self._stage(merged)
+        return self._commit_with_retry("MERGE", lambda: (adds, overlap))
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO log version (crash
+        leftovers). Files referenced by historic versions are kept so
+        time travel keeps working."""
+        referenced: set[str] = set()
+        for v in self.versions():
+            with open(_version_file(self.path, v)) as f:
+                for a in json.load(f).get("add", []):
+                    referenced.add(a["file"])
+        removed = []
+        for e in os.listdir(self.path):
+            if e.startswith("data-") and e not in referenced:
+                os.remove(os.path.join(self.path, e))
+                removed.append(e)
+        return sorted(removed)

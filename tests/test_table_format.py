@@ -1,0 +1,127 @@
+"""Tests for the planktable transactional table format
+(plankton_spark/table_format.py): snapshot isolation, time travel,
+optimistic concurrency, file-stats skipping, merge pruning, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from plankton_spark.table_format import (
+    CHECKPOINT_EVERY,
+    CommitConflict,
+    PlankTable,
+    _version_file,
+)
+
+
+def _mk(spark, tmp_path, name="t"):
+    return PlankTable(spark, str(tmp_path / name))
+
+
+def test_create_append_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(0, 10).select(F.col("id").alias("k")))
+    t.append(spark.range(10, 25).select(F.col("id").alias("k")))
+    assert t.read(version=0).count() == 10
+    assert t.read(version=1).count() == 25
+    assert t.read().count() == 25
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["CREATE", "APPEND"]
+
+
+def test_overwrite_replaces_snapshot_keeps_history(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(0, 10).select(F.col("id").alias("k")))
+    t.overwrite(spark.range(100, 103).select(F.col("id").alias("k")))
+    assert sorted(r.k for r in t.read().collect()) == [100, 101, 102]
+    assert t.read(version=0).count() == 10  # old snapshot intact
+
+
+def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(0, 10).repartition(1).select(F.col("id").alias("k")))
+    t.append(spark.range(100, 110).repartition(1).select(F.col("id").alias("k")))
+    before = set(t.files())
+    t.delete_where(F.col("k") == 105)
+    after = set(t.files())
+    # the file holding 0..9 must be untouched (same physical file)
+    assert len(before & after) == 1
+    assert sorted(r.k for r in t.read().collect()) == list(range(10)) + [
+        100, 101, 102, 103, 104, 106, 107, 108, 109,
+    ]
+
+
+def test_merge_upserts_and_prunes_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(
+        spark.range(0, 10).repartition(1).select(F.col("id").alias("k"),
+                                                 F.lit("old").alias("v"))
+    )
+    t.append(
+        spark.range(1000, 1010).repartition(1).select(F.col("id").alias("k"),
+                                                      F.lit("old").alias("v"))
+    )
+    before = set(t.files())
+    src = spark.createDataFrame([(1005, "new"), (2000, "new")], "k long, v string")
+    t.merge(src, "k")
+    after = set(t.files())
+    # low-range file (0..9) does not overlap [1005, 2000] → untouched
+    assert len(before & after) == 1
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows[1005] == "new" and rows[2000] == "new" and rows[3] == "old"
+    assert len(rows) == 21
+
+
+def test_commit_conflict_raises_and_retry_rebases(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(3).select(F.col("id").alias("k")))
+    # simulate a concurrent winner for version 1
+    with open(_version_file(t.path, 1), "w") as f:
+        json.dump({"version": 1, "operation": "APPEND", "add": [], "remove": []}, f)
+    with pytest.raises(CommitConflict):
+        t._commit(1, operation="APPEND", add=[], remove=[])
+    # the retry loop lands on version 2
+    v = t.append(spark.range(3, 6).select(F.col("id").alias("k")))
+    assert v == 2
+    assert t.read().count() == 6
+
+
+def test_checkpoint_written_and_used(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(1).select(F.col("id").alias("k")))
+    for i in range(1, CHECKPOINT_EVERY + 3):
+        t.append(spark.range(i * 10, i * 10 + 1).select(F.col("id").alias("k")))
+    ckpt = os.path.join(t.path, "_log", f"{CHECKPOINT_EVERY:08d}.checkpoint.json")
+    assert os.path.exists(ckpt)
+    assert t.read().count() == CHECKPOINT_EVERY + 3
+    # replay starting from checkpoint equals full replay
+    assert t._snapshot() == t._snapshot(t.latest_version())
+
+
+def test_scan_skips_files_by_footer_stats(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(0, 100).repartition(1).select(F.col("id").alias("k")))
+    t.append(spark.range(1000, 1100).repartition(1).select(F.col("id").alias("k")))
+    t.append(spark.range(5000, 5100).repartition(1).select(F.col("id").alias("k")))
+    pruned = t.scan({"k": (1050, 1060)})
+    assert pruned.inputFiles() and len(pruned.inputFiles()) == 1
+    assert pruned.where(F.col("k").between(1050, 1060)).count() == 11
+    # unprunable range keeps everything
+    assert len(t.scan({"k": (0, 10000)}).inputFiles()) == 3
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(5).select(F.col("id").alias("k")))
+    t.overwrite(spark.range(7).select(F.col("id").alias("k")))
+    # drop a crash leftover
+    orphan = os.path.join(t.path, "data-deadbeef-orphan.parquet")
+    open(orphan, "wb").close()
+    removed = t.vacuum()
+    assert removed == ["data-deadbeef-orphan.parquet"]
+    assert t.read(version=0).count() == 5  # historic files survive vacuum
+    assert t.read().count() == 7
