@@ -71,6 +71,92 @@ def q_table_timetravel(spark, sf_dir):
 
 
 @query(
+    "q_table_cdc",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey < 2000 AND o_orderstatus <> 'F'
+    ),
+    changes AS (
+      SELECT *, 'insert' AS _change_type FROM (
+        SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+      UNION ALL
+      SELECT *, 'delete' AS _change_type FROM (
+        SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+    )
+    SELECT _change_type, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM changes GROUP BY _change_type
+    """,
+)
+def q_table_cdc(spark, sf_dir):
+    """Change-data-feed between two table versions: net row-level
+    inserts/deletes via multiset snapshot diff (exceptAll both ways),
+    so the answer is independent of WHICH files the delete rewrote —
+    rows re-written byte-identical contribute nothing. The oracle
+    re-derives the same diff relationally from the source fixtures."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = _fresh_table(spark, sf_dir, "pt_cdc")
+    t.create(o.where(F.col("o_orderkey") < 1000))
+    t.append(o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    t.delete_where(F.col("o_orderstatus") == "F")
+    return (
+        t.diff(1, 2)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+@query(
+    "q_table_optimize",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity * 100) AS BIGINT) AS qty_cents
+    FROM lineitem
+    WHERE l_orderkey <= 4000 AND l_orderkey BETWEEN 1500 AND 2500
+    GROUP BY l_returnflag
+    """,
+)
+def q_table_optimize(spark, sf_dir):
+    """OPTIMIZE (compaction + 1-D clustering): many small appended
+    files are rewritten range-clustered on l_orderkey, then a stats-
+    pruned scan of one key range answers the aggregate. Content must
+    be byte-identical to the pre-compaction table — the oracle is the
+    plain relational answer over the source."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        (F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long").alias(
+            "qty_cents"
+        ),
+    )
+    t = _fresh_table(spark, sf_dir, "pt_lineitem")
+    # simulate a streaming sink's small-files problem: 4 appends
+    t.create(li.where(F.col("l_orderkey") <= 1000))
+    for lo in (1000, 2000, 3000):
+        t.append(
+            li.where((F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= lo + 1000))
+        )
+    t.optimize(sort_by=["l_orderkey"], num_files=4)
+    return (
+        t.scan({"l_orderkey": (1500, 2500)})
+        .where(F.col("l_orderkey").between(1500, 2500))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("qty_cents").alias("qty_cents"),
+        )
+    )
+
+
+@query(
     "q_table_merge",
     oracle="""
     WITH base AS (

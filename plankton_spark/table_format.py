@@ -239,6 +239,7 @@ class PlankTable:
         operation: str,
         add: list[dict],
         remove: list[str],
+        txn: dict | None = None,
     ) -> int:
         """Atomically claim `version`. O_EXCL creation is the lock: if
         the file exists, a concurrent writer won — raise
@@ -251,6 +252,8 @@ class PlankTable:
             "add": add,
             "remove": remove,
         }
+        if txn is not None:
+            payload["txn"] = txn
         tmp = _version_file(self.path, version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(payload, f)
@@ -360,6 +363,97 @@ class PlankTable:
             merged = source
         adds = self._stage(merged)
         return self._commit_with_retry("MERGE", lambda: (adds, overlap))
+
+    def optimize(self, sort_by: list[str] | None = None, num_files: int = 1) -> int:
+        """Compaction (OPTIMIZE): rewrite the current snapshot into
+        `num_files` files, optionally range-clustered on `sort_by`.
+        Clustering makes the footer min/max ranges disjoint, so
+        subsequent `scan()` file-skipping prunes tightly (the Z-order
+        motivation, 1-D form). Data content is unchanged — only the
+        physical layout; old versions still read their old files.
+
+        100 TB posture: compaction is the cure for the small-files
+        problem a streaming sink creates — thousands of per-batch
+        files become a handful of large range-clustered ones, and the
+        rewrite itself is one shuffle (repartitionByRange) sized by
+        `num_files`, not a driver-side merge."""
+        snap = sorted(self._snapshot())
+        df = self.read()
+        if sort_by:
+            df = df.repartitionByRange(num_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.coalesce(num_files)
+        adds = self._stage(df)
+        return self._commit_with_retry("OPTIMIZE", lambda: (adds, snap))
+
+    # -- exactly-once streaming sink -----------------------------------
+
+    def last_txn_batch(self, app_id: str) -> int | None:
+        """Highest batch_id committed by `app_id`, or None."""
+        latest = None
+        for v in self.versions():
+            with open(_version_file(self.path, v)) as f:
+                c = json.load(f)
+            txn = c.get("txn")
+            if txn and txn.get("app_id") == app_id:
+                b = txn["batch_id"]
+                latest = b if latest is None else max(latest, b)
+        return latest
+
+    def append_txn(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
+        """Idempotent append for streaming foreachBatch: the commit
+        records (app_id, batch_id); a replayed micro-batch (restart
+        after a crash between sink write and checkpoint advance) sees
+        its batch_id already committed and becomes a no-op — the
+        exactly-once txn pattern transactional table formats use.
+        Returns the committed version, or None if already applied."""
+        if (last := self.last_txn_batch(app_id)) is not None and batch_id <= last:
+            return None
+        adds = self._stage(df)
+        for _ in range(20):
+            # re-check inside the retry loop: a concurrent replica may
+            # have committed this batch while we were staging
+            if (last := self.last_txn_batch(app_id)) is not None and batch_id <= last:
+                return None
+            v = self._next_version()
+            payload_extra = {"app_id": app_id, "batch_id": batch_id}
+            try:
+                return self._commit(
+                    v, operation="STREAM_APPEND", add=adds, remove=[],
+                    txn=payload_extra,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"{self.path}: gave up appending batch {batch_id}")
+
+    def foreach_batch_sink(self, app_id: str):
+        """`writeStream.foreachBatch(t.foreach_batch_sink("job"))` —
+        binds the exactly-once append above to the streaming API."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append_txn(batch_df, app_id, batch_id)
+
+        return _sink
+
+    # -- change data feed (snapshot diff) ------------------------------
+
+    def diff(self, v_from: int, v_to: int) -> DataFrame:
+        """Net row-level changes between two versions: rows only in
+        `v_to` are `insert`, rows only in `v_from` are `delete`
+        (multiset semantics via exceptAll, so duplicates count).
+        Layout-independent by construction — a MERGE that rewrites a
+        file but leaves a row byte-identical contributes nothing.
+
+        100 TB posture: two snapshot scans + one hash shuffle each;
+        incremental consumers read |changes|, not |table|, downstream."""
+        old, new = self.read(v_from), self.read(v_to)
+        return new.exceptAll(old).withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(
+            old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        )
 
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO log version (crash

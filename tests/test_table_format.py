@@ -114,6 +114,55 @@ def test_scan_skips_files_by_footer_stats(spark, tmp_path):
     assert len(t.scan({"k": (0, 10000)}).inputFiles()) == 3
 
 
+def test_optimize_compacts_and_clusters(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(0, 100).repartition(4).select(F.col("id").alias("k")))
+    for i in range(1, 4):
+        t.append(
+            spark.range(i * 100, i * 100 + 100)
+            .repartition(4)
+            .select(F.col("id").alias("k"))
+        )
+    assert len(t.files()) == 16
+    v = t.optimize(sort_by=["k"], num_files=4)
+    assert len(t.files()) == 4
+    # content identical, history intact
+    assert t.read().count() == 400
+    assert sorted(r.k for r in t.diff(v - 1, v).collect()) == []
+    # clustering → disjoint ranges → a narrow scan opens ONE file
+    assert len(t.scan({"k": (150, 160)}).inputFiles()) == 1
+    assert t.read(version=0).count() == 100
+
+
+def test_append_txn_is_idempotent(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(3).select(F.col("id").alias("k")))
+    sink = t.foreach_batch_sink("jobA")
+    b0 = spark.range(10, 13).select(F.col("id").alias("k"))
+    sink(b0, 0)
+    sink(b0, 0)  # replayed micro-batch after simulated crash
+    sink(spark.range(20, 22).select(F.col("id").alias("k")), 1)
+    assert t.read().count() == 3 + 3 + 2
+    assert t.last_txn_batch("jobA") == 1
+    # a different app id is an independent txn line
+    assert t.last_txn_batch("jobB") is None
+    assert t.append_txn(b0, "jobB", 0) is not None
+    assert t.read().count() == 11
+
+
+def test_diff_reports_net_changes_only(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(
+        spark.range(0, 10).repartition(1).select(F.col("id").alias("k"),
+                                                 F.lit("x").alias("v"))
+    )
+    # merge rewrites the whole file but changes only k=5
+    src = spark.createDataFrame([(5, "y"), (50, "y")], "k long, v string")
+    t.merge(src, "k")
+    ch = {(r.k, r.v, r._change_type) for r in t.diff(0, 1).collect()}
+    assert ch == {(5, "y", "insert"), (50, "y", "insert"), (5, "x", "delete")}
+
+
 def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.create(spark.range(5).select(F.col("id").alias("k")))
