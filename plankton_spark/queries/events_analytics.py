@@ -160,3 +160,71 @@ def q_retention(spark, sf_dir):
         F.col("day_offset").cast("long").alias("day_offset"),
         "n_users",
     )
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    l AS (
+      SELECT user_id, event_id, ts2,
+             lag(ts2) OVER (PARTITION BY user_id ORDER BY ts2, event_id) AS prev
+      FROM e
+    ),
+    f AS (
+      SELECT *, CASE WHEN prev IS NULL OR epoch(ts2) - epoch(prev) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+      FROM l
+    ),
+    s AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts2, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM f
+    ),
+    g AS (
+      SELECT user_id, sess, COUNT(*) AS n_events,
+             CAST(epoch(MAX(ts2)) - epoch(MIN(ts2)) AS BIGINT) AS dur_sec
+      FROM s GROUP BY user_id, sess
+    )
+    SELECT n_events, COUNT(*) AS n_sessions,
+           CAST(SUM(dur_sec) AS BIGINT) AS total_dur_sec
+    FROM g GROUP BY n_events
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization with a 30-minute inactivity gap: per-user
+    lag() marks session starts, a running sum assigns session ids, and
+    sessions aggregate to a length histogram. The window partitions on
+    user_id (high-cardinality — no low-card single-task window); at
+    scale this is one user-keyed shuffle then map-side-combinable
+    hash-aggs. Ties are broken on (ts2, event_id) so both engines
+    order identically."""
+    from pyspark.sql import Window
+
+    e = _events_second(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts2", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts2",
+        F.when(
+            F.lag("ts2").over(w).isNull()
+            | (F.col("ts2").cast("long") - F.lag("ts2").over(w).cast("long") > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessed = marked.withColumn(
+        "sess",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = sessed.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts2").cast("long") - F.min("ts2").cast("long")).alias("dur_sec"),
+    )
+    return sessions.groupBy("n_events").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur_sec").cast("long").alias("total_dur_sec"),
+    )

@@ -203,3 +203,67 @@ def q_table_merge(spark, sf_dir):
             F.round(F.sum("bal").cast("double"), 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_table_incremental",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders
+      WHERE o_orderkey < 2000 AND o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(price) AS DOUBLE), 2) AS total_price
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def q_table_incremental(spark, sf_dir):
+    """Incremental materialized-view maintenance: the grouped MV is
+    computed ONCE at version 0, then brought up to date by folding in
+    ONLY the CDC delta (insert rows +1, delete rows -1) — never
+    rescanning the base table. At 100 TB the delta is |changes|, not
+    |table|; this is the standard signed-delta IVM algebra for
+    count/sum aggregates. The oracle recomputes the view directly on
+    the final snapshot — any drift between incremental and full
+    recompute fails the hash. Zero-count groups (status 'F' fully
+    deleted) must drop out of the maintained view."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+    )
+    t = _fresh_table(spark, sf_dir, "pt_incr")
+    t.create(o.where(F.col("o_orderkey") < 1000))
+    v0 = t.latest_version()
+    mv0 = t.read(version=v0).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("decimal(18,2)").alias("total"),
+    )
+    # table evolves: more rows arrive, then a retention delete
+    t.append(o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    t.delete_where(F.col("o_orderstatus") == "F")
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = (
+        t.diff(v0, t.latest_version())
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(sign).alias("dn"),
+            F.sum(F.col("price") * sign).cast("decimal(18,2)").alias("dtotal"),
+        )
+    )
+    lit0 = F.lit(0).cast("decimal(18,2)")
+    return (
+        mv0.join(delta, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_rows"),
+            F.round(
+                (F.coalesce("total", lit0) + F.coalesce("dtotal", lit0)).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_price"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
