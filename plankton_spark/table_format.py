@@ -177,7 +177,9 @@ class PlankTable:
             if any_file is None:
                 raise FileNotFoundError(f"{self.path}: table has no data files")
             return self.spark.read.parquet(any_file).limit(0)
-        return self.spark.read.parquet(*files)
+        # mergeSchema: a snapshot may span a schema evolution (append
+        # with merge_schema=True); files missing a column read as null
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def scan(self, predicate_ranges: dict, version: int | None = None) -> DataFrame:
         """File-skipping read: `predicate_ranges={"col": (lo, hi)}`
@@ -201,7 +203,7 @@ class PlankTable:
                 keep.append(os.path.join(self.path, rel))
         if not keep:
             return self.read(version).limit(0)
-        return self.spark.read.parquet(*sorted(keep))
+        return self.spark.read.option("mergeSchema", "true").parquet(*sorted(keep))
 
     # -- write path ----------------------------------------------------
 
@@ -305,9 +307,35 @@ class PlankTable:
         adds = self._stage(df)
         return self._commit_with_retry("CREATE", lambda: (adds, []))
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append rows. Schema drift is rejected unless
+        `merge_schema=True`, which allows ADDING columns (existing
+        rows read the new column as null — parquet mergeSchema
+        semantics); dropping or retyping existing columns is never
+        allowed, matching the evolution rules transactional table
+        formats enforce."""
+        self._check_schema(df, merge_schema)
         adds = self._stage(df)
         return self._commit_with_retry("APPEND", lambda: (adds, []))
+
+    def _check_schema(self, df: DataFrame, merge_schema: bool) -> None:
+        if not self.versions():
+            return
+        current = {f.name: f.dataType for f in self.read().schema.fields}
+        incoming = {f.name: f.dataType for f in df.schema.fields}
+        missing = set(current) - set(incoming)
+        added = set(incoming) - set(current)
+        retyped = {
+            n for n in set(current) & set(incoming) if current[n] != incoming[n]
+        }
+        if missing:
+            raise ValueError(f"{self.path}: append missing columns {sorted(missing)}")
+        if retyped:
+            raise ValueError(f"{self.path}: cannot retype columns {sorted(retyped)}")
+        if added and not merge_schema:
+            raise ValueError(
+                f"{self.path}: new columns {sorted(added)} need merge_schema=True"
+            )
 
     def overwrite(self, df: DataFrame) -> int:
         adds = self._stage(df)

@@ -163,6 +163,29 @@ def test_diff_reports_net_changes_only(spark, tmp_path):
     assert ch == {(5, "y", "insert"), (50, "y", "insert"), (5, "x", "delete")}
 
 
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(3).select(F.col("id").alias("k")))
+    wide = spark.range(3, 6).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(wide)
+    t.append(wide, merge_schema=True)
+    rows = {r.k: r.v for r in t.read().collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: "x", 4: "x", 5: "x"}
+    # time travel predates the evolution → narrow schema
+    assert t.read(version=0).columns == ["k"]
+    # dropping or retyping columns is always rejected
+    with pytest.raises(ValueError, match="missing"):
+        t.append(spark.range(9, 10).select(F.col("id").alias("v")), merge_schema=True)
+    with pytest.raises(ValueError, match="retype"):
+        t.append(
+            spark.range(9, 10).select(
+                F.col("id").cast("int").alias("k"), F.lit("x").alias("v")
+            ),
+            merge_schema=True,
+        )
+
+
 def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.create(spark.range(5).select(F.col("id").alias("k")))
