@@ -623,3 +623,56 @@ def q_contamination(spark, sf_dir):
         .agg(F.count_distinct("gram").alias("n_shared_grams"))
         .select("doc_id", "n_shared_grams", F.lit(True).alias("contaminated"))
     )
+
+
+@query(
+    "q_source_mix",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT *, CAST(FLOOR(SQRT(total_chars)) AS BIGINT) AS s
+      FROM per_src
+    )
+    SELECT source, n_docs, total_chars,
+           ROUND(CAST(s AS DOUBLE) / (SELECT SUM(s) FROM scaled), 6) AS mix_weight,
+           CAST((s * 1000000) // CAST((SELECT SUM(s) FROM scaled) AS BIGINT)
+                AS BIGINT) AS token_budget
+    FROM scaled
+    """,
+)
+def q_source_mix(spark, sf_dir):
+    """Temperature-scaled source mixing for a pretraining data mix:
+    per-source corpus mass is raised to alpha=0.5 (sqrt — the standard
+    way to up-weight small high-quality sources without drowning in
+    the biggest crawl), normalized into mixing weights, and converted
+    to a concrete per-source token budget out of 1M.
+
+    Determinism: the alpha-scaling goes through FLOOR(SQRT(bigint)) →
+    integer, and the budget through integer division, so every output
+    but the (6dp-rounded) weight is exact integer arithmetic in both
+    engines. Scale: one map-side-combinable hash-agg over the corpus;
+    the per-source table (dozens of rows) then broadcasts — the 100 TB
+    cost is the single scan."""
+    d = read_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    scaled = per_src.withColumn(
+        "s", F.floor(F.sqrt(F.col("total_chars"))).cast("long")
+    )
+    total_s = scaled.agg(F.sum("s").alias("ts"))
+    return (
+        scaled.crossJoin(F.broadcast(total_s))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("s").cast("double") / F.col("ts"), 6).alias("mix_weight"),
+            F.expr("s * 1000000 DIV ts").alias("token_budget"),
+        )
+    )
