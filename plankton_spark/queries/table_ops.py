@@ -267,3 +267,38 @@ def q_table_incremental(spark, sf_dir):
         )
         .where(F.col("n_rows") > 0)
     )
+
+
+@query(
+    "q_scan_planktable",
+    oracle="""
+    WITH snap AS (
+      SELECT n_nationkey, n_regionkey, n_name FROM nation
+    )
+    SELECT n_regionkey, COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MIN(n_name) AS first_name
+    FROM snap GROUP BY n_regionkey
+    """,
+)
+def q_scan_planktable(spark, sf_dir):
+    """Read a planktable through the standard reader API
+    (`spark.read.format("planktable")` — Python DataSource wrapper,
+    one Arrow-batched partition per data file). The table is created
+    from `nation` in two commits so the scanned snapshot spans
+    multiple files; the oracle is the plain relational answer."""
+    from plankton_spark.sources.planktable_ds import register
+
+    register(spark)
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    t = _fresh_table(spark, sf_dir, "pt_nation")
+    t.create(n.where(F.col("n_nationkey") < 12))
+    t.append(n.where(F.col("n_nationkey") >= 12))
+    df = spark.read.format("planktable").option("path", t.path).load()
+    return df.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+    )

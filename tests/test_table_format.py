@@ -197,3 +197,29 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     assert removed == ["data-deadbeef-orphan.parquet"]
     assert t.read(version=0).count() == 5  # historic files survive vacuum
     assert t.read().count() == 7
+
+
+def test_planktable_datasource_format(spark, tmp_path):
+    from plankton_spark.sources.planktable_ds import register
+
+    register(spark)
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(0, 5).select(F.col("id").alias("k")))
+    t.append(
+        spark.range(5, 8).select(F.col("id").alias("k"), F.lit("x").alias("v")),
+        merge_schema=True,
+    )
+    df = spark.read.format("planktable").option("path", t.path).load()
+    rows = {r.k: r.v for r in df.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: None, 4: None,
+                    5: "x", 6: "x", 7: "x"}
+    # one partition per data file → the scan fans out like parquet
+    assert df.rdd.getNumPartitions() == len(t.files())
+    # versionAsOf through the reader API
+    old = (
+        spark.read.format("planktable")
+        .option("path", t.path)
+        .option("versionAsOf", 0)
+        .load()
+    )
+    assert old.columns == ["k"] and old.count() == 5
