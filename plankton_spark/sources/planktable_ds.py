@@ -71,6 +71,13 @@ class PlankTableDataSource(DataSource):
         path, version = self._resolved()
         return PlankTableReader(_snapshot_files(path, version))
 
+    def streamReader(self, schema) -> "PlankTableStreamReader":
+        path, _ = self._resolved()
+        ignore_changes = str(
+            self.options.get("ignoreChanges", "false")
+        ).lower() == "true"
+        return PlankTableStreamReader(path, ignore_changes)
+
 
 class _File(InputPartition):
     def __init__(self, file: str):
@@ -88,23 +95,98 @@ class PlankTableReader(DataSourceReader):
         return [_File(f) for f in self.files]
 
     def read(self, partition: _File):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        yield from _aligned_batches(partition.file, self.schema_files)
 
-        target = _unified_schema(self.schema_files)
-        table = pq.read_table(partition.file)
-        # align to the snapshot schema: add missing columns as nulls,
-        # order columns identically (schema-evolution reads)
-        arrays = []
-        for field in target:
-            if field.name in table.column_names:
-                arrays.append(table.column(field.name).cast(field.type))
-            else:
-                arrays.append(pa.nulls(table.num_rows, field.type))
-        aligned = pa.table(arrays, schema=target)
-        yield from aligned.to_batches()
+
+def _aligned_batches(file: str, schema_files: list[str]):
+    """Read one data file as Arrow batches aligned to the unified
+    schema of `schema_files`: missing columns become nulls, column
+    order matches — the executor-side half of mergeSchema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = _unified_schema(schema_files)
+    table = pq.read_table(file)
+    arrays = []
+    for field in target:
+        if field.name in table.column_names:
+            arrays.append(table.column(field.name).cast(field.type))
+        else:
+            arrays.append(pa.nulls(table.num_rows, field.type))
+    yield from pa.table(arrays, schema=target).to_batches()
 
 
 def register(spark) -> None:
     """Idempotent registration of the planktable format."""
     spark.dataSource.register(PlankTableDataSource)
+
+
+# -- streaming source -------------------------------------------------
+#
+# `spark.readStream.format("planktable")`: each micro-batch is the set
+# of data files ADDED by the commits between the last checkpointed
+# version and the current latest — i.e. the commit log doubles as a
+# streaming changelog (the same design Delta's streaming source uses).
+# Offsets are just {"version": N}, so checkpoint recovery replays from
+# an exact log position. Append-style commits (CREATE/APPEND/
+# STREAM_APPEND) stream through; OPTIMIZE is skipped (it rewrites
+# bytes, not content — emitting its files would duplicate every row);
+# content-changing rewrites (DELETE/MERGE/OVERWRITE) raise unless
+# ignoreChanges=true, because their re-added files duplicate surviving
+# rows — exactly the caveat public table formats document.
+
+import json as _json
+
+from pyspark.sql.datasource import DataSourceStreamReader
+
+_APPEND_OPS = {"CREATE", "APPEND", "STREAM_APPEND"}
+_SKIP_OPS = {"OPTIMIZE"}
+
+
+class PlankTableStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, ignore_changes: bool):
+        self.path = path
+        self.ignore_changes = ignore_changes
+        # the stream's schema is pinned at query start (latest
+        # snapshot); every batch aligns to it
+        self.schema_files = _snapshot_files(path, None)
+
+    def _table(self) -> PlankTable:
+        return PlankTable(None, self.path)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._table().latest_version()}
+
+    def _added_files(self, v_from: int, v_to: int) -> list[str]:
+        from plankton_spark.table_format import _version_file
+
+        out: list[str] = []
+        for v in range(v_from + 1, v_to + 1):
+            with open(_version_file(self.path, v)) as f:
+                commit = _json.load(f)
+            op = commit.get("operation")
+            if op in _SKIP_OPS:
+                continue
+            if op not in _APPEND_OPS and not self.ignore_changes:
+                raise ValueError(
+                    f"{self.path}: version {v} is a {op} — a content rewrite "
+                    "cannot stream without duplicates; set ignoreChanges=true "
+                    "to stream re-added files anyway"
+                )
+            out.extend(
+                os.path.join(self.path, a["file"]) for a in commit.get("add", [])
+            )
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        files = self._added_files(start["version"], end["version"])
+        return [_File(f) for f in files]
+
+    def read(self, partition: _File):
+        yield from _aligned_batches(partition.file, self.schema_files)
+
+    def commit(self, end: dict) -> None:
+        pass

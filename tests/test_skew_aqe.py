@@ -90,3 +90,41 @@ def test_aqe_splits_skewed_join_partition(spark):
         assert rows["name_0"][0] == 200_000
     finally:
         _restore_confs(spark, saved)
+
+
+BLOOM_CONFS = {
+    # runtime bloom-filter join pruning: build a bloom filter from the
+    # FILTERED small side and inject a might_contain() predicate on
+    # the big side BEFORE its shuffle — at 100 TB this drops most of
+    # the probe-side shuffle traffic for selective dim filters. Local
+    # thresholds lowered so fixture sizes trip the same rule.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    # parquet-backed so the application side has a real scan size
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(200_000).select(
+        (F.col("id") % 1000).alias("k"), (F.col("id") % 97).alias("v")
+    ).write.parquet(fact_p)
+    spark.range(1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    ).write.parquet(dim_p)
+    saved = _with_confs(spark, BLOOM_CONFS)
+    try:
+        fact, dim = spark.read.parquet(fact_p), spark.read.parquet(dim_p)
+        sel_dim = dim.where(F.col("k") < 10)  # selective dim filter
+        joined = fact.join(sel_dim, "k").groupBy("name").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        rows = {r["name"]: r["n"] for r in joined.collect()}
+        assert len(rows) == 10 and all(n == 200 for n in rows.values())
+    finally:
+        _restore_confs(spark, saved)

@@ -223,3 +223,40 @@ def test_planktable_datasource_format(spark, tmp_path):
         .load()
     )
     assert old.columns == ["k"] and old.count() == 5
+
+
+def test_planktable_streaming_source(spark, tmp_path):
+    from plankton_spark.sources.planktable_ds import register
+
+    register(spark)
+    t = _mk(spark, tmp_path)
+    t.create(spark.range(0, 5).select(F.col("id").alias("k")))
+    t.append(spark.range(5, 9).select(F.col("id").alias("k")))
+
+    seen: dict[int, list[int]] = {}
+
+    def grab(bdf, bid):
+        seen.setdefault(bid, []).extend(r.k for r in bdf.collect())
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("planktable")
+            .option("path", t.path)
+            .load()
+            .writeStream.foreachBatch(grab)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(v for vs in seen.values() for v in vs) == list(range(9))
+    # new commits stream incrementally from the checkpointed offset
+    seen.clear()
+    t.append(spark.range(100, 103).select(F.col("id").alias("k")))
+    t.optimize(num_files=1)  # rewrite-only commit must NOT re-emit rows
+    run_once()
+    assert sorted(v for vs in seen.values() for v in vs) == [100, 101, 102]
