@@ -31,6 +31,83 @@ N_BANDS = 8
 ROWS_PER_BAND = 8
 JACCARD_THRESHOLD = 0.8
 
+# Skew guard for the LSH candidate self-join: a band bucket wider than
+# this is grid-split into ceil(width/cap) sub-buckets so no single join
+# task materializes more than ~cap^2 candidate pairs. 1024 keeps the
+# worst task at ~1M pairs (~16 MB of id-pairs) regardless of corpus
+# degeneracy — boilerplate-heavy web crawls routinely put 1e6+ docs in
+# one bucket, which unguarded is 1e12 pairs in ONE task.
+LSH_BUCKET_CAP = 1024
+
+
+def _lsh_cells(band_rows, cap):
+    """Sub-bucketed join sides for the LSH candidate self-join.
+
+    Buckets with width <= cap keep n_sub=1 and degenerate to the plain
+    (band_idx, band_hash) equi-join. Wider buckets get each doc a
+    stable sub-bucket g = xxhash64(doc_id) mod n_sub, and the self-join
+    becomes an upper-triangle grid of sub-bucket cells (the same
+    decomposition as gemm_candidates): side A of cell (pa, pb) carries
+    sub-bucket pa's docs, side B sub-bucket pb's, pa <= pb. Every
+    unordered doc pair lands in exactly one cell (both orientations in
+    a diagonal cell — the caller dedups), so the candidate set is
+    IDENTICAL to the unguarded join; only the task granularity changes.
+
+    Width detection is a partial-aggregated groupBy (shuffles one row
+    per distinct bucket, not per doc) filtered to width > cap — by
+    definition of skew that survivor set is tiny, so it broadcasts and
+    the docs themselves are never shuffled for the width lookup.
+    """
+    wide = (
+        band_rows.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_w"))
+        .where(F.col("bucket_w") > cap)
+        .select(
+            "band_idx",
+            "band_hash",
+            F.ceil(F.col("bucket_w") / cap).cast("int").alias("n_sub"),
+        )
+    )
+    rows = (
+        band_rows.join(F.broadcast(wide), ["band_idx", "band_hash"], "left")
+        .withColumn("n_sub", F.coalesce("n_sub", F.lit(1)))
+        .withColumn(
+            "g", F.pmod(F.xxhash64(F.col("doc_id") + 0x5DEECE66), F.col("n_sub")).cast("int")
+        )
+    )
+    side_a = rows.select(
+        "band_idx",
+        "band_hash",
+        F.col("g").alias("pa"),
+        F.explode(F.sequence(F.col("g"), F.col("n_sub") - 1)).alias("pb"),
+        F.col("doc_id").alias("ida"),
+    )
+    side_b = rows.select(
+        "band_idx",
+        "band_hash",
+        F.explode(F.sequence(F.lit(0), F.col("g"))).alias("pa"),
+        F.col("g").alias("pb"),
+        F.col("doc_id").alias("idb"),
+    )
+    return side_a, side_b
+
+
+def lsh_band_candidates(band_rows, cap=LSH_BUCKET_CAP):
+    """Distinct candidate pairs (doc_a < doc_b) from LSH band buckets,
+    skew-guarded via _lsh_cells. Replication cost for a bucket split s
+    ways is ~(s/2 + 1) copies per doc — linear in width, vs the
+    quadratic single-task blowup it prevents."""
+    side_a, side_b = _lsh_cells(band_rows, cap)
+    return (
+        side_a.join(side_b, ["band_idx", "band_hash", "pa", "pb"])
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+        )
+        .distinct()
+    )
+
 
 @query(
     "q_dedup_exact",
@@ -155,23 +232,17 @@ def q_dedup_minhash(spark, sf_dir):
         F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
         lambda b: F.struct(b.alias("band_idx"), _band_hash(b).alias("band_hash")),
     )
-    band_rows = (
+    # persist(): band_rows is consumed three times (bucket-width count
+    # for the skew guard + both self-join sides); without it the
+    # 64-minhash signature — the dominant compute — re-runs per
+    # consumer. 3 longs x 8 bands per doc, far smaller than the text.
+    band_rows = cache.persist_swap(
+        "q_dedup_minhash:band_rows",
         sets.select("doc_id", sig.alias("sig"))
         .select("doc_id", F.explode(bands_arr).alias("bb"))
-        .select("doc_id", F.col("bb.band_idx"), F.col("bb.band_hash"))
+        .select("doc_id", F.col("bb.band_idx"), F.col("bb.band_hash")),
     )
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = lsh_band_candidates(band_rows)
     # Exact verification on the hashed shingle arrays (same Jaccard —
     # xxhash64 collisions among ~500 shingles are ~1e-16 — but long
     # intersection beats 25-char string intersection).

@@ -128,3 +128,45 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
         assert len(rows) == 10 and all(n == 200 for n in rows.values())
     finally:
         _restore_confs(spark, saved)
+
+
+def test_lsh_bucket_skew_guard(spark):
+    """Planted degenerate LSH bucket: 200 docs share one band signature
+    (e.g. 200 near-empty boilerplate pages). Unguarded, the band
+    self-join materializes all 200*200 = 40k pairs in ONE task — the
+    shape that dies first at 100 TB. The guard must (a) keep the
+    candidate set EXACTLY identical and (b) bound the per-cell pair
+    count at ~cap^2."""
+    from plankton_spark.queries.llm_dedup import _lsh_cells, lsh_band_candidates
+
+    cap = 10
+    rows = [(i, 0, 42) for i in range(200)] + [(1000 + i, 1, 7) for i in range(5)]
+    band_rows = spark.createDataFrame(
+        rows, "doc_id long, band_idx int, band_hash long"
+    )
+
+    # (a) exactness: every in-bucket pair, nothing else, each once
+    cand = lsh_band_candidates(band_rows, cap=cap)
+    got = [(r.doc_a, r.doc_b) for r in cand.collect()]
+    expect = {(i, j) for i in range(200) for j in range(i + 1, 200)}
+    expect |= {(1000 + i, 1000 + j) for i in range(5) for j in range(i + 1, 5)}
+    assert len(got) == len(set(got)), "duplicate candidate pairs emitted"
+    assert set(got) == expect
+
+    # (b) bounded cells: the wide bucket is split ~20 ways; no grid
+    # cell's A-side x B-side pair count may approach the 40k blowup
+    side_a, side_b = _lsh_cells(band_rows, cap)
+    keys = ["band_idx", "band_hash", "pa", "pb"]
+    ca = side_a.groupBy(*keys).agg(F.count(F.lit(1)).alias("na"))
+    cb = side_b.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
+    cells = ca.join(cb, keys)
+    worst_side, worst_pairs = cells.select(
+        F.greatest(F.max("na"), F.max("nb")), F.max(F.col("na") * F.col("nb"))
+    ).first()
+    # expected sub-bucket width is cap (hash variance allows ~3x)
+    assert worst_side <= 3 * cap, f"sub-bucket width {worst_side} > {3 * cap}"
+    assert worst_pairs <= 9 * cap * cap, f"cell pair count {worst_pairs}"
+
+    # narrow bucket degenerates to the plain join: single (0, 0) cell
+    narrow = cells.where(F.col("band_idx") == 1).collect()
+    assert [(c.pa, c.pb, c.na, c.nb) for c in narrow] == [(0, 0, 5, 5)]
