@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -47,14 +48,25 @@ def main() -> None:
     def materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # one warm-up action so JVM/codegen startup isn't billed to q1
+    # one warm-up action so JVM/codegen startup isn't billed to q1,
+    # plus a warm-up of the first suite query (its first run still
+    # pays plan-specific codegen that later runs don't)
     materialize(qs["q_scan_parquet"](spark, sf_dir))
+    materialize(qs[HEADLINE[0]](spark, sf_dir))
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            materialize(qs[name](spark, sf_dir))
+            runs.append(time.time() - t0)
+        med = statistics.median(runs)
+        timings[name] = round(med, 3)
+        # half-spread relative to the median: (max-min)/2 / median
+        spread[name] = round((max(runs) - min(runs)) / 2 / med, 3) if med > 0 else 0.0
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -69,6 +81,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs_per_query": n_runs,
+                "rel_half_spread": spread,
             }
         )
     )

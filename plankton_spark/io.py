@@ -131,9 +131,12 @@ def table_path(sf_dir: str, name: str) -> str:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a fixture table. Plain parquet scan → full pushdown/pruning.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as epoch-nanos LONG and floor-convert to
-    TimestampType (µs). Declared queries never emit sub-second ``ts``
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader only accepts as epoch-nanos LONG via the legacy conf) and
+    plain TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize both to
+    TimestampType (µs, session tz = UTC so the NTZ→LTZ cast is
+    value-preserving). Declared queries never emit sub-second ``ts``
     (SURVEY.md §2.0), so the ns→µs floor is not hash-observable.
     """
     if name not in TABLES:
@@ -141,9 +144,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        ).select([f.name for f in SCHEMAS["events"].fields])
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # legacy fixture: TIMESTAMP(NANOS) surfaced as epoch-nanos long
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
+            )
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.select([f.name for f in SCHEMAS["events"].fields])
     return spark.read.parquet(table_path(sf_dir, name))
 
 

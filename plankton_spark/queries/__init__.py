@@ -3,6 +3,7 @@ registers every query + oracle into plankton_spark.registry."""
 
 from plankton_spark.queries import (  # noqa: F401
     aggregations,
+    delta_interop,
     events_analytics,
     filters,
     graph,

@@ -1,0 +1,153 @@
+"""Delta Lake log interop queries (VERDICT r2 #5): a tiny Delta table
+is authored BY HAND (data files via Spark's parquet writer, the
+`_delta_log` JSON commits written directly — no delta jar exists in
+this environment), then read back through
+plankton_spark/sources/delta_log.py with versionAsOf semantics. The
+oracle re-derives each version's content from the source fixture, so
+a wrong log replay (missed remove, stale metaData, partition-value
+mix-up) fails the value hash."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.queries.scans import _scratch
+from plankton_spark.registry import query
+from plankton_spark.sources.delta_log import read_delta
+
+
+def _write_data_file(df, root: str, rel_dir: str, name: str) -> str:
+    """Write `df` as a single parquet file at `<root>/<rel_dir>/<name>`
+    (Delta data files exclude partition columns; caller drops them)."""
+    tmp = os.path.join(root, "_tmp_write")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.makedirs(os.path.join(root, rel_dir) if rel_dir else root, exist_ok=True)
+    rel = f"{rel_dir}/{name}" if rel_dir else name
+    os.replace(part, os.path.join(root, rel))
+    shutil.rmtree(tmp)
+    return rel
+
+
+def _commit(root: str, version: int, actions: list[dict]) -> None:
+    with open(
+        os.path.join(root, "_delta_log", f"{version:020d}.json"), "w"
+    ) as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def author_delta_orders(spark, sf_dir: str, name: str = "delta_orders") -> str:
+    """Author a 3-version Delta table from `orders`, partitioned by
+    o_orderstatus:
+      v0  adds  o_orderkey < 1000
+      v1  adds  1000 <= o_orderkey < 2000
+      v2  removes every 'F'-partition file  (partition delete)
+    Returns the table root."""
+    root = _scratch(sf_dir, name)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "_delta_log"))
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    statuses = [
+        r["o_orderstatus"]
+        for r in o.select("o_orderstatus").distinct().orderBy("o_orderstatus").collect()
+    ]
+    meta = {
+        "metaData": {
+            "id": "plankton-delta-interop-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": o.schema.json(),
+            "partitionColumns": ["o_orderstatus"],
+            "configuration": {},
+        }
+    }
+    protocol = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+    def adds(lo: int, hi: int, tag: str) -> list[dict]:
+        out = []
+        for s in statuses:
+            part = o.where(
+                (F.col("o_orderkey") >= lo)
+                & (F.col("o_orderkey") < hi)
+                & (F.col("o_orderstatus") == s)
+            ).drop("o_orderstatus")
+            rel = _write_data_file(
+                part, root, f"o_orderstatus={s}", f"{tag}-{s}.parquet"
+            )
+            out.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"o_orderstatus": s},
+                        "size": os.path.getsize(os.path.join(root, rel)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        return out
+
+    v0_adds = adds(0, 1000, "v0")
+    _commit(root, 0, [protocol, meta] + v0_adds)
+    v1_adds = adds(1000, 2000, "v1")
+    _commit(root, 1, v1_adds)
+    removes = [
+        {"remove": {"path": a["add"]["path"], "dataChange": True}}
+        for a in v0_adds + v1_adds
+        if a["add"]["partitionValues"]["o_orderstatus"] == "F"
+    ]
+    _commit(root, 2, removes)
+    return root
+
+
+@query(
+    "q_deltalog_read",
+    oracle="""
+    WITH v0 AS (
+      SELECT * FROM orders WHERE o_orderkey < 1000
+    ),
+    v1 AS (
+      SELECT * FROM orders WHERE o_orderkey < 2000
+    ),
+    v2 AS (
+      SELECT * FROM orders WHERE o_orderkey < 2000 AND o_orderstatus <> 'F'
+    )
+    SELECT 0 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           COUNT(DISTINCT o_orderstatus) AS n_status FROM v0
+    UNION ALL
+    SELECT 1, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus) FROM v1
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus) FROM v2
+    """,
+)
+def q_deltalog_read(spark, sf_dir):
+    """Author a Delta table by hand, then read all three versions via
+    the pure-Python log replay + native parquet scan. The partition
+    column comes back from `partitionValues` (it is absent from the
+    data files), so n_status also checks the re-attachment path."""
+    root = author_delta_orders(spark, sf_dir)
+    frames = [
+        read_delta(spark, root, version=v)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+        )
+        .select(F.lit(v).alias("version"), "n_rows", "key_sum", "n_status")
+        for v in (0, 1, 2)
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -57,6 +57,12 @@ def _lsh_cells(band_rows, cap):
     per distinct bucket, not per doc) filtered to width > cap — by
     definition of skew that survivor set is tiny, so it broadcasts and
     the docs themselves are never shuffled for the width lookup.
+
+    NOTE: the `wide` agg appears as an identical subplan under both
+    join sides; "one shuffled row per distinct bucket" holds because
+    Spark's ReuseExchange dedupes the two occurrences. If the per-side
+    plans ever diverge (e.g. a projection pushed below the agg), the
+    width scan would run twice — checkpoint `wide` in that case.
     """
     wide = (
         band_rows.groupBy("band_idx", "band_hash")
@@ -72,7 +78,10 @@ def _lsh_cells(band_rows, cap):
         band_rows.join(F.broadcast(wide), ["band_idx", "band_hash"], "left")
         .withColumn("n_sub", F.coalesce("n_sub", F.lit(1)))
         .withColumn(
-            "g", F.pmod(F.xxhash64(F.col("doc_id") + 0x5DEECE66), F.col("n_sub")).cast("int")
+            # multi-arg seed form (no arithmetic → no ANSI overflow risk)
+            # while staying decorrelated from gemm_candidates' unseeded hash
+            "g",
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(0x5DEECE66)), F.col("n_sub")).cast("int"),
         )
     )
     side_a = rows.select(
@@ -95,8 +104,9 @@ def _lsh_cells(band_rows, cap):
 def lsh_band_candidates(band_rows, cap=LSH_BUCKET_CAP):
     """Distinct candidate pairs (doc_a < doc_b) from LSH band buckets,
     skew-guarded via _lsh_cells. Replication cost for a bucket split s
-    ways is ~(s/2 + 1) copies per doc — linear in width, vs the
-    quadratic single-task blowup it prevents."""
+    ways is ~(s/2 + 1) copies per doc per join side (s + 1 total across
+    both sides) — linear in width, vs the quadratic single-task blowup
+    it prevents."""
     side_a, side_b = _lsh_cells(band_rows, cap)
     return (
         side_a.join(side_b, ["band_idx", "band_hash", "pa", "pb"])

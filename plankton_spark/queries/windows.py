@@ -71,14 +71,68 @@ def q_win_rank(spark, sf_dir):
     """,
 )
 def q_win_ntile_pctrank(spark, sf_dir):
-    """ntile / percent_rank / cume_dist over a global tie-broken order."""
-    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 3000)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    """ntile / percent_rank / cume_dist over a global tie-broken order,
+    computed WITHOUT a single-partition window (the naive
+    Window.orderBy(...) plan funnels every row through one task).
+
+    Two-pass global ranking:
+      1. range-repartition on the sort key; count rows per range
+         partition (partial-aggregated: one row per partition id);
+      2. turn those P counts into exclusive prefix offsets with a tiny
+         broadcast theta-join (no global window, no driver collect —
+         same idea as RDD.zipWithIndex's count pass, kept on
+         executors);
+      3. row_number windowed BY partition id (P-way parallel) + offset
+         = exact global rank. The sort key is tie-broken by a unique
+         key (§2.0), so rank == row_number and the rank-family exprs
+         are closed-form in (rn, n).
+
+    NTILE(k) follows SQL semantics: the first n % k tiles get
+    ceil(n/k) rows, the rest floor(n/k).
+    """
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    p = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = o.repartitionByRange(p, "o_totalprice", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # pass 1: per-range-partition counts (tiny: ≤ p rows; the range
+    # exchange is shared with pass 2 via ReuseExchange)
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    c2 = counts.select(F.col("pid").alias("pid2"), F.col("cnt").alias("cnt2"))
+    offsets = (
+        counts.join(F.broadcast(c2), F.col("pid2") < F.col("pid"), "left")
+        .groupBy("pid")
+        .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).alias("off"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+    # pass 2: per-partition row_number (WindowExec partitioned by pid —
+    # p-way parallel), then shift by the broadcast prefix offset
+    wlocal = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    rn = (F.col("off") + F.row_number().over(wlocal)).alias("rn")
+    ranked = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .select("o_orderkey", "n", rn)
+    )
+    k = F.lit(4)
+    base = (F.col("n") / k).cast("long")  # floor(n/k)
+    rem = F.col("n") % k
+    in_big = F.col("rn") <= rem * (base + 1)
+    quartile = (
+        F.when(in_big, ((F.col("rn") - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(rem + ((F.col("rn") - rem * (base + 1) - 1) / base).cast("long") + 1)
+        .cast("int")
+    )
+    pct = F.when(F.col("n") > 1, (F.col("rn") - 1) / (F.col("n") - 1)).otherwise(F.lit(0.0))
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        quartile.alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(F.col("rn") / F.col("n"), 6).alias("cume"),
     )
 
 

@@ -27,34 +27,67 @@ EVENTS_NANOS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+EVENTS_NTZ_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_ts_is_nanos(parquet_file: str) -> bool:
+    """The fixture's physical ts encoding has varied across driver
+    generations: TIMESTAMP(NANOS) (only readable as epoch-nanos long
+    via the legacy conf) vs TIMESTAMP(MICROS) (plain TIMESTAMP_NTZ)."""
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(parquet_file).field("ts").type) == "timestamp[ns]"
+
+
+def _events_source_key(sf_dir: str) -> str:
+    """Stage-dir key tied to the source file's identity, so a
+    regenerated fixture never replays a stale staged copy."""
+    import os
+
+    st = os.stat(table_path(sf_dir, "events"))
+    return f"{st.st_size}_{int(st.st_mtime)}"
+
+
+def _normalized_events_stream(spark: SparkSession, stage: str, src: str, **opts):
+    """readStream over `stage` with ts normalized to TimestampType
+    (µs, session tz UTC) whichever physical encoding `src` has."""
+    if _events_ts_is_nanos(src):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        reader = spark.readStream.schema(EVENTS_NANOS_SCHEMA).format("parquet")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        raw = reader.load(stage)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    reader = spark.readStream.schema(EVENTS_NTZ_SCHEMA).format("parquet")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    raw = reader.load(stage)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a replayable file-source stream.
 
     The file source consumes a *directory* (files arriving over time),
-    so the fixture file is staged into a scratch dir once. Same ns→µs
-    handling as the batch reader (io.read_table): ts is
-    TIMESTAMP(NANOS) in the footer, so we read epoch-nanos as long and
-    floor to µs TimestampType.
+    so the fixture file is staged into a scratch dir once (keyed by the
+    source's size+mtime so regenerated fixtures restage). ts is
+    normalized to µs TimestampType whichever physical encoding the
+    fixture has — see _normalized_events_stream / io.read_table.
     """
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    stage = f"{SCRATCH}/{tag}/events_src"
+    stage = f"{SCRATCH}/{tag}/events_src_{_events_source_key(sf_dir)}"
     os.makedirs(stage, exist_ok=True)
     dst = f"{stage}/events.parquet"
     if not os.path.exists(dst):
         shutil.copyfile(table_path(sf_dir, "events"), dst)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
-        .format("parquet")
-        .load(stage)
-    )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    return _normalized_events_stream(spark, stage, dst)
 
 
 def with_second_ts(df: DataFrame) -> DataFrame:
@@ -223,7 +256,7 @@ def read_events_stream_batched(
     import pyarrow.parquet as pq
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    stage = f"{SCRATCH}/{tag}/events_src_split{n_files}"
+    stage = f"{SCRATCH}/{tag}/events_src_split{n_files}_{_events_source_key(sf_dir)}"
     if not os.path.exists(stage):
         os.makedirs(stage, exist_ok=True)
         tbl = pq.read_table(table_path(sf_dir, "events"))
@@ -234,15 +267,8 @@ def read_events_stream_batched(
             dst = f"{stage}/part{i:02d}.parquet"
             pq.write_table(tbl.slice(lo, hi - lo), dst)
             os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(stage)
-    )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    return _normalized_events_stream(
+        spark, stage, f"{stage}/part00.parquet", maxFilesPerTrigger=1
     )
 
 

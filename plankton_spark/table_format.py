@@ -46,6 +46,13 @@ class CommitConflict(Exception):
     """Another writer claimed this version first."""
 
 
+class ConcurrentModification(Exception):
+    """A conflicting writer rewrote/removed files this commit depends
+    on (same rule Delta applies: blind appends always serialize;
+    a DELETE/MERGE whose target files are no longer live must not
+    commit stale actions)."""
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_log")
 
@@ -289,12 +296,27 @@ class PlankTable:
         return (vs[-1] + 1) if vs else 0
 
     def _commit_with_retry(self, operation, make_actions, max_retries=20) -> int:
-        """Optimistic concurrency loop: recompute actions against the
-        current snapshot, try to claim the next version, rebase on
-        conflict."""
+        """Optimistic concurrency loop: try to claim the next version;
+        on conflict, re-validate and retry. Claiming the version file
+        (O_EXCL) is the serialization point, so a commit whose
+        validation passed against version v-1 and then won v is
+        correct. Validation rule (Delta's): actions that only ADD
+        files serialize against anything; actions that REMOVE files
+        are only valid while every removed file is still live — if a
+        concurrent writer rewrote one of them, committing the stale
+        rewrite would silently undo that writer, so raise
+        ConcurrentModification instead."""
         for _ in range(max_retries):
             v = self._next_version()
             add, remove = make_actions()
+            if remove:
+                live = self._snapshot()
+                gone = sorted(r for r in remove if r not in live)
+                if gone:
+                    raise ConcurrentModification(
+                        f"{self.path}: {operation} depends on files no longer "
+                        f"live (rewritten by a concurrent commit): {gone[:5]}"
+                    )
             try:
                 return self._commit(v, operation=operation, add=add, remove=remove)
             except CommitConflict:

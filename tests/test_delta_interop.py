@@ -1,0 +1,117 @@
+"""Delta-log interop reader tests (VERDICT r2 #5): author a Delta
+table by hand (no delta jar in this environment), then verify log
+replay, versionAsOf, partition-value re-attachment, the
+`spark.read.format("deltalog")` wrapper, and checkpoint-parquet
+handling."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.queries.delta_interop import author_delta_orders
+from plankton_spark.sources.delta_log import DeltaLog, read_delta, register
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def delta_root(spark):
+    return author_delta_orders(spark, SF0001, name="delta_orders_test")
+
+
+def _expected(spark, lo, hi, drop_f=False):
+    o = read_table(spark, SF0001, "orders").where(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+    )
+    if drop_f:
+        o = o.where(F.col("o_orderstatus") != "F")
+    return o
+
+
+def test_versioned_reads_match_source(spark, delta_root):
+    for v, hi, drop_f in ((0, 1000, False), (1, 2000, False), (2, 2000, True)):
+        got = read_delta(spark, delta_root, version=v)
+        exp = _expected(spark, 0, hi, drop_f)
+        assert got.count() == exp.count(), f"version {v}"
+        g = got.agg(F.sum("o_orderkey")).collect()[0][0]
+        e = exp.agg(F.sum("o_orderkey")).collect()[0][0]
+        assert g == e, f"version {v} key sum"
+
+
+def test_partition_column_reattached(spark, delta_root):
+    got = read_delta(spark, delta_root, version=2)
+    statuses = {r[0] for r in got.select("o_orderstatus").distinct().collect()}
+    assert "F" not in statuses and statuses, statuses
+    # partition col is string-typed per the declared schema
+    assert dict(got.dtypes)["o_orderstatus"] == "string"
+
+
+def test_default_version_is_latest(spark, delta_root):
+    assert read_delta(spark, delta_root).count() == read_delta(
+        spark, delta_root, version=2
+    ).count()
+
+
+def test_format_deltalog_wrapper(spark, delta_root):
+    register(spark)
+    df = (
+        spark.read.format("deltalog")
+        .option("path", delta_root)
+        .option("versionAsOf", 1)
+        .load()
+    )
+    exp = _expected(spark, 0, 2000)
+    assert df.count() == exp.count()
+    assert sorted(df.columns) == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    got_sum = df.agg(F.sum("o_orderkey")).collect()[0][0]
+    assert got_sum == exp.agg(F.sum("o_orderkey")).collect()[0][0]
+
+
+def test_checkpoint_replay(spark, delta_root, tmp_path):
+    """A table whose early JSON commits were compacted into a
+    checkpoint parquet must replay from the checkpoint."""
+    root = str(tmp_path / "ckpt_table")
+    shutil.copytree(delta_root, root)
+    log = os.path.join(root, "_delta_log")
+    # build a v1 checkpoint holding the net state of commits 0..1
+    schema, part_cols, files = DeltaLog(root).snapshot(1)
+    rows = []
+    with open(os.path.join(log, f"{0:020d}.json")) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "metaData" in a:
+                md = {
+                    k: v
+                    for k, v in a["metaData"].items()
+                    # empty dicts (configuration/format.options) can't
+                    # round-trip pa.Table.from_pylist → parquet; the
+                    # reader only needs schemaString + partitionColumns
+                    if k in ("id", "schemaString", "partitionColumns")
+                }
+                rows.append({"metaData": md, "add": None})
+    for path, pv in files:
+        rel = os.path.relpath(path, root)
+        rows.append(
+            {"metaData": None, "add": {"path": rel, "partitionValues": pv}}
+        )
+    tbl = pa.Table.from_pylist(rows)
+    pq.write_table(tbl, os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    # drop the JSON commits the checkpoint supersedes
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    got = read_delta(spark, root)  # latest = v2 (checkpoint + 2.json)
+    exp = _expected(spark, 0, 2000, drop_f=True)
+    assert got.count() == exp.count()
+
+
+def test_missing_log_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        DeltaLog(str(tmp_path / "nope"))

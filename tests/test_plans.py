@@ -99,6 +99,21 @@ def test_events_filter_pushdown_survives_ns_conversion(spark):
     assert m and "user_id" in m.group(1), plan
 
 
+def test_global_ranking_has_no_single_partition_window(spark):
+    """q_win_ntile_pctrank must not funnel all rows through one task:
+    every WindowExec in the plan needs a non-empty partition spec
+    (the two-pass range-partition + offset design, VERDICT r2 #2)."""
+    df = all_queries()["q_win_ntile_pctrank"](spark, SF0001)
+    plan = plan_of(df)
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs, plan
+    # every window spec's first column is the partition key `pid`
+    # (an unpartitioned spec would lead with the order col o_totalprice)
+    assert set(specs) == {"pid"}, specs
+    # and the range-repartition pass must be present (shared via reuse)
+    assert "rangepartitioning" in plan.lower(), plan
+
+
 def test_python_datasource_partition_fanout(spark):
     """The custom Python DataSource's partitions() must drive scan
     parallelism — 8 declared slices → 8 scan partitions."""
