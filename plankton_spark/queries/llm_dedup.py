@@ -183,6 +183,22 @@ def q_dedup_minhash(spark, sf_dir):
     → exact Jaccard verification ≥ 0.8. The oracle is the brute-force
     O(n²) Jaccard; LSH must match it exactly at this threshold.
     """
+    sets, band_rows = minhash_structures(spark, sf_dir)
+    candidates = lsh_band_candidates(band_rows)
+    # Exact verification on the hashed shingle arrays (same Jaccard —
+    # xxhash64 collisions among ~500 shingles are ~1e-16 — but long
+    # intersection beats 25-char string intersection).
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
+    return _verify_candidates(candidates, sa, sb)
+
+
+def minhash_structures(spark, sf_dir):
+    """(sets, band_rows) for the MinHash-LSH pipeline — shared by
+    q_dedup_minhash and the skew watcher (framework/skewwatch.py).
+
+    sets: (doc_id, s: shingle strings, hs: hashed shingles), persisted.
+    band_rows: (doc_id, band_idx, band_hash), persisted."""
     d = read_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
@@ -252,12 +268,10 @@ def q_dedup_minhash(spark, sf_dir):
         .select("doc_id", F.explode(bands_arr).alias("bb"))
         .select("doc_id", F.col("bb.band_idx"), F.col("bb.band_hash")),
     )
-    candidates = lsh_band_candidates(band_rows)
-    # Exact verification on the hashed shingle arrays (same Jaccard —
-    # xxhash64 collisions among ~500 shingles are ~1e-16 — but long
-    # intersection beats 25-char string intersection).
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
+    return sets, band_rows
+
+
+def _verify_candidates(candidates, sa, sb):
     verified = (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")

@@ -247,26 +247,26 @@ def q_sink_pyds(spark, sf_dir):
     """,
 )
 def q_scan_avro(spark, sf_dir):
-    """Avro sink → source roundtrip through the pure-Python OCF
-    connector (sources/avro_ocf.py — the spark-avro jar is absent from
-    the pip distribution, so the engine ships its own spec-compliant
-    codec behind the Python DataSource API). Deflate-compressed blocks,
-    self-describing schema read back from the file header, one
-    partition per file. Shadow oracle on the original customer table
-    proves the roundtrip lossless across int/long/double/string."""
+    """Avro sink → source roundtrip through the config-gated connector
+    (sources/avro_ocf.py): `spark.plankton.avro.impl=auto` uses the
+    native spark-avro JVM module when it is on the classpath (the
+    100 TB path) and otherwise the engine's own spec-compliant
+    pure-Python OCF codec behind the Python DataSource API —
+    deflate-compressed blocks, self-describing schema read back from
+    the file header, one partition per file. Shadow oracle on the
+    original customer table proves the roundtrip lossless across
+    int/long/double/string."""
     from plankton_spark.sources import avro_ocf
 
-    avro_ocf.register(spark)
     path = _scratch(sf_dir, "customer_avro")
-    (
-        read_table(spark, sf_dir, "customer")
-        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
-        .write.format("pyavro")
-        .option("path", path)
-        .mode("overwrite")
-        .save()
+    avro_ocf.write_avro(
+        spark,
+        read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+        ),
+        path,
     )
-    back = spark.read.format("pyavro").option("path", path).load()
+    back = avro_ocf.read_avro(spark, path)
     return back.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("c_custkey").cast("long").alias("sum_key"),

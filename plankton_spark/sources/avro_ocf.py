@@ -395,3 +395,65 @@ class AvroOCFDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(AvroOCFDataSource)
+
+
+# ---------------------------------------------------------------------
+# JVM/python implementation gate (VERDICT r2 #6)
+# ---------------------------------------------------------------------
+
+IMPL_CONF = "spark.plankton.avro.impl"  # auto | jvm | python
+
+
+def jvm_avro_available(spark) -> bool:
+    """True when the spark-avro JVM module is on the classpath (not
+    bundled in the pip distribution, but present when the cluster was
+    launched with --packages org.apache.spark:spark-avro). Probed by
+    actually resolving the `avro` data source — a class-existence
+    check is unreliable through Py4J's lazy name resolution."""
+    try:
+        spark.read.format("avro").schema("probe int").load(
+            "/plankton-avro-availability-probe-nonexistent"
+        )
+        return True
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        # "Failed to find data source: avro" → module absent; any other
+        # failure (path not found) means the source resolved fine
+        return "find data source" not in msg and "FAILED_FIND_DATA_SOURCE" not in msg
+
+
+def resolve_impl(spark) -> str:
+    """Pick the Avro implementation per `spark.plankton.avro.impl`:
+    `auto` (default) uses the JVM module when present — native columnar
+    path, the right choice at 100 TB — else the pure-Python codec;
+    `jvm` / `python` force one (forcing jvm without the jar raises)."""
+    mode = spark.conf.get(IMPL_CONF, "auto")
+    if mode not in ("auto", "jvm", "python"):
+        raise ValueError(f"{IMPL_CONF} must be auto|jvm|python, got {mode!r}")
+    if mode == "auto":
+        return "jvm" if jvm_avro_available(spark) else "python"
+    if mode == "jvm" and not jvm_avro_available(spark):
+        raise RuntimeError(
+            f"{IMPL_CONF}=jvm but spark-avro is not on the classpath"
+        )
+    return mode
+
+
+def write_avro(spark, df, path: str) -> str:
+    """Write `df` as Avro at `path` via the resolved implementation.
+    Returns the implementation used ('jvm' | 'python')."""
+    impl = resolve_impl(spark)
+    if impl == "jvm":
+        df.write.format("avro").mode("overwrite").save(path)
+    else:
+        register(spark)
+        df.write.format("pyavro").option("path", path).mode("overwrite").save()
+    return impl
+
+
+def read_avro(spark, path: str):
+    """Read an Avro directory via the resolved implementation."""
+    if resolve_impl(spark) == "jvm":
+        return spark.read.format("avro").load(path)
+    register(spark)
+    return spark.read.format("pyavro").option("path", path).load()

@@ -10,6 +10,7 @@ import os
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from plankton_spark.sources import avro_ocf
 from tests.conftest import SF0001  # noqa: F401  (shared session fixture import)
@@ -107,3 +108,47 @@ def test_unsupported_type_rejected(spark, tmp_path):
         df.write.format("pyavro").option("path", str(tmp_path / "bad")).mode(
             "overwrite"
         ).save()
+
+
+def test_impl_gate_auto_falls_back_to_python(spark):
+    """No spark-avro jar in this environment → auto resolves python."""
+    assert avro_ocf.jvm_avro_available(spark) is False
+    assert avro_ocf.resolve_impl(spark) == "python"
+
+
+def test_impl_gate_forced_jvm_without_jar_raises(spark):
+    spark.conf.set(avro_ocf.IMPL_CONF, "jvm")
+    try:
+        with pytest.raises(RuntimeError, match="classpath"):
+            avro_ocf.resolve_impl(spark)
+    finally:
+        spark.conf.unset(avro_ocf.IMPL_CONF)
+
+
+def test_impl_gate_auto_prefers_jvm_when_present(spark, monkeypatch):
+    monkeypatch.setattr(avro_ocf, "jvm_avro_available", lambda s: True)
+    assert avro_ocf.resolve_impl(spark) == "jvm"
+    spark.conf.set(avro_ocf.IMPL_CONF, "python")
+    try:
+        # explicit python wins even with the jar present
+        assert avro_ocf.resolve_impl(spark) == "python"
+    finally:
+        spark.conf.unset(avro_ocf.IMPL_CONF)
+
+
+def test_impl_gate_invalid_value_rejected(spark):
+    spark.conf.set(avro_ocf.IMPL_CONF, "nope")
+    try:
+        with pytest.raises(ValueError, match="auto|jvm|python"):
+            avro_ocf.resolve_impl(spark)
+    finally:
+        spark.conf.unset(avro_ocf.IMPL_CONF)
+
+
+def test_write_read_helpers_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "helpers_avro")
+    df = spark.range(20).select(F.col("id").alias("k"))
+    used = avro_ocf.write_avro(spark, df, path)
+    assert used == "python"
+    back = avro_ocf.read_avro(spark, path)
+    assert sorted(r.k for r in back.collect()) == list(range(20))

@@ -218,7 +218,8 @@ def test_stream_stateful_running_total(spark):
         pytest.skip(
             "google.protobuf not installed — transformWithStateInPandas's "
             "driver worker requires it (applyInPandasWithState is the "
-            "shipped stateful path, tested below)"
+            "shipped stateful path, tested below); pinned in "
+            "requirements-optional.txt for real deployments"
         )
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
