@@ -85,15 +85,16 @@ def gemm_cell_skew(spark, sf_dir: str, ledger: RunLedger | None = None) -> dict:
     side is hash-blocked, so cell width ≈ n_rows / n_blocks; a skewed
     distribution here means the block hash degenerated."""
     from plankton_spark.io import read_table
-    from plankton_spark.queries.llm_vectors import GEMM_BLOCKS
+    from plankton_spark.queries.llm_dedup import adaptive_gemm_blocks
 
     emb = read_table(spark, sf_dir, "embeddings")
-    blocked = emb.select(
-        F.pmod(F.xxhash64("vec_id"), F.lit(GEMM_BLOCKS)).alias("pb")
-    )
     n = emb.count()
+    n_blocks = adaptive_gemm_blocks(n)
+    blocked = emb.select(
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("pb")
+    )
     # a healthy hash keeps every cell within 2x the ideal share
-    cap = max(1, (2 * n) // GEMM_BLOCKS)
+    cap = max(1, (2 * n) // n_blocks)
     return key_width_skew(
         blocked, ["pb"], op="gemm_cell_skew", ledger=ledger, cap=cap
     )

@@ -228,3 +228,49 @@ def q_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("dur_sec").cast("long").alias("total_dur_sec"),
     )
+
+
+@query(
+    "q_sample_assembly",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND})
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type || ':' || CAST(event_id AS VARCHAR), ' '
+                      ORDER BY ts2, event_id) AS trajectory,
+           strftime(MIN(ts2), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(MAX(ts2), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM e WHERE user_id < 40
+    GROUP BY user_id
+    """,
+)
+def q_sample_assembly(spark, sf_dir):
+    """Training-sample assembly: each user's event stream becomes one
+    ordered trajectory string (the events→episode step of an
+    agent/behavioral pretraining pipeline).
+
+    Shape: ONE groupBy(user_id) with collect_list of (ts, id, token)
+    structs, sorted per group with sort_array (struct ordering = field
+    order → (ts, event_id) tie-break) and folded to a string — no
+    window, no second shuffle; partial aggs combine map-side. Skewed
+    users at 100 TB are handled upstream by the same salting pattern
+    as q_join_salted; per-user payloads are the sample itself, which
+    any assembly step must materialize somewhere."""
+    e = _events_second(spark, sf_dir).where(F.col("user_id") < 40)
+    tok = F.struct(
+        F.col("ts2"),
+        F.col("event_id"),
+        F.concat_ws(":", "event_type", F.col("event_id").cast("string")).alias("t"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(tok)), lambda s: s["t"]),
+                " ",
+            ).alias("trajectory"),
+            F.date_format(F.min("ts2"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts2"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )

@@ -427,9 +427,21 @@ def pair_cosines(embeddings, a_filter=None, pair_cond=None):
 
 
 GEMM_BLOCKS = 4
+# adaptive blocking target: keep each grid cell's two blocks around
+# this many rows so the per-task cos matrix (rows² float64) stays
+# ~128 MB — small enough for executor memory, big enough for BLAS
+GEMM_TARGET_BLOCK_ROWS = 4096
 
 
-def gemm_candidates(spark, embeddings, threshold, margin=1e-6, n_blocks=GEMM_BLOCKS):
+def adaptive_gemm_blocks(n_rows: int) -> int:
+    """Blocks for an all-pairs GEMM over `n_rows` vectors: at least
+    GEMM_BLOCKS (task parallelism on small data), and enough that a
+    block stays near GEMM_TARGET_BLOCK_ROWS — the '100 TB: raise
+    n_blocks until a cell fits one task' rule made automatic."""
+    return max(GEMM_BLOCKS, -(-n_rows // GEMM_TARGET_BLOCK_ROWS))
+
+
+def gemm_candidates(spark, embeddings, threshold, margin=1e-6, n_blocks=None):
     """No-false-negative cosine candidate pairs via grid-blocked GEMM.
 
     Fully distributed — nothing is collected to the driver. Each vector
@@ -448,7 +460,13 @@ def gemm_candidates(spark, embeddings, threshold, margin=1e-6, n_blocks=GEMM_BLO
     the caller removes false positives with an exact-decimal rescore
     (dot_cosine), keeping results bit-identical to the brute-force
     oracle. Emits only (vec_a < vec_b) pairs, each exactly once.
+
+    n_blocks=None auto-scales via adaptive_gemm_blocks (a metadata
+    count — parquet footers, no data read); the output is identical
+    for ANY blocking, so this never changes results.
     """
+    if n_blocks is None:
+        n_blocks = adaptive_gemm_blocks(embeddings.count())
     e = embeddings.select(
         "vec_id",
         "embedding",
@@ -597,4 +615,76 @@ def q_dedup_embcos(spark, sf_dir):
     return (
         pc.where(F.col("cosine") >= 0.4)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+SPAN_GRAM = 10  # tokens per span fingerprint
+SPAN_MIN_SHARED = 5  # report pairs sharing at least this many spans
+
+
+@query(
+    "q_dedup_spans",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, GREATEST(LENGTH(string_split(text,' ')) - {SPAN_GRAM - 1}, 1)),
+               i -> array_to_string((string_split(text,' '))[i:i+{SPAN_GRAM - 1}], ' ')))) AS g
+      FROM documents
+    ),
+    dup_grams AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_spans
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      WHERE a.g IN (SELECT g FROM dup_grams)
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {SPAN_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, CAST(n_shared_spans AS BIGINT) AS n_shared_spans
+    FROM pairs
+    """,
+)
+def q_dedup_spans(spark, sf_dir):
+    """Exact substring-span dedup (the suffix-array-style 'repeated
+    span' pass of pretraining pipelines, re-expressed relationally):
+    distinct 10-token span fingerprints per doc → keep only spans seen
+    in ≥2 docs (the HAVING agg is the frequency cut that keeps the
+    self-join off the unique-span long tail, which is ~all spans) →
+    span-equality self-join → pairs sharing ≥5 spans.
+
+    Scale posture: one shuffle to count span frequency (partial agg on
+    the span hash), one shuffled self-join restricted to duplicated
+    spans only. A stop-span cap (drop spans in >K docs, the skew guard
+    for boilerplate) would bound the join fan-out at 100 TB — the
+    fixture has no such spans, so the cap is left to the docstring
+    plus lsh-style salting if needed. Joining on the 64-bit xxhash of
+    the span (not the 10-token string) keeps shuffle rows narrow; at
+    ~500 spans/doc a hash collision is ~1e-13 and cannot create a
+    ≥5-span pair."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (SPAN_GRAM - 1), F.lit(1)))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    # DuckDB's [i:i+k] slice is INCLUSIVE (k+1 tokens), so
+                    # the oracle's [i:i+SPAN_GRAM-1] is SPAN_GRAM tokens
+                    idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, SPAN_GRAM)))
+                )
+            )
+        ).alias("g"),
+    )
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1)
+    hot = grams.join(dup.select("g"), "g")
+    a = hot.select(F.col("doc_id").alias("doc_a"), "g")
+    b = hot.select(F.col("doc_id").alias("doc_b"), "g")
+    return (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_spans"))
+        .where(F.col("n_shared_spans") >= SPAN_MIN_SHARED)
     )

@@ -676,3 +676,93 @@ def q_source_mix(spark, sf_dir):
             F.expr("s * 1000000 DIV ts").alias("token_budget"),
         )
     )
+
+
+@query(
+    "q_text_filter_chain",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source,
+             LENGTH(string_split(text, ' ')) AS wc,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / LENGTH(string_split(text, ' ')) AS mwl,
+             CAST(LENGTH(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS nonalpha,
+             CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS DOUBLE)
+               / LENGTH(string_split(text, ' ')) AS dots_per_word
+      FROM documents
+    ),
+    r AS (
+      SELECT source,
+             (wc BETWEEN 40 AND 5000)          AS ok_wordcount,
+             (mwl BETWEEN 2.0 AND 12.0)        AS ok_meanwordlen,
+             (nonalpha <= 0.35)                AS ok_alpharatio,
+             (dots_per_word <= 0.30)           AS ok_punct
+      FROM m
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT ok_wordcount  THEN 1 ELSE 0 END) AS BIGINT)
+             AS kill_wordcount,
+           CAST(SUM(CASE WHEN NOT ok_meanwordlen THEN 1 ELSE 0 END) AS BIGINT)
+             AS kill_meanwordlen,
+           CAST(SUM(CASE WHEN NOT ok_alpharatio THEN 1 ELSE 0 END) AS BIGINT)
+             AS kill_alpharatio,
+           CAST(SUM(CASE WHEN NOT ok_punct      THEN 1 ELSE 0 END) AS BIGINT)
+             AS kill_punct,
+           CAST(SUM(CASE WHEN ok_wordcount AND ok_meanwordlen
+                          AND ok_alpharatio AND ok_punct
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM r GROUP BY source
+    """,
+)
+def q_text_filter_chain(spark, sf_dir):
+    """Gopher/C4-style quality-filter chain: per-source kill counts
+    for each heuristic rule (word-count bounds, mean word length,
+    non-alphabetic ratio, punctuation density) plus the survivor count
+    after the full chain. All rules are single-pass column
+    expressions over one scan — at 100 TB this is the map-side filter
+    stage ahead of dedup, and the per-rule kill counts are the
+    monitoring signal for a mis-tuned rule killing a whole source.
+
+    Counts are integer-exact; the rule thresholds compare ratios both
+    engines compute identically (integer-derived doubles, no
+    accumulation order)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    wc = F.size(toks)
+    mwl = F.length(F.replace("text", F.lit(" "), F.lit(""))).cast("double") / wc
+    nonalpha = (
+        F.length(F.regexp_replace("text", "[a-z]", "")).cast("double")
+        / F.length("text")
+    )
+    dots = (
+        (F.length("text") - F.length(F.replace("text", F.lit("."), F.lit(""))))
+        .cast("double")
+        / wc
+    )
+    r = d.select(
+        "source",
+        wc.between(40, 5000).alias("ok_wordcount"),
+        mwl.between(2.0, 12.0).alias("ok_meanwordlen"),
+        (nonalpha <= 0.35).alias("ok_alpharatio"),
+        (dots <= 0.30).alias("ok_punct"),
+    )
+    survived = (
+        F.col("ok_wordcount")
+        & F.col("ok_meanwordlen")
+        & F.col("ok_alpharatio")
+        & F.col("ok_punct")
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.col("ok_wordcount")).cast("int")).cast("long").alias("kill_wordcount"),
+        F.sum((~F.col("ok_meanwordlen")).cast("int"))
+        .cast("long")
+        .alias("kill_meanwordlen"),
+        F.sum((~F.col("ok_alpharatio")).cast("int"))
+        .cast("long")
+        .alias("kill_alpharatio"),
+        F.sum((~F.col("ok_punct")).cast("int")).cast("long").alias("kill_punct"),
+        F.sum(survived.cast("int")).cast("long").alias("n_survivors"),
+    )

@@ -73,7 +73,7 @@ GEMM_BLOCKS = 4
 
 
 def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
-                          n_blocks=GEMM_BLOCKS):
+                          n_blocks=None):
     """Per-query top-k candidate pairs via grid-blocked GEMM,
     superset-exact and fully distributed (no driver collect).
 
@@ -92,7 +92,15 @@ def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
     final ROUND(...,6) tie window (5e-7), so the true rounded top-k
     (ties broken by n_id) is always inside the candidate set. At
     100 TB you also block the probe side (same pa/pb grid as
-    llm_dedup.gemm_candidates); probes here are bounded small."""
+    llm_dedup.gemm_candidates); probes here are bounded small.
+
+    n_blocks=None auto-scales the base-side blocking with corpus size
+    (llm_dedup.adaptive_gemm_blocks); any blocking yields identical
+    results, so this is purely a task-sizing decision."""
+    if n_blocks is None:
+        from plankton_spark.queries.llm_dedup import adaptive_gemm_blocks
+
+        n_blocks = adaptive_gemm_blocks(embeddings.count())
     base = embeddings.select(
         "vec_id",
         "embedding",
@@ -488,4 +496,70 @@ def q_knn_ivf(spark, sf_dir):
     recall = round(hits / total, 4) if total else 0.0
     return spark.createDataFrame(
         [(recall, hits, total)], "recall_at_5 double, n_hits long, n_exact long"
+    )
+
+
+GRAM_DIMS = 16  # leading dims for the declared Gram query
+
+
+@query(
+    "q_emb_gram",
+    oracle=f"""
+    WITH u AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
+        SELECT vec_id, UNNEST(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ) WHERE i <= {GRAM_DIMS}
+    )
+    SELECT a.i AS dim_i, b.i AS dim_j,
+           ROUND(CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE), 6)
+             AS gram,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def q_emb_gram(spark, sf_dir):
+    """Distributed exact Gram matrix over the leading 16 dims — the
+    X'X building block of PCA/whitening for embedding pipelines.
+
+    Shape: each vector emits its upper-triangle outer-product entries
+    (i <= j, 136 decimal products) from ONE higher-order expression —
+    no self-join, no shuffle of vectors. The groupBy (i, j) has 136
+    groups, so partial (map-side) aggregation reduces the shuffle to
+    136 rows per input partition regardless of corpus size; the
+    eigendecomposition of the resulting 16x16 (driver-side, metadata-
+    sized) is deliberately out of scope — the distributed part of PCA
+    IS this matrix. Decimal accumulation keeps the sums
+    order-independent and bit-identical to the oracle."""
+    e = read_table(spark, sf_dir, "embeddings")
+    dec = "decimal(30,12)"
+    head = F.slice("embedding", 1, GRAM_DIMS)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(GRAM_DIMS)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(GRAM_DIMS)),
+                lambda j: F.struct(
+                    i.alias("dim_i"),
+                    j.alias("dim_j"),
+                    (
+                        F.element_at(head, i).cast("double")
+                        * F.element_at(head, j).cast("double")
+                    )
+                    .cast(dec)
+                    .alias("p"),
+                ),
+            ),
+        )
+    )
+    return (
+        e.select(F.explode(pairs).alias("e"))
+        .select("e.dim_i", "e.dim_j", "e.p")
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.round(F.sum("p").cast("double"), 6).alias("gram"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
     )
