@@ -1,0 +1,214 @@
+"""Iceberg interop queries: a 3-snapshot Iceberg table authored BY
+HAND against the published table spec (metadata.json chain + Avro
+manifest lists + Avro manifests, written with the engine's own
+nested-datum codec — no iceberg jar in this environment), then read
+back through sources/iceberg_meta.py with snapshot time travel. The
+oracle re-derives each snapshot's content from the source fixture, so
+a wrong manifest replay (missed DELETED entry, wrong manifest list,
+bad schema mapping) fails the value hash."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.queries.delta_interop import _write_data_file
+from plankton_spark.queries.scans import _scratch
+from plankton_spark.registry import query
+from plankton_spark.sources.avro_ocf import write_ocf_generic
+from plankton_spark.sources.iceberg_meta import read_iceberg
+
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+        },
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+    ],
+}
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA},
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+_ICE_SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+        {"id": 2, "name": "o_orderstatus", "required": False, "type": "string"},
+        {"id": 3, "name": "o_totalprice", "required": False, "type": "double"},
+    ],
+}
+
+
+def author_iceberg_orders(spark, sf_dir: str, name: str = "iceberg_orders") -> str:
+    """Author a 3-snapshot Iceberg table from `orders`:
+      snap 1  data files A (o_orderkey < 500) + B (500..999)
+      snap 2  + data file C (1000..1999)
+      snap 3  file A marked DELETED (drops o_orderkey < 500)
+    Returns the table root."""
+    root = _scratch(sf_dir, name)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def data_file(lo: int, hi: int, tag: str) -> dict:
+        part = o.where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        n = part.count()
+        rel = _write_data_file(part, root, "data", f"{tag}.parquet")
+        return {
+            "content": 0,
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": n,
+            "file_size_in_bytes": os.path.getsize(os.path.join(root, rel)),
+        }
+
+    fa = data_file(0, 500, "file-a")
+    fb = data_file(500, 1000, "file-b")
+    fc = data_file(1000, 2000, "file-c")
+
+    def manifest(fname: str, entries: list[dict]) -> dict:
+        path = os.path.join(root, "metadata", fname)
+        write_ocf_generic(path, MANIFEST_ENTRY_SCHEMA, entries)
+        return {
+            "manifest_path": f"metadata/{fname}",
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": None,
+        }
+
+    def entry(status: int, snap: int, df: dict) -> dict:
+        return {"status": status, "snapshot_id": snap, "data_file": df}
+
+    m1 = manifest("m1.avro", [entry(1, 1, fa), entry(1, 1, fb)])
+    m2 = manifest("m2.avro", [entry(1, 2, fc)])
+    # snap 3 rewrites m1's live set: file A deleted, file B carried
+    m3 = manifest("m3.avro", [entry(2, 3, fa), entry(0, 3, fb)])
+
+    def manifest_list(fname: str, manifests: list[dict]) -> str:
+        path = os.path.join(root, "metadata", fname)
+        write_ocf_generic(path, MANIFEST_FILE_SCHEMA, manifests)
+        return f"metadata/{fname}"
+
+    snaps = [
+        {
+            "snapshot-id": 1,
+            "timestamp-ms": 1,
+            "manifest-list": manifest_list("snap-1.avro", [m1]),
+        },
+        {
+            "snapshot-id": 2,
+            "timestamp-ms": 2,
+            "manifest-list": manifest_list("snap-2.avro", [m1, m2]),
+        },
+        {
+            "snapshot-id": 3,
+            "timestamp-ms": 3,
+            "manifest-list": manifest_list("snap-3.avro", [m3, m2]),
+        },
+    ]
+    metadata = {
+        "format-version": 1,
+        "table-uuid": "plankton-iceberg-interop-fixture",
+        "location": root,
+        "last-updated-ms": 3,
+        "last-column-id": 3,
+        "schema": _ICE_SCHEMA,
+        "schemas": [_ICE_SCHEMA],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 3,
+        "snapshots": snaps,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    return root
+
+
+@query(
+    "q_iceberg_read",
+    oracle="""
+    WITH s1 AS (
+      SELECT * FROM orders WHERE o_orderkey < 1000
+    ),
+    s2 AS (
+      SELECT * FROM orders WHERE o_orderkey < 2000
+    ),
+    s3 AS (
+      SELECT * FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 2000
+    )
+    SELECT 1 AS snapshot_id, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM s1
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+    FROM s2
+    UNION ALL
+    SELECT 3, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+    FROM s3
+    """,
+)
+def q_iceberg_read(spark, sf_dir):
+    """Author an Iceberg table by hand, read every snapshot through
+    the metadata chain (manifest list → manifest → live files), and
+    aggregate each — snapshot time travel incl. a DELETED manifest
+    entry. Decimal price sums keep the hash order-independent."""
+    root = author_iceberg_orders(spark, sf_dir)
+    frames = [
+        read_iceberg(spark, root, snapshot_id=sid)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("price_sum"),
+        )
+        .select(F.lit(sid).alias("snapshot_id"), "n_rows", "key_sum", "price_sum")
+        for sid in (1, 2, 3)
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -522,15 +522,35 @@ def gemm_candidates(spark, embeddings, threshold, margin=1e-6, n_blocks=None):
     return cells.groupBy("pa", "pb").applyInPandas(kernel, "vec_a bigint, vec_b bigint")
 
 
-def rescore_pairs_exact(embeddings, cand):
-    """Attach both embedding arrays to a (small) candidate-pair frame
-    and compute the exact-decimal cosine. The candidate side is
-    broadcast into two streams of the (big-at-scale) embeddings table,
-    so no shuffle of the vectors themselves."""
+RESCORE_BROADCAST_ROWS = 500_000
+
+
+def rescore_pairs_exact(embeddings, cand, broadcast_rows=RESCORE_BROADCAST_ROWS):
+    """Attach both embedding arrays to a candidate-pair frame and
+    compute the exact-decimal cosine.
+
+    The candidate set's size depends on the CORPUS, not the query: a
+    sparse-dup corpus yields a tiny frame (broadcast it into two
+    streams of the big embeddings table — no vector shuffle), but a
+    duplicate-heavy corpus yields millions of pairs (every copy-pair
+    crosses the threshold), and force-broadcasting that — especially
+    the second join, whose build side already carries one 64-float
+    array per row — OOMs the driver. So: persist the id-pairs (16 B/
+    row), count them (one metadata-cheap job against the persisted
+    frame), and pick broadcast vs shuffled hash joins accordingly.
+    Either plan is value-identical; this is purely join-strategy
+    selection, the same call AQE can't make here because the frame's
+    size is unknown until the GEMM prefilter runs."""
+    cand = cache.persist_swap("rescore:candidates", cand)
+    n_cand = cand.count()
     ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    with_a = ea.join(F.broadcast(cand), "vec_a")  # stream embeddings, broadcast pairs
-    paired = eb.join(F.broadcast(with_a), "vec_b")  # still candidate-sized: broadcast again
+    if n_cand <= broadcast_rows:
+        with_a = ea.join(F.broadcast(cand), "vec_a")  # stream embeddings, broadcast pairs
+        paired = eb.join(F.broadcast(with_a), "vec_b")  # still candidate-sized
+    else:
+        with_a = ea.join(cand, "vec_a")  # shuffled hash join: pairs >> vectors
+        paired = eb.join(with_a, "vec_b")
     return paired.select("vec_a", "vec_b", dot_cosine("emb_a", "emb_b").alias("cosine"))
 
 

@@ -457,3 +457,186 @@ def read_avro(spark, path: str):
         return spark.read.format("avro").load(path)
     register(spark)
     return spark.read.format("pyavro").option("path", path).load()
+
+
+# ---------------------------------------------------------------------
+# Generic (recursive) datum codec — the full Avro type system for READ
+# and WRITE of nested records/arrays/maps/unions/enums/fixed. The flat
+# fast path above stays as-is for the pyavro DataSource; this layer
+# exists for metadata interop (Iceberg manifests are nested Avro).
+# Written against the published Avro 1.x spec's binary encoding.
+# ---------------------------------------------------------------------
+
+
+def _resolve_names(schema, names=None):
+    """Collect named-type definitions so later references ("r502")
+    resolve; returns the names dict."""
+    if names is None:
+        names = {}
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "enum", "fixed") and "name" in schema:
+            names[schema["name"]] = schema
+        if t == "record":
+            for f in schema["fields"]:
+                _resolve_names(f["type"], names)
+        elif t == "array":
+            _resolve_names(schema["items"], names)
+        elif t == "map":
+            _resolve_names(schema["values"], names)
+    elif isinstance(schema, list):
+        for s in schema:
+            _resolve_names(s, names)
+    return names
+
+
+def read_datum(buf: io.BytesIO, schema, names: dict):
+    """Decode one value of `schema` (recursive, spec-complete)."""
+    if isinstance(schema, str):
+        if schema in _PRIMITIVE_READERS:
+            return _PRIMITIVE_READERS[schema](buf)
+        return read_datum(buf, names[schema], names)  # named-type ref
+    if isinstance(schema, list):  # union: branch index then value
+        return read_datum(buf, schema[read_long(buf)], names)
+    t = schema["type"]
+    if t in _PRIMITIVE_READERS:  # {"type": "long", "logicalType": ...}
+        return _PRIMITIVE_READERS[t](buf)
+    if t == "record":
+        return {f["name"]: read_datum(buf, f["type"], names) for f in schema["fields"]}
+    if t == "enum":
+        return schema["symbols"][read_long(buf)]
+    if t == "fixed":
+        return buf.read(schema["size"])
+    if t == "array":
+        out = []
+        n = read_long(buf)
+        while n != 0:
+            if n < 0:  # negative count: block byte size follows (skip it)
+                read_long(buf)
+                n = -n
+            for _ in range(n):
+                out.append(read_datum(buf, schema["items"], names))
+            n = read_long(buf)
+        return out
+    if t == "map":
+        out = {}
+        n = read_long(buf)
+        while n != 0:
+            if n < 0:
+                read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = read_bytes(buf).decode()
+                out[k] = read_datum(buf, schema["values"], names)
+            n = read_long(buf)
+        return out
+    raise ValueError(f"unsupported avro schema: {schema!r}")
+
+
+def write_datum(buf: io.BytesIO, schema, v, names: dict) -> None:
+    """Encode one value of `schema` (recursive, spec-complete)."""
+    if isinstance(schema, str):
+        if schema in _PRIMITIVE_WRITERS:
+            _PRIMITIVE_WRITERS[schema](buf, v)
+            return
+        write_datum(buf, names[schema], v, names)
+        return
+    if isinstance(schema, list):
+        # pick the first branch the value fits: None → "null", else the
+        # first non-null branch (sufficient for authoring metadata)
+        if v is None and "null" in schema:
+            write_long(buf, schema.index("null"))
+            return
+        branch = next(
+            i for i, s in enumerate(schema) if s != "null"
+        )
+        write_long(buf, branch)
+        write_datum(buf, schema[branch], v, names)
+        return
+    t = schema["type"]
+    if t in _PRIMITIVE_WRITERS:
+        _PRIMITIVE_WRITERS[t](buf, v)
+        return
+    if t == "record":
+        for f in schema["fields"]:
+            write_datum(buf, f["type"], v.get(f["name"]), names)
+        return
+    if t == "enum":
+        write_long(buf, schema["symbols"].index(v))
+        return
+    if t == "fixed":
+        buf.write(v)
+        return
+    if t == "array":
+        if v:
+            write_long(buf, len(v))
+            for item in v:
+                write_datum(buf, schema["items"], item, names)
+        write_long(buf, 0)
+        return
+    if t == "map":
+        if v:
+            write_long(buf, len(v))
+            for k, item in v.items():
+                write_bytes(buf, k.encode())
+                write_datum(buf, schema["values"], item, names)
+        write_long(buf, 0)
+        return
+    raise ValueError(f"unsupported avro schema: {schema!r}")
+
+
+def read_ocf_generic(path: str):
+    """Yield dict rows from an OCF whose schema may be nested."""
+    schema, codec, sync, offset = read_ocf_header(path)
+    names = _resolve_names(schema)
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read()
+    buf = io.BytesIO(data)
+    while buf.tell() < len(data):
+        n_rows = read_long(buf)
+        payload = read_bytes(buf)
+        if buf.read(SYNC_SIZE) != sync:
+            raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec: {codec}")
+        body = io.BytesIO(payload)
+        for _ in range(n_rows):
+            yield read_datum(body, schema, names)
+
+
+def write_ocf_generic(path: str, schema: dict, rows, *, codec: str = "null") -> int:
+    """Write dict rows as one OCF with a (possibly nested) schema."""
+    names = _resolve_names(schema)
+    sync = uuid.uuid5(uuid.NAMESPACE_URL, path).bytes
+    n_total = 0
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        meta = {
+            "avro.schema": json.dumps(schema, sort_keys=True).encode(),
+            "avro.codec": codec.encode(),
+        }
+        head = io.BytesIO()
+        write_long(head, len(meta))
+        for k, v in sorted(meta.items()):
+            write_bytes(head, k.encode())
+            write_bytes(head, v)
+        write_long(head, 0)
+        f.write(head.getvalue())
+        f.write(sync)
+        body = io.BytesIO()
+        rows = list(rows)
+        for row in rows:
+            write_datum(body, schema, row, names)
+        payload = body.getvalue()
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]
+        blk = io.BytesIO()
+        write_long(blk, len(rows))
+        write_bytes(blk, payload)
+        f.write(blk.getvalue())
+        f.write(sync)
+        n_total = len(rows)
+    return n_total

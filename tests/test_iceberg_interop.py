@@ -1,0 +1,165 @@
+"""Iceberg metadata-chain reader tests: hand-authored table per the
+published spec, snapshot time travel, DELETED entries, the
+format("iceberglog") wrapper, and the generic nested Avro codec the
+manifests ride on."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.queries.iceberg_interop import author_iceberg_orders
+from plankton_spark.sources.avro_ocf import (
+    read_datum,
+    read_ocf_generic,
+    write_datum,
+    write_ocf_generic,
+    _resolve_names,
+)
+from plankton_spark.sources.iceberg_meta import IcebergTable, read_iceberg, register
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def ice_root(spark):
+    return author_iceberg_orders(spark, SF0001, name="iceberg_orders_test")
+
+
+def _orders(spark, lo, hi):
+    return read_table(spark, SF0001, "orders").where(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+    )
+
+
+def test_snapshot_reads(spark, ice_root):
+    for sid, lo, hi in ((1, 0, 1000), (2, 0, 2000), (3, 500, 2000)):
+        got = read_iceberg(spark, ice_root, snapshot_id=sid)
+        exp = _orders(spark, lo, hi)
+        assert got.count() == exp.count(), f"snapshot {sid}"
+        assert (
+            got.agg(F.sum("o_orderkey")).collect()[0][0]
+            == exp.agg(F.sum("o_orderkey")).collect()[0][0]
+        ), f"snapshot {sid}"
+
+
+def test_current_snapshot_is_default(spark, ice_root):
+    assert (
+        read_iceberg(spark, ice_root).count()
+        == read_iceberg(spark, ice_root, snapshot_id=3).count()
+    )
+
+
+def test_deleted_entry_drops_file(spark, ice_root):
+    t = IcebergTable(ice_root)
+    f1 = t.data_files(1)
+    f3 = t.data_files(3)
+    assert len(f1) == 2 and len(f3) == 2
+    # file-a is live in snap 1, deleted in snap 3; file-c added in snap 2
+    assert any("file-a" in f for f in f1)
+    assert not any("file-a" in f for f in f3)
+    assert any("file-c" in f for f in f3)
+
+
+def test_schema_mapping(spark, ice_root):
+    sch = IcebergTable(ice_root).schema()
+    assert [f.name for f in sch.fields] == [
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+    assert sch["o_orderkey"].dataType.simpleString() == "bigint"
+    assert sch["o_totalprice"].dataType.simpleString() == "double"
+
+
+def test_format_iceberglog_wrapper(spark, ice_root):
+    register(spark)
+    df = (
+        spark.read.format("iceberglog")
+        .option("path", ice_root)
+        .option("snapshotId", 2)
+        .load()
+    )
+    exp = _orders(spark, 0, 2000)
+    assert df.count() == exp.count()
+    assert df.agg(F.sum("o_orderkey")).collect()[0][0] == exp.agg(
+        F.sum("o_orderkey")
+    ).collect()[0][0]
+
+
+def test_unknown_snapshot_raises(spark, ice_root):
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        read_iceberg(spark, ice_root, snapshot_id=99)
+
+
+NESTED_SCHEMA = {
+    "type": "record",
+    "name": "outer",
+    "fields": [
+        {"name": "tag", "type": "string"},
+        {
+            "name": "inner",
+            "type": {
+                "type": "record",
+                "name": "innerrec",
+                "fields": [
+                    {"name": "a", "type": "long"},
+                    {"name": "b", "type": ["null", "double"]},
+                ],
+            },
+        },
+        {"name": "nums", "type": {"type": "array", "items": "long"}},
+        {"name": "attrs", "type": {"type": "map", "values": "string"}},
+        {"name": "again", "type": ["null", "innerrec"]},
+        {
+            "name": "color",
+            "type": {"type": "enum", "name": "col", "symbols": ["R", "G", "B"]},
+        },
+        {"name": "fix", "type": {"type": "fixed", "name": "f4", "size": 4}},
+    ],
+}
+
+NESTED_ROWS = [
+    {
+        "tag": "x",
+        "inner": {"a": 7, "b": 2.5},
+        "nums": [1, 2, 3],
+        "attrs": {"k": "v", "k2": "v2"},
+        "again": {"a": -1, "b": None},
+        "color": "G",
+        "fix": b"\x01\x02\x03\x04",
+    },
+    {
+        "tag": "y",
+        "inner": {"a": 0, "b": None},
+        "nums": [],
+        "attrs": {},
+        "again": None,
+        "color": "B",
+        "fix": b"\xff\xff\xff\xff",
+    },
+]
+
+
+def test_generic_codec_roundtrip(tmp_path):
+    path = str(tmp_path / "nested.avro")
+    assert write_ocf_generic(path, NESTED_SCHEMA, NESTED_ROWS) == 2
+    back = list(read_ocf_generic(path))
+    assert back == NESTED_ROWS
+
+
+def test_generic_codec_deflate(tmp_path):
+    path = str(tmp_path / "nested-z.avro")
+    write_ocf_generic(path, NESTED_SCHEMA, NESTED_ROWS, codec="deflate")
+    assert list(read_ocf_generic(path)) == NESTED_ROWS
+
+
+def test_datum_named_type_reference():
+    names = _resolve_names(NESTED_SCHEMA)
+    buf = io.BytesIO()
+    write_datum(buf, "innerrec", {"a": 42, "b": 1.5}, names)
+    buf.seek(0)
+    assert read_datum(buf, "innerrec", names) == {"a": 42, "b": 1.5}
