@@ -227,3 +227,33 @@ def test_dynamic_partition_pruning(spark):
     joined.collect()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_span_dedup_has_no_cartesian_and_prunes_unique_spans(spark):
+    """q_dedup_spans must equi-join on the span hash (no cross join)
+    and must aggregate span frequencies BEFORE the pair join (the
+    HAVING > 1 cut is what keeps the join off the unique-span tail)."""
+    df = all_queries()["q_dedup_spans"](spark, SF0001)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    # frequency cut: an aggregate on the span hash feeding the join
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_gram_matrix_partial_aggregates(spark):
+    """q_emb_gram: 136-group agg must combine map-side (partial+final
+    HashAggregate pair) so the shuffle is 136 rows per partition, not
+    one row per outer-product entry."""
+    df = all_queries()["q_emb_gram"](spark, SF0001)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan, plan
+
+
+def test_sample_assembly_single_shuffle_no_window(spark):
+    """q_sample_assembly is ONE groupBy — no WindowExec, and the sort
+    happens inside the agg expression (sort_array), not as a plan-level
+    global Sort."""
+    df = all_queries()["q_sample_assembly"](spark, SF0001)
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
