@@ -107,3 +107,84 @@ def q_multimodal_decode_bin(spark, sf_dir):
         F.sum("sample_rate").cast("long").alias("sum_rate"),
         F.sum("n_samples").cast("long").alias("sum_samples"),
     )
+
+
+FRAME_STRIDE = 6  # sample every 6th frame
+RESIZE_MAX_SIDE = 32
+
+
+@query(
+    "q_multimodal_framesample",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CASE WHEN lang IN ('en', 'de') THEN 'image/png'
+                  WHEN lang IN ('es', 'fr') THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             16 + n_chars % 64 AS w,
+             9 + n_chars % 36 AS h,
+             CASE WHEN lang IN ('en','de','es','fr') THEN 1 ELSE 24 END AS n_frames
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, media_type, w, h, unnest(generate_series(0, n_frames - 1,
+             {FRAME_STRIDE})) AS frame_idx
+      FROM meta
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(frame_idx) AS BIGINT) AS frame_idx_sum,
+           CAST(SUM(CASE WHEN w >= h THEN {RESIZE_MAX_SIDE}
+                         ELSE GREATEST(1, (w * {RESIZE_MAX_SIDE}) // h) END)
+                AS BIGINT) AS resized_w_sum,
+           CAST(SUM(CASE WHEN w >= h THEN GREATEST(1, (h * {RESIZE_MAX_SIDE}) // w)
+                         ELSE {RESIZE_MAX_SIDE} END) AS BIGINT) AS resized_h_sum
+    FROM frames GROUP BY media_type
+    """,
+)
+def q_multimodal_framesample(spark, sf_dir):
+    """Frame sampling + resize planning over multimodal metadata:
+    every {stride}-th frame index per blob (videos: 24 fake-decoded
+    frames; images/audio: the single frame 0), with aspect-preserving
+    resize targets (max side {maxside}, integer arithmetic so both
+    engines agree exactly).
+
+    Scale shape: frame INDEX fan-out is pure Spark
+    (explode(sequence(...)) — no Python), so Catalyst sees the
+    per-frame cardinality; the actual pixel extraction would be the
+    Arrow-batched mapInPandas stage that consumes (payload,
+    frame_idx) — stubbed like decode (no codecs in this container),
+    while everything around it is the real pipeline."""
+    media = multimodal.attach_media(read_table(spark, sf_dir, "documents"))
+    decoded = multimodal.decode_media(media)
+    frames = decoded.select(
+        "doc_id",
+        "media_type",
+        F.col("width").alias("w"),
+        F.col("height").alias("h"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_STRIDE)
+            )
+        ).alias("frame_idx"),
+    )
+    wide = F.col("w") >= F.col("h")
+    rw = F.when(wide, F.lit(RESIZE_MAX_SIDE)).otherwise(
+        F.greatest(F.lit(1), F.expr(f"(w * {RESIZE_MAX_SIDE}) DIV h"))
+    )
+    rh = F.when(wide, F.greatest(F.lit(1), F.expr(f"(h * {RESIZE_MAX_SIDE}) DIV w"))).otherwise(
+        F.lit(RESIZE_MAX_SIDE)
+    )
+    return frames.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames_sampled"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("frame_idx").cast("long").alias("frame_idx_sum"),
+        F.sum(rw).cast("long").alias("resized_w_sum"),
+        F.sum(rh).cast("long").alias("resized_h_sum"),
+    )
+
+
+q_multimodal_framesample.__doc__ = q_multimodal_framesample.__doc__.format(
+    stride=FRAME_STRIDE, maxside=RESIZE_MAX_SIDE
+)

@@ -766,3 +766,75 @@ def q_text_filter_chain(spark, sf_dir):
         F.sum((~F.col("ok_punct")).cast("int")).cast("long").alias("kill_punct"),
         F.sum(survived.cast("int")).cast("long").alias("n_survivors"),
     )
+
+
+HH_K = 200  # heavy hitter = token with count > N/HH_K
+MG_CAPACITY = 400  # per-partition Misra-Gries counters (2x K margin)
+
+
+@query(
+    "q_heavyhitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM toks, tot
+    GROUP BY tok, tot.n
+    HAVING COUNT(*) > tot.n / {HH_K}
+    """,
+)
+def q_heavyhitters(spark, sf_dir):
+    """EXACT heavy hitters (tokens with count > N/{k}) via the
+    two-phase Misra-Gries pattern — the streaming-sketch shape that
+    avoids shuffling the full token multiset:
+
+      1. per-partition Misra-Gries with capacity {cap} (mapInPandas,
+         one pass, O(cap) state). Pigeonhole guarantee: a token with
+         GLOBAL count > N/{k} exceeds n_p/{k} in at least one
+         partition, and per-partition MG with capacity >= {k} surfaces
+         every token with local count > n_p/cap — so the union of the
+         partitions' candidates is a SUPERSET of the true answer.
+      2. exact recount restricted to the (tiny, broadcast) candidate
+         set + total-count scalar, then the exact threshold filter.
+
+    The output is therefore exact (sketch for candidates, exact for
+    the answer) and oracle-checkable, while the full-token shuffle is
+    replaced by one shuffle of O(partitions x cap) candidate rows.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    def mg(iterator):
+        import pandas as pd
+
+        # weighted Misra-Gries: merge each Arrow batch's value_counts
+        # (vectorized — no per-row Python), then while over capacity
+        # subtract the smallest counter from all and evict zeros. The
+        # uniform subtraction preserves the MG guarantee exactly as
+        # unit decrements do, it just batches them.
+        counters: dict[str, int] = {}
+        for pdf in iterator:
+            for tok, cnt in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            while len(counters) > MG_CAPACITY:
+                floor = min(counters.values())
+                counters = {
+                    t: c - floor for t, c in counters.items() if c > floor
+                }
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg, "tok string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_occ") > F.col("n") / HH_K)
+        .select("tok", "n_occ")
+    )
+
+
+q_heavyhitters.__doc__ = q_heavyhitters.__doc__.format(k=HH_K, cap=MG_CAPACITY)
