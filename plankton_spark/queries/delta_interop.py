@@ -151,3 +151,51 @@ def q_deltalog_read(spark, sf_dir):
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+@query(
+    "q_deltalog_roundtrip",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 2000
+    ),
+    final AS (
+      SELECT * FROM base WHERE o_orderstatus <> 'F'
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows_v1
+    FROM final
+    """,
+)
+def q_deltalog_roundtrip(spark, sf_dir):
+    """Full write→read Delta roundtrip through the engine's own
+    writer: CREATE (orders < 1000), APPEND (1000..1999), DELETE
+    (status 'F'), then read the final snapshot AND time-travel to the
+    pre-delete version — the log this writes is spec-shaped JSON any
+    Delta reader can replay."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+
+    root = _scratch(sf_dir, "delta_rt")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 1000))
+    v1 = w.append(o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    w.delete_where(F.col("o_orderstatus") == "F")
+    final = read_delta(spark, root)
+    pre_delete = read_delta(spark, root, version=v1)
+    agg = final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    )
+    v1_count = pre_delete.agg(F.count(F.lit(1)).cast("long").alias("n_rows_v1"))
+    return agg.crossJoin(v1_count)

@@ -1,4 +1,7 @@
-"""Read-only Delta Lake log interop (`spark.read.format("deltalog")`).
+"""Delta Lake log interop: read (`spark.read.format("deltalog")`,
+`read_delta`) AND write (`DeltaLogWriter`: create/append/delete with
+OCC and Delta `txn`-action idempotence for exactly-once streaming
+sinks).
 
 Parses `_delta_log/*.json` commit files with pure Python — the same
 no-JVM-dependency approach as planktable (table_format.py) — so Delta
@@ -218,3 +221,200 @@ class DeltaLogReader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(DeltaLogDataSource)
+
+
+# ---------------------------------------------------------------------
+# Write support — makes the interop bidirectional: results land in a
+# spec-shaped Delta table other engines can read. Same commit protocol
+# as planktable (O_EXCL claim on the next version file = atomic OCC),
+# expressed as Delta actions.
+# ---------------------------------------------------------------------
+
+
+class DeltaCommitConflict(Exception):
+    """Another writer claimed this Delta version first."""
+
+
+class DeltaLogWriter:
+    """Minimal Delta writer: create / append / delete_where plus
+    idempotent `txn`-guarded appends (the exactly-once contract a
+    streaming foreachBatch sink needs). Partitioning is out of scope —
+    files are unpartitioned (partitionValues = {})."""
+
+    def __init__(self, spark, table_path: str):
+        self.spark = spark
+        self.table_path = table_path
+        self.log_dir = os.path.join(table_path, "_delta_log")
+
+    # -- commit protocol ------------------------------------------------
+
+    def _next_version(self) -> int:
+        if not os.path.isdir(self.log_dir):
+            return 0
+        versions = _commit_versions(self.log_dir)
+        return (versions[-1] + 1) if versions else 0
+
+    def _commit(self, version: int, actions: list[dict]) -> int:
+        os.makedirs(self.log_dir, exist_ok=True)
+        path = os.path.join(self.log_dir, f"{version:020d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            os.remove(tmp)
+            raise DeltaCommitConflict(
+                f"{self.table_path}: version {version} already committed"
+            ) from None
+        with os.fdopen(fd, "w") as out, open(tmp) as src:
+            out.write(src.read())
+        os.remove(tmp)
+        return version
+
+    def _commit_with_retry(self, actions, max_retries: int = 20) -> int:
+        for _ in range(max_retries):
+            try:
+                return self._commit(self._next_version(), actions)
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
+
+    # -- data files -----------------------------------------------------
+
+    def _stage(self, df) -> list[dict]:
+        """Write df's partitions as parquet files under the table root;
+        return their `add` actions."""
+        import glob as _glob
+        import shutil as _shutil
+        import uuid as _uuid
+
+        tmp = os.path.join(self.table_path, f"_stage-{_uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        adds = []
+        os.makedirs(self.table_path, exist_ok=True)
+        for part in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            rel = f"part-{_uuid.uuid4().hex}.parquet"
+            os.replace(part, os.path.join(self.table_path, rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(self.table_path, rel)),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+        _shutil.rmtree(tmp, ignore_errors=True)
+        return adds
+
+    def _metadata_action(self, df) -> dict:
+        return {
+            "metaData": {
+                "id": f"plankton-delta-{os.path.basename(self.table_path)}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        }
+
+    # -- operations -----------------------------------------------------
+
+    def create(self, df) -> int:
+        if os.path.isdir(self.log_dir) and _commit_versions(self.log_dir):
+            raise FileExistsError(f"{self.table_path}: table already exists")
+        protocol = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        actions = [protocol, self._metadata_action(df)] + self._stage(df)
+        return self._commit_with_retry(actions)
+
+    def append(self, df, txn: tuple[str, int] | None = None) -> int | None:
+        """Append rows; with txn=(appId, version), replays of an
+        already-committed (appId, version) are dropped — the Delta
+        `txn` action's idempotence contract."""
+        if txn is not None and self.last_txn_version(txn[0]) is not None:
+            if txn[1] <= self.last_txn_version(txn[0]):
+                return None  # duplicate micro-batch replay
+        actions: list[dict] = []
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+        actions += self._stage(df)
+        return self._commit_with_retry(actions)
+
+    def delete_where(self, condition) -> int:
+        """Row-level delete: rewrite only files containing matches;
+        validates its removed files are still live at commit (the same
+        OCC rule planktable enforces — stale rewrites must not commit)."""
+        from pyspark.sql import functions as F
+
+        snapshot = DeltaLog(self.table_path)
+        schema, _, files = snapshot.snapshot(None)
+        paths = [p for p, _ in files]
+        live = self.spark.read.schema(
+            T.StructType([f for f in schema.fields])
+        ).parquet(*paths)
+        hit = [
+            r[0]
+            for r in live.withColumn("_f", F.input_file_name())
+            .where(condition)
+            .select("_f")
+            .distinct()
+            .collect()
+        ]
+        hit_rel = sorted(
+            os.path.relpath(p, self.table_path)
+            for p, _ in files
+            if any(h.endswith(os.path.basename(p)) for h in hit)
+        )
+        actions: list[dict] = []
+        if hit_rel:
+            survivors = self.spark.read.parquet(
+                *[os.path.join(self.table_path, r) for r in hit_rel]
+            ).where(~condition)
+            if not survivors.isEmpty():
+                actions += self._stage(survivors)
+            actions += [
+                {"remove": {"path": r, "dataChange": True}} for r in hit_rel
+            ]
+
+        def validate_then_commit() -> int:
+            for _ in range(20):
+                v = self._next_version()
+                _, _, now_files = DeltaLog(self.table_path).snapshot(None)
+                now_rel = {os.path.relpath(p, self.table_path) for p, _ in now_files}
+                gone = [r for r in hit_rel if r not in now_rel]
+                if gone:
+                    raise ConcurrentDeltaModification(
+                        f"{self.table_path}: files rewritten concurrently: {gone[:5]}"
+                    )
+                try:
+                    return self._commit(v, actions)
+                except DeltaCommitConflict:
+                    continue
+            raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
+
+        return validate_then_commit()
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest committed txn version for app_id (None if none)."""
+        if not os.path.isdir(self.log_dir):
+            return None
+        best = None
+        for v in _commit_versions(self.log_dir):
+            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if "txn" in a and a["txn"].get("appId") == app_id:
+                        tv = a["txn"]["version"]
+                        best = tv if best is None else max(best, tv)
+        return best
+
+
+class ConcurrentDeltaModification(Exception):
+    """A conflicting writer rewrote files this delete depends on."""

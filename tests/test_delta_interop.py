@@ -115,3 +115,75 @@ def test_checkpoint_replay(spark, delta_root, tmp_path):
 def test_missing_log_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         DeltaLog(str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------
+# Write support
+# ---------------------------------------------------------------------
+
+from pyspark.sql import functions as _F
+
+from plankton_spark.sources.delta_log import (
+    ConcurrentDeltaModification,
+    DeltaLogWriter,
+)
+
+
+def test_writer_create_append_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "dw")
+    w = DeltaLogWriter(spark, root)
+    v0 = w.create(spark.range(0, 10).select(_F.col("id").alias("k")))
+    v1 = w.append(spark.range(10, 15).select(_F.col("id").alias("k")))
+    assert (v0, v1) == (0, 1)
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == list(range(15))
+    assert sorted(r.k for r in read_delta(spark, root, version=0).collect()) == list(
+        range(10)
+    )
+    with pytest.raises(FileExistsError):
+        w.create(spark.range(1).select(_F.col("id").alias("k")))
+
+
+def test_writer_txn_idempotent_append(spark, tmp_path):
+    root = str(tmp_path / "dw_txn")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(3).select(_F.col("id").alias("k")))
+    b = spark.range(10, 13).select(_F.col("id").alias("k"))
+    assert w.append(b, txn=("jobA", 0)) is not None
+    # replayed micro-batch: dropped
+    assert w.append(b, txn=("jobA", 0)) is None
+    assert w.append(b, txn=("jobA", 1)) is not None
+    assert read_delta(spark, root).count() == 9
+    assert w.last_txn_version("jobA") == 1
+    assert w.last_txn_version("jobB") is None
+
+
+def test_writer_delete_rewrites_only_hit_files(spark, tmp_path):
+    root = str(tmp_path / "dw_del")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 10).coalesce(1).select(_F.col("id").alias("k")))
+    w.append(spark.range(100, 110).coalesce(1).select(_F.col("id").alias("k")))
+    from plankton_spark.sources.delta_log import DeltaLog
+
+    before = {p for p, _ in DeltaLog(root).snapshot(None)[2]}
+    w.delete_where(_F.col("k") == 105)
+    after = {p for p, _ in DeltaLog(root).snapshot(None)[2]}
+    assert len(before & after) == 1  # low file untouched
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == list(range(10)) + [100, 101, 102, 103, 104, 106, 107, 108, 109]
+
+
+def test_writer_foreachbatch_exactly_once(spark, tmp_path):
+    """The txn-guarded append is the Delta exactly-once sink contract:
+    replays of a committed (appId, batchId) must be no-ops."""
+    root = str(tmp_path / "dw_stream")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 1).select(_F.col("id").alias("k")))
+
+    def sink(batch_df, batch_id):
+        DeltaLogWriter(spark, root).append(batch_df, txn=("stream1", batch_id))
+
+    b0 = spark.range(10, 12).select(_F.col("id").alias("k"))
+    sink(b0, 0)
+    sink(b0, 0)  # crash-replay of the same micro-batch
+    sink(spark.range(20, 21).select(_F.col("id").alias("k")), 1)
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == [0, 10, 11, 20]
