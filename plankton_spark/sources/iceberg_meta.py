@@ -1,5 +1,7 @@
-"""Read-only Apache Iceberg table interop (`read_iceberg` +
-`spark.read.format("iceberglog")`).
+"""Apache Iceberg table interop: read (`read_iceberg`,
+`spark.read.format("iceberglog")`, snapshot time travel) and append
+(`IcebergWriter`: create/append emitting the spec's full metadata
+chain with O_EXCL metadata-version commits).
 
 Pure-Python parse of the published Iceberg table spec's metadata
 chain — no iceberg-spark jar required:
@@ -220,3 +222,237 @@ class IcebergReader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(IcebergDataSource)
+
+
+# ---------------------------------------------------------------------
+# Append support — new snapshots via the published metadata chain:
+# stage parquet → author a manifest (Avro) → a manifest list naming
+# prior live manifests + the new one → a new vN.metadata.json +
+# version-hint. Commit atomicity = O_EXCL on the next metadata
+# version file (the same swap real catalogs arbitrate).
+# ---------------------------------------------------------------------
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+
+def _spark_type_to_iceberg(dt: T.DataType) -> str:
+    m = {
+        "boolean": "boolean",
+        "int": "int",
+        "bigint": "long",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "date": "date",
+        "timestamp_ntz": "timestamp",
+        "timestamp": "timestamptz",
+        "binary": "binary",
+    }
+    s = dt.simpleString()
+    if s in m:
+        return m[s]
+    if s.startswith("decimal("):
+        return s
+    raise ValueError(f"unsupported Spark type for iceberg: {s}")
+
+
+class IcebergCommitConflict(Exception):
+    """Another writer claimed this metadata version first."""
+
+
+class IcebergWriter:
+    """Minimal Iceberg writer: create / append (unpartitioned data
+    files, format v1 metadata). Each commit adds ONE manifest and a
+    manifest list referencing every still-live manifest — the same
+    snapshot shape `author_iceberg_orders` builds by hand."""
+
+    def __init__(self, spark, table_path: str):
+        self.spark = spark
+        self.table_path = table_path
+        self.meta_dir = os.path.join(table_path, "metadata")
+
+    def _stage(self, df, snapshot_id: int) -> list[dict]:
+        import glob as _glob
+        import shutil as _shutil
+        import uuid as _uuid
+
+        from plankton_spark.sources.avro_ocf import write_ocf_generic  # noqa: F401
+
+        tmp = os.path.join(self.table_path, f"_stage-{_uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        os.makedirs(os.path.join(self.table_path, "data"), exist_ok=True)
+        out = []
+        for part in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
+            rel = f"data/snap{snapshot_id}-{_uuid.uuid4().hex}.parquet"
+            os.replace(part, os.path.join(self.table_path, rel))
+            out.append(
+                {
+                    "content": 0,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": -1,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(self.table_path, rel)
+                    ),
+                }
+            )
+        _shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
+    def _write_manifest(self, fname: str, data_files: list[dict], snap: int) -> dict:
+        from plankton_spark.sources.avro_ocf import write_ocf_generic
+
+        path = os.path.join(self.meta_dir, fname)
+        entries = [
+            {"status": 1, "snapshot_id": snap, "data_file": df} for df in data_files
+        ]
+        write_ocf_generic(path, _MANIFEST_ENTRY_SCHEMA, entries)
+        return {
+            "manifest_path": f"metadata/{fname}",
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snap,
+        }
+
+    def _commit_metadata(self, version: int, metadata: dict) -> None:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise IcebergCommitConflict(
+                f"{self.table_path}: metadata v{version} already committed"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(metadata, f)
+        with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as f:
+            f.write(str(version))
+
+    def _next_metadata_version(self) -> int:
+        if not os.path.isdir(self.meta_dir):
+            return 1
+        versions = [
+            int(f[1:].split(".")[0])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".metadata.json")
+        ]
+        return (max(versions) + 1) if versions else 1
+
+    def create(self, df) -> int:
+        if os.path.isdir(self.meta_dir) and any(
+            f.endswith(".metadata.json") for f in os.listdir(self.meta_dir)
+        ):
+            raise FileExistsError(f"{self.table_path}: table already exists")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        snap_id = 1
+        files = self._stage(df, snap_id)
+        m = self._write_manifest(f"m{snap_id}.avro", files, snap_id)
+        from plankton_spark.sources.avro_ocf import write_ocf_generic
+
+        ml = os.path.join(self.meta_dir, f"snap-{snap_id}.avro")
+        write_ocf_generic(ml, _MANIFEST_FILE_SCHEMA, [m])
+        ice_schema = {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {
+                    "id": i + 1,
+                    "name": f.name,
+                    "required": False,
+                    "type": _spark_type_to_iceberg(f.dataType),
+                }
+                for i, f in enumerate(df.schema.fields)
+            ],
+        }
+        metadata = {
+            "format-version": 1,
+            "table-uuid": f"plankton-iceberg-{os.path.basename(self.table_path)}",
+            "location": self.table_path,
+            "last-updated-ms": 0,
+            "last-column-id": len(df.schema.fields),
+            "schema": ice_schema,
+            "schemas": [ice_schema],
+            "current-schema-id": 0,
+            "partition-spec": [],
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "current-snapshot-id": snap_id,
+            "snapshots": [
+                {
+                    "snapshot-id": snap_id,
+                    "timestamp-ms": snap_id,
+                    "manifest-list": f"metadata/snap-{snap_id}.avro",
+                }
+            ],
+        }
+        self._commit_metadata(1, metadata)
+        return snap_id
+
+    def append(self, df) -> int:
+        from plankton_spark.sources.avro_ocf import (
+            read_ocf_generic,
+            write_ocf_generic,
+        )
+
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            md = dict(table.metadata)
+            prev = table._snapshot(None)
+            snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+            files = self._stage(df, snap_id)
+            m_new = self._write_manifest(f"m{snap_id}.avro", files, snap_id)
+            prev_ml = table._resolve(prev["manifest-list"])
+            manifests = list(read_ocf_generic(prev_ml)) + [m_new]
+            ml = os.path.join(self.meta_dir, f"snap-{snap_id}.avro")
+            write_ocf_generic(ml, _MANIFEST_FILE_SCHEMA, manifests)
+            md["snapshots"] = md["snapshots"] + [
+                {
+                    "snapshot-id": snap_id,
+                    "timestamp-ms": snap_id,
+                    "manifest-list": f"metadata/snap-{snap_id}.avro",
+                }
+            ]
+            md["current-snapshot-id"] = snap_id
+            try:
+                self._commit_metadata(self._next_metadata_version(), md)
+                return snap_id
+            except IcebergCommitConflict:
+                continue  # rebase on the newer metadata
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")

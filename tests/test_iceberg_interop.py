@@ -163,3 +163,52 @@ def test_datum_named_type_reference():
     write_datum(buf, "innerrec", {"a": 42, "b": 1.5}, names)
     buf.seek(0)
     assert read_datum(buf, "innerrec", names) == {"a": 42, "b": 1.5}
+
+
+# ---------------------------------------------------------------------
+# Append support
+# ---------------------------------------------------------------------
+
+from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+
+def test_writer_create_append_snapshots(spark, tmp_path):
+    root = str(tmp_path / "iw")
+    w = IcebergWriter(spark, root)
+    s1 = w.create(spark.range(0, 10).select(F.col("id").alias("k")))
+    s2 = w.append(spark.range(10, 15).select(F.col("id").alias("k")))
+    assert (s1, s2) == (1, 2)
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == list(range(15))
+    # time travel to the first snapshot
+    assert sorted(
+        r.k for r in read_iceberg(spark, root, snapshot_id=1).collect()
+    ) == list(range(10))
+    with pytest.raises(FileExistsError):
+        w.create(spark.range(1).select(F.col("id").alias("k")))
+
+
+def test_writer_output_readable_via_format_wrapper(spark, tmp_path):
+    root = str(tmp_path / "iw2")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 5).select(F.col("id").alias("k")))
+    w.append(spark.range(5, 8).select(F.col("id").alias("k")))
+    register(spark)
+    df = spark.read.format("iceberglog").option("path", root).load()
+    assert df.count() == 8
+
+
+def test_writer_schema_mapping_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "iw3")
+    w = IcebergWriter(spark, root)
+    src = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.lit("x").alias("s"),
+        F.lit(1.5).alias("d"),
+    )
+    w.create(src)
+    sch = IcebergTable(root).schema()
+    assert [(f.name, f.dataType.simpleString()) for f in sch.fields] == [
+        ("k", "bigint"),
+        ("s", "string"),
+        ("d", "double"),
+    ]
