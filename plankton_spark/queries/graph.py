@@ -125,3 +125,90 @@ def q_graph_pagerank(spark, sf_dir):
     return ranks.join(nation, ranks.node == nation.n_nationkey).select(
         F.col("n_name").alias("nation"), F.col("pr").alias("rank_micro")
     )
+
+
+BFS_MAX_HOPS = 4
+BFS_START = 2  # customer 1 in the unified id space (c_custkey*2)
+
+_BIPARTITE_EDGES_SQL = """
+  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@query(
+    "q_graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE e1 AS ({_BIPARTITE_EDGES_SQL}),
+    bi AS (SELECT a, b FROM e1 UNION ALL SELECT b, a FROM e1),
+    walk AS (
+      SELECT CAST({BFS_START} AS BIGINT) AS node, 0 AS dist
+      UNION
+      SELECT bi.b AS node, walk.dist + 1 AS dist
+      FROM walk JOIN bi ON walk.node = bi.a
+      WHERE walk.dist < {BFS_MAX_HOPS}
+    ),
+    first_visit AS (
+      SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+    )
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS node_sum
+    FROM first_visit GROUP BY dist
+    """,
+)
+def q_graph_bfs(spark, sf_dir):
+    """BFS shortest hop distance (≤ 4 hops) from one customer over the
+    bipartite customer↔supplier trade graph — the iterative frontier
+    expansion every graph engine lowers to, as a DataFrame loop:
+
+      frontier(d+1) = frontier(d) ⋈ edges, minus already-visited
+                      (left_anti against the dist table)
+
+    The left_anti IS the min-dist semantics: a node joins the dist
+    table at its first (shortest) visit. Each depth's frontier is
+    persisted under its own swap key (the returned plan unions every
+    depth, so none may be released mid-query; re-invocation swaps each
+    generation — bounded at BFS_MAX_HOPS small frames). The oracle is
+    DuckDB's recursive CTE with the same hop cap, MIN-grouped to
+    first visits.
+
+    Scale: per hop, one shuffle join frontier ⋈ edges + one distinct +
+    one anti-join — all key-partitioned; no driver-side frontier.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    edges = cache.persist_swap(
+        "q_graph_bfs:edges",
+        e1.unionByName(e1.select(F.col("b").alias("a"), F.col("a").alias("b"))),
+    )
+    start = edges.sparkSession.createDataFrame(
+        [(BFS_START, 0)], "node long, dist int"
+    )
+    dist = start
+    frontier = cache.persist_swap("q_graph_bfs:frontier0", start.select("node"))
+    for d in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(d).alias("dist"))
+        )
+        # persist per depth (bounded: BFS_MAX_HOPS tiny frames, each
+        # swap-released on the next invocation); the returned plan
+        # unions every depth, so none may be dropped mid-query
+        nxt = cache.persist_swap(f"q_graph_bfs:frontier{d}", nxt)
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("node_sum"),
+    )
