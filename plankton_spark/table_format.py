@@ -414,22 +414,45 @@ class PlankTable:
         adds = self._stage(merged)
         return self._commit_with_retry("MERGE", lambda: (adds, overlap))
 
-    def optimize(self, sort_by: list[str] | None = None, num_files: int = 1) -> int:
+    def optimize(
+        self,
+        sort_by: list[str] | None = None,
+        num_files: int = 1,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Compaction (OPTIMIZE): rewrite the current snapshot into
-        `num_files` files, optionally range-clustered on `sort_by`.
-        Clustering makes the footer min/max ranges disjoint, so
-        subsequent `scan()` file-skipping prunes tightly (the Z-order
-        motivation, 1-D form). Data content is unchanged — only the
-        physical layout; old versions still read their old files.
+        `num_files` files, optionally clustered — 1-D range clustering
+        on `sort_by`, or multi-dimensional Z-ORDER on `zorder_by`.
+        Clustering tightens footer min/max ranges so `scan()`
+        file-skipping prunes; Z-order interleaves the bits of each
+        key's rank so files stay simultaneously narrow in EVERY
+        z-ordered dimension (range-clustering one key leaves the
+        others spanning the full domain in each file). Data content is
+        unchanged — only the physical layout; old versions still read
+        their old files.
 
         100 TB posture: compaction is the cure for the small-files
         problem a streaming sink creates — thousands of per-batch
-        files become a handful of large range-clustered ones, and the
-        rewrite itself is one shuffle (repartitionByRange) sized by
-        `num_files`, not a driver-side merge."""
+        files become a handful of large clustered ones, and the
+        rewrite itself is one shuffle (repartitionByRange, on the
+        z-value for Z-order) sized by `num_files`, not a driver-side
+        merge. Z-values use 21-bit per-dimension ranks (ntile-free:
+        percent_rank over a salted-partition two-pass would be
+        overkill for a layout key — a per-dimension min/max affine
+        rank is monotone, which is all interleaving needs)."""
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         snap = sorted(self._snapshot())
         df = self.read()
-        if sort_by:
+        if zorder_by:
+            zcol = self._zvalue(df, zorder_by)
+            df = (
+                df.withColumn("__z", zcol)
+                .repartitionByRange(num_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
             df = df.repartitionByRange(num_files, *sort_by).sortWithinPartitions(
                 *sort_by
             )
@@ -437,6 +460,36 @@ class PlankTable:
             df = df.coalesce(num_files)
         adds = self._stage(df)
         return self._commit_with_retry("OPTIMIZE", lambda: (adds, snap))
+
+    def _zvalue(self, df: DataFrame, cols: list[str], bits: int = 21):
+        """Interleaved-bit Z-value over numeric columns: each column is
+        affinely mapped to a [0, 2^bits) rank from its global min/max
+        (one tiny agg, broadcast as literals), then bit i of every
+        rank is woven into the output. Monotone per dimension, so
+        z-sorted files are narrow in all dimensions at once."""
+        stats = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).first()
+        ranks = []
+        for c in cols:
+            mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+            span = max(int(mx) - int(mn), 1)
+            ranks.append(
+                F.least(
+                    F.lit((1 << bits) - 1),
+                    (
+                        (F.col(c).cast("long") - F.lit(int(mn)))
+                        * F.lit((1 << bits) - 1)
+                        / F.lit(span)
+                    ).cast("long"),
+                )
+            )
+        z = F.lit(0).cast("long")
+        for bit in range(bits - 1, -1, -1):
+            for r in ranks:
+                z = z * 2 + F.shiftrightunsigned(r, bit) % 2
+        return z
 
     # -- exactly-once streaming sink -----------------------------------
 

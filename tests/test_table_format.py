@@ -379,3 +379,32 @@ def test_append_during_delete_rebases_cleanly(spark, tmp_path):
     assert rows == list(range(4, 10)) + [100, 101, 102]
     ops = [h["operation"] for h in t.history()]
     assert ops == ["CREATE", "APPEND", "DELETE"]
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-ORDER: after clustering on (x, y), a narrow scan on EITHER
+    dimension must skip most files — range clustering on x alone
+    leaves every file spanning y's full domain."""
+    grid = spark.range(100 * 100).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 100).cast("long").alias("y"),
+    )
+    tz = _mk(spark, tmp_path, "tz")
+    tz.create(grid.repartition(8))
+    tz.optimize(zorder_by=["x", "y"], num_files=16)
+    assert len(tz.files()) == 16
+    assert tz.read().count() == 10_000
+    x_files = len(tz.scan({"x": (0, 5)}).inputFiles())
+    y_files = len(tz.scan({"y": (0, 5)}).inputFiles())
+    assert x_files <= 8, x_files
+    assert y_files <= 8, y_files
+
+    # contrast: 1-D range clustering on x cannot prune y-scans
+    tx = _mk(spark, tmp_path, "tx")
+    tx.create(grid.repartition(8))
+    tx.optimize(sort_by=["x"], num_files=16)
+    assert len(tx.scan({"x": (0, 5)}).inputFiles()) <= 2
+    assert len(tx.scan({"y": (0, 5)}).inputFiles()) == 16
+
+    with pytest.raises(ValueError, match="not both"):
+        tz.optimize(sort_by=["x"], zorder_by=["y"])
