@@ -177,6 +177,13 @@ class DeltaLogDataSource(DataSource):
         full_schema, part_cols, files = DeltaLog(path).snapshot(version)
         return DeltaLogReader(full_schema, part_cols, files)
 
+    def streamReader(self, schema) -> "DeltaLogStreamReader":
+        path, _ = self._resolved()
+        ignore_changes = (
+            str(self.options.get("ignoreChanges", "false")).lower() == "true"
+        )
+        return DeltaLogStreamReader(path, ignore_changes)
+
 
 class _DeltaFilePartition(InputPartition):
     def __init__(self, path: str, partition_values: dict):
@@ -418,3 +425,78 @@ class DeltaLogWriter:
 
 class ConcurrentDeltaModification(Exception):
     """A conflicting writer rewrote files this delete depends on."""
+
+
+# ---------------------------------------------------------------------
+# Streaming source — the Delta changelog as a stream: each commit's
+# `add` actions (with dataChange=true) are a micro-batch; offsets are
+# {"version": N}. Mirrors the planktable streaming source.
+# ---------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class DeltaLogStreamReader(DataSourceStreamReader):
+    """Options handled by DeltaLogDataSource.streamReader: path,
+    ignoreChanges. Commits whose actions include `remove` are content
+    rewrites — they raise unless ignoreChanges=true (matching the
+    delta streaming source's semantics); pure-append commits stream
+    exactly their added files."""
+
+    def __init__(self, path: str, ignore_changes: bool):
+        self.path = path
+        self.ignore_changes = ignore_changes
+        log = DeltaLog(path)
+        schema, part_cols, _ = log.snapshot(None)
+        self._schema = schema
+        self._part_cols = part_cols
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": DeltaLog(self.path).latest_version()}
+
+    def _added(self, v_from: int, v_to: int) -> list[tuple[str, dict]]:
+        out: list[tuple[str, dict]] = []
+        for v in range(v_from + 1, v_to + 1):
+            path = os.path.join(self.path, "_delta_log", f"{v:020d}.json")
+            adds: list[tuple[str, dict]] = []
+            has_remove = False
+            with open(path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if "add" in a and a["add"].get("dataChange", True):
+                        adds.append(
+                            (
+                                os.path.join(self.path, a["add"]["path"]),
+                                a["add"].get("partitionValues") or {},
+                            )
+                        )
+                    elif "remove" in a and a["remove"].get("dataChange", True):
+                        has_remove = True
+            if has_remove and not self.ignore_changes:
+                raise ValueError(
+                    f"{self.path}: version {v} rewrites/removes data — cannot "
+                    "stream without duplicates; set ignoreChanges=true to "
+                    "stream added files anyway"
+                )
+            if not (has_remove and not self.ignore_changes):
+                out.extend(adds)
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _DeltaFilePartition(p, pv)
+            for p, pv in self._added(start["version"], end["version"])
+        ]
+
+    def read(self, partition: _DeltaFilePartition):
+        reader = DeltaLogReader(self._schema, self._part_cols, [])
+        yield from reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass

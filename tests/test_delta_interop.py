@@ -187,3 +187,44 @@ def test_writer_foreachbatch_exactly_once(spark, tmp_path):
     sink(b0, 0)  # crash-replay of the same micro-batch
     sink(spark.range(20, 21).select(_F.col("id").alias("k")), 1)
     assert sorted(r.k for r in read_delta(spark, root).collect()) == [0, 10, 11, 20]
+
+
+def test_delta_streaming_source(spark, tmp_path):
+    """spark.readStream.format("deltalog"): commits stream as
+    micro-batches from a checkpointed {"version": N} offset; a
+    rewrite commit raises without ignoreChanges."""
+    root = str(tmp_path / "dstream")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 3).select(_F.col("id").alias("k")))
+    w.append(spark.range(10, 13).select(_F.col("id").alias("k")))
+    register(spark)
+    seen: dict[int, list[int]] = {}
+
+    def grab(bdf, bid):
+        seen.setdefault(bid, []).extend(r.k for r in bdf.collect())
+
+    ckpt = str(tmp_path / "dstream_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("deltalog")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(grab)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(v for vs in seen.values() for v in vs) == [0, 1, 2, 10, 11, 12]
+    # incremental restart: only the new commit streams
+    seen.clear()
+    w.append(spark.range(100, 102).select(_F.col("id").alias("k")))
+    run_once()
+    assert sorted(v for vs in seen.values() for v in vs) == [100, 101]
+    # a delete (rewrite) must refuse to stream without ignoreChanges
+    w.delete_where(_F.col("k") == 0)
+    with pytest.raises(Exception):
+        run_once()
