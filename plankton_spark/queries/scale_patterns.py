@@ -225,3 +225,55 @@ def min_label_propagation(edges, max_rounds: int = 40, checkpoint_every: int = 6
             labels.unpersist()
             labels = chk
     return labels
+
+
+@query(
+    "q_fk_audit",
+    oracle="""
+    SELECT 'orders.custkey' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.orderkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.partkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.suppkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    """,
+)
+def q_fk_audit(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for every foreign
+    key in the star schema, each as a LEFT ANTI join (the only join
+    type that can short-circuit to a bloom-filter probe at scale).
+    Dimension sides broadcast (customer/part/supplier are the small
+    sides by design); the lineitem→orders check is the one true
+    shuffle. The audit a pipeline runs after every load — a nonzero
+    row here means an upstream extract dropped rows."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    c = read_table(spark, sf_dir, "customer")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+
+    def orphans(name, child, parent, ck, pk):
+        n = (
+            child.join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+        return n
+
+    out = orphans("orders.custkey", o, c, "o_custkey", "c_custkey")
+    for args in (
+        ("lineitem.orderkey", li, o, "l_orderkey", "o_orderkey"),
+        ("lineitem.partkey", li, p, "l_partkey", "p_partkey"),
+        ("lineitem.suppkey", li, s, "l_suppkey", "s_suppkey"),
+    ):
+        out = out.unionByName(orphans(*args))
+    return out
