@@ -54,9 +54,15 @@ class DeltaLog:
 
     def latest_version(self) -> int:
         versions = _commit_versions(self.log_dir)
-        if not versions:
+        # a fully-compacted log may hold ONLY a checkpoint parquet
+        cp_versions = [
+            int(f.split(".", 1)[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.parquet") and f.split(".", 1)[0].isdigit()
+        ]
+        if not versions and not cp_versions:
             raise FileNotFoundError(f"empty _delta_log in {self.table_path}")
-        return versions[-1]
+        return max(versions + cp_versions)
 
     def _checkpoint_at_or_before(self, version: int) -> tuple[int, list[dict]] | None:
         """Newest `<v>.checkpoint.parquet` with v <= version, decoded
@@ -109,7 +115,10 @@ class DeltaLog:
                 part_cols = list(md.get("partitionColumns") or [])
             elif "add" in a:
                 add = a["add"]
-                active[add["path"]] = add.get("partitionValues") or {}
+                pv = add.get("partitionValues") or {}
+                if isinstance(pv, list):  # pyarrow map → list of (k, v)
+                    pv = dict(pv)
+                active[add["path"]] = pv
             elif "remove" in a:
                 active.pop(a["remove"]["path"], None)
         if schema is None:
@@ -500,3 +509,95 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+DELTA_CHECKPOINT_EVERY = 10
+
+
+def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
+    """Compact the log at `version` (default latest) into
+    `<v>.checkpoint.parquet` + `_last_checkpoint`, per the spec's
+    checkpoint layout: one row per live action with typed columns
+    (partitionValues/configuration as map<string,string> — an empty
+    STRUCT can't land in parquet). Readers then replay checkpoint +
+    later JSON commits only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = DeltaLog(table_path)
+    if version is None:
+        version = log.latest_version()
+    schema, part_cols, files = log.snapshot(version)
+    str_map = pa.map_(pa.string(), pa.string())
+    cp_schema = pa.schema(
+        [
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field("configuration", str_map),
+                    ]
+                ),
+            ),
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("partitionValues", str_map),
+                        pa.field("size", pa.int64()),
+                        pa.field("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows: list[dict] = [
+        {
+            "metaData": {
+                "id": f"plankton-delta-{os.path.basename(table_path)}",
+                "schemaString": schema.json(),
+                "partitionColumns": part_cols,
+                "configuration": [],
+            },
+            "protocol": None,
+            "add": None,
+        },
+        {
+            "metaData": None,
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "add": None,
+        },
+    ]
+    for abs_path, pv in sorted(files):
+        rel = os.path.relpath(abs_path, table_path)
+        rows.append(
+            {
+                "metaData": None,
+                "protocol": None,
+                "add": {
+                    "path": rel,
+                    "partitionValues": list((pv or {}).items()),
+                    "size": os.path.getsize(abs_path),
+                    "dataChange": True,
+                },
+            }
+        )
+    log_dir = os.path.join(table_path, "_delta_log")
+    out = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=cp_schema), out)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": len(rows)}, f)
+    return out

@@ -228,3 +228,44 @@ def test_delta_streaming_source(spark, tmp_path):
     w.delete_where(_F.col("k") == 0)
     with pytest.raises(Exception):
         run_once()
+
+
+def test_write_delta_checkpoint_roundtrip(spark, tmp_path):
+    """Engine-written checkpoint parquet + _last_checkpoint: replay
+    from the checkpoint (JSON commits it supersedes deleted) must
+    reproduce the snapshot, including partitioned tables whose
+    partitionValues ride the checkpoint's map column."""
+    from plankton_spark.sources.delta_log import write_delta_checkpoint
+
+    root = str(tmp_path / "cp_w")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 10).select(_F.col("id").alias("k")))
+    w.append(spark.range(10, 15).select(_F.col("id").alias("k")))
+    w.append(spark.range(15, 18).select(_F.col("id").alias("k")))
+    out = write_delta_checkpoint(root, version=1)
+    assert os.path.exists(out)
+    # drop the superseded JSON commits — replay must come from parquet
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == list(range(18))
+    # version pinned at the checkpoint exactly
+    got1 = sorted(r.k for r in read_delta(spark, root, version=1).collect())
+    assert got1 == list(range(15))
+
+
+def test_checkpoint_on_partitioned_table(spark, delta_root, tmp_path):
+    """Checkpoint a hand-authored PARTITIONED delta table: the
+    partitionValues map must survive the parquet roundtrip."""
+    from plankton_spark.sources.delta_log import write_delta_checkpoint
+
+    root = str(tmp_path / "cp_part")
+    shutil.copytree(delta_root, root)
+    write_delta_checkpoint(root, version=2)
+    for v in (0, 1, 2):
+        os.remove(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    got = read_delta(spark, root)
+    exp = _expected(spark, 0, 2000, drop_f=True)
+    assert got.count() == exp.count()
+    statuses = {r[0] for r in got.select("o_orderstatus").distinct().collect()}
+    assert statuses and "F" not in statuses

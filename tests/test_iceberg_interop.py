@@ -212,3 +212,48 @@ def test_writer_schema_mapping_roundtrip(spark, tmp_path):
         ("s", "string"),
         ("d", "double"),
     ]
+
+
+# ---------------------------------------------------------------------
+# Property-based: generic datum codec roundtrips arbitrary values
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_names = _resolve_names(NESTED_SCHEMA)
+
+_inner = st.fixed_dictionaries(
+    {
+        "a": st.integers(min_value=-(2**62), max_value=2**62),
+        "b": st.none() | st.floats(allow_nan=False, allow_infinity=False, width=64),
+    }
+)
+_row = st.fixed_dictionaries(
+    {
+        "tag": st.text(max_size=12),
+        "inner": _inner,
+        "nums": st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=8),
+        "attrs": st.dictionaries(st.text(max_size=6), st.text(max_size=6), max_size=4),
+        "again": st.none() | _inner,
+        "color": st.sampled_from(["R", "G", "B"]),
+        "fix": st.binary(min_size=4, max_size=4),
+    }
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_row)
+def test_datum_codec_roundtrips_arbitrary_values(row):
+    buf = io.BytesIO()
+    write_datum(buf, NESTED_SCHEMA, row, _names)
+    buf.seek(0)
+    assert read_datum(buf, NESTED_SCHEMA, _names) == row
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_row, max_size=5))
+def test_ocf_generic_roundtrips_row_lists(tmp_path_factory, rows):
+    path = str(tmp_path_factory.mktemp("avroprop") / "t.avro")
+    write_ocf_generic(path, NESTED_SCHEMA, rows)
+    assert list(read_ocf_generic(path)) == rows
