@@ -274,3 +274,57 @@ def q_sample_assembly(spark, sf_dir):
             F.date_format(F.max("ts2"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         )
     )
+
+
+@query(
+    "q_anomaly_buckets",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    buckets AS (
+      SELECT event_type, date_trunc('minute', ts2) AS bkt,
+             COUNT(*) AS n
+      FROM e GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             AVG(CAST(n AS DOUBLE)) AS mu,
+             STDDEV_SAMP(CAST(n AS DOUBLE)) AS sigma,
+             COUNT(*) AS n_buckets
+      FROM buckets GROUP BY 1
+    )
+    SELECT b.event_type,
+           strftime(b.bkt, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(b.n AS BIGINT) AS n_events,
+           ROUND((CAST(b.n AS DOUBLE) - s.mu) / s.sigma, 4) AS z
+    FROM buckets b JOIN stats s USING (event_type)
+    WHERE s.sigma > 0 AND ABS((CAST(b.n AS DOUBLE) - s.mu) / s.sigma) > 2.5
+    """,
+)
+def q_anomaly_buckets(spark, sf_dir):
+    """Volume-anomaly detection: per-minute event counts z-scored
+    against each event type's own bucket distribution; buckets beyond
+    2.5σ are flagged. Two hash aggregations (bucket counts, then
+    per-type moments — the second over the tiny bucket frame) + one
+    broadcast join back; nothing touches raw events twice. Integer
+    counts make mean/stddev deterministic (single final-stage double
+    division, no accumulation-order risk at the bucket-frame size —
+    the moments aggregate a per-type handful of rows)."""
+    e = _events_second(spark, sf_dir)
+    buckets = e.groupBy(
+        "event_type", F.date_trunc("minute", "ts2").alias("bkt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = buckets.groupBy("event_type").agg(
+        F.avg(F.col("n").cast("double")).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).alias("sigma"),
+    )
+    z = (F.col("n").cast("double") - F.col("mu")) / F.col("sigma")
+    return (
+        buckets.join(F.broadcast(stats), "event_type")
+        .where((F.col("sigma") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_type",
+            F.date_format("bkt", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -292,9 +292,14 @@ class DeltaLogWriter:
     def _commit_with_retry(self, actions, max_retries: int = 20) -> int:
         for _ in range(max_retries):
             try:
-                return self._commit(self._next_version(), actions)
+                v = self._commit(self._next_version(), actions)
             except DeltaCommitConflict:
                 continue
+            if v > 0 and v % DELTA_CHECKPOINT_EVERY == 0:
+                # compact the log every K commits (same cadence rule as
+                # planktable); readers then replay checkpoint + tail
+                write_delta_checkpoint(self.table_path, version=v)
+            return v
         raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
 
     # -- data files -----------------------------------------------------

@@ -269,3 +269,19 @@ def test_checkpoint_on_partitioned_table(spark, delta_root, tmp_path):
     assert got.count() == exp.count()
     statuses = {r[0] for r in got.select("o_orderstatus").distinct().collect()}
     assert statuses and "F" not in statuses
+
+
+def test_writer_auto_checkpoints_every_k_commits(spark, tmp_path):
+    from plankton_spark.sources.delta_log import DELTA_CHECKPOINT_EVERY
+
+    root = str(tmp_path / "cp_auto")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(1).select(_F.col("id").alias("k")))
+    for i in range(1, DELTA_CHECKPOINT_EVERY + 2):
+        w.append(spark.range(i * 10, i * 10 + 1).select(_F.col("id").alias("k")))
+    cp = os.path.join(
+        root, "_delta_log", f"{DELTA_CHECKPOINT_EVERY:020d}.checkpoint.parquet"
+    )
+    assert os.path.exists(cp)
+    assert os.path.exists(os.path.join(root, "_delta_log", "_last_checkpoint"))
+    assert read_delta(spark, root).count() == DELTA_CHECKPOINT_EVERY + 2
