@@ -838,3 +838,52 @@ def q_heavyhitters(spark, sf_dir):
 
 
 q_heavyhitters.__doc__ = q_heavyhitters.__doc__.format(k=HH_K, cap=MG_CAPACITY)
+
+
+@query(
+    "q_fuzzy_match",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, lower(c_name) AS nm FROM customer WHERE c_custkey < 300
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.nm, b.nm) AS dist
+    FROM c a JOIN c b
+      ON substr(a.nm, 1, 16) = substr(b.nm, 1, 16)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.nm, b.nm) <= 1
+    """,
+)
+def q_fuzzy_match(spark, sf_dir):
+    """Fuzzy entity matching: customer-name pairs within edit distance
+    1, candidate-blocked on a 16-char name prefix so the self-join is
+    an EQUI-join on a DISCRIMINATING block key (fixture names are
+    'customer#' + 9 digits — a 9-char block would put every name in
+    one bucket, the degenerate-blocking failure this query's first
+    draft measured at 60k pairs). Block-then-verify, same shape as the
+    LSH dedup: a prefix block can miss early-edit pairs; production
+    stacks complementary blocks (prefix, suffix, phonetic), each an
+    equi-join, and unions them. Levenshtein runs only inside blocks
+    (the verify stage), never across the cross product."""
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", F.lower("c_name").alias("nm"))
+    )
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("nm").alias("nm_a"),
+        F.substring("nm", 1, 16).alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("nm").alias("nm_b"),
+        F.substring("nm", 1, 16).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+        .where(F.col("dist") <= 1)
+        .select("key_a", "key_b", "dist")
+    )
