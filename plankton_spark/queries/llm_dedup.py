@@ -708,3 +708,69 @@ def q_dedup_spans(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_spans"))
         .where(F.col("n_shared_spans") >= SPAN_MIN_SHARED)
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT sha256(lower(text)) AS fp FROM documents WHERE doc_id < 300
+    ),
+    batch AS (
+      SELECT doc_id, sha256(lower(text)) AS fp FROM documents
+      WHERE doc_id >= 200 AND doc_id < 500
+    ),
+    fresh AS (
+      SELECT b.doc_id FROM batch b WHERE NOT EXISTS (
+        SELECT 1 FROM hist h WHERE h.fp = b.fp)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_batch,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST((SELECT COUNT(*) FROM batch) - COUNT(*) AS BIGINT) AS n_dropped,
+           CAST(MIN(doc_id) AS BIGINT) AS min_new_doc
+    FROM fresh
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup against HISTORY — the production
+    pipeline shape: the corpus already processed lives as a
+    fingerprint table (a planktable here: tiny sha256 rows, the
+    'index', NOT the documents), and each new batch anti-joins it and
+    appends its novel fingerprints. History is never rescanned at the
+    document level; at 100 TB the fingerprint table is ~1/1000th of
+    the corpus and the anti-join shuffles digests only. The fixture's
+    batch overlaps history (doc_id 200..299) so the drop path is
+    exercised; the oracle recomputes both sides relationally."""
+    from plankton_spark.queries.scans import _scratch
+    from plankton_spark.table_format import PlankTable
+    import shutil as _shutil
+
+    d = read_table(spark, sf_dir, "documents")
+    fp = F.sha2(F.lower("text"), 256).alias("fp")
+    hist_df = d.where(F.col("doc_id") < 300).select(fp).distinct()
+    path = _scratch(sf_dir, "dedup_fp_index")
+    _shutil.rmtree(path, ignore_errors=True)
+    t = PlankTable(spark, path)
+    t.create(hist_df)
+
+    batch = d.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 500)).select(
+        "doc_id", fp
+    )
+    fresh = batch.join(t.read(), "fp", "left_anti")
+    # append the novel fingerprints — the index stays current
+    t.append(fresh.select("fp").distinct())
+
+    n_batch = batch.agg(F.count(F.lit(1)).cast("long").alias("n_batch"))
+    agg = fresh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+        F.min("doc_id").cast("long").alias("min_new_doc"),
+    )
+    return (
+        n_batch.crossJoin(agg)
+        .select(
+            "n_batch",
+            "n_new",
+            (F.col("n_batch") - F.col("n_new")).alias("n_dropped"),
+            "min_new_doc",
+        )
+    )
