@@ -277,3 +277,58 @@ def q_fk_audit(spark, sf_dir):
     ):
         out = out.unionByName(orphans(*args))
     return out
+
+
+WSAMPLE_K = 100
+WSAMPLE_SCALE = 1_000_000_007  # hash modulus (prime)
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             -- integer-exact weighted priority: uniform hash key
+             -- divided by weight (larger weight => smaller priority
+             -- => more likely in the top-k). All int64 arithmetic.
+             (((doc_id % 1000003) * 2654435761) % {WSAMPLE_SCALE}) * 1000
+               // n_chars AS pri
+      FROM documents
+    ),
+    pick AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (ORDER BY pri, doc_id) AS rn
+      FROM pri
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM pick WHERE rn <= {WSAMPLE_K}
+    GROUP BY lang
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement, deterministic and
+    engine-identical: each doc gets an integer priority
+    hash_key * 1000 DIV weight (weight = n_chars, so longer docs are
+    proportionally favored — the A-ES priority-sampling shape with the
+    transcendental -ln(u)/w key replaced by an integer-exact monotone
+    surrogate, because libm ulp differences between engines would
+    flip near-ties). Global top-k by (priority, doc_id) via the same
+    two-level pattern as q_topk_global: TakeOrderedAndProject keeps
+    per-partition heaps of k, no full sort, no single-partition
+    window."""
+    d = read_table(spark, sf_dir, "documents")
+    # integer DIV keeps the priority exact in both engines — a double
+    # division + cast could round a near-integer quotient differently
+    pri = F.expr(
+        f"(((doc_id % 1000003) * 2654435761) % {WSAMPLE_SCALE}) * 1000"
+        " DIV n_chars"
+    )
+    scored = d.select("doc_id", "lang", "n_chars", pri.alias("pri"))
+    topk = scored.orderBy("pri", "doc_id").limit(WSAMPLE_K)
+    return topk.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
