@@ -72,20 +72,20 @@ class IcebergTable:
         self.metadata = self._load_current_metadata()
 
     def _load_current_metadata(self) -> dict:
-        hint = os.path.join(self.meta_dir, "version-hint.text")
-        if os.path.exists(hint):
-            with open(hint) as f:
-                v = int(f.read().strip())
-            path = os.path.join(self.meta_dir, f"v{v}.metadata.json")
-        else:
-            versions = sorted(
-                int(f[1:].split(".")[0])
-                for f in os.listdir(self.meta_dir)
-                if f.startswith("v") and f.endswith(".metadata.json")
-            )
-            if not versions:
-                raise FileNotFoundError(f"no vN.metadata.json in {self.meta_dir}")
-            path = os.path.join(self.meta_dir, f"v{versions[-1]}.metadata.json")
+        # NOTE: version-hint is advisory (it can lag a just-committed
+        # writer); always trust the highest vN.metadata.json present so
+        # an OCC reader/rebaser sees the true latest state. Records the
+        # loaded version in self.metadata_version — a writer must commit
+        # to exactly metadata_version + 1 (see IcebergWriter.append).
+        versions = sorted(
+            int(f[1:].split(".")[0])
+            for f in os.listdir(self.meta_dir)
+            if f.startswith("v") and f.endswith(".metadata.json")
+        )
+        if not versions:
+            raise FileNotFoundError(f"no vN.metadata.json in {self.meta_dir}")
+        self.metadata_version = versions[-1]
+        path = os.path.join(self.meta_dir, f"v{versions[-1]}.metadata.json")
         with open(path) as f:
             return json.load(f)
 
@@ -375,6 +375,17 @@ class IcebergWriter:
         ]
         return (max(versions) + 1) if versions else 1
 
+    def _unique(self, stem: str) -> str:
+        """Staged metadata filenames must be writer-unique: two racing
+        appends computing the same snapshot id must NEVER collide on a
+        manifest/manifest-list path — the loser's retry would silently
+        overwrite files the winner's committed metadata already
+        references (a lost update the concurrency test caught). Only
+        vN.metadata.json is the contended (O_EXCL) resource."""
+        import uuid as _uuid
+
+        return f"{stem}-{_uuid.uuid4().hex[:12]}.avro"
+
     def create(self, df) -> int:
         if os.path.isdir(self.meta_dir) and any(
             f.endswith(".metadata.json") for f in os.listdir(self.meta_dir)
@@ -383,10 +394,11 @@ class IcebergWriter:
         os.makedirs(self.meta_dir, exist_ok=True)
         snap_id = 1
         files = self._stage(df, snap_id)
-        m = self._write_manifest(f"m{snap_id}.avro", files, snap_id)
+        m = self._write_manifest(self._unique(f"m{snap_id}"), files, snap_id)
         from plankton_spark.sources.avro_ocf import write_ocf_generic
 
-        ml = os.path.join(self.meta_dir, f"snap-{snap_id}.avro")
+        ml_name = self._unique(f"snap-{snap_id}")
+        ml = os.path.join(self.meta_dir, ml_name)
         write_ocf_generic(ml, _MANIFEST_FILE_SCHEMA, [m])
         ice_schema = {
             "type": "struct",
@@ -418,7 +430,7 @@ class IcebergWriter:
                 {
                     "snapshot-id": snap_id,
                     "timestamp-ms": snap_id,
-                    "manifest-list": f"metadata/snap-{snap_id}.avro",
+                    "manifest-list": f"metadata/{ml_name}",
                 }
             ],
         }
@@ -437,21 +449,31 @@ class IcebergWriter:
             prev = table._snapshot(None)
             snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
             files = self._stage(df, snap_id)
-            m_new = self._write_manifest(f"m{snap_id}.avro", files, snap_id)
+            m_new = self._write_manifest(
+                self._unique(f"m{snap_id}"), files, snap_id
+            )
             prev_ml = table._resolve(prev["manifest-list"])
             manifests = list(read_ocf_generic(prev_ml)) + [m_new]
-            ml = os.path.join(self.meta_dir, f"snap-{snap_id}.avro")
-            write_ocf_generic(ml, _MANIFEST_FILE_SCHEMA, manifests)
+            ml_name = self._unique(f"snap-{snap_id}")
+            write_ocf_generic(
+                os.path.join(self.meta_dir, ml_name), _MANIFEST_FILE_SCHEMA, manifests
+            )
             md["snapshots"] = md["snapshots"] + [
                 {
                     "snapshot-id": snap_id,
                     "timestamp-ms": snap_id,
-                    "manifest-list": f"metadata/snap-{snap_id}.avro",
+                    "manifest-list": f"metadata/{ml_name}",
                 }
             ]
             md["current-snapshot-id"] = snap_id
             try:
-                self._commit_metadata(self._next_metadata_version(), md)
+                # commit to EXACTLY read-version + 1: claiming whatever
+                # version is free at commit time would let a writer that
+                # raced past a concurrent commit publish metadata built
+                # from the stale snapshot (lost update — the TOCTOU the
+                # concurrency test caught). O_EXCL on v(read+1) makes
+                # the conflict visible; the loop rebases.
+                self._commit_metadata(table.metadata_version + 1, md)
                 return snap_id
             except IcebergCommitConflict:
                 continue  # rebase on the newer metadata

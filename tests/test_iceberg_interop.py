@@ -257,3 +257,38 @@ def test_ocf_generic_roundtrips_row_lists(tmp_path_factory, rows):
     path = str(tmp_path_factory.mktemp("avroprop") / "t.avro")
     write_ocf_generic(path, NESTED_SCHEMA, rows)
     assert list(read_ocf_generic(path)) == rows
+
+
+def test_writer_concurrent_appends_rebase(spark, tmp_path):
+    """Two writers racing appends: the metadata-version O_EXCL claim
+    serializes them; the loser rebases onto the newer snapshot and
+    both appends survive (no lost update, linear snapshot history)."""
+    import threading
+
+    root = str(tmp_path / "iw_race")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 5).select(F.col("id").alias("k")))
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def worker(base: int) -> None:
+        try:
+            handle = IcebergWriter(spark, root)
+            barrier.wait()
+            handle.append(
+                spark.range(base, base + 3).select(F.col("id").alias("k"))
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(b,)) for b in (100, 200)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    rows = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert rows == list(range(5)) + [100, 101, 102, 200, 201, 202]
+    t = IcebergTable(root)
+    snap_ids = sorted(s["snapshot-id"] for s in t.snapshots())
+    assert snap_ids == [1, 2, 3]
