@@ -82,10 +82,43 @@ class DeltaLog:
         )
         actions = []
         for row in tbl.to_pylist():
-            for kind in ("metaData", "add", "remove", "protocol"):
+            for kind in ("metaData", "add", "remove", "protocol", "txn"):
                 if row.get(kind) is not None:
                     actions.append({kind: row[kind]})
         return best, actions
+
+    def txn_versions(self, version: int | None = None) -> dict[str, int]:
+        """appId → highest committed `txn` version at `version`,
+        replayed from checkpoint + JSON tail — so txn-based
+        exactly-once dedup survives cleanup of pre-checkpoint JSON
+        commits (checkpoints carry txn rows; Delta spec self-
+        containment)."""
+        if version is None:
+            version = self.latest_version()
+        start = 0
+        best: dict[str, int] = {}
+
+        def _take(t: dict) -> None:
+            app = t.get("appId")
+            if app is not None and t.get("version") is not None:
+                best[app] = max(best.get(app, t["version"]), t["version"])
+
+        cp = self._checkpoint_at_or_before(version)
+        if cp is not None:
+            start = cp[0] + 1
+            for a in cp[1]:
+                if "txn" in a:
+                    _take(a["txn"])
+        for v in _commit_versions(self.log_dir):
+            if start <= v <= version:
+                with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line:
+                            a = json.loads(line)
+                            if "txn" in a:
+                                _take(a["txn"])
+        return best
 
     def snapshot(self, version: int | None = None):
         """Returns (schema: StructType, partition_cols: list[str],
@@ -271,22 +304,30 @@ class DeltaLogWriter:
         return (versions[-1] + 1) if versions else 0
 
     def _commit(self, version: int, actions: list[dict]) -> int:
+        """Atomic publication: the full content is written (and fsynced)
+        to a writer-unique temp file FIRST, then published with
+        os.link(tmp, final) — link fails with EEXIST if the version was
+        claimed (preserving the OCC guarantee) and, unlike
+        O_EXCL-create-then-write, a concurrent reader can never observe
+        an empty or partially written commit file."""
+        import uuid as _uuid
+
         os.makedirs(self.log_dir, exist_ok=True)
         path = os.path.join(self.log_dir, f"{version:020d}.json")
-        tmp = path + ".tmp"
+        tmp = path + f".tmp-{_uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             for a in actions:
                 fh.write(json.dumps(a) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
-            os.remove(tmp)
             raise DeltaCommitConflict(
                 f"{self.table_path}: version {version} already committed"
             ) from None
-        with os.fdopen(fd, "w") as out, open(tmp) as src:
-            out.write(src.read())
-        os.remove(tmp)
+        finally:
+            os.remove(tmp)
         return version
 
     def _commit_with_retry(self, actions, max_retries: int = 20) -> int:
@@ -355,15 +396,38 @@ class DeltaLogWriter:
     def append(self, df, txn: tuple[str, int] | None = None) -> int | None:
         """Append rows; with txn=(appId, version), replays of an
         already-committed (appId, version) are dropped — the Delta
-        `txn` action's idempotence contract."""
-        if txn is not None and self.last_txn_version(txn[0]) is not None:
-            if txn[1] <= self.last_txn_version(txn[0]):
-                return None  # duplicate micro-batch replay
-        actions: list[dict] = []
-        if txn is not None:
-            actions.append({"txn": {"appId": txn[0], "version": txn[1]}})
+        `txn` action's idempotence contract. The guard is re-validated
+        INSIDE the retry loop after every commit conflict: two
+        concurrent replays of one micro-batch race on the version file,
+        and the loser must notice the winner already carried the same
+        (appId, version) rather than blindly re-committing it."""
+        if txn is None:
+            return self._commit_with_retry(self._stage(df))
+        last = self.last_txn_version(txn[0])
+        if last is not None and txn[1] <= last:
+            return None  # duplicate micro-batch replay
+        actions: list[dict] = [{"txn": {"appId": txn[0], "version": txn[1]}}]
         actions += self._stage(df)
-        return self._commit_with_retry(actions)
+        for _ in range(20):
+            # ORDER MATTERS: pick the target version FIRST, then check
+            # the guard. The check then observes every commit < v, so a
+            # replay twin that landed at any earlier version is seen; if
+            # it lands between our check and the link, the link hits
+            # EEXIST and the next iteration re-checks. Checking before
+            # picking v leaves a window where the twin commits and we
+            # quietly claim the NEXT free version (no conflict raised).
+            v = self._next_version()
+            last = self.last_txn_version(txn[0])
+            if last is not None and txn[1] <= last:
+                return None  # duplicate replay committed concurrently
+            try:
+                v = self._commit(v, actions)
+            except DeltaCommitConflict:
+                continue
+            if v > 0 and v % DELTA_CHECKPOINT_EVERY == 0:
+                write_delta_checkpoint(self.table_path, version=v)
+            return v
+        raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
 
     def delete_where(self, condition) -> int:
         """Row-level delete: rewrite only files containing matches;
@@ -392,9 +456,13 @@ class DeltaLogWriter:
         )
         actions: list[dict] = []
         if hit_rel:
+            # Delta DELETE semantics: only rows where the condition is
+            # TRUE are deleted; rows where it evaluates to NULL are
+            # RETAINED. A bare ~condition would filter NULL rows out of
+            # the rewrite too (NOT NULL = NULL) — silent data loss.
             survivors = self.spark.read.parquet(
                 *[os.path.join(self.table_path, r) for r in hit_rel]
-            ).where(~condition)
+            ).where(~F.coalesce(condition, F.lit(False)))
             if not survivors.isEmpty():
                 actions += self._stage(survivors)
             actions += [
@@ -420,21 +488,15 @@ class DeltaLogWriter:
         return validate_then_commit()
 
     def last_txn_version(self, app_id: str) -> int | None:
-        """Highest committed txn version for app_id (None if none)."""
+        """Highest committed txn version for app_id (None if none).
+        Replays checkpoint + JSON tail (DeltaLog.txn_versions), so the
+        answer stays correct after pre-checkpoint log cleanup."""
         if not os.path.isdir(self.log_dir):
             return None
-        best = None
-        for v in _commit_versions(self.log_dir):
-            with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    a = json.loads(line)
-                    if "txn" in a and a["txn"].get("appId") == app_id:
-                        tv = a["txn"]["version"]
-                        best = tv if best is None else max(best, tv)
-        return best
+        try:
+            return DeltaLog(self.table_path).txn_versions().get(app_id)
+        except FileNotFoundError:
+            return None
 
 
 class ConcurrentDeltaModification(Exception):
@@ -567,6 +629,15 @@ def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
                     ]
                 ),
             ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        pa.field("appId", pa.string()),
+                        pa.field("version", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
     rows: list[dict] = [
@@ -598,6 +669,19 @@ def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
                     "size": os.path.getsize(abs_path),
                     "dataChange": True,
                 },
+                "txn": None,
+            }
+        )
+    # spec self-containment: one txn row per (appId, max version), so
+    # exactly-once dedup works from checkpoint + tail alone even after
+    # pre-checkpoint JSON commits are cleaned up
+    for app_id, tv in sorted(log.txn_versions(version).items()):
+        rows.append(
+            {
+                "metaData": None,
+                "protocol": None,
+                "add": None,
+                "txn": {"appId": app_id, "version": tv},
             }
         )
     log_dir = os.path.join(table_path, "_delta_log")

@@ -352,16 +352,28 @@ class IcebergWriter:
         }
 
     def _commit_metadata(self, version: int, metadata: dict) -> None:
+        """Atomic publication: fully write (and fsync) a writer-unique
+        temp file, then os.link it into place — EEXIST preserves the
+        OCC claim, and a reader picking the highest vN.metadata.json
+        can never hit a partial JSON (the O_EXCL-create-then-write
+        pattern had that window)."""
+        import uuid as _uuid
+
         os.makedirs(self.meta_dir, exist_ok=True)
         path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        tmp = path + f".tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(metadata, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             raise IcebergCommitConflict(
                 f"{self.table_path}: metadata v{version} already committed"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(metadata, f)
+        finally:
+            os.remove(tmp)
         with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as f:
             f.write(str(version))
 

@@ -266,20 +266,20 @@ class PlankTable:
         tmp = _version_file(self.path, version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(
-                _version_file(self.path, version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
+            # atomic publication: link the fully-written temp file into
+            # place — EEXIST preserves the OCC claim, and a concurrent
+            # reader can never observe a partially written commit (the
+            # O_EXCL-create-then-copy pattern had that window)
+            os.link(tmp, _version_file(self.path, version))
         except FileExistsError:
-            os.remove(tmp)
             raise CommitConflict(
                 f"{self.path}: version {version} already committed"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            with open(tmp) as t:
-                f.write(t.read())
-        os.remove(tmp)
+        finally:
+            os.remove(tmp)
         if version % CHECKPOINT_EVERY == 0 and version > 0:
             # snapshot BEFORE creating the file: an open("w") first
             # would leave an empty checkpoint visible to the very
@@ -383,9 +383,11 @@ class PlankTable:
         )
         if not hit_rel:
             return self._commit_with_retry("DELETE", lambda: ([], []))
+        # DELETE semantics: only condition=TRUE rows go; NULL-evaluating
+        # rows are retained (NOT NULL = NULL would silently drop them)
         survivors = self.spark.read.parquet(
             *[os.path.join(self.path, r) for r in hit_rel]
-        ).where(~condition)
+        ).where(~F.coalesce(condition, F.lit(False)))
         adds = self._stage(survivors) if not survivors.isEmpty() else []
         return self._commit_with_retry("DELETE", lambda: (adds, hit_rel))
 
@@ -466,7 +468,14 @@ class PlankTable:
         affinely mapped to a [0, 2^bits) rank from its global min/max
         (one tiny agg, broadcast as literals), then bit i of every
         rank is woven into the output. Monotone per dimension, so
-        z-sorted files are narrow in all dimensions at once."""
+        z-sorted files are narrow in all dimensions at once.
+
+        Two silent-overflow guards: (a) bits shrinks so the interleaved
+        value len(cols)*bits always fits a signed long (>3 columns at
+        21 bits would wrap and scramble the layout); (b) the rank is
+        computed in DOUBLE before the final cast — (col-mn)*(2^21-1) in
+        long arithmetic wraps for columns spanning more than ~2^42."""
+        bits = min(bits, 63 // max(len(cols), 1))
         stats = df.agg(
             *[F.min(c).alias(f"mn_{c}") for c in cols],
             *[F.max(c).alias(f"mx_{c}") for c in cols],
@@ -474,15 +483,18 @@ class PlankTable:
         ranks = []
         for c in cols:
             mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-            span = max(int(mx) - int(mn), 1)
+            span = max(float(mx) - float(mn), 1.0)
             ranks.append(
                 F.least(
                     F.lit((1 << bits) - 1),
-                    (
-                        (F.col(c).cast("long") - F.lit(int(mn)))
-                        * F.lit((1 << bits) - 1)
-                        / F.lit(span)
-                    ).cast("long"),
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        (
+                            (F.col(c).cast("double") - F.lit(float(mn)))
+                            * F.lit(float((1 << bits) - 1))
+                            / F.lit(span)
+                        ).cast("long"),
+                    ),
                 )
             )
         z = F.lit(0).cast("long")
@@ -516,11 +528,14 @@ class PlankTable:
             return None
         adds = self._stage(df)
         for _ in range(20):
-            # re-check inside the retry loop: a concurrent replica may
-            # have committed this batch while we were staging
+            # pick the target version BEFORE the duplicate re-check: the
+            # check then covers every commit < v, and a twin landing
+            # after it collides on v (CommitConflict → re-check next
+            # loop). Checking first leaves a window where the twin
+            # commits and we claim the next free version undetected.
+            v = self._next_version()
             if (last := self.last_txn_batch(app_id)) is not None and batch_id <= last:
                 return None
-            v = self._next_version()
             payload_extra = {"app_id": app_id, "batch_id": batch_id}
             try:
                 return self._commit(
