@@ -495,8 +495,8 @@ def gemm_candidates(spark, embeddings, threshold, margin=1e-6, n_blocks=None):
         import numpy as np
         import pandas as pd
 
-        a_pdf = pdf[pdf["side"] == 0].sort_values("vec_id")
-        b_pdf = pdf[pdf["side"] == 1].sort_values("vec_id")
+        a_pdf = pdf[pdf["side"] == 0]
+        b_pdf = pdf[pdf["side"] == 1]
         empty = pd.DataFrame(
             {"vec_a": np.array([], dtype=np.int64), "vec_b": np.array([], dtype=np.int64)}
         )
@@ -504,11 +504,19 @@ def gemm_candidates(spark, embeddings, threshold, margin=1e-6, n_blocks=None):
             return empty
         a_ids = a_pdf["vec_id"].to_numpy(dtype=np.int64)
         b_ids = b_pdf["vec_id"].to_numpy(dtype=np.int64)
-        a_mat = np.array([list(v) for v in a_pdf["embedding"]], dtype=np.float64)
-        b_mat = np.array([list(v) for v in b_pdf["embedding"]], dtype=np.float64)
+        # np.stack over the Arrow-decoded ndarrays — NOT a per-row
+        # list() conversion, which was the measured kernel hot spot at
+        # sf10 (a Python loop over every replicated row).
+        a_mat = np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64)
+        b_mat = np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64)
+        # Pre-normalize the (rows x dim) sides once — O(rows·dim) — so
+        # the matmul emits cosines directly. The old outer-norm division
+        # was an O(rows²) pass, as many flops as the GEMM itself.
         a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
         b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
-        cos = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
+        a_mat /= np.where(a_nrm == 0.0, 1.0, a_nrm)[:, None]
+        b_mat /= np.where(b_nrm == 0.0, 1.0, b_nrm)[:, None]
+        cos = a_mat @ b_mat.T
         ra, cb = np.nonzero((cos >= cut) & (a_ids[:, None] != b_ids[None, :]))
         if ra.size == 0:
             return empty
@@ -612,6 +620,35 @@ SQL_PAIR_COSINE = """
 """
 
 
+def collapse_duplicate_vectors(embeddings):
+    """Exact-duplicate collapse before pairwise vector work.
+
+    Returns (members, uniq): members = (vec_id, rep_id) maps every
+    vector to its group representative (min vec_id over vectors with
+    BYTE-IDENTICAL embedding arrays — one window shuffle on the array
+    value); uniq = (vec_id, embedding) is one row per distinct array.
+
+    Why this is the scale lever: cosine depends only on array content,
+    so all pairwise compute can run on the U unique vectors and expand
+    back through group membership with output-proportional joins.
+    Duplicate-heavy corpora (the common case in crawl dedup — the
+    whole reason an embcos pass exists) turn an O(N²) GEMM into
+    O(U²) + O(|answer|); a fully-unique corpus pays one extra shuffle.
+    Exactness is free: identical arrays ⇒ bit-identical exact cosines.
+    """
+    w = Window.partitionBy("embedding")
+    members = cache.persist_swap(
+        "embcos:members",
+        embeddings.select(
+            "vec_id", "embedding", F.min("vec_id").over(w).alias("rep_id")
+        ),
+    )
+    uniq = members.where(F.col("vec_id") == F.col("rep_id")).select(
+        "vec_id", "embedding"
+    )
+    return members, uniq
+
+
 @query(
     "q_dedup_embcos",
     oracle=f"""
@@ -623,18 +660,74 @@ SQL_PAIR_COSINE = """
 def q_dedup_embcos(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.4).
 
-    Two-phase exact: (1) block-GEMM prefilter (gemm_candidates) finds
-    every pair with float64 cosine ≥ 0.4 - 1e-6 — provably a superset
-    of the true answer; (2) exact-decimal rescore (dot_cosine) keeps
-    values bit-identical to the O(n²) brute-force oracle. ~50× less
-    work than the component-join all-pairs form (pair_cosines), which
-    remains the pure-SQL mirror of the oracle."""
+    Three-phase exact, sub-quadratic in the corpus for duplicate-heavy
+    data (the case the op exists for):
+
+    1. Collapse byte-identical vectors (collapse_duplicate_vectors) —
+       one window shuffle; all pairwise work then runs on the U unique
+       arrays, not the N corpus rows.
+    2. Block-GEMM prefilter over the uniques (gemm_candidates): every
+       unique pair with float64 cosine ≥ 0.4 - 1e-6 — provably a
+       superset of the true answer — then exact-decimal rescore
+       (rescore_pairs_exact) for values bit-identical to the O(n²)
+       brute-force oracle.
+    3. Expand representative pairs back to corpus pairs through the
+       membership frame: cross-group pairs inherit their reps' exact
+       cosine (identical arrays ⇒ identical cosine); intra-group pairs
+       get the group's exact self-cosine. Both joins are sized by the
+       ANSWER, not the corpus².
+
+    Law: O(N) scan + O(U²) GEMM + O(|answer|) expansion — vs the old
+    O(N²) GEMM over all rows (sf10 soak: 502 s → the duplicate-heavy
+    100× corpus now runs the GEMM on 1/100th of the rows)."""
     e = read_table(spark, sf_dir, "embeddings")
-    cand = gemm_candidates(spark, e, 0.4)
-    pc = rescore_pairs_exact(e, cand)
-    return (
-        pc.where(F.col("cosine") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    return embcos_pairs(spark, e, 0.4)
+
+
+def embcos_pairs(spark, e, threshold):
+    """The q_dedup_embcos pipeline over an arbitrary (vec_id,
+    embedding) frame — see that query's docstring for the three
+    phases. Separated so tests can drive it against duplicate-heavy
+    frames and compare with the uncollapsed two-phase path."""
+    members, uniq = collapse_duplicate_vectors(e)
+    cand = gemm_candidates(spark, uniq, threshold)
+    rep_pairs = rescore_pairs_exact(uniq, cand).where(F.col("cosine") >= threshold)
+
+    ma = members.select(F.col("rep_id").alias("vec_a"), F.col("vec_id").alias("ia"))
+    mb = members.select(F.col("rep_id").alias("vec_b"), F.col("vec_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ma, "vec_a")
+        .join(mb, "vec_b")
+        .select(
+            F.least("ia", "ib").alias("vec_a"),
+            F.greatest("ia", "ib").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+    # intra-group pairs: exact self-cosine of the representative array
+    # (≡ the oracle's value for any two identical members; ~1.0, but
+    # computed with the same decimal fold — never assumed)
+    dup_reps = (
+        members.groupBy("rep_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("rep_id")
+    )
+    self_cos = (
+        uniq.join(dup_reps, uniq["vec_id"] == dup_reps["rep_id"])
+        .select("rep_id", dot_cosine("embedding", "embedding").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+    intra = (
+        self_cos.join(members.select("rep_id", F.col("vec_id").alias("ia")), "rep_id")
+        .join(members.select("rep_id", F.col("vec_id").alias("ib")), "rep_id")
+        .where(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("vec_a"), F.col("ib").alias("vec_b"), "cosine")
+    )
+
+    return cross.unionByName(intra).select(
+        "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
     )
 
 

@@ -1,0 +1,79 @@
+"""q_dedup_embcos duplicate-collapse pipeline: the collapsed path
+(unique-vector GEMM + membership expansion) must produce EXACTLY the
+same pairs and cosines as the uncollapsed two-phase path on a
+duplicate-heavy corpus — the sf10 soak shape (100 identical copies of
+every vector) scaled down."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.queries.llm_dedup import (
+    collapse_duplicate_vectors,
+    embcos_pairs,
+    gemm_candidates,
+    rescore_pairs_exact,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+THRESHOLD = 0.4
+N_COPIES = 3
+
+
+def _duplicated_corpus(spark):
+    """sf0.001 embeddings (500 vectors) x 3 key-shifted copies —
+    every vector has 2 byte-identical twins, mirroring the sf10
+    duplicate-heavy soak corpus."""
+    base = read_table(spark, SF0001, "embeddings").select("vec_id", "embedding")
+    copies = [
+        base.select((F.col("vec_id") + F.lit(k * 100_000)).alias("vec_id"), "embedding")
+        for k in range(N_COPIES)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def test_collapse_groups_identical_vectors(spark):
+    e = _duplicated_corpus(spark)
+    members, uniq = collapse_duplicate_vectors(e)
+    assert uniq.count() == 500
+    sizes = members.groupBy("rep_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in sizes] == [N_COPIES]
+    # representative is the min vec_id of its group — i.e. a base id
+    assert members.where(F.col("rep_id") >= 100_000).count() == 0
+
+
+def test_collapsed_pipeline_matches_uncollapsed_exactly(spark):
+    e = _duplicated_corpus(spark)
+    collapsed = embcos_pairs(spark, e, THRESHOLD).select(
+        "vec_a", "vec_b", "cosine"
+    )
+    direct = (
+        rescore_pairs_exact(e, gemm_candidates(spark, e, THRESHOLD))
+        .where(F.col("cosine") >= THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+    c_rows = {(r.vec_a, r.vec_b): r.cosine for r in collapsed.collect()}
+    d_rows = {(r.vec_a, r.vec_b): r.cosine for r in direct.collect()}
+    assert set(c_rows) == set(d_rows), (
+        f"pair sets differ: only-collapsed={sorted(set(c_rows) - set(d_rows))[:5]} "
+        f"only-direct={sorted(set(d_rows) - set(c_rows))[:5]}"
+    )
+    assert c_rows == d_rows  # bit-identical rounded cosines
+    # sanity on the structure: with 66 base pairs >= 0.4 and 3 copies,
+    # cross-group pairs are 66*9 and intra-group pairs 500*3 (C(3,2))
+    assert len(c_rows) == 66 * N_COPIES * N_COPIES + 500 * 3
+
+
+def test_intra_group_pairs_score_exactly_one(spark):
+    e = _duplicated_corpus(spark)
+    pairs = embcos_pairs(spark, e, THRESHOLD)
+    # twins of the same base vector differ by a multiple of 100_000
+    intra = pairs.where(
+        (F.col("vec_b") - F.col("vec_a")) % 100_000 == 0
+    )
+    bad = intra.where(F.col("cosine") != 1.0).count()
+    assert bad == 0
