@@ -296,6 +296,13 @@ class IcebergCommitConflict(Exception):
     """Another writer claimed this metadata version first."""
 
 
+class IcebergConcurrentDelete(Exception):
+    """A conflicting writer rewrote/removed files this DELETE/OVERWRITE
+    depends on (same rule as planktable's ConcurrentModification and
+    Delta's ConcurrentDeltaModification: committing a stale rewrite
+    would silently undo the concurrent writer)."""
+
+
 class IcebergWriter:
     """Minimal Iceberg writer: create / append (unpartitioned data
     files, format v1 metadata). Each commit adds ONE manifest and a
@@ -490,3 +497,156 @@ class IcebergWriter:
             except IcebergCommitConflict:
                 continue  # rebase on the newer metadata
         raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
+    # -- row-level delete / overwrite (parity with DeltaLogWriter and
+    #    planktable: rewrite only hit files, validate removed files are
+    #    still live at commit, rebase-on-conflict) --------------------
+
+    def _live_manifests(self, table: IcebergTable) -> list[tuple[dict, list[dict]]]:
+        """[(manifest_record, entries)] for the current snapshot."""
+        from plankton_spark.sources.avro_ocf import read_ocf_generic
+
+        snap = table._snapshot(None)
+        ml = table._resolve(snap["manifest-list"])
+        out = []
+        for m in read_ocf_generic(ml):
+            entries = list(read_ocf_generic(table._resolve(m["manifest_path"])))
+            out.append((m, entries))
+        return out
+
+    def _write_entries(self, fname: str, entries: list[dict]) -> dict:
+        from plankton_spark.sources.avro_ocf import write_ocf_generic
+
+        path = os.path.join(self.meta_dir, fname)
+        write_ocf_generic(path, _MANIFEST_ENTRY_SCHEMA, entries)
+        return {
+            "manifest_path": f"metadata/{fname}",
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": entries[0]["snapshot_id"] if entries else None,
+        }
+
+    def _commit_snapshot(self, staged: list[dict], removed_rel: set[str] | None,
+                         keep_unhit: bool) -> int:
+        """Shared OCC commit for delete/overwrite: marks `removed_rel`
+        data files DELETED (status 2 — readers skip them, incremental
+        consumers see the tombstone), carries unhit manifests forward
+        verbatim when keep_unhit, adds one ADDED manifest for `staged`
+        files, and commits to exactly read-version + 1, validating on
+        every rebase that each removed file is STILL live — a
+        concurrent rewrite of one of them aborts with
+        IcebergConcurrentDelete instead of silently undoing it.
+        removed_rel=None means "whatever is live at commit time"
+        (OVERWRITE semantics — recomputed per rebase so a concurrent
+        append is tombstoned too, never silently dropped)."""
+        from plankton_spark.sources.avro_ocf import write_ocf_generic
+
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            md = dict(table.metadata)
+            live_rel = {
+                os.path.relpath(p, self.table_path)
+                for p in table.data_files(None)
+            }
+            if removed_rel is None:
+                removed_now = live_rel
+            else:
+                removed_now = removed_rel
+                gone = sorted(removed_rel - live_rel)
+                if gone:
+                    raise IcebergConcurrentDelete(
+                        f"{self.table_path}: files rewritten/removed by a "
+                        f"concurrent commit: {gone[:5]}"
+                    )
+            snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+            manifests: list[dict] = []
+            for m, entries in self._live_manifests(table):
+                rels = {e["data_file"]["file_path"] for e in entries
+                        if e["status"] != 2}
+                hit_here = rels & removed_now
+                if not hit_here:
+                    if keep_unhit:
+                        manifests.append(m)
+                    continue
+                rewritten = []
+                for e in entries:
+                    if e["status"] == 2:
+                        continue  # old tombstones don't carry forward
+                    rel = e["data_file"]["file_path"]
+                    rewritten.append(
+                        {
+                            "status": 2 if rel in removed_now else 0,
+                            "snapshot_id": snap_id,
+                            "data_file": e["data_file"],
+                        }
+                    )
+                manifests.append(
+                    self._write_entries(self._unique(f"m{snap_id}-rw"), rewritten)
+                )
+            if staged:
+                manifests.append(
+                    self._write_manifest(
+                        self._unique(f"m{snap_id}"), staged, snap_id
+                    )
+                )
+            ml_name = self._unique(f"snap-{snap_id}")
+            write_ocf_generic(
+                os.path.join(self.meta_dir, ml_name), _MANIFEST_FILE_SCHEMA, manifests
+            )
+            md["snapshots"] = md["snapshots"] + [
+                {
+                    "snapshot-id": snap_id,
+                    "timestamp-ms": snap_id,
+                    "manifest-list": f"metadata/{ml_name}",
+                }
+            ]
+            md["current-snapshot-id"] = snap_id
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                return snap_id
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
+    def delete_where(self, condition) -> int:
+        """Row-level DELETE: rewrite only data files containing matching
+        rows; rows whose predicate evaluates to NULL are RETAINED (the
+        same semantics as DeltaLogWriter.delete_where). Hit files become
+        DELETED manifest entries; survivors of those files are staged as
+        a new ADDED manifest; untouched manifests carry forward."""
+        from pyspark.sql import functions as F
+
+        table = IcebergTable(self.table_path)
+        schema = table.schema()
+        files = table.data_files(None)
+        if not files:
+            return self._commit_snapshot([], set(), keep_unhit=True)
+        live = self.spark.read.schema(schema).parquet(*files)
+        hit = [
+            r[0]
+            for r in live.withColumn("_f", F.input_file_name())
+            .where(condition)
+            .select("_f")
+            .distinct()
+            .collect()
+        ]
+        hit_abs = sorted(
+            p for p in files if any(h.endswith(os.path.basename(p)) for h in hit)
+        )
+        if not hit_abs:
+            return self._commit_snapshot([], set(), keep_unhit=True)
+        removed_rel = {os.path.relpath(p, self.table_path) for p in hit_abs}
+        survivors = (
+            self.spark.read.schema(schema)
+            .parquet(*hit_abs)
+            .where(~F.coalesce(condition, F.lit(False)))
+        )
+        staged = [] if survivors.isEmpty() else self._stage(survivors, 0)
+        return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
+
+    def overwrite(self, df) -> int:
+        """Replace the table's contents: every currently-live file gets
+        a DELETED tombstone, the new data one ADDED manifest. Validates
+        (per rebase) that the files it tombstones are still live."""
+        staged = self._stage(df, 0)
+        return self._commit_snapshot(staged, None, keep_unhit=False)

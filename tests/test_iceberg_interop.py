@@ -292,3 +292,118 @@ def test_writer_concurrent_appends_rebase(spark, tmp_path):
     t = IcebergTable(root)
     snap_ids = sorted(s["snapshot-id"] for s in t.snapshots())
     assert snap_ids == [1, 2, 3]
+
+
+# -- row-level delete / overwrite (round 6) ---------------------------
+
+from plankton_spark.sources.iceberg_meta import IcebergConcurrentDelete  # noqa: E402
+
+
+def test_writer_delete_where_roundtrip(spark, tmp_path):
+    """DELETE rewrites only hit files; survivors stay; old snapshots
+    still read their full file set (time travel)."""
+    root = str(tmp_path / "iw_del")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 10).coalesce(1).select(F.col("id").alias("k")))
+    w.append(spark.range(100, 105).coalesce(1).select(F.col("id").alias("k")))
+    snap = w.delete_where(F.col("k") < 4)
+    rows = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert rows == list(range(4, 10)) + list(range(100, 105))
+    # time travel to the pre-delete snapshot still sees every row
+    before = sorted(r.k for r in read_iceberg(spark, root, snapshot_id=2).collect())
+    assert before == list(range(10)) + list(range(100, 105))
+    # the untouched append file was carried forward, not rewritten
+    t = IcebergTable(root)
+    files_now = {f.rsplit("/", 1)[-1] for f in t.data_files(snap)}
+    files_before = {f.rsplit("/", 1)[-1] for f in t.data_files(2)}
+    assert files_now & files_before, "untouched data file should survive"
+
+
+def test_writer_delete_retains_null_predicate_rows(spark, tmp_path):
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "iw_delnull")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [Row(k=1, score=10), Row(k=2, score=None), Row(k=3, score=99)]
+        )
+    )
+    w.delete_where(F.col("score") > 50)
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert got == [1, 2], f"NULL-predicate row was dropped: {got}"
+
+
+def test_writer_overwrite_replaces_and_time_travels(spark, tmp_path):
+    root = str(tmp_path / "iw_ow")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 5).select(F.col("id").alias("k")))
+    w.overwrite(spark.range(50, 53).select(F.col("id").alias("k")))
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == [50, 51, 52]
+    assert sorted(r.k for r in read_iceberg(spark, root, snapshot_id=1).collect()) == [
+        0, 1, 2, 3, 4,
+    ]
+
+
+def test_writer_concurrent_deletes_fail_not_clobber(spark, tmp_path):
+    """Two writers deleting overlapping rows from the same file: the
+    loser must raise IcebergConcurrentDelete (its target file was
+    rewritten), never commit stale tombstones — mirrors
+    test_concurrent_delete_of_same_files_fails_not_clobbers."""
+    import threading
+
+    root = str(tmp_path / "iw_delrace")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 20).coalesce(1).select(F.col("id").alias("k")))
+    barrier = threading.Barrier(2)
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def worker(hi: int) -> None:
+        handle = IcebergWriter(spark, root)
+        barrier.wait()
+        try:
+            handle.delete_where(F.col("k") < hi)
+            with lock:
+                outcomes.append("ok")
+        except IcebergConcurrentDelete:
+            with lock:
+                outcomes.append("conflict")
+
+    threads = [threading.Thread(target=worker, args=(hi,)) for hi in (5, 8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert sorted(outcomes) in (["conflict", "ok"], ["ok", "ok"]), outcomes
+    rows = sorted(r.k for r in read_iceberg(spark, root).collect())
+    if outcomes == ["ok", "ok"]:
+        assert rows == list(range(8, 20))
+    else:
+        assert rows in (list(range(5, 20)), list(range(8, 20))), rows
+    assert len(rows) == len(set(rows))
+
+
+def test_writer_append_during_delete_rebases(spark, tmp_path):
+    """An APPEND landing between a DELETE's validation and its commit:
+    the delete rebases (its target files are still live) and both
+    commits survive."""
+    root = str(tmp_path / "iw_adrace")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 10).coalesce(1).select(F.col("id").alias("k")))
+    orig = w._commit_metadata
+    injected = {"done": False}
+
+    def racing_commit(version, metadata):
+        if not injected["done"]:
+            injected["done"] = True
+            IcebergWriter(spark, root).append(
+                spark.range(100, 103).select(F.col("id").alias("k"))
+            )
+        return orig(version, metadata)
+
+    w._commit_metadata = racing_commit
+    w.delete_where(F.col("k") < 4)
+    w._commit_metadata = orig
+    rows = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert rows == list(range(4, 10)) + [100, 101, 102]
