@@ -51,15 +51,76 @@ def attach_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> dict:
-    """Real decoder hook — requires an image codec library.
+_CODEC_UNPROBED = object()
+_CODEC = _CODEC_UNPROBED
 
-    Cite: container has no PIL/cv2; see module docstring. Swap this in
-    on a cluster image that ships codecs.
-    """
+
+def image_codec():
+    """Capability probe for a real image codec, cached after first call
+    (the same gating pattern as the JVM-Avro jar probe in
+    sources/avro_ocf.py): returns ("pil", module) or ("cv2", module),
+    or None when neither library is importable. decode_image selects
+    its path from this at CALL time, so the same code ships unchanged
+    to a cluster image with codecs installed."""
+    global _CODEC
+    if _CODEC is _CODEC_UNPROBED:
+        _CODEC = None
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _CODEC = ("pil", Image)
+        except ImportError:
+            try:
+                import cv2  # noqa: PLC0415
+
+                _CODEC = ("cv2", cv2)
+            except ImportError:
+                _CODEC = None
+    return _CODEC
+
+
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload to typed metadata
+    (width/height/n_frames/decoder).
+
+    Codec-gated: with PIL or cv2 present the pixels are REALLY decoded
+    (any format the codec supports); without a codec, uncompressed BMP
+    still decodes via the pure-Python header parser (real bytes, real
+    parse — see decode_bmp_header); anything else raises
+    NotImplementedError, because guessing metadata for a compressed
+    format without a codec would be silent garbage."""
+    codec = image_codec()
+    if codec is not None:
+        kind, mod = codec
+        if kind == "pil":
+            import io as _io
+
+            with mod.open(_io.BytesIO(payload)) as im:
+                im.load()  # force a real pixel decode, not a lazy header read
+                return {
+                    "width": im.width,
+                    "height": im.height,
+                    "n_frames": int(getattr(im, "n_frames", 1)),
+                    "decoder": "pil",
+                }
+        import numpy as _np
+
+        arr = mod.imdecode(_np.frombuffer(payload, _np.uint8), mod.IMREAD_UNCHANGED)
+        if arr is None:
+            raise ValueError("cv2 could not decode payload")
+        return {
+            "width": int(arr.shape[1]),
+            "height": int(arr.shape[0]),
+            "n_frames": 1,
+            "decoder": "cv2",
+        }
+    if payload[:2] == b"BM":
+        w, h = decode_bmp_header(payload)
+        return {"width": w, "height": h, "n_frames": 1, "decoder": "bmp-header"}
     raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "use fake_decode_meta for plumbing tests"
+        "no image codec installed (PIL/cv2) and payload is not "
+        "uncompressed BMP; install a codec or use fake_decode_meta "
+        "for plumbing tests"
     )
 
 

@@ -373,16 +373,53 @@ class DeltaLogWriter:
         _shutil.rmtree(tmp, ignore_errors=True)
         return adds
 
-    def _metadata_action(self, df) -> dict:
+    def _metadata_action(self, schema: T.StructType) -> dict:
         return {
             "metaData": {
                 "id": f"plankton-delta-{os.path.basename(self.table_path)}",
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": df.schema.json(),
+                "schemaString": schema.json(),
                 "partitionColumns": [],
                 "configuration": {},
             }
         }
+
+    def _schema_evolution_action(self, df, merge_schema: bool) -> dict | None:
+        """Validate df's schema against the table's; returns the
+        metaData action recording an ADD-column evolution (or None when
+        schemas match). Same rules as planktable._check_schema: adding
+        columns needs merge_schema=True (old files read the new column
+        as null); dropping or retyping existing columns is never
+        allowed."""
+        try:
+            current, _, _ = DeltaLog(self.table_path).snapshot(None)
+        except FileNotFoundError:
+            return None
+        cur = {f.name: f.dataType for f in current.fields}
+        inc = {f.name: f.dataType for f in df.schema.fields}
+        missing = set(cur) - set(inc)
+        added = set(inc) - set(cur)
+        retyped = {n for n in set(cur) & set(inc) if cur[n] != inc[n]}
+        if missing:
+            raise ValueError(
+                f"{self.table_path}: append missing columns {sorted(missing)}"
+            )
+        if retyped:
+            raise ValueError(
+                f"{self.table_path}: cannot retype columns {sorted(retyped)}"
+            )
+        if added and not merge_schema:
+            raise ValueError(
+                f"{self.table_path}: new columns {sorted(added)} need "
+                "merge_schema=True"
+            )
+        if added:
+            evolved = T.StructType(
+                current.fields
+                + [f for f in df.schema.fields if f.name in added]
+            )
+            return self._metadata_action(evolved)
+        return None
 
     # -- operations -----------------------------------------------------
 
@@ -390,23 +427,33 @@ class DeltaLogWriter:
         if os.path.isdir(self.log_dir) and _commit_versions(self.log_dir):
             raise FileExistsError(f"{self.table_path}: table already exists")
         protocol = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        actions = [protocol, self._metadata_action(df)] + self._stage(df)
+        actions = [protocol, self._metadata_action(df.schema)] + self._stage(df)
         return self._commit_with_retry(actions)
 
-    def append(self, df, txn: tuple[str, int] | None = None) -> int | None:
+    def append(
+        self,
+        df,
+        txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
+    ) -> int | None:
         """Append rows; with txn=(appId, version), replays of an
         already-committed (appId, version) are dropped — the Delta
         `txn` action's idempotence contract. The guard is re-validated
         INSIDE the retry loop after every commit conflict: two
         concurrent replays of one micro-batch race on the version file,
         and the loser must notice the winner already carried the same
-        (appId, version) rather than blindly re-committing it."""
+        (appId, version) rather than blindly re-committing it.
+        merge_schema=True allows ADD-column evolution (a new metaData
+        action rides the same commit; old files read the column as
+        null — parquet mergeSchema semantics)."""
+        evolution = self._schema_evolution_action(df, merge_schema)
+        head: list[dict] = [evolution] if evolution is not None else []
         if txn is None:
-            return self._commit_with_retry(self._stage(df))
+            return self._commit_with_retry(head + self._stage(df))
         last = self.last_txn_version(txn[0])
         if last is not None and txn[1] <= last:
             return None  # duplicate micro-batch replay
-        actions: list[dict] = [{"txn": {"appId": txn[0], "version": txn[1]}}]
+        actions: list[dict] = head + [{"txn": {"appId": txn[0], "version": txn[1]}}]
         actions += self._stage(df)
         for _ in range(20):
             # ORDER MATTERS: pick the target version FIRST, then check
@@ -469,23 +516,54 @@ class DeltaLogWriter:
                 {"remove": {"path": r, "dataChange": True}} for r in hit_rel
             ]
 
-        def validate_then_commit() -> int:
-            for _ in range(20):
-                v = self._next_version()
-                _, _, now_files = DeltaLog(self.table_path).snapshot(None)
-                now_rel = {os.path.relpath(p, self.table_path) for p, _ in now_files}
-                gone = [r for r in hit_rel if r not in now_rel]
-                if gone:
-                    raise ConcurrentDeltaModification(
-                        f"{self.table_path}: files rewritten concurrently: {gone[:5]}"
-                    )
-                try:
-                    return self._commit(v, actions)
-                except DeltaCommitConflict:
-                    continue
-            raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
+        return self._validate_then_commit(actions, hit_rel)
 
-        return validate_then_commit()
+    def _validate_then_commit(self, actions: list[dict], depends_on_rel) -> int:
+        """OCC commit for actions that REMOVE files: valid only while
+        every removed file is still live — a concurrent rewrite of one
+        aborts with ConcurrentDeltaModification (committing the stale
+        actions would silently undo that writer)."""
+        for _ in range(20):
+            v = self._next_version()
+            _, _, now_files = DeltaLog(self.table_path).snapshot(None)
+            now_rel = {os.path.relpath(p, self.table_path) for p, _ in now_files}
+            gone = [r for r in depends_on_rel if r not in now_rel]
+            if gone:
+                raise ConcurrentDeltaModification(
+                    f"{self.table_path}: files rewritten concurrently: {gone[:5]}"
+                )
+            try:
+                return self._commit(v, actions)
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
+
+    def optimize(self, num_files: int = 1) -> int:
+        """OPTIMIZE (compaction): rewrite the current live file set into
+        `num_files` larger files — the cure for streaming-sink small
+        files, at planktable parity (table_format.py optimize). Layout
+        only: every add AND remove carries dataChange=false, so the
+        streaming source skips the commit (no refuse, no duplicates)
+        and CDC-style consumers see no row changes. OCC-validated like
+        delete — a stale compaction must not resurrect concurrently
+        rewritten data."""
+        schema, _, files = DeltaLog(self.table_path).snapshot(None)
+        paths = [p for p, _ in files]
+        if not paths:
+            return self._commit_with_retry([])
+        df = (
+            self.spark.read.schema(T.StructType(schema.fields))
+            .parquet(*paths)
+            .coalesce(num_files)
+        )
+        adds = self._stage(df)
+        for a in adds:
+            a["add"]["dataChange"] = False
+        rel = sorted(os.path.relpath(p, self.table_path) for p in paths)
+        actions = adds + [
+            {"remove": {"path": r, "dataChange": False}} for r in rel
+        ]
+        return self._validate_then_commit(actions, rel)
 
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest committed txn version for app_id (None if none).

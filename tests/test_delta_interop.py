@@ -285,3 +285,85 @@ def test_writer_auto_checkpoints_every_k_commits(spark, tmp_path):
     assert os.path.exists(cp)
     assert os.path.exists(os.path.join(root, "_delta_log", "_last_checkpoint"))
     assert read_delta(spark, root).count() == DELTA_CHECKPOINT_EVERY + 2
+
+
+# -- OPTIMIZE + schema evolution (round 6) ----------------------------
+
+
+def test_writer_optimize_compacts_preserving_content(spark, tmp_path):
+    """Mirrors test_table_format.py optimize: many small files in, one
+    file out, content unchanged, old versions still time-travel."""
+    t = str(tmp_path / "opt")
+    w = DeltaLogWriter(spark, t)
+    w.create(spark.range(0, 10).select(F.col("id").alias("k")))
+    for base in (100, 200, 300):
+        w.append(spark.range(base, base + 5).select(F.col("id").alias("k")))
+    _, _, files_before = DeltaLog(t).snapshot(None)
+    assert len(files_before) > 1
+    v = w.optimize(num_files=1)
+    _, _, files_after = DeltaLog(t).snapshot(None)
+    assert len(files_after) == 1
+    want = list(range(10)) + [b + i for b in (100, 200, 300) for i in range(5)]
+    assert sorted(r.k for r in read_delta(spark, t).collect()) == sorted(want)
+    # time travel to the pre-optimize version sees the same rows
+    assert sorted(r.k for r in read_delta(spark, t, version=v - 1).collect()) == sorted(
+        want
+    )
+
+
+def test_optimize_is_invisible_to_streaming_source(spark, tmp_path):
+    """OPTIMIZE commits carry dataChange=false on adds AND removes: the
+    changelog stream must neither refuse the commit (remove) nor emit
+    the rewritten rows again (add)."""
+    from plankton_spark.sources.delta_log import DeltaLogStreamReader
+
+    t = str(tmp_path / "optstream")
+    w = DeltaLogWriter(spark, t)
+    w.create(spark.range(0, 4).select(F.col("id").alias("k")))
+    w.append(spark.range(10, 14).select(F.col("id").alias("k")))
+    v_opt = w.optimize(num_files=1)
+    reader = DeltaLogStreamReader(t, ignore_changes=False)
+    # replaying across the optimize version raises nothing and yields
+    # no files from the optimize commit itself
+    added = reader._added(v_opt - 1, v_opt)
+    assert added == []
+
+
+def test_writer_schema_evolution_add_column(spark, tmp_path):
+    """Mirrors test_table_format.py schema evolution: adds need
+    merge_schema=True; old rows read the new column as null; drops and
+    retypes are rejected."""
+    from pyspark.sql import Row
+
+    t = str(tmp_path / "evo")
+    w = DeltaLogWriter(spark, t)
+    w.create(spark.createDataFrame([Row(k=1), Row(k=2)]))
+    with_extra = spark.createDataFrame([Row(k=3, tag="new")])
+    with pytest.raises(ValueError, match="merge_schema"):
+        w.append(with_extra)
+    w.append(with_extra, merge_schema=True)
+    got = read_delta(spark, t).orderBy("k").collect()
+    assert [(r.k, r.tag) for r in got] == [(1, None), (2, None), (3, "new")]
+    # dropping or retyping is always rejected
+    with pytest.raises(ValueError, match="missing"):
+        w.append(spark.createDataFrame([Row(tag="only")]))
+    with pytest.raises(ValueError, match="retype"):
+        w.append(
+            spark.createDataFrame([Row(k="notint", tag="x")]), merge_schema=True
+        )
+
+
+def test_schema_evolution_survives_checkpoint_replay(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from plankton_spark.sources.delta_log import write_delta_checkpoint
+
+    t = str(tmp_path / "evocp")
+    w = DeltaLogWriter(spark, t)
+    w.create(spark.createDataFrame([Row(k=1)]))
+    w.append(spark.createDataFrame([Row(k=2, tag="t")]), merge_schema=True)
+    write_delta_checkpoint(t)
+    schema, _, _ = DeltaLog(t).snapshot(None)
+    assert [f.name for f in schema.fields] == ["k", "tag"]
+    got = read_delta(spark, t).orderBy("k").collect()
+    assert [(r.k, r.tag) for r in got] == [(1, None), (2, "t")]

@@ -42,3 +42,39 @@ def test_decoders_reject_wrong_format():
         decode_bmp_header(make_wav(10, 8000, 1))
     with pytest.raises(ValueError):
         decode_wav_header(make_bmp(2, 2))
+
+
+# -- codec-gated real image decode (round 6) --------------------------
+
+from plankton_spark import multimodal as mm
+
+
+def test_decode_image_bmp_without_codec():
+    """BMP decodes via the header parser regardless of codec
+    availability — decode_image is no longer an unconditional raise."""
+    meta = mm.decode_image(mm.make_bmp(10, 7))
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (10, 7, 1)
+
+
+def test_decode_image_gate_raises_only_without_codec(monkeypatch):
+    """With the probe forced to None, a non-BMP payload must raise
+    NotImplementedError (never fabricate metadata)."""
+    monkeypatch.setattr(mm, "_CODEC", None)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\njunk")
+
+
+def test_decode_image_real_codec_path():
+    """Runs only where PIL/cv2 exists (cluster images): the codec path
+    must agree with the header parser on a BMP."""
+    codec = mm.image_codec()
+    if codec is None:
+        pytest.skip("no image codec in this environment (gate verified above)")
+    meta = mm.decode_image(mm.make_bmp(12, 5))
+    assert (meta["width"], meta["height"]) == (12, 5)
+    assert meta["decoder"] in ("pil", "cv2")
+
+
+def test_codec_probe_is_cached(monkeypatch):
+    first = mm.image_codec()
+    assert mm.image_codec() is first
