@@ -42,6 +42,16 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Record machine load before the JVM spins up: timings taken while
+    # the box is already busy (e.g. a concurrent soak) are not
+    # comparable across rounds, so flag them rather than letting a
+    # 2x spread masquerade as a regression (round-5 verdict item #5).
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
+    ncpu = os.cpu_count() or 1
+    contended = load1 / ncpu > 0.3
     spark = get_spark("plankton-bench", shuffle_partitions=32)
     qs = all_queries()
 
@@ -83,6 +93,9 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": n_runs,
                 "rel_half_spread": spread,
+                "loadavg_1m_at_start": round(load1, 2),
+                "cpus": ncpu,
+                "contended": contended,
             }
         )
     )

@@ -500,17 +500,17 @@ def q_knn_ivf(spark, sf_dir):
 
 
 GRAM_DIMS = 16  # leading dims for the declared Gram query
+GRAM_DIMS_FULL = 64  # the fixture's real PCA width (full embedding)
 
 
-@query(
-    "q_emb_gram",
-    oracle=f"""
+def _gram_oracle(dims: int) -> str:
+    return f"""
     WITH u AS (
       SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
         SELECT vec_id, UNNEST(embedding) AS x,
                generate_subscripts(embedding, 1) AS i
         FROM embeddings
-      ) WHERE i <= {GRAM_DIMS}
+      ) WHERE i <= {dims}
     )
     SELECT a.i AS dim_i, b.i AS dim_j,
            ROUND(CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE), 6)
@@ -518,29 +518,31 @@ GRAM_DIMS = 16  # leading dims for the declared Gram query
            CAST(COUNT(*) AS BIGINT) AS n_vecs
     FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY a.i, b.i
-    """,
-)
-def q_emb_gram(spark, sf_dir):
-    """Distributed exact Gram matrix over the leading 16 dims — the
-    X'X building block of PCA/whitening for embedding pipelines.
+    """
+
+
+def _gram(spark, sf_dir, dims: int):
+    """Distributed exact Gram matrix over the leading ``dims`` dims —
+    the X'X building block of PCA/whitening for embedding pipelines.
 
     Shape: each vector emits its upper-triangle outer-product entries
-    (i <= j, 136 decimal products) from ONE higher-order expression —
-    no self-join, no shuffle of vectors. The groupBy (i, j) has 136
-    groups, so partial (map-side) aggregation reduces the shuffle to
-    136 rows per input partition regardless of corpus size; the
-    eigendecomposition of the resulting 16x16 (driver-side, metadata-
-    sized) is deliberately out of scope — the distributed part of PCA
-    IS this matrix. Decimal accumulation keeps the sums
-    order-independent and bit-identical to the oracle."""
+    (i <= j, dims*(dims+1)/2 decimal products) from ONE higher-order
+    expression — no self-join, no shuffle of vectors. The groupBy
+    (i, j) has dims*(dims+1)/2 groups, so partial (map-side)
+    aggregation reduces the shuffle to that many rows per input
+    partition regardless of corpus size; the eigendecomposition of the
+    resulting dims x dims (driver-side, metadata-sized) is deliberately
+    out of scope — the distributed part of PCA IS this matrix. Decimal
+    accumulation keeps the sums order-independent and bit-identical to
+    the oracle."""
     e = read_table(spark, sf_dir, "embeddings")
     dec = "decimal(30,12)"
-    head = F.slice("embedding", 1, GRAM_DIMS)
+    head = F.slice("embedding", 1, dims)
     pairs = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.lit(GRAM_DIMS)),
+            F.sequence(F.lit(1), F.lit(dims)),
             lambda i: F.transform(
-                F.sequence(i, F.lit(GRAM_DIMS)),
+                F.sequence(i, F.lit(dims)),
                 lambda j: F.struct(
                     i.alias("dim_i"),
                     j.alias("dim_j"),
@@ -563,3 +565,19 @@ def q_emb_gram(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
         )
     )
+
+
+@query("q_emb_gram", oracle=_gram_oracle(GRAM_DIMS))
+def q_emb_gram(spark, sf_dir):
+    """Gram matrix over the leading 16 dims (136 groups) — see _gram."""
+    return _gram(spark, sf_dir, GRAM_DIMS)
+
+
+@query("q_emb_gram_full", oracle=_gram_oracle(GRAM_DIMS_FULL))
+def q_emb_gram_full(spark, sf_dir):
+    """Gram matrix at the fixture's full 64-dim PCA width (2080
+    groups) — proves the partial-agg shape holds at real width: the
+    per-vector expansion is 2080 entries (vs 136), but the shuffle is
+    still 2080 rows per input partition, corpus-size-independent.
+    See _gram for the plan shape."""
+    return _gram(spark, sf_dir, GRAM_DIMS_FULL)

@@ -31,15 +31,42 @@ EVENTS_NTZ_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
+EVENTS_LTZ_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
 
 
-def _events_ts_is_nanos(parquet_file: str) -> bool:
-    """The fixture's physical ts encoding has varied across driver
-    generations: TIMESTAMP(NANOS) (only readable as epoch-nanos long
-    via the legacy conf) vs TIMESTAMP(MICROS) (plain TIMESTAMP_NTZ)."""
+def _events_ts_encoding(parquet_file: str) -> str:
+    """Classify the fixture's physical ts encoding; the driver has
+    regenerated events.parquet with different encodings across rounds
+    (r4 shipped TIMESTAMP(NANOS), r5 TIMESTAMP(MICROS) NTZ), so every
+    encoding a parquet writer can emit must route to a working branch:
+
+    - ``ns-long``: TIMESTAMP(NANOS) — Spark's vectorized reader only
+      accepts it as epoch-nanos LONG via the legacy conf.
+    - ``ltz``: INT96 (legacy Impala/Hive writers) or isAdjustedToUTC
+      ms/µs — Spark reads these natively as TimestampType.
+    - ``ntz``: ms/µs with isAdjustedToUTC=false — TIMESTAMP_NTZ,
+      value-preserving cast to LTZ under the UTC session tz.
+
+    Probes the *parquet* schema (not the arrow view: pyarrow presents
+    INT96 as timestamp[ns], which would misroute it to the long branch).
+    """
+    import json
+
     import pyarrow.parquet as pq
 
-    return str(pq.read_schema(parquet_file).field("ts").type) == "timestamp[ns]"
+    sch = pq.ParquetFile(parquet_file).schema
+    col = next(sch.column(i) for i in range(len(sch)) if sch.column(i).name == "ts")
+    if col.physical_type == "INT96":
+        return "ltz"
+    lt = json.loads(col.logical_type.to_json())
+    if lt.get("Type") == "Timestamp":
+        if lt.get("timeUnit") == "nanoseconds":
+            return "ns-long"
+        return "ltz" if lt.get("isAdjustedToUTC") else "ntz"
+    return "ntz"
 
 
 def _events_source_key(sf_dir: str) -> str:
@@ -54,20 +81,25 @@ def _events_source_key(sf_dir: str) -> str:
 def _normalized_events_stream(spark: SparkSession, stage: str, src: str, **opts):
     """readStream over `stage` with ts normalized to TimestampType
     (µs, session tz UTC) whichever physical encoding `src` has."""
-    if _events_ts_is_nanos(src):
+    enc = _events_ts_encoding(src)
+    if enc == "ns-long":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        reader = spark.readStream.schema(EVENTS_NANOS_SCHEMA).format("parquet")
-        for k, v in opts.items():
-            reader = reader.option(k, v)
-        raw = reader.load(stage)
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
-    reader = spark.readStream.schema(EVENTS_NTZ_SCHEMA).format("parquet")
+        schema = EVENTS_NANOS_SCHEMA
+    elif enc == "ltz":
+        schema = EVENTS_LTZ_SCHEMA
+    else:
+        schema = EVENTS_NTZ_SCHEMA
+    reader = spark.readStream.schema(schema).format("parquet")
     for k, v in opts.items():
         reader = reader.option(k, v)
     raw = reader.load(stage)
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if enc == "ns-long":
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    if enc == "ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
