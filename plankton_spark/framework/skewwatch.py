@@ -98,3 +98,55 @@ def gemm_cell_skew(spark, sf_dir: str, ledger: RunLedger | None = None) -> dict:
     return key_width_skew(
         blocked, ["pb"], op="gemm_cell_skew", ledger=ledger, cap=cap
     )
+
+
+def span_bucket_skew(spark, sf_dir: str, ledger: RunLedger | None = None) -> dict:
+    """Docs per duplicated span fingerprint — the join key of
+    q_dedup_spans' self-join, whose fan-out is width² per bucket. A
+    bucket wider than SPAN_STOP_CAP means boilerplate spans (license
+    headers, nav chrome) slipped past the frequency cut and the
+    stop-span drop must activate before the join."""
+    from plankton_spark.queries.llm_dedup import SPAN_STOP_CAP, span_structures
+
+    grams, dup = span_structures(spark, sf_dir)
+    hot = grams.join(dup.select("g"), "g")
+    return key_width_skew(
+        hot, ["g"], op="span_bucket_skew", ledger=ledger, cap=SPAN_STOP_CAP
+    )
+
+
+def hh_candidate_skew(spark, sf_dir: str, ledger: RunLedger | None = None) -> dict:
+    """Candidate-set telemetry for the heavy-hitter recount: the exact
+    phase broadcasts the Misra-Gries candidates, so the quantity that
+    must stay bounded is the NUMBER of candidates (n_keys ≤
+    partitions × MG_CAPACITY by the MG eviction bound), not any one
+    key's width — recount groups are map-side partial-aggregated, so
+    a wide token costs nothing. cap here bounds per-token occurrences
+    only loosely (the corpus size); the CI assertion is on n_keys."""
+    from plankton_spark.queries.llm_text import MG_CAPACITY, hh_structures
+
+    toks, candidates = hh_structures(spark, sf_dir)
+    rec = key_width_skew(
+        toks.join(F.broadcast(candidates), "tok"),
+        ["tok"],
+        op="hh_candidate_skew",
+        ledger=ledger,
+    )
+    rec["candidate_budget"] = (
+        toks.rdd.getNumPartitions() * MG_CAPACITY
+    )
+    return rec
+
+
+def fuzzy_block_skew(spark, sf_dir: str, ledger: RunLedger | None = None) -> dict:
+    """Rows per prefix block in the fuzzy match — the verify stage
+    runs levenshtein over width² pairs per block, so a degenerate
+    block key (every name in one bucket — the failure q_fuzzy_match's
+    first draft measured at 60k pairs) must trip CI, not surface as a
+    straggler at scale."""
+    from plankton_spark.queries.llm_text import FUZZY_BLOCK_CAP, fuzzy_blocked
+
+    blocked = fuzzy_blocked(spark, sf_dir)
+    return key_width_skew(
+        blocked, ["blk"], op="fuzzy_block_skew", ledger=ledger, cap=FUZZY_BLOCK_CAP
+    )

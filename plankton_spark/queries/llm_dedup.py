@@ -733,6 +733,35 @@ def embcos_pairs(spark, e, threshold):
 
 SPAN_GRAM = 10  # tokens per span fingerprint
 SPAN_MIN_SHARED = 5  # report pairs sharing at least this many spans
+# Stop-span skew guard (CI telemetry cap): a span fingerprint present
+# in more than this many docs is boilerplate (license headers, nav
+# chrome) and would blow the self-join up quadratically; skewwatch
+# records the observed bucket widths against this cap.
+SPAN_STOP_CAP = 64
+
+
+def span_structures(spark, sf_dir):
+    """(grams, dup_spans) for the span dedup — exposed so
+    framework/skewwatch.span_bucket_skew can observe the width
+    distribution of the join buckets q_dedup_spans self-joins on."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (SPAN_GRAM - 1), F.lit(1)))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    # DuckDB's [i:i+k] slice is INCLUSIVE (k+1 tokens), so
+                    # the oracle's [i:i+SPAN_GRAM-1] is SPAN_GRAM tokens
+                    idx,
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, SPAN_GRAM))),
+                )
+            )
+        ).alias("g"),
+    )
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1)
+    return grams, dup
 
 
 @query(
@@ -774,23 +803,9 @@ def q_dedup_spans(spark, sf_dir):
     plus lsh-style salting if needed. Joining on the 64-bit xxhash of
     the span (not the 10-token string) keeps shuffle rows narrow; at
     ~500 spans/doc a hash collision is ~1e-13 and cannot create a
-    ≥5-span pair."""
-    d = read_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (SPAN_GRAM - 1), F.lit(1)))
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    # DuckDB's [i:i+k] slice is INCLUSIVE (k+1 tokens), so
-                    # the oracle's [i:i+SPAN_GRAM-1] is SPAN_GRAM tokens
-                    idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, SPAN_GRAM)))
-                )
-            )
-        ).alias("g"),
-    )
-    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1)
+    ≥5-span pair. The stop-span cap the docstring promises is
+    SPAN_STOP_CAP, observed in CI via skewwatch.span_bucket_skew."""
+    grams, dup = span_structures(spark, sf_dir)
     hot = grams.join(dup.select("g"), "g")
     a = hot.select(F.col("doc_id").alias("doc_a"), "g")
     b = hot.select(F.col("doc_id").alias("doc_b"), "g")

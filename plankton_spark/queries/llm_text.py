@@ -772,6 +772,37 @@ HH_K = 200  # heavy hitter = token with count > N/HH_K
 MG_CAPACITY = 400  # per-partition Misra-Gries counters (2x K margin)
 
 
+def hh_structures(spark, sf_dir):
+    """(toks, candidates) for the heavy-hitter recount — exposed so
+    framework/skewwatch.hh_candidate_skew can observe the candidate
+    set the broadcast recount join depends on staying tiny
+    (≤ partitions x MG_CAPACITY by the MG eviction bound)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    def mg(iterator):
+        import pandas as pd
+
+        # weighted Misra-Gries: merge each Arrow batch's value_counts
+        # (vectorized — no per-row Python), then while over capacity
+        # subtract the smallest counter from all and evict zeros. The
+        # uniform subtraction preserves the MG guarantee exactly as
+        # unit decrements do, it just batches them.
+        counters: dict[str, int] = {}
+        for pdf in iterator:
+            for tok, cnt in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            while len(counters) > MG_CAPACITY:
+                floor = min(counters.values())
+                counters = {
+                    t: c - floor for t, c in counters.items() if c > floor
+                }
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg, "tok string").distinct()
+    return toks, candidates
+
+
 @query(
     "q_heavyhitters",
     oracle=f"""
@@ -803,29 +834,7 @@ def q_heavyhitters(spark, sf_dir):
     the answer) and oracle-checkable, while the full-token shuffle is
     replaced by one shuffle of O(partitions x cap) candidate rows.
     """
-    d = read_table(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
-
-    def mg(iterator):
-        import pandas as pd
-
-        # weighted Misra-Gries: merge each Arrow batch's value_counts
-        # (vectorized — no per-row Python), then while over capacity
-        # subtract the smallest counter from all and evict zeros. The
-        # uniform subtraction preserves the MG guarantee exactly as
-        # unit decrements do, it just batches them.
-        counters: dict[str, int] = {}
-        for pdf in iterator:
-            for tok, cnt in pdf["tok"].value_counts().items():
-                counters[tok] = counters.get(tok, 0) + int(cnt)
-            while len(counters) > MG_CAPACITY:
-                floor = min(counters.values())
-                counters = {
-                    t: c - floor for t, c in counters.items() if c > floor
-                }
-        yield pd.DataFrame({"tok": list(counters.keys())})
-
-    candidates = toks.mapInPandas(mg, "tok string").distinct()
+    toks, candidates = hh_structures(spark, sf_dir)
     total = toks.agg(F.count(F.lit(1)).alias("n"))
     return (
         toks.join(F.broadcast(candidates), "tok")
@@ -838,6 +847,24 @@ def q_heavyhitters(spark, sf_dir):
 
 
 q_heavyhitters.__doc__ = q_heavyhitters.__doc__.format(k=HH_K, cap=MG_CAPACITY)
+
+
+FUZZY_BLOCK_CAP = 128  # CI cap on prefix-block width (verify work is width^2)
+
+
+def fuzzy_blocked(spark, sf_dir):
+    """The blocked side of the fuzzy match (one row per candidate with
+    its 16-char prefix block key) — exposed so skewwatch can observe
+    block widths. The 16-char prefix on 'customer#' + 9-digit names
+    leaves the last 2 digits free → blocks of ≤100 by construction;
+    a degenerate block key (e.g. the 9-char 'customer#' prefix) puts
+    every name in one block and trips FUZZY_BLOCK_CAP in CI."""
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select("c_custkey", F.lower("c_name").alias("nm"))
+    )
+    return c.select("c_custkey", "nm", F.substring("nm", 1, 16).alias("blk"))
 
 
 @query(
@@ -865,20 +892,12 @@ def q_fuzzy_match(spark, sf_dir):
     stacks complementary blocks (prefix, suffix, phonetic), each an
     equi-join, and unions them. Levenshtein runs only inside blocks
     (the verify stage), never across the cross product."""
-    c = (
-        read_table(spark, sf_dir, "customer")
-        .where(F.col("c_custkey") < 300)
-        .select("c_custkey", F.lower("c_name").alias("nm"))
-    )
+    c = fuzzy_blocked(spark, sf_dir)
     a = c.select(
-        F.col("c_custkey").alias("key_a"),
-        F.col("nm").alias("nm_a"),
-        F.substring("nm", 1, 16).alias("blk"),
+        F.col("c_custkey").alias("key_a"), F.col("nm").alias("nm_a"), "blk"
     )
     b = c.select(
-        F.col("c_custkey").alias("key_b"),
-        F.col("nm").alias("nm_b"),
-        F.substring("nm", 1, 16).alias("blk"),
+        F.col("c_custkey").alias("key_b"), F.col("nm").alias("nm_b"), "blk"
     )
     return (
         a.join(b, "blk")
