@@ -35,6 +35,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # µs (the parquet/arrow interop standard), not the legacy INT96
+        # default: INT96 round-trips as timestamp[ns] through pyarrow,
+        # which the Python DataSource Arrow bridge rejects, and every
+        # other engine (DuckDB, Trino, Iceberg spec) treats µs as
+        # canonical
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # many wide generated-code queries in one JVM exhaust the

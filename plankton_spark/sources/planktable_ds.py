@@ -35,12 +35,23 @@ def _unified_schema(files: list[str]):
     import pyarrow.parquet as pq
 
     unified = pa.unify_schemas([pq.read_schema(f) for f in files])
+
+    def _norm(t):
+        # Spark's historical parquet default writes timestamps as INT96,
+        # which pyarrow surfaces as timestamp[ns] — but Spark's Python
+        # DataSource Arrow bridge rejects NANOSECOND batches. µs is the
+        # engine's timestamp resolution everywhere, so narrow here (the
+        # aligned-batch cast below follows this schema).
+        if pa.types.is_timestamp(t) and t.unit != "us":
+            return pa.timestamp("us", tz=t.tz)
+        return t
+
     # force nullable: a column added by schema evolution is non-null
     # in ITS files but null for every older file's rows (and parquet
     # marks Spark non-null columns `required`, which would make the
     # aligned null-fill batches violate the declared schema)
     return pa.schema(
-        [pa.field(f.name, f.type, nullable=True) for f in unified]
+        [pa.field(f.name, _norm(f.type), nullable=True) for f in unified]
     )
 
 

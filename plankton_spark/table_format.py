@@ -65,6 +65,18 @@ def _checkpoint_file(path: str, v: int) -> str:
     return os.path.join(_log_dir(path), f"{v:08d}.checkpoint.json")
 
 
+def _stat_value(v):
+    """JSON-safe stat encoding. Timestamps/dates become ISO-8601
+    strings — lexicographic order == chronological order, so `scan`'s
+    range compares keep working after `scan` encodes its bounds the
+    same way."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
 def _collect_stats(file_path: str) -> dict:
     """Per-column min/max from the parquet footer (no data read)."""
     md = pq.ParquetFile(file_path).metadata
@@ -76,7 +88,7 @@ def _collect_stats(file_path: str) -> dict:
                 s = col.statistics
                 if s is None or not s.has_min_max:
                     continue
-                mn, mx = s.min, s.max
+                mn, mx = _stat_value(s.min), _stat_value(s.max)
             except Exception:
                 continue
             if isinstance(mn, bytes):
@@ -195,6 +207,10 @@ class PlankTable:
         FILE granularity before Spark opens anything."""
         snap = self._snapshot(version)
         keep = []
+        predicate_ranges = {
+            col: (_stat_value(lo), _stat_value(hi))
+            for col, (lo, hi) in predicate_ranges.items()
+        }
         for rel, stats in snap.items():
             ok = True
             for col, (lo, hi) in predicate_ranges.items():
