@@ -679,7 +679,19 @@ def q_dedup_embcos(spark, sf_dir):
 
     Law: O(N) scan + O(U²) GEMM + O(|answer|) expansion — vs the old
     O(N²) GEMM over all rows (sf10 soak: 502 s → the duplicate-heavy
-    100× corpus now runs the GEMM on 1/100th of the rows)."""
+    100× corpus now runs the GEMM on 1/100th of the rows).
+
+    Why not LSH candidates over the uniques (measured, round 6): the
+    fixture's answer pairs sit at cosine 0.40–0.51 (66 of 124,750
+    unique pairs at sf0.001; max observed 0.51) — angles of 59–66°,
+    where a random hyperplane agrees with probability only ~0.63.
+    There is NO margin above the threshold (unlike minhash's planted
+    J≈0.99 near-dups), so any signature bucketing misses true pairs
+    unless probing expands to ~the full corpus — exact-vs-oracle
+    correctness would be violated. Exact all-pairs cosine at a low
+    threshold over dense vectors has no sub-quadratic worst case;
+    the engine's approximate-recall paths (q_knn_lsh / q_knn_ivf)
+    are the declared alternative when recall < 1 is acceptable."""
     e = read_table(spark, sf_dir, "embeddings")
     return embcos_pairs(spark, e, 0.4)
 
