@@ -537,7 +537,17 @@ def _gram(spark, sf_dir, dims: int):
     the oracle."""
     e = read_table(spark, sf_dir, "embeddings")
     dec = "decimal(30,12)"
-    head = F.slice("embedding", 1, dims)
+    # Materialize the double-cast head ONCE per row in the Project
+    # below the Generate: a slice/cast written inline in the pair
+    # lambda is re-evaluated per element (measured 20 s for 2,000
+    # rows at dims=64 — ~4,160 array rebuilds per row); as a bound
+    # attribute it's built once and element_at is O(1).
+    head = (
+        F.col("embedding").cast("array<double>")
+        if dims == GRAM_DIMS_FULL
+        else F.slice("embedding", 1, dims).cast("array<double>")
+    )
+    ed = e.select(head.alias("ed"))
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.lit(dims)),
@@ -546,10 +556,7 @@ def _gram(spark, sf_dir, dims: int):
                 lambda j: F.struct(
                     i.alias("dim_i"),
                     j.alias("dim_j"),
-                    (
-                        F.element_at(head, i).cast("double")
-                        * F.element_at(head, j).cast("double")
-                    )
+                    (F.element_at(F.col("ed"), i) * F.element_at(F.col("ed"), j))
                     .cast(dec)
                     .alias("p"),
                 ),
@@ -557,7 +564,7 @@ def _gram(spark, sf_dir, dims: int):
         )
     )
     return (
-        e.select(F.explode(pairs).alias("e"))
+        ed.select(F.explode(pairs).alias("e"))
         .select("e.dim_i", "e.dim_j", "e.p")
         .groupBy("dim_i", "dim_j")
         .agg(

@@ -250,6 +250,19 @@ def test_gram_matrix_partial_aggregates(spark):
     assert "Exchange" in plan, plan
 
 
+def test_gram_matrix_full_width_same_shape(spark):
+    """q_emb_gram_full (64 dims, 2080 groups) must keep exactly the
+    q_emb_gram plan shape: partial+final agg around ONE shuffle — the
+    per-vector expansion grows 15x but the exchanged rows stay
+    bounded by groups x partitions, corpus-size-independent."""
+    df = all_queries()["q_emb_gram_full"](spark, SF0001)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    # formatted explain names each node in the tree and again in the
+    # details section — count distinct node ids, expect ONE shuffle
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1, plan
+
+
 def test_sample_assembly_single_shuffle_no_window(spark):
     """q_sample_assembly is ONE groupBy — no WindowExec, and the sort
     happens inside the agg expression (sort_array), not as a plan-level
