@@ -280,6 +280,58 @@ def register(spark) -> None:
 # ---------------------------------------------------------------------
 
 
+def _stat_encode(v):
+    """JSON-safe stat value: timestamps/dates become ISO-8601 strings
+    (lexicographic == chronological, so range compares stay correct —
+    callers comparing against these must encode their bounds too)."""
+    import datetime
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode()
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _file_stats(path: str) -> dict:
+    """Delta-spec per-file stats from the parquet footer (no data IO):
+    {"numRecords", "minValues", "maxValues", "nullCount"}."""
+    import pyarrow.parquet as pq
+
+    enc = _stat_encode
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            try:
+                s = col.statistics
+                if s is None:
+                    continue
+                nulls[name] = nulls.get(name, 0) + (s.null_count or 0)
+                if not s.has_min_max:
+                    continue
+                mn, mx = enc(s.min), enc(s.max)
+            except Exception:
+                continue
+            if mn is None or mx is None:
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return {
+        "numRecords": md.num_rows,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+
+
 class DeltaCommitConflict(Exception):
     """Another writer claimed this Delta version first."""
 
@@ -345,6 +397,19 @@ class DeltaLogWriter:
 
     # -- data files -----------------------------------------------------
 
+    def live_stats(self) -> dict[str, dict]:
+        """{relative_path: stats-dict} for the current snapshot's files,
+        read from parquet footers (O(files) metadata, no data IO) — so
+        MERGE pruning also works on tables produced by writers that
+        omit add-action stats. The stats this writer DOES put in its
+        add actions serve external Delta readers per the spec."""
+        _, _, files = DeltaLog(self.table_path).snapshot(None)
+        out: dict[str, dict] = {}
+        for p, _pv in files:
+            rel = os.path.relpath(p, self.table_path)
+            out[rel] = _file_stats(p)
+        return out
+
     def _stage(self, df) -> list[dict]:
         """Write df's partitions as parquet files under the table root;
         return their `add` actions."""
@@ -358,15 +423,19 @@ class DeltaLogWriter:
         os.makedirs(self.table_path, exist_ok=True)
         for part in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
             rel = f"part-{_uuid.uuid4().hex}.parquet"
-            os.replace(part, os.path.join(self.table_path, rel))
+            dst = os.path.join(self.table_path, rel)
+            os.replace(part, dst)
             adds.append(
                 {
                     "add": {
                         "path": rel,
                         "partitionValues": {},
-                        "size": os.path.getsize(os.path.join(self.table_path, rel)),
+                        "size": os.path.getsize(dst),
                         "modificationTime": 0,
                         "dataChange": True,
+                        # per-file column stats per the Delta spec —
+                        # what MERGE's key-range file pruning reads
+                        "stats": json.dumps(_file_stats(dst)),
                     }
                 }
             )
@@ -564,6 +633,110 @@ class DeltaLogWriter:
             {"remove": {"path": r, "dataChange": False}} for r in rel
         ]
         return self._validate_then_commit(actions, rel)
+
+    def overwrite(self, df) -> int:
+        """Replace the table's content atomically: stage the new rows,
+        tombstone every file live at COMMIT time. OCC-validated on the
+        snapshot read — if a concurrent writer rewrites one of the
+        files this overwrite is replacing, the overwrite aborts rather
+        than silently dropping that writer's result; plain concurrent
+        APPENDs abort too (their rows would otherwise survive an
+        operation that promised to replace everything)."""
+        adds = self._stage(df)
+        for _ in range(20):
+            v = self._next_version()
+            _, _, now_files = DeltaLog(self.table_path).snapshot(None)
+            rel = sorted(
+                os.path.relpath(p, self.table_path) for p, _ in now_files
+            )
+            actions = adds + [
+                {"remove": {"path": r, "dataChange": True}} for r in rel
+            ]
+            try:
+                return self._commit(v, actions)
+            except DeltaCommitConflict:
+                continue  # re-read the snapshot: tombstone what's live NOW
+        raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
+
+    def merge(self, source, key: str) -> int:
+        """Upsert (MERGE): rows in `source` update same-key rows,
+        others insert — planktable.merge parity (table_format.py:410)
+        on the Delta log. Only files whose footer key-range overlaps
+        the source's [min, max] are rewritten: the file-stats pruning
+        that keeps MERGE from rewriting 100 TB to change one
+        partition's worth of keys. The rewrite itself is one anti-join
+        (old rows whose key the source replaces drop out) + union, all
+        distributed; commit is OCC-validated so a concurrent rewrite
+        of an overlapping file aborts this merge instead of being
+        silently undone."""
+        from pyspark.sql import functions as F
+
+        lo, hi = source.agg(F.min(key), F.max(key)).first()
+        if lo is None:  # empty source → MERGE commits a no-op marker
+            return self._commit_with_retry([])
+        lo, hi = _stat_encode(lo), _stat_encode(hi)
+        stats = self.live_stats()
+        overlap = sorted(
+            rel
+            for rel, st in stats.items()
+            if (
+                st["minValues"].get(key) is None  # no stats → must rewrite
+                or not (
+                    st["maxValues"][key] < lo or st["minValues"][key] > hi
+                )
+            )
+        )
+        if overlap:
+            hot = self.spark.read.parquet(
+                *[os.path.join(self.table_path, r) for r in overlap]
+            )
+            merged = hot.join(source, key, "left_anti").unionByName(source)
+        else:
+            merged = source
+        actions = self._stage(merged) + [
+            {"remove": {"path": r, "dataChange": True}} for r in overlap
+        ]
+        return self._validate_then_commit(actions, overlap)
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO commit (staging leftovers
+        from crashed writers and OCC losers that staged files but then
+        aborted in validate). Files referenced by ANY version — live or
+        historic — are kept, so time travel keeps working; this is the
+        retention=infinite end of Delta's VACUUM spectrum, the only
+        safe point without a wall clock in the log."""
+        referenced: set[str] = set()
+        for v in _commit_versions(self.log_dir):
+            path = os.path.join(self.log_dir, f"{v:020d}.json")
+            with open(path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if "add" in a:
+                        referenced.add(a["add"]["path"])
+        removed = []
+        for e in os.listdir(self.table_path):
+            full = os.path.join(self.table_path, e)
+            if (
+                os.path.isfile(full)
+                and e.endswith(".parquet")
+                and not e.startswith("_")
+                and e not in referenced
+            ):
+                os.remove(full)
+                removed.append(e)
+        # orphaned staging directories from crashed writers
+        import shutil as _shutil
+
+        for e in os.listdir(self.table_path):
+            if e.startswith("_stage-"):
+                _shutil.rmtree(
+                    os.path.join(self.table_path, e), ignore_errors=True
+                )
+                removed.append(e)
+        return sorted(removed)
 
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest committed txn version for app_id (None if none).
