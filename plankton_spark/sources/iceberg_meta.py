@@ -187,6 +187,13 @@ class IcebergDataSource(DataSource):
         t = IcebergTable(path)
         return IcebergReader(t.schema(), t.data_files(sid))
 
+    def streamReader(self, schema) -> "IcebergStreamReader":
+        path, _ = self._resolved()
+        ignore_changes = (
+            str(self.options.get("ignoreChanges", "false")).lower() == "true"
+        )
+        return IcebergStreamReader(path, ignore_changes)
+
 
 class _IceFilePartition(InputPartition):
     def __init__(self, path: str):
@@ -204,20 +211,30 @@ class IcebergReader(DataSourceReader):
         return [_IceFilePartition(p) for p in self._files]
 
     def read(self, partition: _IceFilePartition):
-        import pyarrow.parquet as pq
+        yield from _iceberg_batches(partition.path, self._schema)
 
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(self._schema)
-        pf = pq.ParquetFile(partition.path)
-        for batch in pf.iter_batches():
-            cols = [
-                batch.column(batch.schema.get_field_index(f.name)).cast(f.type)
-                for f in target
-            ]
-            import pyarrow as pa
+def _iceberg_batches(path: str, schema: T.StructType):
+    """One data file as Arrow batches aligned to the table schema:
+    columns a pre-evolution file lacks are null-filled (the spec's
+    read-time projection by field id, here by name since this writer
+    never renames)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-            yield pa.RecordBatch.from_arrays(cols, schema=target)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    pf = pq.ParquetFile(path)
+    for batch in pf.iter_batches():
+        cols = []
+        for f in target:
+            i = batch.schema.get_field_index(f.name)
+            if i < 0:
+                cols.append(pa.nulls(batch.num_rows, f.type))
+            else:
+                cols.append(batch.column(i).cast(f.type))
+        yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 def register(spark) -> None:
@@ -456,7 +473,64 @@ class IcebergWriter:
         self._commit_metadata(1, metadata)
         return snap_id
 
-    def append(self, df) -> int:
+    def _evolved_metadata(self, md: dict, table: "IcebergTable", df, merge_schema: bool) -> dict:
+        """Validate df's schema against the table's and, for ADD-column
+        evolution (merge_schema=True), return md updated with a new
+        schema (new schema-id, field ids continuing last-column-id) per
+        the Iceberg spec's append-only evolution rules. Dropping or
+        retyping existing columns is rejected — the same contract as
+        DeltaLogWriter._schema_evolution_action and planktable."""
+        current = table.schema()
+        cur = {f.name: f.dataType for f in current.fields}
+        inc = {f.name: f.dataType for f in df.schema.fields}
+        missing = set(cur) - set(inc)
+        added = set(inc) - set(cur)
+        retyped = {n for n in set(cur) & set(inc) if cur[n] != inc[n]}
+        if missing:
+            raise ValueError(
+                f"{self.table_path}: append missing columns {sorted(missing)}"
+            )
+        if retyped:
+            raise ValueError(
+                f"{self.table_path}: cannot retype columns {sorted(retyped)}"
+            )
+        if added and not merge_schema:
+            raise ValueError(
+                f"{self.table_path}: new columns {sorted(added)} need "
+                "merge_schema=True"
+            )
+        if not added:
+            return md
+        last_id = md.get("last-column-id", len(cur))
+        old_schemas = md.get("schemas") or [md["schema"]]
+        new_schema_id = max(s.get("schema-id", 0) for s in old_schemas) + 1
+        new_fields = list(
+            next(
+                s
+                for s in old_schemas
+                if s.get("schema-id", 0) == md.get("current-schema-id", 0)
+            )["fields"]
+        )
+        for f in df.schema.fields:
+            if f.name in added:
+                last_id += 1
+                new_fields.append(
+                    {
+                        "id": last_id,
+                        "name": f.name,
+                        "required": False,
+                        "type": _spark_type_to_iceberg(f.dataType),
+                    }
+                )
+        ice = {"type": "struct", "schema-id": new_schema_id, "fields": new_fields}
+        md = dict(md)
+        md["schema"] = ice
+        md["schemas"] = old_schemas + [ice]
+        md["current-schema-id"] = new_schema_id
+        md["last-column-id"] = last_id
+        return md
+
+    def append(self, df, merge_schema: bool = False) -> int:
         from plankton_spark.sources.avro_ocf import (
             read_ocf_generic,
             write_ocf_generic,
@@ -464,7 +538,9 @@ class IcebergWriter:
 
         for _ in range(20):
             table = IcebergTable(self.table_path)
-            md = dict(table.metadata)
+            md = self._evolved_metadata(
+                dict(table.metadata), table, df, merge_schema
+            )
             prev = table._snapshot(None)
             snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
             files = self._stage(df, snap_id)
@@ -650,3 +726,133 @@ class IcebergWriter:
         (per rebase) that the files it tombstones are still live."""
         staged = self._stage(df, 0)
         return self._commit_snapshot(staged, None, keep_unhit=False)
+
+    def merge(self, source, key: str) -> int:
+        """Upsert (MERGE): same semantics and pruning as
+        DeltaLogWriter.merge / planktable.merge — only data files whose
+        parquet-footer key range overlaps the source's [min, max] are
+        rewritten (anti-join + union, distributed); the rest carry
+        forward untouched. OCC: the commit validates every tombstoned
+        file is still live at commit time, so a concurrent rewrite of
+        an overlapping file aborts this merge with
+        IcebergConcurrentDelete rather than being silently undone."""
+        from pyspark.sql import functions as F
+
+        from plankton_spark.sources.delta_log import _file_stats, _stat_encode
+
+        lo, hi = source.agg(F.min(key), F.max(key)).first()
+        if lo is None:
+            return self._commit_snapshot([], set(), keep_unhit=True)
+        lo, hi = _stat_encode(lo), _stat_encode(hi)
+        table = IcebergTable(self.table_path)
+        schema = table.schema()
+        overlap_abs = []
+        for p in table.data_files(None):
+            st = _file_stats(p)
+            mn, mx = st["minValues"].get(key), st["maxValues"].get(key)
+            if mn is None or not (mx < lo or mn > hi):
+                overlap_abs.append(p)
+        if overlap_abs:
+            hot = self.spark.read.schema(schema).parquet(*sorted(overlap_abs))
+            merged = hot.join(source, key, "left_anti").unionByName(source)
+        else:
+            merged = source
+        staged = self._stage(merged, 0)
+        removed_rel = {
+            os.path.relpath(p, self.table_path) for p in overlap_abs
+        }
+        return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
+
+    def optimize(self, num_files: int = 1) -> int:
+        """Compaction (the spec's rewrite/'replace' operation): the
+        live file set re-staged as `num_files` larger files, every
+        file it READ tombstoned. Content-identical — only layout
+        changes; old snapshots still read their old files (time travel
+        intact). OCC: the removed set is exactly the files read (NOT
+        whatever-is-live-at-commit, which would tombstone a concurrent
+        append's rows this rewrite never read — data loss), so a
+        racing append carries forward and a racing rewrite of a read
+        file aborts the compaction."""
+        table = IcebergTable(self.table_path)
+        files = table.data_files(None)
+        if not files:
+            return self._commit_snapshot([], set(), keep_unhit=True)
+        df = (
+            self.spark.read.schema(table.schema())
+            .parquet(*files)
+            .coalesce(num_files)
+        )
+        staged = self._stage(df, 0)
+        removed_rel = {os.path.relpath(p, self.table_path) for p in files}
+        return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
+
+
+# ---------------------------------------------------------------------
+# Streaming source — the snapshot lineage as a changelog, mirroring
+# the deltalog/planktable streaming sources: each append snapshot's
+# ADDED data files are a micro-batch; offsets are {"index": N} (the
+# number of snapshots consumed — md["snapshots"] is append-ordered).
+# Snapshots that introduce DELETED entries (row-level delete,
+# overwrite, merge, compaction) raise unless ignoreChanges=true,
+# because their re-added files would duplicate surviving rows —
+# Iceberg manifests carry no dataChange flag to distinguish a
+# layout-only rewrite, so the conservative refusal is the only safe
+# default.
+# ---------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, ignore_changes: bool):
+        self.path = path
+        self.ignore_changes = ignore_changes
+        self._schema = IcebergTable(path).schema()
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(IcebergTable(self.path).snapshots())}
+
+    def _added(self, i_from: int, i_to: int) -> list[str]:
+        table = IcebergTable(self.path)
+        snaps = table.snapshots()
+        out: list[str] = []
+        for snap in snaps[i_from:i_to]:
+            sid = snap["snapshot-id"]
+            ml = table._resolve(snap["manifest-list"])
+            adds: list[str] = []
+            has_delete = False
+            for m in read_ocf_generic(ml):
+                # manifests carried forward verbatim contain no entries
+                # for THIS snapshot; only newly written ones can
+                if m.get("added_snapshot_id") != sid:
+                    continue
+                for e in read_ocf_generic(table._resolve(m["manifest_path"])):
+                    if e.get("snapshot_id") != sid:
+                        continue
+                    if e["status"] == 1:
+                        adds.append(table._resolve(e["data_file"]["file_path"]))
+                    elif e["status"] == 2:
+                        has_delete = True
+            if has_delete and not self.ignore_changes:
+                raise ValueError(
+                    f"{self.path}: snapshot {sid} rewrites/removes data — "
+                    "cannot stream without duplicates; set "
+                    "ignoreChanges=true to stream added files anyway"
+                )
+            if not (has_delete and not self.ignore_changes):
+                out.extend(adds)
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _IceFilePartition(p) for p in self._added(start["index"], end["index"])
+        ]
+
+    def read(self, partition: _IceFilePartition):
+        yield from _iceberg_batches(partition.path, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass

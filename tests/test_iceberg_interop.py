@@ -407,3 +407,165 @@ def test_writer_append_during_delete_rebases(spark, tmp_path):
     w._commit_metadata = orig
     rows = sorted(r.k for r in read_iceberg(spark, root).collect())
     assert rows == list(range(4, 10)) + [100, 101, 102]
+
+
+# -- merge / optimize / schema evolution / streaming (round 6) --------
+
+
+def test_writer_merge_upserts_and_prunes(spark, tmp_path):
+    """MERGE parity with DeltaLogWriter.merge: matching keys update,
+    new keys insert, and files whose footer key range cannot overlap
+    the source's are carried forward untouched."""
+    root = str(tmp_path / "iw_mrg")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.range(0, 10)
+        .coalesce(1)
+        .select(F.col("id").alias("k"), F.lit("old").alias("tag"))
+    )
+    w.append(
+        spark.range(1000, 1010)
+        .coalesce(1)
+        .select(F.col("id").alias("k"), F.lit("old").alias("tag"))
+    )
+    before = set(IcebergTable(root).data_files(None))
+    src = spark.createDataFrame(
+        [(1003, "new"), (2000, "new")], "k long, tag string"
+    )
+    w.merge(src, "k")
+    got = {(r.k, r.tag) for r in read_iceberg(spark, root).collect()}
+    want = {(k, "old") for k in range(10)}
+    want |= {(k, "old") for k in range(1000, 1010) if k != 1003}
+    want |= {(1003, "new"), (2000, "new")}
+    assert got == want
+    after = set(IcebergTable(root).data_files(None))
+    assert len(before & after) == 1  # only the [0,10) file survived untouched
+
+
+def test_writer_merge_race_aborts_or_serializes(spark, tmp_path):
+    import threading
+
+    root = str(tmp_path / "iw_mrgrace")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.range(0, 20)
+        .coalesce(1)
+        .select(F.col("id").alias("k"), F.lit("old").alias("tag"))
+    )
+    barrier = threading.Barrier(2)
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def worker(tag: str, keys: list[int]) -> None:
+        h = IcebergWriter(spark, root)
+        src = spark.createDataFrame([(k, tag) for k in keys], "k long, tag string")
+        barrier.wait()
+        try:
+            h.merge(src, "k")
+            with lock:
+                outcomes.append("ok")
+        except IcebergConcurrentDelete:
+            with lock:
+                outcomes.append("conflict")
+
+    threads = [
+        threading.Thread(target=worker, args=(t, ks))
+        for t, ks in (("a", [1, 2]), ("b", [3, 4]))
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert sorted(outcomes) in (["conflict", "ok"], ["ok", "ok"]), outcomes
+    rows = sorted((r.k, r.tag) for r in read_iceberg(spark, root).collect())
+    assert [k for k, _ in rows] == list(range(20))
+    n_new = sum(1 for _, t in rows if t in ("a", "b"))
+    assert n_new == (4 if outcomes == ["ok", "ok"] else 2)
+
+
+def test_writer_optimize_compacts_preserving_content(spark, tmp_path):
+    root = str(tmp_path / "iw_opt")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 6).repartition(3).select(F.col("id").alias("k")))
+    w.append(spark.range(6, 9).repartition(2).select(F.col("id").alias("k")))
+    t0 = IcebergTable(root)
+    pre_snap = t0.metadata["current-snapshot-id"]
+    assert len(t0.data_files(None)) > 1
+    w.optimize(num_files=1)
+    t1 = IcebergTable(root)
+    assert len(t1.data_files(None)) == 1
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == list(range(9))
+    # time travel: the pre-compaction snapshot still reads its files
+    assert sorted(
+        r.k for r in read_iceberg(spark, root, snapshot_id=pre_snap).collect()
+    ) == list(range(9))
+
+
+def test_writer_schema_evolution_add_column(spark, tmp_path):
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "iw_evo")
+    w = IcebergWriter(spark, root)
+    w.create(spark.createDataFrame([Row(k=1), Row(k=2)]))
+    with pytest.raises(ValueError, match="merge_schema"):
+        w.append(spark.createDataFrame([Row(k=3, tag="x")]))
+    w.append(spark.createDataFrame([Row(k=3, tag="x")]), merge_schema=True)
+    got = sorted(
+        (r.k, r.tag) for r in read_iceberg(spark, root).collect()
+    )
+    assert got == [(1, None), (2, None), (3, "x")]
+    md = IcebergTable(root).metadata
+    assert md["current-schema-id"] == 1
+    assert len(md["schemas"]) == 2
+    # new field got a fresh id continuing last-column-id
+    new_field = md["schemas"][1]["fields"][-1]
+    assert new_field["name"] == "tag" and new_field["id"] == 2
+    # dropping/retyping rejected
+    with pytest.raises(ValueError, match="missing"):
+        w.append(spark.createDataFrame([Row(k=9)]))
+    # DSv2 wrapper null-fills pre-evolution files too
+    register(spark)
+    via = (
+        spark.read.format("iceberglog").option("path", root).load()
+    )
+    assert sorted((r.k, r.tag) for r in via.collect()) == got
+
+
+def test_iceberg_streaming_source(spark, tmp_path):
+    """format("iceberglog") readStream: append snapshots stream as
+    micro-batches from a checkpointed snapshot-index offset; a
+    delete/rewrite snapshot refuses without ignoreChanges."""
+    root = str(tmp_path / "iw_stream")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 3).select(F.col("id").alias("k")))
+    w.append(spark.range(10, 13).select(F.col("id").alias("k")))
+    register(spark)
+    seen: dict[int, list[int]] = {}
+
+    def grab(bdf, bid):
+        seen.setdefault(bid, []).extend(r.k for r in bdf.collect())
+
+    ckpt = str(tmp_path / "iw_stream_ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("iceberglog")
+            .option("path", root)
+            .load()
+            .writeStream.foreachBatch(grab)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(v for vs in seen.values() for v in vs) == [0, 1, 2, 10, 11, 12]
+    seen.clear()
+    w.append(spark.range(100, 102).select(F.col("id").alias("k")))
+    run_once()
+    assert sorted(v for vs in seen.values() for v in vs) == [100, 101]
+    # a row-level delete introduces DELETED entries → refuse to stream
+    w.delete_where(F.col("k") == 0)
+    with pytest.raises(Exception):
+        run_once()
