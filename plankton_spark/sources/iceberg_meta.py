@@ -786,6 +786,41 @@ class IcebergWriter:
         removed_rel = {os.path.relpath(p, self.table_path) for p in files}
         return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
 
+    def vacuum(self) -> list[str]:
+        """Remove ORPHAN data files — files under data/ that no
+        manifest of ANY snapshot references (staging leftovers from
+        crashed writers and OCC losers that staged then aborted).
+        Files referenced by historic snapshots are kept so time travel
+        keeps working (the retention=infinite end of the spec's
+        remove-orphan-files / expire-snapshots pair — the only safe
+        point without a wall clock in the metadata)."""
+        import shutil as _shutil
+
+        from plankton_spark.sources.avro_ocf import read_ocf_generic as _read
+
+        table = IcebergTable(self.table_path)
+        referenced: set[str] = set()
+        for snap in table.snapshots():
+            ml = table._resolve(snap["manifest-list"])
+            for m in _read(ml):
+                for e in _read(table._resolve(m["manifest_path"])):
+                    referenced.add(table._resolve(e["data_file"]["file_path"]))
+        removed: list[str] = []
+        data_dir = os.path.join(self.table_path, "data")
+        if os.path.isdir(data_dir):
+            for f in os.listdir(data_dir):
+                full = os.path.join(data_dir, f)
+                if os.path.isfile(full) and full not in referenced:
+                    os.remove(full)
+                    removed.append(f"data/{f}")
+        for e in os.listdir(self.table_path):
+            if e.startswith("_stage-"):
+                _shutil.rmtree(
+                    os.path.join(self.table_path, e), ignore_errors=True
+                )
+                removed.append(e)
+        return sorted(removed)
+
 
 # ---------------------------------------------------------------------
 # Streaming source — the snapshot lineage as a changelog, mirroring

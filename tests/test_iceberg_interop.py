@@ -569,3 +569,25 @@ def test_iceberg_streaming_source(spark, tmp_path):
     w.delete_where(F.col("k") == 0)
     with pytest.raises(Exception):
         run_once()
+
+
+def test_writer_vacuum_removes_only_orphans(spark, tmp_path):
+    root = str(tmp_path / "iw_vac")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 5).select(F.col("id").alias("k")))
+    w.delete_where(F.col("k") < 2)
+    import os as _os
+
+    orphan = _os.path.join(root, "data", "snap0-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    _os.makedirs(_os.path.join(root, "_stage-crashed"), exist_ok=True)
+    removed = w.vacuum()
+    assert "data/snap0-orphan.parquet" in removed
+    assert "_stage-crashed" in removed
+    # historic snapshot (pre-delete) still reads; live state intact
+    first = IcebergTable(root).snapshots()[0]["snapshot-id"]
+    assert sorted(
+        r.k for r in read_iceberg(spark, root, snapshot_id=first).collect()
+    ) == list(range(5))
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == [2, 3, 4]
