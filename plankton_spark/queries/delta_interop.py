@@ -199,3 +199,63 @@ def q_deltalog_roundtrip(spark, sf_dir):
     )
     v1_count = pre_delete.agg(F.count(F.lit(1)).cast("long").alias("n_rows_v1"))
     return agg.crossJoin(v1_count)
+
+
+@query(
+    "q_deltalog_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 1000
+    ),
+    src AS (
+      SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey >= 500 AND o_orderkey < 1500
+    ),
+    merged AS (
+      SELECT b.* FROM base b WHERE NOT EXISTS (
+        SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT * FROM src
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'M' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_merged,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM merged
+    """,
+)
+def q_deltalog_merge(spark, sf_dir):
+    """MERGE through the engine's Delta writer: CREATE orders<1000
+    (two files, key-disjoint), upsert a source spanning [500,1500) —
+    existing keys update to status 'M', new keys insert — then read
+    the final snapshot back through the Delta log. File-stats pruning
+    means only the file overlapping [500,1500) is rewritten; the
+    oracle recomputes the anti-join + union semantics relationally."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+
+    root = _scratch(sf_dir, "delta_merge")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 500).coalesce(1))
+    w.append(
+        o.where((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)).coalesce(1)
+    )
+    src = (
+        o.where((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+        .withColumn("o_orderstatus", F.lit("M"))
+    )
+    w.merge(src, "o_orderkey")
+    return read_delta(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum((F.col("o_orderstatus") == "M").cast("int")).cast("long").alias("n_merged"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    )

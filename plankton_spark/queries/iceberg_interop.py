@@ -212,3 +212,68 @@ def q_iceberg_read(spark, sf_dir):
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+@query(
+    "q_iceberg_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 1000
+    ),
+    src AS (
+      SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey >= 500 AND o_orderkey < 1500
+    ),
+    merged AS (
+      SELECT b.* FROM base b WHERE NOT EXISTS (
+        SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey)
+      UNION ALL
+      SELECT * FROM src
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'M' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_merged,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum,
+           CAST(1 AS BIGINT) AS n_files_after_optimize
+    FROM merged
+    """,
+)
+def q_iceberg_maintenance(spark, sf_dir):
+    """The Iceberg writer's full maintenance cycle as one
+    oracle-checked query: CREATE (orders<500) + APPEND (500..999) →
+    MERGE a [500,1500) source (update to 'M' / insert; stats-pruned
+    rewrite) → OPTIMIZE to one file (content-identical compaction) →
+    read the final snapshot through the metadata chain. The oracle
+    recomputes the merge relationally; n_files_after_optimize pins
+    that compaction really collapsed the layout without changing any
+    aggregate."""
+    from plankton_spark.sources.iceberg_meta import IcebergTable, IcebergWriter
+
+    root = _scratch(sf_dir, "iceberg_maint")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    w = IcebergWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 500).coalesce(1))
+    w.append(
+        o.where((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)).coalesce(1)
+    )
+    src = (
+        o.where((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+        .withColumn("o_orderstatus", F.lit("M"))
+    )
+    w.merge(src, "o_orderkey")
+    w.optimize(num_files=1)
+    n_files = len(IcebergTable(root).data_files(None))
+    return read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum((F.col("o_orderstatus") == "M").cast("int")).cast("long").alias("n_merged"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    ).withColumn("n_files_after_optimize", F.lit(n_files).cast("long"))
