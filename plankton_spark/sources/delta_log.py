@@ -607,24 +607,46 @@ class DeltaLogWriter:
                 continue
         raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
 
-    def optimize(self, num_files: int = 1) -> int:
+    def optimize(
+        self,
+        num_files: int = 1,
+        zorder_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+    ) -> int:
         """OPTIMIZE (compaction): rewrite the current live file set into
         `num_files` larger files — the cure for streaming-sink small
-        files, at planktable parity (table_format.py optimize). Layout
-        only: every add AND remove carries dataChange=false, so the
-        streaming source skips the commit (no refuse, no duplicates)
-        and CDC-style consumers see no row changes. OCC-validated like
-        delete — a stale compaction must not resurrect concurrently
-        rewritten data."""
+        files, at planktable parity (table_format.py optimize),
+        optionally clustered: 1-D range clustering on `sort_by` or
+        multi-dimensional Z-ORDER on `zorder_by` (shared zvalue_column
+        — bit-interleaved ranks keep every file narrow in ALL z-ordered
+        dimensions, tightening the per-file stats the add actions
+        carry, so data skipping prunes). Layout only: every add AND
+        remove carries dataChange=false, so the streaming source skips
+        the commit (no refuse, no duplicates) and CDC-style consumers
+        see no row changes. OCC-validated like delete — a stale
+        compaction must not resurrect concurrently rewritten data."""
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
         schema, _, files = DeltaLog(self.table_path).snapshot(None)
         paths = [p for p, _ in files]
         if not paths:
             return self._commit_with_retry([])
-        df = (
-            self.spark.read.schema(T.StructType(schema.fields))
-            .parquet(*paths)
-            .coalesce(num_files)
-        )
+        df = self.spark.read.schema(T.StructType(schema.fields)).parquet(*paths)
+        if zorder_by:
+            from plankton_spark.table_format import zvalue_column
+
+            df = (
+                df.withColumn("__z", zvalue_column(df, zorder_by))
+                .repartitionByRange(num_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
+            df = df.repartitionByRange(num_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.coalesce(num_files)
         adds = self._stage(df)
         for a in adds:
             a["add"]["dataChange"] = False

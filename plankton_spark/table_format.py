@@ -480,44 +480,7 @@ class PlankTable:
         return self._commit_with_retry("OPTIMIZE", lambda: (adds, snap))
 
     def _zvalue(self, df: DataFrame, cols: list[str], bits: int = 21):
-        """Interleaved-bit Z-value over numeric columns: each column is
-        affinely mapped to a [0, 2^bits) rank from its global min/max
-        (one tiny agg, broadcast as literals), then bit i of every
-        rank is woven into the output. Monotone per dimension, so
-        z-sorted files are narrow in all dimensions at once.
-
-        Two silent-overflow guards: (a) bits shrinks so the interleaved
-        value len(cols)*bits always fits a signed long (>3 columns at
-        21 bits would wrap and scramble the layout); (b) the rank is
-        computed in DOUBLE before the final cast — (col-mn)*(2^21-1) in
-        long arithmetic wraps for columns spanning more than ~2^42."""
-        bits = min(bits, 63 // max(len(cols), 1))
-        stats = df.agg(
-            *[F.min(c).alias(f"mn_{c}") for c in cols],
-            *[F.max(c).alias(f"mx_{c}") for c in cols],
-        ).first()
-        ranks = []
-        for c in cols:
-            mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-            span = max(float(mx) - float(mn), 1.0)
-            ranks.append(
-                F.least(
-                    F.lit((1 << bits) - 1),
-                    F.greatest(
-                        F.lit(0).cast("long"),
-                        (
-                            (F.col(c).cast("double") - F.lit(float(mn)))
-                            * F.lit(float((1 << bits) - 1))
-                            / F.lit(span)
-                        ).cast("long"),
-                    ),
-                )
-            )
-        z = F.lit(0).cast("long")
-        for bit in range(bits - 1, -1, -1):
-            for r in ranks:
-                z = z * 2 + F.shiftrightunsigned(r, bit) % 2
-        return z
+        return zvalue_column(df, cols, bits)
 
     # -- exactly-once streaming sink -----------------------------------
 
@@ -604,3 +567,45 @@ class PlankTable:
                 os.remove(os.path.join(self.path, e))
                 removed.append(e)
         return sorted(removed)
+
+
+def zvalue_column(df: DataFrame, cols: list[str], bits: int = 21):
+    """Interleaved-bit Z-value over numeric columns: each column is
+    affinely mapped to a [0, 2^bits) rank from its global min/max
+    (one tiny agg, broadcast as literals), then bit i of every
+    rank is woven into the output. Monotone per dimension, so
+    z-sorted files are narrow in all dimensions at once. Shared by
+    planktable and the Delta writer's OPTIMIZE ZORDER.
+
+    Two silent-overflow guards: (a) bits shrinks so the interleaved
+    value len(cols)*bits always fits a signed long (>3 columns at
+    21 bits would wrap and scramble the layout); (b) the rank is
+    computed in DOUBLE before the final cast — (col-mn)*(2^21-1) in
+    long arithmetic wraps for columns spanning more than ~2^42."""
+    bits = min(bits, 63 // max(len(cols), 1))
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    ranks = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = max(float(mx) - float(mn), 1.0)
+        ranks.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    (
+                        (F.col(c).cast("double") - F.lit(float(mn)))
+                        * F.lit(float((1 << bits) - 1))
+                        / F.lit(span)
+                    ).cast("long"),
+                ),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for r in ranks:
+            z = z * 2 + F.shiftrightunsigned(r, bit) % 2
+    return z

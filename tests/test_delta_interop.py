@@ -483,3 +483,61 @@ def test_stage_writes_delta_spec_stats(spark, tmp_path):
     assert st["numRecords"] == 6
     assert st["minValues"]["k"] == 3 and st["maxValues"]["k"] == 8
     assert st["nullCount"]["k"] == 0
+
+
+def test_writer_optimize_zorder_tightens_file_stats(spark, tmp_path):
+    """OPTIMIZE ZORDER on the Delta writer: after clustering on
+    (x, y), every rewritten file's stats range is narrow in BOTH
+    dimensions (the add-action stats external readers use for data
+    skipping) — plain compaction leaves files spanning each domain."""
+    root = str(tmp_path / "dz")
+    grid = spark.range(100 * 100).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 100).cast("long").alias("y"),
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(grid.repartition(8))
+    v = w.optimize(num_files=16, zorder_by=["x", "y"])
+    assert read_delta(spark, root).count() == 10_000
+    spans = []
+    with open(os.path.join(root, "_delta_log", f"{v:020d}.json")) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "add" not in a:
+                continue
+            st = json.loads(a["add"]["stats"])
+            spans.append(
+                (
+                    st["maxValues"]["x"] - st["minValues"]["x"],
+                    st["maxValues"]["y"] - st["minValues"]["y"],
+                )
+            )
+    assert len(spans) == 16
+    # z-clustered files are narrow in BOTH dims on average (range
+    # boundaries straddle some z-cells, so individual files may span
+    # wider); plain compaction leaves every file ~99 wide in both
+    avg_x = sum(sx for sx, _ in spans) / len(spans)
+    avg_y = sum(sy for _, sy in spans) / len(spans)
+    assert avg_x < 55 and avg_y < 55, spans
+
+    root2 = str(tmp_path / "dplain")
+    w2 = DeltaLogWriter(spark, root2)
+    w2.create(grid.repartition(8))
+    v2 = w2.optimize(num_files=16)
+    base = []
+    with open(os.path.join(root2, "_delta_log", f"{v2:020d}.json")) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "add" in a:
+                st = json.loads(a["add"]["stats"])
+                base.append(
+                    (
+                        st["maxValues"]["x"] - st["minValues"]["x"],
+                        st["maxValues"]["y"] - st["minValues"]["y"],
+                    )
+                )
+    avg_bx = sum(sx for sx, _ in base) / len(base)
+    assert avg_x < avg_bx / 1.5, (avg_x, avg_bx)
+
+    with pytest.raises(ValueError, match="not both"):
+        w.optimize(sort_by=["x"], zorder_by=["y"])
