@@ -541,3 +541,58 @@ def test_writer_optimize_zorder_tightens_file_stats(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not both"):
         w.optimize(sort_by=["x"], zorder_by=["y"])
+
+
+@pytest.mark.parametrize(
+    "kind",
+    ["int_boundary", "int_disjoint", "timestamp", "string"],
+)
+def test_merge_equals_reference_semantics(spark, tmp_path, kind):
+    """MERGE == (base anti-join source) UNION source, whatever the
+    pruning decided — exercised at the edges where pruning bugs live:
+    a source range touching a file's max exactly (inclusive bounds),
+    fully disjoint ranges, and timestamp/string keys (compared via
+    the ISO-8601 stat encoding, not native ordering)."""
+    import datetime
+
+    root = str(tmp_path / f"mref_{kind}")
+    w = DeltaLogWriter(spark, root)
+    if kind == "timestamp":
+        base = spark.sql(
+            "SELECT timestampadd(HOUR, id, TIMESTAMP'2024-01-01 00:00:00') AS k,"
+            " 'old' AS tag FROM range(10)"
+        )
+        src = spark.sql(
+            "SELECT timestampadd(HOUR, id, TIMESTAMP'2024-01-01 05:00:00') AS k,"
+            " 'new' AS tag FROM range(10)"
+        )
+    elif kind == "string":
+        base = spark.createDataFrame(
+            [(f"k{i:03d}", "old") for i in range(10)], "k string, tag string"
+        )
+        src = spark.createDataFrame(
+            [(f"k{i:03d}", "new") for i in range(5, 15)], "k string, tag string"
+        )
+    elif kind == "int_boundary":
+        base = spark.createDataFrame(
+            [(i, "old") for i in range(10)], "k long, tag string"
+        )
+        # source min == base file's max: inclusive-bound edge
+        src = spark.createDataFrame(
+            [(i, "new") for i in range(9, 12)], "k long, tag string"
+        )
+    else:  # int_disjoint
+        base = spark.createDataFrame(
+            [(i, "old") for i in range(10)], "k long, tag string"
+        )
+        src = spark.createDataFrame(
+            [(i, "new") for i in range(100, 103)], "k long, tag string"
+        )
+    w.create(base.coalesce(1))
+    w.merge(src, "k")
+    got = {(r.k, r.tag) for r in read_delta(spark, root).collect()}
+    want = {
+        (r.k, r.tag)
+        for r in base.join(src, "k", "left_anti").unionByName(src).collect()
+    }
+    assert got == want

@@ -591,3 +591,27 @@ def test_writer_vacuum_removes_only_orphans(spark, tmp_path):
         r.k for r in read_iceberg(spark, root, snapshot_id=first).collect()
     ) == list(range(5))
     assert sorted(r.k for r in read_iceberg(spark, root).collect()) == [2, 3, 4]
+
+
+def test_merge_timestamp_key_equals_reference(spark, tmp_path):
+    """Iceberg MERGE with a timestamp key: pruning compares via the
+    ISO-8601 stat encoding; result must equal the reference
+    (base anti-join source) UNION source semantics."""
+    root = str(tmp_path / "iw_mts")
+    w = IcebergWriter(spark, root)
+    base = spark.sql(
+        "SELECT timestampadd(HOUR, id, TIMESTAMP'2024-01-01 00:00:00') AS k,"
+        " 'old' AS tag FROM range(10)"
+    )
+    src = spark.sql(
+        "SELECT timestampadd(HOUR, id, TIMESTAMP'2024-01-01 05:00:00') AS k,"
+        " 'new' AS tag FROM range(10)"
+    )
+    w.create(base.coalesce(1))
+    w.merge(src, "k")
+    got = {(r.k, r.tag) for r in read_iceberg(spark, root).collect()}
+    want = {
+        (r.k, r.tag)
+        for r in base.join(src, "k", "left_anti").unionByName(src).collect()
+    }
+    assert got == want
