@@ -274,3 +274,87 @@ def q_stream_streamjoin(spark, sf_dir):
         .alias("total_lag_sec"),
         F.date_format(F.min("view_ts"), "yyyy-MM-dd HH:mm:ss").alias("first_view"),
     )
+
+
+@query(
+    "q_stream_session_changelog",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    marked AS (
+      SELECT user_id, ts2,
+             CASE WHEN LAG(ts2) OVER w IS NULL
+                       OR ts2 - LAG(ts2) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts2)
+    ),
+    numbered AS (
+      SELECT user_id, ts2,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM marked
+    ),
+    sessions AS (
+      SELECT user_id, sid, COUNT(*) AS n,
+             epoch(MAX(ts2)) - epoch(MIN(ts2)) AS dur
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(dur) AS BIGINT) AS total_dur_sec
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q_stream_session_changelog(spark, sf_dir):
+    """Session stats computed by a REAL Structured Streaming query
+    over the engine's Delta changelog source, with a restart in the
+    middle: half the events are committed, the session-window agg
+    drains (availableNow) into a memory sink, the remaining events
+    are committed while the query is down, and a second run resumes
+    from the same checkpoint — so the final complete-mode table is
+    right only if the restart restored the session state AND read
+    only the new commits. The oracle is the lag-gap + cumulative-sum
+    batch reconstruction over all events: the streaming result must
+    agree exactly, which also pins the exactly-once contract through
+    the {{"version": N}} offsets."""
+    import shutil
+    import uuid as _uuid
+
+    from plankton_spark.queries.scans import _scratch
+    from plankton_spark.sources.delta_log import DeltaLogWriter, register
+
+    root = _scratch(sf_dir, "chlog_sess")
+    shutil.rmtree(root, ignore_errors=True)
+    ckpt = root + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    register(spark)
+
+    ev = read_table(spark, sf_dir, "events")
+    half = ev.agg(F.expr("percentile(event_id, 0.5)")).first()[0]
+    w = DeltaLogWriter(spark, root)
+    w.create(ev.where(F.col("event_id") <= half))
+
+    name = f"chlog_sess_{_uuid.uuid4().hex[:8]}"
+
+    def drain():
+        stream = (
+            spark.readStream.format("deltalog").option("path", root).load()
+        )
+        q = (
+            jobs.session_windows(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # batch 0: first half of the events
+    w.append(ev.where(F.col("event_id") > half))  # lands while "down"
+    drain()  # restart: state restored, only the new commit read
+    return jobs.rollup_sessions(spark.table(name))
