@@ -170,11 +170,33 @@ def _cast_partition_value(raw: str | None, dtype: T.DataType):
     return F.lit(raw).cast(dtype)
 
 
-def read_delta(spark, table_path: str, version: int | None = None):
+def read_delta(
+    spark,
+    table_path: str,
+    version: int | None = None,
+    partitions: dict | None = None,
+):
     """Native-parquet read of a Delta table at `version` (default:
     latest). Files sharing a partition tuple are read as ONE multi-
-    path scan; partition columns come back as cast literals."""
+    path scan; partition columns come back as cast literals.
+
+    `partitions={"col": "value"}` prunes at FILE-LIST level: files
+    whose partitionValues don't match never reach Spark — the
+    metadata-only partition pruning that makes a 100 TB partitioned
+    table read cost proportional to the partitions touched."""
     schema, part_cols, files = DeltaLog(table_path).snapshot(version)
+    if partitions:
+        unknown = [c for c in partitions if c not in part_cols]
+        if unknown:
+            raise ValueError(
+                f"{table_path}: not partition columns: {unknown} "
+                f"(partitioned by {part_cols})"
+            )
+        files = [
+            (p, pv)
+            for p, pv in files
+            if all(pv.get(c) == str(v) for c, v in partitions.items())
+        ]
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
     if not files:
@@ -410,26 +432,49 @@ class DeltaLogWriter:
             out[rel] = _file_stats(p)
         return out
 
-    def _stage(self, df) -> list[dict]:
+    def _stage(self, df, part_cols: list[str] | None = None) -> list[dict]:
         """Write df's partitions as parquet files under the table root;
-        return their `add` actions."""
+        return their `add` actions. With `part_cols`, files land in
+        hive-style subdirectories (col=value/...), the partition
+        columns are dropped from file content per the Delta spec, and
+        each add action carries the partitionValues dict the reader
+        re-attaches (and prunes on)."""
         import glob as _glob
         import shutil as _shutil
+        import urllib.parse as _url
         import uuid as _uuid
 
         tmp = os.path.join(self.table_path, f"_stage-{_uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        if part_cols:
+            df.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
+        else:
+            df.write.mode("overwrite").parquet(tmp)
         adds = []
         os.makedirs(self.table_path, exist_ok=True)
-        for part in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
-            rel = f"part-{_uuid.uuid4().hex}.parquet"
+        for part in sorted(
+            _glob.glob(os.path.join(tmp, "**", "part-*.parquet"), recursive=True)
+        ):
+            subdir = os.path.relpath(os.path.dirname(part), tmp)
+            pv: dict[str, str | None] = {}
+            if subdir != ".":
+                for piece in subdir.split(os.sep):
+                    k, _, raw = piece.partition("=")
+                    v = _url.unquote(raw)
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                os.makedirs(
+                    os.path.join(self.table_path, subdir), exist_ok=True
+                )
+            rel = os.path.join(
+                "" if subdir == "." else subdir,
+                f"part-{_uuid.uuid4().hex}.parquet",
+            )
             dst = os.path.join(self.table_path, rel)
             os.replace(part, dst)
             adds.append(
                 {
                     "add": {
                         "path": rel,
-                        "partitionValues": {},
+                        "partitionValues": pv,
                         "size": os.path.getsize(dst),
                         "modificationTime": 0,
                         "dataChange": True,
@@ -442,13 +487,36 @@ class DeltaLogWriter:
         _shutil.rmtree(tmp, ignore_errors=True)
         return adds
 
-    def _metadata_action(self, schema: T.StructType) -> dict:
+    def _partition_cols(self) -> list[str]:
+        try:
+            _, part_cols, _ = DeltaLog(self.table_path).snapshot(None)
+            return part_cols
+        except FileNotFoundError:
+            return []
+
+    def _reject_partitioned(self, op: str) -> None:
+        """Rewrite ops read files with the FULL schema; partitioned
+        files omit the partition columns, so a predicate on one would
+        silently evaluate against NULL. Refuse loudly until the
+        rewrite paths reconstruct per-partition (delete/merge/optimize
+        on partitioned tables: planned, not silently wrong)."""
+        if self._partition_cols():
+            raise NotImplementedError(
+                f"{self.table_path}: {op} on a partitioned Delta table is "
+                "not supported yet — partition columns are not present in "
+                "the data files, so predicate evaluation there would be "
+                "silently wrong"
+            )
+
+    def _metadata_action(
+        self, schema: T.StructType, part_cols: list[str] | None = None
+    ) -> dict:
         return {
             "metaData": {
                 "id": f"plankton-delta-{os.path.basename(self.table_path)}",
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema.json(),
-                "partitionColumns": [],
+                "partitionColumns": list(part_cols or []),
                 "configuration": {},
             }
         }
@@ -487,16 +555,24 @@ class DeltaLogWriter:
                 current.fields
                 + [f for f in df.schema.fields if f.name in added]
             )
-            return self._metadata_action(evolved)
+            return self._metadata_action(evolved, self._partition_cols())
         return None
 
     # -- operations -----------------------------------------------------
 
-    def create(self, df) -> int:
+    def create(self, df, partition_by: list[str] | None = None) -> int:
+        """Create the table; `partition_by` lays data out hive-style
+        (col=value dirs, values in each add's partitionValues) so the
+        reader prunes whole partitions before opening any file — the
+        directory-level analogue of the per-file stats skipping."""
         if os.path.isdir(self.log_dir) and _commit_versions(self.log_dir):
             raise FileExistsError(f"{self.table_path}: table already exists")
+        missing = [c for c in (partition_by or []) if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns not in df: {missing}")
         protocol = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        actions = [protocol, self._metadata_action(df.schema)] + self._stage(df)
+        actions = [protocol, self._metadata_action(df.schema, partition_by)]
+        actions += self._stage(df, partition_by)
         return self._commit_with_retry(actions)
 
     def append(
@@ -516,14 +592,15 @@ class DeltaLogWriter:
         action rides the same commit; old files read the column as
         null — parquet mergeSchema semantics)."""
         evolution = self._schema_evolution_action(df, merge_schema)
+        part_cols = self._partition_cols()
         head: list[dict] = [evolution] if evolution is not None else []
         if txn is None:
-            return self._commit_with_retry(head + self._stage(df))
+            return self._commit_with_retry(head + self._stage(df, part_cols))
         last = self.last_txn_version(txn[0])
         if last is not None and txn[1] <= last:
             return None  # duplicate micro-batch replay
         actions: list[dict] = head + [{"txn": {"appId": txn[0], "version": txn[1]}}]
-        actions += self._stage(df)
+        actions += self._stage(df, part_cols)
         for _ in range(20):
             # ORDER MATTERS: pick the target version FIRST, then check
             # the guard. The check then observes every commit < v, so a
@@ -550,6 +627,8 @@ class DeltaLogWriter:
         validates its removed files are still live at commit (the same
         OCC rule planktable enforces — stale rewrites must not commit)."""
         from pyspark.sql import functions as F
+
+        self._reject_partitioned("delete_where")
 
         snapshot = DeltaLog(self.table_path)
         schema, _, files = snapshot.snapshot(None)
@@ -627,6 +706,7 @@ class DeltaLogWriter:
         compaction must not resurrect concurrently rewritten data."""
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
+        self._reject_partitioned("optimize")
         schema, _, files = DeltaLog(self.table_path).snapshot(None)
         paths = [p for p, _ in files]
         if not paths:
@@ -664,7 +744,7 @@ class DeltaLogWriter:
         than silently dropping that writer's result; plain concurrent
         APPENDs abort too (their rows would otherwise survive an
         operation that promised to replace everything)."""
-        adds = self._stage(df)
+        adds = self._stage(df, self._partition_cols())
         for _ in range(20):
             v = self._next_version()
             _, _, now_files = DeltaLog(self.table_path).snapshot(None)
@@ -693,6 +773,7 @@ class DeltaLogWriter:
         silently undone."""
         from pyspark.sql import functions as F
 
+        self._reject_partitioned("merge")
         lo, hi = source.agg(F.min(key), F.max(key)).first()
         if lo is None:  # empty source → MERGE commits a no-op marker
             return self._commit_with_retry([])

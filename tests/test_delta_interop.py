@@ -596,3 +596,58 @@ def test_merge_equals_reference_semantics(spark, tmp_path, kind):
         for r in base.join(src, "k", "left_anti").unionByName(src).collect()
     }
     assert got == want
+
+
+def test_writer_partitioned_create_append_prune(spark, tmp_path):
+    """Partitioned writes: hive-style layout, partitionValues in the
+    add actions, appends inherit the layout, and read_delta's
+    partitions= filter prunes at the file-list level (no non-matching
+    file ever reaches Spark)."""
+    root = str(tmp_path / "dpart")
+    w = DeltaLogWriter(spark, root)
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i)) for i in range(10)],
+        "k long, status string, v double",
+    )
+    w.create(df, partition_by=["status"])
+    w.append(
+        spark.createDataFrame([(100, "C", 1.0)], "k long, status string, v double")
+    )
+    got = read_delta(spark, root)
+    assert sorted(r.k for r in got.collect()) == list(range(10)) + [100]
+    assert dict(got.dtypes)["status"] == "string"
+    # add actions carry hive-style paths + partitionValues
+    _, part_cols, files = DeltaLog(root).snapshot(None)
+    assert part_cols == ["status"]
+    assert all("status=" in p for p, _ in files)
+    assert {pv["status"] for _, pv in files} == {"A", "B", "C"}
+    # file-list pruning: only the A-partition files are scanned
+    pruned = read_delta(spark, root, partitions={"status": "A"})
+    assert sorted(r.k for r in pruned.collect()) == [0, 2, 4, 6, 8]
+    assert all("status=A" in f for f in pruned.inputFiles())
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_delta(spark, root, partitions={"nope": "x"})
+
+
+def test_writer_partitioned_overwrite_ok_rewrites_rejected(spark, tmp_path):
+    root = str(tmp_path / "dpart2")
+    w = DeltaLogWriter(spark, root)
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2]) for i in range(6)], "k long, status string"
+    )
+    w.create(df, partition_by=["status"])
+    # overwrite keeps the partition layout (it stages fresh, reads nothing)
+    w.overwrite(
+        spark.createDataFrame([(50, "A"), (51, "B")], "k long, status string")
+    )
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == [50, 51]
+    _, _, files = DeltaLog(root).snapshot(None)
+    assert all("status=" in p for p, _ in files)
+    # rewrite ops refuse: partition cols aren't IN the data files, so
+    # predicate evaluation there would silently see NULL
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        w.delete_where(F.col("k") < 51)
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        w.optimize()
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        w.merge(spark.createDataFrame([(1, "A")], "k long, status string"), "k")

@@ -18,6 +18,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="query names or globs (default: all)")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a plain SparkSession.builder session (driver simulation) "
+        "instead of the engine's tuned get_spark — catches hidden "
+        "dependencies on engine session confs",
+    )
     args = ap.parse_args()
 
     qs = all_queries()
@@ -29,7 +36,16 @@ def main() -> int:
         print("no queries matched", file=sys.stderr)
         return 2
 
-    spark = get_spark("oracle-check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duck_connect(args.sf)
     n_ok = 0
     t0 = time.time()
