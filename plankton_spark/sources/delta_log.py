@@ -197,10 +197,20 @@ def read_delta(
             for p, pv in files
             if all(pv.get(c) == str(v) for c, v in partitions.items())
         ]
+    return _assemble_view(spark, schema, part_cols, files)
+
+
+def _assemble_view(spark, schema, part_cols, files, with_file: bool = False):
+    """Union of per-partition-tuple scans with partition columns
+    re-attached as cast literals; with_file adds a `_f` column naming
+    each row's source file (input_file_name per piece — the rewrite
+    ops use it to find which files a predicate hits)."""
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
+    out_cols = [f.name for f in schema.fields] + (["_f"] if with_file else [])
     if not files:
-        return spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("_f", F.lit(None).cast("string")) if with_file else empty
     by_pv: dict[tuple, list[str]] = {}
     for path, pv in files:
         key = tuple(pv.get(c) for c in part_cols)
@@ -208,9 +218,11 @@ def read_delta(
     pieces = []
     for key, paths in sorted(by_pv.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*paths)
+        if with_file:
+            df = df.withColumn("_f", F.input_file_name())
         for c, raw in zip(part_cols, key):
             df = df.withColumn(c, _cast_partition_value(raw, schema[c].dataType))
-        pieces.append(df.select([f.name for f in schema.fields]))
+        pieces.append(df.select(out_cols))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
@@ -316,6 +328,30 @@ def _stat_encode(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     return v
+
+
+def _pv_typed(raw: str | None, dtype: T.DataType):
+    """A partitionValues string as a typed Python value for range
+    compares (partition-key MERGE pruning). None → unprunable (the
+    caller must treat the file as overlapping)."""
+    import datetime
+
+    if raw is None:
+        return None
+    try:
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(raw)
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(raw)
+        if isinstance(dtype, T.DateType):
+            return datetime.date.fromisoformat(raw)
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            return datetime.datetime.fromisoformat(raw)
+        if isinstance(dtype, T.StringType):
+            return raw
+    except (ValueError, TypeError):
+        return None
+    return None
 
 
 def _file_stats(path: str) -> dict:
@@ -494,19 +530,6 @@ class DeltaLogWriter:
         except FileNotFoundError:
             return []
 
-    def _reject_partitioned(self, op: str) -> None:
-        """Rewrite ops read files with the FULL schema; partitioned
-        files omit the partition columns, so a predicate on one would
-        silently evaluate against NULL. Refuse loudly until the
-        rewrite paths reconstruct per-partition (delete/merge/optimize
-        on partitioned tables: planned, not silently wrong)."""
-        if self._partition_cols():
-            raise NotImplementedError(
-                f"{self.table_path}: {op} on a partitioned Delta table is "
-                "not supported yet — partition columns are not present in "
-                "the data files, so predicate evaluation there would be "
-                "silently wrong"
-            )
 
     def _metadata_action(
         self, schema: T.StructType, part_cols: list[str] | None = None
@@ -625,24 +648,20 @@ class DeltaLogWriter:
     def delete_where(self, condition) -> int:
         """Row-level delete: rewrite only files containing matches;
         validates its removed files are still live at commit (the same
-        OCC rule planktable enforces — stale rewrites must not commit)."""
+        OCC rule planktable enforces — stale rewrites must not commit).
+        Partitioned tables work too: the predicate is evaluated over
+        the assembled view (partition columns re-attached as cast
+        literals — evaluating against the raw files would see NULL for
+        them), and survivors re-stage through the hive layout."""
         from pyspark.sql import functions as F
 
-        self._reject_partitioned("delete_where")
-
         snapshot = DeltaLog(self.table_path)
-        schema, _, files = snapshot.snapshot(None)
-        paths = [p for p, _ in files]
-        live = self.spark.read.schema(
-            T.StructType([f for f in schema.fields])
-        ).parquet(*paths)
+        schema, part_cols, files = snapshot.snapshot(None)
+        live = _assemble_view(
+            self.spark, schema, part_cols, files, with_file=True
+        )
         hit = [
-            r[0]
-            for r in live.withColumn("_f", F.input_file_name())
-            .where(condition)
-            .select("_f")
-            .distinct()
-            .collect()
+            r[0] for r in live.where(condition).select("_f").distinct().collect()
         ]
         hit_rel = sorted(
             os.path.relpath(p, self.table_path)
@@ -655,11 +674,13 @@ class DeltaLogWriter:
             # TRUE are deleted; rows where it evaluates to NULL are
             # RETAINED. A bare ~condition would filter NULL rows out of
             # the rewrite too (NOT NULL = NULL) — silent data loss.
-            survivors = self.spark.read.parquet(
-                *[os.path.join(self.table_path, r) for r in hit_rel]
-            ).where(~F.coalesce(condition, F.lit(False)))
+            survivors = (
+                live.where(F.col("_f").isin(hit))
+                .where(~F.coalesce(condition, F.lit(False)))
+                .drop("_f")
+            )
             if not survivors.isEmpty():
-                actions += self._stage(survivors)
+                actions += self._stage(survivors, part_cols)
             actions += [
                 {"remove": {"path": r, "dataChange": True}} for r in hit_rel
             ]
@@ -703,15 +724,17 @@ class DeltaLogWriter:
         remove carries dataChange=false, so the streaming source skips
         the commit (no refuse, no duplicates) and CDC-style consumers
         see no row changes. OCC-validated like delete — a stale
-        compaction must not resurrect concurrently rewritten data."""
+        compaction must not resurrect concurrently rewritten data.
+        Partitioned tables compact per hive directory (the re-stage
+        goes through partitionBy, so `num_files` bounds files PER
+        PARTITION, the same granularity Delta's own OPTIMIZE uses)."""
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
-        self._reject_partitioned("optimize")
-        schema, _, files = DeltaLog(self.table_path).snapshot(None)
+        schema, part_cols, files = DeltaLog(self.table_path).snapshot(None)
         paths = [p for p, _ in files]
         if not paths:
             return self._commit_with_retry([])
-        df = self.spark.read.schema(T.StructType(schema.fields)).parquet(*paths)
+        df = _assemble_view(self.spark, schema, part_cols, files)
         if zorder_by:
             from plankton_spark.table_format import zvalue_column
 
@@ -727,7 +750,7 @@ class DeltaLogWriter:
             )
         else:
             df = df.coalesce(num_files)
-        adds = self._stage(df)
+        adds = self._stage(df, part_cols)
         for a in adds:
             a["add"]["dataChange"] = False
         rel = sorted(os.path.relpath(p, self.table_path) for p in paths)
@@ -773,30 +796,45 @@ class DeltaLogWriter:
         silently undone."""
         from pyspark.sql import functions as F
 
-        self._reject_partitioned("merge")
-        lo, hi = source.agg(F.min(key), F.max(key)).first()
-        if lo is None:  # empty source → MERGE commits a no-op marker
+        raw_lo, raw_hi = source.agg(F.min(key), F.max(key)).first()
+        if raw_lo is None:  # empty source → MERGE commits a no-op marker
             return self._commit_with_retry([])
-        lo, hi = _stat_encode(lo), _stat_encode(hi)
-        stats = self.live_stats()
-        overlap = sorted(
-            rel
-            for rel, st in stats.items()
-            if (
-                st["minValues"].get(key) is None  # no stats → must rewrite
-                or not (
-                    st["maxValues"][key] < lo or st["minValues"][key] > hi
+        lo, hi = _stat_encode(raw_lo), _stat_encode(raw_hi)
+        schema, part_cols, files = DeltaLog(self.table_path).snapshot(None)
+        if part_cols:
+            missing = [c for c in part_cols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"{self.table_path}: merge source missing partition "
+                    f"columns {missing}"
                 )
-            )
+        if key in part_cols:
+            # partition-key merge: prune on partitionValues (the data
+            # files don't even CONTAIN the key column), typed compare
+            overlap_files = []
+            for p, pv in files:
+                v = _pv_typed(pv.get(key), schema[key].dataType)
+                if v is None or (raw_lo <= v <= raw_hi):
+                    overlap_files.append((p, pv))
+        else:
+            stats = self.live_stats()
+            rel_pv = {os.path.relpath(p, self.table_path): pv for p, pv in files}
+            overlap_files = []
+            for rel, st in stats.items():
+                mn = st["minValues"].get(key)
+                if mn is None or not (st["maxValues"][key] < lo or mn > hi):
+                    overlap_files.append(
+                        (os.path.join(self.table_path, rel), rel_pv[rel])
+                    )
+        overlap = sorted(
+            os.path.relpath(p, self.table_path) for p, _ in overlap_files
         )
         if overlap:
-            hot = self.spark.read.parquet(
-                *[os.path.join(self.table_path, r) for r in overlap]
-            )
+            hot = _assemble_view(self.spark, schema, part_cols, overlap_files)
             merged = hot.join(source, key, "left_anti").unionByName(source)
         else:
             merged = source
-        actions = self._stage(merged) + [
+        actions = self._stage(merged, part_cols) + [
             {"remove": {"path": r, "dataChange": True}} for r in overlap
         ]
         return self._validate_then_commit(actions, overlap)

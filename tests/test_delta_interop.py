@@ -629,7 +629,7 @@ def test_writer_partitioned_create_append_prune(spark, tmp_path):
         read_delta(spark, root, partitions={"nope": "x"})
 
 
-def test_writer_partitioned_overwrite_ok_rewrites_rejected(spark, tmp_path):
+def test_writer_partitioned_overwrite_and_rewrites(spark, tmp_path):
     root = str(tmp_path / "dpart2")
     w = DeltaLogWriter(spark, root)
     df = spark.createDataFrame(
@@ -638,16 +638,89 @@ def test_writer_partitioned_overwrite_ok_rewrites_rejected(spark, tmp_path):
     w.create(df, partition_by=["status"])
     # overwrite keeps the partition layout (it stages fresh, reads nothing)
     w.overwrite(
-        spark.createDataFrame([(50, "A"), (51, "B")], "k long, status string")
+        spark.createDataFrame(
+            [(i, "AB"[i % 2]) for i in range(50, 60)], "k long, status string"
+        )
     )
-    assert sorted(r.k for r in read_delta(spark, root).collect()) == [50, 51]
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == list(
+        range(50, 60)
+    )
     _, _, files = DeltaLog(root).snapshot(None)
     assert all("status=" in p for p, _ in files)
-    # rewrite ops refuse: partition cols aren't IN the data files, so
-    # predicate evaluation there would silently see NULL
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        w.delete_where(F.col("k") < 51)
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        w.optimize()
-    with pytest.raises(NotImplementedError, match="partitioned"):
-        w.merge(spark.createDataFrame([(1, "A")], "k long, status string"), "k")
+
+
+def test_writer_partitioned_delete_on_partition_column(spark, tmp_path):
+    """DELETE with a predicate ON the partition column: the raw files
+    don't contain it, so evaluation must go through the assembled view
+    (re-attached literals) — a bug here silently matches nothing (or
+    everything via NULL semantics)."""
+    root = str(tmp_path / "dpart_del")
+    w = DeltaLogWriter(spark, root)
+    df = spark.createDataFrame(
+        [(i, "ABC"[i % 3]) for i in range(12)], "k long, status string"
+    )
+    w.create(df, partition_by=["status"])
+    w.delete_where(F.col("status") == "B")
+    got = sorted((r.k, r.status) for r in read_delta(spark, root).collect())
+    assert got == sorted(
+        (i, "ABC"[i % 3]) for i in range(12) if "ABC"[i % 3] != "B"
+    )
+    # mixed predicate (partition + data column)
+    w.delete_where((F.col("status") == "A") & (F.col("k") >= 6))
+    got = sorted((r.k, r.status) for r in read_delta(spark, root).collect())
+    assert got == sorted(
+        (i, s)
+        for i in range(12)
+        for s in ["ABC"[i % 3]]
+        if s == "C" or (s == "A" and i < 6)
+    )
+
+
+def test_writer_partitioned_merge_prunes_by_partition_value(spark, tmp_path):
+    """MERGE keyed ON the partition column: pruning uses typed
+    partitionValues compares (no footer stats exist for the key — it
+    isn't in the files), and non-overlapping partitions carry forward
+    untouched."""
+    root = str(tmp_path / "dpart_mrg")
+    w = DeltaLogWriter(spark, root)
+    base = spark.createDataFrame(
+        [(i, i % 3, "old") for i in range(12)], "k long, bucket int, tag string"
+    )
+    w.create(base, partition_by=["bucket"])
+    _, _, before = DeltaLog(root).snapshot(None)
+    untouched_before = {p for p, pv in before if pv["bucket"] == "2"}
+    src = spark.createDataFrame(
+        [(0, 0, "new"), (99, 1, "new")], "k long, bucket int, tag string"
+    )
+    w.merge(src, "bucket")  # buckets 0 and 1 rewritten, bucket 2 untouched
+    got = {(r.k, r.bucket, r.tag) for r in read_delta(spark, root).collect()}
+    want = {(i, 2, "old") for i in range(12) if i % 3 == 2}
+    want |= {(0, 0, "new"), (99, 1, "new")}
+    assert got == want
+    _, _, after = DeltaLog(root).snapshot(None)
+    untouched_after = {p for p, pv in after if pv["bucket"] == "2"}
+    assert untouched_before == untouched_after
+    # source missing the partition column is rejected up front
+    with pytest.raises(ValueError, match="partition"):
+        w.merge(spark.createDataFrame([(1, "x")], "k long, tag string"), "k")
+
+
+def test_writer_partitioned_optimize_per_partition(spark, tmp_path):
+    root = str(tmp_path / "dpart_opt")
+    w = DeltaLogWriter(spark, root)
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2]) for i in range(20)], "k long, status string"
+    ).repartition(4)
+    w.create(df, partition_by=["status"])
+    w.append(
+        spark.createDataFrame(
+            [(i, "AB"[i % 2]) for i in range(20, 40)], "k long, status string"
+        ).repartition(4)
+    )
+    _, _, before = DeltaLog(root).snapshot(None)
+    assert len(before) > 2
+    w.optimize(num_files=1)
+    _, _, after = DeltaLog(root).snapshot(None)
+    # one file per partition value
+    assert len(after) == 2, after
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == list(range(40))
