@@ -724,3 +724,21 @@ def test_writer_partitioned_optimize_per_partition(spark, tmp_path):
     # one file per partition value
     assert len(after) == 2, after
     assert sorted(r.k for r in read_delta(spark, root).collect()) == list(range(40))
+
+
+def test_writer_partitioned_null_partition_value(spark, tmp_path):
+    """NULL partition values: hive's __HIVE_DEFAULT_PARTITION__ dir
+    round-trips to a JSON-null partitionValue, reads back as NULL,
+    and is deletable by an isNull predicate."""
+    root = str(tmp_path / "dpnull")
+    w = DeltaLogWriter(spark, root)
+    df = spark.createDataFrame([(1, "A"), (2, None), (3, "B")], "k long, status string")
+    w.create(df, partition_by=["status"])
+    got = sorted(
+        (r.k, r.status) for r in read_delta(spark, root).collect()
+    )
+    assert got == [(1, "A"), (2, None), (3, "B")]
+    _, _, files = DeltaLog(root).snapshot(None)
+    assert {pv["status"] for _, pv in files} == {"A", "B", None}
+    w.delete_where(F.col("status").isNull())
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == [1, 3]
