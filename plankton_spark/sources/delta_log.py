@@ -105,10 +105,20 @@ class DeltaLog:
 
         cp = self._checkpoint_at_or_before(version)
         if cp is not None:
-            start = cp[0] + 1
-            for a in cp[1]:
-                if "txn" in a:
-                    _take(a["txn"])
+            cp_has_txn_column = any("txn" in a for a in cp[1])
+            pre_cp_json_present = any(
+                v <= cp[0] for v in _commit_versions(self.log_dir)
+            )
+            # A checkpoint written without txn rows (older writers, or
+            # external tools) HIDES earlier txn actions; when the JSON
+            # commits it superseded still exist, scan them instead of
+            # trusting an incomplete checkpoint — otherwise a replayed
+            # micro-batch would be appended twice.
+            if cp_has_txn_column or not pre_cp_json_present:
+                start = cp[0] + 1
+                for a in cp[1]:
+                    if "txn" in a:
+                        _take(a["txn"])
         for v in _commit_versions(self.log_dir):
             if start <= v <= version:
                 with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
@@ -120,9 +130,11 @@ class DeltaLog:
                                 _take(a["txn"])
         return best
 
-    def snapshot(self, version: int | None = None):
-        """Returns (schema: StructType, partition_cols: list[str],
-        files: list[(abs_path, partition_values: dict)])."""
+    def replay(self, version: int | None = None):
+        """Returns (schema, partition_cols, active: {rel_path: add
+        action dict}) — the full live add actions, so callers needing
+        per-file stats (MERGE pruning) read them from the log instead
+        of re-opening every parquet footer."""
         if version is None:
             version = self.latest_version()
         start = 0
@@ -147,17 +159,25 @@ class DeltaLog:
                 schema = T.StructType.fromJson(json.loads(md["schemaString"]))
                 part_cols = list(md.get("partitionColumns") or [])
             elif "add" in a:
-                add = a["add"]
+                add = dict(a["add"])
                 pv = add.get("partitionValues") or {}
                 if isinstance(pv, list):  # pyarrow map → list of (k, v)
                     pv = dict(pv)
-                active[add["path"]] = pv
+                add["partitionValues"] = pv
+                active[add["path"]] = add
             elif "remove" in a:
                 active.pop(a["remove"]["path"], None)
         if schema is None:
             raise ValueError(f"no metaData action found in {self.log_dir}")
+        return schema, part_cols, active
+
+    def snapshot(self, version: int | None = None):
+        """Returns (schema: StructType, partition_cols: list[str],
+        files: list[(abs_path, partition_values: dict)])."""
+        schema, part_cols, active = self.replay(version)
         files = [
-            (os.path.join(self.table_path, rel), pv) for rel, pv in active.items()
+            (os.path.join(self.table_path, rel), add["partitionValues"])
+            for rel, add in active.items()
         ]
         return schema, part_cols, files
 
@@ -195,9 +215,28 @@ def read_delta(
         files = [
             (p, pv)
             for p, pv in files
-            if all(pv.get(c) == str(v) for c, v in partitions.items())
+            if all(
+                pv.get(c) == _pv_filter_str(v) for c, v in partitions.items()
+            )
         ]
     return _assemble_view(spark, schema, part_cols, files)
+
+
+def _pv_filter_str(v) -> str | None:
+    """A caller-supplied partition filter value in Delta's
+    partitionValues string encoding: None matches the JSON-null
+    partition, booleans use hive's lowercase form (str(True) ==
+    'True' would silently match nothing), dates/timestamps their
+    ISO form."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return str(v)
 
 
 def _assemble_view(spark, schema, part_cols, files, with_file: bool = False):
@@ -295,9 +334,14 @@ class DeltaLogReader(DataSourceReader):
                     raw = partition.partition_values.get(field.name)
                     arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
                 else:
-                    arr = batch.column(batch.schema.get_field_index(field.name)).cast(
-                        field.type
-                    )
+                    i = batch.schema.get_field_index(field.name)
+                    if i < 0:
+                        # pre-evolution file: the column doesn't exist
+                        # yet — null-fill. (batch.column(-1) would
+                        # silently return the file's LAST column.)
+                        arr = pa.nulls(n, field.type)
+                    else:
+                        arr = batch.column(i).cast(field.type)
                 cols.append(arr)
             yield pa.RecordBatch.from_arrays(cols, schema=target)
 
@@ -314,20 +358,8 @@ def register(spark) -> None:
 # ---------------------------------------------------------------------
 
 
-def _stat_encode(v):
-    """JSON-safe stat value: timestamps/dates become ISO-8601 strings
-    (lexicographic == chronological, so range compares stay correct —
-    callers comparing against these must encode their bounds too)."""
-    import datetime
-
-    if isinstance(v, bytes):
-        try:
-            return v.decode()
-        except UnicodeDecodeError:
-            return None
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    return v
+from plankton_spark.filestats import file_stats as _file_stats  # noqa: E402
+from plankton_spark.filestats import stat_encode as _stat_encode  # noqa: E402
 
 
 def _pv_typed(raw: str | None, dtype: T.DataType):
@@ -352,42 +384,6 @@ def _pv_typed(raw: str | None, dtype: T.DataType):
     except (ValueError, TypeError):
         return None
     return None
-
-
-def _file_stats(path: str) -> dict:
-    """Delta-spec per-file stats from the parquet footer (no data IO):
-    {"numRecords", "minValues", "maxValues", "nullCount"}."""
-    import pyarrow.parquet as pq
-
-    enc = _stat_encode
-    md = pq.ParquetFile(path).metadata
-    mins: dict = {}
-    maxs: dict = {}
-    nulls: dict = {}
-    for rg in range(md.num_row_groups):
-        for ci in range(md.num_columns):
-            col = md.row_group(rg).column(ci)
-            name = col.path_in_schema
-            try:
-                s = col.statistics
-                if s is None:
-                    continue
-                nulls[name] = nulls.get(name, 0) + (s.null_count or 0)
-                if not s.has_min_max:
-                    continue
-                mn, mx = enc(s.min), enc(s.max)
-            except Exception:
-                continue
-            if mn is None or mx is None:
-                continue
-            mins[name] = mn if name not in mins else min(mins[name], mn)
-            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-    return {
-        "numRecords": md.num_rows,
-        "minValues": mins,
-        "maxValues": maxs,
-        "nullCount": nulls,
-    }
 
 
 class DeltaCommitConflict(Exception):
@@ -455,17 +451,27 @@ class DeltaLogWriter:
 
     # -- data files -----------------------------------------------------
 
-    def live_stats(self) -> dict[str, dict]:
-        """{relative_path: stats-dict} for the current snapshot's files,
-        read from parquet footers (O(files) metadata, no data IO) — so
-        MERGE pruning also works on tables produced by writers that
-        omit add-action stats. The stats this writer DOES put in its
-        add actions serve external Delta readers per the spec."""
-        _, _, files = DeltaLog(self.table_path).snapshot(None)
+    def live_stats(self, active: dict[str, dict] | None = None) -> dict[str, dict]:
+        """{relative_path: stats-dict} for the current snapshot's files.
+        Stats come from each add action's `stats` JSON when present
+        (O(log metadata), no file IO — this writer always records
+        them); the parquet footer is the fallback for tables produced
+        by writers that omit them. `active` lets a caller that already
+        replayed the log (MERGE) avoid a second, racy replay."""
+        if active is None:
+            _, _, active = DeltaLog(self.table_path).replay(None)
         out: dict[str, dict] = {}
-        for p, _pv in files:
-            rel = os.path.relpath(p, self.table_path)
-            out[rel] = _file_stats(p)
+        for rel, add in active.items():
+            raw = add.get("stats")
+            if raw:
+                try:
+                    st = json.loads(raw) if isinstance(raw, str) else raw
+                    if "minValues" in st and "maxValues" in st:
+                        out[rel] = st
+                        continue
+                except (ValueError, TypeError):
+                    pass
+            out[rel] = _file_stats(os.path.join(self.table_path, rel))
         return out
 
     def _stage(self, df, part_cols: list[str] | None = None) -> list[dict]:
@@ -766,15 +772,26 @@ class DeltaLogWriter:
         files this overwrite is replacing, the overwrite aborts rather
         than silently dropping that writer's result; plain concurrent
         APPENDs abort too (their rows would otherwise survive an
-        operation that promised to replace everything)."""
-        adds = self._stage(df, self._partition_cols())
+        operation that promised to replace everything).
+
+        Schema: an overwrite REPLACES the table's schema when df's
+        differs (Spark's overwrite + overwriteSchema semantics): a
+        metaData action with df's schema rides the commit, so reads
+        after the overwrite project the new columns instead of being
+        silently governed by the stale schemaString."""
+        part_cols = self._partition_cols()
+        cur_schema, _, _ = DeltaLog(self.table_path).snapshot(None)
+        head: list[dict] = []
+        if cur_schema.jsonValue() != df.schema.jsonValue():
+            head = [self._metadata_action(df.schema, part_cols)]
+        adds = self._stage(df, part_cols)
         for _ in range(20):
             v = self._next_version()
             _, _, now_files = DeltaLog(self.table_path).snapshot(None)
             rel = sorted(
                 os.path.relpath(p, self.table_path) for p, _ in now_files
             )
-            actions = adds + [
+            actions = head + adds + [
                 {"remove": {"path": r, "dataChange": True}} for r in rel
             ]
             try:
@@ -786,9 +803,11 @@ class DeltaLogWriter:
     def merge(self, source, key: str) -> int:
         """Upsert (MERGE): rows in `source` update same-key rows,
         others insert — planktable.merge parity (table_format.py:410)
-        on the Delta log. Only files whose footer key-range overlaps
-        the source's [min, max] are rewritten: the file-stats pruning
-        that keeps MERGE from rewriting 100 TB to change one
+        on the Delta log. Only files whose key-range overlaps the
+        source's [min, max] are rewritten — ranges come from the add
+        actions' recorded stats (O(log metadata); parquet-footer
+        fallback for externally written files): the file-stats
+        pruning that keeps MERGE from rewriting 100 TB to change one
         partition's worth of keys. The rewrite itself is one anti-join
         (old rows whose key the source replaces drop out) + union, all
         distributed; commit is OCC-validated so a concurrent rewrite
@@ -800,7 +819,11 @@ class DeltaLogWriter:
         if raw_lo is None:  # empty source → MERGE commits a no-op marker
             return self._commit_with_retry([])
         lo, hi = _stat_encode(raw_lo), _stat_encode(raw_hi)
-        schema, part_cols, files = DeltaLog(self.table_path).snapshot(None)
+        # ONE log replay feeds schema, partition values, and stats: a
+        # second replay (the old snapshot-then-live_stats shape) could
+        # see a concurrent commit and KeyError instead of the clean
+        # OCC conflict _validate_then_commit raises.
+        schema, part_cols, active = DeltaLog(self.table_path).replay(None)
         if part_cols:
             missing = [c for c in part_cols if c not in source.columns]
             if missing:
@@ -812,19 +835,24 @@ class DeltaLogWriter:
             # partition-key merge: prune on partitionValues (the data
             # files don't even CONTAIN the key column), typed compare
             overlap_files = []
-            for p, pv in files:
+            for rel, add in active.items():
+                pv = add["partitionValues"]
                 v = _pv_typed(pv.get(key), schema[key].dataType)
                 if v is None or (raw_lo <= v <= raw_hi):
-                    overlap_files.append((p, pv))
+                    overlap_files.append(
+                        (os.path.join(self.table_path, rel), pv)
+                    )
         else:
-            stats = self.live_stats()
-            rel_pv = {os.path.relpath(p, self.table_path): pv for p, pv in files}
+            stats = self.live_stats(active)
             overlap_files = []
             for rel, st in stats.items():
                 mn = st["minValues"].get(key)
                 if mn is None or not (st["maxValues"][key] < lo or mn > hi):
                     overlap_files.append(
-                        (os.path.join(self.table_path, rel), rel_pv[rel])
+                        (
+                            os.path.join(self.table_path, rel),
+                            active[rel]["partitionValues"],
+                        )
                     )
         overlap = sorted(
             os.path.relpath(p, self.table_path) for p, _ in overlap_files
@@ -839,14 +867,25 @@ class DeltaLogWriter:
         ]
         return self._validate_then_commit(actions, overlap)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, grace_seconds: float = 600.0) -> list[str]:
         """Delete data files referenced by NO commit (staging leftovers
         from crashed writers and OCC losers that staged files but then
         aborted in validate). Files referenced by ANY version — live or
-        historic — are kept, so time travel keeps working; this is the
-        retention=infinite end of Delta's VACUUM spectrum, the only
-        safe point without a wall clock in the log."""
+        historic, JSON commit OR checkpoint (a compacted log may hold
+        adds ONLY in the checkpoint parquet) — are kept, so time
+        travel keeps working; this is the retention=infinite end of
+        Delta's VACUUM spectrum.
+
+        `grace_seconds` (default 10 min) skips files younger than the
+        window: a concurrent writer stages data files BEFORE its
+        commit lands, so an unreferenced-but-fresh file may belong to
+        an in-flight transaction — deleting it would corrupt that
+        writer's about-to-succeed commit. Same contract as Delta's
+        retention check, applied at the staging granularity."""
+        import time as _time
+
         referenced: set[str] = set()
+        log = DeltaLog(self.table_path)
         for v in _commit_versions(self.log_dir):
             path = os.path.join(self.log_dir, f"{v:020d}.json")
             with open(path) as fh:
@@ -857,25 +896,44 @@ class DeltaLogWriter:
                     a = json.loads(line)
                     if "add" in a:
                         referenced.add(a["add"]["path"])
+        # checkpoint parquets may be the ONLY record of pre-checkpoint
+        # adds (their JSON commits can be cleaned up)
+        cp = log._checkpoint_at_or_before(log.latest_version())
+        if cp is not None:
+            for a in cp[1]:
+                if "add" in a:
+                    referenced.add(a["add"]["path"])
+        now = _time.time()
         removed = []
-        for e in os.listdir(self.table_path):
-            full = os.path.join(self.table_path, e)
-            if (
-                os.path.isfile(full)
-                and e.endswith(".parquet")
-                and not e.startswith("_")
-                and e not in referenced
-            ):
-                os.remove(full)
-                removed.append(e)
-        # orphaned staging directories from crashed writers
+        for dirpath, dirnames, filenames in os.walk(self.table_path):
+            rel_dir = os.path.relpath(dirpath, self.table_path)
+            if rel_dir.startswith("_"):  # _delta_log, _stage-*
+                dirnames[:] = []
+                continue
+            for e in filenames:
+                full = os.path.join(dirpath, e)
+                rel = os.path.normpath(os.path.join(rel_dir, e)).lstrip("./")
+                if rel_dir == ".":
+                    rel = e
+                if (
+                    e.endswith(".parquet")
+                    and not e.startswith("_")
+                    and rel not in referenced
+                    and now - os.path.getmtime(full) > grace_seconds
+                ):
+                    os.remove(full)
+                    removed.append(rel)
+        # orphaned staging directories from crashed writers (same
+        # grace window: a fresh _stage-* dir is an in-flight write)
         import shutil as _shutil
 
         for e in os.listdir(self.table_path):
-            if e.startswith("_stage-"):
-                _shutil.rmtree(
-                    os.path.join(self.table_path, e), ignore_errors=True
-                )
+            full = os.path.join(self.table_path, e)
+            if (
+                e.startswith("_stage-")
+                and now - os.path.getmtime(full) > grace_seconds
+            ):
+                _shutil.rmtree(full, ignore_errors=True)
                 removed.append(e)
         return sorted(removed)
 

@@ -602,8 +602,51 @@ class IcebergWriter:
             "added_snapshot_id": entries[0]["snapshot_id"] if entries else None,
         }
 
+    def _replacement_schema_md(self, md: dict, df) -> dict:
+        """md updated so df's schema becomes current (overwrite
+        semantics): same-name fields keep their existing field ids,
+        new names get fresh ids continuing last-column-id (spec rule:
+        field ids are never reused for a different column). No-op
+        when the schemas already match by name+type."""
+        table_schema = IcebergTable(self.table_path).schema()
+        if [
+            (f.name, f.dataType) for f in table_schema.fields
+        ] == [(f.name, f.dataType) for f in df.schema.fields]:
+            return md
+        old_schemas = md.get("schemas") or [md["schema"]]
+        cur = next(
+            s
+            for s in old_schemas
+            if s.get("schema-id", 0) == md.get("current-schema-id", 0)
+        )
+        by_name = {f["name"]: f["id"] for f in cur["fields"]}
+        last_id = md.get("last-column-id", len(by_name))
+        fields = []
+        for f in df.schema.fields:
+            if f.name in by_name:
+                fid = by_name[f.name]
+            else:
+                last_id += 1
+                fid = last_id
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": False,
+                    "type": _spark_type_to_iceberg(f.dataType),
+                }
+            )
+        new_schema_id = max(s.get("schema-id", 0) for s in old_schemas) + 1
+        ice = {"type": "struct", "schema-id": new_schema_id, "fields": fields}
+        md = dict(md)
+        md["schema"] = ice
+        md["schemas"] = old_schemas + [ice]
+        md["current-schema-id"] = new_schema_id
+        md["last-column-id"] = last_id
+        return md
+
     def _commit_snapshot(self, staged: list[dict], removed_rel: set[str] | None,
-                         keep_unhit: bool) -> int:
+                         keep_unhit: bool, new_schema_df=None) -> int:
         """Shared OCC commit for delete/overwrite: marks `removed_rel`
         data files DELETED (status 2 — readers skip them, incremental
         consumers see the tombstone), carries unhit manifests forward
@@ -620,6 +663,8 @@ class IcebergWriter:
         for _ in range(20):
             table = IcebergTable(self.table_path)
             md = dict(table.metadata)
+            if new_schema_df is not None:
+                md = self._replacement_schema_md(md, new_schema_df)
             live_rel = {
                 os.path.relpath(p, self.table_path)
                 for p in table.data_files(None)
@@ -723,9 +768,15 @@ class IcebergWriter:
     def overwrite(self, df) -> int:
         """Replace the table's contents: every currently-live file gets
         a DELETED tombstone, the new data one ADDED manifest. Validates
-        (per rebase) that the files it tombstones are still live."""
+        (per rebase) that the files it tombstones are still live.
+        When df's schema differs from the table's, the overwrite
+        REPLACES the schema (a new schema-id becomes current in the
+        same commit) — otherwise reads after the overwrite would be
+        silently governed by the stale schema."""
         staged = self._stage(df, 0)
-        return self._commit_snapshot(staged, None, keep_unhit=False)
+        return self._commit_snapshot(
+            staged, None, keep_unhit=False, new_schema_df=df
+        )
 
     def merge(self, source, key: str) -> int:
         """Upsert (MERGE): same semantics and pruning as
@@ -786,15 +837,21 @@ class IcebergWriter:
         removed_rel = {os.path.relpath(p, self.table_path) for p in files}
         return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, grace_seconds: float = 600.0) -> list[str]:
         """Remove ORPHAN data files — files under data/ that no
         manifest of ANY snapshot references (staging leftovers from
         crashed writers and OCC losers that staged then aborted).
         Files referenced by historic snapshots are kept so time travel
         keeps working (the retention=infinite end of the spec's
-        remove-orphan-files / expire-snapshots pair — the only safe
-        point without a wall clock in the metadata)."""
+        remove-orphan-files / expire-snapshots pair).
+
+        `grace_seconds` (default 10 min) skips files younger than the
+        window: a concurrent writer stages data files BEFORE its
+        metadata commit lands, so an unreferenced-but-fresh file may
+        belong to an in-flight transaction — deleting it would corrupt
+        that writer's about-to-succeed commit."""
         import shutil as _shutil
+        import time as _time
 
         from plankton_spark.sources.avro_ocf import read_ocf_generic as _read
 
@@ -805,19 +862,26 @@ class IcebergWriter:
             for m in _read(ml):
                 for e in _read(table._resolve(m["manifest_path"])):
                     referenced.add(table._resolve(e["data_file"]["file_path"]))
+        now = _time.time()
         removed: list[str] = []
         data_dir = os.path.join(self.table_path, "data")
         if os.path.isdir(data_dir):
             for f in os.listdir(data_dir):
                 full = os.path.join(data_dir, f)
-                if os.path.isfile(full) and full not in referenced:
+                if (
+                    os.path.isfile(full)
+                    and full not in referenced
+                    and now - os.path.getmtime(full) > grace_seconds
+                ):
                     os.remove(full)
                     removed.append(f"data/{f}")
         for e in os.listdir(self.table_path):
-            if e.startswith("_stage-"):
-                _shutil.rmtree(
-                    os.path.join(self.table_path, e), ignore_errors=True
-                )
+            full = os.path.join(self.table_path, e)
+            if (
+                e.startswith("_stage-")
+                and now - os.path.getmtime(full) > grace_seconds
+            ):
+                _shutil.rmtree(full, ignore_errors=True)
                 removed.append(e)
         return sorted(removed)
 

@@ -65,16 +65,7 @@ def _checkpoint_file(path: str, v: int) -> str:
     return os.path.join(_log_dir(path), f"{v:08d}.checkpoint.json")
 
 
-def _stat_value(v):
-    """JSON-safe stat encoding. Timestamps/dates become ISO-8601
-    strings — lexicographic order == chronological order, so `scan`'s
-    range compares keep working after `scan` encodes its bounds the
-    same way."""
-    import datetime
-
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    return v
+from plankton_spark.filestats import stat_encode as _stat_value  # noqa: E402
 
 
 def _collect_stats(file_path: str) -> dict:

@@ -464,12 +464,118 @@ def test_writer_vacuum_removes_only_orphans(spark, tmp_path):
     with open(orphan, "wb") as fh:
         fh.write(b"not really parquet")
     os.makedirs(os.path.join(root, "_stage-crashed"), exist_ok=True)
-    removed = w.vacuum()
+    # default grace window: a FRESH unreferenced file may be an
+    # in-flight writer's staged data — must NOT be deleted
+    assert w.vacuum() == []
+    removed = w.vacuum(grace_seconds=0.0)
     assert "part-deadbeef.parquet" in removed
     assert "_stage-crashed" in removed
     # historic + live files all retained: every version still reads
     assert sorted(r.k for r in read_delta(spark, root, version=0).collect()) == list(range(5))
     assert sorted(r.k for r in read_delta(spark, root).collect()) == [2, 3, 4]
+
+
+def test_vacuum_keeps_checkpoint_only_references(spark, tmp_path):
+    """A compacted log may record adds ONLY in the checkpoint parquet
+    (the superseded JSON commits cleaned up): vacuum must treat those
+    files as referenced, not delete live data."""
+    from plankton_spark.sources.delta_log import write_delta_checkpoint
+
+    root = str(tmp_path / "vac_cp")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 5).select(F.col("id").alias("k")))
+    w.append(spark.range(5, 8).select(F.col("id").alias("k")))
+    write_delta_checkpoint(root, version=1)
+    log = os.path.join(root, "_delta_log")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    assert w.vacuum(grace_seconds=0.0) == []
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == list(range(8))
+
+
+def test_txn_guard_survives_checkpoint_without_txn_rows(spark, tmp_path):
+    """A checkpoint written WITHOUT txn rows (external tools) must not
+    hide earlier txn actions while their JSON commits still exist —
+    otherwise a replayed micro-batch would be appended twice."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = str(tmp_path / "txn_cp")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 2).select(F.col("id").alias("k")))
+    w.append(spark.range(10, 12).select(F.col("id").alias("k")), txn=("job", 7))
+    # author a txn-less checkpoint at the current version (as an
+    # external writer might)
+    log = os.path.join(root, "_delta_log")
+    schema, part_cols, files = DeltaLog(root).snapshot(None)
+    rows = [
+        {
+            "metaData": {
+                "id": "x",
+                "schemaString": schema.json(),
+                "partitionColumns": part_cols,
+            },
+            "add": None,
+        }
+    ]
+    for p, pv in files:
+        # parquet can't encode an EMPTY struct; the replay treats a
+        # missing partitionValues as {}
+        rows.append(
+            {
+                "metaData": None,
+                "add": {"path": os.path.relpath(p, root), "partitionValues": None},
+            }
+        )
+    _pq.write_table(
+        _pa.Table.from_pylist(rows), os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    )
+    # the JSON commit carrying the txn still exists → must be honored
+    assert w.last_txn_version("job") == 7
+    assert (
+        w.append(spark.range(10, 12).select(F.col("id").alias("k")), txn=("job", 7))
+        is None
+    )
+    assert read_delta(spark, root).count() == 4
+
+
+def test_overwrite_replaces_schema(spark, tmp_path):
+    """Overwrite with a different schema must commit a metaData action
+    (overwriteSchema semantics) — otherwise reads stay governed by the
+    stale schemaString and new columns are invisible."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "ovr_schema")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.createDataFrame([Row(k=1)]))
+    w.overwrite(spark.createDataFrame([Row(k=2, tag="x")]))
+    got = read_delta(spark, root).collect()
+    assert [(r.k, r.tag) for r in got] == [(2, "x")]
+    # time travel still projects the OLD schema
+    old = read_delta(spark, root, version=0)
+    assert old.columns == ["k"]
+
+
+def test_evolved_schema_reads_null_fill_via_datasource(spark, tmp_path):
+    """The DSv2 reader must null-fill pre-evolution files — pyarrow's
+    get_field_index returns -1 for a missing column and column(-1) is
+    the file's LAST column, so a naive lookup silently returns wrong
+    data."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "evo_ds")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.createDataFrame([Row(k=1, props="keepme")]))
+    w.append(
+        spark.createDataFrame([Row(k=2, props="p2", tag="t")]), merge_schema=True
+    )
+    register(spark)
+    got = sorted(
+        (r.k, r.props, r.tag)
+        for r in spark.read.format("deltalog").option("path", root).load().collect()
+    )
+    # old file's tag is NULL — NOT its last physical column ('keepme')
+    assert got == [(1, "keepme", None), (2, "p2", "t")]
 
 
 def test_stage_writes_delta_spec_stats(spark, tmp_path):

@@ -582,7 +582,9 @@ def test_writer_vacuum_removes_only_orphans(spark, tmp_path):
     with open(orphan, "wb") as fh:
         fh.write(b"junk")
     _os.makedirs(_os.path.join(root, "_stage-crashed"), exist_ok=True)
-    removed = w.vacuum()
+    # default grace window protects in-flight writers' fresh files
+    assert w.vacuum() == []
+    removed = w.vacuum(grace_seconds=0.0)
     assert "data/snap0-orphan.parquet" in removed
     assert "_stage-crashed" in removed
     # historic snapshot (pre-delete) still reads; live state intact
@@ -615,3 +617,21 @@ def test_merge_timestamp_key_equals_reference(spark, tmp_path):
         for r in base.join(src, "k", "left_anti").unionByName(src).collect()
     }
     assert got == want
+
+
+def test_overwrite_replaces_schema(spark, tmp_path):
+    """Iceberg overwrite with a different schema makes a new schema-id
+    current in the same commit (overwriteSchema semantics); same-name
+    fields keep their ids, new names get fresh ones."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "iw_ovr_schema")
+    w = IcebergWriter(spark, root)
+    w.create(spark.createDataFrame([Row(k=1)]))
+    w.overwrite(spark.createDataFrame([Row(k=2, tag="x")]))
+    got = read_iceberg(spark, root).collect()
+    assert [(r.k, r.tag) for r in got] == [(2, "x")]
+    md = IcebergTable(root).metadata
+    assert md["current-schema-id"] == 1
+    fields = {f["name"]: f["id"] for f in md["schemas"][1]["fields"]}
+    assert fields == {"k": 1, "tag": 2}  # k keeps id 1, tag gets a fresh id
