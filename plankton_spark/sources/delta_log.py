@@ -550,17 +550,24 @@ class DeltaLogWriter:
             }
         }
 
-    def _schema_evolution_action(self, df, merge_schema: bool) -> dict | None:
+    def _schema_evolution_action(
+        self, df, merge_schema: bool, snapshot_info=None
+    ) -> dict | None:
         """Validate df's schema against the table's; returns the
         metaData action recording an ADD-column evolution (or None when
         schemas match). Same rules as planktable._check_schema: adding
         columns needs merge_schema=True (old files read the new column
         as null); dropping or retyping existing columns is never
-        allowed."""
-        try:
-            current, _, _ = DeltaLog(self.table_path).snapshot(None)
-        except FileNotFoundError:
-            return None
+        allowed. `snapshot_info=(schema, part_cols)` lets append pass
+        its already-replayed snapshot (one log replay per append, not
+        three)."""
+        if snapshot_info is not None:
+            current, part_cols = snapshot_info
+        else:
+            try:
+                current, part_cols, _ = DeltaLog(self.table_path).snapshot(None)
+            except FileNotFoundError:
+                return None
         cur = {f.name: f.dataType for f in current.fields}
         inc = {f.name: f.dataType for f in df.schema.fields}
         missing = set(cur) - set(inc)
@@ -584,7 +591,7 @@ class DeltaLogWriter:
                 current.fields
                 + [f for f in df.schema.fields if f.name in added]
             )
-            return self._metadata_action(evolved, self._partition_cols())
+            return self._metadata_action(evolved, part_cols)
         return None
 
     # -- operations -----------------------------------------------------
@@ -620,8 +627,16 @@ class DeltaLogWriter:
         merge_schema=True allows ADD-column evolution (a new metaData
         action rides the same commit; old files read the column as
         null — parquet mergeSchema semantics)."""
-        evolution = self._schema_evolution_action(df, merge_schema)
-        part_cols = self._partition_cols()
+        try:
+            cur_schema, part_cols, _ = DeltaLog(self.table_path).snapshot(None)
+            snapshot_info = (cur_schema, part_cols)
+        except FileNotFoundError:
+            snapshot_info, part_cols = None, []
+        evolution = (
+            self._schema_evolution_action(df, merge_schema, snapshot_info)
+            if snapshot_info is not None
+            else None
+        )
         head: list[dict] = [evolution] if evolution is not None else []
         if txn is None:
             return self._commit_with_retry(head + self._stage(df, part_cols))
