@@ -684,10 +684,13 @@ class DeltaLogWriter:
         hit = [
             r[0] for r in live.where(condition).select("_f").distinct().collect()
         ]
-        hit_rel = sorted(
-            os.path.relpath(p, self.table_path)
-            for p, _ in files
+        hit_files = [
+            (p, pv)
+            for p, pv in files
             if any(h.endswith(os.path.basename(p)) for h in hit)
+        ]
+        hit_rel = sorted(
+            os.path.relpath(p, self.table_path) for p, _ in hit_files
         )
         actions: list[dict] = []
         if hit_rel:
@@ -695,11 +698,12 @@ class DeltaLogWriter:
             # TRUE are deleted; rows where it evaluates to NULL are
             # RETAINED. A bare ~condition would filter NULL rows out of
             # the rewrite too (NOT NULL = NULL) — silent data loss.
-            survivors = (
-                live.where(F.col("_f").isin(hit))
-                .where(~F.coalesce(condition, F.lit(False)))
-                .drop("_f")
-            )
+            # Survivors assemble over the HIT FILES ONLY — filtering
+            # the full view on input_file_name cannot prune at the
+            # scan, so it would re-read the whole table.
+            survivors = _assemble_view(
+                self.spark, schema, part_cols, hit_files
+            ).where(~F.coalesce(condition, F.lit(False)))
             if not survivors.isEmpty():
                 actions += self._stage(survivors, part_cols)
             actions += [
@@ -862,7 +866,10 @@ class DeltaLogWriter:
             overlap_files = []
             for rel, st in stats.items():
                 mn = st["minValues"].get(key)
-                if mn is None or not (st["maxValues"][key] < lo or mn > hi):
+                mx = st["maxValues"].get(key)
+                # either bound missing (spec allows omitting untrusted
+                # bounds, e.g. truncated long strings) → must rewrite
+                if mn is None or mx is None or not (mx < lo or mn > hi):
                     overlap_files.append(
                         (
                             os.path.join(self.table_path, rel),
@@ -912,12 +919,18 @@ class DeltaLogWriter:
                     if "add" in a:
                         referenced.add(a["add"]["path"])
         # checkpoint parquets may be the ONLY record of pre-checkpoint
-        # adds (their JSON commits can be cleaned up)
-        cp = log._checkpoint_at_or_before(log.latest_version())
-        if cp is not None:
-            for a in cp[1]:
-                if "add" in a:
-                    referenced.add(a["add"]["path"])
+        # adds (their JSON commits can be cleaned up) — and time travel
+        # can replay from ANY retained checkpoint, not just the newest,
+        # so union the adds of every one
+        import pyarrow.parquet as _pq
+
+        for f in os.listdir(self.log_dir):
+            if not f.endswith(".checkpoint.parquet"):
+                continue
+            for row in _pq.read_table(os.path.join(self.log_dir, f)).to_pylist():
+                add = row.get("add")
+                if add is not None:
+                    referenced.add(add["path"])
         now = _time.time()
         removed = []
         for dirpath, dirnames, filenames in os.walk(self.table_path):
@@ -927,9 +940,7 @@ class DeltaLogWriter:
                 continue
             for e in filenames:
                 full = os.path.join(dirpath, e)
-                rel = os.path.normpath(os.path.join(rel_dir, e)).lstrip("./")
-                if rel_dir == ".":
-                    rel = e
+                rel = e if rel_dir == "." else os.path.join(rel_dir, e)
                 if (
                     e.endswith(".parquet")
                     and not e.startswith("_")

@@ -606,19 +606,41 @@ class IcebergWriter:
         """md updated so df's schema becomes current (overwrite
         semantics): same-name fields keep their existing field ids,
         new names get fresh ids continuing last-column-id (spec rule:
-        field ids are never reused for a different column). No-op
-        when the schemas already match by name+type."""
-        table_schema = IcebergTable(self.table_path).schema()
-        if [
-            (f.name, f.dataType) for f in table_schema.fields
-        ] == [(f.name, f.dataType) for f in df.schema.fields]:
-            return md
+        field ids are never reused for a different column). RETYPING
+        an existing column is rejected: the spec allows only narrow
+        type promotions on an id, and read_iceberg resolves historic
+        snapshots with the CURRENT schema (data files carry all
+        columns), so a retype would break time travel on old parquet.
+        No-op when the schemas already match by name+type. Works from
+        `md` directly — no second metadata read inside the caller's
+        OCC retry loop."""
         old_schemas = md.get("schemas") or [md["schema"]]
         cur = next(
             s
             for s in old_schemas
             if s.get("schema-id", 0) == md.get("current-schema-id", 0)
         )
+        cur_types = {
+            f["name"]: f["type"] for f in cur["fields"]
+        }
+        new_types = {
+            f.name: _spark_type_to_iceberg(f.dataType) for f in df.schema.fields
+        }
+        if [(f["name"], f["type"]) for f in cur["fields"]] == [
+            (f.name, new_types[f.name]) for f in df.schema.fields
+        ]:
+            return md
+        retyped = sorted(
+            n
+            for n in set(cur_types) & set(new_types)
+            if cur_types[n] != new_types[n]
+        )
+        if retyped:
+            raise ValueError(
+                f"{self.table_path}: overwrite cannot retype columns "
+                f"{retyped} (historic snapshots read with the current "
+                "schema; retyping would break time travel)"
+            )
         by_name = {f["name"]: f["id"] for f in cur["fields"]}
         last_id = md.get("last-column-id", len(by_name))
         fields = []
@@ -633,7 +655,7 @@ class IcebergWriter:
                     "id": fid,
                     "name": f.name,
                     "required": False,
-                    "type": _spark_type_to_iceberg(f.dataType),
+                    "type": new_types[f.name],
                 }
             )
         new_schema_id = max(s.get("schema-id", 0) for s in old_schemas) + 1
@@ -789,7 +811,8 @@ class IcebergWriter:
         IcebergConcurrentDelete rather than being silently undone."""
         from pyspark.sql import functions as F
 
-        from plankton_spark.sources.delta_log import _file_stats, _stat_encode
+        from plankton_spark.filestats import file_stats as _file_stats
+        from plankton_spark.filestats import stat_encode as _stat_encode
 
         lo, hi = source.agg(F.min(key), F.max(key)).first()
         if lo is None:

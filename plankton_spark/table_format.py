@@ -82,11 +82,10 @@ def _collect_stats(file_path: str) -> dict:
                 mn, mx = _stat_value(s.min), _stat_value(s.max)
             except Exception:
                 continue
-            if isinstance(mn, bytes):
-                try:
-                    mn, mx = mn.decode(), mx.decode()
-                except UnicodeDecodeError:
-                    continue
+            if mn is None or mx is None:
+                # stat_encode returns None for undecodable bytes
+                # (binary/media columns) — unusable as a range stat
+                continue
             name = col.path_in_schema
             if name in stats:
                 stats[name]["min"] = min(stats[name]["min"], mn)

@@ -635,3 +635,18 @@ def test_overwrite_replaces_schema(spark, tmp_path):
     assert md["current-schema-id"] == 1
     fields = {f["name"]: f["id"] for f in md["schemas"][1]["fields"]}
     assert fields == {"k": 1, "tag": 2}  # k keeps id 1, tag gets a fresh id
+
+
+def test_overwrite_rejects_retype(spark, tmp_path):
+    """Retyping a column via overwrite is rejected: historic snapshots
+    read with the CURRENT schema (data files carry all columns), so a
+    retype would break time travel on pre-overwrite parquet."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path / "iw_retype")
+    w = IcebergWriter(spark, root)
+    w.create(spark.createDataFrame([Row(k=1)]))
+    with pytest.raises(ValueError, match="retype"):
+        w.overwrite(spark.createDataFrame([Row(k="now-a-string")]))
+    # table unchanged
+    assert [(r.k,) for r in read_iceberg(spark, root).collect()] == [(1,)]
