@@ -1166,3 +1166,18 @@ def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
     return out
+
+
+def read_delta_changes(spark, table_path: str, v_from: int, v_to: int):
+    """Change data feed between two versions via multiset snapshot
+    diff (exceptAll both ways): rows present only in v_to are
+    `insert`, rows present only in v_from are `delete`. Independent of
+    WHICH files the intervening commits rewrote — byte-identical
+    rewritten rows contribute nothing — so compaction/Z-order commits
+    produce an empty feed. Same semantics as planktable.diff
+    (table_format.py) and the q_table_cdc oracle."""
+    newer = read_delta(spark, table_path, version=v_to)
+    older = read_delta(spark, table_path, version=v_from)
+    ins = newer.exceptAll(older).withColumn("_change_type", F.lit("insert"))
+    dels = older.exceptAll(newer).withColumn("_change_type", F.lit("delete"))
+    return ins.unionByName(dels)

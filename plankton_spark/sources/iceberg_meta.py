@@ -978,3 +978,16 @@ class IcebergStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+def read_iceberg_changes(spark, table_path: str, sid_from: int, sid_to: int):
+    """Change data feed between two snapshots via multiset snapshot
+    diff (exceptAll both ways) — see read_delta_changes; compaction
+    snapshots produce an empty feed."""
+    from pyspark.sql import functions as F
+
+    newer = read_iceberg(spark, table_path, snapshot_id=sid_to)
+    older = read_iceberg(spark, table_path, snapshot_id=sid_from)
+    ins = newer.exceptAll(older).withColumn("_change_type", F.lit("insert"))
+    dels = older.exceptAll(newer).withColumn("_change_type", F.lit("delete"))
+    return ins.unionByName(dels)

@@ -848,3 +848,19 @@ def test_writer_partitioned_null_partition_value(spark, tmp_path):
     assert {pv["status"] for _, pv in files} == {"A", "B", None}
     w.delete_where(F.col("status").isNull())
     assert sorted(r.k for r in read_delta(spark, root).collect()) == [1, 3]
+
+
+def test_read_delta_changes_feed(spark, tmp_path):
+    from plankton_spark.sources.delta_log import read_delta_changes
+
+    root = str(tmp_path / "cdf")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 5).select(F.col("id").alias("k")))
+    v1 = w.append(spark.range(5, 8).select(F.col("id").alias("k")))
+    v2 = w.delete_where(F.col("k") < 2)
+    ch = read_delta_changes(spark, root, 0, v2).collect()
+    got = sorted((r.k, r._change_type) for r in ch)
+    assert got == [(0, "delete"), (1, "delete"), (5, "insert"), (6, "insert"), (7, "insert")]
+    # a layout-only commit produces an EMPTY feed
+    v3 = w.optimize(num_files=1)
+    assert read_delta_changes(spark, root, v2, v3).count() == 0

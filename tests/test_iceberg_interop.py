@@ -650,3 +650,20 @@ def test_overwrite_rejects_retype(spark, tmp_path):
         w.overwrite(spark.createDataFrame([Row(k="now-a-string")]))
     # table unchanged
     assert [(r.k,) for r in read_iceberg(spark, root).collect()] == [(1,)]
+
+
+def test_read_iceberg_changes_feed(spark, tmp_path):
+    from plankton_spark.sources.iceberg_meta import read_iceberg_changes
+
+    root = str(tmp_path / "icdf")
+    w = IcebergWriter(spark, root)
+    s1 = w.create(spark.range(0, 5).select(F.col("id").alias("k")))
+    s2 = w.append(spark.range(5, 8).select(F.col("id").alias("k")))
+    s3 = w.delete_where(F.col("k") < 2)
+    got = sorted(
+        (r.k, r._change_type)
+        for r in read_iceberg_changes(spark, root, s1, s3).collect()
+    )
+    assert got == [(0, "delete"), (1, "delete"), (5, "insert"), (6, "insert"), (7, "insert")]
+    s4 = w.optimize(num_files=1)
+    assert read_iceberg_changes(spark, root, s3, s4).count() == 0
