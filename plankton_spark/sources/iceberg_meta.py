@@ -135,12 +135,30 @@ class IcebergTable:
                 return os.path.join(self.table_path, marker.strip("/"), rel)
         return os.path.join(self.table_path, path.lstrip("/"))
 
-    def data_files(self, snapshot_id: int | None = None) -> list[str]:
-        """Live data files at a snapshot: every non-DELETED manifest
-        entry across the snapshot's manifest list."""
+    def partition_fields(self) -> list[str]:
+        """Identity-transform partition source column names (this
+        engine writes only identity specs; non-identity transforms in
+        external tables raise rather than being silently ignored)."""
+        spec = self.metadata.get("partition-spec") or []
+        bad = [f for f in spec if f.get("transform", "identity") != "identity"]
+        if bad:
+            raise ValueError(
+                f"{self.table_path}: unsupported partition transforms "
+                f"{[f['transform'] for f in bad]}"
+            )
+        return [f["name"] for f in spec]
+
+    def data_entries(
+        self, snapshot_id: int | None = None
+    ) -> list[tuple[str, dict]]:
+        """Live (abs_path, partition values) at a snapshot: every
+        non-DELETED manifest entry across the snapshot's manifest
+        list. Partition values are typed (from the Avro partition
+        record)."""
         snap = self._snapshot(snapshot_id)
         manifest_list = self._resolve(snap["manifest-list"])
-        files: list[str] = []
+        out: list[tuple[str, dict]] = []
+        seen: set[str] = set()
         for m in read_ocf_generic(manifest_list):
             manifest = self._resolve(m["manifest_path"])
             for entry in read_ocf_generic(manifest):
@@ -149,19 +167,62 @@ class IcebergTable:
                 df = entry["data_file"]
                 if df.get("content", 0) != 0:  # delete files not supported
                     raise ValueError("iceberg delete files (v2 row deletes) unsupported")
-                files.append(self._resolve(df["file_path"]))
-        return sorted(set(files))
+                path = self._resolve(df["file_path"])
+                if path not in seen:
+                    seen.add(path)
+                    out.append((path, df.get("partition") or {}))
+        return sorted(out)
+
+    def data_files(self, snapshot_id: int | None = None) -> list[str]:
+        """Live data files at a snapshot (paths only)."""
+        return [p for p, _ in self.data_entries(snapshot_id)]
 
 
 def read_iceberg(spark, table_path: str, snapshot_id: int | None = None):
     """Native-parquet read of an Iceberg table at a snapshot (default:
-    current). One multi-path vectorized scan over the live file set."""
+    current). Spec-less tables are one multi-path vectorized scan;
+    identity-partitioned tables assemble per partition tuple with the
+    partition values re-attached from the manifest metadata (the
+    spec's column-projection rule — this engine's partitioned files
+    omit the source columns, like Delta's layout)."""
     t = IcebergTable(table_path)
     schema = t.schema()
-    files = t.data_files(snapshot_id)
-    if not files:
+    part_cols = t.partition_fields()
+    entries = t.data_entries(snapshot_id)
+    if not entries:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    if not part_cols:
+        return spark.read.schema(schema).parquet(*[p for p, _ in entries])
+    return _assemble_iceberg(spark, schema, part_cols, entries)
+
+
+def _assemble_iceberg(spark, schema, part_cols, entries, with_file: bool = False):
+    """Union of per-partition-tuple scans with partition columns
+    re-attached as typed literals (manifest partition records carry
+    typed values, unlike Delta's string partitionValues). with_file
+    adds `_f` naming each row's source file."""
+    from pyspark.sql import functions as F
+
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    out_cols = [f.name for f in schema.fields] + (["_f"] if with_file else [])
+    by_pv: dict[tuple, list[str]] = {}
+    for path, pv in entries:
+        key = tuple(pv.get(c) for c in part_cols)
+        by_pv.setdefault(key, []).append(path)
+    pieces = []
+    for key, paths in sorted(by_pv.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*paths)
+        if with_file:
+            df = df.withColumn("_f", F.input_file_name())
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(c, F.lit(v).cast(schema[c].dataType))
+        pieces.append(df.select(out_cols))
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    return out
 
 
 class IcebergDataSource(DataSource):
@@ -185,7 +246,7 @@ class IcebergDataSource(DataSource):
     def reader(self, schema) -> "IcebergReader":
         path, sid = self._resolved()
         t = IcebergTable(path)
-        return IcebergReader(t.schema(), t.data_files(sid))
+        return IcebergReader(t.schema(), t.partition_fields(), t.data_entries(sid))
 
     def streamReader(self, schema) -> "IcebergStreamReader":
         path, _ = self._resolved()
@@ -196,44 +257,65 @@ class IcebergDataSource(DataSource):
 
 
 class _IceFilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, pv: dict | None = None):
         self.path = path
+        self.pv = pv or {}
 
 
 class IcebergReader(DataSourceReader):
     """One InputPartition per data file, Arrow batches out."""
 
-    def __init__(self, schema: T.StructType, files: list[str]):
+    def __init__(self, schema: T.StructType, part_cols: list[str], entries):
         self._schema = schema
-        self._files = files
+        self._part_cols = part_cols
+        self._entries = entries
 
     def partitions(self):
-        return [_IceFilePartition(p) for p in self._files]
+        return [_IceFilePartition(p, pv) for p, pv in self._entries]
 
     def read(self, partition: _IceFilePartition):
-        yield from _iceberg_batches(partition.path, self._schema)
+        yield from _iceberg_batches(
+            partition.path, self._schema, self._part_cols, partition.pv
+        )
 
 
-def _iceberg_batches(path: str, schema: T.StructType):
+def _iceberg_batches(
+    path: str,
+    schema: T.StructType,
+    part_cols: list[str] | None = None,
+    pv: dict | None = None,
+):
     """One data file as Arrow batches aligned to the table schema:
-    columns a pre-evolution file lacks are null-filled (the spec's
-    read-time projection by field id, here by name since this writer
-    never renames)."""
+    identity-partition source columns come from the manifest partition
+    record (the spec's column projection — this writer's partitioned
+    files omit them); other columns a pre-evolution file lacks are
+    null-filled (read-time projection by name since this writer never
+    renames)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    part_cols = part_cols or []
+    pv = pv or {}
     target = to_arrow_schema(schema)
     pf = pq.ParquetFile(path)
     for batch in pf.iter_batches():
+        n = batch.num_rows
         cols = []
         for f in target:
             i = batch.schema.get_field_index(f.name)
-            if i < 0:
-                cols.append(pa.nulls(batch.num_rows, f.type))
-            else:
+            if i >= 0:
                 cols.append(batch.column(i).cast(f.type))
+            elif f.name in part_cols:
+                v = pv.get(f.name)
+                cols.append(
+                    pa.nulls(n, f.type)
+                    if v is None
+                    else pa.array([v] * n).cast(f.type)
+                )
+            else:
+                cols.append(pa.nulls(n, f.type))
         yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
@@ -287,6 +369,71 @@ _MANIFEST_FILE_SCHEMA = {
     ],
 }
 
+# Spark partition-column types representable as Avro primitives in the
+# manifest partition record. Date/timestamp/binary partition keys are
+# rejected at write time (their spec encodings — days-since-epoch ints,
+# micros longs — aren't implemented; an honest error beats a silently
+# wrong manifest).
+_PART_AVRO = {
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BooleanType: "boolean",
+}
+
+
+def _typed_pv(raw: str, dtype: T.DataType):
+    """A hive-directory partition string as the typed value the Avro
+    partition record stores."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw.lower() == "true"
+    return raw
+
+
+def _entry_schema(part_fields: list[tuple[str, str]]) -> dict:
+    """Manifest-entry Avro schema with a typed partition record —
+    `part_fields` is [(name, avro_primitive)]; [] gives the spec-less
+    shape (the empty r102 record)."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {"name": n, "type": ["null", t]}
+                                    for n, t in part_fields
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+
 
 def _spark_type_to_iceberg(dt: T.DataType) -> str:
     m = {
@@ -331,26 +478,56 @@ class IcebergWriter:
         self.table_path = table_path
         self.meta_dir = os.path.join(table_path, "metadata")
 
-    def _stage(self, df, snapshot_id: int) -> list[dict]:
+    def _stage(
+        self, df, snapshot_id: int, part_cols: list[str] | None = None
+    ) -> list[dict]:
+        """Write df as parquet under data/; return data_file dicts.
+        With `part_cols`, files are laid out hive-style (col=value
+        dirs under data/) with the partition columns DROPPED from file
+        content and their typed values recorded in each entry's
+        partition record — valid per the spec's column-projection rule
+        (a missing identity-partition source field reads from the
+        partition metadata)."""
         import glob as _glob
         import shutil as _shutil
+        import urllib.parse as _url
         import uuid as _uuid
 
-        from plankton_spark.sources.avro_ocf import write_ocf_generic  # noqa: F401
-
         tmp = os.path.join(self.table_path, f"_stage-{_uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        if part_cols:
+            dtypes = {f.name: f.dataType for f in df.schema.fields}
+            df.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
+        else:
+            df.write.mode("overwrite").parquet(tmp)
         os.makedirs(os.path.join(self.table_path, "data"), exist_ok=True)
         out = []
-        for part in sorted(_glob.glob(os.path.join(tmp, "part-*.parquet"))):
-            rel = f"data/snap{snapshot_id}-{_uuid.uuid4().hex}.parquet"
+        for part in sorted(
+            _glob.glob(os.path.join(tmp, "**", "part-*.parquet"), recursive=True)
+        ):
+            subdir = os.path.relpath(os.path.dirname(part), tmp)
+            pv: dict = {}
+            reldir = "data"
+            if subdir != ".":
+                for piece in subdir.split(os.sep):
+                    k, _, raw = piece.partition("=")
+                    v = _url.unquote(raw)
+                    pv[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else _typed_pv(v, dtypes[k])
+                    )
+                reldir = os.path.join("data", subdir)
+                os.makedirs(os.path.join(self.table_path, reldir), exist_ok=True)
+            rel = os.path.join(
+                reldir, f"snap{snapshot_id}-{_uuid.uuid4().hex}.parquet"
+            )
             os.replace(part, os.path.join(self.table_path, rel))
             out.append(
                 {
                     "content": 0,
                     "file_path": rel,
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": pv,
                     "record_count": -1,
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(self.table_path, rel)
@@ -360,14 +537,35 @@ class IcebergWriter:
         _shutil.rmtree(tmp, ignore_errors=True)
         return out
 
-    def _write_manifest(self, fname: str, data_files: list[dict], snap: int) -> dict:
+    def _part_avro_fields(
+        self, schema: T.StructType, part_cols: list[str]
+    ) -> list[tuple[str, str]]:
+        out = []
+        for c in part_cols:
+            t = type(schema[c].dataType)
+            if t not in _PART_AVRO:
+                raise ValueError(
+                    f"{self.table_path}: unsupported partition column type "
+                    f"{schema[c].dataType.simpleString()} for {c!r} "
+                    f"(supported: int/long/float/double/string/boolean)"
+                )
+            out.append((c, _PART_AVRO[t]))
+        return out
+
+    def _write_manifest(
+        self,
+        fname: str,
+        data_files: list[dict],
+        snap: int,
+        entry_schema: dict | None = None,
+    ) -> dict:
         from plankton_spark.sources.avro_ocf import write_ocf_generic
 
         path = os.path.join(self.meta_dir, fname)
         entries = [
             {"status": 1, "snapshot_id": snap, "data_file": df} for df in data_files
         ]
-        write_ocf_generic(path, _MANIFEST_ENTRY_SCHEMA, entries)
+        write_ocf_generic(path, entry_schema or _MANIFEST_ENTRY_SCHEMA, entries)
         return {
             "manifest_path": f"metadata/{fname}",
             "manifest_length": os.path.getsize(path),
@@ -422,15 +620,32 @@ class IcebergWriter:
 
         return f"{stem}-{_uuid.uuid4().hex[:12]}.avro"
 
-    def create(self, df) -> int:
+    def create(self, df, partition_by: list[str] | None = None) -> int:
+        """Create the table; `partition_by` writes an identity
+        partition spec — data lands in hive-style dirs under data/
+        with the source columns omitted from file content (spec
+        column-projection) and typed values in each manifest entry's
+        partition record, so readers prune whole partitions from
+        metadata alone."""
         if os.path.isdir(self.meta_dir) and any(
             f.endswith(".metadata.json") for f in os.listdir(self.meta_dir)
         ):
             raise FileExistsError(f"{self.table_path}: table already exists")
+        part_cols = list(partition_by or [])
+        missing = [c for c in part_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns not in df: {missing}")
+        es = (
+            _entry_schema(self._part_avro_fields(df.schema, part_cols))
+            if part_cols
+            else None
+        )
         os.makedirs(self.meta_dir, exist_ok=True)
         snap_id = 1
-        files = self._stage(df, snap_id)
-        m = self._write_manifest(self._unique(f"m{snap_id}"), files, snap_id)
+        files = self._stage(df, snap_id, part_cols)
+        m = self._write_manifest(
+            self._unique(f"m{snap_id}"), files, snap_id, entry_schema=es
+        )
         from plankton_spark.sources.avro_ocf import write_ocf_generic
 
         ml_name = self._unique(f"snap-{snap_id}")
@@ -449,6 +664,16 @@ class IcebergWriter:
                 for i, f in enumerate(df.schema.fields)
             ],
         }
+        col_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+        spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": col_ids[c],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(part_cols)
+        ]
         metadata = {
             "format-version": 1,
             "table-uuid": f"plankton-iceberg-{os.path.basename(self.table_path)}",
@@ -458,8 +683,8 @@ class IcebergWriter:
             "schema": ice_schema,
             "schemas": [ice_schema],
             "current-schema-id": 0,
-            "partition-spec": [],
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-spec": spec_fields,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "default-spec-id": 0,
             "current-snapshot-id": snap_id,
             "snapshots": [
@@ -472,6 +697,15 @@ class IcebergWriter:
         }
         self._commit_metadata(1, metadata)
         return snap_id
+
+    def _table_entry_schema(self, table: "IcebergTable"):
+        """(part_cols, entry Avro schema) for the table's spec."""
+        part_cols = table.partition_fields()
+        if not part_cols:
+            return [], None
+        return part_cols, _entry_schema(
+            self._part_avro_fields(table.schema(), part_cols)
+        )
 
     def _evolved_metadata(self, md: dict, table: "IcebergTable", df, merge_schema: bool) -> dict:
         """Validate df's schema against the table's and, for ADD-column
@@ -541,11 +775,12 @@ class IcebergWriter:
             md = self._evolved_metadata(
                 dict(table.metadata), table, df, merge_schema
             )
+            part_cols, es = self._table_entry_schema(table)
             prev = table._snapshot(None)
             snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
-            files = self._stage(df, snap_id)
+            files = self._stage(df, snap_id, part_cols)
             m_new = self._write_manifest(
-                self._unique(f"m{snap_id}"), files, snap_id
+                self._unique(f"m{snap_id}"), files, snap_id, entry_schema=es
             )
             prev_ml = table._resolve(prev["manifest-list"])
             manifests = list(read_ocf_generic(prev_ml)) + [m_new]
@@ -590,11 +825,13 @@ class IcebergWriter:
             out.append((m, entries))
         return out
 
-    def _write_entries(self, fname: str, entries: list[dict]) -> dict:
+    def _write_entries(
+        self, fname: str, entries: list[dict], entry_schema: dict | None = None
+    ) -> dict:
         from plankton_spark.sources.avro_ocf import write_ocf_generic
 
         path = os.path.join(self.meta_dir, fname)
-        write_ocf_generic(path, _MANIFEST_ENTRY_SCHEMA, entries)
+        write_ocf_generic(path, entry_schema or _MANIFEST_ENTRY_SCHEMA, entries)
         return {
             "manifest_path": f"metadata/{fname}",
             "manifest_length": os.path.getsize(path),
@@ -687,6 +924,7 @@ class IcebergWriter:
             md = dict(table.metadata)
             if new_schema_df is not None:
                 md = self._replacement_schema_md(md, new_schema_df)
+            part_cols_es, es = self._table_entry_schema(table)  # noqa: F841
             live_rel = {
                 os.path.relpath(p, self.table_path)
                 for p in table.data_files(None)
@@ -724,12 +962,14 @@ class IcebergWriter:
                         }
                     )
                 manifests.append(
-                    self._write_entries(self._unique(f"m{snap_id}-rw"), rewritten)
+                    self._write_entries(
+                        self._unique(f"m{snap_id}-rw"), rewritten, entry_schema=es
+                    )
                 )
             if staged:
                 manifests.append(
                     self._write_manifest(
-                        self._unique(f"m{snap_id}"), staged, snap_id
+                        self._unique(f"m{snap_id}"), staged, snap_id, entry_schema=es
                     )
                 )
             ml_name = self._unique(f"snap-{snap_id}")
@@ -761,30 +1001,35 @@ class IcebergWriter:
 
         table = IcebergTable(self.table_path)
         schema = table.schema()
-        files = table.data_files(None)
-        if not files:
+        part_cols = table.partition_fields()
+        entries = table.data_entries(None)
+        if not entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
-        live = self.spark.read.schema(schema).parquet(*files)
+        # the assembled view re-attaches partition columns (absent from
+        # the files) — evaluating the predicate on raw files would see
+        # NULL for them
+        live = _assemble_iceberg(
+            self.spark, schema, part_cols, entries, with_file=True
+        )
         hit = [
-            r[0]
-            for r in live.withColumn("_f", F.input_file_name())
-            .where(condition)
-            .select("_f")
-            .distinct()
-            .collect()
+            r[0] for r in live.where(condition).select("_f").distinct().collect()
         ]
-        hit_abs = sorted(
-            p for p in files if any(h.endswith(os.path.basename(p)) for h in hit)
-        )
-        if not hit_abs:
+        hit_entries = [
+            (p, pv)
+            for p, pv in entries
+            if any(h.endswith(os.path.basename(p)) for h in hit)
+        ]
+        if not hit_entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
-        removed_rel = {os.path.relpath(p, self.table_path) for p in hit_abs}
-        survivors = (
-            self.spark.read.schema(schema)
-            .parquet(*hit_abs)
-            .where(~F.coalesce(condition, F.lit(False)))
+        removed_rel = {
+            os.path.relpath(p, self.table_path) for p, _ in hit_entries
+        }
+        survivors = _assemble_iceberg(
+            self.spark, schema, part_cols, hit_entries
+        ).where(~F.coalesce(condition, F.lit(False)))
+        staged = (
+            [] if survivors.isEmpty() else self._stage(survivors, 0, part_cols)
         )
-        staged = [] if survivors.isEmpty() else self._stage(survivors, 0)
         return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
 
     def overwrite(self, df) -> int:
@@ -795,7 +1040,8 @@ class IcebergWriter:
         REPLACES the schema (a new schema-id becomes current in the
         same commit) — otherwise reads after the overwrite would be
         silently governed by the stale schema."""
-        staged = self._stage(df, 0)
+        part_cols = IcebergTable(self.table_path).partition_fields()
+        staged = self._stage(df, 0, part_cols)
         return self._commit_snapshot(
             staged, None, keep_unhit=False, new_schema_df=df
         )
@@ -814,26 +1060,41 @@ class IcebergWriter:
         from plankton_spark.filestats import file_stats as _file_stats
         from plankton_spark.filestats import stat_encode as _stat_encode
 
-        lo, hi = source.agg(F.min(key), F.max(key)).first()
-        if lo is None:
+        raw_lo, raw_hi = source.agg(F.min(key), F.max(key)).first()
+        if raw_lo is None:
             return self._commit_snapshot([], set(), keep_unhit=True)
-        lo, hi = _stat_encode(lo), _stat_encode(hi)
+        lo, hi = _stat_encode(raw_lo), _stat_encode(raw_hi)
         table = IcebergTable(self.table_path)
         schema = table.schema()
-        overlap_abs = []
-        for p in table.data_files(None):
+        part_cols = table.partition_fields()
+        if part_cols:
+            missing = [c for c in part_cols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"{self.table_path}: merge source missing partition "
+                    f"columns {missing}"
+                )
+        entries = table.data_entries(None)
+        overlap_entries = []
+        for p, pv in entries:
+            if key in part_cols:
+                # partition-key merge: typed manifest values, no file IO
+                v = pv.get(key)
+                if v is None or (raw_lo <= v <= raw_hi):
+                    overlap_entries.append((p, pv))
+                continue
             st = _file_stats(p)
             mn, mx = st["minValues"].get(key), st["maxValues"].get(key)
-            if mn is None or not (mx < lo or mn > hi):
-                overlap_abs.append(p)
-        if overlap_abs:
-            hot = self.spark.read.schema(schema).parquet(*sorted(overlap_abs))
+            if mn is None or mx is None or not (mx < lo or mn > hi):
+                overlap_entries.append((p, pv))
+        if overlap_entries:
+            hot = _assemble_iceberg(self.spark, schema, part_cols, overlap_entries)
             merged = hot.join(source, key, "left_anti").unionByName(source)
         else:
             merged = source
-        staged = self._stage(merged, 0)
+        staged = self._stage(merged, 0, part_cols)
         removed_rel = {
-            os.path.relpath(p, self.table_path) for p in overlap_abs
+            os.path.relpath(p, self.table_path) for p, _ in overlap_entries
         }
         return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
 
@@ -848,16 +1109,21 @@ class IcebergWriter:
         racing append carries forward and a racing rewrite of a read
         file aborts the compaction."""
         table = IcebergTable(self.table_path)
-        files = table.data_files(None)
-        if not files:
+        part_cols = table.partition_fields()
+        entries = table.data_entries(None)
+        if not entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
-        df = (
-            self.spark.read.schema(table.schema())
-            .parquet(*files)
-            .coalesce(num_files)
-        )
-        staged = self._stage(df, 0)
-        removed_rel = {os.path.relpath(p, self.table_path) for p in files}
+        if part_cols:
+            df = _assemble_iceberg(self.spark, table.schema(), part_cols, entries)
+        else:
+            df = self.spark.read.schema(table.schema()).parquet(
+                *[p for p, _ in entries]
+            )
+        df = df.coalesce(num_files)
+        staged = self._stage(df, 0, part_cols)
+        removed_rel = {
+            os.path.relpath(p, self.table_path) for p, _ in entries
+        }
         return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
 
     def vacuum(self, grace_seconds: float = 600.0) -> list[str]:
@@ -929,7 +1195,9 @@ class IcebergStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, ignore_changes: bool):
         self.path = path
         self.ignore_changes = ignore_changes
-        self._schema = IcebergTable(path).schema()
+        t = IcebergTable(path)
+        self._schema = t.schema()
+        self._part_cols = t.partition_fields()
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -937,14 +1205,14 @@ class IcebergStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         return {"index": len(IcebergTable(self.path).snapshots())}
 
-    def _added(self, i_from: int, i_to: int) -> list[str]:
+    def _added(self, i_from: int, i_to: int) -> list[tuple[str, dict]]:
         table = IcebergTable(self.path)
         snaps = table.snapshots()
-        out: list[str] = []
+        out: list[tuple[str, dict]] = []
         for snap in snaps[i_from:i_to]:
             sid = snap["snapshot-id"]
             ml = table._resolve(snap["manifest-list"])
-            adds: list[str] = []
+            adds: list[tuple[str, dict]] = []
             has_delete = False
             for m in read_ocf_generic(ml):
                 # manifests carried forward verbatim contain no entries
@@ -955,7 +1223,12 @@ class IcebergStreamReader(DataSourceStreamReader):
                     if e.get("snapshot_id") != sid:
                         continue
                     if e["status"] == 1:
-                        adds.append(table._resolve(e["data_file"]["file_path"]))
+                        adds.append(
+                            (
+                                table._resolve(e["data_file"]["file_path"]),
+                                e["data_file"].get("partition") or {},
+                            )
+                        )
                     elif e["status"] == 2:
                         has_delete = True
             if has_delete and not self.ignore_changes:
@@ -970,11 +1243,14 @@ class IcebergStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         return [
-            _IceFilePartition(p) for p in self._added(start["index"], end["index"])
+            _IceFilePartition(p, pv)
+            for p, pv in self._added(start["index"], end["index"])
         ]
 
     def read(self, partition: _IceFilePartition):
-        yield from _iceberg_batches(partition.path, self._schema)
+        yield from _iceberg_batches(
+            partition.path, self._schema, self._part_cols, partition.pv
+        )
 
     def commit(self, end: dict) -> None:
         pass

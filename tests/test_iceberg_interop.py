@@ -667,3 +667,148 @@ def test_read_iceberg_changes_feed(spark, tmp_path):
     assert got == [(0, "delete"), (1, "delete"), (5, "insert"), (6, "insert"), (7, "insert")]
     s4 = w.optimize(num_files=1)
     assert read_iceberg_changes(spark, root, s3, s4).count() == 0
+
+
+# -- identity-partitioned writes (round 6) ----------------------------
+
+
+def test_partitioned_create_append_roundtrip(spark, tmp_path):
+    """Identity partition spec: hive layout under data/, typed values
+    in manifest partition records (spec column projection — files omit
+    the source columns), reads re-attach them; appends inherit."""
+    root = str(tmp_path / "ip")
+    w = IcebergWriter(spark, root)
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i)) for i in range(10)],
+        "k long, status string, v double",
+    )
+    w.create(df, partition_by=["status"])
+    w.append(
+        spark.createDataFrame([(100, "C", 1.0)], "k long, status string, v double")
+    )
+    t = IcebergTable(root)
+    assert t.partition_fields() == ["status"]
+    got = sorted((r.k, r.status, r.v) for r in read_iceberg(spark, root).collect())
+    assert got == [(i, "AB"[i % 2], float(i)) for i in range(10)] + [(100, "C", 1.0)]
+    # manifest entries carry typed partition values; files live in hive dirs
+    entries = t.data_entries(None)
+    assert {pv["status"] for _, pv in entries} == {"A", "B", "C"}
+    assert all("status=" in p for p, _ in entries)
+    # spec metadata is well-formed
+    spec = t.metadata["partition-spec"]
+    assert spec[0]["transform"] == "identity" and spec[0]["field-id"] == 1000
+    # DSv2 wrapper re-attaches partition values too
+    register(spark)
+    via = spark.read.format("iceberglog").option("path", root).load()
+    assert sorted((r.k, r.status) for r in via.collect()) == [
+        (k, s) for k, s, _ in got
+    ]
+
+
+def test_partitioned_delete_on_partition_column(spark, tmp_path):
+    root = str(tmp_path / "ip_del")
+    w = IcebergWriter(spark, root)
+    df = spark.createDataFrame(
+        [(i, "ABC"[i % 3]) for i in range(12)], "k long, status string"
+    )
+    w.create(df, partition_by=["status"])
+    w.delete_where(F.col("status") == "B")
+    got = sorted((r.k, r.status) for r in read_iceberg(spark, root).collect())
+    assert got == sorted(
+        (i, "ABC"[i % 3]) for i in range(12) if "ABC"[i % 3] != "B"
+    )
+    # mixed predicate
+    w.delete_where((F.col("status") == "A") & (F.col("k") >= 6))
+    got = sorted((r.k, r.status) for r in read_iceberg(spark, root).collect())
+    assert got == sorted(
+        (i, s)
+        for i in range(12)
+        for s in ["ABC"[i % 3]]
+        if s == "C" or (s == "A" and i < 6)
+    )
+
+
+def test_partitioned_merge_prunes_by_partition_value(spark, tmp_path):
+    root = str(tmp_path / "ip_mrg")
+    w = IcebergWriter(spark, root)
+    base = spark.createDataFrame(
+        [(i, i % 3, "old") for i in range(12)], "k long, bucket int, tag string"
+    )
+    w.create(base, partition_by=["bucket"])
+    before = {p for p, pv in IcebergTable(root).data_entries(None) if pv["bucket"] == 2}
+    src = spark.createDataFrame(
+        [(0, 0, "new"), (99, 1, "new")], "k long, bucket int, tag string"
+    )
+    w.merge(src, "bucket")
+    got = {(r.k, r.bucket, r.tag) for r in read_iceberg(spark, root).collect()}
+    want = {(i, 2, "old") for i in range(12) if i % 3 == 2}
+    want |= {(0, 0, "new"), (99, 1, "new")}
+    assert got == want
+    after = {p for p, pv in IcebergTable(root).data_entries(None) if pv["bucket"] == 2}
+    assert before == after  # non-overlapping partition untouched
+    with pytest.raises(ValueError, match="partition"):
+        w.merge(spark.createDataFrame([(1, "x")], "k long, tag string"), "k")
+
+
+def test_partitioned_optimize_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "ip_opt")
+    w = IcebergWriter(spark, root)
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2]) for i in range(20)], "k long, status string"
+    ).repartition(4)
+    s1 = w.create(df, partition_by=["status"])
+    w.append(
+        spark.createDataFrame(
+            [(i, "AB"[i % 2]) for i in range(20, 40)], "k long, status string"
+        ).repartition(4)
+    )
+    assert len(IcebergTable(root).data_entries(None)) > 2
+    w.optimize(num_files=1)
+    assert len(IcebergTable(root).data_entries(None)) == 2  # one per partition
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == list(range(40))
+    assert sorted(
+        r.k for r in read_iceberg(spark, root, snapshot_id=s1).collect()
+    ) == list(range(20))
+
+
+def test_partitioned_null_value_and_unsupported_type(spark, tmp_path):
+    root = str(tmp_path / "ip_null")
+    w = IcebergWriter(spark, root)
+    df = spark.createDataFrame([(1, "A"), (2, None)], "k long, status string")
+    w.create(df, partition_by=["status"])
+    got = sorted(
+        (r.k, r.status) for r in read_iceberg(spark, root).collect()
+    )
+    assert got == [(1, "A"), (2, None)]
+    # unsupported partition key types fail loudly at create
+    w2 = IcebergWriter(spark, str(tmp_path / "ip_bad"))
+    tsdf = spark.sql("SELECT 1 AS k, TIMESTAMP'2024-01-01' AS ts")
+    with pytest.raises(ValueError, match="unsupported partition column type"):
+        w2.create(tsdf, partition_by=["ts"])
+
+
+def test_partitioned_streaming_source(spark, tmp_path):
+    root = str(tmp_path / "ip_stream")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame([(0, "A"), (1, "B")], "k long, status string"),
+        partition_by=["status"],
+    )
+    w.append(spark.createDataFrame([(2, "A")], "k long, status string"))
+    register(spark)
+    seen: list[tuple] = []
+
+    def grab(bdf, bid):
+        seen.extend((r.k, r.status) for r in bdf.collect())
+
+    q = (
+        spark.readStream.format("iceberglog")
+        .option("path", root)
+        .load()
+        .writeStream.foreachBatch(grab)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(seen) == [(0, "A"), (1, "B"), (2, "A")]
