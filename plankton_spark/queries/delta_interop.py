@@ -259,3 +259,47 @@ def q_deltalog_merge(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     )
+
+
+@query(
+    "q_deltalog_partitioned",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 2000
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows_all
+    FROM base WHERE o_orderstatus = 'F'
+    """,
+)
+def q_deltalog_partitioned(spark, sf_dir):
+    """Hive-partitioned Delta write + partition-pruned read: orders
+    lands partitioned by o_orderstatus (source column dropped from
+    file content per the spec, values in partitionValues), then the
+    'F' partition is read via the FILE-LIST prune — non-matching
+    files never reach Spark. The full-count column pins that the
+    unpruned read still sees everything."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+
+    root = _scratch(sf_dir, "delta_part")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).where(F.col("o_orderkey") < 2000)
+    w = DeltaLogWriter(spark, root)
+    w.create(o, partition_by=["o_orderstatus"])
+    pruned = read_delta(spark, root, partitions={"o_orderstatus": "F"})
+    total = read_delta(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_all")
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    ).crossJoin(total)

@@ -277,3 +277,57 @@ def q_iceberg_maintenance(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     ).withColumn("n_files_after_optimize", F.lit(n_files).cast("long"))
+
+
+@query(
+    "q_iceberg_partitioned",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 2000
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows_all
+    FROM base WHERE o_orderstatus = 'F'
+    """,
+)
+def q_iceberg_partitioned(spark, sf_dir):
+    """Identity-partitioned Iceberg write + metadata-pruned read:
+    orders lands with an identity partition spec (typed partition
+    records in the manifests, source column omitted from files per
+    the spec's column projection), then only the 'F' partition's
+    entries are scanned — the prune is pure manifest metadata, no
+    file IO. The full-count column pins the unpruned read."""
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergTable,
+        IcebergWriter,
+        _assemble_iceberg,
+    )
+
+    root = _scratch(sf_dir, "iceberg_part")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).where(F.col("o_orderkey") < 2000)
+    w = IcebergWriter(spark, root)
+    w.create(o, partition_by=["o_orderstatus"])
+    t = IcebergTable(root)
+    entries = [
+        (p, pv)
+        for p, pv in t.data_entries(None)
+        if pv.get("o_orderstatus") == "F"
+    ]
+    pruned = _assemble_iceberg(spark, t.schema(), t.partition_fields(), entries)
+    total = read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_all")
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    ).crossJoin(total)
