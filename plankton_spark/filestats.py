@@ -58,3 +58,32 @@ def file_stats(path: str) -> dict:
         "maxValues": maxs,
         "nullCount": nulls,
     }
+
+
+def _reject_empty_string_partitions(df, part_cols, table_path: str) -> None:
+    """Refuse empty-string partition values: hive-style staging writes
+    both NULL and '' as __HIVE_DEFAULT_PARTITION__ directories, so an
+    empty string would silently round-trip as NULL — wrong data and
+    isNull-delete collateral. Costs one small aggregate, only on
+    partitioned writes with string partition columns."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    str_cols = [
+        c
+        for c in part_cols
+        if isinstance(df.schema[c].dataType, T.StringType)
+    ]
+    if not str_cols:
+        return
+    flags = df.agg(
+        *[F.max(F.col(c) == "").alias(c) for c in str_cols]
+    ).first()
+    bad = [c for c in str_cols if flags[c]]
+    if bad:
+        raise ValueError(
+            f"{table_path}: empty-string values in partition columns "
+            f"{bad} are not representable (hive layout maps both '' "
+            "and NULL to __HIVE_DEFAULT_PARTITION__); use NULL or a "
+            "sentinel value"
+        )

@@ -219,7 +219,9 @@ def read_delta(
                 pv.get(c) == _pv_filter_str(v) for c, v in partitions.items()
             )
         ]
-    return _assemble_view(spark, schema, part_cols, files)
+    return _assemble_view(
+        spark, schema, part_cols, files, table_root=table_path
+    )
 
 
 def _pv_filter_str(v) -> str | None:
@@ -239,33 +241,34 @@ def _pv_filter_str(v) -> str | None:
     return str(v)
 
 
-def _assemble_view(spark, schema, part_cols, files, with_file: bool = False):
-    """Union of per-partition-tuple scans with partition columns
-    re-attached as cast literals; with_file adds a `_f` column naming
-    each row's source file (input_file_name per piece — the rewrite
-    ops use it to find which files a predicate hits)."""
-    data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = T.StructType(data_fields)
-    out_cols = [f.name for f in schema.fields] + (["_f"] if with_file else [])
-    if not files:
-        empty = spark.createDataFrame([], schema)
-        return empty.withColumn("_f", F.lit(None).cast("string")) if with_file else empty
-    by_pv: dict[tuple, list[str]] = {}
-    for path, pv in files:
-        key = tuple(pv.get(c) for c in part_cols)
-        by_pv.setdefault(key, []).append(path)
-    pieces = []
-    for key, paths in sorted(by_pv.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*paths)
-        if with_file:
-            df = df.withColumn("_f", F.input_file_name())
-        for c, raw in zip(part_cols, key):
-            df = df.withColumn(c, _cast_partition_value(raw, schema[c].dataType))
-        pieces.append(df.select(out_cols))
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+def _assemble_view(
+    spark, schema, part_cols, files, with_file: bool = False, table_root: str | None = None
+):
+    """Partitioned-read assembly — delegates to the shared
+    sources/assemble.py implementation (hive-layout single-scan fast
+    path; per-tuple fallback for external non-hive layouts). Delta
+    partitionValues are strings, so the fallback casts via
+    _cast_partition_value."""
+    import os as _os
+
+    from plankton_spark.sources.assemble import assemble_view
+
+    if table_root is None and files:
+        # derive the root from any file path: the segment above the
+        # hive dirs / data files (add actions are table-root-relative)
+        table_root = _os.path.dirname(files[0][0])
+        for c in part_cols:
+            while f"{c}=" in _os.path.basename(table_root):
+                table_root = _os.path.dirname(table_root)
+    return assemble_view(
+        spark,
+        table_root or "",
+        schema,
+        part_cols,
+        files,
+        lambda v, dtype: _cast_partition_value(v, dtype),
+        with_file,
+    )
 
 
 class DeltaLogDataSource(DataSource):
@@ -358,6 +361,7 @@ def register(spark) -> None:
 # ---------------------------------------------------------------------
 
 
+from plankton_spark.filestats import _reject_empty_string_partitions  # noqa: E402
 from plankton_spark.filestats import file_stats as _file_stats  # noqa: E402
 from plankton_spark.filestats import stat_encode as _stat_encode  # noqa: E402
 
@@ -488,6 +492,7 @@ class DeltaLogWriter:
 
         tmp = os.path.join(self.table_path, f"_stage-{_uuid.uuid4().hex}")
         if part_cols:
+            _reject_empty_string_partitions(df, part_cols, self.table_path)
             df.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
         else:
             df.write.mode("overwrite").parquet(tmp)
@@ -679,7 +684,8 @@ class DeltaLogWriter:
         snapshot = DeltaLog(self.table_path)
         schema, part_cols, files = snapshot.snapshot(None)
         live = _assemble_view(
-            self.spark, schema, part_cols, files, with_file=True
+            self.spark, schema, part_cols, files, with_file=True,
+            table_root=self.table_path,
         )
         hit = [
             r[0] for r in live.where(condition).select("_f").distinct().collect()
@@ -702,7 +708,8 @@ class DeltaLogWriter:
             # the full view on input_file_name cannot prune at the
             # scan, so it would re-read the whole table.
             survivors = _assemble_view(
-                self.spark, schema, part_cols, hit_files
+                self.spark, schema, part_cols, hit_files,
+                table_root=self.table_path,
             ).where(~F.coalesce(condition, F.lit(False)))
             if not survivors.isEmpty():
                 actions += self._stage(survivors, part_cols)
@@ -759,7 +766,9 @@ class DeltaLogWriter:
         paths = [p for p, _ in files]
         if not paths:
             return self._commit_with_retry([])
-        df = _assemble_view(self.spark, schema, part_cols, files)
+        df = _assemble_view(
+            self.spark, schema, part_cols, files, table_root=self.table_path
+        )
         if zorder_by:
             from plankton_spark.table_format import zvalue_column
 
@@ -880,7 +889,10 @@ class DeltaLogWriter:
             os.path.relpath(p, self.table_path) for p, _ in overlap_files
         )
         if overlap:
-            hot = _assemble_view(self.spark, schema, part_cols, overlap_files)
+            hot = _assemble_view(
+                self.spark, schema, part_cols, overlap_files,
+                table_root=self.table_path,
+            )
             merged = hot.join(source, key, "left_anti").unionByName(source)
         else:
             merged = source
@@ -1176,8 +1188,9 @@ def read_delta_changes(spark, table_path: str, v_from: int, v_to: int):
     rewritten rows contribute nothing — so compaction/Z-order commits
     produce an empty feed. Same semantics as planktable.diff
     (table_format.py) and the q_table_cdc oracle."""
-    newer = read_delta(spark, table_path, version=v_to)
-    older = read_delta(spark, table_path, version=v_from)
-    ins = newer.exceptAll(older).withColumn("_change_type", F.lit("insert"))
-    dels = older.exceptAll(newer).withColumn("_change_type", F.lit("delete"))
-    return ins.unionByName(dels)
+    from plankton_spark.sources.assemble import snapshot_changes
+
+    return snapshot_changes(
+        read_delta(spark, table_path, version=v_to),
+        read_delta(spark, table_path, version=v_from),
+    )

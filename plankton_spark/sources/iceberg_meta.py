@@ -14,10 +14,12 @@ The nested-Avro manifests are decoded with the engine's own
 spec-complete datum codec (sources/avro_ocf.py, read_ocf_generic).
 Entry semantics per the spec: status 0=EXISTING, 1=ADDED, 2=DELETED;
 a snapshot's live file set is every non-DELETED entry across the
-manifests its manifest-list names. Iceberg parquet data files carry
-all columns (identity partition values included), so the hot read
-path is a single native multi-path parquet scan — no partition-value
-re-attachment needed, unlike Delta.
+manifests its manifest-list names. EXTERNAL Iceberg data files carry
+all columns, so spec-less (and foreign identity-partitioned) tables
+read as a single native multi-path parquet scan; THIS engine's
+identity-partitioned writes omit the source columns (the spec's
+column-projection rule) and every read path re-attaches them from
+the typed manifest partition records — the same layout Delta uses.
 
 Scale posture: metadata work is proportional to manifest count (KBs
 of Avro per manifest, same work iceberg-spark's own planning does
@@ -34,6 +36,7 @@ import os
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+from plankton_spark.filestats import _reject_empty_string_partitions
 from plankton_spark.sources.avro_ocf import read_ocf_generic
 
 
@@ -135,17 +138,24 @@ class IcebergTable:
                 return os.path.join(self.table_path, marker.strip("/"), rel)
         return os.path.join(self.table_path, path.lstrip("/"))
 
-    def partition_fields(self) -> list[str]:
-        """Identity-transform partition source column names (this
-        engine writes only identity specs; non-identity transforms in
-        external tables raise rather than being silently ignored)."""
+    def partition_fields(self, strict: bool = False) -> list[str]:
+        """Identity-transform partition source column names. Readers
+        use the tolerant default: a non-identity spec (bucket/days/
+        truncate, from an external writer) returns [] — real Iceberg
+        data files carry every source column, so a plain scan reads
+        such tables correctly and raising would break reads that
+        worked before. WRITERS pass strict=True: staging through an
+        unsupported transform can't be done correctly, so it must
+        fail loudly."""
         spec = self.metadata.get("partition-spec") or []
         bad = [f for f in spec if f.get("transform", "identity") != "identity"]
         if bad:
-            raise ValueError(
-                f"{self.table_path}: unsupported partition transforms "
-                f"{[f['transform'] for f in bad]}"
-            )
+            if strict:
+                raise ValueError(
+                    f"{self.table_path}: unsupported partition transforms "
+                    f"{[f['transform'] for f in bad]}"
+                )
+            return []
         return [f["name"] for f in spec]
 
     def data_entries(
@@ -196,33 +206,34 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None):
     return _assemble_iceberg(spark, schema, part_cols, entries)
 
 
-def _assemble_iceberg(spark, schema, part_cols, entries, with_file: bool = False):
-    """Union of per-partition-tuple scans with partition columns
-    re-attached as typed literals (manifest partition records carry
-    typed values, unlike Delta's string partitionValues). with_file
-    adds `_f` naming each row's source file."""
+def _assemble_iceberg(
+    spark, schema, part_cols, entries, with_file: bool = False, table_root: str | None = None
+):
+    """Partitioned-read assembly — shared sources/assemble.py
+    implementation (hive single-scan fast path). Iceberg manifest
+    partition records carry TYPED values, so the fallback attaches
+    plain literals."""
+    import os as _os
+
     from pyspark.sql import functions as F
 
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+    from plankton_spark.sources.assemble import assemble_view
+
+    if table_root is None and entries:
+        # files live under <root>/data[/<col>=<val>...]
+        table_root = entries[0][0]
+        while _os.path.basename(table_root) != "data" and table_root != "/":
+            table_root = _os.path.dirname(table_root)
+        table_root = _os.path.dirname(table_root)
+    return assemble_view(
+        spark,
+        table_root or "",
+        schema,
+        part_cols,
+        entries,
+        lambda v, dtype: F.lit(v).cast(dtype),
+        with_file,
     )
-    out_cols = [f.name for f in schema.fields] + (["_f"] if with_file else [])
-    by_pv: dict[tuple, list[str]] = {}
-    for path, pv in entries:
-        key = tuple(pv.get(c) for c in part_cols)
-        by_pv.setdefault(key, []).append(path)
-    pieces = []
-    for key, paths in sorted(by_pv.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*paths)
-        if with_file:
-            df = df.withColumn("_f", F.input_file_name())
-        for c, v in zip(part_cols, key):
-            df = df.withColumn(c, F.lit(v).cast(schema[c].dataType))
-        pieces.append(df.select(out_cols))
-    out = pieces[0]
-    for piece in pieces[1:]:
-        out = out.unionByName(piece)
-    return out
 
 
 class IcebergDataSource(DataSource):
@@ -331,32 +342,6 @@ def register(spark) -> None:
 # version file (the same swap real catalogs arbitrate).
 # ---------------------------------------------------------------------
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {
-            "name": "data_file",
-            "type": {
-                "type": "record",
-                "name": "r2",
-                "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {
-                        "name": "partition",
-                        "type": {"type": "record", "name": "r102", "fields": []},
-                    },
-                    {"name": "record_count", "type": "long"},
-                    {"name": "file_size_in_bytes", "type": "long"},
-                ],
-            },
-        },
-    ],
-}
 
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -435,6 +420,12 @@ def _entry_schema(part_fields: list[tuple[str, str]]) -> dict:
     }
 
 
+# the spec-less entry schema IS the generator's empty-partition case —
+# one authoritative definition (review: the hand-written literal and
+# the generator could silently diverge)
+_MANIFEST_ENTRY_SCHEMA = _entry_schema([])
+
+
 def _spark_type_to_iceberg(dt: T.DataType) -> str:
     m = {
         "boolean": "boolean",
@@ -468,10 +459,13 @@ class IcebergConcurrentDelete(Exception):
 
 
 class IcebergWriter:
-    """Minimal Iceberg writer: create / append (unpartitioned data
-    files, format v1 metadata). Each commit adds ONE manifest and a
-    manifest list referencing every still-live manifest — the same
-    snapshot shape `author_iceberg_orders` builds by hand."""
+    """Iceberg writer (format v1 metadata): create / append /
+    delete / overwrite / MERGE / OPTIMIZE / vacuum, spec-less or
+    identity-partitioned (typed manifest partition records, hive
+    layout with source columns omitted per column projection). Each
+    commit adds ONE manifest and a manifest list referencing every
+    still-live manifest — the same snapshot shape
+    `author_iceberg_orders` builds by hand."""
 
     def __init__(self, spark, table_path: str):
         self.spark = spark
@@ -496,6 +490,7 @@ class IcebergWriter:
         tmp = os.path.join(self.table_path, f"_stage-{_uuid.uuid4().hex}")
         if part_cols:
             dtypes = {f.name: f.dataType for f in df.schema.fields}
+            _reject_empty_string_partitions(df, part_cols, self.table_path)
             df.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
         else:
             df.write.mode("overwrite").parquet(tmp)
@@ -700,7 +695,7 @@ class IcebergWriter:
 
     def _table_entry_schema(self, table: "IcebergTable"):
         """(part_cols, entry Avro schema) for the table's spec."""
-        part_cols = table.partition_fields()
+        part_cols = table.partition_fields(strict=True)
         if not part_cols:
             return [], None
         return part_cols, _entry_schema(
@@ -924,7 +919,7 @@ class IcebergWriter:
             md = dict(table.metadata)
             if new_schema_df is not None:
                 md = self._replacement_schema_md(md, new_schema_df)
-            part_cols_es, es = self._table_entry_schema(table)  # noqa: F841
+            _, es = self._table_entry_schema(table)
             live_rel = {
                 os.path.relpath(p, self.table_path)
                 for p in table.data_files(None)
@@ -1001,7 +996,7 @@ class IcebergWriter:
 
         table = IcebergTable(self.table_path)
         schema = table.schema()
-        part_cols = table.partition_fields()
+        part_cols = table.partition_fields(strict=True)
         entries = table.data_entries(None)
         if not entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
@@ -1040,7 +1035,7 @@ class IcebergWriter:
         REPLACES the schema (a new schema-id becomes current in the
         same commit) — otherwise reads after the overwrite would be
         silently governed by the stale schema."""
-        part_cols = IcebergTable(self.table_path).partition_fields()
+        part_cols = IcebergTable(self.table_path).partition_fields(strict=True)
         staged = self._stage(df, 0, part_cols)
         return self._commit_snapshot(
             staged, None, keep_unhit=False, new_schema_df=df
@@ -1109,7 +1104,7 @@ class IcebergWriter:
         racing append carries forward and a racing rewrite of a read
         file aborts the compaction."""
         table = IcebergTable(self.table_path)
-        part_cols = table.partition_fields()
+        part_cols = table.partition_fields(strict=True)
         entries = table.data_entries(None)
         if not entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
@@ -1155,15 +1150,19 @@ class IcebergWriter:
         removed: list[str] = []
         data_dir = os.path.join(self.table_path, "data")
         if os.path.isdir(data_dir):
-            for f in os.listdir(data_dir):
-                full = os.path.join(data_dir, f)
-                if (
-                    os.path.isfile(full)
-                    and full not in referenced
-                    and now - os.path.getmtime(full) > grace_seconds
-                ):
-                    os.remove(full)
-                    removed.append(f"data/{f}")
+            # recursive: partitioned writes place files under
+            # data/<col>=<val>/ subdirectories
+            for dirpath, _dirs, fnames in os.walk(data_dir):
+                for f in fnames:
+                    full = os.path.join(dirpath, f)
+                    if (
+                        full not in referenced
+                        and now - os.path.getmtime(full) > grace_seconds
+                    ):
+                        os.remove(full)
+                        removed.append(
+                            os.path.relpath(full, self.table_path)
+                        )
         for e in os.listdir(self.table_path):
             full = os.path.join(self.table_path, e)
             if (
@@ -1260,10 +1259,9 @@ def read_iceberg_changes(spark, table_path: str, sid_from: int, sid_to: int):
     """Change data feed between two snapshots via multiset snapshot
     diff (exceptAll both ways) — see read_delta_changes; compaction
     snapshots produce an empty feed."""
-    from pyspark.sql import functions as F
+    from plankton_spark.sources.assemble import snapshot_changes
 
-    newer = read_iceberg(spark, table_path, snapshot_id=sid_to)
-    older = read_iceberg(spark, table_path, snapshot_id=sid_from)
-    ins = newer.exceptAll(older).withColumn("_change_type", F.lit("insert"))
-    dels = older.exceptAll(newer).withColumn("_change_type", F.lit("delete"))
-    return ins.unionByName(dels)
+    return snapshot_changes(
+        read_iceberg(spark, table_path, snapshot_id=sid_to),
+        read_iceberg(spark, table_path, snapshot_id=sid_from),
+    )

@@ -864,3 +864,36 @@ def test_read_delta_changes_feed(spark, tmp_path):
     # a layout-only commit produces an EMPTY feed
     v3 = w.optimize(num_files=1)
     assert read_delta_changes(spark, root, v2, v3).count() == 0
+
+
+def test_partitioned_read_is_single_scan(spark, tmp_path):
+    """Our hive layout reads via basePath as ONE multi-path scan —
+    plan size and job count stay O(1) in partition cardinality
+    (the per-tuple union fallback is only for external non-hive
+    layouts)."""
+    import re
+
+    root = str(tmp_path / "dsingle")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, "ABCD"[i % 4]) for i in range(16)], "k long, status string"
+        ),
+        partition_by=["status"],
+    )
+    df = read_delta(spark, root)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1, plan
+    assert sorted(r.k for r in df.collect()) == list(range(16))
+
+
+def test_partitioned_write_rejects_empty_string_value(spark, tmp_path):
+    """'' and NULL both map to __HIVE_DEFAULT_PARTITION__ on disk, so
+    an empty-string partition value would silently round-trip as NULL
+    — refused at write instead."""
+    w = DeltaLogWriter(spark, str(tmp_path / "dempty"))
+    df = spark.createDataFrame([(1, "A"), (2, "")], "k long, status string")
+    with pytest.raises(ValueError, match="empty-string"):
+        w.create(df, partition_by=["status"])

@@ -812,3 +812,59 @@ def test_partitioned_streaming_source(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(seen) == [(0, "A"), (1, "B"), (2, "A")]
+
+
+def test_partitioned_write_rejects_empty_string_value(spark, tmp_path):
+    w = IcebergWriter(spark, str(tmp_path / "iempty"))
+    df = spark.createDataFrame([(1, "A"), (2, "")], "k long, status string")
+    with pytest.raises(ValueError, match="empty-string"):
+        w.create(df, partition_by=["status"])
+
+
+def test_external_nonidentity_spec_still_reads(spark, tmp_path):
+    """An external table with a non-identity partition spec (its data
+    files carry all source columns) must stay readable: the tolerant
+    partition_fields returns [] and the plain multi-path scan runs;
+    only WRITES raise."""
+    root = str(tmp_path / "ibucket")
+    w = IcebergWriter(spark, root)
+    w.create(spark.createDataFrame([(1, "A"), (2, "B")], "k long, status string"))
+    # mutate the metadata into a bucket-partitioned spec (external shape)
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(root, "metadata")
+    v = max(
+        int(f[1:].split(".")[0])
+        for f in _os.listdir(meta)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+    path = _os.path.join(meta, f"v{v}.metadata.json")
+    md = _json.load(open(path))
+    md["partition-spec"] = [
+        {"name": "k_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1000}
+    ]
+    _json.dump(md, open(path, "w"))
+    got = sorted((r.k, r.status) for r in read_iceberg(spark, root).collect())
+    assert got == [(1, "A"), (2, "B")]
+    with pytest.raises(ValueError, match="unsupported partition transforms"):
+        IcebergWriter(spark, root).append(
+            spark.createDataFrame([(3, "C")], "k long, status string")
+        )
+
+
+def test_vacuum_removes_orphans_in_partition_subdirs(spark, tmp_path):
+    root = str(tmp_path / "ivac_part")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame([(1, "A"), (2, "B")], "k long, status string"),
+        partition_by=["status"],
+    )
+    import os as _os
+
+    orphan = _os.path.join(root, "data", "status=A", "snap0-orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    removed = w.vacuum(grace_seconds=0.0)
+    assert _os.path.join("data", "status=A", "snap0-orphan.parquet") in removed
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == [1, 2]
