@@ -303,3 +303,53 @@ def q_deltalog_partitioned(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     ).crossJoin(total)
+
+
+@query(
+    "q_deltalog_cdc",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey < 2000 AND o_orderstatus <> 'F'
+    ),
+    changes AS (
+      SELECT *, 'insert' AS _change_type FROM (
+        SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+      UNION ALL
+      SELECT *, 'delete' AS _change_type FROM (
+        SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+    )
+    SELECT _change_type, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM changes GROUP BY _change_type
+    """,
+)
+def q_deltalog_cdc(spark, sf_dir):
+    """Change data feed across Delta versions: create + append build
+    v0..v1, a row-level delete makes v2, and read_delta_changes
+    diffs the snapshots as multisets — independent of which files the
+    delete rewrote, matching the relational diff the oracle computes
+    (same contract as planktable's q_table_cdc)."""
+    from plankton_spark.sources.delta_log import (
+        DeltaLogWriter,
+        read_delta_changes,
+    )
+
+    root = _scratch(sf_dir, "delta_cdc")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    w = DeltaLogWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 1000))
+    w.append(o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    v2 = w.delete_where(F.col("o_orderstatus") == "F")
+    return (
+        read_delta_changes(spark, root, 1, v2)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
