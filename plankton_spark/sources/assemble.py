@@ -23,17 +23,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _hive_str(v) -> str:
+    """A metadata partition value as the string hive-dir discovery
+    would decode for it."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _is_hive_laid_out(table_root: str, files, part_cols: list[str]) -> bool:
     """True when every file path contains a `col=` directory segment
-    for every partition column — the layout `basePath` discovery can
-    decode."""
+    for every partition column AND the directory-encoded value agrees
+    with the metadata value — the metadata is authoritative, so an
+    external table whose hive-looking dir names disagree with its
+    recorded partition values must take the metadata fallback."""
     import os
+    import urllib.parse as _url
 
-    for path, _pv in files:
+    for path, pv in files:
         rel = os.path.relpath(path, table_root)
         segs = rel.split(os.sep)[:-1]
         for c in part_cols:
-            if not any(seg.startswith(f"{c}=") for seg in segs):
+            seg = next((s for s in segs if s.startswith(f"{c}=")), None)
+            if seg is None:
+                return False
+            raw = _url.unquote(seg.partition("=")[2])
+            v = pv.get(c)
+            if v is None:
+                if raw != "__HIVE_DEFAULT_PARTITION__":
+                    return False
+            elif raw != _hive_str(v):
                 return False
     return True
 
