@@ -897,3 +897,20 @@ def test_partitioned_write_rejects_empty_string_value(spark, tmp_path):
     df = spark.createDataFrame([(1, "A"), (2, "")], "k long, status string")
     with pytest.raises(ValueError, match="empty-string"):
         w.create(df, partition_by=["status"])
+
+
+def test_partitioned_special_char_values_roundtrip(spark, tmp_path):
+    """Partition values with hive-escaped characters (=, /, space,
+    unicode, %xx look-alikes) must round-trip exactly through the
+    dir encoding, the log's partitionValues, AND the basePath
+    single-scan decode."""
+    weird = ["a=b", "a/b", "a b", "a:b", "ünïcode", "a%20b", "#hash"]
+    rows = [(i, w) for i, w in enumerate(weird)]
+    df = spark.createDataFrame(rows, "k long, status string")
+    root = str(tmp_path / "dweird")
+    DeltaLogWriter(spark, root).create(df, partition_by=["status"])
+    got = sorted((r.k, r.status) for r in read_delta(spark, root).collect())
+    assert got == sorted(rows)
+    # and the pruned read finds the escaped value
+    one = read_delta(spark, root, partitions={"status": "a=b"}).collect()
+    assert [(r.k, r.status) for r in one] == [(0, "a=b")]

@@ -868,3 +868,16 @@ def test_vacuum_removes_orphans_in_partition_subdirs(spark, tmp_path):
     removed = w.vacuum(grace_seconds=0.0)
     assert _os.path.join("data", "status=A", "snap0-orphan.parquet") in removed
     assert sorted(r.k for r in read_iceberg(spark, root).collect()) == [1, 2]
+
+
+def test_partitioned_special_char_values_roundtrip(spark, tmp_path):
+    weird = ["a=b", "a/b", "a b", "ünïcode", "a%20b"]
+    rows = [(i, w) for i, w in enumerate(weird)]
+    df = spark.createDataFrame(rows, "k long, status string")
+    root = str(tmp_path / "iweird")
+    IcebergWriter(spark, root).create(df, partition_by=["status"])
+    got = sorted((r.k, r.status) for r in read_iceberg(spark, root).collect())
+    assert got == sorted(rows)
+    # typed manifest values carry the decoded strings
+    vals = {pv["status"] for _, pv in IcebergTable(root).data_entries(None)}
+    assert vals == set(weird)
