@@ -139,24 +139,51 @@ class IcebergTable:
         return os.path.join(self.table_path, path.lstrip("/"))
 
     def partition_fields(self, strict: bool = False) -> list[str]:
-        """Identity-transform partition source column names. Readers
-        use the tolerant default: a non-identity spec (bucket/days/
-        truncate, from an external writer) returns [] — real Iceberg
-        data files carry every source column, so a plain scan reads
-        such tables correctly and raising would break reads that
-        worked before. WRITERS pass strict=True: staging through an
-        unsupported transform can't be done correctly, so it must
-        fail loudly."""
+        """IDENTITY-transform partition field names — the subset whose
+        values the read paths re-attach from manifest metadata (this
+        engine's identity layout omits the source columns; external
+        identity files carry them, and attaching the same value is a
+        no-op). Transform fields (day, bucket, ...) are derived
+        columns: their SOURCE columns always live in the data files,
+        so they never need attaching. strict=True additionally rejects
+        transforms the writer can't stage (anything but identity/day) —
+        readers never raise."""
         spec = self.metadata.get("partition-spec") or []
-        bad = [f for f in spec if f.get("transform", "identity") != "identity"]
-        if bad:
-            if strict:
+        if strict:
+            bad = [
+                f
+                for f in spec
+                if f.get("transform", "identity") not in ("identity", "day", "days")
+            ]
+            if bad:
                 raise ValueError(
                     f"{self.table_path}: unsupported partition transforms "
                     f"{[f['transform'] for f in bad]}"
                 )
-            return []
-        return [f["name"] for f in spec]
+        return [
+            f["name"]
+            for f in spec
+            if f.get("transform", "identity") == "identity"
+        ]
+
+    def partition_spec(self) -> list[dict]:
+        """The full partition-spec field list (name, transform,
+        source-id, field-id) — transforms included, unlike
+        partition_fields which is the identity-attach subset."""
+        return list(self.metadata.get("partition-spec") or [])
+
+    def source_column(self, spec_field: dict) -> str:
+        """Source column name for a spec field (by source-id)."""
+        sid = spec_field.get("source-id")
+        for f in (self.metadata.get("schemas") or [self.metadata["schema"]])[-1][
+            "fields"
+        ]:
+            if f["id"] == sid:
+                return f["name"]
+        raise ValueError(
+            f"{self.table_path}: no schema field with id {sid} for "
+            f"partition field {spec_field.get('name')!r}"
+        )
 
     def data_entries(
         self, snapshot_id: int | None = None
@@ -369,6 +396,54 @@ _PART_AVRO = {
 }
 
 
+def _parse_partition_by(partition_by: list[str]) -> list[dict]:
+    """Normalize create()'s partition_by syntax: "col" → identity,
+    "day(col)" / "days(col)" → the day transform (field name
+    <col>_day per Iceberg convention)."""
+    import re as _re
+
+    out = []
+    for raw in partition_by:
+        m = _re.fullmatch(r"days?\((\w+)\)", raw.strip())
+        if m:
+            out.append(
+                {"name": f"{m.group(1)}_day", "transform": "day", "source": m.group(1)}
+            )
+        else:
+            out.append({"name": raw, "transform": "identity", "source": raw})
+    return out
+
+
+def _spec_avro_fields(
+    schema: T.StructType, spec: list[dict], table_path: str
+) -> list[tuple[str, str]]:
+    """Avro primitive per partition record field: identity fields use
+    the source column's type (restricted to _PART_AVRO — date/
+    timestamp identity keys would need the spec's int encodings);
+    day fields are always int (days since epoch)."""
+    out = []
+    for f in spec:
+        if f["transform"] == "day":
+            st = schema[f["source"]].dataType
+            if not isinstance(st, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+                raise ValueError(
+                    f"{table_path}: day() needs a date/timestamp source, "
+                    f"got {st.simpleString()} for {f['source']!r}"
+                )
+            out.append((f["name"], "int"))
+            continue
+        t = type(schema[f["source"]].dataType)
+        if t not in _PART_AVRO:
+            raise ValueError(
+                f"{table_path}: unsupported partition column type "
+                f"{schema[f['source']].dataType.simpleString()} for "
+                f"{f['source']!r} (supported: int/long/float/double/"
+                "string/boolean; use day(col) for date/timestamp)"
+            )
+        out.append((f["name"], _PART_AVRO[t]))
+    return out
+
+
 def _typed_pv(raw: str, dtype: T.DataType):
     """A hive-directory partition string as the typed value the Avro
     partition record stores."""
@@ -473,25 +548,46 @@ class IcebergWriter:
         self.meta_dir = os.path.join(table_path, "metadata")
 
     def _stage(
-        self, df, snapshot_id: int, part_cols: list[str] | None = None
+        self, df, snapshot_id: int, spec: list[dict] | None = None
     ) -> list[dict]:
         """Write df as parquet under data/; return data_file dicts.
-        With `part_cols`, files are laid out hive-style (col=value
-        dirs under data/) with the partition columns DROPPED from file
-        content and their typed values recorded in each entry's
-        partition record — valid per the spec's column-projection rule
-        (a missing identity-partition source field reads from the
-        partition metadata)."""
+        `spec` is the normalized partition spec ([{name, transform,
+        source}]): identity fields lay out hive-style with the source
+        column DROPPED from file content (the spec's column-projection
+        rule covers reads); `day` fields partition by a DERIVED
+        days-since-epoch int — the source column stays IN the files,
+        which is what makes day() the idiomatic timestamp partitioning
+        (metadata date-range pruning without losing the raw values)."""
         import glob as _glob
         import shutil as _shutil
         import urllib.parse as _url
         import uuid as _uuid
 
+        from pyspark.sql import functions as F
+
+        spec = spec or []
         tmp = os.path.join(self.table_path, f"_stage-{_uuid.uuid4().hex}")
-        if part_cols:
+        if spec:
             dtypes = {f.name: f.dataType for f in df.schema.fields}
-            _reject_empty_string_partitions(df, part_cols, self.table_path)
-            df.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
+            dir_cols = []
+            staged_df = df
+            for f in spec:
+                if f["transform"] == "identity":
+                    dir_cols.append(f["name"])  # name == source column
+                else:  # day
+                    staged_df = staged_df.withColumn(
+                        f["name"],
+                        F.datediff(
+                            F.col(f["source"]).cast("date"),
+                            F.lit("1970-01-01").cast("date"),
+                        ),
+                    )
+                    dir_cols.append(f["name"])
+            ident_cols = [f["name"] for f in spec if f["transform"] == "identity"]
+            if ident_cols:
+                _reject_empty_string_partitions(df, ident_cols, self.table_path)
+            staged_df.write.partitionBy(*dir_cols).mode("overwrite").parquet(tmp)
+            field_by_name = {f["name"]: f for f in spec}
         else:
             df.write.mode("overwrite").parquet(tmp)
         os.makedirs(os.path.join(self.table_path, "data"), exist_ok=True)
@@ -506,11 +602,12 @@ class IcebergWriter:
                 for piece in subdir.split(os.sep):
                     k, _, raw = piece.partition("=")
                     v = _url.unquote(raw)
-                    pv[k] = (
-                        None
-                        if v == "__HIVE_DEFAULT_PARTITION__"
-                        else _typed_pv(v, dtypes[k])
-                    )
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        pv[k] = None
+                    elif field_by_name[k]["transform"] == "identity":
+                        pv[k] = _typed_pv(v, dtypes[k])
+                    else:  # day: dir value IS the days-since-epoch int
+                        pv[k] = int(v)
                 reldir = os.path.join("data", subdir)
                 os.makedirs(os.path.join(self.table_path, reldir), exist_ok=True)
             rel = os.path.join(
@@ -532,20 +629,29 @@ class IcebergWriter:
         _shutil.rmtree(tmp, ignore_errors=True)
         return out
 
-    def _part_avro_fields(
-        self, schema: T.StructType, part_cols: list[str]
-    ) -> list[tuple[str, str]]:
+    def _writer_spec(self, table: "IcebergTable") -> list[dict]:
+        """The table's partition spec normalized for staging:
+        [{name, transform, source}], identity/day only — anything else
+        can't be staged correctly and raises."""
         out = []
-        for c in part_cols:
-            t = type(schema[c].dataType)
-            if t not in _PART_AVRO:
+        for f in table.partition_spec():
+            tr = f.get("transform", "identity")
+            if tr in ("days",):
+                tr = "day"
+            if tr not in ("identity", "day"):
                 raise ValueError(
-                    f"{self.table_path}: unsupported partition column type "
-                    f"{schema[c].dataType.simpleString()} for {c!r} "
-                    f"(supported: int/long/float/double/string/boolean)"
+                    f"{self.table_path}: unsupported partition transform "
+                    f"{f.get('transform')!r} for {f.get('name')!r}"
                 )
-            out.append((c, _PART_AVRO[t]))
+            out.append(
+                {
+                    "name": f["name"],
+                    "transform": tr,
+                    "source": table.source_column(f),
+                }
+            )
         return out
+
 
     def _write_manifest(
         self,
@@ -626,18 +732,18 @@ class IcebergWriter:
             f.endswith(".metadata.json") for f in os.listdir(self.meta_dir)
         ):
             raise FileExistsError(f"{self.table_path}: table already exists")
-        part_cols = list(partition_by or [])
-        missing = [c for c in part_cols if c not in df.columns]
+        spec = _parse_partition_by(partition_by or [])
+        missing = [f["source"] for f in spec if f["source"] not in df.columns]
         if missing:
             raise ValueError(f"partition_by columns not in df: {missing}")
         es = (
-            _entry_schema(self._part_avro_fields(df.schema, part_cols))
-            if part_cols
+            _entry_schema(_spec_avro_fields(df.schema, spec, self.table_path))
+            if spec
             else None
         )
         os.makedirs(self.meta_dir, exist_ok=True)
         snap_id = 1
-        files = self._stage(df, snap_id, part_cols)
+        files = self._stage(df, snap_id, spec)
         m = self._write_manifest(
             self._unique(f"m{snap_id}"), files, snap_id, entry_schema=es
         )
@@ -662,12 +768,12 @@ class IcebergWriter:
         col_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
         spec_fields = [
             {
-                "name": c,
-                "transform": "identity",
-                "source-id": col_ids[c],
+                "name": f["name"],
+                "transform": f["transform"],
+                "source-id": col_ids[f["source"]],
                 "field-id": 1000 + i,
             }
-            for i, c in enumerate(part_cols)
+            for i, f in enumerate(spec)
         ]
         metadata = {
             "format-version": 1,
@@ -694,12 +800,12 @@ class IcebergWriter:
         return snap_id
 
     def _table_entry_schema(self, table: "IcebergTable"):
-        """(part_cols, entry Avro schema) for the table's spec."""
-        part_cols = table.partition_fields(strict=True)
-        if not part_cols:
+        """(normalized spec, entry Avro schema) for the table."""
+        spec = self._writer_spec(table)
+        if not spec:
             return [], None
-        return part_cols, _entry_schema(
-            self._part_avro_fields(table.schema(), part_cols)
+        return spec, _entry_schema(
+            _spec_avro_fields(table.schema(), spec, self.table_path)
         )
 
     def _evolved_metadata(self, md: dict, table: "IcebergTable", df, merge_schema: bool) -> dict:
@@ -770,10 +876,10 @@ class IcebergWriter:
             md = self._evolved_metadata(
                 dict(table.metadata), table, df, merge_schema
             )
-            part_cols, es = self._table_entry_schema(table)
+            spec, es = self._table_entry_schema(table)
             prev = table._snapshot(None)
             snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
-            files = self._stage(df, snap_id, part_cols)
+            files = self._stage(df, snap_id, spec)
             m_new = self._write_manifest(
                 self._unique(f"m{snap_id}"), files, snap_id, entry_schema=es
             )
@@ -996,7 +1102,8 @@ class IcebergWriter:
 
         table = IcebergTable(self.table_path)
         schema = table.schema()
-        part_cols = table.partition_fields(strict=True)
+        spec = self._writer_spec(table)
+        part_cols = table.partition_fields()  # identity attach subset
         entries = table.data_entries(None)
         if not entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
@@ -1023,7 +1130,7 @@ class IcebergWriter:
             self.spark, schema, part_cols, hit_entries
         ).where(~F.coalesce(condition, F.lit(False)))
         staged = (
-            [] if survivors.isEmpty() else self._stage(survivors, 0, part_cols)
+            [] if survivors.isEmpty() else self._stage(survivors, 0, spec)
         )
         return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
 
@@ -1035,8 +1142,8 @@ class IcebergWriter:
         REPLACES the schema (a new schema-id becomes current in the
         same commit) — otherwise reads after the overwrite would be
         silently governed by the stale schema."""
-        part_cols = IcebergTable(self.table_path).partition_fields(strict=True)
-        staged = self._stage(df, 0, part_cols)
+        spec = self._writer_spec(IcebergTable(self.table_path))
+        staged = self._stage(df, 0, spec)
         return self._commit_snapshot(
             staged, None, keep_unhit=False, new_schema_df=df
         )
@@ -1061,14 +1168,15 @@ class IcebergWriter:
         lo, hi = _stat_encode(raw_lo), _stat_encode(raw_hi)
         table = IcebergTable(self.table_path)
         schema = table.schema()
-        part_cols = table.partition_fields()
-        if part_cols:
-            missing = [c for c in part_cols if c not in source.columns]
-            if missing:
-                raise ValueError(
-                    f"{self.table_path}: merge source missing partition "
-                    f"columns {missing}"
-                )
+        spec = self._writer_spec(table)
+        part_cols = table.partition_fields()  # identity attach subset
+        needed = {f["source"] for f in spec}
+        missing = sorted(needed - set(source.columns))
+        if missing:
+            raise ValueError(
+                f"{self.table_path}: merge source missing partition "
+                f"columns {missing}"
+            )
         entries = table.data_entries(None)
         overlap_entries = []
         for p, pv in entries:
@@ -1087,7 +1195,7 @@ class IcebergWriter:
             merged = hot.join(source, key, "left_anti").unionByName(source)
         else:
             merged = source
-        staged = self._stage(merged, 0, part_cols)
+        staged = self._stage(merged, 0, spec)
         removed_rel = {
             os.path.relpath(p, self.table_path) for p, _ in overlap_entries
         }
@@ -1104,7 +1212,8 @@ class IcebergWriter:
         racing append carries forward and a racing rewrite of a read
         file aborts the compaction."""
         table = IcebergTable(self.table_path)
-        part_cols = table.partition_fields(strict=True)
+        spec = self._writer_spec(table)
+        part_cols = table.partition_fields()  # identity attach subset
         entries = table.data_entries(None)
         if not entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
@@ -1115,7 +1224,7 @@ class IcebergWriter:
                 *[p for p, _ in entries]
             )
         df = df.coalesce(num_files)
-        staged = self._stage(df, 0, part_cols)
+        staged = self._stage(df, 0, spec)
         removed_rel = {
             os.path.relpath(p, self.table_path) for p, _ in entries
         }

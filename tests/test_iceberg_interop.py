@@ -847,7 +847,7 @@ def test_external_nonidentity_spec_still_reads(spark, tmp_path):
     _json.dump(md, open(path, "w"))
     got = sorted((r.k, r.status) for r in read_iceberg(spark, root).collect())
     assert got == [(1, "A"), (2, "B")]
-    with pytest.raises(ValueError, match="unsupported partition transforms"):
+    with pytest.raises(ValueError, match="unsupported partition transform"):
         IcebergWriter(spark, root).append(
             spark.createDataFrame([(3, "C")], "k long, status string")
         )
@@ -881,3 +881,86 @@ def test_partitioned_special_char_values_roundtrip(spark, tmp_path):
     # typed manifest values carry the decoded strings
     vals = {pv["status"] for _, pv in IcebergTable(root).data_entries(None)}
     assert vals == set(weird)
+
+
+# -- day() partition transform (round 6) ------------------------------
+
+
+def test_day_transform_roundtrip_and_metadata_prune(spark, tmp_path):
+    """day(ts): files partition by days-since-epoch derived ints
+    while KEEPING the raw timestamp column — the idiomatic Iceberg
+    timestamp partitioning. Pruning a date range is pure manifest
+    metadata (typed ints), no file IO."""
+    import datetime
+
+    root = str(tmp_path / "iday")
+    w = IcebergWriter(spark, root)
+    df = spark.sql(
+        "SELECT id AS k, timestampadd(HOUR, CAST(id*7 AS INT),"
+        " TIMESTAMP'2024-01-01 00:00:00') AS ts FROM range(20)"
+    )
+    w.create(df, partition_by=["day(ts)"])
+    t = IcebergTable(root)
+    spec = t.metadata["partition-spec"]
+    assert spec[0]["name"] == "ts_day" and spec[0]["transform"] == "day"
+    # files carry the raw ts column (no re-attachment needed)
+    assert t.partition_fields() == []
+    got = sorted((r.k, r.ts) for r in read_iceberg(spark, root).collect())
+    want = sorted((r.k, r.ts) for r in df.collect())
+    assert got == want
+    # manifest partition values are days-since-epoch ints
+    epoch = datetime.date(1970, 1, 1)
+    days = {pv["ts_day"] for _, pv in t.data_entries(None)}
+    d0 = (datetime.date(2024, 1, 1) - epoch).days
+    assert min(days) == d0 and max(days) > d0
+    # metadata-only prune: only day-0 files selected
+    day0 = [(p, pv) for p, pv in t.data_entries(None) if pv["ts_day"] == d0]
+    n_day0 = sum(
+        1 for r in df.collect() if r.ts.date() == datetime.date(2024, 1, 1)
+    )
+    from plankton_spark.sources.iceberg_meta import _assemble_iceberg
+
+    pruned = _assemble_iceberg(spark, t.schema(), [], day0)
+    assert pruned.count() == n_day0
+    # appends inherit the transform
+    w.append(
+        spark.sql("SELECT CAST(100 AS BIGINT) AS k, TIMESTAMP'2024-06-01 12:00:00' AS ts")
+    )
+    assert read_iceberg(spark, root).count() == 21
+
+
+def test_day_transform_rewrites_and_merge(spark, tmp_path):
+    root = str(tmp_path / "iday_rw")
+    w = IcebergWriter(spark, root)
+    df = spark.sql(
+        "SELECT id AS k, timestampadd(DAY, CAST(id % 3 AS INT),"
+        " TIMESTAMP'2024-01-01 00:00:00') AS ts, 'old' AS tag FROM range(9)"
+    )
+    w.create(df, partition_by=["day(ts)"])
+    # delete by a predicate on the raw ts (present in files)
+    w.delete_where(F.col("ts") == "2024-01-02 00:00:00")
+    assert read_iceberg(spark, root).count() == 6
+    # merge on k: footer-stats pruning path (k lives in the files)
+    src = spark.sql(
+        "SELECT CAST(0 AS BIGINT) AS k, TIMESTAMP'2024-01-01 00:00:00' AS ts, 'new' AS tag"
+    )
+    w.merge(src, "k")
+    got = {(r.k, r.tag) for r in read_iceberg(spark, root).collect()}
+    assert (0, "new") in got and (0, "old") not in got
+    assert len(got) == 6
+    # compaction keeps the layout and the content
+    w.optimize(num_files=1)
+    assert read_iceberg(spark, root).count() == 6
+    assert {pv["ts_day"] for _, pv in IcebergTable(root).data_entries(None)} == {
+        19723,
+        19725,
+    }
+
+
+def test_day_transform_requires_temporal_source(spark, tmp_path):
+    w = IcebergWriter(spark, str(tmp_path / "iday_bad"))
+    with pytest.raises(ValueError, match="day\\(\\) needs a date/timestamp"):
+        w.create(
+            spark.createDataFrame([(1, "x")], "k long, s string"),
+            partition_by=["day(s)"],
+        )
