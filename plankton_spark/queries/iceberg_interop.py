@@ -331,3 +331,66 @@ def q_iceberg_partitioned(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     ).crossJoin(total)
+
+
+@query(
+    "q_iceberg_daypruned",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts2, value
+      FROM events
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS value_sum,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_rows_all
+    FROM e
+    WHERE ts2 >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts2 <  TIMESTAMP '2024-01-13 00:00:00'
+    """,
+)
+def q_iceberg_daypruned(spark, sf_dir):
+    """The day(ts) transform's payoff as a query: events written with
+    an Iceberg day-partition spec, then a 3-day range answered by
+    selecting manifest entries on the typed days-since-epoch ints —
+    pure metadata, no non-matching file is ever opened — while the
+    raw timestamps stay in the files for the exact aggregate.
+    ts is truncated to seconds on write (cross-engine-safe
+    granularity, same policy as the streaming shadows)."""
+    import datetime
+
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergTable,
+        IcebergWriter,
+        _assemble_iceberg,
+        read_iceberg,
+    )
+
+    root = _scratch(sf_dir, "iceberg_day")
+    shutil.rmtree(root, ignore_errors=True)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", F.date_trunc("second", "ts").alias("ts2"), "value"
+    )
+    w = IcebergWriter(spark, root)
+    w.create(ev, partition_by=["day(ts2)"])
+    t = IcebergTable(root)
+    epoch = datetime.date(1970, 1, 1)
+    lo = (datetime.date(2024, 1, 10) - epoch).days
+    hi = (datetime.date(2024, 1, 13) - epoch).days  # exclusive
+    entries = [
+        (p, pv)
+        for p, pv in t.data_entries(None)
+        if lo <= pv["ts2_day"] < hi
+    ]
+    pruned = _assemble_iceberg(spark, t.schema(), [], entries)
+    total = read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_all")
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("value_sum"),
+    ).crossJoin(total)
