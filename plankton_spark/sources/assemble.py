@@ -23,11 +23,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _hive_str(v) -> str:
+def _hive_str(v) -> str | None:
     """A metadata partition value as the string hive-dir discovery
-    would decode for it."""
+    would decode for it. Returns None for floats: Python's str() and
+    Java's dir formatting disagree (1e-07 vs 1.0E-7, float32 roundtrip
+    noise), so float-keyed files can't be dir-verified — callers must
+    take the metadata fallback for them."""
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, float):
+        return None
     return str(v)
 
 
@@ -52,8 +57,12 @@ def _is_hive_laid_out(table_root: str, files, part_cols: list[str]) -> bool:
             if v is None:
                 if raw != "__HIVE_DEFAULT_PARTITION__":
                     return False
-            elif raw != _hive_str(v):
-                return False
+            else:
+                expect = _hive_str(v)
+                if expect is None or raw != expect:
+                    # unverifiable (float formatting) or mismatched →
+                    # metadata fallback
+                    return False
     return True
 
 

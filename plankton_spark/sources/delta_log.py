@@ -227,18 +227,20 @@ def read_delta(
 def _pv_filter_str(v) -> str | None:
     """A caller-supplied partition filter value in Delta's
     partitionValues string encoding: None matches the JSON-null
-    partition, booleans use hive's lowercase form (str(True) ==
-    'True' would silently match nothing), dates/timestamps their
-    ISO form."""
+    partition; dates/timestamps use their ISO form; everything else
+    delegates to the shared hive encoding (assemble._hive_str —
+    lowercase booleans; floats come back None there, so float filter
+    values fall back to plain str, matching what OUR writer's dirs
+    recorded)."""
     import datetime
+
+    from plankton_spark.sources.assemble import _hive_str
 
     if v is None:
         return None
-    if isinstance(v, bool):
-        return "true" if v else "false"
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
-    return str(v)
+    return _hive_str(v) if _hive_str(v) is not None else str(v)
 
 
 def _assemble_view(

@@ -173,11 +173,19 @@ class IcebergTable:
         return list(self.metadata.get("partition-spec") or [])
 
     def source_column(self, spec_field: dict) -> str:
-        """Source column name for a spec field (by source-id)."""
+        """Source column name for a spec field (by source-id),
+        resolved against the CURRENT schema — external metadata keeps
+        historical schemas and does not order them, so schemas[-1]
+        could name the id differently."""
         sid = spec_field.get("source-id")
-        for f in (self.metadata.get("schemas") or [self.metadata["schema"]])[-1][
-            "fields"
-        ]:
+        md = self.metadata
+        schemas = md.get("schemas")
+        if schemas:
+            cur_id = md.get("current-schema-id", 0)
+            ice = next(s for s in schemas if s.get("schema-id") == cur_id)
+        else:
+            ice = md["schema"]
+        for f in ice["fields"]:
             if f["id"] == sid:
                 return f["name"]
         raise ValueError(
@@ -399,18 +407,27 @@ _PART_AVRO = {
 def _parse_partition_by(partition_by: list[str]) -> list[dict]:
     """Normalize create()'s partition_by syntax: "col" → identity,
     "day(col)" / "days(col)" → the day transform (field name
-    <col>_day per Iceberg convention)."""
+    <col>_day per Iceberg convention). Any OTHER function-call syntax
+    (month(ts), bucket(4, k), DAY(ts), ...) is an unsupported
+    transform and says so — falling through to identity would produce
+    the misleading "column not in df" error instead."""
     import re as _re
 
     out = []
     for raw in partition_by:
-        m = _re.fullmatch(r"days?\((\w+)\)", raw.strip())
+        raw = raw.strip()
+        m = _re.fullmatch(r"days?\((\w+)\)", raw)
         if m:
             out.append(
                 {"name": f"{m.group(1)}_day", "transform": "day", "source": m.group(1)}
             )
-        else:
-            out.append({"name": raw, "transform": "identity", "source": raw})
+            continue
+        if "(" in raw or ")" in raw:
+            raise ValueError(
+                f"unsupported partition transform {raw!r} "
+                "(supported: bare column for identity, day(col)/days(col))"
+            )
+        out.append({"name": raw, "transform": "identity", "source": raw})
     return out
 
 
@@ -575,13 +592,21 @@ class IcebergWriter:
                 if f["transform"] == "identity":
                     dir_cols.append(f["name"])  # name == source column
                 else:  # day
-                    staged_df = staged_df.withColumn(
-                        f["name"],
-                        F.datediff(
+                    # spec defines day() of a timestamptz in UTC: derive
+                    # from epoch seconds (session-tz-independent). Date /
+                    # NTZ sources are wall-clock values — datediff is
+                    # already tz-free for them.
+                    src_t = dtypes[f["source"]]
+                    if isinstance(src_t, T.TimestampType):
+                        day_col = F.floor(
+                            F.unix_timestamp(F.col(f["source"])) / F.lit(86400)
+                        ).cast("int")
+                    else:
+                        day_col = F.datediff(
                             F.col(f["source"]).cast("date"),
                             F.lit("1970-01-01").cast("date"),
-                        ),
-                    )
+                        )
+                    staged_df = staged_df.withColumn(f["name"], day_col)
                     dir_cols.append(f["name"])
             ident_cols = [f["name"] for f in spec if f["transform"] == "identity"]
             if ident_cols:
@@ -736,6 +761,17 @@ class IcebergWriter:
         missing = [f["source"] for f in spec if f["source"] not in df.columns]
         if missing:
             raise ValueError(f"partition_by columns not in df: {missing}")
+        clash = [
+            f["name"]
+            for f in spec
+            if f["transform"] != "identity" and f["name"] in df.columns
+        ]
+        if clash:
+            raise ValueError(
+                f"derived partition field names {clash} collide with "
+                "existing columns — the withColumn would silently replace "
+                "their data; rename the column or the transform source"
+            )
         es = (
             _entry_schema(_spec_avro_fields(df.schema, spec, self.table_path))
             if spec

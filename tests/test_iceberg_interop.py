@@ -964,3 +964,37 @@ def test_day_transform_requires_temporal_source(spark, tmp_path):
             spark.createDataFrame([(1, "x")], "k long, s string"),
             partition_by=["day(s)"],
         )
+
+
+def test_day_transform_is_utc_not_session_tz(spark, tmp_path):
+    """day() of a timestamptz is defined in UTC by the spec: an
+    instant at 2024-01-11 04:00 UTC must land in day 19733 even when
+    the session timezone would call it Jan 10 — external readers
+    compute the UTC day, and a session-tz derivation would make their
+    metadata pruning skip the wrong files."""
+    instant = 1704945600  # 2024-01-11 04:00:00 UTC
+    utc_day = instant // 86400
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.sql(
+            f"SELECT CAST(1 AS BIGINT) AS k, timestamp_seconds({instant}) AS ts"
+        )
+        root = str(tmp_path / "iday_tz")
+        IcebergWriter(spark, root).create(df, partition_by=["day(ts)"])
+        days = {pv["ts_day"] for _, pv in IcebergTable(root).data_entries(None)}
+        assert days == {utc_day}, days
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_partition_by_rejects_unknown_transform_and_name_clash(spark, tmp_path):
+    w = IcebergWriter(spark, str(tmp_path / "ibadspec"))
+    df = spark.sql("SELECT CAST(1 AS BIGINT) AS k, TIMESTAMP'2024-01-01' AS ts")
+    with pytest.raises(ValueError, match="unsupported partition transform"):
+        w.create(df, partition_by=["month(ts)"])
+    clash = df.withColumn("ts_day", F.lit(7))
+    with pytest.raises(ValueError, match="collide"):
+        IcebergWriter(spark, str(tmp_path / "iclash")).create(
+            clash, partition_by=["day(ts)"]
+        )
