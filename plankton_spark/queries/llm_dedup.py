@@ -19,7 +19,6 @@ Scale design (the whole point of these):
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from plankton_spark import cache
@@ -635,13 +634,19 @@ def collapse_duplicate_vectors(embeddings):
     whole reason an embcos pass exists) turn an O(N²) GEMM into
     O(U²) + O(|answer|); a fully-unique corpus pays one extra shuffle.
     Exactness is free: identical arrays ⇒ bit-identical exact cosines.
+
+    The representative is found with groupBy(embedding).agg(min), NOT
+    a Window.partitionBy("embedding") — the aggregate gets a map-side
+    partial min (one row per distinct array per input partition
+    crosses the shuffle) and the membership join-back is AQE
+    skew-splittable, while a window exchange ships every corpus row
+    and is exempt from AQE skew handling (r6 verdict #3: a degenerate
+    corpus with one vector duplicated 10⁹× lands on a single task).
     """
-    w = Window.partitionBy("embedding")
+    reps = embeddings.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
     members = cache.persist_swap(
         "embcos:members",
-        embeddings.select(
-            "vec_id", "embedding", F.min("vec_id").over(w).alias("rep_id")
-        ),
+        embeddings.join(reps, "embedding").select("vec_id", "embedding", "rep_id"),
     )
     uniq = members.where(F.col("vec_id") == F.col("rep_id")).select(
         "vec_id", "embedding"

@@ -11,11 +11,11 @@ driver; no global sort materializes even at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from plankton_spark.functions import money, sql_money
 from plankton_spark.io import read_table
+from plankton_spark.operators import global_row_number
 from plankton_spark.registry import query
 
 
@@ -62,18 +62,26 @@ def q_sort_multikey(spark, sf_dir):
     """,
 )
 def q_sort_nulls(spark, sf_dir):
-    """NULLS FIRST semantics over manufactured nulls, rank emitted."""
+    """NULLS FIRST semantics over manufactured nulls, rank emitted.
+
+    The filter output grows with the data, so the global ROW_NUMBER is
+    computed with the two-pass range-partition design
+    (operators.global_row_number) — the naive Window.orderBy(...) plan
+    funnels every surviving row through a single task (r6 verdict #2).
+    """
     li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 400)
     disc = F.nullif(F.col("l_discount"), F.lit(0.05))
-    w = Window.orderBy(disc.asc_nulls_first(), "l_orderkey", "l_linenumber")
-    return (
-        li.select(
-            "l_orderkey",
-            "l_linenumber",
-            disc.alias("disc_nullable"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .where(F.col("rn") <= 40)
+    ranked = global_row_number(
+        li.select("l_orderkey", "l_linenumber", disc.alias("disc_nullable")),
+        [
+            F.col("disc_nullable").asc_nulls_first(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        out="rn",
+    )
+    return ranked.where(F.col("rn") <= 40).select(
+        "l_orderkey", "l_linenumber", "disc_nullable", "rn"
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from plankton_spark.io import read_table
+from plankton_spark.operators import exclusive_prefix_max
 from plankton_spark.registry import query
 from plankton_spark.streaming import jobs
 
@@ -126,10 +127,15 @@ def q_stream_watermark(spark, sf_dir):
     """Watermark semantics, batch-modeled: an event is droppable when
     it arrives (event_id order = arrival order) with event time more
     than 1h behind the high-water mark already seen. The streaming
-    replay test asserts the same count via .withWatermark."""
+    replay test asserts the same count via .withWatermark.
+
+    The high-water mark is a global exclusive running max over arrival
+    order — computed with the parallel-prefix construction
+    (operators.exclusive_prefix_max) instead of an unpartitioned
+    window, which would funnel the whole stream history through one
+    task (r6 verdict #2)."""
     e = jobs.with_second_ts(read_table(spark, sf_dir, "events"))
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    wm = e.withColumn("high_water", F.max("ts2").over(w))
+    wm = exclusive_prefix_max(e, [F.col("event_id")], "ts2", "high_water")
     return wm.agg(
         F.count(
             F.when(

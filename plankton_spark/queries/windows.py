@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from plankton_spark.io import read_table
+from plankton_spark.operators import global_row_number
 from plankton_spark.registry import query
 
 
@@ -75,17 +76,11 @@ def q_win_ntile_pctrank(spark, sf_dir):
     computed WITHOUT a single-partition window (the naive
     Window.orderBy(...) plan funnels every row through one task).
 
-    Two-pass global ranking:
-      1. range-repartition on the sort key; count rows per range
-         partition (partial-aggregated: one row per partition id);
-      2. turn those P counts into exclusive prefix offsets with a tiny
-         broadcast theta-join (no global window, no driver collect —
-         same idea as RDD.zipWithIndex's count pass, kept on
-         executors);
-      3. row_number windowed BY partition id (P-way parallel) + offset
-         = exact global rank. The sort key is tie-broken by a unique
-         key (§2.0), so rank == row_number and the rank-family exprs
-         are closed-form in (rn, n).
+    Uses the shared two-pass global ranking operator
+    (operators.global_row_number — range-repartition, broadcast prefix
+    offsets, pid-partitioned row_number). The sort key is tie-broken
+    by a unique key (§2.0), so rank == row_number and the rank-family
+    exprs are closed-form in (rn, n).
 
     NTILE(k) follows SQL semantics: the first n % k tiles get
     ceil(n/k) rows, the rest floor(n/k).
@@ -95,29 +90,12 @@ def q_win_ntile_pctrank(spark, sf_dir):
         .where(F.col("o_orderkey") < 3000)
         .select("o_orderkey", "o_totalprice")
     )
-    p = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = o.repartitionByRange(p, "o_totalprice", "o_orderkey").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    # pass 1: per-range-partition counts (tiny: ≤ p rows; the range
-    # exchange is shared with pass 2 via ReuseExchange)
-    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    c2 = counts.select(F.col("pid").alias("pid2"), F.col("cnt").alias("cnt2"))
-    offsets = (
-        counts.join(F.broadcast(c2), F.col("pid2") < F.col("pid"), "left")
-        .groupBy("pid")
-        .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).alias("off"))
-    )
-    total = counts.agg(F.sum("cnt").alias("n"))
-    # pass 2: per-partition row_number (WindowExec partitioned by pid —
-    # p-way parallel), then shift by the broadcast prefix offset
-    wlocal = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    rn = (F.col("off") + F.row_number().over(wlocal)).alias("rn")
-    ranked = (
-        ranged.join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(total))
-        .select("o_orderkey", "n", rn)
-    )
+    ranked = global_row_number(
+        o,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        out="rn",
+        total_out="n",
+    ).select("o_orderkey", "n", "rn")
     k = F.lit(4)
     base = (F.col("n") / k).cast("long")  # floor(n/k)
     rem = F.col("n") % k

@@ -102,14 +102,15 @@ def test_events_filter_pushdown_survives_ns_conversion(spark):
 def test_global_ranking_has_no_single_partition_window(spark):
     """q_win_ntile_pctrank must not funnel all rows through one task:
     every WindowExec in the plan needs a non-empty partition spec
-    (the two-pass range-partition + offset design, VERDICT r2 #2)."""
+    (the two-pass range-partition + offset design, VERDICT r2 #2,
+    now shared via operators.global_row_number)."""
     df = all_queries()["q_win_ntile_pctrank"](spark, SF0001)
     plan = plan_of(df)
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs, plan
-    # every window spec's first column is the partition key `pid`
+    # every window spec's first column is the partition key `__pid`
     # (an unpartitioned spec would lead with the order col o_totalprice)
-    assert set(specs) == {"pid"}, specs
+    assert set(specs) == {"__pid"}, specs
     # and the range-repartition pass must be present (shared via reuse)
     assert "rangepartitioning" in plan.lower(), plan
 
