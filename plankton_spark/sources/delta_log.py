@@ -33,6 +33,45 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
+# Reader-protocol support (Delta spec, "Protocol Evolution"): this
+# pure-Python reader implements reader-version-1 semantics only. A
+# table demanding more (v2 = column mapping; v3 = table features,
+# e.g. deletionVectors / v2Checkpoint) would be read WRONG, not just
+# slowly — DV'd files would resurface deleted rows, mapped columns
+# would mis-resolve — so the spec requires refusing it outright
+# (mirrors iceberg_meta.py's v2 delete-file refusal).
+SUPPORTED_MIN_READER_VERSION = 1
+SUPPORTED_READER_FEATURES: frozenset[str] = frozenset()
+
+
+class DeltaProtocolError(ValueError):
+    """The table's reader protocol demands features this reader does
+    not implement; reading anyway would return wrong results."""
+
+
+def _check_reader_protocol(protocol: dict, table_path: str) -> None:
+    v = protocol.get("minReaderVersion") or 1
+    if v <= SUPPORTED_MIN_READER_VERSION:
+        return
+    feats = protocol.get("readerFeatures")
+    if v >= 3 and feats is not None:
+        # table-features protocol: version number is irrelevant, the
+        # reader may proceed iff it implements EVERY listed feature
+        missing = sorted(set(feats) - SUPPORTED_READER_FEATURES)
+        if not missing:
+            return
+        raise DeltaProtocolError(
+            f"{table_path}: requires Delta reader features {missing} "
+            f"(supported: {sorted(SUPPORTED_READER_FEATURES) or 'none'}); "
+            f"refusing to read — results would be incorrect"
+        )
+    raise DeltaProtocolError(
+        f"{table_path}: requires Delta minReaderVersion={v} "
+        f"(supported: {SUPPORTED_MIN_READER_VERSION}); refusing to read "
+        f"— results would be incorrect"
+    )
+
+
 def _commit_versions(log_dir: str) -> list[int]:
     out = []
     for f in os.listdir(log_dir):
@@ -153,6 +192,7 @@ class DeltaLog:
         schema: T.StructType | None = None
         part_cols: list[str] = []
         active: dict[str, dict] = {}
+        protocol: dict | None = None
         for a in actions:
             if "metaData" in a:
                 md = a["metaData"]
@@ -167,6 +207,10 @@ class DeltaLog:
                 active[add["path"]] = add
             elif "remove" in a:
                 active.pop(a["remove"]["path"], None)
+            elif "protocol" in a:
+                protocol = a["protocol"]
+        if protocol is not None:
+            _check_reader_protocol(protocol, self.table_path)
         if schema is None:
             raise ValueError(f"no metaData action found in {self.log_dir}")
         return schema, part_cols, active
@@ -525,7 +569,7 @@ class DeltaLogWriter:
                         "path": rel,
                         "partitionValues": pv,
                         "size": os.path.getsize(dst),
-                        "modificationTime": 0,
+                        "modificationTime": int(os.path.getmtime(dst) * 1000),
                         "dataChange": True,
                         # per-file column stats per the Delta spec —
                         # what MERGE's key-range file pruning reads
@@ -1084,7 +1128,7 @@ def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
     log = DeltaLog(table_path)
     if version is None:
         version = log.latest_version()
-    schema, part_cols, files = log.snapshot(version)
+    schema, part_cols, active = log.replay(version)
     str_map = pa.map_(pa.string(), pa.string())
     cp_schema = pa.schema(
         [
@@ -1115,7 +1159,16 @@ def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
                         pa.field("path", pa.string()),
                         pa.field("partitionValues", str_map),
                         pa.field("size", pa.int64()),
+                        # required for add actions by the Delta spec;
+                        # external readers may reject a checkpoint
+                        # whose add struct omits it (ADVICE r6 #1)
+                        pa.field("modificationTime", pa.int64()),
                         pa.field("dataChange", pa.bool_()),
+                        # carried through so MERGE's log-stats file
+                        # pruning survives cleanup of pre-checkpoint
+                        # JSON commits instead of silently degrading
+                        # to per-file footer reads on the driver
+                        pa.field("stats", pa.string()),
                     ]
                 ),
             ),
@@ -1147,17 +1200,25 @@ def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
             "add": None,
         },
     ]
-    for abs_path, pv in sorted(files):
-        rel = os.path.relpath(abs_path, table_path)
+    for rel, add in sorted(active.items()):
+        abs_path = os.path.join(table_path, rel)
+        mtime = add.get("modificationTime") or int(
+            os.path.getmtime(abs_path) * 1000
+        )
+        stats = add.get("stats")
         rows.append(
             {
                 "metaData": None,
                 "protocol": None,
                 "add": {
                     "path": rel,
-                    "partitionValues": list((pv or {}).items()),
-                    "size": os.path.getsize(abs_path),
+                    "partitionValues": list(
+                        (add.get("partitionValues") or {}).items()
+                    ),
+                    "size": add.get("size") or os.path.getsize(abs_path),
+                    "modificationTime": mtime,
                     "dataChange": True,
+                    "stats": stats if isinstance(stats, str) else None,
                 },
                 "txn": None,
             }
