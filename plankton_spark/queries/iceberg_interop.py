@@ -381,7 +381,10 @@ def q_iceberg_daypruned(spark, sf_dir):
     entries = [
         (p, pv)
         for p, pv in t.data_entries(None)
-        if lo <= pv["ts2_day"] < hi
+        # NULL ts rows land in __HIVE_DEFAULT_PARTITION__ with value
+        # None (and a foreign entry may omit the field entirely) —
+        # a null day can never match the range predicate (ADVICE r6)
+        if pv.get("ts2_day") is not None and lo <= pv["ts2_day"] < hi
     ]
     pruned = _assemble_iceberg(spark, t.schema(), [], entries)
     total = read_iceberg(spark, root).agg(
@@ -393,4 +396,63 @@ def q_iceberg_daypruned(spark, sf_dir):
         F.round(
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
         ).alias("value_sum"),
+    ).crossJoin(total)
+
+
+@query(
+    "q_iceberg_bucketpruned",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS bal_sum,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows_all
+    FROM customer WHERE c_custkey IN (7, 421, 1188)
+    """,
+)
+def q_iceberg_bucketpruned(spark, sf_dir):
+    """The bucket(N, col) transform's payoff as a query: customer
+    written with an Iceberg bucket[8] partition spec over c_custkey
+    (spec murmur3 bucket ids in the manifest partition records), then
+    a key-equality lookup answered by pruning manifest entries to the
+    predicate literals' buckets — pure metadata, only matching-bucket
+    files are opened — with the exact residual filter applied in-scan.
+    The full-count column pins the unpruned read."""
+    from pyspark.sql import types as T
+
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergTable,
+        IcebergWriter,
+        _assemble_iceberg,
+        iceberg_bucket,
+        read_iceberg,
+    )
+
+    root = _scratch(sf_dir, "iceberg_bucket")
+    shutil.rmtree(root, ignore_errors=True)
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    w = IcebergWriter(spark, root)
+    w.create(c, partition_by=["bucket(8, c_custkey)"])
+    keys = [7, 421, 1188]
+    buckets = {iceberg_bucket(k, T.LongType(), 8) for k in keys}
+    t = IcebergTable(root)
+    entries = [
+        (p, pv)
+        for p, pv in t.data_entries(None)
+        if pv.get("c_custkey_bucket") in buckets
+    ]
+    pruned = _assemble_iceberg(spark, t.schema(), [], entries).where(
+        F.col("c_custkey").isin(keys)
+    )
+    total = read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_all")
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("bal_sum"),
     ).crossJoin(total)

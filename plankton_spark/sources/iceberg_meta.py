@@ -33,6 +33,9 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under
+# `from __future__ import annotations` (string hints eval in module globals)
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -148,12 +151,13 @@ class IcebergTable:
         so they never need attaching. strict=True additionally rejects
         transforms the writer can't stage (anything but identity/day) —
         readers never raise."""
-        spec = self.metadata.get("partition-spec") or []
+        spec = self.partition_spec()
         if strict:
             bad = [
                 f
                 for f in spec
-                if f.get("transform", "identity") not in ("identity", "day", "days")
+                if _norm_transform(f.get("transform", "identity"))[0]
+                not in _WRITER_TRANSFORMS
             ]
             if bad:
                 raise ValueError(
@@ -169,8 +173,30 @@ class IcebergTable:
     def partition_spec(self) -> list[dict]:
         """The full partition-spec field list (name, transform,
         source-id, field-id) — transforms included, unlike
-        partition_fields which is the identity-attach subset."""
-        return list(self.metadata.get("partition-spec") or [])
+        partition_fields which is the identity-attach subset.
+
+        Resolution order per the spec: the legacy top-level
+        'partition-spec' when present, else 'partition-specs' by
+        'default-spec-id' — v2 metadata (and some v1 writers) carry
+        ONLY the latter, and treating them as spec-less would stage
+        unpartitioned files into a partitioned external table
+        (ADVICE r6 #2)."""
+        md = self.metadata
+        spec = md.get("partition-spec")
+        if spec is None:
+            specs = md.get("partition-specs")
+            if specs:
+                sid = md.get("default-spec-id", 0)
+                match = next(
+                    (s for s in specs if s.get("spec-id") == sid), None
+                )
+                if match is None:
+                    raise ValueError(
+                        f"{self.table_path}: default-spec-id {sid} not in "
+                        f"partition-specs {[s.get('spec-id') for s in specs]}"
+                    )
+                spec = match.get("fields")
+        return list(spec or [])
 
     def source_column(self, spec_field: dict) -> str:
         """Source column name for a spec field (by source-id),
@@ -255,10 +281,16 @@ def _assemble_iceberg(
     from plankton_spark.sources.assemble import assemble_view
 
     if table_root is None and entries:
-        # files live under <root>/data[/<col>=<val>...]
-        table_root = entries[0][0]
-        while _os.path.basename(table_root) != "data" and table_root != "/":
-            table_root = _os.path.dirname(table_root)
+        # files live under <root>/data[/<col>=<val>...]; normalize to
+        # absolute first and stop when dirname stops shrinking, so a
+        # relative path or a layout with no data/ segment terminates
+        # instead of spinning on '' (ADVICE r6 #3)
+        table_root = _os.path.abspath(entries[0][0])
+        while _os.path.basename(table_root) != "data":
+            parent = _os.path.dirname(table_root)
+            if parent == table_root:
+                break
+            table_root = parent
         table_root = _os.path.dirname(table_root)
     return assemble_view(
         spark,
@@ -403,14 +435,215 @@ _PART_AVRO = {
     T.BooleanType: "boolean",
 }
 
+# Transforms the WRITER can stage (readers never raise on foreign
+# specs — transform fields are derived columns whose source columns
+# live in the data files).
+_WRITER_TRANSFORMS = {"identity", "day", "hour", "bucket", "truncate"}
+
+
+def _norm_transform(tr: str) -> tuple[str, int | None]:
+    """Iceberg metadata transform string → (kind, param):
+    'bucket[16]' → ('bucket', 16); 'days' → ('day', None); unknown
+    strings pass through as (tr, None) so callers can report them."""
+    import re as _re
+
+    m = _re.fullmatch(r"(bucket|truncate)\[(\d+)\]", tr)
+    if m:
+        return m.group(1), int(m.group(2))
+    return {"days": "day", "hours": "hour", "dates": "day"}.get(tr, tr), None
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant), unsigned result — the hash the
+    Iceberg spec mandates for the bucket transform (Appendix B).
+    Pure Python; used driver-side for single predicate literals and
+    as the scalar kernel of the staging UDF."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[rounded:]
+    if tail:
+        k = 0
+        for i, b in enumerate(tail):
+            k |= b << (8 * i)
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _bucket_of_long(v: int, n: int) -> int:
+    """bucket[n] of an int/long/date(days)/timestamp(micros) value:
+    the spec hashes ALL integer types as the 8-byte little-endian
+    long (so bucket(34) == bucket(34L) across engines)."""
+    h = murmur3_32(int(v).to_bytes(8, "little", signed=True))
+    return (h & 0x7FFFFFFF) % n
+
+
+def _bucket_of_str(v: str, n: int) -> int:
+    h = murmur3_32(v.encode("utf-8"))
+    return (h & 0x7FFFFFFF) % n
+
+
+def iceberg_bucket(value, dtype: T.DataType, n: int) -> int:
+    """Spec bucket id of a single predicate literal — what metadata-
+    only bucket pruning compares against manifest partition records.
+    `value`: python int/str, datetime.date, or datetime.datetime
+    (UTC) matching `dtype`."""
+    import datetime as _dt
+
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return _bucket_of_long(value, n)
+    if isinstance(dtype, T.StringType):
+        return _bucket_of_str(value, n)
+    if isinstance(dtype, T.DateType):
+        days = (value - _dt.date(1970, 1, 1)).days
+        return _bucket_of_long(days, n)
+    if isinstance(dtype, T.TimestampType):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=_dt.timezone.utc)
+        micros = int(value.timestamp() * 1_000_000)
+        return _bucket_of_long(micros, n)
+    raise ValueError(f"bucket transform unsupported for {dtype.simpleString()}")
+
+
+def _bucket_long_udf(n: int):
+    """Arrow-batched bucket kernel for staging: input is the already-
+    encoded long domain (int/long as-is, date→days, timestamp→micros),
+    murmur3 fully vectorized in numpy (two 32-bit blocks of the
+    little-endian 8-byte encoding, all ops wrapping uint32)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _vec(vals: "np.ndarray") -> "np.ndarray":
+        c1 = np.uint32(0xCC9E2D51)
+        c2 = np.uint32(0x1B873593)
+        with np.errstate(over="ignore"):
+            v = vals.astype(np.int64).view(np.uint64)
+            h = np.zeros(len(v), dtype=np.uint32)
+            for blk in (v & np.uint64(0xFFFFFFFF), v >> np.uint64(32)):
+                k = blk.astype(np.uint32)
+                k *= c1
+                k = (k << np.uint32(15)) | (k >> np.uint32(17))
+                k *= c2
+                h ^= k
+                h = (h << np.uint32(13)) | (h >> np.uint32(19))
+                h = h * np.uint32(5) + np.uint32(0xE6546B64)
+            h ^= np.uint32(8)  # len(8 bytes)
+            h ^= h >> np.uint32(16)
+            h *= np.uint32(0x85EBCA6B)
+            h ^= h >> np.uint32(13)
+            h *= np.uint32(0xC2B2AE35)
+            h ^= h >> np.uint32(16)
+        return ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int32)
+
+    @pandas_udf("int")
+    def b(s: pd.Series) -> pd.Series:
+        # caller guarantees non-null input (nulls handled Spark-side),
+        # so the series arrives as true int64 — a nullable column
+        # would arrive as float64 and corrupt longs beyond 2^53
+        return pd.Series(_vec(s.to_numpy(dtype=np.int64)), index=s.index)
+
+    return b
+
+
+def _bucket_str_udf(n: int):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def b(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else _bucket_of_str(v, n)).astype(
+            "Int32"
+        )
+
+    return b
+
+
+def _derived_partition_col(kind: str, param: int | None, source: str, src_t):
+    """The Spark column expression of a transform's derived partition
+    value, matching the spec's definitions exactly:
+
+    - day/hour of a timestamptz are UTC ordinals — derived from epoch
+      seconds (session-tz-independent); date / NTZ sources are
+      wall-clock values, so datediff/hour are already tz-free;
+    - bucket[N] = (murmur3_32(spec byte encoding) & Int.MAX) % N, all
+      integer types encoded as the 8-byte little-endian long;
+    - truncate[W]: strings → first W chars; ints → v - pmod(v, W)
+      (floored modulo, so negatives round toward -inf).
+
+    Everything except bucket is a built-in JVM expression; bucket's
+    murmur3 runs as an Arrow-batched numpy kernel (no row-at-a-time
+    Python) — and only on the WRITE staging path."""
+    if kind == "day":
+        if isinstance(src_t, T.TimestampType):
+            return F.floor(F.unix_timestamp(F.col(source)) / F.lit(86400)).cast(
+                "int"
+            )
+        return F.datediff(
+            F.col(source).cast("date"), F.lit("1970-01-01").cast("date")
+        )
+    if kind == "hour":
+        if isinstance(src_t, T.TimestampType):
+            return F.floor(F.unix_timestamp(F.col(source)) / F.lit(3600)).cast(
+                "int"
+            )
+        return (
+            F.datediff(
+                F.col(source).cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            * 24
+            + F.hour(F.col(source))
+        ).cast("int")
+    if kind == "bucket":
+        if isinstance(src_t, T.StringType):
+            return _bucket_str_udf(param)(F.col(source))
+        if isinstance(src_t, T.DateType):
+            enc = F.datediff(
+                F.col(source), F.lit("1970-01-01").cast("date")
+            ).cast("long")
+        elif isinstance(src_t, T.TimestampType):
+            enc = F.unix_micros(F.col(source))
+        else:
+            enc = F.col(source).cast("long")
+        # null source → null partition value, decided Spark-side so the
+        # kernel always sees a dense int64 series (see _bucket_long_udf)
+        return F.when(
+            enc.isNotNull(), _bucket_long_udf(param)(F.coalesce(enc, F.lit(0)))
+        )
+    if kind == "truncate":
+        if isinstance(src_t, T.StringType):
+            return F.substring(F.col(source), 1, param)
+        return (F.col(source) - F.pmod(F.col(source), F.lit(param))).cast(src_t)
+    raise ValueError(f"no derived column for transform {kind!r}")
+
 
 def _parse_partition_by(partition_by: list[str]) -> list[dict]:
     """Normalize create()'s partition_by syntax: "col" → identity,
-    "day(col)" / "days(col)" → the day transform (field name
-    <col>_day per Iceberg convention). Any OTHER function-call syntax
-    (month(ts), bucket(4, k), DAY(ts), ...) is an unsupported
-    transform and says so — falling through to identity would produce
-    the misleading "column not in df" error instead."""
+    "day(col)"/"days(col)" → day, "hour(col)"/"hours(col)" → hour,
+    "bucket(N, col)" → bucket[N], "truncate(W, col)" → truncate[W]
+    (field names <col>_day / <col>_hour / <col>_bucket / <col>_trunc
+    per Iceberg convention). Any OTHER function-call syntax
+    (month(ts), DAY(ts), ...) is an unsupported transform and says so
+    — falling through to identity would produce the misleading
+    "column not in df" error instead."""
     import re as _re
 
     out = []
@@ -422,10 +655,41 @@ def _parse_partition_by(partition_by: list[str]) -> list[dict]:
                 {"name": f"{m.group(1)}_day", "transform": "day", "source": m.group(1)}
             )
             continue
+        m = _re.fullmatch(r"hours?\((\w+)\)", raw)
+        if m:
+            out.append(
+                {
+                    "name": f"{m.group(1)}_hour",
+                    "transform": "hour",
+                    "source": m.group(1),
+                }
+            )
+            continue
+        m = _re.fullmatch(r"bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)", raw)
+        if m:
+            out.append(
+                {
+                    "name": f"{m.group(2)}_bucket",
+                    "transform": f"bucket[{m.group(1)}]",
+                    "source": m.group(2),
+                }
+            )
+            continue
+        m = _re.fullmatch(r"truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)", raw)
+        if m:
+            out.append(
+                {
+                    "name": f"{m.group(2)}_trunc",
+                    "transform": f"truncate[{m.group(1)}]",
+                    "source": m.group(2),
+                }
+            )
+            continue
         if "(" in raw or ")" in raw:
             raise ValueError(
                 f"unsupported partition transform {raw!r} "
-                "(supported: bare column for identity, day(col)/days(col))"
+                "(supported: bare column for identity, day(col), hour(col), "
+                "bucket(N, col), truncate(W, col))"
             )
         out.append({"name": raw, "transform": "identity", "source": raw})
     return out
@@ -437,11 +701,13 @@ def _spec_avro_fields(
     """Avro primitive per partition record field: identity fields use
     the source column's type (restricted to _PART_AVRO — date/
     timestamp identity keys would need the spec's int encodings);
-    day fields are always int (days since epoch)."""
+    day/hour/bucket fields are always int (days/hours since epoch,
+    bucket ordinal); truncate keeps the source's primitive."""
     out = []
     for f in spec:
-        if f["transform"] == "day":
-            st = schema[f["source"]].dataType
+        kind, _ = _norm_transform(f["transform"])
+        st = schema[f["source"]].dataType
+        if kind == "day":
             if not isinstance(st, (T.DateType, T.TimestampType, T.TimestampNTZType)):
                 raise ValueError(
                     f"{table_path}: day() needs a date/timestamp source, "
@@ -449,11 +715,51 @@ def _spec_avro_fields(
                 )
             out.append((f["name"], "int"))
             continue
-        t = type(schema[f["source"]].dataType)
+        if kind == "hour":
+            if not isinstance(st, (T.TimestampType, T.TimestampNTZType)):
+                raise ValueError(
+                    f"{table_path}: hour() needs a timestamp source "
+                    f"(the spec defines it for timestamps only), got "
+                    f"{st.simpleString()} for {f['source']!r}"
+                )
+            out.append((f["name"], "int"))
+            continue
+        if kind == "bucket":
+            if not isinstance(
+                st,
+                (
+                    T.ByteType,
+                    T.ShortType,
+                    T.IntegerType,
+                    T.LongType,
+                    T.StringType,
+                    T.DateType,
+                    T.TimestampType,
+                ),
+            ):
+                raise ValueError(
+                    f"{table_path}: bucket() supports int/long/string/"
+                    f"date/timestamp sources, got {st.simpleString()} "
+                    f"for {f['source']!r}"
+                )
+            out.append((f["name"], "int"))
+            continue
+        if kind == "truncate":
+            if isinstance(st, T.StringType):
+                out.append((f["name"], "string"))
+            elif isinstance(st, (T.IntegerType, T.LongType)):
+                out.append((f["name"], _PART_AVRO[type(st)]))
+            else:
+                raise ValueError(
+                    f"{table_path}: truncate() supports int/long/string "
+                    f"sources, got {st.simpleString()} for {f['source']!r}"
+                )
+            continue
+        t = type(st)
         if t not in _PART_AVRO:
             raise ValueError(
                 f"{table_path}: unsupported partition column type "
-                f"{schema[f['source']].dataType.simpleString()} for "
+                f"{st.simpleString()} for "
                 f"{f['source']!r} (supported: int/long/float/double/"
                 "string/boolean; use day(col) for date/timestamp)"
             )
@@ -588,29 +894,31 @@ class IcebergWriter:
             dtypes = {f.name: f.dataType for f in df.schema.fields}
             dir_cols = []
             staged_df = df
+            trunc_str_cols = []
             for f in spec:
-                if f["transform"] == "identity":
+                kind, param = _norm_transform(f["transform"])
+                if kind == "identity":
                     dir_cols.append(f["name"])  # name == source column
-                else:  # day
-                    # spec defines day() of a timestamptz in UTC: derive
-                    # from epoch seconds (session-tz-independent). Date /
-                    # NTZ sources are wall-clock values — datediff is
-                    # already tz-free for them.
-                    src_t = dtypes[f["source"]]
-                    if isinstance(src_t, T.TimestampType):
-                        day_col = F.floor(
-                            F.unix_timestamp(F.col(f["source"])) / F.lit(86400)
-                        ).cast("int")
-                    else:
-                        day_col = F.datediff(
-                            F.col(f["source"]).cast("date"),
-                            F.lit("1970-01-01").cast("date"),
-                        )
-                    staged_df = staged_df.withColumn(f["name"], day_col)
-                    dir_cols.append(f["name"])
+                    continue
+                col = _derived_partition_col(
+                    kind, param, f["source"], dtypes[f["source"]]
+                )
+                staged_df = staged_df.withColumn(f["name"], col)
+                dir_cols.append(f["name"])
+                if kind == "truncate" and isinstance(
+                    dtypes[f["source"]], T.StringType
+                ):
+                    trunc_str_cols.append(f["name"])
             ident_cols = [f["name"] for f in spec if f["transform"] == "identity"]
             if ident_cols:
                 _reject_empty_string_partitions(df, ident_cols, self.table_path)
+            if trunc_str_cols:
+                # a truncated empty string is '' → would round-trip as
+                # NULL through __HIVE_DEFAULT_PARTITION__, same hazard
+                # as identity string keys
+                _reject_empty_string_partitions(
+                    staged_df, trunc_str_cols, self.table_path
+                )
             staged_df.write.partitionBy(*dir_cols).mode("overwrite").parquet(tmp)
             field_by_name = {f["name"]: f for f in spec}
         else:
@@ -629,9 +937,16 @@ class IcebergWriter:
                     v = _url.unquote(raw)
                     if v == "__HIVE_DEFAULT_PARTITION__":
                         pv[k] = None
-                    elif field_by_name[k]["transform"] == "identity":
+                        continue
+                    kind, _ = _norm_transform(field_by_name[k]["transform"])
+                    if kind == "identity":
                         pv[k] = _typed_pv(v, dtypes[k])
-                    else:  # day: dir value IS the days-since-epoch int
+                    elif kind == "truncate":
+                        # truncate keeps the source's primitive
+                        pv[k] = _typed_pv(
+                            v, dtypes[field_by_name[k]["source"]]
+                        )
+                    else:  # day/hour/bucket: dir value IS the int ordinal
                         pv[k] = int(v)
                 reldir = os.path.join("data", subdir)
                 os.makedirs(os.path.join(self.table_path, reldir), exist_ok=True)
@@ -656,22 +971,23 @@ class IcebergWriter:
 
     def _writer_spec(self, table: "IcebergTable") -> list[dict]:
         """The table's partition spec normalized for staging:
-        [{name, transform, source}], identity/day only — anything else
-        can't be staged correctly and raises."""
+        [{name, transform, source}] over the writer-stageable
+        transform set (identity/day/hour/bucket[N]/truncate[W]) —
+        anything else can't be staged correctly and raises."""
         out = []
         for f in table.partition_spec():
             tr = f.get("transform", "identity")
-            if tr in ("days",):
-                tr = "day"
-            if tr not in ("identity", "day"):
+            kind, param = _norm_transform(tr)
+            if kind not in _WRITER_TRANSFORMS:
                 raise ValueError(
                     f"{self.table_path}: unsupported partition transform "
                     f"{f.get('transform')!r} for {f.get('name')!r}"
                 )
+            canon = kind if param is None else f"{kind}[{param}]"
             out.append(
                 {
                     "name": f["name"],
-                    "transform": tr,
+                    "transform": canon,
                     "source": table.source_column(f),
                 }
             )
@@ -1322,8 +1638,11 @@ class IcebergWriter:
 # ---------------------------------------------------------------------
 # Streaming source — the snapshot lineage as a changelog, mirroring
 # the deltalog/planktable streaming sources: each append snapshot's
-# ADDED data files are a micro-batch; offsets are {"index": N} (the
-# number of snapshots consumed — md["snapshots"] is append-ordered).
+# ADDED data files are a micro-batch; offsets are
+# {"last_snapshot_id": id} — resolved to a position in the CURRENT
+# append-ordered md["snapshots"] at read time, so snapshot expiry by
+# another tool fails loudly instead of replaying/skipping (legacy
+# {"index": N} checkpoints still resolve positionally).
 # Snapshots that introduce DELETED entries (row-level delete,
 # overwrite, merge, compaction) raise unless ignoreChanges=true,
 # because their re-added files would duplicate surviving rows —
@@ -1344,14 +1663,41 @@ class IcebergStreamReader(DataSourceStreamReader):
         self._part_cols = t.partition_fields()
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"last_snapshot_id": None}
 
     def latestOffset(self) -> dict:
-        return {"index": len(IcebergTable(self.path).snapshots())}
+        snaps = IcebergTable(self.path).snapshots()
+        return {"last_snapshot_id": snaps[-1]["snapshot-id"] if snaps else None}
 
-    def _added(self, i_from: int, i_to: int) -> list[tuple[str, dict]]:
+    @staticmethod
+    def _pos_after(path: str, snaps: list[dict], off: dict) -> int:
+        """Offset dict → position in the CURRENT snapshot list.
+
+        Offsets are keyed on the last-consumed snapshot-id and
+        resolved at read time (ADVICE r6 #5): a raw positional index
+        silently replays or skips snapshots if another tool expires /
+        rewrites the list. A checkpointed id that vanished from the
+        list is a hard error, not silent data loss. Legacy {"index"}
+        checkpoints are honored as-is."""
+        if "index" in off:
+            return off["index"]
+        sid = off.get("last_snapshot_id")
+        if sid is None:
+            return 0
+        for i, s in enumerate(snaps):
+            if s["snapshot-id"] == sid:
+                return i + 1
+        raise ValueError(
+            f"{path}: checkpointed snapshot {sid} is no longer in the "
+            "metadata snapshot list (expired or rewritten by another "
+            "tool); cannot resume without replaying or skipping data"
+        )
+
+    def _added(self, start: dict, end: dict) -> list[tuple[str, dict]]:
         table = IcebergTable(self.path)
         snaps = table.snapshots()
+        i_from = self._pos_after(self.path, snaps, start)
+        i_to = self._pos_after(self.path, snaps, end)
         out: list[tuple[str, dict]] = []
         for snap in snaps[i_from:i_to]:
             sid = snap["snapshot-id"]
@@ -1386,10 +1732,7 @@ class IcebergStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict):
-        return [
-            _IceFilePartition(p, pv)
-            for p, pv in self._added(start["index"], end["index"])
-        ]
+        return [_IceFilePartition(p, pv) for p, pv in self._added(start, end)]
 
     def read(self, partition: _IceFilePartition):
         yield from _iceberg_batches(

@@ -842,7 +842,9 @@ def test_external_nonidentity_spec_still_reads(spark, tmp_path):
     path = _os.path.join(meta, f"v{v}.metadata.json")
     md = _json.load(open(path))
     md["partition-spec"] = [
-        {"name": "k_bucket", "transform": "bucket[4]", "source-id": 1, "field-id": 1000}
+        # month() is still writer-unsupported (bucket/truncate/hour
+        # graduated to stageable transforms in r7)
+        {"name": "k_month", "transform": "month", "source-id": 1, "field-id": 1000}
     ]
     _json.dump(md, open(path, "w"))
     got = sorted((r.k, r.status) for r in read_iceberg(spark, root).collect())
@@ -998,3 +1000,263 @@ def test_partition_by_rejects_unknown_transform_and_name_clash(spark, tmp_path):
         IcebergWriter(spark, str(tmp_path / "iclash")).create(
             clash, partition_by=["day(ts)"]
         )
+
+
+# ---------------------------------------------------------------------
+# bucket / hour / truncate transforms (r6 verdict #3 + #8)
+# ---------------------------------------------------------------------
+
+from plankton_spark.sources.iceberg_meta import (  # noqa: E402
+    _assemble_iceberg,
+    iceberg_bucket,
+    murmur3_32,
+)
+from pyspark.sql import types as T  # noqa: E402
+
+
+def _signed32(h: int) -> int:
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def test_murmur3_matches_spec_vectors():
+    """The Iceberg spec's Appendix-B hash requirement test vectors:
+    wrong murmur3 = silently incompatible bucket layouts across
+    engines."""
+    import datetime
+
+    assert _signed32(murmur3_32((34).to_bytes(8, "little", signed=True))) == 2017239379
+    assert _signed32(murmur3_32("iceberg".encode())) == 1210000089
+    d = (datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)).days
+    assert _signed32(murmur3_32(d.to_bytes(8, "little", signed=True))) == -653330422
+    micros = int(
+        datetime.datetime(
+            2017, 11, 16, 22, 31, 8, tzinfo=datetime.timezone.utc
+        ).timestamp()
+        * 1_000_000
+    )
+    assert _signed32(murmur3_32(micros.to_bytes(8, "little", signed=True))) == -2047944441
+    # int and long hash identically (both encoded as 8-byte LE long)
+    assert iceberg_bucket(34, T.IntegerType(), 16) == iceberg_bucket(
+        34, T.LongType(), 16
+    )
+
+
+def test_bucket_transform_roundtrip_and_prune(spark, tmp_path):
+    """bucket(8, k): manifests carry spec murmur3 bucket ids; a key
+    lookup prunes to ONE bucket's files from metadata alone, and the
+    staged bucket of every row matches the driver-side scalar."""
+    root = str(tmp_path / "ibucket")
+    w = IcebergWriter(spark, root)
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    w.create(df, partition_by=["bucket(8, k)"])
+    t = IcebergTable(root)
+    spec = t.partition_spec()
+    assert spec[0]["name"] == "k_bucket" and spec[0]["transform"] == "bucket[8]"
+    # full roundtrip, source column kept in files
+    got = sorted((r.k, r.v) for r in read_iceberg(spark, root).collect())
+    assert got == [(i, 2 * i) for i in range(100)]
+    # every file's manifest bucket id matches recomputing from content
+    for p, pv in t.data_entries(None):
+        ks = [r.k for r in spark.read.parquet(p).collect()]
+        assert {iceberg_bucket(k, T.LongType(), 8) for k in ks} == {pv["k_bucket"]}
+    # metadata-only prune for an equality predicate
+    key = 42
+    b = iceberg_bucket(key, T.LongType(), 8)
+    entries = [(p, pv) for p, pv in t.data_entries(None) if pv["k_bucket"] == b]
+    assert 0 < len(entries) < len(t.data_entries(None))
+    pruned = _assemble_iceberg(spark, t.schema(), [], entries).where(
+        F.col("k") == key
+    )
+    assert [(r.k, r.v) for r in pruned.collect()] == [(42, 84)]
+    # appends inherit the transform
+    w.append(spark.sql("SELECT CAST(1000 AS BIGINT) AS k, CAST(1 AS BIGINT) AS v"))
+    assert read_iceberg(spark, root).count() == 101
+
+
+def test_bucket_transform_string_source(spark, tmp_path):
+    root = str(tmp_path / "ibucket_s")
+    df = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(40)], "k long, s string"
+    )
+    IcebergWriter(spark, root).create(df, partition_by=["bucket(4, s)"])
+    t = IcebergTable(root)
+    for p, pv in t.data_entries(None):
+        ss = [r.s for r in spark.read.parquet(p).collect()]
+        assert {iceberg_bucket(s, T.StringType(), 4) for s in ss} == {pv["s_bucket"]}
+    assert read_iceberg(spark, root).count() == 40
+
+
+def test_bucket_transform_null_source_lands_null_partition(spark, tmp_path):
+    root = str(tmp_path / "ibucket_n")
+    df = spark.createDataFrame([(1, 10), (2, None)], "k long, v long")
+    IcebergWriter(spark, root).create(df, partition_by=["bucket(4, v)"])
+    pvs = {pv["v_bucket"] for _, pv in IcebergTable(root).data_entries(None)}
+    assert None in pvs and len(pvs) == 2
+    got = sorted((r.k, r.v) for r in read_iceberg(spark, root).collect())
+    assert got == [(1, 10), (2, None)]
+
+
+def test_hour_transform_roundtrip_prune_and_utc(spark, tmp_path):
+    """hour(ts): hours-since-epoch ints in manifests, UTC-defined for
+    timestamptz regardless of session tz."""
+    root = str(tmp_path / "ihour")
+    instant = 1704945600  # 2024-01-11 04:00:00 UTC
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = spark.sql(
+            f"SELECT id AS k, timestamp_seconds({instant} + id*1800) AS ts"
+            " FROM range(8)"
+        )
+        IcebergWriter(spark, root).create(df, partition_by=["hour(ts)"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    t = IcebergTable(root)
+    assert t.partition_spec()[0]["transform"] == "hour"
+    hours = {pv["ts_hour"] for _, pv in t.data_entries(None)}
+    assert hours == {instant // 3600 + i for i in range(4)}, hours
+    got = read_iceberg(spark, root)
+    assert got.count() == 8
+    # prune to one hour = exactly two half-hour rows
+    h0 = instant // 3600
+    one = [(p, pv) for p, pv in t.data_entries(None) if pv["ts_hour"] == h0]
+    assert _assemble_iceberg(spark, t.schema(), [], one).count() == 2
+
+
+def test_hour_transform_requires_timestamp_source(spark, tmp_path):
+    w = IcebergWriter(spark, str(tmp_path / "ihour_bad"))
+    with pytest.raises(ValueError, match="hour\\(\\) needs a timestamp"):
+        w.create(
+            spark.createDataFrame([(1,)], "k long").select(
+                "k", F.lit("2024-01-01").cast("date").alias("d")
+            ),
+            partition_by=["hour(d)"],
+        )
+
+
+def test_truncate_transform_string_and_int(spark, tmp_path):
+    """truncate[W]: strings keep their first W chars; ints round
+    toward -inf in W-sized steps (spec floored modulo)."""
+    root = str(tmp_path / "itrunc_s")
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alabama"), (3, "beta"), (4, "al")],
+        "k long, s string",
+    )
+    IcebergWriter(spark, root).create(df, partition_by=["truncate(2, s)"])
+    t = IcebergTable(root)
+    assert t.partition_spec()[0]["transform"] == "truncate[2]"
+    pvs = {pv["s_trunc"] for _, pv in t.data_entries(None)}
+    assert pvs == {"al", "be"}
+    got = sorted((r.k, r.s) for r in read_iceberg(spark, root).collect())
+    assert got == [(1, "alpha"), (2, "alabama"), (3, "beta"), (4, "al")]
+    # prune on the truncated prefix of an equality literal
+    one = [(p, pv) for p, pv in t.data_entries(None) if pv["s_trunc"] == "al"]
+    pruned = _assemble_iceberg(spark, t.schema(), [], one)
+    assert sorted(r.k for r in pruned.collect()) == [1, 2, 4]
+
+    root2 = str(tmp_path / "itrunc_i")
+    di = spark.createDataFrame([(i, v) for i, v in enumerate([-7, -1, 0, 9, 10])],
+                               "k long, v long")
+    IcebergWriter(spark, root2).create(di, partition_by=["truncate(10, v)"])
+    t2 = IcebergTable(root2)
+    pvs2 = {pv["v_trunc"] for _, pv in t2.data_entries(None)}
+    assert pvs2 == {-10, 0, 10}, pvs2  # floored: -7 → -10
+    assert read_iceberg(spark, root2).count() == 5
+
+
+def test_truncate_rejects_unsupported_source(spark, tmp_path):
+    w = IcebergWriter(spark, str(tmp_path / "itrunc_bad"))
+    with pytest.raises(ValueError, match="truncate\\(\\) supports"):
+        w.create(
+            spark.sql("SELECT CAST(1.5 AS DOUBLE) AS d"),
+            partition_by=["truncate(2, d)"],
+        )
+
+
+# ---------------------------------------------------------------------
+# ADVICE r6 fixes
+# ---------------------------------------------------------------------
+
+
+def test_partition_specs_only_metadata_resolves(spark, tmp_path):
+    """v2-style metadata carrying ONLY partition-specs/default-spec-id
+    (no legacy top-level partition-spec) must resolve the spec — NOT
+    read as spec-less and NOT stage unpartitioned appends (ADVICE #2)."""
+    import json as _json
+    import os as _os
+
+    root = str(tmp_path / "ispecs_only")
+    w = IcebergWriter(spark, root)
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "k long, st string")
+    w.create(df, partition_by=["st"])
+    meta_dir = _os.path.join(root, "metadata")
+    vs = sorted(
+        f for f in _os.listdir(meta_dir) if f.endswith(".metadata.json")
+    )
+    p = _os.path.join(meta_dir, vs[-1])
+    with open(p) as f:
+        md = _json.load(f)
+    del md["partition-spec"]  # leave only partition-specs + default-spec-id
+    with open(p, "w") as f:
+        _json.dump(md, f)
+    t = IcebergTable(root)
+    assert [f["name"] for f in t.partition_spec()] == ["st"]
+    assert t.partition_fields() == ["st"]
+    got = sorted((r.k, r.st) for r in read_iceberg(spark, root).collect())
+    assert got == [(1, "A"), (2, "B")]
+    # appends still stage PARTITIONED files
+    w.append(spark.createDataFrame([(3, "A")], "k long, st string"))
+    entries = IcebergTable(root).data_entries(None)
+    assert all(pv.get("st") in ("A", "B") for _, pv in entries)
+    assert read_iceberg(spark, root).count() == 3
+
+
+def test_stream_offsets_keyed_on_snapshot_id(spark, tmp_path):
+    """Offsets carry the last-consumed snapshot-id; resolution happens
+    against the CURRENT list, and a vanished id is a hard error, not a
+    silent replay/skip (ADVICE #5)."""
+    from plankton_spark.sources.iceberg_meta import IcebergStreamReader
+
+    root = str(tmp_path / "istream_off")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(3).select(F.col("id").alias("k")))
+    w.append(spark.range(3, 5).select(F.col("id").alias("k")))
+    r = IcebergStreamReader(root, ignore_changes=False)
+    first = r.initialOffset()
+    latest = r.latestOffset()
+    assert "last_snapshot_id" in latest and latest["last_snapshot_id"] is not None
+    files = r._added(first, latest)
+    assert len(files) == sum(
+        1 for _ in IcebergTable(root).data_files(None)
+    )
+    # consuming from snapshot 1 yields only the append's files
+    snaps = IcebergTable(root).snapshots()
+    mid = {"last_snapshot_id": snaps[0]["snapshot-id"]}
+    tail = r._added(mid, latest)
+    assert 0 < len(tail) < len(files)
+    # legacy positional checkpoints still resolve
+    assert len(r._added({"index": 1}, latest)) == len(tail)
+    # a checkpointed id that no longer exists fails loudly
+    with pytest.raises(ValueError, match="no longer in the metadata"):
+        r._added({"last_snapshot_id": 999999}, latest)
+
+
+def test_assemble_table_root_terminates_on_relative_paths(spark, tmp_path):
+    """A relative entry path with no data/ segment must not spin the
+    root-derivation loop forever (ADVICE #3) — abspath anchors it and
+    the walk stops when dirname stops shrinking."""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    f = tmp_path / "nodatadir" / "file.parquet"
+    f.parent.mkdir()
+    _pq.write_table(_pa.table({"k": _pa.array([1, 2], _pa.int64())}), str(f))
+    rel = _os.path.relpath(str(f), _os.getcwd())
+    assert not _os.path.isabs(rel)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    df = _assemble_iceberg(spark, schema, [], [(rel, {})])
+    assert df.count() == 2
