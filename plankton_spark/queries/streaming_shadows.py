@@ -364,3 +364,73 @@ def q_stream_session_changelog(spark, sf_dir):
     w.append(ev.where(F.col("event_id") > half))  # lands while "down"
     drain()  # restart: state restored, only the new commit read
     return jobs.rollup_sessions(spark.table(name))
+
+
+@query(
+    "q_stream_jsonl_tail",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS sum_value
+    FROM events
+    WHERE user_id < 40
+    GROUP BY event_type
+    """,
+)
+def q_stream_jsonl_tail(spark, sf_dir):
+    """The Kafka-shaped JSONL tail source's batch shadow: a bounded
+    events slice is produced into a 4-partition JSONL topic (one
+    append-only file per partition, keyed by user_id % 4 — the
+    producer-side partitioner), read back through
+    spark.read.format("jsonltail") with an explicit reader schema,
+    and aggregated per event type. The oracle re-derives the same
+    aggregate from the parquet fixture, so a parse/coerce/partition
+    bug in the source fails the value hash. The STREAMING side of the
+    same source (byte-offset checkpoints, resume-after-kill,
+    refuse-on-truncation) is pytest-driven in
+    tests/test_streaming_jsonl.py."""
+    import os
+    import shutil
+
+    from plankton_spark.queries.scans import _scratch
+    from plankton_spark.sources import jsonl_tail
+
+    topic = _scratch(sf_dir, "jsonl_topic")
+    shutil.rmtree(topic, ignore_errors=True)
+    os.makedirs(topic)
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 40)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    # producer: partition by user_id % 4 into one JSONL file each —
+    # driver-side only in this declared-query fixture (bounded slice);
+    # a real producer appends from its own process
+    parts: dict[int, list[dict]] = {p: [] for p in range(4)}
+    for r in ev.collect():
+        parts[r.user_id % 4].append(
+            {
+                "event_id": r.event_id,
+                "user_id": r.user_id,
+                "event_type": r.event_type,
+                "value": r.value,
+            }
+        )
+    for p, recs in parts.items():
+        jsonl_tail.append_records(os.path.join(topic, f"part-{p}.jsonl"), recs)
+    jsonl_tail.register(spark)
+    schema = (
+        "event_id long, user_id long, event_type string, value double"
+    )
+    tail = (
+        spark.read.format("jsonltail").schema(schema).option("path", topic).load()
+    )
+    return tail.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
+    )

@@ -1,0 +1,243 @@
+"""Kafka-shaped streaming source over append-only JSONL logs
+(`spark.readStream.format("jsonltail")`).
+
+The closest broker analogue this sandbox allows (no network): a topic
+is a DIRECTORY, each `<name>.jsonl` file in it is a partition, and a
+producer appends one JSON object per line. The source tails every
+partition file by BYTE offset — the same offset/checkpoint contract
+Kafka's source keeps per topic-partition:
+
+- offsets are `{"files": {basename: byte_pos}}`, JSON-checkpointable;
+  recovery replays from exact byte positions (`r6 verdict #4`);
+- `latestOffset` advances only to the last COMPLETE line (a producer
+  caught mid-append never yields a torn record; the tail is consumed
+  once its newline lands);
+- new partition files are picked up as they appear (offset 0);
+- a partition that SHRANK below its checkpointed offset (truncated /
+  rewritten log) refuses to stream — silently re-reading rewritten
+  bytes would duplicate or corrupt, mirroring the changelog sources'
+  refuse-on-rewrite;
+- each micro-batch parallelizes one task per partition-file byte
+  range, so a many-partition topic scans like any other partitioned
+  source.
+
+Records must carry an explicit reader schema (`.schema(...)`) — JSON
+lines have no schema registry; per-line parsing projects the declared
+fields (missing → NULL, unparsable line → error naming the file and
+byte range). Batch reads (`spark.read.format("jsonltail")`) scan each
+partition's complete prefix with the same parser.
+
+Scale posture: the parse is per-line Python inside the Python
+DataSource worker — right for a tailing ingest edge (bounded by
+producer rate, not corpus size). Bulk backfills of large JSONL
+archives should use Spark's native `spark.read.json`, which this
+source deliberately does not replace.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_CHUNK = 1 << 16
+
+
+def complete_end(path: str) -> int:
+    """Byte offset just past the last complete ('\\n'-terminated) line
+    — the furthest a consumer may safely advance."""
+    size = os.path.getsize(path)
+    if size == 0:
+        return 0
+    with open(path, "rb") as f:
+        pos = size
+        while pos > 0:
+            take = min(_CHUNK, pos)
+            f.seek(pos - take)
+            chunk = f.read(take)
+            nl = chunk.rfind(b"\n")
+            if nl >= 0:
+                return pos - take + nl + 1
+            pos -= take
+    return 0
+
+
+def append_records(path: str, records: list[dict]) -> None:
+    """Producer helper: append records as JSON lines (single O_APPEND
+    write + fsync, so concurrent tails never see a torn batch)."""
+    payload = "".join(json.dumps(r, default=str) + "\n" for r in records)
+    fd = os.open(path, os.O_WRONLY | os.O_APPEND | os.O_CREAT, 0o644)
+    try:
+        os.write(fd, payload.encode("utf-8"))
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _coerce(v, dtype: T.DataType):
+    if v is None:
+        return None
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(v)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(v)
+    if isinstance(dtype, T.BooleanType):
+        return bool(v)
+    if isinstance(dtype, T.StringType):
+        return v if isinstance(v, str) else json.dumps(v)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, (int, float)):  # epoch seconds, UTC wall clock
+            return datetime.datetime.fromtimestamp(
+                v, datetime.timezone.utc
+            ).replace(tzinfo=None)
+        return datetime.datetime.fromisoformat(str(v))
+    if isinstance(dtype, T.DateType):
+        return datetime.date.fromisoformat(str(v))
+    return v
+
+
+class _Range(InputPartition):
+    def __init__(self, file: str, start: int, end: int):
+        self.file = file
+        self.start = start
+        self.end = end
+
+
+def _parse_range(part: _Range, schema: T.StructType):
+    with open(part.file, "rb") as f:
+        f.seek(part.start)
+        blob = f.read(part.end - part.start)
+    fields = [(fld.name, fld.dataType) for fld in schema.fields]
+    for i, line in enumerate(blob.split(b"\n")):
+        if not line.strip():
+            continue
+        try:
+            rec = json.loads(line)
+            yield tuple(_coerce(rec.get(n), dt) for n, dt in fields)
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                f"{part.file}[{part.start}:{part.end}] line {i}: "
+                f"bad JSONL record: {e}"
+            ) from e
+
+
+def _partition_files(topic_dir: str) -> list[str]:
+    if not os.path.isdir(topic_dir):
+        raise FileNotFoundError(f"jsonltail: no such topic dir: {topic_dir}")
+    return sorted(
+        f for f in os.listdir(topic_dir) if f.endswith(".jsonl")
+    )
+
+
+class JsonlTailDataSource(DataSource):
+    """Options: `path` (topic directory, required). The reader schema
+    must be supplied with `.schema(...)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonltail"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("jsonltail: 'path' option is required")
+        return p
+
+    def schema(self):
+        raise ValueError(
+            "jsonltail: records have no schema registry — pass an explicit "
+            "reader schema with .schema(...)"
+        )
+
+    def reader(self, schema) -> "JsonlTailBatchReader":
+        return JsonlTailBatchReader(self._path(), schema)
+
+    def streamReader(self, schema) -> "JsonlTailStreamReader":
+        return JsonlTailStreamReader(self._path(), schema)
+
+
+class JsonlTailBatchReader(DataSourceReader):
+    def __init__(self, path: str, schema: T.StructType):
+        self.path = path
+        self.s = schema
+
+    def partitions(self):
+        out = []
+        for name in _partition_files(self.path):
+            full = os.path.join(self.path, name)
+            end = complete_end(full)
+            if end > 0:
+                out.append(_Range(full, 0, end))
+        return out or [_Range("", 0, 0)]
+
+    def read(self, partition: _Range):
+        if not partition.file:
+            return
+        yield from _parse_range(partition, self.s)
+
+
+class JsonlTailStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: T.StructType):
+        self.path = path
+        self.s = schema
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        return {
+            "files": {
+                name: complete_end(os.path.join(self.path, name))
+                for name in _partition_files(self.path)
+            }
+        }
+
+    def partitions(self, start: dict, end: dict):
+        starts = start.get("files", {})
+        out = []
+        for name, hi in sorted(end.get("files", {}).items()):
+            lo = starts.get(name, 0)
+            full = os.path.join(self.path, name)
+            if not os.path.exists(full):
+                raise ValueError(
+                    f"jsonltail: checkpointed partitions disappeared: "
+                    f"[{name!r}] — refusing to silently drop their tail"
+                )
+            cur = os.path.getsize(full)
+            if cur < lo:
+                raise ValueError(
+                    f"jsonltail: partition {name} shrank below its "
+                    f"checkpointed offset ({cur} < {lo}) — the log was "
+                    "truncated or rewritten; cannot resume without "
+                    "duplicating or corrupting records"
+                )
+            if hi > lo:
+                out.append(_Range(full, lo, hi))
+        # a checkpointed partition missing from `end` means the file
+        # vanished — same refusal as truncation
+        gone = set(starts) - set(end.get("files", {}))
+        if gone:
+            raise ValueError(
+                f"jsonltail: checkpointed partitions disappeared: "
+                f"{sorted(gone)} — refusing to silently drop their tail"
+            )
+        return out
+
+    def read(self, partition: _Range):
+        yield from _parse_range(partition, self.s)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register(spark) -> None:
+    """Idempotent registration of the jsonltail format."""
+    spark.dataSource.register(JsonlTailDataSource)
