@@ -67,7 +67,15 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
+        # first run is COLD (plan-specific codegen, shuffle-file and
+        # page-cache population) and is reported separately — averaging
+        # it into the spread made 5-8x warm/cold deltas read as noisy
+        # queries (r6 verdict #4); value/spread come from WARM runs only
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        cold[name] = round(time.time() - t0, 3)
         runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.time()
@@ -92,6 +100,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "runs_per_query": n_runs,
+                "cold_sec": cold,
                 "rel_half_spread": spread,
                 "loadavg_1m_at_start": round(load1, 2),
                 "cpus": ncpu,
