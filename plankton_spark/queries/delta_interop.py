@@ -353,3 +353,105 @@ def q_deltalog_cdc(spark, sf_dir):
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
     )
+
+
+@query(
+    "q_deltalog_dv",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM orders
+    WHERE o_orderkey < 1500 AND o_orderkey % 7 <> 0
+    """,
+)
+def q_deltalog_dv(spark, sf_dir):
+    """Deletion-vector reads as a query: a foreign-style Delta table
+    (minReaderVersion 3, readerFeatures ["deletionVectors"]) whose two
+    data files carry DVs deleting the rows with o_orderkey % 7 == 0 by
+    ROW INDEX (the spec's RoaringBitmapArray, one on-disk uuid DV file
+    and one inline Base85 DV). read_delta must drop exactly those rows
+    via the _metadata.row_index anti-join; the oracle re-derives the
+    survivors relationally, so a codec/offset/anti-join bug fails the
+    value hash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plankton_spark.sources import deletion_vectors as dvmod
+
+    root = _scratch(sf_dir, "delta_dv")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "_delta_log"))
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "o_orderkey", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "o_orderstatus", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "o_totalprice", "type": "double", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "delta-dv-query",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+    ]
+    halves = [o[o.o_orderkey < 750], o[o.o_orderkey >= 750]]
+    for i, pdf in enumerate(halves):
+        rel = f"part-{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False),
+            os.path.join(root, rel),
+        )
+        deleted_pos = [
+            j for j, k in enumerate(pdf.o_orderkey.tolist()) if k % 7 == 0
+        ]
+        # one on-disk uuid DV, one inline — both spec encodings live
+        desc = (
+            dvmod.write_dv_file(root, deleted_pos)
+            if i == 0
+            else dvmod.inline_dv_descriptor(deleted_pos)
+        )
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(root, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "deletionVector": desc,
+                }
+            }
+        )
+    _commit(root, 0, actions)
+    return read_delta(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    )

@@ -34,14 +34,15 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 
 # Reader-protocol support (Delta spec, "Protocol Evolution"): this
-# pure-Python reader implements reader-version-1 semantics only. A
-# table demanding more (v2 = column mapping; v3 = table features,
-# e.g. deletionVectors / v2Checkpoint) would be read WRONG, not just
-# slowly — DV'd files would resurface deleted rows, mapped columns
-# would mis-resolve — so the spec requires refusing it outright
-# (mirrors iceberg_meta.py's v2 delete-file refusal).
+# pure-Python reader implements reader-version-1 semantics plus the
+# deletionVectors table feature (sources/deletion_vectors.py +
+# read_delta's row-index anti-join). A table demanding anything else
+# (v2 = column mapping; other v3 features, e.g. v2Checkpoint,
+# timestampNtz column mapping) would be read WRONG, not just slowly —
+# mapped columns would mis-resolve — so the spec requires refusing it
+# outright (mirrors iceberg_meta.py's v2 delete-file refusal).
 SUPPORTED_MIN_READER_VERSION = 1
-SUPPORTED_READER_FEATURES: frozenset[str] = frozenset()
+SUPPORTED_READER_FEATURES: frozenset[str] = frozenset({"deletionVectors"})
 
 
 class DeltaProtocolError(ValueError):
@@ -177,38 +178,48 @@ class DeltaLog:
         if version is None:
             version = self.latest_version()
         start = 0
-        actions: list[dict] = []
+        units: list[list[dict]] = []
         cp = self._checkpoint_at_or_before(version)
         if cp is not None:
             start = cp[0] + 1
-            actions.extend(cp[1])
+            units.append(cp[1])
         for v in _commit_versions(self.log_dir):
             if start <= v <= version:
                 with open(os.path.join(self.log_dir, f"{v:020d}.json")) as fh:
-                    for line in fh:
-                        line = line.strip()
-                        if line:
-                            actions.append(json.loads(line))
+                    units.append(
+                        [json.loads(x) for x in fh if x.strip()]
+                    )
         schema: T.StructType | None = None
         part_cols: list[str] = []
         active: dict[str, dict] = {}
         protocol: dict | None = None
-        for a in actions:
-            if "metaData" in a:
-                md = a["metaData"]
-                schema = T.StructType.fromJson(json.loads(md["schemaString"]))
-                part_cols = list(md.get("partitionColumns") or [])
-            elif "add" in a:
-                add = dict(a["add"])
-                pv = add.get("partitionValues") or {}
-                if isinstance(pv, list):  # pyarrow map → list of (k, v)
-                    pv = dict(pv)
-                add["partitionValues"] = pv
-                active[add["path"]] = add
-            elif "remove" in a:
-                active.pop(a["remove"]["path"], None)
-            elif "protocol" in a:
-                protocol = a["protocol"]
+        for unit in units:
+            # spec reconciliation is per COMMIT: a remove tombstones the
+            # PRIOR version's file, so an add of the same path in the
+            # same commit (e.g. attaching a deletion vector) wins
+            # regardless of the actions' order within the commit file
+            for a in unit:
+                if "remove" in a:
+                    active.pop(a["remove"]["path"], None)
+            for a in unit:
+                if "metaData" in a:
+                    md = a["metaData"]
+                    schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+                    part_cols = list(md.get("partitionColumns") or [])
+                elif "add" in a:
+                    add = dict(a["add"])
+                    pv = add.get("partitionValues") or {}
+                    if isinstance(pv, list):  # pyarrow map → list of (k, v)
+                        pv = dict(pv)
+                    add["partitionValues"] = pv
+                    dvd = add.get("deletionVector")
+                    if isinstance(dvd, dict) and not dvd.get("storageType"):
+                        # checkpoint struct column reads back as a
+                        # dict of Nones for DV-less files
+                        add.pop("deletionVector")
+                    active[add["path"]] = add
+                elif "protocol" in a:
+                    protocol = a["protocol"]
         if protocol is not None:
             _check_reader_protocol(protocol, self.table_path)
         if schema is None:
@@ -217,8 +228,23 @@ class DeltaLog:
 
     def snapshot(self, version: int | None = None):
         """Returns (schema: StructType, partition_cols: list[str],
-        files: list[(abs_path, partition_values: dict)])."""
+        files: list[(abs_path, partition_values: dict)]) — the PLAIN
+        whole-files view. Callers treating these files as complete
+        (the DSv2 wrapper, the writer's rewrite ops) must not see a
+        table whose files carry deletion vectors: streaming or
+        rewriting such a file in full would resurrect deleted rows,
+        so this raises and points at the DV-aware `read_delta`."""
         schema, part_cols, active = self.replay(version)
+        dvd = sorted(
+            rel for rel, add in active.items() if add.get("deletionVector")
+        )
+        if dvd:
+            raise DeltaProtocolError(
+                f"{self.table_path}: {len(dvd)} live file(s) carry "
+                "deletion vectors; this whole-file access path would "
+                "resurrect deleted rows — use read_delta() (DV-aware) "
+                "for reads, and a DV-capable writer for rewrites"
+            )
         files = [
             (os.path.join(self.table_path, rel), add["partitionValues"])
             for rel, add in active.items()
@@ -247,8 +273,22 @@ def read_delta(
     `partitions={"col": "value"}` prunes at FILE-LIST level: files
     whose partitionValues don't match never reach Spark — the
     metadata-only partition pruning that makes a 100 TB partitioned
-    table read cost proportional to the partitions touched."""
-    schema, part_cols, files = DeltaLog(table_path).snapshot(version)
+    table read cost proportional to the partitions touched.
+
+    Files carrying a `deletionVector` (reader feature, foreign
+    writers) are read through a row-index anti-join: the scan attaches
+    `_metadata.row_index`, the DVs decode DISTRIBUTED (mapInPandas
+    over descriptors) into (file, row_index) pairs, and deleted rows
+    are dropped exactly — see sources/deletion_vectors.py. Clean files
+    keep the plain multi-path scan."""
+    schema, part_cols, active = DeltaLog(table_path).replay(version)
+    files = []
+    dv_desc: dict[str, dict] = {}
+    for rel, add in active.items():
+        p = os.path.join(table_path, rel)
+        files.append((p, add["partitionValues"]))
+        if add.get("deletionVector"):
+            dv_desc[p] = add["deletionVector"]
     if partitions:
         unknown = [c for c in partitions if c not in part_cols]
         if unknown:
@@ -263,9 +303,95 @@ def read_delta(
                 pv.get(c) == _pv_filter_str(v) for c, v in partitions.items()
             )
         ]
-    return _assemble_view(
-        spark, schema, part_cols, files, table_root=table_path
+    clean = [(p, pv) for p, pv in files if p not in dv_desc]
+    base = _assemble_view(
+        spark, schema, part_cols, clean, table_root=table_path
     )
+    dvd = [(p, pv) for p, pv in files if p in dv_desc]
+    if not dvd:
+        return base
+    return base.unionByName(
+        _dv_filtered_scan(spark, table_path, schema, part_cols, dvd, dv_desc)
+    )
+
+
+# deleted-row sets at or below this total cardinality broadcast to the
+# anti-join (a 2M-row (file, idx) frame is tens of MB); larger DVs
+# shuffle both sides — the metadata already knows the cardinality, so
+# the choice costs nothing
+_DV_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _dv_filtered_scan(
+    spark, table_path: str, schema, part_cols, files, dv_desc
+):
+    """Scan `files` (all carrying deletion vectors) and drop their
+    deleted rows exactly.
+
+    Join key is (path relative to the table root, _metadata.row_index)
+    — rel-path (not basename) so foreign layouts with per-partition
+    directories can't collide. The DV decode runs on executors: one
+    input row per descriptor, expanded to Arrow batches of deleted row
+    indexes (a DV's cardinality is bounded by rows-per-file, and the
+    driver never materializes it)."""
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    by_pv: dict[tuple, list[str]] = {}
+    pv_of: dict[tuple, dict] = {}
+    for path, pv in files:
+        key = tuple(pv.get(c) for c in part_cols)
+        by_pv.setdefault(key, []).append(path)
+        pv_of[key] = pv
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    pieces = []
+    for key, paths in sorted(by_pv.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        df = df.withColumn(
+            "__dv_file",
+            F.substring_index(
+                F.col("_metadata.file_path"), table_path + "/", -1
+            ),
+        ).withColumn("__dv_ridx", F.col("_metadata.row_index"))
+        for c in part_cols:
+            df = df.withColumn(
+                c, _cast_partition_value(pv_of[key].get(c), dtypes[c])
+            )
+        pieces.append(df)
+    scan = pieces[0]
+    for p in pieces[1:]:
+        scan = scan.unionByName(p)
+
+    desc_rows = [
+        (os.path.relpath(p, table_path), json.dumps(d))
+        for p, d in sorted(dv_desc.items())
+    ]
+    desc_df = spark.createDataFrame(
+        desc_rows, "f string, dv string"
+    ).repartition(min(len(desc_rows), 64))
+    root = table_path
+
+    def _expand(batches):
+        import pandas as _pd
+
+        from plankton_spark.sources.deletion_vectors import dv_row_indexes
+
+        for pdf in batches:
+            for f, dj in zip(pdf["f"], pdf["dv"]):
+                idx = dv_row_indexes(root, json.loads(dj))
+                yield _pd.DataFrame({"__dv_file": f, "__dv_ridx": idx})
+
+    deleted = desc_df.mapInPandas(_expand, "__dv_file string, __dv_ridx long")
+    total_card = sum(
+        d.get("cardinality") or _DV_BROADCAST_MAX_ROWS + 1
+        for d in dv_desc.values()
+    )
+    if total_card <= _DV_BROADCAST_MAX_ROWS:
+        deleted = F.broadcast(deleted)
+    out_cols = [f.name for f in schema.fields]
+    return scan.join(
+        deleted, ["__dv_file", "__dv_ridx"], "left_anti"
+    ).select(out_cols)
 
 
 def _pv_filter_str(v) -> str | None:
@@ -1080,6 +1206,11 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                         continue
                     a = json.loads(line)
                     if "add" in a and a["add"].get("dataChange", True):
+                        if a["add"].get("deletionVector"):
+                            # a DV'd (re-)add is a row-level delete in
+                            # disguise: streaming the file in full would
+                            # resurrect deleted rows
+                            has_remove = True
                         adds.append(
                             (
                                 os.path.join(self.path, a["add"]["path"]),
@@ -1169,6 +1300,22 @@ def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
                         # JSON commits instead of silently degrading
                         # to per-file footer reads on the driver
                         pa.field("stats", pa.string()),
+                        # foreign DV'd files must keep their deletion
+                        # vectors across compaction — dropping the
+                        # descriptor would resurrect deleted rows once
+                        # the JSON commits are cleaned up
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field("pathOrInlineDv", pa.string()),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -1219,6 +1366,7 @@ def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
                     "modificationTime": mtime,
                     "dataChange": True,
                     "stats": stats if isinstance(stats, str) else None,
+                    "deletionVector": add.get("deletionVector"),
                 },
                 "txn": None,
             }

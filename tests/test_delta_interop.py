@@ -970,12 +970,29 @@ def _author_foreign_delta(tmp_path, name: str, protocol: dict) -> str:
     return root
 
 
-def test_protocol_refuses_deletion_vectors(spark, tmp_path):
-    """A table with deletionVectors would have DV'd add files read IN
-    FULL — deleted rows resurface with no error. Must refuse."""
+def test_protocol_refuses_unimplemented_v3_feature(spark, tmp_path):
+    """An unimplemented v3 reader feature (v2Checkpoint here;
+    deletionVectors graduated to SUPPORTED in r7) must refuse."""
     root = _author_foreign_delta(
         tmp_path,
-        "dv_tbl",
+        "v2cp_tbl",
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        },
+    )
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        read_delta(spark, root)
+
+
+def test_protocol_accepts_deletion_vectors_feature(spark, tmp_path):
+    """deletionVectors is an implemented reader feature: a v3 table
+    declaring it (with no actual DVs yet) reads fine."""
+    root = _author_foreign_delta(
+        tmp_path,
+        "dvfeat_tbl",
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
@@ -983,8 +1000,7 @@ def test_protocol_refuses_deletion_vectors(spark, tmp_path):
             "writerFeatures": ["deletionVectors"],
         },
     )
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
-        read_delta(spark, root)
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == [1, 2, 3]
 
 
 def test_protocol_refuses_column_mapping_v2(spark, tmp_path):
@@ -1030,7 +1046,7 @@ def test_protocol_gate_applies_from_checkpoint(spark, tmp_path):
         tmp_path,
         "cp_dv_tbl",
         {"minReaderVersion": 3, "minWriterVersion": 7,
-         "readerFeatures": ["deletionVectors"]},
+         "readerFeatures": ["v2Checkpoint"]},
     )
     log_dir = os.path.join(root, "_delta_log")
     # foreign checkpoint carrying the protocol (incl. readerFeatures)
@@ -1095,7 +1111,7 @@ def test_protocol_gate_applies_from_checkpoint(spark, tmp_path):
         os.path.join(log_dir, f"{0:020d}.checkpoint.parquet"),
     )
     os.remove(os.path.join(log_dir, f"{0:020d}.json"))
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_delta(spark, root)
 
 
