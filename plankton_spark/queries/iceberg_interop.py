@@ -456,3 +456,172 @@ def q_iceberg_bucketpruned(spark, sf_dir):
             F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 4
         ).alias("bal_sum"),
     ).crossJoin(total)
+
+
+@query(
+    "q_iceberg_posdelete",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM orders
+    WHERE o_orderkey < 1500 AND o_orderkey % 7 <> 0
+    """,
+)
+def q_iceberg_posdelete(spark, sf_dir):
+    """Iceberg format-v2 POSITION deletes as a query: a hand-authored
+    v2 table whose delete manifest marks the rows with
+    o_orderkey % 7 == 0 by (file_path, pos); read_iceberg drops
+    exactly those rows via the _metadata.row_index anti-join (the
+    delete set is itself a native parquet scan). Oracle re-derives the
+    survivors relationally — same contract as q_deltalog_dv on the
+    Delta side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plankton_spark.sources.iceberg_meta import (
+        _entry_schema,
+        read_iceberg,
+    )
+
+    root = _scratch(sf_dir, "iceberg_posdel")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    ice_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+            {"id": 2, "name": "o_orderstatus", "required": False, "type": "string"},
+            {"id": 3, "name": "o_totalprice", "required": False, "type": "double"},
+        ],
+    }
+    es = _entry_schema([])
+
+    def entry(df_dict):
+        return {"status": 1, "snapshot_id": 1, "data_file": df_dict}
+
+    data_entries, del_entries = [], []
+    halves = [o[o.o_orderkey < 750], o[o.o_orderkey >= 750]]
+    for i, pdf in enumerate(halves):
+        rel = f"data/d{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False),
+            os.path.join(root, rel),
+        )
+        data_entries.append(
+            entry(
+                {
+                    "content": 0,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(pdf),
+                    "file_size_in_bytes": os.path.getsize(os.path.join(root, rel)),
+                }
+            )
+        )
+        deleted_pos = [
+            j for j, k in enumerate(pdf.o_orderkey.tolist()) if k % 7 == 0
+        ]
+        drel = f"data/del{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([rel] * len(deleted_pos)),
+                    "pos": pa.array(deleted_pos, pa.int64()),
+                }
+            ),
+            os.path.join(root, drel),
+        )
+        del_entries.append(
+            entry(
+                {
+                    "content": 1,
+                    "file_path": drel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": len(deleted_pos),
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(root, drel)
+                    ),
+                }
+            )
+        )
+    m_data = os.path.join(root, "metadata", "m-data.avro")
+    write_ocf_generic(m_data, es, data_entries)
+    m_del = os.path.join(root, "metadata", "m-del.avro")
+    write_ocf_generic(m_del, es, del_entries)
+    list_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+        ],
+    }
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    write_ocf_generic(
+        ml,
+        list_schema,
+        [
+            {
+                "manifest_path": "metadata/m-data.avro",
+                "manifest_length": os.path.getsize(m_data),
+                "partition_spec_id": 0,
+                "content": 0,
+                "added_snapshot_id": 1,
+            },
+            {
+                "manifest_path": "metadata/m-del.avro",
+                "manifest_length": os.path.getsize(m_del),
+                "partition_spec_id": 0,
+                "content": 1,
+                "added_snapshot_id": 1,
+            },
+        ],
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "plankton-iceberg-posdelete",
+        "location": root,
+        "last-updated-ms": 1,
+        "last-column-id": 3,
+        "schema": ice_schema,
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1,
+                "manifest-list": "metadata/snap-1.avro",
+            }
+        ],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    return read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    )

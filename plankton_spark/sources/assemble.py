@@ -74,21 +74,40 @@ def assemble_view(
     files,
     lit_for,
     with_file: bool = False,
+    with_pos: bool = False,
 ):
     """Read `files` ([(abs_path, partition_values_dict)]) as one
     DataFrame with `schema`, partition columns re-attached. `lit_for`
     is `(value, dtype) -> Column` — Delta stores string-encoded
     partitionValues, Iceberg typed Avro values, so each format casts
     its own way on the fallback path. `with_file` adds `_f` naming
-    each row's source file (the rewrite ops' hit detection)."""
-    out_cols = [f.name for f in schema.fields] + (["_f"] if with_file else [])
+    each row's source file (the rewrite ops' hit detection);
+    `with_pos` adds `__pd_file`/`__pd_ridx` from the parquet reader's
+    `_metadata` (file URI + stable in-file row index) — what the
+    row-level-delete anti-joins key on."""
+    pos_cols = ["__pd_file", "__pd_ridx"] if with_pos else []
+    out_cols = (
+        [f.name for f in schema.fields]
+        + (["_f"] if with_file else [])
+        + pos_cols
+    )
+
+    def _attach_pos(df):
+        if not with_pos:
+            return df
+        return df.withColumn(
+            "__pd_file", F.col("_metadata.file_path")
+        ).withColumn("__pd_ridx", F.col("_metadata.row_index"))
+
     if not files:
         empty = spark.createDataFrame([], schema)
-        return (
-            empty.withColumn("_f", F.lit(None).cast("string"))
-            if with_file
-            else empty
-        )
+        if with_file:
+            empty = empty.withColumn("_f", F.lit(None).cast("string"))
+        if with_pos:
+            empty = empty.withColumn(
+                "__pd_file", F.lit(None).cast("string")
+            ).withColumn("__pd_ridx", F.lit(None).cast("long"))
+        return empty
     if part_cols and _is_hive_laid_out(table_root, files, part_cols):
         df = (
             spark.read.schema(schema)
@@ -97,6 +116,7 @@ def assemble_view(
         )
         if with_file:
             df = df.withColumn("_f", F.input_file_name())
+        df = _attach_pos(df)
         return df.select(out_cols)
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in part_cols]
@@ -110,6 +130,7 @@ def assemble_view(
         df = spark.read.schema(data_schema).parquet(*paths)
         if with_file:
             df = df.withColumn("_f", F.input_file_name())
+        df = _attach_pos(df)
         for c, v in zip(part_cols, key):
             df = df.withColumn(c, lit_for(v, schema[c].dataType))
         pieces.append(df.select(out_cols))

@@ -219,16 +219,19 @@ class IcebergTable:
             f"partition field {spec_field.get('name')!r}"
         )
 
-    def data_entries(
+    def scan_entries(
         self, snapshot_id: int | None = None
-    ) -> list[tuple[str, dict]]:
-        """Live (abs_path, partition values) at a snapshot: every
-        non-DELETED manifest entry across the snapshot's manifest
-        list. Partition values are typed (from the Avro partition
-        record)."""
+    ) -> tuple[list[tuple[str, dict]], list[str]]:
+        """Live ((abs_path, partition values) data entries, position-
+        delete file paths) at a snapshot, across data manifests
+        (content=0) and delete manifests (content=1). Equality delete
+        files (data_file.content=2) raise — applying them needs the
+        equality-field semantics this reader does not implement, and
+        reading around them would resurrect rows."""
         snap = self._snapshot(snapshot_id)
         manifest_list = self._resolve(snap["manifest-list"])
         out: list[tuple[str, dict]] = []
+        deletes: list[str] = []
         seen: set[str] = set()
         for m in read_ocf_generic(manifest_list):
             manifest = self._resolve(m["manifest_path"])
@@ -236,13 +239,40 @@ class IcebergTable:
                 if entry["status"] == 2:  # DELETED
                     continue
                 df = entry["data_file"]
-                if df.get("content", 0) != 0:  # delete files not supported
-                    raise ValueError("iceberg delete files (v2 row deletes) unsupported")
+                content = df.get("content", 0)
                 path = self._resolve(df["file_path"])
-                if path not in seen:
-                    seen.add(path)
+                if path in seen:
+                    continue
+                seen.add(path)
+                if content == 0:
                     out.append((path, df.get("partition") or {}))
-        return sorted(out)
+                elif content == 1:  # position deletes
+                    deletes.append(path)
+                else:
+                    raise ValueError(
+                        f"{self.table_path}: iceberg equality delete files "
+                        "(content=2) unsupported — reading would return "
+                        "wrong rows"
+                    )
+        return sorted(out), sorted(deletes)
+
+    def data_entries(
+        self, snapshot_id: int | None = None
+    ) -> list[tuple[str, dict]]:
+        """Live (abs_path, partition values) at a snapshot — the PLAIN
+        whole-files view. When the snapshot carries position-delete
+        files, whole-file access would resurrect deleted rows, so this
+        raises and points at the delete-aware read_iceberg (the same
+        conservative posture as delta_log.DeltaLog.snapshot)."""
+        entries, deletes = self.scan_entries(snapshot_id)
+        if deletes:
+            raise ValueError(
+                f"{self.table_path}: {len(deletes)} position-delete "
+                "file(s) present; this whole-file access path would "
+                "resurrect deleted rows — use read_iceberg() (delete-"
+                "aware) for reads, and a v2-capable writer for rewrites"
+            )
+        return entries
 
     def data_files(self, snapshot_id: int | None = None) -> list[str]:
         """Live data files at a snapshot (paths only)."""
@@ -255,20 +285,85 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None):
     identity-partitioned tables assemble per partition tuple with the
     partition values re-attached from the manifest metadata (the
     spec's column-projection rule — this engine's partitioned files
-    omit the source columns, like Delta's layout)."""
+    omit the source columns, like Delta's layout).
+
+    Format-v2 POSITION deletes are honored: delete manifests' parquet
+    files ((file_path, pos) rows) scan natively and drop the marked
+    rows from the data scan via a `_metadata.row_index` anti-join —
+    fully distributed, broadcast when the delete set is small.
+    Equality deletes raise (scan_entries)."""
     t = IcebergTable(table_path)
     schema = t.schema()
     part_cols = t.partition_fields()
-    entries = t.data_entries(snapshot_id)
+    entries, deletes = t.scan_entries(snapshot_id)
     if not entries:
         return spark.createDataFrame([], schema)
-    if not part_cols:
-        return spark.read.schema(schema).parquet(*[p for p, _ in entries])
-    return _assemble_iceberg(spark, schema, part_cols, entries)
+    if not deletes:
+        if not part_cols:
+            return spark.read.schema(schema).parquet(*[p for p, _ in entries])
+        return _assemble_iceberg(spark, schema, part_cols, entries)
+    return _posdelete_filtered_read(
+        spark, t, schema, part_cols, entries, deletes
+    )
+
+
+def _posdelete_filtered_read(
+    spark, t: "IcebergTable", schema, part_cols, entries, delete_files
+):
+    """Data scan minus the rows position-delete files mark.
+
+    Both sides normalize file identity to the path suffix under the
+    table's data/ dir (delete files may reference absolute URIs from
+    the writing engine while the local resolve re-roots — the same
+    rule IcebergTable._resolve applies, expressed as JVM column ops).
+    The delete set is a native parquet scan, so the whole subtraction
+    is shuffle-or-broadcast work with no Python in the row path."""
+    if part_cols:
+        scan = _assemble_iceberg(
+            spark, schema, part_cols, entries, with_pos=True
+        )
+    else:
+        scan = (
+            spark.read.schema(schema)
+            .parquet(*[p for p, _ in entries])
+            .withColumn("__pd_file", F.col("_metadata.file_path"))
+            .withColumn("__pd_ridx", F.col("_metadata.row_index"))
+        )
+    norm_scan = F.when(
+        F.col("__pd_file").contains("/data/"),
+        F.substring_index(F.col("__pd_file"), "/data/", -1),
+    ).otherwise(F.substring_index(F.col("__pd_file"), "/", -1))
+    scan = scan.withColumn("__pd_file", norm_scan)
+    dels = (
+        spark.read.schema("file_path string, pos long")
+        .parquet(*delete_files)
+        .select(
+            F.when(
+                F.col("file_path").contains("/data/"),
+                F.substring_index(F.col("file_path"), "/data/", -1),
+            )
+            .otherwise(F.substring_index(F.col("file_path"), "/", -1))
+            .alias("__pd_file"),
+            F.col("pos").alias("__pd_ridx"),
+        )
+    )
+    total_delete_bytes = sum(os.path.getsize(p) for p in delete_files)
+    if total_delete_bytes < 32 << 20:  # compressed (file,pos) pairs
+        dels = F.broadcast(dels)
+    out_cols = [f.name for f in schema.fields]
+    return scan.join(dels, ["__pd_file", "__pd_ridx"], "left_anti").select(
+        out_cols
+    )
 
 
 def _assemble_iceberg(
-    spark, schema, part_cols, entries, with_file: bool = False, table_root: str | None = None
+    spark,
+    schema,
+    part_cols,
+    entries,
+    with_file: bool = False,
+    table_root: str | None = None,
+    with_pos: bool = False,
 ):
     """Partitioned-read assembly — shared sources/assemble.py
     implementation (hive single-scan fast path). Iceberg manifest
@@ -300,6 +395,7 @@ def _assemble_iceberg(
         entries,
         lambda v, dtype: F.lit(v).cast(dtype),
         with_file,
+        with_pos,
     )
 
 
@@ -1711,6 +1807,12 @@ class IcebergStreamReader(DataSourceStreamReader):
                     continue
                 for e in read_ocf_generic(table._resolve(m["manifest_path"])):
                     if e.get("snapshot_id") != sid:
+                        continue
+                    if e["data_file"].get("content", 0) != 0:
+                        # a v2 delete file (position/equality) is a
+                        # row-level delete: emitting it as data (or
+                        # streaming around it) would be wrong
+                        has_delete = True
                         continue
                     if e["status"] == 1:
                         adds.append(
