@@ -36,13 +36,17 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 # Reader-protocol support (Delta spec, "Protocol Evolution"): this
 # pure-Python reader implements reader-version-1 semantics plus the
 # deletionVectors table feature (sources/deletion_vectors.py +
-# read_delta's row-index anti-join). A table demanding anything else
-# (v2 = column mapping; other v3 features, e.g. v2Checkpoint,
-# timestampNtz column mapping) would be read WRONG, not just slowly —
-# mapped columns would mis-resolve — so the spec requires refusing it
-# outright (mirrors iceberg_meta.py's v2 delete-file refusal).
-SUPPORTED_MIN_READER_VERSION = 1
-SUPPORTED_READER_FEATURES: frozenset[str] = frozenset({"deletionVectors"})
+# read_delta's row-index anti-join) and columnMapping in NAME mode
+# (physical→logical rename from the schemaString's
+# delta.columnMapping.physicalName metadata; id mode and nested
+# mapped fields refuse in replay()). A table demanding anything else
+# (e.g. v2Checkpoint) would be read WRONG, not just slowly, so the
+# spec requires refusing it outright (mirrors iceberg_meta.py's
+# equality-delete refusal).
+SUPPORTED_MIN_READER_VERSION = 2  # v2 = column mapping
+SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
+    {"deletionVectors", "columnMapping"}
+)
 
 
 class DeltaProtocolError(ValueError):
@@ -71,6 +75,54 @@ def _check_reader_protocol(protocol: dict, table_path: str) -> None:
         f"(supported: {SUPPORTED_MIN_READER_VERSION}); refusing to read "
         f"— results would be incorrect"
     )
+
+
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def _nested_has_mapping(dt) -> bool:
+    if isinstance(dt, T.StructType):
+        return any(
+            _CM_PHYS in (f.metadata or {}) or _nested_has_mapping(f.dataType)
+            for f in dt.fields
+        )
+    if isinstance(dt, T.ArrayType):
+        return _nested_has_mapping(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _nested_has_mapping(dt.keyType) or _nested_has_mapping(
+            dt.valueType
+        )
+    return False
+
+
+def column_mapping(
+    schema: T.StructType, config: dict, table_path: str
+) -> dict[str, str] | None:
+    """logical → physical column names for columnMapping tables, None
+    when the table is unmapped. NAME mode only: physical names come
+    from each field's delta.columnMapping.physicalName metadata in the
+    schemaString. ID mode (match parquet field ids) and mapped NESTED
+    fields are refused — resolving them wrong would silently misread,
+    which the protocol forbids."""
+    mode = (config or {}).get("delta.columnMapping.mode") or "none"
+    has_meta = any(_CM_PHYS in (f.metadata or {}) for f in schema.fields)
+    if mode == "none" and not has_meta:
+        return None
+    if mode == "id":
+        raise DeltaProtocolError(
+            f"{table_path}: columnMapping mode 'id' is not implemented "
+            "(name mode is); refusing to read — columns would mis-resolve"
+        )
+    for f in schema.fields:
+        if _nested_has_mapping(f.dataType):
+            raise DeltaProtocolError(
+                f"{table_path}: column mapping on NESTED field "
+                f"{f.name!r} is not implemented; refusing to read"
+            )
+    return {
+        f.name: (f.metadata or {}).get(_CM_PHYS, f.name)
+        for f in schema.fields
+    }
 
 
 def _commit_versions(log_dir: str) -> list[int]:
@@ -174,7 +226,9 @@ class DeltaLog:
         """Returns (schema, partition_cols, active: {rel_path: add
         action dict}) — the full live add actions, so callers needing
         per-file stats (MERGE pruning) read them from the log instead
-        of re-opening every parquet footer."""
+        of re-opening every parquet footer. The latest metaData
+        `configuration` is kept on `self.table_config` (column-mapping
+        mode lives there)."""
         if version is None:
             version = self.latest_version()
         start = 0
@@ -193,6 +247,8 @@ class DeltaLog:
         part_cols: list[str] = []
         active: dict[str, dict] = {}
         protocol: dict | None = None
+        self.table_config: dict = {}
+        self.table_protocol: dict | None = None
         for unit in units:
             # spec reconciliation is per COMMIT: a remove tombstones the
             # PRIOR version's file, so an add of the same path in the
@@ -206,6 +262,10 @@ class DeltaLog:
                     md = a["metaData"]
                     schema = T.StructType.fromJson(json.loads(md["schemaString"]))
                     part_cols = list(md.get("partitionColumns") or [])
+                    cfg = md.get("configuration") or {}
+                    if isinstance(cfg, list):  # pyarrow map roundtrip
+                        cfg = dict(cfg)
+                    self.table_config = cfg
                 elif "add" in a:
                     add = dict(a["add"])
                     pv = add.get("partitionValues") or {}
@@ -221,6 +281,7 @@ class DeltaLog:
                 elif "protocol" in a:
                     protocol = a["protocol"]
         if protocol is not None:
+            self.table_protocol = protocol
             _check_reader_protocol(protocol, self.table_path)
         if schema is None:
             raise ValueError(f"no metaData action found in {self.log_dir}")
@@ -235,6 +296,12 @@ class DeltaLog:
         rewriting such a file in full would resurrect deleted rows,
         so this raises and points at the DV-aware `read_delta`."""
         schema, part_cols, active = self.replay(version)
+        if column_mapping(schema, self.table_config, self.table_path):
+            raise DeltaProtocolError(
+                f"{self.table_path}: table uses column mapping; this "
+                "physical-files access path would mis-resolve columns — "
+                "use read_delta() (mapping-aware)"
+            )
         dvd = sorted(
             rel for rel, add in active.items() if add.get("deletionVector")
         )
@@ -280,8 +347,24 @@ def read_delta(
     `_metadata.row_index`, the DVs decode DISTRIBUTED (mapInPandas
     over descriptors) into (file, row_index) pairs, and deleted rows
     are dropped exactly — see sources/deletion_vectors.py. Clean files
-    keep the plain multi-path scan."""
-    schema, part_cols, active = DeltaLog(table_path).replay(version)
+    keep the plain multi-path scan.
+
+    columnMapping tables (name mode) scan under their PHYSICAL column
+    names (file content, directory layout, and partitionValues keys
+    all use them per the spec) and rename to logical names in one
+    final projection."""
+    log = DeltaLog(table_path)
+    schema, part_cols, active = log.replay(version)
+    mapping = column_mapping(schema, log.table_config, table_path)
+    logical_schema = schema
+    if mapping:
+        schema = T.StructType(
+            [
+                T.StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        part_cols = [mapping[c] for c in part_cols]
     files = []
     dv_desc: dict[str, dict] = {}
     for rel, add in active.items():
@@ -290,6 +373,10 @@ def read_delta(
         if add.get("deletionVector"):
             dv_desc[p] = add["deletionVector"]
     if partitions:
+        if mapping:
+            # callers filter by LOGICAL names; partitionValues (and
+            # part_cols, above) use physical names on mapped tables
+            partitions = {mapping.get(c, c): v for c, v in partitions.items()}
         unknown = [c for c in partitions if c not in part_cols]
         if unknown:
             raise ValueError(
@@ -304,15 +391,24 @@ def read_delta(
             )
         ]
     clean = [(p, pv) for p, pv in files if p not in dv_desc]
-    base = _assemble_view(
+    out = _assemble_view(
         spark, schema, part_cols, clean, table_root=table_path
     )
     dvd = [(p, pv) for p, pv in files if p in dv_desc]
-    if not dvd:
-        return base
-    return base.unionByName(
-        _dv_filtered_scan(spark, table_path, schema, part_cols, dvd, dv_desc)
-    )
+    if dvd:
+        out = out.unionByName(
+            _dv_filtered_scan(
+                spark, table_path, schema, part_cols, dvd, dv_desc
+            )
+        )
+    if mapping:
+        out = out.select(
+            [
+                F.col(mapping[f.name]).alias(f.name)
+                for f in logical_schema.fields
+            ]
+        )
+    return out
 
 
 # deleted-row sets at or below this total cardinality broadcast to the
@@ -1280,6 +1376,8 @@ def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
                     [
                         pa.field("minReaderVersion", pa.int32()),
                         pa.field("minWriterVersion", pa.int32()),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -1336,14 +1434,36 @@ def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
                 "id": f"plankton-delta-{os.path.basename(table_path)}",
                 "schemaString": schema.json(),
                 "partitionColumns": part_cols,
-                "configuration": [],
+                # carry the table config (column-mapping mode lives
+                # here) so compaction doesn't strip reader semantics
+                "configuration": sorted(
+                    (k, str(v))
+                    for k, v in (getattr(log, "table_config", {}) or {}).items()
+                ),
             },
             "protocol": None,
             "add": None,
         },
         {
             "metaData": None,
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            # keep the table's real protocol: compaction must not widen
+            # readability (a DV/mapped table checkpointed at v1 would
+            # lose its reader gate for third-party readers)
+            "protocol": (
+                {
+                    k: v
+                    for k, v in log.table_protocol.items()
+                    if k
+                    in (
+                        "minReaderVersion",
+                        "minWriterVersion",
+                        "readerFeatures",
+                        "writerFeatures",
+                    )
+                }
+                if getattr(log, "table_protocol", None)
+                else {"minReaderVersion": 1, "minWriterVersion": 2}
+            ),
             "add": None,
         },
     ]

@@ -1,0 +1,209 @@
+"""Delta columnMapping (name mode) reads: physical parquet columns +
+hive dirs + partitionValues keys rename to logical schema names in
+one final projection (delta_log.column_mapping). ID mode, nested
+mapped fields, and every physical-files access path (DSv2 wrapper,
+writer rewrites) refuse instead of mis-resolving.
+
+Assumption documented in column_mapping(): metaData.partitionColumns
+carry LOGICAL names (they reference schema columns) while add
+actions' partitionValues are keyed by PHYSICAL names, matching the
+directory layout."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from plankton_spark.sources import deletion_vectors as dvmod
+from plankton_spark.sources.delta_log import (
+    DeltaLog,
+    DeltaProtocolError,
+    read_delta,
+    write_delta_checkpoint,
+)
+
+_PROTOCOL_V2 = {"minReaderVersion": 2, "minWriterVersion": 5}
+
+
+def _schema_str(mapped_nested: bool = False) -> str:
+    fields = [
+        {
+            "name": "order_id",
+            "type": "long",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": "col-aaaa",
+            },
+        },
+        {
+            "name": "status",
+            "type": "string",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": "col-bbbb",
+            },
+        },
+    ]
+    if mapped_nested:
+        fields.append(
+            {
+                "name": "meta",
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "inner",
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.physicalName": "col-cccc"
+                            },
+                        }
+                    ],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.physicalName": "col-dddd"
+                },
+            }
+        )
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def _author_mapped_table(
+    tmp_path,
+    name: str,
+    mode: str = "name",
+    partitioned: bool = False,
+    mapped_nested: bool = False,
+    with_dv: bool = False,
+) -> str:
+    root = str(tmp_path / name)
+    os.makedirs(os.path.join(root, "_delta_log"))
+    adds = []
+    if partitioned:
+        # physical dir layout + physical partitionValues keys
+        for st in ("A", "B"):
+            rel = f"col-bbbb={st}/part-{st}.parquet"
+            os.makedirs(os.path.join(root, f"col-bbbb={st}"))
+            pq.write_table(
+                pa.table(
+                    {"col-aaaa": pa.array([1, 2] if st == "A" else [3], pa.int64())}
+                ),
+                os.path.join(root, rel),
+            )
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {"col-bbbb": st},
+                        "size": 1,
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+    else:
+        pq.write_table(
+            pa.table(
+                {
+                    "col-aaaa": pa.array([1, 2, 3], pa.int64()),
+                    "col-bbbb": pa.array(["A", "B", "A"]),
+                }
+            ),
+            os.path.join(root, "part-0.parquet"),
+        )
+        add = {
+            "path": "part-0.parquet",
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if with_dv:
+            add["deletionVector"] = dvmod.inline_dv_descriptor([1])
+        adds.append({"add": add})
+    protocol = dict(_PROTOCOL_V2)
+    if with_dv:
+        protocol = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["columnMapping", "deletionVectors"],
+            "writerFeatures": ["columnMapping", "deletionVectors"],
+        }
+    actions = [
+        {"protocol": protocol},
+        {
+            "metaData": {
+                "id": name,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _schema_str(mapped_nested),
+                "partitionColumns": ["status"] if partitioned else [],
+                "configuration": {"delta.columnMapping.mode": mode},
+            }
+        },
+    ] + adds
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return root
+
+
+def test_mapped_table_reads_logical_names(spark, tmp_path):
+    root = _author_mapped_table(tmp_path, "cm_basic")
+    df = read_delta(spark, root)
+    assert df.columns == ["order_id", "status"]
+    got = sorted((r.order_id, r.status) for r in df.collect())
+    assert got == [(1, "A"), (2, "B"), (3, "A")]
+
+
+def test_mapped_partitioned_table_and_logical_filter(spark, tmp_path):
+    root = _author_mapped_table(tmp_path, "cm_part", partitioned=True)
+    df = read_delta(spark, root)
+    got = sorted((r.order_id, r.status) for r in df.collect())
+    assert got == [(1, "A"), (2, "A"), (3, "B")]
+    one = read_delta(spark, root, partitions={"status": "B"})
+    assert [(r.order_id, r.status) for r in one.collect()] == [(3, "B")]
+
+
+def test_mapped_table_with_deletion_vector(spark, tmp_path):
+    root = _author_mapped_table(tmp_path, "cm_dv", with_dv=True)
+    got = sorted((r.order_id, r.status) for r in read_delta(spark, root).collect())
+    assert got == [(1, "A"), (3, "A")]  # row index 1 deleted
+
+
+def test_id_mode_refused(spark, tmp_path):
+    root = _author_mapped_table(tmp_path, "cm_id", mode="id")
+    with pytest.raises(DeltaProtocolError, match="mode 'id'"):
+        read_delta(spark, root)
+
+
+def test_nested_mapping_refused(spark, tmp_path):
+    root = _author_mapped_table(tmp_path, "cm_nested", mapped_nested=True)
+    with pytest.raises(DeltaProtocolError, match="NESTED"):
+        read_delta(spark, root)
+
+
+def test_snapshot_refuses_mapped_tables(spark, tmp_path):
+    root = _author_mapped_table(tmp_path, "cm_snap")
+    with pytest.raises(DeltaProtocolError, match="column mapping"):
+        DeltaLog(root).snapshot(None)
+
+
+def test_checkpoint_preserves_mapping_and_protocol(spark, tmp_path):
+    """Compaction must not strip the config or widen the protocol."""
+    root = _author_mapped_table(tmp_path, "cm_ckpt")
+    write_delta_checkpoint(root, version=0)
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    log = DeltaLog(root)
+    schema, _, _ = log.replay(None)
+    assert log.table_config.get("delta.columnMapping.mode") == "name"
+    assert log.table_protocol["minReaderVersion"] == 2
+    got = sorted((r.order_id, r.status) for r in read_delta(spark, root).collect())
+    assert got == [(1, "A"), (2, "B"), (3, "A")]

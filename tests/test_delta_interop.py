@@ -1003,14 +1003,19 @@ def test_protocol_accepts_deletion_vectors_feature(spark, tmp_path):
     assert sorted(r.k for r in read_delta(spark, root).collect()) == [1, 2, 3]
 
 
-def test_protocol_refuses_column_mapping_v2(spark, tmp_path):
-    """minReaderVersion 2 = column mapping; physical names would
-    mis-resolve. Must refuse."""
-    root = _author_foreign_delta(
+def test_protocol_accepts_v2_and_refuses_unknown_versions(spark, tmp_path):
+    """minReaderVersion 2 (column mapping) is implemented in name
+    mode as of r7 — a v2 table with no mapped columns reads plain; an
+    unknown future version without a feature list still refuses."""
+    ok = _author_foreign_delta(
         tmp_path, "cm_tbl", {"minReaderVersion": 2, "minWriterVersion": 5}
     )
-    with pytest.raises(DeltaProtocolError, match="minReaderVersion=2"):
-        read_delta(spark, root)
+    assert sorted(r.k for r in read_delta(spark, ok).collect()) == [1, 2, 3]
+    bad = _author_foreign_delta(
+        tmp_path, "v4_tbl", {"minReaderVersion": 4, "minWriterVersion": 9}
+    )
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion=4"):
+        read_delta(spark, bad)
 
 
 def test_protocol_v3_with_only_supported_features_reads(spark, tmp_path):
