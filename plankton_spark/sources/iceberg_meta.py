@@ -534,7 +534,15 @@ _PART_AVRO = {
 # Transforms the WRITER can stage (readers never raise on foreign
 # specs — transform fields are derived columns whose source columns
 # live in the data files).
-_WRITER_TRANSFORMS = {"identity", "day", "hour", "bucket", "truncate"}
+_WRITER_TRANSFORMS = {
+    "identity",
+    "day",
+    "hour",
+    "month",
+    "year",
+    "bucket",
+    "truncate",
+}
 
 
 def _norm_transform(tr: str) -> tuple[str, int | None]:
@@ -546,7 +554,16 @@ def _norm_transform(tr: str) -> tuple[str, int | None]:
     m = _re.fullmatch(r"(bucket|truncate)\[(\d+)\]", tr)
     if m:
         return m.group(1), int(m.group(2))
-    return {"days": "day", "hours": "hour", "dates": "day"}.get(tr, tr), None
+    return (
+        {
+            "days": "day",
+            "hours": "hour",
+            "dates": "day",
+            "months": "month",
+            "years": "year",
+        }.get(tr, tr),
+        None,
+    )
 
 
 def murmur3_32(data: bytes, seed: int = 0) -> int:
@@ -708,6 +725,21 @@ def _derived_partition_col(kind: str, param: int | None, source: str, src_t):
             * 24
             + F.hour(F.col(source))
         ).cast("int")
+    if kind in ("month", "year"):
+        # months/years from epoch (1970-01 = 0 / 1970 = 0); a
+        # timestamptz routes through its exact UTC date first
+        if isinstance(src_t, T.TimestampType):
+            d = F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                F.floor(F.unix_timestamp(F.col(source)) / F.lit(86400)).cast(
+                    "int"
+                ),
+            )
+        else:
+            d = F.col(source).cast("date")
+        if kind == "month":
+            return ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast("int")
+        return (F.year(d) - 1970).cast("int")
     if kind == "bucket":
         if isinstance(src_t, T.StringType):
             return _bucket_str_udf(param)(F.col(source))
@@ -761,6 +793,17 @@ def _parse_partition_by(partition_by: list[str]) -> list[dict]:
                 }
             )
             continue
+        m = _re.fullmatch(r"(months?|years?)\((\w+)\)", raw)
+        if m:
+            kind = "month" if m.group(1).startswith("month") else "year"
+            out.append(
+                {
+                    "name": f"{m.group(2)}_{kind}",
+                    "transform": kind,
+                    "source": m.group(2),
+                }
+            )
+            continue
         m = _re.fullmatch(r"bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)", raw)
         if m:
             out.append(
@@ -785,7 +828,7 @@ def _parse_partition_by(partition_by: list[str]) -> list[dict]:
             raise ValueError(
                 f"unsupported partition transform {raw!r} "
                 "(supported: bare column for identity, day(col), hour(col), "
-                "bucket(N, col), truncate(W, col))"
+                "month(col), year(col), bucket(N, col), truncate(W, col))"
             )
         out.append({"name": raw, "transform": "identity", "source": raw})
     return out
@@ -817,6 +860,16 @@ def _spec_avro_fields(
                     f"{table_path}: hour() needs a timestamp source "
                     f"(the spec defines it for timestamps only), got "
                     f"{st.simpleString()} for {f['source']!r}"
+                )
+            out.append((f["name"], "int"))
+            continue
+        if kind in ("month", "year"):
+            if not isinstance(
+                st, (T.DateType, T.TimestampType, T.TimestampNTZType)
+            ):
+                raise ValueError(
+                    f"{table_path}: {kind}() needs a date/timestamp "
+                    f"source, got {st.simpleString()} for {f['source']!r}"
                 )
             out.append((f["name"], "int"))
             continue

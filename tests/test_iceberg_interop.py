@@ -842,9 +842,9 @@ def test_external_nonidentity_spec_still_reads(spark, tmp_path):
     path = _os.path.join(meta, f"v{v}.metadata.json")
     md = _json.load(open(path))
     md["partition-spec"] = [
-        # month() is still writer-unsupported (bucket/truncate/hour
-        # graduated to stageable transforms in r7)
-        {"name": "k_month", "transform": "month", "source-id": 1, "field-id": 1000}
+        # void is the spec transform the writer (rightly) never stages
+        # (bucket/truncate/hour/month/year graduated in r7)
+        {"name": "k_void", "transform": "void", "source-id": 1, "field-id": 1000}
     ]
     _json.dump(md, open(path, "w"))
     got = sorted((r.k, r.status) for r in read_iceberg(spark, root).collect())
@@ -994,7 +994,7 @@ def test_partition_by_rejects_unknown_transform_and_name_clash(spark, tmp_path):
     w = IcebergWriter(spark, str(tmp_path / "ibadspec"))
     df = spark.sql("SELECT CAST(1 AS BIGINT) AS k, TIMESTAMP'2024-01-01' AS ts")
     with pytest.raises(ValueError, match="unsupported partition transform"):
-        w.create(df, partition_by=["month(ts)"])
+        w.create(df, partition_by=["void(ts)"])
     clash = df.withColumn("ts_day", F.lit(7))
     with pytest.raises(ValueError, match="collide"):
         IcebergWriter(spark, str(tmp_path / "iclash")).create(
@@ -1260,3 +1260,44 @@ def test_assemble_table_root_terminates_on_relative_paths(spark, tmp_path):
     schema = T.StructType([T.StructField("k", T.LongType())])
     df = _assemble_iceberg(spark, schema, [], [(rel, {})])
     assert df.count() == 2
+
+
+def test_month_year_transforms_roundtrip_and_prune(spark, tmp_path):
+    """month()/year(): months/years-from-epoch ints (1970-01 = 0) in
+    the manifests, UTC-defined for timestamptz; spec examples pinned
+    (2017-11 -> 574, 2017 -> 47)."""
+    root = str(tmp_path / "imonth")
+    df = spark.sql(
+        "SELECT id AS k, timestampadd(DAY, CAST(id * 20 AS INT),"
+        " TIMESTAMP'2017-11-16 22:31:08') AS ts FROM range(6)"
+    )
+    IcebergWriter(spark, root).create(df, partition_by=["month(ts)"])
+    t = IcebergTable(root)
+    assert t.partition_spec()[0]["transform"] == "month"
+    months = {pv["ts_month"] for _, pv in t.data_entries(None)}
+    assert 574 in months and months == {574, 575, 576, 577}, months
+    assert read_iceberg(spark, root).count() == 6
+    # month 574 = 2017-11: only id 0 (the +20d steps land in December)
+    one = [(p, pv) for p, pv in t.data_entries(None) if pv["ts_month"] == 574]
+    assert _assemble_iceberg(spark, t.schema(), [], one).count() == 1
+    two = [(p, pv) for p, pv in t.data_entries(None) if pv["ts_month"] == 575]
+    assert _assemble_iceberg(spark, t.schema(), [], two).count() == 2
+
+    root2 = str(tmp_path / "iyear")
+    d2 = spark.sql(
+        "SELECT id AS k, date_add(DATE'2017-12-30', CAST(id * 300 AS INT))"
+        " AS d FROM range(4)"
+    )
+    IcebergWriter(spark, root2).create(d2, partition_by=["year(d)"])
+    years = {pv["d_year"] for _, pv in IcebergTable(root2).data_entries(None)}
+    assert years == {47, 48, 49, 50}, years  # 2017..2020
+    assert read_iceberg(spark, root2).count() == 4
+
+
+def test_month_transform_requires_temporal_source(spark, tmp_path):
+    w = IcebergWriter(spark, str(tmp_path / "imonth_bad"))
+    with pytest.raises(ValueError, match="month\\(\\) needs a date/timestamp"):
+        w.create(
+            spark.createDataFrame([(1, "x")], "k long, s string"),
+            partition_by=["month(s)"],
+        )
