@@ -475,7 +475,15 @@ def _dv_filtered_scan(
         for pdf in batches:
             for f, dj in zip(pdf["f"], pdf["dv"]):
                 idx = dv_row_indexes(root, json.loads(dj))
-                yield _pd.DataFrame({"__dv_file": f, "__dv_ridx": idx})
+                # chunked: a worst-case DV (10^8 deletions in one
+                # file) must not materialize as one pandas frame
+                for i in range(0, len(idx), 1 << 20):
+                    yield _pd.DataFrame(
+                        {
+                            "__dv_file": f,
+                            "__dv_ridx": idx[i : i + (1 << 20)],
+                        }
+                    )
 
     deleted = desc_df.mapInPandas(_expand, "__dv_file string, __dv_ridx long")
     total_card = sum(
