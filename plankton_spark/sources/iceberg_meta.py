@@ -95,23 +95,53 @@ class IcebergTable:
         with open(path) as f:
             return json.load(f)
 
-    def schema(self) -> T.StructType:
+    def _current_ice_schema(self) -> dict:
         md = self.metadata
         schemas = md.get("schemas")
         if schemas:
             current = md.get("current-schema-id", 0)
-            ice = next(s for s in schemas if s.get("schema-id") == current)
-        else:  # format v1 single-schema layout
-            ice = md["schema"]
+            return next(s for s in schemas if s.get("schema-id") == current)
+        return md["schema"]  # format v1 single-schema layout
+
+    def schema(self, with_field_ids: bool = False) -> T.StructType:
+        """Current schema as a Spark StructType. `with_field_ids`
+        additionally carries each Iceberg field id as
+        `parquet.field.id` metadata — with
+        spark.sql.parquet.fieldId.read.enabled the parquet reader then
+        resolves columns BY ID, which is what makes Iceberg renames
+        safe (old files keep old physical names; the id is stable)."""
+        ice = self._current_ice_schema()
         return T.StructType(
             [
                 T.StructField(
                     f["name"],
                     _iceberg_type_to_spark(f["type"]),
                     not f.get("required", False),
+                    {"parquet.field.id": f["id"]} if with_field_ids else None,
                 )
                 for f in ice["fields"]
             ]
+        )
+
+    def field_ids(self) -> dict[str, int]:
+        """Current-schema column name → Iceberg field id."""
+        return {
+            f["name"]: f["id"] for f in self._current_ice_schema()["fields"]
+        }
+
+    def files_carry_field_ids(self, snapshot_id: int | None = None) -> bool:
+        """True when the snapshot's data files store parquet field ids
+        (probed from ONE footer — the spec requires writers to be
+        consistent; a mixed table errors honestly at scan time when
+        id-resolution meets an id-less file)."""
+        import pyarrow.parquet as _pq
+
+        entries, _ = self.scan_entries(snapshot_id)
+        if not entries:
+            return False
+        sch = _pq.read_schema(entries[0][0])
+        return any(
+            f.metadata and b"PARQUET:field_id" in f.metadata for f in sch
         )
 
     def snapshots(self) -> list[dict]:
@@ -293,11 +323,18 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None):
     fully distributed, broadcast when the delete set is small.
     Equality deletes raise (scan_entries)."""
     t = IcebergTable(table_path)
-    schema = t.schema()
+    use_ids = t.files_carry_field_ids(snapshot_id)
+    schema = t.schema(with_field_ids=use_ids)
+    if use_ids:
+        # resolution by Iceberg field id (rename-safe): the conf is
+        # read at EXECUTION time and only affects scans whose read
+        # schema explicitly carries parquet.field.id metadata, so
+        # leaving it on session-wide is side-effect-free
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     part_cols = t.partition_fields()
     entries, deletes = t.scan_entries(snapshot_id)
     if not entries:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], t.schema())
     if not deletes:
         if not part_cols:
             return spark.read.schema(schema).parquet(*[p for p, _ in entries])
@@ -420,7 +457,9 @@ class IcebergDataSource(DataSource):
     def reader(self, schema) -> "IcebergReader":
         path, sid = self._resolved()
         t = IcebergTable(path)
-        return IcebergReader(t.schema(), t.partition_fields(), t.data_entries(sid))
+        return IcebergReader(
+            t.schema(), t.partition_fields(), t.data_entries(sid), t.field_ids()
+        )
 
     def streamReader(self, schema) -> "IcebergStreamReader":
         path, _ = self._resolved()
@@ -439,17 +478,28 @@ class _IceFilePartition(InputPartition):
 class IcebergReader(DataSourceReader):
     """One InputPartition per data file, Arrow batches out."""
 
-    def __init__(self, schema: T.StructType, part_cols: list[str], entries):
+    def __init__(
+        self,
+        schema: T.StructType,
+        part_cols: list[str],
+        entries,
+        field_ids: dict[str, int] | None = None,
+    ):
         self._schema = schema
         self._part_cols = part_cols
         self._entries = entries
+        self._field_ids = field_ids or {}
 
     def partitions(self):
         return [_IceFilePartition(p, pv) for p, pv in self._entries]
 
     def read(self, partition: _IceFilePartition):
         yield from _iceberg_batches(
-            partition.path, self._schema, self._part_cols, partition.pv
+            partition.path,
+            self._schema,
+            self._part_cols,
+            partition.pv,
+            self._field_ids,
         )
 
 
@@ -458,13 +508,15 @@ def _iceberg_batches(
     schema: T.StructType,
     part_cols: list[str] | None = None,
     pv: dict | None = None,
+    field_ids: dict[str, int] | None = None,
 ):
     """One data file as Arrow batches aligned to the table schema:
     identity-partition source columns come from the manifest partition
     record (the spec's column projection — this writer's partitioned
-    files omit them); other columns a pre-evolution file lacks are
-    null-filled (read-time projection by name since this writer never
-    renames)."""
+    files omit them); other columns resolve by NAME first, then by
+    Iceberg FIELD ID (the file's PARQUET:field_id metadata — what
+    keeps renamed columns reading their old files), and a column a
+    pre-evolution file lacks entirely is null-filled."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -472,13 +524,21 @@ def _iceberg_batches(
 
     part_cols = part_cols or []
     pv = pv or {}
+    field_ids = field_ids or {}
     target = to_arrow_schema(schema)
     pf = pq.ParquetFile(path)
     for batch in pf.iter_batches():
         n = batch.num_rows
         cols = []
+        by_id = {}
+        for j, bf in enumerate(batch.schema):
+            fid = (bf.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = j
         for f in target:
             i = batch.schema.get_field_index(f.name)
+            if i < 0 and f.name in field_ids:
+                i = by_id.get(field_ids[f.name], -1)
             if i >= 0:
                 cols.append(batch.column(i).cast(f.type))
             elif f.name in part_cols:
@@ -1020,9 +1080,23 @@ class IcebergWriter:
         self.meta_dir = os.path.join(table_path, "metadata")
 
     def _stage(
-        self, df, snapshot_id: int, spec: list[dict] | None = None
+        self,
+        df,
+        snapshot_id: int,
+        spec: list[dict] | None = None,
+        field_ids: dict[str, int] | None = None,
     ) -> list[dict]:
         """Write df as parquet under data/; return data_file dicts.
+
+        Data files carry the Iceberg FIELD IDS as parquet field ids
+        (`parquet.field.id` column metadata — Spark's parquet writer
+        stores them), so readers can resolve columns by id and column
+        RENAMES stay safe. `field_ids` overrides the name→id map
+        (create/evolution, where the table metadata doesn't exist or
+        is being replaced); `None` derives it from the current table;
+        `{}` disables ids (overwrite with schema replacement — stale
+        ids would be worse than none).
+
         `spec` is the normalized partition spec ([{name, transform,
         source}]): identity fields lay out hive-style with the source
         column DROPPED from file content (the spec's column-projection
@@ -1038,6 +1112,23 @@ class IcebergWriter:
         from pyspark.sql import functions as F
 
         spec = spec or []
+        if field_ids is None:
+            try:
+                field_ids = IcebergTable(self.table_path).field_ids()
+            except (FileNotFoundError, ValueError, KeyError, StopIteration):
+                field_ids = {}
+        if field_ids:
+            df = df.select(
+                [
+                    F.col(f.name).alias(
+                        f.name,
+                        metadata={"parquet.field.id": field_ids[f.name]},
+                    )
+                    if f.name in field_ids
+                    else F.col(f.name)
+                    for f in df.schema.fields
+                ]
+            )
         tmp = os.path.join(self.table_path, f"_stage-{_uuid.uuid4().hex}")
         if spec:
             dtypes = {f.name: f.dataType for f in df.schema.fields}
@@ -1244,7 +1335,12 @@ class IcebergWriter:
         )
         os.makedirs(self.meta_dir, exist_ok=True)
         snap_id = 1
-        files = self._stage(df, snap_id, spec)
+        files = self._stage(
+            df,
+            snap_id,
+            spec,
+            field_ids={f.name: i + 1 for i, f in enumerate(df.schema.fields)},
+        )
         m = self._write_manifest(
             self._unique(f"m{snap_id}"), files, snap_id, entry_schema=es
         )
@@ -1366,6 +1462,72 @@ class IcebergWriter:
         md["last-column-id"] = last_id
         return md
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column — the schema evolution Iceberg's stable
+        field ids exist for: a metadata-only commit publishes a new
+        current schema with the SAME id under the new name; readers
+        resolve old files by field id (read_iceberg via
+        spark.sql.parquet.fieldId.read, the DSv2/stream wrappers via
+        the PARQUET:field_id fallback in _iceberg_batches).
+
+        Refused when any live data file lacks parquet field ids (a
+        pre-field-id file would silently null-fill under the new
+        name) or when the column feeds the partition spec (identity
+        dir layout and manifest partition records carry the name)."""
+        import pyarrow.parquet as _pq
+
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            ice = table._current_ice_schema()
+            names = [f["name"] for f in ice["fields"]]
+            if old not in names:
+                raise ValueError(f"{self.table_path}: no column {old!r}")
+            if new in names:
+                raise ValueError(f"{self.table_path}: column {new!r} exists")
+            spec_sources = {
+                table.source_column(f) for f in table.partition_spec()
+            }
+            if old in spec_sources:
+                raise ValueError(
+                    f"{self.table_path}: {old!r} feeds the partition "
+                    "spec; renaming it would break the identity layout"
+                )
+            entries, _ = table.scan_entries(None)
+            for p, _pv in entries:
+                sch = _pq.read_schema(p)
+                if not any(
+                    f.metadata and b"PARQUET:field_id" in f.metadata
+                    for f in sch
+                ):
+                    raise ValueError(
+                        f"{self.table_path}: data file {p} carries no "
+                        "parquet field ids — renaming would null it "
+                        "out; rewrite the table first (OPTIMIZE)"
+                    )
+            new_fields = [
+                dict(f, name=new) if f["name"] == old else f
+                for f in ice["fields"]
+            ]
+            old_schemas = table.metadata.get("schemas") or [
+                table.metadata["schema"]
+            ]
+            new_sid = max(s.get("schema-id", 0) for s in old_schemas) + 1
+            new_ice = {
+                "type": "struct",
+                "schema-id": new_sid,
+                "fields": new_fields,
+            }
+            md = dict(table.metadata)
+            md["schema"] = new_ice
+            md["schemas"] = old_schemas + [new_ice]
+            md["current-schema-id"] = new_sid
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                return new_sid
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
     def append(self, df, merge_schema: bool = False) -> int:
         from plankton_spark.sources.avro_ocf import (
             read_ocf_generic,
@@ -1380,7 +1542,19 @@ class IcebergWriter:
             spec, es = self._table_entry_schema(table)
             prev = table._snapshot(None)
             snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
-            files = self._stage(df, snap_id, spec)
+            # ids from the (possibly evolved) metadata this commit will
+            # publish, so new columns stage with their new ids
+            cur = next(
+                s
+                for s in (md.get("schemas") or [md["schema"]])
+                if s.get("schema-id", 0) == md.get("current-schema-id", 0)
+            )
+            files = self._stage(
+                df,
+                snap_id,
+                spec,
+                field_ids={f["name"]: f["id"] for f in cur["fields"]},
+            )
             m_new = self._write_manifest(
                 self._unique(f"m{snap_id}"), files, snap_id, entry_schema=es
             )
@@ -1643,8 +1817,14 @@ class IcebergWriter:
         REPLACES the schema (a new schema-id becomes current in the
         same commit) — otherwise reads after the overwrite would be
         silently governed by the stale schema."""
-        spec = self._writer_spec(IcebergTable(self.table_path))
-        staged = self._stage(df, 0, spec)
+        table = IcebergTable(self.table_path)
+        spec = self._writer_spec(table)
+        same_schema = [
+            (f.name, f.dataType) for f in table.schema().fields
+        ] == [(f.name, f.dataType) for f in df.schema.fields]
+        staged = self._stage(
+            df, 0, spec, field_ids=None if same_schema else {}
+        )
         return self._commit_snapshot(
             staged, None, keep_unhit=False, new_schema_df=df
         )
@@ -1810,6 +1990,7 @@ class IcebergStreamReader(DataSourceStreamReader):
         t = IcebergTable(path)
         self._schema = t.schema()
         self._part_cols = t.partition_fields()
+        self._field_ids = t.field_ids()
 
     def initialOffset(self) -> dict:
         return {"last_snapshot_id": None}
@@ -1891,7 +2072,11 @@ class IcebergStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _IceFilePartition):
         yield from _iceberg_batches(
-            partition.path, self._schema, self._part_cols, partition.pv
+            partition.path,
+            self._schema,
+            self._part_cols,
+            partition.pv,
+            self._field_ids,
         )
 
     def commit(self, end: dict) -> None:

@@ -1301,3 +1301,88 @@ def test_month_transform_requires_temporal_source(spark, tmp_path):
             spark.createDataFrame([(1, "x")], "k long, s string"),
             partition_by=["month(s)"],
         )
+
+
+# ---------------------------------------------------------------------
+# Field-id resolution + rename evolution (round 7)
+# ---------------------------------------------------------------------
+
+
+def test_staged_files_carry_field_ids(spark, tmp_path):
+    import pyarrow.parquet as _pq
+
+    root = str(tmp_path / "ifid")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(3).select(F.col("id").alias("k"), F.lit("x").alias("s")))
+    t = IcebergTable(root)
+    assert t.files_carry_field_ids()
+    p = t.data_entries(None)[0][0]
+    sch = _pq.read_schema(p)
+    ids = {f.name: int(f.metadata[b"PARQUET:field_id"]) for f in sch}
+    assert ids == {"k": 1, "s": 2}
+
+
+def test_rename_column_reads_old_files_by_field_id(spark, tmp_path):
+    root = str(tmp_path / "irename")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    w.append(spark.sql("SELECT CAST(10 AS BIGINT) AS k, CAST(20 AS BIGINT) AS v"))
+    w.rename_column("v", "val")
+    t = IcebergTable(root)
+    assert [f.name for f in t.schema().fields] == ["k", "val"]
+    # Spark path: old files (physical name 'v') resolve by field id
+    got = sorted((r.k, r.val) for r in read_iceberg(spark, root).collect())
+    assert got == [(0, 0), (1, 2), (2, 4), (10, 20)]
+    # DSv2 wrapper path: pyarrow field-id fallback
+    register(spark)
+    df = spark.read.format("iceberglog").option("path", root).load()
+    got2 = sorted((r.k, r.val) for r in df.collect())
+    assert got2 == got
+    # appends after the rename stage under the NEW name, same id
+    w.append(spark.sql("SELECT CAST(30 AS BIGINT) AS k, CAST(60 AS BIGINT) AS val"))
+    assert sorted(r.val for r in read_iceberg(spark, root).collect()) == [
+        0, 2, 4, 20, 60,
+    ]
+    # time travel BEFORE the rename still reads (ids stable)
+    v1 = read_iceberg(spark, root, snapshot_id=1)
+    assert sorted(r.val for r in v1.collect()) == [0, 2, 4]
+
+
+def test_rename_refuses_idless_files(spark, tmp_path):
+    root = author_iceberg_orders(spark, SF0001, name="irename_noid")
+    w = IcebergWriter(spark, root)
+    with pytest.raises(ValueError, match="no\\s+parquet field ids|carries no"):
+        w.rename_column("o_orderstatus", "status")
+
+
+def test_rename_refuses_partition_source_and_bad_names(spark, tmp_path):
+    root = str(tmp_path / "irename_part")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame([(1, "A")], "k long, st string"),
+        partition_by=["st"],
+    )
+    with pytest.raises(ValueError, match="partition"):
+        w.rename_column("st", "status")
+    with pytest.raises(ValueError, match="no column"):
+        w.rename_column("zz", "yy")
+    with pytest.raises(ValueError, match="exists"):
+        w.rename_column("k", "st")
+
+
+def test_add_column_evolution_composes_with_field_ids(spark, tmp_path):
+    """Old files miss the new column's field id entirely — the read
+    must null-fill, not error, on both read paths."""
+    root = str(tmp_path / "ifid_evo")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(2).select(F.col("id").alias("k")))
+    w.append(
+        spark.sql("SELECT CAST(5 AS BIGINT) AS k, 'new' AS tag"),
+        merge_schema=True,
+    )
+    got = sorted((r.k, r.tag) for r in read_iceberg(spark, root).collect())
+    assert got == [(0, None), (1, None), (5, "new")]
+    # and a rename of the EVOLVED column still resolves everywhere
+    w.rename_column("tag", "label")
+    got2 = sorted((r.k, r.label) for r in read_iceberg(spark, root).collect())
+    assert got2 == [(0, None), (1, None), (5, "new")]
