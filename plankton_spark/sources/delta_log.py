@@ -97,32 +97,54 @@ def _nested_has_mapping(dt) -> bool:
 
 def column_mapping(
     schema: T.StructType, config: dict, table_path: str
-) -> dict[str, str] | None:
-    """logical → physical column names for columnMapping tables, None
-    when the table is unmapped. NAME mode only: physical names come
-    from each field's delta.columnMapping.physicalName metadata in the
-    schemaString. ID mode (match parquet field ids) and mapped NESTED
-    fields are refused — resolving them wrong would silently misread,
-    which the protocol forbids."""
+) -> dict | None:
+    """Column-mapping resolution for mapped tables, None when
+    unmapped. Returns {"phys": {logical: physical}, "ids":
+    {logical: field_id} | None}:
+
+    - NAME mode: physical names come from each field's
+      delta.columnMapping.physicalName metadata ("ids" is None —
+      resolution is by physical name);
+    - ID mode: additionally returns delta.columnMapping.id per field;
+      the scan resolves parquet columns BY FIELD ID
+      (spark.sql.parquet.fieldId.read — id-mode files are required by
+      the spec to store the ids), with physical names still used for
+      partitionValues keys and hive dirs.
+
+    Mapped NESTED fields are refused — resolving them wrong would
+    silently misread, which the protocol forbids."""
     mode = (config or {}).get("delta.columnMapping.mode") or "none"
     has_meta = any(_CM_PHYS in (f.metadata or {}) for f in schema.fields)
     if mode == "none" and not has_meta:
         return None
-    if mode == "id":
-        raise DeltaProtocolError(
-            f"{table_path}: columnMapping mode 'id' is not implemented "
-            "(name mode is); refusing to read — columns would mis-resolve"
-        )
     for f in schema.fields:
         if _nested_has_mapping(f.dataType):
             raise DeltaProtocolError(
                 f"{table_path}: column mapping on NESTED field "
                 f"{f.name!r} is not implemented; refusing to read"
             )
-    return {
+    phys = {
         f.name: (f.metadata or {}).get(_CM_PHYS, f.name)
         for f in schema.fields
     }
+    ids = None
+    if mode == "id":
+        missing = [
+            f.name
+            for f in schema.fields
+            if "delta.columnMapping.id" not in (f.metadata or {})
+        ]
+        if missing:
+            raise DeltaProtocolError(
+                f"{table_path}: columnMapping mode 'id' but fields "
+                f"{missing} carry no delta.columnMapping.id; refusing "
+                "to read — columns would mis-resolve"
+            )
+        ids = {
+            f.name: int(f.metadata["delta.columnMapping.id"])
+            for f in schema.fields
+        }
+    return {"phys": phys, "ids": ids}
 
 
 def _commit_versions(log_dir: str) -> list[int]:
@@ -355,12 +377,24 @@ def read_delta(
     final projection."""
     log = DeltaLog(table_path)
     schema, part_cols, active = log.replay(version)
-    mapping = column_mapping(schema, log.table_config, table_path)
+    cm = column_mapping(schema, log.table_config, table_path)
+    mapping = cm["phys"] if cm else None
     logical_schema = schema
-    if mapping:
+    if cm:
+        if cm["ids"]:
+            # id mode: resolve parquet columns by field id (the conf
+            # is execution-time and only affects id-carrying schemas)
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         schema = T.StructType(
             [
-                T.StructField(mapping[f.name], f.dataType, f.nullable)
+                T.StructField(
+                    mapping[f.name],
+                    f.dataType,
+                    f.nullable,
+                    {"parquet.field.id": cm["ids"][f.name]}
+                    if cm["ids"]
+                    else None,
+                )
                 for f in schema.fields
             ]
         )

@@ -178,9 +178,107 @@ def test_mapped_table_with_deletion_vector(spark, tmp_path):
     assert got == [(1, "A"), (3, "A")]  # row index 1 deleted
 
 
-def test_id_mode_refused(spark, tmp_path):
-    root = _author_mapped_table(tmp_path, "cm_id", mode="id")
-    with pytest.raises(DeltaProtocolError, match="mode 'id'"):
+def test_id_mode_resolves_by_parquet_field_id(spark, tmp_path):
+    """ID mode: parquet columns match by field id, NOT by name — the
+    file here stores DIFFERENT physical names than the schemaString's
+    physicalName, which only an id-based resolution reads right."""
+    root = str(tmp_path / "cm_idmode")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = pa.schema(
+        [
+            pa.field(
+                "whatever-1", pa.int64(), metadata={b"PARQUET:field_id": b"1"}
+            ),
+            pa.field(
+                "whatever-2", pa.string(), metadata={b"PARQUET:field_id": b"2"}
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "whatever-1": pa.array([1, 2], pa.int64()),
+                "whatever-2": pa.array(["A", "B"]),
+            },
+            schema=schema,
+        ),
+        os.path.join(root, "part-0.parquet"),
+    )
+    actions = [
+        {"protocol": _PROTOCOL_V2},
+        {
+            "metaData": {
+                "id": "cm_idmode",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _schema_str(),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }
+        },
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    got = sorted((r.order_id, r.status) for r in read_delta(spark, root).collect())
+    assert got == [(1, "A"), (2, "B")]
+
+
+def test_id_mode_without_ids_refused(spark, tmp_path):
+    """id mode whose schemaString fields lack delta.columnMapping.id
+    cannot resolve — refuse, don't guess."""
+    root = str(tmp_path / "cm_id_noids")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(
+        pa.table({"c": pa.array([1], pa.int64())}),
+        os.path.join(root, "part-0.parquet"),
+    )
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {"delta.columnMapping.physicalName": "c"},
+                }
+            ],
+        }
+    )
+    actions = [
+        {"protocol": _PROTOCOL_V2},
+        {
+            "metaData": {
+                "id": "cm_id_noids",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+            }
+        },
+        {
+            "add": {
+                "path": "part-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="carry no delta.columnMapping.id"):
         read_delta(spark, root)
 
 
