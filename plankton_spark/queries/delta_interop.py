@@ -455,3 +455,46 @@ def q_deltalog_dv(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     )
+
+
+@query(
+    "q_deltalog_dv_delete",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM orders
+    WHERE o_orderkey < 2000
+      AND NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    """,
+)
+def q_deltalog_dv_delete(spark, sf_dir):
+    """DV-WRITING row-level delete as a query: the engine's own
+    DeltaLogWriter.delete_where_dv marks deleted row indexes in
+    per-file deletion vectors (O(deleted rows) of roaring bitmap —
+    no data file is rewritten; the writer upgrades the protocol to
+    the deletionVectors feature in the same commit) and the DV-aware
+    read subtracts them. Oracle re-derives the survivors
+    relationally."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+
+    root = _scratch(sf_dir, "delta_dv_delete")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(o)
+    w.delete_where_dv(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0)
+    )
+    return read_delta(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    )

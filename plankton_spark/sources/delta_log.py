@@ -452,6 +452,43 @@ def read_delta(
 _DV_BROADCAST_MAX_ROWS = 2_000_000
 
 
+def _dv_deleted_df(spark, table_path: str, dv_desc: dict):
+    """The deleted-row set of `dv_desc` ({abs-or-rel path:
+    deletionVector descriptor}) as a DataFrame (__dv_file: rel path,
+    __dv_ridx: long). Decode runs on EXECUTORS (mapInPandas over one
+    row per descriptor), chunked at 1M rows per Arrow batch so a
+    worst-case DV (10^8 deletions in one file) can't OOM a worker."""
+    desc_rows = [
+        (
+            os.path.relpath(p, table_path) if os.path.isabs(p) else p,
+            json.dumps(d),
+        )
+        for p, d in sorted(dv_desc.items())
+    ]
+    desc_df = spark.createDataFrame(
+        desc_rows, "f string, dv string"
+    ).repartition(min(len(desc_rows), 64))
+    root = table_path
+
+    def _expand(batches):
+        import pandas as _pd
+
+        from plankton_spark.sources.deletion_vectors import dv_row_indexes
+
+        for pdf in batches:
+            for f, dj in zip(pdf["f"], pdf["dv"]):
+                idx = dv_row_indexes(root, json.loads(dj))
+                for i in range(0, len(idx), 1 << 20):
+                    yield _pd.DataFrame(
+                        {
+                            "__dv_file": f,
+                            "__dv_ridx": idx[i : i + (1 << 20)],
+                        }
+                    )
+
+    return desc_df.mapInPandas(_expand, "__dv_file string, __dv_ridx long")
+
+
 def _dv_filtered_scan(
     spark, table_path: str, schema, part_cols, files, dv_desc
 ):
@@ -492,34 +529,7 @@ def _dv_filtered_scan(
     for p in pieces[1:]:
         scan = scan.unionByName(p)
 
-    desc_rows = [
-        (os.path.relpath(p, table_path), json.dumps(d))
-        for p, d in sorted(dv_desc.items())
-    ]
-    desc_df = spark.createDataFrame(
-        desc_rows, "f string, dv string"
-    ).repartition(min(len(desc_rows), 64))
-    root = table_path
-
-    def _expand(batches):
-        import pandas as _pd
-
-        from plankton_spark.sources.deletion_vectors import dv_row_indexes
-
-        for pdf in batches:
-            for f, dj in zip(pdf["f"], pdf["dv"]):
-                idx = dv_row_indexes(root, json.loads(dj))
-                # chunked: a worst-case DV (10^8 deletions in one
-                # file) must not materialize as one pandas frame
-                for i in range(0, len(idx), 1 << 20):
-                    yield _pd.DataFrame(
-                        {
-                            "__dv_file": f,
-                            "__dv_ridx": idx[i : i + (1 << 20)],
-                        }
-                    )
-
-    deleted = desc_df.mapInPandas(_expand, "__dv_file string, __dv_ridx long")
+    deleted = _dv_deleted_df(spark, table_path, dv_desc)
     total_card = sum(
         d.get("cardinality") or _DV_BROADCAST_MAX_ROWS + 1
         for d in dv_desc.values()
@@ -552,7 +562,13 @@ def _pv_filter_str(v) -> str | None:
 
 
 def _assemble_view(
-    spark, schema, part_cols, files, with_file: bool = False, table_root: str | None = None
+    spark,
+    schema,
+    part_cols,
+    files,
+    with_file: bool = False,
+    table_root: str | None = None,
+    with_pos: bool = False,
 ):
     """Partitioned-read assembly — delegates to the shared
     sources/assemble.py implementation (hive-layout single-scan fast
@@ -578,6 +594,7 @@ def _assemble_view(
         files,
         lambda v, dtype: _cast_partition_value(v, dtype),
         with_file,
+        with_pos,
     )
 
 
@@ -1029,6 +1046,116 @@ class DeltaLogWriter:
 
         return self._validate_then_commit(actions, hit_rel)
 
+    def delete_where_dv(self, condition) -> int | None:
+        """Row-level delete via DELETION VECTORS: instead of rewriting
+        every hit file (delete_where — O(bytes of hit files)), write
+        one DV per hit file marking the deleted ROW INDEXES
+        (O(deleted rows), typically KBs of roaring bitmap vs GBs of
+        parquet) and re-add the same file with the descriptor. The
+        table's protocol upgrades to reader/writer feature
+        `deletionVectors` in the same commit, so third-party readers
+        that don't implement DVs refuse instead of resurrecting rows.
+
+        DVs are authored ON EXECUTORS (applyInPandas per hit file);
+        the driver only collects one descriptor per hit file (metadata
+        scale). Existing DVs merge (union of indexes). NULL-predicate
+        rows are retained, matching Delta DELETE semantics.
+        Compaction purges DVs (optimize reads DV-aware and re-stages
+        clean files); vacuum removes unreferenced DV files."""
+        import pandas as _pd  # noqa: F401
+
+        log = DeltaLog(self.table_path)
+        schema, part_cols, active = log.replay(None)
+        if column_mapping(schema, log.table_config, self.table_path):
+            raise DeltaProtocolError(
+                f"{self.table_path}: DV delete on a column-mapped table "
+                "is not implemented (predicate would bind logical names)"
+            )
+        files = [
+            (os.path.join(self.table_path, rel), a["partitionValues"])
+            for rel, a in active.items()
+        ]
+        if not files:
+            return None
+        live = _assemble_view(
+            self.spark,
+            schema,
+            part_cols,
+            files,
+            table_root=self.table_path,
+            with_pos=True,
+        )
+        root = self.table_path
+        hits = (
+            live.where(F.coalesce(condition, F.lit(False)))
+            .select(
+                F.substring_index(
+                    F.col("__pd_file"), root + "/", -1
+                ).alias("__dv_file"),
+                F.col("__pd_ridx").alias("__dv_ridx"),
+            )
+        )
+        existing_desc = {
+            rel: a["deletionVector"]
+            for rel, a in active.items()
+            if a.get("deletionVector")
+        }
+        if existing_desc:
+            hits = hits.unionByName(
+                _dv_deleted_df(self.spark, root, existing_desc)
+            )
+
+        def _write_dv(key, pdf):
+            import pandas as pd
+
+            from plankton_spark.sources.deletion_vectors import write_dv_file
+
+            desc = write_dv_file(root, pdf["__dv_ridx"].tolist())
+            return pd.DataFrame({"f": [key[0]], "dv": [json.dumps(desc)]})
+
+        descs = (
+            hits.groupBy("__dv_file")
+            .applyInPandas(_write_dv, "f string, dv string")
+            .collect()  # one row per HIT FILE — metadata scale
+        )
+        # files whose only "hits" came from their pre-existing DV and
+        # gained nothing new still rewrite their DV — harmless (same
+        # content); files with no hits at all are untouched
+        if not descs:
+            return None
+        hit_rel = sorted(r.f for r in descs)
+        actions: list[dict] = []
+        prot = log.table_protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+        rf = set(prot.get("readerFeatures") or [])
+        if prot.get("minReaderVersion", 1) < 3 or "deletionVectors" not in rf:
+            wf = set(prot.get("writerFeatures") or [])
+            if prot.get("minWriterVersion", 2) < 7:
+                # legacy protocol: listing the implied legacy writer
+                # features keeps delta-spec feature enumeration honest
+                wf |= {"appendOnly", "invariants"}
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": sorted(rf | {"deletionVectors"}),
+                        "writerFeatures": sorted(wf | {"deletionVectors"}),
+                    }
+                }
+            )
+        for r in descs:
+            old = active[r.f]
+            new_add = {
+                k: v for k, v in old.items() if k != "deletionVector"
+            }
+            new_add["deletionVector"] = json.loads(r.dv)
+            new_add["dataChange"] = True
+            actions.append(
+                {"remove": {"path": r.f, "dataChange": True}}
+            )
+            actions.append({"add": new_add})
+        return self._validate_then_commit(actions, hit_rel)
+
     def _validate_then_commit(self, actions: list[dict], depends_on_rel) -> int:
         """OCC commit for actions that REMOVE files: valid only while
         every removed file is still live — a concurrent rewrite of one
@@ -1036,8 +1163,10 @@ class DeltaLogWriter:
         actions would silently undo that writer)."""
         for _ in range(20):
             v = self._next_version()
-            _, _, now_files = DeltaLog(self.table_path).snapshot(None)
-            now_rel = {os.path.relpath(p, self.table_path) for p, _ in now_files}
+            # replay, not snapshot(): liveness validation only needs
+            # the path set, and must keep working on DV'd tables
+            _, _, now_active = DeltaLog(self.table_path).replay(None)
+            now_rel = set(now_active)
             gone = [r for r in depends_on_rel if r not in now_rel]
             if gone:
                 raise ConcurrentDeltaModification(
@@ -1072,13 +1201,31 @@ class DeltaLogWriter:
         PARTITION, the same granularity Delta's own OPTIMIZE uses)."""
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
-        schema, part_cols, files = DeltaLog(self.table_path).snapshot(None)
+        log = DeltaLog(self.table_path)
+        schema, part_cols, active = log.replay(None)
+        if column_mapping(schema, log.table_config, self.table_path):
+            raise DeltaProtocolError(
+                f"{self.table_path}: OPTIMIZE on a column-mapped table "
+                "would re-stage under logical names; not implemented"
+            )
+        has_dvs = any(a.get("deletionVector") for a in active.values())
+        files = [
+            (os.path.join(self.table_path, rel), a["partitionValues"])
+            for rel, a in active.items()
+        ]
         paths = [p for p, _ in files]
         if not paths:
             return self._commit_with_retry([])
-        df = _assemble_view(
-            self.spark, schema, part_cols, files, table_root=self.table_path
-        )
+        if has_dvs:
+            # compaction PURGES deletion vectors: the DV-aware read
+            # drops the marked rows, so the rewritten files are clean
+            # and the re-adds carry no DV. Still layout-only
+            # (dataChange=false): the logical row set is unchanged.
+            df = read_delta(self.spark, self.table_path)
+        else:
+            df = _assemble_view(
+                self.spark, schema, part_cols, files, table_root=self.table_path
+            )
         if zorder_by:
             from plankton_spark.table_format import zvalue_column
 
@@ -1229,7 +1376,25 @@ class DeltaLogWriter:
         import time as _time
 
         referenced: set[str] = set()
+        referenced_dv: set[str] = set()
         log = DeltaLog(self.table_path)
+
+        def _dv_rel(add: dict) -> str | None:
+            d = add.get("deletionVector")
+            if not isinstance(d, dict) or d.get("storageType") != "u":
+                return None
+            from plankton_spark.sources.deletion_vectors import (
+                _decode_uuid_path,
+            )
+
+            try:
+                return os.path.relpath(
+                    _decode_uuid_path(self.table_path, d["pathOrInlineDv"]),
+                    self.table_path,
+                )
+            except Exception:  # noqa: BLE001 — malformed foreign ref: keep
+                return None
+
         for v in _commit_versions(self.log_dir):
             path = os.path.join(self.log_dir, f"{v:020d}.json")
             with open(path) as fh:
@@ -1240,6 +1405,9 @@ class DeltaLogWriter:
                     a = json.loads(line)
                     if "add" in a:
                         referenced.add(a["add"]["path"])
+                        dv = _dv_rel(a["add"])
+                        if dv:
+                            referenced_dv.add(dv)
         # checkpoint parquets may be the ONLY record of pre-checkpoint
         # adds (their JSON commits can be cleaned up) — and time travel
         # can replay from ANY retained checkpoint, not just the newest,
@@ -1251,8 +1419,11 @@ class DeltaLogWriter:
                 continue
             for row in _pq.read_table(os.path.join(self.log_dir, f)).to_pylist():
                 add = row.get("add")
-                if add is not None:
+                if add is not None and add.get("path"):
                     referenced.add(add["path"])
+                    dv = _dv_rel(add)
+                    if dv:
+                        referenced_dv.add(dv)
         now = _time.time()
         removed = []
         for dirpath, dirnames, filenames in os.walk(self.table_path):
@@ -1263,11 +1434,20 @@ class DeltaLogWriter:
             for e in filenames:
                 full = os.path.join(dirpath, e)
                 rel = e if rel_dir == "." else os.path.join(rel_dir, e)
-                if (
+                is_orphan_data = (
                     e.endswith(".parquet")
                     and not e.startswith("_")
                     and rel not in referenced
-                    and now - os.path.getmtime(full) > grace_seconds
+                )
+                # DV files referenced by NO commit (purged by OPTIMIZE,
+                # or orphaned by a failed/retried DV-delete task)
+                is_orphan_dv = (
+                    e.startswith("deletion_vector_")
+                    and e.endswith(".bin")
+                    and rel not in referenced_dv
+                )
+                if (is_orphan_data or is_orphan_dv) and (
+                    now - os.path.getmtime(full) > grace_seconds
                 ):
                     os.remove(full)
                     removed.append(rel)

@@ -325,3 +325,130 @@ def test_large_dv_bitmap_container(spark, tmp_path):
     df = read_delta(spark, root)
     assert df.count() == n // 2
     assert df.agg(F.min("k"), F.max("k")).collect()[0] == (1, n - 1)
+
+
+# ---------------------------------------------------------------------
+# DV-WRITING deletes (round 7): O(deleted rows) instead of O(rewritten
+# file bytes), protocol upgrade in the same commit, OPTIMIZE purge,
+# vacuum of unreferenced DV files.
+# ---------------------------------------------------------------------
+
+from plankton_spark.sources.delta_log import DeltaLogWriter  # noqa: E402
+
+
+def _data_files(root):
+    out = []
+    for dirpath, _, files in os.walk(root):
+        if "_delta_log" in dirpath:
+            continue
+        out += [
+            os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+        ]
+    return sorted(out)
+
+
+def test_delete_where_dv_marks_rows_without_rewrite(spark, tmp_path):
+    root = str(tmp_path / "dvw")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.range(0, 10).coalesce(1).select(F.col("id").alias("k"))
+    )
+    w.append(spark.range(10, 20).coalesce(1).select(F.col("id").alias("k")))
+    before = _data_files(root)
+    v = w.delete_where_dv(F.col("k") % 3 == 0)
+    assert v is not None
+    # NO data file rewritten: identical parquet set on disk
+    assert _data_files(root) == before
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == [k for k in range(20) if k % 3 != 0]
+    # protocol upgraded with the feature listed
+    log = DeltaLog(root)
+    log.replay(None)
+    assert log.table_protocol["minReaderVersion"] == 3
+    assert "deletionVectors" in log.table_protocol["readerFeatures"]
+    # second DV delete MERGES with the existing vectors
+    w.delete_where_dv(F.col("k") % 5 == 0)
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == [k for k in range(20) if k % 3 != 0 and k % 5 != 0]
+    assert _data_files(root) == before
+    # time travel to the first delete still honors only ITS vectors
+    v1 = sorted(r.k for r in read_delta(spark, root, version=v).collect())
+    assert v1 == [k for k in range(20) if k % 3 != 0]
+
+
+def test_delete_where_dv_null_predicate_rows_retained(spark, tmp_path):
+    root = str(tmp_path / "dvw_null")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 5)], "k long, v long"
+        ).coalesce(1)
+    )
+    w.delete_where_dv(F.col("v") == 5)
+    got = sorted((r.k, r.v) for r in read_delta(spark, root).collect())
+    assert got == [(1, 10), (2, None)]  # NULL-predicate row retained
+
+
+def test_delete_where_dv_untouched_files_keep_no_dv(spark, tmp_path):
+    root = str(tmp_path / "dvw_untouched")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 5).coalesce(1).select(F.col("id").alias("k")))
+    w.append(spark.range(100, 105).coalesce(1).select(F.col("id").alias("k")))
+    w.delete_where_dv(F.col("k") == 102)
+    _, _, active = DeltaLog(root).replay(None)
+    with_dv = [a for a in active.values() if a.get("deletionVector")]
+    assert len(with_dv) == 1  # only the hit file carries a DV
+    assert read_delta(spark, root).count() == 9
+
+
+def test_delete_where_dv_partitioned(spark, tmp_path):
+    root = str(tmp_path / "dvw_part")
+    w = DeltaLogWriter(spark, root)
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B") for i in range(10)], "k long, st string"
+    )
+    w.create(df, partition_by=["st"])
+    w.delete_where_dv((F.col("st") == "A") & (F.col("k") < 5))
+    got = sorted((r.k, r.st) for r in read_delta(spark, root).collect())
+    want = sorted(
+        (i, "A" if i % 2 else "B")
+        for i in range(10)
+        if not (i % 2 and i < 5)
+    )
+    assert got == want
+
+
+def test_optimize_purges_dvs_and_vacuum_reclaims(spark, tmp_path):
+    root = str(tmp_path / "dvw_opt")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 12).coalesce(2).select(F.col("id").alias("k")))
+    w.delete_where_dv(F.col("k") % 4 == 0)
+    want = sorted(k for k in range(12) if k % 4 != 0)
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == want
+    dv_files = [
+        f for f in os.listdir(root) if f.startswith("deletion_vector_")
+    ]
+    assert dv_files
+    # OPTIMIZE purges: clean files, same logical rows
+    w.optimize(num_files=1)
+    _, _, active = DeltaLog(root).replay(None)
+    assert not any(a.get("deletionVector") for a in active.values())
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == want
+    # the old DV file is now referenced by HISTORY only... it still is
+    # (pre-optimize commits reference it) — vacuum keeps it
+    assert w.vacuum(grace_seconds=0.0) == [] or all(
+        not r.startswith("deletion_vector_") for r in w.vacuum(0.0)
+    )
+    # write an ORPHAN DV (failed-task leftover): vacuum removes it
+    from plankton_spark.sources import deletion_vectors as dvm
+
+    dvm.write_dv_file(root, [1, 2])
+    orphans = [
+        f
+        for f in os.listdir(root)
+        if f.startswith("deletion_vector_") and f not in dv_files
+    ]
+    assert len(orphans) == 1
+    removed = w.vacuum(grace_seconds=0.0)
+    assert orphans[0] in removed
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == want
