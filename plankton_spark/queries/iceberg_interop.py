@@ -625,3 +625,45 @@ def q_iceberg_posdelete(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     )
+
+
+@query(
+    "q_iceberg_posdelete_write",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM orders
+    WHERE o_orderkey < 2000
+      AND NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+    """,
+)
+def q_iceberg_posdelete_write(spark, sf_dir):
+    """The engine's OWN v2 position-delete write path as a query:
+    IcebergWriter.delete_where_pos stages one sorted (file_path, pos)
+    parquet and a delete manifest (content=1) — O(deleted rows), no
+    data-file rewrite — and the delete-aware read subtracts. Same
+    contract as q_deltalog_dv_delete on the Delta side; oracle
+    re-derives the survivors relationally."""
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root = _scratch(sf_dir, "iceberg_posdel_write")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    w = IcebergWriter(spark, root)
+    w.create(o)
+    w.delete_where_pos(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0)
+    )
+    return read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    )

@@ -366,21 +366,24 @@ def _posdelete_filtered_read(
             .withColumn("__pd_file", F.col("_metadata.file_path"))
             .withColumn("__pd_ridx", F.col("_metadata.row_index"))
         )
-    norm_scan = F.when(
-        F.col("__pd_file").contains("/data/"),
-        F.substring_index(F.col("__pd_file"), "/data/", -1),
-    ).otherwise(F.substring_index(F.col("__pd_file"), "/", -1))
-    scan = scan.withColumn("__pd_file", norm_scan)
+    # ONE symmetric identity rule on both sides: the suffix after the
+    # LAST 'data/' occurrence (fall back to basename when absent).
+    # Delete files may reference absolute foreign URIs while the scan
+    # sees locally-resolved file: URIs, and relative refs have no
+    # leading slash — an asymmetric rule silently drops deletes.
+    # Degenerate dir names containing 'data/' degrade BOTH sides the
+    # same way, and basenames are uuid'd, so the join key stays unique.
+    def _norm(col):
+        return F.when(
+            col.contains("data/"), F.substring_index(col, "data/", -1)
+        ).otherwise(F.substring_index(col, "/", -1))
+
+    scan = scan.withColumn("__pd_file", _norm(F.col("__pd_file")))
     dels = (
         spark.read.schema("file_path string, pos long")
         .parquet(*delete_files)
         .select(
-            F.when(
-                F.col("file_path").contains("/data/"),
-                F.substring_index(F.col("file_path"), "/data/", -1),
-            )
-            .otherwise(F.substring_index(F.col("file_path"), "/", -1))
-            .alias("__pd_file"),
+            _norm(F.col("file_path")).alias("__pd_file"),
             F.col("pos").alias("__pd_ridx"),
         )
     )
@@ -576,6 +579,35 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_snapshot_id", "type": ["null", "long"]},
     ],
 }
+
+# v2 manifest lists additionally mark each manifest's content kind
+# (0 = data, 1 = deletes) — written once the table carries delete
+# manifests (delete_where_pos); carried-forward records default to 0
+_MANIFEST_FILE_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+
+def _write_manifest_list(path: str, manifests: list[dict]) -> None:
+    """Write a manifest list, preserving each record's content kind
+    (0 = data, 1 = deletes) when ANY carried record has one — a
+    carried delete manifest must not be re-listed as data. Plain
+    tables keep the v1 record shape."""
+    from plankton_spark.sources.avro_ocf import write_ocf_generic
+
+    if any("content" in m and m.get("content") for m in manifests):
+        manifests = [{**m, "content": m.get("content", 0)} for m in manifests]
+        write_ocf_generic(path, _MANIFEST_FILE_SCHEMA_V2, manifests)
+    else:
+        write_ocf_generic(path, _MANIFEST_FILE_SCHEMA, manifests)
 
 # Spark partition-column types representable as Avro primitives in the
 # manifest partition record. Date/timestamp/binary partition keys are
@@ -1561,8 +1593,8 @@ class IcebergWriter:
             prev_ml = table._resolve(prev["manifest-list"])
             manifests = list(read_ocf_generic(prev_ml)) + [m_new]
             ml_name = self._unique(f"snap-{snap_id}")
-            write_ocf_generic(
-                os.path.join(self.meta_dir, ml_name), _MANIFEST_FILE_SCHEMA, manifests
+            _write_manifest_list(
+                os.path.join(self.meta_dir, ml_name), manifests
             )
             md["snapshots"] = md["snapshots"] + [
                 {
@@ -1701,10 +1733,13 @@ class IcebergWriter:
             if new_schema_df is not None:
                 md = self._replacement_schema_md(md, new_schema_df)
             _, es = self._table_entry_schema(table)
+            # scan_entries, not data_files(): liveness must keep
+            # working on position-deleted tables (OPTIMIZE purges
+            # them), and delete files are legitimate removal targets
+            d_entries, d_deletes = table.scan_entries(None)
             live_rel = {
-                os.path.relpath(p, self.table_path)
-                for p in table.data_files(None)
-            }
+                os.path.relpath(p, self.table_path) for p, _ in d_entries
+            } | {os.path.relpath(p, self.table_path) for p in d_deletes}
             if removed_rel is None:
                 removed_now = live_rel
             else:
@@ -1749,8 +1784,8 @@ class IcebergWriter:
                     )
                 )
             ml_name = self._unique(f"snap-{snap_id}")
-            write_ocf_generic(
-                os.path.join(self.meta_dir, ml_name), _MANIFEST_FILE_SCHEMA, manifests
+            _write_manifest_list(
+                os.path.join(self.meta_dir, ml_name), manifests
             )
             md["snapshots"] = md["snapshots"] + [
                 {
@@ -1882,6 +1917,119 @@ class IcebergWriter:
         }
         return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
 
+    def delete_where_pos(self, condition) -> int | None:
+        """Row-level delete via format-v2 POSITION DELETE files:
+        instead of rewriting hit data files (delete_where — O(bytes)),
+        one sorted (file_path, pos) parquet is staged under data/ and
+        referenced from a NEW delete manifest (data_file.content=1) —
+        O(deleted rows). Deletes ACCUMULATE (no merge needed; the
+        delete-aware read unions them) and OPTIMIZE purges them back
+        to clean files. The metadata bumps to format-version 2 so
+        other readers know delete manifests may appear; whole-file
+        paths (data_entries, the DSv2 wrapper, streaming) refuse
+        position-deleted snapshots. NULL-predicate rows are retained.
+
+        Minimal v2: sequence numbers are not written — our reader
+        applies position deletes by exact file path, which is safe
+        because paths are unique and a delete can only reference files
+        that exist when it commits."""
+        import glob as _glob
+        import shutil as _shutil
+        import uuid as _uuid
+
+        import pyarrow.parquet as _pq
+
+        from plankton_spark.sources.avro_ocf import (
+            read_ocf_generic,
+            write_ocf_generic,
+        )
+
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            schema = table.schema()
+            part_cols = table.partition_fields()
+            entries, _existing = table.scan_entries(None)
+            if not entries:
+                return None
+            live = _assemble_iceberg(
+                self.spark, schema, part_cols, entries, with_pos=True
+            )
+            hits = (
+                live.where(F.coalesce(condition, F.lit(False)))
+                .select(
+                    F.substring_index(
+                        F.col("__pd_file"), self.table_path + "/", -1
+                    ).alias("file_path"),
+                    F.col("__pd_ridx").alias("pos"),
+                )
+                .orderBy("file_path", "pos")
+            )
+            if hits.isEmpty():
+                return None
+            tmp = os.path.join(
+                self.table_path, f"_stage-{_uuid.uuid4().hex}"
+            )
+            hits.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            snap_id = max(
+                s["snapshot-id"] for s in table.metadata["snapshots"]
+            ) + 1
+            rel = f"data/posdel-snap{snap_id}-{_uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.table_path, rel)
+            os.replace(part, dst)
+            _shutil.rmtree(tmp, ignore_errors=True)
+            del_file = {
+                "content": 1,
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": _pq.ParquetFile(dst).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(dst),
+            }
+            m_name = self._unique(f"m{snap_id}-del")
+            m_path = os.path.join(self.meta_dir, m_name)
+            write_ocf_generic(
+                m_path,
+                _entry_schema([]),
+                [{"status": 1, "snapshot_id": snap_id, "data_file": del_file}],
+            )
+            prev = table._snapshot(None)
+            prev_ml = table._resolve(prev["manifest-list"])
+            manifests = [
+                {**m, "content": m.get("content", 0)}
+                for m in read_ocf_generic(prev_ml)
+            ] + [
+                {
+                    "manifest_path": f"metadata/{m_name}",
+                    "manifest_length": os.path.getsize(m_path),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "added_snapshot_id": snap_id,
+                }
+            ]
+            ml_name = self._unique(f"snap-{snap_id}")
+            write_ocf_generic(
+                os.path.join(self.meta_dir, ml_name),
+                _MANIFEST_FILE_SCHEMA_V2,
+                manifests,
+            )
+            md = dict(table.metadata)
+            md["format-version"] = 2
+            md["snapshots"] = md["snapshots"] + [
+                {
+                    "snapshot-id": snap_id,
+                    "timestamp-ms": snap_id,
+                    "manifest-list": f"metadata/{ml_name}",
+                }
+            ]
+            md["current-snapshot-id"] = snap_id
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                return snap_id
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
     def optimize(self, num_files: int = 1) -> int:
         """Compaction (the spec's rewrite/'replace' operation): the
         live file set re-staged as `num_files` larger files, every
@@ -1895,10 +2043,16 @@ class IcebergWriter:
         table = IcebergTable(self.table_path)
         spec = self._writer_spec(table)
         part_cols = table.partition_fields()  # identity attach subset
-        entries = table.data_entries(None)
+        entries, deletes = table.scan_entries(None)
         if not entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
-        if part_cols:
+        if deletes:
+            # compaction PURGES position deletes: the delete-aware read
+            # drops the marked rows, the re-stage is clean, and BOTH
+            # the data files read and the delete files applied are
+            # tombstoned. Logical content unchanged.
+            df = read_iceberg(self.spark, self.table_path)
+        elif part_cols:
             df = _assemble_iceberg(self.spark, table.schema(), part_cols, entries)
         else:
             df = self.spark.read.schema(table.schema()).parquet(
@@ -1908,7 +2062,7 @@ class IcebergWriter:
         staged = self._stage(df, 0, spec)
         removed_rel = {
             os.path.relpath(p, self.table_path) for p, _ in entries
-        }
+        } | {os.path.relpath(p, self.table_path) for p in deletes}
         return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
 
     def vacuum(self, grace_seconds: float = 600.0) -> list[str]:

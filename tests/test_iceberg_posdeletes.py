@@ -219,3 +219,111 @@ def test_aggregate_correctness_after_deletes(spark, tmp_path):
     ).collect()[0]
     keep = [k for k in ks if k not in (2, 7, 11)]
     assert (got.n, got.s) == (len(keep), sum(keep))
+
+
+# ---------------------------------------------------------------------
+# POSITION-DELETE WRITING (round 7): the engine's own v2 delete path.
+# ---------------------------------------------------------------------
+
+from plankton_spark.sources.iceberg_meta import IcebergWriter  # noqa: E402
+
+
+def _data_parquets(root):
+    d = os.path.join(root, "data")
+    out = []
+    for dirpath, _, files in os.walk(d):
+        out += [
+            os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+        ]
+    return sorted(out)
+
+
+def test_delete_where_pos_marks_without_rewrite(spark, tmp_path):
+    root = str(tmp_path / "ipd_w")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 10).coalesce(1).select(F.col("id").alias("k")))
+    w.append(spark.range(10, 20).coalesce(1).select(F.col("id").alias("k")))
+    before = _data_parquets(root)
+    s = w.delete_where_pos(F.col("k") % 3 == 0)
+    assert s is not None
+    # no pre-existing data file rewritten; exactly ONE new file (the
+    # position-delete parquet)
+    after = _data_parquets(root)
+    assert set(before) <= set(after) and len(after) == len(before) + 1
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in range(20) if k % 3 != 0]
+    # metadata is format-version 2 now
+    assert IcebergTable(root).metadata["format-version"] == 2
+    # deletes ACCUMULATE across commits
+    w.delete_where_pos(F.col("k") % 5 == 0)
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in range(20) if k % 3 != 0 and k % 5 != 0]
+    # time travel: first delete's snapshot sees only its deletes
+    v1 = sorted(r.k for r in read_iceberg(spark, root, snapshot_id=s).collect())
+    assert v1 == [k for k in range(20) if k % 3 != 0]
+    # whole-file paths refuse now
+    with pytest.raises(ValueError, match="position-delete"):
+        IcebergTable(root).data_entries(None)
+
+
+def test_delete_where_pos_null_predicate_retained(spark, tmp_path):
+    root = str(tmp_path / "ipd_null")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame([(1, 10), (2, None), (3, 5)], "k long, v long")
+    )
+    w.delete_where_pos(F.col("v") == 5)
+    got = sorted((r.k, r.v) for r in read_iceberg(spark, root).collect())
+    assert got == [(1, 10), (2, None)]
+
+
+def test_delete_where_pos_then_append_keeps_content_kinds(spark, tmp_path):
+    """An append AFTER a position delete carries the delete manifest
+    forward with its content kind intact (manifest-list v2 shape)."""
+    root = str(tmp_path / "ipd_app")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 6).coalesce(1).select(F.col("id").alias("k")))
+    w.delete_where_pos(F.col("k") < 2)
+    w.append(spark.range(100, 103).coalesce(1).select(F.col("id").alias("k")))
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert got == [2, 3, 4, 5, 100, 101, 102]
+
+
+def test_optimize_purges_position_deletes(spark, tmp_path):
+    root = str(tmp_path / "ipd_opt")
+    w = IcebergWriter(spark, root)
+    w.create(spark.range(0, 12).coalesce(2).select(F.col("id").alias("k")))
+    w.delete_where_pos(F.col("k") % 4 == 0)
+    want = sorted(k for k in range(12) if k % 4 != 0)
+    w.optimize(num_files=1)
+    t = IcebergTable(root)
+    # clean again: data_entries works (no live delete files)
+    entries = t.data_entries(None)
+    assert len(entries) == 1
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == want
+    # vacuum keeps the historic delete file (time travel) — nothing
+    # referenced is removed
+    removed = w.vacuum(grace_seconds=0.0)
+    assert all("posdel" not in r for r in removed)
+    assert sorted(r.k for r in read_iceberg(spark, root).collect()) == want
+
+
+def test_delete_where_pos_partitioned(spark, tmp_path):
+    root = str(tmp_path / "ipd_part")
+    w = IcebergWriter(spark, root)
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B") for i in range(10)], "k long, st string"
+    )
+    w.create(df, partition_by=["st"])
+    w.delete_where_pos((F.col("st") == "A") & (F.col("k") < 5))
+    got = sorted((r.k, r.st) for r in read_iceberg(spark, root).collect())
+    want = sorted(
+        (i, "A" if i % 2 else "B")
+        for i in range(10)
+        if not (i % 2 and i < 5)
+    )
+    assert got == want
+    # purge on the partitioned table too
+    w.optimize(num_files=1)
+    got2 = sorted((r.k, r.st) for r in read_iceberg(spark, root).collect())
+    assert got2 == want
