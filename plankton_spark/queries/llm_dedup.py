@@ -644,9 +644,21 @@ def collapse_duplicate_vectors(embeddings):
     corpus with one vector duplicated 10⁹× lands on a single task).
     """
     reps = embeddings.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    # null-SAFE join back: groupBy buckets NULL embeddings into one
+    # group, but a plain equi-join would drop those rows (NULL never
+    # equals NULL) — the old window kept them, so must we
     members = cache.persist_swap(
         "embcos:members",
-        embeddings.join(reps, "embedding").select("vec_id", "embedding", "rep_id"),
+        embeddings.alias("e")
+        .join(
+            reps.alias("r"),
+            F.col("e.embedding").eqNullSafe(F.col("r.embedding")),
+        )
+        .select(
+            F.col("e.vec_id").alias("vec_id"),
+            F.col("e.embedding").alias("embedding"),
+            F.col("r.rep_id").alias("rep_id"),
+        ),
     )
     uniq = members.where(F.col("vec_id") == F.col("rep_id")).select(
         "vec_id", "embedding"

@@ -309,6 +309,13 @@ class DeltaLog:
             raise ValueError(f"no metaData action found in {self.log_dir}")
         return schema, part_cols, active
 
+    def schema_info(self, version: int | None = None):
+        """(schema, partition_cols) only — for writer paths that never
+        READ existing files (append staging, evolution validation):
+        these stay legal on DV'd tables, so no whole-files refusal."""
+        schema, part_cols, _ = self.replay(version)
+        return schema, part_cols
+
     def snapshot(self, version: int | None = None):
         """Returns (schema: StructType, partition_cols: list[str],
         files: list[(abs_path, partition_values: dict)]) — the PLAIN
@@ -452,17 +459,38 @@ def read_delta(
 _DV_BROADCAST_MAX_ROWS = 2_000_000
 
 
+_DV_SAFE_BASENAME = __import__("re").compile(r"[A-Za-z0-9._-]+\Z")
+
+
+def _dv_basename_map(rels, table_path: str) -> dict[str, str]:
+    """basename → rel path for the files a DV join touches. The join
+    keys on BASENAMES because the scan side only has the
+    URI-ENCODED `_metadata.file_path` (spaces → %20 etc.) while the
+    log records raw paths — any directory-containing key is
+    asymmetric the moment a path needs encoding. Basenames written by
+    real writers are uuid-ish ([A-Za-z0-9._-]); anything else, or a
+    duplicate, refuses loudly instead of silently mis-joining."""
+    out: dict[str, str] = {}
+    for rel in rels:
+        b = os.path.basename(rel)
+        if b in out or not _DV_SAFE_BASENAME.fullmatch(b):
+            raise DeltaProtocolError(
+                f"{table_path}: cannot key deletion-vector joins by "
+                f"file basename: duplicate or URI-unsafe name {b!r}"
+            )
+        out[b] = rel
+    return out
+
+
 def _dv_deleted_df(spark, table_path: str, dv_desc: dict):
     """The deleted-row set of `dv_desc` ({abs-or-rel path:
-    deletionVector descriptor}) as a DataFrame (__dv_file: rel path,
-    __dv_ridx: long). Decode runs on EXECUTORS (mapInPandas over one
-    row per descriptor), chunked at 1M rows per Arrow batch so a
-    worst-case DV (10^8 deletions in one file) can't OOM a worker."""
+    deletionVector descriptor}) as a DataFrame (__dv_file: file
+    BASENAME, __dv_ridx: long). Decode runs on EXECUTORS (mapInPandas
+    over one row per descriptor), chunked at 1M rows per Arrow batch
+    so a worst-case DV (10^8 deletions in one file) can't OOM a
+    worker."""
     desc_rows = [
-        (
-            os.path.relpath(p, table_path) if os.path.isabs(p) else p,
-            json.dumps(d),
-        )
+        (os.path.basename(p), json.dumps(d))
         for p, d in sorted(dv_desc.items())
     ]
     desc_df = spark.createDataFrame(
@@ -495,12 +523,14 @@ def _dv_filtered_scan(
     """Scan `files` (all carrying deletion vectors) and drop their
     deleted rows exactly.
 
-    Join key is (path relative to the table root, _metadata.row_index)
-    — rel-path (not basename) so foreign layouts with per-partition
-    directories can't collide. The DV decode runs on executors: one
-    input row per descriptor, expanded to Arrow batches of deleted row
-    indexes (a DV's cardinality is bounded by rows-per-file, and the
-    driver never materializes it)."""
+    Join key is (file BASENAME, _metadata.row_index) — see
+    _dv_basename_map for why directory-containing keys are unsafe
+    (URI encoding asymmetry); uniqueness/URI-safety of the DV'd
+    files' basenames is validated up front. The DV decode runs on
+    executors: one input row per descriptor, expanded to Arrow
+    batches of deleted row indexes (a DV's cardinality is bounded by
+    rows-per-file, and the driver never materializes it)."""
+    _dv_basename_map((p for p, _ in files), table_path)  # validate
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
@@ -516,9 +546,7 @@ def _dv_filtered_scan(
         df = spark.read.schema(data_schema).parquet(*sorted(paths))
         df = df.withColumn(
             "__dv_file",
-            F.substring_index(
-                F.col("_metadata.file_path"), table_path + "/", -1
-            ),
+            F.substring_index(F.col("_metadata.file_path"), "/", -1),
         ).withColumn("__dv_ridx", F.col("_metadata.row_index"))
         for c in part_cols:
             df = df.withColumn(
@@ -863,8 +891,7 @@ class DeltaLogWriter:
 
     def _partition_cols(self) -> list[str]:
         try:
-            _, part_cols, _ = DeltaLog(self.table_path).snapshot(None)
-            return part_cols
+            return DeltaLog(self.table_path).schema_info(None)[1]
         except FileNotFoundError:
             return []
 
@@ -897,7 +924,7 @@ class DeltaLogWriter:
             current, part_cols = snapshot_info
         else:
             try:
-                current, part_cols, _ = DeltaLog(self.table_path).snapshot(None)
+                current, part_cols = DeltaLog(self.table_path).schema_info(None)
             except FileNotFoundError:
                 return None
         cur = {f.name: f.dataType for f in current.fields}
@@ -960,7 +987,7 @@ class DeltaLogWriter:
         action rides the same commit; old files read the column as
         null — parquet mergeSchema semantics)."""
         try:
-            cur_schema, part_cols, _ = DeltaLog(self.table_path).snapshot(None)
+            cur_schema, part_cols = DeltaLog(self.table_path).schema_info(None)
             snapshot_info = (cur_schema, part_cols)
         except FileNotFoundError:
             snapshot_info, part_cols = None, []
@@ -1086,20 +1113,25 @@ class DeltaLogWriter:
             with_pos=True,
         )
         root = self.table_path
-        hits = (
-            live.where(F.coalesce(condition, F.lit(False)))
-            .select(
-                F.substring_index(
-                    F.col("__pd_file"), root + "/", -1
-                ).alias("__dv_file"),
-                F.col("__pd_ridx").alias("__dv_ridx"),
-            )
+        base_to_rel = _dv_basename_map(active, root)
+        new_hits = live.where(F.coalesce(condition, F.lit(False))).select(
+            F.substring_index(F.col("__pd_file"), "/", -1).alias("__dv_file"),
+            F.col("__pd_ridx").alias("__dv_ridx"),
         )
-        existing_desc = {
-            rel: a["deletionVector"]
-            for rel, a in active.items()
-            if a.get("deletionVector")
+        # which files the predicate actually hit — a no-match delete
+        # must be a no-op (no version bump, no DV rewrites), and only
+        # the hit files' EXISTING vectors need merging in
+        hit_bases = {
+            r[0] for r in new_hits.select("__dv_file").distinct().collect()
         }
+        if not hit_bases:
+            return None
+        existing_desc = {
+            rel: active[rel]["deletionVector"]
+            for rel in (base_to_rel[b] for b in sorted(hit_bases))
+            if active[rel].get("deletionVector")
+        }
+        hits = new_hits
         if existing_desc:
             hits = hits.unionByName(
                 _dv_deleted_df(self.spark, root, existing_desc)
@@ -1118,12 +1150,9 @@ class DeltaLogWriter:
             .applyInPandas(_write_dv, "f string, dv string")
             .collect()  # one row per HIT FILE — metadata scale
         )
-        # files whose only "hits" came from their pre-existing DV and
-        # gained nothing new still rewrite their DV — harmless (same
-        # content); files with no hits at all are untouched
         if not descs:
             return None
-        hit_rel = sorted(r.f for r in descs)
+        hit_rel = sorted(base_to_rel[r.f] for r in descs)
         actions: list[dict] = []
         prot = log.table_protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
         rf = set(prot.get("readerFeatures") or [])
@@ -1144,15 +1173,14 @@ class DeltaLogWriter:
                 }
             )
         for r in descs:
-            old = active[r.f]
+            rel = base_to_rel[r.f]
+            old = active[rel]
             new_add = {
                 k: v for k, v in old.items() if k != "deletionVector"
             }
             new_add["deletionVector"] = json.loads(r.dv)
             new_add["dataChange"] = True
-            actions.append(
-                {"remove": {"path": r.f, "dataChange": True}}
-            )
+            actions.append({"remove": {"path": rel, "dataChange": True}})
             actions.append({"add": new_add})
         return self._validate_then_commit(actions, hit_rel)
 
@@ -1265,17 +1293,18 @@ class DeltaLogWriter:
         after the overwrite project the new columns instead of being
         silently governed by the stale schemaString."""
         part_cols = self._partition_cols()
-        cur_schema, _, _ = DeltaLog(self.table_path).snapshot(None)
+        # replay, not snapshot(): overwrite never READS existing files
+        # — it tombstones them wholesale, which is exactly right for
+        # DV'd files too (the DV dies with its add action)
+        cur_schema, _ = DeltaLog(self.table_path).schema_info(None)
         head: list[dict] = []
         if cur_schema.jsonValue() != df.schema.jsonValue():
             head = [self._metadata_action(df.schema, part_cols)]
         adds = self._stage(df, part_cols)
         for _ in range(20):
             v = self._next_version()
-            _, _, now_files = DeltaLog(self.table_path).snapshot(None)
-            rel = sorted(
-                os.path.relpath(p, self.table_path) for p, _ in now_files
-            )
+            _, _, now_active = DeltaLog(self.table_path).replay(None)
+            rel = sorted(now_active)
             actions = head + adds + [
                 {"remove": {"path": r, "dataChange": True}} for r in rel
             ]
@@ -1308,7 +1337,21 @@ class DeltaLogWriter:
         # second replay (the old snapshot-then-live_stats shape) could
         # see a concurrent commit and KeyError instead of the clean
         # OCC conflict _validate_then_commit raises.
-        schema, part_cols, active = DeltaLog(self.table_path).replay(None)
+        log = DeltaLog(self.table_path)
+        schema, part_cols, active = log.replay(None)
+        if any(a.get("deletionVector") for a in active.values()):
+            # merge reads its hit files WHOLE; a DV'd file would feed
+            # deleted rows back into the rewrite and resurrect them
+            raise DeltaProtocolError(
+                f"{self.table_path}: MERGE on a table with live deletion "
+                "vectors would resurrect deleted rows — run optimize() "
+                "first to purge the DVs"
+            )
+        if column_mapping(schema, log.table_config, self.table_path):
+            raise DeltaProtocolError(
+                f"{self.table_path}: MERGE on a column-mapped table "
+                "would re-stage under logical names; not implemented"
+            )
         if part_cols:
             missing = [c for c in part_cols if c not in source.columns]
             if missing:
@@ -1381,19 +1424,32 @@ class DeltaLogWriter:
 
         def _dv_rel(add: dict) -> str | None:
             d = add.get("deletionVector")
-            if not isinstance(d, dict) or d.get("storageType") != "u":
+            if not isinstance(d, dict):
                 return None
-            from plankton_spark.sources.deletion_vectors import (
-                _decode_uuid_path,
-            )
-
+            st = d.get("storageType")
             try:
-                return os.path.relpath(
-                    _decode_uuid_path(self.table_path, d["pathOrInlineDv"]),
-                    self.table_path,
-                )
+                if st == "u":
+                    from plankton_spark.sources.deletion_vectors import (
+                        _decode_uuid_path,
+                    )
+
+                    return os.path.relpath(
+                        _decode_uuid_path(
+                            self.table_path, d["pathOrInlineDv"]
+                        ),
+                        self.table_path,
+                    )
+                if st == "p":
+                    # absolute-path DV INSIDE the table dir must be
+                    # kept too; outside refs aren't ours to manage
+                    p = d["pathOrInlineDv"]
+                    if os.path.commonpath(
+                        [os.path.abspath(p), os.path.abspath(self.table_path)]
+                    ) == os.path.abspath(self.table_path):
+                        return os.path.relpath(p, self.table_path)
             except Exception:  # noqa: BLE001 — malformed foreign ref: keep
                 return None
+            return None
 
         for v in _commit_versions(self.log_dir):
             path = os.path.join(self.log_dir, f"{v:020d}.json")

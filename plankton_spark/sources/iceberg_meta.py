@@ -366,17 +366,28 @@ def _posdelete_filtered_read(
             .withColumn("__pd_file", F.col("_metadata.file_path"))
             .withColumn("__pd_ridx", F.col("_metadata.row_index"))
         )
-    # ONE symmetric identity rule on both sides: the suffix after the
-    # LAST 'data/' occurrence (fall back to basename when absent).
+    # ONE symmetric identity rule on both sides: the file BASENAME.
     # Delete files may reference absolute foreign URIs while the scan
-    # sees locally-resolved file: URIs, and relative refs have no
-    # leading slash — an asymmetric rule silently drops deletes.
-    # Degenerate dir names containing 'data/' degrade BOTH sides the
-    # same way, and basenames are uuid'd, so the join key stays unique.
+    # sees the URI-ENCODED `_metadata.file_path` (spaces → %20, and
+    # partition directories encode too) — any directory-containing
+    # key is asymmetric the moment a path needs encoding. Basenames
+    # written by real engines are uuid-ish and URI-safe; uniqueness
+    # and safety are validated up front and refuse loudly otherwise.
+    import re as _re
+
+    safe = _re.compile(r"[A-Za-z0-9._-]+\Z")
+    seen_base: set[str] = set()
+    for p, _pv in entries:
+        b = os.path.basename(p)
+        if b in seen_base or not safe.fullmatch(b):
+            raise ValueError(
+                f"{t.table_path}: cannot key position-delete joins by "
+                f"file basename: duplicate or URI-unsafe name {b!r}"
+            )
+        seen_base.add(b)
+
     def _norm(col):
-        return F.when(
-            col.contains("data/"), F.substring_index(col, "data/", -1)
-        ).otherwise(F.substring_index(col, "/", -1))
+        return F.substring_index(col, "/", -1)
 
     scan = scan.withColumn("__pd_file", _norm(F.col("__pd_file")))
     dels = (
@@ -539,9 +550,15 @@ def _iceberg_batches(
             if fid is not None:
                 by_id[int(fid)] = j
         for f in target:
-            i = batch.schema.get_field_index(f.name)
-            if i < 0 and f.name in field_ids:
+            if by_id and f.name in field_ids:
+                # id-carrying file + id-known field: resolve by ID
+                # ONLY — a name fallback would mis-bind after rename
+                # sequences that reuse an old name (a→tmp, b→a), and
+                # a missing id means the column didn't exist yet
+                # (null-fill), never "same-named other column"
                 i = by_id.get(field_ids[f.name], -1)
+            else:
+                i = batch.schema.get_field_index(f.name)
             if i >= 0:
                 cols.append(batch.column(i).cast(f.type))
             elif f.name in part_cols:
@@ -723,7 +740,11 @@ def iceberg_bucket(value, dtype: T.DataType, n: int) -> int:
     if isinstance(dtype, T.TimestampType):
         if value.tzinfo is None:
             value = value.replace(tzinfo=_dt.timezone.utc)
-        micros = int(value.timestamp() * 1_000_000)
+        # exact integer micros: float .timestamp()*1e6 is off by 1µs
+        # for ~1% of microsecond timestamps, which flips the murmur3
+        # bucket and silently prunes away the matching file
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        micros = (value - epoch) // _dt.timedelta(microseconds=1)
         return _bucket_of_long(micros, n)
     raise ValueError(f"bucket transform unsupported for {dtype.simpleString()}")
 

@@ -452,3 +452,114 @@ def test_optimize_purges_dvs_and_vacuum_reclaims(spark, tmp_path):
     removed = w.vacuum(grace_seconds=0.0)
     assert orphans[0] in removed
     assert sorted(r.k for r in read_delta(spark, root).collect()) == want
+
+
+# ---------------------------------------------------------------------
+# Round-7 self-review regression tests
+# ---------------------------------------------------------------------
+
+
+def test_append_and_overwrite_work_after_dv_delete(spark, tmp_path):
+    """Writer ops that never READ existing files must stay legal on
+    DV'd tables (r7 review #3): append stages new files, overwrite
+    tombstones wholesale — both DV-safe."""
+    root = str(tmp_path / "dvw_append")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 10).coalesce(1).select(F.col("id").alias("k")))
+    w.delete_where_dv(F.col("k") % 2 == 0)
+    w.append(spark.range(100, 103).select(F.col("id").alias("k")))
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == [1, 3, 5, 7, 9, 100, 101, 102]
+    # txn-guarded append (the streaming sink path) too
+    assert w.append(
+        spark.range(200, 201).select(F.col("id").alias("k")), txn=("j", 0)
+    ) is not None
+    assert w.append(
+        spark.range(200, 201).select(F.col("id").alias("k")), txn=("j", 0)
+    ) is None
+    # overwrite replaces everything, DVs die with their adds
+    w.overwrite(spark.range(500, 503).select(F.col("id").alias("k")))
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == [500, 501, 502]
+
+
+def test_merge_refuses_dv_tables(spark, tmp_path):
+    """MERGE reads hit files whole — on a DV'd table it would
+    resurrect deleted rows (r7 review #1). Must refuse."""
+    root = str(tmp_path / "dvw_merge")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 10).coalesce(1).select(F.col("id").alias("k")))
+    w.delete_where_dv(F.col("k") % 3 == 0)
+    src = spark.createDataFrame([(5,)], "k long")
+    with pytest.raises(DeltaProtocolError, match="resurrect"):
+        w.merge(src, "k")
+    # after an OPTIMIZE purge, merge works again
+    w.optimize(num_files=1)
+    w.merge(src, "k")
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == [k for k in range(10) if k % 3 != 0]
+
+
+def test_noop_dv_delete_is_a_noop(spark, tmp_path):
+    """A predicate matching nothing must not bump the version or
+    rewrite DV files — even when the table already has DVs (r7
+    review #8)."""
+    root = str(tmp_path / "dvw_noop")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 6).coalesce(1).select(F.col("id").alias("k")))
+    w.delete_where_dv(F.col("k") == 0)
+    v_before = DeltaLog(root).latest_version()
+    dv_before = sorted(
+        f for f in os.listdir(root) if f.startswith("deletion_vector_")
+    )
+    assert w.delete_where_dv(F.col("k") == 999) is None
+    assert DeltaLog(root).latest_version() == v_before
+    assert sorted(
+        f for f in os.listdir(root) if f.startswith("deletion_vector_")
+    ) == dv_before
+
+
+def test_dv_read_and_delete_in_path_with_space(spark, tmp_path):
+    """_metadata.file_path is URI-encoded; a table path needing
+    encoding must not break the DV join (r7 review #5 — basename
+    keys)."""
+    root = str(tmp_path / "dv table with space")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 8).coalesce(1).select(F.col("id").alias("k")))
+    w.delete_where_dv(F.col("k") < 3)
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == [3, 4, 5, 6, 7]
+
+
+def test_vacuum_keeps_p_storage_dv_inside_table(spark, tmp_path):
+    """storageType 'p' (absolute path) DVs inside the table dir are
+    live references — vacuum must not orphan-collect them (r7
+    review #4)."""
+    root, want = _author_dv_table(tmp_path, "dvp_vac", inline=False)
+    # rewrite the descriptor as storageType p with the absolute path
+    log_p = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    with open(log_p) as f:
+        actions = [json.loads(x) for x in f if x.strip()]
+    for a in actions:
+        d = a.get("add", {}).get("deletionVector") if "add" in a else None
+        if d:
+            from plankton_spark.sources.deletion_vectors import (
+                _decode_uuid_path,
+            )
+
+            abs_path = _decode_uuid_path(root, d["pathOrInlineDv"])
+            a["add"]["deletionVector"] = {
+                "storageType": "p",
+                "pathOrInlineDv": abs_path,
+                "offset": d["offset"],
+                "sizeInBytes": d["sizeInBytes"],
+                "cardinality": d["cardinality"],
+            }
+    with open(log_p, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == want
+    w = DeltaLogWriter(spark, root)
+    removed = w.vacuum(grace_seconds=0.0)
+    assert all(not r.startswith("deletion_vector_") for r in removed)
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == want

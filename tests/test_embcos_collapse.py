@@ -77,3 +77,19 @@ def test_intra_group_pairs_score_exactly_one(spark):
     )
     bad = intra.where(F.col("cosine") != 1.0).count()
     assert bad == 0
+
+
+def test_null_embeddings_survive_collapse(spark):
+    """groupBy buckets NULL embeddings into one group but a plain
+    equi-join would DROP those rows (NULL != NULL) — the null-safe
+    join-back must keep them with a rep (r7 review #6)."""
+    from plankton_spark.queries.llm_dedup import collapse_duplicate_vectors
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0, 2.0]), (4, None)],
+        "vec_id long, embedding array<float>",
+    )
+    members, uniq = collapse_duplicate_vectors(df)
+    rows = {r.vec_id: r.rep_id for r in members.collect()}
+    assert rows == {1: 1, 2: 2, 3: 1, 4: 2}
+    assert sorted(r.vec_id for r in uniq.collect()) == [1, 2]

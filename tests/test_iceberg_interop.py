@@ -1386,3 +1386,57 @@ def test_add_column_evolution_composes_with_field_ids(spark, tmp_path):
     w.rename_column("tag", "label")
     got2 = sorted((r.k, r.label) for r in read_iceberg(spark, root).collect())
     assert got2 == [(0, None), (1, None), (5, "new")]
+
+
+def test_bucket_of_timestamp_uses_exact_micros(spark, tmp_path):
+    """int(ts.timestamp()*1e6) is off by 1µs for ~1% of microsecond
+    timestamps (r7 review #2) — the driver-side bucket of a literal
+    must agree with the staged unix_micros path bit-exactly."""
+    import datetime
+
+    from plankton_spark.sources.iceberg_meta import (
+        _bucket_of_long,
+        iceberg_bucket,
+    )
+    from pyspark.sql import types as T
+
+    ts = datetime.datetime(
+        2038, 2, 27, 21, 18, 46, 981929, tzinfo=datetime.timezone.utc
+    )
+    exact = (
+        ts - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    ) // datetime.timedelta(microseconds=1)
+    assert exact % 10 == 9  # the float path would compute ...928
+    assert iceberg_bucket(ts, T.TimestampType(), 64) == _bucket_of_long(
+        exact, 64
+    )
+    # end-to-end: the staged bucket of this instant matches
+    root = str(tmp_path / "ibucket_ts")
+    df = spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS k,"
+        " timestamp_micros(CAST(2150918326981929 AS BIGINT)) AS ts"
+    )
+    IcebergWriter(spark, root).create(df, partition_by=["bucket(64, ts)"])
+    pv = IcebergTable(root).data_entries(None)[0][1]
+    assert pv["ts_bucket"] == iceberg_bucket(ts, T.TimestampType(), 64)
+
+
+def test_rename_swap_resolves_by_id_in_wrapper(spark, tmp_path):
+    """Rename sequences that REUSE an old name (a->tmp, b->a, tmp->b)
+    must not transpose columns in the pyarrow read paths (r7 review
+    #7 — id resolution wins over name for id-carrying files)."""
+    root = str(tmp_path / "irename_swap")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame([(1, 100), (2, 200)], "a long, b long")
+    )
+    w.rename_column("a", "tmp")
+    w.rename_column("b", "a")
+    w.rename_column("tmp", "b")
+    # logical a now holds the ORIGINAL b values and vice versa
+    got = sorted((r.a, r.b) for r in read_iceberg(spark, root).collect())
+    assert got == [(100, 1), (200, 2)]
+    register(spark)
+    df = spark.read.format("iceberglog").option("path", root).load()
+    got2 = sorted((r.a, r.b) for r in df.collect())
+    assert got2 == [(100, 1), (200, 2)]
