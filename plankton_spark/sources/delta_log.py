@@ -897,7 +897,10 @@ class DeltaLogWriter:
 
 
     def _metadata_action(
-        self, schema: T.StructType, part_cols: list[str] | None = None
+        self,
+        schema: T.StructType,
+        part_cols: list[str] | None = None,
+        configuration: dict | None = None,
     ) -> dict:
         return {
             "metaData": {
@@ -905,9 +908,83 @@ class DeltaLogWriter:
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema.json(),
                 "partitionColumns": list(part_cols or []),
-                "configuration": {},
+                "configuration": dict(configuration or {}),
             }
         }
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column by ENABLING column mapping (name mode) — the
+        Delta-spec way: every column gains a stable
+        delta.columnMapping.physicalName (its current physical name)
+        and id, the logical schemaString renames the field, and the
+        protocol upgrades to a column-mapping-capable reader in the
+        same metadata-only commit. Existing files keep their physical
+        columns; the mapping-aware read resolves them. Renaming a
+        partition column works too: partitionValues keys and hive dirs
+        stay physical.
+
+        After the rename, the table is a MAPPED table: reads go
+        through read_delta; append stays supported (staging renames to
+        physical names); rewrite ops (delete_where, merge, OPTIMIZE)
+        and add-column evolution refuse, mirroring the read-side
+        posture."""
+        log = DeltaLog(self.table_path)
+        schema, part_cols, _ = log.replay(None)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"{self.table_path}: no column {old!r}")
+        if new in names:
+            raise ValueError(f"{self.table_path}: column {new!r} exists")
+        used = [
+            int((f.metadata or {}).get("delta.columnMapping.id", 0))
+            for f in schema.fields
+        ]
+        next_id = max(used, default=0)
+        fields = []
+        for f in schema.fields:
+            md = dict(f.metadata or {})
+            md.setdefault(_CM_PHYS, f.name)
+            if "delta.columnMapping.id" not in md:
+                next_id += 1
+                md["delta.columnMapping.id"] = next_id
+            fields.append(
+                T.StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                    md,
+                )
+            )
+        new_schema = T.StructType(fields)
+        new_part_cols = [new if c == old else c for c in part_cols]
+        config = dict(log.table_config or {})
+        config.setdefault("delta.columnMapping.mode", "name")
+        config["delta.columnMapping.maxColumnId"] = str(next_id)
+        actions: list[dict] = []
+        prot = log.table_protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+        rv = prot.get("minReaderVersion", 1)
+        rf = set(prot.get("readerFeatures") or [])
+        if rv >= 3:
+            if "columnMapping" not in rf:
+                wf = set(prot.get("writerFeatures") or [])
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": sorted(rf | {"columnMapping"}),
+                            "writerFeatures": sorted(wf | {"columnMapping"}),
+                        }
+                    }
+                )
+        elif rv < 2:
+            actions.append(
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+        actions.append(
+            self._metadata_action(new_schema, new_part_cols, config)
+        )
+        return self._commit_with_retry(actions)
 
     def _schema_evolution_action(
         self, df, merge_schema: bool, snapshot_info=None
@@ -986,14 +1063,38 @@ class DeltaLogWriter:
         merge_schema=True allows ADD-column evolution (a new metaData
         action rides the same commit; old files read the column as
         null — parquet mergeSchema semantics)."""
+        cm = None
         try:
-            cur_schema, part_cols = DeltaLog(self.table_path).schema_info(None)
+            log = DeltaLog(self.table_path)
+            cur_schema, part_cols = log.schema_info(None)
             snapshot_info = (cur_schema, part_cols)
+            cm = column_mapping(cur_schema, log.table_config, self.table_path)
         except FileNotFoundError:
             snapshot_info, part_cols = None, []
+        if cm:
+            # mapped table (rename_column): files store PHYSICAL names,
+            # so staging renames df's logical columns; add-column
+            # evolution would need new physicalName/id assignment —
+            # refuse rather than guess
+            if merge_schema:
+                raise DeltaProtocolError(
+                    f"{self.table_path}: schema evolution on a "
+                    "column-mapped table is not implemented"
+                )
+            want = [(f.name, f.dataType) for f in cur_schema.fields]
+            got = [(f.name, f.dataType) for f in df.schema.fields]
+            if want != got:
+                raise ValueError(
+                    f"{self.table_path}: append schema {got} != table "
+                    f"schema {want}"
+                )
+            df = df.select(
+                [F.col(n).alias(cm["phys"][n]) for n, _ in want]
+            )
+            part_cols = [cm["phys"][c] for c in part_cols]
         evolution = (
             self._schema_evolution_action(df, merge_schema, snapshot_info)
-            if snapshot_info is not None
+            if snapshot_info is not None and not cm
             else None
         )
         head: list[dict] = [evolution] if evolution is not None else []

@@ -305,3 +305,90 @@ def test_checkpoint_preserves_mapping_and_protocol(spark, tmp_path):
     assert log.table_protocol["minReaderVersion"] == 2
     got = sorted((r.order_id, r.status) for r in read_delta(spark, root).collect())
     assert got == [(1, "A"), (2, "B"), (3, "A")]
+
+
+# ---------------------------------------------------------------------
+# Writer-side rename via column mapping (round 7)
+# ---------------------------------------------------------------------
+
+from pyspark.sql import functions as _F  # noqa: E402
+
+from plankton_spark.sources.delta_log import DeltaLogWriter  # noqa: E402
+
+
+def test_rename_column_via_mapping_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "dre")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.range(3).select(
+            _F.col("id").alias("k"), (_F.col("id") * 2).alias("v")
+        )
+    )
+    w.rename_column("v", "val")
+    df = read_delta(spark, root)
+    assert df.columns == ["k", "val"]
+    got = sorted((r.k, r.val) for r in df.collect())
+    assert got == [(0, 0), (1, 2), (2, 4)]
+    # appends after the rename stage under PHYSICAL names
+    w.append(
+        spark.createDataFrame([(10, 20)], "k long, val long")
+    )
+    got = sorted((r.k, r.val) for r in read_delta(spark, root).collect())
+    assert got == [(0, 0), (1, 2), (2, 4), (10, 20)]
+    # protocol upgraded to a mapping-capable reader
+    log = DeltaLog(root)
+    log.replay(None)
+    assert log.table_protocol["minReaderVersion"] >= 2
+    assert log.table_config["delta.columnMapping.mode"] == "name"
+    # a second rename keeps the ORIGINAL physical names stable
+    w.rename_column("val", "value2")
+    got = sorted((r.k, r.value2) for r in read_delta(spark, root).collect())
+    assert got == [(0, 0), (1, 2), (2, 4), (10, 20)]
+
+
+def test_rename_partition_column(spark, tmp_path):
+    """Partition dirs and partitionValues stay physical; the logical
+    filter name maps through."""
+    root = str(tmp_path / "dre_part")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(1, "A"), (2, "B"), (3, "A")], "k long, st string"
+        ),
+        partition_by=["st"],
+    )
+    w.rename_column("st", "status")
+    df = read_delta(spark, root)
+    assert sorted(df.columns) == ["k", "status"]
+    one = read_delta(spark, root, partitions={"status": "A"})
+    assert sorted(r.k for r in one.collect()) == [1, 3]
+    # append a new partition value post-rename
+    w.append(spark.createDataFrame([(9, "C")], "k long, status string"))
+    assert read_delta(spark, root).count() == 4
+    assert read_delta(spark, root, partitions={"status": "C"}).count() == 1
+
+
+def test_rename_guards(spark, tmp_path):
+    root = str(tmp_path / "dre_guard")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(2).select(_F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="no column"):
+        w.rename_column("zz", "yy")
+    w.rename_column("k", "key")
+    with pytest.raises(ValueError, match="exists"):
+        w.rename_column("key", "key")
+    # rewrite ops refuse on the mapped table
+    with pytest.raises(DeltaProtocolError):
+        w.delete_where(_F.col("key") == 0)
+    with pytest.raises(DeltaProtocolError):
+        w.merge(spark.createDataFrame([(1,)], "key long"), "key")
+    with pytest.raises(DeltaProtocolError):
+        w.optimize(num_files=1)
+    with pytest.raises(DeltaProtocolError, match="evolution"):
+        w.append(
+            spark.createDataFrame([(5, "x")], "key long, extra string"),
+            merge_schema=True,
+        )
+    # DV deletes also refuse on mapped tables
+    with pytest.raises(DeltaProtocolError):
+        w.delete_where_dv(_F.col("key") == 0)
