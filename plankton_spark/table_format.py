@@ -371,6 +371,21 @@ class PlankTable:
             "OVERWRITE", lambda: (adds, sorted(self._snapshot()))
         )
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename by REWRITE (one OVERWRITE-shaped pass): planktable
+        derives its schema FROM the data files, so a rename is a
+        content rewrite — the deliberate design tradeoff vs the
+        metadata-only renames of the Delta/Iceberg writers (stable-id
+        mapping machinery that planktable's file-derived-schema
+        philosophy omits). OCC rides the overwrite commit; historic
+        snapshots keep reading the old name (time travel intact)."""
+        cur = self.read()
+        if old not in cur.columns:
+            raise ValueError(f"{self.path}: no column {old!r}")
+        if new in cur.columns:
+            raise ValueError(f"{self.path}: column {new!r} exists")
+        return self.overwrite(cur.withColumnRenamed(old, new))
+
     def delete_where(self, condition) -> int:
         """Row-level delete: rewrite only the files that contain
         matching rows; untouched files stay live as-is."""

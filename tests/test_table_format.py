@@ -408,3 +408,24 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not both"):
         tz.optimize(sort_by=["x"], zorder_by=["y"])
+
+
+def test_rename_column_rewrites_and_time_travels(spark, tmp_path):
+    """planktable rename = content rewrite (file-derived schemas —
+    the deliberate tradeoff vs Delta/Iceberg metadata-only renames);
+    historic snapshots keep the old name."""
+    from plankton_spark.table_format import PlankTable
+
+    t = PlankTable(spark, str(tmp_path / "pt_rename"))
+    t.create(spark.range(3).selectExpr("id AS k", "id*2 AS v"))
+    v = t.rename_column("v", "val")
+    got = sorted((r.k, r.val) for r in t.read().collect())
+    assert got == [(0, 0), (1, 2), (2, 4)]
+    old = t.read(version=v - 1)
+    assert "v" in old.columns and "val" not in old.columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no column"):
+        t.rename_column("zz", "yy")
+    with _pytest.raises(ValueError, match="exists"):
+        t.rename_column("k", "val")
