@@ -212,10 +212,14 @@ class JsonlTailStreamReader(DataSourceStreamReader):
                     f"[{name!r}] — refusing to silently drop their tail"
                 )
             cur = os.path.getsize(full)
-            if cur < lo:
+            if cur < hi:
+                # below the batch's END offset also covers shrinking
+                # under a checkpointed start — either way the planned
+                # byte range no longer exists and a short read would
+                # silently drop records
                 raise ValueError(
-                    f"jsonltail: partition {name} shrank below its "
-                    f"checkpointed offset ({cur} < {lo}) — the log was "
+                    f"jsonltail: partition {name} shrank below the "
+                    f"planned offset ({cur} < {hi}) — the log was "
                     "truncated or rewritten; cannot resume without "
                     "duplicating or corrupting records"
                 )

@@ -168,7 +168,7 @@ def test_truncated_partition_refuses_to_stream(spark, tmp_path):
     # someone rewrites the log shorter
     with open(f, "w") as fh:
         fh.write('{"event_id": 0, "user_id": 1, "event_type": "a", "value": 1.0}\n')
-    with pytest.raises(Exception, match="shrank below its checkpointed"):
+    with pytest.raises(Exception, match="shrank below the planned"):
         _drain(agg, "jt_trunc", ckpt)
 
 
