@@ -927,64 +927,106 @@ class DeltaLogWriter:
         through read_delta; append stays supported (staging renames to
         physical names); rewrite ops (delete_where, merge, OPTIMIZE)
         and add-column evolution refuse, mirroring the read-side
-        posture."""
-        log = DeltaLog(self.table_path)
-        schema, part_cols, _ = log.replay(None)
-        names = [f.name for f in schema.fields]
-        if old not in names:
-            raise ValueError(f"{self.table_path}: no column {old!r}")
-        if new in names:
-            raise ValueError(f"{self.table_path}: column {new!r} exists")
-        used = [
-            int((f.metadata or {}).get("delta.columnMapping.id", 0))
-            for f in schema.fields
-        ]
-        next_id = max(used, default=0)
-        fields = []
-        for f in schema.fields:
-            md = dict(f.metadata or {})
-            md.setdefault(_CM_PHYS, f.name)
-            if "delta.columnMapping.id" not in md:
-                next_id += 1
-                md["delta.columnMapping.id"] = next_id
-            fields.append(
-                T.StructField(
-                    new if f.name == old else f.name,
-                    f.dataType,
-                    f.nullable,
-                    md,
+        posture. Schemas with nested/complex fields refuse: the spec
+        requires EVERY field (nested included) to carry id +
+        physicalName once mapping is on, and emitting them unmapped
+        would hand foreign readers a spec-invalid table.
+
+        The commit REBUILDS from a fresh replay on every conflict
+        retry — blindly re-committing the first attempt's metaData
+        would clobber a concurrently evolved schema (r7 review #4)."""
+        for _ in range(20):
+            log = DeltaLog(self.table_path)
+            schema, part_cols, _ = log.replay(None)
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise ValueError(f"{self.table_path}: no column {old!r}")
+            if new in names:
+                raise ValueError(f"{self.table_path}: column {new!r} exists")
+            complex_fields = [
+                f.name
+                for f in schema.fields
+                if isinstance(
+                    f.dataType, (T.StructType, T.ArrayType, T.MapType)
+                )
+            ]
+            if complex_fields:
+                raise DeltaProtocolError(
+                    f"{self.table_path}: enabling column mapping with "
+                    f"nested/complex fields {complex_fields} is not "
+                    "implemented (the spec requires every nested field "
+                    "to carry mapping metadata)"
+                )
+            used = [
+                int((f.metadata or {}).get("delta.columnMapping.id", 0))
+                for f in schema.fields
+            ]
+            next_id = max(used, default=0)
+            fields = []
+            for f in schema.fields:
+                md = dict(f.metadata or {})
+                md.setdefault(_CM_PHYS, f.name)
+                if "delta.columnMapping.id" not in md:
+                    next_id += 1
+                    md["delta.columnMapping.id"] = next_id
+                fields.append(
+                    T.StructField(
+                        new if f.name == old else f.name,
+                        f.dataType,
+                        f.nullable,
+                        md,
+                    )
+                )
+            new_schema = T.StructType(fields)
+            new_part_cols = [new if c == old else c for c in part_cols]
+            config = dict(log.table_config or {})
+            config.setdefault("delta.columnMapping.mode", "name")
+            # monotonically non-decreasing per the spec: ids of columns
+            # DROPPED by other writers must never be reused
+            config["delta.columnMapping.maxColumnId"] = str(
+                max(
+                    int(config.get("delta.columnMapping.maxColumnId") or 0),
+                    next_id,
                 )
             )
-        new_schema = T.StructType(fields)
-        new_part_cols = [new if c == old else c for c in part_cols]
-        config = dict(log.table_config or {})
-        config.setdefault("delta.columnMapping.mode", "name")
-        config["delta.columnMapping.maxColumnId"] = str(next_id)
-        actions: list[dict] = []
-        prot = log.table_protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-        rv = prot.get("minReaderVersion", 1)
-        rf = set(prot.get("readerFeatures") or [])
-        if rv >= 3:
-            if "columnMapping" not in rf:
-                wf = set(prot.get("writerFeatures") or [])
+            actions: list[dict] = []
+            prot = log.table_protocol or {
+                "minReaderVersion": 1,
+                "minWriterVersion": 2,
+            }
+            rv = prot.get("minReaderVersion", 1)
+            wv = prot.get("minWriterVersion", 2)
+            rf = set(prot.get("readerFeatures") or [])
+            wf = set(prot.get("writerFeatures") or [])
+            if rv >= 3 or wf:
+                # table-features protocol (reader and/or writer side):
+                # UPGRADE only — keep every existing feature and add
+                # columnMapping to both lists
+                new_prot = {
+                    "minReaderVersion": max(rv, 3),
+                    "minWriterVersion": max(wv, 7),
+                    "readerFeatures": sorted(rf | {"columnMapping"}),
+                    "writerFeatures": sorted(wf | {"columnMapping"}),
+                }
+                if new_prot != prot:
+                    actions.append({"protocol": new_prot})
+            elif rv < 2 or wv < 5:
                 actions.append(
                     {
                         "protocol": {
-                            "minReaderVersion": 3,
-                            "minWriterVersion": 7,
-                            "readerFeatures": sorted(rf | {"columnMapping"}),
-                            "writerFeatures": sorted(wf | {"columnMapping"}),
+                            "minReaderVersion": max(rv, 2),
+                            "minWriterVersion": max(wv, 5),
                         }
                     }
                 )
-        elif rv < 2:
             actions.append(
-                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+                self._metadata_action(new_schema, new_part_cols, config)
             )
-        actions.append(
-            self._metadata_action(new_schema, new_part_cols, config)
-        )
-        return self._commit_with_retry(actions)
+            try:
+                return self._commit(self._next_version(), actions)
+            except DeltaCommitConflict:
+                continue  # re-replay: pick up the concurrent change
+        raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
 
     def _schema_evolution_action(
         self, df, merge_schema: bool, snapshot_info=None

@@ -212,14 +212,16 @@ class JsonlTailStreamReader(DataSourceStreamReader):
                     f"[{name!r}] — refusing to silently drop their tail"
                 )
             cur = os.path.getsize(full)
-            if cur < hi:
-                # below the batch's END offset also covers shrinking
-                # under a checkpointed start — either way the planned
-                # byte range no longer exists and a short read would
-                # silently drop records
+            if cur < hi or hi < lo:
+                # three truncation shapes, all fatal: the file shrank
+                # under the planned end (mid-batch rewrite), or the
+                # END itself was re-planned below the checkpointed
+                # START (restart after truncation: latestOffset < lo)
+                # — proceeding would silently regress the offset and
+                # drop/corrupt records
                 raise ValueError(
                     f"jsonltail: partition {name} shrank below the "
-                    f"planned offset ({cur} < {hi}) — the log was "
+                    f"planned range ({cur=} {lo=} {hi=}) — the log was "
                     "truncated or rewritten; cannot resume without "
                     "duplicating or corrupting records"
                 )

@@ -377,14 +377,32 @@ class PlankTable:
         content rewrite — the deliberate design tradeoff vs the
         metadata-only renames of the Delta/Iceberg writers (stable-id
         mapping machinery that planktable's file-derived-schema
-        philosophy omits). OCC rides the overwrite commit; historic
-        snapshots keep reading the old name (time travel intact)."""
+        philosophy omits). Historic snapshots keep reading the old
+        name (time travel intact).
+
+        Unlike a plain overwrite (which MEANS "replace whatever is
+        live"), a rename must preserve content exactly, so the commit
+        validates the live file set is STILL the set the rewrite read
+        — a concurrent append's rows must not be silently tombstoned
+        (r7 review #2)."""
         cur = self.read()
         if old not in cur.columns:
             raise ValueError(f"{self.path}: no column {old!r}")
         if new in cur.columns:
             raise ValueError(f"{self.path}: column {new!r} exists")
-        return self.overwrite(cur.withColumnRenamed(old, new))
+        read_set = set(self._snapshot())
+        adds = self._stage(cur.withColumnRenamed(old, new))
+
+        def make_actions():
+            now = sorted(self._snapshot())
+            if set(now) != read_set:
+                raise ConcurrentModification(
+                    f"{self.path}: files changed during rename_column "
+                    "(concurrent commit); rerun the rename"
+                )
+            return adds, now
+
+        return self._commit_with_retry("OVERWRITE", make_actions)
 
     def delete_where(self, condition) -> int:
         """Row-level delete: rewrite only the files that contain

@@ -392,3 +392,98 @@ def test_rename_guards(spark, tmp_path):
     # DV deletes also refuse on mapped tables
     with pytest.raises(DeltaProtocolError):
         w.delete_where_dv(_F.col("key") == 0)
+
+
+# ---------------------------------------------------------------------
+# Round-7 second-review regression tests
+# ---------------------------------------------------------------------
+
+
+def test_rename_refuses_nested_schemas(spark, tmp_path):
+    """Enabling mapping must not emit unmapped nested fields (spec
+    requires ids on EVERY field) — refuse (r7 review-2 #3)."""
+    root = str(tmp_path / "dre_nested")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame([(1, (2,))], "k long, payload struct<a:long>")
+    )
+    with pytest.raises(DeltaProtocolError, match="nested/complex"):
+        w.rename_column("k", "key")
+
+
+def test_rename_rebuilds_on_commit_conflict(spark, tmp_path):
+    """A concurrent schema-evolving append between rename's replay and
+    commit must NOT be clobbered — the retry re-replays (r7 review-2
+    #4)."""
+    from plankton_spark.sources.delta_log import DeltaCommitConflict
+
+    root = str(tmp_path / "dre_race")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(2).select(_F.col("id").alias("k")))
+    raced = {"done": False}
+    orig = DeltaLogWriter._commit
+
+    def commit_with_race(self, v, actions):
+        if not raced["done"] and any("metaData" in a for a in actions):
+            raced["done"] = True
+            # the concurrent writer wins this version with an evolved
+            # schema (new column 'extra')
+            DeltaLogWriter(spark, root).append(
+                spark.createDataFrame([(9, 9)], "k long, extra long"),
+                merge_schema=True,
+            )
+            raise DeltaCommitConflict("injected race")
+        return orig(self, v, actions)
+
+    import plankton_spark.sources.delta_log as dl
+
+    try:
+        dl.DeltaLogWriter._commit = commit_with_race
+        w.rename_column("k", "key")
+    finally:
+        dl.DeltaLogWriter._commit = orig
+    df = read_delta(spark, root)
+    assert sorted(df.columns) == ["extra", "key"]  # both survived
+    got = sorted((r.key, r.extra) for r in df.collect())
+    assert got == [(0, None), (1, None), (9, 9)]
+
+
+def test_rename_protocol_upgrade_never_downgrades(spark, tmp_path):
+    """A reader-1/writer-7 features table must keep its writer
+    features and gain columnMapping, not be rewritten to {2,5} (r7
+    review-2 #5); maxColumnId stays monotonic (#6)."""
+    root = str(tmp_path / "dre_prot")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(2).select(_F.col("id").alias("k")))
+    # rewrite the protocol + config as a foreign writer-features table
+    log_p = os.path.join(root, "_delta_log", f"{0:020d}.json")
+    with open(log_p) as f:
+        actions = [json.loads(x) for x in f if x.strip()]
+    for a in actions:
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["appendOnly", "invariants"],
+            }
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.maxColumnId": "10"
+            }
+    with open(log_p, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    w.rename_column("k", "key")
+    log = DeltaLog(root)
+    log.replay(None)
+    prot = log.table_protocol
+    assert prot["minReaderVersion"] == 3
+    assert prot["minWriterVersion"] == 7
+    assert set(prot["writerFeatures"]) >= {
+        "appendOnly",
+        "invariants",
+        "columnMapping",
+    }
+    assert "columnMapping" in prot["readerFeatures"]
+    assert log.table_config["delta.columnMapping.maxColumnId"] == "10"
+    assert sorted(r.key for r in read_delta(spark, root).collect()) == [0, 1]

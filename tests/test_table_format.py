@@ -429,3 +429,39 @@ def test_rename_column_rewrites_and_time_travels(spark, tmp_path):
         t.rename_column("zz", "yy")
     with _pytest.raises(ValueError, match="exists"):
         t.rename_column("k", "val")
+
+
+def test_rename_column_aborts_on_concurrent_append(spark, tmp_path):
+    """rename must preserve content EXACTLY: a concurrent append
+    landing between the rewrite's read and its commit aborts the
+    rename instead of silently tombstoning the new rows (r7 review-2
+    #2)."""
+    from plankton_spark.table_format import ConcurrentModification, PlankTable
+
+    root = str(tmp_path / "pt_rename_race")
+    t = PlankTable(spark, root)
+    t.create(spark.range(3).selectExpr("id AS k", "id*2 AS v"))
+    raced = {"done": False}
+    orig = PlankTable._stage
+
+    def stage_with_race(self, df):
+        adds = orig(self, df)
+        if not raced["done"]:
+            raced["done"] = True
+            PlankTable(spark, root).append(
+                spark.createDataFrame([(100, 200)], "k long, v long")
+            )
+        return adds
+
+    import plankton_spark.table_format as tf
+    import pytest as _pytest
+
+    try:
+        tf.PlankTable._stage = stage_with_race
+        with _pytest.raises(ConcurrentModification, match="rename"):
+            t.rename_column("v", "val")
+    finally:
+        tf.PlankTable._stage = orig
+    # the concurrent append's rows are intact, schema unchanged
+    got = sorted((r.k, r.v) for r in PlankTable(spark, root).read().collect())
+    assert got == [(0, 0), (1, 2), (2, 4), (100, 200)]
