@@ -253,6 +253,19 @@ class DeltaLog:
         mode lives there)."""
         if version is None:
             version = self.latest_version()
+        cp_versions = [
+            int(f.split(".", 1)[0])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".checkpoint.parquet") and f.split(".", 1)[0].isdigit()
+        ]
+        earliest = min(
+            _commit_versions(self.log_dir) + cp_versions, default=0
+        )
+        if version < earliest:
+            raise ValueError(
+                f"{self.table_path}: version {version} expired by log "
+                f"cleanup (earliest retained: {earliest})"
+            )
         start = 0
         units: list[list[dict]] = []
         cp = self._checkpoint_at_or_before(version)
@@ -1663,6 +1676,34 @@ class DeltaLogWriter:
                 _shutil.rmtree(full, ignore_errors=True)
                 removed.append(e)
         return sorted(removed)
+
+    def cleanup_log(self, keep_versions: int | None = None) -> list[int]:
+        """Log retention (the finite end of the VACUUM spectrum —
+        vacuum alone keeps every historic reference forever): write a
+        checkpoint at `latest - keep_versions + 1`, then delete the
+        JSON commits and checkpoints below it. Versions at/after the
+        cutoff keep replaying (checkpoint + tail, txn rows included,
+        so exactly-once appends survive); older versions stop
+        time-traveling with a clear error, and data files they
+        exclusively referenced become vacuum-able orphans. Returns the
+        expired commit versions."""
+        if keep_versions is None:
+            keep_versions = DELTA_CHECKPOINT_EVERY
+        log = DeltaLog(self.table_path)
+        latest = log.latest_version()
+        cutoff = latest - keep_versions + 1
+        if cutoff <= 0:
+            return []
+        write_delta_checkpoint(self.table_path, version=cutoff)
+        expired: list[int] = []
+        for f in sorted(os.listdir(log.log_dir)):
+            stem = f.split(".", 1)[0]
+            if not stem.isdigit() or int(stem) >= cutoff:
+                continue
+            os.remove(os.path.join(log.log_dir, f))
+            if f.endswith(".json"):
+                expired.append(int(stem))
+        return expired
 
     def last_txn_version(self, app_id: str) -> int | None:
         """Highest committed txn version for app_id (None if none).

@@ -2106,10 +2106,14 @@ class IcebergWriter:
 
         table = IcebergTable(self.table_path)
         referenced: set[str] = set()
+        referenced_meta: set[str] = set()
         for snap in table.snapshots():
             ml = table._resolve(snap["manifest-list"])
+            referenced_meta.add(ml)
             for m in _read(ml):
-                for e in _read(table._resolve(m["manifest_path"])):
+                mp = table._resolve(m["manifest_path"])
+                referenced_meta.add(mp)
+                for e in _read(mp):
                     referenced.add(table._resolve(e["data_file"]["file_path"]))
         now = _time.time()
         removed: list[str] = []
@@ -2128,6 +2132,20 @@ class IcebergWriter:
                         removed.append(
                             os.path.relpath(full, self.table_path)
                         )
+        # manifest/manifest-list avros referenced by NO remaining
+        # snapshot (expire_snapshots leftovers); the grace window
+        # protects a concurrent commit that wrote its manifests but
+        # hasn't published its metadata version yet
+        if os.path.isdir(self.meta_dir):
+            for f in os.listdir(self.meta_dir):
+                full = os.path.join(self.meta_dir, f)
+                if (
+                    f.endswith(".avro")
+                    and full not in referenced_meta
+                    and now - os.path.getmtime(full) > grace_seconds
+                ):
+                    os.remove(full)
+                    removed.append(os.path.relpath(full, self.table_path))
         for e in os.listdir(self.table_path):
             full = os.path.join(self.table_path, e)
             if (
@@ -2137,6 +2155,45 @@ class IcebergWriter:
                 _shutil.rmtree(full, ignore_errors=True)
                 removed.append(e)
         return sorted(removed)
+
+    def expire_snapshots(self, keep_last: int = 5) -> list[int]:
+        """Snapshot retention (the spec's expireSnapshots half of the
+        expire/remove-orphans pair — vacuum alone is
+        retention=infinite): a metadata-only commit drops all but the
+        newest `keep_last` snapshots. Expired ids stop time-traveling
+        (unknown snapshot), checkpointed streams that consumed an
+        expired id fail loudly at resume (snapshot-id-keyed offsets),
+        and the expired snapshots' exclusively-referenced data files
+        AND manifest avros become vacuum-able orphans. Returns the
+        expired snapshot ids."""
+        if keep_last < 1:
+            # snaps[-0:] is the WHOLE list — an explicit guard beats
+            # the slicing trap, and a table needs a current snapshot
+            raise ValueError(
+                f"{self.table_path}: keep_last must be >= 1 (the "
+                "current snapshot cannot be expired)"
+            )
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            snaps = table.metadata.get("snapshots", [])
+            if len(snaps) <= keep_last:
+                return []
+            keep = snaps[-keep_last:]
+            cur = table.metadata.get("current-snapshot-id")
+            if cur is not None and all(s["snapshot-id"] != cur for s in keep):
+                raise ValueError(
+                    f"{self.table_path}: keep_last={keep_last} would "
+                    "expire the current snapshot"
+                )
+            expired = [s["snapshot-id"] for s in snaps[:-keep_last]]
+            md = dict(table.metadata)
+            md["snapshots"] = keep
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                return expired
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
 
 
 # ---------------------------------------------------------------------

@@ -137,6 +137,16 @@ class PlankTable:
         for v in range(start, target + 1):
             vf = _version_file(self.path, v)
             if not os.path.exists(vf):
+                all_ck = [
+                    int(e.split(".")[0])
+                    for e in os.listdir(d)
+                    if e.endswith(".checkpoint.json")
+                ]
+                if all_ck and min(all_ck) > target:
+                    raise ValueError(
+                        f"{self.path}: version {target} expired by "
+                        f"expire_log (earliest retained: {min(all_ck)})"
+                    )
                 raise FileNotFoundError(f"{self.path}: missing log version {v}")
             with open(vf) as f:
                 commit = json.load(f)
@@ -578,18 +588,58 @@ class PlankTable:
     def vacuum(self) -> list[str]:
         """Delete data files referenced by NO log version (crash
         leftovers). Files referenced by historic versions are kept so
-        time travel keeps working."""
+        time travel keeps working. Checkpoints count as references
+        too: after expire_log removes pre-checkpoint version files,
+        the checkpoint may be the ONLY record of a live file — the
+        same rule the Delta writer's vacuum follows."""
+        d = _log_dir(self.path)
         referenced: set[str] = set()
         for v in self.versions():
             with open(_version_file(self.path, v)) as f:
                 for a in json.load(f).get("add", []):
                     referenced.add(a["file"])
+        for e in os.listdir(d):
+            if e.endswith(".checkpoint.json"):
+                with open(os.path.join(d, e)) as f:
+                    referenced.update(json.load(f)["live"])
         removed = []
         for e in os.listdir(self.path):
             if e.startswith("data-") and e not in referenced:
                 os.remove(os.path.join(self.path, e))
                 removed.append(e)
         return sorted(removed)
+
+    def expire_log(self, keep_versions: int = CHECKPOINT_EVERY) -> list[int]:
+        """Retention: drop log versions older than the newest
+        `keep_versions` (the finite end of the VACUUM spectrum —
+        vacuum alone is retention=infinite). A checkpoint is written
+        at the cutoff first, so reads at/after the cutoff replay from
+        it; versions BELOW the cutoff stop time-traveling (clear
+        error) and their exclusively-referenced data files become
+        vacuum-able orphans. Returns the expired version numbers."""
+        latest = self.latest_version()
+        cutoff = latest - keep_versions + 1
+        if cutoff <= 0:
+            return []
+        ckpt = _checkpoint_file(self.path, cutoff)
+        if not os.path.exists(ckpt):
+            import uuid as _uuid
+
+            tmp = ckpt + f".tmp-{_uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"live": self._snapshot(cutoff)}, f)
+            os.replace(tmp, ckpt)
+        d = _log_dir(self.path)
+        expired: list[int] = []
+        for e in sorted(os.listdir(d)):
+            stem = e.split(".")[0]
+            if not stem.isdigit() or int(stem) >= cutoff:
+                continue
+            os.remove(os.path.join(d, e))
+            if e.endswith(".checkpoint.json"):
+                continue  # count data versions only
+            expired.append(int(stem))
+        return expired
 
 
 def zvalue_column(df: DataFrame, cols: list[str], bits: int = 21):
