@@ -262,6 +262,55 @@ def q_deltalog_merge(spark, sf_dir):
 
 
 @query(
+    "q_deltalog_restore",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000
+    ),
+    v2 AS (
+      SELECT * FROM v1 WHERE o_orderstatus <> 'F'
+    )
+    SELECT 'tip_before_restore' AS phase, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM v2
+    UNION ALL
+    SELECT 'restored', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM v1
+    """,
+)
+def q_deltalog_restore(spark, sf_dir):
+    """Delta RESTORE TO VERSION AS OF: CREATE (orders<1000), APPEND
+    (1000..1999), DELETE (status 'F'), then restore to the pre-delete
+    version — one metadata-only commit re-adds v1's add actions
+    verbatim (stats and partitionValues included), tombstones the
+    delete's rewrites, and never touches a data file. Reads BOTH the
+    restored tip and (time travel) the pre-restore tip: restore must
+    preserve history."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+
+    root = _scratch(sf_dir, "delta_restore")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    w = DeltaLogWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 1000).coalesce(1))
+    w.append(
+        o.where(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+        ).coalesce(1)
+    )
+    w.delete_where(F.col("o_orderstatus") == "F")
+    w.restore(1)
+
+    def _agg(df, phase):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "key_sum")
+
+    return _agg(read_delta(spark, root, version=2), "tip_before_restore").unionByName(
+        _agg(read_delta(spark, root), "restored")
+    )
+
+
+@query(
     "q_deltalog_partitioned",
     oracle="""
     WITH base AS (

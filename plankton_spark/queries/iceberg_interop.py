@@ -280,6 +280,54 @@ def q_iceberg_maintenance(spark, sf_dir):
 
 
 @query(
+    "q_iceberg_rollback",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000
+    ),
+    v2 AS (
+      SELECT * FROM v1 WHERE o_orderstatus <> 'F'
+    )
+    SELECT 'tip_before_rollback' AS phase, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM v2
+    UNION ALL
+    SELECT 'rolled_back', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM v1
+    """,
+)
+def q_iceberg_rollback(spark, sf_dir):
+    """Iceberg rollback: CREATE (orders<1000), APPEND (1000..1999),
+    DELETE (status 'F'), then roll current-snapshot-id back to the
+    pre-delete snapshot — one new metadata version, snapshot list
+    untouched, nothing staged or rewritten. Reads BOTH the rolled-back
+    current snapshot and (by snapshot id) the pre-rollback tip:
+    rollback must preserve the full snapshot lineage."""
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root = _scratch(sf_dir, "iceberg_rollback")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    w = IcebergWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 1000).coalesce(1))
+    s2 = w.append(
+        o.where(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+        ).coalesce(1)
+    )
+    s3 = w.delete_where(F.col("o_orderstatus") == "F")
+    w.rollback_to(s2)
+
+    def _agg(df, phase):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "key_sum")
+
+    return _agg(
+        read_iceberg(spark, root, snapshot_id=s3), "tip_before_rollback"
+    ).unionByName(_agg(read_iceberg(spark, root), "rolled_back"))
+
+
+@query(
     "q_iceberg_partitioned",
     oracle="""
     WITH base AS (

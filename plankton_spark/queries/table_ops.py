@@ -71,6 +71,47 @@ def q_table_timetravel(spark, sf_dir):
 
 
 @query(
+    "q_table_restore",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000
+    ),
+    v2 AS (
+      SELECT * FROM v1 WHERE o_orderstatus <> 'F'
+    )
+    SELECT 'tip_before_restore' AS phase, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM v2
+    UNION ALL
+    SELECT 'restored', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM v1
+    """,
+)
+def q_table_restore(spark, sf_dir):
+    """RESTORE: CREATE (orders<1000), APPEND (1000..1999), DELETE
+    (status 'F'), then RESTORE to the pre-delete version — one
+    metadata-only commit re-adds v1's file set (the deleted rows come
+    back without rewriting a byte). The output reads BOTH the restored
+    tip and, by time travel, the pre-restore tip: restore must not
+    erase history (both hashes check against the relational
+    re-derivation)."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = _fresh_table(spark, sf_dir, "pt_restore")
+    t.create(o.where(F.col("o_orderkey") < 1000))
+    t.append(o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    t.delete_where(F.col("o_orderstatus") == "F")
+    t.restore(1)
+
+    def _agg(df, phase):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "key_sum")
+
+    return _agg(t.read(version=2), "tip_before_restore").unionByName(
+        _agg(t.read(), "restored")
+    )
+
+
+@query(
     "q_table_cdc",
     oracle="""
     WITH v1 AS (

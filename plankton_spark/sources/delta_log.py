@@ -1470,6 +1470,66 @@ class DeltaLogWriter:
                 continue  # re-read the snapshot: tombstone what's live NOW
         raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF semantics: one NEW commit
+        whose net effect re-establishes the target version's live file
+        set and table metadata. History is preserved (time travel
+        still reads every version, including the pre-restore tip);
+        the commit is metadata-only — no data file is read or
+        rewritten, re-adds reuse the target's add actions verbatim
+        (stats, partitionValues, deletionVector descriptors). The
+        table PROTOCOL is never downgraded (spec rule: protocol is
+        monotone), so a restore to a pre-deletionVectors version keeps
+        the upgraded protocol while the metaData/config revert.
+        Refuses when a target data file (or its on-disk DV) was
+        vacuumed since — committing an unreadable snapshot would be
+        silent corruption, the same guard planktable.restore and
+        IcebergWriter.rollback_to apply."""
+        from plankton_spark.sources.deletion_vectors import _decode_uuid_path
+
+        log = DeltaLog(self.table_path)
+        t_schema, t_parts, t_active = log.replay(version)
+        t_cfg = dict(log.table_config)
+        cur_schema, cur_parts, cur_active = log.replay(None)
+        cur_cfg = dict(log.table_config)
+
+        missing: list[str] = []
+        for rel, add in sorted(t_active.items()):
+            if not os.path.exists(os.path.join(self.table_path, rel)):
+                missing.append(rel)
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                dv_path = _decode_uuid_path(
+                    self.table_path, dv["pathOrInlineDv"]
+                )
+                if not os.path.exists(dv_path):
+                    missing.append(os.path.relpath(dv_path, self.table_path))
+        if missing:
+            raise FileNotFoundError(
+                f"{self.table_path}: cannot RESTORE to version {version} "
+                f"— {len(missing)} file(s) removed by vacuum: {missing[:5]}"
+            )
+
+        actions: list[dict] = []
+        if (
+            t_schema.jsonValue() != cur_schema.jsonValue()
+            or t_parts != cur_parts
+            or t_cfg != cur_cfg
+        ):
+            actions.append(self._metadata_action(t_schema, t_parts, t_cfg))
+        for rel, add in sorted(t_active.items()):
+            if cur_active.get(rel) != add:
+                # new file for the current snapshot, or same path whose
+                # DV/stats differ — the target's action wins wholesale
+                re_add = dict(add)
+                re_add["dataChange"] = True
+                actions.append({"add": re_add})
+        removed = sorted(rel for rel in cur_active if rel not in t_active)
+        actions += [
+            {"remove": {"path": r, "dataChange": True}} for r in removed
+        ]
+        return self._validate_then_commit(actions, removed)
+
     def merge(self, source, key: str) -> int:
         """Upsert (MERGE): rows in `source` update same-key rows,
         others insert — planktable.merge parity (table_format.py:410)

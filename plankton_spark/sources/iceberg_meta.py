@@ -2086,6 +2086,46 @@ class IcebergWriter:
         } | {os.path.relpath(p, self.table_path) for p in deletes}
         return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Rollback (the spec's setCurrentSnapshot/rollback operation):
+        move current-snapshot-id back to an EXISTING snapshot in one
+        new metadata version. The snapshot list is untouched — time
+        travel still reads every snapshot, including the pre-rollback
+        tip; nothing is staged, read, or rewritten. Refuses unknown /
+        expired snapshot ids, and refuses when any of the target
+        snapshot's data or delete files was physically removed since
+        (an unreadable current snapshot would be silent corruption —
+        the same guard as DeltaLogWriter.restore and
+        planktable.restore)."""
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            md = dict(table.metadata)
+            ids = {s["snapshot-id"] for s in md.get("snapshots") or []}
+            if snapshot_id not in ids:
+                raise ValueError(
+                    f"{self.table_path}: no snapshot {snapshot_id} "
+                    f"(known/retained: {sorted(ids)})"
+                )
+            entries, deletes = table.scan_entries(snapshot_id)
+            missing = sorted(
+                p
+                for p in [p for p, _ in entries] + list(deletes)
+                if not os.path.exists(p)
+            )
+            if missing:
+                raise FileNotFoundError(
+                    f"{self.table_path}: cannot rollback to snapshot "
+                    f"{snapshot_id} — {len(missing)} file(s) removed: "
+                    f"{missing[:5]}"
+                )
+            md["current-snapshot-id"] = snapshot_id
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                return snapshot_id
+            except IcebergCommitConflict:
+                continue  # rebase on the newer metadata
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
     def vacuum(self, grace_seconds: float = 600.0) -> list[str]:
         """Remove ORPHAN data files — files under data/ that no
         manifest of ANY snapshot references (staging leftovers from

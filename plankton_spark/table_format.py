@@ -381,6 +381,39 @@ class PlankTable:
             "OVERWRITE", lambda: (adds, sorted(self._snapshot()))
         )
 
+    def restore(self, version: int) -> int:
+        """RESTORE the table to an earlier version's file set as a NEW
+        commit (Delta RESTORE semantics): history is preserved — time
+        travel still sees every version, including the pre-restore
+        tip — and the restore itself is one metadata-only commit
+        (re-add the target version's files, tombstone everything
+        else). No data file is read or written. Refuses when a target
+        file was physically removed by vacuum() since then: committing
+        a snapshot that cannot be read would be silent corruption."""
+        target = self._snapshot(version)  # raises if expired
+        missing = sorted(
+            rel
+            for rel in target
+            if not os.path.exists(os.path.join(self.path, rel))
+        )
+        if missing:
+            raise FileNotFoundError(
+                f"{self.path}: cannot RESTORE to version {version} — "
+                f"{len(missing)} file(s) removed by vacuum: {missing[:5]}"
+            )
+
+        def make_actions():
+            live = self._snapshot()
+            add = [
+                {"file": rel, "stats": stats}
+                for rel, stats in sorted(target.items())
+                if rel not in live
+            ]
+            remove = sorted(rel for rel in live if rel not in target)
+            return add, remove
+
+        return self._commit_with_retry("RESTORE", make_actions)
+
     def rename_column(self, old: str, new: str) -> int:
         """Rename by REWRITE (one OVERWRITE-shaped pass): planktable
         derives its schema FROM the data files, so a rename is a
