@@ -311,6 +311,56 @@ def q_deltalog_restore(spark, sf_dir):
 
 
 @query(
+    "q_deltalog_replacewhere",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000
+    ),
+    repl AS (
+      SELECT * FROM base WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+    ),
+    final AS (
+      SELECT * FROM base WHERE o_orderstatus <> 'F'
+      UNION ALL SELECT * FROM repl
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f
+    FROM final
+    """,
+)
+def q_deltalog_replacewhere(spark, sf_dir):
+    """Delta replaceWhere on a hive-partitioned table: the
+    o_orderstatus='F' PARTITION is atomically replaced with its
+    even-keyed subset — a partition predicate means the matching files
+    drop whole (cost = new data only; other partitions carry forward
+    by reference, tests/test_replace_where.py pins the file identity).
+    Runs TWICE to pin the idempotent-backfill contract."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+
+    root = _scratch(sf_dir, "delta_replwhere")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .where(F.col("o_orderkey") < 2000)
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(o, partition_by=["o_orderstatus"])
+    repl = o.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0)
+    )
+    w.replace_where(repl, F.col("o_orderstatus") == "F")
+    w.replace_where(repl, F.col("o_orderstatus") == "F")  # idempotent re-run
+    return read_delta(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum((F.col("o_orderstatus") == "F").cast("int")).cast("long").alias("n_f"),
+    )
+
+
+@query(
     "q_deltalog_partitioned",
     oracle="""
     WITH base AS (

@@ -112,6 +112,53 @@ def q_table_restore(spark, sf_dir):
 
 
 @query(
+    "q_table_replacewhere",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000
+    ),
+    repl AS (
+      SELECT * FROM base WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+    ),
+    final AS (
+      SELECT * FROM base WHERE o_orderstatus <> 'F'
+      UNION ALL SELECT * FROM repl
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f
+    FROM final
+    """,
+)
+def q_table_replacewhere(spark, sf_dir):
+    """replace_where (Delta's replaceWhere): the 'F'-status slice of
+    the table is atomically replaced with its even-keyed subset in ONE
+    commit — delete-matching + insert-replacement, the idempotent
+    backfill primitive. The replace runs TWICE: the second run must
+    replace the same slice again, not duplicate it (that idempotence
+    is what makes re-runnable backfill jobs safe). Oracle re-derives
+    non-F ∪ replacement relationally."""
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .where(F.col("o_orderkey") < 2000)
+    )
+    t = _fresh_table(spark, sf_dir, "pt_replwhere")
+    t.create(o)
+    repl = o.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0)
+    )
+    t.replace_where(repl, F.col("o_orderstatus") == "F")
+    t.replace_where(repl, F.col("o_orderstatus") == "F")  # idempotent re-run
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum((F.col("o_orderstatus") == "F").cast("int")).cast("long").alias("n_f"),
+    )
+
+
+@query(
     "q_table_cdc",
     oracle="""
     WITH v1 AS (

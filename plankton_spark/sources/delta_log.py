@@ -1470,6 +1470,65 @@ class DeltaLogWriter:
                 continue  # re-read the snapshot: tombstone what's live NOW
         raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
 
+    def replace_where(self, df, condition) -> int:
+        """Selective atomic overwrite (Delta's
+        `.option("replaceWhere", ...)`): ONE commit deletes every row
+        matching `condition` and inserts `df` — the idempotent
+        backfill primitive. Input rows violating the predicate raise
+        up front (the spec's constraint: rows leaking outside the
+        replaced region would corrupt other slices on re-runs). Only
+        files containing matches are rewritten — on a hive-partitioned
+        table with a partition predicate, the matching files drop
+        whole (their survivors are empty), so the rewrite cost is the
+        NEW data only. NULL-evaluating rows are retained
+        (delete_where semantics)."""
+        from pyspark.sql import functions as F
+
+        snapshot = DeltaLog(self.table_path)
+        schema, part_cols, files = snapshot.snapshot(None)
+        # schema check FIRST: the predicate references table columns,
+        # so evaluating it over a mis-shaped df would raise Spark's
+        # resolution error instead of this actionable one
+        if [(f.name, f.dataType) for f in df.schema.fields] != [
+            (f.name, f.dataType) for f in schema.fields
+        ]:
+            raise ValueError(
+                f"{self.table_path}: replace_where input schema "
+                "differs from the table schema"
+            )
+        if not df.where(~F.coalesce(condition, F.lit(False))).isEmpty():
+            raise ValueError(
+                f"{self.table_path}: replace_where input has rows that "
+                "do not satisfy the replacement predicate"
+            )
+        live = _assemble_view(
+            self.spark, schema, part_cols, files, with_file=True,
+            table_root=self.table_path,
+        )
+        hit = [
+            r[0] for r in live.where(condition).select("_f").distinct().collect()
+        ]
+        hit_files = [
+            (p, pv)
+            for p, pv in files
+            if any(h.endswith(os.path.basename(p)) for h in hit)
+        ]
+        hit_rel = sorted(
+            os.path.relpath(p, self.table_path) for p, _ in hit_files
+        )
+        actions: list[dict] = self._stage(df, part_cols)
+        if hit_rel:
+            survivors = _assemble_view(
+                self.spark, schema, part_cols, hit_files,
+                table_root=self.table_path,
+            ).where(~F.coalesce(condition, F.lit(False)))
+            if not survivors.isEmpty():
+                actions += self._stage(survivors, part_cols)
+            actions += [
+                {"remove": {"path": r, "dataChange": True}} for r in hit_rel
+            ]
+        return self._validate_then_commit(actions, hit_rel)
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION AS OF semantics: one NEW commit
         whose net effect re-establishes the target version's live file

@@ -1865,6 +1865,64 @@ class IcebergWriter:
         )
         return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
 
+    def replace_where(self, df, condition) -> int:
+        """Selective atomic overwrite (the spec's overwrite-by-filter
+        operation; Delta's replaceWhere): ONE snapshot tombstones every
+        row matching `condition` and adds `df` — the idempotent
+        backfill primitive. Input rows violating the predicate raise
+        up front (rows leaking outside the replaced region would
+        corrupt other slices on re-runs). Only data files containing
+        matches are rewritten — with an identity-partition predicate,
+        matching files drop whole and the rewrite cost is the NEW data
+        only. NULL-evaluating rows are retained (delete_where
+        semantics)."""
+        from pyspark.sql import functions as F
+
+        table = IcebergTable(self.table_path)
+        schema = table.schema()
+        spec = self._writer_spec(table)
+        part_cols = table.partition_fields()  # identity attach subset
+        # schema check FIRST: the predicate references table columns,
+        # so evaluating it over a mis-shaped df would raise Spark's
+        # resolution error instead of this actionable one
+        if [(f.name, f.dataType) for f in df.schema.fields] != [
+            (f.name, f.dataType) for f in schema.fields
+        ]:
+            raise ValueError(
+                f"{self.table_path}: replace_where input schema "
+                "differs from the table schema"
+            )
+        if not df.where(~F.coalesce(condition, F.lit(False))).isEmpty():
+            raise ValueError(
+                f"{self.table_path}: replace_where input has rows that "
+                "do not satisfy the replacement predicate"
+            )
+        entries = table.data_entries(None)
+        staged = self._stage(df, 0, spec)
+        if not entries:
+            return self._commit_snapshot(staged, set(), keep_unhit=True)
+        live = _assemble_iceberg(
+            self.spark, schema, part_cols, entries, with_file=True
+        )
+        hit = [
+            r[0] for r in live.where(condition).select("_f").distinct().collect()
+        ]
+        hit_entries = [
+            (p, pv)
+            for p, pv in entries
+            if any(h.endswith(os.path.basename(p)) for h in hit)
+        ]
+        removed_rel = {
+            os.path.relpath(p, self.table_path) for p, _ in hit_entries
+        }
+        if hit_entries:
+            survivors = _assemble_iceberg(
+                self.spark, schema, part_cols, hit_entries
+            ).where(~F.coalesce(condition, F.lit(False)))
+            if not survivors.isEmpty():
+                staged = staged + self._stage(survivors, 0, spec)
+        return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
+
     def overwrite(self, df) -> int:
         """Replace the table's contents: every currently-live file gets
         a DELETED tombstone, the new data one ADDED manifest. Validates

@@ -473,6 +473,45 @@ class PlankTable:
         adds = self._stage(survivors) if not survivors.isEmpty() else []
         return self._commit_with_retry("DELETE", lambda: (adds, hit_rel))
 
+    def replace_where(self, df: DataFrame, condition) -> int:
+        """Selective atomic overwrite (Delta's replaceWhere): ONE
+        commit deletes every row matching `condition` and inserts
+        `df` — the idempotent backfill primitive (re-materialize one
+        day/source slice without touching the rest; a re-run replaces
+        the same slice again instead of duplicating it). Every input
+        row must satisfy the condition — rows leaking outside the
+        replaced region would corrupt OTHER slices on re-runs, so
+        violations raise up front. Only files containing matches are
+        rewritten; rows whose predicate evaluates to NULL are
+        retained (delete_where semantics)."""
+        self._check_schema(df, merge_schema=False)
+        if not df.where(~F.coalesce(condition, F.lit(False))).isEmpty():
+            raise ValueError(
+                f"{self.path}: replace_where input has rows that do not "
+                "satisfy the replacement predicate"
+            )
+        snap = self._snapshot()
+        hit_files = [
+            r[0]
+            for r in self.read()
+            .withColumn("_pt_file", F.input_file_name())
+            .where(condition)
+            .select("_pt_file")
+            .distinct()
+            .collect()
+        ]
+        hit_rel = sorted(
+            rel for rel in snap if any(h.endswith(rel) for h in hit_files)
+        )
+        adds = self._stage(df)
+        if hit_rel:
+            survivors = self.spark.read.parquet(
+                *[os.path.join(self.path, r) for r in hit_rel]
+            ).where(~F.coalesce(condition, F.lit(False)))
+            if not survivors.isEmpty():
+                adds = adds + self._stage(survivors)
+        return self._commit_with_retry("REPLACEWHERE", lambda: (adds, hit_rel))
+
     def merge(self, source: DataFrame, key: str) -> int:
         """Upsert (MERGE): update matching keys from `source`, insert
         the rest. Only files whose key-range overlaps the source's are
