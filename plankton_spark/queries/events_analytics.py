@@ -11,6 +11,7 @@ and emitted as strings.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from plankton_spark.io import read_table
@@ -327,4 +328,187 @@ def q_anomaly_buckets(spark, sf_dir):
             F.col("n").cast("long").alias("n_events"),
             F.round(z, 4).alias("z"),
         )
+    )
+
+
+@query(
+    "q_gapfill_locf",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    obs AS (
+      SELECT event_type, CAST(date_trunc('hour', ts2) AS TIMESTAMP) AS hr,
+             CAST((SUM(CAST(ROUND(value * 100) AS BIGINT)) * 10000)
+                  // COUNT(*) AS BIGINT) AS v_micro
+      FROM e GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT t.event_type, h.hr
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (
+        SELECT UNNEST(generate_series(
+          (SELECT MIN(hr) FROM obs), (SELECT MAX(hr) FROM obs),
+          INTERVAL 1 HOUR)) AS hr
+      ) h
+    ),
+    joined AS (
+      SELECT c.event_type, c.hr, obs.v_micro FROM cal c
+      LEFT JOIN obs ON obs.event_type = c.event_type AND obs.hr = c.hr
+    ),
+    filled AS (
+      SELECT event_type, hr, v_micro,
+        LAST_VALUE(v_micro IGNORE NULLS) OVER w_prev AS prev_v,
+        LAST_VALUE(CASE WHEN v_micro IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER w_prev AS prev_hr,
+        FIRST_VALUE(v_micro IGNORE NULLS) OVER w_next AS next_v,
+        FIRST_VALUE(CASE WHEN v_micro IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER w_next AS next_hr
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, STRFTIME(hr, '%Y-%m-%d %H:00') AS hour,
+           v_micro IS NULL AS is_gap,
+           CAST(prev_v AS BIGINT) AS locf_micro,
+           CAST(CASE
+             WHEN v_micro IS NOT NULL THEN v_micro
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE (prev_v * (CAST(EPOCH(next_hr) - EPOCH(hr) AS BIGINT) // 3600)
+                   + next_v * (CAST(EPOCH(hr) - EPOCH(prev_hr) AS BIGINT) // 3600))
+                  // (CAST(EPOCH(next_hr) - EPOCH(prev_hr) AS BIGINT) // 3600)
+           END AS BIGINT) AS interp_micro
+    FROM filled
+    """,
+)
+def q_gapfill_locf(spark, sf_dir):
+    """Gap-filled hourly rollup with LOCF and linear interpolation
+    (the hypertable `time_bucket_gapfill + locf + interpolate`
+    pattern): per event type, the hourly mean of `value` on a
+    complete hour calendar; missing hours carry the last observation
+    forward AND linearly interpolate between the bracketing
+    observations.
+
+    Scale shape: the raw scan collapses via ONE partial-combinable
+    hash agg to (type x hour) rows; only that CALENDAR-sized frame
+    (bounded by wall-clock span, not data volume -- 100x rows is the
+    same month of hours) flows through the per-type carry windows, so
+    the low-cardinality partition key is safe by construction.
+
+    Determinism: everything is integer MICRO-UNITS -- cent-exact
+    value sums, integer-division means, and an all-positive
+    integer-blend interpolation ((prev*(den-num) + next*num) DIV den)
+    -- because neither decimal ROUND on doubles nor decimal->double
+    casts are bit-identical across engines (both were measured to
+    differ at half-case boundaries here)."""
+    e = _events_second(spark, sf_dir)
+    obs = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts2").alias("hr")
+    ).agg(
+        F.expr(
+            "(sum(cast(round(value * 100) as bigint)) * 10000)"
+            " DIV count(*)"
+        ).alias("v_micro")
+    )
+    bounds = obs.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    cal = e.select("event_type").distinct().crossJoin(hours)
+    joined = cal.join(obs, ["event_type", "hr"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("v_micro").isNotNull(), F.col("hr"))
+    filled = joined.select(
+        "event_type",
+        "hr",
+        "v_micro",
+        F.last("v_micro", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_hr, ignorenulls=True).over(w_prev).alias("prev_hr"),
+        F.first("v_micro", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_hr, ignorenulls=True).over(w_next).alias("next_hr"),
+    )
+    blend = F.expr(
+        "(prev_v * (cast((unix_timestamp(next_hr) - unix_timestamp(hr)) / 3600 as bigint))"
+        " + next_v * (cast((unix_timestamp(hr) - unix_timestamp(prev_hr)) / 3600 as bigint)))"
+        " DIV (cast((unix_timestamp(next_hr) - unix_timestamp(prev_hr)) / 3600 as bigint))"
+    )
+    interp = (
+        F.when(F.col("v_micro").isNotNull(), F.col("v_micro"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(blend)
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("v_micro").isNull().alias("is_gap"),
+        F.col("prev_v").alias("locf_micro"),
+        interp.cast("long").alias("interp_micro"),
+    )
+
+
+@query(
+    "q_rollup_timeweighted",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    iv AS (
+      SELECT event_type, value,
+             CAST(EPOCH(LEAD(ts2) OVER (
+               PARTITION BY event_type, user_id ORDER BY ts2, event_id
+             )) - EPOCH(ts2) AS BIGINT) AS dur_s
+      FROM e
+    )
+    SELECT event_type,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+           ROUND(
+             CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) * dur_s
+                           AS DECIMAL(28,0))) AS DOUBLE)
+             / (100.0 * CAST(SUM(dur_s) AS DOUBLE)), 6) AS twa
+    FROM iv WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY event_type
+    """,
+)
+def q_rollup_timeweighted(spark, sf_dir):
+    """Time-weighted average (the hypertable `time_weight('locf')`
+    rollup): each event's value holds until the SAME USER's next event
+    of that type, and the per-type average weights values by that
+    holding duration — the right mean for irregularly sampled series
+    (a value held for an hour counts 3600× a one-second blip).
+
+    Scale shape: the carry window partitions on (event_type, user_id)
+    — data-sized key cardinality, so no single task ever holds a
+    whole type (the module's no-low-cardinality-window rule); the
+    final rollup is one partial-combinable hash agg. Determinism:
+    cent-exact value integers × whole-second durations summed as
+    decimals — no FP reduction anywhere until the final division."""
+    e = _events_second(spark, sf_dir)
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts2", "event_id")
+    iv = e.select(
+        "event_type",
+        "value",
+        (
+            F.unix_timestamp(F.lead("ts2").over(w)) - F.unix_timestamp("ts2")
+        ).cast("long").alias("dur_s"),
+    ).where(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    cents = F.round(F.col("value") * 100).cast("long")
+    return iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_s").cast("long").alias("total_dur_s"),
+        F.round(
+            F.sum((cents * F.col("dur_s")).cast("decimal(28,0)")).cast("double")
+            / (F.lit(100.0) * F.sum("dur_s").cast("double")),
+            6,
+        ).alias("twa"),
     )

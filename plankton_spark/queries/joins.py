@@ -353,3 +353,75 @@ def q_join_selfdedup(spark, sf_dir):
         F.col("a.n_name").alias("name_a"),
         F.col("b.n_name").alias("name_b"),
     )
+
+
+@query(
+    "q_join_asof_tol",
+    oracle="""
+    WITH e2 AS (
+      SELECT event_id, user_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts2
+      FROM events
+    ),
+    c AS (SELECT event_id, user_id, ts2 FROM e2 WHERE event_type = 'click'),
+    err AS (SELECT user_id, ts2 FROM e2 WHERE event_type = 'error')
+    SELECT c.event_id,
+           CAST(EPOCH(c.ts2) - MAX(EPOCH(err.ts2)) AS BIGINT)
+             AS secs_since_error
+    FROM c
+    JOIN err
+      ON err.user_id = c.user_id
+     AND err.ts2 <= c.ts2
+     AND err.ts2 >= c.ts2 - INTERVAL 30 MINUTE
+    GROUP BY c.event_id, c.ts2
+    """,
+)
+def q_join_asof_tol(spark, sf_dir):
+    """As-of join WITH TOLERANCE (pandas merge_asof's `tolerance`):
+    each click is matched to the SAME user's most recent error at or
+    before it, and the match is dropped when that error is older than
+    30 minutes — the ops-analytics "was this click within the blast
+    radius of an error" primitive.
+
+    Same scalable union-and-carry plan as q_join_asof (one shuffle on
+    user_id, no pair blowup — the oracle's range join is the
+    quadratic shape this plan avoids): tag both sides, sort within
+    user by (time, side), carry the last error timestamp forward with
+    last(ignorenulls), then apply the tolerance as a plain filter on
+    the carried timestamp. Output is integer seconds — exact."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", "ts").alias("ts2"),
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("k"),
+        F.col("ts2").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("ts2").alias("err_t"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"),
+        F.col("ts2").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("timestamp").alias("err_t"),
+        "event_id",
+    )
+    # (t, side): at equal timestamps the error sorts first (<= match)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side", "err_t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = errors.unionByName(clicks).withColumn(
+        "last_err", F.last("err_t", ignorenulls=True).over(w)
+    )
+    secs = F.unix_timestamp("t") - F.unix_timestamp("last_err")
+    return (
+        carried.where(F.col("side") == 1)
+        .where(F.col("last_err").isNotNull())
+        .where(secs <= 30 * 60)
+        .select("event_id", secs.cast("long").alias("secs_since_error"))
+    )

@@ -906,3 +906,79 @@ def q_fuzzy_match(spark, sf_dir):
         .where(F.col("dist") <= 1)
         .select("key_a", "key_b", "dist")
     )
+
+
+@query(
+    "q_text_lm_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source,
+             UNNEST(toks[1:len(toks) - 1]) AS w1,
+             UNNEST(toks[2:len(toks)]) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM bg GROUP BY w1)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(ROUND((LN(c12.c) - LN(c1.c)) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS logprob_micro,
+           CAST(SUM(CASE WHEN c12.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons
+    FROM bg
+    JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+    JOIN c1 ON c1.w1 = bg.w1
+    GROUP BY bg.doc_id
+    """,
+)
+def q_text_lm_score(spark, sf_dir):
+    """Corpus-trained bigram language-model scoring (the KenLM-style
+    quality signal pretraining pipelines rank documents by): train
+    MLE bigram probabilities P(w2|w1) = c(w1,w2)/c(w1·) on the WHOLE
+    corpus, then score every document by its total bigram
+    log-probability — low scores = improbable word sequences
+    (boilerplate, mangled text); n_singletons counts the doc's
+    corpus-unique bigrams (a novelty/noise signal).
+
+    Scale shape: two partial-combinable hash aggs build the model
+    (c12 vocab²-bounded, c1 vocab-bounded — both aggregate tables,
+    NOT corpus-sized), then two equi-joins attach probabilities to
+    the corpus bigram stream; AQE broadcasts the model sides when
+    small. Determinism: each term ln(c12)-ln(c1) is rounded to
+    integer MICRO-nats before the per-doc sum, so the reduction is
+    exact integer addition in any order (a raw double sum would be
+    partition-order-dependent)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    bg = (
+        d.where(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1).alias("w1"),
+                    F.slice("toks", 2, n - 1).alias("w2"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bg.join(c12, ["w1", "w2"]).join(c1, ["w1"])
+    )
+    term = F.round(
+        (F.log(F.col("c12")) - F.log(F.col("c1"))) * 1000000
+    ).cast("long")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(term).cast("long").alias("logprob_micro"),
+        F.sum((F.col("c12") == 1).cast("int")).cast("long").alias("n_singletons"),
+    )
