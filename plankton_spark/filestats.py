@@ -87,3 +87,60 @@ def _reject_empty_string_partitions(df, part_cols, table_path: str) -> None:
             "and NULL to __HIVE_DEFAULT_PARTITION__); use NULL or a "
             "sentinel value"
         )
+
+
+_PARTITION_TYPE_NAMES = None
+
+
+def apply_partition_schema(schema, overrides, table_path):
+    """Retype named partition columns of an INFERRED schema from
+    {"col": "long"}-style simple type names — hive directory names
+    erase types and Spark's partition discovery guesses the narrowest
+    int, so in-place conversion (convert_to_delta / convert_to_iceberg)
+    lets the caller pin the real types. Unknown column or type names
+    raise rather than silently keeping the guess."""
+    if not overrides:
+        return schema
+    from pyspark.sql import types as T
+
+    global _PARTITION_TYPE_NAMES
+    if _PARTITION_TYPE_NAMES is None:
+        _PARTITION_TYPE_NAMES = {
+            "int": T.IntegerType(),
+            "integer": T.IntegerType(),
+            "bigint": T.LongType(),
+            "long": T.LongType(),
+            "float": T.FloatType(),
+            "double": T.DoubleType(),
+            "string": T.StringType(),
+            "boolean": T.BooleanType(),
+            "date": T.DateType(),
+        }
+    names = {f.name for f in schema.fields}
+    unknown = sorted(set(overrides) - names)
+    if unknown:
+        raise ValueError(
+            f"{table_path}: partition_schema names {unknown} not in the "
+            f"inferred schema ({sorted(names)})"
+        )
+    bad_types = sorted(
+        t for t in overrides.values() if t not in _PARTITION_TYPE_NAMES
+    )
+    if bad_types:
+        raise ValueError(
+            f"{table_path}: unsupported partition_schema types "
+            f"{bad_types} (supported: {sorted(_PARTITION_TYPE_NAMES)})"
+        )
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                _PARTITION_TYPE_NAMES[overrides[f.name]]
+                if f.name in overrides
+                else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )

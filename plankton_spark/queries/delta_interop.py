@@ -361,6 +361,61 @@ def q_deltalog_replacewhere(spark, sf_dir):
 
 
 @query(
+    "q_delta_convert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000
+    ),
+    appended AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 2000 AND o_orderkey < 2500
+    ),
+    final AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST((SELECT COUNT(*) FROM final WHERE o_orderstatus = 'F')
+                AS BIGINT) AS n_f_pruned
+    FROM final
+    """,
+)
+def q_delta_convert(spark, sf_dir):
+    """CONVERT TO DELTA (in-place migration): a plain hive-partitioned
+    parquet directory (written by vanilla Spark, no log) becomes a
+    Delta table by authoring version 0 over the EXISTING files —
+    O(files) metadata, zero data rewritten. The converted table
+    immediately takes engine writes (an append rides on top) and
+    partition-pruned reads (the 'F' count reads only that partition's
+    files via the file-list prune)."""
+    from plankton_spark.sources.delta_log import (
+        DeltaLogWriter,
+        convert_to_delta,
+        read_delta,
+    )
+
+    root = _scratch(sf_dir, "delta_convert")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o.where(F.col("o_orderkey") < 2000).write.partitionBy(
+        "o_orderstatus"
+    ).parquet(root)
+    convert_to_delta(spark, root)
+    w = DeltaLogWriter(spark, root)
+    w.append(
+        o.where(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 2500)
+        ).coalesce(1)
+    )
+    n_f = (
+        read_delta(spark, root, partitions={"o_orderstatus": "F"})
+        .count()
+    )
+    return read_delta(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    ).withColumn("n_f_pruned", F.lit(n_f).cast("long"))
+
+
+@query(
     "q_deltalog_partitioned",
     oracle="""
     WITH base AS (

@@ -328,6 +328,57 @@ def q_iceberg_rollback(spark, sf_dir):
 
 
 @query(
+    "q_iceberg_convert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 2000
+    ),
+    appended AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 2000 AND o_orderkey < 2500
+    ),
+    final AS (SELECT * FROM base UNION ALL SELECT * FROM appended)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_at_convert
+    FROM final
+    """,
+)
+def q_iceberg_convert(spark, sf_dir):
+    """In-place Iceberg migration (migrate/add_files): a plain
+    hive-partitioned parquet directory becomes an Iceberg table by
+    authoring metadata/ over the EXISTING files — snapshot 1's
+    manifest references them where they lie, nothing rewritten. The
+    converted table takes engine appends immediately (field-id
+    stamping auto-suppressed so the spec's writer-consistency rule
+    holds over the id-less originals), and the conversion snapshot
+    still time-travels after the append."""
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        convert_to_iceberg,
+    )
+
+    root = _scratch(sf_dir, "iceberg_convert")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o.where(F.col("o_orderkey") < 2000).write.partitionBy(
+        "o_orderstatus"
+    ).parquet(root)
+    s1 = convert_to_iceberg(spark, root)
+    w = IcebergWriter(spark, root)
+    w.append(
+        o.where(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 2500)
+        ).coalesce(1)
+    )
+    n_then = read_iceberg(spark, root, snapshot_id=s1).count()
+    return read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    ).withColumn("n_at_convert", F.lit(n_then).cast("long"))
+
+
+@query(
     "q_iceberg_partitioned",
     oracle="""
     WITH base AS (

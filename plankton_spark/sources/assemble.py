@@ -36,34 +36,51 @@ def _hive_str(v) -> str | None:
     return str(v)
 
 
-def _is_hive_laid_out(table_root: str, files, part_cols: list[str]) -> bool:
-    """True when every file path contains a `col=` directory segment
-    for every partition column AND the directory-encoded value agrees
-    with the metadata value — the metadata is authoritative, so an
-    external table whose hive-looking dir names disagree with its
-    recorded partition values must take the metadata fallback."""
+def _hive_base(table_root: str, files, part_cols: list[str]) -> str | None:
+    """The basePath for the single-scan fast path, or None when the
+    layout can't take it. Requirements: every file ends in EXACTLY the
+    `col=value` directory run for `part_cols` (in order), the
+    directory-encoded values agree with the metadata values (metadata
+    is authoritative — an external table whose hive-looking dirs
+    disagree must take the metadata fallback), and any directory
+    segments ABOVE that run are IDENTICAL across all files (Spark's
+    partition discovery rejects files whose partition dirs sit at
+    different depths below one basePath — the converted-in-place +
+    engine-staged mix, which therefore falls back)."""
     import os
     import urllib.parse as _url
 
+    base: str | None = None
     for path, pv in files:
         rel = os.path.relpath(path, table_root)
         segs = rel.split(os.sep)[:-1]
-        for c in part_cols:
-            seg = next((s for s in segs if s.startswith(f"{c}=")), None)
-            if seg is None:
-                return False
+        if len(segs) < len(part_cols):
+            return None
+        kv = segs[len(segs) - len(part_cols):]
+        prefix = segs[: len(segs) - len(part_cols)]
+        if any("=" in s for s in prefix):
+            # kv-shaped dirs above the expected run would make
+            # discovery infer extra partition columns
+            return None
+        for c, seg in zip(part_cols, kv):
+            if not seg.startswith(f"{c}="):
+                return None
             raw = _url.unquote(seg.partition("=")[2])
             v = pv.get(c)
             if v is None:
                 if raw != "__HIVE_DEFAULT_PARTITION__":
-                    return False
+                    return None
             else:
                 expect = _hive_str(v)
                 if expect is None or raw != expect:
-                    # unverifiable (float formatting) or mismatched →
-                    # metadata fallback
-                    return False
-    return True
+                    # unverifiable (float formatting) or mismatched
+                    return None
+        b = os.path.join(table_root, *prefix) if prefix else table_root
+        if base is None:
+            base = b
+        elif base != b:
+            return None
+    return base
 
 
 def assemble_view(
@@ -108,10 +125,11 @@ def assemble_view(
                 "__pd_file", F.lit(None).cast("string")
             ).withColumn("__pd_ridx", F.lit(None).cast("long"))
         return empty
-    if part_cols and _is_hive_laid_out(table_root, files, part_cols):
+    base = _hive_base(table_root, files, part_cols) if part_cols else None
+    if base is not None:
         df = (
             spark.read.schema(schema)
-            .option("basePath", table_root)
+            .option("basePath", base)
             .parquet(*sorted(p for p, _ in files))
         )
         if with_file:

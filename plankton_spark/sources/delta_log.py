@@ -732,6 +732,7 @@ def register(spark) -> None:
 from plankton_spark.filestats import _reject_empty_string_partitions  # noqa: E402
 from plankton_spark.filestats import file_stats as _file_stats  # noqa: E402
 from plankton_spark.filestats import stat_encode as _stat_encode  # noqa: E402
+from plankton_spark.filestats import apply_partition_schema as _apply_partition_schema  # noqa: E402
 
 
 def _pv_typed(raw: str | None, dtype: T.DataType):
@@ -2106,3 +2107,87 @@ def read_delta_changes(spark, table_path: str, v_from: int, v_to: int):
         read_delta(spark, table_path, version=v_to),
         read_delta(spark, table_path, version=v_from),
     )
+
+
+def convert_to_delta(
+    spark, table_path: str, partition_schema: dict[str, str] | None = None
+) -> int:
+    """CONVERT TO DELTA (in-place migration — the public
+    ``CONVERT TO DELTA parquet.`path``` behavior): author version 0 of
+    a ``_delta_log`` over an EXISTING parquet directory. Data files are
+    inventoried and footer-read for per-file stats, never rewritten or
+    moved — the migration cost is O(files) metadata, not O(bytes).
+    Hive-style ``key=value`` subdirectories become partition columns
+    (typed by Spark's partition discovery; each add action carries the
+    spec's string partitionValues, so partition-pruned reads work
+    immediately). Refuses when a _delta_log already exists, when no
+    parquet file is found, or when files disagree on partition
+    depth/keys (a half-hive layout has no faithful Delta
+    representation). ``partition_schema`` overrides the inferred type
+    of named partition columns (e.g. {"grp": "long"}): hive directory
+    names erase types and Spark's discovery guesses the narrowest int
+    — the same reason the public CONVERT TO DELTA takes an explicit
+    PARTITIONED BY schema."""
+    import glob as _glob
+    import urllib.parse as _url
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    if os.path.isdir(log_dir) and _commit_versions(log_dir):
+        raise FileExistsError(f"{table_path}: already a Delta table")
+    files = sorted(
+        p
+        for p in _glob.glob(
+            os.path.join(table_path, "**", "*.parquet"), recursive=True
+        )
+        if not any(
+            seg.startswith(("_", "."))
+            for seg in os.path.relpath(p, table_path).split(os.sep)
+        )
+    )
+    if not files:
+        raise FileNotFoundError(f"{table_path}: no parquet files to convert")
+    part_keys: list[str] | None = None
+    adds: list[dict] = []
+    for p in files:
+        rel = os.path.relpath(p, table_path)
+        keys: list[str] = []
+        pv: dict[str, str | None] = {}
+        for piece in rel.split(os.sep)[:-1]:
+            k, eq, raw = piece.partition("=")
+            if not eq:
+                raise ValueError(
+                    f"{table_path}: non-hive subdirectory {piece!r} — "
+                    "cannot infer a partition column from it"
+                )
+            keys.append(k)
+            v = _url.unquote(raw)
+            pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        if part_keys is None:
+            part_keys = keys
+        elif keys != part_keys:
+            raise ValueError(
+                f"{table_path}: inconsistent partition layout — "
+                f"{keys} under {rel!r} vs {part_keys} elsewhere"
+            )
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": pv,
+                    "size": os.path.getsize(p),
+                    "modificationTime": int(os.path.getmtime(p) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps(_file_stats(p)),
+                }
+            }
+        )
+    # partition discovery types the key=value columns and appends them
+    # after the file columns — exactly the schema the metaData needs
+    schema = spark.read.option("basePath", table_path).parquet(table_path).schema
+    schema = _apply_partition_schema(schema, partition_schema, table_path)
+    w = DeltaLogWriter(spark, table_path)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        w._metadata_action(schema, part_keys),
+    ] + adds
+    return w._commit(0, actions)

@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from plankton_spark.filestats import _reject_empty_string_partitions
+from plankton_spark.filestats import apply_partition_schema as _apply_partition_schema
 from plankton_spark.sources.avro_ocf import read_ocf_generic
 
 
@@ -1170,6 +1171,7 @@ class IcebergWriter:
                 field_ids = IcebergTable(self.table_path).field_ids()
             except (FileNotFoundError, ValueError, KeyError, StopIteration):
                 field_ids = {}
+        field_ids = self._ids_gate(field_ids)
         if field_ids:
             df = df.select(
                 [
@@ -1261,6 +1263,23 @@ class IcebergWriter:
             )
         _shutil.rmtree(tmp, ignore_errors=True)
         return out
+
+    def _ids_gate(self, field_ids: dict[str, int] | None) -> dict[str, int]:
+        """Suppress parquet field-id stamping when the table's EXISTING
+        live files carry none (a converted-in-place table): the spec
+        requires writers to be consistent, and a mixed table breaks
+        id-resolution on whichever file the one-footer probe misses.
+        Fresh/empty tables keep the ids (the engine's native layout)."""
+        if not field_ids:
+            return field_ids or {}
+        try:
+            table = IcebergTable(self.table_path)
+            entries, _ = table.scan_entries(None)
+            if entries and not table.files_carry_field_ids(None):
+                return {}
+        except (FileNotFoundError, ValueError, KeyError, StopIteration):
+            pass
+        return field_ids
 
     def _writer_spec(self, table: "IcebergTable") -> list[dict]:
         """The table's partition spec normalized for staging:
@@ -1606,7 +1625,9 @@ class IcebergWriter:
                 df,
                 snap_id,
                 spec,
-                field_ids={f["name"]: f["id"] for f in cur["fields"]},
+                field_ids=self._ids_gate(
+                    {f["name"]: f["id"] for f in cur["fields"]}
+                ),
             )
             m_new = self._write_manifest(
                 self._unique(f"m{snap_id}"), files, snap_id, entry_schema=es
@@ -2423,3 +2444,148 @@ def read_iceberg_changes(spark, table_path: str, sid_from: int, sid_to: int):
         read_iceberg(spark, table_path, snapshot_id=sid_to),
         read_iceberg(spark, table_path, snapshot_id=sid_from),
     )
+
+
+def convert_to_iceberg(
+    spark, table_path: str, partition_schema: dict[str, str] | None = None
+) -> int:
+    """In-place migration of an existing parquet directory to an
+    Iceberg table (the public `migrate` / `add_files` procedures):
+    authors metadata/ — snapshot 1's manifest references the EXISTING
+    files where they lie, nothing is rewritten or moved. Hive-style
+    ``key=value`` subdirectories become an identity partition spec
+    with typed values in the manifest partition records (metadata-only
+    pruning works immediately); Spark-layout files (partition values
+    only in directory names, source columns omitted from file content)
+    are expected — the same column-projection layout the engine's own
+    writer stages. Converted files live OUTSIDE data/, so vacuum (which
+    reclaims only data/ orphans) can never eat them. Refuses when the
+    directory already is an Iceberg table, has no parquet file, or
+    mixes partition layouts. ``partition_schema`` overrides the
+    inferred type of named partition columns (hive directory names
+    erase types; discovery guesses the narrowest int)."""
+    import glob as _glob
+    import urllib.parse as _url
+
+    from plankton_spark.sources.avro_ocf import write_ocf_generic
+
+    meta_dir = os.path.join(table_path, "metadata")
+    if os.path.isdir(meta_dir) and any(
+        f.endswith(".metadata.json") for f in os.listdir(meta_dir)
+    ):
+        raise FileExistsError(f"{table_path}: already an Iceberg table")
+    files = sorted(
+        p
+        for p in _glob.glob(
+            os.path.join(table_path, "**", "*.parquet"), recursive=True
+        )
+        if not any(
+            seg.startswith(("_", "."))
+            for seg in os.path.relpath(p, table_path).split(os.sep)
+        )
+    )
+    if not files:
+        raise FileNotFoundError(f"{table_path}: no parquet files to convert")
+    schema = spark.read.option("basePath", table_path).parquet(table_path).schema
+    schema = _apply_partition_schema(schema, partition_schema, table_path)
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    part_keys: list[str] | None = None
+    inventory: list[tuple[str, dict]] = []  # (rel, typed partition values)
+    for p in files:
+        rel = os.path.relpath(p, table_path)
+        keys: list[str] = []
+        pv: dict = {}
+        for piece in rel.split(os.sep)[:-1]:
+            k, eq, raw = piece.partition("=")
+            if not eq:
+                raise ValueError(
+                    f"{table_path}: non-hive subdirectory {piece!r} — "
+                    "cannot infer a partition column from it"
+                )
+            keys.append(k)
+            v = _url.unquote(raw)
+            pv[k] = (
+                None
+                if v == "__HIVE_DEFAULT_PARTITION__"
+                else _typed_pv(v, dtypes[k])
+            )
+        if part_keys is None:
+            part_keys = keys
+        elif keys != part_keys:
+            raise ValueError(
+                f"{table_path}: inconsistent partition layout — "
+                f"{keys} under {rel!r} vs {part_keys} elsewhere"
+            )
+        inventory.append((rel, pv))
+    spec = [
+        {"name": k, "transform": "identity", "source": k}
+        for k in (part_keys or [])
+    ]
+    es = _entry_schema(_spec_avro_fields(schema, spec, table_path)) if spec else None
+    w = IcebergWriter(spark, table_path)
+    os.makedirs(meta_dir, exist_ok=True)
+    snap_id = 1
+    data_files = [
+        {
+            "content": 0,
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "partition": pv,
+            "record_count": -1,
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(table_path, rel)
+            ),
+        }
+        for rel, pv in inventory
+    ]
+    m = w._write_manifest(
+        w._unique(f"m{snap_id}"), data_files, snap_id, entry_schema=es
+    )
+    ml_name = w._unique(f"snap-{snap_id}")
+    write_ocf_generic(os.path.join(meta_dir, ml_name), _MANIFEST_FILE_SCHEMA, [m])
+    ice_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": _spark_type_to_iceberg(f.dataType),
+            }
+            for i, f in enumerate(schema.fields)
+        ],
+    }
+    col_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    spec_fields = [
+        {
+            "name": f["name"],
+            "transform": "identity",
+            "source-id": col_ids[f["source"]],
+            "field-id": 1000 + i,
+        }
+        for i, f in enumerate(spec)
+    ]
+    metadata = {
+        "format-version": 1,
+        "table-uuid": f"plankton-iceberg-{os.path.basename(table_path)}",
+        "location": table_path,
+        "last-updated-ms": 0,
+        "last-column-id": len(schema.fields),
+        "schema": ice_schema,
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "partition-spec": spec_fields,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "default-spec-id": 0,
+        "current-snapshot-id": snap_id,
+        "snapshots": [
+            {
+                "snapshot-id": snap_id,
+                "timestamp-ms": snap_id,
+                "manifest-list": f"metadata/{ml_name}",
+            }
+        ],
+    }
+    w._commit_metadata(1, metadata)
+    return snap_id

@@ -1,0 +1,139 @@
+"""In-place migration of existing parquet directories: convert_to_delta
+(CONVERT TO DELTA) and convert_to_iceberg (migrate/add_files). Data
+files are inventoried, never rewritten or moved; hive key=value dirs
+become typed partition columns; the converted table immediately
+supports the full writer surface (append / delete / optimize) and
+subsequent engine writes must not break reads of the original files
+(Iceberg: field-id stamping is suppressed on converted tables so the
+spec's writer-consistency rule holds)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from plankton_spark.sources.delta_log import (
+    DeltaLogWriter,
+    convert_to_delta,
+    read_delta,
+)
+from plankton_spark.sources.iceberg_meta import (
+    IcebergWriter,
+    convert_to_iceberg,
+    read_iceberg,
+)
+
+
+def _df(spark):
+    return spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("grp")
+    )
+
+
+def _content(df):
+    return sorted((r["k"], r["grp"]) for r in df.select("k", "grp").collect())
+
+
+def _parquet_dir(spark, root, partitioned):
+    w = _df(spark).write.mode("overwrite")
+    if partitioned:
+        w.partitionBy("grp").parquet(root)
+    else:
+        w.parquet(root)
+    return root
+
+
+# ---------------------------------------------------------------------
+# Delta
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_convert_to_delta_roundtrip(spark, tmp_path, partitioned):
+    root = _parquet_dir(spark, str(tmp_path / "d"), partitioned)
+    before = sorted(
+        p for p in os.listdir(root) if not p.startswith(("_", "."))
+    )
+    v = convert_to_delta(
+        spark, root, partition_schema={"grp": "long"} if partitioned else None
+    )
+    assert v == 0
+    assert _content(read_delta(spark, root)) == _content(_df(spark))
+    # nothing moved or rewritten
+    assert (
+        sorted(p for p in os.listdir(root) if not p.startswith(("_", ".")))
+        == before
+    )
+    # the converted table takes engine writes immediately
+    w = DeltaLogWriter(spark, root)
+    w.append(
+        spark.createDataFrame([(100, 0)], "k long, grp long").coalesce(1)
+    )
+    w.delete_where(F.col("k") >= 8)
+    got = _content(read_delta(spark, root))
+    assert got == sorted([(k, k % 2) for k in range(8)])
+    with pytest.raises(FileExistsError, match="already a Delta table"):
+        convert_to_delta(spark, root)
+
+
+def test_convert_to_delta_partition_pruning_and_refusals(spark, tmp_path):
+    root = _parquet_dir(spark, str(tmp_path / "dp"), True)
+    convert_to_delta(spark, root, partition_schema={"grp": "long"})
+    pruned = read_delta(spark, root, partitions={"grp": 1})
+    assert _content(pruned) == [(k, 1) for k in range(1, 10, 2)]
+    # non-hive subdirectory refuses
+    bad = str(tmp_path / "bad")
+    _df(spark).coalesce(1).write.parquet(os.path.join(bad, "plain_subdir"))
+    with pytest.raises(ValueError, match="non-hive"):
+        convert_to_delta(spark, bad)
+    with pytest.raises(FileNotFoundError, match="no parquet"):
+        convert_to_delta(spark, str(tmp_path / "empty"))
+
+
+# ---------------------------------------------------------------------
+# Iceberg
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_convert_to_iceberg_roundtrip(spark, tmp_path, partitioned):
+    root = _parquet_dir(spark, str(tmp_path / "i"), partitioned)
+    snap = convert_to_iceberg(
+        spark, root, partition_schema={"grp": "long"} if partitioned else None
+    )
+    assert snap == 1
+    assert _content(read_iceberg(spark, root)) == _content(_df(spark))
+    # engine writes work, and (critically) do NOT break reads of the
+    # original id-less files: field-id stamping is gated off
+    w = IcebergWriter(spark, root)
+    w.append(
+        spark.createDataFrame([(100, 0)], "k long, grp long").coalesce(1)
+    )
+    assert _content(read_iceberg(spark, root)) == sorted(
+        [(k, k % 2) for k in range(10)] + [(100, 0)]
+    )
+    w.delete_where(F.col("k") >= 8)
+    assert _content(read_iceberg(spark, root)) == sorted(
+        (k, k % 2) for k in range(8)
+    )
+    with pytest.raises(FileExistsError, match="already an Iceberg"):
+        convert_to_iceberg(spark, root)
+
+
+def test_convert_to_iceberg_partitioned_prunes_and_time_travels(
+    spark, tmp_path
+):
+    root = _parquet_dir(spark, str(tmp_path / "ip"), True)
+    s1 = convert_to_iceberg(spark, root, partition_schema={"grp": "long"})
+    w = IcebergWriter(spark, root)
+    w.delete_where(F.col("grp") == 0)
+    assert _content(read_iceberg(spark, root)) == [
+        (k, 1) for k in range(1, 10, 2)
+    ]
+    # snapshot 1 (the conversion) still reads the original files
+    assert _content(read_iceberg(spark, root, snapshot_id=s1)) == _content(
+        _df(spark)
+    )
