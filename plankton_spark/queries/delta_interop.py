@@ -361,6 +361,63 @@ def q_deltalog_replacewhere(spark, sf_dir):
 
 
 @query(
+    "q_deltalog_clone",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000
+    ),
+    clone AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey < 1500 AND o_orderstatus <> 'F'
+    )
+    SELECT 'clone' AS phase, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM clone
+    UNION ALL
+    SELECT 'source', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM src
+    """,
+)
+def q_deltalog_clone(spark, sf_dir):
+    """Delta SHALLOW CLONE: the clone's version 0 references the
+    source's files by absolute path (zero bytes copied), then
+    DIVERGES — an append and a DELETE rewrite run on the clone while
+    the source must read back byte-identical (its log never moves).
+    The delete tombstones source-referenced files in the CLONE's log
+    only (absolute action keys, _path_key), which is the correctness
+    heart of cloning."""
+    from plankton_spark.sources.delta_log import (
+        DeltaLogWriter,
+        clone_delta,
+        read_delta,
+    )
+
+    src = _scratch(sf_dir, "delta_clone_src")
+    dst = _scratch(sf_dir, "delta_clone_dst")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    w = DeltaLogWriter(spark, src)
+    w.create(o.where(F.col("o_orderkey") < 1000).coalesce(1))
+    clone_delta(spark, src, dst)
+    cw = DeltaLogWriter(spark, dst)
+    cw.append(
+        o.where(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1500)
+        ).coalesce(1)
+    )
+    cw.delete_where(F.col("o_orderstatus") == "F")
+
+    def _agg(df, phase):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "key_sum")
+
+    return _agg(read_delta(spark, dst), "clone").unionByName(
+        _agg(read_delta(spark, src), "source")
+    )
+
+
+@query(
     "q_delta_convert",
     oracle="""
     WITH base AS (

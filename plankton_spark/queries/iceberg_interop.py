@@ -379,6 +379,62 @@ def q_iceberg_convert(spark, sf_dir):
 
 
 @query(
+    "q_iceberg_tags",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000
+    ),
+    tip AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey < 2000 AND o_orderstatus <> 'F'
+    )
+    SELECT 'tagged' AS phase, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM v1
+    UNION ALL
+    SELECT 'current', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM tip
+    UNION ALL
+    SELECT 'tagged_after_expire', COUNT(*),
+           CAST(SUM(o_orderkey) AS BIGINT) FROM v1
+    """,
+)
+def q_iceberg_tags(spark, sf_dir):
+    """Iceberg named refs: tag the CREATE snapshot 'baseline', then
+    append + delete move the tip, then expire_snapshots(keep_last=1)
+    — the tag PINS its snapshot through expiry (the spec's refs
+    retention rule), so the third phase re-reads the baseline AFTER
+    an expiry that removed every other old snapshot. A tag that can
+    expire is just a remembered integer; this proves ours isn't."""
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root = _scratch(sf_dir, "iceberg_tags")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    w = IcebergWriter(spark, root)
+    s1 = w.create(o.where(F.col("o_orderkey") < 1000).coalesce(1))
+    w.set_ref("baseline", s1)
+    w.append(
+        o.where(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+        ).coalesce(1)
+    )
+    w.delete_where(F.col("o_orderstatus") == "F")
+
+    def _agg(df, phase):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "key_sum")
+
+    tagged = _agg(read_iceberg(spark, root, ref="baseline"), "tagged")
+    current = _agg(read_iceberg(spark, root), "current")
+    w.expire_snapshots(keep_last=1)
+    after = _agg(
+        read_iceberg(spark, root, ref="baseline"), "tagged_after_expire"
+    )
+    return tagged.unionByName(current).unionByName(after)
+
+
+@query(
     "q_iceberg_partitioned",
     oracle="""
     WITH base AS (

@@ -147,6 +147,16 @@ def column_mapping(
     return {"phys": phys, "ids": ids}
 
 
+def _path_key(table_path: str, p: str) -> str:
+    """The add/remove-action key for an absolute data-file path:
+    in-table files key by table-relative path; files OUTSIDE the table
+    root key by their absolute path verbatim (the spec allows absolute
+    add paths — a shallow clone's source references), matching the
+    keys replay() builds its active dict with."""
+    rel = os.path.relpath(p, table_path)
+    return p if rel.split(os.sep, 1)[0] == ".." else rel
+
+
 def _commit_versions(log_dir: str) -> list[int]:
     out = []
     for f in os.listdir(log_dir):
@@ -1207,7 +1217,7 @@ class DeltaLogWriter:
             if any(h.endswith(os.path.basename(p)) for h in hit)
         ]
         hit_rel = sorted(
-            os.path.relpath(p, self.table_path) for p, _ in hit_files
+            _path_key(self.table_path, p) for p, _ in hit_files
         )
         actions: list[dict] = []
         if hit_rel:
@@ -1429,7 +1439,7 @@ class DeltaLogWriter:
         adds = self._stage(df, part_cols)
         for a in adds:
             a["add"]["dataChange"] = False
-        rel = sorted(os.path.relpath(p, self.table_path) for p in paths)
+        rel = sorted(_path_key(self.table_path, p) for p in paths)
         actions = adds + [
             {"remove": {"path": r, "dataChange": False}} for r in rel
         ]
@@ -1515,7 +1525,7 @@ class DeltaLogWriter:
             if any(h.endswith(os.path.basename(p)) for h in hit)
         ]
         hit_rel = sorted(
-            os.path.relpath(p, self.table_path) for p, _ in hit_files
+            _path_key(self.table_path, p) for p, _ in hit_files
         )
         actions: list[dict] = self._stage(df, part_cols)
         if hit_rel:
@@ -1662,7 +1672,7 @@ class DeltaLogWriter:
                         )
                     )
         overlap = sorted(
-            os.path.relpath(p, self.table_path) for p, _ in overlap_files
+            _path_key(self.table_path, p) for p, _ in overlap_files
         )
         if overlap:
             hot = _assemble_view(
@@ -2190,4 +2200,49 @@ def convert_to_delta(
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         w._metadata_action(schema, part_keys),
     ] + adds
+    return w._commit(0, actions)
+
+
+def clone_delta(spark, src_path: str, dst_path: str) -> int:
+    """SHALLOW CLONE (the public `CREATE TABLE ... SHALLOW CLONE`):
+    author version 0 of a NEW Delta table whose add actions reference
+    the SOURCE table's current data files by ABSOLUTE path (the spec
+    allows absolute add paths) — zero bytes copied, O(files) metadata.
+    The clone then diverges freely: its commits tombstone/add its own
+    files and never write the source; its vacuum cannot reclaim source
+    files (they live outside its root, and _path_key keeps their
+    action keys absolute so rewrites tombstone them correctly).
+    Protocol, schema, partitioning, table config (column mapping
+    included) and deletion vectors all carry over — on-disk 'u' DVs
+    are re-anchored as absolute-path 'p' descriptors, since 'u'
+    resolves relative to the table root and the clone's root differs."""
+    from plankton_spark.sources.deletion_vectors import _decode_uuid_path
+
+    dst_log = os.path.join(dst_path, "_delta_log")
+    if os.path.isdir(dst_log) and _commit_versions(dst_log):
+        raise FileExistsError(f"{dst_path}: already a Delta table")
+    src_log = DeltaLog(src_path)
+    schema, part_cols, active = src_log.replay(None)
+    cfg = dict(src_log.table_config)
+    proto = src_log.table_protocol or {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    w = DeltaLogWriter(spark, dst_path)
+    meta = w._metadata_action(schema, part_cols, cfg)
+    actions: list[dict] = [{"protocol": proto}, meta]
+    for rel, add in sorted(active.items()):
+        a = dict(add)
+        a["path"] = os.path.abspath(os.path.join(src_path, rel))
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            a["deletionVector"] = dict(
+                dv,
+                storageType="p",
+                pathOrInlineDv=_decode_uuid_path(
+                    src_path, dv["pathOrInlineDv"]
+                ),
+            )
+        a["dataChange"] = True
+        actions.append({"add": a})
     return w._commit(0, actions)

@@ -310,13 +310,20 @@ class IcebergTable:
         return [p for p, _ in self.data_entries(snapshot_id)]
 
 
-def read_iceberg(spark, table_path: str, snapshot_id: int | None = None):
+def read_iceberg(
+    spark,
+    table_path: str,
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+):
     """Native-parquet read of an Iceberg table at a snapshot (default:
     current). Spec-less tables are one multi-path vectorized scan;
     identity-partitioned tables assemble per partition tuple with the
     partition values re-attached from the manifest metadata (the
     spec's column-projection rule — this engine's partitioned files
-    omit the source columns, like Delta's layout).
+    omit the source columns, like Delta's layout). `ref` reads the
+    snapshot a named tag/branch (metadata['refs'], IcebergWriter
+    .set_ref) points at — mutually exclusive with `snapshot_id`.
 
     Format-v2 POSITION deletes are honored: delete manifests' parquet
     files ((file_path, pos) rows) scan natively and drop the marked
@@ -324,6 +331,15 @@ def read_iceberg(spark, table_path: str, snapshot_id: int | None = None):
     fully distributed, broadcast when the delete set is small.
     Equality deletes raise (scan_entries)."""
     t = IcebergTable(table_path)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or ref, not both")
+        refs = t.metadata.get("refs") or {}
+        if ref not in refs:
+            raise ValueError(
+                f"{table_path}: no ref {ref!r} (known: {sorted(refs)})"
+            )
+        snapshot_id = refs[ref]["snapshot-id"]
     use_ids = t.files_carry_field_ids(snapshot_id)
     schema = t.schema(with_field_ids=use_ids)
     if use_ids:
@@ -2275,6 +2291,63 @@ class IcebergWriter:
                 removed.append(e)
         return sorted(removed)
 
+    def set_ref(
+        self, name: str, snapshot_id: int | None = None, kind: str = "tag"
+    ) -> int:
+        """Create or move a named REF (the v2 spec's refs map): a
+        `tag` pins a snapshot for keeps (release cuts, audit points),
+        a `branch` is a movable head. One metadata-only commit writes
+        metadata['refs'][name] = {snapshot-id, type}; readers resolve
+        it via read_iceberg(..., ref=name) and expire_snapshots
+        RETAINS every ref'd snapshot — that retention guarantee is
+        what makes a tag more than a remembered integer."""
+        if kind not in ("tag", "branch"):
+            raise ValueError(f"ref type must be 'tag' or 'branch': {kind!r}")
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            md = dict(table.metadata)
+            sid = (
+                md.get("current-snapshot-id")
+                if snapshot_id is None
+                else snapshot_id
+            )
+            ids = {s["snapshot-id"] for s in md.get("snapshots") or []}
+            if sid not in ids:
+                raise ValueError(
+                    f"{self.table_path}: no snapshot {sid} "
+                    f"(known/retained: {sorted(ids)})"
+                )
+            refs = dict(md.get("refs") or {})
+            refs[name] = {"snapshot-id": sid, "type": kind}
+            md["refs"] = refs
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                return sid
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
+    def drop_ref(self, name: str) -> None:
+        """Remove a named ref; its snapshot loses expiry protection
+        (and becomes expirable like any other)."""
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            md = dict(table.metadata)
+            refs = dict(md.get("refs") or {})
+            if name not in refs:
+                raise ValueError(
+                    f"{self.table_path}: no ref {name!r} "
+                    f"(known: {sorted(refs)})"
+                )
+            del refs[name]
+            md["refs"] = refs
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                return
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
     def expire_snapshots(self, keep_last: int = 5) -> list[int]:
         """Snapshot retention (the spec's expireSnapshots half of the
         expire/remove-orphans pair — vacuum alone is
@@ -2297,14 +2370,25 @@ class IcebergWriter:
             snaps = table.metadata.get("snapshots", [])
             if len(snaps) <= keep_last:
                 return []
-            keep = snaps[-keep_last:]
+            # refs pin snapshots across expiry (the spec's retention
+            # rule — a tag that can expire is just a remembered int)
+            pinned = {
+                r["snapshot-id"]
+                for r in (table.metadata.get("refs") or {}).values()
+            }
+            keep_ids = {s["snapshot-id"] for s in snaps[-keep_last:]} | pinned
+            keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
             cur = table.metadata.get("current-snapshot-id")
             if cur is not None and all(s["snapshot-id"] != cur for s in keep):
                 raise ValueError(
                     f"{self.table_path}: keep_last={keep_last} would "
                     "expire the current snapshot"
                 )
-            expired = [s["snapshot-id"] for s in snaps[:-keep_last]]
+            expired = [
+                s["snapshot-id"] for s in snaps if s["snapshot-id"] not in keep_ids
+            ]
+            if not expired:
+                return []
             md = dict(table.metadata)
             md["snapshots"] = keep
             try:
