@@ -512,3 +512,74 @@ def q_rollup_timeweighted(spark, sf_dir):
             6,
         ).alias("twa"),
     )
+
+
+@query(
+    "q_attribution",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    tagged AS (
+      SELECT user_id, ts2, event_id,
+             CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END
+               AS side,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               AS touch,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents
+      FROM e WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    carried AS (
+      SELECT side, cents,
+             LAST_VALUE(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts2, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS channel
+      FROM tagged
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM carried WHERE side = 1
+    GROUP BY 1
+    """,
+)
+def q_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase's revenue is
+    credited to the SAME user's most recent preceding touch (click or
+    view); purchases with no prior touch bucket as 'direct'. The same
+    union-and-carry plan as the as-of joins — one shuffle on user_id,
+    a per-user ordered carry, no pair blowup — followed by one hash
+    agg over the (tiny) channel dimension. Revenue is cent-exact
+    integers; ordering ties break on (side, event_id), identical in
+    the oracle's window."""
+    e = _events_second(spark, sf_dir)
+    is_touch = F.col("event_type").isin("click", "view")
+    tagged = e.where(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        "ts2",
+        "event_id",
+        F.when(is_touch, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+        F.when(is_touch, F.col("event_type")).alias("touch"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts2", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "channel", F.last("touch", ignorenulls=True).over(w)
+    )
+    return (
+        carried.where(F.col("side") == 1)
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )

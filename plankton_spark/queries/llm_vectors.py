@@ -588,3 +588,152 @@ def q_emb_gram_full(spark, sf_dir):
     still 2080 rows per input partition, corpus-size-independent.
     See _gram for the plan shape."""
     return _gram(spark, sf_dir, GRAM_DIMS_FULL)
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+KMEANS_DIMS = 64
+# offset shifts micro-units into positive range so every integer
+# division below is truncation == floor in BOTH engines (they disagree
+# on negative integer division: Spark DIV truncates, DuckDB // floors)
+KMEANS_OFFSET = 2_000_000
+
+
+@query(
+    "q_cluster_kmeans",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               + {KMEANS_OFFSET}) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, v AS c
+      FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+    ),
+    d1 AS (
+      SELECT e.vec_id, e.v, c0.k,
+             CAST(list_sum(list_transform(
+               generate_series(1, {KMEANS_DIMS}),
+               i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))) AS BIGINT)
+               AS d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY CAST(list_sum(list_transform(
+                 generate_series(1, {KMEANS_DIMS}),
+                 i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i])))
+                 AS BIGINT), c0.k) AS rn
+      FROM e CROSS JOIN c0
+    ),
+    asg1 AS (SELECT vec_id, v, k FROM d1 WHERE rn = 1),
+    c1dims AS (
+      SELECT k, g.i, CAST(SUM(v[g.i]) // COUNT(*) AS BIGINT) AS cv
+      FROM asg1, UNNEST(generate_series(1, {KMEANS_DIMS})) AS g(i)
+      GROUP BY k, g.i
+    ),
+    c1 AS (SELECT k, list(cv ORDER BY i) AS c FROM c1dims GROUP BY k),
+    d2f AS (
+      SELECT e.vec_id, c1.k,
+             CAST(list_sum(list_transform(
+               generate_series(1, {KMEANS_DIMS}),
+               i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))) AS BIGINT)
+               AS d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY CAST(list_sum(list_transform(
+                 generate_series(1, {KMEANS_DIMS}),
+                 i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i])))
+                 AS BIGINT), c1.k) AS rn
+      FROM e CROSS JOIN c1
+    ),
+    asg2 AS (SELECT vec_id, k, d2 FROM d2f WHERE rn = 1)
+    SELECT asg2.k,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(asg2.d2) AS BIGINT) AS inertia,
+           CAST(ANY_VALUE(c1.c[1]) - {KMEANS_OFFSET} AS BIGINT)
+             AS c_dim1_micro
+    FROM asg2 JOIN c1 ON c1.k = asg2.k
+    GROUP BY asg2.k
+    """,
+)
+def q_cluster_kmeans(spark, sf_dir):
+    """Distributed k-means (Lloyd's) over the embedding corpus with a
+    DETERMINISTIC contract: K=4 centroids seeded from the 4 lowest
+    vec_ids, 2 iterations (assign → mean-update → reassign), output =
+    per-cluster size, exact integer inertia, and the updated
+    centroid's first coordinate.
+
+    Scale shape: each iteration is ONE scan with the K centroids as
+    broadcast LITERALS (K×64 ints through the plan — no join, no
+    shuffle for assignment) followed by one partial-combinable hash
+    agg for the update (K×64 groups, corpus-size-independent); the
+    only driver data is the K centroid vectors themselves (the same
+    bounded collect the 1-row-aggregate broadcasts use).
+
+    Determinism: embeddings quantize to integer micro-units OFFSET
+    into positive range — squared distances, argmin tie-breaks
+    (struct ordering on (d2, k)), mean updates (truncating division,
+    == floor for positives; Spark DIV and DuckDB // disagree on
+    negatives), and inertia sums are all exact integer arithmetic in
+    any order."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (
+                F.round(x.cast("double") * 1000000).cast("long")
+                + F.lit(KMEANS_OFFSET)
+            ),
+        ).alias("v"),
+    )
+    cent = {
+        i: list(r["v"])
+        for i, r in enumerate(e.orderBy("vec_id").limit(KMEANS_K).collect())
+    }
+
+    def best_of(cent_map):
+        options = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "v",
+                            F.array(*[F.lit(c) for c in cvec]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(k).cast("int").alias("k"),
+                )
+                for k, cvec in sorted(cent_map.items())
+            ]
+        )
+        return F.array_min(options)
+
+    for _ in range(KMEANS_ITERS - 1):
+        assigned = e.withColumn("k", best_of(cent)["k"])
+        dims = (
+            assigned.select("k", F.posexplode("v").alias("i", "val"))
+            .groupBy("k", "i")
+            .agg(F.expr("CAST(sum(val) DIV count(*) AS BIGINT)").alias("cv"))
+            .groupBy("k")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("cs"))
+            .collect()
+        )
+        cent = {r["k"]: [s["cv"] for s in r["cs"]] for r in dims}
+    best = best_of(cent)
+    final = e.select(
+        best["k"].alias("k"), best["d2"].alias("d2")
+    )
+    sizes = final.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("d2").cast("long").alias("inertia"),
+    )
+    c_dim1 = spark.createDataFrame(
+        [(k, int(v[0]) - KMEANS_OFFSET) for k, v in sorted(cent.items())],
+        "k int, c_dim1_micro long",
+    )
+    return sizes.join(c_dim1, "k")
