@@ -361,6 +361,62 @@ def q_deltalog_replacewhere(spark, sf_dir):
 
 
 @query(
+    "q_deltalog_constraints",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(1 AS BIGINT) AS n_constraints,
+           CAST(TRUE AS BOOLEAN) AS violation_refused
+    FROM final
+    """,
+)
+def q_deltalog_constraints(spark, sf_dir):
+    """Delta CHECK constraints: ADD CONSTRAINT positive_price CHECK
+    (o_totalprice > 0) — stored as the spec's delta.constraints.*
+    config with a minWriterVersion-3 bump so non-enforcing writers
+    refuse the table. A valid append passes; an append of negated
+    prices is REFUSED and the final state proves the bad rows never
+    landed (the oracle's row set contains only the two valid
+    batches). SQL CHECK semantics: NULL passes, only FALSE violates."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+
+    root = _scratch(sf_dir, "delta_constraints")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = DeltaLogWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 1000).coalesce(1))
+    w.add_constraint("positive_price", "o_totalprice > 0")
+    w.append(
+        o.where(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+        ).coalesce(1)
+    )
+    refused = False
+    try:
+        w.append(
+            o.where(F.col("o_orderkey") < 100)
+            .withColumn("o_totalprice", -F.col("o_totalprice"))
+            .coalesce(1)
+        )
+    except ValueError:
+        refused = True
+    return (
+        read_delta(spark, root)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .withColumn(
+            "n_constraints", F.lit(len(w.constraints())).cast("long")
+        )
+        .withColumn("violation_refused", F.lit(refused))
+    )
+
+
+@query(
     "q_deltalog_clone",
     oracle="""
     WITH src AS (

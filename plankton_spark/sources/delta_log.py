@@ -857,13 +857,93 @@ class DeltaLogWriter:
             out[rel] = _file_stats(os.path.join(self.table_path, rel))
         return out
 
+    def constraints(self) -> dict[str, str]:
+        """{name: sql_expr} CHECK constraints from the table config
+        (the spec's `delta.constraints.<name>` keys)."""
+        try:
+            log = DeltaLog(self.table_path)
+            log.replay(None)
+        except FileNotFoundError:
+            return {}
+        pre = "delta.constraints."
+        return {
+            k[len(pre):]: v
+            for k, v in (log.table_config or {}).items()
+            if k.startswith(pre)
+        }
+
+    def add_constraint(self, name: str, expr_sql: str) -> int:
+        """ADD CONSTRAINT ... CHECK (expr): the spec stores it as
+        `delta.constraints.<name>` in the metaData configuration and
+        requires minWriterVersion >= 3 so legacy writers that would
+        not enforce it refuse to write. EXISTING rows are validated
+        first (a constraint the current data violates must not
+        commit); from then on every staged write refuses violating
+        rows (SQL CHECK semantics: NULL passes, only FALSE violates).
+        Refused on column-mapped tables — the expression binds logical
+        names but staging writes physical ones."""
+        log = DeltaLog(self.table_path)
+        schema, part_cols, _ = log.replay(None)
+        cfg = dict(log.table_config)
+        if column_mapping(schema, cfg, self.table_path):
+            raise DeltaProtocolError(
+                f"{self.table_path}: CHECK constraints on a "
+                "column-mapped table are not supported"
+            )
+        existing = read_delta(self.spark, self.table_path)
+        bad = existing.where(
+            ~F.coalesce(F.expr(expr_sql), F.lit(True))
+        )
+        if not bad.isEmpty():
+            raise ValueError(
+                f"{self.table_path}: existing rows violate CHECK "
+                f"({expr_sql}) — constraint not added"
+            )
+        cfg[f"delta.constraints.{name}"] = expr_sql
+        proto = dict(log.table_protocol or {"minReaderVersion": 1})
+        proto["minWriterVersion"] = max(proto.get("minWriterVersion", 2), 3)
+        return self._commit_with_retry(
+            [{"protocol": proto}, self._metadata_action(schema, part_cols, cfg)]
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        log = DeltaLog(self.table_path)
+        schema, part_cols, _ = log.replay(None)
+        cfg = dict(log.table_config)
+        key = f"delta.constraints.{name}"
+        if key not in cfg:
+            raise ValueError(f"{self.table_path}: no constraint {name!r}")
+        del cfg[key]
+        return self._commit_with_retry(
+            [self._metadata_action(schema, part_cols, cfg)]
+        )
+
+    def _enforce_constraints(self, df) -> None:
+        """SQL CHECK enforcement on data about to be staged: a row
+        violates only when the expression evaluates FALSE (NULL
+        passes, per the standard). Zero cost when the table declares
+        no constraints; one validation pass per constrained write —
+        the price every enforcing Delta writer pays."""
+        cons = self.constraints()
+        if not cons:
+            return
+        for name, expr_sql in sorted(cons.items()):
+            bad = df.where(~F.coalesce(F.expr(expr_sql), F.lit(True)))
+            if not bad.isEmpty():
+                raise ValueError(
+                    f"{self.table_path}: rows violate CHECK constraint "
+                    f"{name!r} ({expr_sql}); write refused"
+                )
+
     def _stage(self, df, part_cols: list[str] | None = None) -> list[dict]:
         """Write df's partitions as parquet files under the table root;
         return their `add` actions. With `part_cols`, files land in
         hive-style subdirectories (col=value/...), the partition
         columns are dropped from file content per the Delta spec, and
         each add action carries the partitionValues dict the reader
-        re-attaches (and prunes on)."""
+        re-attaches (and prunes on). Declared CHECK constraints are
+        enforced on every staged frame."""
+        self._enforce_constraints(df)
         import glob as _glob
         import shutil as _shutil
         import urllib.parse as _url
@@ -967,6 +1047,12 @@ class DeltaLogWriter:
                 raise ValueError(f"{self.table_path}: no column {old!r}")
             if new in names:
                 raise ValueError(f"{self.table_path}: column {new!r} exists")
+            if self.constraints():
+                raise DeltaProtocolError(
+                    f"{self.table_path}: cannot rename with CHECK "
+                    "constraints declared — their expressions bind the "
+                    "current names; drop the constraints first"
+                )
             complex_fields = [
                 f.name
                 for f in schema.fields

@@ -1,0 +1,74 @@
+"""Delta CHECK constraints (the spec's delta.constraints.<name>
+config + minWriterVersion 3): added only when existing data passes,
+enforced on every staged write (NULL passes, FALSE refuses — SQL
+CHECK semantics), dropped cleanly, reverted by RESTORE, and blocking
+renames (the expression binds current names)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from plankton_spark.sources.delta_log import (
+    DeltaLog,
+    DeltaLogWriter,
+    DeltaProtocolError,
+    read_delta,
+)
+
+
+def _k(spark, rows):
+    return spark.createDataFrame(rows, "k long, price double")
+
+
+def test_check_constraint_lifecycle(spark, tmp_path):
+    root = str(tmp_path / "dl")
+    w = DeltaLogWriter(spark, root)
+    w.create(_k(spark, [(1, 10.0), (2, 20.0)]).coalesce(1))
+    w.add_constraint("positive_price", "price > 0")
+    assert w.constraints() == {"positive_price": "price > 0"}
+    # protocol bumped so non-enforcing legacy writers refuse
+    log = DeltaLog(root)
+    log.replay(None)
+    assert log.table_protocol["minWriterVersion"] >= 3
+    # valid append passes; NULL passes (SQL CHECK: only FALSE violates)
+    w.append(_k(spark, [(3, 30.0), (4, None)]).coalesce(1))
+    assert read_delta(spark, root).count() == 4
+    # violating append refuses, table unchanged
+    with pytest.raises(ValueError, match="positive_price"):
+        w.append(_k(spark, [(5, -1.0)]).coalesce(1))
+    assert read_delta(spark, root).count() == 4
+    # violating MERGE source refuses too (all writes stage)
+    with pytest.raises(ValueError, match="positive_price"):
+        w.merge(_k(spark, [(1, -5.0)]), "k")
+    # drop, then the same write goes through
+    w.drop_constraint("positive_price")
+    w.append(_k(spark, [(5, -1.0)]).coalesce(1))
+    assert read_delta(spark, root).count() == 5
+    with pytest.raises(ValueError, match="no constraint"):
+        w.drop_constraint("positive_price")
+
+
+def test_check_constraint_validates_existing_rows(spark, tmp_path):
+    root = str(tmp_path / "dl_bad")
+    w = DeltaLogWriter(spark, root)
+    w.create(_k(spark, [(1, -10.0)]).coalesce(1))
+    with pytest.raises(ValueError, match="existing rows violate"):
+        w.add_constraint("positive_price", "price > 0")
+    assert w.constraints() == {}
+
+
+def test_check_constraint_restore_and_rename_interplay(spark, tmp_path):
+    root = str(tmp_path / "dl_rs")
+    w = DeltaLogWriter(spark, root)
+    w.create(_k(spark, [(1, 10.0)]).coalesce(1))       # v0
+    w.add_constraint("positive_price", "price > 0")    # v1
+    with pytest.raises(DeltaProtocolError, match="rename"):
+        w.rename_column("price", "amount")
+    # RESTORE to the pre-constraint version reverts the config —
+    # the constraint is gone, the write goes through
+    w.restore(0)
+    assert w.constraints() == {}
+    w.append(_k(spark, [(2, -1.0)]).coalesce(1))
+    assert read_delta(spark, root).count() == 2
