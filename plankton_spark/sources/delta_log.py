@@ -379,14 +379,36 @@ def _cast_partition_value(raw: str | None, dtype: T.DataType):
     return F.lit(raw).cast(dtype)
 
 
+def version_at_timestamp(table_path: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the latest commit whose timestamp
+    is <= the given epoch-ms. Per the Delta spec, a commit's
+    timestamp is its log file's modification time."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    eligible = [
+        v
+        for v in _commit_versions(log_dir)
+        if os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json")) * 1000
+        <= timestamp_ms
+    ]
+    if not eligible:
+        raise ValueError(
+            f"{table_path}: no commit at or before "
+            f"timestamp_ms={timestamp_ms}"
+        )
+    return max(eligible)
+
+
 def read_delta(
     spark,
     table_path: str,
     version: int | None = None,
     partitions: dict | None = None,
+    timestamp_ms: int | None = None,
 ):
     """Native-parquet read of a Delta table at `version` (default:
-    latest). Files sharing a partition tuple are read as ONE multi-
+    latest) or, via `timestamp_ms`, TIMESTAMP AS OF (latest commit at
+    or before the given epoch-ms — commit time = log-file mtime per
+    the spec). Files sharing a partition tuple are read as ONE multi-
     path scan; partition columns come back as cast literals.
 
     `partitions={"col": "value"}` prunes at FILE-LIST level: files
@@ -405,6 +427,10 @@ def read_delta(
     names (file content, directory layout, and partitionValues keys
     all use them per the spec) and rename to logical names in one
     final projection."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp_ms, not both")
+        version = version_at_timestamp(table_path, timestamp_ms)
     log = DeltaLog(table_path)
     schema, part_cols, active = log.replay(version)
     cm = column_mapping(schema, log.table_config, table_path)

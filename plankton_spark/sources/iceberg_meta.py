@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import time as _time
 
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under
 # `from __future__ import annotations` (string hints eval in module globals)
@@ -315,6 +316,7 @@ def read_iceberg(
     table_path: str,
     snapshot_id: int | None = None,
     ref: str | None = None,
+    timestamp_ms: int | None = None,
 ):
     """Native-parquet read of an Iceberg table at a snapshot (default:
     current). Spec-less tables are one multi-path vectorized scan;
@@ -331,15 +333,31 @@ def read_iceberg(
     fully distributed, broadcast when the delete set is small.
     Equality deletes raise (scan_entries)."""
     t = IcebergTable(table_path)
+    if sum(x is not None for x in (snapshot_id, ref, timestamp_ms)) > 1:
+        raise ValueError("pass at most one of snapshot_id / ref / timestamp_ms")
     if ref is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id or ref, not both")
         refs = t.metadata.get("refs") or {}
         if ref not in refs:
             raise ValueError(
                 f"{table_path}: no ref {ref!r} (known: {sorted(refs)})"
             )
         snapshot_id = refs[ref]["snapshot-id"]
+    if timestamp_ms is not None:
+        # AS OF TIMESTAMP: the last snapshot committed at or before t
+        # (snapshots carry real epoch timestamp-ms; list order is
+        # commit order, breaking same-millisecond ties)
+        eligible = [
+            s
+            for s in (t.metadata.get("snapshots") or [])
+            if s.get("timestamp-ms", 0) <= timestamp_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"{table_path}: no snapshot at or before "
+                f"timestamp_ms={timestamp_ms} (earliest retained: "
+                f"{min((s.get('timestamp-ms', 0) for s in t.metadata.get('snapshots') or []), default=None)})"
+            )
+        snapshot_id = eligible[-1]["snapshot-id"]
     use_ids = t.files_carry_field_ids(snapshot_id)
     schema = t.schema(with_field_ids=use_ids)
     if use_ids:
@@ -1476,7 +1494,7 @@ class IcebergWriter:
             "snapshots": [
                 {
                     "snapshot-id": snap_id,
-                    "timestamp-ms": snap_id,
+                    "timestamp-ms": int(_time.time() * 1000),
                     "manifest-list": f"metadata/{ml_name}",
                 }
             ],
@@ -1657,7 +1675,7 @@ class IcebergWriter:
             md["snapshots"] = md["snapshots"] + [
                 {
                     "snapshot-id": snap_id,
-                    "timestamp-ms": snap_id,
+                    "timestamp-ms": int(_time.time() * 1000),
                     "manifest-list": f"metadata/{ml_name}",
                 }
             ]
@@ -1848,7 +1866,7 @@ class IcebergWriter:
             md["snapshots"] = md["snapshots"] + [
                 {
                     "snapshot-id": snap_id,
-                    "timestamp-ms": snap_id,
+                    "timestamp-ms": int(_time.time() * 1000),
                     "manifest-list": f"metadata/{ml_name}",
                 }
             ]
@@ -2134,7 +2152,7 @@ class IcebergWriter:
             md["snapshots"] = md["snapshots"] + [
                 {
                     "snapshot-id": snap_id,
-                    "timestamp-ms": snap_id,
+                    "timestamp-ms": int(_time.time() * 1000),
                     "manifest-list": f"metadata/{ml_name}",
                 }
             ]
@@ -2666,7 +2684,7 @@ def convert_to_iceberg(
         "snapshots": [
             {
                 "snapshot-id": snap_id,
-                "timestamp-ms": snap_id,
+                "timestamp-ms": int(_time.time() * 1000),
                 "manifest-list": f"metadata/{ml_name}",
             }
         ],

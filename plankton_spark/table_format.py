@@ -178,8 +178,34 @@ class PlankTable:
             os.path.join(self.path, rel) for rel in self._snapshot(version)
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (optionally `versionAsOf`-style time travel)."""
+    def version_at(self, timestamp: float) -> int:
+        """TIMESTAMP AS OF resolution: the latest version whose commit
+        was recorded at or before the given epoch-seconds (commits
+        carry their own `ts` in the log payload)."""
+        eligible = [
+            v
+            for v in self.versions()
+            if json.load(open(_version_file(self.path, v))).get("ts", 0)
+            <= timestamp
+        ]
+        if not eligible:
+            raise ValueError(
+                f"{self.path}: no version at or before timestamp={timestamp}"
+            )
+        return max(eligible)
+
+    def read(
+        self,
+        version: int | None = None,
+        timestamp: float | None = None,
+    ) -> DataFrame:
+        """Snapshot read: `versionAsOf`-style (explicit version) or
+        `timestampAsOf`-style (latest commit at or before the given
+        epoch-seconds) time travel."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version or timestamp, not both")
+            version = self.version_at(timestamp)
         files = self.files(version)
         if not files:
             # empty snapshot: derive schema from any historic file

@@ -71,7 +71,7 @@ def test_iceberg_ref_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="tag.*branch|'tag' or 'branch'"):
         w.set_ref("bad", s1, kind="release")
     w.set_ref("main-branch", s1, kind="branch")
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         read_iceberg(spark, root, snapshot_id=s1, ref="main-branch")
     with pytest.raises(ValueError, match="no ref"):
         w.drop_ref("nope")
