@@ -1490,6 +1490,7 @@ class DeltaLogWriter:
         num_files: int = 1,
         zorder_by: list[str] | None = None,
         sort_by: list[str] | None = None,
+        target_file_mb: float | None = None,
     ) -> int:
         """OPTIMIZE (compaction): rewrite the current live file set into
         `num_files` larger files — the cure for streaming-sink small
@@ -1523,6 +1524,18 @@ class DeltaLogWriter:
         paths = [p for p, _ in files]
         if not paths:
             return self._commit_with_retry([])
+        if target_file_mb is not None:
+            # size-targeted bin packing from the add actions' recorded
+            # sizes (O(log metadata), no file IO)
+            total = sum(
+                a.get("size") or os.path.getsize(
+                    os.path.join(self.table_path, rel)
+                )
+                for rel, a in active.items()
+            )
+            num_files = max(
+                1, -(-total // int(target_file_mb * 1024 * 1024))
+            )
         if has_dvs:
             # compaction PURGES deletion vectors: the DV-aware read
             # drops the marked rows, so the rewritten files are clean
@@ -1546,6 +1559,10 @@ class DeltaLogWriter:
             df = df.repartitionByRange(num_files, *sort_by).sortWithinPartitions(
                 *sort_by
             )
+        elif target_file_mb is not None:
+            # repartition, not coalesce: a huge file must be able to
+            # SPLIT up to the target size
+            df = df.repartition(num_files)
         else:
             df = df.coalesce(num_files)
         adds = self._stage(df, part_cols)

@@ -2164,7 +2164,9 @@ class IcebergWriter:
                 continue
         raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
 
-    def optimize(self, num_files: int = 1) -> int:
+    def optimize(
+        self, num_files: int = 1, target_file_mb: float | None = None
+    ) -> int:
         """Compaction (the spec's rewrite/'replace' operation): the
         live file set re-staged as `num_files` larger files, every
         file it READ tombstoned. Content-identical — only layout
@@ -2180,6 +2182,12 @@ class IcebergWriter:
         entries, deletes = table.scan_entries(None)
         if not entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
+        if target_file_mb is not None:
+            # size-targeted bin packing over the live data files
+            total = sum(os.path.getsize(p) for p, _ in entries)
+            num_files = max(
+                1, -(-total // int(target_file_mb * 1024 * 1024))
+            )
         if deletes:
             # compaction PURGES position deletes: the delete-aware read
             # drops the marked rows, the re-stage is clean, and BOTH
@@ -2192,7 +2200,12 @@ class IcebergWriter:
             df = self.spark.read.schema(table.schema()).parquet(
                 *[p for p, _ in entries]
             )
-        df = df.coalesce(num_files)
+        if target_file_mb is not None:
+            # repartition, not coalesce: a huge file must be able to
+            # SPLIT up to the target size
+            df = df.repartition(num_files)
+        else:
+            df = df.coalesce(num_files)
         staged = self._stage(df, 0, spec)
         removed_rel = {
             os.path.relpath(p, self.table_path) for p, _ in entries

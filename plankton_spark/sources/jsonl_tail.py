@@ -137,9 +137,49 @@ def _partition_files(topic_dir: str) -> list[str]:
     )
 
 
+def complete_end_at(path: str, cap: int) -> int:
+    """Largest line-complete offset <= cap (the admission-control twin
+    of complete_end): scan backwards from cap for the last newline."""
+    cap = min(cap, os.path.getsize(path))
+    with open(path, "rb") as f:
+        pos = cap
+        while pos > 0:
+            step = min(_CHUNK, pos)
+            f.seek(pos - step)
+            buf = f.read(step)
+            idx = buf.rfind(b"\n")
+            if idx >= 0:
+                return pos - step + idx + 1
+            pos -= step
+    return 0
+
+
+def next_line_end(path: str, lo: int) -> int:
+    """Offset just past the FIRST complete line after lo (the
+    minimum-progress guarantee when one record exceeds the byte
+    budget), or lo when no complete line has landed yet."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(lo)
+        pos = lo
+        while pos < size:
+            buf = f.read(_CHUNK)
+            if not buf:
+                break
+            idx = buf.find(b"\n")
+            if idx >= 0:
+                return pos + idx + 1
+            pos += len(buf)
+    return lo
+
+
 class JsonlTailDataSource(DataSource):
-    """Options: `path` (topic directory, required). The reader schema
-    must be supplied with `.schema(...)`."""
+    """Options: `path` (topic directory, required);
+    `maxBytesPerTrigger` (optional int) throttles each partition to
+    that many bytes per micro-batch — the admission-control knob
+    Kafka's maxOffsetsPerTrigger provides, so a huge backlog drains
+    in bounded batches instead of one giant first batch. The reader
+    schema must be supplied with `.schema(...)`."""
 
     @classmethod
     def name(cls) -> str:
@@ -161,7 +201,11 @@ class JsonlTailDataSource(DataSource):
         return JsonlTailBatchReader(self._path(), schema)
 
     def streamReader(self, schema) -> "JsonlTailStreamReader":
-        return JsonlTailStreamReader(self._path(), schema)
+        return JsonlTailStreamReader(
+            self._path(),
+            schema,
+            max_bytes=int(self.options.get("maxBytesPerTrigger", 0) or 0),
+        )
 
 
 class JsonlTailBatchReader(DataSourceReader):
@@ -185,20 +229,40 @@ class JsonlTailBatchReader(DataSourceReader):
 
 
 class JsonlTailStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, schema: T.StructType):
+    def __init__(self, path: str, schema: T.StructType, max_bytes: int = 0):
         self.path = path
         self.s = schema
+        self.max_bytes = max_bytes
+        self._planned: dict | None = None
 
     def initialOffset(self) -> dict:
         return {"files": {}}
 
     def latestOffset(self) -> dict:
-        return {
-            "files": {
-                name: complete_end(os.path.join(self.path, name))
-                for name in _partition_files(self.path)
-            }
+        tails = {
+            name: complete_end(os.path.join(self.path, name))
+            for name in _partition_files(self.path)
         }
+        if self.max_bytes and self._planned is not None:
+            # admission control: each partition advances at most
+            # max_bytes past the PREVIOUS plan, snapped back to a line
+            # boundary; a single over-budget record still advances one
+            # whole line (progress guarantee). The first trigger of a
+            # run is unthrottled: this API receives no checkpointed
+            # start, and capping from zero would re-plan an end BELOW
+            # a restart's checkpoint — the offset-regression failure
+            # the truncation guard exists to refuse.
+            capped = {}
+            for name, hi in tails.items():
+                lo = self._planned.get(name, 0)
+                full = os.path.join(self.path, name)
+                if hi - lo > self.max_bytes:
+                    hi2 = complete_end_at(full, lo + self.max_bytes)
+                    hi = hi2 if hi2 > lo else min(hi, next_line_end(full, lo))
+                capped[name] = max(hi, lo)
+            tails = capped
+        self._planned = dict(tails)
+        return {"files": tails}
 
     def partitions(self, start: dict, end: dict):
         starts = start.get("files", {})

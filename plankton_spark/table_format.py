@@ -568,6 +568,7 @@ class PlankTable:
         sort_by: list[str] | None = None,
         num_files: int = 1,
         zorder_by: list[str] | None = None,
+        target_file_mb: float | None = None,
     ) -> int:
         """Compaction (OPTIMIZE): rewrite the current snapshot into
         `num_files` files, optionally clustered — 1-D range clustering
@@ -592,6 +593,16 @@ class PlankTable:
         if sort_by and zorder_by:
             raise ValueError("pass sort_by or zorder_by, not both")
         snap = sorted(self._snapshot())
+        if target_file_mb is not None:
+            # size-targeted bin packing: the production knob (a fixed
+            # num_files that was right at 1 TB writes one giant file
+            # at 100 TB); live bytes come from the file inventory
+            total = sum(
+                os.path.getsize(os.path.join(self.path, rel)) for rel in snap
+            )
+            num_files = max(
+                1, -(-total // int(target_file_mb * 1024 * 1024))
+            )
         df = self.read()
         if zorder_by:
             zcol = self._zvalue(df, zorder_by)
@@ -605,6 +616,11 @@ class PlankTable:
             df = df.repartitionByRange(num_files, *sort_by).sortWithinPartitions(
                 *sort_by
             )
+        elif target_file_mb is not None:
+            # repartition, not coalesce: coalesce only REDUCES
+            # partition count, so one huge file could never split up
+            # to the target size
+            df = df.repartition(num_files)
         else:
             df = df.coalesce(num_files)
         adds = self._stage(df)

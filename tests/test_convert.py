@@ -137,3 +137,56 @@ def test_convert_to_iceberg_partitioned_prunes_and_time_travels(
     assert _content(read_iceberg(spark, root, snapshot_id=s1)) == _content(
         _df(spark)
     )
+
+
+# ---------------------------------------------------------------------
+# size-targeted compaction (target_file_mb)
+# ---------------------------------------------------------------------
+
+
+def test_optimize_target_file_size_all_formats(spark, tmp_path):
+    """OPTIMIZE(target_file_mb=...) sizes the output layout from live
+    bytes instead of a fixed file count — the knob that stays correct
+    across table growth. A tiny target must yield >1 file; a huge
+    target collapses to exactly 1."""
+    from plankton_spark.table_format import PlankTable
+
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"), F.sha2(F.col("id").cast("string"), 256).alias("s")
+    )
+
+    pt = PlankTable(spark, str(tmp_path / "pt"))
+    pt.create(big.repartition(8))
+    pt.optimize(target_file_mb=0.2)
+    n_small_target = len(pt.files())
+    assert n_small_target > 1
+    pt.optimize(target_file_mb=1024)
+    assert len(pt.files()) == 1
+    # split-up direction: one big file back out to many
+    pt.optimize(target_file_mb=0.2)
+    assert len(pt.files()) > 1
+    assert pt.read().count() == 20000
+
+    dw = DeltaLogWriter(spark, str(tmp_path / "dl"))
+    dw.create(big.repartition(8))
+    dw.optimize(target_file_mb=0.2)
+    from plankton_spark.sources.delta_log import DeltaLog
+
+    assert len(DeltaLog(str(tmp_path / "dl")).replay(None)[2]) > 1
+    dw.optimize(target_file_mb=1024)
+    assert len(DeltaLog(str(tmp_path / "dl")).replay(None)[2]) == 1
+    dw.optimize(target_file_mb=0.2)
+    assert len(DeltaLog(str(tmp_path / "dl")).replay(None)[2]) > 1
+    assert read_delta(spark, str(tmp_path / "dl")).count() == 20000
+
+    iw = IcebergWriter(spark, str(tmp_path / "ib"))
+    iw.create(big.repartition(8))
+    iw.optimize(target_file_mb=0.2)
+    from plankton_spark.sources.iceberg_meta import IcebergTable
+
+    assert len(IcebergTable(str(tmp_path / "ib")).data_files()) > 1
+    iw.optimize(target_file_mb=1024)
+    assert len(IcebergTable(str(tmp_path / "ib")).data_files()) == 1
+    iw.optimize(target_file_mb=0.2)
+    assert len(IcebergTable(str(tmp_path / "ib")).data_files()) > 1
+    assert read_iceberg(spark, str(tmp_path / "ib")).count() == 20000

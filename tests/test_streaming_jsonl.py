@@ -222,3 +222,65 @@ def test_explicit_schema_required(spark, tmp_path):
     jsonl_tail.register(spark)
     with pytest.raises(Exception, match="schema"):
         spark.read.format("jsonltail").option("path", topic).load().count()
+
+
+# ---------------------------------------------------------------------
+# maxBytesPerTrigger (admission control)
+# ---------------------------------------------------------------------
+
+
+def _write_lines(path, n, start=0, pad=0):
+    with open(path, "a") as f:
+        for i in range(start, start + n):
+            f.write('{"event_id": %d%s}\n' % (i, " " * pad))
+
+
+def test_rate_limited_offsets_snap_to_line_boundaries(tmp_path):
+    import pyspark.sql.types as T
+
+    topic = str(tmp_path / "topic")
+    os.makedirs(topic)
+    p0 = os.path.join(topic, "p0.jsonl")
+    _write_lines(p0, 5)
+    schema = T.StructType([T.StructField("event_id", T.LongType())])
+    r = jsonl_tail.JsonlTailStreamReader(topic, schema, max_bytes=40)
+    # first trigger: unthrottled (no checkpointed start is visible to
+    # this API — capping from zero could regress a restart's offset)
+    o1 = r.latestOffset()["files"]["p0.jsonl"]
+    assert o1 == os.path.getsize(p0)
+    # backlog lands; subsequent triggers drain it in bounded steps
+    _write_lines(p0, 100, start=5)
+    o2 = r.latestOffset()["files"]["p0.jsonl"]
+    assert o1 < o2 <= o1 + 40
+    with open(p0, "rb") as f:
+        f.seek(o2 - 1)
+        assert f.read(1) == b"\n", "capped offset must end a line"
+    o3 = r.latestOffset()["files"]["p0.jsonl"]
+    assert o2 < o3 <= o2 + 40
+    # drains to the tail eventually
+    last = o3
+    for _ in range(200):
+        nxt = r.latestOffset()["files"]["p0.jsonl"]
+        if nxt == last:
+            break
+        last = nxt
+    assert last == os.path.getsize(p0)
+
+
+def test_rate_limit_single_oversized_record_still_advances(tmp_path):
+    import pyspark.sql.types as T
+
+    topic = str(tmp_path / "topic2")
+    os.makedirs(topic)
+    p0 = os.path.join(topic, "p0.jsonl")
+    _write_lines(p0, 1)
+    schema = T.StructType([T.StructField("event_id", T.LongType())])
+    r = jsonl_tail.JsonlTailStreamReader(topic, schema, max_bytes=32)
+    o1 = r.latestOffset()["files"]["p0.jsonl"]
+    # one record far beyond the byte budget
+    _write_lines(p0, 1, start=1, pad=500)
+    o2 = r.latestOffset()["files"]["p0.jsonl"]
+    assert o2 == os.path.getsize(p0), (
+        "an over-budget record must still advance one whole line"
+    )
+    assert o2 > o1 + 32
