@@ -435,6 +435,57 @@ def q_iceberg_tags(spark, sf_dir):
 
 
 @query(
+    "q_iceberg_branch_wap",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey < 1000
+    ),
+    branch AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey < 1500
+    )
+    SELECT 'main_during_audit' AS phase, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM base
+    UNION ALL
+    SELECT 'branch', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM branch
+    UNION ALL
+    SELECT 'published', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT) FROM branch
+    """,
+)
+def q_iceberg_branch_wap(spark, sf_dir):
+    """Write-audit-publish on an Iceberg branch: staged appends extend
+    the 'audit' branch head while MAIN serves the old snapshot
+    untouched; publishing = fast-forwarding current to the audited
+    head (rollback_to). The three phases read main-during-audit, the
+    branch, and the published tip — the pattern that lets a pipeline
+    validate a day's ingest before readers ever see it."""
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root = _scratch(sf_dir, "iceberg_wap")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    w = IcebergWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 1000).coalesce(1))
+    head = w.append(
+        o.where(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1500)
+        ).coalesce(1),
+        branch="audit",
+    )
+
+    def _agg(df, phase):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "key_sum")
+
+    during = _agg(read_iceberg(spark, root), "main_during_audit")
+    branch = _agg(read_iceberg(spark, root, ref="audit"), "branch")
+    w.rollback_to(head)  # publish: fast-forward main to the audited head
+    published = _agg(read_iceberg(spark, root), "published")
+    return during.unionByName(branch).unionByName(published)
+
+
+@query(
     "q_iceberg_partitioned",
     oracle="""
     WITH base AS (

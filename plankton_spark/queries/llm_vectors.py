@@ -737,3 +737,97 @@ def q_cluster_kmeans(spark, sf_dir):
         "k int, c_dim1_micro long",
     )
     return sizes.join(c_dim1, "k")
+
+
+OUTLIER_PCT = 5  # top-N% by centroid distance flagged
+
+
+@query(
+    "q_emb_outliers",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x ->
+               CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               + {KMEANS_OFFSET}) AS v
+      FROM embeddings
+    ),
+    cdims AS (
+      SELECT g.i, CAST(SUM(v[g.i]) // COUNT(*) AS BIGINT) AS cv
+      FROM e, UNNEST(generate_series(1, {KMEANS_DIMS})) AS g(i)
+      GROUP BY g.i
+    ),
+    c AS (SELECT list(cv ORDER BY i) AS c FROM cdims),
+    d AS (
+      SELECT e.vec_id, e.label,
+             CAST(list_sum(list_transform(
+               generate_series(1, {KMEANS_DIMS}),
+               i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))) AS BIGINT)
+               AS d2
+      FROM e CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY d2 DESC, vec_id) AS rn FROM d
+    ),
+    flagged AS (
+      SELECT * FROM ranked
+      WHERE rn <= (SELECT COUNT(*) FROM e) * {OUTLIER_PCT} // 100
+    )
+    SELECT label,
+           COUNT(*) AS n_outliers,
+           CAST(SUM(d2) AS BIGINT) AS d2_sum,
+           CAST(MIN(d2) AS BIGINT) AS d2_threshold
+    FROM flagged GROUP BY label
+    """,
+)
+def q_emb_outliers(spark, sf_dir):
+    """Embedding outlier detection (the corpus-quality gate before
+    training on embedded data): distance to the GLOBAL centroid,
+    top-{OUTLIER_PCT}% flagged, reported per label — a label whose
+    members dominate the outlier set is a candidate bad source.
+
+    Scale shape: centroid = one 64-group partial agg → broadcast
+    literal; distances are one scan; the top-N% selection is
+    orderBy+limit = TakeOrderedAndProject (per-partition top-k then a
+    bounded merge — NOT a single-partition global window); final agg
+    over the flagged slice. Integer micro-unit arithmetic end-to-end
+    (same determinism contract as q_cluster_kmeans)."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: (
+                F.round(x.cast("double") * 1000000).cast("long")
+                + F.lit(KMEANS_OFFSET)
+            ),
+        ).alias("v"),
+    )
+    cent = [
+        r["cv"]
+        for r in (
+            e.select(F.posexplode("v").alias("i", "val"))
+            .groupBy("i")
+            .agg(F.expr("CAST(sum(val) DIV count(*) AS BIGINT)").alias("cv"))
+            .orderBy("i")
+            .collect()
+        )
+    ]
+    d2 = F.aggregate(
+        F.zip_with(
+            "v",
+            F.array(*[F.lit(c) for c in cent]),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = e.select("vec_id", "label", d2.alias("d2"))
+    n = scored.count()
+    n_out = n * OUTLIER_PCT // 100
+    flagged = scored.orderBy(F.col("d2").desc(), "vec_id").limit(n_out)
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.sum("d2").cast("long").alias("d2_sum"),
+        F.min("d2").cast("long").alias("d2_threshold"),
+    )

@@ -1634,7 +1634,19 @@ class IcebergWriter:
                 continue
         raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
 
-    def append(self, df, merge_schema: bool = False) -> int:
+    def append(
+        self,
+        df,
+        merge_schema: bool = False,
+        branch: str | None = None,
+    ) -> int:
+        """Append rows. With `branch`, the new snapshot extends the
+        BRANCH head (auto-created from the current snapshot on first
+        write) and only the branch ref moves — main/current is
+        untouched, the spec's write-audit-publish pattern: stage
+        writes on an audit branch, validate, then fast-forward by
+        pointing current at the branch head (rollback_to). Writing to
+        a TAG refuses (tags are immutable pins)."""
         from plankton_spark.sources.avro_ocf import (
             read_ocf_generic,
             write_ocf_generic,
@@ -1646,7 +1658,21 @@ class IcebergWriter:
                 dict(table.metadata), table, df, merge_schema
             )
             spec, es = self._table_entry_schema(table)
-            prev = table._snapshot(None)
+            base_sid = None
+            if branch is not None:
+                refs = dict(md.get("refs") or {})
+                existing = refs.get(branch)
+                if existing is not None:
+                    if existing.get("type") != "branch":
+                        raise ValueError(
+                            f"{self.table_path}: ref {branch!r} is a "
+                            f"{existing.get('type')}; tags are immutable "
+                            "— cannot append to one"
+                        )
+                    base_sid = existing["snapshot-id"]
+                else:
+                    base_sid = md.get("current-snapshot-id")
+            prev = table._snapshot(base_sid)
             snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
             # ids from the (possibly evolved) metadata this commit will
             # publish, so new columns stage with their new ids
@@ -1679,7 +1705,12 @@ class IcebergWriter:
                     "manifest-list": f"metadata/{ml_name}",
                 }
             ]
-            md["current-snapshot-id"] = snap_id
+            if branch is not None:
+                refs = dict(md.get("refs") or {})
+                refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
+                md["refs"] = refs
+            else:
+                md["current-snapshot-id"] = snap_id
             try:
                 # commit to EXACTLY read-version + 1: claiming whatever
                 # version is free at commit time would let a writer that

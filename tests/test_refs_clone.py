@@ -128,3 +128,33 @@ def test_clone_delta_carries_dvs_and_partitioning(spark, tmp_path):
     DeltaLogWriter(spark, dst).delete_where_dv(F.col("grp") == 0)
     assert _ks(read_delta(spark, dst)) == [1, 3, 5, 7]
     assert _ks(read_delta(spark, src)) == list(range(8))
+
+
+def test_iceberg_branch_write_audit_publish(spark, tmp_path):
+    """Write-audit-publish: appends on a branch extend the branch head
+    only (main untouched), then publishing = rollback_to(branch head).
+    Appending to a TAG refuses (immutable pin)."""
+    root = str(tmp_path / "ib_br")
+    w = IcebergWriter(spark, root)
+    s1 = w.create(_k(spark, 0, 3).coalesce(1))
+    b1 = w.append(_k(spark, 10, 12).coalesce(1), branch="audit")
+    b2 = w.append(_k(spark, 20, 22).coalesce(1), branch="audit")
+    # main is untouched; the branch accumulated both appends
+    assert _ks(read_iceberg(spark, root)) == [0, 1, 2]
+    assert _ks(read_iceberg(spark, root, ref="audit")) == [
+        0, 1, 2, 10, 11, 20, 21,
+    ]
+    assert b2 > b1 > s1
+    # a concurrent MAIN append must not disturb the branch
+    w.append(_k(spark, 30, 31).coalesce(1))
+    assert _ks(read_iceberg(spark, root)) == [0, 1, 2, 30]
+    assert _ks(read_iceberg(spark, root, ref="audit")) == [
+        0, 1, 2, 10, 11, 20, 21,
+    ]
+    # publish: fast-forward current to the audited head
+    w.rollback_to(b2)
+    assert _ks(read_iceberg(spark, root)) == [0, 1, 2, 10, 11, 20, 21]
+    # tags stay immutable
+    w.set_ref("pin", s1, kind="tag")
+    with pytest.raises(ValueError, match="immutable"):
+        w.append(_k(spark, 40, 41).coalesce(1), branch="pin")
