@@ -944,21 +944,90 @@ class DeltaLogWriter:
             [self._metadata_action(schema, part_cols, cfg)]
         )
 
+    def set_not_null(self, col: str) -> int:
+        """NOT NULL column invariant (the spec's invariants writer
+        feature, expressed as schema nullability): existing rows are
+        validated first, then a metadata-only commit marks the field
+        non-nullable — every staged write refuses NULLs in it from
+        then on."""
+        log = DeltaLog(self.table_path)
+        schema, part_cols, _ = log.replay(None)
+        cfg = dict(log.table_config)
+        if col not in [f.name for f in schema.fields]:
+            raise ValueError(f"{self.table_path}: no column {col!r}")
+        existing = read_delta(self.spark, self.table_path)
+        if not existing.where(F.col(col).isNull()).isEmpty():
+            raise ValueError(
+                f"{self.table_path}: existing rows have NULL {col!r} — "
+                "invariant not added"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, f.dataType, f.nullable and f.name != col, f.metadata
+                )
+                for f in schema.fields
+            ]
+        )
+        return self._commit_with_retry(
+            [self._metadata_action(new_schema, part_cols, cfg)]
+        )
+
+    def drop_not_null(self, col: str) -> int:
+        log = DeltaLog(self.table_path)
+        schema, part_cols, _ = log.replay(None)
+        if col not in [f.name for f in schema.fields]:
+            raise ValueError(f"{self.table_path}: no column {col!r}")
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable or f.name == col,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+        return self._commit_with_retry(
+            [self._metadata_action(new_schema, part_cols, dict(log.table_config))]
+        )
+
     def _enforce_constraints(self, df) -> None:
-        """SQL CHECK enforcement on data about to be staged: a row
-        violates only when the expression evaluates FALSE (NULL
-        passes, per the standard). Zero cost when the table declares
-        no constraints; one validation pass per constrained write —
-        the price every enforcing Delta writer pays."""
-        cons = self.constraints()
-        if not cons:
+        """CHECK + NOT NULL enforcement on data about to be staged: a
+        CHECK violates only when its expression evaluates FALSE (NULL
+        passes, per the standard); a non-nullable field refuses NULLs.
+        Zero cost when the table declares neither; one validation pass
+        per constrained write — the price every enforcing Delta
+        writer pays."""
+        try:
+            log = DeltaLog(self.table_path)
+            schema, _, _ = log.replay(None)
+        except FileNotFoundError:
             return
+        pre = "delta.constraints."
+        cons = {
+            k[len(pre):]: v
+            for k, v in (log.table_config or {}).items()
+            if k.startswith(pre)
+        }
+        required = [
+            f.name
+            for f in schema.fields
+            if not f.nullable and f.name in df.columns
+        ]
         for name, expr_sql in sorted(cons.items()):
             bad = df.where(~F.coalesce(F.expr(expr_sql), F.lit(True)))
             if not bad.isEmpty():
                 raise ValueError(
                     f"{self.table_path}: rows violate CHECK constraint "
                     f"{name!r} ({expr_sql}); write refused"
+                )
+        for col in required:
+            if not df.where(F.col(col).isNull()).isEmpty():
+                raise ValueError(
+                    f"{self.table_path}: NULL in NOT NULL column "
+                    f"{col!r}; write refused"
                 )
 
     def _stage(self, df, part_cols: list[str] | None = None) -> list[dict]:

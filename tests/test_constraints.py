@@ -72,3 +72,28 @@ def test_check_constraint_restore_and_rename_interplay(spark, tmp_path):
     assert w.constraints() == {}
     w.append(_k(spark, [(2, -1.0)]).coalesce(1))
     assert read_delta(spark, root).count() == 2
+
+
+def test_not_null_invariant(spark, tmp_path):
+    root = str(tmp_path / "dl_nn")
+    w = DeltaLogWriter(spark, root)
+    w.create(_k(spark, [(1, 10.0)]).coalesce(1))
+    # existing NULLs block the invariant
+    w.append(_k(spark, [(2, None)]).coalesce(1))
+    with pytest.raises(ValueError, match="existing rows have NULL"):
+        w.set_not_null("price")
+    w.delete_where(F.col("price").isNull())
+    w.set_not_null("price")
+    # enforced on every staged write
+    with pytest.raises(ValueError, match="NOT NULL"):
+        w.append(_k(spark, [(3, None)]).coalesce(1))
+    w.append(_k(spark, [(3, 30.0)]).coalesce(1))
+    assert read_delta(spark, root).count() == 2
+    # schema surfaces the invariant; drop releases it
+    from plankton_spark.sources.delta_log import DeltaLog
+
+    sch = DeltaLog(root).replay(None)[0]
+    assert not next(f for f in sch.fields if f.name == "price").nullable
+    w.drop_not_null("price")
+    w.append(_k(spark, [(4, None)]).coalesce(1))
+    assert read_delta(spark, root).count() == 3
