@@ -113,3 +113,118 @@ def q_tpch_q10(spark, sf_dir):
     lineitems rolled up to customer revenue with nation attached.
     The SAME SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpch_q10", _Q10)
+
+
+_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(CAST(SUM(vol) AS DOUBLE), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS vol
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey
+    AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+_Q14 = """
+SELECT ROUND(100 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+         THEN CAST(l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l_discount AS DECIMAL(18,4)))
+         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)
+         AS promo_pct,
+       COUNT(*) AS n_lineitems
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1996-02-01'
+"""
+
+_Q18 = """
+SELECT c_custkey, o_orderkey,
+       ROUND(CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,4)) AS DOUBLE), 4)
+         AS totalprice,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS qty_cents
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 18000
+  )
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_custkey, o_orderkey
+"""
+
+_TABLES.update(
+    {
+        "q_tpch_q4": ("orders", "lineitem"),
+        "q_tpch_q7": (
+            "supplier", "lineitem", "orders", "customer", "nation",
+        ),
+        "q_tpch_q14": ("lineitem", "part"),
+        "q_tpch_q18": ("customer", "orders", "lineitem"),
+    }
+)
+
+
+@query("q_tpch_q4", oracle=_Q4)
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order priority checking), adapted to the fixture's
+    columns: one quarter's orders having at least one lineitem shipped
+    more than 60 days after the order date — correlated EXISTS
+    becomes a semi-join. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q4", _Q4)
+
+
+@query("q_tpch_q7", oracle=_Q7)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bidirectional trade between two
+    nations, revenue per (supplier nation, customer nation, ship
+    year) — the nation dimension joins twice under different roles.
+    The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q7", _Q7)
+
+
+@query("q_tpch_q14", oracle=_Q14)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): PROMO share of one month's
+    revenue — conditional decimal aggregation and a ratio computed
+    double-on-double (identical inputs → identical IEEE division).
+    The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q14", _Q14)
+
+
+@query("q_tpch_q18", oracle=_Q18)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    clears a threshold (IN over a grouped subquery — a semi-join on an
+    aggregate), rolled up with customer identity. Quantities in
+    cent-exact integers. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q18", _Q18)
