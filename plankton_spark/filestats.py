@@ -144,3 +144,59 @@ def apply_partition_schema(schema, overrides, table_path):
             for f in schema.fields
         ]
     )
+
+
+def inventory_hive_dir(table_path, type_for=None):
+    """Inventory an existing parquet directory for IN-PLACE conversion
+    (convert_to_delta / convert_to_iceberg share this — the two loops
+    had already been written twice and would silently diverge on the
+    next parsing fix): returns ([(rel_path, partition_values)],
+    part_keys). Hive ``key=value`` segments parse in order;
+    ``__HIVE_DEFAULT_PARTITION__`` maps to None; ``type_for(key,
+    raw_string)`` types each value (default: keep the string).
+    Refuses non-hive subdirectories, inconsistent layouts, and
+    directories with no parquet file."""
+    import glob as _glob
+    import os
+    import urllib.parse as _url
+
+    files = sorted(
+        p
+        for p in _glob.glob(
+            os.path.join(table_path, "**", "*.parquet"), recursive=True
+        )
+        if not any(
+            seg.startswith(("_", "."))
+            for seg in os.path.relpath(p, table_path).split(os.sep)
+        )
+    )
+    if not files:
+        raise FileNotFoundError(f"{table_path}: no parquet files to convert")
+    part_keys = None
+    inventory = []
+    for p in files:
+        rel = os.path.relpath(p, table_path)
+        keys = []
+        pv = {}
+        for piece in rel.split(os.sep)[:-1]:
+            k, eq, raw = piece.partition("=")
+            if not eq:
+                raise ValueError(
+                    f"{table_path}: non-hive subdirectory {piece!r} — "
+                    "cannot infer a partition column from it"
+                )
+            keys.append(k)
+            v = _url.unquote(raw)
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                pv[k] = None
+            else:
+                pv[k] = type_for(k, v) if type_for is not None else v
+        if part_keys is None:
+            part_keys = keys
+        elif keys != part_keys:
+            raise ValueError(
+                f"{table_path}: inconsistent partition layout — "
+                f"{keys} under {rel!r} vs {part_keys} elsewhere"
+            )
+        inventory.append((rel, pv))
+    return inventory, part_keys or []

@@ -337,8 +337,8 @@ def q_anomaly_buckets(spark, sf_dir):
     WITH e AS ({_EVENTS_SECOND}),
     obs AS (
       SELECT event_type, CAST(date_trunc('hour', ts2) AS TIMESTAMP) AS hr,
-             CAST((SUM(CAST(ROUND(value * 100) AS BIGINT)) * 10000)
-                  // COUNT(*) AS BIGINT) AS v_micro
+             CAST((SUM(CAST(ROUND(value * 100) AS BIGINT) + 10000000)
+                   * 10000) // COUNT(*) AS BIGINT) AS v_micro
       FROM e GROUP BY 1, 2
     ),
     cal AS (
@@ -371,15 +371,15 @@ def q_anomaly_buckets(spark, sf_dir):
     )
     SELECT event_type, STRFTIME(hr, '%Y-%m-%d %H:00') AS hour,
            v_micro IS NULL AS is_gap,
-           CAST(prev_v AS BIGINT) AS locf_micro,
-           CAST(CASE
+           CAST(prev_v - 100000000000 AS BIGINT) AS locf_micro,
+           CAST((CASE
              WHEN v_micro IS NOT NULL THEN v_micro
              WHEN prev_v IS NULL THEN next_v
              WHEN next_v IS NULL THEN prev_v
              ELSE (prev_v * (CAST(EPOCH(next_hr) - EPOCH(hr) AS BIGINT) // 3600)
                    + next_v * (CAST(EPOCH(hr) - EPOCH(prev_hr) AS BIGINT) // 3600))
                   // (CAST(EPOCH(next_hr) - EPOCH(prev_hr) AS BIGINT) // 3600)
-           END AS BIGINT) AS interp_micro
+           END) - 100000000000 AS BIGINT) AS interp_micro
     FROM filled
     """,
 )
@@ -398,18 +398,22 @@ def q_gapfill_locf(spark, sf_dir):
     the low-cardinality partition key is safe by construction.
 
     Determinism: everything is integer MICRO-UNITS -- cent-exact
-    value sums, integer-division means, and an all-positive
-    integer-blend interpolation ((prev*(den-num) + next*num) DIV den)
-    -- because neither decimal ROUND on doubles nor decimal->double
-    casts are bit-identical across engines (both were measured to
-    differ at half-case boundaries here)."""
+    value sums OFFSET into positive range (+1e7 cents per row, so the
+    integer divisions are truncation == floor in BOTH engines; Spark
+    DIV truncates while DuckDB // floors, and they disagree on
+    negatives -- the same hazard q_cluster_kmeans documents), the
+    offset subtracted exactly at output (the mean and the blend are
+    offset-affine). Neither decimal ROUND on doubles nor
+    decimal->double casts are bit-identical across engines (both
+    measured to differ at half-case boundaries here), hence no FP
+    anywhere."""
     e = _events_second(spark, sf_dir)
     obs = e.groupBy(
         "event_type", F.date_trunc("hour", "ts2").alias("hr")
     ).agg(
         F.expr(
-            "(sum(cast(round(value * 100) as bigint)) * 10000)"
-            " DIV count(*)"
+            "(sum(cast(round(value * 100) as bigint) + 10000000)"
+            " * 10000) DIV count(*)"
         ).alias("v_micro")
     )
     bounds = obs.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
@@ -453,8 +457,8 @@ def q_gapfill_locf(spark, sf_dir):
         "event_type",
         F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
         F.col("v_micro").isNull().alias("is_gap"),
-        F.col("prev_v").alias("locf_micro"),
-        interp.cast("long").alias("interp_micro"),
+        (F.col("prev_v") - F.lit(100_000_000_000)).alias("locf_micro"),
+        (interp - F.lit(100_000_000_000)).cast("long").alias("interp_micro"),
     )
 
 

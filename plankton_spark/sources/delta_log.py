@@ -898,6 +898,26 @@ class DeltaLogWriter:
             if k.startswith(pre)
         }
 
+    def _commit_metadata_update(self, build_actions) -> int:
+        """Metadata-only commit with a per-retry REBUILD from a fresh
+        replay (the rename_column rule — r7 review #4, reintroduced
+        and re-fixed here): a conflict means the snapshot moved, so
+        re-committing the pre-conflict metaData/protocol actions
+        would silently revert the concurrent writer's schema, config,
+        or protocol changes. `build_actions(log, schema, part_cols,
+        cfg)` re-validates AND rebuilds against the fresh state every
+        iteration."""
+        for _ in range(20):
+            log = DeltaLog(self.table_path)
+            schema, part_cols, _ = log.replay(None)
+            cfg = dict(log.table_config)
+            actions = build_actions(log, schema, part_cols, cfg)
+            try:
+                return self._commit(self._next_version(), actions)
+            except DeltaCommitConflict:
+                continue
+        raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
+
     def add_constraint(self, name: str, expr_sql: str) -> int:
         """ADD CONSTRAINT ... CHECK (expr): the spec stores it as
         `delta.constraints.<name>` in the metaData configuration and
@@ -908,90 +928,96 @@ class DeltaLogWriter:
         rows (SQL CHECK semantics: NULL passes, only FALSE violates).
         Refused on column-mapped tables — the expression binds logical
         names but staging writes physical ones."""
-        log = DeltaLog(self.table_path)
-        schema, part_cols, _ = log.replay(None)
-        cfg = dict(log.table_config)
-        if column_mapping(schema, cfg, self.table_path):
-            raise DeltaProtocolError(
-                f"{self.table_path}: CHECK constraints on a "
-                "column-mapped table are not supported"
+
+        def build(log, schema, part_cols, cfg):
+            if column_mapping(schema, cfg, self.table_path):
+                raise DeltaProtocolError(
+                    f"{self.table_path}: CHECK constraints on a "
+                    "column-mapped table are not supported"
+                )
+            existing = read_delta(self.spark, self.table_path)
+            bad = existing.where(~F.coalesce(F.expr(expr_sql), F.lit(True)))
+            if not bad.isEmpty():
+                raise ValueError(
+                    f"{self.table_path}: existing rows violate CHECK "
+                    f"({expr_sql}) — constraint not added"
+                )
+            cfg = dict(cfg)
+            cfg[f"delta.constraints.{name}"] = expr_sql
+            proto = dict(log.table_protocol or {"minReaderVersion": 1})
+            proto["minWriterVersion"] = max(
+                proto.get("minWriterVersion", 2), 3
             )
-        existing = read_delta(self.spark, self.table_path)
-        bad = existing.where(
-            ~F.coalesce(F.expr(expr_sql), F.lit(True))
-        )
-        if not bad.isEmpty():
-            raise ValueError(
-                f"{self.table_path}: existing rows violate CHECK "
-                f"({expr_sql}) — constraint not added"
-            )
-        cfg[f"delta.constraints.{name}"] = expr_sql
-        proto = dict(log.table_protocol or {"minReaderVersion": 1})
-        proto["minWriterVersion"] = max(proto.get("minWriterVersion", 2), 3)
-        return self._commit_with_retry(
-            [{"protocol": proto}, self._metadata_action(schema, part_cols, cfg)]
-        )
+            return [
+                {"protocol": proto},
+                self._metadata_action(schema, part_cols, cfg),
+            ]
+
+        return self._commit_metadata_update(build)
 
     def drop_constraint(self, name: str) -> int:
-        log = DeltaLog(self.table_path)
-        schema, part_cols, _ = log.replay(None)
-        cfg = dict(log.table_config)
-        key = f"delta.constraints.{name}"
-        if key not in cfg:
-            raise ValueError(f"{self.table_path}: no constraint {name!r}")
-        del cfg[key]
-        return self._commit_with_retry(
-            [self._metadata_action(schema, part_cols, cfg)]
-        )
+        def build(log, schema, part_cols, cfg):
+            key = f"delta.constraints.{name}"
+            if key not in cfg:
+                raise ValueError(f"{self.table_path}: no constraint {name!r}")
+            cfg = dict(cfg)
+            del cfg[key]
+            return [self._metadata_action(schema, part_cols, cfg)]
+
+        return self._commit_metadata_update(build)
 
     def set_not_null(self, col: str) -> int:
         """NOT NULL column invariant (the spec's invariants writer
         feature, expressed as schema nullability): existing rows are
         validated first, then a metadata-only commit marks the field
         non-nullable — every staged write refuses NULLs in it from
-        then on."""
-        log = DeltaLog(self.table_path)
-        schema, part_cols, _ = log.replay(None)
-        cfg = dict(log.table_config)
-        if col not in [f.name for f in schema.fields]:
-            raise ValueError(f"{self.table_path}: no column {col!r}")
-        existing = read_delta(self.spark, self.table_path)
-        if not existing.where(F.col(col).isNull()).isEmpty():
-            raise ValueError(
-                f"{self.table_path}: existing rows have NULL {col!r} — "
-                "invariant not added"
-            )
-        new_schema = T.StructType(
-            [
-                T.StructField(
-                    f.name, f.dataType, f.nullable and f.name != col, f.metadata
+        then on. Works on column-mapped tables too: enforcement
+        translates the logical name to the staging frame's PHYSICAL
+        name (matching logical names against a physical frame would
+        silently skip the check — review finding, this round)."""
+
+        def build(log, schema, part_cols, cfg):
+            if col not in [f.name for f in schema.fields]:
+                raise ValueError(f"{self.table_path}: no column {col!r}")
+            existing = read_delta(self.spark, self.table_path)
+            if not existing.where(F.col(col).isNull()).isEmpty():
+                raise ValueError(
+                    f"{self.table_path}: existing rows have NULL {col!r} "
+                    "— invariant not added"
                 )
-                for f in schema.fields
-            ]
-        )
-        return self._commit_with_retry(
-            [self._metadata_action(new_schema, part_cols, cfg)]
-        )
+            new_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable and f.name != col,
+                        f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            return [self._metadata_action(new_schema, part_cols, cfg)]
+
+        return self._commit_metadata_update(build)
 
     def drop_not_null(self, col: str) -> int:
-        log = DeltaLog(self.table_path)
-        schema, part_cols, _ = log.replay(None)
-        if col not in [f.name for f in schema.fields]:
-            raise ValueError(f"{self.table_path}: no column {col!r}")
-        new_schema = T.StructType(
-            [
-                T.StructField(
-                    f.name,
-                    f.dataType,
-                    f.nullable or f.name == col,
-                    f.metadata,
-                )
-                for f in schema.fields
-            ]
-        )
-        return self._commit_with_retry(
-            [self._metadata_action(new_schema, part_cols, dict(log.table_config))]
-        )
+        def build(log, schema, part_cols, cfg):
+            if col not in [f.name for f in schema.fields]:
+                raise ValueError(f"{self.table_path}: no column {col!r}")
+            new_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable or f.name == col,
+                        f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            return [self._metadata_action(new_schema, part_cols, cfg)]
+
+        return self._commit_metadata_update(build)
 
     def _enforce_constraints(self, df) -> None:
         """CHECK + NOT NULL enforcement on data about to be staged: a
@@ -1011,10 +1037,16 @@ class DeltaLogWriter:
             for k, v in (log.table_config or {}).items()
             if k.startswith(pre)
         }
+        # NOT NULL binds LOGICAL names; on a column-mapped table the
+        # staging frame carries PHYSICAL names, so translate — matching
+        # logical names against a physical frame silently skipped the
+        # check (review finding, this round)
+        cm = column_mapping(schema, log.table_config or {}, self.table_path)
+        phys = (cm or {}).get("phys") or {}
         required = [
-            f.name
+            phys.get(f.name, f.name)
             for f in schema.fields
-            if not f.nullable and f.name in df.columns
+            if not f.nullable and phys.get(f.name, f.name) in df.columns
         ]
         for name, expr_sql in sorted(cons.items()):
             bad = df.where(~F.coalesce(F.expr(expr_sql), F.lit(True)))
@@ -1630,8 +1662,28 @@ class DeltaLogWriter:
             )
         elif target_file_mb is not None:
             # repartition, not coalesce: a huge file must be able to
-            # SPLIT up to the target size
-            df = df.repartition(num_files)
+            # SPLIT up to the target size. On a PARTITIONED table the
+            # hive split happens at staging, so a global round-robin
+            # would scatter every partition value across all tasks and
+            # write ~num_files files PER PARTITION (review finding,
+            # this round) — instead each partition tuple is salted
+            # into ceil(num_files / n_partitions) buckets.
+            if part_cols:
+                n_parts = max(
+                    1, len({tuple(sorted(pv.items())) for _, pv in files})
+                )
+                per_part = max(1, -(-num_files // n_parts))
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.lit(per_part),
+                )
+                df = (
+                    df.withColumn("__tsalt", salt)
+                    .repartition(num_files, *part_cols, "__tsalt")
+                    .drop("__tsalt")
+                )
+            else:
+                df = df.repartition(num_files)
         else:
             df = df.coalesce(num_files)
         adds = self._stage(df, part_cols)
@@ -2336,47 +2388,15 @@ def convert_to_delta(
     names erase types and Spark's discovery guesses the narrowest int
     — the same reason the public CONVERT TO DELTA takes an explicit
     PARTITIONED BY schema."""
-    import glob as _glob
-    import urllib.parse as _url
+    from plankton_spark.filestats import inventory_hive_dir
 
     log_dir = os.path.join(table_path, "_delta_log")
     if os.path.isdir(log_dir) and _commit_versions(log_dir):
         raise FileExistsError(f"{table_path}: already a Delta table")
-    files = sorted(
-        p
-        for p in _glob.glob(
-            os.path.join(table_path, "**", "*.parquet"), recursive=True
-        )
-        if not any(
-            seg.startswith(("_", "."))
-            for seg in os.path.relpath(p, table_path).split(os.sep)
-        )
-    )
-    if not files:
-        raise FileNotFoundError(f"{table_path}: no parquet files to convert")
-    part_keys: list[str] | None = None
+    inventory, part_keys = inventory_hive_dir(table_path)
     adds: list[dict] = []
-    for p in files:
-        rel = os.path.relpath(p, table_path)
-        keys: list[str] = []
-        pv: dict[str, str | None] = {}
-        for piece in rel.split(os.sep)[:-1]:
-            k, eq, raw = piece.partition("=")
-            if not eq:
-                raise ValueError(
-                    f"{table_path}: non-hive subdirectory {piece!r} — "
-                    "cannot infer a partition column from it"
-                )
-            keys.append(k)
-            v = _url.unquote(raw)
-            pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
-        if part_keys is None:
-            part_keys = keys
-        elif keys != part_keys:
-            raise ValueError(
-                f"{table_path}: inconsistent partition layout — "
-                f"{keys} under {rel!r} vs {part_keys} elsewhere"
-            )
+    for rel, pv in inventory:
+        p = os.path.join(table_path, rel)
         adds.append(
             {
                 "add": {

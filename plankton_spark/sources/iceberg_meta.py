@@ -1685,9 +1685,10 @@ class IcebergWriter:
                 df,
                 snap_id,
                 spec,
-                field_ids=self._ids_gate(
-                    {f["name"]: f["id"] for f in cur["fields"]}
-                ),
+                # _stage applies _ids_gate itself — wrapping here too
+                # would double the manifest scan + footer probe per
+                # append (review finding, this round)
+                field_ids={f["name"]: f["id"] for f in cur["fields"]},
             )
             m_new = self._write_manifest(
                 self._unique(f"m{snap_id}"), files, snap_id, entry_schema=es
@@ -2233,8 +2234,28 @@ class IcebergWriter:
             )
         if target_file_mb is not None:
             # repartition, not coalesce: a huge file must be able to
-            # SPLIT up to the target size
-            df = df.repartition(num_files)
+            # SPLIT up to the target size. Partition-spec'd tables
+            # split per partition via a salt over the spec's source
+            # columns — a global round-robin would write ~num_files
+            # files per partition dir (review finding, this round).
+            srcs = [f["source"] for f in spec]
+            if srcs:
+                n_parts = max(
+                    1,
+                    len({tuple(sorted(pv.items())) for _, pv in entries}),
+                )
+                per_part = max(1, -(-num_files // n_parts))
+                salt = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.lit(per_part),
+                )
+                df = (
+                    df.withColumn("__tsalt", salt)
+                    .repartition(num_files, *srcs, "__tsalt")
+                    .drop("__tsalt")
+                )
+            else:
+                df = df.repartition(num_files)
         else:
             df = df.coalesce(num_files)
         staged = self._stage(df, 0, spec)
@@ -2610,9 +2631,7 @@ def convert_to_iceberg(
     mixes partition layouts. ``partition_schema`` overrides the
     inferred type of named partition columns (hive directory names
     erase types; discovery guesses the narrowest int)."""
-    import glob as _glob
-    import urllib.parse as _url
-
+    from plankton_spark.filestats import inventory_hive_dir
     from plankton_spark.sources.avro_ocf import write_ocf_generic
 
     meta_dir = os.path.join(table_path, "metadata")
@@ -2620,49 +2639,12 @@ def convert_to_iceberg(
         f.endswith(".metadata.json") for f in os.listdir(meta_dir)
     ):
         raise FileExistsError(f"{table_path}: already an Iceberg table")
-    files = sorted(
-        p
-        for p in _glob.glob(
-            os.path.join(table_path, "**", "*.parquet"), recursive=True
-        )
-        if not any(
-            seg.startswith(("_", "."))
-            for seg in os.path.relpath(p, table_path).split(os.sep)
-        )
-    )
-    if not files:
-        raise FileNotFoundError(f"{table_path}: no parquet files to convert")
     schema = spark.read.option("basePath", table_path).parquet(table_path).schema
     schema = _apply_partition_schema(schema, partition_schema, table_path)
     dtypes = {f.name: f.dataType for f in schema.fields}
-    part_keys: list[str] | None = None
-    inventory: list[tuple[str, dict]] = []  # (rel, typed partition values)
-    for p in files:
-        rel = os.path.relpath(p, table_path)
-        keys: list[str] = []
-        pv: dict = {}
-        for piece in rel.split(os.sep)[:-1]:
-            k, eq, raw = piece.partition("=")
-            if not eq:
-                raise ValueError(
-                    f"{table_path}: non-hive subdirectory {piece!r} — "
-                    "cannot infer a partition column from it"
-                )
-            keys.append(k)
-            v = _url.unquote(raw)
-            pv[k] = (
-                None
-                if v == "__HIVE_DEFAULT_PARTITION__"
-                else _typed_pv(v, dtypes[k])
-            )
-        if part_keys is None:
-            part_keys = keys
-        elif keys != part_keys:
-            raise ValueError(
-                f"{table_path}: inconsistent partition layout — "
-                f"{keys} under {rel!r} vs {part_keys} elsewhere"
-            )
-        inventory.append((rel, pv))
+    inventory, part_keys = inventory_hive_dir(
+        table_path, type_for=lambda k, raw: _typed_pv(raw, dtypes[k])
+    )
     spec = [
         {"name": k, "transform": "identity", "source": k}
         for k in (part_keys or [])

@@ -236,6 +236,11 @@ class JsonlTailStreamReader(DataSourceStreamReader):
         self._planned: dict | None = None
 
     def initialOffset(self) -> dict:
+        # only ever called on a CHECKPOINT-LESS fresh start, so zero
+        # is a legitimate throttle baseline from here on — a restart
+        # skips this call and keeps its unthrottled first batch (the
+        # offset-regression guard)
+        self._planned = {}
         return {"files": {}}
 
     def latestOffset(self) -> dict:
@@ -247,11 +252,14 @@ class JsonlTailStreamReader(DataSourceStreamReader):
             # admission control: each partition advances at most
             # max_bytes past the PREVIOUS plan, snapped back to a line
             # boundary; a single over-budget record still advances one
-            # whole line (progress guarantee). The first trigger of a
-            # run is unthrottled: this API receives no checkpointed
-            # start, and capping from zero would re-plan an end BELOW
-            # a restart's checkpoint — the offset-regression failure
-            # the truncation guard exists to refuse.
+            # whole line (progress guarantee). A FRESH query's first
+            # batch throttles from zero (initialOffset set the
+            # baseline — the pre-existing-backlog case the option
+            # exists for); a RESTART's first batch is unthrottled:
+            # this API receives no checkpointed start, and capping
+            # from zero would re-plan an end BELOW the checkpoint —
+            # the offset-regression failure the truncation guard
+            # refuses.
             capped = {}
             for name, hi in tails.items():
                 lo = self._planned.get(name, 0)

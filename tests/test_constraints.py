@@ -97,3 +97,25 @@ def test_not_null_invariant(spark, tmp_path):
     w.drop_not_null("price")
     w.append(_k(spark, [(4, None)]).coalesce(1))
     assert read_delta(spark, root).count() == 3
+
+
+def test_not_null_enforced_through_column_mapping(spark, tmp_path):
+    """The review-caught bypass: after rename_column enables column
+    mapping, staging frames carry PHYSICAL names — NOT NULL
+    enforcement must translate the logical name or it silently never
+    fires."""
+    root = str(tmp_path / "dl_cm_nn")
+    w = DeltaLogWriter(spark, root)
+    w.create(_k(spark, [(1, 10.0)]).coalesce(1))
+    w.rename_column("price", "amount")
+    w.set_not_null("amount")
+    with pytest.raises(ValueError, match="NOT NULL"):
+        w.append(
+            spark.createDataFrame([(2, None)], "k long, amount double")
+            .coalesce(1)
+        )
+    w.append(
+        spark.createDataFrame([(2, 20.0)], "k long, amount double")
+        .coalesce(1)
+    )
+    assert read_delta(spark, root).count() == 2

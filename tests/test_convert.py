@@ -190,3 +190,33 @@ def test_optimize_target_file_size_all_formats(spark, tmp_path):
     iw.optimize(target_file_mb=0.2)
     assert len(IcebergTable(str(tmp_path / "ib")).data_files()) > 1
     assert read_iceberg(spark, str(tmp_path / "ib")).count() == 20000
+
+
+def test_optimize_target_respects_partitions(spark, tmp_path):
+    """On a hive-partitioned table, target_file_mb splits each
+    PARTITION into ~num_files/n_partitions pieces — a global
+    round-robin would scatter every partition value across all tasks
+    and write ~num_files files per partition dir."""
+    from plankton_spark.sources.delta_log import DeltaLog
+
+    big = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("grp"),
+        F.sha2(F.col("id").cast("string"), 256).alias("s"),
+    )
+    root = str(tmp_path / "dlp")
+    w = DeltaLogWriter(spark, root)
+    w.create(big.repartition(4), partition_by=["grp"])
+    w.optimize(target_file_mb=0.2)
+    _, _, active = DeltaLog(root).replay(None)
+    per_dir: dict[str, int] = {}
+    for rel in active:
+        per_dir[rel.split("/")[0]] = per_dir.get(rel.split("/")[0], 0) + 1
+    total = sum(per_dir.values())
+    assert total > 2, "tiny target must produce several files"
+    for d, n in per_dir.items():
+        assert n <= total // 2 + 1, (
+            f"partition {d} holds {n} of {total} files — "
+            "global round-robin leak"
+        )
+    assert read_delta(spark, root).count() == 20000

@@ -244,10 +244,15 @@ def test_rate_limited_offsets_snap_to_line_boundaries(tmp_path):
     _write_lines(p0, 5)
     schema = T.StructType([T.StructField("event_id", T.LongType())])
     r = jsonl_tail.JsonlTailStreamReader(topic, schema, max_bytes=40)
-    # first trigger: unthrottled (no checkpointed start is visible to
-    # this API — capping from zero could regress a restart's offset)
+    # RESTART shape (no initialOffset call): first trigger unthrottled
+    # — capping from zero could regress the checkpoint
     o1 = r.latestOffset()["files"]["p0.jsonl"]
     assert o1 == os.path.getsize(p0)
+    # FRESH-start shape: initialOffset sets a zero baseline, so even
+    # the first batch of a pre-existing backlog is throttled
+    r2 = jsonl_tail.JsonlTailStreamReader(topic, schema, max_bytes=40)
+    r2.initialOffset()
+    assert r2.latestOffset()["files"]["p0.jsonl"] <= 40
     # backlog lands; subsequent triggers drain it in bounded steps
     _write_lines(p0, 100, start=5)
     o2 = r.latestOffset()["files"]["p0.jsonl"]
