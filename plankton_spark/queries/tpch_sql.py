@@ -228,3 +228,111 @@ def q_tpch_q18(spark, sf_dir):
     aggregate), rolled up with customer identity. Quantities in
     cent-exact integers. The SAME SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpch_q18", _Q18)
+
+
+_Q6 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+_Q19 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                  AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity >= 1 AND l_quantity <= 21)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        AND l_quantity >= 10 AND l_quantity <= 30)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        AND l_quantity >= 20 AND l_quantity <= 40))
+"""
+
+_Q22 = """
+SELECT cntrycode, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey % 7 AS BIGINT) AS cntrycode, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (
+      SELECT AVG(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer
+      WHERE c_acctbal > 0.00 AND c_nationkey % 7 IN (0, 1, 2, 3)
+    )
+    AND c_nationkey % 7 IN (0, 1, 2, 3)
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= DATE '2000-01-01'
+    )
+) custsale
+GROUP BY cntrycode
+"""
+
+_TABLES.update(
+    {
+        "q_tpch_q6": ("lineitem",),
+        "q_tpch_q13": ("customer", "orders"),
+        "q_tpch_q19": ("lineitem", "part"),
+        "q_tpch_q22": ("customer", "orders"),
+    }
+)
+
+
+@query("q_tpch_q6", oracle=_Q6)
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): the pure scan-side query —
+    every predicate pushes to the parquet reader, one global decimal
+    agg, zero joins. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q6", _Q6)
+
+
+@query("q_tpch_q13", oracle=_Q13)
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    with an ON-clause filter on the RIGHT side (customers with zero
+    qualifying orders must survive with count 0) folded into a
+    distribution histogram. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q13", _Q13)
+
+
+@query("q_tpch_q19", oracle=_Q19)
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, fixture-adapted brands): a
+    disjunction of brand x size x quantity windows that must evaluate
+    AFTER the join (no single-side pushdown) — the classic
+    OR-of-conjunctions join predicate. The SAME SQL text is the
+    oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q19", _Q19)
+
+
+@query("q_tpch_q22", oracle=_Q22)
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity, fixture-adapted country
+    codes): scalar AVG subquery threshold + NOT EXISTS anti-join on
+    RECENT orders (every fixture customer has SOME order, so the
+    classic no-orders form would be an empty-set test), rolled up per
+    derived country code. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q22", _Q22)
