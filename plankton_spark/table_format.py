@@ -171,6 +171,89 @@ class PlankTable:
             )
         return out
 
+    def properties(self, version: int | None = None) -> dict:
+        """Table properties at `version`: replayed from `meta` actions
+        (a {key: value} per commit; value None unsets). Checkpoints
+        carry the folded state, so properties survive expire_log."""
+        target = self.latest_version() if version is None else version
+        d = _log_dir(self.path)
+        ckpts = sorted(
+            int(e.split(".")[0])
+            for e in os.listdir(d)
+            if e.endswith(".checkpoint.json") and int(e.split(".")[0]) <= target
+        )
+        props: dict = {}
+        start = 0
+        if ckpts:
+            with open(_checkpoint_file(self.path, ckpts[-1])) as f:
+                props = dict(json.load(f).get("meta") or {})
+            start = ckpts[-1] + 1
+        for v in range(start, target + 1):
+            vf = _version_file(self.path, v)
+            if not os.path.exists(vf):
+                continue  # expiry gaps: the checkpoint carried the fold
+            with open(vf) as f:
+                m = json.load(f).get("meta") or {}
+            for k, val in m.items():
+                if val is None:
+                    props.pop(k, None)
+                else:
+                    props[k] = val
+        return props
+
+    def set_properties(self, updates: dict) -> int:
+        """Set (value) / unset (None) table properties in one commit."""
+        for _ in range(20):
+            try:
+                return self._commit(
+                    self._next_version(),
+                    operation="SETPROPERTIES",
+                    add=[],
+                    remove=[],
+                    meta=dict(updates),
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"{self.path}: gave up after retries")
+
+    def constraints(self) -> dict[str, str]:
+        """{name: sql_expr} CHECK constraints (stored as
+        `constraints.<name>` properties — Delta-writer parity)."""
+        try:
+            props = self.properties()
+        except FileNotFoundError:
+            return {}
+        pre = "constraints."
+        return {
+            k[len(pre):]: v for k, v in props.items() if k.startswith(pre)
+        }
+
+    def add_constraint(self, name: str, expr_sql: str) -> int:
+        """ADD CONSTRAINT ... CHECK (expr), at DeltaLogWriter parity:
+        existing rows are validated first; every staged write then
+        refuses violating rows (SQL CHECK: NULL passes, only FALSE
+        violates)."""
+        bad = self.read().where(~F.coalesce(F.expr(expr_sql), F.lit(True)))
+        if not bad.isEmpty():
+            raise ValueError(
+                f"{self.path}: existing rows violate CHECK ({expr_sql}) "
+                "— constraint not added"
+            )
+        return self.set_properties({f"constraints.{name}": expr_sql})
+
+    def drop_constraint(self, name: str) -> int:
+        if name not in self.constraints():
+            raise ValueError(f"{self.path}: no constraint {name!r}")
+        return self.set_properties({f"constraints.{name}": None})
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        for name, expr_sql in sorted(self.constraints().items()):
+            if not df.where(~F.coalesce(F.expr(expr_sql), F.lit(True))).isEmpty():
+                raise ValueError(
+                    f"{self.path}: rows violate CHECK constraint "
+                    f"{name!r} ({expr_sql}); write refused"
+                )
+
     # -- read path -----------------------------------------------------
 
     def files(self, version: int | None = None) -> list[str]:
@@ -259,7 +342,9 @@ class PlankTable:
     def _stage(self, df: DataFrame) -> list[dict]:
         """Write df as parquet data files under a unique staging name;
         returns add-actions (file + stats). Files are invisible until
-        a commit references them."""
+        a commit references them. Declared CHECK constraints are
+        enforced on every staged frame."""
+        self._enforce_constraints(df)
         stage_id = uuid.uuid4().hex
         stage_dir = os.path.join(self.path, f".stage-{stage_id}")
         df.write.mode("overwrite").parquet(stage_dir)
@@ -291,6 +376,7 @@ class PlankTable:
         add: list[dict],
         remove: list[str],
         txn: dict | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Atomically claim `version`. O_EXCL creation is the lock: if
         the file exists, a concurrent writer won — raise
@@ -305,6 +391,8 @@ class PlankTable:
         }
         if txn is not None:
             payload["txn"] = txn
+        if meta is not None:
+            payload["meta"] = meta
         tmp = _version_file(self.path, version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(payload, f)
@@ -329,7 +417,9 @@ class PlankTable:
             live = self._snapshot(version)
             ctmp = _checkpoint_file(self.path, version) + f".tmp-{uuid.uuid4().hex}"
             with open(ctmp, "w") as f:
-                json.dump({"live": live}, f)
+                # meta rides the checkpoint: properties must survive
+                # expire_log dropping the commits that set them
+                json.dump({"live": live, "meta": self.properties(version)}, f)
             os.replace(ctmp, _checkpoint_file(self.path, version))
         return version
 
@@ -741,7 +831,13 @@ class PlankTable:
 
             tmp = ckpt + f".tmp-{_uuid.uuid4().hex}"
             with open(tmp, "w") as f:
-                json.dump({"live": self._snapshot(cutoff)}, f)
+                json.dump(
+                    {
+                        "live": self._snapshot(cutoff),
+                        "meta": self.properties(cutoff),
+                    },
+                    f,
+                )
             os.replace(tmp, ckpt)
         d = _log_dir(self.path)
         expired: list[int] = []

@@ -119,3 +119,48 @@ def test_not_null_enforced_through_column_mapping(spark, tmp_path):
         .coalesce(1)
     )
     assert read_delta(spark, root).count() == 2
+
+
+# ---------------------------------------------------------------------
+# planktable parity (properties + CHECK constraints)
+# ---------------------------------------------------------------------
+
+
+def test_planktable_properties_survive_expiry(spark, tmp_path):
+    from plankton_spark.table_format import PlankTable
+
+    t = PlankTable(spark, str(tmp_path / "pt_props"))
+    t.create(spark.range(3).selectExpr("id AS k"))
+    t.set_properties({"owner": "pipeline-a", "tier": "gold"})
+    t.set_properties({"tier": None})  # unset
+    assert t.properties() == {"owner": "pipeline-a"}
+    # pre-expiry time travel sees the historical property state
+    assert t.properties(version=1) == {"owner": "pipeline-a", "tier": "gold"}
+    # survives log expiry via the checkpoint's meta fold
+    for i in range(6):
+        t.append(spark.range(i, i + 1).selectExpr("id AS k"))
+    t.expire_log(keep_versions=2)
+    assert t.properties() == {"owner": "pipeline-a"}
+
+
+def test_planktable_check_constraints(spark, tmp_path):
+    from plankton_spark.table_format import PlankTable
+
+    t = PlankTable(spark, str(tmp_path / "pt_cons"))
+    t.create(
+        spark.createDataFrame([(1, 10.0), (2, None)], "k long, price double")
+    )
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("pos", "price > 100")
+    t.add_constraint("pos", "price > 0")  # NULL passes
+    with pytest.raises(ValueError, match="pos"):
+        t.append(spark.createDataFrame([(3, -1.0)], "k long, price double"))
+    t.append(spark.createDataFrame([(3, 30.0)], "k long, price double"))
+    with pytest.raises(ValueError, match="pos"):
+        t.merge(
+            spark.createDataFrame([(1, -5.0)], "k long, price double"), "k"
+        )
+    assert t.read().count() == 3
+    t.drop_constraint("pos")
+    t.append(spark.createDataFrame([(4, -1.0)], "k long, price double"))
+    assert t.read().count() == 4
