@@ -159,6 +159,56 @@ def q_table_replacewhere(spark, sf_dir):
 
 
 @query(
+    "q_table_convert_cross",
+    oracle="""
+    WITH kept AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey < 1000 AND o_orderstatus <> 'F'
+    ),
+    appended AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1500
+    ),
+    final AS (SELECT * FROM kept UNION ALL SELECT * FROM appended)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_at_convert
+    FROM final
+    """,
+)
+def q_table_convert_cross(spark, sf_dir):
+    """Cross-format migration with ZERO rewrite: a planktable (create
+    + row-level delete, so the snapshot is a real multi-commit state)
+    becomes a Delta table in place — its current files re-registered
+    as version 0 add actions with footer stats — then a DELTA append
+    lands on top. The old planktable log still time-travels
+    (n_at_convert reads it); the final state reads through the Delta
+    log."""
+    from plankton_spark.sources.delta_log import (
+        DeltaLogWriter,
+        convert_planktable_to_delta,
+        read_delta,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    t = _fresh_table(spark, sf_dir, "pt_cross")  # rmtree'd fresh
+    t.create(o.where(F.col("o_orderkey") < 1000))
+    t.delete_where(F.col("o_orderstatus") == "F")
+    convert_planktable_to_delta(spark, t.path)
+    w = DeltaLogWriter(spark, t.path)
+    w.append(
+        o.where(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1500)
+        ).coalesce(1)
+    )
+    n_then = t.read(version=1).count()
+    return read_delta(spark, t.path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    ).withColumn("n_at_convert", F.lit(n_then).cast("long"))
+
+
+@query(
     "q_table_cdc",
     oracle="""
     WITH v1 AS (

@@ -2464,3 +2464,73 @@ def clone_delta(spark, src_path: str, dst_path: str) -> int:
         a["dataChange"] = True
         actions.append({"add": a})
     return w._commit(0, actions)
+
+
+def convert_planktable_to_delta(spark, table_path: str) -> int:
+    """Migrate a planktable to Delta IN PLACE with zero rewrite: the
+    current snapshot's parquet files (already plain parquet under the
+    table root) become version 0's add actions — O(files) footer
+    stats, data untouched. The `_log/` directory stays behind as the
+    planktable history (time travel on the OLD format keeps working
+    for retained versions); new writes go through the Delta log.
+    Refuses when a _delta_log already exists."""
+    from plankton_spark.table_format import PlankTable
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    if os.path.isdir(log_dir) and _commit_versions(log_dir):
+        raise FileExistsError(f"{table_path}: already a Delta table")
+    t = PlankTable(spark, table_path)
+    snap = t._snapshot()  # raises if not a planktable
+    adds = []
+    for rel in sorted(snap):
+        p = os.path.join(table_path, rel)
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(p),
+                    "modificationTime": int(os.path.getmtime(p) * 1000),
+                    "dataChange": True,
+                    "stats": json.dumps(_file_stats(p)),
+                }
+            }
+        )
+    schema = t.read().schema
+    w = DeltaLogWriter(spark, table_path)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        w._metadata_action(schema, []),
+    ] + adds
+    return w._commit(0, actions)
+
+
+def convert_delta_to_planktable(spark, table_path: str) -> int:
+    """The reverse migration: the Delta table's current snapshot
+    becomes planktable version 0 — metadata-only, same zero-rewrite
+    contract. Refuses partitioned tables (Delta's hive layout omits
+    partition columns from file content, which planktable's
+    file-derived schema cannot represent), and snapshot() already
+    refuses DV'd or column-mapped sources. The `_delta_log` stays
+    behind for the old format's time travel."""
+    from plankton_spark.table_format import PlankTable, _collect_stats
+
+    t = PlankTable(spark, table_path)
+    if t.versions():
+        raise FileExistsError(f"{table_path}: already a planktable")
+    schema, part_cols, files = DeltaLog(table_path).snapshot(None)
+    if part_cols:
+        raise ValueError(
+            f"{table_path}: partitioned Delta tables cannot become a "
+            "planktable — the hive layout omits partition columns "
+            "from file content, which a file-derived schema cannot "
+            "represent"
+        )
+    adds = [
+        {
+            "file": os.path.relpath(p, table_path),
+            "stats": _collect_stats(p),
+        }
+        for p, _ in sorted(files)
+    ]
+    return t._commit(0, operation="CONVERT", add=adds, remove=[])

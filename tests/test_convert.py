@@ -220,3 +220,64 @@ def test_optimize_target_respects_partitions(spark, tmp_path):
             "global round-robin leak"
         )
     assert read_delta(spark, root).count() == 20000
+
+
+# ---------------------------------------------------------------------
+# cross-format migration (planktable <-> Delta, metadata-only)
+# ---------------------------------------------------------------------
+
+
+def test_planktable_to_delta_roundtrip(spark, tmp_path):
+    from plankton_spark.sources.delta_log import (
+        convert_planktable_to_delta,
+    )
+    from plankton_spark.table_format import PlankTable
+
+    root = str(tmp_path / "pt2d")
+    t = PlankTable(spark, root)
+    t.create(_df(spark).coalesce(2))
+    t.delete_where(F.col("k") >= 8)
+    v = convert_planktable_to_delta(spark, root)
+    assert v == 0
+    assert _content(read_delta(spark, root)) == sorted(
+        (k, k % 2) for k in range(8)
+    )
+    # Delta writes work; the old planktable history still time-travels
+    w = DeltaLogWriter(spark, root)
+    w.append(spark.createDataFrame([(100, 0)], "k long, grp long").coalesce(1))
+    assert read_delta(spark, root).count() == 9
+    assert t.read(version=0).count() == 10
+    with pytest.raises(FileExistsError, match="already a Delta"):
+        convert_planktable_to_delta(spark, root)
+    # MERGE exercises the converted add actions' stats pruning
+    w.merge(
+        spark.createDataFrame([(0, 5)], "k long, grp long"), "k"
+    )
+    got = dict(_content(read_delta(spark, root)))
+    assert got[0] == 5
+
+
+def test_delta_to_planktable_roundtrip_and_refusals(spark, tmp_path):
+    from plankton_spark.sources.delta_log import (
+        convert_delta_to_planktable,
+    )
+    from plankton_spark.table_format import PlankTable
+
+    root = str(tmp_path / "d2pt")
+    w = DeltaLogWriter(spark, root)
+    w.create(_df(spark).coalesce(2))
+    w.delete_where(F.col("k") >= 8)
+    convert_delta_to_planktable(spark, root)
+    t = PlankTable(spark, root)
+    assert _content(t.read()) == sorted((k, k % 2) for k in range(8))
+    # planktable writes work (incl. stats-pruned merge on converted adds)
+    t.append(spark.createDataFrame([(100, 0)], "k long, grp long"))
+    assert t.read().count() == 9
+    with pytest.raises(FileExistsError, match="already a planktable"):
+        convert_delta_to_planktable(spark, root)
+    # partitioned source refuses
+    proot = str(tmp_path / "d2pt_part")
+    wp = DeltaLogWriter(spark, proot)
+    wp.create(_df(spark), partition_by=["grp"])
+    with pytest.raises(ValueError, match="partitioned"):
+        convert_delta_to_planktable(spark, proot)
