@@ -653,3 +653,68 @@ def q_agg_mode(spark, sf_dir):
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+@query(
+    "q_profile_table",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           ROUND(CAST(CAST(MIN(l_quantity) AS DECIMAL(18,4)) AS DOUBLE), 4)
+             AS min_v,
+           ROUND(CAST(CAST(MAX(l_quantity) AS DECIMAL(18,4)) AS DOUBLE), 4)
+             AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), CAST(COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           ROUND(CAST(CAST(MIN(l_extendedprice) AS DECIMAL(18,4)) AS DOUBLE), 4),
+           ROUND(CAST(CAST(MAX(l_extendedprice) AS DECIMAL(18,4)) AS DOUBLE), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), CAST(COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           ROUND(CAST(CAST(MIN(l_discount) AS DECIMAL(18,4)) AS DOUBLE), 4),
+           ROUND(CAST(CAST(MAX(l_discount) AS DECIMAL(18,4)) AS DOUBLE), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), CAST(COUNT(l_tax) AS BIGINT),
+           CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+           ROUND(CAST(CAST(MIN(l_tax) AS DECIMAL(18,4)) AS DOUBLE), 4),
+           ROUND(CAST(CAST(MAX(l_tax) AS DECIMAL(18,4)) AS DOUBLE), 4)
+    FROM lineitem
+    """,
+)
+def q_profile_table(spark, sf_dir):
+    """Column profiling (the ANALYZE TABLE / data-quality-report
+    surface): per numeric column, row count, non-null count, exact
+    distinct count, and decimal-exact min/max — the statistics an
+    optimizer's CBO and a data-quality gate both read.
+
+    Scale shape: ONE pass over the fact table computing every
+    column's counts/min/max as partial-combinable aggregates, plus
+    one count_distinct per column (Spark rewrites each into a
+    two-stage expand + partial agg — still no driver-side loop over
+    columns; the EXPAND multiplies rows by #profiled columns, which
+    is why production profilers cap the exact-distinct column list
+    and fall back to HLL beyond it, the documented approx path
+    q_agg_approxdistinct covers)."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = read_table(spark, sf_dir, "lineitem").select(*cols)
+    out = None
+    for c in cols:
+        prof = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).cast("long").alias("n_nonnull"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+            F.round(F.min(c).cast("decimal(18,4)").cast("double"), 4).alias(
+                "min_v"
+            ),
+            F.round(F.max(c).cast("decimal(18,4)").cast("double"), 4).alias(
+                "max_v"
+            ),
+        ).select(F.lit(c).alias("col"), "*")
+        out = prof if out is None else out.unionByName(prof)
+    return out

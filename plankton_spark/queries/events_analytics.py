@@ -587,3 +587,139 @@ def q_attribution(spark, sf_dir):
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "q_anomaly_cusum",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    obs AS (
+      SELECT event_type, CAST(date_trunc('hour', ts2) AS TIMESTAMP) AS hr,
+             COUNT(*) AS n
+      FROM e GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT t.event_type, h.hr
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (
+        SELECT UNNEST(generate_series(
+          (SELECT MIN(hr) FROM obs), (SELECT MAX(hr) FROM obs),
+          INTERVAL 1 HOUR)) AS hr
+      ) h
+    ),
+    series AS (
+      SELECT c.event_type, c.hr,
+             CAST(COALESCE(obs.n, 0) AS BIGINT) AS n,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c.event_type ORDER BY c.hr) - 1 AS BIGINT)
+               AS idx
+      FROM cal c LEFT JOIN obs
+        ON obs.event_type = c.event_type AND obs.hr = c.hr
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT) AS mean_micro
+      FROM series GROUP BY event_type
+    ),
+    dev AS (
+      SELECT s.event_type, s.idx,
+             s.n * 1000000 - st.mean_micro - st.mean_micro // 2 AS d
+      FROM series s JOIN stats st ON st.event_type = s.event_type
+    ),
+    pfx AS (
+      SELECT event_type, idx,
+             CAST(SUM(d) OVER w AS BIGINT) AS p
+      FROM dev
+      WINDOW w AS (PARTITION BY event_type ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    cusum AS (
+      SELECT p2.event_type, p2.idx,
+             p2.p - LEAST(CAST(0 AS BIGINT), CAST(MIN(p2.p) OVER (
+               PARTITION BY p2.event_type ORDER BY p2.idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT)) AS s
+      FROM pfx p2
+    ),
+    flagged AS (
+      SELECT c.*, st.mean_micro * 3 AS h
+      FROM cusum c JOIN stats st ON st.event_type = c.event_type
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_hours,
+           CAST(MAX(s) AS BIGINT) AS max_cusum_micro,
+           CAST(MIN(CASE WHEN s > h THEN idx END) AS BIGINT)
+             AS first_alarm_idx
+    FROM flagged GROUP BY event_type
+    """,
+)
+def q_anomaly_cusum(spark, sf_dir):
+    """CUSUM change-point detection over the per-type hourly volume
+    series (the streaming-ops 'did traffic shift regime' monitor):
+    one-sided CUSUM S_i = max(0, S_{i-1} + x_i - mean - slack),
+    alarming when S crosses 3x the hourly mean.
+
+    The recursion is NOT directly window-expressible, but its closed
+    form is: S_i = prefix_i - min(0, running_min(prefix_{<i})) —
+    one running sum + one running min over the CALENDAR-sized frame
+    (bounded by wall-clock span, the gapfill rule, so the per-type
+    window partitioning is safe). All arithmetic in integer
+    micro-units: counts, means (floor division on positives), and
+    deviations are exact in both engines."""
+    e = _events_second(spark, sf_dir)
+    obs = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts2").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = obs.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    cal = e.select("event_type").distinct().crossJoin(hours)
+    w_ord = Window.partitionBy("event_type").orderBy("hr")
+    series = (
+        cal.join(obs, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .withColumn("idx", (F.row_number().over(w_ord) - 1).cast("long"))
+    )
+    stats = series.groupBy("event_type").agg(
+        F.expr("CAST((sum(n) * 1000000) DIV count(*) AS BIGINT)").alias(
+            "mean_micro"
+        )
+    )
+    dev = series.join(stats, "event_type").select(
+        "event_type",
+        "idx",
+        (
+            F.col("n") * 1000000
+            - F.col("mean_micro")
+            - F.expr("mean_micro DIV 2")
+        ).alias("d"),
+        "mean_micro",
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pfx = dev.withColumn("p", F.sum("d").over(w_run))
+    cusum = pfx.withColumn(
+        "s",
+        F.col("p")
+        - F.least(F.lit(0).cast("long"), F.min("p").over(w_prev)),
+    )
+    alarm = F.col("s") > F.col("mean_micro") * 3
+    return cusum.groupBy("event_type").agg(
+        F.sum(alarm.cast("int")).cast("long").alias("n_alarm_hours"),
+        F.max("s").cast("long").alias("max_cusum_micro"),
+        F.min(F.when(alarm, F.col("idx"))).cast("long").alias("first_alarm_idx"),
+    )
