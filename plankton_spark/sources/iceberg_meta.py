@@ -2197,7 +2197,11 @@ class IcebergWriter:
         raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
 
     def optimize(
-        self, num_files: int = 1, target_file_mb: float | None = None
+        self,
+        num_files: int = 1,
+        target_file_mb: float | None = None,
+        zorder_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
     ) -> int:
         """Compaction (the spec's rewrite/'replace' operation): the
         live file set re-staged as `num_files` larger files, every
@@ -2232,7 +2236,26 @@ class IcebergWriter:
             df = self.spark.read.schema(table.schema()).parquet(
                 *[p for p, _ in entries]
             )
-        if target_file_mb is not None:
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
+        if zorder_by:
+            # multi-dimensional Z-ORDER clustering (planktable/Delta
+            # parity — shared zvalue_column): interleaved-bit ranks
+            # keep every file narrow in ALL z-ordered dimensions,
+            # tightening the per-file stats MERGE pruning reads
+            from plankton_spark.table_format import zvalue_column
+
+            df = (
+                df.withColumn("__z", zvalue_column(df, zorder_by))
+                .repartitionByRange(num_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif sort_by:
+            df = df.repartitionByRange(num_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        elif target_file_mb is not None:
             # repartition, not coalesce: a huge file must be able to
             # SPLIT up to the target size. Partition-spec'd tables
             # split per partition via a salt over the spec's source

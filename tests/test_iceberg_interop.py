@@ -1440,3 +1440,44 @@ def test_rename_swap_resolves_by_id_in_wrapper(spark, tmp_path):
     df = spark.read.format("iceberglog").option("path", root).load()
     got2 = sorted((r.a, r.b) for r in df.collect())
     assert got2 == [(100, 1), (200, 2)]
+
+
+def test_iceberg_optimize_zorder_tightens_stats(spark, tmp_path):
+    """OPTIMIZE ZORDER parity with Delta/planktable: z-clustered files
+    are narrow in BOTH z dimensions, so a narrow predicate on either
+    dimension prunes files by footer stats."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergTable,
+        IcebergWriter,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "ib_z")
+    w = IcebergWriter(spark, root)
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    w.create(df.repartition(8))
+    w.optimize(num_files=4, zorder_by=["x", "y"])
+    t = IcebergTable(root)
+    files = t.data_files()
+    assert len(files) == 4
+    # each z-ordered file must span well under the full domain in x
+    spans = []
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        mn = min(
+            md.row_group(i).column(0).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        mx = max(
+            md.row_group(i).column(0).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        spans.append(mx - mn)
+    assert sum(sp < 64 for sp in spans) >= 2, spans
+    assert read_iceberg(spark, root).count() == 4000
