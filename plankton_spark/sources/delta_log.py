@@ -2534,3 +2534,65 @@ def convert_delta_to_planktable(spark, table_path: str) -> int:
         for p, _ in sorted(files)
     ]
     return t._commit(0, operation="CONVERT", add=adds, remove=[])
+
+
+def delta_history(table_path: str) -> list[dict]:
+    """DESCRIBE HISTORY for a Delta table: one record per retained
+    commit — version, timestamp (log-file mtime, the spec's commit
+    time), action counts, and an operation label. The label comes
+    from a commitInfo action when a foreign writer recorded one
+    (commitInfo is OPTIONAL in the spec) and is otherwise derived
+    from the action shape, which this engine's own commits determine
+    unambiguously: metadata/protocol-only commits, blind appends
+    (adds only), rewrites (adds+removes with dataChange), and
+    layout-only OPTIMIZE (dataChange false throughout)."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    out = []
+    for v in _commit_versions(log_dir):
+        path = os.path.join(log_dir, f"{v:020d}.json")
+        with open(path) as fh:
+            actions = [json.loads(x) for x in fh if x.strip()]
+        n_add = sum(1 for a in actions if "add" in a)
+        n_remove = sum(1 for a in actions if "remove" in a)
+        has_meta = any("metaData" in a for a in actions)
+        has_proto = any("protocol" in a for a in actions)
+        info = next(
+            (a["commitInfo"] for a in actions if "commitInfo" in a), None
+        )
+        data_change = any(
+            a["add"].get("dataChange", True)
+            for a in actions
+            if "add" in a
+        ) or any(
+            a["remove"].get("dataChange", True)
+            for a in actions
+            if "remove" in a
+        )
+        if info and info.get("operation"):
+            op = info["operation"]
+        elif n_add and n_remove and not data_change:
+            op = "OPTIMIZE"
+        elif n_add and n_remove:
+            op = "REWRITE"
+        elif n_add and has_meta and v == 0:
+            op = "CREATE"
+        elif n_add:
+            op = "WRITE"
+        elif n_remove:
+            op = "DELETE"
+        elif has_meta or has_proto:
+            op = "SET METADATA"
+        else:
+            op = "EMPTY"
+        out.append(
+            {
+                "version": v,
+                "timestamp_ms": int(os.path.getmtime(path) * 1000),
+                "operation": op,
+                "n_added": n_add,
+                "n_removed": n_remove,
+                "metadata_changed": has_meta,
+                "protocol_changed": has_proto,
+            }
+        )
+    return out

@@ -2740,3 +2740,25 @@ def convert_to_iceberg(
     }
     w._commit_metadata(1, metadata)
     return snap_id
+
+
+def iceberg_history(table_path: str) -> list[dict]:
+    """Snapshot history for an Iceberg table: one record per retained
+    snapshot — id, real epoch timestamp-ms, manifest list, whether it
+    is the current snapshot, and which refs point at it."""
+    t = IcebergTable(table_path)
+    cur = t.metadata.get("current-snapshot-id")
+    refs = t.metadata.get("refs") or {}
+    by_sid: dict[int, list[str]] = {}
+    for name, r in refs.items():
+        by_sid.setdefault(r["snapshot-id"], []).append(name)
+    return [
+        {
+            "snapshot_id": s["snapshot-id"],
+            "timestamp_ms": s.get("timestamp-ms"),
+            "manifest_list": s.get("manifest-list"),
+            "is_current": s["snapshot-id"] == cur,
+            "refs": sorted(by_sid.get(s["snapshot-id"], [])),
+        }
+        for s in t.metadata.get("snapshots") or []
+    ]

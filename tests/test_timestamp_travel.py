@@ -87,3 +87,43 @@ def test_iceberg_timestamp_as_of_and_real_timestamps(spark, tmp_path):
         read_iceberg(spark, root, timestamp_ms=int(before - 3_600_000))
     with pytest.raises(ValueError, match="at most one"):
         read_iceberg(spark, root, snapshot_id=1, timestamp_ms=int(t_mid))
+
+
+def test_history_surfaces_all_three_formats(spark, tmp_path):
+    """DESCRIBE HISTORY parity: planktable.history() (existing),
+    delta_history (operation derived from action shape — commitInfo
+    is optional per spec), iceberg_history (snapshots + refs)."""
+    from plankton_spark.sources.delta_log import (
+        DeltaLogWriter,
+        delta_history,
+    )
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        iceberg_history,
+    )
+
+    root = str(tmp_path / "dlh")
+    w = DeltaLogWriter(spark, root)
+    w.create(_k(spark, 0, 5).coalesce(1))
+    w.append(_k(spark, 10, 12).coalesce(1))
+    w.delete_where(F.col("k") == 11)  # partial: survivors re-stage
+    w.optimize(num_files=1)
+    w.add_constraint("pos", "k >= 0")
+    ops = [h["operation"] for h in delta_history(root)]
+    assert ops[0] == "CREATE"
+    assert ops[1] == "WRITE"
+    assert ops[2] == "REWRITE"
+    assert ops[3] == "OPTIMIZE"
+    assert ops[4] == "SET METADATA"
+    ts = [h["timestamp_ms"] for h in delta_history(root)]
+    assert ts == sorted(ts)
+
+    iroot = str(tmp_path / "ibh")
+    iw = IcebergWriter(spark, iroot)
+    s1 = iw.create(_k(spark, 0, 3).coalesce(1))
+    iw.append(_k(spark, 10, 12).coalesce(1))
+    iw.set_ref("v1", s1)
+    hist = iceberg_history(iroot)
+    assert [h["snapshot_id"] for h in hist] == [1, 2]
+    assert hist[1]["is_current"] and not hist[0]["is_current"]
+    assert hist[0]["refs"] == ["v1"]
