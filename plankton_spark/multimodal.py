@@ -296,3 +296,124 @@ def decode_media_bin(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(gen, schema=DECODED_BIN_SCHEMA)
+
+
+# -- real signal path: tone synthesis + numpy feature extraction ------
+#
+# The container has no audio codec, but PCM16 WAV is a plain struct
+# layout and numpy ships — so SYNTHESIS and FEATURE EXTRACTION are
+# fully real here: actual samples in the payload, actual FFT over
+# them on the executors. Frequencies are chosen to divide the sample
+# rate (integer cycles per window → zero spectral leakage), which is
+# what makes the dominant-bin output ANALYTICALLY exact and therefore
+# SQL-oracle-checkable.
+
+TONE_N = 4096
+TONE_SR = 8192
+TONE_AMP = 12000
+
+
+def tone_freq_for(doc_id: int) -> int:
+    """2^(3 + doc_id%8) Hz — 8..1024, every value divides TONE_SR."""
+    return 1 << (3 + int(doc_id) % 8)
+
+
+def make_tone_wav(freq: int, n_samples: int = TONE_N,
+                  sample_rate: int = TONE_SR) -> bytes:
+    """PCM16 mono WAV carrying a real sine tone (int16-quantized)."""
+    import numpy as np
+
+    t = np.arange(n_samples, dtype=np.float64)
+    samples = np.round(
+        TONE_AMP * np.sin(2.0 * np.pi * freq * t / sample_rate)
+    ).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate,
+        sample_rate * 2, 2, 16,
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def _wav_samples(b: bytes):
+    import numpy as np
+
+    n_channels, sample_rate, n = decode_wav_header(b)
+    off = 12
+    while off + 8 <= len(b):
+        cid, csize = struct.unpack_from("<4sI", b, off)
+        if cid == b"data":
+            raw = b[off + 8 : off + 8 + csize]
+            return sample_rate, np.frombuffer(raw, dtype="<i2")
+        off += 8 + csize
+    raise ValueError("WAV payload has no data chunk")
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, "
+    "dom_freq_hz long, zcr long, rms_micro long"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction on the executors (Arrow batches →
+    numpy): per payload, the dominant frequency via rFFT argmax (DC
+    excluded), the zero-crossing count, and integer micro-RMS from an
+    exact int64 sum of squares. No codec, no stub — the samples are
+    parsed from the PCM bytes and transformed with numpy."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, s = _wav_samples(bytes(payload))
+                n = len(s)
+                spec = np.abs(np.fft.rfft(s.astype(np.float64)))
+                dom_bin = int(np.argmax(spec[1:])) + 1
+                dom_freq = dom_bin * sr // n
+                signs = np.sign(s)
+                nz = signs[signs != 0]
+                zcr = int(np.count_nonzero(nz[1:] != nz[:-1]))
+                ssq = int((s.astype(np.int64) ** 2).sum())
+                rms_micro = int(
+                    round(np.sqrt(ssq / n) * 1_000_000)
+                )
+                rows.append(
+                    (int(doc_id), n, int(sr), int(dom_freq), zcr, rms_micro)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate",
+                    "dom_freq_hz", "zcr", "rms_micro",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def author_tone_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic tone corpus: every doc becomes a PCM16 WAV whose
+    sine frequency is 2^(3 + doc_id%8) Hz — integer cycles per
+    window, so the FFT's answer is knowable in closed form."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_tone_wav(tone_freq_for(d)) for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["audio/wav"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        gen, schema=MEDIA_BIN_SCHEMA
+    )

@@ -188,3 +188,36 @@ def q_multimodal_framesample(spark, sf_dir):
 q_multimodal_framesample.__doc__ = q_multimodal_framesample.__doc__.format(
     stride=FRAME_STRIDE, maxside=RESIZE_MAX_SIDE
 )
+
+
+@query(
+    "q_audio_features",
+    oracle="""
+    WITH toned AS (
+      SELECT doc_id,
+             CAST(POWER(2, 3 + doc_id % 8) AS BIGINT) AS f
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(4096 AS BIGINT) AS n_samples,
+           CAST(8192 AS BIGINT) AS sample_rate,
+           f AS dom_freq_hz
+    FROM toned
+    """,
+)
+def q_audio_features(spark, sf_dir):
+    """REAL distributed audio analysis, no codec required: each doc
+    becomes a PCM16 WAV carrying an actual int16 sine tone at
+    2^(3 + doc_id%8) Hz; the executors parse the PCM bytes and run a
+    numpy rFFT per payload (Arrow-batched mapInPandas), and the
+    dominant-bin frequency must equal the synthesized one EXACTLY —
+    frequencies divide the sample rate, so there is zero spectral
+    leakage and the oracle recomputes the answer in closed form.
+    zcr / rms are validated against analytic ground truth in
+    tests/test_multimodal.py (their exact values depend on int16
+    quantization, which SQL can't replay)."""
+    from plankton_spark.multimodal import audio_features, author_tone_corpus
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    feats = audio_features(author_tone_corpus(docs))
+    return feats.select("doc_id", "n_samples", "sample_rate", "dom_freq_hz")

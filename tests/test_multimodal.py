@@ -78,3 +78,33 @@ def test_decode_image_real_codec_path():
 def test_codec_probe_is_cached(monkeypatch):
     first = mm.image_codec()
     assert mm.image_codec() is first
+
+
+def test_audio_features_match_analytic_ground_truth(spark):
+    """The numpy feature extractor against closed-form signal theory:
+    dominant FFT bin == synthesized frequency exactly (integer cycles
+    → zero leakage), zero-crossing count == 2×cycles ±1 (quantized
+    zeros excluded), RMS == amplitude/√2 within quantization error."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from plankton_spark.multimodal import (
+        TONE_AMP,
+        audio_features,
+        author_tone_corpus,
+        tone_freq_for,
+    )
+    from plankton_spark.io import read_table
+    from tests.conftest import SF0001
+
+    docs = read_table(spark, SF0001, "documents").where(F.col("doc_id") < 24)
+    rows = audio_features(author_tone_corpus(docs)).collect()
+    assert len(rows) == 24
+    for r in rows:
+        f = tone_freq_for(r["doc_id"])
+        assert r["dom_freq_hz"] == f, (r["doc_id"], f, r["dom_freq_hz"])
+        cycles = f * r["n_samples"] // r["sample_rate"]
+        assert abs(r["zcr"] - 2 * cycles) <= 1, (f, cycles, r["zcr"])
+        expect_rms = TONE_AMP / math.sqrt(2) * 1_000_000
+        assert abs(r["rms_micro"] - expect_rms) / expect_rms < 0.01
