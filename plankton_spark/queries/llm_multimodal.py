@@ -221,3 +221,44 @@ def q_audio_features(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     feats = audio_features(author_tone_corpus(docs))
     return feats.select("doc_id", "n_samples", "sample_rate", "dom_freq_hz")
+
+
+@query(
+    "q_image_features",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             16 + doc_id % 16 AS w,
+             12 + doc_id % 12 AS h
+      FROM documents WHERE doc_id < 120
+    ),
+    cells AS (
+      SELECT d.doc_id, d.w, d.h, gx.x, gy.y,
+             (gx.x * 17 + gy.y * 29) % 256 AS p
+      FROM docs d,
+           UNNEST(generate_series(0, d.w - 1)) AS gx(x),
+           UNNEST(generate_series(0, d.h - 1)) AS gy(y)
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(w) AS BIGINT) AS width,
+           CAST(ANY_VALUE(h) AS BIGINT) AS height,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(SUM(CASE WHEN x < w - 1
+                THEN ABS(((x + 1) * 17 + y * 29) % 256 - p)
+                ELSE 0 END) AS BIGINT) AS edge_sum
+    FROM cells GROUP BY doc_id
+    """,
+)
+def q_image_features(spark, sf_dir):
+    """REAL distributed image analysis with zero codecs: each doc
+    becomes a 24bpp BMP whose gray pixel at (x,y) is the closed-form
+    gradient (x*17 + y*29) % 256 — ACTUAL pixel bytes, 4-byte row
+    padding, bottom-up row order. Executors parse the pixel rows with
+    numpy and reduce to total brightness + horizontal L1 gradient
+    energy; the oracle recomputes both by brute-force enumeration of
+    the same grid in SQL — every value exact-integer, so any parsing
+    slip (padding, row order, channel offset) is a hash mismatch."""
+    from plankton_spark.multimodal import author_gradient_corpus, image_features
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return image_features(author_gradient_corpus(docs))
