@@ -516,3 +516,94 @@ def author_gradient_corpus(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "n_chars").mapInPandas(
         gen, schema=MEDIA_BIN_SCHEMA
     )
+
+
+# -- real motion path: multi-frame gray video + numpy frame diffs -----
+
+VID_MAGIC = b"VID0"
+
+
+def make_gradient_video(
+    width: int, height: int, n_frames: int
+) -> bytes:
+    """Tiny raw-gray video container (magic + dims + top-down frames):
+    frame k's pixel (x, y) is (x*17 + y*29 + k*31) % 256 — a
+    closed-form phase shift per frame, so inter-frame motion energy
+    is SQL-derivable."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    base = x[None, :] * 17 + y[:, None] * 29
+    frames = [
+        ((base + k * 31) % 256).astype(np.uint8).tobytes()
+        for k in range(n_frames)
+    ]
+    hdr = VID_MAGIC + struct.pack("<HHH", width, height, n_frames)
+    return hdr + b"".join(frames)
+
+
+VIDEO_FEATURES_SCHEMA = (
+    "doc_id long, width long, height long, n_frames long, "
+    "motion_sum long, frame0_sum long"
+)
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """REAL video analysis on the executors: every frame's gray plane
+    parsed with numpy, motion = the L1 energy of consecutive frame
+    diffs summed over the clip, plus the first frame's brightness —
+    exact integers (the decode-resize-framesample plumbing's missing
+    half, now with actual pixel arithmetic)."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != VID_MAGIC:
+                    raise ValueError("not a VID0 payload")
+                w, h, n = struct.unpack_from("<HHH", b, 4)
+                raw = np.frombuffer(
+                    b, dtype=np.uint8, count=w * h * n, offset=10
+                ).reshape(n, h, w).astype(np.int64)
+                motion = int(np.abs(raw[1:] - raw[:-1]).sum())
+                rows.append(
+                    (int(doc_id), w, h, n, motion, int(raw[0].sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames",
+                    "motion_sum", "frame0_sum",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen, schema=VIDEO_FEATURES_SCHEMA
+    )
+
+
+def author_video_corpus(documents: DataFrame) -> DataFrame:
+    """Deterministic clip corpus: dims and frame count from doc_id."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                make_gradient_video(
+                    8 + int(d) % 8, 6 + int(d) % 6, 3 + int(d) % 3
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": ["video/raw-gray"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        gen, schema=MEDIA_BIN_SCHEMA
+    )

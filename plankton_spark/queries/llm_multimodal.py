@@ -262,3 +262,47 @@ def q_image_features(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
     return image_features(author_gradient_corpus(docs))
+
+
+@query(
+    "q_video_motion",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             8 + doc_id % 8 AS w,
+             6 + doc_id % 6 AS h,
+             3 + doc_id % 3 AS nf
+      FROM documents WHERE doc_id < 120
+    ),
+    cells AS (
+      SELECT d.doc_id, d.w, d.h, d.nf, gx.x, gy.y, gk.k,
+             (gx.x * 17 + gy.y * 29 + gk.k * 31) % 256 AS p
+      FROM docs d,
+           UNNEST(generate_series(0, d.w - 1)) AS gx(x),
+           UNNEST(generate_series(0, d.h - 1)) AS gy(y),
+           UNNEST(generate_series(0, d.nf - 1)) AS gk(k)
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(w) AS BIGINT) AS width,
+           CAST(ANY_VALUE(h) AS BIGINT) AS height,
+           CAST(ANY_VALUE(nf) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN k < nf - 1
+                THEN ABS((x * 17 + y * 29 + (k + 1) * 31) % 256 - p)
+                ELSE 0 END) AS BIGINT) AS motion_sum,
+           CAST(SUM(CASE WHEN k = 0 THEN p ELSE 0 END) AS BIGINT)
+             AS frame0_sum
+    FROM cells GROUP BY doc_id
+    """,
+)
+def q_video_motion(spark, sf_dir):
+    """REAL distributed video analysis: raw-gray clips with actual
+    per-frame pixel bytes (closed-form phase shift per frame);
+    executors parse every frame with numpy and reduce to inter-frame
+    L1 motion energy + first-frame brightness, exact integers. The
+    oracle brute-force enumerates the same (x, y, frame) grid in SQL
+    — completing the image/audio/video triple where the math on the
+    bytes is real and the answer is provable."""
+    from plankton_spark.multimodal import author_video_corpus, video_features
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return video_features(author_video_corpus(docs))
