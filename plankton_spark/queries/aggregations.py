@@ -703,18 +703,29 @@ def q_profile_table(spark, sf_dir):
     q_agg_approxdistinct covers)."""
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     li = read_table(spark, sf_dir, "lineitem").select(*cols)
-    out = None
+    # ONE agg computing all 20 aggregates in a single scan (a
+    # per-column agg-union would read the fact table once per column
+    # — review finding), then stack() pivots the single wide row into
+    # one output row per column
+    aggs = []
     for c in cols:
-        prof = li.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(c).cast("long").alias("n_nonnull"),
-            F.countDistinct(c).cast("long").alias("n_distinct"),
-            F.round(F.min(c).cast("decimal(18,4)").cast("double"), 4).alias(
-                "min_v"
-            ),
-            F.round(F.max(c).cast("decimal(18,4)").cast("double"), 4).alias(
-                "max_v"
-            ),
-        ).select(F.lit(c).alias("col"), "*")
-        out = prof if out is None else out.unionByName(prof)
-    return out
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(c).cast("long").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("long").alias(f"{c}__nd"),
+            F.round(
+                F.min(c).cast("decimal(18,4)").cast("double"), 4
+            ).alias(f"{c}__mn"),
+            F.round(
+                F.max(c).cast("decimal(18,4)").cast("double"), 4
+            ).alias(f"{c}__mx"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__rows, {c}__nn, {c}__nd, {c}__mn, {c}__mx"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col, n_rows, n_nonnull, n_distinct, min_v, max_v)"
+    )

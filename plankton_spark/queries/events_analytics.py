@@ -637,7 +637,7 @@ def q_attribution(spark, sf_dir):
       SELECT p2.event_type, p2.idx,
              p2.p - LEAST(CAST(0 AS BIGINT), CAST(MIN(p2.p) OVER (
                PARTITION BY p2.event_type ORDER BY p2.idx
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT)) AS s
       FROM pfx p2
     ),
@@ -661,7 +661,7 @@ def q_anomaly_cusum(spark, sf_dir):
     alarming when S crosses 3x the hourly mean.
 
     The recursion is NOT directly window-expressible, but its closed
-    form is: S_i = prefix_i - min(0, running_min(prefix_{<i})) —
+    form is: S_i = prefix_i - min(0, running_min(prefix_{<=i})) —
     one running sum + one running min over the CALENDAR-sized frame
     (bounded by wall-clock span, the gapfill rule, so the per-type
     window partitioning is safe). All arithmetic in integer
@@ -706,16 +706,15 @@ def q_anomaly_cusum(spark, sf_dir):
         .orderBy("idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_prev = (
-        Window.partitionBy("event_type")
-        .orderBy("idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     pfx = dev.withColumn("p", F.sum("d").over(w_run))
+    # the closed form needs the running min INCLUDING the current row:
+    # S_i = p_i - min(0, min_{j<=i} p_j). Excluding it (the first cut,
+    # review finding) made S negative on partitions with no positive
+    # excursion, where one-sided CUSUM is >= 0 by definition.
     cusum = pfx.withColumn(
         "s",
         F.col("p")
-        - F.least(F.lit(0).cast("long"), F.min("p").over(w_prev)),
+        - F.least(F.lit(0).cast("long"), F.min("p").over(w_run)),
     )
     alarm = F.col("s") > F.col("mean_micro") * 3
     return cusum.groupBy("event_type").agg(

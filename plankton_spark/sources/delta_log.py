@@ -1048,19 +1048,26 @@ class DeltaLogWriter:
             for f in schema.fields
             if not f.nullable and phys.get(f.name, f.name) in df.columns
         ]
-        for name, expr_sql in sorted(cons.items()):
-            bad = df.where(~F.coalesce(F.expr(expr_sql), F.lit(True)))
-            if not bad.isEmpty():
-                raise ValueError(
-                    f"{self.table_path}: rows violate CHECK constraint "
-                    f"{name!r} ({expr_sql}); write refused"
-                )
+        # ONE OR-combined violation predicate across every CHECK and
+        # NOT NULL term → a single validation pass regardless of how
+        # many are declared (review finding: per-constraint isEmpty
+        # re-executed the full input plan N times)
+        viol = None
+        for _, expr_sql in sorted(cons.items()):
+            term = ~F.coalesce(F.expr(expr_sql), F.lit(True))
+            viol = term if viol is None else (viol | term)
         for col in required:
-            if not df.where(F.col(col).isNull()).isEmpty():
-                raise ValueError(
-                    f"{self.table_path}: NULL in NOT NULL column "
-                    f"{col!r}; write refused"
-                )
+            term = F.col(col).isNull()
+            viol = term if viol is None else (viol | term)
+        if viol is not None and not df.where(viol).isEmpty():
+            labels = ", ".join(
+                [f"CHECK {n}" for n in sorted(cons)]
+                + [f"NOT NULL {c}" for c in required]
+            )
+            raise ValueError(
+                f"{self.table_path}: rows violate a declared "
+                f"constraint ({labels}); write refused"
+            )
 
     def _stage(self, df, part_cols: list[str] | None = None) -> list[dict]:
         """Write df's partitions as parquet files under the table root;

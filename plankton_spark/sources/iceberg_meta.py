@@ -2212,6 +2212,11 @@ class IcebergWriter:
         append's rows this rewrite never read — data loss), so a
         racing append carries forward and a racing rewrite of a read
         file aborts the compaction."""
+        if sort_by and zorder_by:
+            # validate BEFORE the empty-table early return — a
+            # contradictory call must raise, not silently commit
+            # (review finding; Delta's optimize validates first too)
+            raise ValueError("pass sort_by or zorder_by, not both")
         table = IcebergTable(self.table_path)
         spec = self._writer_spec(table)
         part_cols = table.partition_fields()  # identity attach subset
@@ -2236,13 +2241,16 @@ class IcebergWriter:
             df = self.spark.read.schema(table.schema()).parquet(
                 *[p for p, _ in entries]
             )
-        if sort_by and zorder_by:
-            raise ValueError("pass sort_by or zorder_by, not both")
         if zorder_by:
             # multi-dimensional Z-ORDER clustering (planktable/Delta
             # parity — shared zvalue_column): interleaved-bit ranks
             # keep every file narrow in ALL z-ordered dimensions,
-            # tightening the per-file stats MERGE pruning reads
+            # tightening the per-file stats MERGE pruning reads.
+            # On a partition-spec'd table the hive split happens at
+            # staging, so num_files bounds files PER PARTITION — the
+            # same granularity Delta's OPTIMIZE documents (and this
+            # writer's own delete/merge use); the size-targeted path
+            # below is the one that salts for a GLOBAL file budget
             from plankton_spark.table_format import zvalue_column
 
             df = (

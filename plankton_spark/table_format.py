@@ -191,7 +191,21 @@ class PlankTable:
         for v in range(start, target + 1):
             vf = _version_file(self.path, v)
             if not os.path.exists(vf):
-                continue  # expiry gaps: the checkpoint carried the fold
+                # same refusal _snapshot gives the identical state: a
+                # missing commit below the earliest checkpoint means
+                # the version expired — silently returning {} would be
+                # a wrong answer where reads raise (review finding)
+                all_ck = [
+                    int(e.split(".")[0])
+                    for e in os.listdir(d)
+                    if e.endswith(".checkpoint.json")
+                ]
+                if all_ck and min(all_ck) > target:
+                    raise ValueError(
+                        f"{self.path}: version {target} expired by "
+                        f"expire_log (earliest retained: {min(all_ck)})"
+                    )
+                raise FileNotFoundError(f"{self.path}: missing log version {v}")
             with open(vf) as f:
                 m = json.load(f).get("meta") or {}
             for k, val in m.items():
@@ -247,12 +261,23 @@ class PlankTable:
         return self.set_properties({f"constraints.{name}": None})
 
     def _enforce_constraints(self, df: DataFrame) -> None:
-        for name, expr_sql in sorted(self.constraints().items()):
-            if not df.where(~F.coalesce(F.expr(expr_sql), F.lit(True))).isEmpty():
-                raise ValueError(
-                    f"{self.path}: rows violate CHECK constraint "
-                    f"{name!r} ({expr_sql}); write refused"
-                )
+        cons = sorted(self.constraints().items())
+        if not cons:
+            return
+        # ONE OR-combined violation predicate → a single validation
+        # pass regardless of constraint count (review finding: a
+        # per-constraint isEmpty re-executed the full input plan N
+        # times — for merge, the whole join per constraint)
+        viol = None
+        for _, expr_sql in cons:
+            term = ~F.coalesce(F.expr(expr_sql), F.lit(True))
+            viol = term if viol is None else (viol | term)
+        if not df.where(viol).isEmpty():
+            names = ", ".join(n for n, _ in cons)
+            raise ValueError(
+                f"{self.path}: rows violate a CHECK constraint "
+                f"(declared: {names}); write refused"
+            )
 
     # -- read path -----------------------------------------------------
 
