@@ -306,3 +306,50 @@ def q_video_motion(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
     return video_features(author_video_corpus(docs))
+
+
+@query(
+    "q_media_dedup",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             16 + doc_id % 16 AS w,
+             12 + doc_id % 12 AS h
+      FROM documents WHERE doc_id < 300
+    ),
+    grp AS (
+      SELECT w, h, COUNT(*) AS n, MIN(doc_id) AS keeper
+      FROM sig GROUP BY w, h
+    )
+    SELECT COUNT(*) AS n_unique,
+           CAST(SUM(n) AS BIGINT) AS n_payloads,
+           CAST(SUM(n - 1) AS BIGINT) AS n_dupes,
+           CAST(MAX(n) AS BIGINT) AS max_group,
+           CAST(SUM(keeper) AS BIGINT) AS keeper_sum
+    FROM grp
+    """,
+)
+def q_media_dedup(spark, sf_dir):
+    """Exact BINARY dedup over media payloads: sha2 of the raw bytes
+    groups identical blobs, keep-min elects a canonical copy — the
+    multimodal twin of q_dedup_exact (dedup by content hash is how a
+    100 TB media lake drops re-uploads before any decode). The
+    gradient corpus makes payload identity a closed-form function of
+    (width, height), so the oracle re-derives group structure —
+    counts, dupes, max group, keeper ids — without hashing a byte:
+    the hash path and the combinatorics must agree exactly."""
+    from plankton_spark.multimodal import author_gradient_corpus
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    media = author_gradient_corpus(docs)
+    groups = media.groupBy(F.sha2("payload", 256).alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("n").cast("long").alias("n_payloads"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_dupes"),
+        F.max("n").cast("long").alias("max_group"),
+        F.sum("keeper").cast("long").alias("keeper_sum"),
+    )
