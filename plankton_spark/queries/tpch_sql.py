@@ -336,3 +336,98 @@ def q_tpch_q22(spark, sf_dir):
     classic no-orders form would be an empty-set test), rolled up per
     derived country code. The SAME SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpch_q22", _Q22)
+
+
+_Q8 = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_1' THEN vol
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share,
+       COUNT(*) AS n_lineitems
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS vol,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1,
+       nation n2, region
+  WHERE p_partkey = l_partkey
+    AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+"""
+
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       ROUND(CAST(total_rev AS DOUBLE), 4) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+_Q17 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+             AS DOUBLE) / 7.0, 4) AS avg_yearly,
+       COUNT(*) AS n_lineitems
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#1'
+  AND l_quantity * 100 < (
+    SELECT 0.2 * AVG(l2.l_quantity * 100)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+_TABLES.update(
+    {
+        "q_tpch_q8": (
+            "part", "supplier", "lineitem", "orders", "customer",
+            "nation", "region",
+        ),
+        "q_tpch_q15": ("supplier", "lineitem"),
+        "q_tpch_q17": ("lineitem", "part"),
+    }
+)
+
+
+@query("q_tpch_q8", oracle=_Q8)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): the 8-way join — nation
+    twice under different roles, region-filtered customers, one
+    nation's share of PROMO-part revenue per order year. The SAME SQL
+    text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q8", _Q8)
+
+
+@query("q_tpch_q15", oracle=_Q15)
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the revenue view re-joined against
+    its own MAX via a scalar subquery — exact-decimal revenue makes
+    the equality deterministic. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q15", _Q15)
+
+
+@query("q_tpch_q17", oracle=_Q17)
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): a correlated scalar
+    AVG subquery per part (the optimizer's rewrite-to-aggregate-join
+    showcase), quantities compared in cent-exact integers against
+    0.2x the per-part mean. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q17", _Q17)
