@@ -722,3 +722,70 @@ def q_anomaly_cusum(spark, sf_dir):
         F.max("s").cast("long").alias("max_cusum_micro"),
         F.min(F.when(alarm, F.col("idx"))).cast("long").alias("first_alarm_idx"),
     )
+
+
+@query(
+    "q_path_pattern",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    paths AS (
+      SELECT user_id,
+             STRING_AGG(event_type, '>' ORDER BY ts2, event_id) AS path
+      FROM e GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id,
+             REGEXP_MATCHES(path, 'click.*view.*purchase') AS hit,
+             LENGTH(path) - LENGTH(REPLACE(path, '>', '')) + 1
+               AS n_events
+      FROM paths
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(SUM(CASE WHEN hit THEN user_id END) AS BIGINT)
+             AS matched_user_sum,
+           CAST(MAX(n_events) AS BIGINT) AS max_path_len
+    FROM m
+    """,
+)
+def q_path_pattern(spark, sf_dir):
+    """Ordered path-pattern matching (the MATCH_RECOGNIZE / funnel-
+    with-ordering primitive): per user, the full event sequence
+    (totally ordered by ts, tie-broken by event_id) folds to a path
+    string and a regex asserts the ordered subsequence
+    click → … → view → … → purchase. One shuffle builds the per-user
+    paths (collect_list under an ordering window would be two — the
+    sort_array(struct) fold keeps it partial-aggregatable); the
+    pattern test is a per-row regex, embarrassingly parallel. Output
+    is user counts + an identity-pinning matched-id sum."""
+    e = _events_second(spark, sf_dir)
+    paths = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts2", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    m = paths.select(
+        "user_id",
+        F.col("path").rlike("click.*view.*purchase").alias("hit"),
+        (F.size(F.split("path", ">", -1))).cast("long").alias("n_events"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("hit").cast("int")).cast("long").alias("n_matched"),
+        F.sum(F.when(F.col("hit"), F.col("user_id"))).cast("long").alias(
+            "matched_user_sum"
+        ),
+        F.max("n_events").cast("long").alias("max_path_len"),
+    )
