@@ -789,3 +789,87 @@ def q_path_pattern(spark, sf_dir):
         ),
         F.max("n_events").cast("long").alias("max_path_len"),
     )
+
+
+@query(
+    "q_conversion_delay",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    tagged AS (
+      SELECT user_id, ts2, event_id,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+      FROM e WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+      SELECT side,
+             CAST(EPOCH(ts2) - EPOCH(LAST_VALUE(
+               CASE WHEN side = 0 THEN ts2 END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts2, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )) AS BIGINT) AS delay_s
+      FROM tagged
+    ),
+    delays AS (
+      SELECT delay_s,
+             ROW_NUMBER() OVER (ORDER BY delay_s, delay_s) AS rn,
+             COUNT(*) OVER () AS n
+      FROM carried WHERE side = 1 AND delay_s IS NOT NULL
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+           CAST(MIN(delay_s) AS BIGINT) AS min_s,
+           CAST(MAX(delay_s) AS BIGINT) AS max_s,
+           CAST(SUM(delay_s) AS BIGINT) AS total_s,
+           CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                    THEN delay_s END) AS BIGINT) AS median2x_s
+    FROM delays
+    """,
+)
+def q_conversion_delay(spark, sf_dir):
+    """Click-to-purchase conversion delay: each purchase's seconds
+    since the SAME user's most recent click (union-and-carry — one
+    shuffle), reduced to count/min/max/total and an EXACT integer
+    median: median2x = the sum of the two middle order statistics
+    (equal twice the middle one for odd n) — integer arithmetic where
+    percentile interpolation would hit the engines' differing decimal
+    halving. The rank pass reuses the proven two-pass
+    global_row_number shape (TakeOrdered-free, no single-partition
+    window: delays sort via the range-partitioned ranking operator)."""
+    from plankton_spark.operators.ranking import global_row_number
+
+    e = _events_second(spark, sf_dir)
+    tagged = e.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts2",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts2", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("side") == 0, F.col("ts2"))
+    carried = tagged.withColumn(
+        "delay_s",
+        (
+            F.unix_timestamp("ts2")
+            - F.unix_timestamp(F.last(click_ts, ignorenulls=True).over(w))
+        ).cast("long"),
+    )
+    delays = carried.where(
+        (F.col("side") == 1) & F.col("delay_s").isNotNull()
+    ).select("delay_s")
+    ranked = global_row_number(delays, ["delay_s", "delay_s"], "rn")
+    n = delays.count()
+    mid = {(n + 1) // 2, (n + 2) // 2}
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.min("delay_s").cast("long").alias("min_s"),
+        F.max("delay_s").cast("long").alias("max_s"),
+        F.sum("delay_s").cast("long").alias("total_s"),
+        F.sum(F.when(F.col("rn").isin(*mid), F.col("delay_s")))
+        .cast("long")
+        .alias("median2x_s"),
+    )
