@@ -94,3 +94,38 @@ def test_same_op_sequence_same_contents(spark, tmp_path, seed):
             dw.optimize(num_files=n)
             iw.optimize(num_files=n)
         check(f"{step}:{op}")
+
+
+def test_restore_diverges_identically(spark, tmp_path):
+    """RESTORE equivalence: after the same op sequence, restoring each
+    format to the same logical point (planktable/Delta version v ==
+    Iceberg snapshot v+1 — snapshots are 1-based) must yield identical
+    contents, and history must stay readable on all three."""
+    pt = PlankTable(spark, str(tmp_path / "pt"))
+    dw = DeltaLogWriter(spark, str(tmp_path / "dl"))
+    iw = IcebergWriter(spark, str(tmp_path / "ib"))
+    first = _batch(spark, 99, 0, 30).coalesce(1)
+    pt.create(first)
+    dw.create(first)
+    iw.create(first)
+    for i in range(1, 4):
+        df = _batch(spark, 99 + i, i * 1000, 10).coalesce(1)
+        pt.append(df)
+        dw.append(df)
+        iw.append(df)
+    pt.delete_where(F.col("grp") == 2)        # v4
+    dw.delete_where(F.col("grp") == 2)
+    iw.delete_where(F.col("grp") == 2)
+    for v in (2, 4, 1):                        # back, tip-ward, back again
+        pt.restore(v)
+        dw.restore(v)
+        iw.rollback_to(v + 1)
+        a = _content(pt.read())
+        b = _content(read_delta(spark, str(tmp_path / "dl")))
+        c = _content(read_iceberg(spark, str(tmp_path / "ib")))
+        assert a == b == c, f"divergence after restore to {v}"
+        # the pre-restore tip still time-travels everywhere
+        t_a = _content(pt.read(version=4))
+        t_b = _content(read_delta(spark, str(tmp_path / "dl"), version=4))
+        t_c = _content(read_iceberg(spark, str(tmp_path / "ib"), snapshot_id=5))
+        assert t_a == t_b == t_c
