@@ -801,7 +801,7 @@ def q_path_pattern(spark, sf_dir):
       FROM e WHERE event_type IN ('click', 'purchase')
     ),
     carried AS (
-      SELECT side,
+      SELECT side, event_id,
              CAST(EPOCH(ts2) - EPOCH(LAST_VALUE(
                CASE WHEN side = 0 THEN ts2 END IGNORE NULLS) OVER (
                  PARTITION BY user_id ORDER BY ts2, side, event_id
@@ -811,16 +811,18 @@ def q_path_pattern(spark, sf_dir):
     ),
     delays AS (
       SELECT delay_s,
-             ROW_NUMBER() OVER (ORDER BY delay_s, delay_s) AS rn,
+             ROW_NUMBER() OVER (ORDER BY delay_s, event_id) AS rn,
              COUNT(*) OVER () AS n
       FROM carried WHERE side = 1 AND delay_s IS NOT NULL
     )
-    SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
            CAST(MIN(delay_s) AS BIGINT) AS min_s,
            CAST(MAX(delay_s) AS BIGINT) AS max_s,
            CAST(SUM(delay_s) AS BIGINT) AS total_s,
-           CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
-                    THEN delay_s END) AS BIGINT) AS median2x_s
+           CAST(SUM(delay_s * (
+                  CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+                + CASE WHEN rn = (n + 2) // 2 THEN 1 ELSE 0 END))
+             AS BIGINT) AS median2x_s
     FROM delays
     """,
 )
@@ -828,12 +830,15 @@ def q_conversion_delay(spark, sf_dir):
     """Click-to-purchase conversion delay: each purchase's seconds
     since the SAME user's most recent click (union-and-carry — one
     shuffle), reduced to count/min/max/total and an EXACT integer
-    median: median2x = the sum of the two middle order statistics
-    (equal twice the middle one for odd n) — integer arithmetic where
-    percentile interpolation would hit the engines' differing decimal
-    halving. The rank pass reuses the proven two-pass
-    global_row_number shape (TakeOrdered-free, no single-partition
-    window: delays sort via the range-partitioned ranking operator)."""
+    median: median2x = the sum of the two middle order statistics,
+    WEIGHTED so an odd count takes its single middle twice (a plain
+    rank-IN test would halve it — review finding). Ranks come from
+    the range-partitioned global_row_number operator with event_id as
+    the unique tie-break (its total-order contract), and its
+    total_out column supplies the global count in the SAME pass — no
+    second job. Integer arithmetic where percentile interpolation
+    would hit the engines' differing decimal halving; zero-conversion
+    inputs agree too (COUNT(*) on both sides)."""
     from plankton_spark.operators.ranking import global_row_number
 
     e = _events_second(spark, sf_dir)
@@ -860,16 +865,19 @@ def q_conversion_delay(spark, sf_dir):
     )
     delays = carried.where(
         (F.col("side") == 1) & F.col("delay_s").isNotNull()
-    ).select("delay_s")
-    ranked = global_row_number(delays, ["delay_s", "delay_s"], "rn")
-    n = delays.count()
-    mid = {(n + 1) // 2, (n + 2) // 2}
+    ).select("delay_s", "event_id")
+    ranked = global_row_number(
+        delays, ["delay_s", "event_id"], "rn", total_out="n"
+    )
+    mid_lo = F.floor((F.col("n") + 1) / 2)
+    mid_hi = F.floor((F.col("n") + 2) / 2)
+    weight = (F.col("rn") == mid_lo).cast("int") + (
+        F.col("rn") == mid_hi
+    ).cast("int")
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_conversions"),
         F.min("delay_s").cast("long").alias("min_s"),
         F.max("delay_s").cast("long").alias("max_s"),
         F.sum("delay_s").cast("long").alias("total_s"),
-        F.sum(F.when(F.col("rn").isin(*mid), F.col("delay_s")))
-        .cast("long")
-        .alias("median2x_s"),
+        F.sum(F.col("delay_s") * weight).cast("long").alias("median2x_s"),
     )

@@ -129,3 +129,34 @@ def test_restore_diverges_identically(spark, tmp_path):
         t_b = _content(read_delta(spark, str(tmp_path / "dl"), version=4))
         t_c = _content(read_iceberg(spark, str(tmp_path / "ib"), snapshot_id=5))
         assert t_a == t_b == t_c
+
+
+def test_conversion_delay_median_odd_and_even(spark):
+    """The exact-median contract for BOTH parities (the fixture only
+    exercises even counts — review finding: the odd branch was
+    silently halved in engine AND oracle, invisible to parity
+    testing)."""
+    from pyspark.sql import functions as F
+
+    from plankton_spark.operators.ranking import global_row_number
+
+    def median2x(values):
+        df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(values)], "delay_s long, event_id long"
+        )
+        ranked = global_row_number(
+            df, ["delay_s", "event_id"], "rn", total_out="n"
+        )
+        mid_lo = F.floor((F.col("n") + 1) / 2)
+        mid_hi = F.floor((F.col("n") + 2) / 2)
+        weight = (F.col("rn") == mid_lo).cast("int") + (
+            F.col("rn") == mid_hi
+        ).cast("int")
+        return ranked.agg(
+            F.sum(F.col("delay_s") * weight).cast("long")
+        ).first()[0]
+
+    assert median2x([10, 30, 20]) == 40          # odd: 2 x middle
+    assert median2x([10, 20, 30, 40]) == 50      # even: sum of middles
+    assert median2x([7]) == 14                   # n=1
+    assert median2x([5, 5, 5]) == 10             # ties
