@@ -431,3 +431,55 @@ def q_tpch_q17(spark, sf_dir):
     showcase), quantities compared in cent-exact integers against
     0.2x the per-part mean. The SAME SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpch_q17", _Q17)
+
+
+_MOMENTS = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS q
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(q AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(q * q AS DECIMAL(38,0))) AS s2,
+         SUM(CAST(q * q * q AS DECIMAL(38,0))) AS s3,
+         SUM(CAST(q * q * q * q AS DECIMAL(38,0))) AS s4
+  FROM c GROUP BY l_returnflag
+),
+stats AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM m
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+             / ((r2 - mu * mu) * SQRT(r2 - mu * mu)), 6) AS skewness,
+       ROUND((r4 - 4 * mu * r3 + 6 * mu * mu * r2
+              - 3 * mu * mu * mu * mu)
+             / ((r2 - mu * mu) * (r2 - mu * mu)) - 3, 6)
+         AS excess_kurtosis
+FROM stats
+"""
+
+_TABLES.update({"q_agg_moments": ("lineitem",)})
+
+
+@query("q_agg_moments", oracle=_MOMENTS)
+def q_agg_moments(spark, sf_dir):
+    """Population skewness + excess kurtosis per group from EXACT
+    integer raw moments: cent quantities' power sums accumulate as
+    DECIMAL(38,0) (order-free, overflow-free — q^4 <= 6.25e14 per
+    term), and only the FINAL closed-form combination runs in
+    doubles, written with sqrt/*/÷ only (no POW — libm pow is not
+    guaranteed cross-engine-identical; sqrt is IEEE-exact). The SAME
+    SQL text is the oracle, so Spark's and DuckDB's whole pipelines
+    must agree to 6dp. Engines' own skewness()/kurtosis() builtins
+    differ in bias-correction conventions — raw moments sidestep the
+    convention entirely."""
+    return _run_sql(spark, sf_dir, "q_agg_moments", _MOMENTS)
