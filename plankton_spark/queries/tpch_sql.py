@@ -483,3 +483,62 @@ def q_agg_moments(spark, sf_dir):
     differ in bias-correction conventions — raw moments sidestep the
     convention entirely."""
     return _run_sql(spark, sf_dir, "q_agg_moments", _MOMENTS)
+
+
+_CORR = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+         CAST(ROUND(l_discount * 10000) AS BIGINT) AS d
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(d AS DECIMAL(38,0))) AS sd,
+         SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+         SUM(CAST(d * d AS DECIMAL(38,0))) AS sdd,
+         SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         SUM(CAST(x * d AS DECIMAL(38,0))) AS sxd
+  FROM c GROUP BY l_returnflag
+),
+r AS (
+  SELECT l_returnflag, n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+         CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS md,
+         CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS rxx,
+         CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) AS ryy,
+         CAST(sdd AS DOUBLE) / CAST(n AS DOUBLE) AS rdd,
+         CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) AS rxy,
+         CAST(sxd AS DOUBLE) / CAST(n AS DOUBLE) AS rxd
+  FROM m
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND((rxy - mx * my)
+             / (SQRT(rxx - mx * mx) * SQRT(ryy - my * my)), 6)
+         AS corr_qty_price,
+       ROUND((rxd - mx * md)
+             / (SQRT(rxx - mx * mx) * SQRT(rdd - md * md)), 6)
+         AS corr_qty_discount
+FROM r
+"""
+
+_TABLES.update({"q_agg_corr": ("lineitem",)})
+
+
+@query("q_agg_corr", oracle=_CORR)
+def q_agg_corr(spark, sf_dir):
+    """Pearson correlation matrix entries per group from EXACT integer
+    cross moments (the q_agg_moments machinery extended to Σxy):
+    quantity-price and quantity-discount correlations with all power
+    and cross sums in DECIMAL(38,0), the closed form in sqrt/mul/div
+    doubles. One SQL text serves both engines — their corr() builtins
+    use streaming co-moment updates whose FP accumulation order is
+    partition-dependent, which raw exact moments sidestep."""
+    return _run_sql(spark, sf_dir, "q_agg_corr", _CORR)
