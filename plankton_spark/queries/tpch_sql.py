@@ -542,3 +542,255 @@ def q_agg_corr(spark, sf_dir):
     use streaming co-moment updates whose FP accumulation order is
     partition-dependent, which raw exact moments sidestep."""
     return _run_sql(spark, sf_dir, "q_agg_corr", _CORR)
+
+
+# --- round 8: the seven remaining TPC-H shapes (fixture-adapted) ----------
+#
+# The fixture schema has no partsupp table and no
+# l_commitdate/l_receiptdate/l_shipmode columns, so Q2/Q9/Q11/Q16/Q20
+# derive a partsupp surrogate from lineitem (the part-supplier
+# relationship with exact cent-integer cost/quantity aggregates) and
+# Q12/Q21 use ship-lag vs o_orderdate as the lateness surrogate.  What
+# each query PINS is its hard optimizer shape: correlated MIN (Q2),
+# group-vs-global-scalar threshold (Q11), nested IN-over-aggregate with
+# a correlated scalar (Q20), multi-way EXISTS + NOT EXISTS (Q21) — the
+# decorrelation paths no other query in the suite exercises.
+
+_Q2 = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT p_partkey, p_brand, s_name, n_name,
+       ROUND(CAST(CAST(s_acctbal AS DECIMAL(18,4)) AS DOUBLE), 4)
+         AS acctbal,
+       ps_supplycost AS supplycost_cents
+FROM part, ps, supplier, nation, region
+WHERE p_partkey = ps_partkey
+  AND s_suppkey = ps_suppkey
+  AND p_size BETWEEN 10 AND 20
+  AND p_type = 'PROMO'
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM ps ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey
+      AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE'
+  )
+"""
+
+_Q9 = """
+SELECT nation, o_year,
+       ROUND(CAST(SUM(amount) AS DOUBLE), 4) AS sum_profit,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))
+           - CAST(p_retailprice AS DECIMAL(18,4))
+             * CAST(ROUND(l_quantity) AS DECIMAL(4,0)) AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey
+    AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey
+    AND p_name LIKE '%e%'
+) profit
+GROUP BY nation, o_year
+"""
+
+_Q11 = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS ps_value
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT ps_partkey,
+       ROUND(CAST(SUM(ps_value) AS DOUBLE), 4) AS part_value
+FROM ps, supplier, nation
+WHERE ps_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+GROUP BY ps_partkey
+HAVING SUM(ps_value) * 1000 > (
+  SELECT SUM(ps2.ps_value)
+  FROM ps ps2, supplier s2, nation n2
+  WHERE ps2.ps_suppkey = s2.s_suppkey
+    AND s2.s_nationkey = n2.n_nationkey
+    AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+)
+"""
+
+_Q12 = """
+SELECT l_returnflag AS ret_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_returnflag IN ('A', 'R')
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem) ps, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier, nation
+WHERE s_suppkey IN (
+  SELECT agg.suppkey
+  FROM (
+    SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'red%')
+      AND l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+  ) agg
+  WHERE agg.qty_cents * 5 > (
+    SELECT SUM(CAST(ROUND(l2.l_quantity * 100) AS BIGINT))
+    FROM lineitem l2
+    WHERE l2.l_partkey = agg.partkey
+      AND l2.l_shipdate >= DATE '1996-01-01'
+      AND l2.l_shipdate < DATE '1997-01-01'
+  )
+)
+AND s_nationkey = n_nationkey
+AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4',
+               'NATION_5')
+"""
+
+_Q21 = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3, orders o2
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND o2.o_orderkey = l3.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY
+  )
+  AND s_nationkey = n_nationkey
+GROUP BY s_name
+"""
+
+_TABLES.update(
+    {
+        "q_tpch_q2": ("part", "lineitem", "supplier", "nation", "region"),
+        "q_tpch_q9": ("part", "supplier", "lineitem", "orders", "nation"),
+        "q_tpch_q11": ("lineitem", "supplier", "nation"),
+        "q_tpch_q12": ("orders", "lineitem"),
+        "q_tpch_q16": ("lineitem", "part", "supplier"),
+        "q_tpch_q20": ("supplier", "nation", "lineitem", "part"),
+        "q_tpch_q21": ("supplier", "lineitem", "orders", "nation"),
+    }
+)
+
+
+@query("q_tpch_q2", oracle=_Q2)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier, fixture-adapted): partsupp is
+    derived from lineitem as MIN cent-exact price per (part, supplier);
+    the correlated MIN scalar subquery — re-joining region-filtered
+    suppliers per outer part — is THE decorrelate-to-aggregate-join
+    shape Q2 exists to test. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q2", _Q2)
+
+
+@query("q_tpch_q9", oracle=_Q9)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit, fixture-adapted): profit =
+    exact-decimal revenue minus retail-cost-times-quantity, rolled up
+    per supplier nation and order year across a 5-way join with a
+    part-name LIKE filter. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q9", _Q9)
+
+
+@query("q_tpch_q11", oracle=_Q11)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock, fixture-adapted): per-part value
+    from a 3-nation supplier group must clear a fraction of the SAME
+    aggregate computed globally — the group-vs-global-scalar HAVING
+    threshold, kept integer-exact by multiplying the group side by 500
+    instead of dividing the global side. The SAME SQL text is the
+    oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q11", _Q11)
+
+
+@query("q_tpch_q12", oracle=_Q12)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode priority, fixture-adapted): lineitems
+    shipped >30 days after ordering in one year, bucketed by return
+    flag (the fixture's mode surrogate), counting high- vs low-priority
+    orders via dual conditional sums. The SAME SQL text is the
+    oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q12", _Q12)
+
+
+@query("q_tpch_q16", oracle=_Q16)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (part-supplier relationship count, fixture-adapted):
+    COUNT(DISTINCT supplier) per brand/type/size over the DISTINCT
+    lineitem-derived relationship, excluding suppliers from a NOT IN
+    subquery (negative account balance as the complaint surrogate).
+    The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q16", _Q16)
+
+
+@query("q_tpch_q20", oracle=_Q20)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion, fixture-adapted): the
+    nested-IN-over-aggregate — suppliers IN (grouped lineitem aggregate
+    WHERE its qty clears a CORRELATED per-part scalar total), parts
+    pre-filtered by name via another IN. Three subquery levels, kept
+    integer-exact with a x5 compare. The SAME SQL text is the
+    oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q20", _Q20)
+
+
+@query("q_tpch_q21", oracle=_Q21)
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting, fixture-adapted):
+    for finished orders, the supplier who shipped late (>60-day lag as
+    the receipt>commit surrogate) while SOME other supplier fed the
+    same order (EXISTS → semi-join) and NO other supplier was also late
+    (NOT EXISTS → anti-join) — the multi-way semi/anti decorrelation
+    stack. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpch_q21", _Q21)
