@@ -7,9 +7,10 @@ P-way parallel; queries compose them instead of re-deriving the
 pattern.
 """
 
+from plankton_spark.operators.profiling import profile_table
 from plankton_spark.operators.ranking import (
     exclusive_prefix_max,
     global_row_number,
 )
 
-__all__ = ["global_row_number", "exclusive_prefix_max"]
+__all__ = ["global_row_number", "exclusive_prefix_max", "profile_table"]

@@ -23,6 +23,7 @@ from plankton_spark.functions import (
     sql_sum_dec,
 )
 from plankton_spark.io import read_table
+from plankton_spark.operators import profile_table
 from plankton_spark.registry import query
 
 SHIP_CUTOFF = "1998-09-02"
@@ -655,77 +656,81 @@ def q_agg_mode(spark, sf_dir):
     )
 
 
-@query(
-    "q_profile_table",
-    oracle="""
-    SELECT 'l_quantity' AS col,
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_PROFILE_EXACT_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col,
            COUNT(*) AS n_rows,
-           CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
-           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
-           ROUND(CAST(CAST(MIN(l_quantity) AS DECIMAL(18,4)) AS DOUBLE), 4)
+           CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           ROUND(CAST(CAST(MIN({c}) AS DECIMAL(18,4)) AS DOUBLE), 4)
              AS min_v,
-           ROUND(CAST(CAST(MAX(l_quantity) AS DECIMAL(18,4)) AS DOUBLE), 4)
+           ROUND(CAST(CAST(MAX({c}) AS DECIMAL(18,4)) AS DOUBLE), 4)
              AS max_v
     FROM lineitem
-    UNION ALL
-    SELECT 'l_extendedprice', COUNT(*), CAST(COUNT(l_extendedprice) AS BIGINT),
-           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
-           ROUND(CAST(CAST(MIN(l_extendedprice) AS DECIMAL(18,4)) AS DOUBLE), 4),
-           ROUND(CAST(CAST(MAX(l_extendedprice) AS DECIMAL(18,4)) AS DOUBLE), 4)
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_discount', COUNT(*), CAST(COUNT(l_discount) AS BIGINT),
-           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
-           ROUND(CAST(CAST(MIN(l_discount) AS DECIMAL(18,4)) AS DOUBLE), 4),
-           ROUND(CAST(CAST(MAX(l_discount) AS DECIMAL(18,4)) AS DOUBLE), 4)
-    FROM lineitem
-    UNION ALL
-    SELECT 'l_tax', COUNT(*), CAST(COUNT(l_tax) AS BIGINT),
-           CAST(COUNT(DISTINCT l_tax) AS BIGINT),
-           ROUND(CAST(CAST(MIN(l_tax) AS DECIMAL(18,4)) AS DOUBLE), 4),
-           ROUND(CAST(CAST(MAX(l_tax) AS DECIMAL(18,4)) AS DOUBLE), 4)
-    FROM lineitem
-    """,
+    """
+    for c in _PROFILE_COLS
 )
+
+_PROFILE_APPROX_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col,
+           COUNT(*) AS n_rows,
+           CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+           TRUE AS nd_within_5pct,
+           ROUND(CAST(CAST(MIN({c}) AS DECIMAL(18,4)) AS DOUBLE), 4)
+             AS min_v,
+           ROUND(CAST(CAST(MAX({c}) AS DECIMAL(18,4)) AS DOUBLE), 4)
+             AS max_v
+    FROM lineitem
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@query("q_profile_table", oracle=_PROFILE_APPROX_ORACLE)
 def q_profile_table(spark, sf_dir):
     """Column profiling (the ANALYZE TABLE / data-quality-report
-    surface): per numeric column, row count, non-null count, exact
-    distinct count, and decimal-exact min/max — the statistics an
-    optimizer's CBO and a data-quality gate both read.
+    surface), DEFAULT = scale-sane: per numeric column, row count,
+    non-null count, HLL++ distinct estimate, decimal-exact min/max —
+    one scan, every aggregate partial-combinable, NO EXPAND
+    (operators/profiling.py; tests/test_plans.py pins the plan).
 
-    Scale shape: ONE pass over the fact table computing every
-    column's counts/min/max as partial-combinable aggregates, plus
-    one count_distinct per column (Spark rewrites each into a
-    two-stage expand + partial agg — still no driver-side loop over
-    columns; the EXPAND multiplies rows by #profiled columns, which
-    is why production profilers cap the exact-distinct column list
-    and fall back to HLL beyond it, the documented approx path
-    q_agg_approxdistinct covers)."""
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    li = read_table(spark, sf_dir, "lineitem").select(*cols)
-    # ONE agg computing all 20 aggregates in a single scan (a
-    # per-column agg-union would read the fact table once per column
-    # — review finding), then stack() pivots the single wide row into
-    # one output row per column
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
-            F.count(c).cast("long").alias(f"{c}__nn"),
-            F.countDistinct(c).cast("long").alias(f"{c}__nd"),
-            F.round(
-                F.min(c).cast("decimal(18,4)").cast("double"), 4
-            ).alias(f"{c}__mn"),
-            F.round(
-                F.max(c).cast("decimal(18,4)").cast("double"), 4
-            ).alias(f"{c}__mx"),
-        ]
-    wide = li.agg(*aggs)
-    stack = ", ".join(
-        f"'{c}', {c}__rows, {c}__nn, {c}__nd, {c}__mn, {c}__mx"
-        for c in cols
+    Exact multi-column COUNT(DISTINCT) EXPANDs scanned rows by
+    #profiled columns (measured 4.9x at sf10) — the wrong default for
+    an ANALYZE surface at 100 TB, so exact is the q_profile_table_exact
+    opt-in. Oracle contract follows the q_agg_approxdistinct pattern:
+    the estimate is sanity-gated within ±5% of the exact count (the
+    exact side here is the verification harness, computed in a
+    separate pass so the default profile plan stays EXPAND-free)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    # rsd is a STANDARD DEVIATION, not a bound — a ±5% hard gate needs
+    # the sketch's sigma well inside it (rsd=0.01 ~ a 26 KB sketch per
+    # column, still corpus-size-independent; estimates are
+    # deterministic given the data — HLL has no randomness).
+    prof = profile_table(li, _PROFILE_COLS, rsd=0.01)  # no EXPAND
+    exact = profile_table(li, _PROFILE_COLS, exact=True).select(
+        "col", F.col("n_distinct").alias("nd_exact")
     )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack}) AS "
-        "(col, n_rows, n_nonnull, n_distinct, min_v, max_v)"
+    return prof.join(exact, "col").select(
+        "col",
+        "n_rows",
+        "n_nonnull",
+        (
+            F.abs(F.col("n_distinct") - F.col("nd_exact"))
+            <= 0.05 * F.col("nd_exact")
+        ).alias("nd_within_5pct"),
+        "min_v",
+        "max_v",
     )
+
+
+@query("q_profile_table_exact", oracle=_PROFILE_EXACT_ORACLE)
+def q_profile_table_exact(spark, sf_dir):
+    """Column profiling, exact opt-in (profile_table(exact=True)):
+    COUNT(DISTINCT) per column via Spark's EXPAND + two-phase agg —
+    exact values, row multiplication by #columns; reserve for bounded
+    tables. Same single-scan wide-agg + stack() pivot otherwise."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return profile_table(li, _PROFILE_COLS, exact=True)

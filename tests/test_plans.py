@@ -271,3 +271,22 @@ def test_sample_assembly_single_shuffle_no_window(spark):
     df = all_queries()["q_sample_assembly"](spark, SF0001)
     plan = plan_of(df)
     assert "Window" not in plan, plan
+
+
+def test_profile_table_default_has_no_expand(spark):
+    """The ANALYZE surface defaults to HLL sketches: the default
+    profile plan must contain no Expand (exact multi-column
+    COUNT(DISTINCT) multiplies scanned rows by #profiled columns —
+    measured 4.9x at sf10; wrong default at 100 TB)."""
+    from plankton_spark.operators import profile_table
+
+    li = read_table(spark, SF0001, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    default_plan = plan_of(profile_table(li, cols))
+    assert "Expand" not in default_plan, default_plan
+    assert "HyperLogLog" in default_plan or "approx_count_distinct" in (
+        default_plan
+    )
+    # the exact opt-in is the one that pays the EXPAND
+    exact_plan = plan_of(profile_table(li, cols, exact=True))
+    assert "Expand" in exact_plan
