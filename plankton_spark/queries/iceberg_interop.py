@@ -873,3 +873,225 @@ def q_iceberg_posdelete_write(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     )
+
+
+_EQDEL_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "r102",
+                            "fields": [],
+                        },
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+_EQDEL_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+
+@query(
+    "q_iceberg_eqdelete",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 1500
+    ),
+    survivors AS (
+      SELECT * FROM base
+      WHERE o_orderkey < 1000 AND o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT * FROM base WHERE o_orderkey >= 1000
+      UNION ALL
+      SELECT * FROM base
+      WHERE o_orderkey < 1000 AND o_orderkey % 10 = 0
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM survivors
+    """,
+)
+def q_iceberg_eqdelete(spark, sf_dir):
+    """Iceberg format-v2 EQUALITY deletes as a query (the Flink-upsert
+    interop gap the r7 verdict ranked #2): a hand-authored v2 table
+    with explicit sequence numbers —
+
+    - seq 1: data file with o_orderkey < 1000
+    - seq 2: equality delete (equality_ids=[1] → o_orderkey) marking
+      every key with o_orderkey % 5 == 0
+    - seq 3: data file re-INSERTING the % 10 == 0 subset of those keys
+      plus the o_orderkey >= 1000 rows
+
+    read_iceberg applies the delete via a null-safe keyed anti-join
+    gated on sequence order (delete_seq > data_seq), so the seq-3
+    re-inserts SURVIVE while the seq-1 originals drop — the oracle
+    re-derives exactly that survivor set relationally. Files resolve
+    by field id; whole-file access paths refuse the snapshot
+    (tests/test_iceberg_eqdeletes.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = _scratch(sf_dir, "iceberg_eqdel")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    ice_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "o_orderkey", "required": False, "type": "long"},
+            {"id": 2, "name": "o_orderstatus", "required": False,
+             "type": "string"},
+            {"id": 3, "name": "o_totalprice", "required": False,
+             "type": "double"},
+        ],
+    }
+    d0 = o[o.o_orderkey < 1000]
+    reinserts = d0[d0.o_orderkey % 10 == 0]
+    d1 = pa.concat_tables(
+        [
+            pa.Table.from_pandas(
+                o[o.o_orderkey >= 1000].reset_index(drop=True),
+                preserve_index=False,
+            ),
+            pa.Table.from_pandas(
+                reinserts.reset_index(drop=True), preserve_index=False
+            ),
+        ]
+    )
+    del_keys = sorted(set(d0[d0.o_orderkey % 5 == 0].o_orderkey.tolist()))
+    pq.write_table(
+        pa.Table.from_pandas(d0.reset_index(drop=True), preserve_index=False),
+        os.path.join(root, "data", "d0.parquet"),
+    )
+    pq.write_table(d1, os.path.join(root, "data", "d1.parquet"))
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(del_keys, pa.int64())}),
+        os.path.join(root, "data", "eqdel0.parquet"),
+    )
+    manifests = []
+    for mname, seq, content, dfd in [
+        ("m-d0.avro", 1, 0, {
+            "content": 0, "file_path": "data/d0.parquet",
+            "file_format": "PARQUET", "partition": {},
+            "record_count": len(d0),
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(root, "data", "d0.parquet")),
+            "equality_ids": None,
+        }),
+        ("m-eq.avro", 2, 1, {
+            "content": 2, "file_path": "data/eqdel0.parquet",
+            "file_format": "PARQUET", "partition": {},
+            "record_count": len(del_keys),
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(root, "data", "eqdel0.parquet")),
+            "equality_ids": [1],
+        }),
+        ("m-d1.avro", 3, 0, {
+            "content": 0, "file_path": "data/d1.parquet",
+            "file_format": "PARQUET", "partition": {},
+            "record_count": d1.num_rows,
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(root, "data", "d1.parquet")),
+            "equality_ids": None,
+        }),
+    ]:
+        mp = os.path.join(root, "metadata", mname)
+        write_ocf_generic(
+            mp,
+            _EQDEL_ENTRY_SCHEMA,
+            [{"status": 1, "snapshot_id": 1, "sequence_number": seq,
+              "data_file": dfd}],
+        )
+        manifests.append(
+            {
+                "manifest_path": f"metadata/{mname}",
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": seq,
+                "added_snapshot_id": 1,
+            }
+        )
+    write_ocf_generic(
+        os.path.join(root, "metadata", "snap-1.avro"),
+        _EQDEL_LIST_SCHEMA,
+        manifests,
+    )
+    metadata = {
+        "format-version": 2,
+        "table-uuid": "plankton-iceberg-eqdelete",
+        "location": root,
+        "last-updated-ms": 1,
+        "last-column-id": 3,
+        "schema": ice_schema,
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1,
+                "manifest-list": "metadata/snap-1.avro",
+            }
+        ],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    return read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+            4,
+        ).alias("price_sum"),
+    )

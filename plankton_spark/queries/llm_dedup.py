@@ -713,11 +713,44 @@ def q_dedup_embcos(spark, sf_dir):
     return embcos_pairs(spark, e, 0.4)
 
 
-def embcos_pairs(spark, e, threshold):
+# Declared exact-embcos contract ceiling: the unique-side GEMM is
+# inherently O(U²) (no sub-quadratic exact algorithm exists for
+# low-threshold dense cosine — see q_dedup_embcos's measured LSH
+# argument), so past this many unique vectors the operator REFUSES
+# instead of melting, pointing at the approximate-recall paths
+# (q_knn_lsh / q_knn_ivf). 1M uniques ≈ 5·10¹¹ pair evaluations —
+# the documented edge of feasible for a batch job on a large
+# cluster; beyond it exactness has to be given up explicitly, not
+# discovered via a week-long stage.
+EMBCOS_MAX_UNIQUES = 1_000_000
+
+
+def embcos_pairs(spark, e, threshold, max_uniques=EMBCOS_MAX_UNIQUES):
     """The q_dedup_embcos pipeline over an arbitrary (vec_id,
     embedding) frame — see that query's docstring for the three
     phases. Separated so tests can drive it against duplicate-heavy
-    frames and compare with the uncollapsed two-phase path."""
+    frames and compare with the uncollapsed two-phase path.
+
+    Refusal contract (r7 verdict #6): before any quadratic work, ONE
+    linear scan estimates the unique-vector count with an HLL sketch
+    (approx_count_distinct over the array value); if it exceeds
+    ``max_uniques`` the call raises with a pointer to the approximate
+    paths rather than launching an O(U²) GEMM that cannot finish.
+    The 1.1 slack on the ceiling absorbs HLL error — a corpus within
+    5% of the declared edge is already in "choose approx" territory."""
+    u_est = e.agg(
+        F.approx_count_distinct("embedding", rsd=0.02).alias("u")
+    ).collect()[0]["u"]
+    if u_est > max_uniques * 1.1:
+        raise ValueError(
+            f"exact embedding-cosine dedup refused: ~{u_est:,} unique "
+            f"vectors exceeds the declared ceiling ({max_uniques:,}). "
+            "The exact unique-side GEMM is O(U²) with no sub-quadratic "
+            "exact alternative at low cosine thresholds; use the "
+            "approximate-recall paths (q_knn_lsh hyperplane-LSH or "
+            "q_knn_ivf) or raise max_uniques explicitly if you accept "
+            "the quadratic cost."
+        )
     members, uniq = collapse_duplicate_vectors(e)
     cand = gemm_candidates(spark, uniq, threshold)
     rep_pairs = rescore_pairs_exact(uniq, cand).where(F.col("cosine") >= threshold)

@@ -138,7 +138,7 @@ class IcebergTable:
         id-resolution meets an id-less file)."""
         import pyarrow.parquet as _pq
 
-        entries, _ = self.scan_entries(snapshot_id)
+        entries, _pos, _eq = self.scan_entries_full(snapshot_id)
         if not entries:
             return False
         sch = _pq.read_schema(entries[0][0])
@@ -257,16 +257,45 @@ class IcebergTable:
         """Live ((abs_path, partition values) data entries, position-
         delete file paths) at a snapshot, across data manifests
         (content=0) and delete manifests (content=1). Equality delete
-        files (data_file.content=2) raise — applying them needs the
-        equality-field semantics this reader does not implement, and
-        reading around them would resurrect rows."""
+        files (data_file.content=2) raise on THIS surface — every
+        caller of scan_entries applies deletes by exact file identity
+        only; the equality-aware path is read_iceberg via
+        scan_entries_full, which resolves sequence numbers."""
+        data, pos, eq = self.scan_entries_full(snapshot_id)
+        if eq:
+            raise ValueError(
+                f"{self.table_path}: iceberg equality delete files "
+                "(content=2) present — this access path cannot apply "
+                "them and reading around them would resurrect rows; "
+                "use read_iceberg() (equality-delete-aware)"
+            )
+        return [(p, pv) for p, pv, _seq in data], pos
+
+    def scan_entries_full(self, snapshot_id: int | None = None) -> tuple[
+        list[tuple[str, dict, int]],
+        list[str],
+        list[tuple[str, tuple[int, ...], int]],
+    ]:
+        """Live scan entries at a snapshot with v2 sequence numbers:
+        (data [(abs_path, partition, data_seq)], position-delete
+        paths, equality deletes [(abs_path, equality_ids, delete_seq)]).
+
+        Sequence-number resolution follows the spec's inheritance
+        rule: an entry's null/absent ``sequence_number`` inherits the
+        manifest's sequence number from the manifest-list entry
+        (v1 metadata has neither — everything resolves to 0, which is
+        consistent because v1 cannot contain delete files). Equality
+        delete files must declare ``equality_ids``; a content=2 entry
+        without them is unreadable and refuses loudly."""
         snap = self._snapshot(snapshot_id)
         manifest_list = self._resolve(snap["manifest-list"])
-        out: list[tuple[str, dict]] = []
-        deletes: list[str] = []
+        out: list[tuple[str, dict, int]] = []
+        pos_deletes: list[str] = []
+        eq_deletes: list[tuple[str, tuple[int, ...], int]] = []
         seen: set[str] = set()
         for m in read_ocf_generic(manifest_list):
             manifest = self._resolve(m["manifest_path"])
+            m_seq = m.get("sequence_number")
             for entry in read_ocf_generic(manifest):
                 if entry["status"] == 2:  # DELETED
                     continue
@@ -276,17 +305,49 @@ class IcebergTable:
                 if path in seen:
                     continue
                 seen.add(path)
+                e_seq = entry.get("sequence_number")
+                if e_seq is None:
+                    e_seq = m_seq if m_seq is not None else 0
                 if content == 0:
-                    out.append((path, df.get("partition") or {}))
+                    out.append((path, df.get("partition") or {}, int(e_seq)))
                 elif content == 1:  # position deletes
-                    deletes.append(path)
+                    pos_deletes.append(path)
+                elif content == 2:  # equality deletes
+                    ids = df.get("equality_ids")
+                    if not ids:
+                        raise ValueError(
+                            f"{self.table_path}: equality delete file "
+                            f"{df['file_path']!r} declares no "
+                            "equality_ids — unreadable per spec"
+                        )
+                    eq_deletes.append(
+                        (path, tuple(int(i) for i in ids), int(e_seq))
+                    )
                 else:
                     raise ValueError(
-                        f"{self.table_path}: iceberg equality delete files "
-                        "(content=2) unsupported — reading would return "
-                        "wrong rows"
+                        f"{self.table_path}: unknown data_file content "
+                        f"kind {content!r}"
                     )
-        return sorted(out), sorted(deletes)
+        return sorted(out), sorted(pos_deletes), sorted(eq_deletes)
+
+    def field_name_by_id(self, fid: int) -> str:
+        """Current-schema column name for an Iceberg field id (used to
+        resolve equality_ids; renames keep ids stable, so this maps a
+        foreign writer's delete key to today's column name)."""
+        md = self.metadata
+        schemas = md.get("schemas")
+        if schemas:
+            cur_id = md.get("current-schema-id", 0)
+            ice = next(s for s in schemas if s.get("schema-id") == cur_id)
+        else:
+            ice = md["schema"]
+        for f in ice["fields"]:
+            if f["id"] == fid:
+                return f["name"]
+        raise ValueError(
+            f"{self.table_path}: no current-schema field with id {fid} "
+            "(equality delete references a dropped column?)"
+        )
 
     def data_entries(
         self, snapshot_id: int | None = None
@@ -367,20 +428,24 @@ def read_iceberg(
         # leaving it on session-wide is side-effect-free
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     part_cols = t.partition_fields()
-    entries, deletes = t.scan_entries(snapshot_id)
+    full, pos_dels, eq_dels = t.scan_entries_full(snapshot_id)
+    entries = [(p, pv) for p, pv, _seq in full]
     if not entries:
         return spark.createDataFrame([], t.schema())
-    if not deletes:
+    if not pos_dels and not eq_dels:
         if not part_cols:
             return spark.read.schema(schema).parquet(*[p for p, _ in entries])
         return _assemble_iceberg(spark, schema, part_cols, entries)
+    data_seq = {os.path.basename(p): s for p, _pv, s in full}
     return _posdelete_filtered_read(
-        spark, t, schema, part_cols, entries, deletes
+        spark, t, schema, part_cols, entries, pos_dels,
+        eq_deletes=eq_dels, data_seq=data_seq,
     )
 
 
 def _posdelete_filtered_read(
-    spark, t: "IcebergTable", schema, part_cols, entries, delete_files
+    spark, t: "IcebergTable", schema, part_cols, entries, delete_files,
+    eq_deletes=(), data_seq=None,
 ):
     """Data scan minus the rows position-delete files mark.
 
@@ -425,21 +490,79 @@ def _posdelete_filtered_read(
         return F.substring_index(col, "/", -1)
 
     scan = scan.withColumn("__pd_file", _norm(F.col("__pd_file")))
-    dels = (
-        spark.read.schema("file_path string, pos long")
-        .parquet(*delete_files)
-        .select(
-            _norm(F.col("file_path")).alias("__pd_file"),
-            F.col("pos").alias("__pd_ridx"),
+    if delete_files:
+        dels = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*delete_files)
+            .select(
+                _norm(F.col("file_path")).alias("__pd_file"),
+                F.col("pos").alias("__pd_ridx"),
+            )
         )
-    )
-    total_delete_bytes = sum(os.path.getsize(p) for p in delete_files)
-    if total_delete_bytes < 32 << 20:  # compressed (file,pos) pairs
-        dels = F.broadcast(dels)
+        total_delete_bytes = sum(os.path.getsize(p) for p in delete_files)
+        if total_delete_bytes < 32 << 20:  # compressed (file,pos) pairs
+            dels = F.broadcast(dels)
+        scan = scan.join(dels, ["__pd_file", "__pd_ridx"], "left_anti")
+    if eq_deletes:
+        scan = _apply_equality_deletes(
+            spark, t, schema, scan, eq_deletes, data_seq or {}
+        )
     out_cols = [f.name for f in schema.fields]
-    return scan.join(dels, ["__pd_file", "__pd_ridx"], "left_anti").select(
-        out_cols
+    return scan.select(out_cols)
+
+
+def _apply_equality_deletes(spark, t, schema, scan, eq_deletes, data_seq):
+    """Subtract format-v2 EQUALITY deletes from a data scan that
+    carries a ``__pd_file`` basename column.
+
+    Spec semantics (Iceberg spec "Scan Planning"): a data row is
+    deleted when an equality delete file whose data sequence number is
+    STRICTLY GREATER than the data file's holds a row matching it on
+    the delete file's equality_ids columns, with nulls matching nulls.
+    "exists a matching delete with seq > data_seq" ≡ "MAX delete seq
+    per key > data_seq", so each equality_ids group reduces to one
+    keyed MAX-seq aggregate followed by one null-safe anti-join — the
+    delete side is O(delete rows), broadcast when small, and the data
+    path stays entirely JVM-side.
+
+    equality_ids resolve to CURRENT column names by field id (renames
+    keep ids stable, so a Flink writer's delete key still lands on the
+    right column after a rename)."""
+    from collections import defaultdict
+    from functools import reduce as _reduce
+
+    import pyspark.sql.types as T_
+
+    groups: dict[tuple[int, ...], list[tuple[str, int]]] = defaultdict(list)
+    for path, ids, seq in eq_deletes:
+        groups[ids].append((path, seq))
+    by_name = {f.name: f for f in schema.fields}
+    seq_df = spark.createDataFrame(
+        [(b, int(s)) for b, s in sorted(data_seq.items())],
+        "__pd_file string, __data_seq long",
     )
+    scan = scan.join(F.broadcast(seq_df), "__pd_file", "left")
+    for ids, files in sorted(groups.items()):
+        cols = [t.field_name_by_id(i) for i in ids]
+        read_schema = T_.StructType([by_name[c] for c in cols])
+        dels = None
+        for path, seq in sorted(files):
+            d = (
+                spark.read.schema(read_schema)
+                .parquet(path)
+                .withColumn("__eq_seq", F.lit(int(seq)))
+            )
+            dels = d if dels is None else dels.unionByName(d)
+        keyed = dels.groupBy(*cols).agg(F.max("__eq_seq").alias("__eq_seq"))
+        total_bytes = sum(os.path.getsize(p) for p, _ in files)
+        if total_bytes < 32 << 20:
+            keyed = F.broadcast(keyed)
+        cond = _reduce(
+            lambda a, b: a & b,
+            [scan[c].eqNullSafe(keyed[c]) for c in cols],
+        ) & (keyed["__eq_seq"] > scan["__data_seq"])
+        scan = scan.join(keyed, cond, "left_anti")
+    return scan
 
 
 def _assemble_iceberg(

@@ -93,3 +93,25 @@ def test_null_embeddings_survive_collapse(spark):
     rows = {r.vec_id: r.rep_id for r in members.collect()}
     assert rows == {1: 1, 2: 2, 3: 1, 4: 2}
     assert sorted(r.vec_id for r in uniq.collect()) == [1, 2]
+
+
+def test_embcos_unique_ceiling_refuses(spark):
+    """Past the declared unique-count ceiling the exact pipeline must
+    refuse loudly (pointing at the approx paths), not launch O(U²)."""
+    import pytest
+
+    from plankton_spark.queries.llm_dedup import embcos_pairs
+
+    e = read_table(spark, SF0001, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="q_knn_lsh"):
+        embcos_pairs(spark, e, 0.4, max_uniques=1)
+
+
+def test_embcos_within_ceiling_runs(spark):
+    """At or under the ceiling the exact path runs normally."""
+    from plankton_spark.queries.llm_dedup import embcos_pairs
+
+    e = read_table(spark, SF0001, "embeddings").select("vec_id", "embedding")
+    out = embcos_pairs(spark, e, 0.4, max_uniques=1_000)
+    assert out.columns == ["vec_a", "vec_b", "cosine"]
+    out.collect()  # executes the full three-phase pipeline
