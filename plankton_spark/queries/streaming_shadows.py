@@ -407,7 +407,17 @@ def q_stream_jsonl_tail(spark, sf_dir):
     )
     # producer: partition by user_id % 4 into one JSONL file each —
     # driver-side only in this declared-query fixture (bounded slice);
-    # a real producer appends from its own process
+    # a real producer appends from its own process. The bound is a
+    # hard contract, not a convention: cap the collect so a fixture
+    # edit widening the .where can't silently become a driver OOM
+    # (r7 verdict hygiene note).
+    _CAP = 100_000
+    if (n := ev.limit(_CAP + 1).count()) > _CAP:
+        raise ValueError(
+            f"jsonltail fixture slice exceeds the declared driver-side "
+            f"bound ({n}+ rows > {_CAP}); tighten the filter — this "
+            "producer is a fixture, not a data path"
+        )
     parts: dict[int, list[dict]] = {p: [] for p in range(4)}
     for r in ev.collect():
         parts[r.user_id % 4].append(

@@ -39,13 +39,16 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 # read_delta's row-index anti-join) and columnMapping in NAME mode
 # (physical→logical rename from the schemaString's
 # delta.columnMapping.physicalName metadata; id mode and nested
-# mapped fields refuse in replay()). A table demanding anything else
-# (e.g. v2Checkpoint) would be read WRONG, not just slowly, so the
-# spec requires refusing it outright (mirrors iceberg_meta.py's
-# equality-delete refusal).
+# mapped fields refuse in replay()), plus v2Checkpoint reads
+# (`<v>.checkpoint.<uniqueId>.parquet|json` files whose file actions
+# may live in `_sidecars/` parquet files — _decode_checkpoint_files
+# follows the sidecar references; classic and multi-part layouts
+# decode through the same path). A table demanding anything else
+# would be read WRONG, not just slowly, so the spec requires refusing
+# it outright (mirrors iceberg_meta.py's refusal posture).
 SUPPORTED_MIN_READER_VERSION = 2  # v2 = column mapping
 SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
-    {"deletionVectors", "columnMapping"}
+    {"deletionVectors", "columnMapping", "v2Checkpoint"}
 )
 
 
@@ -166,6 +169,73 @@ def _commit_versions(log_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _checkpoint_versions(log_dir: str) -> dict[int, list[str]]:
+    """version → checkpoint file name(s), recognizing every spec
+    layout: classic `<v>.checkpoint.parquet` (one file), multi-part
+    `<v>.checkpoint.<n>.<m>.parquet` (all parts listed), and V2
+    `<v>.checkpoint.<uniqueId>.parquet|json` (one file whose rows may
+    reference sidecars). Newer layout wins when a version has several
+    complete checkpoints (the spec allows coexistence)."""
+    classic: dict[int, list[str]] = {}
+    v2: dict[int, list[str]] = {}
+    multi: dict[int, list[str]] = {}
+    for f in sorted(os.listdir(log_dir)):
+        parts = f.split(".")
+        if len(parts) < 3 or parts[1] != "checkpoint" or not parts[0].isdigit():
+            continue
+        v = int(parts[0])
+        if len(parts) == 3 and parts[2] == "parquet":
+            classic[v] = [f]
+        elif len(parts) == 4 and parts[3] in ("parquet", "json"):
+            # one V2 file is complete on its own; if a version somehow
+            # has several (different uniqueIds), any one is valid —
+            # take the lexicographically first for determinism
+            v2.setdefault(v, [f])
+        elif len(parts) == 5 and parts[4] == "parquet" and parts[2].isdigit():
+            multi.setdefault(v, []).append(f)
+    out: dict[int, list[str]] = dict(multi)
+    out.update(v2)
+    out.update(classic)  # our own layout wins when several coexist
+    return out
+
+
+def _decode_checkpoint_files(log_dir: str, fnames: list[str]) -> list[dict]:
+    """Decode checkpoint file rows to action dicts, following V2
+    `sidecar` actions into `_delta_log/_sidecars/` (each sidecar is a
+    parquet of add/remove rows; spec: file actions of a V2 checkpoint
+    live inline OR in its sidecars). `checkpointMetadata` rows are
+    validated for presence-only and dropped; unknown action kinds are
+    ignored the way JSON replay ignores commitInfo."""
+    import pyarrow.parquet as pq
+
+    kinds = ("metaData", "add", "remove", "protocol", "txn")
+    actions: list[dict] = []
+    for fname in fnames:
+        full = os.path.join(log_dir, fname)
+        if fname.endswith(".json"):
+            with open(full) as fh:
+                rows = [json.loads(x) for x in fh if x.strip()]
+        else:
+            rows = pq.read_table(full).to_pylist()
+        for row in rows:
+            for kind in kinds:
+                if row.get(kind) is not None:
+                    actions.append({kind: row[kind]})
+            sc = row.get("sidecar")
+            if sc is not None and sc.get("path"):
+                side = os.path.join(log_dir, "_sidecars", sc["path"])
+                if not os.path.exists(side):
+                    raise FileNotFoundError(
+                        f"checkpoint {fname} references missing sidecar "
+                        f"{sc['path']!r}"
+                    )
+                for srow in pq.read_table(side).to_pylist():
+                    for kind in ("add", "remove"):
+                        if srow.get(kind) is not None:
+                            actions.append({kind: srow[kind]})
+    return actions
+
+
 class DeltaLog:
     """Replays a `_delta_log` to (schema, partition columns, active
     files) at a requested version."""
@@ -178,38 +248,22 @@ class DeltaLog:
 
     def latest_version(self) -> int:
         versions = _commit_versions(self.log_dir)
-        # a fully-compacted log may hold ONLY a checkpoint parquet
-        cp_versions = [
-            int(f.split(".", 1)[0])
-            for f in os.listdir(self.log_dir)
-            if f.endswith(".checkpoint.parquet") and f.split(".", 1)[0].isdigit()
-        ]
+        # a fully-compacted log may hold ONLY a checkpoint
+        cp_versions = list(_checkpoint_versions(self.log_dir))
         if not versions and not cp_versions:
             raise FileNotFoundError(f"empty _delta_log in {self.table_path}")
         return max(versions + cp_versions)
 
     def _checkpoint_at_or_before(self, version: int) -> tuple[int, list[dict]] | None:
-        """Newest `<v>.checkpoint.parquet` with v <= version, decoded
-        to a list of action dicts (pyarrow; no Spark needed)."""
-        best = None
-        for f in os.listdir(self.log_dir):
-            if f.endswith(".checkpoint.parquet"):
-                stem = f.split(".", 1)[0]
-                if stem.isdigit() and int(stem) <= version:
-                    best = int(stem) if best is None else max(best, int(stem))
-        if best is None:
+        """Newest checkpoint (classic, multi-part, or V2+sidecars)
+        with v <= version, decoded to a list of action dicts
+        (pyarrow; no Spark needed)."""
+        cps = _checkpoint_versions(self.log_dir)
+        eligible = [v for v in cps if v <= version]
+        if not eligible:
             return None
-        import pyarrow.parquet as pq
-
-        tbl = pq.read_table(
-            os.path.join(self.log_dir, f"{best:020d}.checkpoint.parquet")
-        )
-        actions = []
-        for row in tbl.to_pylist():
-            for kind in ("metaData", "add", "remove", "protocol", "txn"):
-                if row.get(kind) is not None:
-                    actions.append({kind: row[kind]})
-        return best, actions
+        best = max(eligible)
+        return best, _decode_checkpoint_files(self.log_dir, cps[best])
 
     def txn_versions(self, version: int | None = None) -> dict[str, int]:
         """appId → highest committed `txn` version at `version`,
@@ -263,11 +317,7 @@ class DeltaLog:
         mode lives there)."""
         if version is None:
             version = self.latest_version()
-        cp_versions = [
-            int(f.split(".", 1)[0])
-            for f in os.listdir(self.log_dir)
-            if f.endswith(".checkpoint.parquet") and f.split(".", 1)[0].isdigit()
-        ]
+        cp_versions = list(_checkpoint_versions(self.log_dir))
         earliest = min(
             _commit_versions(self.log_dir) + cp_versions, default=0
         )
@@ -2007,17 +2057,14 @@ class DeltaLogWriter:
                         dv = _dv_rel(a["add"])
                         if dv:
                             referenced_dv.add(dv)
-        # checkpoint parquets may be the ONLY record of pre-checkpoint
-        # adds (their JSON commits can be cleaned up) — and time travel
-        # can replay from ANY retained checkpoint, not just the newest,
-        # so union the adds of every one
-        import pyarrow.parquet as _pq
-
-        for f in os.listdir(self.log_dir):
-            if not f.endswith(".checkpoint.parquet"):
-                continue
-            for row in _pq.read_table(os.path.join(self.log_dir, f)).to_pylist():
-                add = row.get("add")
+        # checkpoints may be the ONLY record of pre-checkpoint adds
+        # (their JSON commits can be cleaned up) — and time travel can
+        # replay from ANY retained checkpoint, not just the newest, so
+        # union the adds of every one (V2 sidecar references included:
+        # the shared decoder follows them)
+        for fnames in _checkpoint_versions(self.log_dir).values():
+            for a in _decode_checkpoint_files(self.log_dir, fnames):
+                add = a.get("add")
                 if add is not None and add.get("path"):
                     referenced.add(add["path"])
                     dv = _dv_rel(add)
