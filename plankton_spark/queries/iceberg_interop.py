@@ -1095,3 +1095,59 @@ def q_iceberg_eqdelete(spark, sf_dir):
             4,
         ).alias("price_sum"),
     )
+
+
+@query(
+    "q_iceberg_eqdelete_write",
+    oracle="""
+    WITH survivors AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey < 2000 AND o_custkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey >= 2000 AND o_orderkey < 2500
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM survivors
+    """,
+)
+def q_iceberg_eqdelete_write(spark, sf_dir):
+    """The engine's OWN v2 equality-delete WRITE path as a query:
+    IcebergWriter.delete_where_eq stages one key parquet + a delete
+    manifest (content=2, equality_ids by field id) with the NEXT data
+    sequence number — O(delete keys), no data file opened — and
+    activates sequence tracking so the subsequent append's rows keep
+    their keys even when they collide with deleted ones (the Flink
+    upsert pattern, sequencing proven because the appended slice
+    contains o_custkey % 5 == 0 rows that MUST survive). Oracle
+    re-derives the survivor set relationally; same contract as
+    q_iceberg_posdelete_write for position deletes."""
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        read_iceberg,
+    )
+
+    root = _scratch(sf_dir, "iceberg_eqdel_write")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    w = IcebergWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 2000))
+    w.delete_where_eq(
+        o.where(F.col("o_custkey") % 5 == 0).select("o_custkey").distinct()
+    )
+    w.append(
+        o.where((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 2500))
+    )
+    return read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+            4,
+        ).alias("price_sum"),
+    )

@@ -544,9 +544,30 @@ def _apply_equality_deletes(spark, t, schema, scan, eq_deletes, data_seq):
     scan = scan.join(F.broadcast(seq_df), "__pd_file", "left")
     for ids, files in sorted(groups.items()):
         cols = [t.field_name_by_id(i) for i in ids]
-        read_schema = T_.StructType([by_name[c] for c in cols])
         dels = None
         for path, seq in sorted(files):
+            # resolve this delete file by field id only when ITS
+            # footer carries parquet field ids — a delete file staged
+            # without ids (e.g. our own delete_where_eq) read under an
+            # id-carrying schema fails honestly, so probe per file and
+            # strip the id metadata when absent (name resolution)
+            import pyarrow.parquet as _pq
+
+            fsch = _pq.read_schema(path)
+            has_ids = any(
+                f.metadata and b"PARQUET:field_id" in f.metadata
+                for f in fsch
+            )
+            read_schema = T_.StructType(
+                [
+                    by_name[c]
+                    if has_ids
+                    else T_.StructField(
+                        c, by_name[c].dataType, by_name[c].nullable
+                    )
+                    for c in cols
+                ]
+            )
             d = (
                 spark.read.schema(read_schema)
                 .parquet(path)
@@ -770,15 +791,45 @@ _MANIFEST_FILE_SCHEMA_V2 = {
     ],
 }
 
+# once a table carries EQUALITY deletes, manifests additionally track
+# their data sequence number (delete_seq > data_seq gates which files
+# an equality delete applies to); entries inherit the manifest's
+# number (scan_entries_full)
+_MANIFEST_FILE_SCHEMA_V2SEQ = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
 
 def _write_manifest_list(path: str, manifests: list[dict]) -> None:
     """Write a manifest list, preserving each record's content kind
-    (0 = data, 1 = deletes) when ANY carried record has one — a
-    carried delete manifest must not be re-listed as data. Plain
-    tables keep the v1 record shape."""
+    (0 = data, 1 = deletes) and sequence number when ANY carried
+    record has one — a carried delete manifest must not be re-listed
+    as data, and dropping a carried sequence number would silently
+    widen an equality delete's reach on the next append. Plain tables
+    keep the v1 record shape."""
     from plankton_spark.sources.avro_ocf import write_ocf_generic
 
-    if any("content" in m and m.get("content") for m in manifests):
+    has_seq = any(m.get("sequence_number") is not None for m in manifests)
+    if has_seq:
+        manifests = [
+            {
+                **m,
+                "content": m.get("content", 0),
+                "sequence_number": m.get("sequence_number"),
+            }
+            for m in manifests
+        ]
+        write_ocf_generic(path, _MANIFEST_FILE_SCHEMA_V2SEQ, manifests)
+    elif any("content" in m and m.get("content") for m in manifests):
         manifests = [{**m, "content": m.get("content", 0)} for m in manifests]
         write_ocf_generic(path, _MANIFEST_FILE_SCHEMA_V2, manifests)
     else:
@@ -1243,6 +1294,43 @@ def _entry_schema(part_fields: list[tuple[str, str]]) -> dict:
 # the generator could silently diverge)
 _MANIFEST_ENTRY_SCHEMA = _entry_schema([])
 
+# equality-delete manifests additionally declare the key's field ids
+# (data_file.equality_ids, spec-required for content=2)
+_EQ_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {
+                            "type": "record",
+                            "name": "r102",
+                            "fields": [],
+                        },
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                    },
+                ],
+            },
+        },
+    ],
+}
+
 
 def _spark_type_to_iceberg(dt: T.DataType) -> str:
     m = {
@@ -1431,7 +1519,10 @@ class IcebergWriter:
             return field_ids or {}
         try:
             table = IcebergTable(self.table_path)
-            entries, _ = table.scan_entries(None)
+            # scan_entries_full, not scan_entries: the probe must keep
+            # working on equality-deleted tables (append stays legal
+            # there), where scan_entries raises by contract
+            entries, _pos, _eq = table.scan_entries_full(None)
             if entries and not table.files_carry_field_ids(None):
                 return {}
         except (FileNotFoundError, ValueError, KeyError, StopIteration):
@@ -1816,6 +1907,15 @@ class IcebergWriter:
             m_new = self._write_manifest(
                 self._unique(f"m{snap_id}"), files, snap_id, entry_schema=es
             )
+            # sequence tracking (active once delete_where_eq ran):
+            # new data manifests get the NEXT data sequence number so
+            # existing equality deletes (strictly-smaller seq) cannot
+            # touch re-inserted rows; carried records keep theirs
+            # verbatim (_write_manifest_list preserves them)
+            if "last-sequence-number" in md:
+                new_seq = (md.get("last-sequence-number") or 0) + 1
+                m_new["sequence_number"] = new_seq
+                md["last-sequence-number"] = new_seq
             prev_ml = table._resolve(prev["manifest-list"])
             manifests = list(read_ocf_generic(prev_ml)) + [m_new]
             ml_name = self._unique(f"snap-{snap_id}")
@@ -2317,6 +2417,127 @@ class IcebergWriter:
                 return snap_id
             except IcebergCommitConflict:
                 continue
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
+    def delete_where_eq(self, keys_df) -> int | None:
+        """Row-level delete via format-v2 EQUALITY delete files (the
+        write twin of read_iceberg's equality support): every column
+        of `keys_df` is an equality key, every row names one key to
+        delete. O(delete keys) — no data file is opened or rewritten;
+        the delete-aware read subtracts matching rows from all data
+        files with a STRICTLY SMALLER data sequence number, so rows
+        appended AFTER this commit keep their keys (the Flink upsert
+        pattern this exists for).
+
+        This commit activates sequence tracking: the table metadata
+        gains `last-sequence-number`, this delete manifest takes the
+        next number, and subsequent appends stamp their new manifests
+        with increasing numbers (_write_manifest_list preserves every
+        carried record's number). Rewrite paths (delete_where,
+        OPTIMIZE, MERGE, overwrite) refuse equality-deleted snapshots
+        via the scan_entries contract — applying them correctly needs
+        delete-aware rewrites this engine reserves for reads."""
+        import glob as _glob
+        import shutil as _shutil
+        import uuid as _uuid
+
+        import pyarrow.parquet as _pq
+
+        from plankton_spark.sources.avro_ocf import (
+            read_ocf_generic,
+            write_ocf_generic,
+        )
+
+        if keys_df.isEmpty():
+            return None
+        key_cols = list(keys_df.columns)
+        table0 = IcebergTable(self.table_path)
+        tschema = table0.schema()
+        by_name = {f.name: f for f in tschema.fields}
+        missing = sorted(set(key_cols) - set(by_name))
+        if missing:
+            raise ValueError(
+                f"{self.table_path}: equality-delete keys {missing} not "
+                "in the table schema"
+            )
+        # field ids from the CURRENT schema (the reader maps them back
+        # by id, so renames stay safe)
+        md0 = table0.metadata
+        cur = next(
+            s
+            for s in (md0.get("schemas") or [md0["schema"]])
+            if s.get("schema-id", 0) == md0.get("current-schema-id", 0)
+        )
+        ids_by_name = {f["name"]: f["id"] for f in cur["fields"]}
+        eq_ids = [ids_by_name[c] for c in key_cols]
+        # stage the key rows once, typed exactly as the table declares
+        # them (a long/int mismatch would silently never match)
+        keys = keys_df.select(
+            *[F.col(c).cast(by_name[c].dataType) for c in key_cols]
+        ).distinct()
+        tmp = os.path.join(self.table_path, f"_stage-{_uuid.uuid4().hex}")
+        keys.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            md = dict(table.metadata)
+            snap_id = max(
+                s["snapshot-id"] for s in md["snapshots"]
+            ) + 1
+            new_seq = (md.get("last-sequence-number") or 0) + 1
+            rel = f"data/eqdel-snap{snap_id}-{_uuid.uuid4().hex}.parquet"
+            dst = os.path.join(self.table_path, rel)
+            _shutil.copyfile(part, dst)
+            del_file = {
+                "content": 2,
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": _pq.ParquetFile(dst).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(dst),
+                "equality_ids": eq_ids,
+            }
+            m_name = self._unique(f"m{snap_id}-eqdel")
+            m_path = os.path.join(self.meta_dir, m_name)
+            write_ocf_generic(
+                m_path,
+                _EQ_ENTRY_SCHEMA,
+                [{"status": 1, "snapshot_id": snap_id, "data_file": del_file}],
+            )
+            prev = table._snapshot(None)
+            prev_ml = table._resolve(prev["manifest-list"])
+            manifests = list(read_ocf_generic(prev_ml)) + [
+                {
+                    "manifest_path": f"metadata/{m_name}",
+                    "manifest_length": os.path.getsize(m_path),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": new_seq,
+                    "added_snapshot_id": snap_id,
+                }
+            ]
+            ml_name = self._unique(f"snap-{snap_id}")
+            _write_manifest_list(
+                os.path.join(self.meta_dir, ml_name), manifests
+            )
+            md["format-version"] = 2
+            md["last-sequence-number"] = new_seq
+            md["snapshots"] = md["snapshots"] + [
+                {
+                    "snapshot-id": snap_id,
+                    "timestamp-ms": int(_time.time() * 1000),
+                    "manifest-list": f"metadata/{ml_name}",
+                }
+            ]
+            md["current-snapshot-id"] = snap_id
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                _shutil.rmtree(tmp, ignore_errors=True)
+                return snap_id
+            except IcebergCommitConflict:
+                os.remove(dst)
+                continue
+        _shutil.rmtree(tmp, ignore_errors=True)
         raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
 
     def optimize(

@@ -17,6 +17,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from pyspark.sql import functions as F
+
 from plankton_spark.sources.avro_ocf import write_ocf_generic
 from plankton_spark.sources.iceberg_meta import IcebergTable, read_iceberg
 
@@ -360,3 +362,89 @@ def test_eq_deletes_compose_with_position_deletes(spark, tmp_path):
     got = sorted(r.k for r in read_iceberg(spark, root).collect())
     # pos delete removes d0 row 0 (k=0) on top of eq deletes
     assert got == [x for x in _EXPECT if x != 0]
+
+
+# ---- writer side: delete_where_eq -----------------------------------
+
+
+def _mk_table(spark, tmp_path, name):
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(k, "old") for k in range(10)], "k long, grp string"
+    )
+    w = IcebergWriter(spark, root)
+    w.create(df)
+    return root, w
+
+
+def test_delete_where_eq_removes_matching_rows(spark, tmp_path):
+    root, w = _mk_table(spark, tmp_path, "weq1")
+    keys = spark.createDataFrame([(1,), (3,), (5,)], "k long")
+    assert w.delete_where_eq(keys) is not None
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert got == [0, 2, 4, 6, 7, 8, 9]
+    # no data file was rewritten: O(delete keys), not O(data bytes)
+    import glob
+
+    data = glob.glob(os.path.join(root, "data", "*.parquet"))
+    assert any("eqdel-" in p for p in data)
+
+
+def test_append_after_eq_delete_reinserts_keys(spark, tmp_path):
+    """The sequencing contract: rows appended AFTER the delete keep
+    their keys (new manifests get a larger data sequence number)."""
+    root, w = _mk_table(spark, tmp_path, "weq2")
+    w.delete_where_eq(spark.createDataFrame([(3,), (5,)], "k long"))
+    w.append(
+        spark.createDataFrame([(3, "new"), (99, "new")], "k long, grp string")
+    )
+    rows = sorted((r.k, r.grp) for r in read_iceberg(spark, root).collect())
+    assert (3, "new") in rows and (99, "new") in rows
+    assert (3, "old") not in rows and (5, "old") not in rows
+
+
+def test_second_eq_delete_hits_reinserted_rows(spark, tmp_path):
+    """A LATER delete (higher seq) removes the re-inserted key too."""
+    root, w = _mk_table(spark, tmp_path, "weq3")
+    w.delete_where_eq(spark.createDataFrame([(3,)], "k long"))
+    w.append(spark.createDataFrame([(3, "new")], "k long, grp string"))
+    w.delete_where_eq(spark.createDataFrame([(3,)], "k long"))
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert 3 not in got
+    assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+
+
+def test_eq_delete_composite_key_and_type_cast(spark, tmp_path):
+    """Multi-column keys; key frame types are cast to the table's
+    declared types (an int-vs-long mismatch must still match)."""
+    root, w = _mk_table(spark, tmp_path, "weq4")
+    keys = spark.createDataFrame([(2, "old"), (4, "zzz")], "k int, grp string")
+    w.delete_where_eq(keys)
+    got = sorted(r.k for r in read_iceberg(spark, root).collect())
+    assert got == [0, 1, 3, 4, 5, 6, 7, 8, 9]  # (4,'zzz') matched nothing
+
+
+def test_eq_delete_unknown_column_refuses(spark, tmp_path):
+    root, w = _mk_table(spark, tmp_path, "weq5")
+    with pytest.raises(ValueError, match="not\\b.*in the table schema"):
+        w.delete_where_eq(spark.createDataFrame([(1,)], "nope long"))
+
+
+def test_rewrite_ops_refuse_eq_deleted_tables(spark, tmp_path):
+    root, w = _mk_table(spark, tmp_path, "weq6")
+    w.delete_where_eq(spark.createDataFrame([(1,)], "k long"))
+    with pytest.raises(ValueError, match="equality delete"):
+        w.delete_where(F.col("k") == 2)
+    with pytest.raises(ValueError, match="equality delete"):
+        w.optimize()
+
+
+def test_eq_delete_empty_keys_is_noop(spark, tmp_path):
+    root, w = _mk_table(spark, tmp_path, "weq7")
+    before = IcebergTable(root).metadata_version
+    assert w.delete_where_eq(
+        spark.createDataFrame([], "k long")
+    ) is None
+    assert IcebergTable(root).metadata_version == before
