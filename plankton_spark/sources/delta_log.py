@@ -191,11 +191,41 @@ def _checkpoint_versions(log_dir: str) -> dict[int, list[str]]:
             # has several (different uniqueIds), any one is valid —
             # take the lexicographically first for determinism
             v2.setdefault(v, [f])
-        elif len(parts) == 5 and parts[4] == "parquet" and parts[2].isdigit():
+        elif (
+            len(parts) == 5
+            and parts[4] == "parquet"
+            and parts[2].isdigit()
+            and parts[3].isdigit()
+        ):
             multi.setdefault(v, []).append(f)
     out: dict[int, list[str]] = dict(multi)
     out.update(v2)
     out.update(classic)  # our own layout wins when several coexist
+    # a multi-part checkpoint is only usable COMPLETE: every filename
+    # declares the total part count (<n>.<m>), so when that layout is
+    # the one we'd replay for a version, require parts 1..m all
+    # present — replaying a partial set (interrupted writer / partial
+    # copy) would silently drop the missing parts' add actions and
+    # return wrong rows, the exact failure the spec's naming scheme
+    # exists to make detectable. A coexisting classic/V2 checkpoint
+    # for the same version shadows the multi-part one, so it needs no
+    # check there.
+    for v, fnames in out.items():
+        if fnames is not multi.get(v):
+            continue
+        declared = {int(f.split(".")[3]) for f in fnames}
+        if len(declared) != 1:
+            raise ValueError(
+                f"multi-part checkpoint {v} mixes part totals "
+                f"{sorted(declared)} — corrupt layout"
+            )
+        total = declared.pop()
+        have = {int(f.split(".")[2]) for f in fnames}
+        if have != set(range(1, total + 1)):
+            raise ValueError(
+                f"multi-part checkpoint {v} incomplete: have parts "
+                f"{sorted(have)} of {total}"
+            )
     return out
 
 

@@ -303,3 +303,133 @@ def test_vacuum_honors_sidecar_references(spark, tmp_path):
     removed = w.vacuum(grace_seconds=0)
     assert "orphan.parquet" in removed
     assert sorted(r.k for r in read_delta(spark, root).collect()) == _EXPECT
+
+
+def _author_multipart_table(tmp_path, name, *, drop_part=None):
+    """Classic MULTI-PART checkpoint `<v>.checkpoint.<n>.<m>.parquet`
+    at version 1 with no JSON commits: protocol+meta in part 1, one
+    add per part. `drop_part` removes that part after authoring
+    (simulating an interrupted writer / partial copy)."""
+    root = str(tmp_path / name)
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    _write_data(root, "f0.parquet", [1, 2, 3])
+    _write_data(root, "f1.parquet", [10, 11])
+    protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = {
+        "id": name,
+        "schemaString": _SCHEMA_STRING,
+        "partitionColumns": [],
+        "configuration": [],
+    }
+    part_rows = [
+        [{"protocol": protocol}, {"metaData": meta},
+         {"add": _add("f0.parquet", root)}],
+        [{"add": _add("f1.parquet", root)}],
+    ]
+    fields = [
+        pa.field(
+            "protocol",
+            pa.struct(
+                [
+                    pa.field("minReaderVersion", pa.int32()),
+                    pa.field("minWriterVersion", pa.int32()),
+                ]
+            ),
+        ),
+        pa.field(
+            "metaData",
+            pa.struct(
+                [
+                    pa.field("id", pa.string()),
+                    pa.field("schemaString", pa.string()),
+                    pa.field("partitionColumns", pa.list_(pa.string())),
+                    pa.field(
+                        "configuration", pa.map_(pa.string(), pa.string())
+                    ),
+                ]
+            ),
+        ),
+        pa.field("add", _ADD_STRUCT),
+    ]
+    for n, rows in enumerate(part_rows, start=1):
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=pa.schema(fields)),
+            os.path.join(log, f"{1:020d}.checkpoint.{n}.{2}.parquet"),
+        )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "parts": 2}, fh)
+    if drop_part is not None:
+        os.remove(
+            os.path.join(
+                log, f"{1:020d}.checkpoint.{drop_part}.{2}.parquet"
+            )
+        )
+    return root
+
+
+def test_multipart_checkpoint_replays(spark, tmp_path):
+    root = _author_multipart_table(tmp_path, "mp_ok")
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == _EXPECT
+
+
+def test_multipart_checkpoint_incomplete_refuses(spark, tmp_path):
+    """A partial multi-part set must refuse loudly, not silently
+    drop the missing part's adds (wrong rows)."""
+    root = _author_multipart_table(tmp_path, "mp_partial", drop_part=2)
+    with pytest.raises(ValueError, match="incomplete"):
+        read_delta(spark, root).count()
+
+
+def test_multipart_incomplete_shadowed_by_classic_reads(spark, tmp_path):
+    """An incomplete multi-part set is harmless when a CLASSIC
+    checkpoint for the same version shadows it — the usable layout
+    wins and no completeness error fires."""
+    root = _author_multipart_table(tmp_path, "mp_shadow", drop_part=2)
+    log = os.path.join(root, "_delta_log")
+    # author the classic single-file checkpoint for the same version
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "mp_shadow",
+                "schemaString": _SCHEMA_STRING,
+                "partitionColumns": [],
+                "configuration": [],
+            }
+        },
+        {"add": _add("f0.parquet", root)},
+        {"add": _add("f1.parquet", root)},
+    ]
+    fields = [
+        pa.field(
+            "protocol",
+            pa.struct(
+                [
+                    pa.field("minReaderVersion", pa.int32()),
+                    pa.field("minWriterVersion", pa.int32()),
+                ]
+            ),
+        ),
+        pa.field(
+            "metaData",
+            pa.struct(
+                [
+                    pa.field("id", pa.string()),
+                    pa.field("schemaString", pa.string()),
+                    pa.field("partitionColumns", pa.list_(pa.string())),
+                    pa.field(
+                        "configuration", pa.map_(pa.string(), pa.string())
+                    ),
+                ]
+            ),
+        ),
+        pa.field("add", _ADD_STRUCT),
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(fields)),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+    )
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == _EXPECT
