@@ -436,7 +436,17 @@ def read_iceberg(
         if not part_cols:
             return spark.read.schema(schema).parquet(*[p for p, _ in entries])
         return _assemble_iceberg(spark, schema, part_cols, entries)
+    # keyed by basename because the scan's __pd_file column is the
+    # basename (position deletes match on it); writers name data files
+    # uniquely (uuid-suffixed), but a collision across partition dirs
+    # would silently mis-sequence equality deletes — refuse instead
     data_seq = {os.path.basename(p): s for p, _pv, s in full}
+    if eq_dels and len(data_seq) != len(full):
+        raise ValueError(
+            f"{t.table_path}: duplicate data-file basenames across "
+            "directories — equality-delete sequencing would be "
+            "ambiguous"
+        )
     return _posdelete_filtered_read(
         spark, t, schema, part_cols, entries, pos_dels,
         eq_deletes=eq_dels, data_seq=data_seq,
