@@ -76,3 +76,23 @@ def fmt_ts(c: Column, alias: str) -> Column:
 
 def sql_fmt_ts(x: str, alias: str) -> str:
     return f"strftime({x}, '%Y-%m-%d %H:%M:%S') AS {alias}"
+
+
+def driver_scalar(df):
+    """Fetch ONE row of a global aggregate to the driver.
+
+    This is the sanctioned driver-side fetch for scalar control flow
+    (adaptive sizing, refusal guards): callers must pass a frame that
+    is a global aggregate — one row by construction, metadata-scale
+    at any corpus size. Kept as a named choke point so the plan tests
+    can exempt scalar fetches while still failing any op that pulls
+    query DATA through DataFrame.collect (see
+    tests/test_plans.py::test_gemm_ops_never_collect_to_driver).
+    """
+    rows = df.collect()
+    if len(rows) != 1:
+        raise AssertionError(
+            f"driver_scalar expects a 1-row global aggregate, got "
+            f"{len(rows)} rows"
+        )
+    return rows[0]

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from plankton_spark import cache
+from plankton_spark.functions import driver_scalar
 from plankton_spark.io import read_table
 from plankton_spark.registry import query
 
@@ -738,9 +739,9 @@ def embcos_pairs(spark, e, threshold, max_uniques=EMBCOS_MAX_UNIQUES):
     paths rather than launching an O(U²) GEMM that cannot finish.
     The 1.1 slack on the ceiling absorbs HLL error — a corpus within
     5% of the declared edge is already in "choose approx" territory."""
-    u_est = e.agg(
-        F.approx_count_distinct("embedding", rsd=0.02).alias("u")
-    ).collect()[0]["u"]
+    u_est = driver_scalar(
+        e.agg(F.approx_count_distinct("embedding", rsd=0.02).alias("u"))
+    )["u"]
     if u_est > max_uniques * 1.1:
         raise ValueError(
             f"exact embedding-cosine dedup refused: ~{u_est:,} unique "

@@ -137,10 +137,25 @@ def test_gemm_ops_never_collect_to_driver(spark, monkeypatch):
     a collect() here means the whole vector corpus on one machine."""
     import pyspark.sql.classic.dataframe as cdf
 
+    import plankton_spark.functions as pf
+    import plankton_spark.queries.llm_dedup as lld
+
+    orig_collect = cdf.DataFrame.collect
+
     def boom(self, *a, **k):
         raise AssertionError("driver-side collect() in a GEMM op")
 
+    # the ONE sanctioned driver fetch is the named scalar choke point
+    # (embcos's refusal guard reads a 1-row HLL aggregate) — exempt it
+    # but hold it to its contract: exactly one row ever crosses
+    def scalar_ok(df):
+        rows = orig_collect(df)
+        assert len(rows) == 1, f"driver_scalar moved {len(rows)} rows"
+        return rows[0]
+
     monkeypatch.setattr(cdf.DataFrame, "collect", boom)
+    monkeypatch.setattr(pf, "driver_scalar", scalar_ok)
+    monkeypatch.setattr(lld, "driver_scalar", scalar_ok)
     qs = all_queries()
     for name in ("q_dedup_embcos", "q_sim_cosine_topk"):
         df = qs[name](spark, SF0001)
