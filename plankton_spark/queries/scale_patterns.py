@@ -332,3 +332,115 @@ def q_sample_weighted(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("sampled_chars"),
         F.min("doc_id").cast("long").alias("min_doc"),
     )
+
+
+N_BUCKETS = 16
+
+
+def bucketed_join_tables(spark, sf_dir) -> tuple[str, str]:
+    """Write orders + customer as BUCKETED tables on the join key
+    (catalog tables with explicit external paths) and return their
+    names. Bucketing is the 100 TB co-location tool this module
+    exists for: both sides pre-hashed into the same number of buckets
+    on the join key, so the sort-merge join reads bucket i against
+    bucket i with ZERO shuffle of either side — the exchange that
+    dominates a TB-scale fact-fact join simply isn't in the plan
+    (pinned by tests/test_plans.py). The repartition before the write
+    lands each bucket in exactly one file, so the scan needs no
+    extra sort.
+
+    Idempotent per (session, sf_dir): the catalog check makes
+    repeated query invocations reuse the written tables."""
+    import os as _os
+
+    from plankton_spark.queries.scans import _scratch
+
+    tag = _os.path.basename(_os.path.normpath(sf_dir)).replace(".", "_")
+    names = []
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"plank_bkt_{tbl}_{tag}"
+        if not spark.catalog.tableExists(name):
+            (
+                read_table(spark, sf_dir, tbl)
+                .repartition(N_BUCKETS, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", _scratch(sf_dir, f"bkt_{tbl}"))
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        names.append(name)
+    return names[0], names[1]
+
+
+@query(
+    "q_join_bucketed",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders, {sql_sum('o_totalprice', 'revenue')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_bucketed(spark, sf_dir):
+    """Shuffle-free equi-join via bucketed tables: both sides written
+    bucketBy(16, custkey), so the join co-locates by construction and
+    the only exchange left in the whole plan is the final small
+    groupBy. Must equal the plain join exactly (same oracle as
+    q_join_salted — three routes to one answer)."""
+    o_name, c_name = bucketed_join_tables(spark, sf_dir)
+    o, c = spark.table(o_name), spark.table(c_name)
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )
+
+
+@query(
+    "q_scan_bloom",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           o_orderstatus
+    FROM orders WHERE o_custkey = 42
+    """,
+)
+def q_scan_bloom(spark, sf_dir):
+    """Point lookup over parquet written WITH a bloom filter on the
+    lookup column. Row-group min/max stats can't prune a point
+    predicate on an unsorted high-cardinality column (every row group
+    spans most of the key range); the bloom filter is the standard
+    answer — parquet-mr attaches an SBBF per row group and the
+    reader's filter pushdown skips groups whose filter proves the key
+    absent. At 100 TB this turns a needle-in-haystack scan into a
+    handful of row groups. Correctness contract: identical rows to
+    the plain predicate (the filter is sound — no false negatives);
+    tests/test_scale_patterns.py asserts the filter bytes are
+    actually in the file."""
+    import os as _os
+
+    from plankton_spark.queries.scans import _scratch
+
+    path = _scratch(sf_dir, "orders_bloom")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        (
+            read_table(spark, sf_dir, "orders")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_custkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+            # parquet-mr only attaches a bloom filter when the column
+            # is NOT fully dictionary-encoded (the dictionary itself
+            # gives exact row-group skipping). At 100 TB a fact key
+            # overflows the dictionary page naturally; at fixture
+            # scale we disable the dictionary to exercise the real
+            # bloom path end to end.
+            .option("parquet.enable.dictionary#o_custkey", "false")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).where(F.col("o_custkey") == 42)
+    return back.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus",
+    )
