@@ -765,3 +765,74 @@ def q_deltalog_dv_delete(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     )
+
+
+@query(
+    "q_deltalog_v2checkpoint",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 2000
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM t
+    """,
+)
+def q_deltalog_v2checkpoint(spark, sf_dir):
+    """V2-checkpoint write→read roundtrip, fully compacted: CREATE +
+    APPEND through the engine's writer, protocol upgraded to the
+    v2Checkpoint reader feature by a JSON commit, the log compacted
+    into a `<v>.checkpoint.<uniqueId>.parquet` whose add actions live
+    in a `_delta_log/_sidecars/` parquet, and every JSON commit
+    DELETED — the read below replays from the v2 checkpoint alone.
+    At 100 TB checkpoint compaction is what keeps log replay O(live
+    files) instead of O(commit history); the sidecar layout is how
+    engines shard that checkpoint."""
+    import os as _os
+
+    from plankton_spark.sources.delta_log import (
+        DeltaLog,
+        DeltaLogWriter,
+        read_delta,
+        write_delta_checkpoint,
+    )
+
+    root = _scratch(sf_dir, "delta_v2cp")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 1000))
+    w.append(o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    log_dir = _os.path.join(root, "_delta_log")
+    v = DeltaLog(root).latest_version() + 1
+    with open(_os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint"],
+                        "writerFeatures": ["v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    write_delta_checkpoint(root, style="v2")
+    for f in _os.listdir(log_dir):
+        if f.endswith(".json") and f.split(".")[0].isdigit():
+            _os.remove(_os.path.join(log_dir, f))
+    back = read_delta(spark, root)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    )

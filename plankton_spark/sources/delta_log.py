@@ -895,8 +895,13 @@ class DeltaLogWriter:
     def _next_version(self) -> int:
         if not os.path.isdir(self.log_dir):
             return 0
-        versions = _commit_versions(self.log_dir)
-        return (versions[-1] + 1) if versions else 0
+        # checkpoint versions count: a fully-compacted table (JSON
+        # commits cleaned up, spec-legal) must get checkpoint_v + 1,
+        # not a recycled low version the replayer would never see
+        versions = _commit_versions(self.log_dir) + sorted(
+            _checkpoint_versions(self.log_dir)
+        )
+        return (max(versions) + 1) if versions else 0
 
     def _commit(self, version: int, actions: list[dict]) -> int:
         """Atomic publication: the full content is written (and fsynced)
@@ -2268,13 +2273,35 @@ class DeltaLogStreamReader(DataSourceStreamReader):
 DELTA_CHECKPOINT_EVERY = 10
 
 
-def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
-    """Compact the log at `version` (default latest) into
-    `<v>.checkpoint.parquet` + `_last_checkpoint`, per the spec's
-    checkpoint layout: one row per live action with typed columns
-    (partitionValues/configuration as map<string,string> — an empty
-    STRUCT can't land in parquet). Readers then replay checkpoint +
-    later JSON commits only."""
+def write_delta_checkpoint(
+    table_path: str,
+    version: int | None = None,
+    *,
+    style: str = "classic",
+    parts: int = 2,
+) -> str:
+    """Compact the log at `version` (default latest) into a checkpoint
+    + `_last_checkpoint`, per the spec's checkpoint layout: one row
+    per live action with typed columns (partitionValues/configuration
+    as map<string,string> — an empty STRUCT can't land in parquet).
+    Readers then replay checkpoint + later JSON commits only.
+
+    ``style`` selects the spec layout (all three are read back by
+    `_checkpoint_versions` / `_decode_checkpoint_files`):
+
+    - ``"classic"`` — one `<v>.checkpoint.parquet` (default).
+    - ``"multipart"`` — `<v>.checkpoint.<n>.<m>.parquet` × ``parts``,
+      non-file actions in part 1, add rows chunked across all parts.
+      At 100 TB a single checkpoint parquet of 10^8 add rows is a
+      driver-memory and single-writer bottleneck; parts bound each
+      file.
+    - ``"v2"`` — `<v>.checkpoint.<uniqueId>.parquet` whose file
+      actions live in a `_delta_log/_sidecars/` parquet, plus the
+      required checkpointMetadata row. Requires the table protocol to
+      already declare the ``v2Checkpoint`` reader feature (the spec
+      forbids v2 layouts on tables whose readers were never told);
+      refuses otherwise — upgrade the protocol with a JSON commit
+      first."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -2430,11 +2457,104 @@ def write_delta_checkpoint(table_path: str, version: int | None = None) -> str:
             }
         )
     log_dir = os.path.join(table_path, "_delta_log")
-    out = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    pq.write_table(pa.Table.from_pylist(rows, schema=cp_schema), out)
-    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
-        json.dump({"version": version, "size": len(rows)}, f)
-    return out
+    if style == "classic":
+        out = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        pq.write_table(pa.Table.from_pylist(rows, schema=cp_schema), out)
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+            json.dump({"version": version, "size": len(rows)}, f)
+        return out
+
+    non_add = [r for r in rows if r.get("add") is None]
+    add_rows = [r for r in rows if r.get("add") is not None]
+
+    if style == "multipart":
+        if parts < 1:
+            raise ValueError(f"multipart checkpoint needs parts >= 1, got {parts}")
+        chunk = -(-len(add_rows) // parts) if add_rows else 0
+        out = None
+        for n in range(1, parts + 1):
+            body = add_rows[(n - 1) * chunk : n * chunk] if chunk else []
+            part_rows = (non_add if n == 1 else []) + body
+            out = os.path.join(
+                log_dir,
+                f"{version:020d}.checkpoint.{n:010d}.{parts:010d}.parquet",
+            )
+            pq.write_table(
+                pa.Table.from_pylist(part_rows, schema=cp_schema), out
+            )
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+            json.dump(
+                {"version": version, "size": len(rows), "parts": parts}, f
+            )
+        return out
+
+    if style == "v2":
+        import uuid as _uuid
+
+        prot = next(r["protocol"] for r in rows if r.get("protocol"))
+        if "v2Checkpoint" not in (prot.get("readerFeatures") or []):
+            raise ValueError(
+                f"{table_path}: v2 checkpoint refused — the table "
+                "protocol does not declare the v2Checkpoint reader "
+                "feature, so third-party readers would not know to "
+                "look for sidecars; commit a protocol upgrade first"
+            )
+        uid = _uuid.uuid4().hex
+        side_dir = os.path.join(log_dir, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        side_name = f"{uid}-0.parquet"
+        side_path = os.path.join(side_dir, side_name)
+        add_field = cp_schema.field("add")
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"add": r["add"]} for r in add_rows],
+                schema=pa.schema([add_field]),
+            ),
+            side_path,
+        )
+        v2_schema = pa.schema(
+            [
+                pa.field(
+                    "checkpointMetadata",
+                    pa.struct([pa.field("version", pa.int64())]),
+                ),
+                pa.field(
+                    "sidecar",
+                    pa.struct(
+                        [
+                            pa.field("path", pa.string()),
+                            pa.field("sizeInBytes", pa.int64()),
+                            pa.field("modificationTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                *cp_schema,
+            ]
+        )
+        main_rows = (
+            [{"checkpointMetadata": {"version": version}}]
+            + non_add
+            + [
+                {
+                    "sidecar": {
+                        "path": side_name,
+                        "sizeInBytes": os.path.getsize(side_path),
+                        "modificationTime": int(
+                            os.path.getmtime(side_path) * 1000
+                        ),
+                    }
+                }
+            ]
+        )
+        out = os.path.join(
+            log_dir, f"{version:020d}.checkpoint.{uid}.parquet"
+        )
+        pq.write_table(pa.Table.from_pylist(main_rows, schema=v2_schema), out)
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+            json.dump({"version": version, "size": len(rows)}, f)
+        return out
+
+    raise ValueError(f"unknown checkpoint style {style!r}")
 
 
 def read_delta_changes(spark, table_path: str, v_from: int, v_to: int):

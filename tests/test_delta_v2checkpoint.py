@@ -433,3 +433,90 @@ def test_multipart_incomplete_shadowed_by_classic_reads(spark, tmp_path):
     )
     got = sorted(r.k for r in read_delta(spark, root).collect())
     assert got == _EXPECT
+
+
+# ---------------------------------------------------------------------
+# WRITE side: our writer emits multipart and v2 layouts our reader
+# (and the spec) accept
+# ---------------------------------------------------------------------
+
+def _own_table(spark, tmp_path, name):
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+
+    root = str(tmp_path / name)
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"))
+    w.append(spark.range(10, 15).selectExpr("id AS k", "id * 2 AS v"))
+    return root
+
+
+def _drop_json_commits(root):
+    log = os.path.join(root, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json") and f.split(".")[0].isdigit():
+            os.remove(os.path.join(log, f))
+
+
+def test_write_multipart_checkpoint_roundtrip(spark, tmp_path):
+    from plankton_spark.sources.delta_log import write_delta_checkpoint
+
+    root = _own_table(spark, tmp_path, "mp_write")
+    before = sorted(r.k for r in read_delta(spark, root).collect())
+    write_delta_checkpoint(root, style="multipart", parts=2)
+    log = os.path.join(root, "_delta_log")
+    mp = [f for f in os.listdir(log) if ".checkpoint." in f]
+    assert len(mp) == 2 and all(f.split(".")[3] == f"{2:010d}" for f in mp), mp
+    _drop_json_commits(root)
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == before
+
+
+def test_write_v2_checkpoint_requires_protocol_feature(spark, tmp_path):
+    from plankton_spark.sources.delta_log import write_delta_checkpoint
+
+    root = _own_table(spark, tmp_path, "v2w_refuse")
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        write_delta_checkpoint(root, style="v2")
+
+
+def test_write_v2_checkpoint_roundtrip(spark, tmp_path):
+    """Protocol upgraded by a JSON commit → v2 checkpoint written with
+    sidecar-resident adds → JSON commits dropped → same rows back."""
+    from plankton_spark.sources.delta_log import (
+        DeltaLog,
+        write_delta_checkpoint,
+    )
+
+    root = _own_table(spark, tmp_path, "v2w_ok")
+    log = os.path.join(root, "_delta_log")
+    v = DeltaLog(root).latest_version() + 1
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["v2Checkpoint"],
+                        "writerFeatures": ["v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    before = sorted(r.k for r in read_delta(spark, root).collect())
+    out = write_delta_checkpoint(root, style="v2")
+    assert ".checkpoint." in os.path.basename(out)
+    assert len(os.path.basename(out).split(".")) == 4
+    side = os.listdir(os.path.join(log, "_sidecars"))
+    assert len(side) == 1, side
+    _drop_json_commits(root)
+    got = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got == before
+    # appends after the v2 checkpoint still replay on top
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+
+    DeltaLogWriter(spark, root).append(
+        spark.range(100, 103).selectExpr("id AS k", "id * 2 AS v")
+    )
+    got2 = sorted(r.k for r in read_delta(spark, root).collect())
+    assert got2 == before + [100, 101, 102]
