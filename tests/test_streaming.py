@@ -302,3 +302,38 @@ def test_stream_stream_join_equals_batch(spark):
     )
     batch = jobs.view_click_pairs(read_table(spark, SF0001, "events"))
     assert_same(streamed, batch)
+
+
+def test_stateful_aggs_run_on_rocksdb_state_store(spark):
+    """The 100 TB state backend: the default (HDFS-backed in-memory)
+    state store holds every key in executor heap — at billions of
+    session/dedup keys that's an OOM, and RocksDB is the production
+    answer. Pin that our stateful jobs run — and agree with batch —
+    under RocksDBStateStoreProvider, so the posture SCALE.md claims
+    is actually exercised (the only other RocksDB test is
+    protobuf-gated and skips in this sandbox)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = jobs.read_events_stream(spark, SF0001)
+        streamed = jobs.run_available_now(
+            jobs.tumbling_counts(stream), run_name="tumbling_rocks"
+        )
+        batch = jobs.tumbling_counts(read_table(spark, SF0001, "events"))
+        assert_same(streamed, batch)
+
+        # session windows: merging-key state, the shape that actually
+        # stresses a state store
+        stream2 = jobs.read_events_stream(spark, SF0001)
+        sessions = jobs.run_available_now(
+            jobs.session_windows(stream2), run_name="session_rocks"
+        )
+        assert_same(
+            jobs.rollup_sessions(sessions),
+            jobs.session_stats(read_table(spark, SF0001, "events")),
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
