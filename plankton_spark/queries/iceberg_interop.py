@@ -1151,3 +1151,51 @@ def q_iceberg_eqdelete_write(spark, sf_dir):
             4,
         ).alias("price_sum"),
     )
+
+
+@query(
+    "q_iceberg_spec_evolution",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 2000
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM t GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_spec_evolution(spark, sf_dir):
+    """PARTITION EVOLUTION end-to-end: the first half of orders lands
+    UNPARTITIONED (spec 0), evolve_spec makes o_orderstatus the
+    default identity spec — a metadata-only commit, zero data files
+    touched — and the second half lands hive-partitioned under spec 1.
+    The read below spans both layouts: per-spec assembly unioned to
+    the table schema, grouped to prove no row lost its partition
+    value either way. At 100 TB this is how a table re-partitions:
+    one metadata edit, new data migrates naturally, old data is never
+    rewritten."""
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root = _scratch(sf_dir, "iceberg_evolve")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    w = IcebergWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 1000))
+    w.evolve_spec(["o_orderstatus"])
+    w.append(
+        o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+    )
+    back = read_iceberg(spark, root)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    )

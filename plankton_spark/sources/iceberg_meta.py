@@ -230,6 +230,35 @@ class IcebergTable:
                 spec = match.get("fields")
         return list(spec or [])
 
+    def partition_spec_for(self, spec_id: int) -> list[dict]:
+        """Partition-spec fields for a SPECIFIC spec id — after
+        partition evolution a snapshot's live manifests span several
+        specs and each file's partition record is shaped by its
+        manifest's spec, not the default."""
+        md = self.metadata
+        specs = md.get("partition-specs")
+        if specs:
+            match = next(
+                (s for s in specs if s.get("spec-id") == spec_id), None
+            )
+            if match is not None:
+                return list(match.get("fields") or [])
+        if spec_id == md.get("default-spec-id", 0):
+            return self.partition_spec()
+        raise ValueError(
+            f"{self.table_path}: manifest references partition spec "
+            f"{spec_id}, not present in table metadata"
+        )
+
+    def partition_fields_for(self, spec_id: int) -> list[str]:
+        """Identity-attach partition column names for a specific spec
+        (the per-spec twin of partition_fields)."""
+        return [
+            f["name"]
+            for f in self.partition_spec_for(spec_id)
+            if f.get("transform", "identity") == "identity"
+        ]
+
     def source_column(self, spec_field: dict) -> str:
         """Source column name for a spec field (by source-id),
         resolved against the CURRENT schema — external metadata keeps
@@ -269,16 +298,22 @@ class IcebergTable:
                 "them and reading around them would resurrect rows; "
                 "use read_iceberg() (equality-delete-aware)"
             )
-        return [(p, pv) for p, pv, _seq in data], pos
+        return [(p, pv) for p, pv, _seq, _sid in data], pos
 
     def scan_entries_full(self, snapshot_id: int | None = None) -> tuple[
-        list[tuple[str, dict, int]],
+        list[tuple[str, dict, int, int]],
         list[str],
         list[tuple[str, tuple[int, ...], int]],
     ]:
         """Live scan entries at a snapshot with v2 sequence numbers:
-        (data [(abs_path, partition, data_seq)], position-delete
-        paths, equality deletes [(abs_path, equality_ids, delete_seq)]).
+        (data [(abs_path, partition, data_seq, spec_id)],
+        position-delete paths, equality deletes
+        [(abs_path, equality_ids, delete_seq)]).
+
+        ``spec_id`` is the manifest's partition_spec_id — after
+        partition evolution, live data files span multiple specs and
+        each entry's partition record is shaped by ITS manifest's
+        spec, not the table default (read_iceberg groups by it).
 
         Sequence-number resolution follows the spec's inheritance
         rule: an entry's null/absent ``sequence_number`` inherits the
@@ -289,12 +324,13 @@ class IcebergTable:
         without them is unreadable and refuses loudly."""
         snap = self._snapshot(snapshot_id)
         manifest_list = self._resolve(snap["manifest-list"])
-        out: list[tuple[str, dict, int]] = []
+        out: list[tuple[str, dict, int, int]] = []
         pos_deletes: list[str] = []
         eq_deletes: list[tuple[str, tuple[int, ...], int]] = []
         seen: set[str] = set()
         for m in read_ocf_generic(manifest_list):
             manifest = self._resolve(m["manifest_path"])
+            m_sid = int(m.get("partition_spec_id") or 0)
             m_seq = m.get("sequence_number")
             for entry in read_ocf_generic(manifest):
                 if entry["status"] == 2:  # DELETED
@@ -309,7 +345,9 @@ class IcebergTable:
                 if e_seq is None:
                     e_seq = m_seq if m_seq is not None else 0
                 if content == 0:
-                    out.append((path, df.get("partition") or {}, int(e_seq)))
+                    out.append(
+                        (path, df.get("partition") or {}, int(e_seq), m_sid)
+                    )
                 elif content == 1:  # position deletes
                     pos_deletes.append(path)
                 elif content == 2:  # equality deletes
@@ -427,11 +465,47 @@ def read_iceberg(
         # schema explicitly carries parquet.field.id metadata, so
         # leaving it on session-wide is side-effect-free
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    part_cols = t.partition_fields()
     full, pos_dels, eq_dels = t.scan_entries_full(snapshot_id)
-    entries = [(p, pv) for p, pv, _seq in full]
-    if not entries:
+    if not full:
         return spark.createDataFrame([], t.schema())
+    spec_ids = sorted({sid for _p, _pv, _seq, sid in full})
+    if len(spec_ids) > 1:
+        # PARTITION EVOLUTION: live files span several specs; each
+        # group's partition record is shaped by its own spec, so
+        # assemble per spec and union to the table schema. Metadata-
+        # only evolution means old files keep their layout forever —
+        # at 100 TB that's the point (no rewrite), and per-group
+        # assembly keeps every group's scan partition-prunable on its
+        # own identity columns.
+        if pos_dels or eq_dels:
+            raise ValueError(
+                f"{t.table_path}: row-level deletes over a multi-spec "
+                "(partition-evolved) snapshot are not supported — "
+                "compact to a single spec first"
+            )
+        out_cols = [f.name for f in schema.fields]
+        frames = []
+        for sid in spec_ids:
+            group = [
+                (p, pv) for p, pv, _seq, s in full if s == sid
+            ]
+            pcols = t.partition_fields_for(sid)
+            if not pcols:
+                g = spark.read.schema(schema).parquet(
+                    *[p for p, _ in group]
+                )
+            else:
+                g = _assemble_iceberg(spark, schema, pcols, group)
+            frames.append(g.select(out_cols))
+        out = frames[0]
+        for g in frames[1:]:
+            out = out.unionByName(g)
+        return out
+    # single spec: resolve partition columns from the ENTRIES' spec,
+    # not the default — after evolution with no new data yet, the
+    # default spec doesn't describe the live files
+    part_cols = t.partition_fields_for(spec_ids[0])
+    entries = [(p, pv) for p, pv, _seq, _sid in full]
     if not pos_dels and not eq_dels:
         if not part_cols:
             return spark.read.schema(schema).parquet(*[p for p, _ in entries])
@@ -440,7 +514,7 @@ def read_iceberg(
     # basename (position deletes match on it); writers name data files
     # uniquely (uuid-suffixed), but a collision across partition dirs
     # would silently mis-sequence equality deletes — refuse instead
-    data_seq = {os.path.basename(p): s for p, _pv, s in full}
+    data_seq = {os.path.basename(p): s for p, _pv, s, _sid in full}
     if eq_dels and len(data_seq) != len(full):
         raise ValueError(
             f"{t.table_path}: duplicate data-file basenames across "
@@ -1539,13 +1613,20 @@ class IcebergWriter:
             pass
         return field_ids
 
-    def _writer_spec(self, table: "IcebergTable") -> list[dict]:
+    def _writer_spec(
+        self, table: "IcebergTable", spec_fields: list[dict] | None = None
+    ) -> list[dict]:
         """The table's partition spec normalized for staging:
         [{name, transform, source}] over the writer-stageable
         transform set (identity/day/hour/bucket[N]/truncate[W]) —
-        anything else can't be staged correctly and raises."""
+        anything else can't be staged correctly and raises.
+        ``spec_fields`` overrides the default spec (per-spec-id
+        resolution for carried-manifest rewrites)."""
         out = []
-        for f in table.partition_spec():
+        fields = (
+            table.partition_spec() if spec_fields is None else spec_fields
+        )
+        for f in fields:
             tr = f.get("transform", "identity")
             kind, param = _norm_transform(tr)
             if kind not in _WRITER_TRANSFORMS:
@@ -1570,6 +1651,7 @@ class IcebergWriter:
         data_files: list[dict],
         snap: int,
         entry_schema: dict | None = None,
+        spec_id: int = 0,
     ) -> dict:
         from plankton_spark.sources.avro_ocf import write_ocf_generic
 
@@ -1581,7 +1663,10 @@ class IcebergWriter:
         return {
             "manifest_path": f"metadata/{fname}",
             "manifest_length": os.path.getsize(path),
-            "partition_spec_id": 0,
+            # the spec the staged files were laid out under — readers
+            # resolve each entry's partition record against THIS spec,
+            # which is what makes partition evolution readable
+            "partition_spec_id": spec_id,
             "added_snapshot_id": snap,
         }
 
@@ -1726,9 +1811,15 @@ class IcebergWriter:
         self._commit_metadata(1, metadata)
         return snap_id
 
-    def _table_entry_schema(self, table: "IcebergTable"):
-        """(normalized spec, entry Avro schema) for the table."""
-        spec = self._writer_spec(table)
+    def _table_entry_schema(self, table: "IcebergTable", spec_id: int | None = None):
+        """(normalized spec, entry Avro schema) for the table — the
+        DEFAULT spec, or a specific historical one by ``spec_id``
+        (rewrites of carried manifests must re-serialize each entry's
+        partition record in ITS spec's shape, not the default's)."""
+        spec = self._writer_spec(
+            table,
+            None if spec_id is None else table.partition_spec_for(spec_id),
+        )
         if not spec:
             return [], None
         return spec, _entry_schema(
@@ -1915,7 +2006,11 @@ class IcebergWriter:
                 field_ids={f["name"]: f["id"] for f in cur["fields"]},
             )
             m_new = self._write_manifest(
-                self._unique(f"m{snap_id}"), files, snap_id, entry_schema=es
+                self._unique(f"m{snap_id}"),
+                files,
+                snap_id,
+                entry_schema=es,
+                spec_id=int(md.get("default-spec-id") or 0),
             )
             # sequence tracking (active once delete_where_eq ran):
             # new data manifests get the NEXT data sequence number so
@@ -1958,6 +2053,75 @@ class IcebergWriter:
                 continue  # rebase on the newer metadata
         raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
 
+    def evolve_spec(self, partition_by: list[str] | None) -> int:
+        """PARTITION EVOLUTION — metadata-only commit making
+        ``partition_by`` (create()'s syntax; empty/None = unpartition)
+        the default spec for FUTURE writes. No data file is touched:
+        existing files keep their layout, their manifests keep their
+        spec id, and read_iceberg assembles each spec group with its
+        own identity columns. That no-rewrite property is the whole
+        point at 100 TB — re-partitioning a petabyte table becomes a
+        metadata edit plus naturally-migrating new data. Returns the
+        new spec id.
+
+        Spec rules honored: spec ids never reuse (max + 1), partition
+        field ids continue past every id any historical spec used
+        (the 1000+ namespace), and the legacy top-level
+        'partition-spec' key is dropped so stale readers can't resolve
+        the OLD spec as current."""
+        spec = _parse_partition_by(partition_by or [])
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            md = dict(table.metadata)
+            cur = next(
+                s
+                for s in (md.get("schemas") or [md["schema"]])
+                if s.get("schema-id", 0) == md.get("current-schema-id", 0)
+            )
+            col_ids = {f["name"]: f["id"] for f in cur["fields"]}
+            missing = sorted(
+                {f["source"] for f in spec} - set(col_ids)
+            )
+            if missing:
+                raise ValueError(
+                    f"{self.table_path}: partition_by sources {missing} "
+                    "not in the table schema"
+                )
+            specs = list(md.get("partition-specs") or [])
+            if not specs:
+                specs = [
+                    {
+                        "spec-id": md.get("default-spec-id", 0),
+                        "fields": list(md.get("partition-spec") or []),
+                    }
+                ]
+            new_sid = max(s.get("spec-id", 0) for s in specs) + 1
+            used_fids = [
+                pf.get("field-id", 999)
+                for s in specs
+                for pf in (s.get("fields") or [])
+            ]
+            next_fid = max(used_fids, default=999) + 1
+            fields = [
+                {
+                    "name": f["name"],
+                    "transform": f["transform"],
+                    "source-id": col_ids[f["source"]],
+                    "field-id": next_fid + i,
+                }
+                for i, f in enumerate(spec)
+            ]
+            specs.append({"spec-id": new_sid, "fields": fields})
+            md["partition-specs"] = specs
+            md["default-spec-id"] = new_sid
+            md.pop("partition-spec", None)
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                return new_sid
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
     # -- row-level delete / overwrite (parity with DeltaLogWriter and
     #    planktable: rewrite only hit files, validate removed files are
     #    still live at commit, rebase-on-conflict) --------------------
@@ -1975,7 +2139,11 @@ class IcebergWriter:
         return out
 
     def _write_entries(
-        self, fname: str, entries: list[dict], entry_schema: dict | None = None
+        self,
+        fname: str,
+        entries: list[dict],
+        entry_schema: dict | None = None,
+        spec_id: int = 0,
     ) -> dict:
         from plankton_spark.sources.avro_ocf import write_ocf_generic
 
@@ -1984,7 +2152,7 @@ class IcebergWriter:
         return {
             "manifest_path": f"metadata/{fname}",
             "manifest_length": os.path.getsize(path),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "added_snapshot_id": entries[0]["snapshot_id"] if entries else None,
         }
 
@@ -2113,15 +2281,27 @@ class IcebergWriter:
                             "data_file": e["data_file"],
                         }
                     )
+                # carried entries keep THEIR manifest's spec — their
+                # partition records are shaped by it, so both the
+                # stamped id AND the Avro entry schema resolve per-spec
+                m_sid = int(m.get("partition_spec_id") or 0)
+                _, m_es = self._table_entry_schema(table, spec_id=m_sid)
                 manifests.append(
                     self._write_entries(
-                        self._unique(f"m{snap_id}-rw"), rewritten, entry_schema=es
+                        self._unique(f"m{snap_id}-rw"),
+                        rewritten,
+                        entry_schema=m_es,
+                        spec_id=m_sid,
                     )
                 )
             if staged:
                 manifests.append(
                     self._write_manifest(
-                        self._unique(f"m{snap_id}"), staged, snap_id, entry_schema=es
+                        self._unique(f"m{snap_id}"),
+                        staged,
+                        snap_id,
+                        entry_schema=es,
+                        spec_id=int(md.get("default-spec-id") or 0),
                     )
                 )
             ml_name = self._unique(f"snap-{snap_id}")
