@@ -836,3 +836,45 @@ def q_deltalog_v2checkpoint(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     )
+
+
+@query(
+    "q_deltalog_dropcol",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1500
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM t GROUP BY o_orderstatus
+    """,
+)
+def q_deltalog_dropcol(spark, sf_dir):
+    """Metadata-only DROP COLUMN via column mapping: a 3-column table
+    drops o_totalprice without rewriting a byte (the column's data
+    stays in the old files, unreferenced), then an append lands with
+    the narrowed schema and the read spans both file generations.
+    Dropping a petabyte column at 100 TB is one commit."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+
+    root = _scratch(sf_dir, "delta_dropcol")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(o.where(F.col("o_orderkey") < 1000))
+    w.drop_column("o_totalprice")
+    w.append(
+        o.select("o_orderkey", "o_orderstatus").where(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1500)
+        )
+    )
+    back = read_delta(spark, root)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

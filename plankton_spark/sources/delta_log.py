@@ -1357,6 +1357,119 @@ class DeltaLogWriter:
                 continue  # re-replay: pick up the concurrent change
         raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
 
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN the Delta-spec way: metadata-only, by enabling
+        column mapping (name mode) and removing the field from the
+        LOGICAL schema. No data file is rewritten — the dropped
+        column's bytes stay in old files, simply unreferenced by the
+        mapping-aware read, and its mapping id retires forever
+        (maxColumnId stays monotone so no future column reuses it).
+        At 100 TB that's the point: dropping a petabyte column costs
+        one commit.
+
+        Refusals: partition columns (the hive layout and
+        partitionValues keys are built from them), tables with CHECK
+        constraints (their expressions may bind the dropped name),
+        nested/complex schemas (the mapping rule rename_column
+        documents), and the last remaining column. Same
+        rebuild-per-retry conflict discipline as rename_column."""
+        for _ in range(20):
+            log = DeltaLog(self.table_path)
+            schema, part_cols, _ = log.replay(None)
+            names = [f.name for f in schema.fields]
+            if name not in names:
+                raise ValueError(f"{self.table_path}: no column {name!r}")
+            if len(names) == 1:
+                raise ValueError(
+                    f"{self.table_path}: cannot drop the only column"
+                )
+            if name in part_cols:
+                raise ValueError(
+                    f"{self.table_path}: {name!r} is a partition column "
+                    "— repartition (rewrite) before dropping it"
+                )
+            if self.constraints():
+                raise DeltaProtocolError(
+                    f"{self.table_path}: cannot drop with CHECK "
+                    "constraints declared — their expressions may bind "
+                    f"{name!r}; drop the constraints first"
+                )
+            complex_fields = [
+                f.name
+                for f in schema.fields
+                if isinstance(
+                    f.dataType, (T.StructType, T.ArrayType, T.MapType)
+                )
+            ]
+            if complex_fields:
+                raise DeltaProtocolError(
+                    f"{self.table_path}: enabling column mapping with "
+                    f"nested/complex fields {complex_fields} is not "
+                    "implemented (the spec requires every nested field "
+                    "to carry mapping metadata)"
+                )
+            used = [
+                int((f.metadata or {}).get("delta.columnMapping.id", 0))
+                for f in schema.fields
+            ]
+            next_id = max(used, default=0)
+            fields = []
+            for f in schema.fields:
+                md = dict(f.metadata or {})
+                md.setdefault(_CM_PHYS, f.name)
+                if "delta.columnMapping.id" not in md:
+                    next_id += 1
+                    md["delta.columnMapping.id"] = next_id
+                if f.name != name:
+                    fields.append(
+                        T.StructField(f.name, f.dataType, f.nullable, md)
+                    )
+            new_schema = T.StructType(fields)
+            config = dict(log.table_config or {})
+            config.setdefault("delta.columnMapping.mode", "name")
+            # the DROPPED column's id counts too: ids never reuse
+            config["delta.columnMapping.maxColumnId"] = str(
+                max(
+                    int(config.get("delta.columnMapping.maxColumnId") or 0),
+                    next_id,
+                )
+            )
+            actions: list[dict] = []
+            prot = log.table_protocol or {
+                "minReaderVersion": 1,
+                "minWriterVersion": 2,
+            }
+            rv = prot.get("minReaderVersion", 1)
+            wv = prot.get("minWriterVersion", 2)
+            rf = set(prot.get("readerFeatures") or [])
+            wf = set(prot.get("writerFeatures") or [])
+            if rv >= 3 or wf:
+                new_prot = {
+                    "minReaderVersion": max(rv, 3),
+                    "minWriterVersion": max(wv, 7),
+                    "readerFeatures": sorted(rf | {"columnMapping"}),
+                    "writerFeatures": sorted(wf | {"columnMapping"}),
+                }
+                if new_prot != prot:
+                    actions.append({"protocol": new_prot})
+            elif rv < 2 or wv < 5:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": max(rv, 2),
+                            "minWriterVersion": max(wv, 5),
+                        }
+                    }
+                )
+            actions.append(
+                self._metadata_action(new_schema, part_cols, config)
+            )
+            try:
+                return self._commit(self._next_version(), actions)
+            except DeltaCommitConflict:
+                continue  # re-replay: pick up the concurrent change
+        raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
+
     def _schema_evolution_action(
         self, df, merge_schema: bool, snapshot_info=None
     ) -> dict | None:

@@ -487,3 +487,68 @@ def test_rename_protocol_upgrade_never_downgrades(spark, tmp_path):
     assert "columnMapping" in prot["readerFeatures"]
     assert log.table_config["delta.columnMapping.maxColumnId"] == "10"
     assert sorted(r.key for r in read_delta(spark, root).collect()) == [0, 1]
+
+
+def test_drop_column_via_mapping(spark, tmp_path):
+    root = str(tmp_path / "ddrop")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.range(3).select(
+            _F.col("id").alias("k"),
+            (_F.col("id") * 2).alias("v"),
+            (_F.col("id") * 3).alias("w"),
+        )
+    )
+    w.drop_column("v")
+    df = read_delta(spark, root)
+    assert df.columns == ["k", "w"]
+    got = sorted((r.k, r.w) for r in df.collect())
+    assert got == [(0, 0), (1, 3), (2, 6)]
+    # appends after the drop use the narrowed schema
+    w.append(spark.createDataFrame([(10, 30)], "k long, w long"))
+    got = sorted((r.k, r.w) for r in read_delta(spark, root).collect())
+    assert got == [(0, 0), (1, 3), (2, 6), (10, 30)]
+    log = DeltaLog(root)
+    log.replay(None)
+    assert log.table_config["delta.columnMapping.mode"] == "name"
+    # the dropped column's mapping id is retired, never reused
+    assert int(log.table_config["delta.columnMapping.maxColumnId"]) >= 3
+    # time travel BEFORE the drop still sees the column
+    old = read_delta(spark, root, version=0)
+    assert old.columns == ["k", "v", "w"]
+    assert sorted(r.v for r in old.collect()) == [0, 2, 4]
+
+
+def test_drop_then_rename_compose(spark, tmp_path):
+    root = str(tmp_path / "ddrop2")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.range(2).select(
+            _F.col("id").alias("k"), (_F.col("id") * 2).alias("v")
+        )
+    )
+    w.rename_column("v", "val")
+    w.drop_column("val")
+    assert read_delta(spark, root).columns == ["k"]
+    assert sorted(r.k for r in read_delta(spark, root).collect()) == [0, 1]
+
+
+def test_drop_column_guards(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "ddropg")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.range(2).select(
+            _F.col("id").alias("k"), (_F.col("id") % 2).cast("string").alias("p")
+        ),
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        w.drop_column("p")
+    with pytest.raises(ValueError, match="no column"):
+        w.drop_column("nope")
+    w2 = DeltaLogWriter(spark, str(tmp_path / "ddropg1"))
+    w2.create(spark.range(2).select(_F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="only column"):
+        w2.drop_column("k")
