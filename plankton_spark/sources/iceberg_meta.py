@@ -1883,6 +1883,74 @@ class IcebergWriter:
         md["last-column-id"] = last_id
         return md
 
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN — metadata-only: a new current schema omits the
+        field; data files keep its bytes, unreferenced by the
+        current-schema projection (historic snapshots resolved with
+        the current schema stop seeing it too, matching read_iceberg's
+        documented time-travel contract). The field id retires with
+        the column: a later add of the SAME NAME gets a fresh id, and
+        because live files must carry parquet field ids (the same
+        guard rename_column applies), the old bytes resolve to the
+        RETIRED id and stay invisible instead of resurrecting by name.
+
+        Refused for partition-spec sources (identity layout and
+        manifest partition records bind them), the last column, and
+        id-less files."""
+        import pyarrow.parquet as _pq
+
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            ice = table._current_ice_schema()
+            names = [f["name"] for f in ice["fields"]]
+            if name not in names:
+                raise ValueError(f"{self.table_path}: no column {name!r}")
+            if len(names) == 1:
+                raise ValueError(
+                    f"{self.table_path}: cannot drop the only column"
+                )
+            spec_sources = {
+                table.source_column(f) for f in table.partition_spec()
+            }
+            if name in spec_sources:
+                raise ValueError(
+                    f"{self.table_path}: {name!r} feeds the partition "
+                    "spec; evolve the spec away from it first"
+                )
+            entries, _ = table.scan_entries(None)
+            for p, _pv in entries:
+                sch = _pq.read_schema(p)
+                if not any(
+                    f.metadata and b"PARQUET:field_id" in f.metadata
+                    for f in sch
+                ):
+                    raise ValueError(
+                        f"{self.table_path}: data file {p} carries no "
+                        "parquet field ids — a later same-name add "
+                        "would resurrect the dropped bytes; rewrite "
+                        "the table first (OPTIMIZE)"
+                    )
+            new_fields = [f for f in ice["fields"] if f["name"] != name]
+            old_schemas = table.metadata.get("schemas") or [
+                table.metadata["schema"]
+            ]
+            new_sid = max(s.get("schema-id", 0) for s in old_schemas) + 1
+            new_ice = {
+                "type": "struct",
+                "schema-id": new_sid,
+                "fields": new_fields,
+            }
+            md = dict(table.metadata)
+            md["schema"] = new_ice
+            md["schemas"] = old_schemas + [new_ice]
+            md["current-schema-id"] = new_sid
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                return new_sid
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column — the schema evolution Iceberg's stable
         field ids exist for: a metadata-only commit publishes a new

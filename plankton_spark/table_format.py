@@ -588,6 +588,32 @@ class PlankTable:
 
         return self._commit_with_retry("OVERWRITE", make_actions)
 
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN by REWRITE — planktable's file-derived-schema
+        philosophy again (see rename_column): the data files ARE the
+        schema, so narrowing it is a content rewrite, with the same
+        read-set validation so a concurrent append is never silently
+        tombstoned. Historic snapshots keep the column (time travel
+        intact); Delta/Iceberg offer the metadata-only alternative."""
+        cur = self.read()
+        if name not in cur.columns:
+            raise ValueError(f"{self.path}: no column {name!r}")
+        if len(cur.columns) == 1:
+            raise ValueError(f"{self.path}: cannot drop the only column")
+        read_set = set(self._snapshot())
+        adds = self._stage(cur.drop(name))
+
+        def make_actions():
+            now = sorted(self._snapshot())
+            if set(now) != read_set:
+                raise ConcurrentModification(
+                    f"{self.path}: files changed during drop_column "
+                    "(concurrent commit); rerun the drop"
+                )
+            return adds, now
+
+        return self._commit_with_retry("OVERWRITE", make_actions)
+
     def delete_where(self, condition) -> int:
         """Row-level delete: rewrite only the files that contain
         matching rows; untouched files stay live as-is."""

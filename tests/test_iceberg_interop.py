@@ -1481,3 +1481,66 @@ def test_iceberg_optimize_zorder_tightens_stats(spark, tmp_path):
         spans.append(mx - mn)
     assert sum(sp < 64 for sp in spans) >= 2, spans
     assert read_iceberg(spark, root).count() == 4000
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    root = str(tmp_path / "idrop")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.range(3).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+            (F.col("id") * 3).alias("x"),
+        )
+    )
+    w.drop_column("v")
+    df = read_iceberg(spark, root)
+    assert df.columns == ["k", "x"]
+    assert sorted((r.k, r.x) for r in df.collect()) == [(0, 0), (1, 3), (2, 6)]
+    # bytes still physically in the old file (no rewrite happened)
+    import pyarrow.parquet as _pq
+
+    t = IcebergTable(root)
+    p = t.data_entries(None)[0][0]
+    assert "v" in {f.name for f in _pq.read_schema(p)}
+    # appends use the narrowed schema
+    w.append(spark.createDataFrame([(10, 30)], "k long, x long"))
+    got = sorted((r.k, r.x) for r in read_iceberg(spark, root).collect())
+    assert got == [(0, 0), (1, 3), (2, 6), (10, 30)]
+
+
+def test_add_after_drop_does_not_resurrect(spark, tmp_path):
+    """A later ADD of the same NAME gets a fresh field id, so the
+    dropped column's bytes (retired id) stay invisible — old rows
+    read null for the re-added column, not the stale values."""
+    root = str(tmp_path / "idrop2")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.range(2).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    w.drop_column("v")
+    w.append(
+        spark.createDataFrame([(10, 99)], "k long, v long"), merge_schema=True
+    )
+    got = {r.k: r.v for r in read_iceberg(spark, root).collect()}
+    assert got[10] == 99
+    assert got[0] is None and got[1] is None, got
+
+
+def test_drop_column_guards(spark, tmp_path):
+    root = str(tmp_path / "idropg")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.range(2).select(
+            F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+        ),
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="partition"):
+        w.drop_column("p")
+    with pytest.raises(ValueError, match="no column"):
+        w.drop_column("nope")
+    w2 = IcebergWriter(spark, str(tmp_path / "idropg1"))
+    w2.create(spark.range(2).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="only column"):
+        w2.drop_column("k")

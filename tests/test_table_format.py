@@ -465,3 +465,26 @@ def test_rename_column_aborts_on_concurrent_append(spark, tmp_path):
     # the concurrent append's rows are intact, schema unchanged
     got = sorted((r.k, r.v) for r in PlankTable(spark, root).read().collect())
     assert got == [(0, 0), (1, 2), (2, 4), (100, 200)]
+
+
+def test_drop_column_rewrites_and_time_travels(spark, tmp_path):
+    """planktable drop = content rewrite (file-derived schemas);
+    historic snapshots keep the column."""
+    from plankton_spark.table_format import PlankTable
+
+    t = PlankTable(spark, str(tmp_path / "pt_drop"))
+    t.create(spark.range(3).selectExpr("id AS k", "id*2 AS v", "id*3 AS x"))
+    v = t.drop_column("v")
+    assert t.read().columns == ["k", "x"]
+    got = sorted((r.k, r.x) for r in t.read().collect())
+    assert got == [(0, 0), (1, 3), (2, 6)]
+    old = t.read(version=v - 1)
+    assert "v" in old.columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no column"):
+        t.drop_column("zz")
+    t2 = PlankTable(spark, str(tmp_path / "pt_drop1"))
+    t2.create(spark.range(2).selectExpr("id AS k"))
+    with _pytest.raises(ValueError, match="only column"):
+        t2.drop_column("k")
