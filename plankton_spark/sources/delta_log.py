@@ -48,8 +48,73 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 # it outright (mirrors iceberg_meta.py's refusal posture).
 SUPPORTED_MIN_READER_VERSION = 2  # v2 = column mapping
 SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
-    {"deletionVectors", "columnMapping", "v2Checkpoint"}
+    {
+        "deletionVectors",
+        "columnMapping",
+        "v2Checkpoint",
+        # sound because reads always scan under the CURRENT
+        # schemaString and Spark's parquet schema reconciliation
+        # performs every widening the feature's spec allows
+        # (byte/short/int→int/long/double, float→double, decimal
+        # precision growth, int→decimal, date→timestampNTZ — each
+        # verified in tests/test_type_widening.py); an out-of-spec
+        # change is validated by _validate_type_changes and refuses
+        "typeWidening",
+        "typeWidening-preview",
+    }
 )
+
+# the (fromType, toType) pairs the typeWidening spec allows; decimal
+# and int→decimal handled structurally in _widening_ok
+_INT_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _widening_ok(frm: str, to: str) -> bool:
+    f, t = frm.lower(), to.lower()
+    if f == t:
+        return True
+    if f in _INT_ORDER:
+        if t in _INT_ORDER:
+            return _INT_ORDER[t] > _INT_ORDER[f]
+        if t == "double":
+            return True
+        if t.startswith("decimal"):
+            return True
+    if f == "float" and t == "double":
+        return True
+    if f == "long" and t.startswith("decimal"):
+        return True
+    if f == "date" and t in ("timestampntz", "timestamp_ntz"):
+        return True
+    if f.startswith("decimal") and t.startswith("decimal"):
+        import re as _re
+
+        def _ps(s):
+            m = _re.match(r"decimal\((\d+),\s*(-?\d+)\)", s)
+            return (int(m.group(1)), int(m.group(2))) if m else (10, 0)
+
+        (fp, fs), (tp, ts) = _ps(f), _ps(t)
+        # scale may grow only with matching precision headroom
+        return tp - ts >= fp - fs and ts >= fs and tp >= fp
+    return False
+
+
+def _validate_type_changes(schema, table_path: str) -> None:
+    """Refuse out-of-spec ``delta.typeChanges`` entries: every
+    recorded change must be a widening the feature allows (and that
+    Spark's parquet reconciliation therefore performs losslessly) —
+    a narrowing or unknown change would either fail mid-scan or,
+    worse, read wrong, so it refuses up front."""
+    for f in schema.fields:
+        for ch in (f.metadata or {}).get("delta.typeChanges") or []:
+            frm = str(ch.get("fromType", ""))
+            to = str(ch.get("toType", ""))
+            if not _widening_ok(frm, to):
+                raise DeltaProtocolError(
+                    f"{table_path}: field {f.name!r} records type "
+                    f"change {frm!r} → {to!r}, which is not an "
+                    "allowed typeWidening — refusing to read"
+                )
 
 
 class DeltaProtocolError(ValueError):
@@ -386,6 +451,7 @@ class DeltaLog:
                 if "metaData" in a:
                     md = a["metaData"]
                     schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+                    _validate_type_changes(schema, self.table_path)
                     part_cols = list(md.get("partitionColumns") or [])
                     cfg = md.get("configuration") or {}
                     if isinstance(cfg, list):  # pyarrow map roundtrip

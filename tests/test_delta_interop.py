@@ -971,20 +971,20 @@ def _author_foreign_delta(tmp_path, name: str, protocol: dict) -> str:
 
 
 def test_protocol_refuses_unimplemented_v3_feature(spark, tmp_path):
-    """An unimplemented v3 reader feature (typeWidening here;
-    deletionVectors graduated to SUPPORTED in r7, v2Checkpoint in
-    r8) must refuse."""
+    """An unimplemented v3 reader feature (collations here;
+    deletionVectors graduated to SUPPORTED in r7, v2Checkpoint and
+    typeWidening in r8) must refuse."""
     root = _author_foreign_delta(
         tmp_path,
         "tw_tbl",
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["typeWidening"],
-            "writerFeatures": ["typeWidening"],
+            "readerFeatures": ["collations"],
+            "writerFeatures": ["collations"],
         },
     )
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(DeltaProtocolError, match="collations"):
         read_delta(spark, root)
 
 
@@ -1052,7 +1052,7 @@ def test_protocol_gate_applies_from_checkpoint(spark, tmp_path):
         tmp_path,
         "cp_dv_tbl",
         {"minReaderVersion": 3, "minWriterVersion": 7,
-         "readerFeatures": ["typeWidening"]},
+         "readerFeatures": ["collations"]},
     )
     log_dir = os.path.join(root, "_delta_log")
     # foreign checkpoint carrying the protocol (incl. readerFeatures)
@@ -1117,7 +1117,7 @@ def test_protocol_gate_applies_from_checkpoint(spark, tmp_path):
         os.path.join(log_dir, f"{0:020d}.checkpoint.parquet"),
     )
     os.remove(os.path.join(log_dir, f"{0:020d}.json"))
-    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+    with pytest.raises(DeltaProtocolError, match="collations"):
         read_delta(spark, root)
 
 
