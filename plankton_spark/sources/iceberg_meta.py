@@ -1951,6 +1951,68 @@ class IcebergWriter:
                 continue
         raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
 
+    def widen_column(self, name: str, new_type: str) -> int:
+        """Type promotion (Iceberg spec "Schema Evolution"):
+        metadata-only commit changing a field's type to a WIDER one —
+        int→long, float→double, or decimal(P,S)→decimal(P',S) with
+        P' > P (same scale; the spec forbids scale changes). Data
+        files keep their narrow physical types; reads scan under the
+        current schema and Spark's parquet reconciliation widens
+        losslessly. Anything outside the spec's promotion set
+        refuses — a narrowing would corrupt, a scale change would
+        shift values."""
+        _ALLOWED = {("int", "long"), ("float", "double")}
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            ice = table._current_ice_schema()
+            fld = next(
+                (f for f in ice["fields"] if f["name"] == name), None
+            )
+            if fld is None:
+                raise ValueError(f"{self.table_path}: no column {name!r}")
+            frm, to = str(fld["type"]), str(new_type)
+            ok = (frm, to) in _ALLOWED
+            if frm.startswith("decimal(") and to.startswith("decimal("):
+                import re as _re
+
+                fm = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", frm)
+                tm = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", to)
+                ok = bool(
+                    fm
+                    and tm
+                    and int(tm.group(2)) == int(fm.group(2))
+                    and int(tm.group(1)) > int(fm.group(1))
+                )
+            if not ok:
+                raise ValueError(
+                    f"{self.table_path}: {frm!r} → {to!r} is not an "
+                    "allowed Iceberg type promotion (int→long, "
+                    "float→double, decimal precision increase only)"
+                )
+            new_fields = [
+                dict(f, type=to) if f["name"] == name else f
+                for f in ice["fields"]
+            ]
+            old_schemas = table.metadata.get("schemas") or [
+                table.metadata["schema"]
+            ]
+            new_sid = max(s.get("schema-id", 0) for s in old_schemas) + 1
+            new_ice = {
+                "type": "struct",
+                "schema-id": new_sid,
+                "fields": new_fields,
+            }
+            md = dict(table.metadata)
+            md["schema"] = new_ice
+            md["schemas"] = old_schemas + [new_ice]
+            md["current-schema-id"] = new_sid
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                return new_sid
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column — the schema evolution Iceberg's stable
         field ids exist for: a metadata-only commit publishes a new

@@ -1544,3 +1544,41 @@ def test_drop_column_guards(spark, tmp_path):
     w2.create(spark.range(2).select(F.col("id").alias("k")))
     with pytest.raises(ValueError, match="only column"):
         w2.drop_column("k")
+
+
+def test_widen_column_reads_both_generations(spark, tmp_path):
+    root = str(tmp_path / "iwide")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.range(3).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("v"),
+        )
+    )
+    w.widen_column("k", "long")
+    w.widen_column("v", "double")
+    # append with the WIDE schema after the promotion
+    w.append(spark.createDataFrame([(10, 10.5)], "k long, v double"))
+    df = read_iceberg(spark, root)
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double"}
+    got = sorted((r.k, round(r.v, 1)) for r in df.collect())
+    assert got == [(0, 0.0), (1, 1.0), (2, 2.0), (10, 10.5)]
+
+
+def test_widen_column_refuses_out_of_spec(spark, tmp_path):
+    root = str(tmp_path / "iwide2")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.range(2).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("decimal(5,2)").alias("d"),
+        )
+    )
+    with pytest.raises(ValueError, match="not an allowed"):
+        w.widen_column("k", "int")  # narrowing
+    with pytest.raises(ValueError, match="not an allowed"):
+        w.widen_column("d", "decimal(10,4)")  # scale change
+    w.widen_column("d", "decimal(12,2)")  # precision growth OK
+    df = read_iceberg(spark, root)
+    assert dict(df.dtypes)["d"] == "decimal(12,2)"
+    assert df.count() == 2
