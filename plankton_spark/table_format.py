@@ -614,6 +614,51 @@ class PlankTable:
 
         return self._commit_with_retry("OVERWRITE", make_actions)
 
+    def widen_column(self, name: str, new_type: str) -> int:
+        """Type promotion by REWRITE (planktable's file-derived-schema
+        philosophy; Delta/Iceberg do this metadata-only): the cast
+        must be a lossless widening — int→long, float→double, decimal
+        precision growth at fixed scale — so content is preserved
+        exactly; the same read-set validation protects against a
+        concurrent append being tombstoned."""
+        cur = self.read()
+        if name not in cur.columns:
+            raise ValueError(f"{self.path}: no column {name!r}")
+        frm = dict(cur.dtypes)[name]
+        to = new_type.strip().lower().replace("bigint", "long")
+        allowed = {("int", "long"), ("int", "bigint"), ("float", "double")}
+        ok = (frm, to) in allowed or (frm, new_type.strip().lower()) in allowed
+        if frm.startswith("decimal(") and to.startswith("decimal("):
+            import re as _re
+
+            fm = _re.fullmatch(r"decimal\((\d+),(\d+)\)", frm)
+            tm = _re.fullmatch(r"decimal\((\d+),(\d+)\)", to)
+            ok = bool(
+                fm
+                and tm
+                and tm.group(2) == fm.group(2)
+                and int(tm.group(1)) > int(fm.group(1))
+            )
+        if not ok:
+            raise ValueError(
+                f"{self.path}: {frm!r} → {new_type!r} is not a lossless "
+                "widening (int→long, float→double, decimal precision "
+                "increase only)"
+            )
+        read_set = set(self._snapshot())
+        adds = self._stage(cur.withColumn(name, F.col(name).cast(new_type)))
+
+        def make_actions():
+            now = sorted(self._snapshot())
+            if set(now) != read_set:
+                raise ConcurrentModification(
+                    f"{self.path}: files changed during widen_column "
+                    "(concurrent commit); rerun the widen"
+                )
+            return adds, now
+
+        return self._commit_with_retry("OVERWRITE", make_actions)
+
     def delete_where(self, condition) -> int:
         """Row-level delete: rewrite only the files that contain
         matching rows; untouched files stay live as-is."""

@@ -488,3 +488,27 @@ def test_drop_column_rewrites_and_time_travels(spark, tmp_path):
     t2.create(spark.range(2).selectExpr("id AS k"))
     with _pytest.raises(ValueError, match="only column"):
         t2.drop_column("k")
+
+
+def test_widen_column_rewrites_losslessly(spark, tmp_path):
+    from plankton_spark.table_format import PlankTable
+
+    t = PlankTable(spark, str(tmp_path / "pt_widen"))
+    t.create(
+        spark.range(3).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id AS FLOAT) AS v"
+        )
+    )
+    t.widen_column("k", "long")
+    t.widen_column("v", "double")
+    df = t.read()
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double"}
+    assert sorted((r.k, r.v) for r in df.collect()) == [
+        (0, 0.0), (1, 1.0), (2, 2.0)
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a lossless"):
+        t.widen_column("k", "int")
+    with _pytest.raises(ValueError, match="no column"):
+        t.widen_column("zz", "long")
