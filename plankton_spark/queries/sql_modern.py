@@ -1,0 +1,108 @@
+"""Modern-SQL surface (SURVEY.md §2 round-8 continuation): recursive
+CTEs and LATERAL correlated derived tables, each as ONE dialect-neutral
+SQL text that runs verbatim on Spark (4.x `WITH RECURSIVE` /
+`LATERAL`) AND as its own DuckDB oracle — the same one-SQL-text parity
+contract as tpch_sql.py, extended to the two SQL features the suite
+did not yet pin.
+
+Scale posture:
+- q_cte_recursive walks per-customer order chains; each recursion step
+  is ONE equi-join of the previous frontier against the (bounded)
+  links relation — the iterative-join shape q_graph_bfs uses, but
+  driven by the engine's own recursive-CTE executor instead of a
+  Python loop. Depth = max orders per sampled customer (~10 at every
+  SF; Spark's cteRecursionLevelLimit of 100 is documented headroom).
+- q_join_lateral's per-row top-1/aggregate laterals decorrelate to a
+  WindowGroupLimit / aggregate-join under Catalyst — NOT a re-executed
+  subquery per outer row (asserted in tests/test_sql_modern.py).
+"""
+
+from __future__ import annotations
+
+from plankton_spark.io import read_table
+from plankton_spark.registry import query
+
+_RECURSIVE = """
+WITH RECURSIVE links AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+         LAG(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prv
+  FROM orders
+  WHERE o_custkey % 7 = 0
+),
+walk AS (
+  SELECT o_custkey, o_orderkey, price_cents AS run_cents, 1 AS depth
+  FROM links WHERE prv IS NULL
+  UNION ALL
+  SELECT l.o_custkey, l.o_orderkey,
+         w.run_cents + l.price_cents AS run_cents,
+         w.depth + 1 AS depth
+  FROM walk w
+  JOIN links l ON l.o_custkey = w.o_custkey AND l.prv = w.o_orderkey
+)
+SELECT o_custkey,
+       CAST(MAX(depth) AS BIGINT) AS chain_len,
+       CAST(MAX(run_cents) AS BIGINT) AS total_cents,
+       CAST(SUM(run_cents) AS BIGINT) AS prefix_checksum_cents
+FROM walk
+GROUP BY o_custkey
+"""
+
+_LATERAL = """
+SELECT c_custkey, c_mktsegment,
+       top1.top_price_cents, top1.top_orderkey,
+       agg.n_orders, agg.total_cents
+FROM customer,
+LATERAL (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS top_price_cents,
+         o_orderkey AS top_orderkey
+  FROM orders WHERE o_custkey = c_custkey
+  ORDER BY top_price_cents DESC, o_orderkey
+  LIMIT 1
+) top1,
+LATERAL (
+  SELECT COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders WHERE o_custkey = c_custkey
+) agg
+WHERE c_custkey % 13 = 0
+"""
+
+_TABLES = {
+    "q_cte_recursive": ("orders",),
+    "q_join_lateral": ("customer", "orders"),
+}
+
+
+def _run_sql(spark, sf_dir, name, sql):
+    for t in _TABLES[name]:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+@query("q_cte_recursive", oracle=_RECURSIVE)
+def q_cte_recursive(spark, sf_dir):
+    """Recursive CTE chain walk: each sampled customer's orders become
+    a linked list (prv = LAG over date order), the recursive member
+    advances one link per iteration carrying an exact cent-integer
+    running total, and the final rollup pins chain length, tail total
+    (= the customer's plain order sum, so the recursion can't skip or
+    double-visit a link) and the SUM of all prefixes (pins the running
+    accumulation itself, not just the endpoint). The SAME SQL text is
+    the oracle — Spark's UnionLoop executor and DuckDB's recursive
+    executor must produce identical closures."""
+    return _run_sql(spark, sf_dir, "q_cte_recursive", _RECURSIVE)
+
+
+@query("q_join_lateral", oracle=_LATERAL)
+def q_join_lateral(spark, sf_dir):
+    """LATERAL correlated derived tables: per customer, a top-1
+    lateral (ORDER BY .. LIMIT 1, deterministic via the orderkey
+    tiebreak) AND a lateral aggregate — the two canonical LATERAL
+    shapes. Catalyst decorrelates both (no per-row re-execution);
+    exact cent integers keep the compare engine-identical. The SAME
+    SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_join_lateral", _LATERAL)
