@@ -444,3 +444,103 @@ def q_scan_bloom(spark, sf_dir):
         F.col("o_custkey").cast("long").alias("o_custkey"),
         "o_orderstatus",
     )
+
+
+@query(
+    "q_scan_dpp",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {sql_sum('value', 'total_value')}
+    FROM events
+    WHERE EXTRACT(DOW FROM ts) IN (0, 6)
+    GROUP BY event_type
+    """,
+)
+def q_scan_dpp(spark, sf_dir):
+    """Dynamic partition pruning: events land date-partitioned (the
+    100 TB fact layout), the calendar dim is materialized separately,
+    and a filter on a DIM attribute (day_kind — not the partition
+    key itself, so no static pruning is possible) must prune fact
+    date partitions at RUNTIME via the reused broadcast
+    (dynamicpruningexpression in PartitionFilters, pinned by
+    tests/test_scale_patterns_dpp.py). At scale this is the difference
+    between scanning 2/7 of the fact and all of it.
+
+    Gotcha pinned here: the PartitionPruning rule only inserts the
+    dynamic filter when the dim predicate "is likely selective"
+    (BinaryComparison/In/LIKE...). A bare BOOLEAN attribute filter
+    (.where(is_weekend)) does NOT qualify — the dim carries a string
+    day_kind and filters day_kind = 'weekend' so the runtime filter
+    actually materializes."""
+    import os as _os
+
+    from plankton_spark.queries.scans import _scratch
+
+    fact_path = _scratch(sf_dir, "events_by_date")
+    dim_path = _scratch(sf_dir, "calendar_daykind")
+    ev = read_table(spark, sf_dir, "events")
+    if not _os.path.exists(_os.path.join(fact_path, "_SUCCESS")):
+        (
+            ev.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(fact_path)
+        )
+    if not _os.path.exists(_os.path.join(dim_path, "_SUCCESS")):
+        (
+            ev.select(F.to_date("ts").alias("event_date"))
+            .distinct()
+            # Spark dayofweek(): 1=Sunday .. 7=Saturday
+            .withColumn(
+                "day_kind",
+                F.when(
+                    F.dayofweek("event_date").isin(1, 7), F.lit("weekend")
+                ).otherwise(F.lit("weekday")),
+            )
+            .write.mode("overwrite")
+            .parquet(dim_path)
+        )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("day_kind") == "weekend")
+    j = fact.join(dim, "event_date")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), "total_value"),
+    )
+
+
+@query(
+    "q_agg_skewsalt",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {sql_sum('value', 'total_value')},
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_skewsalt(spark, sf_dir):
+    """Two-phase skew-safe aggregation: phase 1 groups by
+    (key, salt16) so a hot key's rows spread over 16 reducers and
+    combine map-side; phase 2 merges the 16 exact partials (decimal
+    sums are associative — the split is lossless by construction).
+    Must equal the direct GROUP BY bit-for-bit; the oracle IS the
+    direct GROUP BY. The same shape rescues any agg whose key
+    histogram is Zipfian at 100 TB, where one reducer otherwise
+    receives the whole head key."""
+    from plankton_spark.functions import DEC
+
+    e = read_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(16)).cast("int")
+    )
+    partial = e.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast(DEC)).alias("psum"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psum").cast("double"), 4).alias("total_value"),
+        F.min("pmin").alias("min_value"),
+        F.max("pmax").alias("max_value"),
+    )

@@ -1,0 +1,82 @@
+"""Plan + equivalence pins for the round-8 scale patterns
+(q_scan_dpp, q_agg_skewsalt)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.registry import all_queries
+from tests.conftest import SF001
+
+
+def test_dpp_runtime_filter_in_plan(spark):
+    """The fact scan's PartitionFilters must contain a
+    dynamicpruningexpression — the dim attribute filter reached the
+    partitioned scan at runtime, not via a static predicate."""
+    df = all_queries()["q_scan_dpp"](spark, SF001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_dpp_matches_direct_computation(spark):
+    out = {
+        r["event_type"]: r
+        for r in all_queries()["q_scan_dpp"](spark, SF001).collect()
+    }
+    ref = {
+        r["event_type"]: r
+        for r in read_table(spark, SF001, "events")
+        .where(F.dayofweek(F.to_date("ts")).isin(1, 7))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert set(out) == set(ref) and len(out) >= 3
+    for k in out:
+        assert out[k]["n_events"] == ref[k]["n_events"]
+
+
+def test_skewsalt_equals_direct_groupby(spark):
+    """The 16-way salted two-phase agg must be bitwise-identical to
+    the direct groupBy (decimal partials are associative)."""
+    out = {
+        r["event_type"]: r
+        for r in all_queries()["q_agg_skewsalt"](spark, SF001).collect()
+    }
+    from plankton_spark.functions import dsum
+
+    ref = {
+        r["event_type"]: r
+        for r in read_table(spark, SF001, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(out) == set(ref)
+    for k in out:
+        for c in ("n_events", "total_value", "min_value", "max_value"):
+            assert out[k][c] == ref[k][c], (k, c)
+
+
+def test_skewsalt_partial_phase_spreads_keys(spark):
+    """Phase-1 output must contain multiple salt buckets per key —
+    the property that breaks a hot key across reducers."""
+    from plankton_spark.functions import DEC
+
+    e = read_table(spark, SF001, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(16)).cast("int")
+    )
+    per_key = (
+        e.groupBy("event_type", "salt")
+        .agg(F.sum(F.col("value").cast(DEC)).alias("psum"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("salt").alias("n_salts"))
+        .collect()
+    )
+    assert per_key and all(r["n_salts"] == 16 for r in per_key)
