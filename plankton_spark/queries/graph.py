@@ -212,3 +212,46 @@ def q_graph_bfs(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("node").cast("long").alias("node_sum"),
     )
+
+
+_TRIANGLES = """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk
+  FROM lineitem
+  WHERE l_partkey % 13 = 0
+  GROUP BY l_partkey, l_suppkey
+),
+deg AS (
+  SELECT pk FROM ps GROUP BY pk HAVING COUNT(*) <= 20
+),
+e AS (
+  SELECT DISTINCT a.sk AS s1, b.sk AS s2
+  FROM ps a
+  JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+  JOIN deg ON a.pk = deg.pk
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST(SUM(a + b + c) AS BIGINT) AS vertex_checksum
+FROM (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM e e1
+  JOIN e e2 ON e2.s1 = e1.s2
+  JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+) tri
+"""
+
+
+@query("q_graph_triangles", oracle=_TRIANGLES)
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counting on the supplier co-supply graph (suppliers
+    share a part): the canonical s1<s2 edge orientation makes each
+    triangle appear exactly once under the two-hop + closing-edge
+    join, so the count needs no /6 correction. Hub parts (>20
+    suppliers) are excluded BEFORE edge expansion — the standard
+    quadratic-blowup guard for triangle counting at scale (a single
+    hot part otherwise emits deg^2 edges; the cap bounds per-part
+    fanout, keeping edge volume linear in the relationship count).
+    The SAME SQL text is the oracle."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TRIANGLES)

@@ -1,0 +1,110 @@
+"""Warehouse-maintenance and data-quality patterns (SURVEY.md §2
+round-8 continuation): SCD Type-2 dimension versioning and
+distribution-drift detection between time windows.
+
+Scale posture:
+- q_merge_scd2 is the standard expire-and-insert: one anti/left join
+  against the (comparatively tiny, broadcastable) change set plus a
+  union — the dimension is never shuffled on anything but its key,
+  and the change set is the only thing scanned twice.
+- q_drift_tvd is two hash aggs over ONE scan of the fact (conditional
+  counts per bucket, then per-type totals) with the total-variation
+  distance computed from EXACT integer cross products
+  (|cA*tB - cB*tA| in DECIMAL(38,0)) — no per-engine float
+  accumulation order anywhere before the final rounded division.
+"""
+
+from __future__ import annotations
+
+from plankton_spark.io import read_table
+from plankton_spark.registry import query
+
+_SCD2 = """
+WITH chg AS (
+  SELECT DISTINCT o_custkey
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1996-07-01'
+    AND o_custkey % 3 = 0
+)
+SELECT c_custkey, CAST(1 AS BIGINT) AS version,
+       c_mktsegment AS segment,
+       (chg.o_custkey IS NULL) AS is_current
+FROM customer LEFT JOIN chg ON c_custkey = chg.o_custkey
+WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT c_custkey, CAST(2 AS BIGINT) AS version,
+       'UPGRADED' AS segment, TRUE AS is_current
+FROM customer JOIN chg ON c_custkey = chg.o_custkey
+WHERE c_custkey % 3 = 0
+"""
+
+_DRIFT = """
+WITH b AS (
+  SELECT event_type,
+         LEAST(CAST(9 AS BIGINT), CAST(FLOOR(value / 10) AS BIGINT))
+           AS bucket,
+         CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+              THEN 1 ELSE 0 END AS in_a
+  FROM events
+),
+bc AS (
+  SELECT event_type, bucket,
+         CAST(SUM(in_a) AS BIGINT) AS ca,
+         CAST(SUM(1 - in_a) AS BIGINT) AS cb
+  FROM b GROUP BY event_type, bucket
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(ca) AS BIGINT) AS ta,
+         CAST(SUM(cb) AS BIGINT) AS tb
+  FROM bc GROUP BY event_type
+)
+SELECT bc.event_type,
+       tot.ta AS n_before, tot.tb AS n_after,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(CAST(SUM(ABS(CAST(bc.ca AS DECIMAL(38,0)) * tot.tb
+                          - CAST(bc.cb AS DECIMAL(38,0)) * tot.ta))
+                  AS DOUBLE)
+             / CAST(2 * tot.ta * tot.tb AS DOUBLE), 6) AS tvd
+FROM bc JOIN tot ON bc.event_type = tot.event_type
+GROUP BY bc.event_type, tot.ta, tot.tb
+"""
+
+_TABLES = {
+    "q_merge_scd2": ("customer", "orders"),
+    "q_drift_tvd": ("events",),
+}
+
+
+def _run_sql(spark, sf_dir, name, sql):
+    for t in _TABLES[name]:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+@query("q_merge_scd2", oracle=_SCD2)
+def q_merge_scd2(spark, sf_dir):
+    """SCD Type-2 dimension versioning: customers who placed an
+    URGENT order in 1996-H1 get a version-2 'UPGRADED' row and their
+    version-1 row flips is_current=false; untouched customers keep
+    version 1 current. Integer versions + a current flag stand in for
+    valid_from/valid_to dates (the determinism policy keeps raw dates
+    out of output columns). The SAME SQL text is the oracle; the
+    Spark plan is one left join + one inner join against the
+    broadcastable change set, unioned."""
+    return _run_sql(spark, sf_dir, "q_merge_scd2", _SCD2)
+
+
+@query("q_drift_tvd", oracle=_DRIFT)
+def q_drift_tvd(spark, sf_dir):
+    """Distribution drift per event type between the first and second
+    half of the month: values histogrammed into 10 fixed buckets, and
+    the total-variation distance computed from exact integer cross
+    products — TVD = sum|cA*tB - cB*tA| / (2*tA*tB), so the only
+    float op is ONE final division of exactly-equal inputs on both
+    engines. The SAME SQL text is the oracle. (At sf0.01 the halves
+    are i.i.d. so tvd is near 0 — the test seeds a shifted window to
+    prove sensitivity.)"""
+    return _run_sql(spark, sf_dir, "q_drift_tvd", _DRIFT)

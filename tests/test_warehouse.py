@@ -1,0 +1,146 @@
+"""Branch tests for warehouse.py + graph triangles — properties the
+oracle gate can't distinguish (a shared bug would pass parity):
+SCD2 version pairing, drift sensitivity on a constructed shift, and
+an independent Python triangle count.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from plankton_spark.registry import all_queries
+from tests.conftest import SF001
+
+
+def test_scd2_version_pairing(spark):
+    rows = all_queries()["q_merge_scd2"](spark, SF001).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["c_custkey"], []).append(r)
+    assert len(by_cust) > 100
+    n_changed = 0
+    for k, rs in by_cust.items():
+        assert k % 3 == 0
+        versions = sorted(r["version"] for r in rs)
+        if len(rs) == 1:
+            # untouched: single current v1 with the original segment
+            assert versions == [1]
+            assert rs[0]["is_current"] is True
+            assert rs[0]["segment"] != "UPGRADED"
+        else:
+            # changed: v1 expired + v2 current UPGRADED
+            n_changed += 1
+            assert versions == [1, 2]
+            v = {r["version"]: r for r in rs}
+            assert v[1]["is_current"] is False
+            assert v[2]["is_current"] is True
+            assert v[2]["segment"] == "UPGRADED"
+            assert v[1]["segment"] != "UPGRADED"
+    assert n_changed > 10
+
+
+def _write_events(spark, tmpdir, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/events.parquet")
+
+
+def test_drift_zero_on_identical_halves(spark, tmp_path):
+    """Same bucket histogram in both halves → tvd exactly 0."""
+    rows = []
+    for half, day in ((0, 5), (1, 20)):
+        for i in range(100):
+            rows.append(
+                (
+                    half * 1000 + i,
+                    datetime.datetime(2024, 1, day, 12, 0, 0),
+                    i,
+                    "click",
+                    float((i % 10) * 10 + 5),  # buckets 0..9 uniformly
+                    "{}",
+                )
+            )
+    _write_events(spark, tmp_path, rows)
+    out = all_queries()["q_drift_tvd"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_before"] == 100 and r["n_after"] == 100
+    assert r["tvd"] == 0.0
+
+
+def test_drift_detects_full_shift(spark, tmp_path):
+    """Disjoint buckets between halves → tvd exactly 1."""
+    rows = []
+    for i in range(50):
+        rows.append(
+            (i, datetime.datetime(2024, 1, 3, 8, 0, 0), i, "view", 5.0, "{}")
+        )  # bucket 0
+    for i in range(80):
+        rows.append(
+            (
+                1000 + i,
+                datetime.datetime(2024, 1, 25, 8, 0, 0),
+                i,
+                "view",
+                95.0,
+                "{}",
+            )
+        )  # bucket 9
+    _write_events(spark, tmp_path, rows)
+    out = all_queries()["q_drift_tvd"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["tvd"] == 1.0
+    assert out[0]["n_buckets"] == 2
+
+
+def test_drift_overflow_bucket_clamps(spark, tmp_path):
+    """Values past 90 all land in bucket 9 (LEAST clamp)."""
+    rows = [
+        (1, datetime.datetime(2024, 1, 3, 8, 0, 0), 1, "x", 95.0, "{}"),
+        (2, datetime.datetime(2024, 1, 3, 8, 0, 0), 2, "x", 480.0, "{}"),
+        (3, datetime.datetime(2024, 1, 25, 8, 0, 0), 3, "x", 150.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = all_queries()["q_drift_tvd"](spark, str(tmp_path)).collect()
+    # one shared bucket → identical (degenerate) distributions
+    assert out[0]["n_buckets"] == 1 and out[0]["tvd"] == 0.0
+
+
+def test_triangles_match_python_bruteforce(spark):
+    """Independent adjacency-set triangle count over the SAME edge
+    set the query builds (collected once; ~2.5k edges at sf0.01)."""
+    from plankton_spark.io import read_table
+
+    read_table(spark, SF001, "lineitem").createOrReplaceTempView("lineitem")
+    edges = spark.sql(
+        """
+        WITH ps AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk
+          FROM lineitem WHERE l_partkey % 13 = 0
+          GROUP BY l_partkey, l_suppkey
+        ),
+        deg AS (SELECT pk FROM ps GROUP BY pk HAVING COUNT(*) <= 20)
+        SELECT DISTINCT a.sk AS s1, b.sk AS s2
+        FROM ps a JOIN ps b ON a.pk = b.pk AND a.sk < b.sk
+        JOIN deg ON a.pk = deg.pk
+        """
+    ).collect()
+    adj: dict[int, set] = {}
+    for r in edges:
+        adj.setdefault(r["s1"], set()).add(r["s2"])
+    n_tri = 0
+    checksum = 0
+    for a, nbrs in adj.items():
+        for b in nbrs:
+            common = nbrs & adj.get(b, set())
+            n_tri += len(common)
+            for c in common:
+                checksum += a + b + c
+    out = all_queries()["q_graph_triangles"](spark, SF001).collect()[0]
+    assert out["n_edges"] == len(edges)
+    assert out["n_triangles"] == n_tri > 0
+    assert out["vertex_checksum"] == checksum
