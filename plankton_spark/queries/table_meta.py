@@ -1,0 +1,97 @@
+"""Metadata-table surfaces (SURVEY.md §2 round-8 continuation): the
+`files`/`partitions` views every lakehouse engine exposes
+(Delta DESCRIBE DETAIL / Iceberg's .files & .partitions), answered
+ENTIRELY from commit-log / manifest metadata — zero data IO.
+
+The oracle proves the metadata agrees with the DATA: partition-level
+record counts and key bounds computed from add-action stats (Delta) or
+manifest record counts (Iceberg) must equal the same aggregate computed
+relationally over the source rows. At 100 TB this is the difference
+between an ANALYZE that costs nothing and one that scans the lake.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.queries.scans import _scratch
+from plankton_spark.registry import query
+
+
+@query(
+    "q_deltalog_partitions",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_records,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_deltalog_partitions(spark, sf_dir):
+    """Delta partitions metadata view: per-partition record counts AND
+    o_orderkey bounds rolled up from the add actions' stats JSON — the
+    log replay is the ONLY input (no parquet footer, no data scan; the
+    files_meta docstring pins that contract). The oracle recomputes
+    the same numbers from the raw rows, so a stats bug (wrong
+    numRecords, stale bounds, missed DV correction) is a hash
+    mismatch."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, files_meta
+
+    root = _scratch(sf_dir, "delta_meta_part")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).where(F.col("o_orderkey") < 2000)
+    DeltaLogWriter(spark, root).create(o, partition_by=["o_orderstatus"])
+    fm = files_meta(spark, root)
+    return (
+        fm.select(
+            F.col("partition")["o_orderstatus"].alias("o_orderstatus"),
+            "num_records",
+            F.col("min_values")["o_orderkey"].cast("long").alias("mn"),
+            F.col("max_values")["o_orderkey"].cast("long").alias("mx"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("num_records").alias("n_records"),
+            F.min("mn").alias("min_key"),
+            F.max("mx").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "q_iceberg_partitions",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_records
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_partitions(spark, sf_dir):
+    """Iceberg partitions metadata view: per-partition record counts
+    rolled up from the Avro manifests' record_count fields — manifest
+    metadata is the ONLY input (the identity partition tuple and the
+    row count were committed by the writer; no data file is opened).
+    The oracle recomputes from the raw rows."""
+    from plankton_spark.sources.iceberg_meta import IcebergWriter, files_meta
+
+    root = _scratch(sf_dir, "iceberg_meta_part")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).where(F.col("o_orderkey") < 2000)
+    IcebergWriter(spark, root).create(o, partition_by=["o_orderstatus"])
+    fm = files_meta(spark, root)
+    return (
+        fm.where(F.col("content") == 0)
+        .select(
+            F.col("partition")["o_orderstatus"].alias("o_orderstatus"),
+            "record_count",
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.sum("record_count").alias("n_records"))
+    )

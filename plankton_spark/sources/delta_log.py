@@ -2979,3 +2979,54 @@ def delta_history(table_path: str) -> list[dict]:
             }
         )
     return out
+
+
+def files_meta(spark, table_path: str, version: int | None = None):
+    """Delta `files` metadata table: one row per LIVE data file at a
+    version, built ENTIRELY from the log replay — no parquet footer or
+    data IO when the add actions carry stats (this engine's writer
+    always records them; foreign files without stats fall back to one
+    footer read each).
+
+    Columns: path, partition (map<string,string>, raw hive-encoded
+    values), num_records (DV-corrected live rows: stats.numRecords
+    minus deletionVector.cardinality), dv_cardinality, min_values /
+    max_values (map<string,string>, stat_encode'd — for DV'd files
+    these are bounds over the PRE-delete rows, i.e. conservative).
+
+    Scale: this is driver-side over the active add list — the same
+    O(files) metadata the replay already holds; aggregation over it
+    happens in Spark after parallelize. At 100 TB an ANALYZE answered
+    from here costs zero data IO (the point of the surface).
+    """
+    log = DeltaLog(table_path)
+    _schema, _part_cols, active = log.replay(version)
+    rows = []
+    for rel, add in sorted(active.items()):
+        raw = add.get("stats")
+        st = None
+        if raw:
+            try:
+                st = json.loads(raw) if isinstance(raw, str) else dict(raw)
+            except (ValueError, TypeError):
+                st = None
+        if not st or "numRecords" not in st:
+            st = _file_stats(os.path.join(table_path, rel))
+        dv = add.get("deletionVector") or {}
+        dv_card = int(dv.get("cardinality") or 0)
+        rows.append(
+            (
+                rel,
+                {k: v for k, v in (add.get("partitionValues") or {}).items()},
+                int(st["numRecords"]) - dv_card,
+                dv_card,
+                {k: str(v) for k, v in (st.get("minValues") or {}).items()},
+                {k: str(v) for k, v in (st.get("maxValues") or {}).items()},
+            )
+        )
+    out_schema = (
+        "path string, partition map<string,string>, num_records long, "
+        "dv_cardinality long, min_values map<string,string>, "
+        "max_values map<string,string>"
+    )
+    return spark.createDataFrame(rows, out_schema)
