@@ -525,17 +525,50 @@ def _cast_partition_value(raw: str | None, dtype: T.DataType):
     return F.lit(raw).cast(dtype)
 
 
+def _commit_ict(log_dir: str, version: int) -> int | None:
+    """inCommitTimestamp of a retained JSON commit, or None. Per the
+    spec, when in-commit timestamps are enabled commitInfo must be the
+    FIRST action of the commit — only the first line is read."""
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    try:
+        with open(path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                info = a.get("commitInfo")
+                if isinstance(info, dict) and "inCommitTimestamp" in info:
+                    return int(info["inCommitTimestamp"])
+                return None
+    except (OSError, ValueError):
+        return None
+    return None
+
+
 def version_at_timestamp(table_path: str, timestamp_ms: int) -> int:
     """TIMESTAMP AS OF resolution: the latest commit whose timestamp
     is <= the given epoch-ms. Per the Delta spec, a commit's
-    timestamp is its log file's modification time."""
+    timestamp is its log file's modification time — unless the table
+    uses in-commit timestamps (the `inCommitTimestamp` writer
+    feature), where the commitInfo-recorded monotonic timestamp is
+    authoritative for every commit that carries one (clock-skew /
+    file-copy immunity is the feature's point). The ICT probe costs
+    one first-line read per retained commit, and only when the LATEST
+    commit actually carries an ICT."""
     log_dir = os.path.join(table_path, "_delta_log")
-    eligible = [
-        v
-        for v in _commit_versions(log_dir)
-        if os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json")) * 1000
-        <= timestamp_ms
-    ]
+    versions = _commit_versions(log_dir)
+    use_ict = bool(versions) and _commit_ict(log_dir, max(versions)) is not None
+
+    def _ts(v: int) -> int:
+        if use_ict:
+            ict = _commit_ict(log_dir, v)
+            if ict is not None:
+                return ict
+        return int(
+            os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json")) * 1000
+        )
+
+    eligible = [v for v in versions if _ts(v) <= timestamp_ms]
     if not eligible:
         raise ValueError(
             f"{table_path}: no commit at or before "
@@ -969,6 +1002,63 @@ class DeltaLogWriter:
         )
         return (max(versions) + 1) if versions else 0
 
+    def _last_ict(self) -> int | None:
+        """inCommitTimestamp of the newest retained JSON commit (the
+        spec's ICT-enabled marker: every commit after enablement
+        carries one as its FIRST action). Fully-compacted logs (no
+        JSON commits) fall back to the replayed table config."""
+        if not os.path.isdir(self.log_dir):
+            return None  # first commit of a fresh table
+        versions = _commit_versions(self.log_dir)
+        if versions:
+            return _commit_ict(self.log_dir, max(versions))
+        if _checkpoint_versions(self.log_dir):
+            log = DeltaLog(self.table_path)
+            log.replay(None)
+            cfg = log.table_config
+            if (cfg.get("delta.enableInCommitTimestamps") or "").lower() == (
+                "true"
+            ):
+                return int(
+                    cfg.get("delta.inCommitTimestampEnablementTimestamp") or 0
+                )
+        return None
+
+    def _with_ict(self, actions: list[dict]) -> list[dict]:
+        """Inject/normalize the in-commit timestamp: when the table
+        has ICT enabled (or the caller already supplied one — the
+        enablement commit), commitInfo carries a monotonically
+        increasing epoch-ms (max(now, prev+1) per the spec) and is
+        moved to the FIRST position. Re-evaluated on every commit
+        attempt, so an OCC retry that lost to a concurrent ICT commit
+        still publishes a larger timestamp than the winner's."""
+        import time as _t
+
+        supplied = next(
+            (
+                a
+                for a in actions
+                if isinstance(a.get("commitInfo"), dict)
+                and "inCommitTimestamp" in a["commitInfo"]
+            ),
+            None,
+        )
+        prev = self._last_ict()
+        if supplied is None and prev is None:
+            return actions
+        if supplied is not None:
+            # caller-authored ICT (enablement commit): only enforce
+            # monotonicity vs the predecessor, so config-recorded
+            # enablement timestamps stay equal to the commit's ICT
+            supplied["commitInfo"]["inCommitTimestamp"] = max(
+                int(supplied["commitInfo"]["inCommitTimestamp"]),
+                (prev or 0) + 1,
+            )
+            rest = [a for a in actions if a is not supplied]
+            return [supplied] + rest
+        ict = max(int(_t.time() * 1000), (prev or 0) + 1)
+        return [{"commitInfo": {"inCommitTimestamp": ict}}] + actions
+
     def _commit(self, version: int, actions: list[dict]) -> int:
         """Atomic publication: the full content is written (and fsynced)
         to a writer-unique temp file FIRST, then published with
@@ -978,6 +1068,7 @@ class DeltaLogWriter:
         an empty or partially written commit file."""
         import uuid as _uuid
 
+        actions = self._with_ict(actions)
         os.makedirs(self.log_dir, exist_ok=True)
         path = os.path.join(self.log_dir, f"{version:020d}.json")
         tmp = path + f".tmp-{_uuid.uuid4().hex}"
@@ -1114,6 +1205,78 @@ class DeltaLogWriter:
             cfg = dict(cfg)
             del cfg[key]
             return [self._metadata_action(schema, part_cols, cfg)]
+
+        return self._commit_metadata_update(build)
+
+    def enable_ict(self) -> int:
+        """Enable in-commit timestamps (the `inCommitTimestamp` writer
+        feature): from this commit on, every commit's FIRST action is
+        a commitInfo carrying a monotonically increasing epoch-ms
+        timestamp, and TIMESTAMP AS OF / history resolution uses it
+        instead of log-file mtimes (clock-skew and file-copy
+        immunity). The enablement commit records
+        delta.inCommitTimestampEnablementVersion/-Timestamp per the
+        spec so readers know where the mtime→ICT boundary sits.
+
+        ICT has no legacy writer-version encoding, so a legacy
+        protocol converts to the table-features form — carrying over
+        the features the old minWriterVersion implied (the spec's
+        upgrade rule; dropping them would un-protect constraints or
+        column mapping)."""
+        _LEGACY_WF = {
+            2: {"appendOnly", "invariants"},
+            3: {"checkConstraints"},
+            4: {"changeDataFeed", "generatedColumns"},
+            5: {"columnMapping"},
+            6: {"identityColumns"},
+        }
+
+        def build(log, schema, part_cols, cfg):
+            if (cfg.get("delta.enableInCommitTimestamps") or "").lower() == (
+                "true"
+            ):
+                raise ValueError(
+                    f"{self.table_path}: in-commit timestamps already enabled"
+                )
+            prot = log.table_protocol or {
+                "minReaderVersion": 1,
+                "minWriterVersion": 2,
+            }
+            rv = prot.get("minReaderVersion", 1)
+            wv = prot.get("minWriterVersion", 2)
+            wf = set(prot.get("writerFeatures") or [])
+            if not wf and wv < 7:
+                for lv, feats in _LEGACY_WF.items():
+                    if wv >= lv:
+                        wf |= feats
+            wf |= {"inCommitTimestamp"}
+            new_prot = {
+                "minReaderVersion": rv,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(wf),
+            }
+            if rv >= 3 or prot.get("readerFeatures") is not None:
+                new_prot["readerFeatures"] = sorted(
+                    set(prot.get("readerFeatures") or [])
+                )
+            import time as _t
+
+            now = int(_t.time() * 1000)
+            version = self._next_version()
+            cfg = dict(cfg)
+            cfg["delta.enableInCommitTimestamps"] = "true"
+            cfg["delta.inCommitTimestampEnablementVersion"] = str(version)
+            cfg["delta.inCommitTimestampEnablementTimestamp"] = str(now)
+            return [
+                {
+                    "commitInfo": {
+                        "operation": "SET TBLPROPERTIES",
+                        "inCommitTimestamp": now,
+                    }
+                },
+                {"protocol": new_prot},
+                self._metadata_action(schema, part_cols, cfg),
+            ]
 
         return self._commit_metadata_update(build)
 
@@ -1582,18 +1745,62 @@ class DeltaLogWriter:
 
     # -- operations -----------------------------------------------------
 
-    def create(self, df, partition_by: list[str] | None = None) -> int:
+    def create(
+        self,
+        df,
+        partition_by: list[str] | None = None,
+        generated: dict[str, str] | None = None,
+    ) -> int:
         """Create the table; `partition_by` lays data out hive-style
         (col=value dirs, values in each add's partitionValues) so the
         reader prunes whole partitions before opening any file — the
-        directory-level analogue of the per-file stats skipping."""
+        directory-level analogue of the per-file stats skipping.
+
+        `generated={"col": "<expr SQL>"}` declares GENERATED columns
+        (the Delta `generatedColumns` feature, minWriterVersion 4):
+        the writer computes and STORES each value at write time and
+        records the expression as `delta.generationExpression` in the
+        field's schemaString metadata; appends materialize a missing
+        generated column and refuse caller-supplied values that
+        contradict the expression (the spec's enforcement rule). Per
+        Delta semantics, generated columns are declared at CREATE —
+        they cannot be bolted onto existing rows whose files would
+        then disagree with the expression."""
         if os.path.isdir(self.log_dir) and _commit_versions(self.log_dir):
             raise FileExistsError(f"{self.table_path}: table already exists")
+        wv = 2
+        if generated:
+            clash = sorted(set(generated) & set(df.columns))
+            if clash:
+                raise ValueError(
+                    f"{self.table_path}: generated columns {clash} must "
+                    "not be supplied at create — the writer computes them"
+                )
+            for col, expr in generated.items():
+                df = df.withColumn(col, F.expr(expr))
+            wv = 4
         missing = [c for c in (partition_by or []) if c not in df.columns]
         if missing:
             raise ValueError(f"partition_by columns not in df: {missing}")
-        protocol = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        actions = [protocol, self._metadata_action(df.schema, partition_by)]
+        schema = df.schema
+        if generated:
+            schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {"delta.generationExpression": generated[f.name]}
+                        if f.name in generated
+                        else f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
+        protocol = {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": wv}
+        }
+        actions = [protocol, self._metadata_action(schema, partition_by)]
         actions += self._stage(df, partition_by)
         return self._commit_with_retry(actions)
 
@@ -1621,6 +1828,29 @@ class DeltaLogWriter:
             cm = column_mapping(cur_schema, log.table_config, self.table_path)
         except FileNotFoundError:
             snapshot_info, part_cols = None, []
+        if snapshot_info is not None:
+            # generated columns (delta.generationExpression field
+            # metadata): materialize when absent, enforce when supplied
+            # — caller values that contradict the expression must not
+            # land (they'd silently diverge from every other writer's)
+            for f in snapshot_info[0].fields:
+                if not f.metadata or "delta.generationExpression" not in (
+                    f.metadata
+                ):
+                    continue
+                expr = f.metadata["delta.generationExpression"]
+                if f.name not in df.columns:
+                    df = df.withColumn(
+                        f.name, F.expr(expr).cast(f.dataType)
+                    )
+                elif df.where(
+                    ~F.col(f.name).eqNullSafe(F.expr(expr).cast(f.dataType))
+                ).take(1):
+                    raise ValueError(
+                        f"{self.table_path}: supplied values for "
+                        f"generated column {f.name!r} contradict its "
+                        f"expression ({expr})"
+                    )
         if cm:
             # mapped table (rename_column): files store PHYSICAL names,
             # so staging renames df's logical columns; add-column
@@ -2967,10 +3197,23 @@ def delta_history(table_path: str) -> list[dict]:
             op = "SET METADATA"
         else:
             op = "EMPTY"
+        ict = next(
+            (
+                int(a["commitInfo"]["inCommitTimestamp"])
+                for a in actions
+                if "commitInfo" in a
+                and "inCommitTimestamp" in a["commitInfo"]
+            ),
+            None,
+        )
         out.append(
             {
                 "version": v,
-                "timestamp_ms": int(os.path.getmtime(path) * 1000),
+                "timestamp_ms": (
+                    ict
+                    if ict is not None
+                    else int(os.path.getmtime(path) * 1000)
+                ),
                 "operation": op,
                 "n_added": n_add,
                 "n_removed": n_remove,
