@@ -93,7 +93,16 @@ def q_cte_recursive(spark, sf_dir):
     double-visit a link) and the SUM of all prefixes (pins the running
     accumulation itself, not just the endpoint). The SAME SQL text is
     the oracle — Spark's UnionLoop executor and DuckDB's recursive
-    executor must produce identical closures."""
+    executor must produce identical closures.
+
+    Scale valves: Spark guards runaway recursion with
+    cteRecursionRowLimit (default 1e6 TOTAL rows across iterations —
+    a row-count proxy, not a depth bound; the sf10 walk legitimately
+    carries ~1.5M rows) and cteRecursionLevelLimit (default 100 —
+    depth = max orders per customer, ~10 at every SF). The row valve
+    is raised here to corpus scale; the level valve stays at its
+    default deliberately, so a cyclic-links bug still terminates."""
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
     return _run_sql(spark, sf_dir, "q_cte_recursive", _RECURSIVE)
 
 
