@@ -734,3 +734,42 @@ def q_profile_table_exact(spark, sf_dir):
     tables. Same single-scan wide-agg + stack() pivot otherwise."""
     li = read_table(spark, sf_dir, "lineitem")
     return profile_table(li, _PROFILE_COLS, exact=True)
+
+
+@query(
+    "q_agg_approxquantile",
+    oracle="""
+    SELECT l_returnflag, TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approxquantile(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna) sanity-gated by RANK
+    tolerance, the q_agg_approxdistinct pattern adapted to quantiles:
+    value-relative tolerances break on discrete data (adjacent
+    quantity steps are ~4% apart near the median), so the check is
+    the sketch's OWN contract — the estimate must lie between the
+    exact quantiles at p±0.01 (GK guarantees rank error ≤ 1/accuracy;
+    accuracy=10000 ⇒ 0.0001 ≪ 0.01). Sketches merge per-partition —
+    at 100 TB this is one combine-tree pass instead of a global
+    sort."""
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.round(F.col("l_quantity") * 100).cast("long")
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("cents", 0.5, 10000).alias("a50"),
+        F.percentile_approx("cents", 0.9, 10000).alias("a90"),
+        F.expr("percentile(cents, 0.49)").alias("lo50"),
+        F.expr("percentile(cents, 0.51)").alias("hi50"),
+        F.expr("percentile(cents, 0.89)").alias("lo90"),
+        F.expr("percentile(cents, 0.91)").alias("hi90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "p50_rank_ok"
+        ),
+        ((F.col("a90") >= F.col("lo90")) & (F.col("a90") <= F.col("hi90"))).alias(
+            "p90_rank_ok"
+        ),
+    )

@@ -544,3 +544,91 @@ def q_agg_skewsalt(spark, sf_dir):
         F.min("pmin").alias("min_value"),
         F.max("pmax").alias("max_value"),
     )
+
+
+@query(
+    "q_dedup_canonical",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(LENGTH(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (LENGTH(a.s) + LENGTH(b.s) - LENGTH(list_intersect(a.s, b.s))) AS j
+        FROM (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, GREATEST(LENGTH(string_split(text,' ')) - 4, 1)),
+                 i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS s
+              FROM documents) a
+        JOIN (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, GREATEST(LENGTH(string_split(text,' ')) - 4, 1)),
+                 i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS s
+              FROM documents) b
+          ON a.doc_id < b.doc_id
+      ) WHERE j >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(lab) AS canonical_id FROM walk GROUP BY node
+    ),
+    ranked AS (
+      SELECT c.canonical_id, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.canonical_id
+               ORDER BY d.n_chars DESC, c.doc_id
+             ) AS rn
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(canonical_id AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS keep_doc_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+             AS keep_n_chars
+    FROM ranked GROUP BY canonical_id
+    """,
+)
+def q_dedup_canonical(spark, sf_dir):
+    """Cluster assembly — the dedup pipeline's LAST step: near-dup
+    components (min-label propagation over minhash-verified pairs)
+    rolled up to one row per cluster with the SURVIVOR chosen by the
+    production rule (longest text, doc_id tiebreak — not min id: the
+    longest member usually carries the least-truncated content).
+    Spark side picks the survivor with one max(struct(n_chars,
+    -doc_id)) — no window, no second shuffle beyond the label rollup.
+    Oracle: the recursive-CTE component closure + a ranked rollup."""
+    from plankton_spark.queries.llm_dedup import q_dedup_minhash as _  # noqa: F401
+    from plankton_spark.registry import all_queries
+
+    pairs = all_queries()["q_dedup_minhash"](spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = cache.persist_swap(
+        "q_dedup_canonical:edges",
+        fwd.unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        ),
+    )
+    labels = min_label_propagation(edges)
+    cache.track("q_dedup_canonical:labels", labels)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = labels.join(docs, labels.node == docs.doc_id).select(
+        F.col("lab").cast("long").alias("canonical_id"),
+        "doc_id",
+        "n_chars",
+    )
+    return members.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+        .alias("pick"),
+    ).select(
+        "canonical_id",
+        "n_members",
+        (-F.col("pick.neg_id")).cast("long").alias("keep_doc_id"),
+        F.col("pick.n_chars").cast("long").alias("keep_n_chars"),
+    )
