@@ -95,3 +95,49 @@ def q_iceberg_partitions(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.sum("record_count").alias("n_records"))
     )
+
+
+@query(
+    "q_uniform_convert",
+    oracle="""
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE o_orderkey < 2000 AND o_orderkey % 3 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM live GROUP BY o_orderstatus
+    """,
+)
+def q_uniform_convert(spark, sf_dir):
+    """UniForm-style dual metadata: a Delta table (created, then
+    row-level-deleted so tombstones exist) gains Iceberg metadata over
+    its LIVE files via convert_delta_to_iceberg — and the result read
+    through the ICEBERG metadata chain must equal the relational truth
+    (tombstoned files leaking into the manifest would be a hash
+    mismatch, not just a row-count blip). Zero data movement: both
+    logs reference the same parquet."""
+    import shutil as _shutil
+
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+    from plankton_spark.sources.iceberg_meta import (
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    root = _scratch(sf_dir, "uniform_dual")
+    _shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = DeltaLogWriter(spark, root)
+    w.create(o)
+    w.delete_where(F.col("o_orderkey") % 3 == 0)
+    convert_delta_to_iceberg(spark, root)
+    return (
+        read_iceberg(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )

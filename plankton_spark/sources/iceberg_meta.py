@@ -3346,6 +3346,20 @@ def convert_to_iceberg(
     inventory, part_keys = inventory_hive_dir(
         table_path, type_for=lambda k, raw: _typed_pv(raw, dtypes[k])
     )
+    return _author_iceberg_over(spark, table_path, schema, inventory, part_keys)
+
+
+def _author_iceberg_over(
+    spark, table_path: str, schema, inventory, part_keys
+) -> int:
+    """Shared metadata-authoring tail of the converters: write snapshot
+    1's manifest + manifest list + v1 metadata.json over an EXISTING
+    file inventory ([(rel_path, typed_partition_values)]) — nothing is
+    rewritten or moved. Hive `key=value` keys become an identity spec;
+    record counts come from each footer (metadata-only IO)."""
+    from plankton_spark.sources.avro_ocf import write_ocf_generic
+
+    meta_dir = os.path.join(table_path, "metadata")
     spec = [
         {"name": k, "transform": "identity", "source": k}
         for k in (part_keys or [])
@@ -3498,3 +3512,61 @@ def files_meta(spark, table_path: str, snapshot_id: int | None = None):
         "record_count long, sequence_number long, spec_id int"
     )
     return spark.createDataFrame(sorted(rows), out_schema)
+
+
+def convert_delta_to_iceberg(spark, table_path: str) -> int:
+    """UniForm-style dual metadata: author Iceberg metadata over a
+    Delta table's LIVE files, in place — both logs then reference the
+    SAME parquet files, so Iceberg readers open the table without a
+    single row being copied. The Delta log replay (not a directory
+    walk) chooses the inventory, so tombstoned files and staging
+    leftovers are invisible to the Iceberg snapshot; Delta
+    partitionValues become typed identity-spec partition records (the
+    layouts agree: both engines' hive staging omits source columns
+    from file content).
+
+    One-shot snapshot export: Delta commits AFTER the conversion are
+    not reflected on the Iceberg side (re-convert after dropping
+    metadata/ to refresh — refusing silent divergence beats pretending
+    to mirror). Refused for column-mapped tables (physical file names
+    differ from the logical schema) and tables with live deletion
+    vectors (whole-file Iceberg entries would resurrect deleted rows).
+
+    Vacuum safety is mutual by construction: Delta's vacuum removes
+    only unreferenced *.parquet (Iceberg's Avro/JSON metadata is never
+    a candidate), and this engine's Iceberg vacuum reclaims only
+    data/ orphans (Delta files live at the root / hive dirs)."""
+    from plankton_spark.sources.delta_log import (
+        DeltaLog,
+        DeltaProtocolError,
+        column_mapping,
+    )
+
+    meta_dir = os.path.join(table_path, "metadata")
+    if os.path.isdir(meta_dir) and any(
+        f.endswith(".metadata.json") for f in os.listdir(meta_dir)
+    ):
+        raise FileExistsError(f"{table_path}: already an Iceberg table")
+    log = DeltaLog(table_path)
+    schema, part_cols, active = log.replay(None)
+    if column_mapping(schema, log.table_config, table_path):
+        raise DeltaProtocolError(
+            f"{table_path}: column-mapped Delta tables cannot convert — "
+            "files store physical names the Iceberg schema would not "
+            "resolve"
+        )
+    dvd = sorted(rel for rel, a in active.items() if a.get("deletionVector"))
+    if dvd:
+        raise DeltaProtocolError(
+            f"{table_path}: {len(dvd)} live file(s) carry deletion "
+            "vectors; whole-file Iceberg entries would resurrect "
+            "deleted rows — purge DVs (OPTIMIZE) before converting"
+        )
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    inventory = []
+    for rel, add in sorted(active.items()):
+        pv = {}
+        for k, v in (add.get("partitionValues") or {}).items():
+            pv[k] = None if v is None else _typed_pv(v, dtypes[k])
+        inventory.append((rel, pv))
+    return _author_iceberg_over(spark, table_path, schema, inventory, part_cols)

@@ -1,0 +1,100 @@
+"""convert_delta_to_iceberg (UniForm-style dual metadata): same files,
+two logs; tombstones invisible; refusals for DV'd / mapped tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from tests.conftest import SF0001
+
+
+def _orders(spark):
+    return (
+        read_table(spark, SF0001, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .where(F.col("o_orderkey") < 500)
+    )
+
+
+def test_dual_metadata_equal_reads(spark, tmp_path):
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+    from plankton_spark.sources.iceberg_meta import (
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "d")
+    w = DeltaLogWriter(spark, root)
+    w.create(_orders(spark))
+    # a rewrite creates tombstones the Iceberg snapshot must NOT see
+    w.delete_where(F.col("o_orderkey") % 3 == 0)
+    convert_delta_to_iceberg(spark, root)
+    d = read_delta(spark, root).orderBy("o_orderkey").collect()
+    i = read_iceberg(spark, root).orderBy("o_orderkey").collect()
+    assert len(d) == len(i) > 0
+    assert [r["o_orderkey"] for r in d] == [r["o_orderkey"] for r in i]
+    assert all(r["o_orderkey"] % 3 != 0 for r in i)
+
+
+def test_dual_metadata_partitioned(spark, tmp_path):
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergTable,
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "p")
+    DeltaLogWriter(spark, root).create(
+        _orders(spark), partition_by=["o_orderstatus"]
+    )
+    convert_delta_to_iceberg(spark, root)
+    d = read_delta(spark, root)
+    i = read_iceberg(spark, root)
+    dd = {
+        (r["o_orderstatus"], r["n"]): True
+        for r in d.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    ii = {
+        (r["o_orderstatus"], r["n"]): True
+        for r in i.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    assert dd == ii
+    # identity spec landed with the partition column
+    t = IcebergTable(root)
+    assert t.partition_fields() == ["o_orderstatus"]
+
+
+def test_refuses_dv_and_mapped(spark, tmp_path):
+    from plankton_spark.sources.delta_log import (
+        DeltaLogWriter,
+        DeltaProtocolError,
+    )
+    from plankton_spark.sources.iceberg_meta import convert_delta_to_iceberg
+
+    root = str(tmp_path / "dv")
+    w = DeltaLogWriter(spark, root)
+    w.create(_orders(spark))
+    w.delete_where_dv(F.col("o_orderkey") % 5 == 0)
+    with pytest.raises(DeltaProtocolError, match="deletion"):
+        convert_delta_to_iceberg(spark, root)
+
+    root2 = str(tmp_path / "cm")
+    w2 = DeltaLogWriter(spark, root2)
+    w2.create(_orders(spark))
+    w2.rename_column("o_totalprice", "price")
+    with pytest.raises(DeltaProtocolError, match="column-mapped"):
+        convert_delta_to_iceberg(spark, root2)
+
+
+def test_refuses_double_convert(spark, tmp_path):
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+    from plankton_spark.sources.iceberg_meta import convert_delta_to_iceberg
+
+    root = str(tmp_path / "twice")
+    DeltaLogWriter(spark, root).create(_orders(spark))
+    convert_delta_to_iceberg(spark, root)
+    with pytest.raises(FileExistsError):
+        convert_delta_to_iceberg(spark, root)
