@@ -61,8 +61,24 @@ SUPPORTED_READER_FEATURES: frozenset[str] = frozenset(
         # change is validated by _validate_type_changes and refuses
         "typeWidening",
         "typeWidening-preview",
+        # TIMESTAMP_NTZ columns: Spark 4's parquet reader handles the
+        # isAdjustedToUTC=false physical type natively and the scan
+        # always applies the schemaString's TimestampNTZType — no
+        # session-timezone reinterpretation anywhere on the read path
+        "timestampNtz",
     }
 )
+
+# minWriterVersion → the legacy writer features that version implies;
+# converting a legacy protocol to table-features form must CARRY them
+# (dropping them would un-protect constraints or column mapping)
+LEGACY_WRITER_FEATURES: dict[int, set[str]] = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
 
 # the (fromType, toType) pairs the typeWidening spec allows; decimal
 # and int→decimal handled structurally in _widening_ok
@@ -974,6 +990,20 @@ def _pv_typed(raw: str | None, dtype: T.DataType):
     return None
 
 
+def _schema_has_ntz(dt) -> bool:
+    """Any TIMESTAMP_NTZ anywhere in the type tree (nested included) —
+    the trigger for the timestampNtz table feature."""
+    if isinstance(dt, T.TimestampNTZType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_schema_has_ntz(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _schema_has_ntz(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _schema_has_ntz(dt.keyType) or _schema_has_ntz(dt.valueType)
+    return False
+
+
 class DeltaCommitConflict(Exception):
     """Another writer claimed this Delta version first."""
 
@@ -1223,13 +1253,7 @@ class DeltaLogWriter:
         the features the old minWriterVersion implied (the spec's
         upgrade rule; dropping them would un-protect constraints or
         column mapping)."""
-        _LEGACY_WF = {
-            2: {"appendOnly", "invariants"},
-            3: {"checkConstraints"},
-            4: {"changeDataFeed", "generatedColumns"},
-            5: {"columnMapping"},
-            6: {"identityColumns"},
-        }
+        _LEGACY_WF = LEGACY_WRITER_FEATURES
 
         def build(log, schema, part_cols, cfg):
             if (cfg.get("delta.enableInCommitTimestamps") or "").lower() == (
@@ -1797,9 +1821,27 @@ class DeltaLogWriter:
                     for f in schema.fields
                 ]
             )
-        protocol = {
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": wv}
-        }
+        if _schema_has_ntz(schema):
+            # TIMESTAMP_NTZ requires the timestampNtz table feature on
+            # BOTH sides (a reader without it would reinterpret the
+            # physical values in session-timezone terms); converting to
+            # the features form carries the legacy-implied features
+            wf: set[str] = set()
+            for lv, feats in LEGACY_WRITER_FEATURES.items():
+                if wv >= lv:
+                    wf |= feats
+            protocol = {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["timestampNtz"],
+                    "writerFeatures": sorted(wf | {"timestampNtz"}),
+                }
+            }
+        else:
+            protocol = {
+                "protocol": {"minReaderVersion": 1, "minWriterVersion": wv}
+            }
         actions = [protocol, self._metadata_action(schema, partition_by)]
         actions += self._stage(df, partition_by)
         return self._commit_with_retry(actions)
@@ -1877,6 +1919,27 @@ class DeltaLogWriter:
             if snapshot_info is not None and not cm
             else None
         )
+        if evolution is not None:
+            cur_names = {f.name for f in snapshot_info[0].fields}
+            new_ntz = [
+                f.name
+                for f in df.schema.fields
+                if f.name not in cur_names and _schema_has_ntz(f.dataType)
+            ]
+            if new_ntz:
+                prot = log.table_protocol or {}
+                feats = set(prot.get("readerFeatures") or []) | set(
+                    prot.get("writerFeatures") or []
+                )
+                if "timestampNtz" not in feats:
+                    raise DeltaProtocolError(
+                        f"{self.table_path}: adding TIMESTAMP_NTZ "
+                        f"columns {new_ntz} requires the timestampNtz "
+                        "table feature, which this table's protocol "
+                        "lacks — readers without the feature would "
+                        "reinterpret the values; create the table with "
+                        "an NTZ column (or upgrade the protocol) first"
+                    )
         head: list[dict] = [evolution] if evolution is not None else []
         if txn is None:
             return self._commit_with_retry(head + self._stage(df, part_cols))
