@@ -1076,6 +1076,21 @@ class DeltaLogWriter:
         prev = self._last_ict()
         if supplied is None and prev is None:
             return actions
+        if supplied is None:
+            # a commitInfo WITHOUT an ICT (operation label only) must
+            # gain the timestamp, not coexist with a second commitInfo
+            # — the spec allows at most one per commit
+            bare = next(
+                (a for a in actions if isinstance(a.get("commitInfo"), dict)),
+                None,
+            )
+            if bare is not None:
+                import time as _t2
+
+                bare["commitInfo"]["inCommitTimestamp"] = max(
+                    int(_t2.time() * 1000), (prev or 0) + 1
+                )
+                return [bare] + [a for a in actions if a is not bare]
         if supplied is not None:
             # caller-authored ICT (enablement commit): only enforce
             # monotonicity vs the predecessor, so config-recorded

@@ -3511,7 +3511,12 @@ def files_meta(spark, table_path: str, snapshot_id: int | None = None):
         "path string, partition map<string,string>, content int, "
         "record_count long, sequence_number long, spec_id int"
     )
-    return spark.createDataFrame(sorted(rows), out_schema)
+    # key on path only: the tuples hold dicts, which are not orderable
+    # (unique paths make full-tuple sort work by accident — until a
+    # tie makes it a TypeError)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: r[0]), out_schema
+    )
 
 
 def convert_delta_to_iceberg(spark, table_path: str) -> int:

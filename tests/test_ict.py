@@ -154,3 +154,20 @@ def test_non_ict_table_unaffected(spark, tmp_path):
             "inCommitTimestamp" in (a.get("commitInfo") or {})
             for a in actions
         )
+
+
+def test_bare_commitinfo_gains_ict_not_duplicated(spark, tmp_path):
+    """A commit that already carries a commitInfo WITHOUT an ICT
+    (operation label only) must get the timestamp merged in — not a
+    second commitInfo (the spec allows at most one per commit)."""
+    root, w, o = _make(spark, tmp_path)
+    w.enable_ict()
+    v = w._commit_with_retry(
+        [{"commitInfo": {"operation": "CUSTOM"}}]
+    )
+    actions = _commits(root)[v]
+    infos = [a for a in actions if "commitInfo" in a]
+    assert len(infos) == 1
+    assert actions[0] is not None and "commitInfo" in actions[0]
+    assert actions[0]["commitInfo"]["operation"] == "CUSTOM"
+    assert "inCommitTimestamp" in actions[0]["commitInfo"]
