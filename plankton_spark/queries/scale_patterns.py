@@ -632,3 +632,65 @@ def q_dedup_canonical(spark, sf_dir):
         (-F.col("pick.neg_id")).cast("long").alias("keep_doc_id"),
         F.col("pick.n_chars").cast("long").alias("keep_n_chars"),
     )
+
+
+@query(
+    "q_join_runtimefilter",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_lineitems,
+           {sql_sum('l_extendedprice', 'revenue')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def q_join_runtimefilter(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction: for a SHUFFLE join
+    whose build side is selective, Spark injects a bloom filter built
+    from the dim keys into the fact scan (might_contain(...) in the
+    plan) — rows that cannot join are dropped BEFORE the shuffle. At
+    100 TB this is the shuffle-volume rescue when the dim is too big
+    to broadcast but still selective.
+
+    Conf scoping: injection requires shuffle-join planning
+    (autoBroadcastJoinThreshold=-1; the rule deliberately skips
+    broadcastable builds) and the application-side size gate lowered
+    below fixture scale. Both confs are set ONLY around an eager
+    localCheckpoint — the returned frame is already materialized, so
+    the session's broadcast behavior for every other query is
+    untouched. Correctness contract: identical to the plain join (the
+    filter only drops rows that cannot match); the oracle IS the
+    plain join."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        out = (
+            j.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lineitems"),
+                dsum(F.col("l_extendedprice"), "revenue"),
+            )
+            .localCheckpoint()  # executes NOW, under the scoped confs
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            prev_app,
+        )
+    return out

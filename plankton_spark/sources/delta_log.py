@@ -1746,14 +1746,23 @@ class DeltaLogWriter:
         schemas match). Same rules as planktable._check_schema: adding
         columns needs merge_schema=True (old files read the new column
         as null); dropping or retyping existing columns is never
-        allowed. `snapshot_info=(schema, part_cols)` lets append pass
-        its already-replayed snapshot (one log replay per append, not
-        three)."""
+        allowed. `snapshot_info=(schema, part_cols, cfg)` lets append
+        pass its already-replayed snapshot (one log replay per append,
+        not three).
+
+        The evolution metaData action carries the CURRENT table
+        configuration forward: metaData REPLACES the whole metadata,
+        so omitting it silently dropped every table property —
+        including CHECK constraints, whose enforcement vanished on
+        the very next writer (caught by the round-8 review; pinned in
+        tests/test_constraints_evolution.py)."""
         if snapshot_info is not None:
-            current, part_cols = snapshot_info
+            current, part_cols, cfg = snapshot_info
         else:
             try:
-                current, part_cols = DeltaLog(self.table_path).schema_info(None)
+                log = DeltaLog(self.table_path)
+                current, part_cols = log.schema_info(None)
+                cfg = dict(log.table_config)
             except FileNotFoundError:
                 return None
         cur = {f.name: f.dataType for f in current.fields}
@@ -1763,7 +1772,7 @@ class DeltaLogWriter:
         retyped = {n for n in set(cur) & set(inc) if cur[n] != inc[n]}
         if missing:
             raise ValueError(
-                f"{self.table_path}: append missing columns {sorted(missing)}"
+                f"{self.table_path}: write source missing columns {sorted(missing)}"
             )
         if retyped:
             raise ValueError(
@@ -1779,7 +1788,7 @@ class DeltaLogWriter:
                 current.fields
                 + [f for f in df.schema.fields if f.name in added]
             )
-            return self._metadata_action(evolved, part_cols)
+            return self._metadata_action(evolved, part_cols, cfg)
         return None
 
     # -- operations -----------------------------------------------------
@@ -1881,7 +1890,7 @@ class DeltaLogWriter:
         try:
             log = DeltaLog(self.table_path)
             cur_schema, part_cols = log.schema_info(None)
-            snapshot_info = (cur_schema, part_cols)
+            snapshot_info = (cur_schema, part_cols, dict(log.table_config))
             cm = column_mapping(cur_schema, log.table_config, self.table_path)
         except FileNotFoundError:
             snapshot_info, part_cols = None, []
@@ -2429,7 +2438,7 @@ class DeltaLogWriter:
         ]
         return self._validate_then_commit(actions, removed)
 
-    def merge(self, source, key: str) -> int:
+    def merge(self, source, key: str, merge_schema: bool = False) -> int:
         """Upsert (MERGE): rows in `source` update same-key rows,
         others insert — planktable.merge parity (table_format.py:410)
         on the Delta log. Only files whose key-range overlaps the
@@ -2441,7 +2450,16 @@ class DeltaLogWriter:
         (old rows whose key the source replaces drop out) + union, all
         distributed; commit is OCC-validated so a concurrent rewrite
         of an overlapping file aborts this merge instead of being
-        silently undone."""
+        silently undone.
+
+        `merge_schema=True` allows MERGE WITH SCHEMA EVOLUTION:
+        source-only columns widen the target schema in the same
+        commit (a metaData action rides along, carrying the table
+        configuration forward), survivors in rewritten files null-fill
+        the new columns, and untouched files read them as null — the
+        same ADD-column-only contract as append(merge_schema=True).
+        New TIMESTAMP_NTZ columns still require the timestampNtz
+        feature."""
         from pyspark.sql import functions as F
 
         raw_lo, raw_hi = source.agg(F.min(key), F.max(key)).first()
@@ -2474,6 +2492,29 @@ class DeltaLogWriter:
                     f"{self.table_path}: merge source missing partition "
                     f"columns {missing}"
                 )
+        evolution = self._schema_evolution_action(
+            source,
+            merge_schema,
+            (schema, part_cols, dict(log.table_config)),
+        )
+        added_fields = []
+        if evolution is not None:
+            cur_names = {f.name for f in schema.fields}
+            added_fields = [
+                f for f in source.schema.fields if f.name not in cur_names
+            ]
+            ntz = [f.name for f in added_fields if _schema_has_ntz(f.dataType)]
+            if ntz:
+                prot = log.table_protocol or {}
+                feats = set(prot.get("readerFeatures") or []) | set(
+                    prot.get("writerFeatures") or []
+                )
+                if "timestampNtz" not in feats:
+                    raise DeltaProtocolError(
+                        f"{self.table_path}: merge-evolving TIMESTAMP_NTZ "
+                        f"columns {ntz} requires the timestampNtz table "
+                        "feature, which this table's protocol lacks"
+                    )
         if key in part_cols:
             # partition-key merge: prune on partitionValues (the data
             # files don't even CONTAIN the key column), typed compare
@@ -2508,10 +2549,14 @@ class DeltaLogWriter:
                 self.spark, schema, part_cols, overlap_files,
                 table_root=self.table_path,
             )
+            for f in added_fields:
+                # survivors predate the evolved columns: explicit nulls
+                hot = hot.withColumn(f.name, F.lit(None).cast(f.dataType))
             merged = hot.join(source, key, "left_anti").unionByName(source)
         else:
             merged = source
-        actions = self._stage(merged, part_cols) + [
+        head = [evolution] if evolution is not None else []
+        actions = head + self._stage(merged, part_cols) + [
             {"remove": {"path": r, "dataChange": True}} for r in overlap
         ]
         return self._validate_then_commit(actions, overlap)

@@ -106,3 +106,62 @@ def test_create_refuses_supplied_generated_column(spark, tmp_path):
         DeltaLogWriter(spark, root).create(
             df, generated={"price_cents": "CAST(1 AS BIGINT)"}
         )
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION: source-only columns widen the
+    target; survivors and untouched files read them as null; table
+    configuration survives the evolution commit."""
+    from plankton_spark.sources.delta_log import DeltaLog, DeltaLogWriter, read_delta
+
+    root = str(tmp_path / "mevo")
+    base = _base(spark)
+    w = DeltaLogWriter(spark, root)
+    w.create(base)
+    w.add_constraint("pos", "o_totalprice > 0")
+    src = (
+        base.where(F.col("o_orderkey") % 2 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("flag", F.lit("merged"))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merge_schema"):
+        w.merge(src, "o_orderkey")
+    w.merge(src, "o_orderkey", merge_schema=True)
+    out = read_delta(spark, root)
+    assert "flag" in out.columns
+    merged = out.where(F.col("o_orderkey") % 2 == 0)
+    kept = out.where(F.col("o_orderkey") % 2 != 0)
+    assert merged.where(F.col("flag") != "merged").count() == 0
+    assert kept.where(F.col("flag").isNotNull()).count() == 0
+    assert out.count() == base.count()
+    # configuration (constraints) survived the evolution commit
+    log = DeltaLog(root)
+    log.replay(None)
+    assert "delta.constraints.pos" in log.table_config
+
+
+def test_append_evolution_keeps_configuration(spark, tmp_path):
+    """Regression (round-8 review): ADD-column evolution used to
+    write a metaData action WITHOUT configuration, silently dropping
+    CHECK constraints and every table property."""
+    from plankton_spark.sources.delta_log import DeltaLog, DeltaLogWriter
+
+    root = str(tmp_path / "cfgkeep")
+    base = _base(spark)
+    w = DeltaLogWriter(spark, root)
+    w.create(base)
+    w.add_constraint("pos", "o_totalprice > 0")
+    w.append(base.withColumn("extra", F.lit(1).cast("long")), merge_schema=True)
+    log = DeltaLog(root)
+    log.replay(None)
+    assert log.table_config.get("delta.constraints.pos") == "o_totalprice > 0"
+    # and the constraint still ENFORCES after evolution
+    import pytest as _pytest
+
+    bad = base.withColumn("o_totalprice", F.lit(-1.0)).withColumn(
+        "extra", F.lit(2).cast("long")
+    )
+    with _pytest.raises(Exception, match="pos|constraint|CHECK"):
+        w.append(bad)

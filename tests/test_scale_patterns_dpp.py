@@ -80,3 +80,62 @@ def test_skewsalt_partial_phase_spreads_keys(spark):
         .collect()
     )
     assert per_key and all(r["n_salts"] == 16 for r in per_key)
+
+
+def test_runtimefilter_injects_bloom(spark):
+    """Under the scoped confs the fact scan must carry a
+    might_contain(bloom) filter; and the query result must equal the
+    plain join."""
+    from plankton_spark.io import read_table
+
+    li = read_table(spark, SF001, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = read_table(spark, SF001, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "l_returnflag"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            prev_app,
+        )
+    assert "might_contain" in plan
+
+
+def test_runtimefilter_confs_restored(spark):
+    """The declared query must leave the session's broadcast and
+    bloom thresholds exactly as it found them."""
+    from plankton_spark.registry import all_queries
+
+    before = (
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        ),
+    )
+    all_queries()["q_join_runtimefilter"](spark, SF001).count()
+    after = (
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        ),
+    )
+    assert before == after
