@@ -2301,10 +2301,21 @@ class DeltaLogWriter:
         # replay, not snapshot(): overwrite never READS existing files
         # — it tombstones them wholesale, which is exactly right for
         # DV'd files too (the DV dies with its add action)
-        cur_schema, _ = DeltaLog(self.table_path).schema_info(None)
+        log0 = DeltaLog(self.table_path)
+        cur_schema, _ = log0.schema_info(None)
         head: list[dict] = []
         if cur_schema.jsonValue() != df.schema.jsonValue():
-            head = [self._metadata_action(df.schema, part_cols)]
+            # carry the table configuration forward (same rule as the
+            # evolution path): metaData REPLACES all metadata, so an
+            # action without it would silently drop CHECK constraints
+            # and every property. A constraint referencing a column the
+            # new schema lacks fails enforcement analysis loudly —
+            # drop_constraint first, by design.
+            head = [
+                self._metadata_action(
+                    df.schema, part_cols, dict(log0.table_config)
+                )
+            ]
         adds = self._stage(df, part_cols)
         for _ in range(20):
             v = self._next_version()

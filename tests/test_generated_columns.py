@@ -165,3 +165,19 @@ def test_append_evolution_keeps_configuration(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="pos|constraint|CHECK"):
         w.append(bad)
+
+
+def test_overwrite_schema_replacement_keeps_configuration(spark, tmp_path):
+    """Same bug class as append evolution: a schema-replacing
+    OVERWRITE's metaData action must carry the configuration."""
+    from plankton_spark.sources.delta_log import DeltaLog, DeltaLogWriter
+
+    root = str(tmp_path / "ovw")
+    base = _base(spark)
+    w = DeltaLogWriter(spark, root)
+    w.create(base)
+    w.add_constraint("pos", "o_totalprice > 0")
+    w.overwrite(base.withColumn("tag", F.lit("v2")))
+    log = DeltaLog(root)
+    log.replay(None)
+    assert log.table_config.get("delta.constraints.pos") == "o_totalprice > 0"
