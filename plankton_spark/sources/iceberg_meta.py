@@ -1811,6 +1811,7 @@ class IcebergWriter:
                     "snapshot-id": snap_id,
                     "timestamp-ms": int(_time.time() * 1000),
                     "manifest-list": f"metadata/{ml_name}",
+                    "summary": {"operation": "append"},
                 }
             ],
         }
@@ -2168,6 +2169,12 @@ class IcebergWriter:
                     "snapshot-id": snap_id,
                     "timestamp-ms": int(_time.time() * 1000),
                     "manifest-list": f"metadata/{ml_name}",
+                    # spec: summary.operation is REQUIRED (v2)
+                    "summary": {
+                        "operation": "append",
+                        "added-data-files": str(len(files)),
+                        "deleted-data-files": "0",
+                    },
                 }
             ]
             if branch is not None:
@@ -2358,7 +2365,8 @@ class IcebergWriter:
         return md
 
     def _commit_snapshot(self, staged: list[dict], removed_rel: set[str] | None,
-                         keep_unhit: bool, new_schema_df=None) -> int:
+                         keep_unhit: bool, new_schema_df=None,
+                         operation: str | None = None) -> int:
         """Shared OCC commit for delete/overwrite: marks `removed_rel`
         data files DELETED (status 2 — readers skip them, incremental
         consumers see the tombstone), carries unhit manifests forward
@@ -2444,11 +2452,27 @@ class IcebergWriter:
             _write_manifest_list(
                 os.path.join(self.meta_dir, ml_name), manifests
             )
+            # spec: summary.operation is REQUIRED (v2) and the one
+            # field every downstream maintenance tool switches on —
+            # derived from the action shape unless the caller names it
+            if operation is not None:
+                op = operation
+            elif removed_now and staged:
+                op = "overwrite"
+            elif removed_now:
+                op = "delete"
+            else:
+                op = "append"
             md["snapshots"] = md["snapshots"] + [
                 {
                     "snapshot-id": snap_id,
                     "timestamp-ms": int(_time.time() * 1000),
                     "manifest-list": f"metadata/{ml_name}",
+                    "summary": {
+                        "operation": op,
+                        "added-data-files": str(len(staged)),
+                        "deleted-data-files": str(len(removed_now)),
+                    },
                 }
             ]
             md["current-snapshot-id"] = snap_id
@@ -2735,6 +2759,12 @@ class IcebergWriter:
                     "snapshot-id": snap_id,
                     "timestamp-ms": int(_time.time() * 1000),
                     "manifest-list": f"metadata/{ml_name}",
+                    # spec: summary.operation is REQUIRED (v2)
+                    "summary": {
+                        "operation": "delete",
+                        "added-data-files": "0",
+                        "deleted-data-files": "0",
+                    },
                 }
             ]
             md["current-snapshot-id"] = snap_id
@@ -2853,6 +2883,12 @@ class IcebergWriter:
                     "snapshot-id": snap_id,
                     "timestamp-ms": int(_time.time() * 1000),
                     "manifest-list": f"metadata/{ml_name}",
+                    # spec: summary.operation is REQUIRED (v2)
+                    "summary": {
+                        "operation": "delete",
+                        "added-data-files": "0",
+                        "deleted-data-files": "0",
+                    },
                 }
             ]
             md["current-snapshot-id"] = snap_id
@@ -2963,7 +2999,11 @@ class IcebergWriter:
         removed_rel = {
             os.path.relpath(p, self.table_path) for p, _ in entries
         } | {os.path.relpath(p, self.table_path) for p in deletes}
-        return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
+        # layout-only rewrite: the spec's "replace" operation (rows
+        # unchanged) — maintenance tools skip these in CDC/incremental
+        return self._commit_snapshot(
+            staged, removed_rel, keep_unhit=True, operation="replace"
+        )
 
     def rollback_to(self, snapshot_id: int) -> int:
         """Rollback (the spec's setCurrentSnapshot/rollback operation):
@@ -3432,6 +3472,7 @@ def _author_iceberg_over(
                 "snapshot-id": snap_id,
                 "timestamp-ms": int(_time.time() * 1000),
                 "manifest-list": f"metadata/{ml_name}",
+                "summary": {"operation": "append"},
             }
         ],
     }

@@ -109,3 +109,25 @@ def test_convert_in_place_real_record_counts(spark, tmp_path):
     fm = files_meta(spark, src).collect()
     assert fm and all(r["record_count"] > 0 for r in fm)
     assert sum(r["record_count"] for r in fm) == o.count()
+
+
+def test_iceberg_snapshot_summaries(spark, tmp_path):
+    """Every snapshot carries the spec-required summary.operation,
+    derived from the action: create/append → append, delete_where →
+    overwrite (rewrite) or delete, optimize → replace."""
+    from plankton_spark.sources.iceberg_meta import IcebergTable, IcebergWriter
+
+    root = str(tmp_path / "summ")
+    o = read_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).where(F.col("o_orderkey") < 500)
+    w = IcebergWriter(spark, root)
+    w.create(o)
+    w.append(o.limit(50))
+    w.delete_where(F.col("o_orderkey") % 7 == 0)
+    w.optimize()
+    snaps = IcebergTable(root).snapshots()
+    ops = [s.get("summary", {}).get("operation") for s in snaps]
+    # create-path snapshot may predate summaries; all WRITER snapshots
+    # from this session must carry one
+    assert ops[1:] == ["append", "overwrite", "replace"]
