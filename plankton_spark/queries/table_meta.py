@@ -141,3 +141,92 @@ def q_uniform_convert(spark, sf_dir):
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
     )
+
+
+@query(
+    "q_planktable_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q_planktable_stats(spark, sf_dir):
+    """planktable files metadata view (the trio's third format): row
+    count + o_orderkey bounds rolled up from files_meta — bounds come
+    from the LOG's recorded per-file stats (zero IO), counts from
+    parquet footers (metadata pages only; the planktable log predates
+    per-file row counts). Oracle recomputes from raw rows, so a stats
+    or replay bug is a hash mismatch."""
+    import shutil as _shutil
+
+    from plankton_spark.table_format import PlankTable, files_meta
+
+    root = _scratch(sf_dir, "planktable_meta")
+    _shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    PlankTable(spark, root).create(o)
+    fm = files_meta(spark, root)
+    return fm.agg(
+        F.sum("num_records").alias("n_records"),
+        F.min(F.col("min_values")["o_orderkey"].cast("long")).alias("min_key"),
+        F.max(F.col("max_values")["o_orderkey"].cast("long")).alias("max_key"),
+    )
+
+
+@query(
+    "q_ivm_agg",
+    oracle="""
+    WITH v2 AS (
+      SELECT * FROM orders
+      WHERE (o_orderkey < 1500 AND o_orderkey % 5 <> 0)
+         OR (o_orderkey >= 2000 AND o_orderkey < 2500)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM v2 GROUP BY o_orderstatus
+    """,
+)
+def q_ivm_agg(spark, sf_dir):
+    """Incremental view maintenance: a materialized per-status
+    aggregate is UPDATED from a change batch (deletes retract with
+    weight -1, inserts add with +1) instead of recomputed — the merge
+    shuffles only |delta| + |groups| rows, the 100 TB alternative to
+    re-aggregating the world on every batch. Exact integer cents make
+    retraction lossless (a float-summed view would drift under
+    retractions). Must equal the full recompute — the oracle IS the
+    full recompute."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    v1 = o.where(F.col("o_orderkey") < 1500)
+    deletes = v1.where(F.col("o_orderkey") % 5 == 0)
+    inserts = o.where(
+        (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 2500)
+    )
+    base = v1.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )
+    delta = (
+        deletes.withColumn("w", F.lit(-1))
+        .unionByName(inserts.withColumn("w", F.lit(1)))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("w").alias("dn"),
+            F.sum(F.col("w") * F.col("cents")).alias("dcents"),
+        )
+    )
+    merged = base.join(delta, "o_orderstatus", "full_outer").select(
+        "o_orderstatus",
+        (F.coalesce(F.col("n_orders"), F.lit(0))
+         + F.coalesce(F.col("dn"), F.lit(0))).cast("long").alias("n_orders"),
+        (F.coalesce(F.col("total_cents"), F.lit(0))
+         + F.coalesce(F.col("dcents"), F.lit(0))).cast("long")
+        .alias("total_cents"),
+    )
+    return merged.where(F.col("n_orders") > 0)

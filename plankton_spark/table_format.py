@@ -988,3 +988,33 @@ def zvalue_column(df: DataFrame, cols: list[str], bits: int = 21):
         for r in ranks:
             z = z * 2 + F.shiftrightunsigned(r, bit) % 2
     return z
+
+
+def files_meta(spark, path: str, version: int | None = None):
+    """planktable `files` metadata view — the third format's twin of
+    delta_log.files_meta / iceberg_meta.files_meta: one row per live
+    file with key bounds straight from the LOG's recorded stats (zero
+    IO) and row counts from each parquet FOOTER (metadata pages only —
+    the planktable log predates per-file row counts; bounds were
+    always logged, counts were not).
+
+    Columns: path, num_records, min_values / max_values
+    (map<string,string>, stat-encoded)."""
+    t = PlankTable(spark, path)
+    live = t._snapshot(version)
+    rows = []
+    for rel, stats in sorted(live.items()):
+        n = pq.ParquetFile(os.path.join(path, rel)).metadata.num_rows
+        rows.append(
+            (
+                rel,
+                int(n),
+                {c: str(v["min"]) for c, v in (stats or {}).items()},
+                {c: str(v["max"]) for c, v in (stats or {}).items()},
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "path string, num_records long, min_values map<string,string>, "
+        "max_values map<string,string>",
+    )

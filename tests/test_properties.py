@@ -103,3 +103,121 @@ def test_window_topk_matches_groupby_max(spark, small_frames):
     )
     mx = a.groupBy("k").agg(F.max("v").alias("v"))
     assert sorted(map(tuple, top1.collect())) == sorted(map(tuple, mx.collect()))
+
+
+# --- round-8 continuation-2 properties -------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.decimals(
+                allow_nan=False, allow_infinity=False,
+                min_value=0, max_value=10**4, places=2,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 16),  # salt fan-out
+)
+@settings(deadline=None)
+def test_salted_twophase_agg_is_lossless(rows, n_salt):
+    """Pure-Python model of q_agg_skewsalt: splitting a group's rows
+    across ANY salt assignment and merging exact partials equals the
+    direct aggregate — decimal addition is associative+commutative."""
+    direct: dict[int, Decimal] = {}
+    for i, (k, v) in enumerate(rows):
+        direct[k] = direct.get(k, Decimal(0)) + v
+    partial: dict[tuple[int, int], Decimal] = {}
+    for i, (k, v) in enumerate(rows):
+        s = hash((i, k)) % n_salt
+        partial[(k, s)] = partial.get((k, s), Decimal(0)) + v
+    merged: dict[int, Decimal] = {}
+    for (k, _s), v in partial.items():
+        merged[k] = merged.get(k, Decimal(0)) + v
+    assert merged == direct
+
+
+@given(
+    st.lists(st.integers(0, 9), min_size=1, max_size=80),
+    st.lists(st.integers(0, 9), min_size=1, max_size=80),
+)
+@settings(deadline=None)
+def test_integer_tvd_bounds_and_extremes(a, b):
+    """q_drift_tvd's integer cross-product formula: result in [0, 1],
+    0 iff identical distributions, 1 iff disjoint supports."""
+    ca = {x: a.count(x) for x in set(a)}
+    cb = {x: b.count(x) for x in set(b)}
+    ta, tb = len(a), len(b)
+    num = sum(
+        abs(ca.get(x, 0) * tb - cb.get(x, 0) * ta)
+        for x in set(ca) | set(cb)
+    )
+    tvd = num / (2 * ta * tb)
+    assert 0.0 <= tvd <= 1.0 + 1e-12
+    same_dist = all(
+        ca.get(x, 0) * tb == cb.get(x, 0) * ta for x in set(ca) | set(cb)
+    )
+    assert (tvd == 0.0) == same_dist
+    if not set(ca) & set(cb):
+        assert abs(tvd - 1.0) < 1e-12
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.decimals(
+                allow_nan=False, allow_infinity=False,
+                min_value=0, max_value=10**4, places=2,
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.data(),
+)
+@settings(deadline=None)
+def test_ivm_retraction_merge_equals_recompute(rows, data):
+    """q_ivm_agg's algebra: base agg + (insert/delete weighted delta)
+    == full recompute, for ANY partition of changes — counts and
+    exact sums form an abelian group under retraction."""
+    n = len(rows)
+    del_idx = set(
+        data.draw(st.lists(st.integers(0, n - 1), max_size=n, unique=True))
+    )
+    inserts = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 30),
+                st.decimals(
+                    allow_nan=False, allow_infinity=False,
+                    min_value=0, max_value=10**4, places=2,
+                ),
+            ),
+            max_size=20,
+        )
+    )
+    def agg(rs):
+        out: dict[int, list] = {}
+        for k, v in rs:
+            e = out.setdefault(k, [0, Decimal(0)])
+            e[0] += 1
+            e[1] += v
+        return {k: (c, s) for k, (c, s) in out.items() if c > 0}
+
+    v2 = [r for i, r in enumerate(rows) if i not in del_idx] + inserts
+    base = agg(rows)
+    merged: dict[int, list] = {k: [c, s] for k, (c, s) in base.items()}
+    for i in sorted(del_idx):
+        k, v = rows[i]
+        merged[k][0] -= 1
+        merged[k][1] -= v
+    for k, v in inserts:
+        e = merged.setdefault(k, [0, Decimal(0)])
+        e[0] += 1
+        e[1] += v
+    merged_clean = {k: (c, s) for k, (c, s) in merged.items() if c > 0}
+    assert merged_clean == agg(v2)
