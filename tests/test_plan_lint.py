@@ -38,7 +38,9 @@ from tests.conftest import SF0001
 # needs a justification here:
 #   q_cte_query — RANK over the aggregated CTE; input cardinality is
 #     the number of distinct mktsegments (~5) regardless of data size.
-WINDOW_ALLOW = {"q_cte_query"}
+#   q_tpcds_rankdelta — ROW_NUMBER over LIMIT-10 subqueries (constant
+#     10 rows at any scale; the global sort is TopK, not a full sort).
+WINDOW_ALLOW = {"q_cte_query", "q_tpcds_rankdelta"}
 
 # Queries whose cross join is declared and bounded:
 #   q_join_cross — the cross-join coverage query itself (5x5 dims).
