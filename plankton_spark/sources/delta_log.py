@@ -1205,6 +1205,49 @@ class DeltaLogWriter:
                 continue
         raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
 
+    def set_property(self, key: str, value: str) -> int:
+        """SET TBLPROPERTIES (key = value): a metadata-only commit
+        updating the configuration map. Constraint keys must go
+        through add_constraint (which validates existing rows and
+        bumps the writer version)."""
+        if key.startswith("delta.constraints."):
+            raise ValueError(
+                f"{self.table_path}: set constraints via add_constraint "
+                "(it validates existing rows)"
+            )
+
+        def build(log, schema, part_cols, cfg):
+            cfg = dict(cfg)
+            cfg[key] = str(value)
+            return [self._metadata_action(schema, part_cols, cfg)]
+
+        return self._commit_metadata_update(build)
+
+    def unset_property(self, key: str) -> int:
+        """UNSET TBLPROPERTIES: removes the key (error if absent)."""
+
+        def build(log, schema, part_cols, cfg):
+            if key not in cfg:
+                raise ValueError(f"{self.table_path}: no property {key!r}")
+            cfg = dict(cfg)
+            del cfg[key]
+            return [self._metadata_action(schema, part_cols, cfg)]
+
+        return self._commit_metadata_update(build)
+
+    def _refuse_if_append_only(self, cfg: dict, op: str) -> None:
+        """delta.appendOnly=true (the appendOnly legacy writer
+        invariant): every operation that REMOVES rows or files must
+        refuse — an append-only ledger whose history can be rewritten
+        isn't one. OPTIMIZE stays legal (dataChange=false, rows
+        preserved)."""
+        if (cfg.get("delta.appendOnly") or "").lower() == "true":
+            raise DeltaProtocolError(
+                f"{self.table_path}: delta.appendOnly=true forbids {op} "
+                "(unset the property first if this table is not an "
+                "append-only ledger)"
+            )
+
     def add_constraint(self, name: str, expr_sql: str) -> int:
         """ADD CONSTRAINT ... CHECK (expr): the spec stores it as
         `delta.constraints.<name>` in the metaData configuration and
@@ -2005,6 +2048,7 @@ class DeltaLogWriter:
 
         snapshot = DeltaLog(self.table_path)
         schema, part_cols, files = snapshot.snapshot(None)
+        self._refuse_if_append_only(snapshot.table_config, "DELETE")
         live = _assemble_view(
             self.spark, schema, part_cols, files, with_file=True,
             table_root=self.table_path,
@@ -2061,6 +2105,7 @@ class DeltaLogWriter:
 
         log = DeltaLog(self.table_path)
         schema, part_cols, active = log.replay(None)
+        self._refuse_if_append_only(log.table_config, "DELETE (DV)")
         if column_mapping(schema, log.table_config, self.table_path):
             raise DeltaProtocolError(
                 f"{self.table_path}: DV delete on a column-mapped table "
@@ -2303,6 +2348,7 @@ class DeltaLogWriter:
         # DV'd files too (the DV dies with its add action)
         log0 = DeltaLog(self.table_path)
         cur_schema, _ = log0.schema_info(None)
+        self._refuse_if_append_only(log0.table_config, "OVERWRITE")
         head: list[dict] = []
         if cur_schema.jsonValue() != df.schema.jsonValue():
             # carry the table configuration forward (same rule as the
@@ -2346,6 +2392,7 @@ class DeltaLogWriter:
 
         snapshot = DeltaLog(self.table_path)
         schema, part_cols, files = snapshot.snapshot(None)
+        self._refuse_if_append_only(snapshot.table_config, "replaceWhere")
         # schema check FIRST: the predicate references table columns,
         # so evaluating it over a mis-shaped df would raise Spark's
         # resolution error instead of this actionable one
@@ -2483,6 +2530,7 @@ class DeltaLogWriter:
         # OCC conflict _validate_then_commit raises.
         log = DeltaLog(self.table_path)
         schema, part_cols, active = log.replay(None)
+        self._refuse_if_append_only(log.table_config, "MERGE")
         if any(a.get("deletionVector") for a in active.values()):
             # merge reads its hit files WHOLE; a DV'd file would feed
             # deleted rows back into the rewrite and resurrect them

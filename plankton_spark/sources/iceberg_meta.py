@@ -3616,3 +3616,26 @@ def convert_delta_to_iceberg(spark, table_path: str) -> int:
             pv[k] = None if v is None else _typed_pv(v, dtypes[k])
         inventory.append((rel, pv))
     return _author_iceberg_over(spark, table_path, schema, inventory, part_cols)
+
+
+def convert_planktable_to_iceberg(spark, table_path: str) -> int:
+    """Close the migration matrix: author Iceberg metadata over a
+    planktable's LIVE files in place (the planktable twin of
+    convert_delta_to_iceberg). The planktable log replay picks the
+    inventory — files removed by rewrites stay invisible — and
+    planktable files always carry their full columns (no hive layout,
+    no column mapping, no deletion vectors), so the conversion has no
+    refusal cases beyond double-conversion. One-shot snapshot export,
+    same contract as the Delta converter."""
+    from plankton_spark.table_format import PlankTable
+
+    meta_dir = os.path.join(table_path, "metadata")
+    if os.path.isdir(meta_dir) and any(
+        f.endswith(".metadata.json") for f in os.listdir(meta_dir)
+    ):
+        raise FileExistsError(f"{table_path}: already an Iceberg table")
+    t = PlankTable(spark, table_path)
+    live = t._snapshot(None)
+    schema = t.read().schema
+    inventory = [(rel, {}) for rel in sorted(live)]
+    return _author_iceberg_over(spark, table_path, schema, inventory, [])

@@ -98,3 +98,31 @@ def test_refuses_double_convert(spark, tmp_path):
     convert_delta_to_iceberg(spark, root)
     with pytest.raises(FileExistsError):
         convert_delta_to_iceberg(spark, root)
+
+
+def test_planktable_to_iceberg(spark, tmp_path):
+    """Migration-matrix closure: planktable → Iceberg in place, live
+    files only (a rewrite's dropped files stay invisible)."""
+    from plankton_spark.sources.iceberg_meta import (
+        convert_planktable_to_iceberg,
+        read_iceberg,
+    )
+    from plankton_spark.table_format import PlankTable
+
+    root = str(tmp_path / "pk")
+    t = PlankTable(spark, root)
+    o = _orders(spark)
+    t.create(o)
+    t.delete_where(F.col("o_orderkey") % 4 == 0)
+    convert_planktable_to_iceberg(spark, root)
+    i = read_iceberg(spark, root)
+    p = t.read()
+    assert i.count() == p.count() > 0
+    assert (
+        i.agg(F.sum("o_orderkey")).first()[0]
+        == p.agg(F.sum("o_orderkey")).first()[0]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        convert_planktable_to_iceberg(spark, root)
