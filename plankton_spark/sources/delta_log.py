@@ -1004,6 +1004,71 @@ def _schema_has_ntz(dt) -> bool:
     return False
 
 
+def _identity_info(schema: T.StructType) -> dict:
+    """{col: (start, step, high_water_mark_or_None, dtype)} for fields
+    carrying the Delta identity-column metadata keys."""
+    out = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "delta.identity.start" in md:
+            hwm = md.get("delta.identity.highWaterMark")
+            out[f.name] = (
+                int(md["delta.identity.start"]),
+                int(md["delta.identity.step"]),
+                None if hwm is None else int(hwm),
+                f.dataType,
+            )
+    return out
+
+
+def _identity_field_metadata(start: int, step: int, hwm: int | None) -> dict:
+    md = {
+        "delta.identity.start": start,
+        "delta.identity.step": step,
+        "delta.identity.allowExplicitInsert": False,
+    }
+    if hwm is not None:
+        md["delta.identity.highWaterMark"] = hwm
+    return md
+
+
+def _allocate_identity(df, col: str, next_id: int, step: int):
+    """Assign contiguous identity values next_id, next_id+step, ... in
+    a DISTRIBUTED two-pass: per-partition row_number (parallel) plus a
+    partition-offset join (one tiny frame of #partitions rows) — no
+    global window, no driver collect of data. Returns (df_with_col,
+    n_rows); ids within a batch are contiguous, batch order is
+    partition-arbitrary (the spec only demands uniqueness and
+    monotonic high-water-mark advance)."""
+    from pyspark.sql import Window
+
+    d = df.withColumn("_id_pid", F.spark_partition_id()).withColumn(
+        "_id_mono", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("_id_pid").orderBy("_id_mono")
+    d = d.withColumn("_id_rn", F.row_number().over(w))
+    counts = d.groupBy("_id_pid").agg(F.count(F.lit(1)).alias("_id_n"))
+    woff = Window.orderBy("_id_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_id_off", F.coalesce(F.sum("_id_n").over(woff), F.lit(0))
+    ).select("_id_pid", "_id_off")
+    n = df.count()
+    out = (
+        d.join(F.broadcast(offsets), "_id_pid")
+        .withColumn(
+            col,
+            (
+                F.lit(next_id)
+                + F.lit(step) * (F.col("_id_off") + F.col("_id_rn") - 1)
+            ).cast("long"),
+        )
+        .drop("_id_pid", "_id_mono", "_id_rn", "_id_off")
+    )
+    return out, n
+
+
 class DeltaCommitConflict(Exception):
     """Another writer claimed this Delta version first."""
 
@@ -1841,6 +1906,7 @@ class DeltaLogWriter:
         df,
         partition_by: list[str] | None = None,
         generated: dict[str, str] | None = None,
+        identity: dict[str, tuple[int, int]] | None = None,
     ) -> int:
         """Create the table; `partition_by` lays data out hive-style
         (col=value dirs, values in each add's partitionValues) so the
@@ -1860,6 +1926,19 @@ class DeltaLogWriter:
         if os.path.isdir(self.log_dir) and _commit_versions(self.log_dir):
             raise FileExistsError(f"{self.table_path}: table already exists")
         wv = 2
+        id_hwm: dict[str, int | None] = {}
+        if identity:
+            for col, (start, step) in identity.items():
+                if step == 0:
+                    raise ValueError(f"{self.table_path}: identity step 0")
+                if col in df.columns:
+                    raise ValueError(
+                        f"{self.table_path}: identity column {col!r} is "
+                        "GENERATED ALWAYS — the writer allocates it"
+                    )
+                df, n = _allocate_identity(df, col, start, step)
+                id_hwm[col] = (start + step * (n - 1)) if n else None
+            wv = 6
         if generated:
             clash = sorted(set(generated) & set(df.columns))
             if clash:
@@ -1869,22 +1948,25 @@ class DeltaLogWriter:
                 )
             for col, expr in generated.items():
                 df = df.withColumn(col, F.expr(expr))
-            wv = 4
+            wv = max(wv, 4)
         missing = [c for c in (partition_by or []) if c not in df.columns]
         if missing:
             raise ValueError(f"partition_by columns not in df: {missing}")
         schema = df.schema
-        if generated:
+        if generated or identity:
+            def _fmd(f):
+                if generated and f.name in generated:
+                    return {"delta.generationExpression": generated[f.name]}
+                if identity and f.name in identity:
+                    start, step = identity[f.name]
+                    return _identity_field_metadata(
+                        start, step, id_hwm.get(f.name)
+                    )
+                return f.metadata
+
             schema = T.StructType(
                 [
-                    T.StructField(
-                        f.name,
-                        f.dataType,
-                        f.nullable,
-                        {"delta.generationExpression": generated[f.name]}
-                        if f.name in generated
-                        else f.metadata,
-                    )
+                    T.StructField(f.name, f.dataType, f.nullable, _fmd(f))
                     for f in schema.fields
                 ]
             )
@@ -1960,6 +2042,22 @@ class DeltaLogWriter:
                         f"generated column {f.name!r} contradict its "
                         f"expression ({expr})"
                     )
+        ident = _identity_info(snapshot_info[0]) if snapshot_info else {}
+        if ident:
+            present = sorted(set(ident) & set(df.columns))
+            if present:
+                raise DeltaProtocolError(
+                    f"{self.table_path}: identity columns {present} are "
+                    "GENERATED ALWAYS (allowExplicitInsert=false) — the "
+                    "writer allocates them; drop them from the append df"
+                )
+            if txn is not None or merge_schema or cm:
+                raise DeltaProtocolError(
+                    f"{self.table_path}: identity allocation composes "
+                    "with plain appends only (no txn idempotence, "
+                    "schema evolution, or column mapping)"
+                )
+            return self._append_identity(df)
         if cm:
             # mapped table (rename_column): files store PHYSICAL names,
             # so staging renames df's logical columns; add-column
@@ -2034,6 +2132,51 @@ class DeltaLogWriter:
             if v > 0 and v % DELTA_CHECKPOINT_EVERY == 0:
                 write_delta_checkpoint(self.table_path, version=v)
             return v
+        raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
+
+    def _append_identity(self, df) -> int:
+        """Append to a table with identity columns: allocate ids from
+        the CURRENT high-water mark and commit the advanced mark in
+        the SAME commit as the adds. The whole sequence re-runs per
+        OCC conflict — a concurrent identity append advanced the mark,
+        so ids must be re-allocated and files re-staged (orphaned
+        stage files are vacuum's problem, the id space is correctness:
+        reusing the lost round's ids would collide)."""
+        for _ in range(20):
+            log = DeltaLog(self.table_path)
+            schema, part_cols, _active = log.replay(None)
+            ident = _identity_info(schema)
+            out = df
+            new_hwm: dict[str, int | None] = {}
+            for col, (start, step, hwm, _dtype) in sorted(ident.items()):
+                next_id = start if hwm is None else hwm + step
+                out, n = _allocate_identity(out, col, next_id, step)
+                new_hwm[col] = (next_id + step * (n - 1)) if n else hwm
+            out = out.select([f.name for f in schema.fields])
+
+            def _fmd(f):
+                if f.name in ident:
+                    start, step, _h, _d = ident[f.name]
+                    return _identity_field_metadata(
+                        start, step, new_hwm[f.name]
+                    )
+                return f.metadata
+
+            new_schema = T.StructType(
+                [
+                    T.StructField(f.name, f.dataType, f.nullable, _fmd(f))
+                    for f in schema.fields
+                ]
+            )
+            actions = [
+                self._metadata_action(
+                    new_schema, part_cols, dict(log.table_config)
+                )
+            ] + self._stage(out, part_cols)
+            try:
+                return self._commit(self._next_version(), actions)
+            except DeltaCommitConflict:
+                continue  # fresh replay → fresh mark → re-allocate
         raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
 
     def delete_where(self, condition) -> int:
