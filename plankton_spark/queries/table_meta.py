@@ -230,3 +230,81 @@ def q_ivm_agg(spark, sf_dir):
         .alias("total_cents"),
     )
     return merged.where(F.col("n_orders") > 0)
+
+
+@query(
+    "q_deltalog_identity",
+    oracle="""
+    WITH c AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey < 2000)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(100 AS BIGINT) AS min_id,
+           CAST(100 + 3 * (n - 1) AS BIGINT) AS max_id,
+           CAST(100 * n + 3 * (n * (n - 1) / 2) AS BIGINT) AS id_sum
+    FROM c
+    """,
+)
+def q_deltalog_identity(spark, sf_dir):
+    """Identity-column allocation pinned against the closed form: the
+    writer's distributed allocator (per-partition row_number +
+    broadcast offsets — no global window) must produce EXACTLY the
+    arithmetic progression start, start+step, ... — so min/max/sum
+    over the read-back ids equal the series formulas computed by the
+    oracle from COUNT(*) alone. Any gap, duplicate, or off-by-one in
+    the two-pass offset math is a hash mismatch."""
+    import shutil as _shutil
+
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+
+    root = _scratch(sf_dir, "delta_identity")
+    _shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).where(F.col("o_orderkey") < 2000)
+    DeltaLogWriter(spark, root).create(o, identity={"row_id": (100, 3)})
+    return read_delta(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("row_id").alias("min_id"),
+        F.max("row_id").alias("max_id"),
+        F.sum("row_id").cast("long").alias("id_sum"),
+    )
+
+
+@query(
+    "q_deltalog_generated",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS stored_cents
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_deltalog_generated(spark, sf_dir):
+    """Generated-column materialization pinned relationally: the
+    aggregate runs over the STORED price_cents values the writer
+    computed at create time (delta.generationExpression), and must
+    equal the oracle's recomputation from the raw doubles — a
+    materialization bug (stale expression, skipped row, double
+    rounding drift) is a hash mismatch."""
+    import shutil as _shutil
+
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+
+    root = _scratch(sf_dir, "delta_generated")
+    _shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).where(F.col("o_orderkey") < 2000)
+    DeltaLogWriter(spark, root).create(
+        o,
+        generated={"price_cents": "CAST(ROUND(o_totalprice * 100) AS BIGINT)"},
+    )
+    return (
+        read_delta(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("price_cents").cast("long").alias("stored_cents"),
+        )
+    )
