@@ -124,3 +124,42 @@ def q_tpcds_rankdelta(spark, sf_dir):
     global sort itself is TopK via TakeOrderedAndProject). The SAME
     SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_rankdelta", _RANKDELTA)
+
+
+_ROLLRANK = """
+WITH r AS (
+  SELECT n_name, o_orderpriority,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(GROUPING(n_name) AS BIGINT) AS g_nat,
+         CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri
+  FROM orders, customer, nation
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+  GROUP BY ROLLUP(n_name, o_orderpriority)
+)
+SELECT COALESCE(n_name, '(all)') AS nation,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       cents,
+       g_nat + g_pri AS lochierarchy,
+       CAST(RANK() OVER (
+         PARTITION BY g_nat + g_pri,
+                      CASE WHEN g_pri = 0 THEN n_name END
+         ORDER BY cents DESC, COALESCE(n_name, ''),
+                  COALESCE(o_orderpriority, '')
+       ) AS BIGINT) AS rank_within_parent
+FROM r
+"""
+
+_TABLES["q_tpcds_rollrank"] = ("orders", "customer", "nation")
+
+
+@query("q_tpcds_rollrank", oracle=_ROLLRANK)
+def q_tpcds_rollrank(spark, sf_dir):
+    """TPC-DS Q36 shape (fixture-adapted): ROLLUP over
+    (nation, priority) with GROUPING() markers, then RANK WITHIN
+    PARENT — the window partitions by hierarchy level AND the parent
+    key (CASE over the grouping flag), the interplay of grouping-set
+    residues with window partitioning that no other query pins. Rank
+    order is made total (cents, then names) so RANK is deterministic.
+    The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_rollrank", _ROLLRANK)

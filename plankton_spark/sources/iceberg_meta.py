@@ -146,6 +146,10 @@ class IcebergTable:
             f.metadata and b"PARQUET:field_id" in f.metadata for f in sch
         )
 
+    def properties(self) -> dict:
+        """Current metadata['properties'] (empty map when unset)."""
+        return dict(self.metadata.get("properties") or {})
+
     def snapshots(self) -> list[dict]:
         return self.metadata.get("snapshots", [])
 
@@ -2902,6 +2906,46 @@ class IcebergWriter:
         _shutil.rmtree(tmp, ignore_errors=True)
         raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
 
+    def set_property(self, key: str, value: str) -> None:
+        """SET TBLPROPERTIES for Iceberg: metadata-only commit updating
+        metadata['properties'] (the spec's string map). OCC via the
+        vN.metadata.json link claim, rebuilt from a fresh snapshot per
+        retry (the same rebuild-per-conflict rule as Delta's
+        _commit_metadata_update)."""
+        for _ in range(20):
+            t = IcebergTable(self.table_path)
+            md = dict(t.metadata)
+            props = dict(md.get("properties") or {})
+            props[key] = str(value)
+            md["properties"] = props
+            try:
+                self._commit_metadata(t.metadata_version + 1, md)
+                return
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(
+            f"{self.table_path}: gave up after retries"
+        )
+
+    def unset_property(self, key: str) -> None:
+        """UNSET TBLPROPERTIES (error if absent)."""
+        for _ in range(20):
+            t = IcebergTable(self.table_path)
+            md = dict(t.metadata)
+            props = dict(md.get("properties") or {})
+            if key not in props:
+                raise ValueError(f"{self.table_path}: no property {key!r}")
+            del props[key]
+            md["properties"] = props
+            try:
+                self._commit_metadata(t.metadata_version + 1, md)
+                return
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(
+            f"{self.table_path}: gave up after retries"
+        )
+
     def optimize(
         self,
         num_files: int = 1,
@@ -3639,3 +3683,4 @@ def convert_planktable_to_iceberg(spark, table_path: str) -> int:
     schema = t.read().schema
     inventory = [(rel, {}) for rel in sorted(live)]
     return _author_iceberg_over(spark, table_path, schema, inventory, [])
+

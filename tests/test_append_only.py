@@ -83,3 +83,33 @@ def test_optimize_stays_legal_on_append_only(spark, tmp_path):
     n0 = read_delta(spark, root).count()
     w.optimize()
     assert read_delta(spark, root).count() == n0
+
+
+def test_iceberg_properties_roundtrip(spark, tmp_path):
+    """The TBLPROPERTIES trio's third format: Iceberg properties map
+    set/unset via metadata-only commits."""
+    from plankton_spark.sources.iceberg_meta import IcebergTable, IcebergWriter
+
+    root = str(tmp_path / "iprops")
+    o = read_table(spark, SF0001, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).where(F.col("o_orderkey") < 200)
+    w = IcebergWriter(spark, root)
+    w.create(o)
+    v0 = IcebergTable(root).metadata_version
+    w.set_property("commit.retry.num-retries", "7")
+    w.set_property("team.owner", "data-eng")
+    t = IcebergTable(root)
+    assert t.properties() == {
+        "commit.retry.num-retries": "7",
+        "team.owner": "data-eng",
+    }
+    assert t.metadata_version == v0 + 2  # metadata-only commits
+    # snapshots untouched (no data commit)
+    assert len(t.snapshots()) == 1
+    w.unset_property("team.owner")
+    assert IcebergTable(root).properties() == {
+        "commit.retry.num-retries": "7"
+    }
+    with pytest.raises(ValueError, match="no property"):
+        w.unset_property("team.owner")
