@@ -1046,7 +1046,10 @@ def _allocate_identity(df, col: str, next_id: int, step: int):
         "_id_mono", F.monotonically_increasing_id()
     )
     w = Window.partitionBy("_id_pid").orderBy("_id_mono")
-    d = d.withColumn("_id_rn", F.row_number().over(w))
+    # materialize ONCE: the offsets job and the final write must see
+    # the SAME (_id_pid, _id_rn) assignment — re-evaluating the
+    # lineage could repartition (AQE) and collide ids
+    d = d.withColumn("_id_rn", F.row_number().over(w)).localCheckpoint()
     counts = d.groupBy("_id_pid").agg(F.count(F.lit(1)).alias("_id_n"))
     woff = Window.orderBy("_id_pid").rowsBetween(
         Window.unboundedPreceding, -1
