@@ -694,3 +694,53 @@ def q_join_runtimefilter(spark, sf_dir):
             prev_app,
         )
     return out
+
+
+@query(
+    "q_shard_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             ((doc_id % 1000003) * 2654435761) % 1000000007 AS hk
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rn
+      FROM h
+    )
+    SELECT CAST((rn - 1) % 8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM r GROUP BY (rn - 1) % 8
+    """,
+)
+def q_shard_assign(spark, sf_dir):
+    """Deterministic training-shard assignment: documents ordered by
+    key hash (partitioning- and engine-independent, the q_sample_hash
+    arithmetic) get a GLOBAL row number via the P-way-parallel
+    global_row_number operator (range-partitioned local row_numbers +
+    broadcast offsets — never a single-partition window), and
+    round-robin on it balances the 8 shards to ±1 doc by
+    construction. Re-running on re-partitioned input yields the SAME
+    shards — the property .repartition()-based sharding lacks, and
+    the one that makes training resumable. Oracle: the same hash
+    order through a plain window."""
+    from plankton_spark.operators.ranking import global_row_number
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (((F.col("doc_id") % 1000003) * 2654435761) % 1000000007).alias("hk"),
+    )
+    ranked = global_row_number(d, [F.col("hk"), F.col("doc_id")], out="rn")
+    return (
+        ranked.withColumn("shard", ((F.col("rn") - 1) % 8).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("char_sum"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
