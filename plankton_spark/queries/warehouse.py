@@ -108,3 +108,72 @@ def q_drift_tvd(spark, sf_dir):
     are i.i.d. so tvd is near 0 — the test seeds a shifted window to
     prove sensitivity.)"""
     return _run_sql(spark, sf_dir, "q_drift_tvd", _DRIFT)
+
+
+_MAD = """
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r1 AS (
+  SELECT event_type, event_id, cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+m AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(cents * (
+           CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                THEN 1 ELSE 0 END
+           + CASE WHEN rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS med2x
+  FROM r1 GROUP BY event_type
+),
+d AS (
+  SELECT c.event_type, c.event_id,
+         ABS(2 * c.cents - m.med2x) AS dev
+  FROM c JOIN m ON c.event_type = m.event_type
+),
+r2 AS (
+  SELECT event_type, dev,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type,
+         CAST(SUM(dev * (
+           CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                THEN 1 ELSE 0 END
+           + CASE WHEN rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS mad4x
+  FROM r2 GROUP BY event_type
+)
+SELECT m.event_type, m.n AS n_events,
+       m.med2x AS median2x_cents,
+       mad.mad4x AS mad4x_cents,
+       CAST((SELECT COUNT(*) FROM d
+             WHERE d.event_type = m.event_type
+               AND 2 * d.dev > 3 * mad.mad4x) AS BIGINT) AS n_outliers
+FROM m JOIN mad ON m.event_type = mad.event_type
+"""
+
+_TABLES["q_anomaly_mad"] = ("events",)
+
+
+@query("q_anomaly_mad", oracle=_MAD)
+def q_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection per event type with EXACT integer
+    median/MAD: the two-middle weighted order-statistic trick (odd
+    counts take the single middle twice — a plain rank-IN halves it,
+    the r7 review finding) applied twice, in doubled integer spaces
+    (median2x = 2x median of cents, mad4x = 4x the MAD), so the
+    3-sigma-equivalent rule 2*|2c - med2x| > 3*mad4x never touches a
+    float. Engines' own median()/percentile() interpolate halves
+    differently — this sidesteps the convention entirely. The SAME
+    SQL text is the oracle; windows partition by event_type."""
+    return _run_sql(spark, sf_dir, "q_anomaly_mad", _MAD)

@@ -144,3 +144,43 @@ def test_triangles_match_python_bruteforce(spark):
     assert out["n_edges"] == len(edges)
     assert out["n_triangles"] == n_tri > 0
     assert out["vertex_checksum"] == checksum
+
+
+def test_mad_exact_median_odd_and_even(spark, tmp_path):
+    """Hand-derived median/MAD for odd AND even counts — the branch
+    class a shared interpolation bug would pass through oracle
+    parity. Values in cents space; med2x = 2x median, mad4x = 4x MAD."""
+    ts = datetime.datetime(2024, 1, 5, 8, 0, 0)
+    # odd group: cents {1,2,3,4,100} → median 3 cents → med2x = 6;
+    # dev2x = |2c-6| = {4,2,0,2,194}, sorted {0,2,2,4,194}; odd count
+    # takes the middle (2) twice → mad4x = 4 (i.e. MAD = 1 cent)
+    rows = [
+        (i, ts, i, "odd", float(v), "{}")
+        for i, v in enumerate([0.01, 0.02, 0.03, 0.04, 1.00])
+    ]
+    # even group: values 1,2,3,4 cents → median 2.5 → med2x = 5
+    # dev2x = |2c-5| → {3,1,1,3} sorted {1,1,3,3} two-middle = 1+3=4
+    rows += [
+        (100 + i, ts, i, "even", float(v), "{}")
+        for i, v in enumerate([0.01, 0.02, 0.03, 0.04])
+    ]
+    from tests.test_warehouse import _write_events
+
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in all_queries()["q_anomaly_mad"](spark, str(tmp_path)).collect()
+    }
+    odd, even = out["odd"], out["even"]
+    assert odd["n_events"] == 5
+    assert odd["median2x_cents"] == 6      # 2 x 3 cents
+    # dev2x values: {|2-6|,|4-6|,|6-6|,|8-6|,|200-6|} = {4,2,0,2,194}
+    # sorted {0,2,2,4,194}, middle (n=5) = 2 taken twice → mad4x = 4
+    assert odd["mad4x_cents"] == 4
+    # outlier rule: 2*dev2x > 3*mad4x=12 → dev2x > 6 → only 194
+    assert odd["n_outliers"] == 1
+    assert even["n_events"] == 4
+    assert even["median2x_cents"] == 5     # 2 x 2.5 cents
+    assert even["mad4x_cents"] == 4        # 1 + 3
+    # 2*dev2x > 12 → dev2x > 6 → none of {1,1,3,3}
+    assert even["n_outliers"] == 0
