@@ -881,3 +881,60 @@ def q_conversion_delay(spark, sf_dir):
         F.sum("delay_s").cast("long").alias("total_s"),
         F.sum(F.col("delay_s") * weight).cast("long").alias("median2x_s"),
     )
+
+
+@query(
+    "q_win_rolling_dau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d
+      FROM events
+    ),
+    cover AS (
+      SELECT DISTINCT user_id, ud.d + w.i AS we
+      FROM ud, (SELECT UNNEST(generate_series(0, 6)) AS i) w
+    ),
+    ends AS (SELECT DISTINCT d AS we FROM ud)
+    SELECT CAST(e.we AS BIGINT) AS day_index,
+           CAST(COUNT(*) AS BIGINT) AS rolling_7d_users
+    FROM ends e JOIN cover c ON c.we = e.we
+    GROUP BY e.we
+    """,
+)
+def q_win_rolling_dau(spark, sf_dir):
+    """Rolling 7-day distinct active users — COUNT(DISTINCT) over a
+    sliding window, which no engine's window frame supports directly.
+    The exact distributed shape: dedup (user, day) once, EXPLODE each
+    activity day to the 7 window-ends it covers (a constant x7 row
+    factor — linear, shuffle-free expansion), dedup (user, window_end),
+    and count per end present in the data. Day indexes (days since the
+    fixture epoch) keep dates out of the output per the determinism
+    policy. The naive alternative — a per-window self-join — is
+    O(days x activity) and skew-prone; this is the textbook exact
+    rolling-distinct at 100 TB. Oracle mirrors with generate_series."""
+    e = read_table(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+        )
+        .distinct()
+    )
+    cover = (
+        ud.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .select("user_id", (F.col("d") + F.col("i")).alias("we"))
+        .distinct()
+    )
+    ends = ud.select(F.col("d").alias("we")).distinct()
+    return (
+        ends.join(cover, "we")
+        .groupBy("we")
+        .agg(F.count(F.lit(1)).alias("rolling_7d_users"))
+        .select(
+            F.col("we").cast("long").alias("day_index"),
+            F.col("rolling_7d_users"),
+        )
+    )

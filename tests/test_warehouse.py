@@ -184,3 +184,30 @@ def test_mad_exact_median_odd_and_even(spark, tmp_path):
     assert even["mad4x_cents"] == 4        # 1 + 3
     # 2*dev2x > 12 → dev2x > 6 → none of {1,1,3,3}
     assert even["n_outliers"] == 0
+
+
+def test_rolling_dau_window_semantics(spark, tmp_path):
+    """Hand-derived rolling 7-day distinct counts: a user active on
+    day d covers window-ends d..d+6; ends exist only for days with
+    any activity."""
+    ts = datetime.datetime
+    rows = [
+        # user 1 active day 0 (Jan 1), user 2 active day 0 and day 8
+        (1, ts(2024, 1, 1, 10, 0, 0), 1, "click", 1.0, "{}"),
+        (2, ts(2024, 1, 1, 11, 0, 0), 2, "click", 1.0, "{}"),
+        (3, ts(2024, 1, 9, 11, 0, 0), 2, "click", 1.0, "{}"),
+        # user 3 active day 5 (Jan 6)
+        (4, ts(2024, 1, 6, 9, 0, 0), 3, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["day_index"]: r["rolling_7d_users"]
+        for r in all_queries()["q_win_rolling_dau"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # ends exist only for active days: 0, 5, 8
+    assert set(out) == {0, 5, 8}
+    assert out[0] == 2        # users 1,2 (day-0 activity)
+    assert out[5] == 3        # users 1,2 (day 0 covers 0..6) + user 3
+    assert out[8] == 2        # user 3 (day 5 covers 5..11) + user 2 (day 8)
