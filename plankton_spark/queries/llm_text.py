@@ -982,3 +982,76 @@ def q_text_lm_score(spark, sf_dir):
         F.sum(term).cast("long").alias("logprob_micro"),
         F.sum((F.col("c12") == 1).cast("int")).cast("long").alias("n_singletons"),
     )
+
+
+@query(
+    "q_text_cooccur",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_pair
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+    ),
+    wd AS (SELECT w, COUNT(*) AS n_w FROM tok GROUP BY w),
+    nd AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_docs_pair,
+           ROUND(LN(CAST(n_pair AS DOUBLE) * nd.n
+                    / (CAST(w1d.n_w AS DOUBLE) * w2d.n_w)), 6) AS pmi
+    FROM pairs
+    JOIN wd w1d ON w1d.w = pairs.w1
+    JOIN wd w2d ON w2d.w = pairs.w2
+    CROSS JOIN nd
+    ORDER BY n_pair DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q_text_cooccur(spark, sf_dir):
+    """Collocation extraction: document-level word co-occurrence with
+    PMI — distinct (doc, word) presence, w1<w2 pairs counted per doc,
+    PMI = ln(n_pair * N / (n_w1 * n_w2)) (same LN-6dp convention as
+    q_text_tfidf), top-20 by count with lexicographic tiebreak. The
+    per-doc pair expansion is VOCAB-bounded (fixture vocabulary, like
+    any controlled tag/entity set); an open web vocabulary takes a
+    frequency cut first — the q_heavyhitters machinery — so the
+    expansion stays (cutoff choose 2) per doc, never words²."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    wd = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        pairs.join(wd.select(F.col("w").alias("w1"), F.col("n_w").alias("nw1")), "w1")
+        .join(wd.select(F.col("w").alias("w2"), F.col("n_w").alias("nw2")), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_docs_pair"),
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.col("n")
+                    / (F.col("nw1").cast("double") * F.col("nw2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.col("n_docs_pair").desc(), "w1", "w2").limit(20)

@@ -308,3 +308,62 @@ def q_deltalog_generated(spark, sf_dir):
             F.sum("price_cents").cast("long").alias("stored_cents"),
         )
     )
+
+
+@query(
+    "q_table_trio",
+    oracle="""
+    WITH slice AS (
+      SELECT o_orderstatus, o_orderkey FROM orders WHERE o_orderkey < 1500
+    ),
+    agg AS (
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM slice GROUP BY o_orderstatus
+    )
+    SELECT fmt, o_orderstatus, CAST(n_rows AS BIGINT) AS n_rows, key_sum
+    FROM agg, (VALUES ('planktable'), ('delta'), ('iceberg')) f(fmt)
+    """,
+)
+def q_table_trio(spark, sf_dir):
+    """Cross-format differential AS A QUERY: the same slice written
+    to all THREE formats (planktable log, Delta log, Iceberg
+    metadata), each read back through its OWN metadata chain, union
+    tagged by format — every format must produce the identical
+    relational result (the oracle replicates one relational truth
+    x3). A reader bug in any one format's chain is a hash mismatch
+    naming the format."""
+    import shutil as _shutil
+
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+    from plankton_spark.sources.iceberg_meta import IcebergWriter, read_iceberg
+    from plankton_spark.table_format import PlankTable
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).where(F.col("o_orderkey") < 1500)
+    roots = {f: _scratch(sf_dir, f"trio_{f}") for f in
+             ("planktable", "delta", "iceberg")}
+    for r in roots.values():
+        _shutil.rmtree(r, ignore_errors=True)
+    PlankTable(spark, roots["planktable"]).create(o)
+    DeltaLogWriter(spark, roots["delta"]).create(o)
+    IcebergWriter(spark, roots["iceberg"]).create(o)
+    reads = {
+        "planktable": PlankTable(spark, roots["planktable"]).read(),
+        "delta": read_delta(spark, roots["delta"]),
+        "iceberg": read_iceberg(spark, roots["iceberg"]),
+    }
+    parts = [
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .withColumn("fmt", F.lit(fmt))
+        for fmt, df in reads.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("fmt", "o_orderstatus", "n_rows", "key_sum")
