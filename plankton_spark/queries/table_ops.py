@@ -440,3 +440,81 @@ def q_scan_planktable(spark, sf_dir):
         F.sum("n_nationkey").cast("long").alias("key_sum"),
         F.min("n_name").alias("first_name"),
     )
+
+
+@query(
+    "q_table_update",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey < 1500
+    ),
+    updated AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' THEN cents + 1000
+                  ELSE cents END AS cents
+      FROM base
+    ),
+    agg AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents) AS BIGINT) AS cents_sum
+      FROM updated GROUP BY o_orderstatus
+    )
+    SELECT fmt, o_orderstatus, n_rows, cents_sum
+    FROM agg, (VALUES ('planktable'), ('delta'), ('iceberg')) f(fmt)
+    """,
+)
+def q_table_update(spark, sf_dir):
+    """UPDATE ... SET across all THREE formats: the same cents-exact
+    update (status 'O' rows +1000 cents) through each format's
+    update_where — hit files rewritten with matched rows transformed
+    and unmatched rows verbatim, untouched files never moved. The
+    oracle applies the same UPDATE relationally x3; a format whose
+    rewrite drops, duplicates, or double-applies rows is a hash
+    mismatch naming it."""
+    import shutil as _shutil
+
+    from plankton_spark.queries.scans import _scratch
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+    from plankton_spark.sources.iceberg_meta import IcebergWriter, read_iceberg
+    from plankton_spark.table_format import PlankTable
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).where(F.col("o_orderkey") < 1500)
+    roots = {f: _scratch(sf_dir, f"upd_{f}") for f in
+             ("planktable", "delta", "iceberg")}
+    for r in roots.values():
+        _shutil.rmtree(r, ignore_errors=True)
+    pt = PlankTable(spark, roots["planktable"])
+    dw = DeltaLogWriter(spark, roots["delta"])
+    iw = IcebergWriter(spark, roots["iceberg"])
+    pt.create(o)
+    dw.create(o)
+    iw.create(o)
+    cond = F.col("o_orderstatus") == "O"
+    assign = {"cents": F.col("cents") + 1000}
+    pt.update_where(assign, cond)
+    dw.update_where(assign, cond)
+    iw.update_where(assign, cond)
+    reads = {
+        "planktable": pt.read(),
+        "delta": read_delta(spark, roots["delta"]),
+        "iceberg": read_iceberg(spark, roots["iceberg"]),
+    }
+    parts = [
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .withColumn("fmt", F.lit(fmt))
+        for fmt, df in reads.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("fmt", "o_orderstatus", "n_rows", "cents_sum")

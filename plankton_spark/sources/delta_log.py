@@ -2231,6 +2231,82 @@ class DeltaLogWriter:
 
         return self._validate_then_commit(actions, hit_rel)
 
+    def update_where(self, assignments: dict, condition) -> int:
+        """Row-level UPDATE ... SET: rewrite ONLY files containing
+        matching rows — matched rows get `assignments` (column →
+        Column/SQL-string expression, evaluated against the pre-update
+        row like SQL UPDATE), unmatched rows in hit files restage
+        verbatim, untouched files never move. NULL-evaluating rows are
+        NOT updated (SQL semantics). OCC-validated like delete_where:
+        a concurrent rewrite of a hit file aborts this update. The
+        assignments must not target partition columns (that is a
+        partition MOVE — delete + insert, a different operation) and
+        must keep each column's type (UPDATE never retypes)."""
+        from pyspark.sql import Column
+
+        snapshot = DeltaLog(self.table_path)
+        schema, part_cols, files = snapshot.snapshot(None)
+        self._refuse_if_append_only(snapshot.table_config, "UPDATE")
+        bad_parts = sorted(set(assignments) & set(part_cols))
+        if bad_parts:
+            raise ValueError(
+                f"{self.table_path}: UPDATE on partition columns "
+                f"{bad_parts} would move rows across partitions — "
+                "use delete + append"
+            )
+        unknown = sorted(set(assignments) - {f.name for f in schema.fields})
+        if unknown:
+            raise ValueError(
+                f"{self.table_path}: UPDATE targets unknown columns "
+                f"{unknown}"
+            )
+        exprs = {
+            c: (e if isinstance(e, Column) else F.expr(e))
+            for c, e in assignments.items()
+        }
+        live = _assemble_view(
+            self.spark, schema, part_cols, files, with_file=True,
+            table_root=self.table_path,
+        )
+        hit = [
+            r[0] for r in live.where(condition).select("_f").distinct().collect()
+        ]
+        hit_files = [
+            (p, pv)
+            for p, pv in files
+            if any(h.endswith(os.path.basename(p)) for h in hit)
+        ]
+        hit_rel = sorted(
+            _path_key(self.table_path, p) for p, _ in hit_files
+        )
+        actions: list[dict] = []
+        if hit_rel:
+            hot = _assemble_view(
+                self.spark, schema, part_cols, hit_files,
+                table_root=self.table_path,
+            )
+            matched = F.coalesce(condition, F.lit(False))
+            rewritten = hot.select(
+                [
+                    (
+                        F.when(
+                            matched,
+                            exprs[f.name].cast(f.dataType),
+                        )
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                        if f.name in exprs
+                        else F.col(f.name)
+                    )
+                    for f in schema.fields
+                ]
+            )
+            actions += self._stage(rewritten, part_cols)
+            actions += [
+                {"remove": {"path": r, "dataChange": True}} for r in hit_rel
+            ]
+        return self._validate_then_commit(actions, hit_rel)
+
     def delete_where_dv(self, condition) -> int | None:
         """Row-level delete via DELETION VECTORS: instead of rewriting
         every hit file (delete_where — O(bytes of hit files)), write

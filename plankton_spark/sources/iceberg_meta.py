@@ -2529,6 +2529,76 @@ class IcebergWriter:
         )
         return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
 
+    def update_where(self, assignments: dict, condition) -> int:
+        """Row-level UPDATE ... SET (DeltaLogWriter.update_where
+        parity on Iceberg): rewrite only hit data files — matched rows
+        get the assignments (evaluated against the pre-update row),
+        unmatched rows in hit files restage verbatim, NULL-evaluating
+        rows are NOT updated. Identity partition columns refuse as
+        targets (a partition move is delete + insert). Commits as an
+        overwrite snapshot with the usual OCC rebase validation."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        table = IcebergTable(self.table_path)
+        schema = table.schema()
+        spec = self._writer_spec(table)
+        part_cols = table.partition_fields()
+        bad_parts = sorted(set(assignments) & set(part_cols))
+        if bad_parts:
+            raise ValueError(
+                f"{self.table_path}: UPDATE on partition columns "
+                f"{bad_parts} would move rows across partitions — "
+                "use delete + append"
+            )
+        unknown = sorted(
+            set(assignments) - {f.name for f in schema.fields}
+        )
+        if unknown:
+            raise ValueError(
+                f"{self.table_path}: UPDATE targets unknown columns "
+                f"{unknown}"
+            )
+        exprs = {
+            c: (e if isinstance(e, Column) else F.expr(e))
+            for c, e in assignments.items()
+        }
+        entries = table.data_entries(None)
+        if not entries:
+            return self._commit_snapshot([], set(), keep_unhit=True)
+        live = _assemble_iceberg(
+            self.spark, schema, part_cols, entries, with_file=True
+        )
+        hit = [
+            r[0] for r in live.where(condition).select("_f").distinct().collect()
+        ]
+        hit_entries = [
+            (p, pv)
+            for p, pv in entries
+            if any(h.endswith(os.path.basename(p)) for h in hit)
+        ]
+        if not hit_entries:
+            return self._commit_snapshot([], set(), keep_unhit=True)
+        removed_rel = {
+            os.path.relpath(p, self.table_path) for p, _ in hit_entries
+        }
+        hot = _assemble_iceberg(self.spark, schema, part_cols, hit_entries)
+        matched = F.coalesce(condition, F.lit(False))
+        rewritten = hot.select(
+            [
+                (
+                    F.when(matched, exprs[f.name].cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in exprs
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+        staged = self._stage(rewritten, 0, spec)
+        return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
+
     def replace_where(self, df, condition) -> int:
         """Selective atomic overwrite (the spec's overwrite-by-filter
         operation; Delta's replaceWhere): ONE snapshot tombstones every

@@ -685,6 +685,59 @@ class PlankTable:
         adds = self._stage(survivors) if not survivors.isEmpty() else []
         return self._commit_with_retry("DELETE", lambda: (adds, hit_rel))
 
+    def update_where(self, assignments: dict, condition) -> int:
+        """Row-level UPDATE ... SET (the Delta/Iceberg update_where on
+        the planktable log): rewrite only hit files — matched rows get
+        the assignments (evaluated against the pre-update row),
+        unmatched rows restage verbatim, NULL-evaluating rows are NOT
+        updated. Assignments must target existing columns and keep
+        their types (UPDATE never retypes)."""
+        from pyspark.sql import Column
+
+        schema = self.read().schema
+        unknown = sorted(set(assignments) - {f.name for f in schema.fields})
+        if unknown:
+            raise ValueError(
+                f"{self.path}: UPDATE targets unknown columns {unknown}"
+            )
+        exprs = {
+            c: (e if isinstance(e, Column) else F.expr(e))
+            for c, e in assignments.items()
+        }
+        snap = self._snapshot()
+        hit_files = [
+            r[0]
+            for r in self.read()
+            .withColumn("_pt_file", F.input_file_name())
+            .where(condition)
+            .select("_pt_file")
+            .distinct()
+            .collect()
+        ]
+        hit_rel = sorted(
+            rel for rel in snap if any(h.endswith(rel) for h in hit_files)
+        )
+        if not hit_rel:
+            return self._commit_with_retry("UPDATE", lambda: ([], []))
+        hot = self.spark.read.parquet(
+            *[os.path.join(self.path, r) for r in hit_rel]
+        )
+        matched = F.coalesce(condition, F.lit(False))
+        rewritten = hot.select(
+            [
+                (
+                    F.when(matched, exprs[f.name].cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in exprs
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+        adds = self._stage(rewritten)
+        return self._commit_with_retry("UPDATE", lambda: (adds, hit_rel))
+
     def replace_where(self, df: DataFrame, condition) -> int:
         """Selective atomic overwrite (Delta's replaceWhere): ONE
         commit deletes every row matching `condition` and inserts
