@@ -2371,6 +2371,113 @@ class DeltaLogWriter:
             hits = hits.unionByName(
                 _dv_deleted_df(self.spark, root, existing_desc)
             )
+        masked = self._dv_mask_actions(log, active, base_to_rel, hits)
+        if masked is None:
+            return None
+        actions, hit_rel = masked
+        return self._validate_then_commit(actions, hit_rel)
+
+    def update_where_dv(self, assignments: dict, condition) -> int | None:
+        """UPDATE ... SET via DELETION VECTORS — the O(changed-rows)
+        fast path: matched rows are MASKED in place (one roaring DV
+        per hit file, authored on executors) and their transformed
+        copies append as new files, all in ONE commit. Cost is
+        O(matched rows + DV bytes) instead of update_where's
+        O(bytes of hit files) — at 100 TB, updating 0.1% of a file no
+        longer rewrites the other 99.9%. Same semantics as
+        update_where (NULL predicates retained, no partition-column
+        targets, pre-update row visibility); OPTIMIZE later purges
+        the DVs and compacts the appended fragments."""
+        import pandas as _pd  # noqa: F401
+
+        from pyspark.sql import Column
+
+        log = DeltaLog(self.table_path)
+        schema, part_cols, active = log.replay(None)
+        self._refuse_if_append_only(log.table_config, "UPDATE (DV)")
+        if column_mapping(schema, log.table_config, self.table_path):
+            raise DeltaProtocolError(
+                f"{self.table_path}: DV update on a column-mapped table "
+                "is not implemented (assignments would bind logical names)"
+            )
+        bad_parts = sorted(set(assignments) & set(part_cols))
+        if bad_parts:
+            raise ValueError(
+                f"{self.table_path}: UPDATE on partition columns "
+                f"{bad_parts} would move rows across partitions — "
+                "use delete + append"
+            )
+        unknown = sorted(set(assignments) - {f.name for f in schema.fields})
+        if unknown:
+            raise ValueError(
+                f"{self.table_path}: UPDATE targets unknown columns "
+                f"{unknown}"
+            )
+        exprs = {
+            c: (e if isinstance(e, Column) else F.expr(e))
+            for c, e in assignments.items()
+        }
+        files = [
+            (os.path.join(self.table_path, rel), a["partitionValues"])
+            for rel, a in active.items()
+        ]
+        if not files:
+            return None
+        live = _assemble_view(
+            self.spark,
+            schema,
+            part_cols,
+            files,
+            table_root=self.table_path,
+            with_pos=True,
+        )
+        root = self.table_path
+        base_to_rel = _dv_basename_map(active, root)
+        matched = live.where(F.coalesce(condition, F.lit(False)))
+        new_hits = matched.select(
+            F.substring_index(F.col("__pd_file"), "/", -1).alias("__dv_file"),
+            F.col("__pd_ridx").alias("__dv_ridx"),
+        )
+        hit_bases = {
+            r[0] for r in new_hits.select("__dv_file").distinct().collect()
+        }
+        if not hit_bases:
+            return None
+        existing_desc = {
+            rel: active[rel]["deletionVector"]
+            for rel in (base_to_rel[b] for b in sorted(hit_bases))
+            if active[rel].get("deletionVector")
+        }
+        hits = new_hits
+        if existing_desc:
+            hits = hits.unionByName(
+                _dv_deleted_df(self.spark, root, existing_desc)
+            )
+        masked = self._dv_mask_actions(log, active, base_to_rel, hits)
+        if masked is None:
+            return None
+        actions, hit_rel = masked
+        # the transformed copies of the masked rows, appended in the
+        # SAME commit (assignments see the PRE-update row)
+        updated = matched.select(
+            [
+                (
+                    exprs[f.name].cast(f.dataType).alias(f.name)
+                    if f.name in exprs
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+        actions = actions + self._stage(updated, part_cols)
+        return self._validate_then_commit(actions, hit_rel)
+
+    def _dv_mask_actions(self, log, active, base_to_rel, hits):
+        """Shared DV-masking tail of delete_where_dv/update_where_dv:
+        author one merged DV per hit file ON EXECUTORS, return the
+        (protocol upgrade + remove/re-add-with-DV) actions and the hit
+        relpaths, or None when nothing was hit."""
+        root = self.table_path
 
         def _write_dv(key, pdf):
             import pandas as pd
@@ -2417,7 +2524,7 @@ class DeltaLogWriter:
             new_add["dataChange"] = True
             actions.append({"remove": {"path": rel, "dataChange": True}})
             actions.append({"add": new_add})
-        return self._validate_then_commit(actions, hit_rel)
+        return actions, hit_rel
 
     def _validate_then_commit(self, actions: list[dict], depends_on_rel) -> int:
         """OCC commit for actions that REMOVE files: valid only while

@@ -118,3 +118,71 @@ def test_iceberg_and_planktable_update_match(spark, tmp_path):
     got_p = {r["o_orderkey"]: r["cents"] for r in pt.read().collect()}
     assert got_i == expect
     assert got_p == expect
+
+
+def test_update_where_dv_masks_and_appends(spark, tmp_path):
+    """DV-accelerated UPDATE: result equals the rewrite-based update,
+    the original files stay LIVE (masked, not removed-for-rewrite),
+    and OPTIMIZE afterwards purges the DVs with values intact."""
+    import json
+    import os
+
+    from plankton_spark.sources.delta_log import (
+        DeltaLog,
+        DeltaLogWriter,
+        read_delta,
+    )
+
+    o = _slice(spark)
+    expect = {
+        r["o_orderkey"]: r["cents"] + (1000 if r["o_orderstatus"] == "O" else 0)
+        for r in o.collect()
+    }
+    root = str(tmp_path / "dvu")
+    w = DeltaLogWriter(spark, root)
+    w.create(o)
+    _, _, before = DeltaLog(root).replay(None)
+    w.update_where_dv(
+        {"cents": F.col("cents") + 1000}, F.col("o_orderstatus") == "O"
+    )
+    got = {
+        r["o_orderkey"]: r["cents"] for r in read_delta(spark, root).collect()
+    }
+    assert got == expect
+    _, _, after = DeltaLog(root).replay(None)
+    # original file paths still live, now carrying DVs; plus new adds
+    assert set(before) <= set(after)
+    assert any(a.get("deletionVector") for a in after.values())
+    assert len(after) > len(before)
+    # protocol gained the deletionVectors feature
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json")) as fh:
+        actions = [json.loads(x) for x in fh if x.strip()]
+    prot = next((a["protocol"] for a in actions if "protocol" in a), None)
+    assert prot and "deletionVectors" in prot["readerFeatures"]
+    # compaction purges the DVs, values preserved
+    w.optimize()
+    got2 = {
+        r["o_orderkey"]: r["cents"] for r in read_delta(spark, root).collect()
+    }
+    assert got2 == expect
+    _, _, final = DeltaLog(root).replay(None)
+    assert not any(a.get("deletionVector") for a in final.values())
+
+
+def test_update_where_dv_null_predicate_and_noop(spark, tmp_path):
+    from plankton_spark.sources.delta_log import DeltaLog, DeltaLogWriter, read_delta
+
+    rows = [(1, "A", 10, 5), (2, "B", 20, None)]
+    df = spark.createDataFrame(
+        rows, "id long, status string, cents long, flag long"
+    )
+    root = str(tmp_path / "dvn")
+    w = DeltaLogWriter(spark, root)
+    w.create(df)
+    w.update_where_dv({"cents": F.col("cents") + 100}, F.col("flag") > 2)
+    got = {r["id"]: r["cents"] for r in read_delta(spark, root).collect()}
+    assert got == {1: 110, 2: 20}
+    v_before = DeltaLog(root).latest_version()
+    # no-match update is a no-op: no version bump
+    assert w.update_where_dv({"cents": F.lit(0)}, F.col("flag") > 999) is None
+    assert DeltaLog(root).latest_version() == v_before
