@@ -46,12 +46,40 @@ def main() -> None:
     # the box is already busy (e.g. a concurrent soak) are not
     # comparable across rounds, so flag them rather than letting a
     # 2x spread masquerade as a regression (round-5 verdict item #5).
-    try:
-        load1 = os.getloadavg()[0]
-    except OSError:
-        load1 = -1.0
+    def read_load() -> float:
+        try:
+            return os.getloadavg()[0]
+        except OSError:
+            return -1.0
+
     ncpu = os.cpu_count() or 1
+    load1 = read_load()
+    # Auto-defer protocol (round-8 verdict #10): if the box is busy at
+    # start (loadavg/ncpu > 0.5 — e.g. a concurrent soak still
+    # draining), wait up to 5 minutes in 15 s steps for load to drop
+    # rather than recording a contended wall that reads as a plan
+    # regression. Records how long it waited; "contended" reflects the
+    # load at MEASUREMENT time, after any wait.
+    waited_sec = 0
+    while load1 / ncpu > 0.5 and waited_sec < 300:
+        time.sleep(15)
+        waited_sec += 15
+        load1 = read_load()
     contended = load1 / ncpu > 0.3
+
+    def page_cache_gib() -> float:
+        """Cached from /proc/meminfo — distinguishes a cold-cache run
+        (first touch of the parquet this boot) from a warm one."""
+        try:
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    if line.startswith("Cached:"):
+                        return round(int(line.split()[1]) / 1024 / 1024, 2)
+        except OSError:
+            pass
+        return -1.0
+
+    cached_gib = page_cache_gib()
     spark = get_spark("plankton-bench", shuffle_partitions=32)
     qs = all_queries()
 
@@ -105,6 +133,8 @@ def main() -> None:
                 "loadavg_1m_at_start": round(load1, 2),
                 "cpus": ncpu,
                 "contended": contended,
+                "waited_for_quiet_sec": waited_sec,
+                "page_cache_gib_at_start": cached_gib,
             }
         )
     )

@@ -101,9 +101,20 @@ def q_cte_recursive(spark, sf_dir):
     carries ~1.5M rows) and cteRecursionLevelLimit (default 100 —
     depth = max orders per customer, ~10 at every SF). The row valve
     is raised here to corpus scale; the level valve stays at its
-    default deliberately, so a cyclic-links bug still terminates."""
+    default deliberately, so a cyclic-links bug still terminates.
+
+    The valve is SCOPED: raised, the walk materialized via
+    localCheckpoint (the limit is consulted at execution, so the query
+    must run while the raise is in effect), then restored in a finally
+    — a later unrelated query in the same session gets the default
+    1e6-row runaway guard back (round-8 verdict #7)."""
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit")
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
-    return _run_sql(spark, sf_dir, "q_cte_recursive", _RECURSIVE)
+    try:
+        # executes NOW, under the raised valve
+        return _run_sql(spark, sf_dir, "q_cte_recursive", _RECURSIVE).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
 
 
 @query("q_join_lateral", oracle=_LATERAL)

@@ -407,9 +407,36 @@ IMPL_CONF = "spark.plankton.avro.impl"  # auto | jvm | python
 def jvm_avro_available(spark) -> bool:
     """True when the spark-avro JVM module is on the classpath (not
     bundled in the pip distribution, but present when the cluster was
-    launched with --packages org.apache.spark:spark-avro). Probed by
-    actually resolving the `avro` data source — a class-existence
-    check is unreliable through Py4J's lazy name resolution."""
+    launched with --packages org.apache.spark:spark-avro).
+
+    Probed via DataSource.lookupDataSource("avro") — the EXACT
+    resolution read.format("avro") performs, but driver-side and
+    silent. Not Class.forName: pyspark's bundled jars carry some avro
+    *classes* (AvroFileFormat is present here) without the deployable
+    module, so class existence is a false positive; and not a read
+    against a nonexistent path, which worked but logged a spurious
+    JVM-side ERROR on every gate run (round-8 verdict #8). Falls back
+    to the read-probe only when no JVM gateway exists (Spark
+    Connect)."""
+    try:
+        jvm = spark.sparkContext._jvm  # raises under Spark Connect
+    except Exception:  # noqa: BLE001
+        jvm = None
+    if jvm is not None:
+        try:
+            jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jsparkSession.sessionState().conf()
+            )
+            return True
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            # "Failed to find data source" → module absent; anything
+            # else means the name resolved (shouldn't happen for a
+            # pure lookup, but fail open like the read-probe did)
+            return (
+                "find data source" not in msg
+                and "FAILED_FIND_DATA_SOURCE" not in msg
+            )
     try:
         spark.read.format("avro").schema("probe int").load(
             "/plankton-avro-availability-probe-nonexistent"

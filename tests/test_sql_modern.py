@@ -49,10 +49,26 @@ def test_recursive_chain_matches_plain_aggregate(spark):
 
 def test_recursive_plan_uses_union_loop(spark):
     """The recursion must run through Spark's recursive-CTE executor
-    (UnionLoop), not a silent rewrite that caps depth."""
-    df = all_queries()["q_cte_recursive"](spark, SF001)
+    (UnionLoop), not a silent rewrite that caps depth. The registered
+    query localCheckpoints (to scope the row-valve conf), which
+    replaces its plan with LogicalRDD — so pin the plan on the
+    pre-checkpoint SQL the query executes."""
+    from plankton_spark.queries import sql_modern
+
+    df = sql_modern._run_sql(spark, SF001, "q_cte_recursive", sql_modern._RECURSIVE)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "UnionLoop" in plan
+
+
+def test_recursive_row_valve_restored_after_query(spark):
+    """q_cte_recursive raises cteRecursionRowLimit to corpus scale for
+    its own execution ONLY — after it returns, the session must have
+    the default 1e6-row runaway guard back (round-8 verdict #7)."""
+    before = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    df = all_queries()["q_cte_recursive"](spark, SF001)
+    assert df.count() > 50
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == before
+    assert int(before) <= 1_000_000
 
 
 def test_lateral_matches_window_reformulation(spark):

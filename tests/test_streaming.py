@@ -205,73 +205,73 @@ def test_stream_stateful_group_state(spark):
 
 
 def test_stream_stateful_running_total(spark):
-    """transformWithStateInPandas (Spark 4 custom state). The TWS
-    Python driver worker speaks protobuf to the JVM; without
-    google.protobuf it crashes at startup, so gate on that SPECIFIC
-    missing dependency — any other exception is a real regression and
-    must fail, not skip."""
-    import importlib.util
-
-    if importlib.util.find_spec("google") is None or importlib.util.find_spec(
-        "google.protobuf"
-    ) is None:
-        pytest.skip(
-            "google.protobuf not installed — transformWithStateInPandas's "
-            "driver worker requires it (applyInPandasWithState is the "
-            "shipped stateful path, tested below); pinned in "
-            "requirements-optional.txt for real deployments"
-        )
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-
-    import pandas as pd  # noqa: F811
-
-    class RunningTotal(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._total = handle.getValueState("total", "total double")
-
-        def handleInputRows(self, key, rows, timerValues):
-            total = self._total.get()[0] if self._total.exists() else 0.0
-            n = 0
-            for pdf in rows:
-                total += float(pdf["value"].sum())
-                n += len(pdf)
-            self._total.update((total,))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "total_value": [round(total, 4)], "n_rows": [n]}
-            )
-
-        def close(self) -> None:
-            pass
+    """Backend-chosen custom state (streaming/stateful.py): the SAME
+    operator runs as transformWithStateInPandas where google.protobuf
+    exists (cluster images) and applyInPandasWithState here — no env
+    skip; the chooser itself is pinned separately below. Totals
+    accumulate as integer ten-thousandths in state, so the streamed
+    answer must EXACTLY equal the batch aggregate regardless of how
+    the replay batches."""
+    from plankton_spark.streaming import stateful
 
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        stream = (
-            jobs.with_second_ts(jobs.read_events_stream(spark, SF0001))
-            .where(F.col("event_type") == "purchase")
-            .withWatermark("ts2", "1 hour")
+        stream = jobs.read_events_stream(spark, SF0001)
+        updates = jobs.run_available_now(
+            stateful.running_totals(stream, backend="auto"),
+            run_name="stateful_auto_t",
+            output_mode="update",
         )
-        result = stream.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=RunningTotal(),
-            outputStructType="user_id long, total_value double, n_rows long",
-            outputMode="Update",
-            timeMode="None",
-        )
-        streamed = jobs.run_available_now(result, run_name="twsip_t", output_mode="update")
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    streamed = stateful.finalize_totals(updates)
 
     batch = (
         read_table(spark, SF0001, "events")
         .where(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias("total_value"))
+        .agg(
+            F.sum(F.round(F.col("value") * 10000).cast("long")).alias("total_e4"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
-    got = {r["user_id"]: r["total_value"] for r in streamed.collect()}
-    want = {r["user_id"]: r["total_value"] for r in batch.collect()}
+    got = {r["user_id"]: (r["total_e4"], r["n_rows"]) for r in streamed.collect()}
+    want = {r["user_id"]: (r["total_e4"], r["n_rows"]) for r in batch.collect()}
     assert got == want
+
+
+def test_stateful_backend_chooser(monkeypatch):
+    """The backend chooser's full contract, independent of which
+    libraries this sandbox has: auto tracks protobuf availability,
+    forcing tws without protobuf fails fast driver-side (not as N
+    executor worker crashes), and bogus names are rejected."""
+    from plankton_spark.streaming import stateful
+
+    monkeypatch.setattr(stateful, "tws_available", lambda: True)
+    assert stateful.choose_backend("auto") == "tws"
+    assert stateful.choose_backend("tws") == "tws"
+    assert stateful.choose_backend("apws") == "apws"
+
+    monkeypatch.setattr(stateful, "tws_available", lambda: False)
+    assert stateful.choose_backend("auto") == "apws"
+    assert stateful.choose_backend("apws") == "apws"
+    with pytest.raises(RuntimeError, match="protobuf"):
+        stateful.choose_backend("tws")
+    with pytest.raises(ValueError, match="auto\\|tws\\|apws"):
+        stateful.choose_backend("rocksdb")
+
+    # the real probe reflects this environment truthfully
+    import importlib.util
+
+    expected = (
+        importlib.util.find_spec("google") is not None
+        and importlib.util.find_spec("google.protobuf") is not None
+    )
+    monkeypatch.undo()
+    assert stateful.tws_available() is expected
 
 
 def test_stream_dedup_within_watermark(spark):
