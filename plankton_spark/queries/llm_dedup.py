@@ -945,3 +945,132 @@ def q_dedup_incremental(spark, sf_dir):
             "min_new_doc",
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape) — round-9 verdict #6: completes the
+# exact → minhash → simhash → jaccard → embcos → SEMANTIC dedup ladder
+# ---------------------------------------------------------------------
+
+SEMANTIC_COS_THRESHOLD = 0.4
+
+
+def _semantic_oracle() -> str:
+    from plankton_spark.queries.llm_vectors import KMEANS_ASSIGN_CTES
+
+    return f"""
+    WITH {KMEANS_ASSIGN_CTES},
+    comps AS (
+      SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
+        SELECT vec_id, UNNEST(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+    ),
+    norms AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+      FROM comps GROUP BY vec_id
+    ),
+    ak AS (SELECT vec_id, CAST(k AS BIGINT) AS k FROM asg2),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM comps a
+      JOIN comps b ON a.i = b.i AND a.vec_id < b.vec_id
+      JOIN ak ka ON ka.vec_id = a.vec_id
+      JOIN ak kb ON kb.vec_id = b.vec_id AND ka.k = kb.k
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    pruned AS (
+      SELECT DISTINCT d.vec_b AS vec_id
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.vec_a
+      JOIN norms nb ON nb.vec_id = d.vec_b
+      WHERE d.dot / (na.nrm * nb.nrm) >= {SEMANTIC_COS_THRESHOLD}
+    )
+    SELECT ak.k, ak.vec_id,
+           CAST(CASE WHEN pruned.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS pruned
+    FROM ak LEFT JOIN pruned ON pruned.vec_id = ak.vec_id
+    """
+
+
+@query("q_dedup_semantic", oracle=_semantic_oracle())
+def q_dedup_semantic(spark, sf_dir):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023 shape): k-means the
+    embedding corpus, then prune near-duplicates WITHIN each cluster —
+    a vector is pruned when a lower-id vector in the SAME cluster has
+    exact cosine >= 0.4 with it (keep-lowest-id is the deterministic
+    stand-in for the paper's keep-farthest-from-centroid; the fixture
+    corpus has no centroid-distance margin to make that stable).
+    Output: (k, vec_id, pruned) for every corpus vector.
+
+    Scale shape — the reason SemDeDup exists: pairwise work is
+    CLUSTER-BOUNDED. The component self-join keys on (cluster,
+    component-index), so the shuffle co-locates one cluster's
+    components and the pair blow-up is sum(|cluster|^2), not
+    |corpus|^2 — the k-means pre-pass buys the same quadratic-to-
+    blocked reduction LSH bands buy minhash. Assignment itself is one
+    scan with K broadcast centroid literals (q_cluster_kmeans) and the
+    per-pair math is the exact-decimal cosine of q_dedup_embcos, so
+    the DuckDB brute-force-within-cluster oracle matches bitwise.
+
+    At production scale K grows with the corpus (K ≈ sqrt(N) keeps
+    clusters ~constant-size); here K=4/2-iteration matches the
+    declared deterministic clustering contract."""
+    from plankton_spark.queries.llm_vectors import kmeans_fit_assign
+
+    assignments, _cent = kmeans_fit_assign(spark, sf_dir)
+    ak = cache.persist_swap(
+        "semantic:assign",
+        assignments.select("vec_id", F.col("k").cast("long").alias("k")),
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    comps = explode_comps(e, "vec_id", "embedding", "vec_id", "x")
+    comps_k = comps.join(ak, "vec_id")
+    a = comps_k.select(
+        F.col("vec_id").alias("vec_a"), F.col("k").alias("ka"), "i",
+        F.col("x").alias("xa"),
+    )
+    b = comps_k.select(
+        F.col("vec_id").alias("vec_b"), F.col("k").alias("kb"),
+        F.col("i").alias("j"), F.col("x").alias("xb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("i") == F.col("j"))
+            & (F.col("ka") == F.col("kb"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.sum((F.col("xa") * F.col("xb")).cast(_DOT_DECIMAL))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    norms = vector_norms(comps, "vec_id", "x", "nrm")
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    # norms is corpus-sized (one row per vector) — NOT broadcast;
+    # these are equi-joins AQE sizes at runtime (dots is answer-
+    # proportional and usually the smaller side)
+    pruned_ids = (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .where(
+            F.col("dot") / (F.col("na") * F.col("nb"))
+            >= F.lit(SEMANTIC_COS_THRESHOLD)
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(1).cast("long"))
+    )
+    return ak.join(pruned_ids, "vec_id", "left").select(
+        "k",
+        "vec_id",
+        F.coalesce(F.col("is_pruned"), F.lit(0).cast("long")).alias("pruned"),
+    )

@@ -598,11 +598,13 @@ KMEANS_DIMS = 64
 # on negative integer division: Spark DIV truncates, DuckDB // floors)
 KMEANS_OFFSET = 2_000_000
 
-
-@query(
-    "q_cluster_kmeans",
-    oracle=f"""
-    WITH e AS (
+# DuckDB CTE block reproducing the full deterministic k-means
+# fit+assign (quantize → seed from lowest vec_ids → assign → integer
+# mean update → final assign): ends at asg2(vec_id, k, d2) with c1
+# holding the updated centroids. Shared by q_cluster_kmeans and the
+# SemDeDup oracle (q_dedup_semantic needs the identical clustering).
+KMEANS_ASSIGN_CTES = f"""
+    e AS (
       SELECT vec_id,
              list_transform(embedding, x ->
                CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
@@ -649,6 +651,13 @@ KMEANS_OFFSET = 2_000_000
       FROM e CROSS JOIN c1
     ),
     asg2 AS (SELECT vec_id, k, d2 FROM d2f WHERE rn = 1)
+"""
+
+
+@query(
+    "q_cluster_kmeans",
+    oracle=f"""
+    WITH {KMEANS_ASSIGN_CTES}
     SELECT asg2.k,
            COUNT(*) AS n_vecs,
            CAST(SUM(asg2.d2) AS BIGINT) AS inertia,
@@ -678,6 +687,26 @@ def q_cluster_kmeans(spark, sf_dir):
     == floor for positives; Spark DIV and DuckDB // disagree on
     negatives), and inertia sums are all exact integer arithmetic in
     any order."""
+    final, cent = kmeans_fit_assign(spark, sf_dir)
+    sizes = final.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("d2").cast("long").alias("inertia"),
+    )
+    c_dim1 = spark.createDataFrame(
+        [(k, int(v[0]) - KMEANS_OFFSET) for k, v in sorted(cent.items())],
+        "k int, c_dim1_micro long",
+    )
+    return sizes.join(c_dim1, "k")
+
+
+def kmeans_fit_assign(spark, sf_dir):
+    """The deterministic integer k-means fit+assign shared by
+    q_cluster_kmeans and q_dedup_semantic (SQL twin:
+    KMEANS_ASSIGN_CTES): returns (assignments, cent) where
+    assignments = (vec_id, v, k, d2) after KMEANS_ITERS Lloyd's
+    iterations and cent maps k → updated integer centroid vector. See
+    q_cluster_kmeans's docstring for the scale/determinism
+    argument."""
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -726,17 +755,9 @@ def q_cluster_kmeans(spark, sf_dir):
         cent = {r["k"]: [s["cv"] for s in r["cs"]] for r in dims}
     best = best_of(cent)
     final = e.select(
-        best["k"].alias("k"), best["d2"].alias("d2")
+        "vec_id", "v", best["k"].alias("k"), best["d2"].alias("d2")
     )
-    sizes = final.groupBy("k").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("d2").cast("long").alias("inertia"),
-    )
-    c_dim1 = spark.createDataFrame(
-        [(k, int(v[0]) - KMEANS_OFFSET) for k, v in sorted(cent.items())],
-        "k int, c_dim1_micro long",
-    )
-    return sizes.join(c_dim1, "k")
+    return final, cent
 
 
 OUTLIER_PCT = 5  # top-N% by centroid distance flagged

@@ -163,3 +163,285 @@ def q_tpcds_rollrank(spark, sf_dir):
     order is made total (cents, then names) so RANK is deterministic.
     The SAME SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_rollrank", _ROLLRANK)
+
+
+# ---------------------------------------------------------------------
+# Round-9 suite: the TPC-DS signature shapes TPC-H never exercises
+# (round-8 verdict #1) — multi-channel UNION fact reads, wide rollup +
+# rank-in-hierarchy, channel INTERSECT, repeated-CTE reachability,
+# ratio-comparison self-joins, channel/returns rollup report.
+# ---------------------------------------------------------------------
+
+_MULTICHANNEL = """
+WITH freq_parts AS (
+  SELECT l_partkey
+  FROM lineitem, orders
+  WHERE l_orderkey = o_orderkey
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY l_partkey
+  HAVING COUNT(DISTINCT o_orderkey) > 4
+),
+spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+best_customers AS (
+  SELECT o_custkey FROM spend
+  WHERE cents > (SELECT CAST(MAX(cents) / 4 AS BIGINT) FROM spend)
+)
+SELECT channel,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_sales,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM (
+  SELECT 'returned' AS channel, l_extendedprice, o_orderdate
+  FROM lineitem, orders
+  WHERE l_orderkey = o_orderkey
+    AND l_returnflag = 'R'
+    AND l_partkey IN (SELECT l_partkey FROM freq_parts)
+    AND o_custkey IN (SELECT o_custkey FROM best_customers)
+  UNION ALL
+  SELECT 'kept' AS channel, l_extendedprice, o_orderdate
+  FROM lineitem, orders
+  WHERE l_orderkey = o_orderkey
+    AND l_returnflag <> 'R'
+    AND l_partkey IN (SELECT l_partkey FROM freq_parts)
+    AND o_custkey IN (SELECT o_custkey FROM best_customers)
+) u
+GROUP BY channel, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+"""
+
+_TABLES["q_tpcds_multichannel"] = ("lineitem", "orders")
+
+
+@query("q_tpcds_multichannel", oracle=_MULTICHANNEL)
+def q_tpcds_multichannel(spark, sf_dir):
+    """TPC-DS Q23 shape (fixture-adapted): two filter CTEs — frequent
+    parts (HAVING COUNT(DISTINCT orders) over a 2-year slice) and best
+    customers (spend above a scalar-subquery threshold of max/4) —
+    each consumed TWICE across a UNION ALL of two channel fact reads
+    (returned vs kept lineitems), then per-channel-per-year totals.
+    Pins semi-join reuse of shared CTEs across union branches: at
+    100 TB both IN-subqueries broadcast their distinct key sets, and
+    the two fact scans are the only full passes. Exact cent integers;
+    the SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_multichannel", _MULTICHANNEL)
+
+
+_WIDEROLLUP = """
+WITH s AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls, o_orderpriority AS pri,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(GROUPING(l_returnflag) + GROUPING(l_linestatus)
+              + GROUPING(o_orderpriority)
+              + GROUPING(CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT))
+              + GROUPING(CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT))
+              AS BIGINT) AS lochierarchy
+  FROM lineitem, orders
+  WHERE l_orderkey = o_orderkey
+  GROUP BY ROLLUP(l_returnflag, l_linestatus, o_orderpriority,
+                  CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+                  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT))
+),
+r AS (
+  SELECT COALESCE(rf,'(all)') AS rf, COALESCE(ls,'(all)') AS ls,
+         COALESCE(pri,'(all)') AS pri,
+         COALESCE(yr,-1) AS yr, COALESCE(qtr,-1) AS qtr,
+         cents, lochierarchy,
+         CAST(RANK() OVER (
+           PARTITION BY lochierarchy, CASE WHEN lochierarchy = 0 THEN rf END
+           ORDER BY cents DESC, COALESCE(rf,''), COALESCE(ls,''),
+                    COALESCE(pri,''), COALESCE(yr,-1), COALESCE(qtr,-1)
+         ) AS BIGINT) AS rk
+  FROM s
+)
+SELECT * FROM r WHERE rk <= 5
+"""
+
+_TABLES["q_tpcds_widerollup"] = ("lineitem", "orders")
+
+
+@query("q_tpcds_widerollup", oracle=_WIDEROLLUP)
+def q_tpcds_widerollup(spark, sf_dir):
+    """TPC-DS Q67 shape (fixture-adapted): 5-level ROLLUP
+    (returnflag, linestatus, priority, year, quarter) with a summed
+    GROUPING() hierarchy marker, then RANK within each hierarchy level
+    partitioned by the top residue (CASE over lochierarchy), top-5 per
+    partition. Rank order is total (cents + every residue) so RANK is
+    deterministic. The rollup multiplies each input row into 6
+    grouping sets — Spark expands then partial-aggregates map-side, so
+    the shuffle carries group cells, not rows. The SAME SQL text is
+    the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_widerollup", _WIDEROLLUP)
+
+
+_CROSSITEMS = """
+WITH cross_parts AS (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 45
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N' AND l_quantity >= 45
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45
+),
+chan AS (
+  SELECT l_returnflag AS channel, p_brand,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey
+    AND l_partkey IN (SELECT l_partkey FROM cross_parts)
+)
+SELECT COALESCE(channel, '(all)') AS channel,
+       COALESCE(p_brand, '(all)') AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_sales,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM chan
+GROUP BY ROLLUP(channel, p_brand)
+"""
+
+_TABLES["q_tpcds_crossitems"] = ("lineitem", "part")
+
+
+@query("q_tpcds_crossitems", oracle=_CROSSITEMS)
+def q_tpcds_crossitems(spark, sf_dir):
+    """TPC-DS Q14 shape (fixture-adapted): cross_parts = parts with a
+    high-quantity sale in ALL THREE channels (two stacked INTERSECTs —
+    Spark plans left-semi joins with distinct on both sides), then a
+    channel × brand ROLLUP over only those parts. The IN-subquery
+    against the intersected key set broadcasts at any scale (it only
+    shrinks as predicates tighten). The SAME SQL text is the
+    oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_crossitems", _CROSSITEMS)
+
+
+_MULTIWH = """
+WITH multi AS (
+  SELECT DISTINCT l1.l_orderkey
+  FROM lineitem l1, lineitem l2
+  WHERE l1.l_orderkey = l2.l_orderkey
+    AND l1.l_suppkey <> l2.l_suppkey
+)
+SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  AND o_orderkey IN (SELECT l_orderkey FROM multi)
+  AND o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_orderkey IN (SELECT l_orderkey FROM multi)
+  )
+"""
+
+_TABLES["q_tpcds_multiwh"] = ("lineitem", "orders")
+
+
+@query("q_tpcds_multiwh", oracle=_MULTIWH)
+def q_tpcds_multiwh(spark, sf_dir):
+    """TPC-DS Q95 shape (fixture-adapted): the multi-supplier-order
+    CTE (lineitem self-join on orderkey with supplier inequality) is
+    referenced TWICE — once as a direct semi-join on orders, once
+    nested inside the returned-lineitem semi-join — the
+    repeated-subquery-materialization signature. The self-join is
+    per-order bounded (≤7 lineitems/order at every SF, so the join
+    fans out ≤49 rows per order, linear overall). The SAME SQL text is
+    the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_multiwh", _MULTIWH)
+
+
+_QOQ = """
+WITH urgent AS (
+  SELECT n_name, CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders, customer, nation
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY n_name, CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT)
+),
+std AS (
+  SELECT n_name, CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders, customer, nation
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY n_name, CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT)
+)
+SELECT u1.n_name AS nation,
+       ROUND(CAST(u2.cents AS DOUBLE) / u1.cents, 6) AS urgent_g12,
+       ROUND(CAST(u3.cents AS DOUBLE) / u2.cents, 6) AS urgent_g23,
+       ROUND(CAST(s2.cents AS DOUBLE) / s1.cents, 6) AS std_g12,
+       ROUND(CAST(s3.cents AS DOUBLE) / s2.cents, 6) AS std_g23,
+       CASE WHEN CAST(u2.cents AS DECIMAL(19,0)) * CAST(s1.cents AS DECIMAL(19,0))
+                 > CAST(s2.cents AS DECIMAL(19,0)) * CAST(u1.cents AS DECIMAL(19,0))
+            THEN 1 ELSE 0 END AS urgent_faster_q2,
+       CASE WHEN CAST(u3.cents AS DECIMAL(19,0)) * CAST(s2.cents AS DECIMAL(19,0))
+                 > CAST(s3.cents AS DECIMAL(19,0)) * CAST(u2.cents AS DECIMAL(19,0))
+            THEN 1 ELSE 0 END AS urgent_faster_q3
+FROM urgent u1, urgent u2, urgent u3, std s1, std s2, std s3
+WHERE u1.n_name = u2.n_name AND u2.n_name = u3.n_name
+  AND u1.n_name = s1.n_name AND s1.n_name = s2.n_name AND s2.n_name = s3.n_name
+  AND u1.qtr = 1 AND u2.qtr = 2 AND u3.qtr = 3
+  AND s1.qtr = 1 AND s2.qtr = 2 AND s3.qtr = 3
+"""
+
+_TABLES["q_tpcds_qoq"] = ("orders", "customer", "nation")
+
+
+@query("q_tpcds_qoq", oracle=_QOQ)
+def q_tpcds_qoq(spark, sf_dir):
+    """TPC-DS Q31 shape (fixture-adapted): two aggregate series
+    (urgent vs standard priority, per nation per quarter), each CTE
+    self-joined THREE ways on consecutive quarters, comparing
+    quarter-over-quarter growth between the series. Growth ratios are
+    emitted as rounded doubles (identical bigint operands divide
+    bit-identically on both engines); the faster-growth FLAGS compare
+    exactly via DECIMAL(38,0) cross-multiplication — a bigint*bigint
+    product overflows at sf>=0.1, so the predicate must never run in
+    long arithmetic. Six aliases of two tiny aggregates: all broadcast
+    joins at any scale. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_qoq", _QOQ)
+
+
+_CHANROLLUP = """
+WITH sales AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'express'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+              ELSE 'economy' END AS channel,
+         n_name,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS sale_cents,
+         CASE WHEN l_returnflag = 'R'
+              THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS return_cents
+  FROM lineitem, orders, customer, nation
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n_nationkey
+)
+SELECT COALESCE(channel, '(all)') AS channel,
+       COALESCE(n_name, '(all)') AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(sale_cents) AS BIGINT) AS sales_cents,
+       CAST(SUM(return_cents) AS BIGINT) AS returns_cents,
+       CAST(SUM(sale_cents) - SUM(return_cents) AS BIGINT) AS net_cents
+FROM sales
+GROUP BY ROLLUP(channel, n_name)
+"""
+
+_TABLES["q_tpcds_chanrollup"] = ("lineitem", "orders", "customer", "nation")
+
+
+@query("q_tpcds_chanrollup", oracle=_CHANROLLUP)
+def q_tpcds_chanrollup(spark, sf_dir):
+    """TPC-DS Q77 shape (fixture-adapted): the cross-channel
+    sales-and-returns report — channel derived from order priority,
+    returns folded in as a conditional column (sales and returns from
+    ONE fact pass, where DS reads separate return tables), ROLLUP over
+    (channel, nation) with grand totals. One scan, one rollup shuffle;
+    nation/customer dims broadcast. The SAME SQL text is the
+    oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_chanrollup", _CHANROLLUP)
