@@ -1199,3 +1199,198 @@ def q_iceberg_spec_evolution(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     )
+
+
+# ---------------------------------------------------------------------
+# Iceberg v3: Puffin deletion vectors (round-8 verdict #5)
+# ---------------------------------------------------------------------
+
+_DV_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2v3",
+    "fields": [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102v3", "fields": []},
+        },
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        # v3 deletion-vector fields (spec ids 143/144/145)
+        {"name": "referenced_data_file", "type": ["null", "string"]},
+        {"name": "content_offset", "type": ["null", "long"]},
+        {"name": "content_size_in_bytes", "type": ["null", "long"]},
+    ],
+}
+
+_DV_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": _DV_DATA_FILE_SCHEMA},
+    ],
+}
+
+
+def author_iceberg_dv_orders(spark, sf_dir: str, name: str = "iceberg_dv") -> str:
+    """Author a FOREIGN-STYLE Iceberg format-v3 table from `orders`
+    (o_orderkey < 1500 in two data files) whose delete manifest
+    carries two deletion-vector entries — one Puffin file, two
+    deletion-vector-v1 blobs, each deleting that data file's rows
+    with o_orderkey % 7 == 0 BY ROW INDEX — mirroring
+    q_deltalog_dv's foreign-Delta fixture so the two formats' DV
+    paths stay differential-testable. Returns the table root."""
+    from plankton_spark.sources import puffin
+
+    root = _scratch(sf_dir, name)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+
+    halves = [o[o.o_orderkey < 750], o[o.o_orderkey >= 750]]
+    data_entries, blobs = [], []
+    for i, pdf in enumerate(halves):
+        part = spark.createDataFrame(pdf)
+        rel = _write_data_file(part, root, "data", f"file-{i}.parquet")
+        data_entries.append(
+            {
+                "content": 0,
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(pdf),
+                "file_size_in_bytes": os.path.getsize(os.path.join(root, rel)),
+                "referenced_data_file": None,
+                "content_offset": None,
+                "content_size_in_bytes": None,
+            }
+        )
+        deleted = [
+            j for j, k in enumerate(pdf.o_orderkey.tolist()) if k % 7 == 0
+        ]
+        blobs.append(
+            {
+                "type": "deletion-vector-v1",
+                "data": puffin.dv_blob(deleted),
+                "snapshot-id": 2,
+                "sequence-number": 2,
+                "properties": {
+                    "referenced-data-file": rel,
+                    "cardinality": str(len(deleted)),
+                },
+            }
+        )
+
+    puffin_rel = "data/deletes-1.puffin"
+    metas = puffin.write_puffin(os.path.join(root, puffin_rel), blobs)
+    dv_entries = [
+        {
+            "content": 1,
+            "file_path": puffin_rel,
+            "file_format": "PUFFIN",
+            "partition": {},
+            "record_count": int(b["properties"]["cardinality"]),
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(root, puffin_rel)
+            ),
+            "referenced_data_file": b["properties"]["referenced-data-file"],
+            "content_offset": m["offset"],
+            "content_size_in_bytes": m["length"],
+        }
+        for b, m in zip(blobs, metas)
+    ]
+
+    def manifest(fname: str, entries: list[dict]) -> dict:
+        path = os.path.join(root, "metadata", fname)
+        write_ocf_generic(
+            path,
+            _DV_MANIFEST_ENTRY_SCHEMA,
+            [
+                {"status": 1, "snapshot_id": 2, "data_file": e}
+                for e in entries
+            ],
+        )
+        return {
+            "manifest_path": f"metadata/{fname}",
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": None,
+        }
+
+    m_data = manifest("m-data.avro", data_entries)
+    m_dv = manifest("m-dv.avro", dv_entries)
+    ml = os.path.join(root, "metadata", "snap-2.avro")
+    write_ocf_generic(ml, MANIFEST_FILE_SCHEMA, [m_data, m_dv])
+
+    metadata = {
+        "format-version": 3,
+        "table-uuid": "plankton-iceberg-dv-fixture",
+        "location": root,
+        "last-updated-ms": 2,
+        "last-column-id": 3,
+        "schema": _ICE_SCHEMA,
+        "schemas": [_ICE_SCHEMA],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {
+                "snapshot-id": 2,
+                "timestamp-ms": 2,
+                "manifest-list": "metadata/snap-2.avro",
+            }
+        ],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    return root
+
+
+@query(
+    "q_iceberg_dv",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM orders
+    WHERE o_orderkey < 1500 AND o_orderkey % 7 <> 0
+    """,
+)
+def q_iceberg_dv(spark, sf_dir):
+    """Iceberg v3 Puffin deletion-vector reads as a query: a
+    foreign-style format-v3 table whose delete manifest carries two
+    deletion-vector-v1 entries (ONE Puffin file, TWO blobs —
+    content_offset/content_size_in_bytes select each blob; the spec's
+    magic+portable-roaring+CRC framing is validated on decode, see
+    sources/puffin.py). read_iceberg must drop exactly the rows each
+    DV marks by row index via the same (file-basename, row-index)
+    anti-join the v2 parquet position deletes use. The oracle
+    re-derives the survivors relationally — a framing/offset/codec/
+    anti-join bug is a hash mismatch. Same aggregate contract as
+    q_deltalog_dv, so Delta-vs-Iceberg DV behavior stays
+    differential-testable."""
+    root = author_iceberg_dv_orders(spark, sf_dir)
+    t = read_iceberg(spark, root)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    )

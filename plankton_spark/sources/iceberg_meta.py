@@ -138,7 +138,7 @@ class IcebergTable:
         id-resolution meets an id-less file)."""
         import pyarrow.parquet as _pq
 
-        entries, _pos, _eq = self.scan_entries_full(snapshot_id)
+        entries, _pos, _eq, _dv = self.scan_entries_full(snapshot_id)
         if not entries:
             return False
         sch = _pq.read_schema(entries[0][0])
@@ -294,7 +294,14 @@ class IcebergTable:
         caller of scan_entries applies deletes by exact file identity
         only; the equality-aware path is read_iceberg via
         scan_entries_full, which resolves sequence numbers."""
-        data, pos, eq = self.scan_entries_full(snapshot_id)
+        data, pos, eq, dv = self.scan_entries_full(snapshot_id)
+        if dv:
+            raise ValueError(
+                f"{self.table_path}: iceberg v3 deletion vectors "
+                "present — this access path cannot apply them and "
+                "reading around them would resurrect rows; use "
+                "read_iceberg() (DV-aware)"
+            )
         if eq:
             raise ValueError(
                 f"{self.table_path}: iceberg equality delete files "
@@ -308,11 +315,22 @@ class IcebergTable:
         list[tuple[str, dict, int, int]],
         list[str],
         list[tuple[str, tuple[int, ...], int]],
+        list[tuple[str, str, int, int]],
     ]:
         """Live scan entries at a snapshot with v2 sequence numbers:
         (data [(abs_path, partition, data_seq, spec_id)],
         position-delete paths, equality deletes
-        [(abs_path, equality_ids, delete_seq)]).
+        [(abs_path, equality_ids, delete_seq)], deletion vectors
+        [(abs_puffin_path, referenced_data_file, content_offset,
+        content_size_in_bytes)]).
+
+        Deletion vectors are the v3 position-delete representation:
+        a content=1 entry whose file_format is PUFFIN and which
+        carries referenced_data_file + content_offset +
+        content_size_in_bytes pointing at one deletion-vector-v1 blob
+        (sources/puffin.py). The v2 parquet (file_path, pos) form and
+        the v3 DV form can coexist in one snapshot during migration;
+        read_iceberg applies both.
 
         ``spec_id`` is the manifest's partition_spec_id — after
         partition evolution, live data files span multiple specs and
@@ -331,6 +349,7 @@ class IcebergTable:
         out: list[tuple[str, dict, int, int]] = []
         pos_deletes: list[str] = []
         eq_deletes: list[tuple[str, tuple[int, ...], int]] = []
+        dv_deletes: list[tuple[str, str, int, int]] = []
         seen: set[str] = set()
         for m in read_ocf_generic(manifest_list):
             manifest = self._resolve(m["manifest_path"])
@@ -342,9 +361,18 @@ class IcebergTable:
                 df = entry["data_file"]
                 content = df.get("content", 0)
                 path = self._resolve(df["file_path"])
-                if path in seen:
+                # dedup key: one Puffin file legitimately holds many
+                # DV blobs (one manifest entry per blob, same
+                # file_path, distinct content_offset) — key those by
+                # (path, offset); plain files dedup by path
+                dedup_key = (
+                    f"{path}@{df.get('content_offset')}"
+                    if content == 1 and df.get("content_offset") is not None
+                    else path
+                )
+                if dedup_key in seen:
                     continue
-                seen.add(path)
+                seen.add(dedup_key)
                 e_seq = entry.get("sequence_number")
                 if e_seq is None:
                     e_seq = m_seq if m_seq is not None else 0
@@ -352,8 +380,24 @@ class IcebergTable:
                     out.append(
                         (path, df.get("partition") or {}, int(e_seq), m_sid)
                     )
-                elif content == 1:  # position deletes
-                    pos_deletes.append(path)
+                elif content == 1:  # position deletes (v2 file or v3 DV)
+                    fmt = str(df.get("file_format") or "").upper()
+                    ref = df.get("referenced_data_file")
+                    if fmt == "PUFFIN" or ref is not None:
+                        off = df.get("content_offset")
+                        sz = df.get("content_size_in_bytes")
+                        if ref is None or off is None or sz is None:
+                            raise ValueError(
+                                f"{self.table_path}: deletion-vector "
+                                f"entry {df['file_path']!r} must carry "
+                                "referenced_data_file + content_offset "
+                                "+ content_size_in_bytes (v3 spec)"
+                            )
+                        dv_deletes.append(
+                            (path, str(ref), int(off), int(sz))
+                        )
+                    else:
+                        pos_deletes.append(path)
                 elif content == 2:  # equality deletes
                     ids = df.get("equality_ids")
                     if not ids:
@@ -370,7 +414,12 @@ class IcebergTable:
                         f"{self.table_path}: unknown data_file content "
                         f"kind {content!r}"
                     )
-        return sorted(out), sorted(pos_deletes), sorted(eq_deletes)
+        return (
+            sorted(out),
+            sorted(pos_deletes),
+            sorted(eq_deletes),
+            sorted(dv_deletes),
+        )
 
     def field_name_by_id(self, fid: int) -> str:
         """Current-schema column name for an Iceberg field id (used to
@@ -469,7 +518,7 @@ def read_iceberg(
         # schema explicitly carries parquet.field.id metadata, so
         # leaving it on session-wide is side-effect-free
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    full, pos_dels, eq_dels = t.scan_entries_full(snapshot_id)
+    full, pos_dels, eq_dels, dv_dels = t.scan_entries_full(snapshot_id)
     if not full:
         return spark.createDataFrame([], t.schema())
     spec_ids = sorted({sid for _p, _pv, _seq, sid in full})
@@ -481,7 +530,7 @@ def read_iceberg(
         # at 100 TB that's the point (no rewrite), and per-group
         # assembly keeps every group's scan partition-prunable on its
         # own identity columns.
-        if pos_dels or eq_dels:
+        if pos_dels or eq_dels or dv_dels:
             raise ValueError(
                 f"{t.table_path}: row-level deletes over a multi-spec "
                 "(partition-evolved) snapshot are not supported — "
@@ -510,7 +559,7 @@ def read_iceberg(
     # default spec doesn't describe the live files
     part_cols = t.partition_fields_for(spec_ids[0])
     entries = [(p, pv) for p, pv, _seq, _sid in full]
-    if not pos_dels and not eq_dels:
+    if not pos_dels and not eq_dels and not dv_dels:
         if not part_cols:
             return spark.read.schema(schema).parquet(*[p for p, _ in entries])
         return _assemble_iceberg(spark, schema, part_cols, entries)
@@ -527,15 +576,25 @@ def read_iceberg(
         )
     return _posdelete_filtered_read(
         spark, t, schema, part_cols, entries, pos_dels,
-        eq_deletes=eq_dels, data_seq=data_seq,
+        eq_deletes=eq_dels, data_seq=data_seq, dv_deletes=dv_dels,
     )
 
 
 def _posdelete_filtered_read(
     spark, t: "IcebergTable", schema, part_cols, entries, delete_files,
-    eq_deletes=(), data_seq=None,
+    eq_deletes=(), data_seq=None, dv_deletes=(),
 ):
     """Data scan minus the rows position-delete files mark.
+
+    ``dv_deletes`` are v3 deletion vectors [(puffin_path,
+    referenced_data_file, offset, size)]: each blob decodes to the
+    deleted row indexes of ONE data file. Decode runs on executors
+    (mapInPandas over the descriptor rows, one Arrow batch per ~1M
+    indexes — a DV's cardinality is bounded by rows-per-file and the
+    driver never materializes it), then joins into the same
+    (file-basename, row-index) anti-join the v2 parquet deletes use,
+    so both forms — legal to coexist mid-migration — subtract through
+    one code path.
 
     Both sides normalize file identity to the path suffix under the
     table's data/ dir (delete files may reference absolute URIs from
@@ -591,6 +650,40 @@ def _posdelete_filtered_read(
         if total_delete_bytes < 32 << 20:  # compressed (file,pos) pairs
             dels = F.broadcast(dels)
         scan = scan.join(dels, ["__pd_file", "__pd_ridx"], "left_anti")
+    if dv_deletes:
+        desc_rows = [
+            (os.path.basename(ref.rstrip("/")), p, int(off), int(sz))
+            for p, ref, off, sz in sorted(dv_deletes)
+        ]
+        desc_df = spark.createDataFrame(
+            desc_rows, "f string, puffin string, off long, sz long"
+        ).repartition(min(len(desc_rows), 64))
+
+        def _expand(batches):
+            import pandas as _pd
+
+            from plankton_spark.sources.puffin import dv_indexes
+
+            for pdf in batches:
+                for fb, pp, off, sz in zip(
+                    pdf["f"], pdf["puffin"], pdf["off"], pdf["sz"]
+                ):
+                    idx = dv_indexes(pp, int(off), int(sz))
+                    for i in range(0, len(idx), 1 << 20):
+                        yield _pd.DataFrame(
+                            {
+                                "__pd_file": fb,
+                                "__pd_ridx": idx[i : i + (1 << 20)],
+                            }
+                        )
+
+        dv_frame = desc_df.mapInPandas(
+            _expand, "__pd_file string, __pd_ridx long"
+        )
+        total_dv_bytes = sum(sz for _p, _r, _o, sz in dv_deletes)
+        if total_dv_bytes < 8 << 20:  # roaring-compressed indexes
+            dv_frame = F.broadcast(dv_frame)
+        scan = scan.join(dv_frame, ["__pd_file", "__pd_ridx"], "left_anti")
     if eq_deletes:
         scan = _apply_equality_deletes(
             spark, t, schema, scan, eq_deletes, data_seq or {}
@@ -1616,7 +1709,7 @@ class IcebergWriter:
             # scan_entries_full, not scan_entries: the probe must keep
             # working on equality-deleted tables (append stays legal
             # there), where scan_entries raises by contract
-            entries, _pos, _eq = table.scan_entries_full(None)
+            entries, _pos, _eq, _dv = table.scan_entries_full(None)
             if entries and not table.files_carry_field_ids(None):
                 return {}
         except (FileNotFoundError, ValueError, KeyError, StopIteration):

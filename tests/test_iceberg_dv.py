@@ -1,0 +1,260 @@
+"""Iceberg v3 Puffin deletion vectors (round-9): the Puffin
+reader/writer (sources/puffin.py), the scan_entries_full DV surface,
+read_iceberg's DV anti-join, refusal paths (whole-file access, corrupt
+blobs, compressed footers, incomplete entries), and v2-parquet + v3-DV
+coexistence in one snapshot."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from plankton_spark.sources import puffin
+from plankton_spark.sources.avro_ocf import write_ocf_generic
+from plankton_spark.sources.iceberg_meta import IcebergTable, read_iceberg
+from plankton_spark.queries.iceberg_interop import (
+    _DV_MANIFEST_ENTRY_SCHEMA,
+    MANIFEST_FILE_SCHEMA,
+)
+
+_ICE_SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "grp", "required": False, "type": "string"},
+    ],
+}
+
+
+# -- puffin codec ------------------------------------------------------------
+
+
+def test_dv_blob_roundtrip():
+    for idx in ([], [0], [0, 1, 5, 19], list(range(0, 5000, 7)),
+                [3, 1 << 33, (1 << 33) + 7]):
+        blob = puffin.dv_blob(idx)
+        assert puffin.dv_blob_indexes(blob) == sorted(set(idx))
+
+
+def test_dv_blob_magic_bytes_match_spec():
+    # Iceberg v3 spec: magic sequence D1 D3 39 64 right after the
+    # 4-byte length — the Delta-compatible framing.
+    blob = puffin.dv_blob([1, 2, 3])
+    assert blob[4:8] == bytes([0xD1, 0xD3, 0x39, 0x64])
+
+
+def test_dv_blob_crc_corruption_refuses():
+    blob = bytearray(puffin.dv_blob([1, 2, 3]))
+    blob[10] ^= 0xFF
+    with pytest.raises(puffin.PuffinError, match="CRC"):
+        puffin.dv_blob_indexes(bytes(blob))
+
+
+def test_dv_blob_length_mismatch_refuses():
+    blob = puffin.dv_blob([1, 2, 3])
+    with pytest.raises(puffin.PuffinError, match="framing"):
+        puffin.dv_blob_indexes(blob + b"x")
+
+
+def test_puffin_file_roundtrip(tmp_path):
+    path = str(tmp_path / "t.puffin")
+    blobs = [
+        {"type": "deletion-vector-v1", "data": puffin.dv_blob([1, 3]),
+         "snapshot-id": 9, "sequence-number": 2,
+         "properties": {"referenced-data-file": "data/a.parquet",
+                        "cardinality": "2"}},
+        {"type": "deletion-vector-v1", "data": puffin.dv_blob([0, 7, 8]),
+         "properties": {"referenced-data-file": "data/b.parquet",
+                        "cardinality": "3"}},
+    ]
+    metas = puffin.write_puffin(path, blobs, properties={"created-by": "t"})
+    footer = puffin.read_footer(path)
+    assert footer["properties"] == {"created-by": "t"}
+    assert [b["type"] for b in footer["blobs"]] == ["deletion-vector-v1"] * 2
+    for meta, want in zip(metas, ([1, 3], [0, 7, 8])):
+        assert puffin.dv_indexes(path, meta["offset"], meta["length"]) == want
+    # offsets must start after the 4-byte header magic
+    assert metas[0]["offset"] == 4
+    assert metas[1]["offset"] == 4 + len(blobs[0]["data"])
+
+
+def test_puffin_compressed_footer_refuses(tmp_path):
+    path = str(tmp_path / "c.puffin")
+    puffin.write_puffin(path, [])
+    raw = bytearray(open(path, "rb").read())
+    raw[-8] |= 1  # set flags bit 0 (first flag byte, LE int at -8..-4)
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(puffin.PuffinError, match="LZ4"):
+        puffin.read_footer(path)
+
+
+def test_puffin_bad_magic_refuses(tmp_path):
+    path = str(tmp_path / "b.puffin")
+    open(path, "wb").write(b"NOPE" + b"\x00" * 20)
+    with pytest.raises(puffin.PuffinError, match="magic"):
+        puffin.read_footer(path)
+
+
+# -- table-level fixture ------------------------------------------------------
+
+
+def _author_v3_dv_table(
+    tmp_path,
+    name: str,
+    dv_deleted: list[int],
+    also_parquet_deleted: list[int] | None = None,
+    drop_field: str | None = None,
+):
+    """One 20-row data file; `dv_deleted` positions removed via a
+    Puffin DV; optionally `also_parquet_deleted` via a v2 parquet
+    position-delete file in the SAME snapshot (migration
+    coexistence)."""
+    root = str(tmp_path / name)
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    ks = list(range(20))
+    pq.write_table(
+        pa.table({"k": pa.array(ks, pa.int64()),
+                  "grp": pa.array(["g"] * 20)}),
+        os.path.join(root, "data", "d0.parquet"),
+    )
+    blob = {"type": "deletion-vector-v1",
+            "data": puffin.dv_blob(dv_deleted),
+            "properties": {"referenced-data-file": "data/d0.parquet",
+                           "cardinality": str(len(dv_deleted))}}
+    metas = puffin.write_puffin(
+        os.path.join(root, "data", "dv0.puffin"), [blob]
+    )
+    dv_entry = {
+        "content": 1,
+        "file_path": "data/dv0.puffin",
+        "file_format": "PUFFIN",
+        "partition": {},
+        "record_count": len(dv_deleted),
+        "file_size_in_bytes": os.path.getsize(
+            os.path.join(root, "data", "dv0.puffin")
+        ),
+        "referenced_data_file": "data/d0.parquet",
+        "content_offset": metas[0]["offset"],
+        "content_size_in_bytes": metas[0]["length"],
+    }
+    if drop_field:
+        dv_entry[drop_field] = None
+    data_entry = {
+        "content": 0, "file_path": "data/d0.parquet",
+        "file_format": "PARQUET", "partition": {}, "record_count": 20,
+        "file_size_in_bytes": 1, "referenced_data_file": None,
+        "content_offset": None, "content_size_in_bytes": None,
+    }
+    del_entries = [dv_entry]
+    if also_parquet_deleted is not None:
+        pq.write_table(
+            pa.table({
+                "file_path": pa.array(
+                    ["data/d0.parquet"] * len(also_parquet_deleted)),
+                "pos": pa.array(also_parquet_deleted, pa.int64()),
+            }),
+            os.path.join(root, "data", "del0.parquet"),
+        )
+        del_entries.append({
+            "content": 1, "file_path": "data/del0.parquet",
+            "file_format": "PARQUET", "partition": {},
+            "record_count": len(also_parquet_deleted),
+            "file_size_in_bytes": 1, "referenced_data_file": None,
+            "content_offset": None, "content_size_in_bytes": None,
+        })
+
+    def manifest(fname, entries):
+        path = os.path.join(root, "metadata", fname)
+        write_ocf_generic(
+            path, _DV_MANIFEST_ENTRY_SCHEMA,
+            [{"status": 1, "snapshot_id": 1, "data_file": e}
+             for e in entries],
+        )
+        return {"manifest_path": f"metadata/{fname}",
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": 0, "added_snapshot_id": None}
+
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    write_ocf_generic(
+        ml, MANIFEST_FILE_SCHEMA,
+        [manifest("m-data.avro", [data_entry]),
+         manifest("m-del.avro", del_entries)],
+    )
+    metadata = {
+        "format-version": 3, "table-uuid": name, "location": root,
+        "last-updated-ms": 1, "last-column-id": 2,
+        "schema": _ICE_SCHEMA, "schemas": [_ICE_SCHEMA],
+        "current-schema-id": 0, "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0, "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                       "manifest-list": "metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    return root, ks
+
+
+def test_dv_applied(spark, tmp_path):
+    dv = [0, 3, 7, 19]
+    root, ks = _author_v3_dv_table(tmp_path, "dv1", dv)
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in ks if k not in dv]
+
+
+def test_dv_and_parquet_deletes_coexist(spark, tmp_path):
+    # migration snapshot: some deletes still in v2 parquet form, some
+    # already as v3 DVs — both must subtract
+    root, ks = _author_v3_dv_table(
+        tmp_path, "dv2", [1, 2], also_parquet_deleted=[5, 6]
+    )
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in ks if k not in (1, 2, 5, 6)]
+
+
+def test_dv_scan_entries_surface(tmp_path):
+    root, _ = _author_v3_dv_table(tmp_path, "dv3", [4])
+    t = IcebergTable(root)
+    data, pos, eq, dv = t.scan_entries_full(None)
+    assert len(data) == 1 and pos == [] and eq == []
+    assert len(dv) == 1
+    p, ref, off, sz = dv[0]
+    assert p.endswith("dv0.puffin") and ref == "data/d0.parquet"
+    assert puffin.dv_indexes(p, off, sz) == [4]
+
+
+def test_dv_whole_file_access_refuses(tmp_path):
+    # scan_entries is the whole-files surface (DSv2 wrapper, writer
+    # rewrites) — reading around a DV would resurrect rows
+    root, _ = _author_v3_dv_table(tmp_path, "dv4", [4])
+    with pytest.raises(ValueError, match="deletion vectors"):
+        IcebergTable(root).scan_entries(None)
+
+
+def test_dv_incomplete_entry_refuses(tmp_path):
+    root, _ = _author_v3_dv_table(
+        tmp_path, "dv5", [4], drop_field="content_offset"
+    )
+    with pytest.raises(ValueError, match="content_offset"):
+        IcebergTable(root).scan_entries_full(None)
+
+
+def test_dv_corrupt_blob_fails_read(spark, tmp_path):
+    root, _ = _author_v3_dv_table(tmp_path, "dv6", [0, 3, 7])
+    pf = os.path.join(root, "data", "dv0.puffin")
+    raw = bytearray(open(pf, "rb").read())
+    raw[10] ^= 0xFF  # inside the first blob's bitmap
+    open(pf, "wb").write(bytes(raw))
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="CRC-32 mismatch"):
+        read_iceberg(spark, root).collect()

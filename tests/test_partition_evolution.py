@@ -49,7 +49,7 @@ def test_evolve_unpartitioned_to_identity(spark, tmp_path):
     # the new data actually landed hive-style under the new spec
     t = IcebergTable(root)
     assert t.metadata["default-spec-id"] == 1
-    full, _pos, _eq = t.scan_entries_full(None)
+    full, _pos, _eq, _dv = t.scan_entries_full(None)
     sids = {s for _p, _pv, _q, s in full}
     assert sids == {0, 1}, sids
     new_files = [p for p, _pv, _q, s in full if s == 1]
@@ -122,7 +122,7 @@ def test_optimize_compacts_to_single_spec(spark, tmp_path):
     )
     w.optimize()
     t = IcebergTable(root)
-    full, _pos, _eq = t.scan_entries_full(None)
+    full, _pos, _eq, _dv = t.scan_entries_full(None)
     assert {s for *_x, s in full} == {1}
     got = sorted(r.k for r in read_iceberg(spark, root).collect())
     assert got == list(range(16))
