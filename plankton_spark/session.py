@@ -52,7 +52,14 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # CBO + stats-driven join reorder: both are no-ops unless the
+        # plan reads CATALOG tables carrying ANALYZE TABLE stats
+        # (path-based parquet reads have none), so session-wide-on is
+        # side-effect-free; catalog.register + catalog.analyze make a
+        # table eligible, and tests/test_cbo.py pins that the reorder
+        # actually fires (and stops firing when stats are dropped)
         .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.warehouse.dir", "/root/repo/.scratch/warehouse")
     )
     return builder.getOrCreate()

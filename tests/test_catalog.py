@@ -1,0 +1,80 @@
+"""plankton_spark.catalog: SQL-name registration for all four table
+formats — mechanism choice (catalog table vs temp view), snapshot
+pinning semantics, time-travel kwargs, refusals, unregister."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from plankton_spark import catalog
+from plankton_spark.table_format import PlankTable
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _plank(spark, tmp_path, rows):
+    root = str(tmp_path / "pt")
+    t = PlankTable(spark, root)
+    t.create(spark.createDataFrame(rows, "k long, v string"))
+    return root, t
+
+
+def test_parquet_catalog_table(spark, tmp_path):
+    catalog.register(
+        spark, "cat_t_orders", os.path.join(SF0001, "orders.parquet"), "parquet"
+    )
+    try:
+        n = spark.sql("SELECT COUNT(*) AS n FROM cat_t_orders").collect()[0]["n"]
+        assert n == spark.read.parquet(
+            os.path.join(SF0001, "orders.parquet")
+        ).count()
+        # it's a real catalog table, not a view
+        assert spark.catalog.tableExists("cat_t_orders")
+    finally:
+        catalog.unregister(spark, "cat_t_orders")
+    assert not spark.catalog.tableExists("cat_t_orders")
+
+
+def test_planktable_view_snapshot_pinned(spark, tmp_path):
+    root, t = _plank(spark, tmp_path, [(1, "a"), (2, "b")])
+    catalog.register(spark, "cat_t_pt", root, "planktable")
+    assert spark.sql("SELECT COUNT(*) AS n FROM cat_t_pt").collect()[0]["n"] == 2
+    # commit AFTER registration: the view is snapshot-pinned
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert spark.sql("SELECT COUNT(*) AS n FROM cat_t_pt").collect()[0]["n"] == 2
+    # re-register advances to current
+    catalog.register(spark, "cat_t_pt", root, "planktable")
+    assert spark.sql("SELECT COUNT(*) AS n FROM cat_t_pt").collect()[0]["n"] == 3
+    catalog.unregister(spark, "cat_t_pt")
+
+
+def test_planktable_view_time_travel_kwarg(spark, tmp_path):
+    root, t = _plank(spark, tmp_path, [(1, "a")])
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    catalog.register(spark, "cat_t_v0", root, "planktable", version=0)
+    assert spark.sql("SELECT COUNT(*) AS n FROM cat_t_v0").collect()[0]["n"] == 1
+    catalog.unregister(spark, "cat_t_v0")
+
+
+def test_register_returns_dataframe(spark, tmp_path):
+    root, _ = _plank(spark, tmp_path, [(1, "a")])
+    df = catalog.register(spark, "cat_t_df", root, "planktable")
+    assert df.count() == 1
+    catalog.unregister(spark, "cat_t_df")
+
+
+def test_bad_name_and_format_refuse(spark, tmp_path):
+    with pytest.raises(ValueError, match="identifier"):
+        catalog.register(spark, "bad-name", "/x", "parquet")
+    with pytest.raises(ValueError, match="unknown format"):
+        catalog.register(spark, "t", "/x", "orc")
+    with pytest.raises(ValueError, match="no kwargs"):
+        catalog.register(spark, "t", "/x", "parquet", version=1)
+
+
+def test_unregister_is_idempotent(spark):
+    catalog.unregister(spark, "cat_never_registered")  # no raise
