@@ -1394,3 +1394,50 @@ def q_iceberg_dv(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     )
+
+
+@query(
+    "q_iceberg_dv_delete",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum
+    FROM orders
+    WHERE o_orderkey < 2000
+      AND NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+      AND NOT (o_orderkey % 11 = 0)
+    """,
+)
+def q_iceberg_dv_delete(spark, sf_dir):
+    """DV-WRITING Iceberg v3 delete as a query (the write twin of
+    q_iceberg_dv, and the cross-format mirror of q_deltalog_dv_delete
+    with the SAME predicate shape): two successive
+    IcebergWriter.delete_where_dv calls mark row indexes in Puffin
+    deletion vectors — O(deleted rows), no data file rewritten, the
+    second delete MERGING into one DV per file per the v3 invariant —
+    and the DV-aware read subtracts them. Oracle re-derives the
+    survivors relationally, so a merge/supersede bug (double DV per
+    file, resurrection of first-round deletes) is a hash mismatch."""
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root = _scratch(sf_dir, "iceberg_dv_delete")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    w = IcebergWriter(spark, root)
+    w.create(o)
+    w.delete_where_dv(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0)
+    )
+    w.delete_where_dv(F.col("o_orderkey") % 11 == 0)
+    return read_iceberg(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    )

@@ -258,3 +258,97 @@ def test_dv_corrupt_blob_fails_read(spark, tmp_path):
 
     with pytest.raises(PythonException, match="CRC-32 mismatch"):
         read_iceberg(spark, root).collect()
+
+
+# -- writer: delete_where_dv ---------------------------------------------------
+
+
+def _fresh_table(spark, tmp_path, name):
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root = str(tmp_path / name)
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, "even" if i % 2 == 0 else "odd") for i in range(30)],
+            "k long, grp string",
+        )
+    )
+    return root, w
+
+
+def test_delete_where_dv_basic(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root, w = _fresh_table(spark, tmp_path, "wdv1")
+    sid = w.delete_where_dv(F.col("k") % 5 == 0)
+    assert sid is not None
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in range(30) if k % 5 != 0]
+    t = IcebergTable(root)
+    assert t.metadata["format-version"] == 3
+    _d, _p, _e, dv = t.scan_entries_full(None)
+    assert dv, "expected deletion-vector entries"
+    assert all(p.endswith(".puffin") for p, _r, _o, _s in dv)
+
+
+def test_delete_where_dv_merges_per_file(spark, tmp_path):
+    """Second DV delete must MERGE into one DV per file (the v3
+    at-most-one-DV invariant), not accumulate entries."""
+    from pyspark.sql import functions as F
+
+    root, w = _fresh_table(spark, tmp_path, "wdv2")
+    w.delete_where_dv(F.col("k") % 5 == 0)
+    w.delete_where_dv(F.col("k") % 7 == 0)
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in range(30) if k % 5 != 0 and k % 7 != 0]
+    t = IcebergTable(root)
+    _d, _p, _e, dv = t.scan_entries_full(None)
+    refs = [r for _p2, r, _o, _s in dv]
+    assert len(refs) == len(set(refs)), f"duplicate DV per file: {refs}"
+    # merged cardinality: every blob holds BOTH rounds' deletes
+    total = sum(len(puffin.dv_indexes(p, o, s)) for p, _r, o, s in dv)
+    assert total == len([k for k in range(30) if k % 5 == 0 or k % 7 == 0])
+
+
+def test_delete_where_dv_noop_returns_none(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root, w = _fresh_table(spark, tmp_path, "wdv3")
+    assert w.delete_where_dv(F.col("k") > 1000) is None
+    # already-deleted rows re-hit -> no new snapshot either
+    w.delete_where_dv(F.col("k") == 3)
+    assert w.delete_where_dv(F.col("k") == 3) is None
+
+
+def test_delete_where_dv_refuses_v2_mix(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root, w = _fresh_table(spark, tmp_path, "wdv4")
+    w.delete_where_pos(F.col("k") == 1)
+    with pytest.raises(ValueError, match="v2 position/equality"):
+        w.delete_where_dv(F.col("k") == 2)
+
+
+def test_delete_where_dv_then_append(spark, tmp_path):
+    """Appended rows after a DV delete are untouched by it."""
+    from pyspark.sql import functions as F
+
+    root, w = _fresh_table(spark, tmp_path, "wdv5")
+    w.delete_where_dv(F.col("k") < 10)
+    w.append(spark.createDataFrame([(5, "again")], "k long, grp string"))
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [5] + list(range(10, 30))
+
+
+def test_delete_where_dv_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root, w = _fresh_table(spark, tmp_path, "wdv6")
+    t0 = IcebergTable(root)
+    first = t0.metadata["current-snapshot-id"]
+    w.delete_where_dv(F.col("k") >= 20)
+    # the pre-delete snapshot still reads all rows
+    n_then = read_iceberg(spark, root, snapshot_id=first).count()
+    assert n_then == 30
+    assert read_iceberg(spark, root).count() == 20

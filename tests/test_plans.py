@@ -305,3 +305,46 @@ def test_profile_table_default_has_no_expand(spark):
     # the exact opt-in is the one that pays the EXPAND
     exact_plan = plan_of(profile_table(li, cols, exact=True))
     assert "Expand" in exact_plan
+
+
+def test_range_binned_join_is_hash_not_bnl(spark):
+    """q_join_range_binned's whole claim: a pure interval predicate
+    becomes an EQUI join on the bin id — the plan must contain a
+    hash/merge join and no BroadcastNestedLoopJoin/Cartesian."""
+    df = all_queries()["q_join_range_binned"](spark, SF001)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("HashJoin" in plan) or ("SortMergeJoin" in plan), plan
+
+
+def test_tpcds_widerollup_expands_then_partially_aggregates(spark):
+    """Q67 shape: the 5-level rollup runs as Expand -> partial
+    HashAggregate -> exchange -> final — group cells cross the
+    shuffle, not input rows."""
+    df = all_queries()["q_tpcds_widerollup"](spark, SF001)
+    plan = plan_of(df)
+    assert "Expand" in plan
+    # partial before the exchange: Spark marks partial aggregation
+    # explicitly in formatted plans
+    assert re.search(r"HashAggregate .*\n.*keys", plan) or "partial" in plan.lower()
+
+
+def test_tpcds_multichannel_semijoins_not_loops(spark):
+    """Q23 shape: both IN-subqueries must decorrelate to semi joins
+    (broadcastable key sets), never nested-loop re-execution."""
+    df = all_queries()["q_tpcds_multichannel"](spark, SF001)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_dedup_pair_join_keys_include_cluster(spark):
+    """SemDeDup's scale claim: the component self-join's keys carry
+    the CLUSTER id, so pairwise work is cluster-bounded. The
+    optimized plan's join condition must include both the component
+    index and the cluster keys."""
+    df = all_queries()["q_dedup_semantic"](spark, SF001)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"Join Inner.*\(i#?\d* = j", opt) or "(i" in opt, opt
+    assert re.search(r"ka#?\d*L? = kb", opt.replace("\n", " ")), opt
