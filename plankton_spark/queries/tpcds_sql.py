@@ -445,3 +445,86 @@ def q_tpcds_chanrollup(spark, sf_dir):
     nation/customer dims broadcast. The SAME SQL text is the
     oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_chanrollup", _CHANROLLUP)
+
+
+_TIMEBANDS = """
+SELECT * FROM
+ (SELECT CAST(COUNT(*) AS BIGINT) AS band1 FROM lineitem WHERE l_quantity >= 1  AND l_quantity < 10 AND l_returnflag = 'A') b1,
+ (SELECT CAST(COUNT(*) AS BIGINT) AS band2 FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 20 AND l_returnflag = 'A') b2,
+ (SELECT CAST(COUNT(*) AS BIGINT) AS band3 FROM lineitem WHERE l_quantity >= 20 AND l_quantity < 30 AND l_returnflag = 'A') b3,
+ (SELECT CAST(COUNT(*) AS BIGINT) AS band4 FROM lineitem WHERE l_quantity >= 30 AND l_quantity < 40 AND l_returnflag = 'A') b4,
+ (SELECT CAST(COUNT(*) AS BIGINT) AS band5 FROM lineitem WHERE l_quantity >= 40 AND l_quantity < 50 AND l_returnflag = 'A') b5,
+ (SELECT CAST(COUNT(*) AS BIGINT) AS band6 FROM lineitem WHERE l_quantity >= 50                    AND l_returnflag = 'A') b6
+"""
+
+
+@query("q_tpcds_timebands", oracle=_TIMEBANDS)
+def q_tpcds_timebands(spark, sf_dir):
+    """TPC-DS Q88 shape (fixture-adapted): N independent band-count
+    scalar subqueries over the same fact, cross-joined into one row.
+    The ORACLE is the literal 6-subquery text (DuckDB runs 6 scans);
+    the SPARK side is the plan you actually want at 100 TB — ONE scan
+    with 6 conditional counts (`SUM(CASE WHEN band THEN 1)`), because
+    the subqueries differ only in their predicate and Catalyst cannot
+    fuse disjoint-filter scalar subqueries itself. 6x less IO by
+    construction; identical single row by the gate's hash."""
+    from pyspark.sql import functions as F
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "A"
+    )
+    q = F.col("l_quantity")
+    bands = {
+        "band1": (q >= 1) & (q < 10),
+        "band2": (q >= 10) & (q < 20),
+        "band3": (q >= 20) & (q < 30),
+        "band4": (q >= 30) & (q < 40),
+        "band5": (q >= 40) & (q < 50),
+        "band6": q >= 50,
+    }
+    return li.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in bands.items()
+        ]
+    )
+
+
+_CHANRATIO = """
+WITH ret AS (
+  SELECT o_custkey AS ck, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem, orders
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  GROUP BY o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+),
+kept AS (
+  SELECT o_custkey AS ck, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem, orders
+  WHERE l_orderkey = o_orderkey AND l_returnflag <> 'R'
+  GROUP BY o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+)
+SELECT k.ck AS custkey, k.yr AS yr,
+       k.cents AS kept_cents, k.qty AS kept_qty,
+       COALESCE(r.cents, 0) AS ret_cents,
+       ROUND(CAST(COALESCE(r.cents, 0) AS DOUBLE) / k.cents, 6) AS ret_ratio
+FROM kept k LEFT JOIN ret r ON k.ck = r.ck AND k.yr = r.yr
+WHERE k.cents > 50000000
+"""
+
+_TABLES["q_tpcds_chanratio"] = ("lineitem", "orders")
+
+
+@query("q_tpcds_chanratio", oracle=_CHANRATIO)
+def q_tpcds_chanratio(spark, sf_dir):
+    """TPC-DS Q78 shape (fixture-adapted): per-(customer, year)
+    aggregates in two channels, LEFT-joined so customers absent from
+    the returns channel survive with COALESCE(0) — the null-channel
+    handling + cross-channel ratio that Q78 pins. Ratio = double
+    division of identical exact bigints, rounded (bit-identical on
+    both engines); the join keys carry the shuffle (no skew: customer
+    x year). The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_chanratio", _CHANRATIO)
