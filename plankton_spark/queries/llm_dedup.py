@@ -953,6 +953,11 @@ def q_dedup_incremental(spark, sf_dir):
 # ---------------------------------------------------------------------
 
 SEMANTIC_COS_THRESHOLD = 0.4
+# Exact within-cluster pass ceiling: the component self-join costs
+# ~dims (64) join rows per pair, so 1e9 pairs ≈ 6.4e10 joined rows —
+# the feasible batch edge for this plan shape (embcos's GEMM edge is
+# higher per pair; its 1e6-unique ceiling is the analogous valve).
+SEMANTIC_MAX_PAIRS = 1_000_000_000
 
 
 def _semantic_oracle() -> str:
@@ -1026,6 +1031,22 @@ def q_dedup_semantic(spark, sf_dir):
         "semantic:assign",
         assignments.select("vec_id", F.col("k").cast("long").alias("k")),
     )
+    # Refusal contract (the embcos EMBCOS_MAX_UNIQUES pattern): the
+    # within-cluster pair count Σ|cluster|² is known EXACTLY from K
+    # cluster sizes (one K-row aggregate on the persisted assignment —
+    # metadata-cheap), so refuse before any quadratic work when the
+    # exact pass is infeasible. The fix at corpus scale is MORE
+    # CLUSTERS (K ≈ √N keeps Σ|c|² ≈ N^1.5), or the approximate-recall
+    # paths (q_knn_lsh / q_knn_ivf).
+    sizes = [r["n"] for r in ak.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()]
+    pair_evals = sum(n * n for n in sizes)
+    if pair_evals > SEMANTIC_MAX_PAIRS:
+        raise ValueError(
+            f"q_dedup_semantic: Σ|cluster|² = {pair_evals:.2e} exceeds the "
+            f"exact-pass ceiling {SEMANTIC_MAX_PAIRS:.0e} — raise K "
+            "(more, smaller clusters) or use the approximate paths "
+            "(q_knn_lsh / q_knn_ivf)"
+        )
 
     e = read_table(spark, sf_dir, "embeddings")
     comps = explode_comps(e, "vec_id", "embedding", "vec_id", "x")

@@ -115,3 +115,19 @@ def test_embcos_within_ceiling_runs(spark):
     out = embcos_pairs(spark, e, 0.4, max_uniques=1_000)
     assert out.columns == ["vec_a", "vec_b", "cosine"]
     out.collect()  # executes the full three-phase pipeline
+
+
+def test_semantic_dedup_ceiling_refuses(spark, monkeypatch):
+    """q_dedup_semantic's refusal contract: when the k-means clusters
+    imply more within-cluster pair evaluations than the declared
+    ceiling, it must refuse BEFORE any quadratic work (the embcos
+    EMBCOS_MAX_UNIQUES pattern) — the fix at scale is more clusters
+    or the approximate paths."""
+    import pytest
+
+    from plankton_spark.queries import llm_dedup
+    from plankton_spark.registry import all_queries
+
+    monkeypatch.setattr(llm_dedup, "SEMANTIC_MAX_PAIRS", 10)
+    with pytest.raises(ValueError, match="exceeds the"):
+        all_queries()["q_dedup_semantic"](spark, "/root/testdata/sf0.001")
