@@ -205,3 +205,87 @@ def q_udtf_python(spark, sf_dir):
         "SELECT c.* FROM docs_for_chunking d, "
         "LATERAL doc_chunker(d.doc_id, d.text) c"
     )
+
+
+@query(
+    "q_udf_sqlfn",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+                  WHEN o_totalprice >= 100000 THEN 'mid'
+                  ELSE 'low' END AS tier,
+             o_totalprice
+      FROM orders
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM t GROUP BY tier
+    """,
+)
+def q_udf_sqlfn(spark, sf_dir):
+    """SQL scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`):
+    custom scalar logic declared ONCE as a named function and reused
+    across queries — and unlike every Python UDF in this module,
+    Catalyst INLINES the body into the plan (verified: no Python/
+    Arrow eval node, full whole-stage codegen), so this is the
+    zero-overhead answer for shareable scalar logic at 100 TB. The
+    oracle inlines the same CASE by hand."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION plk_price_tier(p DOUBLE)
+           RETURNS STRING
+           RETURN CASE WHEN p >= 300000 THEN 'high'
+                       WHEN p >= 100000 THEN 'mid' ELSE 'low' END"""
+    )
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT plk_price_tier(o_totalprice) AS tier,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS total_cents
+           FROM orders GROUP BY plk_price_tier(o_totalprice)"""
+    )
+
+
+@query(
+    "q_udtf_sqlfn",
+    oracle="""
+    WITH sample AS (
+      SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_custkey % 97 = 0
+    )
+    SELECT sample.ck,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS total_cents
+    FROM sample LEFT JOIN orders ON o_custkey = sample.ck
+    GROUP BY sample.ck
+    """,
+)
+def q_udtf_sqlfn(spark, sf_dir):
+    """SQL TABLE function (`CREATE FUNCTION ... RETURNS TABLE`)
+    consumed through a correlated LATERAL join: per sampled customer,
+    the function body's filtered scan runs as a decorrelated JOIN
+    (Catalyst inlines the TVF body and decorrelates the lateral —
+    one shuffle, not per-row re-execution; same plan law as
+    q_join_lateral). The oracle is the equivalent relational
+    LEFT-join aggregate."""
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION plk_cust_orders(ck BIGINT)
+           RETURNS TABLE (o_orderkey BIGINT, cents BIGINT)
+           RETURN SELECT o_orderkey,
+                         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  FROM orders WHERE o_custkey = ck"""
+    )
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT s.ck,
+                  t.n_orders,
+                  t.total_cents
+           FROM (SELECT DISTINCT o_custkey AS ck FROM orders
+                 WHERE o_custkey % 97 = 0) s,
+           LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                           CAST(COALESCE(SUM(cents), 0) AS BIGINT)
+                             AS total_cents
+                    FROM plk_cust_orders(s.ck)) t"""
+    )
