@@ -367,3 +367,53 @@ def q_table_trio(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("fmt", "o_orderstatus", "n_rows", "key_sum")
+
+
+@query(
+    "q_uniform_dv",
+    oracle="""
+    WITH live AS (
+      SELECT * FROM orders
+      WHERE o_orderkey < 2000 AND o_orderkey % 5 <> 0
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM live GROUP BY o_orderstatus
+    """,
+)
+def q_uniform_dv(spark, sf_dir):
+    """UniForm WITH deletion vectors (round 9): a Delta table whose
+    live files carry DVs converts by TRANSLATION — each Delta DV
+    bitmap re-encodes as an Iceberg v3 Puffin deletion-vector-v1 blob
+    (the two formats' roaring payloads share one codec, so the
+    translation is exact and CRC-verified), the Iceberg metadata
+    authors as format-version 3, and this query reads the converted
+    table through the ICEBERG chain. The oracle re-derives the
+    survivors relationally: a translation bug that resurrects or
+    drops one row is a hash mismatch. Zero data movement end to end —
+    the pre-round-9 engine refused this conversion (purge-first);
+    now both ecosystems read one copy of a deleted-from table."""
+    import shutil as _shutil
+
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+    from plankton_spark.sources.iceberg_meta import (
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    root = _scratch(sf_dir, "uniform_dv")
+    _shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    w = DeltaLogWriter(spark, root)
+    w.create(o)
+    w.delete_where_dv(F.col("o_orderkey") % 5 == 0)
+    convert_delta_to_iceberg(spark, root)
+    return (
+        read_iceberg(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )

@@ -3824,13 +3824,22 @@ def convert_to_iceberg(
 
 
 def _author_iceberg_over(
-    spark, table_path: str, schema, inventory, part_keys
+    spark, table_path: str, schema, inventory, part_keys, dv_map=None
 ) -> int:
     """Shared metadata-authoring tail of the converters: write snapshot
     1's manifest + manifest list + v1 metadata.json over an EXISTING
     file inventory ([(rel_path, typed_partition_values)]) — nothing is
     rewritten or moved. Hive `key=value` keys become an identity spec;
-    record counts come from each footer (metadata-only IO)."""
+    record counts come from each footer (metadata-only IO).
+
+    ``dv_map`` ({rel_path: sorted deleted row indexes}) translates the
+    source format's deletion vectors: one Puffin file with a
+    deletion-vector-v1 blob per DV'd file plus a v3 delete manifest,
+    and the metadata is authored as format-version 3. The roaring
+    payloads are re-encoded through the shared codec (Delta's
+    RoaringBitmapArray and Iceberg's portable DV serialization are the
+    same bytes), so the translation is exact by construction and
+    CRC-verified on every read."""
     from plankton_spark.sources.avro_ocf import write_ocf_generic
 
     meta_dir = os.path.join(table_path, "metadata")
@@ -3864,7 +3873,66 @@ def _author_iceberg_over(
         w._unique(f"m{snap_id}"), data_files, snap_id, entry_schema=es
     )
     ml_name = w._unique(f"snap-{snap_id}")
-    write_ocf_generic(os.path.join(meta_dir, ml_name), _MANIFEST_FILE_SCHEMA, [m])
+    if not dv_map:
+        write_ocf_generic(
+            os.path.join(meta_dir, ml_name), _MANIFEST_FILE_SCHEMA, [m]
+        )
+    else:
+        from plankton_spark.sources import puffin as _puffin
+
+        blobs = [
+            {
+                "type": "deletion-vector-v1",
+                "data": _puffin.dv_blob(idx),
+                "snapshot-id": snap_id,
+                "properties": {
+                    "referenced-data-file": rel,
+                    "cardinality": str(len(idx)),
+                },
+            }
+            for rel, idx in sorted(dv_map.items())
+        ]
+        puffin_rel = "data/dv-converted.puffin"
+        os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+        metas = _puffin.write_puffin(
+            os.path.join(table_path, puffin_rel), blobs
+        )
+        puffin_size = os.path.getsize(os.path.join(table_path, puffin_rel))
+        dv_entries = [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 1,
+                    "file_path": puffin_rel,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": len(idx),
+                    "file_size_in_bytes": puffin_size,
+                    "referenced_data_file": rel,
+                    "content_offset": bm["offset"],
+                    "content_size_in_bytes": bm["length"],
+                },
+            }
+            for (rel, idx), bm in zip(sorted(dv_map.items()), metas)
+        ]
+        mdv_name = w._unique(f"m{snap_id}-dv")
+        mdv_path = os.path.join(meta_dir, mdv_name)
+        write_ocf_generic(mdv_path, _DV_ENTRY_SCHEMA_V3, dv_entries)
+        write_ocf_generic(
+            os.path.join(meta_dir, ml_name),
+            _MANIFEST_FILE_SCHEMA_V2,
+            [
+                {**m, "content": 0},
+                {
+                    "manifest_path": f"metadata/{mdv_name}",
+                    "manifest_length": os.path.getsize(mdv_path),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "added_snapshot_id": snap_id,
+                },
+            ],
+        )
     ice_schema = {
         "type": "struct",
         "schema-id": 0,
@@ -3889,7 +3957,7 @@ def _author_iceberg_over(
         for i, f in enumerate(spec)
     ]
     metadata = {
-        "format-version": 1,
+        "format-version": 3 if dv_map else 1,
         "table-uuid": f"plankton-iceberg-{os.path.basename(table_path)}",
         "location": table_path,
         "last-updated-ms": 0,
@@ -3965,9 +4033,16 @@ def files_meta(spark, table_path: str, snapshot_id: int | None = None):
                 continue
             df = entry["data_file"]
             path = t._resolve(df["file_path"])
-            if path in seen:
+            # one Puffin file holds many DV blobs (same path, distinct
+            # content_offset) — mirror scan_entries_full's dedup key
+            dk = (
+                f"{path}@{df.get('content_offset')}"
+                if df.get("content_offset") is not None
+                else path
+            )
+            if dk in seen:
                 continue
-            seen.add(path)
+            seen.add(dk)
             e_seq = entry.get("sequence_number")
             if e_seq is None:
                 e_seq = m_seq if m_seq is not None else 0
@@ -4009,8 +4084,10 @@ def convert_delta_to_iceberg(spark, table_path: str) -> int:
     not reflected on the Iceberg side (re-convert after dropping
     metadata/ to refresh — refusing silent divergence beats pretending
     to mirror). Refused for column-mapped tables (physical file names
-    differ from the logical schema) and tables with live deletion
-    vectors (whole-file Iceberg entries would resurrect deleted rows).
+    differ from the logical schema). Live Delta deletion vectors
+    TRANSLATE to Iceberg v3 Puffin DVs (byte-compatible roaring
+    payloads through the shared codec) — the converted table reads
+    identically on both sides with zero data movement.
 
     Vacuum safety is mutual by construction: Delta's vacuum removes
     only unreferenced *.parquet (Iceberg's Avro/JSON metadata is never
@@ -4035,13 +4112,19 @@ def convert_delta_to_iceberg(spark, table_path: str) -> int:
             "files store physical names the Iceberg schema would not "
             "resolve"
         )
-    dvd = sorted(rel for rel, a in active.items() if a.get("deletionVector"))
-    if dvd:
-        raise DeltaProtocolError(
-            f"{table_path}: {len(dvd)} live file(s) carry deletion "
-            "vectors; whole-file Iceberg entries would resurrect "
-            "deleted rows — purge DVs (OPTIMIZE) before converting"
-        )
+    # Delta deletion vectors TRANSLATE (round 9): each descriptor's
+    # row indexes re-encode as an Iceberg v3 Puffin deletion-vector-v1
+    # blob — the two formats' roaring payloads are byte-compatible by
+    # design (shared codec, sources/deletion_vectors.py), so the
+    # conversion stays zero-data-movement even for DV'd tables (the
+    # pre-round-9 behavior was a purge-first refusal).
+    from plankton_spark.sources.deletion_vectors import dv_row_indexes
+
+    dv_map = {
+        rel: dv_row_indexes(table_path, a["deletionVector"])
+        for rel, a in sorted(active.items())
+        if a.get("deletionVector")
+    }
     dtypes = {f.name: f.dataType for f in schema.fields}
     inventory = []
     for rel, add in sorted(active.items()):
@@ -4049,7 +4132,9 @@ def convert_delta_to_iceberg(spark, table_path: str) -> int:
         for k, v in (add.get("partitionValues") or {}).items():
             pv[k] = None if v is None else _typed_pv(v, dtypes[k])
         inventory.append((rel, pv))
-    return _author_iceberg_over(spark, table_path, schema, inventory, part_cols)
+    return _author_iceberg_over(
+        spark, table_path, schema, inventory, part_cols, dv_map=dv_map
+    )
 
 
 def convert_planktable_to_iceberg(spark, table_path: str) -> int:

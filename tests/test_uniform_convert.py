@@ -67,19 +67,41 @@ def test_dual_metadata_partitioned(spark, tmp_path):
     assert t.partition_fields() == ["o_orderstatus"]
 
 
-def test_refuses_dv_and_mapped(spark, tmp_path):
-    from plankton_spark.sources.delta_log import (
-        DeltaLogWriter,
-        DeltaProtocolError,
+def test_dv_table_translates_to_v3_puffin(spark, tmp_path):
+    """A Delta table with live deletion vectors converts by
+    TRANSLATION (round 9, replacing the old purge-first refusal): the
+    Delta DV bitmaps re-encode as Iceberg v3 Puffin blobs (shared
+    roaring codec, byte-compatible payloads), the metadata authors as
+    format-version 3, and both formats read the SAME survivors from
+    the SAME parquet — zero data movement."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergTable,
+        convert_delta_to_iceberg,
+        read_iceberg,
     )
-    from plankton_spark.sources.iceberg_meta import convert_delta_to_iceberg
 
     root = str(tmp_path / "dv")
     w = DeltaLogWriter(spark, root)
     w.create(_orders(spark))
     w.delete_where_dv(F.col("o_orderkey") % 5 == 0)
-    with pytest.raises(DeltaProtocolError, match="deletion"):
-        convert_delta_to_iceberg(spark, root)
+    convert_delta_to_iceberg(spark, root)
+
+    d = sorted(r["o_orderkey"] for r in read_delta(spark, root).collect())
+    i = sorted(r["o_orderkey"] for r in read_iceberg(spark, root).collect())
+    assert d == i and d and all(k % 5 != 0 for k in d)
+    t = IcebergTable(root)
+    assert t.metadata["format-version"] == 3
+    _data, _pos, _eq, dv = t.scan_entries_full(None)
+    assert dv and all(p.endswith(".puffin") for p, _r, _o, _s in dv)
+
+
+def test_refuses_mapped(spark, tmp_path):
+    from plankton_spark.sources.delta_log import (
+        DeltaLogWriter,
+        DeltaProtocolError,
+    )
+    from plankton_spark.sources.iceberg_meta import convert_delta_to_iceberg
 
     root2 = str(tmp_path / "cm")
     w2 = DeltaLogWriter(spark, root2)
