@@ -744,3 +744,71 @@ def q_shard_assign(spark, sf_dir):
             F.sum("doc_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle="""
+    WITH grp AS (
+      SELECT doc_id, lang, n_chars,
+             MIN(doc_id) OVER (PARTITION BY sha256(lower(text))) AS rep
+      FROM documents
+    ),
+    labeled AS (
+      SELECT doc_id, lang, n_chars, rep,
+             CASE WHEN ((rep % 1000003) * 2654435761) % 100 < 90 THEN 'train'
+                  WHEN ((rep % 1000003) * 2654435761) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM grp
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_groups,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM labeled GROUP BY split, lang
+    """,
+)
+def q_split_leakage_safe(spark, sf_dir):
+    """LEAKAGE-SAFE train/val/test split (90/5/5): the split key is
+    the document's exact-dedup GROUP representative (min doc_id over
+    content-identical docs), not the document itself — so a document
+    and its copies can never straddle train and test, the eval-set
+    contamination that per-row splits silently allow. The assignment
+    is the engine's deterministic key-hash arithmetic
+    (q_sample_hash's overflow-safe fold), identical on every run,
+    partitioning, and engine.
+
+    Scale shape: the representative comes from groupBy(fp).agg(min)
+    + an equi join-back, NOT a Window.partitionBy(fp) — the aggregate
+    gets a map-side partial min and the join-back is AQE-skew-
+    splittable, while a window exchange ships every row and is exempt
+    from skew handling (the same r6 finding that shaped
+    collapse_duplicate_vectors: one content duplicated 10⁹× must not
+    land on a single task). That join is the only shuffle before the
+    rollup; the production variant swaps the exact-dup rep for the
+    MinHash/semantic canonical id (q_dedup_canonical) — same plan,
+    fuzzier groups."""
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "fp", F.sha2(F.lower("text"), 256)
+    )
+    reps = d.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    labeled = d.join(reps, "fp").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "rep",
+    ).withColumn(
+        "bucket", ((F.col("rep") % 1000003) * 2654435761) % 100
+    ).withColumn(
+        "split",
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test"),
+    )
+    return labeled.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("rep").alias("n_groups"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )

@@ -352,3 +352,32 @@ def test_delete_where_dv_time_travel(spark, tmp_path):
     n_then = read_iceberg(spark, root, snapshot_id=first).count()
     assert n_then == 30
     assert read_iceberg(spark, root).count() == 20
+
+
+def test_vacuum_keeps_live_puffin(spark, tmp_path):
+    """The DV Puffin file is REFERENCED by its manifest entries —
+    vacuum (orphan reclamation) must never remove it, even with
+    grace=0; the DV'd read keeps working afterwards."""
+    from pyspark.sql import functions as F
+
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root, w = _fresh_table(spark, tmp_path, "vdv1")
+    w.delete_where_dv(F.col("k") % 5 == 0)
+    removed = IcebergWriter(spark, root).vacuum(grace_seconds=0.0)
+    assert not any(p.endswith(".puffin") for p in removed), removed
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in range(30) if k % 5 != 0]
+
+
+def test_optimize_refuses_dv_snapshot(spark, tmp_path):
+    """Whole-file rewrite paths go through scan_entries, which refuses
+    DV'd snapshots — compaction must not resurrect deleted rows."""
+    from pyspark.sql import functions as F
+
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root, w = _fresh_table(spark, tmp_path, "vdv2")
+    w.delete_where_dv(F.col("k") % 5 == 0)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        IcebergWriter(spark, root).optimize()

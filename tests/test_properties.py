@@ -221,3 +221,54 @@ def test_ivm_retraction_merge_equals_recompute(rows, data):
         e[1] += v
     merged_clean = {k: (c, s) for k, (c, s) in merged.items() if c > 0}
     assert merged_clean == agg(v2)
+
+
+@given(
+    idx=st.lists(
+        st.integers(min_value=0, max_value=(1 << 40)), max_size=400
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_puffin_dv_blob_roundtrip_property(idx):
+    """deletion-vector-v1 framing is lossless and canonical for ANY
+    64-bit index set: encode → decode == sorted unique input, across
+    bucket boundaries (values above 2^32 exercise multi-bucket
+    portable roaring serialization)."""
+    from plankton_spark.sources import puffin
+
+    assert puffin.dv_blob_indexes(puffin.dv_blob(idx)) == sorted(set(idx))
+
+
+@given(
+    sets=st.lists(
+        st.lists(st.integers(min_value=0, max_value=1 << 20), max_size=50),
+        min_size=1,
+        max_size=8,
+    ),
+    props=st.dictionaries(
+        st.text(min_size=1, max_size=10), st.text(max_size=10), max_size=3
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_puffin_file_roundtrip_property(tmp_path_factory, sets, props):
+    """A Puffin file with N DV blobs round-trips: footer JSON
+    preserves blob order/types/properties, every (offset, length)
+    addresses exactly its own blob, and decode returns each input
+    set."""
+    from plankton_spark.sources import puffin
+
+    path = str(tmp_path_factory.mktemp("puf") / "t.puffin")
+    blobs = [
+        {
+            "type": "deletion-vector-v1",
+            "data": puffin.dv_blob(s),
+            "properties": {"cardinality": str(len(set(s)))},
+        }
+        for s in sets
+    ]
+    metas = puffin.write_puffin(path, blobs, properties=props)
+    footer = puffin.read_footer(path)
+    assert footer["properties"] == dict(props)
+    assert len(footer["blobs"]) == len(sets)
+    for meta, s in zip(metas, sets):
+        assert puffin.dv_indexes(path, meta["offset"], meta["length"]) == sorted(set(s))
