@@ -2521,13 +2521,18 @@ class IcebergWriter:
             if new_schema_df is not None:
                 md = self._replacement_schema_md(md, new_schema_df)
             _, es = self._table_entry_schema(table)
-            # scan_entries, not data_files(): liveness must keep
-            # working on position-deleted tables (OPTIMIZE purges
-            # them), and delete files are legitimate removal targets
-            d_entries, d_deletes = table.scan_entries(None)
-            live_rel = {
-                os.path.relpath(p, self.table_path) for p, _ in d_entries
-            } | {os.path.relpath(p, self.table_path) for p in d_deletes}
+            # scan_entries_full, not data_files(): liveness must keep
+            # working on row-level-deleted tables (OPTIMIZE purges v2
+            # position files AND v3 deletion vectors), and delete
+            # files / DV Puffin files are legitimate removal targets.
+            # (Rewrite paths that CANNOT apply deletes refuse upstream
+            # via scan_entries/data_entries before reaching here.)
+            d_full, d_deletes, _d_eq, d_dv = table.scan_entries_full(None)
+            live_rel = (
+                {os.path.relpath(p, self.table_path) for p, _pv, _s, _i in d_full}
+                | {os.path.relpath(p, self.table_path) for p in d_deletes}
+                | {os.path.relpath(p, self.table_path) for p, _r, _o, _sz in d_dv}
+            )
             if removed_rel is None:
                 removed_now = live_rel
             else:
@@ -3360,7 +3365,18 @@ class IcebergWriter:
         table = IcebergTable(self.table_path)
         spec = self._writer_spec(table)
         part_cols = table.partition_fields()  # identity attach subset
-        entries, deletes = table.scan_entries(None)
+        # scan_entries_full, not scan_entries: compaction is exactly
+        # the operation that PURGES row-level deletes (v2 position
+        # files AND v3 deletion vectors), so it must see them instead
+        # of tripping the whole-file refusal. Equality deletes still
+        # refuse via scan_entries below (their sequence semantics
+        # cannot be purged by a plain rewrite).
+        full, pos_dels, _eq, dv_dels = table.scan_entries_full(None)
+        if _eq:
+            # keep the loud equality-delete refusal scan_entries gives
+            table.scan_entries(None)
+        entries = [(p, pv) for p, pv, _seq, _sid in full]
+        deletes = list(pos_dels)
         if not entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
         if target_file_mb is not None:
@@ -3369,11 +3385,12 @@ class IcebergWriter:
             num_files = max(
                 1, -(-total // int(target_file_mb * 1024 * 1024))
             )
-        if deletes:
-            # compaction PURGES position deletes: the delete-aware read
-            # drops the marked rows, the re-stage is clean, and BOTH
-            # the data files read and the delete files applied are
-            # tombstoned. Logical content unchanged.
+        if deletes or dv_dels:
+            # compaction PURGES row-level deletes: the delete-aware
+            # read drops the marked rows (v2 parquet position files
+            # and v3 Puffin DVs alike), the re-stage is clean, and the
+            # data files read, the delete files, and the DV Puffin
+            # files all tombstone. Logical content unchanged.
             df = read_iceberg(self.spark, self.table_path)
         elif part_cols:
             df = _assemble_iceberg(self.spark, table.schema(), part_cols, entries)
@@ -3430,9 +3447,11 @@ class IcebergWriter:
         else:
             df = df.coalesce(num_files)
         staged = self._stage(df, 0, spec)
-        removed_rel = {
-            os.path.relpath(p, self.table_path) for p, _ in entries
-        } | {os.path.relpath(p, self.table_path) for p in deletes}
+        removed_rel = (
+            {os.path.relpath(p, self.table_path) for p, _ in entries}
+            | {os.path.relpath(p, self.table_path) for p in deletes}
+            | {os.path.relpath(p, self.table_path) for p, _r, _o, _s in dv_dels}
+        )
         # layout-only rewrite: the spec's "replace" operation (rows
         # unchanged) — maintenance tools skip these in CDC/incremental
         return self._commit_snapshot(

@@ -370,14 +370,30 @@ def test_vacuum_keeps_live_puffin(spark, tmp_path):
     assert got == [k for k in range(30) if k % 5 != 0]
 
 
-def test_optimize_refuses_dv_snapshot(spark, tmp_path):
-    """Whole-file rewrite paths go through scan_entries, which refuses
-    DV'd snapshots — compaction must not resurrect deleted rows."""
+def test_optimize_purges_dvs_to_clean_files(spark, tmp_path):
+    """OPTIMIZE on a DV'd snapshot PURGES the deletion vectors (Delta
+    parity): the DV-aware read feeds the re-stage, so the compacted
+    files are clean, the DV entries tombstone, and logical content is
+    unchanged — never resurrected. Time travel to the pre-compaction
+    snapshot still applies the DVs."""
     from pyspark.sql import functions as F
 
     from plankton_spark.sources.iceberg_meta import IcebergWriter
 
     root, w = _fresh_table(spark, tmp_path, "vdv2")
     w.delete_where_dv(F.col("k") % 5 == 0)
-    with pytest.raises(ValueError, match="deletion vectors"):
-        IcebergWriter(spark, root).optimize()
+    t_before = IcebergTable(root)
+    dv_snap = t_before.metadata["current-snapshot-id"]
+    want = [k for k in range(30) if k % 5 != 0]
+
+    IcebergWriter(spark, root).optimize(num_files=1)
+    t = IcebergTable(root)
+    _d, _p, _e, dv = t.scan_entries_full(None)
+    assert dv == [], "compaction must purge deletion vectors"
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == want
+    # pre-compaction snapshot still DV-filtered
+    then = sorted(
+        r["k"] for r in read_iceberg(spark, root, snapshot_id=dv_snap).collect()
+    )
+    assert then == want
