@@ -3060,6 +3060,15 @@ class IcebergWriter:
                 os.path.basename(p): os.path.relpath(p, self.table_path)
                 for p, _ in entries
             }
+            if len(rel_of) != len(entries):
+                # same uniqueness rule the DV-aware read enforces: a
+                # basename collision across partition dirs would remap
+                # one file's deletes onto another's
+                raise ValueError(
+                    f"{self.table_path}: duplicate data-file basenames "
+                    "across directories — DV hit attribution would be "
+                    "ambiguous"
+                )
             snap_id = max(
                 s["snapshot-id"] for s in table.metadata["snapshots"]
             ) + 1

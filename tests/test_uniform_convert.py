@@ -148,3 +148,35 @@ def test_planktable_to_iceberg(spark, tmp_path):
 
     with _pytest.raises(FileExistsError):
         convert_planktable_to_iceberg(spark, root)
+
+
+def test_partitioned_dv_table_translates(spark, tmp_path):
+    """Partitioned Delta table WITH deletion vectors → Iceberg v3:
+    the identity spec lands AND the translated Puffin DVs subtract —
+    both axes (partition re-attachment, DV anti-join) compose in the
+    converted read."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergTable,
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "pdv")
+    w = DeltaLogWriter(spark, root)
+    w.create(_orders(spark), partition_by=["o_orderstatus"])
+    w.delete_where_dv(F.col("o_orderkey") % 5 == 0)
+    convert_delta_to_iceberg(spark, root)
+
+    t = IcebergTable(root)
+    assert t.metadata["format-version"] == 3
+    assert t.partition_fields() == ["o_orderstatus"]
+    d = sorted(
+        (r["o_orderkey"], r["o_orderstatus"])
+        for r in read_delta(spark, root).collect()
+    )
+    i = sorted(
+        (r["o_orderkey"], r["o_orderstatus"])
+        for r in read_iceberg(spark, root).collect()
+    )
+    assert d == i and d and all(k % 5 != 0 for k, _ in d)
