@@ -58,9 +58,13 @@ def register(
     if fmt == "parquet":
         if kwargs:
             raise ValueError(f"parquet registration takes no kwargs: {kwargs}")
-        # external catalog table — no copy, native pushdown/pruning
+        # external catalog table — no copy, native pushdown/pruning.
+        # The path is embedded in SQL: escape single quotes (a path
+        # like /data/o'brien would otherwise break the statement or
+        # inject into it — round-9 review #5)
+        loc = path.replace("'", "''")
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{path}'")
+        spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{loc}'")
         return spark.table(name)
     if fmt == "planktable":
         from plankton_spark.table_format import PlankTable
@@ -100,6 +104,11 @@ def analyze(spark: SparkSession, name: str, columns: list[str] | None = None
     registrations can't carry catalog stats; pass the parquet-format
     name."""
     _check_name(name)
+    for c in columns or ():
+        if not _NAME.fullmatch(c):
+            raise ValueError(
+                f"column name {c!r} must be a bare SQL identifier"
+            )
     cols = "FOR ALL COLUMNS" if columns is None else (
         "FOR COLUMNS " + ", ".join(columns)
     )

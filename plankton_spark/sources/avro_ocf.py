@@ -430,13 +430,12 @@ def jvm_avro_available(spark) -> bool:
             return True
         except Exception as e:  # noqa: BLE001
             msg = str(e)
-            # "Failed to find data source" → module absent; anything
-            # else means the name resolved (shouldn't happen for a
-            # pure lookup, but fail open like the read-probe did)
-            return (
-                "find data source" not in msg
-                and "FAILED_FIND_DATA_SOURCE" not in msg
-            )
+            if "find data source" in msg or "FAILED_FIND_DATA_SOURCE" in msg:
+                return False  # definitive: module absent
+            # anything else (reflection/Py4J differences in another
+            # Spark build) is UNKNOWN, not "available" — fall through
+            # to the read-probe below rather than failing open into a
+            # confusing JVM error downstream (round-9 review #7)
     try:
         spark.read.format("avro").schema("probe int").load(
             "/plankton-avro-availability-probe-nonexistent"

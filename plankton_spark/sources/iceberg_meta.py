@@ -315,14 +315,14 @@ class IcebergTable:
         list[tuple[str, dict, int, int]],
         list[str],
         list[tuple[str, tuple[int, ...], int]],
-        list[tuple[str, str, int, int]],
+        list[tuple[str, str, int, int, int]],
     ]:
         """Live scan entries at a snapshot with v2 sequence numbers:
         (data [(abs_path, partition, data_seq, spec_id)],
         position-delete paths, equality deletes
         [(abs_path, equality_ids, delete_seq)], deletion vectors
         [(abs_puffin_path, referenced_data_file, content_offset,
-        content_size_in_bytes)]).
+        content_size_in_bytes, cardinality)]).
 
         Deletion vectors are the v3 position-delete representation:
         a content=1 entry whose file_format is PUFFIN and which
@@ -349,7 +349,7 @@ class IcebergTable:
         out: list[tuple[str, dict, int, int]] = []
         pos_deletes: list[str] = []
         eq_deletes: list[tuple[str, tuple[int, ...], int]] = []
-        dv_deletes: list[tuple[str, str, int, int]] = []
+        dv_deletes: list[tuple[str, str, int, int, int]] = []
         seen: set[str] = set()
         for m in read_ocf_generic(manifest_list):
             manifest = self._resolve(m["manifest_path"])
@@ -381,10 +381,16 @@ class IcebergTable:
                         (path, df.get("partition") or {}, int(e_seq), m_sid)
                     )
                 elif content == 1:  # position deletes (v2 file or v3 DV)
+                    # DV classification keys on PUFFIN format or a blob
+                    # offset — NOT bare referenced_data_file, which the
+                    # v2 spec also allows on plain parquet position-
+                    # delete files (file-scoped deletes from the Java
+                    # writer); those must keep the v2 path (round-9
+                    # review #3)
                     fmt = str(df.get("file_format") or "").upper()
                     ref = df.get("referenced_data_file")
-                    if fmt == "PUFFIN" or ref is not None:
-                        off = df.get("content_offset")
+                    off = df.get("content_offset")
+                    if fmt == "PUFFIN" or off is not None:
                         sz = df.get("content_size_in_bytes")
                         if ref is None or off is None or sz is None:
                             raise ValueError(
@@ -394,7 +400,13 @@ class IcebergTable:
                                 "+ content_size_in_bytes (v3 spec)"
                             )
                         dv_deletes.append(
-                            (path, str(ref), int(off), int(sz))
+                            (
+                                path,
+                                str(ref),
+                                int(off),
+                                int(sz),
+                                int(df.get("record_count") or 0),
+                            )
                         )
                     else:
                         pos_deletes.append(path)
@@ -653,7 +665,7 @@ def _posdelete_filtered_read(
     if dv_deletes:
         desc_rows = [
             (os.path.basename(ref.rstrip("/")), p, int(off), int(sz))
-            for p, ref, off, sz in sorted(dv_deletes)
+            for p, ref, off, sz, _card in sorted(dv_deletes)
         ]
         desc_df = spark.createDataFrame(
             desc_rows, "f string, puffin string, off long, sz long"
@@ -680,8 +692,13 @@ def _posdelete_filtered_read(
         dv_frame = desc_df.mapInPandas(
             _expand, "__pd_file string, __pd_ridx long"
         )
-        total_dv_bytes = sum(sz for _p, _r, _o, sz in dv_deletes)
-        if total_dv_bytes < 8 << 20:  # roaring-compressed indexes
+        # broadcast decision by CARDINALITY (expanded row count), not
+        # compressed blob bytes: roaring RLE is unbounded-ratio, so a
+        # few hundred bytes can expand to 10^8 (file,row) pairs and
+        # OOM the driver on collect-for-broadcast (round-9 review #4).
+        # ~16 B/pair -> 2M pairs ≈ 32 MB broadcast.
+        total_dv_rows = sum(card for _p, _r, _o, _s, card in dv_deletes)
+        if total_dv_rows < 2_000_000:
             dv_frame = F.broadcast(dv_frame)
         scan = scan.join(dv_frame, ["__pd_file", "__pd_ridx"], "left_anti")
     if eq_deletes:
@@ -2059,8 +2076,12 @@ class IcebergWriter:
                     f"{self.table_path}: {name!r} feeds the partition "
                     "spec; evolve the spec away from it first"
                 )
-            entries, _ = table.scan_entries(None)
-            for p, _pv in entries:
+            # scan_entries_full, not scan_entries: this is a metadata-
+            # only operation — it must keep working on DV'd tables
+            # (only the DATA files' field-id presence matters here;
+            # round-9 review #2)
+            d_full, _pos, _eq, _dv = table.scan_entries_full(None)
+            for p, _pv, _seq, _sid in d_full:
                 sch = _pq.read_schema(p)
                 if not any(
                     f.metadata and b"PARQUET:field_id" in f.metadata
@@ -2185,8 +2206,12 @@ class IcebergWriter:
                     f"{self.table_path}: {old!r} feeds the partition "
                     "spec; renaming it would break the identity layout"
                 )
-            entries, _ = table.scan_entries(None)
-            for p, _pv in entries:
+            # scan_entries_full, not scan_entries: this is a metadata-
+            # only operation — it must keep working on DV'd tables
+            # (only the DATA files' field-id presence matters here;
+            # round-9 review #2)
+            d_full, _pos, _eq, _dv = table.scan_entries_full(None)
+            for p, _pv, _seq, _sid in d_full:
                 sch = _pq.read_schema(p)
                 if not any(
                     f.metadata and b"PARQUET:field_id" in f.metadata
@@ -2531,7 +2556,7 @@ class IcebergWriter:
             live_rel = (
                 {os.path.relpath(p, self.table_path) for p, _pv, _s, _i in d_full}
                 | {os.path.relpath(p, self.table_path) for p in d_deletes}
-                | {os.path.relpath(p, self.table_path) for p, _r, _o, _sz in d_dv}
+                | {os.path.relpath(p, self.table_path) for p, _r, _o, _sz, _c in d_dv}
             )
             if removed_rel is None:
                 removed_now = live_rel
@@ -3032,6 +3057,18 @@ class IcebergWriter:
             entries = [(p, pv) for p, pv, _seq, _sid in full]
             if not entries:
                 return None
+            if len({sid for _p, _pv, _seq, sid in full}) > 1:
+                # read_iceberg refuses row-level deletes over multi-
+                # spec (partition-evolved) snapshots, and OPTIMIZE's
+                # purge path reads through it too — committing a DV
+                # here would brick the table (round-9 review #1,
+                # verified live). Refuse up front instead.
+                raise ValueError(
+                    f"{self.table_path}: delete_where_dv on a "
+                    "partition-evolved (multi-spec) snapshot would "
+                    "make the table unreadable — compact to a single "
+                    "spec first (OPTIMIZE), then delete"
+                )
             live = _assemble_iceberg(
                 self.spark, schema, part_cols, entries, with_pos=True
             )
@@ -3039,7 +3076,7 @@ class IcebergWriter:
             # already deleted must not re-hit) and merge for re-hit
             # files
             prior: dict[str, list[int]] = {}
-            for pp, ref, off, sz in dv_dels:
+            for pp, ref, off, sz, _card in dv_dels:
                 base = os.path.basename(ref.rstrip("/"))
                 prior.setdefault(base, []).extend(
                     _puffin.dv_indexes(pp, off, sz)
@@ -3120,8 +3157,10 @@ class IcebergWriter:
                 dv_entry(puffin_rel, ref, m["offset"], m["length"], card, 1)
                 for (ref, card), m in zip(refs, metas)
             ]
-            # carry forward untouched files' DVs (status 0 EXISTING)
-            for pp, ref, off, sz in dv_dels:
+            # carry forward untouched files' DVs (status 0 EXISTING);
+            # record_count comes from the prior manifest entry — no
+            # blob re-read/re-decode per untouched file (review #6)
+            for pp, ref, off, sz, card in dv_dels:
                 base = os.path.basename(ref.rstrip("/"))
                 if base in superseded:
                     continue
@@ -3131,7 +3170,7 @@ class IcebergWriter:
                         ref,
                         off,
                         sz,
-                        len(_puffin.dv_indexes(pp, off, sz)),
+                        card,
                         0,
                     )
                 )
@@ -3459,7 +3498,7 @@ class IcebergWriter:
         removed_rel = (
             {os.path.relpath(p, self.table_path) for p, _ in entries}
             | {os.path.relpath(p, self.table_path) for p in deletes}
-            | {os.path.relpath(p, self.table_path) for p, _r, _o, _s in dv_dels}
+            | {os.path.relpath(p, self.table_path) for p, _r, _o, _s, _c in dv_dels}
         )
         # layout-only rewrite: the spec's "replace" operation (rows
         # unchanged) — maintenance tools skip these in CDC/incremental
@@ -3487,10 +3526,16 @@ class IcebergWriter:
                     f"{self.table_path}: no snapshot {snapshot_id} "
                     f"(known/retained: {sorted(ids)})"
                 )
-            entries, deletes = table.scan_entries(snapshot_id)
+            # scan_entries_full: rollback is metadata-only and must
+            # work on DV'd snapshots (undoing a bad DV delete IS the
+            # use case — round-9 review #2); the missing-file check
+            # covers data files, v2 delete files AND DV Puffin files
+            r_full, r_pos, _r_eq, r_dv = table.scan_entries_full(snapshot_id)
             missing = sorted(
                 p
-                for p in [p for p, _ in entries] + list(deletes)
+                for p in [p for p, _pv, _s, _i in r_full]
+                + list(r_pos)
+                + [p for p, _r, _o, _s, _c in r_dv]
                 if not os.path.exists(p)
             )
             if missing:

@@ -227,7 +227,7 @@ def test_dv_scan_entries_surface(tmp_path):
     data, pos, eq, dv = t.scan_entries_full(None)
     assert len(data) == 1 and pos == [] and eq == []
     assert len(dv) == 1
-    p, ref, off, sz = dv[0]
+    p, ref, off, sz, card = dv[0]
     assert p.endswith("dv0.puffin") and ref == "data/d0.parquet"
     assert puffin.dv_indexes(p, off, sz) == [4]
 
@@ -289,7 +289,7 @@ def test_delete_where_dv_basic(spark, tmp_path):
     assert t.metadata["format-version"] == 3
     _d, _p, _e, dv = t.scan_entries_full(None)
     assert dv, "expected deletion-vector entries"
-    assert all(p.endswith(".puffin") for p, _r, _o, _s in dv)
+    assert all(p.endswith(".puffin") for p, _r, _o, _s, _c in dv)
 
 
 def test_delete_where_dv_merges_per_file(spark, tmp_path):
@@ -304,10 +304,10 @@ def test_delete_where_dv_merges_per_file(spark, tmp_path):
     assert got == [k for k in range(30) if k % 5 != 0 and k % 7 != 0]
     t = IcebergTable(root)
     _d, _p, _e, dv = t.scan_entries_full(None)
-    refs = [r for _p2, r, _o, _s in dv]
+    refs = [r for _p2, r, _o, _s, _c in dv]
     assert len(refs) == len(set(refs)), f"duplicate DV per file: {refs}"
     # merged cardinality: every blob holds BOTH rounds' deletes
-    total = sum(len(puffin.dv_indexes(p, o, s)) for p, _r, o, s in dv)
+    total = sum(len(puffin.dv_indexes(p, o, s)) for p, _r, o, s, _c in dv)
     assert total == len([k for k in range(30) if k % 5 == 0 or k % 7 == 0])
 
 
@@ -466,3 +466,74 @@ def test_dv_delete_on_partitioned_table(spark, tmp_path):
         if k % 5 != 0
     )
     assert got == want
+
+
+# -- round-9 review regressions ------------------------------------------------
+
+
+def test_dv_delete_refuses_multi_spec(spark, tmp_path):
+    """Review #1 (verified live before the fix): delete_where_dv on a
+    partition-evolved snapshot would commit a DV the reader refuses —
+    bricking the table. It must refuse up front instead."""
+    from pyspark.sql import functions as F
+
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root, w = _fresh_table(spark, tmp_path, "msdv")
+    w.evolve_spec(["grp"])
+    w.append(spark.createDataFrame([(100, "even")], "k long, grp string"))
+    with pytest.raises(ValueError, match="partition-evolved"):
+        w.delete_where_dv(F.col("k") % 5 == 0)
+    # nothing committed: table still fully readable
+    assert read_iceberg(spark, root).count() == 31
+
+
+def test_metadata_ops_work_on_dv_tables(spark, tmp_path):
+    """Review #2 (verified live before the fix): rollback_to and
+    rename_column are metadata-only and must work on DV'd tables —
+    undoing a bad DV delete IS rollback's use case."""
+    from pyspark.sql import functions as F
+
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root, w = _fresh_table(spark, tmp_path, "mddv")
+    before = IcebergTable(root).metadata["current-snapshot-id"]
+    w.delete_where_dv(F.col("k") % 5 == 0)
+    w.rename_column("grp", "bucket")
+    cols = read_iceberg(spark, root).columns
+    assert "bucket" in cols and "grp" not in cols
+    w.rollback_to(before)
+    assert read_iceberg(spark, root).count() == 30  # DV delete undone
+
+
+def test_v2_posdelete_with_referenced_data_file_still_v2(spark, tmp_path):
+    """Review #3: the v2 spec allows referenced_data_file on PARQUET
+    position-delete files (file-scoped deletes); presence of that
+    field alone must NOT classify the entry as a v3 DV (which would
+    refuse for missing content_offset)."""
+    root, ks = _author_v3_dv_table(tmp_path, "v2ref", [])
+    # rewrite the delete manifest: a PARQUET pos-delete entry that
+    # carries referenced_data_file but no offsets
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array(["data/d0.parquet"] * 2),
+            "pos": pa.array([1, 2], pa.int64()),
+        }),
+        os.path.join(root, "data", "del0.parquet"),
+    )
+    entry = {
+        "content": 1, "file_path": "data/del0.parquet",
+        "file_format": "PARQUET", "partition": {}, "record_count": 2,
+        "file_size_in_bytes": 1,
+        "referenced_data_file": "data/d0.parquet",  # v2 field 143
+        "content_offset": None, "content_size_in_bytes": None,
+    }
+    write_ocf_generic(
+        os.path.join(root, "metadata", "m-del.avro"),
+        _DV_MANIFEST_ENTRY_SCHEMA,
+        [{"status": 1, "snapshot_id": 1, "data_file": entry}],
+    )
+    # manifest list references m-del.avro by (unchanged) name; the
+    # empty-DV blob entry was replaced wholesale above
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in ks if k not in (1, 2)]

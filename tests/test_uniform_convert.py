@@ -93,7 +93,7 @@ def test_dv_table_translates_to_v3_puffin(spark, tmp_path):
     t = IcebergTable(root)
     assert t.metadata["format-version"] == 3
     _data, _pos, _eq, dv = t.scan_entries_full(None)
-    assert dv and all(p.endswith(".puffin") for p, _r, _o, _s in dv)
+    assert dv and all(p.endswith(".puffin") for p, _r, _o, _s, _c in dv)
 
 
 def test_refuses_mapped(spark, tmp_path):
