@@ -528,3 +528,53 @@ def q_tpcds_chanratio(spark, sf_dir):
     both engines); the join keys carry the shuffle (no skew: customer
     x year). The SAME SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_chanratio", _CHANRATIO)
+
+
+_YOY = """
+WITH year_total AS (
+  SELECT o_custkey AS ck,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'express'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+              ELSE 'economy' END AS channel,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+  GROUP BY o_custkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'express'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+                ELSE 'economy' END,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+)
+SELECT e1.ck AS custkey,
+       e1.cents AS express_y1, e2.cents AS express_y2,
+       s1.cents AS standard_y1, s2.cents AS standard_y2,
+       ROUND(CAST(e2.cents AS DOUBLE) / e1.cents, 6) AS express_growth,
+       ROUND(CAST(s2.cents AS DOUBLE) / s1.cents, 6) AS standard_growth
+FROM year_total e1, year_total e2, year_total s1, year_total s2
+WHERE e1.ck = e2.ck AND e1.ck = s1.ck AND s1.ck = s2.ck
+  AND e1.channel = 'express' AND e2.channel = 'express'
+  AND s1.channel = 'standard' AND s2.channel = 'standard'
+  AND e1.yr = 1996 AND e2.yr = 1997
+  AND s1.yr = 1996 AND s2.yr = 1997
+  AND CAST(e2.cents AS DECIMAL(19,0)) * CAST(s1.cents AS DECIMAL(19,0))
+      > CAST(s2.cents AS DECIMAL(19,0)) * CAST(e1.cents AS DECIMAL(19,0))
+"""
+
+_TABLES["q_tpcds_yoy"] = ("orders",)
+
+
+@query("q_tpcds_yoy", oracle=_YOY)
+def q_tpcds_yoy(spark, sf_dir):
+    """TPC-DS Q4 shape (fixture-adapted): ONE `year_total` CTE
+    referenced FOUR times (per customer × channel × year), self-joined
+    on customer across (channel, year) slices, keeping customers whose
+    express channel grew strictly faster year-over-year than their
+    standard channel — Q4's single-CTE-many-consumers signature
+    (where Q31/q_tpcds_qoq uses two CTEs and quarters). The growth
+    comparison cross-multiplies in DECIMAL(38,0) — exact, and immune
+    to the bigint overflow a cents product hits at sf≥0.1. At scale:
+    year_total is one fact aggregate (customer-grain, skew-free), the
+    four consumers are shuffle-reused equi-joins on ck. The SAME SQL
+    text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_yoy", _YOY)

@@ -78,3 +78,25 @@ def test_bad_name_and_format_refuse(spark, tmp_path):
 
 def test_unregister_is_idempotent(spark):
     catalog.unregister(spark, "cat_never_registered")  # no raise
+
+
+def test_register_path_with_quote(spark, tmp_path):
+    """Review #5 regression: a single quote in the LOCATION path must
+    be escaped, not break (or inject into) the CREATE statement."""
+    import shutil
+
+    src = os.path.join(SF0001, "nation.parquet")
+    qdir = tmp_path / "o'brien"
+    qdir.mkdir()
+    shutil.copyfile(src, str(qdir / "nation.parquet"))
+    catalog.register(spark, "cat_t_quote", str(qdir), "parquet")
+    try:
+        n = spark.sql("SELECT COUNT(*) AS n FROM cat_t_quote").collect()[0]["n"]
+        assert n == spark.read.parquet(src).count()
+    finally:
+        catalog.unregister(spark, "cat_t_quote")
+
+
+def test_analyze_rejects_bad_column_names(spark):
+    with pytest.raises(ValueError, match="identifier"):
+        catalog.analyze(spark, "whatever", columns=["a; DROP TABLE x"])
