@@ -59,10 +59,12 @@ def register(
         if kwargs:
             raise ValueError(f"parquet registration takes no kwargs: {kwargs}")
         # external catalog table — no copy, native pushdown/pruning.
-        # The path is embedded in SQL: escape single quotes (a path
-        # like /data/o'brien would otherwise break the statement or
-        # inject into it — round-9 review #5)
-        loc = path.replace("'", "''")
+        # The path is embedded in SQL: with Spark's default parser
+        # backslash IS an escape character, so escape backslashes
+        # FIRST, then quotes as \' — quote-doubling alone still lets
+        # a trailing backslash (or an embedded \') break out of the
+        # literal (round-9 review #5 + follow-up #4)
+        loc = path.replace("\\", "\\\\").replace("'", "\\'")
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{loc}'")
         return spark.table(name)

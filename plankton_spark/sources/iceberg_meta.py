@@ -399,13 +399,16 @@ class IcebergTable:
                                 "referenced_data_file + content_offset "
                                 "+ content_size_in_bytes (v3 spec)"
                             )
+                        rc = df.get("record_count")
                         dv_deletes.append(
                             (
                                 path,
                                 str(ref),
                                 int(off),
                                 int(sz),
-                                int(df.get("record_count") or 0),
+                                # -1 = unknown (spec-violating foreign
+                                # entry): must never read as "tiny"
+                                int(rc) if rc is not None else -1,
                             )
                         )
                     else:
@@ -696,9 +699,12 @@ def _posdelete_filtered_read(
         # compressed blob bytes: roaring RLE is unbounded-ratio, so a
         # few hundred bytes can expand to 10^8 (file,row) pairs and
         # OOM the driver on collect-for-broadcast (round-9 review #4).
-        # ~16 B/pair -> 2M pairs ≈ 32 MB broadcast.
-        total_dv_rows = sum(card for _p, _r, _o, _s, card in dv_deletes)
-        if total_dv_rows < 2_000_000:
+        # ~16 B/pair -> 2M pairs ≈ 32 MB broadcast. An UNKNOWN
+        # cardinality (-1, spec-violating foreign entry) disqualifies
+        # broadcasting — fail safe to the shuffle join, never OOM
+        # (review-2 #5).
+        cards = [card for _p, _r, _o, _s, card in dv_deletes]
+        if all(c >= 0 for c in cards) and sum(cards) < 2_000_000:
             dv_frame = F.broadcast(dv_frame)
         scan = scan.join(dv_frame, ["__pd_file", "__pd_ridx"], "left_anti")
     if eq_deletes:
@@ -2080,7 +2086,22 @@ class IcebergWriter:
             # only operation — it must keep working on DV'd tables
             # (only the DATA files' field-id presence matters here;
             # round-9 review #2)
-            d_full, _pos, _eq, _dv = table.scan_entries_full(None)
+            d_full, _pos, eq_live, _dv = table.scan_entries_full(None)
+            # …but NOT on a column a live EQUALITY delete keys on:
+            # dropping it orphans the delete's equality_ids and every
+            # later read fails resolving the id — the brick-the-table
+            # class (round-9 review-2 follow-up #1)
+            drop_fid = table.field_ids().get(name)
+            hit_eq = [
+                p for p, ids, _seq in eq_live if drop_fid in ids
+            ]
+            if hit_eq:
+                raise ValueError(
+                    f"{self.table_path}: column {name!r} (field id "
+                    f"{drop_fid}) is an equality-delete key of "
+                    f"{len(hit_eq)} live delete file(s) — OPTIMIZE to "
+                    "purge the deletes first"
+                )
             for p, _pv, _seq, _sid in d_full:
                 sch = _pq.read_schema(p)
                 if not any(
@@ -3046,7 +3067,6 @@ class IcebergWriter:
         for _ in range(20):
             table = IcebergTable(self.table_path)
             schema = table.schema()
-            part_cols = table.partition_fields()
             full, pos_dels, eq_dels, dv_dels = table.scan_entries_full(None)
             if pos_dels or eq_dels:
                 raise ValueError(
@@ -3069,27 +3089,42 @@ class IcebergWriter:
                     "make the table unreadable — compact to a single "
                     "spec first (OPTIMIZE), then delete"
                 )
+            # the LIVE entries' spec, not the table default: after
+            # evolve_spec with no new data, the default spec doesn't
+            # describe the live files — attaching its columns as NULL
+            # would make partition-column predicates silently match
+            # nothing (round-9 review-2 #2; same rule as read_iceberg)
+            part_cols = table.partition_fields_for(
+                next(iter({sid for _p, _pv, _seq, sid in full}))
+            )
             live = _assemble_iceberg(
                 self.spark, schema, part_cols, entries, with_pos=True
             )
-            # prior DVs subtract before predicate evaluation (a row
-            # already deleted must not re-hit) and merge for re-hit
-            # files
-            prior: dict[str, list[int]] = {}
-            for pp, ref, off, sz, _card in dv_dels:
-                base = os.path.basename(ref.rstrip("/"))
-                prior.setdefault(base, []).extend(
-                    _puffin.dv_indexes(pp, off, sz)
-                )
             hits_df = live.where(F.coalesce(condition, F.lit(False))).select(
                 F.substring_index(F.col("__pd_file"), "/", -1).alias("f"),
                 F.col("__pd_ridx").alias("pos"),
             )
-            prior_sets = {f: set(v) for f, v in prior.items()}
-            by_file: dict[str, set[int]] = defaultdict(set)
+            raw_hits: dict[str, set[int]] = defaultdict(set)
             for r in hits_df.collect():
-                if r["pos"] not in prior_sets.get(r["f"], ()):
-                    by_file[r["f"]].add(int(r["pos"]))
+                raw_hits[r["f"]].add(int(r["pos"]))
+            if not raw_hits:
+                return None
+            # prior DVs: decode ONLY the blobs of files the predicate
+            # hit (memory/IO bounded by re-hit files, not every DV'd
+            # file in the table — round-9 review-2 #6); a row already
+            # deleted must not re-hit, and re-hit files MERGE
+            prior_sets: dict[str, set[int]] = {}
+            for pp, ref, off, sz, _card in dv_dels:
+                base = os.path.basename(ref.rstrip("/"))
+                if base in raw_hits:
+                    prior_sets.setdefault(base, set()).update(
+                        _puffin.dv_indexes(pp, off, sz)
+                    )
+            by_file: dict[str, set[int]] = {}
+            for f, poss in raw_hits.items():
+                fresh = poss - prior_sets.get(f, set())
+                if fresh:
+                    by_file[f] = fresh
             if not by_file:
                 return None
 
@@ -3111,7 +3146,7 @@ class IcebergWriter:
             ) + 1
             blobs, refs = [], []
             for base in sorted(by_file):
-                merged = sorted(by_file[base] | set(prior.get(base, ())))
+                merged = sorted(by_file[base] | prior_sets.get(base, set()))
                 blobs.append(
                     {
                         "type": "deletion-vector-v1",
@@ -3159,11 +3194,15 @@ class IcebergWriter:
             ]
             # carry forward untouched files' DVs (status 0 EXISTING);
             # record_count comes from the prior manifest entry — no
-            # blob re-read/re-decode per untouched file (review #6)
+            # blob re-read/re-decode per untouched file (review #6);
+            # an unknown (-1) foreign cardinality decodes ONCE here so
+            # the carried entry records the truth, not a sentinel
             for pp, ref, off, sz, card in dv_dels:
                 base = os.path.basename(ref.rstrip("/"))
                 if base in superseded:
                     continue
+                if card < 0:
+                    card = len(_puffin.dv_indexes(pp, off, sz))
                 new_entries.append(
                     dv_entry(
                         os.path.relpath(pp, self.table_path),
@@ -3530,11 +3569,12 @@ class IcebergWriter:
             # work on DV'd snapshots (undoing a bad DV delete IS the
             # use case — round-9 review #2); the missing-file check
             # covers data files, v2 delete files AND DV Puffin files
-            r_full, r_pos, _r_eq, r_dv = table.scan_entries_full(snapshot_id)
+            r_full, r_pos, r_eq, r_dv = table.scan_entries_full(snapshot_id)
             missing = sorted(
                 p
                 for p in [p for p, _pv, _s, _i in r_full]
                 + list(r_pos)
+                + [p for p, _ids, _s in r_eq]
                 + [p for p, _r, _o, _s, _c in r_dv]
                 if not os.path.exists(p)
             )

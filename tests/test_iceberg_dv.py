@@ -537,3 +537,36 @@ def test_v2_posdelete_with_referenced_data_file_still_v2(spark, tmp_path):
     # empty-DV blob entry was replaced wholesale above
     got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
     assert got == [k for k in ks if k not in (1, 2)]
+
+
+def test_dv_delete_after_spec_evolution_no_append(spark, tmp_path):
+    """Review-2 #2: after evolve_spec with NO new data, the live files
+    are all single-spec — the guard passes — but the assembled read
+    must shape by the LIVE entries' spec, not the new default, or a
+    predicate on the evolved partition column silently matches
+    nothing (files written pre-evolution physically contain it)."""
+    from pyspark.sql import functions as F
+
+    root, w = _fresh_table(spark, tmp_path, "sedv")
+    w.evolve_spec(["grp"])
+    sid = w.delete_where_dv(F.col("grp") == "even")
+    assert sid is not None, "predicate must match (not silently None)"
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in range(30) if k % 2 != 0]
+
+
+def test_drop_column_refuses_live_equality_delete_key(spark, tmp_path):
+    """Review-2 #1: dropping a column a LIVE equality delete keys on
+    would orphan the delete's equality_ids and brick every later read
+    — must refuse with an OPTIMIZE pointer."""
+    from pyspark.sql import functions as _F  # noqa: F401
+
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root, w = _fresh_table(spark, tmp_path, "eqdrop")
+    w.delete_where_eq(spark.createDataFrame([("even",)], "grp string"))
+    with pytest.raises(ValueError, match="equality-delete key"):
+        IcebergWriter(spark, root).drop_column("grp")
+    # a column NOT keyed by the delete still drops fine... except this
+    # table has only k left as non-key — assert read still works
+    assert read_iceberg(spark, root).count() == 15
