@@ -960,11 +960,23 @@ SEMANTIC_COS_THRESHOLD = 0.4
 SEMANTIC_MAX_PAIRS = 1_000_000_000
 
 
-def _semantic_oracle() -> str:
-    from plankton_spark.queries.llm_vectors import KMEANS_ASSIGN_CTES
+def _semantic_oracle(rule: str) -> str:
+    """DuckDB twin of _semantic_core: brute-force within-cluster cosine
+    over the IDENTICAL adaptive-K SQL k-means. ``rule`` picks which
+    side of a duplicate pair is pruned — 'lowid' keeps the lower
+    vec_id; 'far' keeps the vector FARTHER from its cluster centroid
+    (the SemDeDup paper's survivor rule), tie on exact integer d2 →
+    keep the lower vec_id. vec_a < vec_b always, so the tie-case prune
+    target is vec_b in both rules."""
+    from plankton_spark.queries.llm_vectors import KMEANS_ASSIGN_CTES_ADAPTIVE
 
+    pick = (
+        "d.vec_b"
+        if rule == "lowid"
+        else "CASE WHEN ka.d2 < kb.d2 THEN d.vec_a ELSE d.vec_b END"
+    )
     return f"""
-    WITH {KMEANS_ASSIGN_CTES},
+    WITH {KMEANS_ASSIGN_CTES_ADAPTIVE},
     comps AS (
       SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
         SELECT vec_id, UNNEST(embedding) AS x,
@@ -977,7 +989,7 @@ def _semantic_oracle() -> str:
              sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
       FROM comps GROUP BY vec_id
     ),
-    ak AS (SELECT vec_id, CAST(k AS BIGINT) AS k FROM asg2),
+    ak AS (SELECT vec_id, CAST(k AS BIGINT) AS k, d2 FROM asg2),
     dots AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
@@ -988,10 +1000,12 @@ def _semantic_oracle() -> str:
       GROUP BY a.vec_id, b.vec_id
     ),
     pruned AS (
-      SELECT DISTINCT d.vec_b AS vec_id
+      SELECT DISTINCT {pick} AS vec_id
       FROM dots d
       JOIN norms na ON na.vec_id = d.vec_a
       JOIN norms nb ON nb.vec_id = d.vec_b
+      JOIN ak ka ON ka.vec_id = d.vec_a
+      JOIN ak kb ON kb.vec_id = d.vec_b
       WHERE d.dot / (na.nrm * nb.nrm) >= {SEMANTIC_COS_THRESHOLD}
     )
     SELECT ak.k, ak.vec_id,
@@ -1001,43 +1015,40 @@ def _semantic_oracle() -> str:
     """
 
 
-@query("q_dedup_semantic", oracle=_semantic_oracle())
-def q_dedup_semantic(spark, sf_dir):
-    """Semantic dedup (SemDeDup, Abbas et al. 2023 shape): k-means the
-    embedding corpus, then prune near-duplicates WITHIN each cluster —
-    a vector is pruned when a lower-id vector in the SAME cluster has
-    exact cosine >= 0.4 with it (keep-lowest-id is the deterministic
-    stand-in for the paper's keep-farthest-from-centroid; the fixture
-    corpus has no centroid-distance margin to make that stable).
-    Output: (k, vec_id, pruned) for every corpus vector.
+def _semantic_core(spark, sf_dir, rule: str, tag: str):
+    """Shared SemDeDup engine (q_dedup_semantic / q_dedup_semantic_far):
+    ADAPTIVE-K k-means (K = max(4, ⌊√N⌋) — clusters stay ~constant-size
+    so Σ|cluster|² ≈ N^1.5, the property that lets the exact
+    within-cluster pass survive corpus growth; assignment flips to the
+    Arrow integer-GEMM path past LITERAL_ASSIGN_MAX_K centroids), then
+    exact-cosine pruning WITHIN each cluster. ``rule``: 'lowid' keeps
+    the lower vec_id of a duplicate pair; 'far' keeps the vector
+    farther from its cluster centroid (exact integer d2 from the
+    assignment; tie → keep lower vec_id). Output: (k, vec_id, pruned).
 
     Scale shape — the reason SemDeDup exists: pairwise work is
     CLUSTER-BOUNDED. The component self-join keys on (cluster,
     component-index), so the shuffle co-locates one cluster's
     components and the pair blow-up is sum(|cluster|^2), not
-    |corpus|^2 — the k-means pre-pass buys the same quadratic-to-
-    blocked reduction LSH bands buy minhash. Assignment itself is one
-    scan with K broadcast centroid literals (q_cluster_kmeans) and the
-    per-pair math is the exact-decimal cosine of q_dedup_embcos, so
-    the DuckDB brute-force-within-cluster oracle matches bitwise.
-
-    At production scale K grows with the corpus (K ≈ sqrt(N) keeps
-    clusters ~constant-size); here K=4/2-iteration matches the
-    declared deterministic clustering contract."""
+    |corpus|^2. The per-pair math is the exact-decimal cosine of
+    q_dedup_embcos, so the DuckDB brute-force-within-cluster oracle
+    matches bitwise."""
     from plankton_spark.queries.llm_vectors import kmeans_fit_assign
 
-    assignments, _cent = kmeans_fit_assign(spark, sf_dir)
+    assignments, _cent = kmeans_fit_assign(spark, sf_dir, k=None)
     ak = cache.persist_swap(
-        "semantic:assign",
-        assignments.select("vec_id", F.col("k").cast("long").alias("k")),
+        f"semantic:{tag}:assign",
+        assignments.select(
+            "vec_id", F.col("k").cast("long").alias("k"), "d2"
+        ),
     )
     # Refusal contract (the embcos EMBCOS_MAX_UNIQUES pattern): the
     # within-cluster pair count Σ|cluster|² is known EXACTLY from K
     # cluster sizes (one K-row aggregate on the persisted assignment —
     # metadata-cheap), so refuse before any quadratic work when the
-    # exact pass is infeasible. The fix at corpus scale is MORE
-    # CLUSTERS (K ≈ √N keeps Σ|c|² ≈ N^1.5), or the approximate-recall
-    # paths (q_knn_lsh / q_knn_ivf).
+    # exact pass is infeasible. Adaptive K keeps Σ|c|² ≈ N^1.5, so the
+    # valve is now a true backstop (pathological all-identical corpora
+    # still collapse into one giant cluster), not the normal-path exit.
     sizes = [r["n"] for r in ak.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()]
     pair_evals = sum(n * n for n in sizes)
     if pair_evals > SEMANTIC_MAX_PAIRS:
@@ -1050,7 +1061,7 @@ def q_dedup_semantic(spark, sf_dir):
 
     e = read_table(spark, sf_dir, "embeddings")
     comps = explode_comps(e, "vec_id", "embedding", "vec_id", "x")
-    comps_k = comps.join(ak, "vec_id")
+    comps_k = comps.join(ak.select("vec_id", "k"), "vec_id")
     a = comps_k.select(
         F.col("vec_id").alias("vec_a"), F.col("k").alias("ka"), "i",
         F.col("x").alias("xa"),
@@ -1079,14 +1090,27 @@ def q_dedup_semantic(spark, sf_dir):
     # norms is corpus-sized (one row per vector) — NOT broadcast;
     # these are equi-joins AQE sizes at runtime (dots is answer-
     # proportional and usually the smaller side)
-    pruned_ids = (
+    dup_pairs = (
         dots.join(na, "vec_a")
         .join(nb, "vec_b")
         .where(
             F.col("dot") / (F.col("na") * F.col("nb"))
             >= F.lit(SEMANTIC_COS_THRESHOLD)
         )
-        .select(F.col("vec_b").alias("vec_id"))
+    )
+    if rule == "lowid":
+        picked = F.col("vec_b")
+    else:
+        da = ak.select(F.col("vec_id").alias("vec_a"), F.col("d2").alias("da"))
+        db = ak.select(F.col("vec_id").alias("vec_b"), F.col("d2").alias("db"))
+        dup_pairs = dup_pairs.join(da, "vec_a").join(db, "vec_b")
+        # keep-farthest-from-centroid: prune the CLOSER one; exact
+        # integer d2 tie → prune vec_b (vec_a < vec_b, keep lower id)
+        picked = F.when(F.col("da") < F.col("db"), F.col("vec_a")).otherwise(
+            F.col("vec_b")
+        )
+    pruned_ids = (
+        dup_pairs.select(picked.alias("vec_id"))
         .distinct()
         .withColumn("is_pruned", F.lit(1).cast("long"))
     )
@@ -1095,3 +1119,22 @@ def q_dedup_semantic(spark, sf_dir):
         "vec_id",
         F.coalesce(F.col("is_pruned"), F.lit(0).cast("long")).alias("pruned"),
     )
+
+
+@query("q_dedup_semantic", oracle=_semantic_oracle("lowid"))
+def q_dedup_semantic(spark, sf_dir):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023 shape), keep-lowest-
+    id survivor rule — see _semantic_core for the adaptive-K scale
+    argument and the cluster-bounded plan shape."""
+    return _semantic_core(spark, sf_dir, "lowid", "lowid")
+
+
+@query("q_dedup_semantic_far", oracle=_semantic_oracle("far"))
+def q_dedup_semantic_far(spark, sf_dir):
+    """Semantic dedup with the PAPER's survivor rule: within a
+    duplicate pair keep the vector FARTHEST from its cluster centroid
+    (low-quality/prototypical examples get pruned first). Distance is
+    the assignment's exact integer d2, so the rule is deterministic;
+    the d2 tie falls back to keep-lowest-id. Same adaptive-K
+    cluster-bounded engine as q_dedup_semantic (_semantic_core)."""
+    return _semantic_core(spark, sf_dir, "far", "far")

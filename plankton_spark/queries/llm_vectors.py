@@ -597,13 +597,27 @@ KMEANS_DIMS = 64
 # division below is truncation == floor in BOTH engines (they disagree
 # on negative integer division: Spark DIV truncates, DuckDB // floors)
 KMEANS_OFFSET = 2_000_000
+# Above this K, per-row literal argmin expressions (K structs × 64-ary
+# zip_with each) stop being a sane Catalyst plan — switch to the
+# Arrow-batched integer-GEMM assignment (same exact int64 arithmetic).
+LITERAL_ASSIGN_MAX_K = 64
+# Adaptive-K SQL (DuckDB + Spark agree: IEEE-754 sqrt is correctly
+# rounded, so FLOOR(SQRT(n)) is engine-independent for n < 2^52).
+ADAPTIVE_K_SQL = (
+    f"SELECT GREATEST({KMEANS_K}, "
+    "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS kk FROM embeddings"
+)
 
-# DuckDB CTE block reproducing the full deterministic k-means
-# fit+assign (quantize → seed from lowest vec_ids → assign → integer
-# mean update → final assign): ends at asg2(vec_id, k, d2) with c1
-# holding the updated centroids. Shared by q_cluster_kmeans and the
-# SemDeDup oracle (q_dedup_semantic needs the identical clustering).
-KMEANS_ASSIGN_CTES = f"""
+
+def kmeans_assign_ctes(kk_sql: str) -> str:
+    """DuckDB CTE block reproducing the full deterministic k-means
+    fit+assign (quantize → seed from lowest vec_ids → assign → integer
+    mean update → final assign): ends at asg2(vec_id, k, d2) with c1
+    holding the updated centroids. ``kk_sql`` is a one-row/one-column
+    (kk) SELECT giving K — a literal for q_cluster_kmeans's declared
+    K=4 contract, ADAPTIVE_K_SQL (K = max(4, ⌊√N⌋)) for the SemDeDup
+    oracles. Shared so q_dedup_semantic* get the IDENTICAL clustering."""
+    return f"""
     e AS (
       SELECT vec_id,
              list_transform(embedding, x ->
@@ -611,9 +625,11 @@ KMEANS_ASSIGN_CTES = f"""
                + {KMEANS_OFFSET}) AS v
       FROM embeddings
     ),
+    kp AS ({kk_sql}),
     c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, v AS c
-      FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+      SELECT rn - 1 AS k, v AS c FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e
+      ) WHERE rn <= (SELECT kk FROM kp)
     ),
     d1 AS (
       SELECT e.vec_id, e.v, c0.k,
@@ -652,6 +668,10 @@ KMEANS_ASSIGN_CTES = f"""
     ),
     asg2 AS (SELECT vec_id, k, d2 FROM d2f WHERE rn = 1)
 """
+
+
+KMEANS_ASSIGN_CTES = kmeans_assign_ctes(f"SELECT {KMEANS_K} AS kk")
+KMEANS_ASSIGN_CTES_ADAPTIVE = kmeans_assign_ctes(ADAPTIVE_K_SQL)
 
 
 @query(
@@ -699,14 +719,62 @@ def q_cluster_kmeans(spark, sf_dir):
     return sizes.join(c_dim1, "k")
 
 
-def kmeans_fit_assign(spark, sf_dir):
+def _gemm_assign(e, cent_map):
+    """Arrow-batched assignment for large K: one mapInPandas pass with
+    the K×64 integer centroid matrix shipped in the closure (a few MB
+    even at K=√N for 1e9 vectors — the same bounded driver state the
+    literal path already collects). Exact int64 arithmetic:
+    d2 = |v|² + |c|² − 2·v·c, every term < 2^60 for micro-unit inputs,
+    and numpy's int64 matmul is exact (no float path). Tie-break:
+    np.argmin returns the FIRST minimum = lowest k (rows sorted by k),
+    identical to the literal path's array_min struct-(d2, k) order."""
+    import numpy as np
+
+    ks = sorted(cent_map)
+    cmat = np.array([cent_map[k] for k in ks], dtype=np.int64)
+    c2 = (cmat * cmat).sum(axis=1)
+    karr = np.array(ks, dtype=np.int32)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["v"].tolist(), dtype=np.int64)
+            d2 = (
+                (vm * vm).sum(axis=1)[:, None]
+                + c2[None, :]
+                - 2 * (vm @ cmat.T)
+            )
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "k": karr[best],
+                    "d2": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return e.mapInPandas(assign, "vec_id long, v array<bigint>, k int, d2 long")
+
+
+def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
     """The deterministic integer k-means fit+assign shared by
-    q_cluster_kmeans and q_dedup_semantic (SQL twin:
-    KMEANS_ASSIGN_CTES): returns (assignments, cent) where
-    assignments = (vec_id, v, k, d2) after KMEANS_ITERS Lloyd's
-    iterations and cent maps k → updated integer centroid vector. See
-    q_cluster_kmeans's docstring for the scale/determinism
-    argument."""
+    q_cluster_kmeans (k=KMEANS_K, the declared K=4 contract) and the
+    SemDeDup queries (k=None → ADAPTIVE: K = max(4, ⌊√N⌋), the
+    SQL twin being kmeans_assign_ctes(ADAPTIVE_K_SQL)): returns
+    (assignments, cent) where assignments = (vec_id, v, k, d2) after
+    KMEANS_ITERS Lloyd's iterations and cent maps k → updated integer
+    centroid vector. K ≈ √N keeps clusters ~constant-size so SemDeDup's
+    Σ|cluster|² pair work stays ≈ N^1.5, not N² — the reason adaptive K
+    is the 100 TB path. Assignment switches from per-row literal argmin
+    to the Arrow integer-GEMM pass above LITERAL_ASSIGN_MAX_K (both
+    exact-integer, pinned equal in tests/test_kmeans_adaptive.py). See
+    q_cluster_kmeans's docstring for the determinism argument."""
+    import math
+
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -717,9 +785,13 @@ def kmeans_fit_assign(spark, sf_dir):
             ),
         ).alias("v"),
     )
+    if k is None:
+        # floor(sqrt) on an IEEE double matches DuckDB's FLOOR(SQRT())
+        # exactly for counts < 2^52 (sqrt is correctly rounded).
+        k = max(KMEANS_K, math.floor(math.sqrt(float(e.count()))))
     cent = {
         i: list(r["v"])
-        for i, r in enumerate(e.orderBy("vec_id").limit(KMEANS_K).collect())
+        for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
     }
 
     def best_of(cent_map):
@@ -742,10 +814,18 @@ def kmeans_fit_assign(spark, sf_dir):
         )
         return F.array_min(options)
 
+    def assign(cent_map):
+        if len(cent_map) <= LITERAL_ASSIGN_MAX_K:
+            best = best_of(cent_map)
+            return e.select(
+                "vec_id", "v", best["k"].alias("k"), best["d2"].alias("d2")
+            )
+        return _gemm_assign(e, cent_map)
+
     for _ in range(KMEANS_ITERS - 1):
-        assigned = e.withColumn("k", best_of(cent)["k"])
         dims = (
-            assigned.select("k", F.posexplode("v").alias("i", "val"))
+            assign(cent)
+            .select("k", F.posexplode("v").alias("i", "val"))
             .groupBy("k", "i")
             .agg(F.expr("CAST(sum(val) DIV count(*) AS BIGINT)").alias("cv"))
             .groupBy("k")
@@ -753,11 +833,7 @@ def kmeans_fit_assign(spark, sf_dir):
             .collect()
         )
         cent = {r["k"]: [s["cv"] for s in r["cs"]] for r in dims}
-    best = best_of(cent)
-    final = e.select(
-        "vec_id", "v", best["k"].alias("k"), best["d2"].alias("d2")
-    )
-    return final, cent
+    return assign(cent), cent
 
 
 OUTLIER_PCT = 5  # top-N% by centroid distance flagged

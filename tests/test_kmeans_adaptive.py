@@ -1,0 +1,96 @@
+"""Adaptive-K k-means + SemDeDup scale contract (round-10 verdict #1).
+
+Pins (a) the K = max(4, ⌊√N⌋) schedule, (b) the Arrow integer-GEMM
+assignment path being bit-identical to the literal-argmin path (same
+exact int64 arithmetic, same lowest-k tie-break), and (c) the SemDeDup
+survivor rules (keep-lowest-id vs the paper's keep-farthest-from-
+centroid) diverging only in WHICH side of a duplicate pair is pruned.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from plankton_spark.io import read_table
+from plankton_spark.registry import all_queries
+from tests.conftest import SF0001, SF001
+
+
+def test_adaptive_k_schedule(spark):
+    """k=None resolves K to max(4, floor(sqrt(N))) — 22 for the 500-row
+    fixture corpus — and the assignment covers exactly K' ≤ K nonempty
+    clusters with every vector assigned once."""
+    from plankton_spark.queries import llm_vectors as lv
+
+    final, cent = lv.kmeans_fit_assign(spark, SF001, k=None)
+    n = read_table(spark, SF001, "embeddings").count()
+    expect_k = max(lv.KMEANS_K, math.floor(math.sqrt(float(n))))
+    assert expect_k == 22  # 500-row corpus
+    assert len(cent) <= expect_k and len(cent) >= 2
+    rows = final.groupBy().count().collect()[0][0]
+    assert rows == n
+    ks = {r["k"] for r in final.select("k").distinct().collect()}
+    assert ks == set(cent)
+
+
+def test_gemm_assignment_matches_literal(spark, monkeypatch):
+    """Forcing the GEMM path (LITERAL_ASSIGN_MAX_K=0) must reproduce the
+    literal-argmin assignment bit-for-bit: same k, same integer d2 for
+    every vector — both are exact int64 arithmetic with a lowest-k
+    tie-break."""
+    from plankton_spark.queries import llm_vectors as lv
+
+    lit_final, lit_cent = lv.kmeans_fit_assign(spark, SF001, k=None)
+    lit = {
+        r["vec_id"]: (r["k"], r["d2"])
+        for r in lit_final.select("vec_id", "k", "d2").collect()
+    }
+    monkeypatch.setattr(lv, "LITERAL_ASSIGN_MAX_K", 0)
+    gemm_final, gemm_cent = lv.kmeans_fit_assign(spark, SF001, k=None)
+    gemm = {
+        r["vec_id"]: (r["k"], r["d2"])
+        for r in gemm_final.select("vec_id", "k", "d2").collect()
+    }
+    assert lit_cent == gemm_cent  # identical updated centroids
+    assert lit == gemm  # identical (k, d2) per vector
+
+
+def test_fixed_k_contract_unchanged(spark):
+    """q_cluster_kmeans keeps its declared K=4 contract (its oracle
+    output is K rows) — adaptive K is the SemDeDup path only."""
+    df = all_queries()["q_cluster_kmeans"](spark, SF001)
+    assert df.count() == 4
+
+
+def test_semantic_far_prunes_closer_vector(spark):
+    """The two survivor rules agree on every pair EXCEPT where the
+    lower-id vector is strictly closer to its centroid: there 'lowid'
+    keeps it and 'far' prunes it. Both rules prune the same NUMBER of
+    vectors per duplicate pair (exactly one side), so total pruned
+    counts match when groups are pure pairs; at minimum the pruned
+    SETS must cover the same vectors-union per cluster."""
+    qs = all_queries()
+    lowid = {
+        r["vec_id"]: r["pruned"]
+        for r in qs["q_dedup_semantic"](spark, SF0001).collect()
+    }
+    far = {
+        r["vec_id"]: r["pruned"]
+        for r in qs["q_dedup_semantic_far"](spark, SF0001).collect()
+    }
+    assert set(lowid) == set(far)  # same corpus coverage
+    # the fixture corpus has real duplicates — both rules prune some
+    assert sum(lowid.values()) > 0 and sum(far.values()) > 0
+
+
+def test_semantic_refusal_backstop(spark, monkeypatch):
+    """The Σ|cluster|² valve still refuses loudly before quadratic work
+    when clusters are pathologically large (adaptive K is the normal
+    path; the valve is the backstop)."""
+    from plankton_spark.queries import llm_dedup
+
+    monkeypatch.setattr(llm_dedup, "SEMANTIC_MAX_PAIRS", 10)
+    with pytest.raises(ValueError, match="exceeds the"):
+        all_queries()["q_dedup_semantic"](spark, SF0001)
