@@ -34,6 +34,12 @@ _NAME = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 FORMATS = ("parquet", "planktable", "deltalog", "iceberglog")
 
+# What register() bound each name to, so refresh(name) can re-resolve
+# the format log at call time (round-9 verdict #5). Keyed by bare name:
+# registrations are session-scoped in Spark but this module is used
+# one-driver-per-process, matching the temp-view scope it mirrors.
+_REGISTRATIONS: dict[str, tuple[str, str, dict]] = {}
+
 
 def _check_name(name: str) -> None:
     if not _NAME.fullmatch(name):
@@ -65,8 +71,14 @@ def register(
         # a trailing backslash (or an embedded \') break out of the
         # literal (round-9 review #5 + follow-up #4)
         loc = path.replace("\\", "\\\\").replace("'", "\\'")
+        # a temp view of the same name (from a prior view-format
+        # registration) SHADOWS the catalog table in name resolution —
+        # drop it too, or the new registration silently resolves to
+        # the stale snapshot-pinned view
+        spark.catalog.dropTempView(name)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{loc}'")
+        _REGISTRATIONS[name] = (fmt, path, dict(kwargs))
         return spark.table(name)
     if fmt == "planktable":
         from plankton_spark.table_format import PlankTable
@@ -82,13 +94,36 @@ def register(
         df = read_iceberg(spark, path, **kwargs)
     else:
         raise ValueError(f"unknown format {fmt!r} (want one of {FORMATS})")
+    # symmetric shadow rule: retire any catalog table this name held
+    # from a prior parquet registration before the view takes over
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
     df.createOrReplaceTempView(name)
+    _REGISTRATIONS[name] = (fmt, path, dict(kwargs))
     return df
+
+
+def refresh(spark: SparkSession, name: str) -> DataFrame:
+    """Re-resolve a registration made by register() at CALL time, so a
+    long-lived session can follow commits without re-register
+    boilerplate (views are snapshot-pinned by design — see the module
+    docstring). View formats re-run the format reader with the
+    original kwargs (an explicit version=/snapshot_id= pin is honored:
+    refreshing a time-travel registration is a no-op by construction);
+    parquet invalidates Spark's cached file listing for the table."""
+    _check_name(name)
+    if name not in _REGISTRATIONS:
+        raise ValueError(f"{name!r} was not registered via catalog.register")
+    fmt, path, kwargs = _REGISTRATIONS[name]
+    if fmt == "parquet":
+        spark.catalog.refreshTable(name)
+        return spark.table(name)
+    return register(spark, name, path, fmt, **kwargs)
 
 
 def unregister(spark: SparkSession, name: str) -> None:
     """Drop a registration made by register() (either mechanism)."""
     _check_name(name)
+    _REGISTRATIONS.pop(name, None)
     if not spark.catalog.dropTempView(name):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 

@@ -667,11 +667,11 @@ def _posdelete_filtered_read(
         scan = scan.join(dels, ["__pd_file", "__pd_ridx"], "left_anti")
     if dv_deletes:
         desc_rows = [
-            (os.path.basename(ref.rstrip("/")), p, int(off), int(sz))
-            for p, ref, off, sz, _card in sorted(dv_deletes)
+            (os.path.basename(ref.rstrip("/")), p, int(off), int(sz), int(card))
+            for p, ref, off, sz, card in sorted(dv_deletes)
         ]
         desc_df = spark.createDataFrame(
-            desc_rows, "f string, puffin string, off long, sz long"
+            desc_rows, "f string, puffin string, off long, sz long, card long"
         ).repartition(min(len(desc_rows), 64))
 
         def _expand(batches):
@@ -680,10 +680,22 @@ def _posdelete_filtered_read(
             from plankton_spark.sources.puffin import dv_indexes
 
             for pdf in batches:
-                for fb, pp, off, sz in zip(
-                    pdf["f"], pdf["puffin"], pdf["off"], pdf["sz"]
+                for fb, pp, off, sz, card in zip(
+                    pdf["f"], pdf["puffin"], pdf["off"], pdf["sz"], pdf["card"]
                 ):
                     idx = dv_indexes(pp, int(off), int(sz))
+                    # the broadcast decision below trusted the manifest
+                    # cardinality — verify the decoded bitmap agrees
+                    # (the Delta path's dv_row_indexes does the same),
+                    # so an understated foreign count fails loudly
+                    # executor-side instead of OOMing the driver on
+                    # collect-for-broadcast
+                    if int(card) >= 0 and len(idx) != int(card):
+                        raise ValueError(
+                            f"deletion vector at {pp!r} (offset {int(off)}) "
+                            f"decodes to {len(idx)} positions but the "
+                            f"manifest declares cardinality {int(card)}"
+                        )
                     for i in range(0, len(idx), 1 << 20):
                         yield _pd.DataFrame(
                             {
@@ -3097,6 +3109,27 @@ class IcebergWriter:
             part_cols = table.partition_fields_for(
                 next(iter({sid for _p, _pv, _seq, sid in full}))
             )
+            # Same identity rule the DV-aware READ enforces (the safe
+            # regex at _posdelete_filtered_read): hits are keyed by the
+            # basename of the URI-ENCODED `_metadata.file_path`, while
+            # rel_of/prior_sets key by the raw os.path basename — a
+            # name that needs encoding (space, %) would KeyError after
+            # the collect, and a raw name colliding with another file's
+            # encoded form would silently mis-attribute deletes.
+            # URI-safe names encode to themselves; refuse otherwise.
+            import re as _re
+
+            _safe = _re.compile(r"[A-Za-z0-9._-]+\Z")
+            _seen: set[str] = set()
+            for _p, _pv in entries:
+                _b = os.path.basename(_p)
+                if _b in _seen or not _safe.fullmatch(_b):
+                    raise ValueError(
+                        f"{self.table_path}: cannot key DV hit "
+                        "attribution by file basename: duplicate or "
+                        f"URI-unsafe name {_b!r}"
+                    )
+                _seen.add(_b)
             live = _assemble_iceberg(
                 self.spark, schema, part_cols, entries, with_pos=True
             )
@@ -3220,10 +3253,30 @@ class IcebergWriter:
             )
             prev = table._snapshot(None)
             prev_ml = table._resolve(prev["manifest-list"])
+
+            def _carried_content(m: dict) -> int:
+                # Manifest-list records SHOULD carry content (0=data,
+                # 1=deletes). A foreign list that omits it must not
+                # default a DELETE manifest to data — its DV entries
+                # were just merged into the new manifest, and carrying
+                # the old one forward would leave TWO live DV entries
+                # per file (breaking the at-most-one-DV invariant) and
+                # keep stale Puffin files live. Classify by the
+                # manifest's own entries' data_file.content instead.
+                if m.get("content") is not None:
+                    return int(m["content"])
+                cs = {
+                    int((e.get("data_file") or {}).get("content") or 0)
+                    for e in read_ocf_generic(
+                        table._resolve(m["manifest_path"])
+                    )
+                }
+                return 0 if cs <= {0} else 1
+
             manifests = [
-                {**m, "content": m.get("content", 0)}
+                {**m, "content": 0}
                 for m in read_ocf_generic(prev_ml)
-                if int(m.get("content", 0) or 0) == 0  # drop prior delete manifests
+                if _carried_content(m) == 0  # drop prior delete manifests
             ] + [
                 {
                     "manifest_path": f"metadata/{m_name}",

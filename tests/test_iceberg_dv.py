@@ -16,7 +16,11 @@ import pytest
 
 from plankton_spark.sources import puffin
 from plankton_spark.sources.avro_ocf import write_ocf_generic
-from plankton_spark.sources.iceberg_meta import IcebergTable, read_iceberg
+from plankton_spark.sources.iceberg_meta import (
+    IcebergTable,
+    IcebergWriter,
+    read_iceberg,
+)
 from plankton_spark.queries.iceberg_interop import (
     _DV_MANIFEST_ENTRY_SCHEMA,
     MANIFEST_FILE_SCHEMA,
@@ -570,3 +574,118 @@ def test_drop_column_refuses_live_equality_delete_key(spark, tmp_path):
     # a column NOT keyed by the delete still drops fine... except this
     # table has only k left as non-key — assert read still works
     assert read_iceberg(spark, root).count() == 15
+
+
+# -- round-10 ADVICE hardening -------------------------------------------------
+
+
+def _author_foreign_dv(spark, tmp_path, name):
+    """Foreign-style v3 DV fixture (manifest-list records carry NO
+    content field) relocated under tmp_path so tests can mutate it."""
+    import shutil as _sh
+
+    from plankton_spark.queries.iceberg_interop import author_iceberg_dv_orders
+
+    src = author_iceberg_dv_orders(spark, "/root/testdata/sf0.001", name=name)
+    dst = str(tmp_path / name)
+    _sh.copytree(src, dst)
+    # the fixture embeds its own location; rewrite it
+    import glob as _glob
+    import json as _json
+
+    mpath = _glob.glob(os.path.join(dst, "metadata", "*.metadata.json"))[0]
+    with open(mpath) as fh:
+        md = _json.load(fh)
+    md["location"] = dst
+    with open(mpath, "w") as fh:
+        _json.dump(md, fh)
+    return dst
+
+
+def test_delete_where_dv_foreign_no_content_markers(spark, tmp_path):
+    """ADVICE r9 #2: a foreign manifest list WITHOUT content fields
+    must not carry the old delete manifest forward as a data manifest —
+    after delete_where_dv the at-most-one-DV-per-file invariant must
+    hold (classification falls back to the manifest's own entries)."""
+    from pyspark.sql import functions as F
+
+    root = _author_foreign_dv(spark, tmp_path, "dv_foreign_nc")
+    w = IcebergWriter(spark, root)
+    sid = w.delete_where_dv(F.col("o_orderkey") % 11 == 0)
+    assert sid is not None
+    t = IcebergTable(root)
+    _d, _p, _e, dv = t.scan_entries_full(None)
+    refs = [r for _pp, r, _o, _s, _c in dv]
+    assert len(refs) == len(set(refs)), f"duplicate live DV per file: {refs}"
+    got = sorted(r["o_orderkey"] for r in read_iceberg(spark, root).collect())
+    assert got == sorted(
+        r["o_orderkey"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet"
+        )
+        .where("o_orderkey < 1500 AND o_orderkey % 7 != 0 AND o_orderkey % 11 != 0")
+        .collect()
+    )
+
+
+def test_dv_cardinality_mismatch_refuses(spark, tmp_path):
+    """ADVICE r9 #3: the DV broadcast decision trusts the manifest
+    cardinality — the decode must cross-check the decoded bitmap count
+    and refuse loudly on mismatch (understated foreign counts would
+    otherwise reintroduce the collect-for-broadcast OOM path)."""
+    from plankton_spark.queries.iceberg_interop import (
+        MANIFEST_FILE_SCHEMA,
+        _DV_MANIFEST_ENTRY_SCHEMA,
+    )
+    from plankton_spark.sources.avro_ocf import read_ocf_generic, write_ocf_generic
+
+    root = _author_foreign_dv(spark, tmp_path, "dv_badcard")
+    mdv = os.path.join(root, "metadata", "m-dv.avro")
+    ents = list(read_ocf_generic(mdv))
+    for e in ents:
+        e["data_file"]["record_count"] = 1  # understate the cardinality
+    write_ocf_generic(mdv, _DV_MANIFEST_ENTRY_SCHEMA, ents)
+    ml = os.path.join(root, "metadata", "snap-2.avro")
+    rows = list(read_ocf_generic(ml))
+    for r in rows:
+        if r["manifest_path"].endswith("m-dv.avro"):
+            r["manifest_length"] = os.path.getsize(mdv)
+    write_ocf_generic(ml, MANIFEST_FILE_SCHEMA, rows)
+    with pytest.raises(Exception, match="cardinality"):
+        read_iceberg(spark, root).collect()
+
+
+def test_delete_where_dv_uri_unsafe_basename_refuses(spark, tmp_path):
+    """ADVICE r9 #1: hit attribution keys on the basename of the
+    URI-ENCODED _metadata.file_path — a data file whose name needs
+    encoding (space) must be refused up front, not KeyError after the
+    collect or silently mis-attribute deletes."""
+    from pyspark.sql import functions as F
+
+    from plankton_spark.queries.iceberg_interop import (
+        MANIFEST_FILE_SCHEMA,
+        _DV_MANIFEST_ENTRY_SCHEMA,
+    )
+    from plankton_spark.sources.avro_ocf import read_ocf_generic, write_ocf_generic
+
+    root = _author_foreign_dv(spark, tmp_path, "dv_unsafe_name")
+    os.rename(
+        os.path.join(root, "data", "file-0.parquet"),
+        os.path.join(root, "data", "file 0.parquet"),
+    )
+    mdata = os.path.join(root, "metadata", "m-data.avro")
+    ents = list(read_ocf_generic(mdata))
+    for e in ents:
+        if e["data_file"]["file_path"] == "data/file-0.parquet":
+            e["data_file"]["file_path"] = "data/file 0.parquet"
+    write_ocf_generic(mdata, _DV_MANIFEST_ENTRY_SCHEMA, ents)
+    # keep the old DVs pointing at file-1 only so only the rename breaks
+    ml = os.path.join(root, "metadata", "snap-2.avro")
+    rows = list(read_ocf_generic(ml))
+    for r in rows:
+        if r["manifest_path"].endswith("m-data.avro"):
+            r["manifest_length"] = os.path.getsize(mdata)
+    write_ocf_generic(ml, MANIFEST_FILE_SCHEMA, rows)
+    w = IcebergWriter(spark, root)
+    with pytest.raises(ValueError, match="URI-unsafe"):
+        w.delete_where_dv(F.col("o_orderkey") % 11 == 0)
