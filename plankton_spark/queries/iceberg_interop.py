@@ -1441,3 +1441,227 @@ def q_iceberg_dv_delete(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
         ).alias("price_sum"),
     )
+
+
+def author_iceberg_lineage_orders(
+    spark, sf_dir: str, name: str = "iceberg_lineage"
+) -> str:
+    """Author a FOREIGN-STYLE Iceberg format-v3 table from `orders`
+    (o_orderkey < 1500) exercising ROW LINEAGE: two data files in two
+    separate snapshots' manifests — file-0 (keys < 750) with
+    first_row_id=0 at data sequence number 1, file-1 with
+    first_row_id=len(file-0) at sequence 2 — plus a sequence-3 delete
+    manifest whose Puffin DVs drop each file's o_orderkey % 7 == 0
+    rows BY ROW INDEX (DVs never move surviving rows' _row_id, the
+    lineage property under test). Metadata carries next-row-id and
+    per-snapshot first-row-id per the v3 spec. Returns the table
+    root."""
+    from plankton_spark.sources import puffin
+    from plankton_spark.sources.iceberg_meta import (
+        _MANIFEST_FILE_SCHEMA_V2SEQ,
+    )
+
+    root = _scratch(sf_dir, name)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    halves = [o[o.o_orderkey < 750], o[o.o_orderkey >= 750]]
+
+    lin_data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {
+                "name": "partition",
+                "type": {"type": "record", "name": "r102", "fields": []},
+            },
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+            {"name": "first_row_id", "type": ["null", "long"], "default": None},
+        ],
+    }
+    lin_entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": lin_data_file},
+        ],
+    }
+
+    manifests, blobs, next_rid = [], [], 0
+    for i, pdf in enumerate(halves):
+        part = spark.createDataFrame(pdf)
+        rel = _write_data_file(part, root, "data", f"file-{i}.parquet")
+        entry = {
+            "status": 1,
+            "snapshot_id": i + 1,
+            "data_file": {
+                "content": 0,
+                "file_path": rel,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": len(pdf),
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(root, rel)
+                ),
+                "first_row_id": next_rid,
+            },
+        }
+        next_rid += len(pdf)
+        mname = f"m-data-{i}.avro"
+        mpath = os.path.join(root, "metadata", mname)
+        write_ocf_generic(mpath, lin_entry_schema, [entry])
+        manifests.append(
+            {
+                "manifest_path": f"metadata/{mname}",
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": i + 1,
+                "added_snapshot_id": i + 1,
+            }
+        )
+        deleted = [
+            j for j, k in enumerate(pdf.o_orderkey.tolist()) if k % 7 == 0
+        ]
+        blobs.append(
+            {
+                "type": "deletion-vector-v1",
+                "data": puffin.dv_blob(deleted),
+                "snapshot-id": 3,
+                "sequence-number": 3,
+                "properties": {
+                    "referenced-data-file": rel,
+                    "cardinality": str(len(deleted)),
+                },
+            }
+        )
+
+    puffin_rel = "data/deletes-lineage.puffin"
+    metas = puffin.write_puffin(os.path.join(root, puffin_rel), blobs)
+    dv_entries = [
+        {
+            "status": 1,
+            "snapshot_id": 3,
+            "data_file": {
+                "content": 1,
+                "file_path": puffin_rel,
+                "file_format": "PUFFIN",
+                "partition": {},
+                "record_count": int(b["properties"]["cardinality"]),
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(root, puffin_rel)
+                ),
+                "referenced_data_file": b["properties"][
+                    "referenced-data-file"
+                ],
+                "content_offset": m["offset"],
+                "content_size_in_bytes": m["length"],
+            },
+        }
+        for b, m in zip(blobs, metas)
+    ]
+    mdv_path = os.path.join(root, "metadata", "m-dv.avro")
+    write_ocf_generic(mdv_path, _DV_MANIFEST_ENTRY_SCHEMA, dv_entries)
+    manifests.append(
+        {
+            "manifest_path": "metadata/m-dv.avro",
+            "manifest_length": os.path.getsize(mdv_path),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": 3,
+            "added_snapshot_id": 3,
+        }
+    )
+    ml = os.path.join(root, "metadata", "snap-3.avro")
+    write_ocf_generic(ml, _MANIFEST_FILE_SCHEMA_V2SEQ, manifests)
+
+    metadata = {
+        "format-version": 3,
+        "table-uuid": "plankton-iceberg-lineage-fixture",
+        "location": root,
+        "last-updated-ms": 3,
+        "last-column-id": 3,
+        "schema": _ICE_SCHEMA,
+        "schemas": [_ICE_SCHEMA],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "last-sequence-number": 3,
+        "next-row-id": next_rid,
+        "current-snapshot-id": 3,
+        "snapshots": [
+            {
+                "snapshot-id": 3,
+                "timestamp-ms": 3,
+                "manifest-list": "metadata/snap-3.avro",
+                "first-row-id": next_rid,
+            }
+        ],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    return root
+
+
+@query(
+    "q_iceberg_rowlineage",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey < 1500
+    )
+    SELECT CAST(CASE WHEN o_orderkey < 750 THEN 1 ELSE 2 END AS BIGINT)
+             AS seq,
+           COUNT(*) AS n_rows,
+           CAST(SUM(rid) AS BIGINT) AS rid_sum,
+           CAST(MIN(rid) AS BIGINT) AS rid_min,
+           CAST(MAX(rid) AS BIGINT) AS rid_max,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM base
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def q_iceberg_rowlineage(spark, sf_dir):
+    """Iceberg format-v3 ROW LINEAGE as a query: a foreign-style table
+    whose manifests assign each data file a first_row_id (the v3
+    inheritance chain — file N's ids start where file N-1's ended) at
+    distinct data sequence numbers, then DV-delete some rows.
+    read_iceberg(with_lineage=True) must project _row_id =
+    first_row_id + physical row position — STABLE across the DV delete
+    (DVs never rewrite data files, so survivors keep their ids; the
+    deleted ids simply vanish) — and _last_updated_sequence_number =
+    the file's data sequence number. The oracle re-derives both from
+    the deterministic fixture layout (files split at o_orderkey=750,
+    rows ordered by key), so an off-by-one in the id chain, a
+    position shift after the DV anti-join, or a sequence-inheritance
+    bug is a hash mismatch. Lineage is manifest metadata broadcast
+    onto the scan — no extra data pass (see read_iceberg)."""
+    root = author_iceberg_lineage_orders(spark, sf_dir)
+    t = read_iceberg(spark, root, with_lineage=True)
+    return t.groupBy(
+        F.col("_last_updated_sequence_number").alias("seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("rid_sum"),
+        F.min("_row_id").alias("rid_min"),
+        F.max("_row_id").alias("rid_max"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

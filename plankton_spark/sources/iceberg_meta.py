@@ -436,6 +436,42 @@ class IcebergTable:
             sorted(dv_deletes),
         )
 
+    def first_row_ids(self, snapshot_id: int | None = None) -> dict[str, int]:
+        """v3 ROW LINEAGE: live data files' assigned ``first_row_id``
+        at a snapshot, keyed by absolute path. Walks the same
+        manifest-list → manifest chain as scan_entries_full with the
+        same status/dedup rules, reading only data (content=0)
+        entries. Raises if any live data file has no first_row_id —
+        lineage is either tracked for the WHOLE snapshot or not
+        readable at all (a rewrite by a non-lineage-preserving op, or
+        a pre-v3 table)."""
+        snap = self._snapshot(snapshot_id)
+        manifest_list = self._resolve(snap["manifest-list"])
+        out: dict[str, int] = {}
+        seen: set[str] = set()
+        for m in read_ocf_generic(manifest_list):
+            for entry in read_ocf_generic(self._resolve(m["manifest_path"])):
+                if entry["status"] == 2:  # DELETED
+                    continue
+                df = entry["data_file"]
+                if df.get("content", 0) != 0:
+                    continue
+                path = self._resolve(df["file_path"])
+                if path in seen:
+                    continue
+                seen.add(path)
+                frid = df.get("first_row_id")
+                if frid is None:
+                    raise ValueError(
+                        f"{self.table_path}: data file "
+                        f"{df['file_path']!r} carries no first_row_id — "
+                        "row lineage is not tracked for this snapshot "
+                        "(pre-v3 table, or files rewritten by a non-"
+                        "lineage-preserving operation)"
+                    )
+                out[path] = int(frid)
+        return out
+
     def field_name_by_id(self, fid: int) -> str:
         """Current-schema column name for an Iceberg field id (used to
         resolve equality_ids; renames keep ids stable, so this maps a
@@ -484,6 +520,7 @@ def read_iceberg(
     snapshot_id: int | None = None,
     ref: str | None = None,
     timestamp_ms: int | None = None,
+    with_lineage: bool = False,
 ):
     """Native-parquet read of an Iceberg table at a snapshot (default:
     current). Spec-less tables are one multi-path vectorized scan;
@@ -498,7 +535,17 @@ def read_iceberg(
     files ((file_path, pos) rows) scan natively and drop the marked
     rows from the data scan via a `_metadata.row_index` anti-join —
     fully distributed, broadcast when the delete set is small.
-    Equality deletes raise (scan_entries)."""
+    Equality deletes raise (scan_entries).
+
+    ``with_lineage=True`` projects the v3 ROW-LINEAGE metadata columns
+    ``_row_id`` (the file's assigned first_row_id + the row's physical
+    position — stable across DV deletes, which never rewrite data
+    files) and ``_last_updated_sequence_number`` (the data file's data
+    sequence number, inherited per the spec's rule). Requires every
+    live data file to carry first_row_id (IcebergTable.first_row_ids
+    refuses otherwise). The per-file lineage map is manifest metadata
+    (one row per live file) joined broadcast onto the scan — no extra
+    data pass at any scale."""
     t = IcebergTable(table_path)
     if sum(x is not None for x in (snapshot_id, ref, timestamp_ms)) > 1:
         raise ValueError("pass at most one of snapshot_id / ref / timestamp_ms")
@@ -537,6 +584,26 @@ def read_iceberg(
     if not full:
         return spark.createDataFrame([], t.schema())
     spec_ids = sorted({sid for _p, _pv, _seq, sid in full})
+    lineage = None
+    if with_lineage:
+        if len(spec_ids) > 1:
+            raise ValueError(
+                f"{t.table_path}: row-lineage reads over a multi-spec "
+                "(partition-evolved) snapshot are not supported — "
+                "compact to a single spec first"
+            )
+        frids = t.first_row_ids(snapshot_id)
+        # the scan's join key is the file BASENAME (same identity rule
+        # as position deletes) — collisions would mis-attribute lineage
+        if len({os.path.basename(p) for p in frids}) != len(frids):
+            raise ValueError(
+                f"{t.table_path}: duplicate data-file basenames across "
+                "directories — row-lineage attribution would be ambiguous"
+            )
+        lineage = {
+            os.path.basename(p): (frids[p], int(seq))
+            for p, _pv, seq, _sid in full
+        }
     if len(spec_ids) > 1:
         # PARTITION EVOLUTION: live files span several specs; each
         # group's partition record is shaped by its own spec, so
@@ -574,7 +641,7 @@ def read_iceberg(
     # default spec doesn't describe the live files
     part_cols = t.partition_fields_for(spec_ids[0])
     entries = [(p, pv) for p, pv, _seq, _sid in full]
-    if not pos_dels and not eq_dels and not dv_dels:
+    if not pos_dels and not eq_dels and not dv_dels and lineage is None:
         if not part_cols:
             return spark.read.schema(schema).parquet(*[p for p, _ in entries])
         return _assemble_iceberg(spark, schema, part_cols, entries)
@@ -592,12 +659,13 @@ def read_iceberg(
     return _posdelete_filtered_read(
         spark, t, schema, part_cols, entries, pos_dels,
         eq_deletes=eq_dels, data_seq=data_seq, dv_deletes=dv_dels,
+        lineage=lineage,
     )
 
 
 def _posdelete_filtered_read(
     spark, t: "IcebergTable", schema, part_cols, entries, delete_files,
-    eq_deletes=(), data_seq=None, dv_deletes=(),
+    eq_deletes=(), data_seq=None, dv_deletes=(), lineage=None,
 ):
     """Data scan minus the rows position-delete files mark.
 
@@ -724,7 +792,21 @@ def _posdelete_filtered_read(
             spark, t, schema, scan, eq_deletes, data_seq or {}
         )
     out_cols = [f.name for f in schema.fields]
-    return scan.select(out_cols)
+    if lineage is None:
+        return scan.select(out_cols)
+    # v3 row lineage: one (basename → first_row_id, data_seq) row per
+    # LIVE FILE — manifest metadata, broadcast by construction; the
+    # projection is arithmetic on the already-present physical row
+    # index, so lineage costs no extra scan or shuffle
+    lin_df = spark.createDataFrame(
+        [(b, int(fr), int(sq)) for b, (fr, sq) in sorted(lineage.items())],
+        "__pd_file string, __pd_frid long, __pd_seq long",
+    )
+    return scan.join(F.broadcast(lin_df), "__pd_file").select(
+        *out_cols,
+        (F.col("__pd_frid") + F.col("__pd_ridx")).alias("_row_id"),
+        F.col("__pd_seq").alias("_last_updated_sequence_number"),
+    )
 
 
 def _apply_equality_deletes(spark, t, schema, scan, eq_deletes, data_seq):
@@ -1536,6 +1618,16 @@ def _entry_schema(part_fields: list[tuple[str, str]]) -> dict:
                         },
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
+                        # v3 row lineage (spec field id 142): the id of
+                        # the file's FIRST row; _row_id = this + row
+                        # position. Nullable so carried pre-lineage
+                        # entries round-trip (readers refuse lineage
+                        # projection on null, never guess).
+                        {
+                            "name": "first_row_id",
+                            "type": ["null", "long"],
+                            "default": None,
+                        },
                     ],
                 },
             },
@@ -1932,6 +2024,7 @@ class IcebergWriter:
             spec,
             field_ids={f.name: i + 1 for i, f in enumerate(df.schema.fields)},
         )
+        next_rid = self._assign_first_row_ids(files, 0)
         m = self._write_manifest(
             self._unique(f"m{snap_id}"), files, snap_id, entry_schema=es
         )
@@ -1976,17 +2069,33 @@ class IcebergWriter:
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "default-spec-id": 0,
             "current-snapshot-id": snap_id,
+            # v3 row lineage: the table's high-water row id — every
+            # commit that adds rows claims [first-row-id, next-row-id)
+            "next-row-id": next_rid,
             "snapshots": [
                 {
                     "snapshot-id": snap_id,
                     "timestamp-ms": int(_time.time() * 1000),
                     "manifest-list": f"metadata/{ml_name}",
+                    "first-row-id": 0,
                     "summary": {"operation": "append"},
                 }
             ],
         }
         self._commit_metadata(1, metadata)
         return snap_id
+
+    @staticmethod
+    def _assign_first_row_ids(files: list[dict], base: int) -> int:
+        """Assign each staged data file its first_row_id per the v3
+        row-lineage rule: the snapshot's first-row-id plus the running
+        record count of files listed before it. Returns the next free
+        row id (the metadata's new next-row-id)."""
+        rid = base
+        for f in files:
+            f["first_row_id"] = rid
+            rid += int(f["record_count"])
+        return rid
 
     def _table_entry_schema(self, table: "IcebergTable", spec_id: int | None = None):
         """(normalized spec, entry Avro schema) for the table — the
@@ -2335,6 +2444,15 @@ class IcebergWriter:
                 # append (review finding, this round)
                 field_ids={f["name"]: f["id"] for f in cur["fields"]},
             )
+            # v3 row lineage: continue the table's row-id chain. A
+            # pre-lineage table (no next-row-id) stays pre-lineage —
+            # retrofitting ids here would collide with a concurrent
+            # reader's view of history.
+            snap_frid = md.get("next-row-id")
+            if snap_frid is not None:
+                md["next-row-id"] = self._assign_first_row_ids(
+                    files, int(snap_frid)
+                )
             m_new = self._write_manifest(
                 self._unique(f"m{snap_id}"),
                 files,
@@ -2357,19 +2475,20 @@ class IcebergWriter:
             _write_manifest_list(
                 os.path.join(self.meta_dir, ml_name), manifests
             )
-            md["snapshots"] = md["snapshots"] + [
-                {
-                    "snapshot-id": snap_id,
-                    "timestamp-ms": int(_time.time() * 1000),
-                    "manifest-list": f"metadata/{ml_name}",
-                    # spec: summary.operation is REQUIRED (v2)
-                    "summary": {
-                        "operation": "append",
-                        "added-data-files": str(len(files)),
-                        "deleted-data-files": "0",
-                    },
-                }
-            ]
+            new_snap = {
+                "snapshot-id": snap_id,
+                "timestamp-ms": int(_time.time() * 1000),
+                "manifest-list": f"metadata/{ml_name}",
+                # spec: summary.operation is REQUIRED (v2)
+                "summary": {
+                    "operation": "append",
+                    "added-data-files": str(len(files)),
+                    "deleted-data-files": "0",
+                },
+            }
+            if snap_frid is not None:
+                new_snap["first-row-id"] = int(snap_frid)
+            md["snapshots"] = md["snapshots"] + [new_snap]
             if branch is not None:
                 refs = dict(md.get("refs") or {})
                 refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
