@@ -274,3 +274,77 @@ def q_json_variant(spark, sf_dir):
         F.sum(k).alias("sum_k"),
         F.count_if(k.isNotNull()).alias("n_with_k"),
     )
+
+
+# Variant METADATA v1 for the one-key dictionary ["k"] (parquet
+# variant-shredding spec): header 0x01 = version 1 / unsorted bit off /
+# 1-byte offsets, dict size 1, offsets [0, 1], UTF-8 bytes "k". The
+# metadata is PER-COLUMN-CONSTANT once the shred schema is fixed —
+# that constancy is what makes shredding columnar (readers decode the
+# dictionary once, not per row).
+_VARIANT_META_K = bytes([0x01, 0x01, 0x00, 0x01, 0x6B])
+
+
+@query(
+    "q_json_variant_shredded",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+)
+def q_json_variant_shredded(spark, sf_dir):
+    """VARIANT SHREDDING round trip (parquet variant-shredding spec
+    shape): the variant column is written as the spec's physical
+    group — metadata (binary, the variant dictionary), value (binary
+    residual, null when fully shredded), typed_value (one nested
+    {value, typed_value} group per shredded field; here $.k as long) —
+    then read back with the typed predicate applied to the SHREDDED
+    column. The fixture corpus is fully shreddable (every props is a
+    {"k": long} object), so every residual value field is null, which
+    the spec requires when typed_value is present.
+
+    The scale point of shredding: the k >= 50 filter lands in the
+    parquet scan's PushedFilters on the nested typed_value column
+    (pinned in tests/test_plans.py) and only that leaf column's pages
+    are decoded — a 100 TB variant corpus filters on shredded fields
+    at plain-column speed, no per-row binary-variant decode. The
+    oracle recomputes from the raw JSON, so a shred-write/read bug or
+    a filter semantics drift is a hash mismatch."""
+    from plankton_spark.queries.scans import _scratch
+
+    e = read_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    shredded = e.select(
+        "event_id",
+        "event_type",
+        F.struct(
+            F.lit(_VARIANT_META_K).alias("metadata"),
+            F.lit(None).cast("binary").alias("value"),
+            F.struct(
+                F.struct(
+                    F.lit(None).cast("binary").alias("value"),
+                    k.alias("typed_value"),
+                ).alias("k"),
+            ).alias("typed_value"),
+        ).alias("props_shredded"),
+    )
+    path = _scratch(sf_dir, "variant_shredded")
+    shredded.write.mode("overwrite").parquet(path)
+    r = spark.read.parquet(path)
+    kk = F.col("props_shredded.typed_value.k.typed_value")
+    return (
+        r.where(kk >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(kk).alias("sum_k"),
+            F.min(kk).alias("min_k"),
+        )
+    )

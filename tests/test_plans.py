@@ -348,3 +348,17 @@ def test_semantic_dedup_pair_join_keys_include_cluster(spark):
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert re.search(r"Join Inner.*\(i#?\d* = j", opt) or "(i" in opt, opt
     assert re.search(r"ka#?\d*L? = kb", opt.replace("\n", " ")), opt
+
+
+def test_variant_shredded_filter_pushes_into_leaf_column(spark):
+    """Variant shredding's scale claim: the typed predicate reaches the
+    parquet scan as a PushedFilter ON THE SHREDDED LEAF, and the
+    ReadSchema prunes away the binary metadata/value columns — variant
+    filtering at plain-column speed."""
+    df = all_queries()["q_json_variant_shredded"](spark, SF0001)
+    plan = plan_of(df)
+    assert "GreaterThanOrEqual(props_shredded.typed_val" in plan, plan
+    i = plan.find("ReadSchema")
+    rs = plan[i : i + 200]
+    assert "typed_value:bigint" in rs, rs
+    assert "metadata" not in rs, rs  # binary columns pruned from the scan
