@@ -54,18 +54,17 @@ def main() -> None:
 
     ncpu = os.cpu_count() or 1
     load1 = read_load()
-    # Auto-defer protocol (round-8 verdict #10): if the box is busy at
-    # start (loadavg/ncpu > 0.5 — e.g. a concurrent soak still
-    # draining), wait up to 5 minutes in 15 s steps for load to drop
-    # rather than recording a contended wall that reads as a plan
-    # regression. Records how long it waited; "contended" reflects the
-    # load at MEASUREMENT time, after any wait.
+    # Auto-defer protocol (round-8 verdict #10, tightened per round-9
+    # verdict #8): the primary wall must be measured QUIET
+    # (loadavg/ncpu < 0.2) — wait up to 10 minutes in 15 s steps for
+    # load to drop before measuring. If the box never quiets, the
+    # measurement still runs but is marked contended (and the retry
+    # loop below gets one more chance after the suite itself).
     waited_sec = 0
-    while load1 / ncpu > 0.5 and waited_sec < 300:
+    while load1 / ncpu > 0.2 and waited_sec < 600:
         time.sleep(15)
         waited_sec += 15
         load1 = read_load()
-    contended = load1 / ncpu > 0.3
 
     def page_cache_gib() -> float:
         """Cached from /proc/meminfo — distinguishes a cold-cache run
@@ -93,26 +92,63 @@ def main() -> None:
     materialize(qs[HEADLINE[0]](spark, sf_dir))
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, float] = {}
-    spread: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        # first run is COLD (plan-specific codegen, shuffle-file and
-        # page-cache population) and is reported separately — averaging
-        # it into the spread made 5-8x warm/cold deltas read as noisy
-        # queries (r6 verdict #4); value/spread come from WARM runs only
-        t0 = time.time()
-        materialize(qs[name](spark, sf_dir))
-        cold[name] = round(time.time() - t0, 3)
-        runs: list[float] = []
-        for _ in range(n_runs):
+
+    def measure() -> tuple[dict, dict, dict, float, float]:
+        timings: dict[str, float] = {}
+        spread: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        l_start = read_load()
+        for name in HEADLINE:
+            # first run is COLD (plan-specific codegen, shuffle-file
+            # and page-cache population) and is reported separately —
+            # averaging it into the spread made 5-8x warm/cold deltas
+            # read as noisy queries (r6 verdict #4); value/spread come
+            # from WARM runs only
             t0 = time.time()
             materialize(qs[name](spark, sf_dir))
-            runs.append(time.time() - t0)
-        med = statistics.median(runs)
-        timings[name] = round(med, 3)
-        # half-spread relative to the median: (max-min)/2 / median
-        spread[name] = round((max(runs) - min(runs)) / 2 / med, 3) if med > 0 else 0.0
+            cold[name] = round(time.time() - t0, 3)
+            runs: list[float] = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                materialize(qs[name](spark, sf_dir))
+                runs.append(time.time() - t0)
+            med = statistics.median(runs)
+            timings[name] = round(med, 3)
+            # half-spread relative to the median: (max-min)/2 / median
+            spread[name] = (
+                round((max(runs) - min(runs)) / 2 / med, 3) if med > 0 else 0.0
+            )
+        return timings, spread, cold, l_start, read_load()
+
+    # Auto-retry (round-9 verdict #8): the primary wall must come from
+    # a run whose load (start AND end, 1-min avg) stayed under
+    # 0.2/cpu. Re-measure up to twice (waiting out the load between
+    # attempts), keep the quietest attempt, and mark
+    # auto_retry_exhausted if none qualified — an explicit marker, not
+    # a silent contended number.
+    attempts = 0
+    best = None
+    while True:
+        attempts += 1
+        timings, spread, cold, l_start, l_end = measure()
+        # the contention signal is the START load (after the quiet
+        # wait): the END load mostly measures the bench's own 32-thread
+        # work and would self-trigger retries on longer suites; l_end
+        # is still reported as loadavg_1m_peak telemetry
+        peak = max(l_start, l_end)
+        if best is None or l_start < best[3]:
+            best = (timings, spread, cold, l_start, peak)
+        if l_start / ncpu < 0.2 or attempts >= 3:
+            break
+        w = 0
+        while read_load() / ncpu > 0.2 and w < 300:
+            time.sleep(15)
+            w += 15
+        waited_sec += w
+    timings, spread, cold, l_start, peak = best
+    load1 = l_start
+    contended = l_start / ncpu >= 0.2
+    retry_exhausted = contended and attempts >= 3
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -131,8 +167,11 @@ def main() -> None:
                 "cold_sec": cold,
                 "rel_half_spread": spread,
                 "loadavg_1m_at_start": round(load1, 2),
+                "loadavg_1m_peak": round(peak, 2),
                 "cpus": ncpu,
                 "contended": contended,
+                "measure_attempts": attempts,
+                "auto_retry_exhausted": retry_exhausted,
                 "waited_for_quiet_sec": waited_sec,
                 "page_cache_gib_at_start": cached_gib,
             }

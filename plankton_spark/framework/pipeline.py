@@ -32,6 +32,7 @@ class _Node:
     deps: list[str] = field(default_factory=list)
     sink_path: str | None = None  # parquet output → makes the op a sink
     metrics: dict[str, Column] | None = None  # observe() aggregates
+    register_as: str | None = None  # SQL catalog name for the sink
 
 
 class Pipeline:
@@ -55,6 +56,7 @@ class Pipeline:
         deps: Sequence[str] = (),
         sink_path: str | None = None,
         metrics: dict[str, Column] | None = None,
+        register_as: str | None = None,
     ) -> "Pipeline":
         """``metrics`` are ``df.observe()`` aggregate expressions
         (e.g. ``{"rows": F.count(F.lit(1))}``) recorded into the
@@ -62,6 +64,14 @@ class Pipeline:
         action — zero extra scans, unlike a separate ``df.count()`` —
         so they require ``sink_path`` (nothing materializes
         otherwise; plankton's run-record row counts, Spark-side).
+
+        ``register_as`` (round-9 verdict #7) registers the sink into
+        the SQL catalog under that name after every successful (or
+        cache-skipped) run — catalog.register(..., fmt="parquet"), so
+        a scheduled pipeline's outputs stay queryable BY NAME across
+        sessions (the Derby metastore persists the registration) and
+        the ledger records which name each run refreshed. Requires
+        ``sink_path``.
         """
         if op.name in self._nodes:
             raise ValueError(f"duplicate operator name {op.name!r}")
@@ -70,7 +80,14 @@ class Pipeline:
                 f"operator {op.name!r}: metrics need a sink_path — "
                 "observe() only fires when an action materializes"
             )
-        self._nodes[op.name] = _Node(op, list(deps), sink_path, metrics)
+        if register_as is not None and sink_path is None:
+            raise ValueError(
+                f"operator {op.name!r}: register_as needs a sink_path — "
+                "only a materialized output can back a catalog name"
+            )
+        self._nodes[op.name] = _Node(
+            op, list(deps), sink_path, metrics, register_as
+        )
         return self
 
     def topo_order(self) -> list[str]:
@@ -127,6 +144,7 @@ class Pipeline:
             )
             if cached:
                 results[name] = self.spark.read.parquet(node.sink_path)
+                self._register(node)
                 self._log(run_id, name, fp, "skipped_cached", node.sink_path)
                 continue
             self._log(run_id, name, fp, "running", node.sink_path)
@@ -151,6 +169,7 @@ class Pipeline:
             except Exception:
                 self._log(run_id, name, fp, "failed", node.sink_path, t0)
                 raise
+            self._register(node)
             self._log(
                 run_id,
                 name,
@@ -161,6 +180,18 @@ class Pipeline:
                 metrics=observation.get if observation is not None else None,
             )
         return results
+
+    def _register(self, node: _Node) -> None:
+        """(Re-)register a sink's catalog name after it materialized —
+        also on cache-skip, so a fresh session's first scheduled run
+        still leaves the name resolvable."""
+        if node.register_as is None:
+            return
+        from plankton_spark import catalog
+
+        catalog.register(
+            self.spark, node.register_as, node.sink_path, "parquet"
+        )
 
     def _fanout_counts(self) -> dict[str, int]:
         counts: dict[str, int] = {}
@@ -189,6 +220,9 @@ class Pipeline:
             "state": state,
             "output_path": output_path,
         }
+        reg = self._nodes.get(op)
+        if reg is not None and reg.register_as is not None:
+            rec["registered_as"] = reg.register_as
         if t0 is not None:
             rec["elapsed_sec"] = round(time.time() - t0, 3)
         if metrics is not None:
@@ -213,6 +247,8 @@ class Pipeline:
             sink = self._nodes[name].sink_path
             arrow = f" <- {', '.join(deps)}" if deps else ""
             mark = f"  [sink {sink}]" if sink else ""
+            if self._nodes[name].register_as:
+                mark += f"  [sql {self._nodes[name].register_as}]"
             lines.append(f"  {name}{arrow}{mark}")
         return "\n".join(lines)
 

@@ -578,3 +578,201 @@ def q_tpcds_yoy(spark, sf_dir):
     four consumers are shuffle-reused equi-joins on ck. The SAME SQL
     text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_yoy", _YOY)
+
+
+# ---------------------------------------------------------------------
+# Round-10 suite, second tranche (round-9 verdict #4): the remaining
+# TPC-DS signature shapes — the Q64 two-cycle mega self-join, Q47/Q57
+# moving-average deviation with partition-crossing neighbors, Q35/Q10
+# disjunctive-EXISTS demographics, Q93 returns-adjusted net sales.
+# Same one-SQL-text contract: the text below runs verbatim on Spark
+# and as its own DuckDB oracle; money is exact cent integers.
+# ---------------------------------------------------------------------
+
+_MEGAJOIN = """
+WITH sales AS (
+  SELECT c_custkey, p_partkey, p_brand, n_name,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem, orders, customer, nation, part
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n_nationkey AND l_partkey = p_partkey
+    AND o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate < DATE '1997-01-01'
+  GROUP BY c_custkey, p_partkey, p_brand, n_name,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+)
+SELECT s1.n_name AS nation, s1.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_repeat_pairs,
+       CAST(SUM(s1.cents) AS BIGINT) AS cents_y1,
+       CAST(SUM(s2.cents) AS BIGINT) AS cents_y2,
+       CAST(SUM(s2.qty - s1.qty) AS BIGINT) AS qty_delta
+FROM sales s1
+JOIN sales s2
+  ON s1.c_custkey = s2.c_custkey AND s1.p_partkey = s2.p_partkey
+WHERE s1.yr = 1995 AND s2.yr = 1996
+GROUP BY s1.n_name, s1.p_brand
+"""
+
+_TABLES["q_tpcds_megajoin"] = (
+    "lineitem", "orders", "customer", "nation", "part",
+)
+
+
+@query("q_tpcds_megajoin", oracle=_MEGAJOIN)
+def q_tpcds_megajoin(spark, sf_dir):
+    """TPC-DS Q64 shape (fixture-adapted): ONE five-table sales CTE
+    (fact + three dims, per customer x part x brand x year) consumed TWICE and
+    self-joined across two sale cycles on (customer, part) — the
+    repeat-purchase mega-join that stresses CTE reuse + join planning
+    harder than any TPC-H query. Scale shape: the cycle self-join is
+    an equi-join on (c_custkey, p_partkey) — shuffle-hash/SMJ
+    partitionable, dims broadcast inside the CTE, and the year filter
+    cuts each side before the join. Exact cent/qty integers; the SAME
+    SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_megajoin", _MEGAJOIN)
+
+
+_MOVINGAVG = """
+WITH v1 AS (
+  SELECT n_name,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(SUM(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)))
+              OVER (PARTITION BY n_name) AS BIGINT) AS tot_cents,
+         CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT)
+           AS n_months,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY n_name
+           ORDER BY CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+         ) AS BIGINT) AS rn
+  FROM orders, customer, nation
+  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+    AND o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1997-01-01'
+  GROUP BY n_name, CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+)
+SELECT v.n_name AS nation, v.m AS mth, v.cents,
+       v_lag.cents AS prev_cents, v_lead.cents AS next_cents,
+       CAST(v.cents * v.n_months - v.tot_cents AS BIGINT)
+         AS dev_scaled
+FROM v1 v
+JOIN v1 v_lag
+  ON v.n_name = v_lag.n_name AND v.rn = v_lag.rn + 1
+JOIN v1 v_lead
+  ON v.n_name = v_lead.n_name AND v.rn = v_lead.rn - 1
+WHERE v.cents * v.n_months * 10 > v.tot_cents * 11
+   OR v.cents * v.n_months * 10 < v.tot_cents * 9
+"""
+
+_TABLES["q_tpcds_movingavg"] = ("orders", "customer", "nation")
+
+
+@query("q_tpcds_movingavg", oracle=_MOVINGAVG)
+def q_tpcds_movingavg(spark, sf_dir):
+    """TPC-DS Q47/Q57 shape (fixture-adapted): monthly series per
+    nation with the partition mean and a sequence number computed as
+    windows INSIDE the CTE, then the CTE self-joined TWICE on rn +/- 1
+    to attach each deviating month's neighbors — the
+    lag-via-self-join idiom Q47 uses so the neighbors can come from a
+    DIFFERENT filter context than the anchor row. The >10% deviation
+    test is integer cross-multiplied (cents * n * 10 vs tot * 11) —
+    no division, exact on both engines. Scale shape: windows
+    partition by nation (parallel), the self-joins are equi-joins on
+    (nation, rn). The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_movingavg", _MOVINGAVG)
+
+
+_MULTIEXISTS = """
+SELECT n_name AS nation, c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_custkey
+FROM customer, nation
+WHERE c_nationkey = n_nationkey
+  AND EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+  )
+  AND (
+    EXISTS (
+      SELECT 1 FROM orders o, lineitem
+      WHERE l_orderkey = o.o_orderkey AND o.o_custkey = c_custkey
+        AND l_returnflag = 'R'
+    )
+    OR EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 200000
+    )
+  )
+GROUP BY n_name, c_mktsegment
+"""
+
+_TABLES["q_tpcds_multiexists"] = (
+    "customer", "nation", "orders", "lineitem",
+)
+
+
+@query("q_tpcds_multiexists", oracle=_MULTIEXISTS)
+def q_tpcds_multiexists(spark, sf_dir):
+    """TPC-DS Q35/Q10 shape (fixture-adapted): customer demographics
+    gated by one mandatory EXISTS (active in the window) AND a
+    DISJUNCTION of two more correlated EXISTS (returned something OR
+    placed a big-ticket order) — the disjunctive-subquery
+    decorrelation that TPC-H's Q21/Q22 (conjunctive-only) never
+    exercises. Spark plans each EXISTS as a semi-join and the OR as a
+    union of semi-join keys — all equi-joins on c_custkey, no
+    nested-loop re-execution. Exact cent integers; the SAME SQL text
+    is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_multiexists", _MULTIEXISTS)
+
+
+_RETURNSNET = """
+WITH r AS (
+  SELECT l_orderkey AS r_orderkey, l_partkey AS r_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ret_qty
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey, l_partkey
+),
+net AS (
+  SELECT o_custkey,
+         CAST(SUM((CAST(l_quantity AS BIGINT) - COALESCE(r.ret_qty, 0))
+              * CAST(ROUND(l_extendedprice * 100 /
+                           CAST(l_quantity AS BIGINT)) AS BIGINT))
+              AS BIGINT) AS net_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  LEFT JOIN r ON r.r_orderkey = l_orderkey AND r.r_partkey = l_partkey
+  WHERE l_returnflag <> 'R'
+  GROUP BY o_custkey
+)
+SELECT o_custkey AS custkey, net_cents
+FROM net
+ORDER BY net_cents, custkey
+LIMIT 20
+"""
+
+_TABLES["q_tpcds_returnsnet"] = ("lineitem", "orders")
+
+
+@query("q_tpcds_returnsnet", oracle=_RETURNSNET)
+def q_tpcds_returnsnet(spark, sf_dir):
+    """TPC-DS Q93 shape (fixture-adapted): returns-adjusted net sales
+    — the sales fact LEFT-joined to a returns side (fixture: 'R'
+    lineitems aggregated per (order, part)), each sale's quantity
+    reduced by the matched return before pricing, summed per
+    customer, lowest-net customers first (total order: net then key,
+    so the LIMIT is deterministic). Unit price derives as exact
+    rounded cents-per-unit so both engines do identical integer
+    arithmetic. Scale shape: the LEFT join is an equi-join on
+    (orderkey, partkey) co-partitionable with the fact scan; the
+    final LIMIT is TopK (TakeOrderedAndProject), not a global sort.
+    The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_returnsnet", _RETURNSNET)

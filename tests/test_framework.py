@@ -212,3 +212,56 @@ def test_metrics_require_sink(spark):
     p = Pipeline("bad", spark)
     with pytest.raises(ValueError, match="sink_path"):
         p.add(Operator.wrap("a", lambda i: None), metrics={"rows": F.count(F.lit(1))})
+
+
+def test_register_as_binds_sink_to_catalog_name(spark, tmp_path):
+    """round-9 verdict #7: register_as registers the sink into the SQL
+    catalog after the run (and re-registers on cache-skip), the ledger
+    records the name, and describe() renders it — schedule + catalog
+    compose."""
+    from plankton_spark import catalog
+
+    ledger = RunLedger(str(tmp_path / "ledger.jsonl"))
+    sink = str(tmp_path / "reg_out")
+    src = Operator.wrap(
+        "read_li", lambda _: read_table(spark, SF0001, "lineitem")
+    )
+    agg = Operator.wrap(
+        "agg_flag",
+        lambda ins: ins["read_li"]
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    p = Pipeline("regp", spark, ledger=ledger, cache_window_sec=3600)
+    p.add(src).add(
+        agg, deps=["read_li"], sink_path=sink, register_as="plk_reg_agg"
+    )
+    try:
+        p.run()
+        got = spark.sql("SELECT SUM(n) AS s FROM plk_reg_agg").collect()[0]["s"]
+        assert got == read_table(spark, SF0001, "lineitem").count()
+        recs = [r for r in ledger.records() if r["op"] == "agg_flag"]
+        assert recs[-1]["state"] == "success"
+        assert recs[-1]["registered_as"] == "plk_reg_agg"
+        assert "[sql plk_reg_agg]" in p.describe()
+        # cache-skipped rerun must still leave the name resolvable
+        # (fresh-session shape: drop the registration first)
+        catalog.unregister(spark, "plk_reg_agg")
+        p2 = Pipeline("regp", spark, ledger=ledger, cache_window_sec=3600)
+        p2.add(src).add(
+            agg, deps=["read_li"], sink_path=sink, register_as="plk_reg_agg"
+        )
+        p2.run()
+        recs = [r for r in ledger.records() if r["op"] == "agg_flag"]
+        assert recs[-1]["state"] == "skipped_cached"
+        assert recs[-1]["registered_as"] == "plk_reg_agg"
+        assert spark.sql("SELECT COUNT(*) AS n FROM plk_reg_agg").collect()[0]["n"] > 0
+    finally:
+        catalog.unregister(spark, "plk_reg_agg")
+
+
+def test_register_as_requires_sink(spark):
+    src = Operator.wrap("s", lambda _: read_table(spark, SF0001, "nation"))
+    p = Pipeline("bad", spark)
+    with pytest.raises(ValueError, match="register_as needs a sink_path"):
+        p.add(src, register_as="plk_nope")
