@@ -3413,18 +3413,21 @@ class IcebergWriter:
             )
             md = dict(table.metadata)
             md["format-version"] = 3
-            md["snapshots"] = md["snapshots"] + [
-                {
-                    "snapshot-id": snap_id,
-                    "timestamp-ms": int(_time.time() * 1000),
-                    "manifest-list": f"metadata/{ml_name}",
-                    "summary": {
-                        "operation": "delete",
-                        "added-data-files": "0",
-                        "deleted-data-files": "0",
-                    },
-                }
-            ]
+            dv_snap = {
+                "snapshot-id": snap_id,
+                "timestamp-ms": int(_time.time() * 1000),
+                "manifest-list": f"metadata/{ml_name}",
+                "summary": {
+                    "operation": "delete",
+                    "added-data-files": "0",
+                    "deleted-data-files": "0",
+                },
+            }
+            if md.get("next-row-id") is not None:
+                # v3 row lineage: a delete snapshot adds no rows, so
+                # its first-row-id equals the table's next-row-id
+                dv_snap["first-row-id"] = int(md["next-row-id"])
+            md["snapshots"] = md["snapshots"] + [dv_snap]
             md["current-snapshot-id"] = snap_id
             try:
                 self._commit_metadata(table.metadata_version + 1, md)
