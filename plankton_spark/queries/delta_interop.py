@@ -878,3 +878,71 @@ def q_deltalog_dropcol(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "q_deltalog_rowtracking",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey < 1500
+    )
+    SELECT CAST(CASE WHEN o_orderkey < 750 THEN 0 ELSE 1 END AS BIGINT)
+             AS commit_ver,
+           COUNT(*) AS n_rows,
+           CAST(SUM(rid) AS BIGINT) AS rid_sum,
+           CAST(MIN(rid) AS BIGINT) AS rid_min,
+           CAST(MAX(rid) AS BIGINT) AS rid_max,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM base
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def q_deltalog_rowtracking(spark, sf_dir):
+    """Delta ROW TRACKING as a query — the cross-format mirror of
+    q_iceberg_rowlineage (IDENTICAL oracle shape, seq → commit
+    version): create a row-tracked table from orders < 750 (one
+    sorted file, baseRowId 0 at commit 0), append the 750..1499 slice
+    (one sorted file, ids continuing at commit 1), DV-delete the
+    %7 rows (the add is COPIED, so baseRowId/defaultRowCommitVersion
+    survive), then read with_row_ids=True. _row_id = baseRowId +
+    physical position must be STABLE across the DV delete — deleted
+    ids vanish, survivors keep theirs — and _row_commit_version is
+    the file's first-added commit. A chain/off-by-one/copy bug on
+    either format breaks ITS query while the other still passes, so
+    the two row-lineage paths stay differential-testable. Row ids
+    live only in the log: the per-file map is broadcast onto the
+    scan, no extra data pass (sources/delta_log.py:_row_tracked_scan)."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+
+    root = _scratch(sf_dir, "delta_rowtracking")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    first = (
+        o.where(F.col("o_orderkey") < 750)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    second = (
+        o.where(F.col("o_orderkey") >= 750)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(first, row_tracking=True)
+    w.append(second)
+    w.delete_where_dv(F.col("o_orderkey") % 7 == 0)
+    t = read_delta(spark, root, with_row_ids=True)
+    return t.groupBy(F.col("_row_commit_version").alias("commit_ver")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("rid_sum"),
+        F.min("_row_id").alias("rid_min"),
+        F.max("_row_id").alias("rid_max"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

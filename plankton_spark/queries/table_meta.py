@@ -417,3 +417,73 @@ def q_uniform_dv(spark, sf_dir):
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
     )
+
+
+@query(
+    "q_uniform_rowlineage",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey < 1500
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(rid) AS BIGINT) AS rid_sum,
+           CAST(MIN(rid) AS BIGINT) AS rid_min,
+           CAST(MAX(rid) AS BIGINT) AS rid_max,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM base
+    WHERE o_orderkey % 7 <> 0
+    """,
+)
+def q_uniform_rowlineage(spark, sf_dir):
+    """UniForm ROW-LINEAGE translation: a row-tracked Delta table
+    (two sorted commits chaining baseRowId 0.., then a DV delete of
+    the %7 rows) converts in place to Iceberg v3 — baseRowId becomes
+    each entry's first_row_id VERBATIM (identical semantics: file
+    base + physical position, which the simultaneous DV translation
+    preserves because positions are physical), next-row-id carries
+    the Delta high-water mark. Read through the ICEBERG chain with
+    with_lineage=True: every surviving row's _row_id must equal what
+    the DELTA side assigned — the oracle recomputes the ids
+    relationally from the deterministic layout, so a translation
+    off-by-one, a DV/lineage interaction bug, or an id fabricated for
+    a rewritten file is a hash mismatch. Zero data movement: both
+    logs reference the same parquet + the translated Puffin DVs."""
+    import shutil as _shutil
+
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+    from plankton_spark.sources.iceberg_meta import (
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    root = _scratch(sf_dir, "uniform_rowlineage")
+    _shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        o.where(F.col("o_orderkey") < 750)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey"),
+        row_tracking=True,
+    )
+    w.append(
+        o.where(F.col("o_orderkey") >= 750)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    w.delete_where_dv(F.col("o_orderkey") % 7 == 0)
+    convert_delta_to_iceberg(spark, root)
+    t = read_iceberg(spark, root, with_lineage=True)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("rid_sum"),
+        F.min("_row_id").alias("rid_min"),
+        F.max("_row_id").alias("rid_max"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

@@ -455,6 +455,7 @@ class DeltaLog:
         protocol: dict | None = None
         self.table_config: dict = {}
         self.table_protocol: dict | None = None
+        self.domain_metadata: dict[str, dict] = {}
         for unit in units:
             # spec reconciliation is per COMMIT: a remove tombstones the
             # PRIOR version's file, so an add of the same path in the
@@ -487,6 +488,16 @@ class DeltaLog:
                     active[add["path"]] = add
                 elif "protocol" in a:
                     protocol = a["protocol"]
+                elif "domainMetadata" in a:
+                    # latest action per domain wins; removed=true drops
+                    # it (spec's domain-metadata reconciliation). JSON
+                    # commits carry these; checkpoints may not — hwm
+                    # consumers fall back to live adds' id ranges.
+                    dm = a["domainMetadata"]
+                    if dm.get("removed"):
+                        self.domain_metadata.pop(dm.get("domain"), None)
+                    elif dm.get("domain"):
+                        self.domain_metadata[dm["domain"]] = dm
         if protocol is not None:
             self.table_protocol = protocol
             _check_reader_protocol(protocol, self.table_path)
@@ -599,6 +610,7 @@ def read_delta(
     version: int | None = None,
     partitions: dict | None = None,
     timestamp_ms: int | None = None,
+    with_row_ids: bool = False,
 ):
     """Native-parquet read of a Delta table at `version` (default:
     latest) or, via `timestamp_ms`, TIMESTAMP AS OF (latest commit at
@@ -621,7 +633,16 @@ def read_delta(
     columnMapping tables (name mode) scan under their PHYSICAL column
     names (file content, directory layout, and partitionValues keys
     all use them per the spec) and rename to logical names in one
-    final projection."""
+    final projection.
+
+    `with_row_ids=True` projects the ROW TRACKING metadata columns
+    `_row_id` (the add action's baseRowId + the row's physical
+    position — stable across DV deletes, which copy the add) and
+    `_row_commit_version` (defaultRowCommitVersion). Requires every
+    live add to carry baseRowId (refuses otherwise — pre-tracking
+    table, or files rewritten by a non-preserving op); the per-file
+    map is log metadata broadcast onto the scan, no extra data
+    pass. The Delta twin of read_iceberg(with_lineage=True)."""
     if timestamp_ms is not None:
         if version is not None:
             raise ValueError("pass version or timestamp_ms, not both")
@@ -675,6 +696,29 @@ def read_delta(
                 pv.get(c) == _pv_filter_str(v) for c, v in partitions.items()
             )
         ]
+    if with_row_ids:
+        if mapping:
+            raise DeltaProtocolError(
+                f"{table_path}: with_row_ids on a column-mapped table "
+                "is not implemented"
+            )
+        rt: dict[str, tuple[int, int]] = {}
+        for rel, add in active.items():
+            b, cv = add.get("baseRowId"), add.get("defaultRowCommitVersion")
+            if b is None or cv is None:
+                raise DeltaProtocolError(
+                    f"{table_path}: data file {rel!r} carries no "
+                    "baseRowId — row tracking is not active for this "
+                    "snapshot (pre-tracking table, or files rewritten "
+                    "by a non-preserving operation)"
+                )
+            rt[os.path.basename(rel)] = (int(b), int(cv))
+        # basename is the join identity (same rule as the DV join) —
+        # validate uniqueness/URI-safety over ALL live files
+        _dv_basename_map(active.keys(), table_path)
+        return _row_tracked_scan(
+            spark, table_path, schema, part_cols, files, dv_desc, rt
+        )
     clean = [(p, pv) for p, pv in files if p not in dv_desc]
     out = _assemble_view(
         spark, schema, part_cols, clean, table_root=table_path
@@ -812,6 +856,62 @@ def _dv_filtered_scan(
     return scan.join(
         deleted, ["__dv_file", "__dv_ridx"], "left_anti"
     ).select(out_cols)
+
+
+def _row_tracked_scan(
+    spark, table_path: str, schema, part_cols, files, dv_desc, rt
+):
+    """Scan with ROW TRACKING columns projected: attach the physical
+    row index + file basename to every file's scan (the _dv_filtered_
+    scan shape, over ALL files), subtract DV-deleted rows, then join
+    the broadcast (basename → baseRowId, defaultRowCommitVersion) log
+    metadata and compute _row_id = baseRowId + row position. Survivor
+    rows keep their ids across DV deletes by construction — the
+    position is physical and DVs never rewrite data."""
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    by_pv: dict[tuple, list[str]] = {}
+    pv_of: dict[tuple, dict] = {}
+    for path, pv in files:
+        key = tuple(pv.get(c) for c in part_cols)
+        by_pv.setdefault(key, []).append(path)
+        pv_of[key] = pv
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    pieces = []
+    for key, paths in sorted(by_pv.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*sorted(paths))
+        df = df.withColumn(
+            "__dv_file",
+            F.substring_index(F.col("_metadata.file_path"), "/", -1),
+        ).withColumn("__dv_ridx", F.col("_metadata.row_index"))
+        for c in part_cols:
+            df = df.withColumn(
+                c, _cast_partition_value(pv_of[key].get(c), dtypes[c])
+            )
+        pieces.append(df)
+    scan = pieces[0]
+    for p in pieces[1:]:
+        scan = scan.unionByName(p)
+    if dv_desc:
+        deleted = _dv_deleted_df(spark, table_path, dv_desc)
+        total_card = sum(
+            d.get("cardinality") or _DV_BROADCAST_MAX_ROWS + 1
+            for d in dv_desc.values()
+        )
+        if total_card <= _DV_BROADCAST_MAX_ROWS:
+            deleted = F.broadcast(deleted)
+        scan = scan.join(deleted, ["__dv_file", "__dv_ridx"], "left_anti")
+    rt_df = spark.createDataFrame(
+        [(b, base, cv) for b, (base, cv) in sorted(rt.items())],
+        "__dv_file string, __rt_base long, __rt_ver long",
+    )
+    out_cols = [f.name for f in schema.fields]
+    return scan.join(F.broadcast(rt_df), "__dv_file").select(
+        *out_cols,
+        (F.col("__rt_base") + F.col("__dv_ridx")).alias("_row_id"),
+        F.col("__rt_ver").alias("_row_commit_version"),
+    )
 
 
 def _pv_filter_str(v) -> str | None:
@@ -1074,6 +1174,60 @@ def _allocate_identity(df, col: str, next_id: int, step: int):
 
 class DeltaCommitConflict(Exception):
     """Another writer claimed this Delta version first."""
+
+
+def _row_tracking_domain(hwm: int) -> dict:
+    """The spec's `delta.rowTracking` domain-metadata action recording
+    the row-id high-water mark after a commit's assignments."""
+    return {
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": int(hwm)}),
+            "removed": False,
+        }
+    }
+
+
+def _assign_base_row_ids(adds: list[dict], base: int, commit_version: int) -> int:
+    """Assign each staged add action its baseRowId (fresh ids chain
+    from `base` by the file's numRecords) and defaultRowCommitVersion.
+    Returns the new row-id high-water mark. Ids live only in the LOG —
+    no data file is touched, which is why OCC retries can re-assign."""
+    rid = int(base)
+    for a in adds:
+        n = json.loads(a["add"]["stats"])["numRecords"]
+        a["add"]["baseRowId"] = rid
+        a["add"]["defaultRowCommitVersion"] = int(commit_version)
+        rid += int(n)
+    return rid - 1
+
+
+def _row_id_hwm(log: "DeltaLog", active: dict[str, dict]) -> int:
+    """Current row-id high-water mark: the `delta.rowTracking` domain
+    metadata when present (the spec's source of truth), with a
+    live-adds fallback (max baseRowId + numRecords − 1) so a
+    checkpoint that dropped domain-metadata actions can't cause id
+    reuse."""
+    hwm = -1
+    dm = (getattr(log, "domain_metadata", None) or {}).get("delta.rowTracking")
+    if dm is not None:
+        try:
+            cfg = dm.get("configuration") or "{}"
+            cfg = json.loads(cfg) if isinstance(cfg, str) else cfg
+            hwm = int(cfg.get("rowIdHighWaterMark", -1))
+        except (ValueError, TypeError):
+            pass
+    for add in active.values():
+        b = add.get("baseRowId")
+        if b is None:
+            continue
+        raw = add.get("stats")
+        try:
+            n = (json.loads(raw) if isinstance(raw, str) else raw)["numRecords"]
+        except (ValueError, TypeError, KeyError):
+            continue
+        hwm = max(hwm, int(b) + int(n) - 1)
+    return hwm
 
 
 class DeltaLogWriter:
@@ -1910,6 +2064,7 @@ class DeltaLogWriter:
         partition_by: list[str] | None = None,
         generated: dict[str, str] | None = None,
         identity: dict[str, tuple[int, int]] | None = None,
+        row_tracking: bool = False,
     ) -> int:
         """Create the table; `partition_by` lays data out hive-style
         (col=value dirs, values in each add's partitionValues) so the
@@ -1925,7 +2080,17 @@ class DeltaLogWriter:
         contradict the expression (the spec's enforcement rule). Per
         Delta semantics, generated columns are declared at CREATE —
         they cannot be bolted onto existing rows whose files would
-        then disagree with the expression."""
+        then disagree with the expression.
+
+        `row_tracking=True` enables the spec's ROW TRACKING writer
+        feature (the Delta twin of Iceberg v3 row lineage): every add
+        action carries `baseRowId` (fresh ids chain across commits)
+        and `defaultRowCommitVersion`, the `delta.rowTracking` domain-
+        metadata action tracks the rowIdHighWaterMark, and
+        read_delta(with_row_ids=True) projects _row_id = baseRowId +
+        physical row position (stable across DV deletes) and
+        _row_commit_version. Ids live ONLY in the log — appends
+        re-assign them per OCC retry with no file rewrite."""
         if os.path.isdir(self.log_dir) and _commit_versions(self.log_dir):
             raise FileExistsError(f"{self.table_path}: table already exists")
         wv = 2
@@ -1994,9 +2159,32 @@ class DeltaLogWriter:
             protocol = {
                 "protocol": {"minReaderVersion": 1, "minWriterVersion": wv}
             }
+        adds = self._stage(df, partition_by)
+        if row_tracking:
+            # table-features form: rowTracking (and its prerequisite
+            # domainMetadata) are WRITER features — readers without
+            # them read the data fine, they just can't see row ids
+            prot = protocol["protocol"]
+            wf = set(prot.get("writerFeatures") or [])
+            for lv, feats in LEGACY_WRITER_FEATURES.items():
+                if prot.get("minWriterVersion", wv) >= lv:
+                    wf |= feats
+            new_prot = {
+                "minReaderVersion": prot.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    wf | {"rowTracking", "domainMetadata"}
+                ),
+            }
+            if "readerFeatures" in prot:
+                new_prot["readerFeatures"] = prot["readerFeatures"]
+            protocol = {"protocol": new_prot}
+            hwm = _assign_base_row_ids(adds, 0, commit_version=0)
+            actions = [protocol, self._metadata_action(schema, partition_by)]
+            actions.append(_row_tracking_domain(hwm))
+            return self._commit_with_retry(actions + adds)
         actions = [protocol, self._metadata_action(schema, partition_by)]
-        actions += self._stage(df, partition_by)
-        return self._commit_with_retry(actions)
+        return self._commit_with_retry(actions + adds)
 
     def append(
         self,
@@ -2109,6 +2297,18 @@ class DeltaLogWriter:
                         "an NTZ column (or upgrade the protocol) first"
                     )
         head: list[dict] = [evolution] if evolution is not None else []
+        rt_enabled = snapshot_info is not None and "rowTracking" in set(
+            (log.table_protocol or {}).get("writerFeatures") or []
+        )
+        if rt_enabled:
+            if txn is not None:
+                raise DeltaProtocolError(
+                    f"{self.table_path}: row tracking composes with "
+                    "plain appends (and schema evolution) only — txn "
+                    "idempotence would need the id-assignment and "
+                    "guard loops merged"
+                )
+            return self._append_row_tracked(head, self._stage(df, part_cols))
         if txn is None:
             return self._commit_with_retry(head + self._stage(df, part_cols))
         last = self.last_txn_version(txn[0])
@@ -2128,6 +2328,30 @@ class DeltaLogWriter:
             last = self.last_txn_version(txn[0])
             if last is not None and txn[1] <= last:
                 return None  # duplicate replay committed concurrently
+            try:
+                v = self._commit(v, actions)
+            except DeltaCommitConflict:
+                continue
+            if v > 0 and v % DELTA_CHECKPOINT_EVERY == 0:
+                write_delta_checkpoint(self.table_path, version=v)
+            return v
+        raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
+
+    def _append_row_tracked(self, head: list[dict], adds: list[dict]) -> int:
+        """Append to a row-tracked table: assign fresh baseRowIds from
+        the CURRENT high-water mark and commit the advanced mark (the
+        delta.rowTracking domain metadata) in the SAME commit as the
+        adds. The whole sequence re-runs per OCC conflict — a
+        concurrent row-tracked append advanced the mark, so ids must
+        be re-assigned (the _append_identity shape; cheaper here
+        because ids live only in the log, no re-staging)."""
+        for _ in range(20):
+            log = DeltaLog(self.table_path)
+            _, _, active = log.replay(None)
+            hwm = _row_id_hwm(log, active)
+            v = self._next_version()
+            new_hwm = _assign_base_row_ids(adds, hwm + 1, commit_version=v)
+            actions = head + [_row_tracking_domain(new_hwm)] + adds
             try:
                 v = self._commit(v, actions)
             except DeltaCommitConflict:

@@ -4112,13 +4112,22 @@ def convert_to_iceberg(
 
 
 def _author_iceberg_over(
-    spark, table_path: str, schema, inventory, part_keys, dv_map=None
+    spark, table_path: str, schema, inventory, part_keys, dv_map=None,
+    row_ids=None, next_row_id=None,
 ) -> int:
     """Shared metadata-authoring tail of the converters: write snapshot
     1's manifest + manifest list + v1 metadata.json over an EXISTING
     file inventory ([(rel_path, typed_partition_values)]) — nothing is
     rewritten or moved. Hive `key=value` keys become an identity spec;
     record counts come from each footer (metadata-only IO).
+
+    ``row_ids`` ({rel_path: first_row_id}) translates the source
+    format's ROW TRACKING into v3 row lineage: each entry keeps its
+    assigned first row id verbatim (Delta baseRowId and Iceberg
+    first_row_id have identical semantics — file-base + physical
+    position), ``next_row_id`` carries the high-water mark, and the
+    metadata is authored as format-version 3 — so _row_id survives the
+    format translation bit-for-bit with zero data movement.
 
     ``dv_map`` ({rel_path: sorted deleted row indexes}) translates the
     source format's deletion vectors: one Puffin file with a
@@ -4153,6 +4162,11 @@ def _author_iceberg_over(
             ).metadata.num_rows,
             "file_size_in_bytes": os.path.getsize(
                 os.path.join(table_path, rel)
+            ),
+            **(
+                {"first_row_id": int(row_ids[rel])}
+                if row_ids is not None
+                else {}
             ),
         }
         for rel, pv in inventory
@@ -4245,7 +4259,7 @@ def _author_iceberg_over(
         for i, f in enumerate(spec)
     ]
     metadata = {
-        "format-version": 3 if dv_map else 1,
+        "format-version": 3 if (dv_map or row_ids is not None) else 1,
         "table-uuid": f"plankton-iceberg-{os.path.basename(table_path)}",
         "location": table_path,
         "last-updated-ms": 0,
@@ -4266,6 +4280,11 @@ def _author_iceberg_over(
             }
         ],
     }
+    if row_ids is not None and next_row_id is not None:
+        metadata["next-row-id"] = int(next_row_id)
+        # the converted snapshot carries every translated file, so its
+        # id assignments notionally start at 0
+        metadata["snapshots"][0]["first-row-id"] = 0
     w._commit_metadata(1, metadata)
     return snap_id
 
@@ -4420,8 +4439,25 @@ def convert_delta_to_iceberg(spark, table_path: str) -> int:
         for k, v in (add.get("partitionValues") or {}).items():
             pv[k] = None if v is None else _typed_pv(v, dtypes[k])
         inventory.append((rel, pv))
+    # Delta ROW TRACKING translates to v3 row lineage when the WHOLE
+    # snapshot carries it (baseRowId and first_row_id have identical
+    # semantics — file base + physical position, which DV translation
+    # preserves because positions are physical). A partially-tracked
+    # snapshot (files rewritten by a non-preserving op) translates
+    # WITHOUT lineage — mirroring both readers' refuse-don't-guess
+    # contract rather than fabricating ids.
+    row_ids = None
+    next_row_id = None
+    if active and all(
+        a.get("baseRowId") is not None for a in active.values()
+    ):
+        from plankton_spark.sources.delta_log import _row_id_hwm
+
+        row_ids = {rel: int(a["baseRowId"]) for rel, a in active.items()}
+        next_row_id = _row_id_hwm(log, active) + 1
     return _author_iceberg_over(
-        spark, table_path, schema, inventory, part_cols, dv_map=dv_map
+        spark, table_path, schema, inventory, part_cols, dv_map=dv_map,
+        row_ids=row_ids, next_row_id=next_row_id,
     )
 
 

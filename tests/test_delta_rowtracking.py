@@ -1,0 +1,145 @@
+"""Delta ROW TRACKING lifecycle — the cross-format twin of
+tests/test_iceberg_rowlineage.py: baseRowId chains on create/append,
+_row_id/_row_commit_version projection, stability across DV deletes,
+hwm recovery without domain metadata, loud refusals."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from plankton_spark.sources.delta_log import (
+    DeltaLog,
+    DeltaLogWriter,
+    DeltaProtocolError,
+    read_delta,
+)
+
+
+def _mk(spark, tmp_path, name, n=30):
+    root = str(tmp_path / name)
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(n)], "k long, v string"
+        ),
+        row_tracking=True,
+    )
+    return root, w
+
+
+def test_create_assigns_ids_and_domain(spark, tmp_path):
+    root, _w = _mk(spark, tmp_path, "rt1")
+    rows = read_delta(spark, root, with_row_ids=True).collect()
+    assert sorted(r["_row_id"] for r in rows) == list(range(30))
+    assert {r["_row_commit_version"] for r in rows} == {0}
+    log = DeltaLog(root)
+    log.replay(None)
+    dm = log.domain_metadata["delta.rowTracking"]
+    assert json.loads(dm["configuration"])["rowIdHighWaterMark"] == 29
+    prot = log.table_protocol
+    assert "rowTracking" in prot["writerFeatures"]
+    assert "domainMetadata" in prot["writerFeatures"]
+
+
+def test_append_continues_and_ids_stable_across_dv(spark, tmp_path):
+    root, w = _mk(spark, tmp_path, "rt2")
+    w.append(
+        spark.createDataFrame([(100 + i, "x") for i in range(10)],
+                              "k long, v string")
+    )
+    before = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert sorted(v[0] for k, v in before.items() if k >= 100) == list(
+        range(30, 40)
+    )
+    assert {v[1] for k, v in before.items() if k >= 100} == {1}
+    w.delete_where_dv(F.col("k") % 5 == 0)
+    after = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert set(after) == {k for k in before if k % 5 != 0}
+    for k, v in after.items():
+        assert v == before[k], "DV delete changed a survivor's row id"
+
+
+def test_append_after_delete_never_reuses_ids(spark, tmp_path):
+    root, w = _mk(spark, tmp_path, "rt3")
+    w.delete_where_dv(F.col("k") < 10)
+    w.append(spark.createDataFrame([(400, "n")], "k long, v string"))
+    by_k = {
+        r["k"]: r["_row_id"]
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert by_k[400] == 30  # deleted ids [0,10) are NOT reused
+
+
+def test_hwm_recovers_from_live_adds_without_domain(spark, tmp_path):
+    """A checkpoint that drops domainMetadata must not cause id reuse:
+    the hwm falls back to max(baseRowId + numRecords) over live adds."""
+    from plankton_spark.sources.delta_log import _row_id_hwm
+
+    root, _w = _mk(spark, tmp_path, "rt4")
+    log = DeltaLog(root)
+    _, _, active = log.replay(None)
+    log.domain_metadata = {}  # simulate domain lost to a checkpoint
+    assert _row_id_hwm(log, active) == 29
+
+
+def test_plain_table_refuses_row_id_read(spark, tmp_path):
+    root = str(tmp_path / "rt5")
+    w = DeltaLogWriter(spark, root)
+    w.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(DeltaProtocolError, match="no\n?.*baseRowId|baseRowId"):
+        read_delta(spark, root, with_row_ids=True).collect()
+    assert read_delta(spark, root).count() == 1
+
+
+def test_whole_file_delete_preserves_tracking(spark, tmp_path):
+    """delete_where that drops WHOLE files (no rewrite) keeps tracking
+    valid — untouched adds keep their baseRowId."""
+    root, w = _mk(spark, tmp_path, "rt6a")  # one tiny file per row
+    w.delete_where(F.col("k") < 5)
+    rows = read_delta(spark, root, with_row_ids=True).collect()
+    assert sorted(r["_row_id"] for r in rows) == list(range(5, 30))
+
+
+def test_partial_rewrite_breaks_tracking_loudly(spark, tmp_path):
+    """delete_where that REWRITES a partially-hit file stages new
+    files without baseRowId — the row-id read must refuse afterwards,
+    never renumber."""
+    root = str(tmp_path / "rt6b")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "k long, v string"
+        ).repartition(1),
+        row_tracking=True,
+    )
+    w.delete_where(F.col("k") < 5)  # partial hit → file rewrite
+    with pytest.raises(DeltaProtocolError, match="baseRowId"):
+        read_delta(spark, root, with_row_ids=True).collect()
+    assert read_delta(spark, root).count() == 25
+
+
+def test_txn_append_refused_on_tracked_table(spark, tmp_path):
+    root, w = _mk(spark, tmp_path, "rt7")
+    with pytest.raises(DeltaProtocolError, match="row tracking composes"):
+        w.append(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            txn=("app", 1),
+        )
+
+
+def test_time_travel_projects_historical_ids(spark, tmp_path):
+    root, w = _mk(spark, tmp_path, "rt8")
+    w.append(spark.createDataFrame([(500, "z")], "k long, v string"))
+    v0 = read_delta(spark, root, version=0, with_row_ids=True)
+    assert v0.count() == 30
+    assert v0.agg(F.max("_row_id")).collect()[0][0] == 29

@@ -119,3 +119,21 @@ def test_foreign_lineage_fixture_reads(spark):
     # _row_id dense over the pre-delete corpus minus the DV'd rows
     ids = sorted(r["_row_id"] for r in rows)
     assert len(ids) == len(set(ids))
+
+
+def test_append_after_dv_delete_continues_chain(spark, tmp_path):
+    """A DV delete must carry next-row-id forward untouched, so a later
+    append claims ids AFTER the deleted rows' (ids are never reused)."""
+    root, w = _mk(spark, tmp_path, "lin6")
+    w.delete_where_dv(F.col("k") < 10)
+    w.append(spark.createDataFrame([(400, "n")], "k long, v string"))
+    rows = read_iceberg(spark, root, with_lineage=True).collect()
+    by_k = {r["k"]: r["_row_id"] for r in rows}
+    assert by_k[400] == 30  # deleted ids [0,10) are NOT reused
+    assert sorted(v for k, v in by_k.items() if k < 100) == list(range(10, 30))
+    t = IcebergTable(root)
+    assert t.metadata["next-row-id"] == 31
+    # the delete snapshot records first-row-id == next-row-id (no rows)
+    del_snap = t.metadata["snapshots"][1]
+    assert del_snap["summary"]["operation"] == "delete"
+    assert del_snap["first-row-id"] == 30
