@@ -776,3 +776,80 @@ def q_tpcds_returnsnet(spark, sf_dir):
     final LIMIT is TopK (TakeOrderedAndProject), not a global sort.
     The SAME SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_returnsnet", _RETURNSNET)
+
+
+_FREQBUYER = """
+WITH freq_parts AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING COUNT(*) >= 8
+),
+spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+best_cust AS (
+  SELECT o_custkey FROM spend
+  WHERE cents * 2 > (SELECT MAX(cents) FROM spend)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_partkey IN (SELECT l_partkey FROM freq_parts)
+  AND o_custkey IN (SELECT o_custkey FROM best_cust)
+"""
+
+_TABLES["q_tpcds_freqbuyer"] = ("lineitem", "orders")
+
+
+@query("q_tpcds_freqbuyer", oracle=_FREQBUYER)
+def q_tpcds_freqbuyer(spark, sf_dir):
+    """TPC-DS Q23 shape (fixture-adapted): sales restricted to
+    FREQUENT items AND BEST customers — one HAVING-filtered item CTE,
+    one spend CTE whose top band is defined against a SCALAR MAX
+    subquery over the SAME CTE (the twice-consumed-aggregate +
+    scalar-threshold signature), both applied as IN semi-joins on the
+    fact. The 50%-of-max band is integer cross-multiplied (cents * 2 >
+    max), exact on both engines. Scale shape: both CTEs are
+    partial-aggregatable group-bys; the scalar MAX is a 1-row
+    broadcast; the semi-joins are equi-joins. The SAME SQL text is the
+    oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_freqbuyer", _FREQBUYER)
+
+
+_MULTISHIP = """
+WITH ms AS (
+  SELECT DISTINCT l1.l_orderkey
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-07-01'
+  AND o_orderkey IN (SELECT l_orderkey FROM ms)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem r
+    WHERE r.l_orderkey = o_orderkey AND r.l_returnflag = 'R'
+  )
+"""
+
+_TABLES["q_tpcds_multiship"] = ("lineitem", "orders")
+
+
+@query("q_tpcds_multiship", oracle=_MULTISHIP)
+def q_tpcds_multiship(spark, sf_dir):
+    """TPC-DS Q95 shape (fixture-adapted): orders shipped by MORE THAN
+    ONE supplier (the fact self-joined on order key with a supplier
+    inequality — Q95's ws_wh idiom) and with NO returns (correlated
+    NOT EXISTS on the same fact) inside a date window. Scale shape:
+    the self-join is an equi-join on l_orderkey (per-order line
+    counts are small constants, so the pair blow-up is bounded);
+    the DISTINCT collapses before the semi-join; NOT EXISTS plans as
+    an anti-join. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_multiship", _MULTISHIP)

@@ -868,6 +868,15 @@ def _row_tracked_scan(
     metadata and compute _row_id = baseRowId + row position. Survivor
     rows keep their ids across DV deletes by construction — the
     position is physical and DVs never rewrite data."""
+    if not files:  # every file partition-pruned away
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_row_id", T.LongType()),
+                T.StructField("_row_commit_version", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], out_schema)
     data_schema = T.StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )

@@ -582,7 +582,18 @@ def read_iceberg(
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     full, pos_dels, eq_dels, dv_dels = t.scan_entries_full(snapshot_id)
     if not full:
-        return spark.createDataFrame([], t.schema())
+        empty_schema = t.schema()
+        if with_lineage:
+            empty_schema = T.StructType(
+                list(empty_schema.fields)
+                + [
+                    T.StructField("_row_id", T.LongType()),
+                    T.StructField(
+                        "_last_updated_sequence_number", T.LongType()
+                    ),
+                ]
+            )
+        return spark.createDataFrame([], empty_schema)
     spec_ids = sorted({sid for _p, _pv, _seq, sid in full})
     lineage = None
     if with_lineage:

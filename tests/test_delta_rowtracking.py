@@ -143,3 +143,21 @@ def test_time_travel_projects_historical_ids(spark, tmp_path):
     v0 = read_delta(spark, root, version=0, with_row_ids=True)
     assert v0.count() == 30
     assert v0.agg(F.max("_row_id")).collect()[0][0] == 29
+
+
+def test_partition_pruned_to_empty_keeps_schema(spark, tmp_path):
+    """Row-id read whose partition filter prunes every file returns an
+    EMPTY frame with the row-id columns still present."""
+    root = str(tmp_path / "rt9")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(10)],
+            "k long, grp string",
+        ),
+        partition_by=["grp"],
+        row_tracking=True,
+    )
+    out = read_delta(spark, root, partitions={"grp": "zzz"}, with_row_ids=True)
+    assert out.count() == 0
+    assert "_row_id" in out.columns and "_row_commit_version" in out.columns
