@@ -319,7 +319,7 @@ def _decode_checkpoint_files(log_dir: str, fnames: list[str]) -> list[dict]:
     ignored the way JSON replay ignores commitInfo."""
     import pyarrow.parquet as pq
 
-    kinds = ("metaData", "add", "remove", "protocol", "txn")
+    kinds = ("metaData", "add", "remove", "protocol", "txn", "domainMetadata")
     actions: list[dict] = []
     for fname in fnames:
         full = os.path.join(log_dir, fname)
@@ -3520,6 +3520,11 @@ def write_delta_checkpoint(
                                 ]
                             ),
                         ),
+                        # ROW TRACKING survives compaction: dropping
+                        # these would make the hwm fallback see no ids
+                        # and a later append RESTART at 0 (id reuse)
+                        pa.field("baseRowId", pa.int64()),
+                        pa.field("defaultRowCommitVersion", pa.int64()),
                     ]
                 ),
             ),
@@ -3529,6 +3534,18 @@ def write_delta_checkpoint(
                     [
                         pa.field("appId", pa.string()),
                         pa.field("version", pa.int64()),
+                    ]
+                ),
+            ),
+            # spec: checkpoints must carry live domain metadata — the
+            # delta.rowTracking high-water mark lives here
+            pa.field(
+                "domainMetadata",
+                pa.struct(
+                    [
+                        pa.field("domain", pa.string()),
+                        pa.field("configuration", pa.string()),
+                        pa.field("removed", pa.bool_()),
                     ]
                 ),
             ),
@@ -3593,8 +3610,31 @@ def write_delta_checkpoint(
                     "dataChange": True,
                     "stats": stats if isinstance(stats, str) else None,
                     "deletionVector": add.get("deletionVector"),
+                    "baseRowId": add.get("baseRowId"),
+                    "defaultRowCommitVersion": add.get(
+                        "defaultRowCommitVersion"
+                    ),
                 },
                 "txn": None,
+            }
+        )
+    for dom, dm in sorted(
+        (getattr(log, "domain_metadata", None) or {}).items()
+    ):
+        cfg = dm.get("configuration")
+        rows.append(
+            {
+                "metaData": None,
+                "protocol": None,
+                "add": None,
+                "txn": None,
+                "domainMetadata": {
+                    "domain": dom,
+                    "configuration": cfg
+                    if isinstance(cfg, str)
+                    else json.dumps(cfg or {}),
+                    "removed": False,
+                },
             }
         )
     # spec self-containment: one txn row per (appId, max version), so

@@ -161,3 +161,31 @@ def test_partition_pruned_to_empty_keeps_schema(spark, tmp_path):
     out = read_delta(spark, root, partitions={"grp": "zzz"}, with_row_ids=True)
     assert out.count() == 0
     assert "_row_id" in out.columns and "_row_commit_version" in out.columns
+
+
+def test_tracking_survives_checkpoint_compaction(spark, tmp_path):
+    """The 10-commit checkpoint must carry baseRowId /
+    defaultRowCommitVersion and the delta.rowTracking domain metadata —
+    otherwise replay-from-checkpoint loses tracking and the NEXT
+    append restarts ids at 0 (id reuse)."""
+    import glob
+
+    root, w = _mk(spark, tmp_path, "rt10", n=5)
+    for i in range(10):  # versions 1..10 — v10 writes a checkpoint
+        w.append(spark.createDataFrame([(100 + i, "x")], "k long, v string"))
+    assert glob.glob(os.path.join(root, "_delta_log", "*.checkpoint*")), (
+        "expected a checkpoint after 10 commits"
+    )
+    log = DeltaLog(root)
+    _, _, active = log.replay(None)
+    # replay (checkpoint + tail) still sees every add's ids + domain
+    assert all(a.get("baseRowId") is not None for a in active.values())
+    assert "delta.rowTracking" in log.domain_metadata
+    w.append(spark.createDataFrame([(999, "z")], "k long, v string"))
+    by_k = {
+        r["k"]: r["_row_id"]
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert by_k[999] == 15  # 5 create + 10 appended — NOT restarted at 0
+    ids = sorted(by_k.values())
+    assert ids == list(range(16)) and len(set(ids)) == 16
