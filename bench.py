@@ -121,9 +121,9 @@ def main() -> None:
         return timings, spread, cold, l_start, read_load()
 
     # Auto-retry (round-9 verdict #8): the primary wall must come from
-    # a run whose load (start AND end, 1-min avg) stayed under
-    # 0.2/cpu. Re-measure up to twice (waiting out the load between
-    # attempts), keep the quietest attempt, and mark
+    # a run that STARTED quiet (1-min loadavg under 0.2/cpu after the
+    # wait). Re-measure up to twice (waiting out the load between
+    # attempts), keep the quietest-start attempt, and mark
     # auto_retry_exhausted if none qualified — an explicit marker, not
     # a silent contended number.
     attempts = 0
