@@ -165,3 +165,29 @@ def test_reregister_format_flip_drops_shadowing_view(spark, tmp_path):
     )
     catalog.unregister(spark, "cat_t_flip")
     assert not spark.catalog.tableExists("cat_t_flip")
+
+
+def test_register_deltalog_with_row_ids_kwarg(spark, tmp_path):
+    """Format-reader kwargs pass through registration: a row-tracked
+    Delta table registered with with_row_ids=True exposes _row_id via
+    SQL, and refresh() re-resolves with the same kwargs."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+
+    root = str(tmp_path / "rt_cat")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame([(i, "a") for i in range(5)], "k long, v string"),
+        row_tracking=True,
+    )
+    catalog.register(spark, "cat_t_rtids", root, "deltalog", with_row_ids=True)
+    got = spark.sql(
+        "SELECT MAX(_row_id) AS m FROM cat_t_rtids"
+    ).collect()[0]["m"]
+    assert got == 4
+    w.append(spark.createDataFrame([(99, "z")], "k long, v string"))
+    catalog.refresh(spark, "cat_t_rtids")
+    got = spark.sql(
+        "SELECT MAX(_row_id) AS m FROM cat_t_rtids"
+    ).collect()[0]["m"]
+    assert got == 5
+    catalog.unregister(spark, "cat_t_rtids")
