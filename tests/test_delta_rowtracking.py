@@ -189,3 +189,36 @@ def test_tracking_survives_checkpoint_compaction(spark, tmp_path):
     assert by_k[999] == 15  # 5 create + 10 appended — NOT restarted at 0
     ids = sorted(by_k.values())
     assert ids == list(range(16)) and len(set(ids)) == 16
+
+
+def test_concurrent_row_tracked_appends_never_overlap_ids(spark, tmp_path):
+    """Two racing row-tracked appends: the OCC loser must re-read the
+    advanced high-water mark and re-assign — overlapping id ranges
+    would corrupt lineage forever. Mirrors the identity-allocation and
+    txn-replay race tests."""
+    import threading
+
+    root, _w = _mk(spark, tmp_path, "rt_race", n=10)
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def appender(tag):
+        try:
+            w = DeltaLogWriter(spark, root)
+            df = spark.createDataFrame(
+                [(1000 * tag + i, "x") for i in range(5)], "k long, v string"
+            )
+            barrier.wait()
+            w.append(df)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(t,)) for t in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    rows = read_delta(spark, root, with_row_ids=True).collect()
+    ids = sorted(r["_row_id"] for r in rows)
+    assert ids == list(range(20)), f"id overlap or gap: {ids}"
