@@ -598,9 +598,14 @@ KMEANS_DIMS = 64
 # on negative integer division: Spark DIV truncates, DuckDB // floors)
 KMEANS_OFFSET = 2_000_000
 # Above this K, per-row literal argmin expressions (K structs × 64-ary
-# zip_with each) stop being a sane Catalyst plan — switch to the
-# Arrow-batched integer-GEMM assignment (same exact int64 arithmetic).
-LITERAL_ASSIGN_MAX_K = 64
+# zip_with each) stop paying: measured at K=44 / 2,000 vectors the
+# whole-stage codegen COMPILE time of the ~2,800-term expression
+# dominates the query (11.8 s → 6.3 s warm by switching) — so the
+# literal path is kept only for small K (q_cluster_kmeans's declared
+# K=4, tiny corpora) where staying JVM-side beats Arrow batch setup,
+# and the integer-GEMM assignment (same exact int64 arithmetic) takes
+# over everywhere else.
+LITERAL_ASSIGN_MAX_K = 16
 # Adaptive-K SQL (DuckDB + Spark agree: IEEE-754 sqrt is correctly
 # rounded, so FLOOR(SQRT(n)) is engine-independent for n < 2^52).
 ADAPTIVE_K_SQL = (
@@ -775,6 +780,8 @@ def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
     q_cluster_kmeans's docstring for the determinism argument."""
     import math
 
+    from plankton_spark import cache as _cache
+
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -785,6 +792,13 @@ def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
             ),
         ).alias("v"),
     )
+    # the quantized corpus is consumed 2+KMEANS_ITERS times (count,
+    # seeds, one scan per Lloyd iteration, final assignment) — persist
+    # ONE generation under a stable key (persist_swap bounds the
+    # lifetime across invocations) instead of re-reading + re-quantizing
+    # the parquet per pass; MEMORY_AND_DISK default spills gracefully
+    # when the corpus outgrows executor storage
+    e = _cache.persist_swap(f"kmeans:quantized:{sf_dir}", e)
     if k is None:
         # floor(sqrt) on an IEEE double matches DuckDB's FLOOR(SQRT())
         # exactly for counts < 2^52 (sqrt is correctly rounded).

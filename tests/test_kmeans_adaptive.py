@@ -36,18 +36,19 @@ def test_adaptive_k_schedule(spark):
 
 
 def test_gemm_assignment_matches_literal(spark, monkeypatch):
-    """Forcing the GEMM path (LITERAL_ASSIGN_MAX_K=0) must reproduce the
-    literal-argmin assignment bit-for-bit: same k, same integer d2 for
-    every vector — both are exact int64 arithmetic with a lowest-k
-    tie-break."""
+    """The GEMM path must reproduce the literal-argmin assignment
+    bit-for-bit: same k, same integer d2 for every vector — both are
+    exact int64 arithmetic with a lowest-k tie-break. Force EACH path
+    explicitly (the default threshold routes adaptive K to GEMM)."""
     from plankton_spark.queries import llm_vectors as lv
 
+    monkeypatch.setattr(lv, "LITERAL_ASSIGN_MAX_K", 10_000)  # force literal
     lit_final, lit_cent = lv.kmeans_fit_assign(spark, SF001, k=None)
     lit = {
         r["vec_id"]: (r["k"], r["d2"])
         for r in lit_final.select("vec_id", "k", "d2").collect()
     }
-    monkeypatch.setattr(lv, "LITERAL_ASSIGN_MAX_K", 0)
+    monkeypatch.setattr(lv, "LITERAL_ASSIGN_MAX_K", 0)  # force GEMM
     gemm_final, gemm_cent = lv.kmeans_fit_assign(spark, SF001, k=None)
     gemm = {
         r["vec_id"]: (r["k"], r["d2"])
