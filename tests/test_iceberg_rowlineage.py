@@ -137,3 +137,26 @@ def test_append_after_dv_delete_continues_chain(spark, tmp_path):
     del_snap = t.metadata["snapshots"][1]
     assert del_snap["summary"]["operation"] == "delete"
     assert del_snap["first-row-id"] == 30
+
+
+def test_branch_append_advances_global_ids(spark, tmp_path):
+    """Row ids are TABLE-global (spec): an append on an audit branch
+    claims ids after main's high-water mark, and a later main append
+    does NOT reuse them even though main never saw the branch rows."""
+    root, w = _mk(spark, tmp_path, "lin7")
+    w.append(
+        spark.createDataFrame([(600, "b")], "k long, v string"),
+        branch="audit",
+    )
+    br = read_iceberg(spark, root, ref="audit", with_lineage=True).collect()
+    assert {r["_row_id"] for r in br if r["k"] == 600} == {30}
+    # main is untouched by the branch write
+    main = read_iceberg(spark, root, with_lineage=True).collect()
+    assert sorted(r["_row_id"] for r in main) == list(range(30))
+    # a later MAIN append continues after the branch's claim
+    w.append(spark.createDataFrame([(700, "m")], "k long, v string"))
+    main = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert main[700] == 31  # 30 was claimed by the branch append
