@@ -1015,6 +1015,60 @@ def _semantic_oracle(rule: str) -> str:
     """
 
 
+def _cluster_gemm_candidates(e_k, threshold, margin=1e-6, chunk=2048):
+    """No-false-negative SAME-CLUSTER cosine candidate pairs via
+    per-cluster GEMM: one applyInPandas task per cluster (adaptive K
+    keeps clusters ~√N rows, so a task's matrix is small), the cosine
+    matrix computed in row CHUNKS so memory stays ~chunk×|cluster|
+    even for a pathological giant cluster. Emits (vec_a < vec_b)
+    pairs with float cosine ≥ threshold − margin — margin 1e-6
+    dominates the ~1e-15 float64 dot error, so the exact-decimal
+    rescore (rescore_pairs_exact) that follows sees a provable
+    superset of the true ≥ threshold pairs, keeping results
+    bit-identical to the brute-force within-cluster oracle. vs the
+    previous component self-join, the shuffle carries |candidates|
+    id-pairs instead of Σ|cluster|² × 64 joined component rows — the
+    flop count (Σ|c|²·d, the SemDeDup contract) is unchanged but the
+    materialized volume drops ~64× and moves into BLAS."""
+    cut = threshold - margin
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                }
+            )
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        mat /= np.where(nrm == 0.0, 1.0, nrm)[:, None]
+        out_a, out_b = [], []
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            cos = mat[lo:hi] @ mat.T
+            ra, cb = np.nonzero(cos >= cut)
+            ga = ids[lo + ra]
+            gb = ids[cb]
+            keep = ga < gb  # upper triangle only, no self-pairs
+            out_a.append(ga[keep])
+            out_b.append(gb[keep])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+            }
+        )
+
+    return e_k.groupBy("k").applyInPandas(
+        kernel, "vec_a bigint, vec_b bigint"
+    )
+
+
 def _semantic_core(spark, sf_dir, rule: str, tag: str):
     """Shared SemDeDup engine (q_dedup_semantic / q_dedup_semantic_far):
     ADAPTIVE-K k-means (K = max(4, ⌊√N⌋) — clusters stay ~constant-size
@@ -1060,43 +1114,17 @@ def _semantic_core(spark, sf_dir, rule: str, tag: str):
         )
 
     e = read_table(spark, sf_dir, "embeddings")
-    comps = explode_comps(e, "vec_id", "embedding", "vec_id", "x")
-    comps_k = comps.join(ak.select("vec_id", "k"), "vec_id")
-    a = comps_k.select(
-        F.col("vec_id").alias("vec_a"), F.col("k").alias("ka"), "i",
-        F.col("x").alias("xa"),
+    # pair pass: per-cluster GEMM candidates (float, margin-safe
+    # superset) → exact-decimal rescore of candidates only — the
+    # embcos_pairs three-phase shape, cluster-bounded. The exact
+    # rescore keeps every emitted cosine bit-identical to the oracle's
+    # brute-force-within-cluster decimal arithmetic.
+    e_k = e.select("vec_id", "embedding").join(
+        ak.select("vec_id", "k"), "vec_id"
     )
-    b = comps_k.select(
-        F.col("vec_id").alias("vec_b"), F.col("k").alias("kb"),
-        F.col("i").alias("j"), F.col("x").alias("xb"),
-    )
-    dots = (
-        a.join(
-            b,
-            (F.col("i") == F.col("j"))
-            & (F.col("ka") == F.col("kb"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .groupBy("vec_a", "vec_b")
-        .agg(
-            F.sum((F.col("xa") * F.col("xb")).cast(_DOT_DECIMAL))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    norms = vector_norms(comps, "vec_id", "x", "nrm")
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
-    # norms is corpus-sized (one row per vector) — NOT broadcast;
-    # these are equi-joins AQE sizes at runtime (dots is answer-
-    # proportional and usually the smaller side)
-    dup_pairs = (
-        dots.join(na, "vec_a")
-        .join(nb, "vec_b")
-        .where(
-            F.col("dot") / (F.col("na") * F.col("nb"))
-            >= F.lit(SEMANTIC_COS_THRESHOLD)
-        )
+    cand = _cluster_gemm_candidates(e_k, SEMANTIC_COS_THRESHOLD)
+    dup_pairs = rescore_pairs_exact(e, cand).where(
+        F.col("cosine") >= F.lit(SEMANTIC_COS_THRESHOLD)
     )
     if rule == "lowid":
         picked = F.col("vec_b")

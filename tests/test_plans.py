@@ -339,15 +339,20 @@ def test_tpcds_multichannel_semijoins_not_loops(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_semantic_dedup_pair_join_keys_include_cluster(spark):
-    """SemDeDup's scale claim: the component self-join's keys carry
-    the CLUSTER id, so pairwise work is cluster-bounded. The
-    optimized plan's join condition must include both the component
-    index and the cluster keys."""
+def test_semantic_dedup_pair_pass_is_cluster_grouped_gemm(spark):
+    """SemDeDup's scale claim: pairwise work is cluster-bounded — the
+    candidate pass is ONE FlatMapGroupsInPandas keyed by the cluster
+    id (per-cluster GEMM), and the only pair-shaped joins left are the
+    candidate-bounded exact-rescore equi-joins. No CartesianProduct,
+    no component self-join materializing Σ|c|²×64 rows."""
     df = all_queries()["q_dedup_semantic"](spark, SF001)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert re.search(r"Join Inner.*\(i#?\d* = j", opt) or "(i" in opt, opt
-    assert re.search(r"ka#?\d*L? = kb", opt.replace("\n", " ")), opt
+    flat = opt.replace("\n", " ")
+    assert re.search(r"FlatMapGroupsInPandas \[k#?\d*", flat), opt
+    assert "CartesianProduct" not in opt, opt
+    # the rescore attaches embeddings by candidate id — equi-joins on
+    # vec_a / vec_b, not a component-index self-join
+    assert re.search(r"vec_a#?\d*L?\b", flat), opt
 
 
 def test_variant_shredded_filter_pushes_into_leaf_column(spark):
