@@ -222,3 +222,56 @@ def test_concurrent_row_tracked_appends_never_overlap_ids(spark, tmp_path):
     rows = read_delta(spark, root, with_row_ids=True).collect()
     ids = sorted(r["_row_id"] for r in rows)
     assert ids == list(range(20)), f"id overlap or gap: {ids}"
+
+
+def test_uniform_convert_partial_tracking_translates_without_lineage(
+    spark, tmp_path
+):
+    """convert_delta_to_iceberg on a PARTIALLY-tracked Delta snapshot
+    (a rewrite stripped some baseRowIds) must translate WITHOUT
+    lineage: data reads fine through the Iceberg chain, the lineage
+    read refuses — ids are never fabricated."""
+    from plankton_spark.sources.iceberg_meta import (
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "uni_partial")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "k long, v string"
+        ).repartition(1),
+        row_tracking=True,
+    )
+    w.delete_where(F.col("k") < 5)  # partial rewrite strips baseRowId
+    convert_delta_to_iceberg(spark, root)
+    assert read_iceberg(spark, root).count() == 25
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="first_row_id"):
+        read_iceberg(spark, root, with_lineage=True).collect()
+
+
+def test_uniform_convert_fully_tracked_carries_ids(spark, tmp_path):
+    """Fully-tracked Delta → Iceberg: every _row_id read through the
+    ICEBERG chain equals what the DELTA side assigned."""
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergTable,
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    root, w = _mk(spark, tmp_path, "uni_full")
+    w.append(spark.createDataFrame([(800, "q")], "k long, v string"))
+    delta_ids = {
+        r["k"]: r["_row_id"]
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    convert_delta_to_iceberg(spark, root)
+    ice_ids = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert ice_ids == delta_ids
+    assert IcebergTable(root).metadata["next-row-id"] == 31
