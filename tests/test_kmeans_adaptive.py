@@ -95,3 +95,57 @@ def test_semantic_refusal_backstop(spark, monkeypatch):
     monkeypatch.setattr(llm_dedup, "SEMANTIC_MAX_PAIRS", 10)
     with pytest.raises(ValueError, match="exceeds the"):
         all_queries()["q_dedup_semantic"](spark, SF0001)
+
+
+# ---------------------------------------------------------------------
+# Property-based: the per-cluster GEMM candidate pass never drops a
+# true >= threshold pair (the margin/superset proof, adversarially
+# sampled). Uses one Spark job per example — examples kept small.
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_vec = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=64),
+    min_size=8,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_vec, min_size=2, max_size=12), st.integers(0, 3))
+def test_cluster_gemm_candidates_superset_property(spark, vecs, kmod):
+    """Every pair whose EXACT cosine is >= the threshold must appear in
+    _cluster_gemm_candidates' output (same cluster), for arbitrary
+    small corpora and arbitrary cluster assignments."""
+    import math
+
+    from plankton_spark.queries.llm_dedup import (
+        SEMANTIC_COS_THRESHOLD,
+        _cluster_gemm_candidates,
+    )
+
+    rows = [
+        (i, i % (kmod + 1), [float(x) for x in v])
+        for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, k long, embedding array<double>"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in _cluster_gemm_candidates(df, SEMANTIC_COS_THRESHOLD).collect()
+    }
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return 0.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    for i, (ia, ka, va) in enumerate(rows):
+        for ib, kb, vb in rows[i + 1:]:
+            if ka == kb and cos(va, vb) >= SEMANTIC_COS_THRESHOLD:
+                assert (ia, ib) in got, (ia, ib, cos(va, vb))
