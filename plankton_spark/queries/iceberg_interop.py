@@ -1608,7 +1608,11 @@ def author_iceberg_lineage_orders(
                 "snapshot-id": 3,
                 "timestamp-ms": 3,
                 "manifest-list": "metadata/snap-3.avro",
-                "first-row-id": next_rid,
+                # spec: a snapshot's first-row-id is the START of the
+                # id range it assigns; this snapshot's entries claim
+                # [0, next_rid), so 0 (an inheritance-based reader
+                # would mis-derive from next_rid)
+                "first-row-id": 0,
             }
         ],
     }

@@ -716,8 +716,15 @@ def read_delta(
         # basename is the join identity (same rule as the DV join) —
         # validate uniqueness/URI-safety over ALL live files
         _dv_basename_map(active.keys(), table_path)
+        # materialized row-id / commit-version columns (files rewritten
+        # by OPTIMIZE carry the preserved ids physically; the names are
+        # config-declared per the spec) — resolved here, never assumed
+        mat = (
+            log.table_config.get(_MAT_ROW_ID_KEY),
+            log.table_config.get(_MAT_ROW_CV_KEY),
+        )
         return _row_tracked_scan(
-            spark, table_path, schema, part_cols, files, dv_desc, rt
+            spark, table_path, schema, part_cols, files, dv_desc, rt, mat
         )
     clean = [(p, pv) for p, pv in files if p not in dv_desc]
     out = _assemble_view(
@@ -859,7 +866,8 @@ def _dv_filtered_scan(
 
 
 def _row_tracked_scan(
-    spark, table_path: str, schema, part_cols, files, dv_desc, rt
+    spark, table_path: str, schema, part_cols, files, dv_desc, rt,
+    mat=(None, None),
 ):
     """Scan with ROW TRACKING columns projected: attach the physical
     row index + file basename to every file's scan (the _dv_filtered_
@@ -867,7 +875,16 @@ def _row_tracked_scan(
     the broadcast (basename → baseRowId, defaultRowCommitVersion) log
     metadata and compute _row_id = baseRowId + row position. Survivor
     rows keep their ids across DV deletes by construction — the
-    position is physical and DVs never rewrite data."""
+    position is physical and DVs never rewrite data.
+
+    `mat` = (materialized row-id column, materialized commit-version
+    column) physical names from the table configuration (None when
+    undeclared). Files REWRITTEN by an id-preserving operation
+    (OPTIMIZE) carry the original ids in these hidden columns; files
+    that predate the rewrite lack them and read NULL (explicit-schema
+    parquet semantics), so the projection is the spec's rule verbatim:
+    _row_id = coalesce(materialized, baseRowId + position)."""
+    mat_id, mat_cv = mat
     if not files:  # every file partition-pruned away
         out_schema = T.StructType(
             list(schema.fields)
@@ -877,8 +894,14 @@ def _row_tracked_scan(
             ]
         )
         return spark.createDataFrame([], out_schema)
+    data_names = {f.name for f in schema.fields}
+    extra = [
+        T.StructField(n, T.LongType(), True)
+        for n in (mat_id, mat_cv)
+        if n is not None and n not in data_names
+    ]
     data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in part_cols]
+        [f for f in schema.fields if f.name not in part_cols] + extra
     )
     by_pv: dict[tuple, list[str]] = {}
     pv_of: dict[tuple, dict] = {}
@@ -916,10 +939,16 @@ def _row_tracked_scan(
         "__dv_file string, __rt_base long, __rt_ver long",
     )
     out_cols = [f.name for f in schema.fields]
+    rid = F.col("__rt_base") + F.col("__dv_ridx")
+    cv = F.col("__rt_ver")
+    if mat_id is not None:
+        rid = F.coalesce(F.col(mat_id), rid)
+    if mat_cv is not None:
+        cv = F.coalesce(F.col(mat_cv), cv)
     return scan.join(F.broadcast(rt_df), "__dv_file").select(
         *out_cols,
-        (F.col("__rt_base") + F.col("__dv_ridx")).alias("_row_id"),
-        F.col("__rt_ver").alias("_row_commit_version"),
+        rid.alias("_row_id"),
+        cv.alias("_row_commit_version"),
     )
 
 
@@ -1183,6 +1212,21 @@ def _allocate_identity(df, col: str, next_id: int, step: int):
 
 class DeltaCommitConflict(Exception):
     """Another writer claimed this Delta version first."""
+
+
+# ROW TRACKING materialized-column config keys (Delta spec: the names
+# of the hidden physical columns that carry preserved row ids across
+# file rewrites are recorded in the table configuration; readers must
+# resolve them through these keys, never assume). This writer picks
+# the Iceberg v3 reserved metadata-column names (_row_id /
+# _row_commit_version) as its materialized names so a UniForm
+# translation (convert_delta_to_iceberg) carries preserved ids with
+# zero file rewrites — the Iceberg lineage reader resolves the same
+# physical column by its own spec name.
+_MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_MAT_ROW_CV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+_MAT_ROW_ID_NAME = "_row_id"
+_MAT_ROW_CV_NAME = "_row_commit_version"
 
 
 def _row_tracking_domain(hwm: int) -> dict:
@@ -2188,8 +2232,32 @@ class DeltaLogWriter:
             if "readerFeatures" in prot:
                 new_prot["readerFeatures"] = prot["readerFeatures"]
             protocol = {"protocol": new_prot}
+            clash = sorted(
+                {_MAT_ROW_ID_NAME, _MAT_ROW_CV_NAME}
+                & {f.name for f in schema.fields}
+            )
+            if clash:
+                raise ValueError(
+                    f"{self.table_path}: row_tracking reserves the "
+                    f"materialized column names {clash} — rename the "
+                    "data columns"
+                )
+            # per the spec, delta.enableRowTracking=true in the
+            # metaData configuration is what makes tracking ACTIVE
+            # (the writer feature alone is merely 'supported' and
+            # foreign writers could legally skip baseRowId); the
+            # materialized column names are declared up front so the
+            # first OPTIMIZE needs no metadata edit
+            cfg = {
+                "delta.enableRowTracking": "true",
+                _MAT_ROW_ID_KEY: _MAT_ROW_ID_NAME,
+                _MAT_ROW_CV_KEY: _MAT_ROW_CV_NAME,
+            }
             hwm = _assign_base_row_ids(adds, 0, commit_version=0)
-            actions = [protocol, self._metadata_action(schema, partition_by)]
+            actions = [
+                protocol,
+                self._metadata_action(schema, partition_by, cfg),
+            ]
             actions.append(_row_tracking_domain(hwm))
             return self._commit_with_retry(actions + adds)
         actions = [protocol, self._metadata_action(schema, partition_by)]
@@ -2832,7 +2900,45 @@ class DeltaLogWriter:
             num_files = max(
                 1, -(-total // int(target_file_mb * 1024 * 1024))
             )
-        if has_dvs:
+        # ROW TRACKING: a compaction must PRESERVE row ids (the spec's
+        # materialized-column rule) — rewritten files carry each row's
+        # original _row_id/_row_commit_version in hidden physical
+        # columns named by the table configuration, and reads coalesce
+        # them over the fresh baseRowId+position default. Taken only
+        # when the snapshot is FULLY tracked: a partially-tracked
+        # table (files rewritten by a non-preserving op) keeps today's
+        # non-preserving rewrite, and its lineage reads keep refusing.
+        rt_live = (
+            "rowTracking"
+            in set((log.table_protocol or {}).get("writerFeatures") or [])
+            and all(a.get("baseRowId") is not None for a in active.values())
+        )
+        mat_id = mat_cv = None
+        if rt_live:
+            cfg0 = dict(log.table_config)
+            mat_id = cfg0.get(_MAT_ROW_ID_KEY)
+            mat_cv = cfg0.get(_MAT_ROW_CV_KEY)
+            if mat_id is None or mat_cv is None:
+                clash = sorted(
+                    {_MAT_ROW_ID_NAME, _MAT_ROW_CV_NAME}
+                    & {f.name for f in schema.fields}
+                )
+                if clash:
+                    raise DeltaProtocolError(
+                        f"{self.table_path}: cannot materialize row ids "
+                        f"— data columns {clash} collide with the "
+                        "materialized column names"
+                    )
+                mat_id = mat_id or _MAT_ROW_ID_NAME
+                mat_cv = mat_cv or _MAT_ROW_CV_NAME
+            # the DV-aware row-id read: survivors keep their ids (DVs
+            # are position-based) and the rewrite purges the DVs
+            df = read_delta(self.spark, self.table_path, with_row_ids=True)
+            if mat_id != "_row_id":
+                df = df.withColumnRenamed("_row_id", mat_id)
+            if mat_cv != "_row_commit_version":
+                df = df.withColumnRenamed("_row_commit_version", mat_cv)
+        elif has_dvs:
             # compaction PURGES deletion vectors: the DV-aware read
             # drops the marked rows, so the rewritten files are clean
             # and the re-adds carry no DV. Still layout-only
@@ -2888,6 +2994,55 @@ class DeltaLogWriter:
         actions = adds + [
             {"remove": {"path": r, "dataChange": False}} for r in rel
         ]
+        if rt_live:
+            # row-tracked commit: the re-adds get FRESH baseRowIds
+            # (every add on a tracked table carries one, spec) while
+            # the PRESERVED ids ride the materialized columns; the
+            # high-water mark advances in the same commit. Assignment
+            # re-runs per OCC retry like _append_row_tracked, merged
+            # with the rewrite's liveness validation.
+            for _ in range(20):
+                log2 = DeltaLog(self.table_path)
+                _, _, now_active = log2.replay(None)
+                gone = [r for r in rel if r not in set(now_active)]
+                if gone:
+                    raise ConcurrentDeltaModification(
+                        f"{self.table_path}: files rewritten "
+                        f"concurrently: {gone[:5]}"
+                    )
+                cfg2 = dict(log2.table_config)
+                head: list[dict] = []
+                if cfg2.get(_MAT_ROW_ID_KEY) != mat_id or cfg2.get(
+                    _MAT_ROW_CV_KEY
+                ) != mat_cv:
+                    if cfg2.get(_MAT_ROW_ID_KEY) or cfg2.get(_MAT_ROW_CV_KEY):
+                        # a concurrent writer declared DIFFERENT names
+                        # — our staged columns would be unreadable
+                        raise ConcurrentDeltaModification(
+                            f"{self.table_path}: materialized row-id "
+                            "column names changed concurrently"
+                        )
+                    cfg2[_MAT_ROW_ID_KEY] = mat_id
+                    cfg2[_MAT_ROW_CV_KEY] = mat_cv
+                    cfg2.setdefault("delta.enableRowTracking", "true")
+                    head = [
+                        self._metadata_action(schema, part_cols, cfg2)
+                    ]
+                hwm = _row_id_hwm(log2, now_active)
+                v = self._next_version()
+                new_hwm = _assign_base_row_ids(adds, hwm + 1, commit_version=v)
+                try:
+                    v = self._commit(
+                        v, head + [_row_tracking_domain(new_hwm)] + actions
+                    )
+                except DeltaCommitConflict:
+                    continue
+                if v > 0 and v % DELTA_CHECKPOINT_EVERY == 0:
+                    write_delta_checkpoint(self.table_path, version=v)
+                return v
+            raise DeltaCommitConflict(
+                f"{self.table_path}: gave up after retries"
+            )
         return self._validate_then_commit(actions, rel)
 
     def overwrite(self, df) -> int:

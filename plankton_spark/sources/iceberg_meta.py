@@ -441,33 +441,50 @@ class IcebergTable:
         at a snapshot, keyed by absolute path. Walks the same
         manifest-list → manifest chain as scan_entries_full with the
         same status/dedup rules, reading only data (content=0)
-        entries. Raises if any live data file has no first_row_id —
-        lineage is either tracked for the WHOLE snapshot or not
-        readable at all (a rewrite by a non-lineage-preserving op, or
-        a pre-v3 table)."""
+        entries.
+
+        Implements the spec's INHERITANCE rule: a data file whose
+        first_row_id is null derives it from its manifest-list entry's
+        ``first_row_id`` plus the accumulated record_count of the
+        preceding inheriting data entries in that manifest — the
+        common foreign-writer layout (engines write nulls per file and
+        one base per manifest). Raises only when NEITHER level carries
+        an id — lineage is either derivable for the WHOLE snapshot or
+        not readable at all (a rewrite by a non-lineage-preserving op,
+        or a pre-v3 table)."""
         snap = self._snapshot(snapshot_id)
         manifest_list = self._resolve(snap["manifest-list"])
         out: dict[str, int] = {}
         seen: set[str] = set()
         for m in read_ocf_generic(manifest_list):
+            m_frid = m.get("first_row_id")
+            acc = 0  # record_counts of preceding inheriting entries
             for entry in read_ocf_generic(self._resolve(m["manifest_path"])):
                 if entry["status"] == 2:  # DELETED
                     continue
                 df = entry["data_file"]
                 if df.get("content", 0) != 0:
                     continue
+                frid = df.get("first_row_id")
+                if frid is None and m_frid is not None:
+                    # inherit: manifest base + running count; only
+                    # inheriting entries consume the manifest's range
+                    # (explicit-id entries were assigned elsewhere)
+                    frid = int(m_frid) + acc
+                    acc += int(df["record_count"])
                 path = self._resolve(df["file_path"])
                 if path in seen:
                     continue
                 seen.add(path)
-                frid = df.get("first_row_id")
                 if frid is None:
                     raise ValueError(
                         f"{self.table_path}: data file "
-                        f"{df['file_path']!r} carries no first_row_id — "
-                        "row lineage is not tracked for this snapshot "
-                        "(pre-v3 table, or files rewritten by a non-"
-                        "lineage-preserving operation)"
+                        f"{df['file_path']!r} carries no first_row_id "
+                        "(and its manifest-list entry carries none to "
+                        "inherit from) — row lineage is not tracked "
+                        "for this snapshot (pre-v3 table, or files "
+                        "rewritten by a non-lineage-preserving "
+                        "operation)"
                     )
                 out[path] = int(frid)
         return out
@@ -512,6 +529,18 @@ class IcebergTable:
     def data_files(self, snapshot_id: int | None = None) -> list[str]:
         """Live data files at a snapshot (paths only)."""
         return [p for p, _ in self.data_entries(snapshot_id)]
+
+
+# v3 ROW LINEAGE reserved metadata columns: when a writer REWRITES
+# rows that already have identities (compaction), it must materialize
+# their values into the new data files under these spec names /
+# reserved parquet field ids — inheritance (first_row_id + position)
+# would otherwise assign new identities. Readers take the materialized
+# value when non-null, the inherited default otherwise.
+_ROW_ID_COL = "_row_id"
+_ROW_ID_FIELD_ID = 2147483540
+_LAST_SEQ_COL = "_last_updated_sequence_number"
+_LAST_SEQ_FIELD_ID = 2147483539
 
 
 def read_iceberg(
@@ -596,6 +625,7 @@ def read_iceberg(
         return spark.createDataFrame([], empty_schema)
     spec_ids = sorted({sid for _p, _pv, _seq, sid in full})
     lineage = None
+    lineage_fields = None
     if with_lineage:
         if len(spec_ids) > 1:
             raise ValueError(
@@ -603,6 +633,35 @@ def read_iceberg(
                 "(partition-evolved) snapshot are not supported — "
                 "compact to a single spec first"
             )
+        clash = sorted(
+            {_ROW_ID_COL, _LAST_SEQ_COL} & {f.name for f in schema.fields}
+        )
+        if clash:
+            raise ValueError(
+                f"{t.table_path}: data columns {clash} collide with "
+                "the v3 reserved lineage metadata columns"
+            )
+        # files REWRITTEN by an id-preserving op (optimize) carry the
+        # original identities MATERIALIZED under the reserved names /
+        # field ids; older files lack the columns and read NULL, so
+        # the projection coalesces per the spec. Field-id metadata
+        # rides only when the table's files resolve by id.
+        lineage_fields = [
+            T.StructField(
+                _ROW_ID_COL,
+                T.LongType(),
+                True,
+                {"parquet.field.id": _ROW_ID_FIELD_ID} if use_ids else None,
+            ),
+            T.StructField(
+                _LAST_SEQ_COL,
+                T.LongType(),
+                True,
+                {"parquet.field.id": _LAST_SEQ_FIELD_ID}
+                if use_ids
+                else None,
+            ),
+        ]
         frids = t.first_row_ids(snapshot_id)
         # the scan's join key is the file BASENAME (same identity rule
         # as position deletes) — collisions would mis-attribute lineage
@@ -670,13 +729,14 @@ def read_iceberg(
     return _posdelete_filtered_read(
         spark, t, schema, part_cols, entries, pos_dels,
         eq_deletes=eq_dels, data_seq=data_seq, dv_deletes=dv_dels,
-        lineage=lineage,
+        lineage=lineage, lineage_fields=lineage_fields,
     )
 
 
 def _posdelete_filtered_read(
     spark, t: "IcebergTable", schema, part_cols, entries, delete_files,
     eq_deletes=(), data_seq=None, dv_deletes=(), lineage=None,
+    lineage_fields=None,
 ):
     """Data scan minus the rows position-delete files mark.
 
@@ -696,13 +756,18 @@ def _posdelete_filtered_read(
     rule IcebergTable._resolve applies, expressed as JVM column ops).
     The delete set is a native parquet scan, so the whole subtraction
     is shuffle-or-broadcast work with no Python in the row path."""
+    scan_schema = schema
+    if lineage is not None and lineage_fields:
+        scan_schema = T.StructType(
+            list(schema.fields) + list(lineage_fields)
+        )
     if part_cols:
         scan = _assemble_iceberg(
-            spark, schema, part_cols, entries, with_pos=True
+            spark, scan_schema, part_cols, entries, with_pos=True
         )
     else:
         scan = (
-            spark.read.schema(schema)
+            spark.read.schema(scan_schema)
             .parquet(*[p for p, _ in entries])
             .withColumn("__pd_file", F.col("_metadata.file_path"))
             .withColumn("__pd_ridx", F.col("_metadata.row_index"))
@@ -813,10 +878,17 @@ def _posdelete_filtered_read(
         [(b, int(fr), int(sq)) for b, (fr, sq) in sorted(lineage.items())],
         "__pd_file string, __pd_frid long, __pd_seq long",
     )
+    rid = F.col("__pd_frid") + F.col("__pd_ridx")
+    seq = F.col("__pd_seq")
+    if lineage_fields:
+        # materialized values (compacted files) win; inherited
+        # defaults cover files written before any rewrite
+        rid = F.coalesce(F.col(_ROW_ID_COL), rid)
+        seq = F.coalesce(F.col(_LAST_SEQ_COL), seq)
     return scan.join(F.broadcast(lin_df), "__pd_file").select(
         *out_cols,
-        (F.col("__pd_frid") + F.col("__pd_ridx")).alias("_row_id"),
-        F.col("__pd_seq").alias("_last_updated_sequence_number"),
+        rid.alias("_row_id"),
+        seq.alias("_last_updated_sequence_number"),
     )
 
 
@@ -2689,7 +2761,8 @@ class IcebergWriter:
 
     def _commit_snapshot(self, staged: list[dict], removed_rel: set[str] | None,
                          keep_unhit: bool, new_schema_df=None,
-                         operation: str | None = None) -> int:
+                         operation: str | None = None,
+                         assign_row_ids: bool = False) -> int:
         """Shared OCC commit for delete/overwrite: marks `removed_rel`
         data files DELETED (status 2 — readers skip them, incremental
         consumers see the tombstone), carries unhit manifests forward
@@ -2732,6 +2805,17 @@ class IcebergWriter:
                         f"concurrent commit: {gone[:5]}"
                     )
             snap_id = max(s["snapshot-id"] for s in md["snapshots"]) + 1
+            # row-lineage commit (id-preserving rewrite): staged files
+            # get fresh first_row_ids from the table's next-row-id —
+            # every added data file in a lineage table needs one (the
+            # preserved identities ride the files' MATERIALIZED
+            # columns); re-assigned per OCC rebase like append's chain
+            snap_frid = None
+            if assign_row_ids and md.get("next-row-id") is not None and staged:
+                snap_frid = int(md["next-row-id"])
+                md["next-row-id"] = self._assign_first_row_ids(
+                    staged, snap_frid
+                )
             manifests: list[dict] = []
             for m, entries in self._live_manifests(table):
                 rels = {e["data_file"]["file_path"] for e in entries
@@ -2791,18 +2875,19 @@ class IcebergWriter:
                 op = "delete"
             else:
                 op = "append"
-            md["snapshots"] = md["snapshots"] + [
-                {
-                    "snapshot-id": snap_id,
-                    "timestamp-ms": int(_time.time() * 1000),
-                    "manifest-list": f"metadata/{ml_name}",
-                    "summary": {
-                        "operation": op,
-                        "added-data-files": str(len(staged)),
-                        "deleted-data-files": str(len(removed_now)),
-                    },
-                }
-            ]
+            new_snap = {
+                "snapshot-id": snap_id,
+                "timestamp-ms": int(_time.time() * 1000),
+                "manifest-list": f"metadata/{ml_name}",
+                "summary": {
+                    "operation": op,
+                    "added-data-files": str(len(staged)),
+                    "deleted-data-files": str(len(removed_now)),
+                },
+            }
+            if snap_frid is not None:
+                new_snap["first-row-id"] = snap_frid
+            md["snapshots"] = md["snapshots"] + [new_snap]
             md["current-snapshot-id"] = snap_id
             try:
                 self._commit_metadata(table.metadata_version + 1, md)
@@ -3658,7 +3743,36 @@ class IcebergWriter:
             num_files = max(
                 1, -(-total // int(target_file_mb * 1024 * 1024))
             )
-        if deletes or dv_dels:
+        # v3 ROW LINEAGE: a compaction must PRESERVE row identities —
+        # the spec's rule is to MATERIALIZE _row_id and
+        # _last_updated_sequence_number into the rewritten files
+        # (inheritance would hand out new ids). Taken only when the
+        # snapshot is FULLY tracked; a partially-tracked table (files
+        # rewritten by a non-preserving op) keeps today's
+        # non-preserving rewrite and its lineage reads keep refusing.
+        lineage_live = False
+        if table.metadata.get("next-row-id") is not None:
+            try:
+                table.first_row_ids(None)
+                lineage_live = True
+            except ValueError:
+                lineage_live = False
+        if lineage_live:
+            clash = sorted(
+                {_ROW_ID_COL, _LAST_SEQ_COL}
+                & {f.name for f in table.schema().fields}
+            )
+            if clash:
+                raise ValueError(
+                    f"{self.table_path}: cannot materialize row "
+                    f"lineage — data columns {clash} collide with the "
+                    "reserved lineage column names"
+                )
+            # the lineage-projecting read is also delete-aware, so it
+            # doubles as the DV/pos-delete purge path; survivors keep
+            # their ids (positions are physical, DVs never rewrite)
+            df = read_iceberg(self.spark, self.table_path, with_lineage=True)
+        elif deletes or dv_dels:
             # compaction PURGES row-level deletes: the delete-aware
             # read drops the marked rows (v2 parquet position files
             # and v3 Puffin DVs alike), the re-stage is clean, and the
@@ -3719,7 +3833,22 @@ class IcebergWriter:
                 df = df.repartition(num_files)
         else:
             df = df.coalesce(num_files)
-        staged = self._stage(df, 0, spec)
+        stage_ids = None
+        if lineage_live:
+            # stamp the materialized lineage columns with their
+            # RESERVED parquet field ids alongside the table columns'
+            # ids (id-resolving readers find them regardless of name;
+            # _ids_gate still suppresses wholesale on id-less tables,
+            # where name resolution covers the spec names)
+            try:
+                stage_ids = {
+                    **table.field_ids(),
+                    _ROW_ID_COL: _ROW_ID_FIELD_ID,
+                    _LAST_SEQ_COL: _LAST_SEQ_FIELD_ID,
+                }
+            except (ValueError, KeyError, StopIteration):
+                stage_ids = None
+        staged = self._stage(df, 0, spec, field_ids=stage_ids)
         removed_rel = (
             {os.path.relpath(p, self.table_path) for p, _ in entries}
             | {os.path.relpath(p, self.table_path) for p in deletes}
@@ -3728,7 +3857,8 @@ class IcebergWriter:
         # layout-only rewrite: the spec's "replace" operation (rows
         # unchanged) — maintenance tools skip these in CDC/incremental
         return self._commit_snapshot(
-            staged, removed_rel, keep_unhit=True, operation="replace"
+            staged, removed_rel, keep_unhit=True, operation="replace",
+            assign_row_ids=lineage_live,
         )
 
     def rollback_to(self, snapshot_id: int) -> int:

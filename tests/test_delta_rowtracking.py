@@ -128,6 +128,127 @@ def test_partial_rewrite_breaks_tracking_loudly(spark, tmp_path):
     assert read_delta(spark, root).count() == 25
 
 
+def test_optimize_preserves_row_ids(spark, tmp_path):
+    """OPTIMIZE on a row-tracked table materializes each row's
+    _row_id / _row_commit_version into the rewritten files (hidden
+    physical columns named by the table configuration, per the spec)
+    — identities survive the compaction, the re-adds carry FRESH
+    baseRowIds (the hwm advances; materialized values win on read),
+    and the DV purge rides the same rewrite."""
+    root, w = _mk(spark, tmp_path, "rt_opt")
+    w.append(
+        spark.createDataFrame([(100 + i, "x") for i in range(10)],
+                              "k long, v string")
+    )
+    w.delete_where_dv(F.col("k") % 5 == 0)
+    before = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    w.optimize(num_files=1)
+    after = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert after == before, "OPTIMIZE changed a row's tracking identity"
+    # materialized columns are invisible to plain reads
+    plain = read_delta(spark, root)
+    assert plain.columns == ["k", "v"]
+    assert plain.count() == len(after)
+    # ids claimed by the rewrite are never reused by later appends
+    w.append(spark.createDataFrame([(999, "z")], "k long, v string"))
+    by_k = {
+        r["k"]: r["_row_id"]
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert by_k[999] >= 40
+    # a second optimize re-carries the already-materialized values
+    w.optimize(num_files=2)
+    again = {
+        r["k"]: r["_row_id"]
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert again == {**{k: v[0] for k, v in before.items()}, 999: by_k[999]}
+
+
+def test_create_declares_materialized_columns(spark, tmp_path):
+    """create(row_tracking=True) must ACTIVATE tracking in the table
+    configuration (delta.enableRowTracking — the writer feature alone
+    is merely 'supported') and declare the materialized column names
+    up front."""
+    root, _w = _mk(spark, tmp_path, "rt_cfg")
+    log = DeltaLog(root)
+    log.replay(None)
+    cfg = log.table_config
+    assert cfg.get("delta.enableRowTracking") == "true"
+    assert (
+        cfg.get("delta.rowTracking.materializedRowIdColumnName")
+        == "_row_id"
+    )
+    assert (
+        cfg.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+        == "_row_commit_version"
+    )
+
+
+def test_create_refuses_reserved_column_clash(spark, tmp_path):
+    root = str(tmp_path / "rt_clash")
+    w = DeltaLogWriter(spark, root)
+    with pytest.raises(ValueError, match="materialized column names"):
+        w.create(
+            spark.createDataFrame([(1, 2)], "k long, _row_id long"),
+            row_tracking=True,
+        )
+
+
+def test_optimize_on_partially_tracked_table_stays_refusing(spark, tmp_path):
+    """A partial delete_where rewrite strips baseRowId; OPTIMIZE on
+    such a snapshot cannot reconstruct the lost identities, so it
+    stays NON-preserving and the row-id read keeps refusing."""
+    root = str(tmp_path / "rt_part_opt")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "k long, v string"
+        ).repartition(1),
+        row_tracking=True,
+    )
+    w.delete_where(F.col("k") < 5)  # partial hit → untracked rewrite
+    w.optimize(num_files=1)
+    with pytest.raises(DeltaProtocolError, match="baseRowId"):
+        read_delta(spark, root, with_row_ids=True).collect()
+    assert read_delta(spark, root).count() == 25
+
+
+def test_uniform_convert_after_optimize_carries_materialized_ids(
+    spark, tmp_path
+):
+    """The UniForm translation of a COMPACTED row-tracked table: the
+    Delta materialized columns use the Iceberg v3 reserved names, so
+    the Iceberg lineage read resolves the SAME physical columns and
+    every _row_id read through the Iceberg chain equals what the
+    Delta side assigned — across the rewrite, with zero data copies."""
+    from plankton_spark.sources.iceberg_meta import (
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    root, w = _mk(spark, tmp_path, "uni_opt")
+    w.append(spark.createDataFrame([(800, "q")], "k long, v string"))
+    w.delete_where_dv(F.col("k") % 5 == 0)
+    delta_ids = {
+        r["k"]: r["_row_id"]
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    w.optimize(num_files=1)
+    convert_delta_to_iceberg(spark, root)
+    ice_ids = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert ice_ids == delta_ids
+
+
 def test_txn_append_refused_on_tracked_table(spark, tmp_path):
     root, w = _mk(spark, tmp_path, "rt7")
     with pytest.raises(DeltaProtocolError, match="row tracking composes"):

@@ -92,16 +92,62 @@ def test_pre_lineage_table_refuses(spark, tmp_path):
     assert read_iceberg(spark, root).count() > 0
 
 
-def test_rewrite_op_breaks_lineage_loudly(spark, tmp_path):
-    """OPTIMIZE rewrites data files without preserving row ids (this
-    engine doesn't materialize _row_id on compaction) — the lineage
-    read must refuse afterwards, never silently renumber."""
+def test_optimize_preserves_lineage(spark, tmp_path):
+    """OPTIMIZE materializes _row_id / _last_updated_sequence_number
+    into the rewritten files (the v3 compaction rule) — every
+    surviving row keeps its identity across the rewrite, the rewritten
+    files get FRESH first_row_ids (next-row-id advances; materialized
+    values win on read), and appends continue the chain."""
     root, w = _mk(spark, tmp_path, "lin5")
     w.append(spark.createDataFrame([(300, "q")], "k long, v string"))
+    w.delete_where_dv(F.col("k") % 7 == 0)
+    before = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    w.optimize(num_files=1)
+    after = {
+        r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert after == before, "OPTIMIZE changed a row's lineage identity"
+    # the materialized columns are hidden from plain reads
+    plain = read_iceberg(spark, root)
+    assert plain.columns == ["k", "v"]
+    t = IcebergTable(root)
+    assert t.metadata["next-row-id"] >= 31  # fresh ids were claimed
+    w.append(spark.createDataFrame([(999, "z")], "k long, v string"))
+    by_k = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert by_k[999] >= 31  # never reuses an id a rewrite claimed
+    # a SECOND optimize re-carries the already-materialized values
+    w.optimize(num_files=2)
+    again = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert again == {**{k: v[0] for k, v in before.items()}, 999: by_k[999]}
+
+
+def test_optimize_on_partially_tracked_table_stays_refusing(spark, tmp_path):
+    """A partial delete_where rewrite strips first_row_id from its
+    staged files; OPTIMIZE on such a snapshot cannot reconstruct the
+    lost identities, so it must stay NON-preserving and the lineage
+    read must keep refusing — ids are never fabricated."""
+    root = str(tmp_path / "lin5b")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "k long, v string"
+        ).repartition(1)
+    )
+    w.delete_where(F.col("k") < 5)  # partial rewrite, no lineage carry
     w.optimize()
     with pytest.raises(ValueError, match="first_row_id"):
         read_iceberg(spark, root, with_lineage=True).collect()
-    assert read_iceberg(spark, root).count() == 31
+    assert read_iceberg(spark, root).count() == 25
 
 
 def test_foreign_lineage_fixture_reads(spark):
@@ -119,6 +165,119 @@ def test_foreign_lineage_fixture_reads(spark):
     # _row_id dense over the pre-delete corpus minus the DV'd rows
     ids = sorted(r["_row_id"] for r in rows)
     assert len(ids) == len(set(ids))
+
+
+def test_manifest_list_first_row_id_inheritance(spark, tmp_path):
+    """A conformant foreign v3 table may write NULL first_row_id on
+    every data file and rely on INHERITANCE from the manifest-list
+    entry's first_row_id plus running record counts — the common
+    engine behavior. The reader must derive the per-file ids instead
+    of refusing."""
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from plankton_spark.sources.avro_ocf import write_ocf_generic
+    from plankton_spark.sources.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
+    )
+
+    root = str(tmp_path / "lin_inherit")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    # two data files: 4 rows then 3 rows, ids must derive 100.. / 104..
+    sizes = [4, 3]
+    entries = []
+    for i, n in enumerate(sizes):
+        rel = f"data/f{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"k": [10 * i + j for j in range(n)]})
+            ),
+            os.path.join(root, rel),
+        )
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(root, rel)
+                    ),
+                    "first_row_id": None,  # inheritance-based writer
+                },
+            }
+        )
+    m_path = os.path.join(root, "metadata", "m1.avro")
+    write_ocf_generic(m_path, _MANIFEST_ENTRY_SCHEMA, entries)
+    ml_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+            {"name": "first_row_id", "type": ["null", "long"]},
+        ],
+    }
+    write_ocf_generic(
+        os.path.join(root, "metadata", "snap-1.avro"),
+        ml_schema,
+        [
+            {
+                "manifest_path": "metadata/m1.avro",
+                "manifest_length": os.path.getsize(m_path),
+                "partition_spec_id": 0,
+                "added_snapshot_id": 1,
+                "first_row_id": 100,
+            }
+        ],
+    )
+    metadata = {
+        "format-version": 3,
+        "table-uuid": "lin-inherit-fixture",
+        "location": root,
+        "last-updated-ms": 1,
+        "last-column-id": 1,
+        "schema": {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"}
+            ],
+        },
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "next-row-id": 107,
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "timestamp-ms": 1,
+                "manifest-list": "metadata/snap-1.avro",
+                "first-row-id": 100,
+            }
+        ],
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"), "w") as f:
+        json.dump(metadata, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write("1")
+    frids = IcebergTable(root).first_row_ids()
+    assert sorted(frids.values()) == [100, 104]
+    rows = read_iceberg(spark, root, with_lineage=True).collect()
+    by_k = {r["k"]: r["_row_id"] for r in rows}
+    assert by_k == {0: 100, 1: 101, 2: 102, 3: 103, 10: 104, 11: 105, 12: 106}
 
 
 def test_append_after_dv_delete_continues_chain(spark, tmp_path):
