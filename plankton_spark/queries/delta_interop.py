@@ -946,3 +946,71 @@ def q_deltalog_rowtracking(spark, sf_dir):
         F.max("_row_id").alias("rid_max"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "q_deltalog_rowtracking_compact",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey < 1500
+    )
+    SELECT CAST(CASE WHEN o_orderkey < 750 THEN 0 ELSE 1 END AS BIGINT)
+             AS commit_ver,
+           COUNT(*) AS n_rows,
+           CAST(SUM(rid) AS BIGINT) AS rid_sum,
+           CAST(MIN(rid) AS BIGINT) AS rid_min,
+           CAST(MAX(rid) AS BIGINT) AS rid_max,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM base
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def q_deltalog_rowtracking_compact(spark, sf_dir):
+    """Row tracking ACROSS A REWRITE (round-10 verdict #1, Delta
+    side): the q_deltalog_rowtracking lifecycle (two id-chained
+    commits, DV-delete of the %7 rows) followed by OPTIMIZE — which
+    per the spec's materialized-column rule writes each survivor's
+    _row_id / _row_commit_version into the rewritten file under the
+    configuration-declared hidden column names, purges the DVs, and
+    assigns the re-adds FRESH baseRowIds (hwm advances in the same
+    commit). The post-compaction read must group IDENTICALLY to the
+    pre-compaction one — the oracle is VERBATIM
+    q_deltalog_rowtracking's, so a dropped materialization, a
+    coalesce ordering bug, or a commit-version flattened to the
+    rewrite's version is a hash mismatch. Cross-format mirror of
+    q_iceberg_rowlineage_compact (sources/delta_log.py optimize /
+    _row_tracked_scan)."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+
+    root = _scratch(sf_dir, "delta_rowtracking_compact")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        o.where(F.col("o_orderkey") < 750)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey"),
+        row_tracking=True,
+    )
+    w.append(
+        o.where(F.col("o_orderkey") >= 750)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    w.delete_where_dv(F.col("o_orderkey") % 7 == 0)
+    w.optimize(num_files=1)
+    t = read_delta(spark, root, with_row_ids=True)
+    return t.groupBy(F.col("_row_commit_version").alias("commit_ver")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("rid_sum"),
+        F.min("_row_id").alias("rid_min"),
+        F.max("_row_id").alias("rid_max"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

@@ -1669,3 +1669,56 @@ def q_iceberg_rowlineage(spark, sf_dir):
         F.max("_row_id").alias("rid_max"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "q_iceberg_rowlineage_compact",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey < 1500
+    )
+    SELECT CAST(CASE WHEN o_orderkey < 750 THEN 1 ELSE 2 END AS BIGINT)
+             AS seq,
+           COUNT(*) AS n_rows,
+           CAST(SUM(rid) AS BIGINT) AS rid_sum,
+           CAST(MIN(rid) AS BIGINT) AS rid_min,
+           CAST(MAX(rid) AS BIGINT) AS rid_max,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM base
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def q_iceberg_rowlineage_compact(spark, sf_dir):
+    """Row lineage ACROSS A REWRITE (round-10 verdict #1): the same
+    foreign-style v3 fixture as q_iceberg_rowlineage (two id-chained
+    files at seq 1/2, DV-deleted %7 rows), then OPTIMIZE — which per
+    the v3 spec must MATERIALIZE _row_id and
+    _last_updated_sequence_number into the rewritten files (reserved
+    names/field ids; inheritance would hand out new identities) while
+    the re-staged files claim FRESH first_row_ids from next-row-id.
+    The post-compaction lineage read must return IDENTICAL per-row
+    ids and sequence attribution — the oracle is VERBATIM
+    q_iceberg_rowlineage's, so any id drift, a survivor renumbered by
+    the DV purge, or a sequence flattened to the rewrite's is a hash
+    mismatch. The read path stays metadata + coalesce: materialized
+    values win where present, manifest inheritance covers the rest
+    (sources/iceberg_meta.py optimize/_posdelete_filtered_read)."""
+    from plankton_spark.sources.iceberg_meta import IcebergWriter
+
+    root = author_iceberg_lineage_orders(
+        spark, sf_dir, name="iceberg_lineage_compact"
+    )
+    IcebergWriter(spark, root).optimize(num_files=1)
+    t = read_iceberg(spark, root, with_lineage=True)
+    return t.groupBy(
+        F.col("_last_updated_sequence_number").alias("seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("rid_sum"),
+        F.min("_row_id").alias("rid_min"),
+        F.max("_row_id").alias("rid_max"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

@@ -487,3 +487,73 @@ def q_uniform_rowlineage(spark, sf_dir):
         F.max("_row_id").alias("rid_max"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "q_uniform_rowlineage_compact",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey < 1500
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(rid) AS BIGINT) AS rid_sum,
+           CAST(MIN(rid) AS BIGINT) AS rid_min,
+           CAST(MAX(rid) AS BIGINT) AS rid_max,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM base
+    WHERE o_orderkey % 7 <> 0
+    """,
+)
+def q_uniform_rowlineage_compact(spark, sf_dir):
+    """UniForm lineage translation ACROSS A REWRITE: the
+    q_uniform_rowlineage lifecycle plus a Delta OPTIMIZE before the
+    conversion. The compaction materializes each survivor's original
+    _row_id into the rewritten file under the configuration-declared
+    hidden column — whose name this engine picks as the ICEBERG v3
+    reserved name, so convert_delta_to_iceberg needs no file rewrite
+    or extra metadata: the translated table's lineage read resolves
+    the SAME physical column (materialized values win) and falls back
+    to first_row_id + position (the fresh post-rewrite ids) only
+    where no materialization exists. Oracle is VERBATIM
+    q_uniform_rowlineage's — ids must survive rewrite + format
+    translation bit-for-bit, or the hash mismatches."""
+    import shutil as _shutil
+
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+    from plankton_spark.sources.iceberg_meta import (
+        convert_delta_to_iceberg,
+        read_iceberg,
+    )
+
+    root = _scratch(sf_dir, "uniform_rowlineage_compact")
+    _shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        o.where(F.col("o_orderkey") < 750)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey"),
+        row_tracking=True,
+    )
+    w.append(
+        o.where(F.col("o_orderkey") >= 750)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    w.delete_where_dv(F.col("o_orderkey") % 7 == 0)
+    w.optimize(num_files=1)
+    convert_delta_to_iceberg(spark, root)
+    t = read_iceberg(spark, root, with_lineage=True)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("rid_sum"),
+        F.min("_row_id").alias("rid_min"),
+        F.max("_row_id").alias("rid_max"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
