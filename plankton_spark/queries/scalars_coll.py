@@ -348,3 +348,119 @@ def q_json_variant_shredded(spark, sf_dir):
             F.min(kk).alias("min_k"),
         )
     )
+
+
+# the shredded-field residual column path (variant-shredding spec: for
+# each shredded field the group carries {value, typed_value} — exactly
+# one non-null when the field is present; value holds the field's
+# VARIANT-ENCODED bytes when its runtime type missed the shred type)
+_SHRED_K_VALUE = "props_shredded.typed_value.k.value"
+
+
+@query(
+    "q_json_variant_shredded_partial",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ), mixed AS (
+      SELECT event_type,
+             CASE WHEN k IS NOT NULL AND event_id % 3 = 0
+                  THEN NULL ELSE k END AS k_long,
+             CASE WHEN k IS NOT NULL AND event_id % 3 = 0
+                  THEN 's' || CAST(k AS VARCHAR) END AS k_str
+      FROM base
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k_long) AS BIGINT) AS sum_typed,
+           CAST(COUNT(k_str) AS BIGINT) AS n_residual,
+           CAST(SUM(CAST(substr(k_str, 2) AS BIGINT)) AS BIGINT)
+             AS sum_residual
+    FROM mixed
+    WHERE k_long >= 50 OR k_str IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_json_variant_shredded_partial(spark, sf_dir):
+    """PARTIAL variant shredding (the spec's mixed-type case, round-10
+    verdict #2): a corpus where $.k is USUALLY a long but SOMETIMES a
+    string ('s' || k on every third event) shreds with typed misses —
+    for the string rows typed_value is null and the field's `value`
+    column carries the VARIANT-ENCODED residual (short-string
+    encoding: header byte (len << 2) | 1 + UTF-8 bytes, per the
+    variant binary spec), for the long rows typed_value is set and
+    the residual is null — the exactly-one-non-null rule.
+
+    The read is merge-on-read: typed rows aggregate straight off the
+    shredded leaf; residual rows DECODE the variant bytes (header
+    basic-type check, header-declared length — a malformed residual
+    decodes to null and fails the oracle hash) back to the string and
+    re-parse its numeric suffix. The typed predicate STILL pushes
+    down: the scan's PushedFilters carry
+    Or(GreaterThanOrEqual(typed leaf, 50), IsNotNull(residual leaf))
+    — both shredded leaves, never the binary metadata — so at 100 TB
+    the scan decodes two narrow leaf columns and the variant decode
+    runs only on the (rare) residual rows (pinned in
+    tests/test_plans.py). Oracle recomputes both populations
+    relationally from the raw JSON."""
+    from plankton_spark.queries.scans import _scratch
+
+    e = read_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    is_str = k.isNotNull() & (F.col("event_id") % 3 == 0)
+    s = F.concat(F.lit("s"), k.cast("string"))
+    # variant short-string encoding of the residual: one header byte
+    # (length << 2 | basic_type 1), then the UTF-8 bytes
+    hdr = F.unhex(
+        F.lpad(F.hex(F.shiftleft(F.length(s), 2) + F.lit(1)), 2, "0")
+    )
+    val = F.concat(hdr, F.encode(s, "UTF-8"))
+    shredded = e.select(
+        "event_id",
+        "event_type",
+        F.struct(
+            F.lit(_VARIANT_META_K).alias("metadata"),
+            F.lit(None).cast("binary").alias("value"),
+            F.struct(
+                F.struct(
+                    F.when(is_str, val).alias("value"),
+                    F.when(~is_str, k).alias("typed_value"),
+                ).alias("k"),
+            ).alias("typed_value"),
+        ).alias("props_shredded"),
+    )
+    path = _scratch(sf_dir, "variant_shredded_partial")
+    shredded.write.mode("overwrite").parquet(path)
+    r = spark.read.parquet(path)
+    kk = F.col("props_shredded.typed_value.k.typed_value")
+    res = F.col(_SHRED_K_VALUE)
+    # spec-faithful residual decode: branch on the header's basic type
+    # (1 = short string) and take the header-declared length
+    hdr_i = F.conv(
+        F.hex(F.expr(f"substring({_SHRED_K_VALUE}, 1, 1)")), 16, 10
+    ).cast("int")
+    k_str = F.when(
+        res.isNotNull() & (F.pmod(hdr_i, F.lit(4)) == 1),
+        F.decode(
+            F.expr(
+                f"substring({_SHRED_K_VALUE}, 2, "
+                f"(cast(conv(hex(substring({_SHRED_K_VALUE}, 1, 1)), 16, 10)"
+                " as int) div 4))"
+            ),
+            "UTF-8",
+        ),
+    )
+    return (
+        r.where((kk >= 50) | res.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(kk).cast("long").alias("sum_typed"),
+            F.count_if(k_str.isNotNull()).alias("n_residual"),
+            F.sum(F.substring(k_str, 2, 100).cast("long"))
+            .cast("long")
+            .alias("sum_residual"),
+        )
+    )

@@ -367,3 +367,25 @@ def test_variant_shredded_filter_pushes_into_leaf_column(spark):
     rs = plan[i : i + 200]
     assert "typed_value:bigint" in rs, rs
     assert "metadata" not in rs, rs  # binary columns pruned from the scan
+
+
+def test_variant_shredded_partial_pushes_both_leaves(spark):
+    """PARTIAL shredding keeps the pushdown: the merge-on-read
+    predicate reaches the scan as Or(typed-leaf >= 50,
+    IsNotNull(residual leaf)) — BOTH shredded leaves, never the binary
+    metadata — and the ReadSchema carries only the k field group (the
+    variant dictionary column is pruned)."""
+    df = all_queries()["q_json_variant_shredded_partial"](spark, SF0001)
+    plan = plan_of(df)
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m, plan
+    pf = m.group(1)
+    assert (
+        "Or(GreaterThanOrEqual(props_shredded.typed_value.k.typed_value,50)"
+        in pf
+    ), pf
+    assert "IsNotNull(props_shredded.typed_value.k.value)" in pf, pf
+    i = plan.find("ReadSchema")
+    rs = plan[i : i + 250]
+    assert "typed_value:bigint" in rs and "value:binary" in rs, rs
+    assert "metadata" not in rs, rs
