@@ -1722,3 +1722,72 @@ def q_iceberg_rowlineage_compact(spark, sf_dir):
         F.max("_row_id").alias("rid_max"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "q_iceberg_convert_reverse",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+      FROM orders WHERE o_orderkey < 1500
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(rid) AS BIGINT) AS rid_sum,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM base
+    WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_iceberg_convert_reverse(spark, sf_dir):
+    """The migration matrix's REVERSE arrow (round-10 verdict #3):
+    convert_iceberg_to_delta authors a _delta_log over an Iceberg
+    table's live files in place — manifest-chain inventory (rewritten
+    files invisible), footer stats into add actions, zero data
+    movement — and v3 row lineage TRANSLATES to Delta row tracking
+    (first_row_id → baseRowId verbatim, next-row-id → hwm domain
+    metadata, materialized-column config pointed at the Iceberg
+    reserved names). The lifecycle compounds every preservation
+    mechanism: id-chained create/append, a DV delete, an Iceberg
+    OPTIMIZE (purges the DVs and MATERIALIZES survivor ids into the
+    rewritten file), then conversion — and the DELTA-chain row-id read
+    must still see the ORIGINAL per-row ids, now resolved through the
+    materialized column the Iceberg compaction wrote. The oracle
+    recomputes ids relationally from the deterministic layout;
+    DV'd / eq-deleted / transform-partitioned / multi-spec sources
+    refuse (sources/iceberg_meta.py:_iceberg_convertible_snapshot)."""
+    from plankton_spark.sources.delta_log import read_delta
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        convert_iceberg_to_delta,
+    )
+
+    root = _scratch(sf_dir, "iceberg_convert_reverse")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    w = IcebergWriter(spark, root)
+    w.create(
+        o.where(F.col("o_orderkey") < 750)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    w.append(
+        o.where(F.col("o_orderkey") >= 750)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    w.delete_where_dv(F.col("o_orderkey") % 7 == 0)
+    w.optimize(num_files=1)
+    convert_iceberg_to_delta(spark, root)
+    t = read_delta(spark, root, with_row_ids=True)
+    return t.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_row_id").cast("long").alias("rid_sum"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

@@ -4624,3 +4624,196 @@ def convert_planktable_to_iceberg(spark, table_path: str) -> int:
     inventory = [(rel, {}) for rel in sorted(live)]
     return _author_iceberg_over(spark, table_path, schema, inventory, [])
 
+
+def _iceberg_convertible_snapshot(
+    table_path: str,
+) -> tuple["IcebergTable", list[tuple[str, dict]], list[str]]:
+    """Live data-file inventory of an Iceberg table's CURRENT snapshot
+    for an in-place conversion to another format, with the refusal
+    discipline convert_delta_to_iceberg applies mirrored back:
+
+    - live row-level deletes (v2 position files, v3 deletion vectors,
+      equality deletes) refuse — a whole-file version-0 authoring
+      would resurrect the deleted rows; OPTIMIZE first (compaction
+      purges position deletes and DVs; equality deletes refuse there
+      too by design).
+    - non-identity partition transforms (day/bucket/truncate) refuse —
+      the target formats' partitionValues are identity-typed and a
+      derived dir ordinal has no faithful representation.
+    - a partition-evolved (multi-spec) snapshot refuses — one metaData
+      cannot describe two layouts.
+
+    Returns (table, [(abs_path, typed_partition_values)], identity
+    partition column names)."""
+    t = IcebergTable(table_path)
+    full, pos_dels, eq_dels, dv_dels = t.scan_entries_full(None)
+    if pos_dels or eq_dels or dv_dels:
+        raise ValueError(
+            f"{table_path}: live row-level deletes (position files: "
+            f"{len(pos_dels)}, equality: {len(eq_dels)}, deletion "
+            f"vectors: {len(dv_dels)}) — a whole-file conversion would "
+            "resurrect deleted rows; run OPTIMIZE first to purge them"
+        )
+    spec_ids = sorted({sid for _p, _pv, _s, sid in full})
+    if len(spec_ids) > 1:
+        raise ValueError(
+            f"{table_path}: partition-evolved snapshot (specs "
+            f"{spec_ids}) — compact to a single spec before converting"
+        )
+    spec = (
+        t.partition_spec_for(spec_ids[0]) if spec_ids else t.partition_spec()
+    )
+    non_identity = [
+        f.get("name")
+        for f in spec
+        if _norm_transform(f.get("transform", "identity"))[0] != "identity"
+    ]
+    if non_identity:
+        raise ValueError(
+            f"{table_path}: transform-partitioned fields "
+            f"{non_identity} have no identity representation in the "
+            "target format — conversion refused"
+        )
+    part_cols = [t.source_column(f) for f in spec] if spec else []
+    return t, [(p, pv) for p, pv, _s, _sid in full], part_cols
+
+
+def convert_iceberg_to_delta(spark, table_path: str) -> int:
+    """Close the migration matrix (round-10 verdict #3): author a
+    ``_delta_log`` version 0 over an Iceberg table's LIVE files in
+    place — the exact reverse of convert_delta_to_iceberg, O(files)
+    footer metadata and zero data movement. The manifest chain (not a
+    directory walk) picks the inventory, so files dropped by rewrites
+    and failed-commit orphans are invisible; identity partition values
+    become Delta partitionValues strings (both engines' hive staging
+    omits the source columns from file content, so the layouts agree);
+    per-file stats come from footers into each add action.
+
+    v3 ROW LINEAGE translates to Delta ROW TRACKING when the whole
+    snapshot carries it: first_row_id becomes each add's baseRowId
+    VERBATIM (identical file-base + physical-position semantics),
+    next-row-id seeds the rowIdHighWaterMark domain metadata, and the
+    materialized-column config keys point at the Iceberg reserved
+    names — so ids MATERIALIZED by an Iceberg compaction keep winning
+    on the Delta side through the same physical columns. A
+    partially-tracked snapshot converts WITHOUT tracking (both
+    readers' refuse-don't-fabricate contract). Refusals for DV'd /
+    eq-deleted / transform-partitioned / multi-spec sources via
+    _iceberg_convertible_snapshot. One-shot snapshot export, same
+    divergence contract as the forward converter."""
+    from plankton_spark.filestats import file_stats as _fstats
+    from plankton_spark.sources.delta_log import (
+        LEGACY_WRITER_FEATURES,
+        DeltaLogWriter,
+        _commit_versions,
+        _pv_filter_str,
+        _row_tracking_domain,
+        _schema_has_ntz,
+    )
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    if os.path.isdir(log_dir) and _commit_versions(log_dir):
+        raise FileExistsError(f"{table_path}: already a Delta table")
+    t, entries, part_cols = _iceberg_convertible_snapshot(table_path)
+    schema = t.schema()
+    row_ids = None
+    next_row_id = t.metadata.get("next-row-id")
+    if next_row_id is not None and entries:
+        try:
+            frids = t.first_row_ids(None)
+            row_ids = {p: int(fr) for p, fr in frids.items()}
+        except ValueError:
+            row_ids = None  # partially tracked → convert without ids
+    if row_ids is not None and (
+        {"_row_id", "_row_commit_version"} & {f.name for f in schema.fields}
+    ):
+        row_ids = None  # reserved-name clash: translate without ids
+    adds: list[dict] = []
+    for p, pv in sorted(entries):
+        rel = os.path.relpath(p, table_path)
+        add = {
+            "path": rel,
+            "partitionValues": {
+                k: _pv_filter_str(v) for k, v in (pv or {}).items()
+            },
+            "size": os.path.getsize(p),
+            "modificationTime": int(os.path.getmtime(p) * 1000),
+            "dataChange": True,
+            "stats": json.dumps(_fstats(p)),
+        }
+        if row_ids is not None:
+            add["baseRowId"] = row_ids[p]
+            add["defaultRowCommitVersion"] = 0
+        adds.append({"add": add})
+    cfg: dict[str, str] = {}
+    wf: set[str] = set()
+    for lv, feats in LEGACY_WRITER_FEATURES.items():
+        if 2 >= lv:
+            wf |= feats
+    reader_features: list[str] = []
+    min_reader = 1
+    if _schema_has_ntz(schema):
+        min_reader, reader_features = 3, ["timestampNtz"]
+        wf |= {"timestampNtz"}
+    if row_ids is not None:
+        wf |= {"rowTracking", "domainMetadata"}
+        cfg = {
+            "delta.enableRowTracking": "true",
+            "delta.rowTracking.materializedRowIdColumnName": "_row_id",
+            "delta.rowTracking.materializedRowCommitVersionColumnName": (
+                "_row_commit_version"
+            ),
+        }
+    if row_ids is not None or reader_features:
+        protocol: dict = {
+            "minReaderVersion": min_reader,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(wf),
+        }
+        if reader_features:
+            protocol["readerFeatures"] = reader_features
+    else:
+        protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+    w = DeltaLogWriter(spark, table_path)
+    actions: list[dict] = [
+        {"protocol": protocol},
+        w._metadata_action(schema, part_cols, cfg),
+    ]
+    if row_ids is not None:
+        actions.append(_row_tracking_domain(int(next_row_id) - 1))
+    return w._commit(0, actions + adds)
+
+
+def convert_iceberg_to_planktable(spark, table_path: str) -> int:
+    """The planktable arrow of the reverse migration: the Iceberg
+    table's current snapshot becomes planktable version 0 —
+    metadata-only, zero rewrite, footer stats into the planktable log.
+    Refuses ANY partition spec (this engine's identity layout omits
+    source columns from file content, which planktable's file-derived
+    schema cannot represent — the same reason
+    convert_delta_to_planktable refuses partitioned sources) on top of
+    _iceberg_convertible_snapshot's delete/transform refusals. The
+    metadata/ directory stays behind for the old format's time
+    travel."""
+    from plankton_spark.table_format import PlankTable, _collect_stats
+
+    t = PlankTable(spark, table_path)
+    if t.versions():
+        raise FileExistsError(f"{table_path}: already a planktable")
+    _ice, entries, part_cols = _iceberg_convertible_snapshot(table_path)
+    if part_cols:
+        raise ValueError(
+            f"{table_path}: identity-partitioned Iceberg tables cannot "
+            "become a planktable — the hive layout omits partition "
+            "columns from file content, which a file-derived schema "
+            "cannot represent"
+        )
+    adds = [
+        {
+            "file": os.path.relpath(p, table_path),
+            "stats": _collect_stats(p),
+        }
+        for p, _pv in sorted(entries)
+    ]
+    return t._commit(0, operation="CONVERT", add=adds, remove=[])
+

@@ -281,3 +281,111 @@ def test_delta_to_planktable_roundtrip_and_refusals(spark, tmp_path):
     wp.create(_df(spark), partition_by=["grp"])
     with pytest.raises(ValueError, match="partitioned"):
         convert_delta_to_planktable(spark, proot)
+
+
+def test_iceberg_to_delta_roundtrip_and_lineage(spark, tmp_path):
+    """Reverse migration arrow: _delta_log authored over an Iceberg
+    table's live files — content identical, partition pruning works,
+    row lineage translates to Delta row tracking verbatim (including
+    ids MATERIALIZED by an Iceberg compaction)."""
+    from plankton_spark.sources.delta_log import read_delta
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        convert_iceberg_to_delta,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "i2d")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "k long, v string"
+        ).repartition(1).sortWithinPartitions("k")
+    )
+    w.delete_where_dv(F.col("k") % 5 == 0)
+    ice_ids = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    w.optimize(num_files=1)  # purges the DVs, materializes the ids
+    convert_iceberg_to_delta(spark, root)
+    d = read_delta(spark, root)
+    assert d.columns == ["k", "v"] and d.count() == 24
+    d_ids = {
+        r["k"]: r["_row_id"]
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert d_ids == ice_ids
+    with pytest.raises(FileExistsError):
+        convert_iceberg_to_delta(spark, root)
+    # identity-partitioned: pruning works through the Delta chain
+    proot = str(tmp_path / "i2d_part")
+    wp = IcebergWriter(spark, proot)
+    wp.create(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(20)],
+            "k long, grp string",
+        ),
+        partition_by=["grp"],
+    )
+    convert_iceberg_to_delta(spark, proot)
+    assert read_delta(spark, proot, partitions={"grp": "a"}).count() == 10
+
+
+def test_iceberg_to_delta_refusals(spark, tmp_path):
+    """Refuse-don't-corrupt: live DVs would resurrect rows wholesale,
+    transform partitions have no identity representation."""
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        convert_iceberg_to_delta,
+    )
+
+    dv_root = str(tmp_path / "i2d_dv")
+    w = IcebergWriter(spark, dv_root)
+    w.create(
+        spark.createDataFrame([(i, "x") for i in range(20)],
+                              "k long, v string")
+    )
+    w.delete_where_dv(F.col("k") < 5)
+    with pytest.raises(ValueError, match="row-level deletes"):
+        convert_iceberg_to_delta(spark, dv_root)
+    b_root = str(tmp_path / "i2d_bucket")
+    wb = IcebergWriter(spark, b_root)
+    wb.create(
+        spark.createDataFrame([(i, "x") for i in range(20)],
+                              "k long, v string"),
+        partition_by=["bucket(4,k)"],
+    )
+    with pytest.raises(ValueError, match="transform-partitioned"):
+        convert_iceberg_to_delta(spark, b_root)
+
+
+def test_iceberg_to_planktable_roundtrip_and_refusals(spark, tmp_path):
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        convert_iceberg_to_planktable,
+    )
+    from plankton_spark.table_format import PlankTable
+
+    root = str(tmp_path / "i2p")
+    w = IcebergWriter(spark, root)
+    w.create(spark.createDataFrame([(i, i * 2) for i in range(25)],
+                                   "k long, v long"))
+    convert_iceberg_to_planktable(spark, root)
+    pt = PlankTable(spark, root)
+    assert pt.read().count() == 25
+    assert sorted(r["k"] for r in pt.read().collect()) == list(range(25))
+    with pytest.raises(FileExistsError):
+        convert_iceberg_to_planktable(spark, root)
+    # identity-partitioned refuses: files omit the source column
+    proot = str(tmp_path / "i2p_part")
+    wp = IcebergWriter(spark, proot)
+    wp.create(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(10)],
+            "k long, grp string",
+        ),
+        partition_by=["grp"],
+    )
+    with pytest.raises(ValueError, match="file-derived schema"):
+        convert_iceberg_to_planktable(spark, proot)

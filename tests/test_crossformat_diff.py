@@ -96,6 +96,62 @@ def test_same_op_sequence_same_contents(spark, tmp_path, seed):
         check(f"{step}:{op}")
 
 
+def test_iceberg_origin_converts_then_tracks_identically(spark, tmp_path):
+    """The REVERSE migration arrows (round-10 verdict #3) under the
+    differential harness: the SAME Iceberg-authored content is
+    converted in place to Delta in one dir and to planktable in
+    another (zero rewrite), a third stays pure Iceberg — then one op
+    sequence runs through each format's OWN writer and the logical
+    contents must stay three-way identical after every step. A
+    conversion that mis-inventories a live file, mistypes a stat, or
+    breaks the target log's invariants diverges immediately."""
+    roots = {f: str(tmp_path / f) for f in ("dl", "pt", "ib")}
+    for root in roots.values():
+        iw0 = IcebergWriter(spark, root)
+        iw0.create(_batch(spark, 51, 0, 40).coalesce(1))
+        iw0.append(_batch(spark, 52, 100, 12).coalesce(1))
+    from plankton_spark.sources.iceberg_meta import (
+        convert_iceberg_to_delta,
+        convert_iceberg_to_planktable,
+    )
+
+    convert_iceberg_to_delta(spark, roots["dl"])
+    convert_iceberg_to_planktable(spark, roots["pt"])
+    dw = DeltaLogWriter(spark, roots["dl"])
+    pt = PlankTable(spark, roots["pt"])
+    iw = IcebergWriter(spark, roots["ib"])
+    readers = [
+        lambda: read_delta(spark, roots["dl"]),
+        lambda: pt.read(),
+        lambda: read_iceberg(spark, roots["ib"]),
+    ]
+
+    def check(step):
+        a, b, c = (_content(r()) for r in readers)
+        assert a == b == c, f"divergence after step {step}"
+
+    check("convert")
+    df = _batch(spark, 53, 2000, 9).coalesce(1)
+    dw.append(df)
+    pt.append(df)
+    iw.append(df)
+    check("append")
+    cond = F.col("grp") == 3
+    dw.delete_where(cond)
+    pt.delete_where(cond)
+    iw.delete_where(cond)
+    check("delete")
+    up = _batch(spark, 54, 2000, 6)
+    dw.merge(up, "k")
+    pt.merge(up, "k")
+    iw.merge(up, "k")
+    check("merge")
+    dw.optimize(num_files=1)
+    pt.optimize(num_files=1)
+    iw.optimize(num_files=1)
+    check("optimize")
+
+
 def test_restore_diverges_identically(spark, tmp_path):
     """RESTORE equivalence: after the same op sequence, restoring each
     format to the same logical point (planktable/Delta version v ==
