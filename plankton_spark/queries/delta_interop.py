@@ -1014,3 +1014,100 @@ def q_deltalog_rowtracking_compact(spark, sf_dir):
         F.max("_row_id").alias("rid_max"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "q_deltalog_cdf",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c FROM orders
+      WHERE o_orderkey < 1300
+    ),
+    state3 AS (
+      SELECT k, c + CASE WHEN k % 10 = 3 THEN 1000000 ELSE 0 END AS c
+      FROM o WHERE k < 1200 AND k % 10 <> 7
+    ),
+    src AS (SELECT k, c + 5000000 AS c FROM o WHERE k >= 1150),
+    changes AS (
+      SELECT CAST(0 AS BIGINT) AS commit_ver, 'insert' AS change_type,
+             k, c FROM o WHERE k < 600
+      UNION ALL
+      SELECT 1, 'insert', k, c FROM o WHERE k >= 600 AND k < 1200
+      UNION ALL
+      SELECT 2, 'update_preimage', k, c
+      FROM o WHERE k < 1200 AND k % 10 = 3
+      UNION ALL
+      SELECT 2, 'update_postimage', k, c + 1000000
+      FROM o WHERE k < 1200 AND k % 10 = 3
+      UNION ALL
+      SELECT 3, 'delete', k, c FROM o WHERE k < 1200 AND k % 10 = 7
+      UNION ALL
+      SELECT 4, 'update_preimage', s.k, s.c
+      FROM state3 s JOIN src USING (k)
+      UNION ALL
+      SELECT 4, 'update_postimage', src.k, src.c
+      FROM src JOIN state3 USING (k)
+      UNION ALL
+      SELECT 4, 'insert', src.k, src.c
+      FROM src LEFT JOIN state3 USING (k) WHERE state3.k IS NULL
+    )
+    SELECT commit_ver, change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(c) AS BIGINT) AS cust_sum
+    FROM changes GROUP BY commit_ver, change_type
+    """,
+)
+def q_deltalog_cdf(spark, sf_dir):
+    """Delta CHANGE DATA FEED (round-10 verdict #4) — the
+    `delta.enableChangeDataFeed` / `_change_data` folder protocol,
+    write AND read: a CDF-enabled table runs create → append →
+    UPDATE → DELETE → MERGE; the rewriting commits emit `cdc`
+    actions whose parquet carries each change row with its
+    `_change_type`, and read_delta_cdf replays [v0, v4] — cdc files
+    verbatim where present, add/remove-derived inserts/deletes
+    where not (the spec's reader algorithm). The per-row UPDATE
+    attribution (preimage/postimage pairs, including a MERGE
+    preimage that must reflect the EARLIER update's value) is
+    exactly what the snapshot-diff CDC (q_deltalog_cdc) cannot
+    express — and the oracle recomputes every commit's change set
+    relationally, so a misattributed row, a stale preimage, or an
+    insert/update misclassification in MERGE is a hash mismatch.
+    Foreign readers consume the same files: plain parquet under
+    _change_data/ named by spec-shaped cdc actions. All change
+    scans are native parquet unions — no collect, no Python row
+    path (sources/delta_log.py:read_delta_cdf)."""
+    from plankton_spark.sources.delta_log import (
+        DeltaLogWriter,
+        read_delta_cdf,
+    )
+
+    root = _scratch(sf_dir, "deltalog_cdf")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1300)
+        .select("o_orderkey", "o_custkey")
+    )
+    k = F.col("o_orderkey")
+    w = DeltaLogWriter(spark, root)
+    w.create(o.where(k < 600).repartition(1), change_data_feed=True)
+    w.append(o.where((k >= 600) & (k < 1200)).repartition(1))
+    w.update_where(
+        {"o_custkey": F.col("o_custkey") + 1000000},
+        F.col("o_orderkey") % 10 == 3,
+    )
+    w.delete_where(F.col("o_orderkey") % 10 == 7)
+    src = o.where(k >= 1150).select(
+        "o_orderkey", (F.col("o_custkey") + 5000000).alias("o_custkey")
+    )
+    w.merge(src, "o_orderkey")
+    cdf = read_delta_cdf(spark, root, 0, 4)
+    return cdf.groupBy(
+        F.col("_commit_version").cast("long").alias("commit_ver"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("o_custkey").cast("long").alias("cust_sum"),
+    )

@@ -1228,6 +1228,10 @@ _MAT_ROW_CV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
 _MAT_ROW_ID_NAME = "_row_id"
 _MAT_ROW_CV_NAME = "_row_commit_version"
 
+# Change Data Feed: change files live under this table-root folder per
+# the spec (readers list them from `cdc` actions, never by walking)
+_CDC_DIR = "_change_data"
+
 
 def _row_tracking_domain(hwm: int) -> dict:
     """The spec's `delta.rowTracking` domain-metadata action recording
@@ -1798,6 +1802,64 @@ class DeltaLogWriter:
         _shutil.rmtree(tmp, ignore_errors=True)
         return adds
 
+    def _cdf_enabled(self, cfg: dict) -> bool:
+        """Whether the table opted into the Change Data Feed protocol
+        (`delta.enableChangeDataFeed` in the metaData configuration)."""
+        v = cfg.get("delta.enableChangeDataFeed", "")
+        return str(v).strip().lower() == "true"
+
+    def _stage_cdc(self, df, part_cols: list[str] | None = None) -> list[dict]:
+        """Write change rows (table columns + `_change_type`) as
+        parquet under `_change_data/` and return their `cdc` actions
+        (the spec's AddCDCFile). When a commit carries cdc actions,
+        CDF readers use THEM as the commit's complete change set and
+        ignore its add/remove files — which is what lets an UPDATE
+        expose per-row preimage/postimage pairs that no snapshot diff
+        can reconstruct. dataChange is false by spec (the rows are
+        change METADATA, not table content); partitioned tables lay
+        the change files out hive-style under _change_data/ with the
+        partition columns carried in partitionValues, mirroring the
+        data layout so change reads prune the same way."""
+        import glob as _glob
+        import shutil as _shutil
+        import urllib.parse as _url
+        import uuid as _uuid
+
+        tmp = os.path.join(self.table_path, f"_stage-{_uuid.uuid4().hex}")
+        if part_cols:
+            df.write.partitionBy(*part_cols).mode("overwrite").parquet(tmp)
+        else:
+            df.write.mode("overwrite").parquet(tmp)
+        out: list[dict] = []
+        for part in sorted(
+            _glob.glob(os.path.join(tmp, "**", "part-*.parquet"), recursive=True)
+        ):
+            subdir = os.path.relpath(os.path.dirname(part), tmp)
+            pv: dict[str, str | None] = {}
+            reldir = _CDC_DIR
+            if subdir != ".":
+                for piece in subdir.split(os.sep):
+                    k, _, raw = piece.partition("=")
+                    v = _url.unquote(raw)
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                reldir = os.path.join(_CDC_DIR, subdir)
+            os.makedirs(os.path.join(self.table_path, reldir), exist_ok=True)
+            rel = os.path.join(reldir, f"cdc-{_uuid.uuid4().hex}.parquet")
+            dst = os.path.join(self.table_path, rel)
+            os.replace(part, dst)
+            out.append(
+                {
+                    "cdc": {
+                        "path": rel,
+                        "partitionValues": pv,
+                        "size": os.path.getsize(dst),
+                        "dataChange": False,
+                    }
+                }
+            )
+        _shutil.rmtree(tmp, ignore_errors=True)
+        return out
+
     def _partition_cols(self) -> list[str]:
         try:
             return DeltaLog(self.table_path).schema_info(None)[1]
@@ -2118,6 +2180,7 @@ class DeltaLogWriter:
         generated: dict[str, str] | None = None,
         identity: dict[str, tuple[int, int]] | None = None,
         row_tracking: bool = False,
+        change_data_feed: bool = False,
     ) -> int:
         """Create the table; `partition_by` lays data out hive-style
         (col=value dirs, values in each add's partitionValues) so the
@@ -2147,6 +2210,12 @@ class DeltaLogWriter:
         if os.path.isdir(self.log_dir) and _commit_versions(self.log_dir):
             raise FileExistsError(f"{self.table_path}: table already exists")
         wv = 2
+        base_cfg: dict[str, str] = {}
+        if change_data_feed:
+            # CDF writer protocol (minWriterVersion 4): rewriting ops
+            # emit `cdc` actions + _change_data files from now on
+            base_cfg["delta.enableChangeDataFeed"] = "true"
+            wv = 4
         id_hwm: dict[str, int | None] = {}
         if identity:
             for col, (start, step) in identity.items():
@@ -2249,6 +2318,7 @@ class DeltaLogWriter:
             # materialized column names are declared up front so the
             # first OPTIMIZE needs no metadata edit
             cfg = {
+                **base_cfg,
                 "delta.enableRowTracking": "true",
                 _MAT_ROW_ID_KEY: _MAT_ROW_ID_NAME,
                 _MAT_ROW_CV_KEY: _MAT_ROW_CV_NAME,
@@ -2260,7 +2330,10 @@ class DeltaLogWriter:
             ]
             actions.append(_row_tracking_domain(hwm))
             return self._commit_with_retry(actions + adds)
-        actions = [protocol, self._metadata_action(schema, partition_by)]
+        actions = [
+            protocol,
+            self._metadata_action(schema, partition_by, base_cfg),
+        ]
         return self._commit_with_retry(actions + adds)
 
     def append(
@@ -2529,6 +2602,15 @@ class DeltaLogWriter:
             actions += [
                 {"remove": {"path": r, "dataChange": True}} for r in hit_rel
             ]
+            if self._cdf_enabled(snapshot.table_config):
+                deleted = _assemble_view(
+                    self.spark, schema, part_cols, hit_files,
+                    table_root=self.table_path,
+                ).where(F.coalesce(condition, F.lit(False)))
+                actions += self._stage_cdc(
+                    deleted.withColumn("_change_type", F.lit("delete")),
+                    part_cols,
+                )
 
         return self._validate_then_commit(actions, hit_rel)
 
@@ -2606,6 +2688,25 @@ class DeltaLogWriter:
             actions += [
                 {"remove": {"path": r, "dataChange": True}} for r in hit_rel
             ]
+            if self._cdf_enabled(snapshot.table_config):
+                # per-row UPDATE attribution — the thing a snapshot
+                # diff can never reconstruct: each matched row's
+                # preimage and its assignment-applied postimage
+                matched_rows = hot.where(matched)
+                pre = matched_rows.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                post = matched_rows.select(
+                    [
+                        (
+                            exprs[f.name].cast(f.dataType).alias(f.name)
+                            if f.name in exprs
+                            else F.col(f.name)
+                        )
+                        for f in schema.fields
+                    ]
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                actions += self._stage_cdc(pre.unionByName(post), part_cols)
         return self._validate_then_commit(actions, hit_rel)
 
     def delete_where_dv(self, condition) -> int | None:
@@ -3335,6 +3436,29 @@ class DeltaLogWriter:
         actions = head + self._stage(merged, part_cols) + [
             {"remove": {"path": r, "dataChange": True}} for r in overlap
         ]
+        if self._cdf_enabled(log.table_config):
+            # MERGE change attribution: source rows whose key existed
+            # become update pre/postimage pairs, the rest are inserts;
+            # unmatched target rows restage verbatim and emit nothing
+            if overlap:
+                keys = hot.select(key).distinct()
+                pre = hot.join(source.select(key).distinct(), key, "semi")
+                post = source.join(keys, key, "semi")
+                ins = source.join(keys, key, "left_anti")
+                cdc_df = (
+                    pre.withColumn("_change_type", F.lit("update_preimage"))
+                    .unionByName(
+                        post.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                    .unionByName(
+                        ins.withColumn("_change_type", F.lit("insert"))
+                    )
+                )
+            else:
+                cdc_df = source.withColumn("_change_type", F.lit("insert"))
+            actions += self._stage_cdc(cdc_df, part_cols)
         return self._validate_then_commit(actions, overlap)
 
     def vacuum(self, grace_seconds: float = 600.0) -> list[str]:
@@ -3919,6 +4043,161 @@ def read_delta_changes(spark, table_path: str, v_from: int, v_to: int):
         read_delta(spark, table_path, version=v_to),
         read_delta(spark, table_path, version=v_from),
     )
+
+
+def read_delta_cdf(spark, table_path: str, v_from: int, v_to: int):
+    """CHANGE DATA FEED read between versions [v_from, v_to], both
+    inclusive (delta-spark's startingVersion/endingVersion contract):
+    table columns + `_change_type` (insert / delete /
+    update_preimage / update_postimage) + `_commit_version` +
+    `_commit_timestamp`.
+
+    Per the spec's reader algorithm, each commit contributes:
+    - its `cdc` actions' _change_data files VERBATIM when present
+      (they are the commit's complete change set — add/remove files
+      are ignored for change capture, which is what makes per-row
+      UPDATE attribution possible);
+    - otherwise the DERIVED set: dataChange adds read as `insert`,
+      dataChange removes read (from the still-on-disk tombstoned
+      files, at the pre-commit snapshot's metadata) as `delete`.
+      Layout-only commits (OPTIMIZE: dataChange false throughout)
+      contribute nothing. A derived commit touching
+      deletion-vector'd files refuses — whole-file derivation would
+      mis-attribute the DV'd rows; DV writes on a CDF table must
+      emit cdc actions.
+
+    Every per-commit contribution is a native parquet scan unioned
+    lazily — no collect, no per-row Python; the driver work is one
+    log-JSON parse per commit (metadata scale). Commit schemas apply
+    PER VERSION (schema evolution mid-range null-fills via
+    unionByName allowMissingColumns). The snapshot-diff CDC
+    (read_delta_changes) remains the layout-independent fallback for
+    tables without the feed."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    versions = [
+        v for v in _commit_versions(log_dir) if v_from <= v <= v_to
+    ]
+    if not versions and not _commit_versions(log_dir):
+        raise FileNotFoundError(f"{table_path}: not a Delta table")
+    log = DeltaLog(table_path)
+    frames = []
+    for v in versions:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            acts = [json.loads(x) for x in fh if x.strip()]
+        schema, part_cols = log.schema_info(v)
+        ict = _commit_ict(log_dir, v)
+        ts_ms = (
+            ict
+            if ict is not None
+            else int(
+                os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json"))
+                * 1000
+            )
+        )
+        cdc_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_change_type", T.StringType())]
+        )
+
+        def _stamp(df):
+            return df.withColumn("_commit_version", F.lit(v)).withColumn(
+                "_commit_timestamp", F.timestamp_millis(F.lit(ts_ms))
+            )
+
+        cdc = [a["cdc"] for a in acts if "cdc" in a]
+        if cdc:
+            files = [
+                (os.path.join(table_path, c["path"]), c["partitionValues"])
+                for c in cdc
+            ]
+            frames.append(
+                _stamp(
+                    _assemble_view(
+                        spark, cdc_schema, part_cols, files,
+                        table_root=table_path,
+                    )
+                )
+            )
+            continue
+        adds = [
+            a["add"]
+            for a in acts
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"]
+            for a in acts
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        if not adds and not removes:
+            continue  # metadata-only or layout-only commit
+        if any(a.get("deletionVector") for a in adds):
+            raise DeltaProtocolError(
+                f"{table_path}: version {v} modifies deletion vectors "
+                "without cdc actions — the change set cannot be "
+                "derived from whole files; use read_delta_changes "
+                "(snapshot diff) instead"
+            )
+        if adds:
+            files = [
+                (os.path.join(table_path, a["path"]), a["partitionValues"])
+                for a in adds
+            ]
+            frames.append(
+                _stamp(
+                    _assemble_view(
+                        spark, schema, part_cols, files,
+                        table_root=table_path,
+                    ).withColumn("_change_type", F.lit("insert"))
+                )
+            )
+        if removes:
+            p_schema, p_parts, p_active = DeltaLog(table_path).replay(v - 1)
+            files = []
+            for r in removes:
+                prev = p_active.get(r["path"])
+                if prev is None:
+                    raise DeltaProtocolError(
+                        f"{table_path}: version {v} removes "
+                        f"{r['path']!r} which was not live at "
+                        f"version {v - 1}"
+                    )
+                if prev.get("deletionVector"):
+                    raise DeltaProtocolError(
+                        f"{table_path}: version {v} removes a "
+                        "deletion-vector'd file without cdc actions "
+                        "— whole-file derivation would resurrect the "
+                        "DV'd rows as deletes"
+                    )
+                files.append(
+                    (
+                        os.path.join(table_path, r["path"]),
+                        prev["partitionValues"],
+                    )
+                )
+            frames.append(
+                _stamp(
+                    _assemble_view(
+                        spark, p_schema, p_parts, files,
+                        table_root=table_path,
+                    ).withColumn("_change_type", F.lit("delete"))
+                )
+            )
+    if not frames:
+        schema, part_cols = log.schema_info(None)
+        empty = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.IntegerType()),
+                T.StructField("_commit_timestamp", T.TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], empty)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def convert_to_delta(
