@@ -315,6 +315,60 @@ def q_stream_streamjoin(spark, sf_dir):
 
 
 @query(
+    "q_stream_streamjoin_outer",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    v AS (
+      SELECT user_id, ts2 AS view_ts FROM e WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id AS c_user_id, ts2 AS click_ts
+      FROM e WHERE event_type = 'click'
+    )
+    SELECT v.user_id,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(c.click_ts) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN c.click_ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched,
+           CAST(SUM(CASE WHEN c.click_ts IS NOT NULL
+                    THEN epoch(c.click_ts) - epoch(v.view_ts) END)
+                AS BIGINT) AS total_lag_sec
+    FROM v LEFT JOIN c
+      ON v.user_id = c.c_user_id
+     AND c.click_ts >= v.view_ts
+     AND c.click_ts < v.view_ts + INTERVAL '10 minutes'
+    GROUP BY v.user_id
+    """,
+)
+def q_stream_streamjoin_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join (round-10 verdict #5 —
+    the watermark-driven null-emission half the inner join doesn't
+    exercise): views with no click in the 10-minute window emit with
+    a NULL click side, which in a real stream happens only when the
+    click watermark passes view_ts + 10 min (state eviction = the
+    emission trigger). Same jobs.view_click_pairs_outer code path the
+    streaming test replays file-by-file with a checkpoint restart
+    (tests/test_streaming.py); this batch shadow is the plain left
+    outer range join the watermarks degenerate to, rolled up per
+    user with matched/unmatched populations separated so a dropped
+    null row or a double emission is a hash mismatch."""
+    pairs = jobs.view_click_pairs_outer(read_table(spark, sf_dir, "events"))
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("click_ts").cast("long").alias("n_matched"),
+        F.count_if(F.col("click_ts").isNull()).alias("n_unmatched"),
+        F.sum(
+            F.when(
+                F.col("click_ts").isNotNull(),
+                F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts"),
+            )
+        )
+        .cast("long")
+        .alias("total_lag_sec"),
+    )
+
+
+@query(
     "q_stream_session_changelog",
     oracle=f"""
     WITH e AS ({_EVENTS_SECOND}),

@@ -407,3 +407,35 @@ def view_click_pairs(events: DataFrame) -> DataFrame:
         & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
         "inner",
     ).select("user_id", "view_ts", "click_ts")
+
+
+def view_click_pairs_outer(events: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the hard half of
+    stream-stream joins: views with NO click inside [view_ts,
+    view_ts + 10 min) must still emit, with a null click_ts, and in a
+    stream that emission is WATERMARK-DRIVEN — a buffered view can
+    only be declared unmatched once the click-side watermark passes
+    view_ts + 10 min (before that, a matching click may still
+    arrive), at which point Spark both evicts the state AND emits the
+    null row. Same bounded-state contract as the inner join: the
+    interval condition is what lets 100 TB of join state evict
+    instead of growing forever. In batch the watermarks are no-ops
+    and this is a plain left outer range join — the oracle shape."""
+    e = with_second_ts(events)
+    views = (
+        e.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts2").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), F.col("ts2").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select("user_id", "view_ts", "click_ts")

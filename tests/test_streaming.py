@@ -304,6 +304,66 @@ def test_stream_stream_join_equals_batch(spark):
     assert_same(streamed, batch)
 
 
+def test_stream_stream_outer_join_restart_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join across a checkpoint
+    restart (round-10 verdict #5): the unmatched side's null emission
+    is WATERMARK-DRIVEN, so the test replays the events in two
+    time-ordered files (run 1 drains file 1 to a parquet sink, the
+    'crashed' query restarts on the same checkpoint for file 2), with
+    far-future sentinel events in file 2 advancing BOTH sides'
+    watermarks past every real view's eviction bound — after which
+    the accumulated sink must equal the batch left outer range join
+    EXACTLY: every unmatched view emitted once with a null click,
+    no double emissions across the restart, matched pairs intact."""
+    import datetime
+    import os
+
+    events = read_table(spark, SF0001, "events")
+    min_ts, max_ts = events.select(
+        F.min(F.date_trunc("second", "ts")),
+        F.max(F.date_trunc("second", "ts")),
+    ).first()
+    split_ts = min_ts + (max_ts - min_ts) / 2  # time-ordered halves
+    h1 = events.where(F.date_trunc("second", "ts") <= split_ts)
+    h2 = events.where(F.date_trunc("second", "ts") > split_ts)
+    sent = spark.createDataFrame(
+        [
+            (-1, max_ts + datetime.timedelta(hours=2), -999, "view", 0.0, None),
+            (-2, max_ts + datetime.timedelta(hours=3), -998, "click", 0.0, None),
+        ],
+        events.schema,
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def drain():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            jobs.view_click_pairs_outer(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    h1.coalesce(1).write.mode("append").parquet(src)
+    drain()  # run 1: matched pairs + early-evictable unmatched views
+    # the "kill": new data (and the watermark-advancing sentinels)
+    # lands while the query is down; the restart reads ONLY file 2
+    h2.unionByName(sent).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    streamed = spark.read.parquet(sink).where(F.col("user_id") >= 0)
+    batch = jobs.view_click_pairs_outer(events)
+    assert_same(streamed, batch)
+    # the null-click population is non-trivial in the fixture
+    assert streamed.where(F.col("click_ts").isNull()).count() > 0
+
+
 def test_stateful_aggs_run_on_rocksdb_state_store(spark):
     """The 100 TB state backend: the default (HDFS-backed in-memory)
     state store holds every key in executor heap — at billions of
