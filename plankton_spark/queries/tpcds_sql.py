@@ -853,3 +853,186 @@ def q_tpcds_multiship(spark, sf_dir):
     the DISTINCT collapses before the semi-join; NOT EXISTS plans as
     an anti-join. The SAME SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_multiship", _MULTISHIP)
+
+
+_INVCHAIN = """
+WITH demand AS (
+  SELECT l.l_partkey AS pk, l.l_quantity AS qty,
+         o.o_orderdate AS od, l.l_shipdate AS sd
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= DATE '1996-03-01'
+    AND o.o_orderdate < DATE '1996-06-01'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 5 DAY
+)
+SELECT p.p_brand AS brand,
+       CAST(EXTRACT(WEEK FROM d.od) AS BIGINT) AS wk,
+       CAST(COUNT(*) AS BIGINT) AS n_shortages,
+       CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS no_flag,
+       CAST(SUM(CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS flagged
+FROM demand d
+JOIN lineitem inv
+  ON inv.l_partkey = d.pk
+ AND inv.l_quantity < d.qty
+ AND CAST(EXTRACT(WEEK FROM inv.l_shipdate) AS BIGINT)
+     = CAST(EXTRACT(WEEK FROM d.od) AS BIGINT)
+ AND EXTRACT(YEAR FROM inv.l_shipdate) = EXTRACT(YEAR FROM d.od)
+JOIN part p ON d.pk = p.p_partkey
+LEFT JOIN supplier s
+  ON inv.l_suppkey = s.s_suppkey AND s.s_acctbal < 0
+GROUP BY p.p_brand, CAST(EXTRACT(WEEK FROM d.od) AS BIGINT)
+"""
+
+_TABLES["q_tpcds_invchain"] = ("lineitem", "orders", "part", "supplier")
+
+
+@query("q_tpcds_invchain", oracle=_INVCHAIN)
+def q_tpcds_invchain(spark, sf_dir):
+    """TPC-DS Q72 shape (fixture-adapted): the inventory mega-join
+    with date-chain propagation — demanded lines joined to same-part
+    'inventory' lines on a QUANTITY INEQUALITY plus a derived
+    week-of-year equality between the two date columns (Q72's
+    d1.d_week_seq = d2.d_week_seq), the sale→ship date-offset chain
+    (l_shipdate > o_orderdate + 5 days, Q72's d3.d_date > d1.d_date + 5),
+    and a conditional LEFT OUTER dim join whose null bucket is
+    counted separately (Q72's promotion split). Scale shape: the
+    inequality rides a (part, week, year) EQUI join (Catalyst keys
+    on the derived expressions — no cartesian), dims broadcast, and
+    the date window prunes the demand side before the shuffle. The
+    SAME SQL text is the oracle. Week extraction stays inside
+    mid-year dates so ISO week-year boundary semantics never
+    diverge between engines."""
+    return _run_sql(spark, sf_dir, "q_tpcds_invchain", _INVCHAIN)
+
+
+_CUSTDEV = """
+WITH ret AS (
+  SELECT c.c_nationkey AS nk, c.c_custkey AS ck,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS amt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_nationkey, c.c_custkey
+)
+SELECT r1.ck AS custkey, r1.nk AS nationkey, r1.amt AS ret_cents
+FROM ret r1
+WHERE r1.amt * 10 * (SELECT COUNT(*) FROM ret r2 WHERE r2.nk = r1.nk)
+      > 12 * (SELECT SUM(r3.amt) FROM ret r3 WHERE r3.nk = r1.nk)
+ORDER BY r1.amt DESC, r1.ck
+LIMIT 25
+"""
+
+_TABLES["q_tpcds_custdev"] = ("lineitem", "orders", "customer")
+
+
+@query("q_tpcds_custdev", oracle=_CUSTDEV)
+def q_tpcds_custdev(spark, sf_dir):
+    """TPC-DS Q30/Q1 shape (fixture-adapted): customers whose total
+    returns exceed 1.2x their nation's average — the signature is
+    ONE CTE referenced three times, twice through CORRELATED scalar
+    subqueries (Catalyst decorrelates both into per-nation aggregate
+    joins; DuckDB does the same), with the 1.2x threshold expressed
+    as an exact integer cross-multiplication (amt*10*n > 12*sum) so
+    no float average ever materializes. Deterministic total order +
+    LIMIT 25 (amt DESC, custkey tiebreak). The SAME SQL text is the
+    oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_custdev", _CUSTDEV)
+
+
+_CHANRANK = """
+WITH base AS (
+  SELECT CASE WHEN l_linenumber % 3 = 0 THEN 'web'
+              WHEN l_linenumber % 3 = 1 THEN 'catalog'
+              ELSE 'store' END AS channel,
+         l_partkey AS item,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(ROUND(l_quantity) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ret_qty,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS tot_qty,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ret_cents,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS tot_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1997-01-01'
+  GROUP BY CASE WHEN l_linenumber % 3 = 0 THEN 'web'
+                WHEN l_linenumber % 3 = 1 THEN 'catalog'
+                ELSE 'store' END,
+           l_partkey
+),
+ranked AS (
+  SELECT channel, item, ret_qty, tot_qty,
+         RANK() OVER (PARTITION BY channel
+                      ORDER BY CAST(ret_qty AS DOUBLE) / tot_qty DESC,
+                               item) AS qty_rank,
+         RANK() OVER (PARTITION BY channel
+                      ORDER BY CAST(ret_cents AS DOUBLE) / tot_cents DESC,
+                               item) AS amt_rank
+  FROM base
+)
+SELECT channel, item, ret_qty, tot_qty,
+       CAST(qty_rank AS BIGINT) AS qty_rank,
+       CAST(amt_rank AS BIGINT) AS amt_rank
+FROM ranked
+WHERE qty_rank <= 10 OR amt_rank <= 10
+"""
+
+_TABLES["q_tpcds_chanrank"] = ("lineitem",)
+
+
+@query("q_tpcds_chanrank", oracle=_CHANRANK)
+def q_tpcds_chanrank(spark, sf_dir):
+    """TPC-DS Q49 shape (fixture-adapted): per-channel
+    worst-return-ratio rank lists — each channel's items ranked by
+    BOTH the quantity return ratio and the currency return ratio,
+    keeping rows in either top-10 (Q49's `return_rank <= 10 OR
+    currency_rank <= 10`). Q49 writes this as a UNION of three
+    per-channel selects; the scale-right expression is ONE pass with
+    PARTITION BY channel windows — same result set, one shuffle
+    instead of three scans. Ratios order as IEEE doubles of exact
+    integers (identical across engines) with an item tiebreak, so
+    ranks are deterministic; emitted columns stay integer-exact.
+    The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_chanrank", _CHANRANK)
+
+
+_BANDBUYERS = """
+WITH dn AS (
+  SELECT l_orderkey AS ok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING COUNT(*) BETWEEN 5 AND 7
+)
+SELECT c.c_mktsegment AS segment, dn.cnt AS lines_per_order,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_buyers,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM dn
+JOIN orders o ON dn.ok = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate >= DATE '1995-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY c.c_mktsegment, dn.cnt
+"""
+
+_TABLES["q_tpcds_bandbuyers"] = ("lineitem", "orders", "customer")
+
+
+@query("q_tpcds_bandbuyers", oracle=_BANDBUYERS)
+def q_tpcds_bandbuyers(spark, sf_dir):
+    """TPC-DS Q34/Q73 shape (fixture-adapted): GROUP-HAVING BAND
+    membership — the inner aggregate counts lines per order and keeps
+    only orders inside the [5, 7] band (Q34's `cnt BETWEEN 15 AND
+    20`), then joins out to the customer dimension and re-aggregates
+    per (segment, band value) with a distinct-buyer count. Scale
+    shape: the band HAVING collapses the fact BEFORE any join
+    (map-side combinable count per order key), the date filter prunes
+    orders at the scan, and the dim join broadcasts. The SAME SQL
+    text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_bandbuyers", _BANDBUYERS)
