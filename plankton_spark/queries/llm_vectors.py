@@ -765,6 +765,186 @@ def _gemm_assign(e, cent_map):
     return e.mapInPandas(assign, "vec_id long, v array<bigint>, k int, d2 long")
 
 
+# Above this K the flat assignment's per-task centroid matrix (K×64
+# int64s shipped in every scan's closure) crosses from "trivial" to
+# "worth bounding" — the two-level assignment below keeps per-task
+# state at C×64 + one cell's slice regardless of K. The threshold is
+# generous because flat is both simpler and faster when it fits.
+TWO_LEVEL_MIN_K = 4096
+TWO_LEVEL_CELLS = 256
+
+
+def kmeans_assign_two_level(e, cent_map, n_cells: int = TWO_LEVEL_CELLS):
+    """Two-level (coarse-then-fine) k-means assignment — the K → 10⁶
+    answer to the round-10 watch item: the FLAT assignment ships the
+    whole K×64 int64 centroid matrix to every task (~0.5 GB at
+    K = √N for N = 10¹²); here per-task state is bounded by the
+    C×64 coarse matrix plus ONE cell's fine slice (≈ K/C × 64,
+    shuffled as data, never broadcast), at the cost of shuffling each
+    vector to its candidate cells.
+
+    EXACT, not approximate — bit-equal to the flat argmin (pinned in
+    tests/test_kmeans_adaptive.py):
+    1. the fine centroids cluster into C cells (bounded K×C GEMM);
+       each cell carries its coarse centroid and RADIUS r_m =
+       max distance from the coarse centroid to its fine members.
+    2. phase A: every vector GEMMs against the C coarse centroids,
+       lands in its nearest cell, and takes the best (d2, k) among
+       that cell's fine centroids (cogrouped per-cell GEMM).
+    3. phase B: by the triangle inequality, a cell m can only hold a
+       better fine centroid if dist(v, c_m) − r_m ≤ dist(v, best);
+       the bound is evaluated in double with a CONSERVATIVE margin
+       (only ever searches MORE cells — sqrt is correctly rounded,
+       so +1e-3 absolute / 1e-9 relative slack provably covers the
+       ulps), candidates shuffle to their cells for the same per-cell
+       GEMM, and the global winner is the exact-integer
+       min(struct(d2, k)) across phases — the flat path's tie-break
+       order verbatim.
+
+    `e` is the quantized (vec_id, v) frame; returns the flat path's
+    (vec_id, v, k, d2) schema."""
+    import numpy as np
+    import pandas as pd
+
+    ks = sorted(cent_map)
+    fine = np.array([cent_map[k] for k in ks], dtype=np.int64)
+    karr = np.array(ks, dtype=np.int64)
+    C = min(n_cells, len(ks))
+    # cluster the CENTROIDS: every ceil(K/C)-th fine centroid seeds a
+    # cell, one exact-integer assignment pass, integer-mean update
+    # (bounded K×C work — itself distributable, driver-side here)
+    seeds = fine[:: max(1, -(-len(ks) // C))][:C]
+    d2s = (
+        (fine * fine).sum(1)[:, None]
+        + (seeds * seeds).sum(1)[None, :]
+        - 2 * (fine @ seeds.T)
+    )
+    cell_of = d2s.argmin(1)
+    cells = sorted(set(cell_of.tolist()))
+    coarse_rows, radii, remap = [], {}, {}
+    for m in cells:
+        members = fine[cell_of == m]
+        c = members.sum(0) // len(members)  # floor mean (positive ints)
+        mid = len(coarse_rows)
+        remap[m] = mid
+        coarse_rows.append(c)
+        dd = ((members - c[None, :]) ** 2).sum(1)
+        radii[mid] = float(np.sqrt(float(dd.max())))
+    coarse = np.array(coarse_rows, dtype=np.int64)
+    cell_of = np.array([remap[m] for m in cell_of], dtype=np.int64)
+    r_arr = np.array([radii[i] for i in range(len(coarse_rows))])
+    spark = e.sparkSession
+    fine_df = spark.createDataFrame(
+        [
+            (int(cell_of[i]), int(karr[i]), [int(x) for x in fine[i]])
+            for i in range(len(ks))
+        ],
+        "cell long, k long, cvec array<bigint>",
+    )
+
+    def _cell_gemm(left, right):
+        # per-cell exact-integer GEMM: best (d2, k) per vector among
+        # this cell's fine centroids; ties → lowest k (rows k-sorted)
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                columns=["vec_id", "v", "d2", "k"]
+            ).astype({"vec_id": "int64", "d2": "int64", "k": "int64"})
+        right = right.sort_values("k")
+        cm = np.array(right["cvec"].tolist(), dtype=np.int64)
+        kk = right["k"].to_numpy()
+        vm = np.array(left["v"].tolist(), dtype=np.int64)
+        d2 = (
+            (vm * vm).sum(1)[:, None]
+            + (cm * cm).sum(1)[None, :]
+            - 2 * (vm @ cm.T)
+        )
+        best = d2.argmin(1)
+        return pd.DataFrame(
+            {
+                "vec_id": left["vec_id"],
+                "v": left["v"],
+                "d2": d2[np.arange(len(best)), best],
+                "k": kk[best],
+            }
+        )
+
+    def _coarse_assign(batches):
+        c2 = (coarse * coarse).sum(1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["v"].tolist(), dtype=np.int64)
+            d2 = (
+                (vm * vm).sum(1)[:, None] + c2[None, :] - 2 * (vm @ coarse.T)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "cell": d2.argmin(1),
+                }
+            )
+
+    homed = e.mapInPandas(
+        _coarse_assign, "vec_id long, v array<bigint>, cell long"
+    )
+    best_a = (
+        homed.groupBy("cell")
+        .cogroup(fine_df.groupBy("cell"))
+        .applyInPandas(
+            lambda left, right: _cell_gemm(left, right),
+            "vec_id long, v array<bigint>, d2 long, k long",
+        )
+    )
+
+    def _candidates(batches):
+        c2 = (coarse * coarse).sum(1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["v"].tolist(), dtype=np.int64)
+            d2c = (
+                (vm * vm).sum(1)[:, None] + c2[None, :] - 2 * (vm @ coarse.T)
+            ).astype(np.float64)
+            dc = np.sqrt(np.maximum(d2c, 0.0))
+            bb = np.sqrt(pdf["d2"].to_numpy().astype(np.float64))
+            # conservative: search every cell NOT provably worse
+            lb = dc - r_arr[None, :]
+            keep = lb <= (bb[:, None] * (1.0 + 1e-9) + 1e-3)
+            rows, cells_out = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[rows],
+                    "v": pdf["v"].to_numpy()[rows],
+                    "cell": cells_out,
+                }
+            )
+
+    cand = best_a.mapInPandas(
+        _candidates, "vec_id long, v array<bigint>, cell long"
+    )
+    best_b = (
+        cand.groupBy("cell")
+        .cogroup(fine_df.groupBy("cell"))
+        .applyInPandas(
+            lambda left, right: _cell_gemm(left, right),
+            "vec_id long, v array<bigint>, d2 long, k long",
+        )
+    )
+    # exact-integer global winner, flat tie-break order: min (d2, k).
+    # Phase B re-covers the home cell, so best_a is a subset — the
+    # union is still taken (a vector whose home cell was pruned for
+    # every OTHER candidate must keep its phase-A row).
+    both = best_a.unionByName(best_b)
+    won = both.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "k")).alias("w"),
+        F.first("v").alias("v"),
+    )
+    return won.select(
+        "vec_id", "v", F.col("w.k").cast("int").alias("k"), F.col("w.d2").alias("d2")
+    )
+
+
 def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
     """The deterministic integer k-means fit+assign shared by
     q_cluster_kmeans (k=KMEANS_K, the declared K=4 contract) and the
@@ -834,7 +1014,11 @@ def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
             return e.select(
                 "vec_id", "v", best["k"].alias("k"), best["d2"].alias("d2")
             )
-        return _gemm_assign(e, cent_map)
+        if len(cent_map) <= TWO_LEVEL_MIN_K:
+            return _gemm_assign(e, cent_map)
+        # K large enough that the flat matrix broadcast is worth
+        # bounding — the coarse-then-fine path, bit-equal by pin
+        return kmeans_assign_two_level(e, cent_map)
 
     for _ in range(KMEANS_ITERS - 1):
         dims = (

@@ -13,6 +13,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from plankton_spark.io import read_table
 from plankton_spark.registry import all_queries
 from tests.conftest import SF0001, SF001
@@ -149,3 +151,80 @@ def test_cluster_gemm_candidates_superset_property(spark, vecs, kmod):
         for ib, kb, vb in rows[i + 1:]:
             if ka == kb and cos(va, vb) >= SEMANTIC_COS_THRESHOLD:
                 assert (ia, ib) in got, (ia, ib, cos(va, vb))
+
+
+def test_two_level_assignment_bit_equal_to_flat(spark):
+    """The K→10⁶ watch item's closure: the coarse-then-fine
+    assignment (bounded per-task state, triangle-inequality cell
+    pruning with conservative float margins) must be BIT-EQUAL to
+    the flat integer-GEMM argmin — same winning centroid, same exact
+    d2, same lowest-k tie-break — on a real embedding slice with
+    enough centroids for multi-cell pruning to actually engage."""
+    from plankton_spark.io import read_table
+    from plankton_spark.queries.llm_vectors import (
+        KMEANS_OFFSET,
+        _gemm_assign,
+        kmeans_assign_two_level,
+    )
+
+    e = (
+        read_table(spark, SF001, "embeddings")
+        .where(F.col("vec_id") < 1500)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: (
+                    F.round(x.cast("double") * 1000000).cast("long")
+                    + F.lit(KMEANS_OFFSET)
+                ),
+            ).alias("v"),
+        )
+    )
+    cent = {
+        i: list(r["v"])
+        for i, r in enumerate(e.orderBy("vec_id").limit(120).collect())
+    }
+    flat = {
+        r["vec_id"]: (r["k"], r["d2"])
+        for r in _gemm_assign(e, cent).collect()
+    }
+    two = {
+        r["vec_id"]: (r["k"], r["d2"])
+        for r in kmeans_assign_two_level(e, cent, n_cells=12).collect()
+    }
+    assert two == flat
+
+
+def test_two_level_tie_breaks_to_lowest_k(spark):
+    """Duplicate centroids in DIFFERENT cells: every vector ties
+    exactly across cells and both paths must pick the lowest k."""
+    from plankton_spark.queries.llm_vectors import (
+        _gemm_assign,
+        kmeans_assign_two_level,
+    )
+
+    e = spark.createDataFrame(
+        [(i, [i * 3 + j for j in range(4)]) for i in range(40)],
+        "vec_id long, v array<bigint>",
+    )
+    # centroids 0/5 identical, 1/4 identical — seeded into different
+    # cells by the every-ceil(K/C)-th rule with n_cells=3
+    base = {
+        0: [10, 10, 10, 10],
+        1: [200, 200, 200, 200],
+        2: [40, 41, 42, 43],
+        3: [90, 91, 92, 93],
+        4: [200, 200, 200, 200],
+        5: [10, 10, 10, 10],
+    }
+    flat = {
+        r["vec_id"]: (r["k"], r["d2"])
+        for r in _gemm_assign(e, base).collect()
+    }
+    two = {
+        r["vec_id"]: (r["k"], r["d2"])
+        for r in kmeans_assign_two_level(e, base, n_cells=3).collect()
+    }
+    assert two == flat
+    assert all(k in (0, 1, 2, 3) for k, _ in two.values())
