@@ -137,7 +137,7 @@ def main() -> None:
         # is still reported as loadavg_1m_peak telemetry
         peak = max(l_start, l_end)
         if best is None or l_start < best[3]:
-            best = (timings, spread, cold, l_start, peak)
+            best = (timings, spread, cold, l_start, peak, attempts)
         if l_start / ncpu < 0.2 or attempts >= 3:
             break
         w = 0
@@ -145,7 +145,12 @@ def main() -> None:
             time.sleep(15)
             w += 15
         waited_sec += w
-    timings, spread, cold, l_start, peak = best
+    timings, spread, cold, l_start, peak, best_attempt = best
+    # cold_sec is only a true cold measurement on the FIRST attempt —
+    # a retry's "cold" run executes against the page cache and shuffle
+    # files the prior attempt warmed (ADVICE r10 #4), so flag it
+    # rather than let warm numbers masquerade as cold
+    cold_is_warm_cache = best_attempt > 1
     load1 = l_start
     contended = l_start / ncpu >= 0.2
     retry_exhausted = contended and attempts >= 3
@@ -165,6 +170,7 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": n_runs,
                 "cold_sec": cold,
+                "cold_is_warm_cache": cold_is_warm_cache,
                 "rel_half_spread": spread,
                 "loadavg_1m_at_start": round(load1, 2),
                 "loadavg_1m_peak": round(peak, 2),
