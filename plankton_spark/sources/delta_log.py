@@ -1860,6 +1860,131 @@ class DeltaLogWriter:
         _shutil.rmtree(tmp, ignore_errors=True)
         return out
 
+    def _rt_rewrite_state(
+        self, log: "DeltaLog", schema, part_cols, active
+    ) -> tuple[bool, str | None, str | None, list[dict]]:
+        """Whether a REWRITE on this table must preserve row ids, and
+        how: (enabled, materialized row-id column, materialized
+        commit-version column, metaData head declaring the names when
+        the config lacks them). Enabled only when the snapshot is
+        FULLY tracked — a partially-tracked table (files already
+        rewritten by a non-preserving op) keeps the non-preserving
+        rewrite and its lineage reads keep refusing (ids are never
+        fabricated)."""
+        prot = log.table_protocol or {}
+        if "rowTracking" not in set(prot.get("writerFeatures") or []):
+            return False, None, None, []
+        if not active or any(
+            a.get("baseRowId") is None for a in active.values()
+        ):
+            return False, None, None, []
+        cfg = dict(log.table_config)
+        mat_id = cfg.get(_MAT_ROW_ID_KEY)
+        mat_cv = cfg.get(_MAT_ROW_CV_KEY)
+        head: list[dict] = []
+        if mat_id is None or mat_cv is None:
+            clash = sorted(
+                {_MAT_ROW_ID_NAME, _MAT_ROW_CV_NAME}
+                & {f.name for f in schema.fields}
+            )
+            if clash:
+                raise DeltaProtocolError(
+                    f"{self.table_path}: cannot materialize row ids — "
+                    f"data columns {clash} collide with the "
+                    "materialized column names"
+                )
+            mat_id = mat_id or _MAT_ROW_ID_NAME
+            mat_cv = mat_cv or _MAT_ROW_CV_NAME
+            cfg[_MAT_ROW_ID_KEY] = mat_id
+            cfg[_MAT_ROW_CV_KEY] = mat_cv
+            cfg.setdefault("delta.enableRowTracking", "true")
+            head = [self._metadata_action(schema, part_cols, cfg)]
+        return True, mat_id, mat_cv, head
+
+    def _rt_subset_scan(
+        self, schema, part_cols, files, active, mat_id, mat_cv
+    ):
+        """Row-tracked scan of a SUBSET of the live files (a rewrite's
+        hit set) with the id/commit-version columns under their
+        MATERIALIZED physical names — the frame a lineage-preserving
+        rewrite stages from. Same broadcast-metadata shape as
+        read_delta(with_row_ids=True), scoped to the hit files."""
+        rt = {
+            os.path.basename(rel): (
+                int(add["baseRowId"]),
+                int(add["defaultRowCommitVersion"]),
+            )
+            for rel, add in active.items()
+        }
+        _dv_basename_map(active.keys(), self.table_path)
+        dv_desc = {
+            p: active[_path_key(self.table_path, p)]["deletionVector"]
+            for p, _pv in files
+            if active.get(_path_key(self.table_path, p), {}).get(
+                "deletionVector"
+            )
+        }
+        out = _row_tracked_scan(
+            self.spark, self.table_path, schema, part_cols, files,
+            dv_desc, rt, (mat_id, mat_cv),
+        )
+        if mat_id != "_row_id":
+            out = out.withColumnRenamed("_row_id", mat_id)
+        if mat_cv != "_row_commit_version":
+            out = out.withColumnRenamed("_row_commit_version", mat_cv)
+        return out
+
+    def _commit_rt_rewrite(
+        self, mat_head: list[dict], adds: list[dict],
+        other_actions: list[dict], depends_on_rel,
+        mat_id: str | None = None, mat_cv: str | None = None,
+    ) -> int:
+        """OCC commit of a lineage-preserving rewrite: the staged adds
+        get FRESH baseRowIds from the current high-water mark (every
+        add on a tracked table carries one; the PRESERVED ids ride the
+        files' materialized columns) and the advanced mark commits
+        alongside — _validate_then_commit merged with
+        _append_row_tracked's per-retry re-assignment. When the
+        materialized names are passed, a concurrent writer declaring
+        DIFFERENT names aborts the rewrite (our staged columns would
+        be unreadable under theirs, or vice versa)."""
+        for _ in range(20):
+            log2 = DeltaLog(self.table_path)
+            _, _, now_active = log2.replay(None)
+            gone = [r for r in depends_on_rel if r not in set(now_active)]
+            if gone:
+                raise ConcurrentDeltaModification(
+                    f"{self.table_path}: files rewritten concurrently: "
+                    f"{gone[:5]}"
+                )
+            if mat_id is not None:
+                cfg2 = log2.table_config
+                for key, want in ((_MAT_ROW_ID_KEY, mat_id),
+                                  (_MAT_ROW_CV_KEY, mat_cv)):
+                    got = cfg2.get(key)
+                    if got is not None and got != want:
+                        raise ConcurrentDeltaModification(
+                            f"{self.table_path}: materialized row-id "
+                            "column names changed concurrently"
+                        )
+            hwm = _row_id_hwm(log2, now_active)
+            v = self._next_version()
+            new_hwm = _assign_base_row_ids(adds, hwm + 1, commit_version=v)
+            try:
+                v = self._commit(
+                    v,
+                    mat_head
+                    + [_row_tracking_domain(new_hwm)]
+                    + adds
+                    + other_actions,
+                )
+            except DeltaCommitConflict:
+                continue
+            if v > 0 and v % DELTA_CHECKPOINT_EVERY == 0:
+                write_delta_checkpoint(self.table_path, version=v)
+            return v
+        raise DeltaCommitConflict(f"{self.table_path}: gave up after retries")
+
     def _partition_cols(self) -> list[str]:
         try:
             return DeltaLog(self.table_path).schema_info(None)[1]
@@ -2569,6 +2694,10 @@ class DeltaLogWriter:
         snapshot = DeltaLog(self.table_path)
         schema, part_cols, files = snapshot.snapshot(None)
         self._refuse_if_append_only(snapshot.table_config, "DELETE")
+        _, _, active = snapshot.replay(None)
+        rt_on, mat_id, mat_cv, mat_head = self._rt_rewrite_state(
+            snapshot, schema, part_cols, active
+        )
         live = _assemble_view(
             self.spark, schema, part_cols, files, with_file=True,
             table_root=self.table_path,
@@ -2584,7 +2713,8 @@ class DeltaLogWriter:
         hit_rel = sorted(
             _path_key(self.table_path, p) for p, _ in hit_files
         )
-        actions: list[dict] = []
+        surv_adds: list[dict] = []
+        tail: list[dict] = []
         if hit_rel:
             # Delta DELETE semantics: only rows where the condition is
             # TRUE are deleted; rows where it evaluates to NULL are
@@ -2592,14 +2722,24 @@ class DeltaLogWriter:
             # the rewrite too (NOT NULL = NULL) — silent data loss.
             # Survivors assemble over the HIT FILES ONLY — filtering
             # the full view on input_file_name cannot prune at the
-            # scan, so it would re-read the whole table.
-            survivors = _assemble_view(
-                self.spark, schema, part_cols, hit_files,
-                table_root=self.table_path,
-            ).where(~F.coalesce(condition, F.lit(False)))
+            # scan, so it would re-read the whole table. On a
+            # row-tracked table the survivor read carries each row's
+            # id/commit version under the MATERIALIZED names, so the
+            # rewrite preserves identities (the same rule as OPTIMIZE).
+            base = (
+                self._rt_subset_scan(
+                    schema, part_cols, hit_files, active, mat_id, mat_cv
+                )
+                if rt_on
+                else _assemble_view(
+                    self.spark, schema, part_cols, hit_files,
+                    table_root=self.table_path,
+                )
+            )
+            survivors = base.where(~F.coalesce(condition, F.lit(False)))
             if not survivors.isEmpty():
-                actions += self._stage(survivors, part_cols)
-            actions += [
+                surv_adds = self._stage(survivors, part_cols)
+            tail += [
                 {"remove": {"path": r, "dataChange": True}} for r in hit_rel
             ]
             if self._cdf_enabled(snapshot.table_config):
@@ -2607,12 +2747,15 @@ class DeltaLogWriter:
                     self.spark, schema, part_cols, hit_files,
                     table_root=self.table_path,
                 ).where(F.coalesce(condition, F.lit(False)))
-                actions += self._stage_cdc(
+                tail += self._stage_cdc(
                     deleted.withColumn("_change_type", F.lit("delete")),
                     part_cols,
                 )
-
-        return self._validate_then_commit(actions, hit_rel)
+        if rt_on and hit_rel:
+            return self._commit_rt_rewrite(
+                mat_head, surv_adds, tail, hit_rel, mat_id, mat_cv
+            )
+        return self._validate_then_commit(surv_adds + tail, hit_rel)
 
     def update_where(self, assignments: dict, condition) -> int:
         """Row-level UPDATE ... SET: rewrite ONLY files containing
@@ -2647,6 +2790,10 @@ class DeltaLogWriter:
             c: (e if isinstance(e, Column) else F.expr(e))
             for c, e in assignments.items()
         }
+        _, _, active = snapshot.replay(None)
+        rt_on, mat_id, mat_cv, mat_head = self._rt_rewrite_state(
+            snapshot, schema, part_cols, active
+        )
         live = _assemble_view(
             self.spark, schema, part_cols, files, with_file=True,
             table_root=self.table_path,
@@ -2662,30 +2809,48 @@ class DeltaLogWriter:
         hit_rel = sorted(
             _path_key(self.table_path, p) for p, _ in hit_files
         )
-        actions: list[dict] = []
+        rw_adds: list[dict] = []
+        tail: list[dict] = []
         if hit_rel:
-            hot = _assemble_view(
-                self.spark, schema, part_cols, hit_files,
-                table_root=self.table_path,
+            hot = (
+                self._rt_subset_scan(
+                    schema, part_cols, hit_files, active, mat_id, mat_cv
+                )
+                if rt_on
+                else _assemble_view(
+                    self.spark, schema, part_cols, hit_files,
+                    table_root=self.table_path,
+                )
             )
             matched = F.coalesce(condition, F.lit(False))
-            rewritten = hot.select(
-                [
-                    (
-                        F.when(
-                            matched,
-                            exprs[f.name].cast(f.dataType),
-                        )
-                        .otherwise(F.col(f.name))
-                        .alias(f.name)
-                        if f.name in exprs
-                        else F.col(f.name)
+            out_cols = [
+                (
+                    F.when(
+                        matched,
+                        exprs[f.name].cast(f.dataType),
                     )
-                    for f in schema.fields
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in exprs
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+            if rt_on:
+                # spec semantics on the materialized columns: every
+                # row KEEPS its _row_id; an UPDATED row's commit
+                # version resets to THIS commit (materialized null →
+                # the add's defaultRowCommitVersion), survivors keep
+                # their original version
+                out_cols += [
+                    F.col(mat_id),
+                    F.when(matched, F.lit(None).cast("long"))
+                    .otherwise(F.col(mat_cv))
+                    .alias(mat_cv),
                 ]
-            )
-            actions += self._stage(rewritten, part_cols)
-            actions += [
+            rewritten = hot.select(out_cols)
+            rw_adds = self._stage(rewritten, part_cols)
+            tail += [
                 {"remove": {"path": r, "dataChange": True}} for r in hit_rel
             ]
             if self._cdf_enabled(snapshot.table_config):
@@ -2693,9 +2858,9 @@ class DeltaLogWriter:
                 # diff can never reconstruct: each matched row's
                 # preimage and its assignment-applied postimage
                 matched_rows = hot.where(matched)
-                pre = matched_rows.withColumn(
-                    "_change_type", F.lit("update_preimage")
-                )
+                pre = matched_rows.select(
+                    [f.name for f in schema.fields]
+                ).withColumn("_change_type", F.lit("update_preimage"))
                 post = matched_rows.select(
                     [
                         (
@@ -2706,8 +2871,12 @@ class DeltaLogWriter:
                         for f in schema.fields
                     ]
                 ).withColumn("_change_type", F.lit("update_postimage"))
-                actions += self._stage_cdc(pre.unionByName(post), part_cols)
-        return self._validate_then_commit(actions, hit_rel)
+                tail += self._stage_cdc(pre.unionByName(post), part_cols)
+        if rt_on and hit_rel:
+            return self._commit_rt_rewrite(
+                mat_head, rw_adds, tail, hit_rel, mat_id, mat_cv
+            )
+        return self._validate_then_commit(rw_adds + tail, hit_rel)
 
     def delete_where_dv(self, condition) -> int | None:
         """Row-level delete via DELETION VECTORS: instead of rewriting
@@ -3009,29 +3178,10 @@ class DeltaLogWriter:
         # when the snapshot is FULLY tracked: a partially-tracked
         # table (files rewritten by a non-preserving op) keeps today's
         # non-preserving rewrite, and its lineage reads keep refusing.
-        rt_live = (
-            "rowTracking"
-            in set((log.table_protocol or {}).get("writerFeatures") or [])
-            and all(a.get("baseRowId") is not None for a in active.values())
+        rt_live, mat_id, mat_cv, mat_head0 = self._rt_rewrite_state(
+            log, schema, part_cols, active
         )
-        mat_id = mat_cv = None
         if rt_live:
-            cfg0 = dict(log.table_config)
-            mat_id = cfg0.get(_MAT_ROW_ID_KEY)
-            mat_cv = cfg0.get(_MAT_ROW_CV_KEY)
-            if mat_id is None or mat_cv is None:
-                clash = sorted(
-                    {_MAT_ROW_ID_NAME, _MAT_ROW_CV_NAME}
-                    & {f.name for f in schema.fields}
-                )
-                if clash:
-                    raise DeltaProtocolError(
-                        f"{self.table_path}: cannot materialize row ids "
-                        f"— data columns {clash} collide with the "
-                        "materialized column names"
-                    )
-                mat_id = mat_id or _MAT_ROW_ID_NAME
-                mat_cv = mat_cv or _MAT_ROW_CV_NAME
             # the DV-aware row-id read: survivors keep their ids (DVs
             # are position-based) and the rewrite purges the DVs
             df = read_delta(self.spark, self.table_path, with_row_ids=True)
@@ -3096,53 +3246,9 @@ class DeltaLogWriter:
             {"remove": {"path": r, "dataChange": False}} for r in rel
         ]
         if rt_live:
-            # row-tracked commit: the re-adds get FRESH baseRowIds
-            # (every add on a tracked table carries one, spec) while
-            # the PRESERVED ids ride the materialized columns; the
-            # high-water mark advances in the same commit. Assignment
-            # re-runs per OCC retry like _append_row_tracked, merged
-            # with the rewrite's liveness validation.
-            for _ in range(20):
-                log2 = DeltaLog(self.table_path)
-                _, _, now_active = log2.replay(None)
-                gone = [r for r in rel if r not in set(now_active)]
-                if gone:
-                    raise ConcurrentDeltaModification(
-                        f"{self.table_path}: files rewritten "
-                        f"concurrently: {gone[:5]}"
-                    )
-                cfg2 = dict(log2.table_config)
-                head: list[dict] = []
-                if cfg2.get(_MAT_ROW_ID_KEY) != mat_id or cfg2.get(
-                    _MAT_ROW_CV_KEY
-                ) != mat_cv:
-                    if cfg2.get(_MAT_ROW_ID_KEY) or cfg2.get(_MAT_ROW_CV_KEY):
-                        # a concurrent writer declared DIFFERENT names
-                        # — our staged columns would be unreadable
-                        raise ConcurrentDeltaModification(
-                            f"{self.table_path}: materialized row-id "
-                            "column names changed concurrently"
-                        )
-                    cfg2[_MAT_ROW_ID_KEY] = mat_id
-                    cfg2[_MAT_ROW_CV_KEY] = mat_cv
-                    cfg2.setdefault("delta.enableRowTracking", "true")
-                    head = [
-                        self._metadata_action(schema, part_cols, cfg2)
-                    ]
-                hwm = _row_id_hwm(log2, now_active)
-                v = self._next_version()
-                new_hwm = _assign_base_row_ids(adds, hwm + 1, commit_version=v)
-                try:
-                    v = self._commit(
-                        v, head + [_row_tracking_domain(new_hwm)] + actions
-                    )
-                except DeltaCommitConflict:
-                    continue
-                if v > 0 and v % DELTA_CHECKPOINT_EVERY == 0:
-                    write_delta_checkpoint(self.table_path, version=v)
-                return v
-            raise DeltaCommitConflict(
-                f"{self.table_path}: gave up after retries"
+            removes = [a for a in actions if "remove" in a]
+            return self._commit_rt_rewrite(
+                mat_head0, adds, removes, rel, mat_id, mat_cv
             )
         return self._validate_then_commit(actions, rel)
 
@@ -3421,19 +3527,59 @@ class DeltaLogWriter:
         overlap = sorted(
             _path_key(self.table_path, p) for p, _ in overlap_files
         )
+        rt_on, mat_id, mat_cv, mat_head = self._rt_rewrite_state(
+            log, schema, part_cols, active
+        )
+        if rt_on and added_fields:
+            # schema evolution rides a fresh metaData action that must
+            # not race the materialized-name declaration — the
+            # composition is untested, refuse rather than guess
+            raise DeltaProtocolError(
+                f"{self.table_path}: MERGE schema evolution on a "
+                "row-tracked table is not implemented"
+            )
         if overlap:
-            hot = _assemble_view(
-                self.spark, schema, part_cols, overlap_files,
-                table_root=self.table_path,
+            hot = (
+                self._rt_subset_scan(
+                    schema, part_cols, overlap_files, active, mat_id, mat_cv
+                )
+                if rt_on
+                else _assemble_view(
+                    self.spark, schema, part_cols, overlap_files,
+                    table_root=self.table_path,
+                )
             )
             for f in added_fields:
                 # survivors predate the evolved columns: explicit nulls
                 hot = hot.withColumn(f.name, F.lit(None).cast(f.dataType))
-            merged = hot.join(source, key, "left_anti").unionByName(source)
+            if rt_on:
+                # spec MERGE semantics on the materialized columns:
+                # an UPDATED row (source replaces a same-key target)
+                # keeps the target's _row_id (min across key-dup
+                # targets — deterministic) with a RESET commit version
+                # (null → this commit); untouched survivors keep both;
+                # INSERTS carry nulls → fresh baseRowId + position
+                old_ids = (
+                    hot.groupBy(key)
+                    .agg(F.min(mat_id).alias(mat_id))
+                )
+                src = source.join(old_ids, key, "left").withColumn(
+                    mat_cv, F.lit(None).cast("long")
+                )
+                merged = hot.join(source, key, "left_anti").unionByName(src)
+            else:
+                merged = hot.join(source, key, "left_anti").unionByName(
+                    source
+                )
+        elif rt_on:
+            merged = source.withColumn(
+                mat_id, F.lit(None).cast("long")
+            ).withColumn(mat_cv, F.lit(None).cast("long"))
         else:
             merged = source
         head = [evolution] if evolution is not None else []
-        actions = head + self._stage(merged, part_cols) + [
+        rw_adds = self._stage(merged, part_cols)
+        tail = [
             {"remove": {"path": r, "dataChange": True}} for r in overlap
         ]
         if self._cdf_enabled(log.table_config):
@@ -3441,8 +3587,14 @@ class DeltaLogWriter:
             # become update pre/postimage pairs, the rest are inserts;
             # unmatched target rows restage verbatim and emit nothing
             if overlap:
-                keys = hot.select(key).distinct()
-                pre = hot.join(source.select(key).distinct(), key, "semi")
+                data_cols = [f.name for f in schema.fields] + [
+                    f.name for f in added_fields
+                ]
+                hot_data = hot.select(data_cols)
+                keys = hot_data.select(key).distinct()
+                pre = hot_data.join(
+                    source.select(key).distinct(), key, "semi"
+                )
                 post = source.join(keys, key, "semi")
                 ins = source.join(keys, key, "left_anti")
                 cdc_df = (
@@ -3450,16 +3602,22 @@ class DeltaLogWriter:
                     .unionByName(
                         post.withColumn(
                             "_change_type", F.lit("update_postimage")
-                        )
+                        ),
+                        allowMissingColumns=True,
                     )
                     .unionByName(
-                        ins.withColumn("_change_type", F.lit("insert"))
+                        ins.withColumn("_change_type", F.lit("insert")),
+                        allowMissingColumns=True,
                     )
                 )
             else:
                 cdc_df = source.withColumn("_change_type", F.lit("insert"))
-            actions += self._stage_cdc(cdc_df, part_cols)
-        return self._validate_then_commit(actions, overlap)
+            tail += self._stage_cdc(cdc_df, part_cols)
+        if rt_on:
+            return self._commit_rt_rewrite(
+                mat_head, rw_adds, tail, overlap, mat_id, mat_cv
+            )
+        return self._validate_then_commit(head + rw_adds + tail, overlap)
 
     def vacuum(self, grace_seconds: float = 600.0) -> list[str]:
         """Delete data files referenced by NO commit (staging leftovers

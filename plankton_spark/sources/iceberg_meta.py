@@ -2896,12 +2896,86 @@ class IcebergWriter:
                 continue
         raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
 
+    def _lineage_rewrite_on(self, table: "IcebergTable") -> bool:
+        """Whether a rewrite on this table must PRESERVE row lineage by
+        materializing the reserved columns into its staged files: the
+        table tracks lineage (next-row-id) and the current snapshot is
+        fully derivable. A partially-tracked snapshot (foreign
+        non-preserving rewrite) keeps the non-preserving path and its
+        lineage reads keep refusing — ids are never fabricated."""
+        if table.metadata.get("next-row-id") is None:
+            return False
+        clash = {_ROW_ID_COL, _LAST_SEQ_COL} & {
+            f.name for f in table.schema().fields
+        }
+        if clash:
+            return False
+        try:
+            table.first_row_ids(None)
+            return True
+        except ValueError:
+            return False
+
+    def _lineage_stage_ids(self, table: "IcebergTable") -> dict | None:
+        """field_ids for staging files that carry materialized lineage
+        columns: the table's ids plus the two RESERVED ids (id-aware
+        readers resolve them by id; _ids_gate still suppresses
+        wholesale on id-less tables, where the spec names resolve)."""
+        try:
+            return {
+                **table.field_ids(),
+                _ROW_ID_COL: _ROW_ID_FIELD_ID,
+                _LAST_SEQ_COL: _LAST_SEQ_FIELD_ID,
+            }
+        except (ValueError, KeyError, StopIteration):
+            return None
+
+    def _lineage_subset_scan(self, table, schema, part_cols, entries):
+        """Scan a SUBSET of the live data files (a rewrite's hit set)
+        with _row_id / _last_updated_sequence_number attached under
+        their reserved (= materialized) names — the frame a
+        lineage-preserving rewrite stages survivors from. Same
+        broadcast-manifest-metadata shape as
+        read_iceberg(with_lineage=True), scoped to the hit files."""
+        frids = table.first_row_ids(None)
+        full, _pos, _eq, _dv = table.scan_entries_full(None)
+        use_ids = table.files_carry_field_ids(None)
+        lineage_fields = [
+            T.StructField(
+                _ROW_ID_COL,
+                T.LongType(),
+                True,
+                {"parquet.field.id": _ROW_ID_FIELD_ID} if use_ids else None,
+            ),
+            T.StructField(
+                _LAST_SEQ_COL,
+                T.LongType(),
+                True,
+                {"parquet.field.id": _LAST_SEQ_FIELD_ID}
+                if use_ids
+                else None,
+            ),
+        ]
+        subset = {p for p, _pv in entries}
+        lineage = {
+            os.path.basename(p): (frids[p], int(seq))
+            for p, _pv, seq, _sid in full
+            if p in subset
+        }
+        return _posdelete_filtered_read(
+            self.spark, table, schema, part_cols, entries, [],
+            lineage=lineage, lineage_fields=lineage_fields,
+        )
+
     def delete_where(self, condition) -> int:
         """Row-level DELETE: rewrite only data files containing matching
         rows; rows whose predicate evaluates to NULL are RETAINED (the
         same semantics as DeltaLogWriter.delete_where). Hit files become
         DELETED manifest entries; survivors of those files are staged as
-        a new ADDED manifest; untouched manifests carry forward."""
+        a new ADDED manifest; untouched manifests carry forward. On a
+        lineage-tracked table the survivors restage WITH their
+        materialized _row_id / _last_updated_sequence_number (the same
+        preservation rule as OPTIMIZE)."""
         from pyspark.sql import functions as F
 
         table = IcebergTable(self.table_path)
@@ -2930,13 +3004,24 @@ class IcebergWriter:
         removed_rel = {
             os.path.relpath(p, self.table_path) for p, _ in hit_entries
         }
-        survivors = _assemble_iceberg(
-            self.spark, schema, part_cols, hit_entries
-        ).where(~F.coalesce(condition, F.lit(False)))
-        staged = (
-            [] if survivors.isEmpty() else self._stage(survivors, 0, spec)
+        lin_on = self._lineage_rewrite_on(table)
+        base = (
+            self._lineage_subset_scan(table, schema, part_cols, hit_entries)
+            if lin_on
+            else _assemble_iceberg(self.spark, schema, part_cols, hit_entries)
         )
-        return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
+        survivors = base.where(~F.coalesce(condition, F.lit(False)))
+        staged = (
+            []
+            if survivors.isEmpty()
+            else self._stage(
+                survivors, 0, spec,
+                field_ids=self._lineage_stage_ids(table) if lin_on else None,
+            )
+        )
+        return self._commit_snapshot(
+            staged, removed_rel, keep_unhit=True, assign_row_ids=lin_on
+        )
 
     def update_where(self, assignments: dict, condition) -> int:
         """Row-level UPDATE ... SET (DeltaLogWriter.update_where
@@ -2991,22 +3076,42 @@ class IcebergWriter:
         removed_rel = {
             os.path.relpath(p, self.table_path) for p, _ in hit_entries
         }
-        hot = _assemble_iceberg(self.spark, schema, part_cols, hit_entries)
-        matched = F.coalesce(condition, F.lit(False))
-        rewritten = hot.select(
-            [
-                (
-                    F.when(matched, exprs[f.name].cast(f.dataType))
-                    .otherwise(F.col(f.name))
-                    .alias(f.name)
-                    if f.name in exprs
-                    else F.col(f.name)
-                )
-                for f in schema.fields
-            ]
+        lin_on = self._lineage_rewrite_on(table)
+        hot = (
+            self._lineage_subset_scan(table, schema, part_cols, hit_entries)
+            if lin_on
+            else _assemble_iceberg(self.spark, schema, part_cols, hit_entries)
         )
-        staged = self._stage(rewritten, 0, spec)
-        return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
+        matched = F.coalesce(condition, F.lit(False))
+        out_cols = [
+            (
+                F.when(matched, exprs[f.name].cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in exprs
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+        if lin_on:
+            # spec semantics: every row keeps its _row_id; an UPDATED
+            # row's _last_updated_sequence_number resets (materialized
+            # null → inherits the new file's data sequence number),
+            # survivors keep their original
+            out_cols += [
+                F.col(_ROW_ID_COL),
+                F.when(matched, F.lit(None).cast("long"))
+                .otherwise(F.col(_LAST_SEQ_COL))
+                .alias(_LAST_SEQ_COL),
+            ]
+        rewritten = hot.select(out_cols)
+        staged = self._stage(
+            rewritten, 0, spec,
+            field_ids=self._lineage_stage_ids(table) if lin_on else None,
+        )
+        return self._commit_snapshot(
+            staged, removed_rel, keep_unhit=True, assign_row_ids=lin_on
+        )
 
     def replace_where(self, df, condition) -> int:
         """Selective atomic overwrite (the spec's overwrite-by-filter
@@ -3041,9 +3146,12 @@ class IcebergWriter:
                 "do not satisfy the replacement predicate"
             )
         entries = table.data_entries(None)
-        staged = self._stage(df, 0, spec)
+        lin_on = self._lineage_rewrite_on(table)
+        staged = self._stage(df, 0, spec)  # new rows: fresh identities
         if not entries:
-            return self._commit_snapshot(staged, set(), keep_unhit=True)
+            return self._commit_snapshot(
+                staged, set(), keep_unhit=True, assign_row_ids=lin_on
+            )
         live = _assemble_iceberg(
             self.spark, schema, part_cols, entries, with_file=True
         )
@@ -3059,12 +3167,26 @@ class IcebergWriter:
             os.path.relpath(p, self.table_path) for p, _ in hit_entries
         }
         if hit_entries:
-            survivors = _assemble_iceberg(
-                self.spark, schema, part_cols, hit_entries
-            ).where(~F.coalesce(condition, F.lit(False)))
+            base = (
+                self._lineage_subset_scan(
+                    table, schema, part_cols, hit_entries
+                )
+                if lin_on
+                else _assemble_iceberg(
+                    self.spark, schema, part_cols, hit_entries
+                )
+            )
+            survivors = base.where(~F.coalesce(condition, F.lit(False)))
             if not survivors.isEmpty():
-                staged = staged + self._stage(survivors, 0, spec)
-        return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
+                staged = staged + self._stage(
+                    survivors, 0, spec,
+                    field_ids=self._lineage_stage_ids(table)
+                    if lin_on
+                    else None,
+                )
+        return self._commit_snapshot(
+            staged, removed_rel, keep_unhit=True, assign_row_ids=lin_on
+        )
 
     def overwrite(self, df) -> int:
         """Replace the table's contents: every currently-live file gets
@@ -3082,8 +3204,12 @@ class IcebergWriter:
         staged = self._stage(
             df, 0, spec, field_ids=None if same_schema else {}
         )
+        # overwritten rows are NEW rows (delete + insert): fresh ids,
+        # but the staged files still need first_row_ids assigned on a
+        # lineage table or its reads would refuse forever after
         return self._commit_snapshot(
-            staged, None, keep_unhit=False, new_schema_df=df
+            staged, None, keep_unhit=False, new_schema_df=df,
+            assign_row_ids=table.metadata.get("next-row-id") is not None,
         )
 
     def merge(self, source, key: str) -> int:
@@ -3128,16 +3254,47 @@ class IcebergWriter:
             mn, mx = st["minValues"].get(key), st["maxValues"].get(key)
             if mn is None or mx is None or not (mx < lo or mn > hi):
                 overlap_entries.append((p, pv))
+        lin_on = self._lineage_rewrite_on(table)
         if overlap_entries:
-            hot = _assemble_iceberg(self.spark, schema, part_cols, overlap_entries)
-            merged = hot.join(source, key, "left_anti").unionByName(source)
+            if lin_on:
+                # spec MERGE semantics on the materialized columns: an
+                # updated row keeps the target's _row_id (min across
+                # key-dup targets — deterministic) with a reset
+                # sequence number; survivors keep both; inserts carry
+                # nulls → fresh first_row_id + position
+                hot = self._lineage_subset_scan(
+                    table, schema, part_cols, overlap_entries
+                )
+                old_ids = hot.groupBy(key).agg(
+                    F.min(_ROW_ID_COL).alias(_ROW_ID_COL)
+                )
+                src = source.join(old_ids, key, "left").withColumn(
+                    _LAST_SEQ_COL, F.lit(None).cast("long")
+                )
+                merged = hot.join(source, key, "left_anti").unionByName(src)
+            else:
+                hot = _assemble_iceberg(
+                    self.spark, schema, part_cols, overlap_entries
+                )
+                merged = hot.join(source, key, "left_anti").unionByName(
+                    source
+                )
+        elif lin_on:
+            merged = source.withColumn(
+                _ROW_ID_COL, F.lit(None).cast("long")
+            ).withColumn(_LAST_SEQ_COL, F.lit(None).cast("long"))
         else:
             merged = source
-        staged = self._stage(merged, 0, spec)
+        staged = self._stage(
+            merged, 0, spec,
+            field_ids=self._lineage_stage_ids(table) if lin_on else None,
+        )
         removed_rel = {
             os.path.relpath(p, self.table_path) for p, _ in overlap_entries
         }
-        return self._commit_snapshot(staged, removed_rel, keep_unhit=True)
+        return self._commit_snapshot(
+            staged, removed_rel, keep_unhit=True, assign_row_ids=lin_on
+        )
 
     def delete_where_pos(self, condition) -> int | None:
         """Row-level delete via format-v2 POSITION DELETE files:

@@ -101,6 +101,87 @@ def test_plain_table_refuses_row_id_read(spark, tmp_path):
     assert read_delta(spark, root).count() == 1
 
 
+def _foreign_untracked_rewrite(root: str) -> None:
+    """Simulate a FOREIGN writer that supports rowTracking but does
+    not preserve ids on rewrite (legal while the feature is merely
+    'supported'): copy one live data file to a new name and commit
+    add(no baseRowId) + remove(original) by hand."""
+    import glob
+    import shutil as _shutil
+
+    log = DeltaLog(root)
+    _, _, active = log.replay(None)
+    rel = sorted(active)[0]
+    new_rel = f"part-foreign-rewrite.parquet"
+    _shutil.copyfile(os.path.join(root, rel), os.path.join(root, new_rel))
+    v = log.latest_version() + 1
+    with open(os.path.join(root, "_delta_log", f"{v:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "add": {
+                        "path": new_rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(
+                            os.path.join(root, new_rel)
+                        ),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            + "\n"
+        )
+        fh.write(
+            json.dumps({"remove": {"path": rel, "dataChange": True}}) + "\n"
+        )
+
+
+def test_delete_update_merge_preserve_row_ids(spark, tmp_path):
+    """Round-11 extension past OPTIMIZE: the row-rewriting DML ops
+    preserve identities through the materialized columns — DELETE
+    survivors keep id AND commit version; UPDATE keeps the id while
+    the commit version RESETS to the updating commit (spec
+    semantics); MERGE updates keep the target's id with a reset
+    version, MERGE inserts claim fresh ids."""
+    root, w = _mk(spark, tmp_path, "rt_dml")
+    before = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    v_del = w.delete_where(F.col("k") < 5)  # partial rewrite
+    after_del = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert after_del == {k: v for k, v in before.items() if k >= 5}
+    v_upd = w.update_where({"v": F.lit("upd")}, F.col("k") % 7 == 0)
+    after_upd = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    for k, (rid, cv) in after_upd.items():
+        assert rid == before[k][0], f"UPDATE moved row id of k={k}"
+        want_cv = v_upd if (k % 7 == 0 and k >= 5) else before[k][1]
+        assert cv == want_cv, (k, cv, want_cv, v_del, v_upd)
+    v_mrg = w.merge(
+        spark.createDataFrame([(10, "m"), (500, "n")], "k long, v string"),
+        "k",
+    )
+    after_mrg = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert after_mrg[10][0] == before[10][0]  # updated: id kept
+    assert after_mrg[10][1] == v_mrg          # ...version reset
+    assert after_mrg[500][0] > max(r for r, _ in before.values())  # insert
+    # untouched rows in rewritten files keep BOTH
+    carried = {
+        k: t for k, t in after_mrg.items() if k not in (10, 500)
+    }
+    assert carried == {k: t for k, t in after_upd.items() if k != 10}
+
+
 def test_whole_file_delete_preserves_tracking(spark, tmp_path):
     """delete_where that drops WHOLE files (no rewrite) keeps tracking
     valid — untouched adds keep their baseRowId."""
@@ -110,10 +191,11 @@ def test_whole_file_delete_preserves_tracking(spark, tmp_path):
     assert sorted(r["_row_id"] for r in rows) == list(range(5, 30))
 
 
-def test_partial_rewrite_breaks_tracking_loudly(spark, tmp_path):
-    """delete_where that REWRITES a partially-hit file stages new
-    files without baseRowId — the row-id read must refuse afterwards,
-    never renumber."""
+def test_foreign_untracked_rewrite_breaks_tracking_loudly(spark, tmp_path):
+    """A FOREIGN writer's rewrite that drops baseRowId (legal while
+    the feature is merely supported by that writer) must make the
+    row-id read refuse — never renumber. This engine's own DML
+    preserves (test_delete_update_merge_preserve_row_ids)."""
     root = str(tmp_path / "rt6b")
     w = DeltaLogWriter(spark, root)
     w.create(
@@ -122,10 +204,10 @@ def test_partial_rewrite_breaks_tracking_loudly(spark, tmp_path):
         ).repartition(1),
         row_tracking=True,
     )
-    w.delete_where(F.col("k") < 5)  # partial hit → file rewrite
+    _foreign_untracked_rewrite(root)
     with pytest.raises(DeltaProtocolError, match="baseRowId"):
         read_delta(spark, root, with_row_ids=True).collect()
-    assert read_delta(spark, root).count() == 25
+    assert read_delta(spark, root).count() == 30
 
 
 def test_optimize_preserves_row_ids(spark, tmp_path):
@@ -202,9 +284,9 @@ def test_create_refuses_reserved_column_clash(spark, tmp_path):
 
 
 def test_optimize_on_partially_tracked_table_stays_refusing(spark, tmp_path):
-    """A partial delete_where rewrite strips baseRowId; OPTIMIZE on
-    such a snapshot cannot reconstruct the lost identities, so it
-    stays NON-preserving and the row-id read keeps refusing."""
+    """A foreign untracked rewrite strips baseRowId; OPTIMIZE on such
+    a snapshot cannot reconstruct the lost identities, so it stays
+    NON-preserving and the row-id read keeps refusing."""
     root = str(tmp_path / "rt_part_opt")
     w = DeltaLogWriter(spark, root)
     w.create(
@@ -213,11 +295,11 @@ def test_optimize_on_partially_tracked_table_stays_refusing(spark, tmp_path):
         ).repartition(1),
         row_tracking=True,
     )
-    w.delete_where(F.col("k") < 5)  # partial hit → untracked rewrite
+    _foreign_untracked_rewrite(root)
     w.optimize(num_files=1)
     with pytest.raises(DeltaProtocolError, match="baseRowId"):
         read_delta(spark, root, with_row_ids=True).collect()
-    assert read_delta(spark, root).count() == 25
+    assert read_delta(spark, root).count() == 30
 
 
 def test_uniform_convert_after_optimize_carries_materialized_ids(
@@ -349,7 +431,7 @@ def test_uniform_convert_partial_tracking_translates_without_lineage(
     spark, tmp_path
 ):
     """convert_delta_to_iceberg on a PARTIALLY-tracked Delta snapshot
-    (a rewrite stripped some baseRowIds) must translate WITHOUT
+    (a foreign rewrite stripped a baseRowId) must translate WITHOUT
     lineage: data reads fine through the Iceberg chain, the lineage
     read refuses — ids are never fabricated."""
     from plankton_spark.sources.iceberg_meta import (
@@ -365,9 +447,9 @@ def test_uniform_convert_partial_tracking_translates_without_lineage(
         ).repartition(1),
         row_tracking=True,
     )
-    w.delete_where(F.col("k") < 5)  # partial rewrite strips baseRowId
+    _foreign_untracked_rewrite(root)
     convert_delta_to_iceberg(spark, root)
-    assert read_iceberg(spark, root).count() == 25
+    assert read_iceberg(spark, root).count() == 30
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="first_row_id"):

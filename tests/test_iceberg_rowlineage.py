@@ -131,11 +131,162 @@ def test_optimize_preserves_lineage(spark, tmp_path):
     assert again == {**{k: v[0] for k, v in before.items()}, 999: by_k[999]}
 
 
+def _foreign_untracked_rewrite(root: str) -> None:
+    """Simulate a FOREIGN v3 writer that rewrites a data file WITHOUT
+    materializing lineage or assigning first_row_id (non-conformant
+    for lineage tables, but exactly what a pre-lineage engine
+    produces): copy one live file to a new name and author a
+    replace snapshot by hand — tombstone + null-frid add."""
+    import json
+    import os
+    import shutil as _shutil
+
+    from plankton_spark.sources.avro_ocf import (
+        read_ocf_generic,
+        write_ocf_generic,
+    )
+    from plankton_spark.sources.iceberg_meta import (
+        _MANIFEST_ENTRY_SCHEMA,
+        _MANIFEST_FILE_SCHEMA,
+    )
+
+    t = IcebergTable(root)
+    md = dict(t.metadata)
+    snap = t._snapshot(None)
+    manifests = list(read_ocf_generic(t._resolve(snap["manifest-list"])))
+    entries = list(
+        read_ocf_generic(t._resolve(manifests[0]["manifest_path"]))
+    )
+    victim = next(
+        e
+        for e in entries
+        if e["status"] != 2 and e["data_file"].get("content", 0) == 0
+    )
+    rel = victim["data_file"]["file_path"]
+    new_rel = "data/foreign-rewrite.parquet"
+    _shutil.copyfile(os.path.join(root, rel), os.path.join(root, new_rel))
+    sid = snap["snapshot-id"] + 1
+    rw = [
+        {
+            "status": 2 if e["data_file"]["file_path"] == rel else 0,
+            "snapshot_id": sid,
+            "data_file": e["data_file"],
+        }
+        for e in entries
+        if e["status"] != 2
+    ]
+    mrw = os.path.join(root, "metadata", f"m{sid}-foreign-rw.avro")
+    write_ocf_generic(mrw, _MANIFEST_ENTRY_SCHEMA, rw)
+    add_entry = {
+        "status": 1,
+        "snapshot_id": sid,
+        "data_file": {
+            "content": 0,
+            "file_path": new_rel,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": victim["data_file"]["record_count"],
+            "file_size_in_bytes": os.path.getsize(
+                os.path.join(root, new_rel)
+            ),
+            "first_row_id": None,  # the non-preserving part
+        },
+    }
+    madd = os.path.join(root, "metadata", f"m{sid}-foreign-add.avro")
+    write_ocf_generic(madd, _MANIFEST_ENTRY_SCHEMA, [add_entry])
+    new_manifests = [
+        {
+            "manifest_path": f"metadata/{os.path.basename(mrw)}",
+            "manifest_length": os.path.getsize(mrw),
+            "partition_spec_id": 0,
+            "added_snapshot_id": sid,
+        },
+        {
+            "manifest_path": f"metadata/{os.path.basename(madd)}",
+            "manifest_length": os.path.getsize(madd),
+            "partition_spec_id": 0,
+            "added_snapshot_id": sid,
+        },
+    ] + manifests[1:]
+    ml_name = f"snap-{sid}-foreign.avro"
+    write_ocf_generic(
+        os.path.join(root, "metadata", ml_name),
+        _MANIFEST_FILE_SCHEMA,
+        new_manifests,
+    )
+    md["snapshots"] = md["snapshots"] + [
+        {
+            "snapshot-id": sid,
+            "timestamp-ms": 0,
+            "manifest-list": f"metadata/{ml_name}",
+            "summary": {"operation": "replace"},
+        }
+    ]
+    md["current-snapshot-id"] = sid
+    v = t.metadata_version + 1
+    with open(os.path.join(root, "metadata", f"v{v}.metadata.json"), "w") as f:
+        json.dump(md, f)
+    with open(os.path.join(root, "metadata", "version-hint.text"), "w") as f:
+        f.write(str(v))
+
+
+def test_delete_update_merge_preserve_lineage(spark, tmp_path):
+    """Round-11 extension past OPTIMIZE (Iceberg side): the
+    row-rewriting DML preserves identities through materialization —
+    DELETE survivors keep id AND sequence attribution; UPDATE keeps
+    the id while the sequence resets (materialized null → the new
+    file's data seq); MERGE updates keep the target's id, MERGE
+    inserts claim fresh ids."""
+    root, w = _mk(spark, tmp_path, "lin_dml")
+    before = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    w.delete_where(F.col("k") < 5)  # partial rewrite
+    after_del = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert after_del == {k: v for k, v in before.items() if k >= 5}
+    w.update_where({"v": F.lit("upd")}, F.col("k") % 7 == 0)
+    after_upd = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert after_upd == after_del, "UPDATE moved a row id"
+    w.merge(
+        spark.createDataFrame([(10, "m"), (500, "n")], "k long, v string"),
+        "k",
+    )
+    after_mrg = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert after_mrg[10] == before[10]  # updated: id kept
+    assert after_mrg[500] > max(before.values())  # insert: fresh id
+    assert {k: v for k, v in after_mrg.items() if k not in (10, 500)} == {
+        k: v for k, v in after_upd.items() if k != 10
+    }
+    # replace_where: survivors keep ids, replacement rows get fresh
+    w.replace_where(
+        spark.createDataFrame([(6, "rw")], "k long, v string"),
+        F.col("k") == 6,
+    )
+    after_rw = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert after_rw[6] != after_mrg[6]  # replaced row is a NEW row
+    assert {k: v for k, v in after_rw.items() if k != 6} == {
+        k: v for k, v in after_mrg.items() if k != 6
+    }
+
+
 def test_optimize_on_partially_tracked_table_stays_refusing(spark, tmp_path):
-    """A partial delete_where rewrite strips first_row_id from its
-    staged files; OPTIMIZE on such a snapshot cannot reconstruct the
-    lost identities, so it must stay NON-preserving and the lineage
-    read must keep refusing — ids are never fabricated."""
+    """A foreign non-preserving rewrite strips first_row_id; OPTIMIZE
+    (and this engine's DML) on such a snapshot cannot reconstruct the
+    lost identities, so rewrites stay NON-preserving and the lineage
+    read keeps refusing — ids are never fabricated."""
     root = str(tmp_path / "lin5b")
     w = IcebergWriter(spark, root)
     w.create(
@@ -143,11 +294,13 @@ def test_optimize_on_partially_tracked_table_stays_refusing(spark, tmp_path):
             [(i, f"v{i}") for i in range(30)], "k long, v string"
         ).repartition(1)
     )
-    w.delete_where(F.col("k") < 5)  # partial rewrite, no lineage carry
+    _foreign_untracked_rewrite(root)
+    with pytest.raises(ValueError, match="first_row_id"):
+        read_iceberg(spark, root, with_lineage=True).collect()
     w.optimize()
     with pytest.raises(ValueError, match="first_row_id"):
         read_iceberg(spark, root, with_lineage=True).collect()
-    assert read_iceberg(spark, root).count() == 25
+    assert read_iceberg(spark, root).count() == 30
 
 
 def test_foreign_lineage_fixture_reads(spark):
