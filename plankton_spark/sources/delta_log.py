@@ -2920,6 +2920,12 @@ class DeltaLogWriter:
         )
         root = self.table_path
         base_to_rel = _dv_basename_map(active, root)
+        # the raw positional scan is DV-UNAWARE — subtract the rows
+        # EXISTING vectors already deleted before evaluating the
+        # predicate, or a condition matching them would re-count them
+        # as fresh deletions (and mis-stage CDC rows). Positions stay
+        # physical, so the masking below is unaffected.
+        live = self._dv_live_rows(live, active)
         new_hits = live.where(F.coalesce(condition, F.lit(False))).select(
             F.substring_index(F.col("__pd_file"), "/", -1).alias("__dv_file"),
             F.col("__pd_ridx").alias("__dv_ridx"),
@@ -2946,7 +2952,44 @@ class DeltaLogWriter:
         if masked is None:
             return None
         actions, hit_rel = masked
+        if self._cdf_enabled(log.table_config):
+            deleted = live.where(
+                F.coalesce(condition, F.lit(False))
+            ).select([f.name for f in schema.fields])
+            actions = actions + self._stage_cdc(
+                deleted.withColumn("_change_type", F.lit("delete")),
+                part_cols,
+            )
         return self._validate_then_commit(actions, hit_rel)
+
+    def _dv_live_rows(self, live, active):
+        """Subtract the rows EXISTING deletion vectors mark from a
+        positional (`__pd_file`/`__pd_ridx`) scan — the live view a
+        DV-writing DML must evaluate its predicate over (matching an
+        already-deleted row must be a no-op, never a resurrection)."""
+        dv_all = {
+            os.path.join(self.table_path, rel): a["deletionVector"]
+            for rel, a in active.items()
+            if a.get("deletionVector")
+        }
+        if not dv_all:
+            return live
+        prev = _dv_deleted_df(self.spark, self.table_path, dv_all)
+        total_card = sum(
+            d.get("cardinality") or _DV_BROADCAST_MAX_ROWS + 1
+            for d in dv_all.values()
+        )
+        if total_card <= _DV_BROADCAST_MAX_ROWS:
+            prev = F.broadcast(prev)
+        return (
+            live.withColumn(
+                "__dv_file",
+                F.substring_index(F.col("__pd_file"), "/", -1),
+            )
+            .withColumn("__dv_ridx", F.col("__pd_ridx"))
+            .join(prev, ["__dv_file", "__dv_ridx"], "left_anti")
+            .drop("__dv_file", "__dv_ridx")
+        )
 
     def update_where_dv(self, assignments: dict, condition) -> int | None:
         """UPDATE ... SET via DELETION VECTORS — the O(changed-rows)
@@ -3004,6 +3047,11 @@ class DeltaLogWriter:
         )
         root = self.table_path
         base_to_rel = _dv_basename_map(active, root)
+        # subtract EXISTING DVs first (see delete_where_dv): without
+        # this, a condition matching an already-deleted row would
+        # re-stage its transformed copy — RESURRECTION (round-11
+        # review fix, regression-tested)
+        live = self._dv_live_rows(live, active)
         matched = live.where(F.coalesce(condition, F.lit(False)))
         new_hits = matched.select(
             F.substring_index(F.col("__pd_file"), "/", -1).alias("__dv_file"),
@@ -3041,6 +3089,16 @@ class DeltaLogWriter:
             ]
         )
         actions = actions + self._stage(updated, part_cols)
+        if self._cdf_enabled(log.table_config):
+            pre = matched.select(
+                [f.name for f in schema.fields]
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            post = updated.withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            actions = actions + self._stage_cdc(
+                pre.unionByName(post), part_cols
+            )
         return self._validate_then_commit(actions, hit_rel)
 
     def _dv_mask_actions(self, log, active, base_to_rel, hits):

@@ -164,3 +164,57 @@ def test_cdf_composes_with_row_tracking(spark, tmp_path):
         (1, "update_postimage"): 1,
     }
     assert before[3] == 37
+
+
+def test_cdf_from_dv_commits(spark, tmp_path):
+    """DV-writing DML on a CDF table emits cdc actions too (round-11
+    closure of the derivation refusal): the feed reads DV deletes and
+    DV updates with full per-row attribution."""
+    root = str(tmp_path / "cdf_dv2")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, i) for i in range(20)], "k long, v long"
+        ).repartition(1),
+        change_data_feed=True,
+    )
+    w.delete_where_dv(F.col("k") < 5)                            # v1
+    w.update_where_dv({"v": F.col("v") + 100}, F.col("k") < 10)  # v2
+    cdf = read_delta_cdf(spark, root, 1, 2)
+    assert _by_type(cdf) == {
+        (1, "delete"): 5,
+        (2, "update_preimage"): 5,
+        (2, "update_postimage"): 5,
+    }
+    vals = {
+        (r["_change_type"], r["k"]): r["v"]
+        for r in cdf.where(F.col("_commit_version") == 2).collect()
+    }
+    assert vals[("update_preimage", 5)] == 5
+    assert vals[("update_postimage", 5)] == 105
+    # and the delete feed excludes rows a PRIOR DV already deleted
+    w.delete_where_dv(F.col("k") < 7)                            # v3
+    assert _by_type(read_delta_cdf(spark, root, 3, 3)) == {
+        (3, "delete"): 2  # 5 and 6 only — 0..4 were already gone
+    }
+
+
+def test_dv_update_never_resurrects_deleted_rows(spark, tmp_path):
+    """REGRESSION (round-11 review find): update_where_dv evaluated
+    its predicate over the DV-unaware positional scan, so a condition
+    matching an already-DV-deleted row re-staged its transformed copy
+    — resurrection. The live view must subtract existing DVs first;
+    a delete matching ONLY dead rows must be a no-op."""
+    root = str(tmp_path / "dv_resurrect")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, i) for i in range(20)], "k long, v long"
+        ).repartition(1)
+    )
+    w.delete_where_dv(F.col("k") < 5)
+    w.update_where_dv({"v": F.col("v") + 100}, F.col("k") < 10)
+    rows = sorted((r["k"], r["v"]) for r in read_delta(spark, root).collect())
+    assert len(rows) == 15, rows
+    assert rows[:5] == [(5, 105), (6, 106), (7, 107), (8, 108), (9, 109)]
+    assert w.delete_where_dv(F.col("k") < 5) is None  # all already dead
