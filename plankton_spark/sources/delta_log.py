@@ -1883,16 +1883,16 @@ class DeltaLogWriter:
         mat_cv = cfg.get(_MAT_ROW_CV_KEY)
         head: list[dict] = []
         if mat_id is None or mat_cv is None:
-            clash = sorted(
-                {_MAT_ROW_ID_NAME, _MAT_ROW_CV_NAME}
-                & {f.name for f in schema.fields}
-            )
-            if clash:
-                raise DeltaProtocolError(
-                    f"{self.table_path}: cannot materialize row ids — "
-                    f"data columns {clash} collide with the "
-                    "materialized column names"
-                )
+            if {_MAT_ROW_ID_NAME, _MAT_ROW_CV_NAME} & {
+                f.name for f in schema.fields
+            }:
+                # a FOREIGN tracked table without declared names whose
+                # schema occupies our defaults: preserving is
+                # impossible without guessing — degrade to the
+                # non-preserving rewrite (reads refuse afterwards,
+                # same contract as a partially-tracked snapshot)
+                # rather than blocking the DML outright
+                return False, None, None, []
             mat_id = mat_id or _MAT_ROW_ID_NAME
             mat_cv = mat_cv or _MAT_ROW_CV_NAME
             cfg[_MAT_ROW_ID_KEY] = mat_id
@@ -3037,9 +3037,26 @@ class DeltaLogWriter:
         ]
         if not files:
             return None
+        rt_on, mat_id, mat_cv, mat_head = self._rt_rewrite_state(
+            log, schema, part_cols, active
+        )
+        scan_schema = schema
+        if rt_on:
+            # the updated copies must carry their rows' ORIGINAL ids
+            # materialized — extend the scan with the materialized
+            # columns (null where a file was never rewritten; the
+            # baseRowId + position fallback covers those below)
+            scan_schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField(n, T.LongType(), True)
+                    for n in (mat_id, mat_cv)
+                    if n not in {f.name for f in schema.fields}
+                ]
+            )
         live = _assemble_view(
             self.spark,
-            schema,
+            scan_schema,
             part_cols,
             files,
             table_root=self.table_path,
@@ -3078,28 +3095,63 @@ class DeltaLogWriter:
         actions, hit_rel = masked
         # the transformed copies of the masked rows, appended in the
         # SAME commit (assignments see the PRE-update row)
-        updated = matched.select(
-            [
-                (
-                    exprs[f.name].cast(f.dataType).alias(f.name)
-                    if f.name in exprs
-                    else F.col(f.name)
-                )
-                for f in schema.fields
-            ]
-        )
-        actions = actions + self._stage(updated, part_cols)
+        upd_cols = [
+            (
+                exprs[f.name].cast(f.dataType).alias(f.name)
+                if f.name in exprs
+                else F.col(f.name)
+            )
+            for f in schema.fields
+        ]
+        if rt_on:
+            # each updated copy keeps its row's ORIGINAL id
+            # (materialized value where the source file was rewritten
+            # before, baseRowId + position otherwise) with a RESET
+            # commit version (null → the add's default)
+            rt_df = self.spark.createDataFrame(
+                [
+                    (
+                        os.path.basename(rel),
+                        int(a["baseRowId"]),
+                    )
+                    for rel, a in sorted(active.items())
+                ],
+                "__rt_file string, __rt_base long",
+            )
+            with_base = matched.withColumn(
+                "__rt_file",
+                F.substring_index(F.col("__pd_file"), "/", -1),
+            ).join(F.broadcast(rt_df), "__rt_file")
+            rid = F.col("__rt_base") + F.col("__pd_ridx")
+            if mat_id in scan_schema.fieldNames():
+                rid = F.coalesce(F.col(mat_id), rid)
+            updated = with_base.select(
+                upd_cols
+                + [
+                    rid.alias(mat_id),
+                    F.lit(None).cast("long").alias(mat_cv),
+                ]
+            )
+        else:
+            updated = matched.select(upd_cols)
+        new_adds = self._stage(updated, part_cols)
         if self._cdf_enabled(log.table_config):
             pre = matched.select(
                 [f.name for f in schema.fields]
             ).withColumn("_change_type", F.lit("update_preimage"))
-            post = updated.withColumn(
+            post = matched.select(upd_cols).withColumn(
                 "_change_type", F.lit("update_postimage")
             )
             actions = actions + self._stage_cdc(
                 pre.unionByName(post), part_cols
             )
-        return self._validate_then_commit(actions, hit_rel)
+        if rt_on:
+            # masked re-adds keep their copied baseRowIds; only the
+            # NEW files (updated copies) claim fresh ids
+            return self._commit_rt_rewrite(
+                mat_head, new_adds, actions, hit_rel, mat_id, mat_cv
+            )
+        return self._validate_then_commit(actions + new_adds, hit_rel)
 
     def _dv_mask_actions(self, log, active, base_to_rel, hits):
         """Shared DV-masking tail of delete_where_dv/update_where_dv:

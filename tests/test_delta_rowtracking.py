@@ -478,3 +478,43 @@ def test_uniform_convert_fully_tracked_carries_ids(spark, tmp_path):
     }
     assert ice_ids == delta_ids
     assert IcebergTable(root).metadata["next-row-id"] == 31
+
+
+def test_dv_update_preserves_row_ids(spark, tmp_path):
+    """update_where_dv (the O(changed-rows) fast path) preserves
+    identities too: masked re-adds keep their copied baseRowIds, the
+    updated copies carry their rows' ORIGINAL ids materialized with a
+    reset commit version, and a second DV update over already-updated
+    rows (whose ids now live in the materialized column) stays
+    stable."""
+    root = str(tmp_path / "rt_dvu")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, i) for i in range(20)], "k long, v long"
+        ).repartition(1).sortWithinPartitions("k"),
+        row_tracking=True,
+    )
+    before = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    w.delete_where_dv(F.col("k") < 3)
+    v2 = w.update_where_dv({"v": F.col("v") + 100}, F.col("k") % 4 == 0)
+    after = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert set(after) == {k for k in before if k >= 3}
+    for k, (rid, cv) in after.items():
+        assert rid == before[k][0]
+        assert cv == (v2 if k % 4 == 0 else before[k][1])
+    v3 = w.update_where_dv({"v": F.col("v") + 1000}, F.col("k") == 4)
+    after3 = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert after3[4] == (before[4][0], v3)
+    assert {k: t[0] for k, t in after3.items()} == {
+        k: t[0] for k, t in after.items()
+    }
