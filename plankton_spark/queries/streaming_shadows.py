@@ -530,3 +530,98 @@ def q_stream_jsonl_tail(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
         ).alias("sum_value"),
     )
+
+
+@query(
+    "q_stream_cdf",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c FROM orders
+      WHERE o_orderkey < 1200
+    ),
+    changes AS (
+      SELECT CAST(0 AS BIGINT) AS commit_ver, 'insert' AS change_type,
+             k, c FROM o
+      UNION ALL
+      SELECT 1, 'update_preimage', k, c FROM o WHERE k % 10 = 3
+      UNION ALL
+      SELECT 1, 'update_postimage', k, c + 1000000 FROM o WHERE k % 10 = 3
+      UNION ALL
+      SELECT 2, 'delete', k, c FROM o WHERE k % 10 = 7
+    )
+    SELECT commit_ver, change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(c) AS BIGINT) AS cust_sum
+    FROM changes GROUP BY commit_ver, change_type
+    """,
+)
+def q_stream_cdf(spark, sf_dir):
+    """The CHANGE DATA FEED as a REAL STREAMING source — the
+    CDC-to-downstream pattern (index sync, audit trail, incremental
+    materialization) run live with a mid-stream restart: the create
+    commit drains through format("deltacdf") into an append parquet
+    sink (availableNow), then an UPDATE and a DELETE land while the
+    query is down, and the resumed query — same checkpoint, offsets
+    are commit versions — must emit EXACTLY the two new commits'
+    change rows (cdc files verbatim: per-row update
+    preimage/postimage pairs, deletes) and never replay the initial
+    inserts. The oracle recomputes every commit's change set
+    relationally, so a replayed batch, a dropped preimage, or an
+    offset drift is a hash mismatch. Each micro-batch is one
+    partition per change file — native parquet + Arrow, no Python
+    row path (sources/delta_log.py:DeltaCdfStreamReader)."""
+    import shutil
+    import uuid as _uuid
+
+    from plankton_spark.queries.scans import _scratch
+    from plankton_spark.sources.delta_log import DeltaLogWriter, register
+
+    root = _scratch(sf_dir, "stream_cdf")
+    shutil.rmtree(root, ignore_errors=True)
+    sink = root + "_sink"
+    ckpt = root + "_ckpt"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    register(spark)
+
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1200)
+        .select("o_orderkey", "o_custkey")
+    )
+    w = DeltaLogWriter(spark, root)
+    w.create(o.repartition(1), change_data_feed=True)  # v0
+
+    def drain():
+        stream = (
+            spark.readStream.format("deltacdf").option("path", root).load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(f"cdf_{_uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # the v0 inserts
+    # the "kill": changes land while the consumer is down
+    w.update_where(
+        {"o_custkey": F.col("o_custkey") + 1000000},
+        F.col("o_orderkey") % 10 == 3,
+    )  # v1
+    w.delete_where(F.col("o_orderkey") % 10 == 7)  # v2
+    drain()  # restart: only v1/v2 stream
+    feed = spark.read.parquet(sink)
+    return feed.groupBy(
+        F.col("_commit_version").alias("commit_ver"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("o_custkey").cast("long").alias("cust_sum"),
+    )

@@ -1088,6 +1088,7 @@ class DeltaLogReader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(DeltaLogDataSource)
+    spark.dataSource.register(DeltaCdfDataSource)
 
 
 # ---------------------------------------------------------------------
@@ -3965,6 +3966,189 @@ class DeltaLogStreamReader(DataSourceStreamReader):
     def read(self, partition: _DeltaFilePartition):
         reader = DeltaLogReader(self._schema, self._part_cols, [])
         yield from reader.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class _CdfPartition(InputPartition):
+    def __init__(
+        self, path: str, partition_values: dict, change_type: str | None,
+        version: int,
+    ):
+        self.path = path
+        self.partition_values = partition_values
+        self.change_type = change_type  # None → cdc file carries it
+        self.version = version
+
+
+class DeltaCdfDataSource(DataSource):
+    """format("deltacdf"): the CHANGE DATA FEED as a STREAMING source —
+    the CDC-to-downstream pattern (feed a materialized aggregate, sync
+    a search index, drive an audit trail) without re-reading
+    snapshots. Options: path. Output schema = table columns +
+    _change_type + _commit_version."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltacdf"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("deltacdf requires option 'path'")
+        return path
+
+    def schema(self):
+        schema, _ = DeltaLog(self._path()).schema_info(None)
+        return T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+
+    def streamReader(self, schema) -> "DeltaCdfStreamReader":
+        return DeltaCdfStreamReader(self._path())
+
+
+class DeltaCdfStreamReader(DataSourceStreamReader):
+    """Offsets are commit versions; each micro-batch contributes the
+    commits in (start, end] per the CDF reader algorithm: `cdc`
+    actions' _change_data files VERBATIM where present, the DERIVED
+    add(insert)/remove(delete) sets otherwise, layout-only commits
+    nothing. An underivable foreign DV commit raises (this engine's
+    own DV writes on CDF tables emit cdc actions). Rows project under
+    the CURRENT table schema (pre-evolution files null-fill — the
+    same serving-schema rule the batch reader applies per version is
+    collapsed to the head here, documented)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        log = DeltaLog(path)
+        schema, part_cols = log.schema_info(None)
+        self._schema = schema
+        self._part_cols = part_cols
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": DeltaLog(self.path).latest_version()}
+
+    def _changes(self, v_from: int, v_to: int) -> list["_CdfPartition"]:
+        out: list[_CdfPartition] = []
+        for v in range(v_from + 1, v_to + 1):
+            cpath = os.path.join(self.path, "_delta_log", f"{v:020d}.json")
+            with open(cpath) as fh:
+                acts = [json.loads(x) for x in fh if x.strip()]
+            cdc = [a["cdc"] for a in acts if "cdc" in a]
+            if cdc:
+                out.extend(
+                    _CdfPartition(
+                        os.path.join(self.path, c["path"]),
+                        c.get("partitionValues") or {},
+                        None,
+                        v,
+                    )
+                    for c in cdc
+                )
+                continue
+            adds = [
+                a["add"]
+                for a in acts
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in acts
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if not adds and not removes:
+                continue
+            if any(a.get("deletionVector") for a in adds):
+                raise ValueError(
+                    f"{self.path}: version {v} modifies deletion "
+                    "vectors without cdc actions — the change stream "
+                    "cannot be derived from whole files"
+                )
+            out.extend(
+                _CdfPartition(
+                    os.path.join(self.path, a["path"]),
+                    a.get("partitionValues") or {},
+                    "insert",
+                    v,
+                )
+                for a in adds
+            )
+            if removes:
+                _, _, prev = DeltaLog(self.path).replay(v - 1)
+                for r in removes:
+                    before = prev.get(r["path"])
+                    if before is None or before.get("deletionVector"):
+                        raise ValueError(
+                            f"{self.path}: version {v} removes "
+                            f"{r['path']!r} that was not a clean live "
+                            "file at the prior version — the change "
+                            "stream cannot be derived"
+                        )
+                    out.append(
+                        _CdfPartition(
+                            os.path.join(self.path, r["path"]),
+                            before.get("partitionValues") or {},
+                            "delete",
+                            v,
+                        )
+                    )
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        return self._changes(start["version"], end["version"])
+
+    def read(self, partition: "_CdfPartition"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches():
+            n = batch.num_rows
+            cols = []
+            for field in target:
+                if field.name in self._part_cols:
+                    raw = partition.partition_values.get(field.name)
+                    arr = pa.array([raw] * n, type=pa.string()).cast(
+                        field.type
+                    )
+                else:
+                    i = batch.schema.get_field_index(field.name)
+                    if i < 0:
+                        arr = pa.nulls(n, field.type)
+                    else:
+                        arr = batch.column(i).cast(field.type)
+                cols.append(arr)
+            if partition.change_type is None:
+                i = batch.schema.get_field_index("_change_type")
+                ct = batch.column(i).cast(pa.string())
+            else:
+                ct = pa.array(
+                    [partition.change_type] * n, type=pa.string()
+                )
+            cols.append(ct)
+            cols.append(pa.array([partition.version] * n, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                schema=pa.schema(
+                    list(target)
+                    + [
+                        pa.field("_change_type", pa.string()),
+                        pa.field("_commit_version", pa.int64()),
+                    ]
+                ),
+            )
 
     def commit(self, end: dict) -> None:
         pass

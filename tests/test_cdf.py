@@ -218,3 +218,76 @@ def test_dv_update_never_resurrects_deleted_rows(spark, tmp_path):
     assert len(rows) == 15, rows
     assert rows[:5] == [(5, 105), (6, 106), (7, 107), (8, 108), (9, 109)]
     assert w.delete_where_dv(F.col("k") < 5) is None  # all already dead
+
+
+def test_cdf_stream_source_refuses_underivable_dv_commit(spark, tmp_path):
+    """format("deltacdf") on a NON-CDF table whose history holds a DV
+    commit (no cdc actions): the stream must refuse at planning, not
+    misattribute whole files."""
+    from plankton_spark.sources.delta_log import register
+
+    register(spark)
+    root = str(tmp_path / "cdfstream_dv")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, i) for i in range(10)], "k long, v long"
+        ).repartition(1)
+    )
+    w.delete_where_dv(F.col("k") < 3)
+    stream = spark.readStream.format("deltacdf").option("path", root).load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdf_refuse_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="deletion vectors|cannot be derived"):
+        q.awaitTermination(120)
+        raise AssertionError("stream did not fail")
+
+
+def test_cdf_stream_matches_batch_feed(spark, tmp_path):
+    """The streaming feed (drained in one availableNow pass over the
+    whole history) equals read_delta_cdf over the same version
+    range, column for column (minus the reader-only timestamp)."""
+    from plankton_spark.sources.delta_log import register
+
+    register(spark)
+    root = str(tmp_path / "cdfstream_eq")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(20)], "k long, v long"
+        ).repartition(1),
+        change_data_feed=True,
+    )
+    w.update_where({"v": F.col("v") + 1}, F.col("k") % 5 == 3)
+    w.delete_where(F.col("k") % 5 == 4)
+    w.merge(
+        spark.createDataFrame([(18, 999), (200, 888)], "k long, v long"),
+        "k",
+    )
+    stream = spark.readStream.format("deltacdf").option("path", root).load()
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in read_delta_cdf(spark, root, 0, 3)
+        .drop("_commit_timestamp")
+        .collect()
+    )
+    assert got == want
