@@ -1036,3 +1036,107 @@ def q_tpcds_bandbuyers(spark, sf_dir):
     orders at the scan, and the dim join broadcasts. The SAME SQL
     text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_bandbuyers", _BANDBUYERS)
+
+
+_CHANBAND = """
+WITH base AS (
+  SELECT CASE WHEN l_linenumber % 3 = 0 THEN 'web'
+              WHEN l_linenumber % 3 = 1 THEN 'catalog'
+              ELSE 'store' END AS channel,
+         l_partkey AS item,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-07-01'
+),
+per AS (
+  SELECT item,
+         CAST(SUM(CASE WHEN channel = 'web' THEN cents ELSE 0 END)
+              AS BIGINT) AS web_cents,
+         CAST(SUM(CASE WHEN channel = 'catalog' THEN cents ELSE 0 END)
+              AS BIGINT) AS cat_cents,
+         CAST(SUM(CASE WHEN channel = 'store' THEN cents ELSE 0 END)
+              AS BIGINT) AS store_cents
+  FROM base GROUP BY item
+  HAVING SUM(CASE WHEN channel = 'web' THEN cents ELSE 0 END) > 0
+     AND SUM(CASE WHEN channel = 'catalog' THEN cents ELSE 0 END) > 0
+     AND SUM(CASE WHEN channel = 'store' THEN cents ELSE 0 END) > 0
+)
+SELECT item, web_cents, cat_cents, store_cents,
+       web_cents + cat_cents + store_cents AS total_cents
+FROM per
+WHERE 30 * web_cents   BETWEEN 9 * (web_cents + cat_cents + store_cents)
+                           AND 11 * (web_cents + cat_cents + store_cents)
+  AND 30 * cat_cents   BETWEEN 9 * (web_cents + cat_cents + store_cents)
+                           AND 11 * (web_cents + cat_cents + store_cents)
+  AND 30 * store_cents BETWEEN 9 * (web_cents + cat_cents + store_cents)
+                           AND 11 * (web_cents + cat_cents + store_cents)
+"""
+
+_TABLES["q_tpcds_chanband"] = ("lineitem",)
+
+
+@query("q_tpcds_chanband", oracle=_CHANBAND)
+def q_tpcds_chanband(spark, sf_dir):
+    """TPC-DS Q58 shape (fixture-adapted): items selling EVENLY across
+    all three channels — each channel's revenue within ±10% of the
+    item's cross-channel average. Q58 writes three per-channel CTEs
+    joined on item with six ratio predicates; the scale-right
+    expression is ONE conditional-aggregation pass per item (no
+    three-way self-join at all) with the band as exact integer
+    cross-multiplications (30·chan BETWEEN 9·total AND 11·total ⇔
+    chan/avg ∈ [0.9, 1.1]) — no float ratio ever materializes. The
+    SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_chanband", _CHANBAND)
+
+
+_GROWTHCMP = """
+WITH sales AS (
+  SELECT n.n_name AS nation,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 'web' ELSE 'store' END AS channel,
+         CAST(EXTRACT(QUARTER FROM o.o_orderdate) AS BIGINT) AS q,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= DATE '1996-01-01'
+    AND o.o_orderdate < DATE '1996-07-01'
+),
+per AS (
+  SELECT nation, channel, q, CAST(SUM(cents) AS BIGINT) AS cents
+  FROM sales GROUP BY nation, channel, q
+),
+wide AS (
+  SELECT nation,
+         CAST(SUM(CASE WHEN channel = 'web' AND q = 1
+                  THEN cents ELSE 0 END) AS BIGINT) AS w1,
+         CAST(SUM(CASE WHEN channel = 'web' AND q = 2
+                  THEN cents ELSE 0 END) AS BIGINT) AS w2,
+         CAST(SUM(CASE WHEN channel = 'store' AND q = 1
+                  THEN cents ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN channel = 'store' AND q = 2
+                  THEN cents ELSE 0 END) AS BIGINT) AS s2
+  FROM per GROUP BY nation
+  HAVING SUM(CASE WHEN channel = 'web' AND q = 1 THEN cents ELSE 0 END) > 0
+     AND SUM(CASE WHEN channel = 'store' AND q = 1 THEN cents ELSE 0 END) > 0
+)
+SELECT nation, w1, w2, s1, s2
+FROM wide
+WHERE w2 * s1 > s2 * w1
+"""
+
+_TABLES["q_tpcds_growthcmp"] = ("orders", "customer", "nation")
+
+
+@query("q_tpcds_growthcmp", oracle=_GROWTHCMP)
+def q_tpcds_growthcmp(spark, sf_dir):
+    """TPC-DS Q31 shape (fixture-adapted): regions where the WEB
+    channel's quarter-over-quarter growth beat the STORE channel's —
+    Q31 joins six per-(county, quarter) CTEs and compares growth
+    RATIOS; here both channels' Q1/Q2 series pivot out of ONE
+    aggregate pass and the ratio comparison is the exact integer
+    cross-product (w2/w1 > s2/s1 ⇔ w2·s1 > s2·w1 for positive
+    denominators, enforced by the HAVING) — no division, no float
+    drift. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_growthcmp", _GROWTHCMP)
