@@ -4783,17 +4783,20 @@ def convert_planktable_to_iceberg(spark, table_path: str) -> int:
 
 
 def _iceberg_convertible_snapshot(
-    table_path: str,
-) -> tuple["IcebergTable", list[tuple[str, dict]], list[str]]:
+    table_path: str, translate_deletes: bool = False,
+) -> tuple["IcebergTable", list[tuple[str, dict]], list[str], dict]:
     """Live data-file inventory of an Iceberg table's CURRENT snapshot
     for an in-place conversion to another format, with the refusal
     discipline convert_delta_to_iceberg applies mirrored back:
 
-    - live row-level deletes (v2 position files, v3 deletion vectors,
-      equality deletes) refuse — a whole-file version-0 authoring
-      would resurrect the deleted rows; OPTIMIZE first (compaction
-      purges position deletes and DVs; equality deletes refuse there
-      too by design).
+    - live row-level deletes: with ``translate_deletes`` (the Delta
+      arrow), v3 deletion vectors AND v2 position-delete files decode
+      to per-file sorted row indexes (the Delta DV payload — same
+      physical-position semantics, shared roaring codec downstream)
+      returned as the dv_map; without it (the planktable arrow, whose
+      format has no delete concept) any live delete refuses.
+      EQUALITY deletes always refuse (their strictly-greater sequence
+      semantics have no Delta representation).
     - non-identity partition transforms (day/bucket/truncate) refuse —
       the target formats' partitionValues are identity-typed and a
       derived dir ordinal has no faithful representation.
@@ -4801,16 +4804,58 @@ def _iceberg_convertible_snapshot(
       cannot describe two layouts.
 
     Returns (table, [(abs_path, typed_partition_values)], identity
-    partition column names)."""
+    partition column names, {abs_data_path: sorted deleted row
+    indexes})."""
     t = IcebergTable(table_path)
     full, pos_dels, eq_dels, dv_dels = t.scan_entries_full(None)
-    if pos_dels or eq_dels or dv_dels:
+    if eq_dels or (
+        not translate_deletes and (pos_dels or dv_dels)
+    ):
         raise ValueError(
             f"{table_path}: live row-level deletes (position files: "
             f"{len(pos_dels)}, equality: {len(eq_dels)}, deletion "
             f"vectors: {len(dv_dels)}) — a whole-file conversion would "
             "resurrect deleted rows; run OPTIMIZE first to purge them"
         )
+    dv_map: dict[str, list[int]] = {}
+    if translate_deletes and (pos_dels or dv_dels):
+        from collections import defaultdict
+
+        from plankton_spark.sources import puffin as _puffin
+
+        # file identity by basename — the same rule (and the same
+        # uniqueness/URI-safety validation) the delete-aware read
+        # applies; translation must reproduce exactly what
+        # read_iceberg computes
+        by_base: dict[str, str] = {}
+        for p, _pv, _s, _sid in full:
+            b = os.path.basename(p)
+            if b in by_base:
+                raise ValueError(
+                    f"{table_path}: duplicate data-file basenames — "
+                    "delete translation would be ambiguous"
+                )
+            by_base[b] = p
+        idx: dict[str, set[int]] = defaultdict(set)
+        for pp, ref, off, sz, _card in dv_dels:
+            base = os.path.basename(ref.rstrip("/"))
+            if base in by_base:
+                idx[by_base[base]].update(
+                    _puffin.dv_indexes(pp, int(off), int(sz))
+                )
+        if pos_dels:
+            import pyarrow.parquet as _pq
+
+            for dfp in pos_dels:
+                tbl = _pq.read_table(dfp, columns=["file_path", "pos"])
+                for fp, pos in zip(
+                    tbl.column("file_path").to_pylist(),
+                    tbl.column("pos").to_pylist(),
+                ):
+                    base = os.path.basename(str(fp).rstrip("/"))
+                    if base in by_base:
+                        idx[by_base[base]].add(int(pos))
+        dv_map = {p: sorted(v) for p, v in idx.items() if v}
     spec_ids = sorted({sid for _p, _pv, _s, sid in full})
     if len(spec_ids) > 1:
         raise ValueError(
@@ -4832,7 +4877,7 @@ def _iceberg_convertible_snapshot(
             "target format — conversion refused"
         )
     part_cols = [t.source_column(f) for f in spec] if spec else []
-    return t, [(p, pv) for p, pv, _s, _sid in full], part_cols
+    return t, [(p, pv) for p, pv, _s, _sid in full], part_cols, dv_map
 
 
 def convert_iceberg_to_delta(spark, table_path: str) -> int:
@@ -4854,8 +4899,16 @@ def convert_iceberg_to_delta(spark, table_path: str) -> int:
     names — so ids MATERIALIZED by an Iceberg compaction keep winning
     on the Delta side through the same physical columns. A
     partially-tracked snapshot converts WITHOUT tracking (both
-    readers' refuse-don't-fabricate contract). Refusals for DV'd /
-    eq-deleted / transform-partitioned / multi-spec sources via
+    readers' refuse-don't-fabricate contract).
+
+    Iceberg ROW-LEVEL DELETES translate too (the exact reverse of
+    q_uniform_dv's direction): v3 Puffin deletion vectors AND v2
+    position-delete files decode to per-file row indexes and
+    re-encode as Delta DV files (shared roaring codec — exact by
+    construction), so a deleted-from Iceberg table reads identically
+    through the Delta chain with zero data movement; the protocol
+    carries the deletionVectors reader/writer feature. Equality
+    deletes and transform-partitioned / multi-spec sources refuse via
     _iceberg_convertible_snapshot. One-shot snapshot export, same
     divergence contract as the forward converter."""
     from plankton_spark.filestats import file_stats as _fstats
@@ -4867,11 +4920,14 @@ def convert_iceberg_to_delta(spark, table_path: str) -> int:
         _row_tracking_domain,
         _schema_has_ntz,
     )
+    from plankton_spark.sources.deletion_vectors import write_dv_file
 
     log_dir = os.path.join(table_path, "_delta_log")
     if os.path.isdir(log_dir) and _commit_versions(log_dir):
         raise FileExistsError(f"{table_path}: already a Delta table")
-    t, entries, part_cols = _iceberg_convertible_snapshot(table_path)
+    t, entries, part_cols, dv_map = _iceberg_convertible_snapshot(
+        table_path, translate_deletes=True
+    )
     schema = t.schema()
     row_ids = None
     next_row_id = t.metadata.get("next-row-id")
@@ -4901,6 +4957,11 @@ def convert_iceberg_to_delta(spark, table_path: str) -> int:
         if row_ids is not None:
             add["baseRowId"] = row_ids[p]
             add["defaultRowCommitVersion"] = 0
+        if p in dv_map:
+            # re-encode the decoded indexes as a Delta DV file — the
+            # roaring payloads share one codec, so the translation is
+            # exact and CRC-verified on every read
+            add["deletionVector"] = write_dv_file(table_path, dv_map[p])
         adds.append({"add": add})
     cfg: dict[str, str] = {}
     wf: set[str] = set()
@@ -4912,6 +4973,12 @@ def convert_iceberg_to_delta(spark, table_path: str) -> int:
     if _schema_has_ntz(schema):
         min_reader, reader_features = 3, ["timestampNtz"]
         wf |= {"timestampNtz"}
+    if dv_map:
+        # deletionVectors is a READER feature: readers without it
+        # would resurrect the deleted rows
+        min_reader = 3
+        reader_features = sorted(set(reader_features) | {"deletionVectors"})
+        wf |= {"deletionVectors"}
     if row_ids is not None:
         wf |= {"rowTracking", "domainMetadata"}
         cfg = {
@@ -4957,7 +5024,7 @@ def convert_iceberg_to_planktable(spark, table_path: str) -> int:
     t = PlankTable(spark, table_path)
     if t.versions():
         raise FileExistsError(f"{table_path}: already a planktable")
-    _ice, entries, part_cols = _iceberg_convertible_snapshot(table_path)
+    _ice, entries, part_cols, _dv = _iceberg_convertible_snapshot(table_path)
     if part_cols:
         raise ValueError(
             f"{table_path}: identity-partitioned Iceberg tables cannot "

@@ -332,23 +332,80 @@ def test_iceberg_to_delta_roundtrip_and_lineage(spark, tmp_path):
     assert read_delta(spark, proot, partitions={"grp": "a"}).count() == 10
 
 
-def test_iceberg_to_delta_refusals(spark, tmp_path):
-    """Refuse-don't-corrupt: live DVs would resurrect rows wholesale,
-    transform partitions have no identity representation."""
+def test_iceberg_to_delta_translates_deletes(spark, tmp_path):
+    """The reverse of q_uniform_dv's direction: live v3 Puffin DVs and
+    v2 position-delete files TRANSLATE to Delta DV files (shared
+    roaring codec) — the converted table reads identically on both
+    chains with zero data movement, composing with lineage."""
+    from plankton_spark.sources.delta_log import DeltaLog, read_delta
     from plankton_spark.sources.iceberg_meta import (
         IcebergWriter,
         convert_iceberg_to_delta,
+        read_iceberg,
     )
 
     dv_root = str(tmp_path / "i2d_dv")
     w = IcebergWriter(spark, dv_root)
     w.create(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "k long, v string"
+        ).repartition(1).sortWithinPartitions("k")
+    )
+    w.delete_where_dv(F.col("k") % 5 == 0)
+    ice = sorted(
+        (r["k"], r["v"]) for r in read_iceberg(spark, dv_root).collect()
+    )
+    ice_ids = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, dv_root, with_lineage=True).collect()
+    }
+    convert_iceberg_to_delta(spark, dv_root)
+    assert sorted(
+        (r["k"], r["v"]) for r in read_delta(spark, dv_root).collect()
+    ) == ice
+    # lineage composes with the translated DVs (positions physical)
+    assert {
+        r["k"]: r["_row_id"]
+        for r in read_delta(spark, dv_root, with_row_ids=True).collect()
+    } == ice_ids
+    log = DeltaLog(dv_root)
+    log.replay(None)
+    assert "deletionVectors" in (log.table_protocol or {}).get(
+        "readerFeatures", []
+    )
+    # v2 position deletes translate through the same path
+    p_root = str(tmp_path / "i2d_pos")
+    wp = IcebergWriter(spark, p_root)
+    wp.create(
+        spark.createDataFrame(
+            [(i, i * 2) for i in range(25)], "k long, v long"
+        ).repartition(1).sortWithinPartitions("k")
+    )
+    wp.delete_where_pos(F.col("k") % 7 == 0)
+    want = sorted(r["k"] for r in read_iceberg(spark, p_root).collect())
+    convert_iceberg_to_delta(spark, p_root)
+    assert sorted(r["k"] for r in read_delta(spark, p_root).collect()) == want
+
+
+def test_iceberg_to_delta_refusals(spark, tmp_path):
+    """Refuse-don't-corrupt: equality deletes (sequence semantics have
+    no Delta representation) and transform partitions refuse; the
+    planktable arrow refuses ANY live delete."""
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        convert_iceberg_to_delta,
+        convert_iceberg_to_planktable,
+    )
+
+    eq_root = str(tmp_path / "i2d_eq")
+    w = IcebergWriter(spark, eq_root)
+    w.create(
         spark.createDataFrame([(i, "x") for i in range(20)],
                               "k long, v string")
     )
-    w.delete_where_dv(F.col("k") < 5)
+    w.delete_where_eq(spark.createDataFrame([(3,)], "k long"))
     with pytest.raises(ValueError, match="row-level deletes"):
-        convert_iceberg_to_delta(spark, dv_root)
+        convert_iceberg_to_delta(spark, eq_root)
     b_root = str(tmp_path / "i2d_bucket")
     wb = IcebergWriter(spark, b_root)
     wb.create(
@@ -358,6 +415,15 @@ def test_iceberg_to_delta_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="transform-partitioned"):
         convert_iceberg_to_delta(spark, b_root)
+    pdv_root = str(tmp_path / "i2p_dv")
+    wd = IcebergWriter(spark, pdv_root)
+    wd.create(
+        spark.createDataFrame([(i, "x") for i in range(10)],
+                              "k long, v string")
+    )
+    wd.delete_where_dv(F.col("k") < 2)
+    with pytest.raises(ValueError, match="row-level deletes"):
+        convert_iceberg_to_planktable(spark, pdv_root)
 
 
 def test_iceberg_to_planktable_roundtrip_and_refusals(spark, tmp_path):
