@@ -3641,13 +3641,17 @@ class DeltaLogWriter:
         rt_on, mat_id, mat_cv, mat_head = self._rt_rewrite_state(
             log, schema, part_cols, active
         )
-        if rt_on and added_fields:
-            # schema evolution rides a fresh metaData action that must
-            # not race the materialized-name declaration — the
-            # composition is untested, refuse rather than guess
+        if rt_on and added_fields and mat_head:
+            # evolution emits its own metaData (config carried
+            # forward) — composing it with a SECOND metaData that
+            # declares the materialized names would need a merge; our
+            # tables declare the names at create, so this only trips
+            # on foreign tracked tables evolving in the same MERGE
             raise DeltaProtocolError(
                 f"{self.table_path}: MERGE schema evolution on a "
-                "row-tracked table is not implemented"
+                "row-tracked table without declared materialized "
+                "column names is not implemented — declare "
+                "delta.rowTracking.materialized*ColumnName first"
             )
         if overlap:
             hot = (
@@ -3725,8 +3729,11 @@ class DeltaLogWriter:
                 cdc_df = source.withColumn("_change_type", F.lit("insert"))
             tail += self._stage_cdc(cdc_df, part_cols)
         if rt_on:
+            # head (schema evolution) and mat_head are mutually
+            # exclusive here (the guard above), so concatenation never
+            # stacks two metaData actions in one commit
             return self._commit_rt_rewrite(
-                mat_head, rw_adds, tail, overlap, mat_id, mat_cv
+                head + mat_head, rw_adds, tail, overlap, mat_id, mat_cv
             )
         return self._validate_then_commit(head + rw_adds + tail, overlap)
 
@@ -3986,8 +3993,10 @@ class DeltaCdfDataSource(DataSource):
     """format("deltacdf"): the CHANGE DATA FEED as a STREAMING source —
     the CDC-to-downstream pattern (feed a materialized aggregate, sync
     a search index, drive an audit trail) without re-reading
-    snapshots. Options: path. Output schema = table columns +
-    _change_type + _commit_version."""
+    snapshots. Options: path, startingVersion (first commit whose
+    changes stream; default 0 = full history — delta-spark's CDF
+    contract). Output schema = table columns + _change_type +
+    _commit_version."""
 
     @classmethod
     def name(cls) -> str:
@@ -4010,7 +4019,10 @@ class DeltaCdfDataSource(DataSource):
         )
 
     def streamReader(self, schema) -> "DeltaCdfStreamReader":
-        return DeltaCdfStreamReader(self._path())
+        return DeltaCdfStreamReader(
+            self._path(),
+            int(self.options.get("startingVersion", 0)),
+        )
 
 
 class DeltaCdfStreamReader(DataSourceStreamReader):
@@ -4024,15 +4036,18 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
     same serving-schema rule the batch reader applies per version is
     collapsed to the head here, documented)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, starting_version: int = 0):
         self.path = path
+        self.starting_version = starting_version
         log = DeltaLog(path)
         schema, part_cols = log.schema_info(None)
         self._schema = schema
         self._part_cols = part_cols
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        # offsets are EXCLUSIVE lower bounds, so starting_version - 1
+        # makes startingVersion the first commit whose changes stream
+        return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         return {"version": DeltaLog(self.path).latest_version()}

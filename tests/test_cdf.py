@@ -291,3 +291,75 @@ def test_cdf_stream_matches_batch_feed(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_cdf_stream_starting_version(spark, tmp_path):
+    """startingVersion skips earlier history: a consumer attaching at
+    v2 sees only the delete, never the backfill inserts."""
+    from plankton_spark.sources.delta_log import register
+
+    register(spark)
+    root = str(tmp_path / "cdfstream_sv")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, i) for i in range(10)], "k long, v long"
+        ).repartition(1),
+        change_data_feed=True,
+    )
+    w.append(spark.createDataFrame([(100, 1)], "k long, v long"))  # v1
+    w.delete_where(F.col("k") == 3)                                 # v2
+    stream = (
+        spark.readStream.format("deltacdf")
+        .option("path", root)
+        .option("startingVersion", "2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdf_sv_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("cdf_sv_t").collect()
+    assert {(r["_commit_version"], r["_change_type"], r["k"]) for r in rows} == {
+        (2, "delete", 3)
+    }
+
+
+def test_merge_schema_evolution_on_tracked_table(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION on a row-tracked table (names
+    declared at create): the evolved column lands, survivors
+    null-fill it, and every identity is preserved (updates keep ids
+    with reset versions, inserts fresh)."""
+    from plankton_spark.sources.delta_log import DeltaProtocolError  # noqa: F401
+
+    root = str(tmp_path / "rt_evolve")
+    w = DeltaLogWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, i) for i in range(10)], "k long, v long"
+        ).repartition(1),
+        row_tracking=True,
+    )
+    before = {
+        r["k"]: r["_row_id"]
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    v = w.merge(
+        spark.createDataFrame(
+            [(3, 30, "x"), (100, 1, "y")], "k long, v long, tag string"
+        ),
+        "k",
+        merge_schema=True,
+    )
+    rows = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"], r["tag"])
+        for r in read_delta(spark, root, with_row_ids=True).collect()
+    }
+    assert rows[3][0] == before[3] and rows[3][1] == v and rows[3][2] == "x"
+    assert rows[100][0] >= 10 and rows[100][2] == "y"
+    assert rows[5][0] == before[5] and rows[5][2] is None  # null-filled
