@@ -1791,3 +1791,80 @@ def q_iceberg_convert_reverse(spark, sf_dir):
         F.sum("_row_id").cast("long").alias("rid_sum"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "q_iceberg_changelog",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c FROM orders
+      WHERE o_orderkey < 1500
+    ),
+    live3 AS (SELECT k, c FROM o WHERE k % 10 <> 3),
+    ch AS (
+      SELECT CAST(1 AS BIGINT) AS sid, 'insert' AS ct, k, c
+      FROM o WHERE k < 1200
+      UNION ALL
+      SELECT 2, 'insert', k, c FROM o WHERE k >= 1200
+      UNION ALL
+      SELECT 3, 'delete', k, c FROM o WHERE k % 10 = 3
+      UNION ALL
+      SELECT 5, 'delete', k, c FROM live3
+      UNION ALL
+      SELECT 5, 'insert', k, c FROM live3
+      WHERE NOT (k % 10 = 7 AND k < 1200)
+    )
+    SELECT sid, ct AS change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(c) AS BIGINT) AS cust_sum
+    FROM ch GROUP BY sid, ct
+    """,
+)
+def q_iceberg_changelog(spark, sf_dir):
+    """Iceberg CHANGELOG SCAN (the spec's incremental-changes
+    semantics — the Iceberg twin of q_deltalog_cdf): per snapshot,
+    ADDED files' rows emit as inserts, REMOVED files' pre-snapshot
+    rows as deletes, and DV GROWTH on carried files emits EXACTLY the
+    newly-marked positions (a superseding Puffin blob is a union —
+    previously-deleted rows never re-emit); `replace` snapshots
+    (OPTIMIZE, snapshot 4 here) are layout-only and contribute
+    NOTHING. The lifecycle compounds every attribution mode: two
+    append snapshots, a DV delete across both files, a silent
+    compaction, then a rewrite delete whose change set derives as
+    delete-all + insert-survivors. The oracle recomputes each
+    snapshot's change set relationally, so a re-emitted DV row, a
+    compaction leaking into the feed, or a survivor misattributed is
+    a hash mismatch. All row emission is native parquet scans with
+    broadcast (file, position) joins
+    (sources/iceberg_meta.py:read_iceberg_changelog)."""
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        read_iceberg_changelog,
+    )
+
+    root = _scratch(sf_dir, "iceberg_changelog")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_custkey")
+    )
+    k = F.col("o_orderkey")
+    w = IcebergWriter(spark, root)
+    w.create(o.where(k < 1200).repartition(1).sortWithinPartitions("o_orderkey"))
+    w.append(o.where(k >= 1200).repartition(1).sortWithinPartitions("o_orderkey"))
+    w.delete_where_dv(F.col("o_orderkey") % 10 == 3)
+    w.optimize(num_files=1)  # layout-only: must not leak into the feed
+    w.delete_where(
+        (F.col("o_orderkey") % 10 == 7) & (F.col("o_orderkey") < 1200)
+    )
+    cl = read_iceberg_changelog(spark, root, 1, 5)
+    return cl.groupBy(
+        F.col("_snapshot_id").alias("sid"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("o_custkey").cast("long").alias("cust_sum"),
+    )

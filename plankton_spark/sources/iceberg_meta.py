@@ -4374,6 +4374,220 @@ def read_iceberg_changes(spark, table_path: str, sid_from: int, sid_to: int):
     )
 
 
+def read_iceberg_changelog(
+    spark, table_path: str, sid_from: int, sid_to: int
+):
+    """Row-level CHANGELOG SCAN over the snapshots in [sid_from,
+    sid_to], both inclusive — the Iceberg-side twin of
+    read_delta_cdf (the spec's incremental changelog semantics): per
+    snapshot,
+
+    - files ADDED contribute their rows (minus any deletion vector
+      already carried at that snapshot) as `insert`;
+    - files REMOVED contribute their PRE-snapshot rows (minus the
+      positions already DV-deleted before) as `delete`;
+    - DV GROWTH on carried files contributes exactly the
+      newly-marked positions as `delete` (old DV rows never
+      re-emit — a superseding blob is a union, not a replacement);
+    - `replace` snapshots (OPTIMIZE's layout-only rewrites) are
+      skipped per the spec's operation label, so compaction produces
+      an EMPTY feed.
+
+    Output: table columns + `_change_type` + `_snapshot_id`. Deletes
+    whose row sets need the equality-delete sequence join refuse
+    (positions are not attributable); partition-evolved ranges
+    refuse (one scan cannot attach two specs' columns). Per-file DV
+    index sets decode once per snapshot boundary (bounded by deleted
+    rows — the same driver budget the DV writers accept); the row
+    scans themselves are native parquet with the (file, position)
+    sets joined in, no Python row path."""
+    t = IcebergTable(table_path)
+    snaps = t.metadata.get("snapshots") or []
+    by_id = {s["snapshot-id"]: s for s in snaps}
+    chain = [s["snapshot-id"] for s in snaps]
+    in_range = [sid for sid in chain if sid_from <= sid <= sid_to]
+    schema = t.schema()
+    out_schema = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_snapshot_id", T.LongType()),
+        ]
+    )
+    if not in_range:
+        return spark.createDataFrame([], out_schema)
+
+    from plankton_spark.sources import puffin as _puffin
+
+    state_cache: dict[int | None, tuple[dict, dict, list[str]]] = {}
+
+    def state(sid: int | None):
+        """{abs_path: pv}, {abs_path: sorted deleted indexes},
+        identity partition cols at a snapshot (empty before the first
+        snapshot)."""
+        if sid in state_cache:
+            return state_cache[sid]
+        if sid is None:
+            state_cache[sid] = ({}, {}, [])
+            return state_cache[sid]
+        full, pos_dels, eq_dels, dv_dels = t.scan_entries_full(sid)
+        if eq_dels:
+            raise ValueError(
+                f"{table_path}: changelog scan over an equality-"
+                "deleted snapshot is not supported — the deleted row "
+                "set is not position-attributable"
+            )
+        if len({s for _p, _pv, _sq, s in full}) > 1:
+            raise ValueError(
+                f"{table_path}: changelog scan over a partition-"
+                "evolved (multi-spec) snapshot is not supported"
+            )
+        files = {p: pv for p, pv, _sq, _sid2 in full}
+        by_base = {os.path.basename(p): p for p in files}
+        dvsets: dict[str, set[int]] = {}
+        for pp, ref, off, sz, _card in dv_dels:
+            base = os.path.basename(ref.rstrip("/"))
+            if base in by_base:
+                dvsets.setdefault(by_base[base], set()).update(
+                    _puffin.dv_indexes(pp, int(off), int(sz))
+                )
+        if pos_dels:
+            import pyarrow.parquet as _pq
+
+            for dfp in pos_dels:
+                tbl = _pq.read_table(dfp, columns=["file_path", "pos"])
+                for fp, pos in zip(
+                    tbl.column("file_path").to_pylist(),
+                    tbl.column("pos").to_pylist(),
+                ):
+                    base = os.path.basename(str(fp).rstrip("/"))
+                    if base in by_base:
+                        dvsets.setdefault(by_base[base], set()).add(
+                            int(pos)
+                        )
+        pcols = (
+            t.partition_fields_for(next(iter({s for *_x, s in full})))
+            if full
+            else []
+        )
+        state_cache[sid] = (files, dvsets, pcols)
+        return state_cache[sid]
+
+    def scan_minus(entries, pcols, drop_sets, ct, sid):
+        """Scan `entries` minus the (file, position) pairs in
+        drop_sets, stamped with the change type + snapshot id."""
+        scan = _assemble_iceberg(
+            spark, schema, pcols, entries, with_pos=True
+        )
+        pairs = [
+            (os.path.basename(p), int(i))
+            for p, idx in sorted(drop_sets.items())
+            for i in idx
+        ]
+        if pairs:
+            drop = spark.createDataFrame(
+                pairs, "__pd_file string, __pd_ridx long"
+            )
+            scan = scan.withColumn(
+                "__pd_file", F.substring_index("__pd_file", "/", -1)
+            ).join(
+                F.broadcast(drop)
+                if len(pairs) < 2_000_000
+                else drop,
+                ["__pd_file", "__pd_ridx"],
+                "left_anti",
+            )
+        return scan.select(
+            *[f.name for f in schema.fields],
+            F.lit(ct).alias("_change_type"),
+            F.lit(int(sid)).cast("long").alias("_snapshot_id"),
+        )
+
+    def scan_only(entries, pcols, keep_sets, ct, sid):
+        """Scan ONLY the (file, position) pairs in keep_sets."""
+        scan = _assemble_iceberg(
+            spark, schema, pcols, entries, with_pos=True
+        )
+        pairs = [
+            (os.path.basename(p), int(i))
+            for p, idx in sorted(keep_sets.items())
+            for i in idx
+        ]
+        keep = spark.createDataFrame(
+            pairs, "__pd_file string, __pd_ridx long"
+        )
+        scan = scan.withColumn(
+            "__pd_file", F.substring_index("__pd_file", "/", -1)
+        ).join(
+            F.broadcast(keep) if len(pairs) < 2_000_000 else keep,
+            ["__pd_file", "__pd_ridx"],
+            "semi",
+        )
+        return scan.select(
+            *[f.name for f in schema.fields],
+            F.lit(ct).alias("_change_type"),
+            F.lit(int(sid)).cast("long").alias("_snapshot_id"),
+        )
+
+    frames = []
+    for sid in in_range:
+        pos = chain.index(sid)
+        prev = chain[pos - 1] if pos > 0 else None
+        op = (by_id[sid].get("summary") or {}).get("operation")
+        if op == "replace":
+            continue  # layout-only rewrite: no logical change
+        files_prev, dv_prev, pcols_prev = state(prev)
+        files_cur, dv_cur, pcols_cur = state(sid)
+        added = {
+            p: pv for p, pv in files_cur.items() if p not in files_prev
+        }
+        removed = {
+            p: pv for p, pv in files_prev.items() if p not in files_cur
+        }
+        if added:
+            frames.append(
+                scan_minus(
+                    sorted(added.items()),
+                    pcols_cur,
+                    {p: dv_cur[p] for p in added if p in dv_cur},
+                    "insert",
+                    sid,
+                )
+            )
+        if removed:
+            frames.append(
+                scan_minus(
+                    sorted(removed.items()),
+                    pcols_prev,
+                    {p: dv_prev[p] for p in removed if p in dv_prev},
+                    "delete",
+                    sid,
+                )
+            )
+        grown = {
+            p: sorted(set(dv_cur.get(p, ())) - set(dv_prev.get(p, ())))
+            for p in files_cur
+            if p in files_prev
+            and set(dv_cur.get(p, ())) - set(dv_prev.get(p, ()))
+        }
+        if grown:
+            frames.append(
+                scan_only(
+                    sorted((p, files_cur[p]) for p in grown),
+                    pcols_cur,
+                    grown,
+                    "delete",
+                    sid,
+                )
+            )
+    if not frames:
+        return spark.createDataFrame([], out_schema)
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def convert_to_iceberg(
     spark, table_path: str, partition_schema: dict[str, str] | None = None
 ) -> int:
