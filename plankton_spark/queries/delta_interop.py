@@ -1111,3 +1111,73 @@ def q_deltalog_cdf(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.sum("o_custkey").cast("long").alias("cust_sum"),
     )
+
+
+@query(
+    "q_cdf_apply",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c FROM orders
+      WHERE o_orderkey < 1300
+    ),
+    state AS (  -- the source table's final content, recomputed:
+      -- keys < 1150 survive the delete with the v2 update applied;
+      -- every key >= 1150 ends at the MERGE source's value (updates
+      -- REPLACE the earlier +1e6, deletions re-insert, 1200+ insert)
+      SELECT k, c + CASE WHEN k % 10 = 3 THEN 1000000 ELSE 0 END AS c
+      FROM o WHERE k < 1150 AND k % 10 <> 7
+      UNION ALL
+      SELECT k, c + 5000000 FROM o WHERE k >= 1150
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(c) AS BIGINT) AS cust_sum
+    FROM state
+    """,
+)
+def q_cdf_apply(spark, sf_dir):
+    """The CDC CONSUMER half: materialize a replica's state from the
+    change feed ALONE (operators/cdc.py:cdf_last_image — one key
+    shuffle over the whole feed, last change wins, deletes drop out;
+    never a per-commit replay loop) and prove it equals the source
+    table. The lifecycle is q_deltalog_cdf's (create → append →
+    UPDATE → DELETE → MERGE with re-inserts of previously-deleted
+    keys — the case that breaks naive 'apply inserts then deletes'
+    consumers, since the SAME key dies at v3 and returns at v4); the
+    oracle recomputes the source's final content relationally, so a
+    mis-ordered change, a resurrected delete, or a lost re-insert is
+    a hash mismatch. The replica equality is additionally pinned
+    row-for-row in tests/test_cdf.py."""
+    from plankton_spark.operators import cdf_last_image
+    from plankton_spark.sources.delta_log import (
+        DeltaLogWriter,
+        read_delta_cdf,
+    )
+
+    root = _scratch(sf_dir, "cdf_apply")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1300)
+        .select("o_orderkey", "o_custkey")
+    )
+    k = F.col("o_orderkey")
+    w = DeltaLogWriter(spark, root)
+    w.create(o.where(k < 600).repartition(1), change_data_feed=True)
+    w.append(o.where((k >= 600) & (k < 1200)).repartition(1))
+    w.update_where(
+        {"o_custkey": F.col("o_custkey") + 1000000},
+        F.col("o_orderkey") % 10 == 3,
+    )
+    w.delete_where(F.col("o_orderkey") % 10 == 7)
+    src = o.where(k >= 1150).select(
+        "o_orderkey", (F.col("o_custkey") + 5000000).alias("o_custkey")
+    )
+    w.merge(src, "o_orderkey")
+    feed = read_delta_cdf(spark, root, 0, 4)
+    replica = cdf_last_image(feed, "o_orderkey")
+    return replica.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("o_custkey").cast("long").alias("cust_sum"),
+    )
