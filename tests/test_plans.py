@@ -389,3 +389,25 @@ def test_variant_shredded_partial_pushes_both_leaves(spark):
     rs = plan[i : i + 250]
     assert "typed_value:bigint" in rs and "value:binary" in rs, rs
     assert "metadata" not in rs, rs
+
+
+def test_variant_shredded_nested_pushes_through_both_levels(spark):
+    """NESTED shredding keeps the pushdown: the b >= 50 predicate
+    lands on the DOUBLY-nested typed leaf and the ReadSchema carries
+    the two leaf chains while the binary metadata column is pruned."""
+    df = all_queries()["q_json_variant_shredded_nested"](spark, SF0001)
+    plan = plan_of(df)
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m, plan
+    assert (
+        "GreaterThanOrEqual(props_shredded.typed_value.a.typed_value"
+        ".b.typed_value,50)" in m.group(1)
+    ), m.group(1)
+    i = plan.find("ReadSchema")
+    rs = plan[i : i + 400]
+    # nested-schema pruning goes all the way down: only the two typed
+    # LEAVES are read — the per-field binary residuals and the variant
+    # metadata never reach the scan
+    assert "b:struct<typed_value:bigint" in rs, rs
+    assert "s:struct<typed_value:string" in rs, rs
+    assert "metadata" not in rs and "value:binary" not in rs, rs
