@@ -1868,3 +1868,98 @@ def q_iceberg_changelog(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.sum("o_custkey").cast("long").alias("cust_sum"),
     )
+
+
+@query(
+    "q_stream_iceberg_cdf",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c FROM orders
+      WHERE o_orderkey < 1500
+    ),
+    live3 AS (SELECT k, c FROM o WHERE k % 10 <> 3),
+    ch AS (
+      SELECT CAST(1 AS BIGINT) AS sid, 'insert' AS ct, k, c
+      FROM o WHERE k < 1200
+      UNION ALL
+      SELECT 2, 'insert', k, c FROM o WHERE k >= 1200
+      UNION ALL
+      SELECT 3, 'delete', k, c FROM o WHERE k % 10 = 3
+      UNION ALL
+      SELECT 5, 'delete', k, c FROM live3
+      UNION ALL
+      SELECT 5, 'insert', k, c FROM live3
+      WHERE NOT (k % 10 = 7 AND k < 1200)
+    )
+    SELECT sid, ct AS change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(c) AS BIGINT) AS cust_sum
+    FROM ch GROUP BY sid, ct
+    """,
+)
+def q_stream_iceberg_cdf(spark, sf_dir):
+    """The Iceberg changelog as a REAL STREAMING source
+    (format("icebergcdf"), offsets = snapshot ORDINALS) with a
+    mid-stream restart — the cross-format twin of q_stream_cdf: the
+    two append snapshots drain first; a DV delete, a compaction, and
+    a rewrite delete land while the consumer is down; the resumed
+    query must emit EXACTLY the down-time snapshots' change rows (DV
+    growth as the newly-marked positions only, the `replace`
+    compaction contributing NOTHING, the rewrite as delete-all +
+    insert-survivors) and never replay the initial inserts. Oracle =
+    q_iceberg_changelog's relational recompute; each partition is one
+    self-contained parquet scan + position filter
+    (sources/iceberg_meta.py:IcebergCdfStreamReader)."""
+    import uuid as _uuid
+
+    root = _scratch(sf_dir, "stream_iceberg_cdf")
+    shutil.rmtree(root, ignore_errors=True)
+    sink = root + "_sink"
+    ckpt = root + "_ckpt"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    from plankton_spark.sources.iceberg_meta import IcebergWriter, register
+
+    register(spark)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_custkey")
+    )
+    k = F.col("o_orderkey")
+    w = IcebergWriter(spark, root)
+    w.create(o.where(k < 1200).repartition(1).sortWithinPartitions("o_orderkey"))
+    w.append(o.where(k >= 1200).repartition(1).sortWithinPartitions("o_orderkey"))
+
+    def drain():
+        q = (
+            spark.readStream.format("icebergcdf")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(f"icdf_{_uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # snapshots 1-2
+    w.delete_where_dv(F.col("o_orderkey") % 10 == 3)   # s3
+    w.optimize(num_files=1)                             # s4: silent
+    w.delete_where(
+        (F.col("o_orderkey") % 10 == 7) & (F.col("o_orderkey") < 1200)
+    )                                                   # s5
+    drain()  # restart: snapshots 3-5 only
+    feed = spark.read.parquet(sink)
+    return feed.groupBy(
+        F.col("_snapshot_id").alias("sid"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("o_custkey").cast("long").alias("cust_sum"),
+    )

@@ -1135,6 +1135,7 @@ def _iceberg_batches(
 
 def register(spark) -> None:
     spark.dataSource.register(IcebergDataSource)
+    spark.dataSource.register(IcebergCdfDataSource)
 
 
 # ---------------------------------------------------------------------
@@ -4586,6 +4587,227 @@ def read_iceberg_changelog(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+class _IceChangePartition(InputPartition):
+    def __init__(
+        self, path: str, pv: dict, change_type: str, sid: int,
+        drop_positions=None, keep_positions=None,
+    ):
+        self.path = path
+        self.pv = pv
+        self.change_type = change_type
+        self.sid = sid
+        self.drop_positions = drop_positions
+        self.keep_positions = keep_positions
+
+
+class IcebergCdfDataSource(DataSource):
+    """format("icebergcdf"): the Iceberg CHANGELOG SCAN as a streaming
+    source — the cross-format twin of format("deltacdf"). Offsets are
+    SNAPSHOT ORDINALS (positions in the snapshots list: ids are
+    arbitrary, ordinals are monotone), so a restarted consumer resumes
+    at exactly the next unconsumed snapshot. Output schema = table
+    columns + _change_type + _snapshot_id."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "icebergcdf"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("icebergcdf requires option 'path'")
+        return path
+
+    def schema(self):
+        t = IcebergTable(self._path())
+        return T.StructType(
+            list(t.schema().fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_snapshot_id", T.LongType()),
+            ]
+        )
+
+    def streamReader(self, schema) -> "IcebergCdfStreamReader":
+        return IcebergCdfStreamReader(self._path())
+
+
+class IcebergCdfStreamReader(DataSourceStreamReader):
+    """Per micro-batch, the snapshots in (start, end] contribute their
+    change sets under read_iceberg_changelog's rules: ADDED files as
+    inserts (minus carried DVs), REMOVED files' pre-snapshot rows as
+    deletes, DV GROWTH as exactly the newly-marked positions,
+    `replace` snapshots silent, equality-deleted / multi-spec
+    snapshots refuse. Planning decodes per-file DV sets once per
+    snapshot boundary (driver work bounded by deleted rows, the DV
+    writers' own budget) and ships the position sets INSIDE the
+    partitions, so each read task is a self-contained parquet scan +
+    position filter — no shuffle, no Python row path beyond Arrow."""
+
+    def __init__(self, path: str):
+        self.path = path
+        t = IcebergTable(path)
+        self._schema = t.schema()
+
+    def _snaps(self):
+        return IcebergTable(self.path).metadata.get("snapshots") or []
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        return {"pos": len(self._snaps())}
+
+    def partitions(self, start: dict, end: dict):
+        from plankton_spark.sources import puffin as _puffin
+
+        t = IcebergTable(self.path)
+        snaps = t.metadata.get("snapshots") or []
+        out: list[_IceChangePartition] = []
+        cache: dict[int | None, tuple[dict, dict]] = {}
+
+        def state(sid: int | None):
+            if sid in cache:
+                return cache[sid]
+            if sid is None:
+                cache[sid] = ({}, {})
+                return cache[sid]
+            full, pos_dels, eq_dels, dv_dels = t.scan_entries_full(sid)
+            if eq_dels:
+                raise ValueError(
+                    f"{self.path}: changelog stream over an equality-"
+                    "deleted snapshot is not supported"
+                )
+            files = {p: pv for p, pv, _sq, _sid2 in full}
+            by_base = {os.path.basename(p): p for p in files}
+            dvsets: dict[str, set[int]] = {}
+            for pp, ref, off, sz, _card in dv_dels:
+                base = os.path.basename(ref.rstrip("/"))
+                if base in by_base:
+                    dvsets.setdefault(by_base[base], set()).update(
+                        _puffin.dv_indexes(pp, int(off), int(sz))
+                    )
+            if pos_dels:
+                import pyarrow.parquet as _pq
+
+                for dfp in pos_dels:
+                    tbl = _pq.read_table(
+                        dfp, columns=["file_path", "pos"]
+                    )
+                    for fp, pos in zip(
+                        tbl.column("file_path").to_pylist(),
+                        tbl.column("pos").to_pylist(),
+                    ):
+                        base = os.path.basename(str(fp).rstrip("/"))
+                        if base in by_base:
+                            dvsets.setdefault(by_base[base], set()).add(
+                                int(pos)
+                            )
+            cache[sid] = (files, dvsets)
+            return cache[sid]
+
+        for i in range(start["pos"], min(end["pos"], len(snaps))):
+            snap = snaps[i]
+            sid = snap["snapshot-id"]
+            if (snap.get("summary") or {}).get("operation") == "replace":
+                continue
+            prev_sid = snaps[i - 1]["snapshot-id"] if i > 0 else None
+            files_prev, dv_prev = state(prev_sid)
+            files_cur, dv_cur = state(sid)
+            for p, pv in sorted(files_cur.items()):
+                if p in files_prev:
+                    grown = sorted(
+                        set(dv_cur.get(p, ()))
+                        - set(dv_prev.get(p, ()))
+                    )
+                    if grown:
+                        out.append(
+                            _IceChangePartition(
+                                p, pv, "delete", sid,
+                                keep_positions=grown,
+                            )
+                        )
+                else:
+                    out.append(
+                        _IceChangePartition(
+                            p, pv, "insert", sid,
+                            drop_positions=sorted(dv_cur.get(p, ())),
+                        )
+                    )
+            for p, pv in sorted(files_prev.items()):
+                if p not in files_cur:
+                    out.append(
+                        _IceChangePartition(
+                            p, pv, "delete", sid,
+                            drop_positions=sorted(dv_prev.get(p, ())),
+                        )
+                    )
+        return out
+
+    def read(self, partition: "_IceChangePartition"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        # the partition's spec's identity columns are whatever table
+        # columns the file content omits — resolved per batch below
+        target = to_arrow_schema(self._schema)
+        pf = pq.ParquetFile(partition.path)
+        row_base = 0
+        keep = (
+            set(partition.keep_positions)
+            if partition.keep_positions is not None
+            else None
+        )
+        drop = set(partition.drop_positions or ())
+        for batch in pf.iter_batches():
+            n = batch.num_rows
+            import numpy as np
+
+            idx = np.arange(row_base, row_base + n)
+            row_base += n
+            if keep is not None:
+                mask = np.isin(idx, list(keep))
+            elif drop:
+                mask = ~np.isin(idx, list(drop))
+            else:
+                mask = None
+            if mask is not None and not mask.any():
+                continue
+            cols = []
+            for field in target:
+                i = batch.schema.get_field_index(field.name)
+                if i < 0:
+                    raw = partition.pv.get(field.name)
+                    arr = pa.array(
+                        [raw] * n, type=pa.string()
+                    ).cast(field.type)
+                else:
+                    arr = batch.column(i).cast(field.type)
+                if mask is not None:
+                    arr = arr.filter(pa.array(mask))
+                cols.append(arr)
+            m = len(cols[0]) if cols else 0
+            cols.append(
+                pa.array([partition.change_type] * m, type=pa.string())
+            )
+            cols.append(pa.array([partition.sid] * m, type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                cols,
+                schema=pa.schema(
+                    list(target)
+                    + [
+                        pa.field("_change_type", pa.string()),
+                        pa.field("_snapshot_id", pa.int64()),
+                    ]
+                ),
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def convert_to_iceberg(
