@@ -3909,7 +3909,17 @@ class IcebergWriter:
         # rewritten by a non-preserving op) keeps today's
         # non-preserving rewrite and its lineage reads keep refusing.
         lineage_live = False
-        if table.metadata.get("next-row-id") is not None:
+        if (
+            table.metadata.get("next-row-id") is not None
+            # the lineage-projecting read attaches ONE spec's partition
+            # columns — a multi-spec compaction (exactly the op that
+            # RESOLVES partition evolution) takes the non-preserving
+            # path instead, same as every pre-lineage rewrite: the
+            # compacted table reads fine, lineage reads refuse (never
+            # fabricate). Preserving across the spec boundary would
+            # need per-spec lineage scans unioned.
+            and len({sid for _p, _pv, _sq, sid in full}) == 1
+        ):
             try:
                 table.first_row_ids(None)
                 lineage_live = True
