@@ -3909,22 +3909,22 @@ class IcebergWriter:
         # rewritten by a non-preserving op) keeps today's
         # non-preserving rewrite and its lineage reads keep refusing.
         lineage_live = False
-        if (
-            table.metadata.get("next-row-id") is not None
-            # the lineage-projecting read attaches ONE spec's partition
-            # columns — a multi-spec compaction (exactly the op that
-            # RESOLVES partition evolution) takes the non-preserving
-            # path instead, same as every pre-lineage rewrite: the
-            # compacted table reads fine, lineage reads refuse (never
-            # fabricate). Preserving across the spec boundary would
-            # need per-spec lineage scans unioned.
-            and len({sid for _p, _pv, _sq, sid in full}) == 1
-        ):
+        if table.metadata.get("next-row-id") is not None:
             try:
                 table.first_row_ids(None)
                 lineage_live = True
             except ValueError:
                 lineage_live = False
+        multi_spec = len({sid for _p, _pv, _sq, sid in full}) > 1
+        if lineage_live and multi_spec and (deletes or dv_dels):
+            # row-level deletes over a multi-spec snapshot refuse on
+            # every read path already; keep that refusal here rather
+            # than silently dropping either property
+            raise ValueError(
+                f"{self.table_path}: compaction of a partition-evolved "
+                "snapshot with live row-level deletes is not supported "
+                "— delete after compacting, or compact before deleting"
+            )
         if lineage_live:
             clash = sorted(
                 {_ROW_ID_COL, _LAST_SEQ_COL}
@@ -3936,10 +3936,36 @@ class IcebergWriter:
                     f"lineage — data columns {clash} collide with the "
                     "reserved lineage column names"
                 )
-            # the lineage-projecting read is also delete-aware, so it
-            # doubles as the DV/pos-delete purge path; survivors keep
-            # their ids (positions are physical, DVs never rewrite)
-            df = read_iceberg(self.spark, self.table_path, with_lineage=True)
+            if multi_spec:
+                # the MULTI-SPEC compaction — exactly the op that
+                # resolves partition evolution — preserves lineage by
+                # scanning each spec group separately (each with ITS
+                # identity columns attached) and unioning: the same
+                # per-spec assembly read_iceberg's plain multi-spec
+                # path uses, with the lineage projection riding along
+                groups: dict[int, list] = {}
+                for p, pv, _sq, sid in full:
+                    groups.setdefault(sid, []).append((p, pv))
+                parts = [
+                    self._lineage_subset_scan(
+                        table,
+                        table.schema(),
+                        table.partition_fields_for(sid),
+                        grp,
+                    )
+                    for sid, grp in sorted(groups.items())
+                ]
+                df = parts[0]
+                for g in parts[1:]:
+                    df = df.unionByName(g)
+            else:
+                # the lineage-projecting read is also delete-aware, so
+                # it doubles as the DV/pos-delete purge path; survivors
+                # keep their ids (positions are physical, DVs never
+                # rewrite)
+                df = read_iceberg(
+                    self.spark, self.table_path, with_lineage=True
+                )
         elif deletes or dv_dels:
             # compaction PURGES row-level deletes: the delete-aware
             # read drops the marked rows (v2 parquet position files

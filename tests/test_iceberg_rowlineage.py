@@ -472,3 +472,41 @@ def test_branch_append_advances_global_ids(spark, tmp_path):
         for r in read_iceberg(spark, root, with_lineage=True).collect()
     }
     assert main[700] == 31  # 30 was claimed by the branch append
+
+
+def test_multi_spec_compaction_preserves_lineage(spark, tmp_path):
+    """OPTIMIZE on a partition-evolved snapshot — the op that RESOLVES
+    evolution — preserves lineage by scanning each spec group with its
+    own identity columns and unioning: pre-evolution rows keep their
+    ids through the spec-crossing rewrite, and the compacted table is
+    single-spec with lineage readable again (the multi-spec lineage
+    READ itself still refuses)."""
+    root = str(tmp_path / "ms_lin")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(20)],
+            "k long, grp string",
+        ).repartition(1).sortWithinPartitions("k")
+    )
+    before = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    w.evolve_spec(["grp"])
+    w.append(
+        spark.createDataFrame(
+            [(100 + i, "a") for i in range(5)], "k long, grp string"
+        ).repartition(1).sortWithinPartitions("k")
+    )
+    with pytest.raises(ValueError, match="multi-spec"):
+        read_iceberg(spark, root, with_lineage=True).collect()
+    w.optimize(num_files=1)
+    after = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert all(after[k] == v for k, v in before.items())
+    assert sorted(after[100 + i] for i in range(5)) == list(range(20, 25))
+    full, *_ = IcebergTable(root).scan_entries_full(None)
+    assert len({sid for *_x, sid in full}) == 1  # compacted to one spec
