@@ -1,0 +1,299 @@
+"""Declared queries over Apache Hudi COPY_ON_WRITE tables
+(plankton_spark/sources/hudi_meta.py): snapshot read with partition
+pruning, time travel over the timeline, the incremental
+(commit-time-range) query, and the in-place migration to Delta — each
+shadow-oracled by re-deriving the expected snapshot from the source
+fixtures in plain SQL, so a wrong file-slice resolution, a broken
+copy-forward of ``_hoodie_commit_time``, or a lossy conversion all
+fail the value hash."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from plankton_spark.io import read_table
+from plankton_spark.queries.scans import _scratch
+from plankton_spark.registry import query
+
+
+def _fresh(sf_dir: str, name: str) -> str:
+    path = _scratch(sf_dir, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _orders(spark, sf_dir):
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "q_hudi_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 1500
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice FROM base
+      WHERE o_orderkey < 300
+    ),
+    ins AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey >= 1500 AND o_orderkey < 1800
+    ),
+    final AS (
+      SELECT * FROM base WHERE o_orderkey >= 300
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum,
+           CAST((SELECT COUNT(*) FROM final WHERE o_orderstatus = 'F')
+                AS BIGINT) AS n_f_pruned
+    FROM final
+    """,
+)
+def q_hudi_read(spark, sf_dir):
+    """Hudi COPY_ON_WRITE snapshot read: CREATE (orders < 1500,
+    partitioned by o_orderstatus, record key o_orderkey), then one
+    UPSERT that both UPDATES existing records (keys < 300 → status
+    'U'; COW rewrites only the touched file groups) and INSERTS new
+    ones (1500..1799 → fresh file groups). The snapshot read resolves
+    the latest file slice per group from the timeline and scans them
+    as one multi-path parquet read; the 'F' count reads only that
+    partition's slices via the FILE-LIST prune (updated rows stay in
+    their original partition — the global-index default).
+
+    Note on the update: a Hudi upsert keeps an updated record in the
+    file group the index found it in, so the 'U' rows physically live
+    in their ORIGINAL status partitions; the pruned 'F' count applies
+    a residual column filter on top of the file-list prune to stay
+    exact (see inline comment)."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
+    root = _fresh(sf_dir, "hudi_read")
+    o = _orders(spark, sf_dir)
+    w = HudiWriter(
+        spark, root, record_key="o_orderkey", partition_field="o_orderstatus"
+    )
+    w.create(o.where(F.col("o_orderkey") < 1500))
+    updates = (
+        o.where(F.col("o_orderkey") < 300)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = o.where((F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 1800))
+    w.upsert(updates.unionByName(inserts))
+    # FILE-LIST partition prune: only the 'F' partition's slices are
+    # scanned. Updated rows stay in their CREATE-time partition (the
+    # global-index default), so F-created rows now carrying status 'U'
+    # live here too — the residual column filter drops them, and no
+    # status-'F' row can live outside this partition, so the pruned
+    # count equals the logical o_orderstatus='F' count.
+    n_f = (
+        read_hudi(spark, root, partition_path="F")
+        .where(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("price_sum"),
+    ).withColumn("n_f_pruned", F.lit(n_f).cast("long"))
+
+
+@query(
+    "q_hudi_timetravel",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey < 200 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM orders WHERE o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1200
+    ),
+    v3 AS (
+      SELECT * FROM v2 WHERE o_orderkey % 7 <> 0
+    )
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated
+    FROM v1
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM v2
+    UNION ALL
+    SELECT 3, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+    FROM v3
+    """,
+)
+def q_hudi_timetravel(spark, sf_dir):
+    """Hudi time travel: CREATE (keys < 1000), UPSERT (update keys
+    < 200 to status 'U' + insert 1000..1199), DELETE (keys divisible
+    by 7), then read the snapshot AS OF each of the three completed
+    instants. Each read resolves latest-slice-per-group at that
+    instant — the upsert's rewritten groups and the delete's
+    empty-group advance must not leak backwards (COW snapshot
+    isolation: superseded slices stay on disk untouched)."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
+    root = _fresh(sf_dir, "hudi_tt")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    w = HudiWriter(spark, root, record_key="o_orderkey")
+    i1 = w.create(o.where(F.col("o_orderkey") < 1000))
+    updates = (
+        o.where(F.col("o_orderkey") < 200).withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1200))
+    i2 = w.upsert(updates.unionByName(inserts))
+    all_keys = o.where(F.col("o_orderkey") < 1200)
+    i3 = w.delete_keys(all_keys.where(F.col("o_orderkey") % 7 == 0))
+    frames = [
+        read_hudi(spark, root, as_of=inst)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+            ).cast("long").alias("n_updated"),
+        )
+        .select(F.lit(v).alias("version"), "n_rows", "key_sum", "n_updated")
+        for v, inst in ((1, i1), (2, i2), (3, i3))
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+@query(
+    "q_hudi_incremental",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus FROM orders
+      WHERE o_orderkey < 200
+    ),
+    ins AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1200
+    ),
+    chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated
+    FROM chg WHERE o_orderkey % 7 <> 0
+    """,
+)
+def q_hudi_incremental(spark, sf_dir):
+    """Hudi INCREMENTAL query (the format's signature read): records
+    whose ``_hoodie_commit_time`` ∈ (create, delete] — i.e. written by
+    the upsert and still live at the end instant. Only slices WRITTEN
+    in the range are scanned (file-level skip); the per-record filter
+    is exact because COW copies carry their original commit time
+    forward. The delete commit contributes NO records (COW deletes
+    write removals, not rows — the documented incremental-read
+    semantics without a change feed), but it does hide the deleted
+    keys from the end-instant slices, which the oracle mirrors with
+    the %7 filter."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
+    root = _fresh(sf_dir, "hudi_incr")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    w = HudiWriter(spark, root, record_key="o_orderkey")
+    i1 = w.create(o.where(F.col("o_orderkey") < 1000))
+    updates = (
+        o.where(F.col("o_orderkey") < 200).withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1200))
+    w.upsert(updates.unionByName(inserts))
+    all_keys = o.where(F.col("o_orderkey") < 1200)
+    i3 = w.delete_keys(all_keys.where(F.col("o_orderkey") % 7 == 0))
+    return read_hudi(spark, root, incremental=(i1, i3)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+        ).cast("long").alias("n_updated"),
+    )
+
+
+@query(
+    "q_hudi_convert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey < 200 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM base
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1200
+    ),
+    appended AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 1200 AND o_orderkey < 1400
+    ),
+    final AS (SELECT * FROM v2 UNION ALL SELECT * FROM appended)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_updated
+    FROM final
+    """,
+)
+def q_hudi_convert(spark, sf_dir):
+    """Hudi → Delta in-place migration (the XTable direction, closing
+    the Hudi arm of the migration matrix): a Hudi COW table that has
+    already seen an UPSERT converts by authoring a _delta_log version
+    0 over its LATEST FILE SLICES — the timeline (not a directory
+    walk) picks the inventory, so the upsert's superseded slices are
+    invisible to the Delta side; the five _hoodie_* meta columns are
+    dropped from the Delta schema (file content keeps them, scans
+    prune them). The converted table immediately takes an engine
+    append through the ordinary Delta writer, proving it is a
+    first-class Delta table, and the final read goes through the
+    Delta chain only."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+    from plankton_spark.sources.hudi_meta import HudiWriter, convert_hudi_to_delta
+
+    root = _fresh(sf_dir, "hudi_convert")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    w = HudiWriter(spark, root, record_key="o_orderkey")
+    w.create(o.where(F.col("o_orderkey") < 1000))
+    updates = (
+        o.where(F.col("o_orderkey") < 200).withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1200))
+    w.upsert(updates.unionByName(inserts))
+    convert_hudi_to_delta(spark, root)
+    dw = DeltaLogWriter(spark, root)
+    dw.append(
+        o.where((F.col("o_orderkey") >= 1200) & (F.col("o_orderkey") < 1400))
+        .coalesce(1)
+    )
+    return read_delta(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+        ).cast("long").alias("n_updated"),
+    )

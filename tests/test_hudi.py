@@ -1,0 +1,232 @@
+"""Hudi COPY_ON_WRITE format tests (sources/hudi_meta.py): writer/
+reader roundtrips, time travel, the incremental query's copy-forward
+contract, empty-group deletes, honest refusals (MOR, replacecommit),
+a hand-authored FOREIGN table layout, and the Delta conversion."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from plankton_spark.sources.hudi_meta import (
+    HudiTable,
+    HudiWriter,
+    convert_hudi_to_delta,
+    read_hudi,
+)
+
+
+def _df(spark, lo, hi, status="A"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.lit(status).alias("status"),
+        (F.col("id") % 5).alias("grp"),
+    )
+
+
+def _content(df):
+    return sorted((r["k"], r["status"], r["grp"]) for r in df.collect())
+
+
+def test_create_and_snapshot_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    w.create(_df(spark, 0, 100))
+    out = read_hudi(spark, root)
+    assert _content(out) == _content(_df(spark, 0, 100))
+    # meta columns are in the files but pruned by default
+    assert not [c for c in out.columns if c.startswith("_hoodie_")]
+    meta = read_hudi(spark, root, with_meta=True)
+    assert {c for c in meta.columns if c.startswith("_hoodie_")} == {
+        "_hoodie_commit_time",
+        "_hoodie_commit_seqno",
+        "_hoodie_record_key",
+        "_hoodie_partition_path",
+        "_hoodie_file_name",
+    }
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    w.create(_df(spark, 0, 100))
+    w.upsert(_df(spark, 50, 120, status="B"))
+    out = read_hudi(spark, root)
+    assert out.count() == 120
+    assert out.where(F.col("status") == "B").count() == 70
+    assert _content(out.where(F.col("k") < 50)) == _content(_df(spark, 0, 50))
+
+
+def test_partitioned_layout_and_prune(spark, tmp_path):
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", partition_field="status")
+    base = _df(spark, 0, 50, "A").unionByName(_df(spark, 50, 80, "B"))
+    w.create(base)
+    # plain-VALUE partition dirs (Hudi default), not hive key=value
+    assert os.path.isdir(os.path.join(root, "A"))
+    assert os.path.isdir(os.path.join(root, "B"))
+    pruned = read_hudi(spark, root, partition_path="B")
+    assert pruned.count() == 30
+    assert set(r["status"] for r in pruned.select("status").distinct().collect()) == {"B"}
+
+
+def test_timetravel_and_slice_isolation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    i1 = w.create(_df(spark, 0, 100))
+    i2 = w.upsert(_df(spark, 0, 10, status="B"))
+    i3 = w.delete_keys(spark.range(0, 100, 2).select(F.col("id").alias("k")))
+    assert read_hudi(spark, root, as_of=i1).count() == 100
+    v2 = read_hudi(spark, root, as_of=i2)
+    assert v2.count() == 100
+    assert v2.where(F.col("status") == "B").count() == 10
+    v3 = read_hudi(spark, root, as_of=i3)
+    assert v3.count() == 50
+    assert v3.where(F.col("k") % 2 == 0).count() == 0
+    # superseded slices untouched: v1 re-read still pristine
+    assert read_hudi(spark, root, as_of=i1).where(F.col("status") == "B").count() == 0
+
+
+def test_incremental_copy_forward_contract(spark, tmp_path):
+    """COW copies keep their ORIGINAL _hoodie_commit_time, so the
+    incremental range (i1, i2] returns exactly the records the upsert
+    wrote — not the survivors it copied forward."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    i1 = w.create(_df(spark, 0, 100))
+    i2 = w.upsert(_df(spark, 90, 130, status="B"))
+    inc = read_hudi(spark, root, incremental=(i1, i2))
+    assert inc.count() == 40
+    assert set(r["k"] for r in inc.select("k").collect()) == set(range(90, 130))
+    # and the copied survivors still carry i1
+    meta = read_hudi(spark, root, with_meta=True)
+    survivors = meta.where(F.col("k") < 90)
+    assert set(
+        r["_hoodie_commit_time"] for r in survivors.select("_hoodie_commit_time").distinct().collect()
+    ) == {i1}
+
+
+def test_delete_emptying_group_advances_slice(spark, tmp_path):
+    """Deleting EVERY record of a file group must write an empty base
+    file — otherwise the old slice stays latest and resurrects."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    w.create(_df(spark, 0, 30))
+    w.delete_keys(spark.range(0, 30).select(F.col("id").alias("k")))
+    assert read_hudi(spark, root).count() == 0
+
+
+def test_group_buckets_fan_out(spark, tmp_path):
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", group_buckets=4)
+    w.create(_df(spark, 0, 200))
+    t = HudiTable(root)
+    slices = t.file_slices()
+    assert len(slices) == 4  # key-hash fan-out
+    assert read_hudi(spark, root).count() == 200
+
+
+def test_mor_and_replacecommit_refusals(spark, tmp_path):
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    w.create(_df(spark, 0, 10))
+    # flip the table type to MOR → reads refuse
+    props = os.path.join(root, ".hoodie", "hoodie.properties")
+    txt = open(props).read().replace("COPY_ON_WRITE", "MERGE_ON_READ")
+    open(props, "w").write(txt)
+    with pytest.raises(NotImplementedError, match="MERGE_ON_READ|COPY_ON_WRITE"):
+        read_hudi(spark, root)
+    txt = txt.replace("MERGE_ON_READ", "COPY_ON_WRITE")
+    open(props, "w").write(txt)
+    # a replacecommit instant (clustering) → refuse rather than
+    # resurrect replaced file groups
+    open(os.path.join(root, ".hoodie", "20990101000000000.replacecommit"), "w").write("{}")
+    with pytest.raises(NotImplementedError, match="replacecommit"):
+        read_hudi(spark, root)
+    # ...but a time travel BEFORE the replacecommit still works
+    i1 = HudiTable(root).instants()[0]
+    assert read_hudi(spark, root, as_of=i1).count() == 10
+
+
+def test_foreign_layout_read(spark, tmp_path):
+    """A table authored by hand in the foreign writer's shape (UUID
+    fileIds, real write tokens, pretty-printed commit JSON) reads
+    through the same timeline replay."""
+    root = str(tmp_path / "t")
+    meta = os.path.join(root, ".hoodie")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "hoodie.properties"), "w") as fh:
+        fh.write(
+            "hoodie.table.name=foreign\n"
+            "hoodie.table.type=COPY_ON_WRITE\n"
+            "hoodie.table.recordkey.fields=k\n"
+            "hoodie.table.partition.fields=\n"
+        )
+    inst = "20240101120000000"
+    fid = "01234567-89ab-cdef-0123-456789abcdef-0"
+    fname = f"{fid}_20-118-236_{inst}.parquet"
+    df = spark.range(0, 7).select(
+        F.lit(inst).alias("_hoodie_commit_time"),
+        F.concat(F.lit(inst + "_"), F.col("id").cast("string")).alias("_hoodie_commit_seqno"),
+        F.col("id").cast("string").alias("_hoodie_record_key"),
+        F.lit("").alias("_hoodie_partition_path"),
+        F.lit(fname).alias("_hoodie_file_name"),
+        F.col("id").alias("k"),
+    )
+    import glob
+    import shutil
+
+    tmp = os.path.join(root, "_stage")
+    df.coalesce(1).write.parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.replace(part, os.path.join(root, fname))
+    shutil.rmtree(tmp)
+    commit = {
+        "partitionToWriteStats": {
+            "": [{"fileId": fid, "path": fname, "prevCommit": "null", "numWrites": 7}]
+        },
+        "operationType": "BULK_INSERT",
+    }
+    with open(os.path.join(meta, f"{inst}.commit"), "w") as fh:
+        json.dump(commit, fh, indent=2)
+    out = read_hudi(spark, root)
+    assert sorted(r["k"] for r in out.collect()) == list(range(7))
+    # engine writes continue the foreign timeline past its max instant
+    w = HudiWriter(spark, root)
+    i2 = w.upsert(spark.range(7, 9).select(F.col("id").alias("k")))
+    assert i2 > inst
+    assert read_hudi(spark, root).count() == 9
+
+
+def test_convert_to_delta_matches_and_refuses_twice(spark, tmp_path):
+    from plankton_spark.sources.delta_log import read_delta
+
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    w.create(_df(spark, 0, 60))
+    w.upsert(_df(spark, 40, 80, status="B"))
+    expected = _content(read_hudi(spark, root))
+    convert_hudi_to_delta(spark, root)
+    got = _content(read_delta(spark, root).select("k", "status", "grp"))
+    assert got == expected
+    assert "_hoodie_commit_time" not in read_delta(spark, root).columns
+    with pytest.raises(FileExistsError):
+        convert_hudi_to_delta(spark, root)
+
+
+def test_pending_instants_invisible(spark, tmp_path):
+    """An inflight (uncommitted) instant's files must not be read —
+    the completed-timeline replay excludes them by construction."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    w.create(_df(spark, 0, 20))
+    # simulate a crashed writer: requested+inflight but no completed
+    open(os.path.join(root, ".hoodie", "20990101000000000.commit.requested"), "w").close()
+    open(os.path.join(root, ".hoodie", "20990101000000000.commit.inflight"), "w").close()
+    assert read_hudi(spark, root).count() == 20
+    # and the next engine write picks an instant PAST the pending one
+    i = HudiWriter(spark, root).upsert(spark.range(20, 25).select(F.col("id").alias("k")))
+    assert i > "20990101000000000"
