@@ -1126,3 +1126,121 @@ def q_emb_outliers(spark, sf_dir):
         F.sum("d2").cast("long").alias("d2_sum"),
         F.min("d2").cast("long").alias("d2_threshold"),
     )
+
+
+@query("q_knn_pq")  # rows-only: self-referential recall metric
+def q_knn_pq(spark, sf_dir):
+    """ANN via PRODUCT QUANTIZATION (Jégou et al., the FAISS-style
+    third leg next to q_knn_lsh and q_knn_ivf): the 64-dim space
+    splits into M=8 subspaces of 8 dims; each subspace trains its own
+    K=16-centroid codebook (2 Lloyd iterations, deterministic init =
+    the K lowest vec_ids' subvectors), so every vector compresses to
+    8 code bytes. Queries scan the corpus by ASYMMETRIC DISTANCE
+    COMPUTATION: a per-query LUT of (subspace, code) → partial dot
+    products (M·K = 128 entries, built against the CODEBOOK, not the
+    corpus), the approximate score is a sum of 8 LUT lookups per
+    corpus vector NORMALIZED by the reconstructed norm √Σ‖c_m‖²
+    (cosine ranking, not raw dot — the query norm drops out within a
+    query), the top-64 candidates per query get an EXACT rescore, and
+    recall@5 vs the exact top-k is emitted (0.80 on the fixture's
+    near-isotropic vectors — the adversarial case for PQ, as for the
+    LSH/IVF siblings).
+
+    Scale shape: codebooks are M·K·SUBDIM = 1024 broadcast rows
+    (corpus-independent); training touches only component rows with
+    partial-combinable aggs; the ADC scan shuffles (q_id, n_id)
+    partial sums with map-side combine — linear in corpus × queries,
+    the compressed-domain scan PQ exists for (composable with
+    q_knn_ivf's coarse lists to cut the scan to probed cells); the
+    exact rescore reads Q×32 embedding pairs. Rows-only by design
+    (the metric is defined against q_sim_cosine_topk)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    M_SUB, SUBDIM, K_CODES, N_CAND = 8, 8, 16, 64
+    comps = (
+        e.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+        .select(
+            "vec_id",
+            (F.col("i") / SUBDIM).cast("int").alias("m"),
+            (F.col("i") % SUBDIM).alias("j"),
+            F.col("x").cast("double").alias("x"),
+        )
+    )
+    # per-subspace codebooks: init from the K lowest vec_ids, then
+    # two Lloyd steps (assignment = broadcast-join argmin, update =
+    # M·K·SUBDIM-group partial agg — never a corpus-sized shuffle)
+    cent = comps.where(F.col("vec_id") < K_CODES).select(
+        "m", F.col("vec_id").cast("int").alias("code"), "j", F.col("x").alias("c")
+    )
+
+    def _assign(centroids):
+        d2 = (
+            comps.join(F.broadcast(centroids), ["m", "j"])
+            .withColumn("dd", (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .groupBy("vec_id", "m", "code")
+            .agg(F.round(F.sum("dd"), 9).alias("d2"))
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+        return (
+            d2.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "m", "code")
+        )
+
+    for _ in range(2):
+        assign = _assign(cent)
+        cent = (
+            comps.join(assign, ["vec_id", "m"])
+            .groupBy("m", "code", "j")
+            .agg(F.avg("x").alias("c"))
+        )
+    codes = _assign(cent)  # final encode: 8 small ints per vector
+    # ADC lookup table per query: (m, code) → dot(q_subvector, centroid)
+    lut = (
+        comps.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), ["m", "j"])
+        .withColumn("p", F.col("x") * F.col("c"))
+        .groupBy(F.col("vec_id").alias("q_id"), "m", "code")
+        .agg(F.sum("p").alias("pdot"))
+    )
+    # reconstructed-vector norm from the codebook alone (Σ_m ‖c_m‖²):
+    # ADC approximates the raw dot, but the exact ranking is by
+    # COSINE, so candidates are ranked by dot/‖x̂‖ (the query norm is
+    # constant within a query's ranking and drops out)
+    cnorm2 = cent.groupBy("m", "code").agg(
+        F.sum(F.col("c") * F.col("c")).alias("c2")
+    )
+    adc = (
+        codes.select(F.col("vec_id").alias("n_id"), "m", "code")
+        .join(F.broadcast(lut), ["m", "code"])
+        .join(F.broadcast(cnorm2), ["m", "code"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .groupBy("q_id", "n_id")
+        .agg(F.round(F.sum("pdot") / F.sqrt(F.sum("c2")), 6).alias("adc"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), "n_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= N_CAND)
+        .select("q_id", "n_id")
+    )
+    qemb = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    nemb = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(qemb, "q_id").join(nemb, "n_id")
+        .withColumn("cos", F.round(dot_cosine("qe", "ne"), 6))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    approx = (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .where(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id")
+    )
+    exact = _brute_force_topk(spark, sf_dir).select("q_id", "n_id")
+    hits = approx.join(exact, ["q_id", "n_id"], "inner").count()
+    total = exact.count()
+    recall = round(hits / total, 4) if total else 0.0
+    return spark.createDataFrame(
+        [(recall, hits, total)], "recall_at_5 double, n_hits long, n_exact long"
+    )

@@ -812,3 +812,108 @@ def q_split_leakage_safe(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("chars"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+@query(
+    "q_sample_dsir",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    cs AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    ct AS (SELECT w, COUNT(*) AS c FROM tok WHERE lang = 'en' GROUP BY w),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM tok) AS ns,
+             (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS nt,
+             (SELECT COUNT(*) FROM cs) AS v
+    ),
+    r AS (
+      SELECT cs.w,
+             CAST(ROUND((LN(COALESCE(ct.c, 0) + 1) - LN(nt + v)
+                         - LN(cs.c + 1) + LN(ns + v)) * 1000000)
+                  AS BIGINT) AS term
+      FROM cs LEFT JOIN ct ON ct.w = cs.w CROSS JOIN tot
+    ),
+    docw AS (
+      SELECT tok.doc_id, tok.lang,
+             CAST(SUM(term) AS BIGINT) AS w_micro,
+             COUNT(*) AS n_toks
+      FROM tok JOIN r ON r.w = tok.w
+      GROUP BY tok.doc_id, tok.lang
+    ),
+    sel AS (SELECT * FROM docw ORDER BY w_micro DESC, doc_id LIMIT 100)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(w_micro) AS BIGINT) AS w_micro_sum,
+           CAST(SUM(n_toks) AS BIGINT) AS n_toks
+    FROM sel GROUP BY lang
+    """,
+)
+def q_sample_dsir(spark, sf_dir):
+    """DSIR-style data selection (Data Selection via Importance
+    Resampling, Xie et al. 2023 — the published recipe for matching a
+    pretraining mix to a target domain): score every raw document by
+    the log importance ratio of its unigram features between the
+    TARGET distribution (here: the English slice) and the RAW
+    distribution, both add-one smoothed over the shared vocabulary,
+    then keep the top-100 by weight (the deterministic top-k variant
+    of the paper's Gumbel resampling — same ranking statistic, no
+    RNG to disagree with the oracle over).
+
+    Scale shape: the two feature-count models are vocab-bounded hash
+    aggs (NOT corpus-sized); the totals are one scalar row; scoring
+    is ONE equi-join of the token stream against the ratio table
+    (AQE-broadcast when the vocab is small) followed by a per-doc
+    integer sum; selection is orderBy+limit = TakeOrderedAndProject
+    (per-partition top-k + bounded merge, never a global sort).
+    Determinism: each token's log ratio is rounded to integer
+    MICRO-nats before the per-doc sum (exact integer addition in any
+    order), ties at the cut broken by doc_id in both engines."""
+    tok = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    cs = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cs"))
+    ct = tok.where(F.col("lang") == "en").groupBy("w").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = (
+        cs.agg(
+            F.sum("cs").alias("ns"),
+            F.count(F.lit(1)).alias("v"),
+        )
+        .crossJoin(
+            tok.where(F.col("lang") == "en").agg(F.count(F.lit(1)).alias("nt"))
+        )
+    )
+    ratio = (
+        cs.join(ct, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    - F.log(F.col("nt") + F.col("v"))
+                    - F.log(F.col("cs") + 1)
+                    + F.log(F.col("ns") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("term"),
+        )
+    )
+    docw = (
+        tok.join(ratio, "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("term").cast("long").alias("w_micro"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+    sel = docw.orderBy(F.col("w_micro").desc(), "doc_id").limit(100)
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.sum("w_micro").cast("long").alias("w_micro_sum"),
+        F.sum("n_toks").cast("long").alias("n_toks"),
+    )
