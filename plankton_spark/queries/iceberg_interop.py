@@ -1963,3 +1963,78 @@ def q_stream_iceberg_cdf(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.sum("o_custkey").cast("long").alias("cust_sum"),
     )
+
+
+@query(
+    "q_iceberg_changelog_eq",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c FROM orders
+      WHERE o_orderkey < 1200
+    ),
+    ch AS (
+      SELECT CAST(1 AS BIGINT) AS sid, 'insert' AS ct, k, c
+      FROM o WHERE k < 1000
+      UNION ALL
+      SELECT 2, 'insert', k, c FROM o WHERE k >= 1000
+      UNION ALL
+      SELECT 3, 'delete', k, c FROM o WHERE k < 1000 AND k % 5 = 0
+      UNION ALL
+      SELECT 4, 'insert', k, c FROM o WHERE k < 1000 AND k % 10 = 0
+    )
+    SELECT sid, ct AS change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(c) AS BIGINT) AS cust_sum
+    FROM ch GROUP BY sid, ct
+    """,
+)
+def q_iceberg_changelog_eq(spark, sf_dir):
+    """Changelog scan over an EQUALITY-DELETED range (closes the
+    refusal q_iceberg_changelog declared): value-keyed deletes are
+    not position-attributable per mechanism, so the boundary diffs
+    LIVE-ROW SETS — prev/cur live scans of the carried files (each
+    applying its snapshot's eq deletes through the read path's
+    seq-gated null-safe anti-join) anti-joined on position identity.
+    The lifecycle pins the sequence rule end-to-end: an eq delete at
+    seq 3 kills matching rows in BOTH earlier files (emitted as sid-3
+    deletes, exactly once, by the set diff), then a seq-4 append
+    RE-INSERTS a subset of the deleted keys — those rows outrank the
+    delete (strictly-greater gate) and emit as sid-4 inserts while
+    the sid-4 carried-file diff stays EMPTY (the eq delete does not
+    re-fire on rows it already killed). The oracle recomputes all
+    four change sets relationally
+    (sources/iceberg_meta.py:read_iceberg_changelog)."""
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        read_iceberg_changelog,
+    )
+
+    root = _scratch(sf_dir, "iceberg_changelog_eq")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1200)
+        .select("o_orderkey", "o_custkey")
+    )
+    k = F.col("o_orderkey")
+    w = IcebergWriter(spark, root)
+    w.create(o.where(k < 1000).repartition(1).sortWithinPartitions("o_orderkey"))
+    w.append(o.where(k >= 1000).repartition(1).sortWithinPartitions("o_orderkey"))
+    w.delete_where_eq(
+        o.where((k < 1000) & (k % 5 == 0)).select("o_orderkey")
+    )
+    w.append(
+        o.where((k < 1000) & (k % 10 == 0))
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    cl = read_iceberg_changelog(spark, root, 1, 4)
+    return cl.groupBy(
+        F.col("_snapshot_id").alias("sid"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("o_custkey").cast("long").alias("cust_sum"),
+    )

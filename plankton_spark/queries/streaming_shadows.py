@@ -625,3 +625,64 @@ def q_stream_cdf(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.sum("o_custkey").cast("long").alias("cust_sum"),
     )
+
+
+@query(
+    "q_stream_streamjoin_full",
+    oracle=f"""
+    WITH e AS ({_EVENTS_SECOND}),
+    v AS (
+      SELECT user_id AS v_user_id, ts2 AS view_ts
+      FROM e WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT user_id AS c_user_id, ts2 AS click_ts
+      FROM e WHERE event_type = 'click'
+    )
+    SELECT COALESCE(v.v_user_id, c.c_user_id) AS user_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN view_ts IS NOT NULL AND click_ts IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN click_ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view_only,
+           CAST(SUM(CASE WHEN view_ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click_only,
+           CAST(SUM(CASE WHEN view_ts IS NOT NULL AND click_ts IS NOT NULL
+                    THEN epoch(click_ts) - epoch(view_ts) END)
+                AS BIGINT) AS total_lag_sec
+    FROM v FULL JOIN c
+      ON v.v_user_id = c.c_user_id
+     AND c.click_ts >= v.view_ts
+     AND c.click_ts < v.view_ts + INTERVAL '10 minutes'
+    GROUP BY COALESCE(v.v_user_id, c.c_user_id)
+    """,
+)
+def q_stream_streamjoin_full(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join — the remaining half
+    after round-11's left outer: clicks with NO view in the
+    preceding 10 minutes now ALSO emit (null view side), each
+    unmatched emission watermark-driven in the real stream (view
+    watermark past click_ts for the right-outer half, click watermark
+    past view_ts + 10 min for the left-outer half). Same
+    jobs.view_click_pairs_full code path the streaming test replays
+    file-by-file with a checkpoint restart; this batch shadow is the
+    plain full outer range join the watermarks degenerate to, rolled
+    up per user with the three populations (matched / view-only /
+    click-only) separated so a dropped or doubled emission on EITHER
+    side is a hash mismatch."""
+    pairs = jobs.view_click_pairs_full(read_table(spark, sf_dir, "events"))
+    both = F.col("view_ts").isNotNull() & F.col("click_ts").isNotNull()
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(both.cast("int")).cast("long").alias("n_matched"),
+        F.count_if(F.col("click_ts").isNull()).alias("n_view_only"),
+        F.count_if(F.col("view_ts").isNull()).alias("n_click_only"),
+        F.sum(
+            F.when(
+                both,
+                F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts"),
+            )
+        )
+        .cast("long")
+        .alias("total_lag_sec"),
+    )

@@ -4430,10 +4430,17 @@ def read_iceberg_changelog(
       skipped per the spec's operation label, so compaction produces
       an EMPTY feed.
 
-    Output: table columns + `_change_type` + `_snapshot_id`. Deletes
-    whose row sets need the equality-delete sequence join refuse
-    (positions are not attributable); partition-evolved ranges
-    refuse (one scan cannot attach two specs' columns). Per-file DV
+    Output: table columns + `_change_type` + `_snapshot_id`.
+    EQUALITY-DELETED boundaries attribute by diffing live-row SETS
+    (position-identity anti-join of the prev/cur live scans on
+    carried files; the eq deletes themselves apply through the same
+    seq-gated null-safe anti-join the read path uses) — value-keyed
+    deletes aren't position-attributable per mechanism, but the
+    before/after difference is exact. Partition-evolved ranges
+    refuse (one scan cannot attach two specs' columns); the
+    STREAMING icebergcdf source still refuses eq-deleted ranges
+    (per-file partition readers can't carry the cross-file join).
+    Per-file DV
     index sets decode once per snapshot boundary (bounded by deleted
     rows — the same driver budget the DV writers accept); the row
     scans themselves are native parquet with the (file, position)
@@ -4465,14 +4472,20 @@ def read_iceberg_changelog(
         if sid in state_cache:
             return state_cache[sid]
         if sid is None:
-            state_cache[sid] = ({}, {}, [])
+            state_cache[sid] = ({}, {}, [], [], {})
             return state_cache[sid]
         full, pos_dels, eq_dels, dv_dels = t.scan_entries_full(sid)
-        if eq_dels:
+        seq_map = {
+            os.path.basename(p): int(sq)
+            for p, _pv, sq, _s in full
+            if sq is not None
+        }
+        if eq_dels and len(seq_map) != len(full):
             raise ValueError(
                 f"{table_path}: changelog scan over an equality-"
-                "deleted snapshot is not supported — the deleted row "
-                "set is not position-attributable"
+                "deleted snapshot whose data files carry no sequence "
+                "numbers — the deletes cannot be ordered (same refusal "
+                "as read_iceberg)"
             )
         if len({s for _p, _pv, _sq, s in full}) > 1:
             raise ValueError(
@@ -4507,7 +4520,7 @@ def read_iceberg_changelog(
             if full
             else []
         )
-        state_cache[sid] = (files, dvsets, pcols)
+        state_cache[sid] = (files, dvsets, pcols, sorted(eq_dels), seq_map)
         return state_cache[sid]
 
     def scan_minus(entries, pcols, drop_sets, ct, sid):
@@ -4566,6 +4579,36 @@ def read_iceberg_changelog(
             F.lit(int(sid)).cast("long").alias("_snapshot_id"),
         )
 
+    def live_scan(files_map, pcols, dvsets, eqs, seq_map):
+        """Live rows of ``files_map`` at one snapshot state, keeping
+        the (__pd_file basename, __pd_ridx) position identity for
+        cross-snapshot diffing: DV/position drops anti-joined, then
+        equality deletes applied through the shared seq-gated
+        null-safe anti-join (_apply_equality_deletes)."""
+        scan = _assemble_iceberg(
+            spark, schema, pcols, sorted(files_map.items()), with_pos=True
+        ).withColumn("__pd_file", F.substring_index("__pd_file", "/", -1))
+        pairs = [
+            (os.path.basename(p), int(i))
+            for p, idx in sorted(dvsets.items())
+            if p in files_map
+            for i in idx
+        ]
+        if pairs:
+            drop = spark.createDataFrame(
+                pairs, "__pd_file string, __pd_ridx long"
+            )
+            scan = scan.join(
+                F.broadcast(drop) if len(pairs) < 2_000_000 else drop,
+                ["__pd_file", "__pd_ridx"],
+                "left_anti",
+            )
+        if eqs:
+            scan = _apply_equality_deletes(
+                spark, t, schema, scan, eqs, seq_map
+            )
+        return scan
+
     frames = []
     for sid in in_range:
         pos = chain.index(sid)
@@ -4573,14 +4616,68 @@ def read_iceberg_changelog(
         op = (by_id[sid].get("summary") or {}).get("operation")
         if op == "replace":
             continue  # layout-only rewrite: no logical change
-        files_prev, dv_prev, pcols_prev = state(prev)
-        files_cur, dv_cur, pcols_cur = state(sid)
+        files_prev, dv_prev, pcols_prev, eq_prev, seq_prev = state(prev)
+        files_cur, dv_cur, pcols_cur, eq_cur, seq_cur = state(sid)
         added = {
             p: pv for p, pv in files_cur.items() if p not in files_prev
         }
         removed = {
             p: pv for p, pv in files_prev.items() if p not in files_cur
         }
+        if eq_prev or eq_cur:
+            # EQUALITY-DELETED boundary: per-mechanism attribution no
+            # longer works (an eq delete kills rows by VALUE, not
+            # position), so diff live-row SETS instead. Added files'
+            # live rows (under cur's deletes — an eq delete committed
+            # WITH a data file never hits it, seq strictly greater
+            # required) are inserts; removed files' live-at-prev rows
+            # are deletes; carried files' newly-dead rows (live at
+            # prev, not at cur — DV growth OR newly matching eq keys)
+            # are deletes via a position-identity anti-join of the two
+            # live scans. A position never returns to life on a
+            # carried file (DVs and eq deletes only accumulate;
+            # un-deleting requires a rewrite, which swaps files), so
+            # there is no insert half on carried files.
+            stamp = lambda df, ct: df.select(  # noqa: E731
+                *[f.name for f in schema.fields],
+                F.lit(ct).alias("_change_type"),
+                F.lit(int(sid)).cast("long").alias("_snapshot_id"),
+            )
+            if added:
+                frames.append(
+                    stamp(
+                        live_scan(added, pcols_cur, dv_cur, eq_cur, seq_cur),
+                        "insert",
+                    )
+                )
+            if removed:
+                frames.append(
+                    stamp(
+                        live_scan(
+                            removed, pcols_prev, dv_prev, eq_prev, seq_prev
+                        ),
+                        "delete",
+                    )
+                )
+            carried = {
+                p: pv for p, pv in files_cur.items() if p in files_prev
+            }
+            if carried:
+                lp = live_scan(
+                    carried, pcols_prev, dv_prev, eq_prev, seq_prev
+                )
+                lc = live_scan(
+                    carried, pcols_cur, dv_cur, eq_cur, seq_cur
+                ).select("__pd_file", "__pd_ridx")
+                frames.append(
+                    stamp(
+                        lp.join(
+                            lc, ["__pd_file", "__pd_ridx"], "left_anti"
+                        ),
+                        "delete",
+                    )
+                )
+            continue
         if added:
             frames.append(
                 scan_minus(

@@ -439,3 +439,41 @@ def view_click_pairs_outer(events: DataFrame) -> DataFrame:
         & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
         "left_outer",
     ).select("user_id", "view_ts", "click_ts")
+
+
+def view_click_pairs_full(events: DataFrame) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — BOTH unmatched sides
+    emit: a view with no click in [view_ts, view_ts + 10 min) emits a
+    null click row once the click watermark passes its eviction bound
+    (the left-outer half), and a click preceded by no view in
+    (click_ts - 10 min, click_ts] emits a null view row once the view
+    watermark passes click_ts (the right-outer half — its eviction
+    bound is the click's own timestamp, since any matching view would
+    have to be OLDER). Same bounded-state contract as the inner and
+    left-outer jobs: the interval condition is what lets join state
+    evict instead of growing forever. The emitted user_id is
+    COALESCEd across sides (exactly one side is null on an unmatched
+    row). In batch the watermarks are no-ops and this is a plain full
+    outer range join — the oracle shape."""
+    e = with_second_ts(events)
+    views = (
+        e.where(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user_id"), F.col("ts2").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), F.col("ts2").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce("v_user_id", "c_user_id").alias("user_id"),
+        "view_ts",
+        "click_ts",
+    )

@@ -425,3 +425,52 @@ def test_cdf_last_image_equals_source_rowwise(spark, tmp_path):
         (r["k"], r["v"]) for r in read_iceberg(spark, iroot).collect()
     )
     assert ireplica == isource
+
+
+def test_iceberg_changelog_attributes_equality_deletes(spark, tmp_path):
+    """Changelog over an eq-deleted range: the live-set diff emits
+    exactly the value-matched rows as deletes, re-inserted keys (seq
+    strictly greater than the delete's) emit as inserts WITHOUT the
+    carried-file diff re-firing, and the delete never emits twice."""
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        read_iceberg_changelog,
+    )
+
+    root = str(tmp_path / "ice")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    w = IcebergWriter(spark, root)
+    w.create(df.where(F.col("k") < 60).coalesce(1))                 # snap 1
+    w.append(df.where(F.col("k") >= 60).coalesce(1))                # snap 2
+    w.delete_where_eq(df.where(F.col("k") % 4 == 0).select("k"))    # snap 3
+    w.append(df.where(F.col("k") % 8 == 0).coalesce(1))             # snap 4
+    cl = read_iceberg_changelog(spark, root, 1, 4)
+    got = {
+        (r["_snapshot_id"], r["_change_type"]): (r["n"], r["ksum"])
+        for r in cl.groupBy("_snapshot_id", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("ksum"))
+        .collect()
+    }
+    # snap 3's eq delete hits BOTH earlier files (k%4==0 over 0..99)
+    dead = [k for k in range(100) if k % 4 == 0]
+    reins = [k for k in range(100) if k % 8 == 0]
+    assert got[(1, "insert")] == (60, sum(range(60)))
+    assert got[(2, "insert")] == (40, sum(range(60, 100)))
+    assert got[(3, "delete")] == (len(dead), sum(dead))
+    assert got[(4, "insert")] == (len(reins), sum(reins))
+    assert len(got) == 4  # no spurious carried-diff emissions at snap 4
+    # and the per-snapshot feed REPLAYS to the live table: inserts
+    # minus deletes keyed by (k, v) multiset equals the final read
+    from plankton_spark.sources.iceberg_meta import read_iceberg
+
+    ins = cl.where(F.col("_change_type") == "insert").groupBy("k", "v").count()
+    dels = cl.where(F.col("_change_type") == "delete").groupBy("k", "v").count()
+    folded = (
+        ins.join(dels.withColumnRenamed("count", "d"), ["k", "v"], "left")
+        .select("k", "v", (F.col("count") - F.coalesce("d", F.lit(0))).alias("n"))
+        .where(F.col("n") > 0)
+    )
+    live = read_iceberg(spark, root).groupBy("k", "v").count()
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, live.collect()))

@@ -397,3 +397,58 @@ def test_stateful_aggs_run_on_rocksdb_state_store(spark):
         )
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_stream_full_outer_join_restart(spark, tmp_path):
+    """FULL OUTER stream-stream interval join across a checkpoint
+    restart: both unmatched populations (view-only AND click-only)
+    are watermark-driven emissions; after the sentinel events push
+    both watermarks past every real row's eviction bound the
+    accumulated sink must equal the batch full outer range join
+    exactly — no lost or doubled null rows on either side."""
+    import datetime
+    import os
+
+    events = read_table(spark, SF0001, "events")
+    min_ts, max_ts = events.select(
+        F.min(F.date_trunc("second", "ts")),
+        F.max(F.date_trunc("second", "ts")),
+    ).first()
+    split_ts = min_ts + (max_ts - min_ts) / 2
+    h1 = events.where(F.date_trunc("second", "ts") <= split_ts)
+    h2 = events.where(F.date_trunc("second", "ts") > split_ts)
+    sent = spark.createDataFrame(
+        [
+            (-1, max_ts + datetime.timedelta(hours=2), -999, "view", 0.0, None),
+            (-2, max_ts + datetime.timedelta(hours=3), -998, "click", 0.0, None),
+        ],
+        events.schema,
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def drain():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            jobs.view_click_pairs_full(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    h1.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    h2.unionByName(sent).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    streamed = spark.read.parquet(sink).where(F.col("user_id") >= 0)
+    batch = jobs.view_click_pairs_full(events)
+    assert_same(streamed, batch)
+    # both unmatched populations are non-trivial in the fixture
+    assert streamed.where(F.col("click_ts").isNull()).count() > 0
+    assert streamed.where(F.col("view_ts").isNull()).count() > 0
