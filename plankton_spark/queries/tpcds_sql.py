@@ -1140,3 +1140,177 @@ def q_tpcds_growthcmp(spark, sf_dir):
     denominators, enforced by the HAVING) — no division, no float
     drift. The SAME SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_growthcmp", _GROWTHCMP)
+
+
+_CHANSETS = """
+WITH urgent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+high AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+med AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '3-MEDIUM'
+),
+all3 AS (
+  SELECT o_custkey FROM urgent
+  INTERSECT
+  SELECT o_custkey FROM high
+  INTERSECT
+  SELECT o_custkey FROM med
+),
+only_u AS (
+  SELECT o_custkey FROM urgent
+  EXCEPT
+  SELECT o_custkey FROM high
+  EXCEPT
+  SELECT o_custkey FROM med
+)
+SELECT (SELECT COUNT(*) FROM all3) AS n_all_channels,
+       (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM all3) AS ck_sum_all,
+       (SELECT COUNT(*) FROM only_u) AS n_urgent_only,
+       (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM only_u)
+         AS ck_sum_urgent_only
+"""
+_TABLES["q_tpcds_chansets"] = ("orders",)
+
+
+@query("q_tpcds_chansets", oracle=_CHANSETS)
+def q_tpcds_chansets(spark, sf_dir):
+    """TPC-DS Q38 + Q87 shape (fixture-adapted): customers present in
+    ALL three channels via chained INTERSECT (Q38's signature) and
+    customers EXCLUSIVE to one channel via chained EXCEPT (Q87's),
+    the four scalar counts attached in one row. At scale: each
+    channel side is a DISTINCT hash agg at customer grain; INTERSECT/
+    EXCEPT compile to key-partitioned set-op joins (no row blowup —
+    both operands are already distinct). The SAME SQL text is the
+    oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_chansets", _CHANSETS)
+
+
+_WIDECOND = """
+WITH src AS (
+  SELECT l_suppkey % 25 AS whg,
+         CASE WHEN l_linenumber % 2 = 0 THEN 'air'
+              ELSE 'ground' END AS carrier,
+         CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS m,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+),
+air AS (
+  SELECT whg, 'air' AS carrier,
+         SUM(CASE WHEN m <= 3 THEN cents ELSE 0 END) AS q1_cents,
+         SUM(CASE WHEN m BETWEEN 4 AND 6 THEN cents ELSE 0 END) AS q2_cents,
+         SUM(CASE WHEN m BETWEEN 7 AND 9 THEN cents ELSE 0 END) AS q3_cents,
+         SUM(CASE WHEN m >= 10 THEN cents ELSE 0 END) AS q4_cents
+  FROM src WHERE carrier = 'air' GROUP BY whg
+),
+ground AS (
+  SELECT whg, 'ground' AS carrier,
+         SUM(CASE WHEN m <= 3 THEN cents ELSE 0 END) AS q1_cents,
+         SUM(CASE WHEN m BETWEEN 4 AND 6 THEN cents ELSE 0 END) AS q2_cents,
+         SUM(CASE WHEN m BETWEEN 7 AND 9 THEN cents ELSE 0 END) AS q3_cents,
+         SUM(CASE WHEN m >= 10 THEN cents ELSE 0 END) AS q4_cents
+  FROM src WHERE carrier = 'ground' GROUP BY whg
+),
+u AS (SELECT * FROM air UNION ALL SELECT * FROM ground)
+SELECT whg,
+       COUNT(*) AS n_carriers,
+       CAST(SUM(q1_cents) AS BIGINT) AS q1_cents,
+       CAST(SUM(q2_cents) AS BIGINT) AS q2_cents,
+       CAST(SUM(q3_cents) AS BIGINT) AS q3_cents,
+       CAST(SUM(q4_cents) AS BIGINT) AS q4_cents
+FROM u GROUP BY whg
+"""
+_TABLES["q_tpcds_widecond"] = ("lineitem",)
+
+
+@query("q_tpcds_widecond", oracle=_WIDECOND)
+def q_tpcds_widecond(spark, sf_dir):
+    """TPC-DS Q66 shape (fixture-adapted): per-warehouse-group WIDE
+    CONDITIONAL aggregation — each carrier branch (fixture split:
+    l_linenumber parity, standing in for Q66's ship-mode carriers)
+    pivots the year into per-quarter revenue columns via CASE sums,
+    the branches UNION ALL, and an outer re-aggregation folds them
+    per warehouse (Q66's two-subquery-union-reagg signature,
+    quarters standing in for its 12 month columns). At scale: both branches are partial-
+    combinable hash aggs over ONE scan range with the pivot done by
+    expression (no pivot shuffle), the re-agg touches wh-group-grain
+    rows only. Exact cents end-to-end. The SAME SQL text is the
+    oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_widecond", _WIDECOND)
+
+
+_REVBANDS = """
+WITH rev AS (
+  SELECT o_custkey AS ck,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT ck,
+         CAST((cents - (cents % 5000000)) / 5000000 AS BIGINT) AS segment
+  FROM rev
+)
+SELECT segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(ck) AS BIGINT) AS ck_checksum
+FROM seg GROUP BY segment HAVING COUNT(*) > 1
+"""
+_TABLES["q_tpcds_revbands"] = ("orders",)
+
+
+@query("q_tpcds_revbands", oracle=_REVBANDS)
+def q_tpcds_revbands(spark, sf_dir):
+    """TPC-DS Q54 shape (fixture-adapted): customer lifetime revenue
+    segmented into $50k bands and histogrammed (Q54's revenue-segment
+    COUNT signature). The band index derives by exact integer
+    arithmetic — (cents - cents % width) / width is an
+    exactly-representable integer-valued division in BOTH engines,
+    where a bare bigint '/' returns an engine-specific type and
+    FLOOR(double) invites boundary drift. At scale: one customer-
+    grain hash agg, then a segment-grain re-agg (hundreds of
+    groups). The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_revbands", _REVBANDS)
+
+
+_SHIPRATIO = """
+WITH s AS (
+  SELECT l_suppkey AS sk,
+         SUM(CASE WHEN l_shipdate < DATE '1996-07-01'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q_before,
+         SUM(CASE WHEN l_shipdate >= DATE '1996-07-01'
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q_after
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_suppkey
+),
+banded AS (
+  SELECT sk, q_before, q_after FROM s
+  WHERE q_before > 0 AND q_after > 0
+    AND 3 * q_after >= 2 * q_before
+    AND 2 * q_after <= 3 * q_before
+)
+SELECT su.s_nationkey AS nation,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(q_before) AS BIGINT) AS qty_before,
+       CAST(SUM(q_after) AS BIGINT) AS qty_after
+FROM banded JOIN supplier su ON su.s_suppkey = banded.sk
+GROUP BY su.s_nationkey
+"""
+_TABLES["q_tpcds_shipratio"] = ("lineitem", "supplier")
+
+
+@query("q_tpcds_shipratio", oracle=_SHIPRATIO)
+def q_tpcds_shipratio(spark, sf_dir):
+    """TPC-DS Q21 shape (fixture-adapted): per-supplier quantity
+    split into before/after a pivot date by conditional sums, keeping
+    only suppliers whose after/before ratio falls in [2/3, 3/2] —
+    Q21's inventory-ratio band, expressed as exact integer
+    cross-products (3·after ≥ 2·before ∧ 2·after ≤ 3·before) instead
+    of float division. At scale: one supplier-grain conditional hash
+    agg (the date split is an expression, not two scans), the
+    dimension join broadcasts, the nation re-agg is 25 groups. The
+    SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_shipratio", _SHIPRATIO)
