@@ -253,27 +253,39 @@ def q_hudi_incremental(spark, sf_dir):
       WHERE o_orderkey >= 1200 AND o_orderkey < 1400
     ),
     final AS (SELECT * FROM v2 UNION ALL SELECT * FROM appended)
-    SELECT COUNT(*) AS n_rows,
+    SELECT 'delta' AS chain, COUNT(*) AS n_rows,
            CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
            CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_updated
     FROM final
+    UNION ALL
+    SELECT 'iceberg', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM v2
     """,
 )
 def q_hudi_convert(spark, sf_dir):
-    """Hudi → Delta in-place migration (the XTable direction, closing
-    the Hudi arm of the migration matrix): a Hudi COW table that has
-    already seen an UPSERT converts by authoring a _delta_log version
-    0 over its LATEST FILE SLICES — the timeline (not a directory
-    walk) picks the inventory, so the upsert's superseded slices are
-    invisible to the Delta side; the five _hoodie_* meta columns are
-    dropped from the Delta schema (file content keeps them, scans
-    prune them). The converted table immediately takes an engine
-    append through the ordinary Delta writer, proving it is a
-    first-class Delta table, and the final read goes through the
-    Delta chain only."""
+    """Hudi → Delta AND Hudi → Iceberg in-place migration (both XTable
+    directions, closing the Hudi arm of the matrix): one Hudi COW
+    table that has already seen an UPSERT converts to BOTH formats on
+    the SAME directory (.hoodie, _delta_log and metadata/ are disjoint
+    — the XTable multi-target layout); each converter inventories the
+    LATEST FILE SLICES from the timeline (not a directory walk), so
+    the upsert's superseded slices are invisible; the five _hoodie_*
+    meta columns are dropped from both target schemas (file content
+    keeps them, scans prune them). The Delta side then takes an
+    ordinary engine append — proving first-class writability — while
+    the Iceberg snapshot, taken BEFORE the append, keeps the
+    pre-append contents (the two chains legitimately diverge once a
+    target-side write lands; per-target reads stay snapshot-exact)."""
     from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
-    from plankton_spark.sources.hudi_meta import HudiWriter, convert_hudi_to_delta
+    from plankton_spark.sources.hudi_meta import (
+        HudiWriter,
+        convert_hudi_to_delta,
+        convert_hudi_to_iceberg,
+    )
+    from plankton_spark.sources.iceberg_meta import read_iceberg
 
     root = _fresh(sf_dir, "hudi_convert")
     o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
@@ -284,16 +296,26 @@ def q_hudi_convert(spark, sf_dir):
     )
     inserts = o.where((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1200))
     w.upsert(updates.unionByName(inserts))
+    convert_hudi_to_iceberg(spark, root)
     convert_hudi_to_delta(spark, root)
     dw = DeltaLogWriter(spark, root)
     dw.append(
         o.where((F.col("o_orderkey") >= 1200) & (F.col("o_orderkey") < 1400))
         .coalesce(1)
     )
-    return read_delta(spark, root).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("o_orderkey").cast("long").alias("key_sum"),
-        F.sum(
-            F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
-        ).cast("long").alias("n_updated"),
+
+    def _agg(df, chain):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "U", 1).otherwise(0)
+            ).cast("long").alias("n_updated"),
+        ).select(F.lit(chain).alias("chain"), "n_rows", "key_sum", "n_updated")
+
+    return _agg(read_delta(spark, root), "delta").unionByName(
+        _agg(
+            read_iceberg(spark, root).select("o_orderkey", "o_orderstatus"),
+            "iceberg",
+        )
     )

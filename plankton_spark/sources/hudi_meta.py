@@ -626,3 +626,35 @@ def convert_hudi_to_delta(spark, table_path: str) -> int:
         w._metadata_action(schema, [], {}),
     ]
     return w._commit(0, actions + adds)
+
+
+def convert_hudi_to_iceberg(spark, table_path: str) -> int:
+    """The other Hudi migration arrow (XTable's Hudi → Iceberg
+    direction): author Iceberg metadata/ over the LATEST FILE SLICES
+    in place — same inventory rules as convert_hudi_to_delta (timeline
+    replay, superseded slices invisible, O(files) footer metadata,
+    zero data movement), sharing the converters' metadata-authoring
+    tail (_author_iceberg_over). The Iceberg schema excludes the five
+    ``_hoodie_*`` meta columns (scans prune them from file content);
+    the table converts unpartitioned at the Iceberg layer because
+    Hudi keeps the partition field IN file content where an identity
+    spec would expect it projected out — predicate pushdown + footer
+    stats give equivalent pruning. Both converters may run on the SAME
+    Hudi table (``.hoodie``, ``_delta_log`` and ``metadata/`` are
+    disjoint) — the XTable multi-target layout. Refuses MOR /
+    replacecommit timelines and an existing Iceberg table."""
+    from plankton_spark.sources.iceberg_meta import _author_iceberg_over
+
+    meta_dir = os.path.join(table_path, "metadata")
+    if os.path.isdir(meta_dir) and any(
+        f.endswith(".metadata.json") for f in os.listdir(meta_dir)
+    ):
+        raise FileExistsError(f"{table_path}: already an Iceberg table")
+    t = HudiTable(table_path)
+    slices = t.file_slices()
+    if not slices:
+        raise ValueError(f"{table_path}: no file slices to convert")
+    paths = [os.path.join(table_path, rel) for _, _, _, rel in slices]
+    schema = spark.read.parquet(*paths).drop(*META_COLS).schema
+    inventory = [(rel, {}) for _, _, _, rel in sorted(slices)]
+    return _author_iceberg_over(spark, table_path, schema, inventory, [])

@@ -230,3 +230,24 @@ def test_pending_instants_invisible(spark, tmp_path):
     # and the next engine write picks an instant PAST the pending one
     i = HudiWriter(spark, root).upsert(spark.range(20, 25).select(F.col("id").alias("k")))
     assert i > "20990101000000000"
+
+
+def test_convert_to_iceberg_multi_target(spark, tmp_path):
+    """XTable multi-target layout: one Hudi table converts in place to
+    BOTH Delta and Iceberg; all three chains read identical contents
+    (superseded upsert slices invisible through every chain)."""
+    from plankton_spark.sources.delta_log import read_delta
+    from plankton_spark.sources.hudi_meta import convert_hudi_to_iceberg
+    from plankton_spark.sources.iceberg_meta import read_iceberg
+
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    w.create(_df(spark, 0, 60))
+    w.upsert(_df(spark, 40, 80, status="B"))
+    expected = _content(read_hudi(spark, root))
+    convert_hudi_to_iceberg(spark, root)
+    convert_hudi_to_delta(spark, root)
+    assert _content(read_iceberg(spark, root).select("k", "status", "grp")) == expected
+    assert _content(read_delta(spark, root).select("k", "status", "grp")) == expected
+    with pytest.raises(FileExistsError):
+        convert_hudi_to_iceberg(spark, root)
