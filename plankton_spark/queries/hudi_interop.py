@@ -1,7 +1,9 @@
-"""Declared queries over Apache Hudi COPY_ON_WRITE tables
-(plankton_spark/sources/hudi_meta.py): snapshot read with partition
-pruning, time travel over the timeline, the incremental
-(commit-time-range) query, and the in-place migration to Delta — each
+"""Declared queries over Apache Hudi tables
+(plankton_spark/sources/hudi_meta.py): COPY_ON_WRITE snapshot read
+with partition pruning, time travel over the timeline, the
+incremental (commit-time-range) query, the in-place migrations to
+Delta AND Iceberg, and the MERGE_ON_READ log-merge read + compaction
+(sources/hudi_log.py) — each
 shadow-oracled by re-deriving the expected snapshot from the source
 fixtures in plain SQL, so a wrong file-slice resolution, a broken
 copy-forward of ``_hoodie_commit_time``, or a lossy conversion all
@@ -319,3 +321,135 @@ def q_hudi_convert(spark, sf_dir):
             "iceberg",
         )
     )
+
+
+@query(
+    "q_hudi_mor_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000
+    ),
+    ins AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1200
+    ),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey < 100 THEN 'V'
+                  WHEN o_orderkey < 200 THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(SUM(CASE WHEN o_orderstatus = 'V' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_v
+    FROM merged
+    """,
+)
+def q_hudi_mor_read(spark, sf_dir):
+    """Hudi MERGE_ON_READ snapshot (sources/hudi_log.py): updates land
+    as LOG FILES (avro data blocks, one per touched file group per
+    deltacommit — no base rewrite, the ingest-latency trade MOR exists
+    for), inserts as base files; the read merges base + logs with ONE
+    record-key window where the LATEST version wins. Two overlapping
+    upserts pin the precedence chain: keys < 100 were updated twice
+    ('U' at the first deltacommit, 'V' at the second) and must read
+    back as their SECOND update; log files parse on executors
+    (mapInPandas, one task per log file), never the driver. The
+    oracle re-derives the latest-wins merge relationally."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
+    root = _fresh(sf_dir, "hudi_mor")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark, root, record_key="o_orderkey", table_type="MERGE_ON_READ"
+    )
+    w.create(o.where(k < 1000))
+    upd1 = o.where(k < 200).withColumn("o_orderstatus", F.lit("U"))
+    ins = o.where((k >= 1000) & (k < 1200))
+    w.upsert(upd1.unionByName(ins))
+    w.upsert(o.where(k < 100).withColumn("o_orderstatus", F.lit("V")))
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+        .cast("long").alias("n_u"),
+        F.sum(F.when(F.col("o_orderstatus") == "V", 1).otherwise(0))
+        .cast("long").alias("n_v"),
+    )
+
+
+@query(
+    "q_hudi_mor_compact",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000
+    ),
+    ins AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1200
+    ),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey < 100 THEN 'W'
+                  WHEN o_orderkey < 200 THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(SUM(CASE WHEN o_orderstatus = 'W' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_w,
+           CAST(0 AS BIGINT) AS n_log_slices_after_compact
+    FROM merged
+    """,
+)
+def q_hudi_mor_compact(spark, sf_dir):
+    """MOR COMPACTION: after two deltacommits of log updates, compact
+    folds each log-carrying file group's MERGED rows into a fresh
+    base file under a COMMIT instant; the old logs detach (their base
+    instant no longer matches the slice) without being touched, the
+    log-slice count drops to zero (emitted and oracle-pinned), and a
+    POST-compaction upsert ('W' on keys < 100) starts a new log chain
+    against the new base — read results must be identical to the
+    never-compacted history. Records keep the commit metadata of
+    their latest pre-compaction version, so incremental consumers see
+    no phantom changes from the layout-only commit."""
+    from plankton_spark.sources.hudi_meta import (
+        HudiTable,
+        HudiWriter,
+        read_hudi,
+    )
+
+    root = _fresh(sf_dir, "hudi_mor_compact")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark, root, record_key="o_orderkey", table_type="MERGE_ON_READ"
+    )
+    w.create(o.where(k < 1000))
+    upd1 = o.where(k < 200).withColumn("o_orderstatus", F.lit("U"))
+    ins = o.where((k >= 1000) & (k < 1200))
+    w.upsert(upd1.unionByName(ins))
+    w.upsert(o.where(k < 100).withColumn("o_orderstatus", F.lit("V")))
+    w.compact()
+    n_logs = sum(
+        len(lrs) for *_x, lrs in HudiTable(root).file_slices_with_logs()
+    )
+    w.upsert(o.where(k < 100).withColumn("o_orderstatus", F.lit("W")))
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+        .cast("long").alias("n_u"),
+        F.sum(F.when(F.col("o_orderstatus") == "W", 1).otherwise(0))
+        .cast("long").alias("n_w"),
+    ).withColumn("n_log_slices_after_compact", F.lit(n_logs).cast("long"))

@@ -39,11 +39,18 @@ join of incoming keys against a key→fileId projection of the current
 snapshot; the rewrite reads and writes only the TOUCHED file groups
 (COW write amplification is per-group, never per-table).
 
-Honest refusals (never fabricate): MERGE_ON_READ tables (log-file
-merge needs the HoodieLogFile avro block format), ``replacecommit``
-instants (clustering / insert_overwrite replace file groups via a
-different metadata path), and pending (inflight) instants at or
-before an as-of read time.
+MERGE_ON_READ (sources/hudi_log.py): upserts append updates as LOG
+FILES (avro data blocks) under deltacommits; the snapshot read
+merges base + executor-parsed log records with one latest-wins
+record-key window; compact() folds logs into fresh base files under
+a commit and the stale logs detach by base-instant mismatch.
+
+Honest refusals (never fabricate): MOR DELETE_BLOCK log entries
+(data blocks only), format converters on un-compacted MOR tables
+(a log delta has no Delta/Iceberg representation),
+``replacecommit`` instants (clustering / insert_overwrite replace
+file groups via a different metadata path), and pending (inflight)
+instants never read.
 """
 
 from __future__ import annotations
@@ -135,27 +142,46 @@ class HudiTable:
         return sorted(out)
 
     def instants(self) -> list[str]:
-        """Completed COMMIT instants (the data-bearing timeline)."""
+        """Completed COMMIT instants (the COW data-bearing timeline)."""
         return [t for t, a in self._timeline() if a == "commit"]
 
-    def commit_meta(self, instant: str) -> dict:
-        with open(os.path.join(self.meta_dir, f"{instant}.commit"), encoding="utf-8") as fh:
+    def data_instants(self) -> list[tuple[str, str]]:
+        """Completed data-bearing instants for MOR replay: commits
+        (bulk inserts, compactions) AND deltacommits (log appends),
+        in instant order."""
+        return [
+            (t, a)
+            for t, a in self._timeline()
+            if a in ("commit", "deltacommit")
+        ]
+
+    def commit_meta(self, instant: str, action: str = "commit") -> dict:
+        with open(
+            os.path.join(self.meta_dir, f"{instant}.{action}"),
+            encoding="utf-8",
+        ) as fh:
             return json.load(fh)
 
     def _check_readable(self, as_of: str | None) -> None:
-        if self.table_type != "COPY_ON_WRITE":
+        if self.table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise NotImplementedError(
-                f"{self.table_path}: hoodie.table.type={self.table_type} — "
-                "MERGE_ON_READ snapshot reads need the HoodieLogFile avro "
-                "block merge; only COPY_ON_WRITE is supported"
+                f"{self.table_path}: hoodie.table.type={self.table_type}"
             )
+        mor = self.table_type == "MERGE_ON_READ"
         for t, a in self._timeline():
-            if a in ("replacecommit", "deltacommit") and (as_of is None or t <= as_of):
+            if as_of is not None and t > as_of:
+                continue
+            if a == "replacecommit":
                 raise NotImplementedError(
                     f"{self.table_path}: timeline carries a {a} instant "
                     f"({t}) — clustering/insert_overwrite replace file "
                     "groups via replace metadata this reader does not "
                     "interpret; reading would resurrect replaced files"
+                )
+            if a == "deltacommit" and not mor:
+                raise NotImplementedError(
+                    f"{self.table_path}: deltacommit instant ({t}) on a "
+                    "COPY_ON_WRITE table — inconsistent timeline"
                 )
         # a pending instant ≤ as_of means the snapshot is mid-write:
         # its files exist on disk but are not yet committed — the
@@ -168,8 +194,16 @@ class HudiTable:
     ) -> list[tuple[str, str, str, str]]:
         """Latest file slice per file group at ``as_of`` (default tip):
         sorted [(partition_path, file_id, instant, rel_path)]. Pure
-        timeline replay — later commit instants win per file group."""
+        timeline replay — later commit instants win per file group.
+        COW only: MOR callers (and the format converters, which can't
+        represent un-compacted log deltas) refuse here."""
         self._check_readable(as_of)
+        if self.table_type != "COPY_ON_WRITE":
+            raise NotImplementedError(
+                f"{self.table_path}: base-file-only slice resolution on "
+                "a MERGE_ON_READ table would drop un-compacted log "
+                "records — use file_slices_with_logs / read_hudi"
+            )
         slices: dict[tuple[str, str], tuple[str, str]] = {}
         for t in self.instants():
             if as_of is not None and t > as_of:
@@ -186,6 +220,40 @@ class HudiTable:
                     slices[(part, st["fileId"])] = (t, rel)
         return sorted(
             (part, fid, t, rel) for (part, fid), (t, rel) in slices.items()
+        )
+
+    def file_slices_with_logs(
+        self, as_of: str | None = None
+    ) -> list[tuple[str, str, str, str, list[str]]]:
+        """MOR slice resolution: sorted [(partition_path, file_id,
+        base_instant, base_rel, [log_rels...])]. Replays commits AND
+        deltacommits; a log file belongs to the slice whose base
+        instant equals its embedded baseCommitTime, so logs written
+        against a PRE-compaction base detach automatically when a
+        compaction commit rolls the slice."""
+        from plankton_spark.sources.hudi_log import parse_log_file_name
+
+        self._check_readable(as_of)
+        bases: dict[tuple[str, str], tuple[str, str]] = {}
+        logs: dict[tuple[str, str, str], list[str]] = {}
+        for t, action in self.data_instants():
+            if as_of is not None and t > as_of:
+                break
+            meta = self.commit_meta(t, action)
+            for part, stats in meta.get("partitionToWriteStats", {}).items():
+                for st in stats:
+                    rel = st["path"]
+                    parsed = parse_log_file_name(os.path.basename(rel))
+                    if parsed is not None:
+                        fid, base_instant, _v = parsed
+                        logs.setdefault(
+                            (part, fid, base_instant), []
+                        ).append(rel)
+                    else:
+                        bases[(part, st["fileId"])] = (t, rel)
+        return sorted(
+            (part, fid, t, rel, sorted(logs.get((part, fid, t), [])))
+            for (part, fid), (t, rel) in bases.items()
         )
 
 
@@ -208,11 +276,20 @@ def read_hudi(
     written in the range are scanned (file-level skip), then the
     per-record commit-time filter lands exactly, because COW copies
     carry their original commit time forward. ``partition_path``
-    prunes at FILE-LIST level (metadata-only partition pruning)."""
+    prunes at FILE-LIST level (metadata-only partition pruning).
+
+    MERGE_ON_READ tables route through the log-merge path: base-file
+    scan UNION the executor-parsed log records, latest version per
+    record key wins (see _read_mor)."""
     t = HudiTable(table_path)
+    if incremental is not None and as_of is not None:
+        raise ValueError("pass as_of or incremental, not both")
+    if t.table_type == "MERGE_ON_READ":
+        return _read_mor(
+            spark, t, table_path, as_of, incremental, partition_path,
+            with_meta,
+        )
     if incremental is not None:
-        if as_of is not None:
-            raise ValueError("pass as_of or incremental, not both")
         begin, end = incremental
         slices = [s for s in t.file_slices(end) if s[2] > begin]
     else:
@@ -233,12 +310,96 @@ def read_hudi(
     return df
 
 
+def _read_mor(
+    spark, t, table_path, as_of, incremental, partition_path, with_meta
+):
+    """MERGE_ON_READ snapshot: base-file multi-path scan UNIONed with
+    the log records, then ONE record-key window keeps the latest
+    version (log instants are strictly later than the base rows they
+    override; ties break to the log side).
+
+    Scale shape: log files parse on EXECUTORS — one task per log file
+    via mapInPandas over the descriptor list (the driver never touches
+    record bytes; each block is independently decodable, which is why
+    the format has per-block headers). The merge shuffles once on
+    record key; production Hudi instead merges per file group with
+    sorted base files — at this engine's grain the keyed window is the
+    same volume with simpler semantics, and compaction (HudiWriter.
+    compact) is the knob that keeps the log side small."""
+    end = None
+    if incremental is not None:
+        begin, end = incremental
+    slices = t.file_slices_with_logs(end if incremental else as_of)
+    if partition_path is not None:
+        slices = [s for s in slices if s[0] == partition_path]
+    if not slices:
+        raise ValueError(f"{table_path}: no file slices selected")
+    base_paths = [os.path.join(table_path, rel) for _, _, _, rel, _ in slices]
+    base = spark.read.parquet(*base_paths)
+    log_paths = [
+        os.path.join(table_path, lr)
+        for _, _, _, _, lrs in slices
+        for lr in lrs
+    ]
+    merged = base
+    if log_paths:
+        schema = base.schema
+        cols = [f.name for f in schema.fields]
+        cutoff = end if incremental else as_of
+
+        def parse(batches):
+            import pandas as pd
+
+            from plankton_spark.sources.hudi_log import read_log_blocks
+
+            for pdf in batches:
+                rows: list[dict] = []
+                for p in pdf["path"]:
+                    for instant, records in read_log_blocks(p):
+                        # block-level time travel (a foreign writer may
+                        # append multiple instants' blocks to one file)
+                        if cutoff is not None and instant > cutoff:
+                            continue
+                        rows.extend(records)
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+        logs_df = (
+            spark.createDataFrame([(p,) for p in sorted(log_paths)], "path string")
+            .repartition(min(len(log_paths), 32))
+            .mapInPandas(parse, schema)
+        )
+        w = Window.partitionBy("_hoodie_record_key").orderBy(
+            F.col("_hoodie_commit_time").desc(), F.col("__src").desc()
+        )
+        merged = (
+            base.withColumn("__src", F.lit(0))
+            .unionByName(logs_df.withColumn("__src", F.lit(1)))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+    if incremental is not None:
+        merged = merged.where(
+            (F.col("_hoodie_commit_time") > begin)
+            & (F.col("_hoodie_commit_time") <= end)
+        )
+    if not with_meta:
+        merged = merged.drop(*META_COLS)
+    return merged
+
+
 class HudiWriter:
-    """COPY_ON_WRITE writer: create / insert / upsert / delete_keys,
-    each one completed timeline instant. Every write is a single
-    distributed Spark job — tagging is one key-proportional join
-    (global simple index), the rewrite repartitions by file group so
-    each group lands as exactly one base file."""
+    """Hudi writer: create / insert / upsert / delete_keys /
+    compact, each one completed timeline instant. COPY_ON_WRITE
+    upserts rewrite touched file groups; MERGE_ON_READ upserts append
+    updates as LOG FILES (sources/hudi_log.py) under a deltacommit and
+    defer the merge to read time — compact() folds logs back into
+    base files under a commit. Every write is a single distributed
+    Spark job — tagging is one key-proportional join (global simple
+    index), rewrites repartition by file group so each group lands as
+    exactly one base file, and MOR log files are written by the
+    executor owning each group (applyInPandas), never the driver."""
 
     WRITE_TOKEN = "0-1-0"
 
@@ -249,6 +410,7 @@ class HudiWriter:
         record_key: str | None = None,
         partition_field: str | None = None,
         group_buckets: int = 1,
+        table_type: str = "COPY_ON_WRITE",
     ):
         # group_buckets bounds FILE-GROUP size, not correctness: each
         # insert fans new records into this many groups per partition
@@ -260,20 +422,34 @@ class HudiWriter:
         self.spark = spark
         self.table_path = table_path
         self.meta_dir = os.path.join(table_path, ".hoodie")
+        if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+            raise ValueError(f"unknown table_type {table_type!r}")
         props_path = os.path.join(self.meta_dir, "hoodie.properties")
         if os.path.isfile(props_path):
             t = HudiTable(table_path)
-            if t.table_type != "COPY_ON_WRITE":
+            self.table_type = t.table_type
+            if self.table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
                 raise NotImplementedError(
-                    f"{table_path}: only COPY_ON_WRITE tables are writable"
+                    f"{table_path}: hoodie.table.type={self.table_type}"
                 )
             self.record_key = t.record_key_field
             self.partition_field = t.partition_field
         else:
             if record_key is None:
                 raise ValueError("record_key is required to create a table")
+            self.table_type = table_type
             self.record_key = record_key
             self.partition_field = partition_field
+
+    @property
+    def _is_mor(self) -> bool:
+        return self.table_type == "MERGE_ON_READ"
+
+    @property
+    def _default_action(self) -> str:
+        # MOR ingest writes are deltacommits per the spec; compaction
+        # (and every COW write) is a commit
+        return "deltacommit" if self._is_mor else "commit"
 
     # ---- timeline ----
 
@@ -287,11 +463,13 @@ class HudiWriter:
             return f"{_INSTANT0:017d}"
         return f"{int(max(existing)) + 1000:017d}"
 
-    def _transition(self, instant: str, phase: str) -> None:
-        open(os.path.join(self.meta_dir, f"{instant}.commit.{phase}"), "w").close()
+    def _transition(self, instant: str, phase: str, action: str | None = None) -> None:
+        a = action or self._default_action
+        open(os.path.join(self.meta_dir, f"{instant}.{a}.{phase}"), "w").close()
 
-    def _complete(self, instant: str, meta: dict) -> None:
-        with open(os.path.join(self.meta_dir, f"{instant}.commit"), "w", encoding="utf-8") as fh:
+    def _complete(self, instant: str, meta: dict, action: str | None = None) -> None:
+        a = action or self._default_action
+        with open(os.path.join(self.meta_dir, f"{instant}.{a}"), "w", encoding="utf-8") as fh:
             json.dump(meta, fh, indent=2, sort_keys=True)
 
     # ---- write ops ----
@@ -302,7 +480,7 @@ class HudiWriter:
         os.makedirs(self.meta_dir)
         props = {
             "hoodie.table.name": os.path.basename(os.path.normpath(self.table_path)),
-            "hoodie.table.type": "COPY_ON_WRITE",
+            "hoodie.table.type": self.table_type,
             "hoodie.table.version": "6",
             "hoodie.timeline.layout.version": "1",
             "hoodie.table.recordkey.fields": self.record_key,
@@ -350,15 +528,28 @@ class HudiWriter:
 
     def upsert(self, df) -> str:
         """Tag incoming records against the current snapshot's
-        key→file-group index (one join), rewrite touched groups
-        merging old survivors with the updates, route unknown keys to
-        fresh file groups. Untouched groups are not read or written."""
+        key→file-group index (one join). COW: rewrite touched groups
+        merging old survivors with the updates. MOR: append the
+        updates as one LOG FILE per touched group (no base rewrite —
+        the ingest-latency trade the format exists for). Unknown keys
+        route to fresh base-file groups either way. Untouched groups
+        are not read or written."""
+        if self._is_mor:
+            return self._merge_mor(df)
         return self._merge(df, delete=False)
 
     def delete_keys(self, keys_df) -> str:
         """COW delete: rewrite the file groups containing the given
         record keys WITHOUT those records (a group may legally go to
-        a zero-row base file — the group stays addressable)."""
+        a zero-row base file — the group stays addressable). MOR
+        deletes need DELETE_BLOCK log entries — refused (hudi_log.py
+        decodes data blocks only)."""
+        if self._is_mor:
+            raise NotImplementedError(
+                f"{self.table_path}: MERGE_ON_READ deletes need "
+                "DELETE_BLOCK log entries — compact to COW semantics "
+                "first or use a COPY_ON_WRITE table"
+            )
         return self._merge(keys_df, delete=True)
 
     def _merge(self, df, delete: bool) -> str:
@@ -486,6 +677,181 @@ class HudiWriter:
             return instant
         finally:
             tagged.unpersist()
+
+    # ---- MOR ops ----
+
+    def _merge_mor(self, df) -> str:
+        """MOR upsert: updates append as ONE log file per touched
+        file group (written by the EXECUTOR owning the group via
+        applyInPandas — the driver sees only the per-group stats
+        rows); new keys go to fresh base files. One deltacommit.
+        The index reads BASE files only: every record key lives in
+        some base file (inserts always land in bases, logs carry only
+        updates), so tagging never parses a log."""
+        import pyspark.sql.types as T
+
+        from plankton_spark.sources.avro_ocf import schema_to_avro
+        from plankton_spark.sources.hudi_log import log_file_name
+
+        instant = self._next_instant()
+        table_path = self.table_path
+        t = HudiTable(table_path)
+        slices = t.file_slices_with_logs()
+        base_paths = [
+            os.path.join(table_path, rel) for _, _, _, rel, _ in slices
+        ]
+        # per-group log naming state: base instant + next log version
+        names = {
+            fid: (part, log_file_name(fid, bi, len(lrs) + 1))
+            for part, fid, bi, _rel, lrs in slices
+        }
+        base_of = {fid: bi for _p, fid, bi, _rel, _lrs in slices}
+        incoming = df.withColumn("__key", self._key_expr())
+        base = self.spark.read.parquet(*base_paths)
+        index = base.select(
+            F.col("_hoodie_record_key").alias("__key"),
+            F.col("_hoodie_partition_path").alias("__part"),
+            F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+        )
+        tagged = incoming.join(index, "__key", "left")
+        tagged.persist()
+        try:
+            self._transition(instant, "requested")
+            self._transition(instant, "inflight")
+            data_fields = [
+                f for f in df.schema.fields if not f.name.startswith("_hoodie_")
+            ]
+            row_schema = T.StructType(
+                [T.StructField(c, T.StringType()) for c in META_COLS]
+                + data_fields
+            )
+            avro_schema = schema_to_avro(row_schema)
+            data_cols = [f.name for f in data_fields]
+            stats_schema = "part string, fid string, rel string, n long, sz long"
+
+            def write_group_log(pdf):
+                import pandas as pd
+
+                from plankton_spark.sources.hudi_log import (
+                    append_data_block,
+                )
+
+                fid = pdf["__fid"].iloc[0]
+                part, name = names[fid]
+                rel = os.path.join(part, name) if part else name
+                dst = os.path.join(table_path, rel)
+                os.makedirs(os.path.dirname(dst) or table_path, exist_ok=True)
+                pdf = pdf.sort_values("__key")
+                records = []
+                for i, (_, row) in enumerate(pdf.iterrows(), 1):
+                    rec = {
+                        "_hoodie_commit_time": instant,
+                        "_hoodie_commit_seqno": f"{instant}_{i}",
+                        "_hoodie_record_key": row["__key"],
+                        "_hoodie_partition_path": part,
+                        "_hoodie_file_name": name,
+                    }
+                    for c in data_cols:
+                        v = row[c]
+                        if pd.isna(v):
+                            v = None
+                        elif hasattr(v, "item"):
+                            v = v.item()
+                        rec[c] = v
+                    records.append(rec)
+                append_data_block(dst, instant, avro_schema, records)
+                return pd.DataFrame(
+                    [
+                        {
+                            "part": part,
+                            "fid": fid,
+                            "rel": rel,
+                            "n": len(records),
+                            "sz": os.path.getsize(dst),
+                        }
+                    ]
+                )
+
+            updates = tagged.where(F.col("__fid").isNotNull())
+            stats: dict[str, list] = {}
+            # one row per TOUCHED FILE GROUP (metadata-scale collect)
+            for r in (
+                updates.groupBy("__fid")
+                .applyInPandas(write_group_log, stats_schema)
+                .collect()
+            ):
+                stats.setdefault(r["part"], []).append(
+                    {
+                        "fileId": r["fid"],
+                        "path": r["rel"],
+                        "prevCommit": base_of[r["fid"]],
+                        "numWrites": r["n"],
+                        "fileSizeInBytes": r["sz"],
+                    }
+                )
+            news = tagged.where(F.col("__fid").isNull()).drop(
+                "__key", "__part", "__fid"
+            )
+            news = news.withColumn("__part", self._partition_expr()).withColumn(
+                "__fid", self._new_fid(instant)
+            )
+            news = self._attach_meta(news, instant)
+            for part, lst in self._write_groups(news, instant, prev={}).items():
+                stats.setdefault(part, []).extend(lst)
+            self._complete(
+                instant,
+                {"operationType": "UPSERT", "partitionToWriteStats": stats},
+            )
+            return instant
+        finally:
+            tagged.unpersist()
+
+    def compact(self) -> str:
+        """MOR COMPACTION: fold each log-carrying file group's merged
+        rows into a fresh base file under a COMMIT instant (the MOR
+        timeline's compaction action). Records keep the commit
+        metadata of their LATEST version (the merge result) — the
+        incremental query still sees when each record last changed.
+        Groups without logs are not read or rewritten. After the
+        commit the old logs' base instant no longer matches the
+        slice, so they detach without being touched."""
+        if not self._is_mor:
+            raise ValueError(f"{self.table_path}: compact() is a MOR op")
+        instant = self._next_instant()
+        t = HudiTable(self.table_path)
+        slices = t.file_slices_with_logs()
+        todo = [s for s in slices if s[4]]
+        self._transition(instant, "requested", action="commit")
+        self._transition(instant, "inflight", action="commit")
+        if not todo:
+            self._complete(
+                instant,
+                {"operationType": "COMPACT", "partitionToWriteStats": {}},
+                action="commit",
+            )
+            return instant
+        merged = _read_mor(
+            self.spark, t, self.table_path, None, None, None, with_meta=True
+        )
+        todo_bases = [
+            os.path.join(self.table_path, rel) for _, _, _, rel, _ in todo
+        ]
+        index = self.spark.read.parquet(*todo_bases).select(
+            F.col("_hoodie_record_key").alias("__key"),
+            F.col("_hoodie_partition_path").alias("__part"),
+            F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+        )
+        rows = merged.join(
+            index, merged["_hoodie_record_key"] == index["__key"], "inner"
+        ).drop("__key")
+        prev = {(part, fid): bi for part, fid, bi, _rel, _lrs in todo}
+        stats = self._write_groups(rows, instant, prev=prev)
+        self._complete(
+            instant,
+            {"operationType": "COMPACT", "partitionToWriteStats": stats},
+            action="commit",
+        )
+        return instant
 
     # ---- shared staging ----
 

@@ -129,18 +129,20 @@ def test_group_buckets_fan_out(spark, tmp_path):
     assert read_hudi(spark, root).count() == 200
 
 
-def test_mor_and_replacecommit_refusals(spark, tmp_path):
+def test_unknown_type_and_replacecommit_refusals(spark, tmp_path):
     root = str(tmp_path / "t")
     w = HudiWriter(spark, root, record_key="k")
     w.create(_df(spark, 0, 10))
-    # flip the table type to MOR → reads refuse
+    # an unknown table type → reads refuse (MOR is supported now; a
+    # COW-authored table re-labeled MOR still reads — base files only)
     props = os.path.join(root, ".hoodie", "hoodie.properties")
-    txt = open(props).read().replace("COPY_ON_WRITE", "MERGE_ON_READ")
-    open(props, "w").write(txt)
-    with pytest.raises(NotImplementedError, match="MERGE_ON_READ|COPY_ON_WRITE"):
+    orig = open(props).read()
+    open(props, "w").write(orig.replace("COPY_ON_WRITE", "MERGE_ON_READ"))
+    assert read_hudi(spark, root).count() == 10
+    open(props, "w").write(orig.replace("COPY_ON_WRITE", "SOMETHING_ELSE"))
+    with pytest.raises(NotImplementedError, match="SOMETHING_ELSE"):
         read_hudi(spark, root)
-    txt = txt.replace("MERGE_ON_READ", "COPY_ON_WRITE")
-    open(props, "w").write(txt)
+    open(props, "w").write(orig)
     # a replacecommit instant (clustering) → refuse rather than
     # resurrect replaced file groups
     open(os.path.join(root, ".hoodie", "20990101000000000.replacecommit"), "w").write("{}")
@@ -251,3 +253,92 @@ def test_convert_to_iceberg_multi_target(spark, tmp_path):
     assert _content(read_delta(spark, root).select("k", "status", "grp")) == expected
     with pytest.raises(FileExistsError):
         convert_hudi_to_iceberg(spark, root)
+
+
+# ---- MERGE_ON_READ ----
+
+
+def test_log_block_codec_roundtrip(tmp_path):
+    from plankton_spark.sources.hudi_log import (
+        append_data_block,
+        read_log_blocks,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    p = str(tmp_path / ".fg-1_001.log.1_0-1-0")
+    append_data_block(p, "001", schema, [{"k": 1, "s": "a"}, {"k": 2, "s": None}])
+    append_data_block(p, "002", schema, [{"k": 3, "s": "c"}])
+    got = list(read_log_blocks(p))
+    assert got == [
+        ("001", [{"k": 1, "s": "a"}, {"k": 2, "s": None}]),
+        ("002", [{"k": 3, "s": "c"}]),
+    ]
+    # corrupt tail (crashed append): decodable prefix survives
+    with open(p, "ab") as fh:
+        fh.write(b"#HUDI#\x00\x00\x00\x00\x00\x00\xff\xff partial")
+    assert list(read_log_blocks(p)) == got
+
+
+def test_mor_upsert_precedence_and_timetravel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", table_type="MERGE_ON_READ")
+    i1 = w.create(_df(spark, 0, 50))
+    i2 = w.upsert(_df(spark, 0, 20, status="B"))
+    i3 = w.upsert(_df(spark, 0, 10, status="C"))
+    out = read_hudi(spark, root)
+    assert out.count() == 50
+    assert out.where(F.col("status") == "C").count() == 10
+    assert out.where(F.col("status") == "B").count() == 10  # 10..19
+    assert read_hudi(spark, root, as_of=i1).where(
+        F.col("status") != "A"
+    ).count() == 0
+    v2 = read_hudi(spark, root, as_of=i2)
+    assert v2.where(F.col("status") == "B").count() == 20
+    inc = read_hudi(spark, root, incremental=(i1, i3))
+    # latest versions changed in (i1, i3]: keys 0..19
+    assert sorted(r["k"] for r in inc.select("k").collect()) == list(range(20))
+
+
+def test_mor_compaction_equivalence(spark, tmp_path):
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", table_type="MERGE_ON_READ")
+    w.create(_df(spark, 0, 50))
+    w.upsert(_df(spark, 10, 60, status="B"))  # updates 10..49 + inserts 50..59
+    before = _content(read_hudi(spark, root))
+    w.compact()
+    assert _content(read_hudi(spark, root)) == before
+    t = HudiTable(root)
+    assert sum(len(lrs) for *_x, lrs in t.file_slices_with_logs()) == 0
+    # post-compaction upserts start a new log chain against the new base
+    w.upsert(_df(spark, 0, 5, status="D"))
+    out = read_hudi(spark, root)
+    assert out.where(F.col("status") == "D").count() == 5
+    assert out.count() == 60
+
+
+def test_mor_refusals(spark, tmp_path):
+    from plankton_spark.sources.hudi_meta import convert_hudi_to_delta
+
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", table_type="MERGE_ON_READ")
+    w.create(_df(spark, 0, 20))
+    w.upsert(_df(spark, 0, 5, status="B"))
+    with pytest.raises(NotImplementedError, match="DELETE_BLOCK"):
+        w.delete_keys(spark.range(0, 5).select(F.col("id").alias("k")))
+    # converters can't represent un-compacted log deltas
+    with pytest.raises(NotImplementedError, match="log"):
+        convert_hudi_to_delta(spark, root)
+    # a deltacommit on a COW table is an inconsistent timeline
+    root2 = str(tmp_path / "t2")
+    w2 = HudiWriter(spark, root2, record_key="k")
+    w2.create(_df(spark, 0, 10))
+    open(os.path.join(root2, ".hoodie", "20990101000000000.deltacommit"), "w").write("{}")
+    with pytest.raises(NotImplementedError, match="deltacommit"):
+        read_hudi(spark, root2)
