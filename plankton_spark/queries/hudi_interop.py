@@ -453,3 +453,104 @@ def q_hudi_mor_compact(spark, sf_dir):
         F.sum(F.when(F.col("o_orderstatus") == "W", 1).otherwise(0))
         .cast("long").alias("n_w"),
     ).withColumn("n_log_slices_after_compact", F.lit(n_logs).cast("long"))
+
+
+@query(
+    "q_stream_hudi_incr",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s FROM orders
+      WHERE o_orderkey < 1200
+    ),
+    f1 AS (SELECT 1 AS seq, k, s FROM o WHERE k < 1000),
+    f2 AS (
+      SELECT 2, k, 'U' FROM o WHERE k < 200
+      UNION ALL
+      SELECT 2, k, s FROM o WHERE k >= 1000
+    ),
+    f3 AS (SELECT 3, k, 'V' FROM o WHERE k < 100),
+    feed AS (
+      SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+    )
+    SELECT seq, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN s = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_u,
+           CAST(SUM(CASE WHEN s = 'V' THEN 1 ELSE 0 END) AS BIGINT) AS n_v
+    FROM feed GROUP BY seq
+    """,
+)
+def q_stream_hudi_incr(spark, sf_dir):
+    """The Hudi incremental feed as a REAL STREAMING source
+    (format("hudiincr"), offsets = data-instant ORDINALS) over a
+    MERGE_ON_READ table, with a mid-stream restart — the third leg
+    next to q_stream_cdf and q_stream_iceberg_cdf: the create and the
+    first upsert drain first; a second upsert AND a compaction land
+    while the consumer is down; the resumed query must emit EXACTLY
+    the down-time instants' records — the second upsert's log records
+    (each log partition is one executor-side block parse) and NOTHING
+    for the compaction (its base files carry only copies with older
+    commit times, so the commit-time filter silences it — the
+    layout-only contract, streaming edition) — and never replay the
+    earlier instants. Per-record attribution folds by instant ordinal
+    (a driver-literal instant→seq join; the silent compaction gets no
+    seq row). Oracle recomputes the three emitting instants'
+    write-sets relationally."""
+    import uuid as _uuid
+
+    from plankton_spark.sources.hudi_meta import HudiWriter, register
+
+    register(spark)
+    root = _fresh(sf_dir, "stream_hudi_incr")
+    sink = root + "_sink"
+    ckpt = root + "_ckpt"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark, root, record_key="o_orderkey", table_type="MERGE_ON_READ"
+    )
+    i1 = w.create(o.where(k < 1000))
+    upd1 = o.where(k < 200).withColumn("o_orderstatus", F.lit("U"))
+    ins = o.where((k >= 1000) & (k < 1200))
+    i2 = w.upsert(upd1.unionByName(ins))
+
+    def drain():
+        q = (
+            spark.readStream.format("hudiincr")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(f"hincr_{_uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # instants 1-2
+    i3 = w.upsert(o.where(k < 100).withColumn("o_orderstatus", F.lit("V")))
+    w.compact()  # must be SILENT in the feed
+    drain()  # restart: instants 3-4 only
+    seq_map = spark.createDataFrame(
+        [(i1, 1), (i2, 2), (i3, 3)], "_hoodie_commit_time string, seq int"
+    )
+    feed = spark.read.parquet(sink)
+    # LEFT join + coalesce(-1): a compaction leak (rows from the
+    # unmapped fourth instant) would surface as a seq=-1 group and
+    # hash-mismatch the oracle instead of being silently dropped
+    return (
+        feed.join(F.broadcast(seq_map), "_hoodie_commit_time", "left")
+        .withColumn("seq", F.coalesce("seq", F.lit(-1)))
+        .groupBy("seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+            .cast("long").alias("n_u"),
+            F.sum(F.when(F.col("o_orderstatus") == "V", 1).otherwise(0))
+            .cast("long").alias("n_v"),
+        )
+    )
