@@ -1179,3 +1179,96 @@ class HudiIncrStreamReader(DataSourceStreamReader):
 
 def register(spark) -> None:
     spark.dataSource.register(HudiIncrDataSource)
+
+
+def clean(table_path: str, keep_last_slices: int = 1) -> list[str]:
+    """CLEAN (the Hudi retention action, vacuum/expire parity with
+    the other formats): per file group, delete base files superseded
+    by more than ``keep_last_slices`` newer slices, plus log files
+    whose base instant no longer matches ANY retained base (detached
+    by compaction). Writes a ``{instant}.clean`` timeline record
+    listing the deleted paths. Time travel to a cleaned-away instant
+    then fails at scan time — the same contract as Delta VACUUM.
+    Metadata-only planning: the timeline names every candidate, no
+    directory walk. Returns the deleted relative paths."""
+    from plankton_spark.sources.hudi_log import parse_log_file_name
+
+    t = HudiTable(table_path)
+    t._check_readable(None)
+    history: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    logs: list[tuple[str, str, str]] = []  # (rel, fid, base_instant)
+    for ti, action in t.data_instants():
+        meta = t.commit_meta(ti, action)
+        for part, stats in meta.get("partitionToWriteStats", {}).items():
+            for st in stats:
+                rel = st["path"]
+                parsed = parse_log_file_name(os.path.basename(rel))
+                if parsed is not None:
+                    logs.append((rel, parsed[0], parsed[1]))
+                else:
+                    history.setdefault((part, st["fileId"]), []).append(
+                        (ti, rel)
+                    )
+    deleted: list[str] = []
+    kept_bases: dict[str, set[str]] = {}  # fid -> retained base instants
+    for (part, fid), versions in sorted(history.items()):
+        versions.sort()
+        keep = versions[-max(1, keep_last_slices):]
+        kept_bases.setdefault(fid, set()).update(ti for ti, _ in keep)
+        for _ti, rel in versions[: len(versions) - len(keep)]:
+            p = os.path.join(table_path, rel)
+            if os.path.exists(p):
+                os.remove(p)
+            deleted.append(rel)
+    for rel, fid, base_instant in logs:
+        if base_instant not in kept_bases.get(fid, set()):
+            p = os.path.join(table_path, rel)
+            if os.path.exists(p):
+                os.remove(p)
+            deleted.append(rel)
+    existing = [m.group(1) for n in os.listdir(t.meta_dir) if (m := _COMPLETED_RE.match(n))]
+    instant = f"{int(max(existing)) + 1000:017d}" if existing else f"{_INSTANT0:017d}"
+    with open(
+        os.path.join(t.meta_dir, f"{instant}.clean"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump({"deleted": sorted(deleted)}, fh, indent=2)
+    return sorted(deleted)
+
+
+def rollback(table_path: str, instant: str) -> list[str]:
+    """ROLLBACK a PENDING (crashed) instant: delete any data/log file
+    that instant staged (named by its instantTime — base files embed
+    it, log stats are unreachable because the commit never completed,
+    so the file sweep goes by name), remove the requested/inflight
+    transition files, and record a ``{instant}.rollback`` timeline
+    entry. Completed instants refuse — undoing committed data is
+    RESTORE territory, not rollback."""
+    t = HudiTable(table_path)
+    for n in os.listdir(t.meta_dir):
+        m = _COMPLETED_RE.match(n)
+        if m and m.group(1) == instant and m.group(2) != "rollback":
+            raise ValueError(
+                f"{table_path}: instant {instant} is COMPLETED "
+                f"({m.group(2)}) — rollback only undoes pending writes"
+            )
+    removed: list[str] = []
+    for dirpath, _dirs, files in os.walk(table_path):
+        if os.path.relpath(dirpath, table_path).startswith(".hoodie"):
+            continue
+        for n in files:
+            parsed_base = _BASEFILE_RE.match(n)
+            if parsed_base and parsed_base.group("instant") == instant:
+                os.remove(os.path.join(dirpath, n))
+                removed.append(
+                    os.path.relpath(os.path.join(dirpath, n), table_path)
+                )
+    for phase in ("requested", "inflight"):
+        for action in ("commit", "deltacommit"):
+            p = os.path.join(t.meta_dir, f"{instant}.{action}.{phase}")
+            if os.path.exists(p):
+                os.remove(p)
+    with open(
+        os.path.join(t.meta_dir, f"{instant}.rollback"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump({"rolled_back": instant, "removed": sorted(removed)}, fh, indent=2)
+    return sorted(removed)

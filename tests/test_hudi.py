@@ -342,3 +342,62 @@ def test_mor_refusals(spark, tmp_path):
     open(os.path.join(root2, ".hoodie", "20990101000000000.deltacommit"), "w").write("{}")
     with pytest.raises(NotImplementedError, match="deltacommit"):
         read_hudi(spark, root2)
+
+
+def test_clean_retention_and_rollback(spark, tmp_path):
+    from plankton_spark.sources.hudi_meta import clean, rollback
+
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    i1 = w.create(_df(spark, 0, 40))
+    w.upsert(_df(spark, 0, 10, status="B"))
+    w.upsert(_df(spark, 0, 10, status="C"))
+    before = _content(read_hudi(spark, root))
+    deleted = clean(root, keep_last_slices=1)
+    assert deleted  # two superseded base versions of the touched group
+    # the live snapshot is untouched
+    assert _content(read_hudi(spark, root)) == before
+    # time travel to the cleaned-away version now fails at scan time
+    with pytest.raises(Exception):
+        read_hudi(spark, root, as_of=i1).collect()
+
+    # rollback: a crashed write leaves pending files + staged data
+    crash = "20990101000000000"
+    open(os.path.join(root, ".hoodie", f"{crash}.commit.requested"), "w").close()
+    open(os.path.join(root, ".hoodie", f"{crash}.commit.inflight"), "w").close()
+    orphan = f"fg-crash-1_0-1-0_{crash}.parquet"
+    _df(spark, 0, 3).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob as g
+    import shutil as sh
+
+    src = g.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+    os.replace(src, os.path.join(root, orphan))
+    sh.rmtree(str(tmp_path / "stage"))
+    removed = rollback(root, crash)
+    assert orphan in removed
+    assert not os.path.exists(os.path.join(root, orphan))
+    assert not os.path.exists(
+        os.path.join(root, ".hoodie", f"{crash}.commit.inflight")
+    )
+    # completed instants refuse
+    done = HudiTable(root).instants()[-1]
+    with pytest.raises(ValueError, match="COMPLETED"):
+        rollback(root, done)
+    # engine writes continue cleanly after clean + rollback
+    w.upsert(_df(spark, 40, 45))
+    assert read_hudi(spark, root).count() == 45
+
+
+def test_mor_clean_drops_detached_logs(spark, tmp_path):
+    from plankton_spark.sources.hudi_meta import clean
+
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", table_type="MERGE_ON_READ")
+    w.create(_df(spark, 0, 30))
+    w.upsert(_df(spark, 0, 10, status="B"))
+    w.compact()
+    before = _content(read_hudi(spark, root))
+    deleted = clean(root, keep_last_slices=1)
+    # the pre-compaction base AND its detached log are both cleaned
+    assert any(".log." in d for d in deleted)
+    assert _content(read_hudi(spark, root)) == before
