@@ -1181,3 +1181,69 @@ def q_cdf_apply(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.sum("o_custkey").cast("long").alias("cust_sum"),
     )
+
+
+@query(
+    "q_deltalog_defaults",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000
+    ),
+    defaulted AS (
+      SELECT o_orderkey, 'N' AS o_orderstatus FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1300
+    ),
+    explicit_null AS (
+      SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus FROM orders
+      WHERE o_orderkey >= 1300 AND o_orderkey < 1400
+    ),
+    final AS (
+      SELECT * FROM base
+      UNION ALL SELECT * FROM defaulted
+      UNION ALL SELECT * FROM explicit_null
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'N' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_defaulted,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_explicit_null
+    FROM final
+    """,
+)
+def q_deltalog_defaults(spark, sf_dir):
+    """Delta COLUMN DEFAULTS (the allowColumnDefaults writer
+    feature): ALTER sets CURRENT_DEFAULT ('N') on an EXISTING column
+    (the spec forbids ADD COLUMN with a default — old files would
+    need a read-time fill the protocol does not define) and raises
+    the protocol to feature form. A subsequent append that OMITS the
+    column materializes the default at staging time; an append
+    supplying EXPLICIT NULLs keeps them (defaults are fallbacks for
+    missing columns, not invariants); pre-ALTER rows are untouched.
+    The oracle re-derives all three populations relationally — a
+    default leaking into explicit NULLs, or vice versa, is a hash
+    mismatch."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+
+    root = _scratch(sf_dir, "delta_defaults")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = DeltaLogWriter(spark, root)
+    w.create(o.where(k < 1000))
+    w.set_column_default("o_orderstatus", "'N'")
+    w.append(
+        o.where((k >= 1000) & (k < 1300)).select("o_orderkey").coalesce(1)
+    )
+    w.append(
+        o.where((k >= 1300) & (k < 1400))
+        .select("o_orderkey", F.lit(None).cast("string").alias("o_orderstatus"))
+        .coalesce(1)
+    )
+    return read_delta(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "N", 1).otherwise(0))
+        .cast("long").alias("n_defaulted"),
+        F.count_if(F.col("o_orderstatus").isNull()).alias("n_explicit_null"),
+    )

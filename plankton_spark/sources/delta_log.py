@@ -1695,6 +1695,108 @@ class DeltaLogWriter:
 
         return self._commit_metadata_update(build)
 
+    def set_column_default(self, col: str, sql_expr: str) -> int:
+        """COLUMN DEFAULT (the spec's ``allowColumnDefaults`` writer
+        feature): store the SQL expression under the field-metadata
+        key ``CURRENT_DEFAULT`` and raise the protocol to carry the
+        feature. From then on, a write that OMITS the column
+        materializes the default at staging time (writer-side — the
+        spec has no read-time default: existing files are untouched
+        and explicit NULLs stay NULL). Per the spec, the column must
+        already EXIST: ALTER ADD COLUMN with a default is forbidden
+        (old files would need a read-time fill the protocol does not
+        define), so this engine exposes defaults only as an ALTER on
+        present columns — the same restriction delta-spark enforces.
+        The expression must be literal-foldable (no column refs): a
+        row-dependent default has no meaning for a missing column."""
+        # validate the expression is self-contained and typeable
+        try:
+            probe = self.spark.range(1).select(
+                F.expr(sql_expr).alias("__d")
+            )
+            probe.collect()  # 1-row literal fold, driver-side
+        except Exception as exc:  # noqa: BLE001
+            raise ValueError(
+                f"{self.table_path}: default expression {sql_expr!r} "
+                f"does not evaluate standalone: {exc}"
+            ) from None
+
+        def build(log, schema, part_cols, cfg):
+            if col not in [f.name for f in schema.fields]:
+                raise ValueError(
+                    f"{self.table_path}: no column {col!r} — per the "
+                    "spec, defaults attach to EXISTING columns only "
+                    "(ADD COLUMN with a default is not representable)"
+                )
+            new_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {**dict(f.metadata or {}), "CURRENT_DEFAULT": sql_expr}
+                        if f.name == col
+                        else f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            prot = log.table_protocol or {
+                "minReaderVersion": 1,
+                "minWriterVersion": 2,
+            }
+            wv = prot.get("minWriterVersion", 2)
+            wf = set(prot.get("writerFeatures") or [])
+            if not wf and wv < 7:
+                for lv, feats in LEGACY_WRITER_FEATURES.items():
+                    if wv >= lv:
+                        wf |= feats
+            wf |= {"allowColumnDefaults"}
+            new_prot = {
+                "minReaderVersion": prot.get("minReaderVersion", 1),
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(wf),
+            }
+            if prot.get("readerFeatures") is not None:
+                new_prot["readerFeatures"] = sorted(
+                    set(prot.get("readerFeatures") or [])
+                )
+            return [
+                {"protocol": new_prot},
+                self._metadata_action(new_schema, part_cols, cfg),
+            ]
+
+        return self._commit_metadata_update(build)
+
+    def drop_column_default(self, col: str) -> int:
+        """Remove a column's CURRENT_DEFAULT (metadata-only; the
+        feature stays in the protocol — features are one-way)."""
+
+        def build(log, schema, part_cols, cfg):
+            fields = {f.name for f in schema.fields}
+            if col not in fields:
+                raise ValueError(f"{self.table_path}: no column {col!r}")
+            new_schema = T.StructType(
+                [
+                    T.StructField(
+                        f.name,
+                        f.dataType,
+                        f.nullable,
+                        {
+                            k: v
+                            for k, v in dict(f.metadata or {}).items()
+                            if k != "CURRENT_DEFAULT"
+                        }
+                        if f.name == col
+                        else f.metadata,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            return [self._metadata_action(new_schema, part_cols, cfg)]
+
+        return self._commit_metadata_update(build)
+
     def _enforce_constraints(self, df) -> None:
         """CHECK + NOT NULL enforcement on data about to be staged: a
         CHECK violates only when its expression evaluates FALSE (NULL
@@ -2508,6 +2610,20 @@ class DeltaLogWriter:
                         f"{self.table_path}: supplied values for "
                         f"generated column {f.name!r} contradict its "
                         f"expression ({expr})"
+                    )
+            # column defaults (allowColumnDefaults): a write that
+            # OMITS a defaulted column materializes CURRENT_DEFAULT at
+            # staging time; supplied values — explicit NULL included —
+            # always win (defaults are fallbacks, not invariants)
+            for f in snapshot_info[0].fields:
+                if (
+                    f.metadata
+                    and "CURRENT_DEFAULT" in f.metadata
+                    and f.name not in df.columns
+                ):
+                    df = df.withColumn(
+                        f.name,
+                        F.expr(f.metadata["CURRENT_DEFAULT"]).cast(f.dataType),
                     )
         ident = _identity_info(snapshot_info[0]) if snapshot_info else {}
         if ident:

@@ -1154,3 +1154,59 @@ def test_checkpoint_add_carries_mtime_and_stats(spark, tmp_path):
     finally:
         dl._file_stats = orig
     assert stats and all("minValues" in s for s in stats.values())
+
+
+def test_column_defaults_lifecycle(spark, tmp_path):
+    """allowColumnDefaults: materialize on omission, explicit values
+    win, drop removes the fallback, protocol carries the feature,
+    ADD-COLUMN-with-default and non-foldable expressions refuse."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+
+    root = str(tmp_path / "t")
+    w = DeltaLogWriter(spark, root)
+    # nullable schema: F.lit would mark s non-nullable and the
+    # explicit-NULL leg below would (correctly) hit NOT NULL instead
+    w.create(
+        spark.createDataFrame(
+            [(i, "A") for i in range(10)], "k long, s string"
+        )
+    )
+    with pytest.raises(ValueError, match="no column"):
+        w.set_column_default("missing", "'X'")
+    with pytest.raises(ValueError, match="does not evaluate standalone"):
+        w.set_column_default("s", "k + 1")  # column ref: not foldable
+    w.set_column_default("s", "'D'")
+    w.append(spark.range(10, 15).select(F.col("id").alias("k")))
+    out = read_delta(spark, root)
+    assert out.where(F.col("s") == "D").count() == 5
+    # explicit value (and explicit NULL) beats the default
+    w.append(
+        spark.range(15, 18).select(
+            F.col("id").alias("k"), F.lit(None).cast("string").alias("s")
+        )
+    )
+    assert read_delta(spark, root).where(F.col("s").isNull()).count() == 3
+    # feature landed in the protocol
+    logs = sorted(
+        f for f in os.listdir(os.path.join(root, "_delta_log"))
+        if f.endswith(".json")
+    )
+    feats = set()
+    for lf in logs:
+        for line in open(os.path.join(root, "_delta_log", lf)):
+            a = json.loads(line)
+            if "protocol" in a:
+                feats = set(a["protocol"].get("writerFeatures") or [])
+    assert "allowColumnDefaults" in feats
+    # drop: with no default, omitting the column is back to being a
+    # strict-schema error (the engine never silently NULL-fills)
+    w.drop_column_default("s")
+    with pytest.raises(ValueError, match="missing columns"):
+        w.append(spark.range(18, 20).select(F.col("id").alias("k")))
+    assert read_delta(spark, root).where(F.col("s") == "D").count() == 5
