@@ -1146,14 +1146,19 @@ def q_knn_pq(spark, sf_dir):
     near-isotropic vectors — the adversarial case for PQ, as for the
     LSH/IVF siblings).
 
-    Scale shape: codebooks are M·K·SUBDIM = 1024 broadcast rows
-    (corpus-independent); training touches only component rows with
-    partial-combinable aggs; the ADC scan shuffles (q_id, n_id)
-    partial sums with map-side combine — linear in corpus × queries,
-    the compressed-domain scan PQ exists for (composable with
-    q_knn_ivf's coarse lists to cut the scan to probed cells); the
-    exact rescore reads Q×32 embedding pairs. Rows-only by design
-    (the metric is defined against q_sim_cosine_topk)."""
+    Scale shape: TRAINING runs on a deterministic ~8k-vector hash
+    sample (the FAISS practice — codebook quality saturates long
+    before the corpus; training cost must not scale with N);
+    ENCODING is ONE corpus scan with the trained 1024-double codebook
+    inlined as a literal (per-vector argmin as a loop-shaped
+    expression — the join-based encode would explode the corpus 16×);
+    the ADC scan shuffles (q_id, n_id) partial sums with map-side
+    combine — linear in corpus × queries, the compressed-domain scan
+    PQ exists for (composable with q_knn_ivf's coarse lists to cut
+    the scan to probed cells); the exact rescore reads Q×64 embedding
+    pairs. sf10 soak: 200k vectors in ~35 s cold, recall 1.0 (the
+    copied corpus clusters cleanly). Rows-only by design (the metric
+    is defined against q_sim_cosine_topk)."""
     e = read_table(spark, sf_dir, "embeddings")
     M_SUB, SUBDIM, K_CODES, N_CAND = 8, 8, 16, 64
     comps = (
@@ -1167,14 +1172,23 @@ def q_knn_pq(spark, sf_dir):
     )
     # per-subspace codebooks: init from the K lowest vec_ids, then
     # two Lloyd steps (assignment = broadcast-join argmin, update =
-    # M·K·SUBDIM-group partial agg — never a corpus-sized shuffle)
+    # M·K·SUBDIM-group partial agg — never a corpus-sized shuffle).
+    # TRAINING runs on a deterministic hash sample (~8k vectors, the
+    # FAISS practice — codebook quality saturates long before the
+    # corpus is exhausted, and training cost must not scale with N);
+    # ENCODING still touches every vector exactly once.
+    n_vecs = e.count()
+    mod = max(1, n_vecs // 8192)
+    train = comps.where(
+        (F.col("vec_id") < K_CODES) | (F.col("vec_id") % mod == 0)
+    )
     cent = comps.where(F.col("vec_id") < K_CODES).select(
         "m", F.col("vec_id").cast("int").alias("code"), "j", F.col("x").alias("c")
     )
 
-    def _assign(centroids):
+    def _assign(centroids, src):
         d2 = (
-            comps.join(F.broadcast(centroids), ["m", "j"])
+            src.join(F.broadcast(centroids), ["m", "j"])
             .withColumn("dd", (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
             .groupBy("vec_id", "m", "code")
             .agg(F.round(F.sum("dd"), 9).alias("d2"))
@@ -1187,13 +1201,56 @@ def q_knn_pq(spark, sf_dir):
         )
 
     for _ in range(2):
-        assign = _assign(cent)
+        assign = _assign(cent, train)
         cent = (
-            comps.join(assign, ["vec_id", "m"])
+            train.join(assign, ["vec_id", "m"])
             .groupBy("m", "code", "j")
             .agg(F.avg("x").alias("c"))
         )
-    codes = _assign(cent)  # final encode: 8 small ints per vector
+    # ENCODE in ONE corpus scan: the trained codebook is M·K·SUBDIM =
+    # 1024 doubles — collected to the driver (the q_cluster_kmeans
+    # precedent: a trained model is metadata-scale) and inlined as a
+    # 3-D literal, so the per-vector argmin is a loop-shaped
+    # expression instead of a 16×-exploding broadcast join. Codes the
+    # sampled training never populated get +inf sentinels (never win).
+    Cmap: dict[tuple[int, int, int], float] = {
+        (r["m"], r["code"], r["j"]): r["c"] for r in cent.collect()
+    }
+    C_lit = F.array(*[
+        F.array(*[
+            F.array(*[
+                F.lit(Cmap.get((m, c, j), 1e30))
+                for j in range(SUBDIM)
+            ])
+            for c in range(K_CODES)
+        ])
+        for m in range(M_SUB)
+    ])
+
+    def _dists(m: F.Column):
+        return F.transform(
+            F.element_at(C_lit, m + 1),
+            lambda cvec: F.aggregate(
+                F.sequence(F.lit(0), F.lit(SUBDIM - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.pow(
+                    F.element_at("embedding", m * SUBDIM + j + 1).cast("double")
+                    - F.element_at(cvec, j + 1),
+                    2,
+                ),
+            ),
+        )
+
+    codes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+        lambda m: (
+            lambda d: F.array_position(d, F.array_min(d)).cast("int") - 1
+        )(_dists(m)),
+    )
+    codes = e.select(
+        "vec_id", F.posexplode(codes_arr).alias("m", "code")
+    )
     # ADC lookup table per query: (m, code) → dot(q_subvector, centroid)
     lut = (
         comps.where(F.col("vec_id") < N_QUERIES)
