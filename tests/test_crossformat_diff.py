@@ -216,3 +216,63 @@ def test_conversion_delay_median_odd_and_even(spark):
     assert median2x([10, 20, 30, 40]) == 50      # even: sum of middles
     assert median2x([7]) == 14                   # n=1
     assert median2x([5, 5, 5]) == 10             # ties
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_hudi_tracks_delta_contents(spark, tmp_path, seed):
+    """The Hudi arm under the differential harness: the SAME logical
+    op sequence runs through the Delta writer and the Hudi COW writer
+    (ops mapped to Hudi's key-based surface — delete-by-predicate
+    becomes delete-by-matching-keys, replace_where becomes
+    delete+insert, optimize becomes clean) and the contents must stay
+    two-way identical after every step; a wrong slice resolution, a
+    copy-forward bug, or an upsert routing error diverges
+    immediately."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, clean, read_hudi
+
+    rng = random.Random(seed)
+    dw = DeltaLogWriter(spark, str(tmp_path / "dl"))
+    hw = HudiWriter(spark, str(tmp_path / "hd"), record_key="k")
+    first = _batch(spark, seed, 0, 40).coalesce(1)
+    dw.create(first)
+    hw.create(first)
+    next_k = 1000
+
+    def check(step):
+        a = _content(read_delta(spark, str(tmp_path / "dl")))
+        b = _content(read_hudi(spark, str(tmp_path / "hd")))
+        assert a == b, f"divergence after step {step}: seed={seed}"
+
+    check("create")
+    for step in range(8):
+        op = rng.choice(["append", "delete", "merge", "replace", "clean"])
+        if op == "append":
+            df = _batch(spark, seed * 100 + step, next_k, rng.randrange(5, 20))
+            next_k += 1000
+            dw.append(df.coalesce(1))
+            hw.insert(df)
+        elif op == "delete":
+            g = rng.randrange(0, 5)
+            cond = F.col("grp") == g
+            keys = read_hudi(spark, str(tmp_path / "hd")).where(cond).select("k")
+            dw.delete_where(cond)
+            hw.delete_keys(keys)
+        elif op == "merge":
+            df = _batch(spark, seed * 200 + step, next_k - 1000, 8)
+            dw.merge(df, "k")
+            hw.upsert(df)
+        elif op == "replace":
+            g = rng.randrange(0, 5)
+            repl = _batch(
+                spark, seed * 300 + step, next_k, rng.randrange(3, 9)
+            ).withColumn("grp", F.lit(g).cast("long"))
+            next_k += 1000
+            cond = F.col("grp") == g
+            keys = read_hudi(spark, str(tmp_path / "hd")).where(cond).select("k")
+            dw.replace_where(repl, cond)
+            hw.delete_keys(keys)
+            hw.insert(repl)
+        else:
+            dw.optimize(num_files=1)
+            clean(str(tmp_path / "hd"), keep_last_slices=1)
+        check(f"{step}:{op}")
