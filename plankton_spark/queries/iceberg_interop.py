@@ -2038,3 +2038,55 @@ def q_iceberg_changelog_eq(spark, sf_dir):
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.sum("o_custkey").cast("long").alias("cust_sum"),
     )
+
+
+@query(
+    "q_iceberg_defaults",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey AS k, CAST(5 AS BIGINT) AS priority
+      FROM orders WHERE o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderkey, CAST(7 AS BIGINT) FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1200
+      UNION ALL
+      SELECT o_orderkey, CAST(o_orderkey % 3 AS BIGINT) FROM orders
+      WHERE o_orderkey >= 1200 AND o_orderkey < 1300
+    )
+    SELECT priority, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM f GROUP BY priority
+    """,
+)
+def q_iceberg_defaults(spark, sf_dir):
+    """Iceberg v3 DEFAULT VALUES (the cross-format contrast to
+    q_deltalog_defaults): ADD COLUMN carries BOTH defaults —
+    ``initial-default`` (5) is a READ-TIME fill for files written
+    BEFORE the column existed (exactly what Delta's protocol cannot
+    represent, which is why its ADD-with-default refuses), and
+    ``write-default`` (7) materializes on writes that omit the
+    column. The read groups live files by footer presence of the
+    defaulted field (id-resolved) and fills per group — files
+    carrying the column keep their values. Three populations pin the
+    semantics: pre-ALTER rows read 5, a post-ALTER append omitting
+    the column lands 7, an append supplying values keeps them. The
+    metadata bumps to format-version 3 per the spec."""
+    from plankton_spark.sources.iceberg_meta import IcebergWriter, read_iceberg
+
+    root = _scratch(sf_dir, "iceberg_defaults")
+    shutil.rmtree(root, ignore_errors=True)
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = IcebergWriter(spark, root)
+    w.create(o.where(k < 1000).coalesce(1))
+    w.add_column("priority", "long", initial_default=5, write_default=7)
+    w.append(o.where((k >= 1000) & (k < 1200)).coalesce(1))
+    w.append(
+        o.where((k >= 1200) & (k < 1300))
+        .withColumn("priority", (k % 3).cast("long"))
+        .coalesce(1)
+    )
+    return read_iceberg(spark, root).groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

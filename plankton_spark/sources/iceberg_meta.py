@@ -543,6 +543,63 @@ _LAST_SEQ_COL = "_last_updated_sequence_number"
 _LAST_SEQ_FIELD_ID = 2147483539
 
 
+def _initial_defaults(t: "IcebergTable") -> dict[str, object]:
+    """{column: initial-default} for current-schema fields carrying
+    the v3 ``initial-default`` key — empty on every pre-v3 table, so
+    the common read path pays nothing."""
+    return {
+        f["name"]: f["initial-default"]
+        for f in t._current_ice_schema()["fields"]
+        if "initial-default" in f
+    }
+
+
+def _defaults_filled_read(spark, t, schema, part_cols, entries, dflt):
+    """Per-file-exact initial-default fill: group the live files by
+    WHICH defaulted columns their footers lack (id-resolved when the
+    file carries parquet field ids, by name otherwise — rename-safe
+    where possible), scan each group once, overwrite the whole
+    missing column with the default literal, union. Footer probes are
+    O(live files) driver metadata — the same budget every stats read
+    here already spends; group count is bounded by the number of
+    ALTERs, not files."""
+    import pyarrow.parquet as _pq
+
+    fids = t.field_ids()
+    groups: dict[frozenset, list] = {}
+    for p, pv in entries:
+        sch = _pq.read_schema(p)
+        present_ids = {
+            int(f.metadata[b"PARQUET:field_id"])
+            for f in sch
+            if f.metadata and b"PARQUET:field_id" in f.metadata
+        }
+        names = set(sch.names)
+        missing = frozenset(
+            n
+            for n in dflt
+            if not (
+                (fids.get(n) in present_ids) if present_ids else (n in names)
+            )
+        )
+        groups.setdefault(missing, []).append((p, pv))
+    out_cols = [f.name for f in schema.fields]
+    by_name = {f.name: f for f in schema.fields}
+    frames = []
+    for missing, group in sorted(groups.items(), key=lambda kv: sorted(kv[0])):
+        if part_cols:
+            g = _assemble_iceberg(spark, schema, part_cols, group)
+        else:
+            g = spark.read.schema(schema).parquet(*[p for p, _ in group])
+        for n in sorted(missing):
+            g = g.withColumn(n, F.lit(dflt[n]).cast(by_name[n].dataType))
+        frames.append(g.select(out_cols))
+    out = frames[0]
+    for g in frames[1:]:
+        out = out.unionByName(g)
+    return out
+
+
 def read_iceberg(
     spark,
     table_path: str,
@@ -674,6 +731,35 @@ def read_iceberg(
             os.path.basename(p): (frids[p], int(seq))
             for p, _pv, seq, _sid in full
         }
+    dflt = _initial_defaults(t)
+    if dflt:
+        # v3 DEFAULT VALUES: initial-default is a READ-TIME fill for
+        # files written before the column existed — per-file exact
+        # (footer presence decides; files carrying the column keep
+        # their values, genuine NULLs included). Combination with
+        # row-level deletes / lineage / multi-spec is refused, not
+        # approximated (the fill needs the plain scan split).
+        if pos_dels or eq_dels or dv_dels or lineage is not None:
+            raise ValueError(
+                f"{t.table_path}: initial-default columns combined "
+                "with row-level deletes or lineage reads are not "
+                "supported — OPTIMIZE first (rewritten files carry "
+                "the column, retiring the default)"
+            )
+        if len(spec_ids) > 1:
+            raise ValueError(
+                f"{t.table_path}: initial-default columns over a "
+                "multi-spec snapshot are not supported — compact to "
+                "a single spec first"
+            )
+        return _defaults_filled_read(
+            spark,
+            t,
+            schema,
+            t.partition_fields_for(spec_ids[0]),
+            [(p, pv) for p, pv, _seq, _sid in full],
+            dflt,
+        )
     if len(spec_ids) > 1:
         # PARTITION EVOLUTION: live files span several specs; each
         # group's partition record is shaped by its own spec, so
@@ -2340,6 +2426,80 @@ class IcebergWriter:
                 continue
         raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
 
+    def add_column(
+        self,
+        name: str,
+        ice_type: str,
+        initial_default=None,
+        write_default=None,
+    ) -> int:
+        """ADD COLUMN, optionally with the v3 DEFAULT VALUES
+        (``initial-default`` fills the column for files written
+        BEFORE it existed — a READ-TIME fill, which is exactly what
+        Delta's protocol cannot represent and why its ADD-with-default
+        refuses; ``write-default`` materializes on writes that omit
+        the column). A non-null initial-default requires format
+        version 3 per the spec, so the metadata bumps when needed.
+        Primitive defaults only (the single-value JSON serialization
+        for long/double/string/boolean); the new field gets a fresh
+        id continuing last-column-id and is optional (required new
+        columns would break existing files by definition)."""
+        if initial_default is not None and not isinstance(
+            initial_default, (int, float, str, bool)
+        ):
+            raise ValueError(
+                f"{self.table_path}: unsupported initial-default "
+                f"{initial_default!r} (primitive JSON values only)"
+            )
+        if write_default is not None and not isinstance(
+            write_default, (int, float, str, bool)
+        ):
+            raise ValueError(
+                f"{self.table_path}: unsupported write-default "
+                f"{write_default!r} (primitive JSON values only)"
+            )
+        for _ in range(20):
+            table = IcebergTable(self.table_path)
+            ice = table._current_ice_schema()
+            if name in [f["name"] for f in ice["fields"]]:
+                raise ValueError(
+                    f"{self.table_path}: column {name!r} already exists"
+                )
+            md = dict(table.metadata)
+            last_id = md.get(
+                "last-column-id", max(f["id"] for f in ice["fields"])
+            )
+            fid = last_id + 1
+            field: dict = {
+                "id": fid,
+                "name": name,
+                "required": False,
+                "type": ice_type,
+            }
+            if initial_default is not None:
+                field["initial-default"] = initial_default
+                if int(md.get("format-version", 1)) < 3:
+                    md["format-version"] = 3
+            if write_default is not None:
+                field["write-default"] = write_default
+            old_schemas = md.get("schemas") or [md["schema"]]
+            new_sid = max(s.get("schema-id", 0) for s in old_schemas) + 1
+            new_ice = {
+                "type": "struct",
+                "schema-id": new_sid,
+                "fields": list(ice["fields"]) + [field],
+            }
+            md["schema"] = new_ice
+            md["schemas"] = old_schemas + [new_ice]
+            md["current-schema-id"] = new_sid
+            md["last-column-id"] = fid
+            try:
+                self._commit_metadata(table.metadata_version + 1, md)
+                return new_sid
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(f"{self.table_path}: gave up after retries")
+
     def widen_column(self, name: str, new_type: str) -> int:
         """Type promotion (Iceberg spec "Schema Evolution"):
         metadata-only commit changing a field's type to a WIDER one —
@@ -2489,6 +2649,21 @@ class IcebergWriter:
             read_ocf_generic,
             write_ocf_generic,
         )
+
+        # v3 write-default: a write that OMITS a defaulted column
+        # materializes the default at staging time (supplied values,
+        # explicit NULL included, win) — the write-side half of
+        # add_column's default pair
+        t0 = IcebergTable(self.table_path)
+        sch0 = t0.schema()
+        for f0 in t0._current_ice_schema()["fields"]:
+            if "write-default" in f0 and f0["name"] not in df.columns:
+                df = df.withColumn(
+                    f0["name"],
+                    F.lit(f0["write-default"]).cast(
+                        sch0[f0["name"]].dataType
+                    ),
+                )
 
         for _ in range(20):
             table = IcebergTable(self.table_path)

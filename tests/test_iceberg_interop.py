@@ -1582,3 +1582,49 @@ def test_widen_column_refuses_out_of_spec(spark, tmp_path):
     df = read_iceberg(spark, root)
     assert dict(df.dtypes)["d"] == "decimal(12,2)"
     assert df.count() == 2
+
+
+def test_v3_column_defaults(spark, tmp_path):
+    """initial-default read-time fill is per-file exact; write-default
+    materializes only when the column is omitted; explicit NULLs
+    survive; combination with row-level deletes refuses; metadata
+    bumps to v3."""
+    import json
+
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergTable,
+        IcebergWriter,
+        read_iceberg,
+    )
+
+    root = str(tmp_path / "t")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame([(i, "A") for i in range(20)], "k long, s string")
+    )
+    w.add_column("p", "long", initial_default=5, write_default=7)
+    # pre-ALTER files: read-time fill
+    out = read_iceberg(spark, root)
+    assert out.where(F.col("p") == 5).count() == 20
+    # omitted on write → write-default
+    w.append(spark.createDataFrame([(100, "B")], "k long, s string"))
+    # explicit NULL survives (defaults are fallbacks, not coalesce)
+    w.append(
+        spark.createDataFrame(
+            [(200, "C", None)], "k long, s string, p long"
+        )
+    )
+    out = read_iceberg(spark, root)
+    assert out.where(F.col("k") == 100).first()["p"] == 7
+    assert out.where(F.col("k") == 200).first()["p"] is None
+    assert out.where(F.col("p") == 5).count() == 20
+    t = IcebergTable(root)
+    assert int(t.metadata["format-version"]) == 3
+    fld = next(
+        f for f in t._current_ice_schema()["fields"] if f["name"] == "p"
+    )
+    assert fld["initial-default"] == 5 and fld["write-default"] == 7
+    # defaults + row-level deletes: refuse, never approximate
+    w.delete_where_dv(F.col("k") == 0)
+    with pytest.raises(ValueError, match="initial-default"):
+        read_iceberg(spark, root).collect()
