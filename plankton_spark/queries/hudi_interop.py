@@ -554,3 +554,52 @@ def q_stream_hudi_incr(spark, sf_dir):
             .cast("long").alias("n_v"),
         )
     )
+
+
+@query(
+    "q_hudi_convert_reverse",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1200
+    ),
+    live AS (SELECT * FROM base WHERE o_orderkey % 10 <> 3)
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f
+    FROM live
+    """,
+)
+def q_hudi_convert_reverse(spark, sf_dir):
+    """Delta → Hudi in-place migration (XTable's Hudi-target
+    direction, completing the Hudi matrix row both ways): a Delta
+    table that has seen a DELETE rewrite converts by authoring a
+    .hoodie timeline over its LIVE files in VIRTUAL-KEY mode
+    (populate.meta.fields=false — foreign files carry no _hoodie_*
+    columns, record identity is the declared key field, the published
+    XTable behavior). The snapshot read goes through the normal
+    latest-slice replay; the tombstoned pre-delete file is invisible
+    because the Delta log (not a directory walk) picked the
+    inventory. with_meta / incremental / engine writes refuse on
+    virtual-key tables; partitioned and DV'd sources refuse
+    conversion (no zero-rewrite representation)."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+    from plankton_spark.sources.hudi_meta import (
+        convert_delta_to_hudi,
+        read_hudi,
+    )
+
+    root = _fresh(sf_dir, "hudi_convert_reverse")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = DeltaLogWriter(spark, root)
+    w.create(o.where(k < 1000).coalesce(1))
+    w.append(o.where((k >= 1000) & (k < 1200)).coalesce(1))
+    w.delete_where(k % 10 == 3)
+    convert_delta_to_hudi(spark, root, record_key="o_orderkey")
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long").alias("n_f"),
+    )

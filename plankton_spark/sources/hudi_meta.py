@@ -132,6 +132,16 @@ class HudiTable:
         f = self.props.get("hoodie.table.partition.fields", "")
         return f or None
 
+    @property
+    def virtual_keys(self) -> bool:
+        """hoodie.populate.meta.fields=false: files carry NO _hoodie_*
+        meta columns; record identity is the declared key field (the
+        XTable / converted-table mode)."""
+        return (
+            self.props.get("hoodie.populate.meta.fields", "true").lower()
+            == "false"
+        )
+
     def _timeline(self) -> list[tuple[str, str]]:
         """Completed instants as sorted (instantTime, action)."""
         out = []
@@ -284,6 +294,12 @@ def read_hudi(
     t = HudiTable(table_path)
     if incremental is not None and as_of is not None:
         raise ValueError("pass as_of or incremental, not both")
+    if t.virtual_keys and (with_meta or incremental is not None):
+        raise NotImplementedError(
+            f"{table_path}: virtual-key table (populate.meta.fields="
+            "false) carries no per-record meta columns — with_meta "
+            "and incremental reads are undefined"
+        )
     if t.table_type == "MERGE_ON_READ":
         return _read_mor(
             spark, t, table_path, as_of, incremental, partition_path,
@@ -431,6 +447,13 @@ class HudiWriter:
             if self.table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
                 raise NotImplementedError(
                     f"{table_path}: hoodie.table.type={self.table_type}"
+                )
+            if t.virtual_keys:
+                raise NotImplementedError(
+                    f"{table_path}: virtual-key table (populate.meta."
+                    "fields=false) — this engine's upserts tag and copy "
+                    "records through the meta columns; backfilling them "
+                    "is a rewrite, not a write"
                 )
             self.record_key = t.record_key_field
             self.partition_field = t.partition_field
@@ -1097,7 +1120,14 @@ class HudiIncrStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema):
         self.path = path
         self._schema = schema
-        HudiTable(path)._check_readable(None)  # refuse what reads refuse
+        t = HudiTable(path)
+        t._check_readable(None)  # refuse what reads refuse
+        if t.virtual_keys:
+            raise NotImplementedError(
+                f"{path}: virtual-key table — the incremental feed "
+                "filters on the per-record commit time, which these "
+                "files do not carry"
+            )
 
     def _instants(self):
         return HudiTable(self.path).data_instants()
@@ -1272,3 +1302,93 @@ def rollback(table_path: str, instant: str) -> list[str]:
     ) as fh:
         json.dump({"rolled_back": instant, "removed": sorted(removed)}, fh, indent=2)
     return sorted(removed)
+
+
+def convert_delta_to_hudi(
+    spark, table_path: str, record_key: str
+) -> str:
+    """The reverse Hudi arrow (XTable's Hudi-target direction):
+    author a ``.hoodie`` timeline over a Delta table's LIVE files in
+    place — O(files) metadata, zero data movement. Foreign files
+    carry no ``_hoodie_*`` meta columns, so the table is authored in
+    the spec's VIRTUAL-KEY mode (``hoodie.populate.meta.fields=
+    false`` — record identity comes from the declared key field, the
+    published XTable/virtual-keys behavior). Snapshot reads, time
+    travel to the conversion instant, and partition_path pruning work
+    through the normal slice replay; ``with_meta`` and the
+    INCREMENTAL query refuse (there is no per-record commit time to
+    filter on), and this engine's writer refuses virtual-key tables
+    (upserts would need meta-field backfill — a rewrite, not a
+    conversion). Refuses partitioned Delta layouts (Delta strips
+    partition columns from file CONTENT where Hudi expects them
+    present) and deletion-vector files (rows would resurrect)."""
+    from plankton_spark.sources.delta_log import DeltaLog
+
+    meta_dir = os.path.join(table_path, ".hoodie")
+    if os.path.isdir(meta_dir):
+        raise FileExistsError(f"{table_path}: already a Hudi table")
+    log = DeltaLog(table_path)
+    schema, part_cols, active = log.replay(None)
+    if part_cols:
+        raise NotImplementedError(
+            f"{table_path}: partitioned Delta layout — partition "
+            "columns live only in directory names, but Hudi expects "
+            "them in file content; no zero-rewrite representation"
+        )
+    if any(a.get("deletionVector") for a in active.values()):
+        raise NotImplementedError(
+            f"{table_path}: live deletion vectors — a Hudi base file "
+            "cannot express them; OPTIMIZE (purge DVs) first"
+        )
+    if record_key not in [f.name for f in schema.fields]:
+        raise ValueError(
+            f"{table_path}: record key {record_key!r} not in the "
+            "Delta schema"
+        )
+    os.makedirs(meta_dir)
+    _write_props(
+        os.path.join(meta_dir, "hoodie.properties"),
+        {
+            "hoodie.table.name": os.path.basename(
+                os.path.normpath(table_path)
+            ),
+            "hoodie.table.type": "COPY_ON_WRITE",
+            "hoodie.table.version": "6",
+            "hoodie.timeline.layout.version": "1",
+            "hoodie.table.recordkey.fields": record_key,
+            "hoodie.table.partition.fields": "",
+            "hoodie.populate.meta.fields": "false",
+        },
+    )
+    instant = f"{_INSTANT0:017d}"
+    stats = {
+        "": [
+            {
+                "fileId": os.path.splitext(os.path.basename(rel))[0],
+                "path": rel,
+                "prevCommit": "null",
+                "numWrites": None,
+                "fileSizeInBytes": os.path.getsize(
+                    os.path.join(table_path, rel)
+                ),
+            }
+            for rel in sorted(active)
+        ]
+    }
+    for phase in ("requested", "inflight"):
+        open(
+            os.path.join(meta_dir, f"{instant}.commit.{phase}"), "w"
+        ).close()
+    with open(
+        os.path.join(meta_dir, f"{instant}.commit"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(
+            {
+                "operationType": "BULK_INSERT",
+                "partitionToWriteStats": stats,
+            },
+            fh,
+            indent=2,
+            sort_keys=True,
+        )
+    return instant

@@ -401,3 +401,33 @@ def test_mor_clean_drops_detached_logs(spark, tmp_path):
     # the pre-compaction base AND its detached log are both cleaned
     assert any(".log." in d for d in deleted)
     assert _content(read_hudi(spark, root)) == before
+
+
+def test_delta_to_hudi_virtual_keys(spark, tmp_path):
+    from plankton_spark.sources.delta_log import DeltaLogWriter, read_delta
+    from plankton_spark.sources.hudi_meta import convert_delta_to_hudi
+
+    root = str(tmp_path / "t")
+    dw = DeltaLogWriter(spark, root)
+    dw.create(_df(spark, 0, 50).coalesce(1))
+    dw.append(_df(spark, 50, 80, status="B").coalesce(1))
+    dw.delete_where(F.col("k") % 5 == 0)
+    expected = _content(read_delta(spark, root))
+    convert_delta_to_hudi(spark, root, record_key="k")
+    got = _content(read_hudi(spark, root).select("k", "status", "grp"))
+    assert got == expected
+    # virtual-key refusals: meta reads, incremental, engine writes
+    with pytest.raises(NotImplementedError, match="virtual-key"):
+        read_hudi(spark, root, with_meta=True)
+    with pytest.raises(NotImplementedError, match="virtual-key"):
+        read_hudi(spark, root, incremental=("0", "9"))
+    with pytest.raises(NotImplementedError, match="virtual-key"):
+        HudiWriter(spark, root)
+    with pytest.raises(FileExistsError):
+        convert_delta_to_hudi(spark, root, record_key="k")
+    # partitioned Delta refuses (content lacks the partition column)
+    root2 = str(tmp_path / "t2")
+    dw2 = DeltaLogWriter(spark, root2)
+    dw2.create(_df(spark, 0, 20), partition_by=["status"])
+    with pytest.raises(NotImplementedError, match="partition"):
+        convert_delta_to_hudi(spark, root2, record_key="k")
