@@ -1392,3 +1392,85 @@ def convert_delta_to_hudi(
             sort_keys=True,
         )
     return instant
+
+
+def convert_iceberg_to_hudi(
+    spark, table_path: str, record_key: str
+) -> str:
+    """Iceberg → Hudi (the last cell of the migration matrix's Hudi
+    column): same virtual-key authoring as convert_delta_to_hudi, with
+    the live-file inventory coming from the MANIFEST CHAIN (files
+    dropped by rewrites and failed-commit orphans are invisible).
+    Refuses row-level deletes (position/equality/DV — a Hudi base
+    file cannot express them), transform/identity-partitioned and
+    multi-spec snapshots (identity layouts strip the source column
+    from file content where Hudi expects it), and an existing
+    ``.hoodie``."""
+    from plankton_spark.sources.iceberg_meta import IcebergTable
+
+    meta_dir = os.path.join(table_path, ".hoodie")
+    if os.path.isdir(meta_dir):
+        raise FileExistsError(f"{table_path}: already a Hudi table")
+    t = IcebergTable(table_path)
+    full, pos_dels, eq_dels, dv_dels = t.scan_entries_full(None)
+    if pos_dels or eq_dels or dv_dels:
+        raise NotImplementedError(
+            f"{table_path}: live row-level deletes — a Hudi base file "
+            "cannot express them; OPTIMIZE (purge deletes) first"
+        )
+    if any(pv for _p, pv, _sq, _s in full) or t.partition_spec():
+        raise NotImplementedError(
+            f"{table_path}: partitioned snapshot — identity layouts "
+            "strip the source column from file content where Hudi "
+            "expects it present; no zero-rewrite representation"
+        )
+    schema = t.schema()
+    if record_key not in [f.name for f in schema.fields]:
+        raise ValueError(
+            f"{table_path}: record key {record_key!r} not in the schema"
+        )
+    os.makedirs(meta_dir)
+    _write_props(
+        os.path.join(meta_dir, "hoodie.properties"),
+        {
+            "hoodie.table.name": os.path.basename(
+                os.path.normpath(table_path)
+            ),
+            "hoodie.table.type": "COPY_ON_WRITE",
+            "hoodie.table.version": "6",
+            "hoodie.timeline.layout.version": "1",
+            "hoodie.table.recordkey.fields": record_key,
+            "hoodie.table.partition.fields": "",
+            "hoodie.populate.meta.fields": "false",
+        },
+    )
+    instant = f"{_INSTANT0:017d}"
+    stats = {
+        "": [
+            {
+                "fileId": os.path.splitext(os.path.basename(p))[0],
+                "path": os.path.relpath(p, table_path),
+                "prevCommit": "null",
+                "numWrites": None,
+                "fileSizeInBytes": os.path.getsize(p),
+            }
+            for p, _pv, _sq, _s in sorted(full)
+        ]
+    }
+    for phase in ("requested", "inflight"):
+        open(
+            os.path.join(meta_dir, f"{instant}.commit.{phase}"), "w"
+        ).close()
+    with open(
+        os.path.join(meta_dir, f"{instant}.commit"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(
+            {
+                "operationType": "BULK_INSERT",
+                "partitionToWriteStats": stats,
+            },
+            fh,
+            indent=2,
+            sort_keys=True,
+        )
+    return instant

@@ -431,3 +431,25 @@ def test_delta_to_hudi_virtual_keys(spark, tmp_path):
     dw2.create(_df(spark, 0, 20), partition_by=["status"])
     with pytest.raises(NotImplementedError, match="partition"):
         convert_delta_to_hudi(spark, root2, record_key="k")
+
+
+def test_iceberg_to_hudi_virtual_keys(spark, tmp_path):
+    from plankton_spark.sources.hudi_meta import convert_iceberg_to_hudi
+    from plankton_spark.sources.iceberg_meta import IcebergWriter, read_iceberg
+
+    root = str(tmp_path / "t")
+    iw = IcebergWriter(spark, root)
+    iw.create(_df(spark, 0, 50).coalesce(1))
+    iw.append(_df(spark, 50, 70, status="B").coalesce(1))
+    iw.delete_where(F.col("k") % 4 == 0)  # rewrite: old files tombstoned
+    expected = _content(read_iceberg(spark, root).select("k", "status", "grp"))
+    convert_iceberg_to_hudi(spark, root, record_key="k")
+    got = _content(read_hudi(spark, root).select("k", "status", "grp"))
+    assert got == expected
+    # DV'd source refuses
+    root2 = str(tmp_path / "t2")
+    iw2 = IcebergWriter(spark, root2)
+    iw2.create(_df(spark, 0, 30).coalesce(1))
+    iw2.delete_where_dv(F.col("k") == 1)
+    with pytest.raises(NotImplementedError, match="row-level deletes"):
+        convert_iceberg_to_hudi(spark, root2, record_key="k")
