@@ -575,12 +575,33 @@ class HudiWriter:
             )
         return self._merge(keys_df, delete=True)
 
+    def _check_unique_keys(self, keyed) -> None:
+        """Refuse an upsert/delete batch carrying DUPLICATE record
+        keys: real Hudi collapses them with the precombine field
+        BEFORE the write; with no precombine declared here, writing
+        them would duplicate rows (COW) or make the log merge
+        nondeterministic (MOR) — refuse loudly instead. One bounded
+        aggregate job per batch."""
+        dup = (
+            keyed.groupBy("__key")
+            .count()
+            .where(F.col("count") > 1)
+            .take(1)
+        )
+        if dup:
+            raise ValueError(
+                f"{self.table_path}: incoming batch carries duplicate "
+                f"record keys (e.g. {dup[0]['__key']!r}) — dedupe the "
+                "batch first (Hudi's precombine step)"
+            )
+
     def _merge(self, df, delete: bool) -> str:
         instant = self._next_instant()
         t = HudiTable(self.table_path)
         slices = t.file_slices()
         prev = {(p, fid): ti for p, fid, ti, _ in slices}
         incoming = df.withColumn("__key", self._key_expr())
+        self._check_unique_keys(incoming)
         # global simple index: key → (partition, fileId) from the
         # snapshot's meta columns only (two-column projection — the
         # scan prunes everything else)
@@ -621,8 +642,11 @@ class HudiWriter:
                 upd_keys = tagged.select("__key").where(
                     F.col("__fid").isNotNull()
                 ).distinct()
+                # no broadcast hint: the update-key set is caller-sized
+                # (a bulk upsert can carry millions of keys) — AQE
+                # broadcasts when it is actually small
                 survivors = old.join(
-                    F.broadcast(upd_keys),
+                    upd_keys,
                     old["_hoodie_record_key"] == upd_keys["__key"],
                     "left_anti",
                 ).withColumn(
@@ -730,6 +754,7 @@ class HudiWriter:
         }
         base_of = {fid: bi for _p, fid, bi, _rel, _lrs in slices}
         incoming = df.withColumn("__key", self._key_expr())
+        self._check_unique_keys(incoming)
         base = self.spark.read.parquet(*base_paths)
         index = base.select(
             F.col("_hoodie_record_key").alias("__key"),
@@ -1282,16 +1307,35 @@ def rollback(table_path: str, instant: str) -> list[str]:
                 f"({m.group(2)}) — rollback only undoes pending writes"
             )
     removed: list[str] = []
+    # committed LOG files are only identifiable through commit
+    # metadata (their names carry the BASE instant, not the writing
+    # one) — collect the referenced set so the sweep below can delete
+    # a crashed deltacommit's orphan logs without touching live ones
+    referenced_logs: set[str] = set()
+    for ti, action in t.data_instants():
+        meta = t.commit_meta(ti, action)
+        for _part, stats in meta.get("partitionToWriteStats", {}).items():
+            for st in stats:
+                if ".log." in os.path.basename(st["path"]):
+                    referenced_logs.add(os.path.normpath(st["path"]))
     for dirpath, _dirs, files in os.walk(table_path):
         if os.path.relpath(dirpath, table_path).startswith(".hoodie"):
             continue
         for n in files:
+            full_p = os.path.join(dirpath, n)
+            rel = os.path.relpath(full_p, table_path)
             parsed_base = _BASEFILE_RE.match(n)
             if parsed_base and parsed_base.group("instant") == instant:
-                os.remove(os.path.join(dirpath, n))
-                removed.append(
-                    os.path.relpath(os.path.join(dirpath, n), table_path)
-                )
+                os.remove(full_p)
+                removed.append(rel)
+            elif (
+                ".log." in n
+                and os.path.normpath(rel) not in referenced_logs
+            ):
+                # orphan log: staged by the crashed write, referenced
+                # by no completed instant
+                os.remove(full_p)
+                removed.append(rel)
     for phase in ("requested", "inflight"):
         for action in ("commit", "deltacommit"):
             p = os.path.join(t.meta_dir, f"{instant}.{action}.{phase}")

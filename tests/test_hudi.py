@@ -453,3 +453,58 @@ def test_iceberg_to_hudi_virtual_keys(spark, tmp_path):
     iw2.delete_where_dv(F.col("k") == 1)
     with pytest.raises(NotImplementedError, match="row-level deletes"):
         convert_iceberg_to_hudi(spark, root2, record_key="k")
+
+
+def test_duplicate_key_batches_refuse(spark, tmp_path):
+    """An upsert/delete batch with duplicate record keys refuses
+    (Hudi collapses them via precombine BEFORE the write; silently
+    writing would duplicate rows on COW and make the MOR log merge
+    nondeterministic)."""
+    root = str(tmp_path / "cow")
+    w = HudiWriter(spark, root, record_key="k")
+    w.create(_df(spark, 0, 20))
+    dup = _df(spark, 0, 5).unionByName(_df(spark, 3, 8, status="B"))
+    with pytest.raises(ValueError, match="duplicate record keys"):
+        w.upsert(dup)
+    root2 = str(tmp_path / "mor")
+    w2 = HudiWriter(spark, root2, record_key="k", table_type="MERGE_ON_READ")
+    w2.create(_df(spark, 0, 20))
+    with pytest.raises(ValueError, match="duplicate record keys"):
+        w2.upsert(dup)
+
+
+def test_rollback_sweeps_orphan_logs(spark, tmp_path):
+    """A crashed MOR deltacommit leaves a staged log file no completed
+    instant references; rollback must sweep it while leaving every
+    COMMITTED log untouched."""
+    from plankton_spark.sources.hudi_log import append_data_block
+    from plankton_spark.sources.hudi_meta import rollback
+
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", table_type="MERGE_ON_READ")
+    w.create(_df(spark, 0, 20))
+    w.upsert(_df(spark, 0, 5, status="B"))  # committed log
+    before = _content(read_hudi(spark, root))
+    committed_logs = [
+        n for n in os.listdir(root) if ".log." in n
+    ]
+    assert committed_logs
+    # simulate the crash: pending deltacommit + staged orphan log
+    crash = "20990101000000000"
+    for phase in ("requested", "inflight"):
+        open(os.path.join(root, ".hoodie", f"{crash}.deltacommit.{phase}"), "w").close()
+    t = HudiTable(root)
+    base_instant = t.file_slices_with_logs()[0][2]
+    orphan = f".{t.file_slices_with_logs()[0][1]}_{base_instant}.log.9_0-1-0"
+    append_data_block(
+        os.path.join(root, orphan),
+        crash,
+        {"type": "record", "name": "r", "fields": [{"name": "k", "type": "long"}]},
+        [{"k": 999}],
+    )
+    removed = rollback(root, crash)
+    assert orphan in removed
+    assert not os.path.exists(os.path.join(root, orphan))
+    for n in committed_logs:
+        assert os.path.exists(os.path.join(root, n))
+    assert _content(read_hudi(spark, root)) == before
