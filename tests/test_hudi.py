@@ -508,3 +508,31 @@ def test_rollback_sweeps_orphan_logs(spark, tmp_path):
     for n in committed_logs:
         assert os.path.exists(os.path.join(root, n))
     assert _content(read_hudi(spark, root)) == before
+
+
+def test_partitioned_mor_lifecycle(spark, tmp_path):
+    """MOR over a PARTITIONED table: log files land inside the
+    partition dirs of their file groups; merge, compaction and the
+    partition prune all hold."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(
+        spark, root, record_key="k", partition_field="status",
+        table_type="MERGE_ON_READ",
+    )
+    base = _df(spark, 0, 40, "A").unionByName(_df(spark, 40, 60, "B"))
+    w.create(base)
+    # update 10 'A'-partition records (grp flips) + insert new 'B's
+    upd = _df(spark, 0, 10, "A").withColumn("grp", F.lit(9).cast("long"))
+    ins = _df(spark, 60, 70, "B")
+    w.upsert(upd.unionByName(ins))
+    out = read_hudi(spark, root)
+    assert out.count() == 70
+    assert out.where(F.col("grp") == 9).count() == 10
+    pruned = read_hudi(spark, root, partition_path="B")
+    assert pruned.count() == 30
+    w.compact()
+    assert _content(read_hudi(spark, root)) == _content(
+        base.where(F.col("k") >= 10)
+        .unionByName(upd)
+        .unionByName(ins)
+    )
