@@ -481,7 +481,10 @@ def q_hudi_mor_compact(spark, sf_dir):
 )
 def q_stream_hudi_incr(spark, sf_dir):
     """The Hudi incremental feed as a REAL STREAMING source
-    (format("hudiincr"), offsets = data-instant ORDINALS) over a
+    (format("hudiincr"), offsets = LAST-CONSUMED INSTANT TIME — the
+    real Hudi incremental contract: resume from the first instant
+    strictly greater, stable even if a foreign writer completes an
+    out-of-order instant) over a
     MERGE_ON_READ table, with a mid-stream restart — the third leg
     next to q_stream_cdf and q_stream_iceberg_cdf: the create and the
     first upsert drain first; a second upsert AND a compaction land
@@ -603,3 +606,201 @@ def q_hudi_convert_reverse(spark, sf_dir):
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
         .cast("long").alias("n_f"),
     )
+
+
+@query(
+    "q_hudi_mor_delete",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1000
+    ),
+    ins AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey < 1200
+    ),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey < 200 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM base
+      UNION ALL SELECT * FROM ins
+    ),
+    survivors AS (SELECT * FROM merged WHERE o_orderkey % 9 <> 0)
+    SELECT phase, COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(0 AS BIGINT) AS n_log_slices_after_compact
+    FROM survivors, (SELECT 1 AS phase UNION ALL SELECT 2) phases
+    GROUP BY phase
+    """,
+)
+def q_hudi_mor_delete(spark, sf_dir):
+    """Hudi MOR DELETE_BLOCK lifecycle (the round-11 verdict's top
+    item): deletes append TOMBSTONE EVENTS to the touched file
+    groups' logs under a deltacommit (hudi_log.py DELETE_BLOCK — no
+    base rewrite, the streaming-upsert path real MOR pipelines
+    delete through routinely); the snapshot read's latest-wins
+    record-key window hides a key whose newest version is a delete —
+    including update-then-delete chains where the deleted version
+    itself lives in a log; COMPACTION folds the tombstones into
+    fresh base files (a fully-emptied group advances with an explicit
+    empty base — no resurrection) and the post-compaction snapshot is
+    row-identical (phase 1 = merged read over logs, phase 2 = folded
+    read over bases; the oracle pins both to the same relational
+    survivor set)."""
+    from plankton_spark.sources.hudi_meta import (
+        HudiTable,
+        HudiWriter,
+        read_hudi,
+    )
+
+    root = _fresh(sf_dir, "hudi_mor_delete")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark, root, record_key="o_orderkey", table_type="MERGE_ON_READ"
+    )
+    w.create(o.where(k < 1000))
+    upd = o.where(k < 200).withColumn("o_orderstatus", F.lit("U"))
+    ins = o.where((k >= 1000) & (k < 1200))
+    w.upsert(upd.unionByName(ins))
+    w.delete_keys(o.where((k < 1200) & (k % 9 == 0)).select("o_orderkey"))
+
+    def _agg(df, phase):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+            .cast("long").alias("n_u"),
+        ).select(F.lit(phase).alias("phase"), "n_rows", "key_sum", "n_u")
+
+    pre = _agg(read_hudi(spark, root), 1)
+    w.compact()
+    n_logs = sum(
+        len(lrs) for *_x, lrs in HudiTable(root).file_slices_with_logs()
+    )
+    post = _agg(read_hudi(spark, root), 2)
+    return pre.unionByName(post).withColumn(
+        "n_log_slices_after_compact", F.lit(n_logs).cast("long")
+    )
+
+
+@query(
+    "q_hudi_clustered",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 900
+    ),
+    merged AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey < 150 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM base
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 900 AND o_orderkey < 1100
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(3 AS BIGINT) AS n_groups_after,
+           CAST(0 AS BIGINT) AS n_incr_cluster_only,
+           CAST((SELECT COUNT(*) FROM merged
+                 WHERE o_orderkey < 150 OR o_orderkey >= 900)
+                AS BIGINT) AS n_incr_through_cluster
+    FROM merged
+    """,
+)
+def q_hudi_clustered(spark, sf_dir):
+    """Hudi CLUSTERING (``replacecommit`` — the spec's replace
+    metadata, previously a documented refusal): cluster() rewrites
+    the live file groups into key-hash-bucketed fresh groups and
+    lists the replaced ones in ``partitionToReplaceFileIds``; the
+    timeline replay makes them invisible from that instant on while
+    time travel before it still sees them. The rewrite is
+    LAYOUT-ONLY — records keep their original commit time AND seqno —
+    so the incremental query through the clustering instant equals
+    the pre-clustering range (pinned: the cluster-only range yields
+    ZERO records, and the full range still sees exactly the upsert's
+    write-set), and the post-clustering group count is the declared
+    bucket fan-out."""
+    from plankton_spark.sources.hudi_meta import (
+        HudiTable,
+        HudiWriter,
+        read_hudi,
+    )
+
+    root = _fresh(sf_dir, "hudi_clustered")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = HudiWriter(spark, root, record_key="o_orderkey", group_buckets=4)
+    i1 = w.create(o.where(k < 900))
+    upd = o.where(k < 150).withColumn("o_orderstatus", F.lit("U"))
+    ins = o.where((k >= 900) & (k < 1100))
+    i2 = w.upsert(upd.unionByName(ins))
+    w.group_buckets = 3
+    ic = w.cluster()
+    n_groups = len(HudiTable(root).file_slices())
+    n_cluster_only = read_hudi(spark, root, incremental=(i2, ic)).count()
+    n_through = read_hudi(spark, root, incremental=(i1, ic)).count()
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+        .cast("long").alias("n_u"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "n_u",
+        F.lit(n_groups).cast("long").alias("n_groups_after"),
+        F.lit(n_cluster_only).cast("long").alias("n_incr_cluster_only"),
+        F.lit(n_through).cast("long").alias("n_incr_through_cluster"),
+    )
+
+
+@query(
+    "q_hudi_incremental_virtual",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey < 1200 AND o_orderkey % 10 <> 3
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(0 AS BIGINT) AS n_after
+    FROM live
+    """,
+)
+def q_hudi_incremental_virtual(spark, sf_dir):
+    """Incremental query over a CONVERTED (virtual-key) Hudi table —
+    previously a documented refusal: converted files carry no
+    per-record ``_hoodie_commit_time``, so attribution is
+    FILE-SLICE-GRAIN (a slice belongs to the instant that committed
+    it — exact while file groups are never rewritten, which this
+    engine guarantees by refusing writes on virtual-key tables). A
+    range covering the conversion instant returns the full converted
+    snapshot (the Delta DELETE's tombstoned file stays invisible —
+    log inventory, not a directory walk); a range after it returns
+    an EMPTY frame (the legitimate no-changes poll result, not an
+    error)."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+    from plankton_spark.sources.hudi_meta import (
+        convert_delta_to_hudi,
+        read_hudi,
+    )
+
+    root = _fresh(sf_dir, "hudi_incr_virtual")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    dw = DeltaLogWriter(spark, root)
+    dw.create(o.where(k < 1000).coalesce(1))
+    dw.append(o.where((k >= 1000) & (k < 1200)).coalesce(1))
+    dw.delete_where(k % 10 == 3)
+    inst = convert_delta_to_hudi(spark, root, record_key="o_orderkey")
+    n_after = read_hudi(spark, root, incremental=(inst, inst)).count()
+    return read_hudi(spark, root, incremental=("0" * 17, inst)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    ).withColumn("n_after", F.lit(n_after).cast("long"))

@@ -40,17 +40,24 @@ snapshot; the rewrite reads and writes only the TOUCHED file groups
 (COW write amplification is per-group, never per-table).
 
 MERGE_ON_READ (sources/hudi_log.py): upserts append updates as LOG
-FILES (avro data blocks) under deltacommits; the snapshot read
-merges base + executor-parsed log records with one latest-wins
-record-key window; compact() folds logs into fresh base files under
-a commit and the stale logs detach by base-instant mismatch.
+FILES (avro data blocks) under deltacommits, deletes as DELETE_BLOCK
+entries; the snapshot read merges base + executor-parsed log records
+with one latest-wins record-key window (a delete event winning hides
+the key); compact() folds logs into fresh base files under a commit
+and the stale logs detach by base-instant mismatch.
 
-Honest refusals (never fabricate): MOR DELETE_BLOCK log entries
-(data blocks only), format converters on un-compacted MOR tables
-(a log delta has no Delta/Iceberg representation),
-``replacecommit`` instants (clustering / insert_overwrite replace
-file groups via a different metadata path), and pending (inflight)
-instants never read.
+``replacecommit`` instants (clustering) replay per the spec: the
+listed file groups become invisible from that instant on and the
+clustering output becomes the live layout; records keep their
+ORIGINAL commit time + seqno, so incremental reads stay exact and
+the instant is layout-only silent (the compaction precedent).
+cluster() writes one.
+
+Honest refusals (never fabricate): format converters on un-compacted
+MOR tables (a log delta has no Delta/Iceberg representation; after
+compact() the conversion proceeds), virtual-key tables are read-only
+for this engine's writer (meta-field backfill is a rewrite), and
+pending (inflight) instants are never read.
 """
 
 from __future__ import annotations
@@ -79,7 +86,7 @@ META_COLS = [
 _INSTANT0 = 20260101000000000
 
 _COMPLETED_RE = re.compile(r"^(\d{14,17})\.(commit|replacecommit|deltacommit|clean|rollback)$")
-_PENDING_RE = re.compile(r"^(\d{14,17})\.(commit|deltacommit)\.(requested|inflight)$")
+_PENDING_RE = re.compile(r"^(\d{14,17})\.(commit|deltacommit|replacecommit)\.(requested|inflight)$")
 _BASEFILE_RE = re.compile(r"^(?P<fid>[^_]+)_(?P<token>[^_]+)_(?P<instant>\d{14,17})\.parquet$")
 
 _UNPARTITIONED = ""
@@ -156,13 +163,14 @@ class HudiTable:
         return [t for t, a in self._timeline() if a == "commit"]
 
     def data_instants(self) -> list[tuple[str, str]]:
-        """Completed data-bearing instants for MOR replay: commits
-        (bulk inserts, compactions) AND deltacommits (log appends),
-        in instant order."""
+        """Completed data-bearing instants in instant order: commits
+        (bulk inserts, compactions), deltacommits (log appends), and
+        replacecommits (clustering — new layout files; replaced-group
+        metadata rides in the same JSON)."""
         return [
             (t, a)
             for t, a in self._timeline()
-            if a in ("commit", "deltacommit")
+            if a in ("commit", "deltacommit", "replacecommit")
         ]
 
     def commit_meta(self, instant: str, action: str = "commit") -> dict:
@@ -181,13 +189,6 @@ class HudiTable:
         for t, a in self._timeline():
             if as_of is not None and t > as_of:
                 continue
-            if a == "replacecommit":
-                raise NotImplementedError(
-                    f"{self.table_path}: timeline carries a {a} instant "
-                    f"({t}) — clustering/insert_overwrite replace file "
-                    "groups via replace metadata this reader does not "
-                    "interpret; reading would resurrect replaced files"
-                )
             if a == "deltacommit" and not mor:
                 raise NotImplementedError(
                     f"{self.table_path}: deltacommit instant ({t}) on a "
@@ -215,10 +216,12 @@ class HudiTable:
                 "records — use file_slices_with_logs / read_hudi"
             )
         slices: dict[tuple[str, str], tuple[str, str]] = {}
-        for t in self.instants():
+        for t, action in self._timeline():
             if as_of is not None and t > as_of:
                 break
-            meta = self.commit_meta(t)
+            if action not in ("commit", "replacecommit"):
+                continue
+            meta = self.commit_meta(t, action)
             for part, stats in meta.get("partitionToWriteStats", {}).items():
                 for st in stats:
                     rel = st["path"]
@@ -228,6 +231,16 @@ class HudiTable:
                             f"log file ({rel}) — MERGE_ON_READ artifacts"
                         )
                     slices[(part, st["fileId"])] = (t, rel)
+            if action == "replacecommit":
+                # spec: replaced file groups are invisible from this
+                # instant on — clustering output (added above) is the
+                # live layout; earlier as_of replays never get here, so
+                # time travel before the clustering still sees them
+                for part, fids in meta.get(
+                    "partitionToReplaceFileIds", {}
+                ).items():
+                    for fid in fids:
+                        slices.pop((part, fid), None)
         return sorted(
             (part, fid, t, rel) for (part, fid), (t, rel) in slices.items()
         )
@@ -261,6 +274,16 @@ class HudiTable:
                         ).append(rel)
                     else:
                         bases[(part, st["fileId"])] = (t, rel)
+            if action == "replacecommit":
+                for part, fids in meta.get(
+                    "partitionToReplaceFileIds", {}
+                ).items():
+                    for fid in fids:
+                        bases.pop((part, fid), None)
+                        for k in [
+                            k for k in logs if k[0] == part and k[1] == fid
+                        ]:
+                            del logs[k]
         return sorted(
             (part, fid, t, rel, sorted(logs.get((part, fid, t), [])))
             for (part, fid), (t, rel) in bases.items()
@@ -288,17 +311,31 @@ def read_hudi(
     carry their original commit time forward. ``partition_path``
     prunes at FILE-LIST level (metadata-only partition pruning).
 
+    Virtual-key tables (converted — no per-record meta columns) get
+    FILE-SLICE-GRAIN incremental attribution: a slice belongs to the
+    instant that committed it, so the range returns every record of
+    slices written in (begin, end]. Exact when file groups are never
+    rewritten (the converted-table case — this engine's writer
+    refuses them); a foreign rewrite would re-emit copies, the
+    documented precision limit of attribution without a commit-time
+    column. ``with_meta`` stays refused (nothing to surface).
+
+    An incremental range or partition prune that selects NOTHING on a
+    non-empty table returns an EMPTY DataFrame with the table schema
+    (an empty changeset is a legitimate poll result); only a truly
+    empty table raises.
+
     MERGE_ON_READ tables route through the log-merge path: base-file
     scan UNION the executor-parsed log records, latest version per
-    record key wins (see _read_mor)."""
+    record key wins, a winning DELETE_BLOCK event hides the key
+    (see _read_mor)."""
     t = HudiTable(table_path)
     if incremental is not None and as_of is not None:
         raise ValueError("pass as_of or incremental, not both")
-    if t.virtual_keys and (with_meta or incremental is not None):
+    if t.virtual_keys and with_meta:
         raise NotImplementedError(
             f"{table_path}: virtual-key table (populate.meta.fields="
-            "false) carries no per-record meta columns — with_meta "
-            "and incremental reads are undefined"
+            "false) carries no per-record meta columns to surface"
         )
     if t.table_type == "MERGE_ON_READ":
         return _read_mor(
@@ -314,14 +351,37 @@ def read_hudi(
         slices = [s for s in slices if s[0] == partition_path]
     paths = [os.path.join(table_path, rel) for _, _, _, rel in slices]
     if not paths:
+        if incremental is not None or partition_path is not None:
+            return _empty_like(spark, t, table_path, with_meta)
         raise ValueError(f"{table_path}: no file slices selected")
     df = spark.read.parquet(*paths)
-    if incremental is not None:
+    if incremental is not None and not t.virtual_keys:
         df = df.where(
             (F.col("_hoodie_commit_time") > begin)
             & (F.col("_hoodie_commit_time") <= end)
         )
-    if not with_meta:
+    if not with_meta and not t.virtual_keys:
+        df = df.drop(*META_COLS)
+    return df
+
+
+def _empty_like(spark, t, table_path, with_meta):
+    """Zero-row DataFrame with the live table schema (the empty
+    incremental-changeset / empty-partition-prune result). Schema
+    comes from ONE live base file — metadata-scale IO."""
+    if t.table_type == "MERGE_ON_READ":
+        tip = [
+            (p, fid, ti, rel)
+            for p, fid, ti, rel, _lrs in t.file_slices_with_logs(None)
+        ]
+    else:
+        tip = t.file_slices(None)
+    if not tip:
+        raise ValueError(f"{table_path}: no file slices selected")
+    df = spark.read.parquet(
+        os.path.join(table_path, tip[0][3])
+    ).where(F.lit(False))
+    if not with_meta and not t.virtual_keys:
         df = df.drop(*META_COLS)
     return df
 
@@ -332,7 +392,10 @@ def _read_mor(
     """MERGE_ON_READ snapshot: base-file multi-path scan UNIONed with
     the log records, then ONE record-key window keeps the latest
     version (log instants are strictly later than the base rows they
-    override; ties break to the log side).
+    override; ties break to the log side). A DELETE_BLOCK entry is a
+    log row with ``__del=1`` and no data columns: when it wins the
+    window, the key drops out of the snapshot — deletes are events in
+    the log, exactly the spec's MOR delete path.
 
     Scale shape: log files parse on EXECUTORS — one task per log file
     via mapInPandas over the descriptor list (the driver never touches
@@ -342,6 +405,8 @@ def _read_mor(
     sorted base files — at this engine's grain the keyed window is the
     same volume with simpler semantics, and compaction (HudiWriter.
     compact) is the knob that keeps the log side small."""
+    import pyspark.sql.types as T
+
     end = None
     if incremental is not None:
         begin, end = incremental
@@ -349,6 +414,8 @@ def _read_mor(
     if partition_path is not None:
         slices = [s for s in slices if s[0] == partition_path]
     if not slices:
+        if incremental is not None or partition_path is not None:
+            return _empty_like(spark, t, table_path, with_meta)
         raise ValueError(f"{table_path}: no file slices selected")
     base_paths = [os.path.join(table_path, rel) for _, _, _, rel, _ in slices]
     base = spark.read.parquet(*base_paths)
@@ -361,39 +428,59 @@ def _read_mor(
     if log_paths:
         schema = base.schema
         cols = [f.name for f in schema.fields]
+        log_schema = T.StructType(
+            list(schema.fields) + [T.StructField("__del", T.IntegerType())]
+        )
         cutoff = end if incremental else as_of
 
         def parse(batches):
             import pandas as pd
 
-            from plankton_spark.sources.hudi_log import read_log_blocks
+            from plankton_spark.sources.hudi_log import (
+                AVRO_DATA_BLOCK,
+                read_log_blocks,
+            )
 
             for pdf in batches:
                 rows: list[dict] = []
                 for p in pdf["path"]:
-                    for instant, records in read_log_blocks(p):
+                    for instant, btype, payload in read_log_blocks(p):
                         # block-level time travel (a foreign writer may
                         # append multiple instants' blocks to one file)
                         if cutoff is not None and instant > cutoff:
                             continue
-                        rows.extend(records)
+                        if btype == AVRO_DATA_BLOCK:
+                            for rec in payload:
+                                rows.append({**rec, "__del": 0})
+                        else:  # DELETE_BLOCK: key-only tombstone event
+                            for key, part in payload:
+                                rows.append(
+                                    {
+                                        "_hoodie_commit_time": instant,
+                                        "_hoodie_record_key": key,
+                                        "_hoodie_partition_path": part,
+                                        "__del": 1,
+                                    }
+                                )
                 if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                    yield pd.DataFrame(rows, columns=cols + ["__del"])
 
         logs_df = (
             spark.createDataFrame([(p,) for p in sorted(log_paths)], "path string")
             .repartition(min(len(log_paths), 32))
-            .mapInPandas(parse, schema)
+            .mapInPandas(parse, log_schema)
         )
         w = Window.partitionBy("_hoodie_record_key").orderBy(
             F.col("_hoodie_commit_time").desc(), F.col("__src").desc()
         )
         merged = (
-            base.withColumn("__src", F.lit(0))
+            base.withColumn("__src", F.lit(0)).withColumn(
+                "__del", F.lit(0)
+            )
             .unionByName(logs_df.withColumn("__src", F.lit(1)))
             .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn", "__src")
+            .where((F.col("__rn") == 1) & (F.col("__del") == 0))
+            .drop("__rn", "__src", "__del")
         )
     if incremental is not None:
         merged = merged.where(
@@ -565,14 +652,13 @@ class HudiWriter:
         """COW delete: rewrite the file groups containing the given
         record keys WITHOUT those records (a group may legally go to
         a zero-row base file — the group stays addressable). MOR
-        deletes need DELETE_BLOCK log entries — refused (hudi_log.py
-        decodes data blocks only)."""
+        delete: append one DELETE_BLOCK per touched file group's log
+        (removal as a log event, no base rewrite — hudi_log.py) under
+        a deltacommit; the read-side latest-wins merge hides the key
+        and compact() folds it permanently. Keys not present in the
+        table are a no-op either way."""
         if self._is_mor:
-            raise NotImplementedError(
-                f"{self.table_path}: MERGE_ON_READ deletes need "
-                "DELETE_BLOCK log entries — compact to COW semantics "
-                "first or use a COPY_ON_WRITE table"
-            )
+            return self._delete_mor(keys_df)
         return self._merge(keys_df, delete=True)
 
     def _check_unique_keys(self, keyed) -> None:
@@ -667,16 +753,24 @@ class HudiWriter:
                     {"operationType": "UPSERT", "partitionToWriteStats": {}},
                 )
                 return instant
-            # survivors already carry meta (original commit_time kept —
-            # the COW copy-forward contract); normalize all branches to
-            # the same column set before the union
+            # survivors already carry meta (original commit_time AND
+            # seqno kept — the COW copy-forward contract; real Hudi
+            # preserves both for copies, only updated/inserted rows
+            # mint new ones in _write_groups); normalize all branches
+            # to the same column set before the union
             normalized = []
             for p in parts:
                 if "_hoodie_commit_time" not in p.columns:
                     p = self._attach_meta(p, instant, keep_commit_time=False)
+                seq = (
+                    F.col("_hoodie_commit_seqno")
+                    if "_hoodie_commit_seqno" in p.columns
+                    else F.lit(None).cast("string")
+                )
                 normalized.append(
                     p.select(
                         "_hoodie_commit_time",
+                        seq.alias("_hoodie_commit_seqno"),
                         "_hoodie_record_key",
                         "__part",
                         "__fid",
@@ -694,25 +788,12 @@ class HudiWriter:
             written = {
                 (p, s["fileId"]) for p, lst in stats.items() for s in lst
             }
+            template = {
+                (p2, f2): rel for p2, f2, _, rel in slices
+            }
             for part, fid in sorted(touched - written):
-                import pyarrow.parquet as pq
-
-                old_rel = next(
-                    rel for p2, f2, _, rel in slices if (p2, f2) == (part, fid)
-                )
-                sch = pq.read_schema(os.path.join(self.table_path, old_rel))
-                name = f"{fid}_{self.WRITE_TOKEN}_{instant}.parquet"
-                rel = os.path.join(part, name) if part else name
-                dst = os.path.join(self.table_path, rel)
-                pq.write_table(sch.empty_table(), dst)
-                stats.setdefault(part, []).append(
-                    {
-                        "fileId": fid,
-                        "path": rel,
-                        "prevCommit": prev.get((part, fid), "null"),
-                        "numWrites": 0,
-                        "fileSizeInBytes": os.path.getsize(dst),
-                    }
+                self._write_empty_base(
+                    part, fid, instant, template[(part, fid)], prev, stats
                 )
             self._complete(
                 instant,
@@ -724,6 +805,30 @@ class HudiWriter:
             return instant
         finally:
             tagged.unpersist()
+
+    def _write_empty_base(
+        self, part, fid, instant, template_rel, prev, stats
+    ) -> None:
+        """A group whose EVERY record was deleted produces no rows in
+        the rewrite — write an explicit empty base file so the slice
+        still advances (otherwise the old slice would stay latest and
+        resurrect the deleted rows)."""
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(os.path.join(self.table_path, template_rel))
+        name = f"{fid}_{self.WRITE_TOKEN}_{instant}.parquet"
+        rel = os.path.join(part, name) if part else name
+        dst = os.path.join(self.table_path, rel)
+        pq.write_table(sch.empty_table(), dst)
+        stats.setdefault(part, []).append(
+            {
+                "fileId": fid,
+                "path": rel,
+                "prevCommit": prev.get((part, fid), "null"),
+                "numWrites": 0,
+                "fileSizeInBytes": os.path.getsize(dst),
+            }
+        )
 
     # ---- MOR ops ----
 
@@ -854,6 +959,92 @@ class HudiWriter:
         finally:
             tagged.unpersist()
 
+    def _delete_mor(self, keys_df) -> str:
+        """MOR delete: tag the incoming keys against the base-file
+        index (every live key has a base row — inserts always land in
+        bases) and append ONE DELETE_BLOCK per touched file group's
+        log under a deltacommit, written by the EXECUTOR owning each
+        group (applyInPandas; the driver sees only per-group stats).
+        No base rewrite — removal is a log event the latest-wins read
+        merge applies and compact() folds. Unknown keys are a no-op
+        (nothing to delete)."""
+        from plankton_spark.sources.hudi_log import log_file_name
+
+        instant = self._next_instant()
+        table_path = self.table_path
+        t = HudiTable(table_path)
+        slices = t.file_slices_with_logs()
+        names = {
+            fid: (part, log_file_name(fid, bi, len(lrs) + 1))
+            for part, fid, bi, _rel, lrs in slices
+        }
+        base_of = {fid: bi for _p, fid, bi, _rel, _lrs in slices}
+        incoming = keys_df.withColumn("__key", self._key_expr())
+        self._check_unique_keys(incoming)
+        base_paths = [
+            os.path.join(table_path, rel) for _, _, _, rel, _ in slices
+        ]
+        index = self.spark.read.parquet(*base_paths).select(
+            F.col("_hoodie_record_key").alias("__key"),
+            F.col("_hoodie_partition_path").alias("__part"),
+            F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+        )
+        tagged = incoming.join(index, "__key", "inner").select(
+            "__key", "__part", "__fid"
+        )
+        self._transition(instant, "requested")
+        self._transition(instant, "inflight")
+        stats_schema = "part string, fid string, rel string, n long, sz long"
+
+        def write_group_delete(pdf):
+            import pandas as pd
+
+            from plankton_spark.sources.hudi_log import append_delete_block
+
+            fid = pdf["__fid"].iloc[0]
+            part, name = names[fid]
+            rel = os.path.join(part, name) if part else name
+            dst = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dst) or table_path, exist_ok=True)
+            deletes = sorted(
+                (row["__key"], part) for _, row in pdf.iterrows()
+            )
+            append_delete_block(dst, instant, deletes)
+            return pd.DataFrame(
+                [
+                    {
+                        "part": part,
+                        "fid": fid,
+                        "rel": rel,
+                        "n": len(deletes),
+                        "sz": os.path.getsize(dst),
+                    }
+                ]
+            )
+
+        stats: dict[str, list] = {}
+        # one row per TOUCHED FILE GROUP (metadata-scale collect)
+        for r in (
+            tagged.groupBy("__fid")
+            .applyInPandas(write_group_delete, stats_schema)
+            .collect()
+        ):
+            stats.setdefault(r["part"], []).append(
+                {
+                    "fileId": r["fid"],
+                    "path": r["rel"],
+                    "prevCommit": base_of[r["fid"]],
+                    "numWrites": 0,
+                    "numDeletes": r["n"],
+                    "fileSizeInBytes": r["sz"],
+                }
+            )
+        self._complete(
+            instant,
+            {"operationType": "DELETE", "partitionToWriteStats": stats},
+        )
+        return instant
+
     def compact(self) -> str:
         """MOR COMPACTION: fold each log-carrying file group's merged
         rows into a fresh base file under a COMMIT instant (the MOR
@@ -894,10 +1085,72 @@ class HudiWriter:
         ).drop("__key")
         prev = {(part, fid): bi for part, fid, bi, _rel, _lrs in todo}
         stats = self._write_groups(rows, instant, prev=prev)
+        # a group whose every record was log-DELETED contributes no
+        # merged rows — advance its slice with an explicit empty base
+        # (same resurrection guard as the COW delete path)
+        written = {
+            (p, s["fileId"]) for p, lst in stats.items() for s in lst
+        }
+        template = {(p, fid): rel for p, fid, _bi, rel, _lrs in todo}
+        for part, fid in sorted(set(prev) - written):
+            self._write_empty_base(
+                part, fid, instant, template[(part, fid)], prev, stats
+            )
         self._complete(
             instant,
             {"operationType": "COMPACT", "partitionToWriteStats": stats},
             action="commit",
+        )
+        return instant
+
+    def cluster(self) -> str:
+        """CLUSTERING (``replacecommit``): rewrite the CURRENT file
+        groups into fresh key-hash-bucketed groups (``group_buckets``
+        per partition) and record the replaced groups in the spec's
+        ``partitionToReplaceFileIds`` — from this instant on they are
+        invisible; time travel before it still sees them (files stay
+        on disk untouched). Records keep their ORIGINAL commit time
+        AND seqno (the rewrite is layout-only), so the incremental
+        query and the streaming feed stay silent across it — the
+        compaction precedent, replace-metadata edition. Empty-group
+        tombstone files compact away naturally (an empty group is
+        replaced by nothing). COW only: cluster a MOR table after
+        compact() via a COW-typed rewrite, or extend this to schedule
+        log-aware clustering — refused here rather than merged
+        wrong."""
+        if self._is_mor:
+            raise NotImplementedError(
+                f"{self.table_path}: cluster() on MERGE_ON_READ would "
+                "have to fold live log deltas into the replacement "
+                "layout — compact() first, then cluster"
+            )
+        instant = self._next_instant()
+        t = HudiTable(self.table_path)
+        slices = t.file_slices()
+        if not slices:
+            raise ValueError(f"{self.table_path}: nothing to cluster")
+        replaced: dict[str, list[str]] = {}
+        for part, fid, _ti, _rel in slices:
+            replaced.setdefault(part, []).append(fid)
+        rows = read_hudi(
+            self.spark, self.table_path, with_meta=True
+        ).withColumn(
+            "__part", F.col("_hoodie_partition_path")
+        )
+        rows = rows.withColumn("__fid", self._new_fid(instant))
+        self._transition(instant, "requested", action="replacecommit")
+        self._transition(instant, "inflight", action="replacecommit")
+        stats = self._write_groups(rows, instant, prev={})
+        self._complete(
+            instant,
+            {
+                "operationType": "CLUSTER",
+                "partitionToWriteStats": stats,
+                "partitionToReplaceFileIds": {
+                    p: sorted(fids) for p, fids in replaced.items()
+                },
+            },
+            action="replacecommit",
         )
         return instant
 
@@ -929,14 +1182,26 @@ class HudiWriter:
         seq = F.row_number().over(
             Window.partitionBy("__fid").orderBy("_hoodie_record_key")
         )
+        minted = F.concat(F.lit(instant + "_"), seq.cast("string"))
+        # copied-forward survivors (and compaction/clustering rows,
+        # whose commit_time is their latest pre-rewrite version) KEEP
+        # their original seqno — real Hudi only mints seqnos for rows
+        # the writing instant actually changed, so foreign readers
+        # ordering by seqno never misattribute copies
+        if "_hoodie_commit_seqno" in df.columns:
+            seqno = F.when(
+                (F.col("_hoodie_commit_time") != F.lit(instant))
+                & F.col("_hoodie_commit_seqno").isNotNull(),
+                F.col("_hoodie_commit_seqno"),
+            ).otherwise(minted)
+        else:
+            seqno = minted
         data_cols = [
             c for c in df.columns if not c.startswith(("_hoodie_", "__"))
         ]
         staged = df.select(
             F.col("_hoodie_commit_time"),
-            F.concat(F.lit(instant + "_"), seq.cast("string")).alias(
-                "_hoodie_commit_seqno"
-            ),
+            seqno.alias("_hoodie_commit_seqno"),
             F.col("_hoodie_record_key"),
             F.col("__part").alias("_hoodie_partition_path"),
             fname.alias("_hoodie_file_name"),
@@ -983,6 +1248,23 @@ class HudiWriter:
         return stats
 
 
+def _convert_inventory(t: HudiTable) -> list[tuple[str, str, str, str]]:
+    """Latest-file-slice inventory for the format converters. A
+    fully-compacted MERGE_ON_READ table (zero live log files) is
+    base-files-only and converts exactly like COW; live log deltas
+    have no Delta/Iceberg representation and refuse."""
+    if t.table_type == "MERGE_ON_READ":
+        slices5 = t.file_slices_with_logs()
+        if any(lrs for *_x, lrs in slices5):
+            raise NotImplementedError(
+                f"{t.table_path}: un-compacted MERGE_ON_READ — live log "
+                "deltas have no Delta/Iceberg representation; compact() "
+                "first"
+            )
+        return [(p, fid, ti, rel) for p, fid, ti, rel, _ in slices5]
+    return t.file_slices()
+
+
 def convert_hudi_to_delta(spark, table_path: str) -> int:
     """Close the Hudi arm of the migration matrix: author a
     ``_delta_log`` version 0 over the Hudi COW table's LATEST FILE
@@ -1010,7 +1292,7 @@ def convert_hudi_to_delta(spark, table_path: str) -> int:
     if os.path.isdir(log_dir) and _commit_versions(log_dir):
         raise FileExistsError(f"{table_path}: already a Delta table")
     t = HudiTable(table_path)
-    slices = t.file_slices()
+    slices = _convert_inventory(t)
     if not slices:
         raise ValueError(f"{table_path}: no file slices to convert")
     paths = [os.path.join(table_path, rel) for _, _, _, rel in slices]
@@ -1065,7 +1347,7 @@ def convert_hudi_to_iceberg(spark, table_path: str) -> int:
     ):
         raise FileExistsError(f"{table_path}: already an Iceberg table")
     t = HudiTable(table_path)
-    slices = t.file_slices()
+    slices = _convert_inventory(t)
     if not slices:
         raise ValueError(f"{table_path}: no file slices to convert")
     paths = [os.path.join(table_path, rel) for _, _, _, rel in slices]
@@ -1077,14 +1359,22 @@ def convert_hudi_to_iceberg(spark, table_path: str) -> int:
 # ---------------------------------------------------------------------
 # Streaming source — the Hudi INCREMENTAL feed as a Structured
 # Streaming source (format "hudiincr"), the third leg next to
-# format("deltacdf") and format("icebergcdf"). Offsets are
-# DATA-INSTANT ORDINALS (positions in the completed commit/deltacommit
-# timeline — instants are strings, ordinals are monotone ints), so a
-# restarted consumer resumes at exactly the next unconsumed instant.
+# format("deltacdf") and format("icebergcdf"). Offsets carry the
+# LAST-CONSUMED INSTANT TIME (the real Hudi incremental contract —
+# resume from the first instant strictly greater), NOT a timeline
+# position: a foreign writer completing an instant that sorts earlier
+# than already-consumed ones can shift ordinals, but instant times
+# stay stable, so a checkpointed consumer neither replays nor skips.
 # Per micro-batch, each instant contributes the records it WROTE:
 # rows whose _hoodie_commit_time equals the instant (COW copies carry
-# older instants and drop out; compaction commits rewrite only copies,
-# so they are naturally SILENT — the layout-only contract). Each
+# older instants and drop out; compaction commits and clustering
+# replacecommits rewrite only copies, so they are naturally SILENT —
+# the layout-only contract). DELETE_BLOCK log entries are skipped:
+# the incremental feed emits written records, not removals (the
+# format's documented incremental semantics without a change feed).
+# Files a batch references are existence-checked at planning time —
+# a clean() that outran the consumer fails loudly with a
+# retention-aware error instead of a task-level FileNotFound. Each
 # partition is one self-contained file read (parquet scan + commit-
 # time filter, or log-block parse) — no shuffle, no driver row path.
 # ---------------------------------------------------------------------
@@ -1157,27 +1447,50 @@ class HudiIncrStreamReader(DataSourceStreamReader):
     def _instants(self):
         return HudiTable(self.path).data_instants()
 
+    @staticmethod
+    def _last(offset: dict, instants) -> str:
+        """Last-consumed instant time from an offset dict. Accepts the
+        legacy ordinal form ({"pos": n}, a pre-instant-time checkpoint)
+        by mapping the position back onto the current timeline."""
+        if "last" in offset:
+            return offset["last"]
+        pos = offset.get("pos", 0)
+        return instants[pos - 1][0] if 0 < pos <= len(instants) else ""
+
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"last": ""}
 
     def latestOffset(self) -> dict:
-        return {"pos": len(self._instants())}
+        instants = self._instants()
+        return {"last": instants[-1][0] if instants else ""}
 
     def partitions(self, start: dict, end: dict):
         t = HudiTable(self.path)
         instants = t.data_instants()
+        lo = self._last(start, instants)
+        hi = self._last(end, instants)
         out: list[_HudiIncrPartition] = []
-        for i in range(start["pos"], min(end["pos"], len(instants))):
-            ti, action = instants[i]
+        for ti, action in instants:
+            if not (lo < ti <= hi):
+                continue
             meta = t.commit_meta(ti, action)
             for _part, stats in meta.get(
                 "partitionToWriteStats", {}
             ).items():
                 for st in stats:
                     rel = st["path"]
+                    full = os.path.join(self.path, rel)
+                    if not os.path.exists(full):
+                        raise ValueError(
+                            f"{self.path}: instant {ti} references "
+                            f"{rel}, which no longer exists — retention "
+                            "(clean) outran this consumer; restart from "
+                            "a fresh checkpoint or raise "
+                            "keep_last_slices"
+                        )
                     out.append(
                         _HudiIncrPartition(
-                            os.path.join(self.path, rel),
+                            full,
                             ti,
                             ".log." in os.path.basename(rel),
                         )
@@ -1191,10 +1504,19 @@ class HudiIncrStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(self._schema)
         if partition.is_log:
-            from plankton_spark.sources.hudi_log import read_log_blocks
+            from plankton_spark.sources.hudi_log import (
+                AVRO_DATA_BLOCK,
+                read_log_blocks,
+            )
 
-            for instant, records in read_log_blocks(partition.path):
-                if instant != partition.instant or not records:
+            for instant, btype, records in read_log_blocks(partition.path):
+                # DELETE_BLOCKs are skipped: the incremental feed
+                # emits written records, not removals
+                if (
+                    instant != partition.instant
+                    or btype != AVRO_DATA_BLOCK
+                    or not records
+                ):
                     continue
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -1318,6 +1640,20 @@ def rollback(table_path: str, instant: str) -> list[str]:
             for st in stats:
                 if ".log." in os.path.basename(st["path"]):
                     referenced_logs.add(os.path.normpath(st["path"]))
+    # the orphan sweep is SCOPED to the rolled-back instant: an
+    # unreferenced log is attributed by its block INSTANT_TIME headers
+    # (cheap header scan, no content decode) and deleted only when
+    # every block was staged by THIS instant — a log staged by a
+    # different still-in-flight deltacommit survives. A headerless
+    # (fully corrupt) orphan is unattributable: deleted only when no
+    # OTHER pending instant could own it.
+    from plankton_spark.sources.hudi_log import log_block_instants
+
+    pending_others = {
+        m.group(1)
+        for n in os.listdir(t.meta_dir)
+        if (m := _PENDING_RE.match(n)) and m.group(1) != instant
+    }
     for dirpath, _dirs, files in os.walk(table_path):
         if os.path.relpath(dirpath, table_path).startswith(".hoodie"):
             continue
@@ -1332,12 +1668,14 @@ def rollback(table_path: str, instant: str) -> list[str]:
                 ".log." in n
                 and os.path.normpath(rel) not in referenced_logs
             ):
-                # orphan log: staged by the crashed write, referenced
-                # by no completed instant
-                os.remove(full_p)
-                removed.append(rel)
+                insts = log_block_instants(full_p)
+                if (insts and insts <= {instant}) or (
+                    not insts and not pending_others
+                ):
+                    os.remove(full_p)
+                    removed.append(rel)
     for phase in ("requested", "inflight"):
-        for action in ("commit", "deltacommit"):
+        for action in ("commit", "deltacommit", "replacecommit"):
             p = os.path.join(t.meta_dir, f"{instant}.{action}.{phase}")
             if os.path.exists(p):
                 os.remove(p)

@@ -129,7 +129,7 @@ def test_group_buckets_fan_out(spark, tmp_path):
     assert read_hudi(spark, root).count() == 200
 
 
-def test_unknown_type_and_replacecommit_refusals(spark, tmp_path):
+def test_unknown_type_refusal_and_replacecommit_replay(spark, tmp_path):
     root = str(tmp_path / "t")
     w = HudiWriter(spark, root, record_key="k")
     w.create(_df(spark, 0, 10))
@@ -143,13 +143,24 @@ def test_unknown_type_and_replacecommit_refusals(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="SOMETHING_ELSE"):
         read_hudi(spark, root)
     open(props, "w").write(orig)
-    # a replacecommit instant (clustering) → refuse rather than
-    # resurrect replaced file groups
+    # replacecommit replay: an empty one (no replaced groups, no new
+    # files) is a metadata no-op...
     open(os.path.join(root, ".hoodie", "20990101000000000.replacecommit"), "w").write("{}")
-    with pytest.raises(NotImplementedError, match="replacecommit"):
+    assert read_hudi(spark, root).count() == 10
+    # ...and a hand-authored one listing every file group with no
+    # replacement output empties the snapshot FROM that instant on,
+    # while time travel before it still sees the replaced groups
+    t = HudiTable(root)
+    i1 = t.instants()[0]
+    replaced = {}
+    for part, fid, _ti, _rel in t.file_slices(i1):
+        replaced.setdefault(part, []).append(fid)
+    with open(
+        os.path.join(root, ".hoodie", "20990102000000000.replacecommit"), "w"
+    ) as fh:
+        json.dump({"partitionToReplaceFileIds": replaced}, fh)
+    with pytest.raises(ValueError, match="no file slices"):
         read_hudi(spark, root)
-    # ...but a time travel BEFORE the replacecommit still works
-    i1 = HudiTable(root).instants()[0]
     assert read_hudi(spark, root, as_of=i1).count() == 10
 
 
@@ -260,7 +271,11 @@ def test_convert_to_iceberg_multi_target(spark, tmp_path):
 
 def test_log_block_codec_roundtrip(tmp_path):
     from plankton_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK,
+        DELETE_BLOCK,
         append_data_block,
+        append_delete_block,
+        log_block_instants,
         read_log_blocks,
     )
 
@@ -275,12 +290,21 @@ def test_log_block_codec_roundtrip(tmp_path):
     p = str(tmp_path / ".fg-1_001.log.1_0-1-0")
     append_data_block(p, "001", schema, [{"k": 1, "s": "a"}, {"k": 2, "s": None}])
     append_data_block(p, "002", schema, [{"k": 3, "s": "c"}])
+    append_delete_block(p, "003", [("1", ""), ("3", "")])
     got = list(read_log_blocks(p))
     assert got == [
-        ("001", [{"k": 1, "s": "a"}, {"k": 2, "s": None}]),
-        ("002", [{"k": 3, "s": "c"}]),
+        ("001", AVRO_DATA_BLOCK, [{"k": 1, "s": "a"}, {"k": 2, "s": None}]),
+        ("002", AVRO_DATA_BLOCK, [{"k": 3, "s": "c"}]),
+        ("003", DELETE_BLOCK, [("1", ""), ("3", "")]),
     ]
-    # corrupt tail (crashed append): decodable prefix survives
+    assert log_block_instants(p) == {"001", "002", "003"}
+    # idempotent append: a retried attempt whose instant is already
+    # present is skipped (no duplicate block)
+    append_data_block(p, "002", schema, [{"k": 3, "s": "c"}])
+    append_delete_block(p, "003", [("1", ""), ("3", "")])
+    assert list(read_log_blocks(p)) == got
+    # corrupt tail (a FOREIGN writer's torn plain append): decodable
+    # prefix survives
     with open(p, "ab") as fh:
         fh.write(b"#HUDI#\x00\x00\x00\x00\x00\x00\xff\xff partial")
     assert list(read_log_blocks(p)) == got
@@ -330,11 +354,12 @@ def test_mor_refusals(spark, tmp_path):
     w = HudiWriter(spark, root, record_key="k", table_type="MERGE_ON_READ")
     w.create(_df(spark, 0, 20))
     w.upsert(_df(spark, 0, 5, status="B"))
-    with pytest.raises(NotImplementedError, match="DELETE_BLOCK"):
-        w.delete_keys(spark.range(0, 5).select(F.col("id").alias("k")))
     # converters can't represent un-compacted log deltas
     with pytest.raises(NotImplementedError, match="log"):
         convert_hudi_to_delta(spark, root)
+    # clustering an un-compacted MOR table refuses too
+    with pytest.raises(NotImplementedError, match="compact"):
+        w.cluster()
     # a deltacommit on a COW table is an inconsistent timeline
     root2 = str(tmp_path / "t2")
     w2 = HudiWriter(spark, root2, record_key="k")
@@ -342,6 +367,245 @@ def test_mor_refusals(spark, tmp_path):
     open(os.path.join(root2, ".hoodie", "20990101000000000.deltacommit"), "w").write("{}")
     with pytest.raises(NotImplementedError, match="deltacommit"):
         read_hudi(spark, root2)
+
+
+def test_mor_delete_lifecycle(spark, tmp_path):
+    """MOR DELETE_BLOCK path: delete_keys appends tombstone events to
+    the touched groups' logs (no base rewrite); the latest-wins merge
+    hides the keys — including keys whose latest version lives in a
+    LOG (update-then-delete); compaction folds the deletes into fresh
+    bases; a post-compaction read is identical; the converter refusal
+    lifts once compacted."""
+    from plankton_spark.sources.delta_log import read_delta
+    from plankton_spark.sources.hudi_meta import convert_hudi_to_delta
+
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", table_type="MERGE_ON_READ")
+    i1 = w.create(_df(spark, 0, 50))
+    w.upsert(_df(spark, 0, 20, status="B"))  # log updates
+    # delete: 5 log-updated keys, 5 base-only keys, 3 nonexistent
+    keys = spark.createDataFrame(
+        [(k,) for k in [0, 1, 2, 3, 4, 30, 31, 32, 33, 34, 900, 901, 902]],
+        "k long",
+    )
+    i3 = w.delete_keys(keys)
+    out = read_hudi(spark, root)
+    assert out.count() == 40
+    gone = {0, 1, 2, 3, 4, 30, 31, 32, 33, 34}
+    assert set(r["k"] for r in out.collect()) == set(range(50)) - gone
+    # update-then-delete keys stay gone; surviving updates stay 'B'
+    assert out.where(F.col("status") == "B").count() == 15
+    # time travel BEFORE the delete still sees everything
+    assert read_hudi(spark, root, as_of=i1).count() == 50
+    # no base file was rewritten by the delete (log event only)
+    t = HudiTable(root)
+    assert all(
+        ti == i1 for _p, _f, ti, _rel, _lrs in t.file_slices_with_logs()
+    )
+    before = _content(out)
+    w.compact()
+    assert _content(read_hudi(spark, root)) == before
+    assert sum(len(lrs) for *_x, lrs in HudiTable(root).file_slices_with_logs()) == 0
+    # converter refusal lifts on the compacted table
+    convert_hudi_to_delta(spark, root)
+    assert _content(read_delta(spark, root).select("k", "status", "grp")) == before
+    # incremental across the delete range emits no rows for deleted
+    # keys (removals are not records)
+    inc = read_hudi(spark, root, incremental=(i1, i3))
+    assert set(r["k"] for r in inc.select("k").collect()) == set(range(5, 20))
+
+
+def test_mor_delete_empties_group(spark, tmp_path):
+    """Deleting EVERY record of a MOR file group, then compacting,
+    must advance the slice with an empty base file — not resurrect."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", table_type="MERGE_ON_READ")
+    w.create(_df(spark, 0, 30))
+    w.delete_keys(spark.range(0, 30).select(F.col("id").alias("k")))
+    assert read_hudi(spark, root).count() == 0
+    w.compact()
+    assert read_hudi(spark, root).count() == 0
+
+
+def test_cow_clustering_lifecycle(spark, tmp_path):
+    """cluster() rewrites the live groups into group_buckets fresh
+    ones under a replacecommit: snapshot content identical, replaced
+    groups invisible from the instant on but time-travelable before
+    it, commit time AND seqno preserved (layout-only ⇒ incremental
+    silent), empty-group tombstones compact away."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", group_buckets=4)
+    i1 = w.create(_df(spark, 0, 200))
+    i2 = w.upsert(_df(spark, 150, 220, status="B"))
+    # empty a whole group so clustering has a tombstone to fold
+    i3 = w.delete_keys(
+        spark.range(0, 200, 4).select(F.col("id").alias("k"))
+    )
+    before = _content(read_hudi(spark, root))
+    meta_before = {
+        r["_hoodie_record_key"]: (
+            r["_hoodie_commit_time"], r["_hoodie_commit_seqno"]
+        )
+        for r in read_hudi(spark, root, with_meta=True).collect()
+    }
+    w.group_buckets = 3
+    ic = w.cluster()
+    assert _content(read_hudi(spark, root)) == before
+    t = HudiTable(root)
+    slices = t.file_slices()
+    assert len(slices) == 3  # the new bucketed layout
+    assert all(ti == ic for _p, _f, ti, _rel in slices)
+    # layout-only: per-record commit metadata carried through untouched
+    meta_after = {
+        r["_hoodie_record_key"]: (
+            r["_hoodie_commit_time"], r["_hoodie_commit_seqno"]
+        )
+        for r in read_hudi(spark, root, with_meta=True).collect()
+    }
+    assert meta_after == meta_before
+    # incremental across the clustering emits nothing for it
+    assert read_hudi(spark, root, incremental=(i3, ic)).count() == 0
+    # ...and the pre-clustering ranges are unchanged
+    inc = read_hudi(spark, root, incremental=(i1, ic))
+    assert inc.count() == read_hudi(spark, root, incremental=(i1, i3)).count()
+    # time travel before the replacecommit sees the OLD layout
+    assert len(t.file_slices(i2)) > 3
+    assert read_hudi(spark, root, as_of=i2).count() == 220
+    # post-clustering writes continue normally
+    w.upsert(_df(spark, 300, 310, status="C"))
+    assert read_hudi(spark, root).count() == 180  # 220 - 50 deleted + 10
+
+
+def test_empty_incremental_and_prune_return_empty(spark, tmp_path):
+    """An incremental range with no changes (or a partition prune
+    matching nothing) is a legitimate empty result, not an error —
+    schema intact, zero rows."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", partition_field="status")
+    i1 = w.create(_df(spark, 0, 30))
+    empty = read_hudi(spark, root, incremental=(i1, i1))
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "status", "grp"}
+    pruned = read_hudi(spark, root, partition_path="ZZZ")
+    assert pruned.count() == 0
+    # MOR flavor
+    root2 = str(tmp_path / "t2")
+    w2 = HudiWriter(spark, root2, record_key="k", table_type="MERGE_ON_READ")
+    j1 = w2.create(_df(spark, 0, 10))
+    assert read_hudi(spark, root2, incremental=(j1, j1)).count() == 0
+
+
+def test_survivor_seqno_preserved(spark, tmp_path):
+    """COW copies keep BOTH their original _hoodie_commit_time and
+    _hoodie_commit_seqno; only rows the writing instant changed mint
+    new seqnos (foreign readers ordering by seqno never misattribute
+    copies)."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    i1 = w.create(_df(spark, 0, 50))
+    seqno_before = {
+        r["_hoodie_record_key"]: r["_hoodie_commit_seqno"]
+        for r in read_hudi(spark, root, with_meta=True).collect()
+    }
+    i2 = w.upsert(_df(spark, 40, 60, status="B"))
+    meta = read_hudi(spark, root, with_meta=True)
+    rows = {
+        r["_hoodie_record_key"]: (
+            r["_hoodie_commit_time"], r["_hoodie_commit_seqno"]
+        )
+        for r in meta.collect()
+    }
+    for k in range(40):
+        ct, sq = rows[str(k)]
+        assert ct == i1
+        assert sq == seqno_before[str(k)]  # copy: original seqno kept
+    for k in range(40, 60):
+        ct, sq = rows[str(k)]
+        assert ct == i2
+        assert sq.startswith(i2 + "_")  # changed: new seqno minted
+
+
+def test_rollback_scoped_to_instant(spark, tmp_path):
+    """rollback(A) must NOT sweep an unreferenced log staged by a
+    DIFFERENT still-pending deltacommit B — orphan attribution goes by
+    the logs' block INSTANT_TIME headers."""
+    from plankton_spark.sources.hudi_log import append_data_block
+    from plankton_spark.sources.hudi_meta import rollback
+
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", table_type="MERGE_ON_READ")
+    w.create(_df(spark, 0, 20))
+    t = HudiTable(root)
+    part, fid, base_instant, _rel, _lrs = t.file_slices_with_logs()[0]
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    crash_a = "20990101000000000"
+    crash_b = "20990102000000000"
+    for inst in (crash_a, crash_b):
+        for phase in ("requested", "inflight"):
+            open(
+                os.path.join(root, ".hoodie", f"{inst}.deltacommit.{phase}"),
+                "w",
+            ).close()
+    log_a = f".{fid}_{base_instant}.log.7_0-1-0"
+    log_b = f".{fid}_{base_instant}.log.8_0-1-0"
+    append_data_block(os.path.join(root, log_a), crash_a, schema, [{"k": 1}])
+    append_data_block(os.path.join(root, log_b), crash_b, schema, [{"k": 2}])
+    removed = rollback(root, crash_a)
+    assert log_a in removed
+    assert log_b not in removed
+    assert os.path.exists(os.path.join(root, log_b))
+    rollback(root, crash_b)
+    assert not os.path.exists(os.path.join(root, log_b))
+
+
+def test_virtual_key_incremental_slice_grain(spark, tmp_path):
+    """Converted (virtual-key) tables get file-slice-grain incremental
+    attribution: the conversion instant owns every converted slice, a
+    later empty range returns an empty frame."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+    from plankton_spark.sources.hudi_meta import convert_delta_to_hudi
+
+    root = str(tmp_path / "t")
+    dw = DeltaLogWriter(spark, root)
+    dw.create(_df(spark, 0, 40).coalesce(1))
+    dw.delete_where(F.col("k") % 4 == 0)
+    inst = convert_delta_to_hudi(spark, root, record_key="k")
+    full = read_hudi(spark, root, incremental=("0" * 17, inst))
+    assert full.count() == 30
+    assert set(full.columns) == {"k", "status", "grp"}
+    assert read_hudi(spark, root, incremental=(inst, inst)).count() == 0
+
+
+def test_hudiincr_offset_shapes(spark, tmp_path):
+    """hudiincr offsets carry the last-consumed INSTANT TIME; legacy
+    ordinal checkpoints still resolve; a cleaned-away file referenced
+    by an unconsumed range fails with a retention-aware error."""
+    from plankton_spark.sources.hudi_meta import (
+        HudiIncrStreamReader,
+        clean,
+    )
+
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    i1 = w.create(_df(spark, 0, 20))
+    i2 = w.upsert(_df(spark, 0, 5, status="B"))
+    schema = read_hudi(spark, root, with_meta=True).schema
+    r = HudiIncrStreamReader(root, schema)
+    assert r.initialOffset() == {"last": ""}
+    assert r.latestOffset() == {"last": i2}
+    parts = r.partitions({"last": i1}, {"last": i2})
+    assert {p.instant for p in parts} == {i2}
+    # legacy ordinal offset maps onto the same timeline
+    parts_legacy = r.partitions({"pos": 1}, {"last": i2})
+    assert {p.instant for p in parts_legacy} == {i2}
+    # retention outrunning the consumer → loud, named error
+    clean(root, keep_last_slices=1)
+    with pytest.raises(ValueError, match="retention"):
+        r.partitions({"last": ""}, {"last": i2})
 
 
 def test_clean_retention_and_rollback(spark, tmp_path):
@@ -416,11 +680,11 @@ def test_delta_to_hudi_virtual_keys(spark, tmp_path):
     convert_delta_to_hudi(spark, root, record_key="k")
     got = _content(read_hudi(spark, root).select("k", "status", "grp"))
     assert got == expected
-    # virtual-key refusals: meta reads, incremental, engine writes
+    # virtual-key refusals: meta reads, engine writes (incremental is
+    # file-slice-grain attributed now — see
+    # test_virtual_key_incremental_slice_grain)
     with pytest.raises(NotImplementedError, match="virtual-key"):
         read_hudi(spark, root, with_meta=True)
-    with pytest.raises(NotImplementedError, match="virtual-key"):
-        read_hudi(spark, root, incremental=("0", "9"))
     with pytest.raises(NotImplementedError, match="virtual-key"):
         HudiWriter(spark, root)
     with pytest.raises(FileExistsError):
