@@ -2090,3 +2090,78 @@ def q_iceberg_defaults(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "q_iceberg_changelog_multispec",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s FROM orders
+      WHERE o_orderkey < 1500
+    ),
+    ch AS (
+      SELECT CAST(1 AS BIGINT) AS sid, 'insert' AS ct, k, s
+      FROM o WHERE k < 1200
+      UNION ALL
+      SELECT 2, 'insert', k, s FROM o WHERE k >= 1200
+      UNION ALL
+      SELECT 3, 'delete', k, s FROM o
+      WHERE k < 1200 OR s = 'F'
+      UNION ALL
+      SELECT 3, 'insert', k, s FROM o
+      WHERE k < 1200 AND s <> 'F'
+    )
+    SELECT sid, ct AS change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM ch GROUP BY sid, ct
+    """,
+)
+def q_iceberg_changelog_multispec(spark, sf_dir):
+    """Iceberg CHANGELOG over a PARTITION-EVOLVED range (the last
+    changelog refusal, lifted): snapshot 1 lands UNPARTITIONED
+    (spec 0), evolve_spec makes o_orderstatus the identity spec —
+    metadata-only, no snapshot — snapshot 2 lands hive-partitioned
+    under spec 1, snapshot 3 is a rewrite DELETE of status 'F' whose
+    hit set SPANS BOTH SPECS (the spec-0 file contains F rows in
+    content; spec-1's F partition drops whole), and snapshot 4 is the
+    multi-spec OPTIMIZE that resolves the evolution — a `replace`
+    snapshot the feed must silence. Every boundary assembles PER SPEC
+    and unions (read_iceberg's partition-evolution rule applied
+    inside the changelog), so spec-0 rows keep their content columns
+    and spec-1 rows their attached identity values; the oracle
+    recomputes all four snapshots' change sets relationally — a
+    NULLed partition column, a mis-attributed spec, or a compaction
+    leak is a hash mismatch. This round also fixed the DML side:
+    delete_where / update_where / replace_where / merge / optimize
+    previously attached the DEFAULT spec's columns to old-spec files,
+    silently NULLing content columns on partition-evolved tables
+    (verified live; per-spec _assemble_multispec now feeds them
+    all)."""
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        read_iceberg_changelog,
+    )
+
+    root = _scratch(sf_dir, "iceberg_changelog_ms")
+    shutil.rmtree(root, ignore_errors=True)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    k = F.col("o_orderkey")
+    w = IcebergWriter(spark, root)
+    w.create(o.where(k < 1200).repartition(1).sortWithinPartitions("o_orderkey"))
+    w.evolve_spec(["o_orderstatus"])
+    w.append(o.where(k >= 1200).repartition(1).sortWithinPartitions("o_orderkey"))
+    s3 = w.delete_where(F.col("o_orderstatus") == "F")
+    s4 = w.optimize(num_files=1)  # resolves the evolution; must stay silent
+    cl = read_iceberg_changelog(spark, root, 1, s4)
+    return cl.groupBy(
+        F.col("_snapshot_id").alias("sid"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )

@@ -1053,6 +1053,38 @@ def _apply_equality_deletes(spark, t, schema, scan, eq_deletes, data_seq):
     return scan
 
 
+def _assemble_multispec(spark, table, schema, full, with_file=False):
+    """Live-file assembly that honors PARTITION EVOLUTION: group the
+    ``scan_entries_full`` rows by partition-spec id and assemble each
+    group against ITS spec's identity columns (read_iceberg's
+    multi-spec rule), unioning to the table schema. Attaching the
+    DEFAULT spec's columns across the board would strip old-spec
+    files' CONTENT columns and overwrite them with NULL partition
+    literals — a silent corruption mode (verified live, round 12)
+    this per-spec split exists to prevent. Single-spec snapshots take
+    exactly one group, so the common case pays nothing extra; this
+    also fixes the evolve-with-no-new-data case, where the default
+    spec doesn't describe the live files at all."""
+    groups: dict[int, list] = {}
+    for p, pv, _sq, sid in full:
+        groups.setdefault(sid, []).append((p, pv))
+    sel = [f.name for f in schema.fields] + (["_f"] if with_file else [])
+    frames = [
+        _assemble_iceberg(
+            spark,
+            schema,
+            table.partition_fields_for(sid),
+            grp,
+            with_file=with_file,
+        ).select(*sel)
+        for sid, grp in sorted(groups.items())
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def _assemble_iceberg(
     spark,
     schema,
@@ -3143,6 +3175,27 @@ class IcebergWriter:
             lineage=lineage, lineage_fields=lineage_fields,
         )
 
+    def _hit_scan_ms(self, table, schema, hit_full, lin_on):
+        """Scan of the HIT files for a row-level rewrite, grouped per
+        partition spec (each group assembled with its own identity
+        columns — the multi-spec rule), lineage-projecting when the
+        table tracks row ids."""
+        groups: dict[int, list] = {}
+        for p, pv, _sq, sid in hit_full:
+            groups.setdefault(sid, []).append((p, pv))
+        parts = []
+        for sid, grp in sorted(groups.items()):
+            pcols = table.partition_fields_for(sid)
+            parts.append(
+                self._lineage_subset_scan(table, schema, pcols, grp)
+                if lin_on
+                else _assemble_iceberg(self.spark, schema, pcols, grp)
+            )
+        out = parts[0]
+        for g in parts[1:]:
+            out = out.unionByName(g)
+        return out
+
     def delete_where(self, condition) -> int:
         """Row-level DELETE: rewrite only data files containing matching
         rows; rows whose predicate evaluates to NULL are RETAINED (the
@@ -3151,41 +3204,42 @@ class IcebergWriter:
         a new ADDED manifest; untouched manifests carry forward. On a
         lineage-tracked table the survivors restage WITH their
         materialized _row_id / _last_updated_sequence_number (the same
-        preservation rule as OPTIMIZE)."""
+        preservation rule as OPTIMIZE). Partition-evolved tables
+        evaluate and rewrite PER SPEC (_assemble_multispec — each
+        file's partition record in its own spec's shape); survivors
+        restage under the current default spec, which is exactly how
+        evolution migrates data without a bulk rewrite."""
         from pyspark.sql import functions as F
 
         table = IcebergTable(self.table_path)
         schema = table.schema()
         spec = self._writer_spec(table)
-        part_cols = table.partition_fields()  # identity attach subset
-        entries = table.data_entries(None)
+        entries = table.data_entries(None)  # refuses row-level deletes
         if not entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
+        full = table.scan_entries_full(None)[0]
         # the assembled view re-attaches partition columns (absent from
         # the files) — evaluating the predicate on raw files would see
-        # NULL for them
-        live = _assemble_iceberg(
-            self.spark, schema, part_cols, entries, with_file=True
+        # NULL for them; per-spec grouping keeps old-spec files' own
+        # layout intact
+        live = _assemble_multispec(
+            self.spark, table, schema, full, with_file=True
         )
         hit = [
             r[0] for r in live.where(condition).select("_f").distinct().collect()
         ]
-        hit_entries = [
-            (p, pv)
-            for p, pv in entries
+        hit_full = [
+            (p, pv, sq, sid)
+            for p, pv, sq, sid in full
             if any(h.endswith(os.path.basename(p)) for h in hit)
         ]
-        if not hit_entries:
+        if not hit_full:
             return self._commit_snapshot([], set(), keep_unhit=True)
         removed_rel = {
-            os.path.relpath(p, self.table_path) for p, _ in hit_entries
+            os.path.relpath(p, self.table_path) for p, _pv, _sq, _s in hit_full
         }
         lin_on = self._lineage_rewrite_on(table)
-        base = (
-            self._lineage_subset_scan(table, schema, part_cols, hit_entries)
-            if lin_on
-            else _assemble_iceberg(self.spark, schema, part_cols, hit_entries)
-        )
+        base = self._hit_scan_ms(table, schema, hit_full, lin_on)
         survivors = base.where(~F.coalesce(condition, F.lit(False)))
         staged = (
             []
@@ -3233,31 +3287,28 @@ class IcebergWriter:
             c: (e if isinstance(e, Column) else F.expr(e))
             for c, e in assignments.items()
         }
-        entries = table.data_entries(None)
+        entries = table.data_entries(None)  # refuses row-level deletes
         if not entries:
             return self._commit_snapshot([], set(), keep_unhit=True)
-        live = _assemble_iceberg(
-            self.spark, schema, part_cols, entries, with_file=True
+        full = table.scan_entries_full(None)[0]
+        live = _assemble_multispec(
+            self.spark, table, schema, full, with_file=True
         )
         hit = [
             r[0] for r in live.where(condition).select("_f").distinct().collect()
         ]
-        hit_entries = [
-            (p, pv)
-            for p, pv in entries
+        hit_full = [
+            (p, pv, sq, sid)
+            for p, pv, sq, sid in full
             if any(h.endswith(os.path.basename(p)) for h in hit)
         ]
-        if not hit_entries:
+        if not hit_full:
             return self._commit_snapshot([], set(), keep_unhit=True)
         removed_rel = {
-            os.path.relpath(p, self.table_path) for p, _ in hit_entries
+            os.path.relpath(p, self.table_path) for p, _pv, _sq, _s in hit_full
         }
         lin_on = self._lineage_rewrite_on(table)
-        hot = (
-            self._lineage_subset_scan(table, schema, part_cols, hit_entries)
-            if lin_on
-            else _assemble_iceberg(self.spark, schema, part_cols, hit_entries)
-        )
+        hot = self._hit_scan_ms(table, schema, hit_full, lin_on)
         matched = F.coalesce(condition, F.lit(False))
         out_cols = [
             (
@@ -3328,30 +3379,23 @@ class IcebergWriter:
             return self._commit_snapshot(
                 staged, set(), keep_unhit=True, assign_row_ids=lin_on
             )
-        live = _assemble_iceberg(
-            self.spark, schema, part_cols, entries, with_file=True
+        full = table.scan_entries_full(None)[0]
+        live = _assemble_multispec(
+            self.spark, table, schema, full, with_file=True
         )
         hit = [
             r[0] for r in live.where(condition).select("_f").distinct().collect()
         ]
-        hit_entries = [
-            (p, pv)
-            for p, pv in entries
+        hit_full = [
+            (p, pv, sq, sid)
+            for p, pv, sq, sid in full
             if any(h.endswith(os.path.basename(p)) for h in hit)
         ]
         removed_rel = {
-            os.path.relpath(p, self.table_path) for p, _ in hit_entries
+            os.path.relpath(p, self.table_path) for p, _pv, _sq, _s in hit_full
         }
-        if hit_entries:
-            base = (
-                self._lineage_subset_scan(
-                    table, schema, part_cols, hit_entries
-                )
-                if lin_on
-                else _assemble_iceberg(
-                    self.spark, schema, part_cols, hit_entries
-                )
-            )
+        if hit_full:
+            base = self._hit_scan_ms(table, schema, hit_full, lin_on)
             survivors = base.where(~F.coalesce(condition, F.lit(False)))
             if not survivors.isEmpty():
                 staged = staged + self._stage(
@@ -3417,30 +3461,32 @@ class IcebergWriter:
                 f"{self.table_path}: merge source missing partition "
                 f"columns {missing}"
             )
-        entries = table.data_entries(None)
-        overlap_entries = []
-        for p, pv in entries:
+        table.data_entries(None)  # refuses row-level deletes
+        full = table.scan_entries_full(None)[0]
+        overlap_full = []
+        for p, pv, sq, sid in full:
             if key in part_cols:
-                # partition-key merge: typed manifest values, no file IO
+                # partition-key merge: typed manifest values, no file
+                # IO (an old-spec file lacking the value is treated as
+                # overlapping — conservative, never lossy)
                 v = pv.get(key)
                 if v is None or (raw_lo <= v <= raw_hi):
-                    overlap_entries.append((p, pv))
+                    overlap_full.append((p, pv, sq, sid))
                 continue
             st = _file_stats(p)
             mn, mx = st["minValues"].get(key), st["maxValues"].get(key)
             if mn is None or mx is None or not (mx < lo or mn > hi):
-                overlap_entries.append((p, pv))
+                overlap_full.append((p, pv, sq, sid))
         lin_on = self._lineage_rewrite_on(table)
-        if overlap_entries:
+        overlap_entries = [(p, pv) for p, pv, _sq, _s in overlap_full]
+        if overlap_full:
+            hot = self._hit_scan_ms(table, schema, overlap_full, lin_on)
             if lin_on:
                 # spec MERGE semantics on the materialized columns: an
                 # updated row keeps the target's _row_id (min across
                 # key-dup targets — deterministic) with a reset
                 # sequence number; survivors keep both; inserts carry
                 # nulls → fresh first_row_id + position
-                hot = self._lineage_subset_scan(
-                    table, schema, part_cols, overlap_entries
-                )
                 old_ids = hot.groupBy(key).agg(
                     F.min(_ROW_ID_COL).alias(_ROW_ID_COL)
                 )
@@ -3449,9 +3495,6 @@ class IcebergWriter:
                 )
                 merged = hot.join(source, key, "left_anti").unionByName(src)
             else:
-                hot = _assemble_iceberg(
-                    self.spark, schema, part_cols, overlap_entries
-                )
                 merged = hot.join(source, key, "left_anti").unionByName(
                     source
                 )
@@ -4148,6 +4191,13 @@ class IcebergWriter:
             # data files read, the delete files, and the DV Puffin
             # files all tombstone. Logical content unchanged.
             df = read_iceberg(self.spark, self.table_path)
+        elif multi_spec:
+            # partition-evolved: per-spec assembly (attaching the
+            # default spec's columns across the board would NULL out
+            # old-spec files' content columns); the compaction output
+            # restages under the current default spec — exactly the
+            # op that RESOLVES the evolution back to one spec
+            df = read_iceberg(self.spark, self.table_path)
         elif part_cols:
             df = _assemble_iceberg(self.spark, table.schema(), part_cols, entries)
         else:
@@ -4611,9 +4661,14 @@ def read_iceberg_changelog(
     carried files; the eq deletes themselves apply through the same
     seq-gated null-safe anti-join the read path uses) — value-keyed
     deletes aren't position-attributable per mechanism, but the
-    before/after difference is exact. Partition-evolved ranges
-    refuse (one scan cannot attach two specs' columns); the
-    STREAMING icebergcdf source still refuses eq-deleted ranges
+    before/after difference is exact. PARTITION-EVOLVED (multi-spec)
+    ranges assemble PER SPEC and union (each file's partition record
+    is shaped by its own spec — the read path's partition-evolution
+    technique applied at every boundary), so changelog history
+    survives a spec change; only the eq-delete × multi-spec combo
+    refuses (same boundary as read_iceberg — the deletes cannot be
+    sequenced across specs). The STREAMING icebergcdf source still
+    refuses eq-deleted ranges
     (per-file partition readers can't carry the cross-file join).
     Per-file DV
     index sets decode once per snapshot boundary (bounded by deleted
@@ -4638,16 +4693,17 @@ def read_iceberg_changelog(
 
     from plankton_spark.sources import puffin as _puffin
 
-    state_cache: dict[int | None, tuple[dict, dict, list[str]]] = {}
+    state_cache: dict[int | None, tuple[dict, dict, dict, list, dict]] = {}
 
     def state(sid: int | None):
         """{abs_path: pv}, {abs_path: sorted deleted indexes},
-        identity partition cols at a snapshot (empty before the first
-        snapshot)."""
+        {abs_path: spec_id} (multi-spec snapshots keep every file's
+        own spec — assembly below unions per spec), sorted eq-delete
+        files, {basename: data sequence}."""
         if sid in state_cache:
             return state_cache[sid]
         if sid is None:
-            state_cache[sid] = ({}, {}, [], [], {})
+            state_cache[sid] = ({}, {}, {}, [], {})
             return state_cache[sid]
         full, pos_dels, eq_dels, dv_dels = t.scan_entries_full(sid)
         seq_map = {
@@ -4662,12 +4718,15 @@ def read_iceberg_changelog(
                 "numbers — the deletes cannot be ordered (same refusal "
                 "as read_iceberg)"
             )
-        if len({s for _p, _pv, _sq, s in full}) > 1:
+        if eq_dels and len({s for _p, _pv, _sq, s in full}) > 1:
             raise ValueError(
-                f"{table_path}: changelog scan over a partition-"
-                "evolved (multi-spec) snapshot is not supported"
+                f"{table_path}: changelog scan over an equality-"
+                "deleted multi-spec (partition-evolved) snapshot is "
+                "not supported — compact to a single spec first (same "
+                "refusal as read_iceberg)"
             )
         files = {p: pv for p, pv, _sq, _sid2 in full}
+        specs = {p: s for p, _pv, _sq, s in full}
         by_base = {os.path.basename(p): p for p in files}
         dvsets: dict[str, set[int]] = {}
         for pp, ref, off, sz, _card in dv_dels:
@@ -4690,20 +4749,39 @@ def read_iceberg_changelog(
                         dvsets.setdefault(by_base[base], set()).add(
                             int(pos)
                         )
-        pcols = (
-            t.partition_fields_for(next(iter({s for *_x, s in full})))
-            if full
-            else []
-        )
-        state_cache[sid] = (files, dvsets, pcols, sorted(eq_dels), seq_map)
+        state_cache[sid] = (files, dvsets, specs, sorted(eq_dels), seq_map)
         return state_cache[sid]
 
-    def scan_minus(entries, pcols, drop_sets, ct, sid):
-        """Scan `entries` minus the (file, position) pairs in
+    def assemble_ms(files_map, specs_map):
+        """Position-stamped scan of ``files_map`` with PER-SPEC
+        assembly union — partition evolution keeps every live file's
+        partition record in its own spec's shape, so each spec group
+        assembles against its own identity columns (the read path's
+        multi-spec technique) and the union carries the table
+        schema + (__pd_file, __pd_ridx) identity."""
+        groups: dict[int, list] = {}
+        for p in sorted(files_map):
+            groups.setdefault(specs_map[p], []).append((p, files_map[p]))
+        sel = [f.name for f in schema.fields] + ["__pd_file", "__pd_ridx"]
+        frames = [
+            _assemble_iceberg(
+                spark,
+                schema,
+                t.partition_fields_for(spec_id),
+                groups[spec_id],
+                with_pos=True,
+            ).select(*sel)
+            for spec_id in sorted(groups)
+        ]
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out
+
+    def scan_minus(files_map, specs_map, drop_sets, ct, sid):
+        """Scan ``files_map`` minus the (file, position) pairs in
         drop_sets, stamped with the change type + snapshot id."""
-        scan = _assemble_iceberg(
-            spark, schema, pcols, entries, with_pos=True
-        )
+        scan = assemble_ms(files_map, specs_map)
         pairs = [
             (os.path.basename(p), int(i))
             for p, idx in sorted(drop_sets.items())
@@ -4728,11 +4806,9 @@ def read_iceberg_changelog(
             F.lit(int(sid)).cast("long").alias("_snapshot_id"),
         )
 
-    def scan_only(entries, pcols, keep_sets, ct, sid):
+    def scan_only(files_map, specs_map, keep_sets, ct, sid):
         """Scan ONLY the (file, position) pairs in keep_sets."""
-        scan = _assemble_iceberg(
-            spark, schema, pcols, entries, with_pos=True
-        )
+        scan = assemble_ms(files_map, specs_map)
         pairs = [
             (os.path.basename(p), int(i))
             for p, idx in sorted(keep_sets.items())
@@ -4754,15 +4830,15 @@ def read_iceberg_changelog(
             F.lit(int(sid)).cast("long").alias("_snapshot_id"),
         )
 
-    def live_scan(files_map, pcols, dvsets, eqs, seq_map):
+    def live_scan(files_map, specs_map, dvsets, eqs, seq_map):
         """Live rows of ``files_map`` at one snapshot state, keeping
         the (__pd_file basename, __pd_ridx) position identity for
         cross-snapshot diffing: DV/position drops anti-joined, then
         equality deletes applied through the shared seq-gated
         null-safe anti-join (_apply_equality_deletes)."""
-        scan = _assemble_iceberg(
-            spark, schema, pcols, sorted(files_map.items()), with_pos=True
-        ).withColumn("__pd_file", F.substring_index("__pd_file", "/", -1))
+        scan = assemble_ms(files_map, specs_map).withColumn(
+            "__pd_file", F.substring_index("__pd_file", "/", -1)
+        )
         pairs = [
             (os.path.basename(p), int(i))
             for p, idx in sorted(dvsets.items())
@@ -4791,8 +4867,8 @@ def read_iceberg_changelog(
         op = (by_id[sid].get("summary") or {}).get("operation")
         if op == "replace":
             continue  # layout-only rewrite: no logical change
-        files_prev, dv_prev, pcols_prev, eq_prev, seq_prev = state(prev)
-        files_cur, dv_cur, pcols_cur, eq_cur, seq_cur = state(sid)
+        files_prev, dv_prev, specs_prev, eq_prev, seq_prev = state(prev)
+        files_cur, dv_cur, specs_cur, eq_cur, seq_cur = state(sid)
         added = {
             p: pv for p, pv in files_cur.items() if p not in files_prev
         }
@@ -4821,7 +4897,7 @@ def read_iceberg_changelog(
             if added:
                 frames.append(
                     stamp(
-                        live_scan(added, pcols_cur, dv_cur, eq_cur, seq_cur),
+                        live_scan(added, specs_cur, dv_cur, eq_cur, seq_cur),
                         "insert",
                     )
                 )
@@ -4829,7 +4905,7 @@ def read_iceberg_changelog(
                 frames.append(
                     stamp(
                         live_scan(
-                            removed, pcols_prev, dv_prev, eq_prev, seq_prev
+                            removed, specs_prev, dv_prev, eq_prev, seq_prev
                         ),
                         "delete",
                     )
@@ -4839,10 +4915,10 @@ def read_iceberg_changelog(
             }
             if carried:
                 lp = live_scan(
-                    carried, pcols_prev, dv_prev, eq_prev, seq_prev
+                    carried, specs_prev, dv_prev, eq_prev, seq_prev
                 )
                 lc = live_scan(
-                    carried, pcols_cur, dv_cur, eq_cur, seq_cur
+                    carried, specs_cur, dv_cur, eq_cur, seq_cur
                 ).select("__pd_file", "__pd_ridx")
                 frames.append(
                     stamp(
@@ -4856,8 +4932,8 @@ def read_iceberg_changelog(
         if added:
             frames.append(
                 scan_minus(
-                    sorted(added.items()),
-                    pcols_cur,
+                    added,
+                    specs_cur,
                     {p: dv_cur[p] for p in added if p in dv_cur},
                     "insert",
                     sid,
@@ -4866,8 +4942,8 @@ def read_iceberg_changelog(
         if removed:
             frames.append(
                 scan_minus(
-                    sorted(removed.items()),
-                    pcols_prev,
+                    removed,
+                    specs_prev,
                     {p: dv_prev[p] for p in removed if p in dv_prev},
                     "delete",
                     sid,
@@ -4882,8 +4958,8 @@ def read_iceberg_changelog(
         if grown:
             frames.append(
                 scan_only(
-                    sorted((p, files_cur[p]) for p in grown),
-                    pcols_cur,
+                    {p: files_cur[p] for p in grown},
+                    specs_cur,
                     grown,
                     "delete",
                     sid,
@@ -4947,8 +5023,11 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
     change sets under read_iceberg_changelog's rules: ADDED files as
     inserts (minus carried DVs), REMOVED files' pre-snapshot rows as
     deletes, DV GROWTH as exactly the newly-marked positions,
-    `replace` snapshots silent, equality-deleted / multi-spec
-    snapshots refuse. Planning decodes per-file DV sets once per
+    `replace` snapshots silent, equality-deleted snapshots refuse;
+    PARTITION-EVOLVED (multi-spec) ranges work — each partition's
+    reader fills missing identity columns from ITS OWN file's
+    partition record, so the per-file read was spec-agnostic all
+    along. Planning decodes per-file DV sets once per
     snapshot boundary (driver work bounded by deleted rows, the DV
     writers' own budget) and ships the position sets INSIDE the
     partitions, so each read task is a self-contained parquet scan +

@@ -142,3 +142,143 @@ def test_time_travel_spans_evolution(spark, tmp_path):
     assert old == list(range(10))
     new = sorted(r.k for r in read_iceberg(spark, root).collect())
     assert new == list(range(12))
+
+
+def _ms_table(spark, tmp_path, name):
+    """Unpartitioned spec-0 file (k<60, grp in content) + identity-
+    partitioned spec-1 files (k>=60, grp attached) — the
+    partition-evolved layout every multi-spec test needs."""
+    root = str(tmp_path / name)
+    df = spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS grp"
+    )
+    w = IcebergWriter(spark, root)
+    w.create(df.where(F.col("k") < 60).repartition(1))
+    w.evolve_spec(["grp"])
+    w.append(df.where(F.col("k") >= 60))
+    return root, w, df
+
+
+def _rows(df):
+    return sorted((r["k"], r["grp"]) for r in df.collect())
+
+
+def test_multispec_delete_where_keeps_old_spec_columns(spark, tmp_path):
+    """Round-12 regression: delete_where previously assembled OLD-spec
+    files with the DEFAULT spec's columns, silently replacing their
+    CONTENT partition column with NULL literals (verified live). The
+    per-spec assembly must keep every survivor's value exact."""
+    root, w, df = _ms_table(spark, tmp_path, "msdel")
+    w.delete_where(F.col("k") % 10 == 7)
+    got = read_iceberg(spark, root)
+    assert got.where(F.col("grp").isNull()).count() == 0
+    assert _rows(got) == _rows(df.where(F.col("k") % 10 != 7))
+
+
+def test_multispec_update_where_exact(spark, tmp_path):
+    root, w, df = _ms_table(spark, tmp_path, "msupd")
+    w.update_where({"k": F.col("k") + 1000}, F.col("k").isin(5, 65))
+    got = read_iceberg(spark, root)
+    assert got.where(F.col("grp").isNull()).count() == 0
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        k + 1000 if k in (5, 65) else k for k in range(100)
+    )
+
+
+def test_multispec_replace_where_exact(spark, tmp_path):
+    root, w, df = _ms_table(spark, tmp_path, "msrw")
+    repl = spark.range(200, 205).selectExpr(
+        "id AS k", "CAST(0 AS STRING) AS grp"
+    )
+    w.replace_where(repl, F.col("grp") == "0")
+    got = read_iceberg(spark, root)
+    assert got.where(F.col("grp").isNull()).count() == 0
+    expected = _rows(df.where(F.col("grp") != "0")) + _rows(repl)
+    assert _rows(got) == sorted(expected)
+
+
+def test_multispec_merge_exact(spark, tmp_path):
+    root, w, df = _ms_table(spark, tmp_path, "msmerge")
+    src = spark.range(50, 70).selectExpr("id AS k", "'X' AS grp")
+    w.merge(src, "k")
+    got = read_iceberg(spark, root)
+    assert got.count() == 100
+    assert got.where(F.col("grp") == "X").count() == 20
+    assert got.where(F.col("grp").isNull()).count() == 0
+
+
+def test_multispec_optimize_resolves_evolution(spark, tmp_path):
+    root, w, df = _ms_table(spark, tmp_path, "msopt")
+    w.optimize(num_files=1)
+    got = read_iceberg(spark, root)
+    assert got.where(F.col("grp").isNull()).count() == 0
+    assert _rows(got) == _rows(df)
+    # the compaction restaged everything under the current spec
+    t = IcebergTable(root)
+    full = t.scan_entries_full(None)[0]
+    assert len({sid for *_x, sid in full}) == 1
+
+
+def test_multispec_changelog_and_stream(spark, tmp_path):
+    """Changelog over a partition-evolved range: per-spec assembly at
+    every boundary (batch AND the icebergcdf streaming source — whose
+    per-file partition-value fill was always spec-agnostic)."""
+    import uuid as _uuid
+
+    from plankton_spark.sources.iceberg_meta import (
+        read_iceberg_changelog,
+        register,
+    )
+
+    root, w, df = _ms_table(spark, tmp_path, "mscl")
+    s3 = w.delete_where(F.col("grp") == "0")
+    cl = read_iceberg_changelog(spark, root, 1, s3)
+    by = {
+        (r["_snapshot_id"], r["_change_type"]): r["n"]
+        for r in cl.groupBy("_snapshot_id", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by[(1, "insert")] == 60
+    assert by[(2, "insert")] == 40
+    # delete side: the whole spec-0 file (60) + spec-1's grp=0 files
+    assert by[(3, "delete")] == 60 + df.where(
+        (F.col("k") >= 60) & (F.col("grp") == "0")
+    ).count()
+    assert by[(3, "insert")] == df.where(
+        (F.col("k") < 60) & (F.col("grp") != "0")
+    ).count()
+    # no NULL partition values anywhere in the feed
+    assert cl.where(F.col("grp").isNull()).count() == 0
+    # streaming twin drains the same change set
+    register(spark)
+    sink = str(tmp_path / "mscl_sink")
+    ckpt = str(tmp_path / "mscl_ckpt")
+    q = (
+        spark.readStream.format("icebergcdf")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .queryName(f"mscdf_{_uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    feed = spark.read.parquet(sink)
+    assert feed.count() == cl.count()
+    assert feed.where(F.col("grp").isNull()).count() == 0
+
+
+def test_multispec_eq_delete_changelog_refuses(spark, tmp_path):
+    """The one remaining changelog refusal: equality deletes over a
+    multi-spec snapshot (same boundary as read_iceberg)."""
+    from plankton_spark.sources.iceberg_meta import read_iceberg_changelog
+
+    root, w, df = _ms_table(spark, tmp_path, "mseq")
+    keys = spark.range(0, 5).selectExpr("id AS k")
+    sid = w.delete_where_eq(keys)
+    with pytest.raises(ValueError, match="multi-spec"):
+        read_iceberg_changelog(spark, root, 1, sid).collect()
