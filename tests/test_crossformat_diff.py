@@ -1,10 +1,11 @@
 """Cross-format DIFFERENTIAL testing: one seeded random sequence of
-table operations applied to planktable, Delta, and Iceberg must leave
-IDENTICAL logical contents after every step — the three
-implementations check each other, so a semantics bug in any one
-format's op (a delete dropping NULL-predicate rows, a merge
-resurrecting data, a restore losing a commit) shows up as a
-three-way content divergence even where a single-format unit test
+table operations applied to planktable, Delta, Iceberg AND (since
+round 12) the Hudi COW writer must leave IDENTICAL logical contents
+after every step — the four implementations check each other, so a
+semantics bug in any one format's op (a delete dropping
+NULL-predicate rows, a merge resurrecting data, a restore losing a
+commit, a Hudi slice resolution or replacecommit replay error) shows
+up as a content divergence even where a single-format unit test
 would have encoded the same wrong expectation."""
 
 from __future__ import annotations
@@ -37,25 +38,35 @@ def _content(df):
 
 @pytest.mark.parametrize("seed", [7, 23])
 def test_same_op_sequence_same_contents(spark, tmp_path, seed):
+    """FOUR-way since round 12: the Hudi COW writer runs the same
+    seeded sequence alongside planktable/Delta/Iceberg (ops mapped to
+    Hudi's key-based surface — predicate delete becomes
+    delete-by-matching-keys, replace_where becomes delete+insert,
+    optimize becomes cluster(), the replacecommit layout rewrite)."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
     rng = random.Random(seed)
     pt = PlankTable(spark, str(tmp_path / "pt"))
     dw = DeltaLogWriter(spark, str(tmp_path / "dl"))
     iw = IcebergWriter(spark, str(tmp_path / "ib"))
+    hw = HudiWriter(spark, str(tmp_path / "hd"), record_key="k")
 
     first = _batch(spark, seed, 0, 40).coalesce(1)
     pt.create(first)
     dw.create(first)
     iw.create(first)
+    hw.create(first)
     readers = [
         lambda: pt.read(),
         lambda: read_delta(spark, str(tmp_path / "dl")),
         lambda: read_iceberg(spark, str(tmp_path / "ib")),
+        lambda: read_hudi(spark, str(tmp_path / "hd")),
     ]
     next_k = 1000
 
     def check(step):
-        a, b, c = (_content(r()) for r in readers)
-        assert a == b == c, f"divergence after step {step}: seed={seed}"
+        a, b, c, d = (_content(r()) for r in readers)
+        assert a == b == c == d, f"divergence after step {step}: seed={seed}"
 
     check("create")
     for step in range(10):
@@ -67,17 +78,21 @@ def test_same_op_sequence_same_contents(spark, tmp_path, seed):
             pt.append(df)
             dw.append(df)
             iw.append(df)
+            hw.insert(df)
         elif op == "delete":
             g = rng.randrange(0, 5)
             cond = F.col("grp") == g
+            keys = read_hudi(spark, str(tmp_path / "hd")).where(cond).select("k")
             pt.delete_where(cond)
             dw.delete_where(cond)
             iw.delete_where(cond)
+            hw.delete_keys(keys)
         elif op == "merge":
             df = _batch(spark, seed * 200 + step, next_k - 1000, 8)
             pt.merge(df, "k")
             dw.merge(df, "k")
             iw.merge(df, "k")
+            hw.upsert(df)
         elif op == "replace":
             g = rng.randrange(0, 5)
             repl = _batch(
@@ -85,14 +100,19 @@ def test_same_op_sequence_same_contents(spark, tmp_path, seed):
             ).withColumn("grp", F.lit(g).cast("long"))
             next_k += 1000
             cond = F.col("grp") == g
+            keys = read_hudi(spark, str(tmp_path / "hd")).where(cond).select("k")
             pt.replace_where(repl, cond)
             dw.replace_where(repl, cond)
             iw.replace_where(repl, cond)
+            hw.delete_keys(keys)
+            hw.insert(repl.coalesce(1))
         else:
             n = rng.choice([1, 2])
             pt.optimize(num_files=n)
             dw.optimize(num_files=n)
             iw.optimize(num_files=n)
+            hw.group_buckets = n
+            hw.cluster()
         check(f"{step}:{op}")
 
 
