@@ -1314,3 +1314,163 @@ def q_tpcds_shipratio(spark, sf_dir):
     dimension join broadcasts, the nation re-agg is 25 groups. The
     SAME SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_shipratio", _SHIPRATIO)
+
+
+_INVVAR = """
+WITH inv AS (
+  SELECT l_suppkey AS sk,
+         CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS sq2
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+  GROUP BY l_suppkey, CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT)
+),
+flagged AS (
+  SELECT sk, m, n, sq, sq2 FROM inv
+  WHERE n > 1 AND sq > 0
+    AND 4 * n * (n * sq2 - sq * sq) > (n - 1) * sq * sq
+)
+SELECT f1.m AS m1,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(f1.n) AS BIGINT) AS n1_lines,
+       CAST(SUM(f2.n) AS BIGINT) AS n2_lines,
+       CAST(SUM(f1.sq) AS BIGINT) AS q1_sum,
+       CAST(SUM(f2.sq) AS BIGINT) AS q2_sum
+FROM flagged f1
+JOIN flagged f2 ON f1.sk = f2.sk AND f2.m = f1.m + 1
+GROUP BY f1.m
+"""
+
+_TABLES["q_tpcds_invvar"] = ("lineitem",)
+
+
+@query("q_tpcds_invvar", oracle=_INVVAR)
+def q_tpcds_invvar(spark, sf_dir):
+    """TPC-DS Q39 shape (fixture-adapted): the inventory-variance
+    pair — per (supplier, month) quantity statistics filtered to a
+    coefficient-of-variation band, then the SAME stats CTE
+    SELF-JOINED on consecutive months (Q39's inv1/inv2 on
+    d_moy = d_moy + 1). The cov > 1/2 band is expressed as an exact
+    integer cross-product over (n, Σq, Σq²) — 4·n·(n·Σq² − (Σq)²) >
+    (n−1)·(Σq)², algebraically 4·s² > mean² with the SAMPLE variance
+    — so no float reduction ever happens and the hash is
+    deterministic. Scale shape: one supplier×month-grain partial+
+    final hash agg, then a tiny equi self-join on (supplier,
+    month+1); the date filter prunes at the scan. The SAME SQL text
+    is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_invvar", _INVVAR)
+
+
+_CHANSTATS = """
+WITH ch AS (
+  SELECT l_partkey AS pk,
+         CASE WHEN l_linenumber IN (1, 4) THEN 'air'
+              WHEN l_linenumber IN (2, 5) THEN 'post'
+              ELSE 'land' END AS chan,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_partkey,
+           CASE WHEN l_linenumber IN (1, 4) THEN 'air'
+                WHEN l_linenumber IN (2, 5) THEN 'post'
+                ELSE 'land' END
+)
+SELECT pt.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(a.n) AS BIGINT) AS air_lines,
+       CAST(SUM(a.sq) AS BIGINT) AS air_qty,
+       CAST(SUM(p.n) AS BIGINT) AS post_lines,
+       CAST(SUM(p.sq) AS BIGINT) AS post_qty,
+       CAST(SUM(l.n) AS BIGINT) AS land_lines,
+       CAST(SUM(l.sq) AS BIGINT) AS land_qty
+FROM ch a
+JOIN ch p ON a.pk = p.pk
+JOIN ch l ON a.pk = l.pk
+JOIN part pt ON pt.p_partkey = a.pk
+WHERE a.chan = 'air' AND p.chan = 'post' AND l.chan = 'land'
+GROUP BY pt.p_brand
+"""
+
+_TABLES["q_tpcds_chanstats"] = ("lineitem", "part")
+
+
+@query("q_tpcds_chanstats", oracle=_CHANSTATS)
+def q_tpcds_chanstats(spark, sf_dir):
+    """TPC-DS Q17 shape (fixture-adapted): items observed in ALL
+    THREE channels with per-channel quantity statistics — one
+    per-(item, channel) stats CTE self-joined TWICE on item key
+    (Q17's store-sales → store-returns → catalog-sales chain), the
+    channel split derived from line number (the fixture carries no
+    ship mode), rolled up by brand. Scale
+    shape: the stats CTE is one partial+final hash agg at item×3
+    grain; the two self-joins are equi-joins on item key over
+    already-aggregated rows (≤3 per item — no fact×fact blow-up);
+    the dim join broadcasts. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_chanstats", _CHANSTATS)
+
+
+_NETCHAIN = """
+WITH sale AS (
+  SELECT o.o_custkey % 25 AS ckb, l.l_partkey % 200 AS pkb,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag <> 'R'
+    AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-04-01'
+  GROUP BY o.o_custkey % 25, l.l_partkey % 200
+),
+ret AS (
+  SELECT o.o_custkey % 25 AS ckb, l.l_partkey % 200 AS pkb,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND l.l_shipdate >= DATE '1996-04-01' AND l.l_shipdate < DATE '1996-10-01'
+  GROUP BY o.o_custkey % 25, l.l_partkey % 200
+),
+rebuy AS (
+  SELECT o.o_custkey % 25 AS ckb, l.l_partkey % 200 AS pkb,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag <> 'R'
+    AND l.l_shipdate >= DATE '1996-10-01' AND l.l_shipdate < DATE '1997-04-01'
+  GROUP BY o.o_custkey % 25, l.l_partkey % 200
+)
+SELECT s.pkb % 10 AS item_band,
+       CAST(COUNT(*) AS BIGINT) AS n_chains,
+       CAST(SUM(s.cents) AS BIGINT) AS sale_cents,
+       CAST(SUM(r.cents) AS BIGINT) AS ret_cents,
+       CAST(SUM(b.cents) AS BIGINT) AS rebuy_cents,
+       CAST(SUM(s.cents - r.cents + b.cents) AS BIGINT) AS net_cents
+FROM sale s
+JOIN ret r ON s.ckb = r.ckb AND s.pkb = r.pkb
+JOIN rebuy b ON r.ckb = b.ckb AND r.pkb = b.pkb
+GROUP BY s.pkb % 10
+"""
+
+_TABLES["q_tpcds_netchain"] = ("lineitem", "orders")
+
+
+@query("q_tpcds_netchain", oracle=_NETCHAIN)
+def q_tpcds_netchain(spark, sf_dir):
+    """TPC-DS Q25 shape (fixture-adapted): the three-channel
+    net-profit mega-join — sold, then RETURNED by the same
+    (customer, item) grain in a later window, then RE-PURCHASED in a
+    still-later one, net amount = sale − return + re-buy (Q25's
+    ss_net_profit + cs_net_profit − sr_net_loss). Customer/item keys
+    band (mod 25 / mod 200) so the three-way chain is populated at
+    every fixture scale; each leg PRE-AGGREGATES to its band grain
+    before the joins, so the chain is a three-way equi-join of
+    aggregated legs (≤1 row per band per leg — no fact×fact×fact
+    blow-up, the same partial-agg-before-join posture Q25's planner
+    wants at 100 TB). Exact cent integers throughout. The SAME SQL
+    text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_netchain", _NETCHAIN)
