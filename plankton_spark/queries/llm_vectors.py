@@ -804,7 +804,6 @@ def kmeans_assign_two_level(e, cent_map, n_cells: int = TWO_LEVEL_CELLS):
     `e` is the quantized (vec_id, v) frame; returns the flat path's
     (vec_id, v, k, d2) schema."""
     import numpy as np
-    import pandas as pd
 
     ks = sorted(cent_map)
     fine = np.array([cent_map[k] for k in ks], dtype=np.int64)
@@ -812,7 +811,8 @@ def kmeans_assign_two_level(e, cent_map, n_cells: int = TWO_LEVEL_CELLS):
     C = min(n_cells, len(ks))
     # cluster the CENTROIDS: every ceil(K/C)-th fine centroid seeds a
     # cell, one exact-integer assignment pass, integer-mean update
-    # (bounded K×C work — itself distributable, driver-side here)
+    # (bounded K×C work — itself distributable, driver-side here;
+    # kmeans_assign_two_level_df below is the fully distributed twin)
     seeds = fine[:: max(1, -(-len(ks) // C))][:C]
     d2s = (
         (fine * fine).sum(1)[:, None]
@@ -841,6 +841,17 @@ def kmeans_assign_two_level(e, cent_map, n_cells: int = TWO_LEVEL_CELLS):
         ],
         "cell long, k long, cvec array<bigint>",
     )
+    return _two_level_phases(e, fine_df, coarse, r_arr)
+
+
+def _two_level_phases(e, fine_df, coarse, r_arr):
+    """Phases A+B of the two-level assignment, shared by the
+    dict-centroid and DataFrame-centroid entry points: `fine_df` is
+    (cell, k, cvec), `coarse` the dense C×64 int64 cell-centroid
+    matrix, `r_arr` the per-cell radii. Per-task closure state is
+    C-bounded regardless of K."""
+    import numpy as np
+    import pandas as pd
 
     def _cell_gemm(left, right):
         # per-cell exact-integer GEMM: best (d2, k) per vector among
@@ -945,6 +956,118 @@ def kmeans_assign_two_level(e, cent_map, n_cells: int = TWO_LEVEL_CELLS):
     )
 
 
+def kmeans_assign_two_level_df(
+    e, cents_df, n_cells: int = TWO_LEVEL_CELLS, cache_key: str | None = None
+):
+    """DataFrame-centroid two-level assignment — the distributed
+    SEEDING answer to the round-11 watch item: identical math to
+    kmeans_assign_two_level (same coarse model, same phases, shared
+    _two_level_phases — bit-equal by pin in
+    tests/test_kmeans_adaptive.py), but the K fine centroids stay a
+    DATAFRAME end to end. The ONLY driver-materialized state is the
+    C-bounded coarse model: C seed vectors, the C×64 cell-centroid
+    matrix, C radii and the ≤C cell remap (C = 256 by default) — at
+    K = 10⁶ (N = 10¹², K = √N) the driver holds ~128 KB instead of
+    ~0.5 GB of centroid vectors.
+
+    Construction is three bounded-output distributed jobs over the
+    K-row centroid frame: (1) every ceil(K/C)-th centroid IN RANK
+    ORDER seeds a cell (global_row_number — P-way parallel, no
+    unpartitioned window) and each centroid GEMMs home to its
+    nearest seed; (2) per-cell floor-mean coarse centroids
+    (posexplode + DIV agg — C×64 rows out); (3) per-cell max member
+    distance → radius (C rows out). `cents_df` is (k, cvec);
+    `cache_key` persists the homed centroid frame one generation per
+    key (cache.persist_swap) since phases A and B both cogroup
+    against it."""
+    import numpy as np
+    import pandas as pd
+
+    from plankton_spark import cache as _cache
+    from plankton_spark.operators.ranking import global_row_number
+
+    spark = e.sparkSession
+    K = cents_df.count()
+    C = min(n_cells, K)
+    step = max(1, -(-K // C))
+    ranked = global_row_number(cents_df.select("k", "cvec"), [F.col("k")], "rn")
+    seed_rows = (
+        ranked.where(((F.col("rn") - 1) % step) == 0)
+        .orderBy("rn")
+        .limit(C)
+        .select("cvec")
+        .collect()  # C rows — bounded by the cell count, never K
+    )
+    seeds = np.array([list(r["cvec"]) for r in seed_rows], dtype=np.int64)
+
+    def _home(batches):
+        s2 = (seeds * seeds).sum(1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf["cvec"].tolist(), dtype=np.int64)
+            d2 = (
+                (cm * cm).sum(1)[:, None] + s2[None, :] - 2 * (cm @ seeds.T)
+            )
+            yield pd.DataFrame(
+                {
+                    "k": pdf["k"],
+                    "cvec": pdf["cvec"],
+                    "cell_raw": d2.argmin(1),
+                }
+            )
+
+    homed = cents_df.mapInPandas(
+        _home, "k long, cvec array<bigint>, cell_raw long"
+    )
+    if cache_key is not None:
+        homed = _cache.persist_swap(cache_key, homed)
+    # dense cell ids in sorted-raw order (the dict path's remap rule)
+    cells = sorted(
+        r["cell_raw"] for r in homed.select("cell_raw").distinct().collect()
+    )  # ≤ C rows
+    remap_df = spark.createDataFrame(
+        [(int(m), i) for i, m in enumerate(cells)], "cell_raw long, cell long"
+    )
+    fine_df = homed.join(F.broadcast(remap_df), "cell_raw").select(
+        "cell", "k", "cvec"
+    )
+    # coarse centroid per cell: per-dim floor mean (positive ints, so
+    # Spark DIV == numpy //) — C×64 rows collected
+    cdims = (
+        fine_df.select("cell", F.posexplode("cvec").alias("i", "val"))
+        .groupBy("cell", "i")
+        .agg(F.expr("CAST(sum(val) DIV count(*) AS BIGINT)").alias("cv"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("cs"))
+        .collect()
+    )
+    dims = len(cdims[0]["cs"])
+    coarse = np.zeros((len(cells), dims), dtype=np.int64)
+    for r in cdims:
+        coarse[r["cell"]] = [s["cv"] for s in r["cs"]]
+
+    def _memb_d2(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(pdf["cvec"].tolist(), dtype=np.int64)
+            cc = coarse[pdf["cell"].to_numpy()]
+            yield pd.DataFrame(
+                {"cell": pdf["cell"], "d2": ((cm - cc) ** 2).sum(1)}
+            )
+
+    r_arr = np.zeros(len(cells))
+    for r in (
+        fine_df.mapInPandas(_memb_d2, "cell long, d2 long")
+        .groupBy("cell")
+        .agg(F.max("d2").alias("m"))
+        .collect()
+    ):  # C rows
+        r_arr[r["cell"]] = float(np.sqrt(float(r["m"])))
+    return _two_level_phases(e, fine_df, coarse, r_arr)
+
+
 def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
     """The deterministic integer k-means fit+assign shared by
     q_cluster_kmeans (k=KMEANS_K, the declared K=4 contract) and the
@@ -983,6 +1106,13 @@ def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
         # floor(sqrt) on an IEEE double matches DuckDB's FLOOR(SQRT())
         # exactly for counts < 2^52 (sqrt is correctly rounded).
         k = max(KMEANS_K, math.floor(math.sqrt(float(e.count()))))
+    if k > TWO_LEVEL_MIN_K:
+        # the round-11 watch item, one level deeper: past the
+        # two-level threshold the SEEDS and the Lloyd state never
+        # touch the driver either — see _fit_assign_distributed
+        # (bit-equal to this path by pin; returns cents as a
+        # DataFrame, since K vectors no longer fit a driver dict)
+        return _fit_assign_distributed(spark, sf_dir, e, k)
     cent = {
         i: list(r["v"])
         for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
@@ -1032,6 +1162,53 @@ def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
         )
         cent = {r["k"]: [s["cv"] for s in r["cs"]] for r in dims}
     return assign(cent), cent
+
+
+def _fit_assign_distributed(spark, sf_dir, e, k: int):
+    """Large-K (> TWO_LEVEL_MIN_K) fit+assign where NO stage holds K
+    vectors on the driver: seeds are the k lowest-vec_id vectors with
+    dense ids assigned IN vec_id ORDER by global_row_number over the
+    TakeOrderedAndProject result — the exact seed set and ids the
+    dict path enumerates, selected without a collect — and each
+    Lloyd iteration's centroid update stays a (k, cvec) DataFrame
+    (the same DIV floor-mean aggregation, minus the driver rebuild).
+    Assignment is kmeans_assign_two_level_df, whose driver state is
+    the C-bounded coarse model only. Each centroid generation is
+    materialized BEFORE its predecessor is released (cache.track), so
+    at most two generations are ever pinned and the swap never
+    triggers a recompute. Returns (assignments, cents_df) — cents as
+    a DataFrame, the contract difference the large-K regime exists
+    for. Bit-equality with the dict path is pinned in
+    tests/test_kmeans_adaptive.py."""
+    from plankton_spark import cache as _cache
+    from plankton_spark.operators.ranking import global_row_number
+
+    key = f"kmeans:cents:{sf_dir}"
+    seeds = e.orderBy("vec_id").limit(k).select("vec_id", "v")
+    cents = (
+        global_row_number(seeds, [F.col("vec_id")], "rn")
+        .select((F.col("rn") - 1).alias("k"), F.col("v").alias("cvec"))
+        .persist()
+    )
+    cents.count()  # materialize this generation
+    cents = _cache.track(key, cents)
+    fine_key = f"kmeans:twolevel:fine:{sf_dir}"
+    for _ in range(KMEANS_ITERS - 1):
+        new_cents = (
+            kmeans_assign_two_level_df(e, cents, cache_key=fine_key)
+            .select("k", F.posexplode("v").alias("i", "val"))
+            .groupBy("k", "i")
+            .agg(F.expr("CAST(sum(val) DIV count(*) AS BIGINT)").alias("cv"))
+            .groupBy("k")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "cv"))).alias("cs"))
+            .select(
+                F.col("k"), F.expr("transform(cs, s -> s.cv)").alias("cvec")
+            )
+            .persist()
+        )
+        new_cents.count()  # materialize BEFORE releasing the predecessor
+        cents = _cache.track(key, new_cents)
+    return kmeans_assign_two_level_df(e, cents, cache_key=fine_key), cents
 
 
 OUTLIER_PCT = 5  # top-N% by centroid distance flagged

@@ -228,3 +228,71 @@ def test_two_level_tie_breaks_to_lowest_k(spark):
     }
     assert two == flat
     assert all(k in (0, 1, 2, 3) for k, _ in two.values())
+
+
+def test_two_level_df_matches_dict_variant(spark):
+    """The DataFrame-centroid two-level assignment (distributed
+    seeding, round-12) must be bit-equal to the dict-centroid one —
+    same coarse-model rules (rank-order seeds, sorted-cell remap,
+    floor means, radii) expressed as bounded distributed jobs."""
+    from plankton_spark.io import read_table
+    from plankton_spark.queries.llm_vectors import (
+        KMEANS_OFFSET,
+        kmeans_assign_two_level,
+        kmeans_assign_two_level_df,
+    )
+
+    e = (
+        read_table(spark, SF001, "embeddings")
+        .where(F.col("vec_id") < 1500)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: (
+                    F.round(x.cast("double") * 1000000).cast("long")
+                    + F.lit(KMEANS_OFFSET)
+                ),
+            ).alias("v"),
+        )
+    )
+    cent = {
+        i: list(r["v"])
+        for i, r in enumerate(e.orderBy("vec_id").limit(120).collect())
+    }
+    cents_df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(cent.items())],
+        "k long, cvec array<bigint>",
+    )
+    want = {
+        r["vec_id"]: (r["k"], r["d2"])
+        for r in kmeans_assign_two_level(e, cent, n_cells=12).collect()
+    }
+    got = {
+        r["vec_id"]: (r["k"], r["d2"])
+        for r in kmeans_assign_two_level_df(e, cents_df, n_cells=12).collect()
+    }
+    assert got == want
+
+
+def test_distributed_fit_matches_dict_path(spark, monkeypatch):
+    """The large-K fit (seeds AND Lloyd state as DataFrames — the
+    driver never holds K vectors) must reproduce the dict path's
+    assignments and updated centroids bit-for-bit; forced at fixture
+    scale by dropping TWO_LEVEL_MIN_K to 0."""
+    from plankton_spark.queries import llm_vectors as lv
+
+    base_final, base_cent = lv.kmeans_fit_assign(spark, SF001, k=None)
+    base = {
+        r["vec_id"]: (r["k"], r["d2"])
+        for r in base_final.select("vec_id", "k", "d2").collect()
+    }
+    monkeypatch.setattr(lv, "TWO_LEVEL_MIN_K", 0)
+    df_final, cents_df = lv.kmeans_fit_assign(spark, SF001, k=None)
+    got = {
+        r["vec_id"]: (r["k"], r["d2"])
+        for r in df_final.select("vec_id", "k", "d2").collect()
+    }
+    assert got == base
+    got_cent = {r["k"]: list(r["cvec"]) for r in cents_df.collect()}
+    assert got_cent == {k: list(v) for k, v in base_cent.items()}
