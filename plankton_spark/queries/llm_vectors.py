@@ -155,6 +155,14 @@ def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
     local = cells.groupBy("pb").applyInPandas(
         kernel, "vec_a bigint, vec_b bigint, cosf double"
     )
+    # `local` feeds both the k-th-value subplan and the margin join,
+    # so the blocked kernel executes twice per run. Measured (round-12
+    # bench audit, sf0.1 warm): a persist_swap here made the query
+    # SLOWER (1.05 s → 1.25 s) — the swap's materialization job plus
+    # InMemoryTableScan overhead outweigh the ~0.3 s duplicated
+    # kernel at this scale — so the double-execution stays by
+    # measurement, not oversight. At 100 TB the calculus flips and a
+    # checkpoint of the (tiny) survivor frame is the right call.
     # Global margin cut over the cell survivors: the k-th largest among
     # survivors equals the k-th over the full set (the true top-k all
     # survive the local pass), so this reproduces the single-block cut.

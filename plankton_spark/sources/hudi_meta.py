@@ -1279,9 +1279,11 @@ def convert_hudi_to_delta(spark, table_path: str) -> int:
     in file content, where the Delta spec expects partition columns
     REMOVED from files — declaring it partitioned would double the
     column. Partition pruning still works through ordinary predicate
-    pushdown + per-file stats on the data column. Refuses MOR /
-    replacecommit timelines (HudiTable._check_readable) and an
-    existing _delta_log."""
+    pushdown + per-file stats on the data column. Replacecommit
+    timelines convert (clustering output IS the latest slice set);
+    MOR tables convert once fully compacted (zero live logs —
+    _convert_inventory); un-compacted MOR and an existing _delta_log
+    refuse."""
     from plankton_spark.filestats import file_stats as _fstats
     from plankton_spark.sources.delta_log import (
         DeltaLogWriter,
@@ -1337,8 +1339,9 @@ def convert_hudi_to_iceberg(spark, table_path: str) -> int:
     spec would expect it projected out — predicate pushdown + footer
     stats give equivalent pruning. Both converters may run on the SAME
     Hudi table (``.hoodie``, ``_delta_log`` and ``metadata/`` are
-    disjoint) — the XTable multi-target layout. Refuses MOR /
-    replacecommit timelines and an existing Iceberg table."""
+    disjoint) — the XTable multi-target layout. Replacecommit
+    timelines and fully-compacted MOR convert; un-compacted MOR and
+    an existing Iceberg table refuse."""
     from plankton_spark.sources.iceberg_meta import _author_iceberg_over
 
     meta_dir = os.path.join(table_path, "metadata")
@@ -1697,9 +1700,10 @@ def convert_delta_to_hudi(
     false`` — record identity comes from the declared key field, the
     published XTable/virtual-keys behavior). Snapshot reads, time
     travel to the conversion instant, and partition_path pruning work
-    through the normal slice replay; ``with_meta`` and the
-    INCREMENTAL query refuse (there is no per-record commit time to
-    filter on), and this engine's writer refuses virtual-key tables
+    through the normal slice replay; ``with_meta`` refuses (there is no
+    per-record commit time to surface), the INCREMENTAL query
+    attributes at file-slice grain (see read_hudi), and this
+    engine's writer refuses virtual-key tables
     (upserts would need meta-field backfill — a rewrite, not a
     conversion). Refuses partitioned Delta layouts (Delta strips
     partition columns from file CONTENT where Hudi expects them
