@@ -804,3 +804,82 @@ def q_hudi_incremental_virtual(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     ).withColumn("n_after", F.lit(n_after).cast("long"))
+
+
+@query(
+    "q_hudi_metadata",
+    oracle="""
+    WITH live AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey < 1200 AND o_orderkey % 11 <> 0
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(1 AS BIGINT) AS listing_matches_disk,
+           CAST((SELECT COUNT(DISTINCT o_orderstatus) FROM orders
+                 WHERE o_orderkey < 1200) AS BIGINT) AS n_partitions
+    FROM live
+    """,
+)
+def q_hudi_metadata(spark, sf_dir):
+    """The Hudi METADATA TABLE's ``files`` partition (round-11
+    verdict item 9, previously a documented gap): with
+    ``hoodie.metadata.enable`` every completed instant upserts its
+    written files into an internal MERGE_ON_READ Hudi table at
+    ``.hoodie/metadata`` (its own timeline, bases + log blocks —
+    the spec's design; HFile bases and map-merging payloads are the
+    documented divergences), and clean() marks removals with
+    isDeleted records. Listings then come from ONE bounded
+    metadata-table read instead of an O(files) directory walk — the
+    100 TB point. The lifecycle here (partitioned create → upsert →
+    delete → clean) checks the listing against the PHYSICAL disk
+    state (names and sizes — metadata-scale os.walk, fixture only)
+    and emits the parity flag plus relational snapshot aggregates
+    the oracle pins."""
+    import os as _os
+
+    from plankton_spark.sources.hudi_meta import (
+        HudiWriter,
+        clean,
+        metadata_listing,
+        read_hudi,
+    )
+
+    root = _fresh(sf_dir, "hudi_metadata")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark,
+        root,
+        record_key="o_orderkey",
+        partition_field="o_orderstatus",
+        group_buckets=2,
+        metadata_table=True,
+    )
+    w.create(o.where(k < 1200))
+    w.upsert(o.where(k < 150))  # rewrite touched groups in place
+    w.delete_keys(o.where((k < 1200) & (k % 11 == 0)).select("o_orderkey"))
+    clean(root, keep_last_slices=1, spark=spark)
+    listing = {
+        (r["part"], r["fname"]): r["fsize"]
+        for r in metadata_listing(spark, root).collect()
+    }
+    disk = {}
+    for dirpath, _dirs, files in _os.walk(root):
+        rel = _os.path.relpath(dirpath, root)
+        if rel.split(_os.sep)[0] == ".hoodie":
+            continue
+        for n in files:
+            part = "" if rel == "." else rel
+            disk[(part, n)] = _os.path.getsize(_os.path.join(dirpath, n))
+    parity = 1 if listing == disk else 0
+    n_parts = len({p for p, _n in listing})
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        F.lit(parity).cast("long").alias("listing_matches_disk"),
+        F.lit(n_parts).cast("long").alias("n_partitions"),
+    )

@@ -514,6 +514,7 @@ class HudiWriter:
         partition_field: str | None = None,
         group_buckets: int = 1,
         table_type: str = "COPY_ON_WRITE",
+        metadata_table: bool = False,
     ):
         # group_buckets bounds FILE-GROUP size, not correctness: each
         # insert fans new records into this many groups per partition
@@ -525,11 +526,24 @@ class HudiWriter:
         self.spark = spark
         self.table_path = table_path
         self.meta_dir = os.path.join(table_path, ".hoodie")
+        # the METADATA TABLE is itself a Hudi table living under
+        # <table>/.hoodie/metadata — it must never maintain a
+        # metadata table of its own (real Hudi's recursion guard)
+        norm = os.path.normpath(table_path)
+        self._is_meta = os.path.basename(norm) == "metadata" and (
+            os.path.basename(os.path.dirname(norm)) == ".hoodie"
+        )
+        self._metadata_enabled = bool(metadata_table) and not self._is_meta
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table_type {table_type!r}")
         props_path = os.path.join(self.meta_dir, "hoodie.properties")
         if os.path.isfile(props_path):
             t = HudiTable(table_path)
+            self._metadata_enabled = (
+                not self._is_meta
+                and t.props.get("hoodie.metadata.enable", "false").lower()
+                == "true"
+            )
             self.table_type = t.table_type
             if self.table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
                 raise NotImplementedError(
@@ -581,6 +595,77 @@ class HudiWriter:
         a = action or self._default_action
         with open(os.path.join(self.meta_dir, f"{instant}.{a}"), "w", encoding="utf-8") as fh:
             json.dump(meta, fh, indent=2, sort_keys=True)
+        # metadata-table maintenance rides every completed instant
+        # (the single choke point all write ops flow through): the
+        # instant's written files upsert into the files partition
+        self._metadata_update(
+            [
+                (
+                    part,
+                    os.path.basename(st["path"]),
+                    int(st.get("fileSizeInBytes") or 0),
+                )
+                for part, lst in meta.get(
+                    "partitionToWriteStats", {}
+                ).items()
+                for st in lst
+            ],
+            [],
+        )
+
+    def _metadata_update(self, adds, deletes) -> None:
+        """Upsert file-listing records into the internal METADATA
+        TABLE's ``files`` partition (hoodie.metadata.enable) —
+        ``adds`` are (partition, file name, size) of files an instant
+        wrote, ``deletes`` (partition, file name) of files retention
+        removed. The metadata table is ITSELF a Hudi MERGE_ON_READ
+        table at ``.hoodie/metadata`` (its own timeline, bases + log
+        blocks — the spec's design), partitioned by the metadata
+        partition name with one record per tracked file
+        (record key ``<partition>#<name>``, latest-wins merge,
+        ``deleted`` markers instead of physical removals — real
+        Hudi's isDeleted payload semantics at per-file grain; real
+        Hudi's HFile base format and map-merging payload are
+        documented divergences, same honesty note as the log codec).
+        Listings then come from ONE bounded metadata-table read
+        instead of an O(files) directory walk — the 100 TB point of
+        the feature."""
+        if not self._metadata_enabled or self._is_meta:
+            return
+        rows = [
+            ("files", f"{p}#{n}", p, n, int(s), False)
+            for p, n, s in adds
+        ] + [("files", f"{p}#{n}", p, n, 0, True) for p, n in deletes]
+        if not rows:
+            return
+        mpath = os.path.join(self.meta_dir, "metadata")
+        df = self.spark.createDataFrame(
+            rows,
+            "mpart string, mkey string, part string, fname string, "
+            "fsize long, deleted boolean",
+        )
+        mw = HudiWriter(
+            self.spark,
+            mpath,
+            record_key="mkey",
+            partition_field="mpart",
+            table_type="MERGE_ON_READ",
+        )
+        if os.path.isfile(
+            os.path.join(mpath, ".hoodie", "hoodie.properties")
+        ):
+            mw.upsert(df)
+            # bounded log chains: fold the listing logs back into
+            # bases once they pile up (real Hudi compacts its
+            # metadata table on a deltacommit budget)
+            mt = HudiTable(mpath)
+            if (
+                sum(len(lrs) for *_x, lrs in mt.file_slices_with_logs())
+                > 16
+            ):
+                mw.compact()
+        else:
+            mw.create(df)
 
     # ---- write ops ----
 
@@ -598,6 +683,8 @@ class HudiWriter:
             "hoodie.table.keygenerator.class": "org.apache.hudi.keygen.SimpleKeyGenerator",
             "hoodie.datasource.write.hive_style_partitioning": "false",
         }
+        if self._metadata_enabled:
+            props["hoodie.metadata.enable"] = "true"
         _write_props(os.path.join(self.meta_dir, "hoodie.properties"), props)
         return self.insert(df, op="bulk_insert")
 
@@ -1561,7 +1648,50 @@ def register(spark) -> None:
     spark.dataSource.register(HudiIncrDataSource)
 
 
-def clean(table_path: str, keep_last_slices: int = 1) -> list[str]:
+def metadata_listing(spark, table_path: str):
+    """File listing from the internal METADATA TABLE's ``files``
+    partition — one bounded MOR read (latest-wins record-key merge,
+    ``deleted`` markers dropped) instead of an O(files) directory
+    walk, the reason the metadata table exists at scale. Returns a
+    DataFrame (part, fname, fsize) of the files currently on disk;
+    raises when the table was not written with
+    ``hoodie.metadata.enable`` (listings then come from the
+    timeline, the spec's fallback this engine always supports)."""
+    mpath = os.path.join(table_path, ".hoodie", "metadata")
+    if not os.path.isfile(
+        os.path.join(mpath, ".hoodie", "hoodie.properties")
+    ):
+        raise ValueError(
+            f"{table_path}: no metadata table "
+            "(hoodie.metadata.enable) — use the timeline listing"
+        )
+    df = read_hudi(spark, mpath, partition_path="files")
+    return df.where(~F.col("deleted")).select("part", "fname", "fsize")
+
+
+def _metadata_mark_deleted(spark, table_path: str, rels) -> None:
+    """Retention-side metadata-table maintenance: mark files clean()
+    or rollback() physically removed as deleted in the files
+    partition (real Hudi's isDeleted payload — the record stays, the
+    listing drops it)."""
+    t = HudiTable(table_path)
+    if (
+        t.props.get("hoodie.metadata.enable", "false").lower() != "true"
+        or not rels
+    ):
+        return
+    if spark is None:
+        raise ValueError(
+            f"{table_path}: hoodie.metadata.enable=true — pass spark= "
+            "so retention can update the files listing"
+        )
+    w = HudiWriter(spark, table_path)
+    w._metadata_update(
+        [], [(os.path.dirname(r), os.path.basename(r)) for r in rels]
+    )
+
+
+def clean(table_path: str, keep_last_slices: int = 1, spark=None) -> list[str]:
     """CLEAN (the Hudi retention action, vacuum/expire parity with
     the other formats): per file group, delete base files superseded
     by more than ``keep_last_slices`` newer slices, plus log files
@@ -1612,10 +1742,11 @@ def clean(table_path: str, keep_last_slices: int = 1) -> list[str]:
         os.path.join(t.meta_dir, f"{instant}.clean"), "w", encoding="utf-8"
     ) as fh:
         json.dump({"deleted": sorted(deleted)}, fh, indent=2)
+    _metadata_mark_deleted(spark, table_path, deleted)
     return sorted(deleted)
 
 
-def rollback(table_path: str, instant: str) -> list[str]:
+def rollback(table_path: str, instant: str, spark=None) -> list[str]:
     """ROLLBACK a PENDING (crashed) instant: delete any data/log file
     that instant staged (named by its instantTime — base files embed
     it, log stats are unreachable because the commit never completed,
@@ -1686,6 +1817,7 @@ def rollback(table_path: str, instant: str) -> list[str]:
         os.path.join(t.meta_dir, f"{instant}.rollback"), "w", encoding="utf-8"
     ) as fh:
         json.dump({"rolled_back": instant, "removed": sorted(removed)}, fh, indent=2)
+    _metadata_mark_deleted(spark, table_path, removed)
     return sorted(removed)
 
 

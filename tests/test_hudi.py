@@ -800,3 +800,79 @@ def test_partitioned_mor_lifecycle(spark, tmp_path):
         .unionByName(upd)
         .unionByName(ins)
     )
+
+
+def _disk_files(root):
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        if rel.split(os.sep)[0] == ".hoodie":
+            continue
+        for n in files:
+            part = "" if rel == "." else rel
+            out[(part, n)] = os.path.getsize(os.path.join(dirpath, n))
+    return out
+
+
+def test_metadata_table_files_listing_parity(spark, tmp_path):
+    """hoodie.metadata.enable: every completed instant upserts its
+    written files into the internal MOR metadata table's `files`
+    partition; clean/rollback mark removals with isDeleted records.
+    The listing must equal the PHYSICAL on-disk file set (names AND
+    sizes) after every lifecycle step — the parity the timeline
+    fallback is measured against."""
+    from plankton_spark.sources.hudi_meta import clean, metadata_listing
+
+    root = str(tmp_path / "t")
+    w = HudiWriter(
+        spark, root, record_key="k", partition_field="status",
+        group_buckets=2, metadata_table=True,
+    )
+
+    def listed():
+        return {
+            (r["part"], r["fname"]): r["fsize"]
+            for r in metadata_listing(spark, root).collect()
+        }
+
+    base = _df(spark, 0, 40, "A").unionByName(_df(spark, 40, 60, "B"))
+    w.create(base)
+    assert listed() == _disk_files(root)
+    w.upsert(
+        _df(spark, 0, 10, "A").withColumn("grp", F.lit(7).cast("long"))
+    )
+    assert listed() == _disk_files(root)
+    w.delete_keys(spark.range(40, 45).select(F.col("id").alias("k")))
+    assert listed() == _disk_files(root)
+    w.group_buckets = 1
+    w.cluster()
+    assert listed() == _disk_files(root)
+    # retention: physically removed files drop out of the listing
+    deleted = clean(root, keep_last_slices=1, spark=spark)
+    assert deleted
+    assert listed() == _disk_files(root)
+    # rollback of a staged crash updates the listing too
+    crash = "20990101000000000"
+    for phase in ("requested", "inflight"):
+        open(os.path.join(root, ".hoodie", f"{crash}.commit.{phase}"), "w").close()
+    orphan = f"fg-crash-7_0-1-0_{crash}.parquet"
+    _df(spark, 0, 3).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob as g
+    import shutil as sh
+
+    src = g.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+    os.replace(src, os.path.join(root, "A", orphan))
+    sh.rmtree(str(tmp_path / "stage"))
+    from plankton_spark.sources.hudi_meta import rollback
+
+    rollback(root, crash, spark=spark)
+    assert listed() == _disk_files(root)
+    # a metadata-disabled table refuses the listing (timeline is the
+    # documented fallback), and the metadata table never recurses
+    root2 = str(tmp_path / "t2")
+    HudiWriter(spark, root2, record_key="k").create(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="metadata"):
+        metadata_listing(spark, root2)
+    assert not os.path.isdir(
+        os.path.join(root, ".hoodie", "metadata", ".hoodie", "metadata")
+    )
