@@ -883,3 +883,70 @@ def q_hudi_metadata(spark, sf_dir):
         F.lit(parity).cast("long").alias("listing_matches_disk"),
         F.lit(n_parts).cast("long").alias("n_partitions"),
     )
+
+
+@query(
+    "q_hudi_insert_overwrite",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1200
+    ),
+    repl AS (
+      SELECT o_orderkey, 'F' AS o_orderstatus FROM orders
+      WHERE o_orderkey >= 2000 AND o_orderkey < 2100
+    ),
+    final AS (
+      SELECT * FROM base WHERE o_orderstatus <> 'F'
+      UNION ALL SELECT * FROM repl
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f,
+           CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_before,
+           CAST((SELECT COUNT(*) FROM repl) AS BIGINT) AS n_incr
+    FROM final
+    """,
+)
+def q_hudi_insert_overwrite(spark, sf_dir):
+    """Hudi INSERT OVERWRITE — the ``replacecommit`` flavor foreign
+    pipelines use for idempotent partition backfills (next to
+    clustering, q_hudi_clustered): the replacement batch stages as
+    fresh file groups and every current group of the partitions it
+    TOUCHES goes into ``partitionToReplaceFileIds`` — untouched
+    partitions carry forward with zero IO, no index probe, no
+    survivor rewrite. Time travel before the instant still sees the
+    replaced groups (files untouched on disk), and the incremental
+    query attributes exactly the replacement rows to the overwrite
+    instant (they are new records; the hidden old rows emit nothing —
+    overwrite is not a change feed, the same contract as the COW
+    delete)."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
+    root = _fresh(sf_dir, "hudi_insert_overwrite")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark, root, record_key="o_orderkey", partition_field="o_orderstatus"
+    )
+    i1 = w.create(o.where(k < 1200))
+    n_before = read_hudi(spark, root).count()
+    repl = (
+        o.where((k >= 2000) & (k < 2100))
+        .withColumn("o_orderstatus", F.lit("F"))
+    )
+    io = w.insert_overwrite(repl)
+    n_incr = read_hudi(spark, root, incremental=(i1, io)).count()
+    assert read_hudi(spark, root, as_of=i1).count() == n_before
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long").alias("n_f"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "n_f",
+        F.lit(n_before).cast("long").alias("n_before"),
+        F.lit(n_incr).cast("long").alias("n_incr"),
+    )

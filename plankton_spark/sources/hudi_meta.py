@@ -1190,6 +1190,63 @@ class HudiWriter:
         )
         return instant
 
+    def insert_overwrite(self, df, whole_table: bool = False) -> str:
+        """INSERT OVERWRITE — the spec's other ``replacecommit``
+        flavor (next to clustering): stage ``df`` as fresh file
+        groups and list the groups it REPLACES — every current group
+        of the partitions ``df`` touches (the default,
+        insert_overwrite), or every group in the table
+        (``whole_table=True``, insert_overwrite_table). No index
+        probe, no rewrite of survivors — replacement is pure replace
+        metadata, so untouched partitions carry forward and time
+        travel before the instant still sees the replaced groups.
+        Works on MOR too: replaced groups' logs detach with them
+        (the slice replay pops both)."""
+        instant = self._next_instant()
+        t = HudiTable(self.table_path)
+        if self._is_mor:
+            slices = [
+                (p, fid) for p, fid, _bi, _rel, _lrs in
+                t.file_slices_with_logs()
+            ]
+        else:
+            slices = [(p, fid) for p, fid, _ti, _rel in t.file_slices()]
+        staged = df.withColumn("__part", self._partition_expr()).withColumn(
+            "__fid", self._new_fid(instant)
+        )
+        staged = self._attach_meta(staged, instant)
+        if whole_table:
+            touched = {p for p, _fid in slices}
+        else:
+            # one bounded collect: distinct partition values of df
+            touched = {
+                r["__part"]
+                for r in staged.select("__part").distinct().collect()
+            }
+        replaced: dict[str, list[str]] = {}
+        for p, fid in slices:
+            if p in touched:
+                replaced.setdefault(p, []).append(fid)
+        self._transition(instant, "requested", action="replacecommit")
+        self._transition(instant, "inflight", action="replacecommit")
+        stats = self._write_groups(staged, instant, prev={})
+        self._complete(
+            instant,
+            {
+                "operationType": (
+                    "INSERT_OVERWRITE_TABLE"
+                    if whole_table
+                    else "INSERT_OVERWRITE"
+                ),
+                "partitionToWriteStats": stats,
+                "partitionToReplaceFileIds": {
+                    p: sorted(fids) for p, fids in replaced.items()
+                },
+            },
+            action="replacecommit",
+        )
+        return instant
+
     def cluster(self) -> str:
         """CLUSTERING (``replacecommit``): rewrite the CURRENT file
         groups into fresh key-hash-bucketed groups (``group_buckets``

@@ -876,3 +876,39 @@ def test_metadata_table_files_listing_parity(spark, tmp_path):
     assert not os.path.isdir(
         os.path.join(root, ".hoodie", "metadata", ".hoodie", "metadata")
     )
+
+
+def test_insert_overwrite_partitions_and_table(spark, tmp_path):
+    """INSERT OVERWRITE (the other replacecommit flavor): default
+    scope replaces every group of the partitions the input touches —
+    untouched partitions carry forward; whole_table=True replaces
+    everything; MOR replaced groups drop their logs with them; time
+    travel before the instant still sees the old groups."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", partition_field="status")
+    base = _df(spark, 0, 40, "A").unionByName(_df(spark, 40, 60, "B"))
+    i1 = w.create(base)
+    repl = _df(spark, 100, 110, "A").withColumn("grp", F.lit(9).cast("long"))
+    io = w.insert_overwrite(repl)
+    out = read_hudi(spark, root)
+    # partition A fully replaced, B untouched
+    assert _content(out) == _content(
+        repl.unionByName(_df(spark, 40, 60, "B"))
+    )
+    assert read_hudi(spark, root, as_of=i1).count() == 60
+    # incremental attribution: the overwrite's rows are NEW records
+    inc = read_hudi(spark, root, incremental=(i1, io))
+    assert sorted(r["k"] for r in inc.collect()) == list(range(100, 110))
+    # whole-table overwrite
+    w.insert_overwrite(_df(spark, 200, 205, "C"), whole_table=True)
+    assert read_hudi(spark, root).count() == 5
+    # MOR: replaced groups shed their logs
+    root2 = str(tmp_path / "t2")
+    w2 = HudiWriter(spark, root2, record_key="k", table_type="MERGE_ON_READ")
+    w2.create(_df(spark, 0, 30))
+    w2.upsert(_df(spark, 0, 5, status="B"))  # log on the base group
+    w2.insert_overwrite(_df(spark, 500, 510, "Z"))
+    out2 = read_hudi(spark, root2)
+    assert _content(out2) == _content(_df(spark, 500, 510, "Z"))
+    t2 = HudiTable(root2)
+    assert sum(len(lrs) for *_x, lrs in t2.file_slices_with_logs()) == 0
