@@ -950,3 +950,63 @@ def q_hudi_insert_overwrite(spark, sf_dir):
         F.lit(n_before).cast("long").alias("n_before"),
         F.lit(n_incr).cast("long").alias("n_incr"),
     )
+
+
+@query(
+    "q_hudi_colstats",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(3 AS BIGINT) AS n_slices_total,
+           CAST(1 AS BIGINT) AS n_slices_scanned
+    FROM orders WHERE o_orderkey >= 600 AND o_orderkey <= 899
+    """,
+)
+def q_hudi_colstats(spark, sf_dir):
+    """Hudi COLUMN_STATS file skipping: with hoodie.metadata.enable
+    every base file's per-column [min, max, nullCount] lands in the
+    metadata table's column_stats partition (parquet-footer read at
+    write time — metadata-scale); a key-range read then prunes whole
+    file slices from ONE bounded metadata read BEFORE any data IO
+    (read_hudi stats_filter — the superset contract: unknown stats
+    never prune, the residual predicate lands exactly on the scan).
+    Range-clustered ingestion (one fresh file group per insert — the
+    time-ordered pattern real pipelines produce) makes the skip
+    effective: three slices total, ONE scanned for the 600..899
+    window, both counts oracle-pinned. At 100 TB this replaces
+    opening every footer before the real scan — the reason the
+    metadata table exists."""
+    from plankton_spark.sources.hudi_meta import (
+        HudiTable,
+        HudiWriter,
+        prune_slices_by_stats,
+        read_hudi,
+    )
+
+    root = _fresh(sf_dir, "hudi_colstats")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark, root, record_key="o_orderkey", metadata_table=True
+    )
+    w.create(o.where(k < 500))
+    w.insert(o.where((k >= 500) & (k < 1000)))
+    w.insert(o.where((k >= 1000) & (k < 1500)))
+    slices = HudiTable(root).file_slices()
+    kept = prune_slices_by_stats(
+        spark, root, slices, ("o_orderkey", 600, 899)
+    )
+    return (
+        read_hudi(spark, root, stats_filter=("o_orderkey", 600, 899))
+        .where(k.between(600, 899))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        .select(
+            "n_rows",
+            "key_sum",
+            F.lit(len(slices)).cast("long").alias("n_slices_total"),
+            F.lit(len(kept)).cast("long").alias("n_slices_scanned"),
+        )
+    )

@@ -297,6 +297,7 @@ def read_hudi(
     incremental: tuple[str, str] | None = None,
     partition_path: str | None = None,
     with_meta: bool = False,
+    stats_filter: tuple | None = None,
 ):
     """Snapshot / time-travel / incremental read of a Hudi COW table
     as ONE multi-path parquet scan (predicate pushdown and column
@@ -338,6 +339,12 @@ def read_hudi(
             "false) carries no per-record meta columns to surface"
         )
     if t.table_type == "MERGE_ON_READ":
+        if stats_filter is not None:
+            raise NotImplementedError(
+                f"{table_path}: stats_filter on MERGE_ON_READ — log "
+                "records carry no column stats until compaction folds "
+                "them into bases; compact first"
+            )
         return _read_mor(
             spark, t, table_path, as_of, incremental, partition_path,
             with_meta,
@@ -349,9 +356,17 @@ def read_hudi(
         slices = t.file_slices(as_of)
     if partition_path is not None:
         slices = [s for s in slices if s[0] == partition_path]
+    if stats_filter is not None:
+        slices = prune_slices_by_stats(
+            spark, table_path, slices, stats_filter
+        )
     paths = [os.path.join(table_path, rel) for _, _, _, rel in slices]
     if not paths:
-        if incremental is not None or partition_path is not None:
+        if (
+            incremental is not None
+            or partition_path is not None
+            or stats_filter is not None
+        ):
             return _empty_like(spark, t, table_path, with_meta)
         raise ValueError(f"{table_path}: no file slices selected")
     df = spark.read.parquet(*paths)
@@ -633,16 +648,55 @@ class HudiWriter:
         if not self._metadata_enabled or self._is_meta:
             return
         rows = [
-            ("files", f"{p}#{n}", p, n, int(s), False)
+            ("files", f"{p}#{n}", p, n, int(s), False, None, None, None, None)
             for p, n, s in adds
-        ] + [("files", f"{p}#{n}", p, n, 0, True) for p, n in deletes]
+        ] + [
+            ("files", f"{p}#{n}", p, n, 0, True, None, None, None, None)
+            for p, n in deletes
+        ]
+        # COLUMN_STATS partition: per-(file, column) min/max/nullCount
+        # from the parquet footer (metadata-scale IO at write time,
+        # the same budget the converters already spend) — the input to
+        # stats-based file skipping (read_hudi stats_filter). Values
+        # JSON-encode so one table schema serves both partitions;
+        # log files carry none (their stats materialize at
+        # compaction, when the rows reach a base file).
+        from plankton_spark.filestats import file_stats as _fstats
+
+        for p, n, _s in adds:
+            if ".log." in n:
+                continue
+            full = os.path.join(
+                self.table_path, os.path.join(p, n) if p else n
+            )
+            if not os.path.isfile(full):
+                continue
+            st = _fstats(full)
+            for col in sorted(st.get("minValues", {})):
+                if col.startswith("_hoodie_"):
+                    continue
+                rows.append(
+                    (
+                        "column_stats",
+                        f"{p}#{n}#{col}",
+                        p,
+                        n,
+                        0,
+                        False,
+                        col,
+                        json.dumps(st["minValues"][col]),
+                        json.dumps(st["maxValues"][col]),
+                        int(st.get("nullCount", {}).get(col, 0) or 0),
+                    )
+                )
         if not rows:
             return
         mpath = os.path.join(self.meta_dir, "metadata")
         df = self.spark.createDataFrame(
             rows,
             "mpart string, mkey string, part string, fname string, "
-            "fsize long, deleted boolean",
+            "fsize long, deleted boolean, col string, vmin string, "
+            "vmax string, nulls long",
         )
         mw = HudiWriter(
             self.spark,
@@ -1724,6 +1778,41 @@ def metadata_listing(spark, table_path: str):
         )
     df = read_hudi(spark, mpath, partition_path="files")
     return df.where(~F.col("deleted")).select("part", "fname", "fsize")
+
+
+def prune_slices_by_stats(spark, table_path: str, slices, stats_filter):
+    """STATS-BASED FILE SKIPPING from the metadata table's
+    column_stats partition: keep the slices whose recorded [min, max]
+    for ``stats_filter=(col, lo, hi)`` OVERLAPS the inclusive range —
+    a slice with no recorded stats is kept (unknown never prunes), so
+    the result is always a SUPERSET of the matching files and callers
+    apply the exact residual predicate on the scan. One bounded
+    metadata-table read + a driver pass over the (already
+    metadata-scale) slice list — at 100 TB this is what replaces
+    opening every parquet footer before the real scan."""
+    col, lo, hi = stats_filter
+    mpath = os.path.join(table_path, ".hoodie", "metadata")
+    if not os.path.isfile(
+        os.path.join(mpath, ".hoodie", "hoodie.properties")
+    ):
+        raise ValueError(
+            f"{table_path}: stats_filter needs the metadata table "
+            "(hoodie.metadata.enable) — without it, parquet footer "
+            "pushdown already covers row-group skipping"
+        )
+    st = read_hudi(spark, mpath, partition_path="column_stats")
+    ranges = {
+        (r["part"], r["fname"]): (json.loads(r["vmin"]), json.loads(r["vmax"]))
+        for r in st.where(F.col("col") == col)
+        .select("part", "fname", "vmin", "vmax")
+        .collect()
+    }
+    kept = []
+    for part, fid, ti, rel in slices:
+        rng = ranges.get((part, os.path.basename(rel)))
+        if rng is None or not (rng[1] < lo or rng[0] > hi):
+            kept.append((part, fid, ti, rel))
+    return kept
 
 
 def _metadata_mark_deleted(spark, table_path: str, rels) -> None:

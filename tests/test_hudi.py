@@ -912,3 +912,43 @@ def test_insert_overwrite_partitions_and_table(spark, tmp_path):
     assert _content(out2) == _content(_df(spark, 500, 510, "Z"))
     t2 = HudiTable(root2)
     assert sum(len(lrs) for *_x, lrs in t2.file_slices_with_logs()) == 0
+
+
+def test_column_stats_file_skipping(spark, tmp_path):
+    """column_stats partition + stats_filter: range-clustered ingest
+    (one fresh file group per insert) lets a key-range read skip
+    whole slices from ONE metadata read; the kept set is a SUPERSET
+    (unknown stats never prune) and the residual predicate stays
+    exact; MOR refuses until compacted."""
+    from plankton_spark.sources.hudi_meta import prune_slices_by_stats
+
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k", metadata_table=True)
+    w.create(_df(spark, 0, 100))
+    w.insert(_df(spark, 100, 200))
+    w.insert(_df(spark, 200, 300))
+    t = HudiTable(root)
+    slices = t.file_slices()
+    assert len(slices) == 3
+    kept = prune_slices_by_stats(spark, root, slices, ("k", 120, 180))
+    assert len(kept) == 1
+    out = read_hudi(spark, root, stats_filter=("k", 120, 180))
+    assert sorted(r["k"] for r in out.collect()) == list(range(100, 200))
+    exact = out.where(F.col("k").between(120, 180))
+    assert exact.count() == 61
+    # out-of-range → empty frame, schema intact
+    assert read_hudi(spark, root, stats_filter=("k", 900, 950)).count() == 0
+    # no metadata table → loud, named error
+    root2 = str(tmp_path / "t2")
+    HudiWriter(spark, root2, record_key="k").create(_df(spark, 0, 10))
+    with pytest.raises(ValueError, match="metadata"):
+        read_hudi(spark, root2, stats_filter=("k", 0, 5))
+    # MOR refuses (log records carry no stats)
+    root3 = str(tmp_path / "t3")
+    w3 = HudiWriter(
+        spark, root3, record_key="k", table_type="MERGE_ON_READ",
+        metadata_table=True,
+    )
+    w3.create(_df(spark, 0, 10))
+    with pytest.raises(NotImplementedError, match="stats_filter"):
+        read_hudi(spark, root3, stats_filter=("k", 0, 5))
