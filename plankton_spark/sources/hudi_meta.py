@@ -675,6 +675,13 @@ class HudiWriter:
             for col in sorted(st.get("minValues", {})):
                 if col.startswith("_hoodie_"):
                     continue
+                try:
+                    vmin = json.dumps(st["minValues"][col])
+                    vmax = json.dumps(st["maxValues"][col])
+                except TypeError:
+                    continue  # non-JSON stat type: no stats row —
+                    # the skipping contract treats unknown as
+                    # unprunable, so correctness is unaffected
                 rows.append(
                     (
                         "column_stats",
@@ -684,8 +691,8 @@ class HudiWriter:
                         0,
                         False,
                         col,
-                        json.dumps(st["minValues"][col]),
-                        json.dumps(st["maxValues"][col]),
+                        vmin,
+                        vmax,
                         int(st.get("nullCount", {}).get(col, 0) or 0),
                     )
                 )
@@ -1810,7 +1817,13 @@ def prune_slices_by_stats(spark, table_path: str, slices, stats_filter):
     kept = []
     for part, fid, ti, rel in slices:
         rng = ranges.get((part, os.path.basename(rel)))
-        if rng is None or not (rng[1] < lo or rng[0] > hi):
+        try:
+            prunable = rng is not None and (rng[1] < lo or rng[0] > hi)
+        except TypeError:
+            # caller's bounds don't compare with the stored stat type
+            # (e.g. str vs int) — unknown never prunes
+            prunable = False
+        if not prunable:
             kept.append((part, fid, ti, rel))
     return kept
 
