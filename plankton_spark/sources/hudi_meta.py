@@ -1636,13 +1636,21 @@ class HudiIncrDataSource(DataSource):
         raise ValueError(f"{self._path()}: no base file to derive a schema")
 
     def streamReader(self, schema) -> "HudiIncrStreamReader":
-        return HudiIncrStreamReader(self._path(), schema)
+        return HudiIncrStreamReader(
+            self._path(), schema, self.options.get("startingInstant")
+        )
 
 
 class HudiIncrStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, schema):
+    def __init__(self, path: str, schema, starting_instant: str | None = None):
         self.path = path
         self._schema = schema
+        # option("startingInstant", t): a NEW consumer begins strictly
+        # AFTER instant t instead of replaying the whole timeline —
+        # real Hudi's hoodie.datasource.read.begin.instanttime. Only
+        # consulted for the initial offset; checkpointed consumers
+        # resume from their checkpoint as always.
+        self._starting = starting_instant or ""
         t = HudiTable(path)
         t._check_readable(None)  # refuse what reads refuse
         if t.virtual_keys:
@@ -1666,7 +1674,7 @@ class HudiIncrStreamReader(DataSourceStreamReader):
         return instants[pos - 1][0] if 0 < pos <= len(instants) else ""
 
     def initialOffset(self) -> dict:
-        return {"last": ""}
+        return {"last": self._starting}
 
     def latestOffset(self) -> dict:
         instants = self._instants()

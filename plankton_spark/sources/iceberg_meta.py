@@ -5042,10 +5042,36 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
         return IcebergTable(self.path).metadata.get("snapshots") or []
 
     def initialOffset(self) -> dict:
-        return {"pos": 0}
+        return {"last_snapshot_id": None}
 
     def latestOffset(self) -> dict:
-        return {"pos": len(self._snaps())}
+        snaps = self._snaps()
+        return {
+            "last_snapshot_id": snaps[-1]["snapshot-id"] if snaps else None
+        }
+
+    @staticmethod
+    def _pos_after(path: str, snaps: list[dict], off: dict) -> int:
+        """Offset → position in the CURRENT snapshot list — the same
+        id-keyed resolution IcebergStreamReader got in round 6
+        (this reader was missed then): a raw positional index
+        silently replays or skips snapshots after another tool
+        expires part of the list. A checkpointed id that vanished is
+        a hard retention error; legacy {"pos"} checkpoints are
+        honored as-is."""
+        if "pos" in off:
+            return off["pos"]
+        sid = off.get("last_snapshot_id")
+        if sid is None:
+            return 0
+        for i, s in enumerate(snaps):
+            if s["snapshot-id"] == sid:
+                return i + 1
+        raise ValueError(
+            f"{path}: checkpointed snapshot id {sid} is no longer in "
+            "the snapshot list — retention (expire_snapshots) outran "
+            "this consumer; restart from a fresh checkpoint"
+        )
 
     def partitions(self, start: dict, end: dict):
         from plankton_spark.sources import puffin as _puffin
@@ -5095,7 +5121,9 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
             cache[sid] = (files, dvsets)
             return cache[sid]
 
-        for i in range(start["pos"], min(end["pos"], len(snaps))):
+        lo = self._pos_after(self.path, snaps, start)
+        hi = self._pos_after(self.path, snaps, end)
+        for i in range(lo, min(hi, len(snaps))):
             snap = snaps[i]
             sid = snap["snapshot-id"]
             if (snap.get("summary") or {}).get("operation") == "replace":

@@ -474,3 +474,47 @@ def test_iceberg_changelog_attributes_equality_deletes(spark, tmp_path):
     )
     live = read_iceberg(spark, root).groupBy("k", "v").count()
     assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, live.collect()))
+
+
+def test_icebergcdf_offsets_are_snapshot_id_keyed(spark, tmp_path):
+    """Round-12: the icebergcdf stream's offsets carry the
+    last-consumed SNAPSHOT ID (the id-keyed resolution the iceberglog
+    stream got in round 6 — this reader was missed): positions shift
+    when expire_snapshots drops entries, ids don't; an expired
+    checkpointed id is a loud retention error; legacy {"pos"}
+    checkpoints still resolve."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergCdfStreamReader,
+        IcebergWriter,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 30).selectExpr("id AS k")
+    w = IcebergWriter(spark, root)
+    w.create(df.where(F.col("k") < 10).coalesce(1))
+    w.append(df.where((F.col("k") >= 10) & (F.col("k") < 20)).coalesce(1))
+    w.append(df.where(F.col("k") >= 20).coalesce(1))
+    r = IcebergCdfStreamReader(root)
+    snaps = r._snaps()
+    assert r.initialOffset() == {"last_snapshot_id": None}
+    assert r.latestOffset() == {
+        "last_snapshot_id": snaps[-1]["snapshot-id"]
+    }
+    first = {"last_snapshot_id": snaps[0]["snapshot-id"]}
+    parts = r.partitions(first, r.latestOffset())
+    assert {p.sid for p in parts} == {
+        snaps[1]["snapshot-id"], snaps[2]["snapshot-id"]
+    }
+    # legacy ordinal start resolves identically
+    parts_legacy = r.partitions({"pos": 1}, r.latestOffset())
+    assert {p.sid for p in parts_legacy} == {p.sid for p in parts}
+    # retention outrunning the consumer: expired id → loud error
+    expired = w.expire_snapshots(keep_last=2)
+    assert snaps[0]["snapshot-id"] in expired
+    with pytest.raises(ValueError, match="retention"):
+        IcebergCdfStreamReader(root).partitions(
+            first, IcebergCdfStreamReader(root).latestOffset()
+        )

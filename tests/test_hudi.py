@@ -952,3 +952,42 @@ def test_column_stats_file_skipping(spark, tmp_path):
     w3.create(_df(spark, 0, 10))
     with pytest.raises(NotImplementedError, match="stats_filter"):
         read_hudi(spark, root3, stats_filter=("k", 0, 5))
+
+
+def test_hudiincr_starting_instant_option(spark, tmp_path):
+    """option("startingInstant", t): a fresh consumer begins strictly
+    after t instead of replaying the whole timeline (real Hudi's
+    begin.instanttime); checkpointed consumers keep their own
+    resume point."""
+    import shutil
+    import uuid as _uuid
+
+    from plankton_spark.sources.hudi_meta import register
+
+    register(spark)
+    root = str(tmp_path / "t")
+    w = HudiWriter(spark, root, record_key="k")
+    i1 = w.create(_df(spark, 0, 50))
+    w.upsert(_df(spark, 50, 60, status="B"))
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    shutil.rmtree(sink, ignore_errors=True)
+    q = (
+        spark.readStream.format("hudiincr")
+        .option("path", root)
+        .option("startingInstant", i1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .queryName(f"hsi_{_uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    feed = spark.read.parquet(sink)
+    # only the upsert's write-set: the create instant is skipped
+    assert sorted(r["k"] for r in feed.select("k").collect()) == list(
+        range(50, 60)
+    )
