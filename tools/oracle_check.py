@@ -87,8 +87,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> Resul
     if len(s_rows) != len(d_rows):
         r.ok = False
         r.detail = f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
-    only_s = [x for x in s_rows if x not in set(d_rows)]
-    only_d = [x for x in d_rows if x not in set(s_rows)]
+    # hoist the set builds: putting set(...) in the comprehension's
+    # condition re-evaluates it PER ELEMENT — O(n²), which turned the
+    # sf0.1 soak's 120k-row outputs into ~20 min/query (round-12
+    # finding; invisible at sf0.01's small results)
+    d_set, s_set = set(d_rows), set(s_rows)
+    only_s = [x for x in s_rows if x not in d_set]
+    only_d = [x for x in d_rows if x not in s_set]
     if only_s or only_d:
         r.ok = False
         if not r.detail:
