@@ -769,10 +769,39 @@ def read_iceberg(
         # assembly keeps every group's scan partition-prunable on its
         # own identity columns.
         if pos_dels or eq_dels or dv_dels:
-            raise ValueError(
-                f"{t.table_path}: row-level deletes over a multi-spec "
-                "(partition-evolved) snapshot are not supported — "
-                "compact to a single spec first"
+            # round 12: deletes are SPEC-AGNOSTIC — position/DV
+            # deletes key on file basename, equality deletes on
+            # value + data sequence — so the per-spec union scan
+            # (positions attached) feeds the exact same subtraction
+            # the single-spec path uses; only lineage stays refused
+            # over this combination (same boundary as OPTIMIZE).
+            if lineage is not None:
+                raise ValueError(
+                    f"{t.table_path}: lineage reads over a multi-spec "
+                    "snapshot with row-level deletes are not "
+                    "supported — compact to a single spec first"
+                )
+            data_seq = {os.path.basename(p): s for p, _pv, s, _sid in full}
+            if eq_dels and len(data_seq) != len(full):
+                raise ValueError(
+                    f"{t.table_path}: duplicate data-file basenames "
+                    "across directories — equality-delete sequencing "
+                    "would be ambiguous"
+                )
+            scan = _assemble_multispec(
+                spark, t, schema, full, with_pos=True
+            )
+            return _posdelete_filtered_read(
+                spark,
+                t,
+                schema,
+                [],
+                [(p, pv) for p, pv, _sq, _sid in full],
+                pos_dels,
+                eq_deletes=eq_dels,
+                data_seq=data_seq,
+                dv_deletes=dv_dels,
+                scan=scan,
             )
         out_cols = [f.name for f in schema.fields]
         frames = []
@@ -822,7 +851,7 @@ def read_iceberg(
 def _posdelete_filtered_read(
     spark, t: "IcebergTable", schema, part_cols, entries, delete_files,
     eq_deletes=(), data_seq=None, dv_deletes=(), lineage=None,
-    lineage_fields=None,
+    lineage_fields=None, scan=None,
 ):
     """Data scan minus the rows position-delete files mark.
 
@@ -847,17 +876,21 @@ def _posdelete_filtered_read(
         scan_schema = T.StructType(
             list(schema.fields) + list(lineage_fields)
         )
-    if part_cols:
-        scan = _assemble_iceberg(
-            spark, scan_schema, part_cols, entries, with_pos=True
-        )
-    else:
-        scan = (
-            spark.read.schema(scan_schema)
-            .parquet(*[p for p, _ in entries])
-            .withColumn("__pd_file", F.col("_metadata.file_path"))
-            .withColumn("__pd_ridx", F.col("_metadata.row_index"))
-        )
+    if scan is None:
+        # callers may pass a PRE-ASSEMBLED positioned scan (the
+        # multi-spec per-spec union) — the subtraction below is
+        # assembly-agnostic, it only needs __pd_file/__pd_ridx
+        if part_cols:
+            scan = _assemble_iceberg(
+                spark, scan_schema, part_cols, entries, with_pos=True
+            )
+        else:
+            scan = (
+                spark.read.schema(scan_schema)
+                .parquet(*[p for p, _ in entries])
+                .withColumn("__pd_file", F.col("_metadata.file_path"))
+                .withColumn("__pd_ridx", F.col("_metadata.row_index"))
+            )
     # ONE symmetric identity rule on both sides: the file BASENAME.
     # Delete files may reference absolute foreign URIs while the scan
     # sees the URI-ENCODED `_metadata.file_path` (spaces → %20, and
@@ -1053,7 +1086,9 @@ def _apply_equality_deletes(spark, t, schema, scan, eq_deletes, data_seq):
     return scan
 
 
-def _assemble_multispec(spark, table, schema, full, with_file=False):
+def _assemble_multispec(
+    spark, table, schema, full, with_file=False, with_pos=False
+):
     """Live-file assembly that honors PARTITION EVOLUTION: group the
     ``scan_entries_full`` rows by partition-spec id and assemble each
     group against ITS spec's identity columns (read_iceberg's
@@ -1068,7 +1103,11 @@ def _assemble_multispec(spark, table, schema, full, with_file=False):
     groups: dict[int, list] = {}
     for p, pv, _sq, sid in full:
         groups.setdefault(sid, []).append((p, pv))
-    sel = [f.name for f in schema.fields] + (["_f"] if with_file else [])
+    sel = (
+        [f.name for f in schema.fields]
+        + (["_f"] if with_file else [])
+        + (["__pd_file", "__pd_ridx"] if with_pos else [])
+    )
     frames = [
         _assemble_iceberg(
             spark,
@@ -1076,6 +1115,7 @@ def _assemble_multispec(spark, table, schema, full, with_file=False):
             table.partition_fields_for(sid),
             grp,
             with_file=with_file,
+            with_pos=with_pos,
         ).select(*sel)
         for sid, grp in sorted(groups.items())
     ]
@@ -3545,12 +3585,17 @@ class IcebergWriter:
         for _ in range(20):
             table = IcebergTable(self.table_path)
             schema = table.schema()
-            part_cols = table.partition_fields()
-            entries, _existing = table.scan_entries(None)
-            if not entries:
+            table.scan_entries(None)  # keep the eq-delete refusal
+            full = table.scan_entries_full(None)[0]
+            if not full:
                 return None
-            live = _assemble_iceberg(
-                self.spark, schema, part_cols, entries, with_pos=True
+            # per-spec assembly: a partition-evolved snapshot's
+            # old-spec files keep their partition column in CONTENT —
+            # attaching the default spec's columns would evaluate the
+            # predicate against NULLs and silently miss rows (the
+            # round-12 multi-spec audit)
+            live = _assemble_multispec(
+                self.spark, table, schema, full, with_pos=True
             )
             hits = (
                 live.where(F.coalesce(condition, F.lit(False)))
@@ -3680,26 +3725,13 @@ class IcebergWriter:
             entries = [(p, pv) for p, pv, _seq, _sid in full]
             if not entries:
                 return None
-            if len({sid for _p, _pv, _seq, sid in full}) > 1:
-                # read_iceberg refuses row-level deletes over multi-
-                # spec (partition-evolved) snapshots, and OPTIMIZE's
-                # purge path reads through it too — committing a DV
-                # here would brick the table (round-9 review #1,
-                # verified live). Refuse up front instead.
-                raise ValueError(
-                    f"{self.table_path}: delete_where_dv on a "
-                    "partition-evolved (multi-spec) snapshot would "
-                    "make the table unreadable — compact to a single "
-                    "spec first (OPTIMIZE), then delete"
-                )
-            # the LIVE entries' spec, not the table default: after
-            # evolve_spec with no new data, the default spec doesn't
-            # describe the live files — attaching its columns as NULL
-            # would make partition-column predicates silently match
-            # nothing (round-9 review-2 #2; same rule as read_iceberg)
-            part_cols = table.partition_fields_for(
-                next(iter({sid for _p, _pv, _seq, sid in full}))
-            )
+            # round 12: read_iceberg now applies row-level deletes
+            # over multi-spec snapshots (per-spec union scan feeding
+            # the spec-agnostic subtraction), so the round-9
+            # would-brick-the-table refusal is lifted — the predicate
+            # evaluates on the per-spec assembly below, each file
+            # against ITS spec's identity columns (round-9 review-2
+            # #2, generalized)
             # Same identity rule the DV-aware READ enforces (the safe
             # regex at _posdelete_filtered_read): hits are keyed by the
             # basename of the URI-ENCODED `_metadata.file_path`, while
@@ -3721,8 +3753,8 @@ class IcebergWriter:
                         f"URI-unsafe name {_b!r}"
                     )
                 _seen.add(_b)
-            live = _assemble_iceberg(
-                self.spark, schema, part_cols, entries, with_pos=True
+            live = _assemble_multispec(
+                self.spark, table, schema, full, with_pos=True
             )
             hits_df = live.where(F.coalesce(condition, F.lit(False))).select(
                 F.substring_index(F.col("__pd_file"), "/", -1).alias("f"),
@@ -4665,9 +4697,10 @@ def read_iceberg_changelog(
     ranges assemble PER SPEC and union (each file's partition record
     is shaped by its own spec — the read path's partition-evolution
     technique applied at every boundary), so changelog history
-    survives a spec change; only the eq-delete × multi-spec combo
-    refuses (same boundary as read_iceberg — the deletes cannot be
-    sequenced across specs). The STREAMING icebergcdf source still
+    survives a spec change — including eq-deleted multi-spec
+    boundaries (deletes are spec-agnostic: sequenced by data file,
+    matched by value, so the live-set diff composes with the
+    per-spec assembly). The STREAMING icebergcdf source still
     refuses eq-deleted ranges
     (per-file partition readers can't carry the cross-file join).
     Per-file DV
@@ -4717,13 +4750,6 @@ def read_iceberg_changelog(
                 "deleted snapshot whose data files carry no sequence "
                 "numbers — the deletes cannot be ordered (same refusal "
                 "as read_iceberg)"
-            )
-        if eq_dels and len({s for _p, _pv, _sq, s in full}) > 1:
-            raise ValueError(
-                f"{table_path}: changelog scan over an equality-"
-                "deleted multi-spec (partition-evolved) snapshot is "
-                "not supported — compact to a single spec first (same "
-                "refusal as read_iceberg)"
             )
         files = {p: pv for p, pv, _sq, _sid2 in full}
         specs = {p: s for p, _pv, _sq, s in full}

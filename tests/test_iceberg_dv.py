@@ -475,10 +475,15 @@ def test_dv_delete_on_partitioned_table(spark, tmp_path):
 # -- round-9 review regressions ------------------------------------------------
 
 
-def test_dv_delete_refuses_multi_spec(spark, tmp_path):
-    """Review #1 (verified live before the fix): delete_where_dv on a
-    partition-evolved snapshot would commit a DV the reader refuses —
-    bricking the table. It must refuse up front instead."""
+def test_dv_delete_works_on_multi_spec(spark, tmp_path):
+    """Round-9 refused delete_where_dv on partition-evolved snapshots
+    because the READ path refused row-level deletes over multi-spec
+    (committing would brick the table). Round 12 lifted the read
+    refusal (per-spec union scan feeding the spec-agnostic
+    subtraction), so the DV delete now commits AND reads exactly —
+    with the predicate evaluated per spec (old-spec files keep their
+    partition column in content; a partition-column predicate must
+    still hit them)."""
     from pyspark.sql import functions as F
 
     from plankton_spark.sources.iceberg_meta import IcebergWriter
@@ -486,10 +491,13 @@ def test_dv_delete_refuses_multi_spec(spark, tmp_path):
     root, w = _fresh_table(spark, tmp_path, "msdv")
     w.evolve_spec(["grp"])
     w.append(spark.createDataFrame([(100, "even")], "k long, grp string"))
-    with pytest.raises(ValueError, match="partition-evolved"):
-        w.delete_where_dv(F.col("k") % 5 == 0)
-    # nothing committed: table still fully readable
-    assert read_iceberg(spark, root).count() == 31
+    w.delete_where_dv(F.col("k") % 5 == 0)
+    got = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got == [k for k in [*range(30), 100] if k % 5 != 0]
+    # partition-column predicate hits BOTH specs' files
+    w.delete_where_dv(F.col("grp") == "even")
+    got2 = sorted(r["k"] for r in read_iceberg(spark, root).collect())
+    assert got2 == [k for k in range(30) if k % 5 != 0 and k % 2 == 1]
 
 
 def test_metadata_ops_work_on_dv_tables(spark, tmp_path):

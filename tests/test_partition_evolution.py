@@ -272,13 +272,30 @@ def test_multispec_changelog_and_stream(spark, tmp_path):
     assert feed.where(F.col("grp").isNull()).count() == 0
 
 
-def test_multispec_eq_delete_changelog_refuses(spark, tmp_path):
-    """The one remaining changelog refusal: equality deletes over a
-    multi-spec snapshot (same boundary as read_iceberg)."""
+def test_multispec_row_level_deletes_read_exact(spark, tmp_path):
+    """Round 12: row-level deletes over a partition-evolved snapshot
+    read exactly — deletes are spec-agnostic (positions/DVs key by
+    file basename, eq deletes by value + sequence), the per-spec
+    union scan feeds the shared subtraction. The changelog's
+    eq × multi-spec refusal lifts with it (live-set diff over the
+    per-spec assembly)."""
     from plankton_spark.sources.iceberg_meta import read_iceberg_changelog
 
     root, w, df = _ms_table(spark, tmp_path, "mseq")
     keys = spark.range(0, 5).selectExpr("id AS k")
     sid = w.delete_where_eq(keys)
-    with pytest.raises(ValueError, match="multi-spec"):
-        read_iceberg_changelog(spark, root, 1, sid).collect()
+    got = read_iceberg(spark, root)
+    assert sorted(r["k"] for r in got.collect()) == list(range(5, 100))
+    assert got.where(F.col("grp").isNull()).count() == 0
+    cl = read_iceberg_changelog(spark, root, 1, sid)
+    by = {
+        (r["_snapshot_id"], r["_change_type"]): r["n"]
+        for r in cl.groupBy("_snapshot_id", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by[(1, "insert")] == 60
+    assert by[(2, "insert")] == 40
+    # the eq boundary attributes exactly the newly-dead rows
+    assert by[(sid, "delete")] == 5
+    assert (sid, "insert") not in by
