@@ -172,39 +172,68 @@ def q_text_langid(spark, sf_dir):
     "q_text_quality",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, n_chars,
-             CAST(LENGTH(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+             CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS nt,
              CAST(LENGTH(list_filter(string_split(text, ' '),
-               x -> {' OR '.join(f"x = '{s}'" for s in STOPWORDS)})) AS INTEGER) AS n_stop
+               x -> {' OR '.join(f"x = '{s}'" for s in STOPWORDS)})) AS BIGINT) AS ns
       FROM documents
+    ),
+    r AS (
+      SELECT doc_id, nc, nt, ns,
+             CASE WHEN nc >= 400 THEN 1 ELSE nc END AS lp,
+             CASE WHEN nc >= 400 THEN 1 ELSE 400 END AS lq
+      FROM t
     )
     SELECT doc_id,
-           ROUND(LEAST(n_chars / 400.0, 1.0), 6) AS len_score,
-           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-           ROUND(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6) AS avg_word_len,
-           ROUND(0.5 * LEAST(n_chars / 400.0, 1.0)
-                 + 0.5 * (CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality
-    FROM t
+           CAST((2*lp*1000000 + lq) // (2*lq) AS DOUBLE)/1000000.0
+             AS len_score,
+           CAST((2*ns*1000000 + nt) // (2*nt) AS DOUBLE)/1000000.0
+             AS stopword_ratio,
+           CAST((2*(nc-nt+1)*1000000 + nt) // (2*nt) AS DOUBLE)/1000000.0
+             AS avg_word_len,
+           CAST((2*(lp*nt + lq*ns)*1000000 + 2*lq*nt) // (4*lq*nt)
+                AS DOUBLE)/1000000.0 AS quality
+    FROM r
     """,
 )
 def q_text_quality(spark, sf_dir):
     """Quality scoring: length score, stopword ratio, avg word length,
     blended quality metric (the heuristics used to filter pretraining
-    corpora, over a synthetic corpus)."""
+    corpora, over a synthetic corpus).
+
+    Determinism (round-12 sf0.1 soak finding): every score is a
+    RATIONAL p/q of small integers, and ROUND(double, 6) hits
+    exactly-representable x.xxxxxx5 ties where Spark (HALF_UP) and
+    DuckDB (half-even) disagree — the blended quality first did at
+    sf0.1 (0.5046875). Both sides now round the EXACT rational with
+    integer arithmetic — half-up as floor((2·p·10⁶ + q) / (2q)),
+    identical truncating division on positive BIGINTs in either
+    engine — then divide by 10⁶ in double (same int → same double).
+    No double ever feeds a rounding decision."""
     d = read_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
-    len_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
-    stop_ratio = n_stop.cast("double") / n_tokens
+    nt = F.size(toks).cast("long")
+    ns = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("long")
+    nc = F.col("n_chars").cast("long")
+    lp = F.when(nc >= 400, F.lit(1)).otherwise(nc).cast("long")
+    lq = F.when(nc >= 400, F.lit(1)).otherwise(F.lit(400)).cast("long")
+
+    def r6(p, q):
+        # exact half-up 6-digit rounding of the POSITIVE rational p/q:
+        # floor((2p·10⁶ + q) / 2q) via remainder subtraction (num−mod
+        # is exactly divisible, so the double division is exact — the
+        # quotient is an integer < 2^53)
+        num = p * F.lit(2000000) + q
+        den = q * F.lit(2)
+        quot = ((num - num % den) / den).cast("long")
+        return quot.cast("double") / F.lit(1000000.0)
+
     return d.select(
         "doc_id",
-        F.round(len_score, 6).alias("len_score"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round((F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens, 6).alias(
-            "avg_word_len"
-        ),
-        F.round(0.5 * len_score + 0.5 * stop_ratio, 6).alias("quality"),
+        r6(lp, lq).alias("len_score"),
+        r6(ns, nt).alias("stopword_ratio"),
+        r6(nc - nt + 1, nt).alias("avg_word_len"),
+        r6(lp * nt + lq * ns, F.lit(2) * lq * nt).alias("quality"),
     )
 
 
