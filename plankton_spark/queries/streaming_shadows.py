@@ -76,7 +76,7 @@ def q_stream_sliding(spark, sf_dir):
     marked AS (
       SELECT user_id, ts2,
              CASE WHEN LAG(ts2) OVER w IS NULL
-                       OR ts2 - LAG(ts2) OVER w >= INTERVAL '30 minutes'
+                       OR ts2 - LAG(ts2) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts2)
@@ -103,7 +103,12 @@ def q_stream_sliding(spark, sf_dir):
 )
 def q_stream_session(spark, sf_dir):
     """session_window (30 min gap): the shadow reconstructs sessions
-    with the lag-gap + cumulative-sum idiom and must agree exactly."""
+    with the lag-gap + cumulative-sum idiom and must agree exactly.
+    Gap-boundary tie (round-12 sf0.1 soak catch): Spark's
+    session_window MERGES an event exactly `gap` after its
+    predecessor (sessions coalesce while new_start <= current_end),
+    so the oracle's new-session rule is STRICTLY-greater — `>=` split
+    the one exactly-30-minute pair the larger fixture produced."""
     return jobs.session_stats(read_table(spark, sf_dir, "events"))
 
 
@@ -375,7 +380,7 @@ def q_stream_streamjoin_outer(spark, sf_dir):
     marked AS (
       SELECT user_id, ts2,
              CASE WHEN LAG(ts2) OVER w IS NULL
-                       OR ts2 - LAG(ts2) OVER w >= INTERVAL '30 minutes'
+                       OR ts2 - LAG(ts2) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM e
       WINDOW w AS (PARTITION BY user_id ORDER BY ts2)

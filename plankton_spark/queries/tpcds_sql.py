@@ -1123,7 +1123,7 @@ wide AS (
 )
 SELECT nation, w1, w2, s1, s2
 FROM wide
-WHERE w2 * s1 > s2 * w1
+WHERE CAST(w2 AS DECIMAL(38,0)) * s1 > CAST(s2 AS DECIMAL(38,0)) * w1
 """
 
 _TABLES["q_tpcds_growthcmp"] = ("orders", "customer", "nation")
