@@ -96,3 +96,28 @@ def driver_scalar(df):
             f"{len(rows)} rows"
         )
     return rows[0]
+
+
+def round_ratio6(p: Column, q: Column) -> Column:
+    """Exact HALF-UP 6-digit rounding of the POSITIVE integer ratio
+    p/q, emitted as a double — the cross-engine answer to ROUND
+    half-ties (round-12 sf0.1 soak): a small-integer ratio can land
+    exactly on x.xxxxxx5, where Spark rounds half-up and DuckDB
+    half-even. floor((2p·10⁶ + q) / 2q) computes the half-up rounding
+    in pure int64 (num − num % den is exactly divisible, so the
+    double division is exact for quotients < 2⁵³); the final /10⁶ maps
+    the same integer to the same double in both engines. SQL twin:
+    sql_ratio6."""
+    num = p.cast("long") * F.lit(2000000) + q.cast("long")
+    den = q.cast("long") * F.lit(2)
+    quot = ((num - num % den) / den).cast("long")
+    return quot.cast("double") / F.lit(1000000.0)
+
+
+def sql_ratio6(p: str, q: str) -> str:
+    """DuckDB-oracle twin of round_ratio6 (`//` floor-divides
+    BIGINTs; all inputs positive)."""
+    return (
+        f"CAST((2 * ({p}) * 1000000 + ({q})) // (2 * ({q})) AS DOUBLE)"
+        " / 1000000.0"
+    )

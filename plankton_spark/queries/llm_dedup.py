@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from plankton_spark import cache
 from plankton_spark.functions import driver_scalar
 from plankton_spark.io import read_table
+from plankton_spark.functions import round_ratio6
 from plankton_spark.registry import query
 
 N_PERM = 64
@@ -166,13 +167,11 @@ _SHINGLES_SQL = """
     WITH sh AS ({_SHINGLES_SQL}),
     sets AS (SELECT doc_id, list(DISTINCT shingle) AS s FROM sh GROUP BY doc_id)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(LENGTH(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / (LENGTH(a.s) + LENGTH(b.s) - LENGTH(list_intersect(a.s, b.s))),
-                 6) AS jaccard
+           CAST((2 * (LENGTH(list_intersect(a.s, b.s))) * 1000000 + (LENGTH(a.s) + LENGTH(b.s) - LENGTH(list_intersect(a.s, b.s)))) // (2 * (LENGTH(a.s) + LENGTH(b.s) - LENGTH(list_intersect(a.s, b.s)))) AS DOUBLE) / 1000000.0 AS jaccard
     FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-    WHERE CAST(LENGTH(list_intersect(a.s, b.s)) AS DOUBLE)
-          / (LENGTH(a.s) + LENGTH(b.s) - LENGTH(list_intersect(a.s, b.s)))
-          >= {JACCARD_THRESHOLD}
+    WHERE 5 * LENGTH(list_intersect(a.s, b.s))
+          >= 4 * (LENGTH(a.s) + LENGTH(b.s)
+                  - LENGTH(list_intersect(a.s, b.s)))
     """,
 )
 def q_dedup_minhash(spark, sf_dir):
@@ -272,18 +271,23 @@ def minhash_structures(spark, sf_dir):
 
 
 def _verify_candidates(candidates, sa, sb):
+    # integer threshold + exact-rational rounding (round-12 half-tie
+    # hardening): i/u >= 0.8 <=> 5i >= 4u, and the emitted jaccard
+    # rounds the exact rational — no double feeds a decision
     verified = (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")).cast("double"))
+        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
         .withColumn(
-            "jaccard_raw",
-            F.col("n_inter") / (F.size("sa") + F.size("sb") - F.col("n_inter")),
+            "n_union",
+            F.size("sa") + F.size("sb") - F.col("n_inter"),
         )
-        .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .where(F.col("n_inter") * 5 >= F.col("n_union") * 4)
     )
     return verified.select(
-        "doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard")
+        "doc_a",
+        "doc_b",
+        round_ratio6(F.col("n_inter"), F.col("n_union")).alias("jaccard"),
     )
 
 
@@ -350,13 +354,11 @@ def q_dedup_simhash(spark, sf_dir):
       FROM documents WHERE doc_id < 50
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(LENGTH(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                 / (LENGTH(a.toks) + LENGTH(b.toks)
-                    - LENGTH(list_intersect(a.toks, b.toks))), 6) AS jaccard
+           CAST((2 * (LENGTH(list_intersect(a.toks, b.toks))) * 1000000 + (LENGTH(a.toks) + LENGTH(b.toks) - LENGTH(list_intersect(a.toks, b.toks)))) // (2 * (LENGTH(a.toks) + LENGTH(b.toks) - LENGTH(list_intersect(a.toks, b.toks)))) AS DOUBLE) / 1000000.0 AS jaccard
     FROM t a JOIN t b ON a.doc_id < b.doc_id
-    WHERE CAST(LENGTH(list_intersect(a.toks, b.toks)) AS DOUBLE)
-          / (LENGTH(a.toks) + LENGTH(b.toks) - LENGTH(list_intersect(a.toks, b.toks)))
-          >= 0.5
+    WHERE 2 * LENGTH(list_intersect(a.toks, b.toks))
+          >= LENGTH(a.toks) + LENGTH(b.toks)
+             - LENGTH(list_intersect(a.toks, b.toks))
     """,
 )
 def q_sim_jaccard(spark, sf_dir):
@@ -367,12 +369,17 @@ def q_sim_jaccard(spark, sf_dir):
     a = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     b = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     pairs = a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
-    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
-    jac = inter / (F.size("ta") + F.size("tb") - inter)
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
+    union = F.size("ta") + F.size("tb") - inter
     return (
-        pairs.withColumn("jaccard_raw", jac)
-        .where(F.col("jaccard_raw") >= 0.5)
-        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+        pairs.withColumn("n_inter", inter)
+        .withColumn("n_union", union)
+        .where(F.col("n_inter") * 2 >= F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            round_ratio6(F.col("n_inter"), F.col("n_union")).alias("jaccard"),
+        )
     )
 
 

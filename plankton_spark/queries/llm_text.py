@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from plankton_spark.functions import round_ratio6
 from plankton_spark.io import read_table
 from plankton_spark.registry import query
 
@@ -218,22 +219,12 @@ def q_text_quality(spark, sf_dir):
     lp = F.when(nc >= 400, F.lit(1)).otherwise(nc).cast("long")
     lq = F.when(nc >= 400, F.lit(1)).otherwise(F.lit(400)).cast("long")
 
-    def r6(p, q):
-        # exact half-up 6-digit rounding of the POSITIVE rational p/q:
-        # floor((2p·10⁶ + q) / 2q) via remainder subtraction (num−mod
-        # is exactly divisible, so the double division is exact — the
-        # quotient is an integer < 2^53)
-        num = p * F.lit(2000000) + q
-        den = q * F.lit(2)
-        quot = ((num - num % den) / den).cast("long")
-        return quot.cast("double") / F.lit(1000000.0)
-
     return d.select(
         "doc_id",
-        r6(lp, lq).alias("len_score"),
-        r6(ns, nt).alias("stopword_ratio"),
-        r6(nc - nt + 1, nt).alias("avg_word_len"),
-        r6(lp * nt + lq * ns, F.lit(2) * lq * nt).alias("quality"),
+        round_ratio6(lp, lq).alias("len_score"),
+        round_ratio6(ns, nt).alias("stopword_ratio"),
+        round_ratio6(nc - nt + 1, nt).alias("avg_word_len"),
+        round_ratio6(lp * nt + lq * ns, F.lit(2) * lq * nt).alias("quality"),
     )
 
 
@@ -476,8 +467,8 @@ def q_text_pack(spark, sf_dir):
       ) = 1
     )
     SELECT t.doc_id, t.top_token,
-           ROUND(CAST(t.cnt AS DOUBLE) / tot.n_tok, 6) AS top_ratio,
-           CAST(CAST(t.cnt AS DOUBLE) / tot.n_tok > 0.1 AS BOOLEAN) AS repetitious
+           CAST((2 * (t.cnt) * 1000000 + (tot.n_tok)) // (2 * (tot.n_tok)) AS DOUBLE) / 1000000.0 AS top_ratio,
+           CAST(10 * t.cnt > tot.n_tok AS BOOLEAN) AS repetitious
     FROM top t JOIN tot USING (doc_id)
     """,
 )
@@ -499,12 +490,14 @@ def q_text_repetition(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("tok").alias("top_token"), "cnt")
     )
-    ratio = F.col("cnt").cast("double") / F.col("n_tok")
+    # exact-rational rounding + integer threshold (round-12 half-tie
+    # hardening): cnt/n_tok is a small-integer ratio — the ROUND-tie
+    # class the sf0.1 soak caught in q_text_quality
     return top.join(tot, "doc_id").select(
         "doc_id",
         "top_token",
-        F.round(ratio, 6).alias("top_ratio"),
-        (ratio > 0.1).alias("repetitious"),
+        round_ratio6(F.col("cnt"), F.col("n_tok")).alias("top_ratio"),
+        (F.col("cnt") * 10 > F.col("n_tok")).alias("repetitious"),
     )
 
 
