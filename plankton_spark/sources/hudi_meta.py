@@ -648,10 +648,16 @@ class HudiWriter:
         if not self._metadata_enabled or self._is_meta:
             return
         rows = [
-            ("files", f"{p}#{n}", p, n, int(s), False, None, None, None, None)
+            (
+                "files", f"files#{p}#{n}", p, n, int(s), False,
+                None, None, None, None, None,
+            )
             for p, n, s in adds
         ] + [
-            ("files", f"{p}#{n}", p, n, 0, True, None, None, None, None)
+            (
+                "files", f"files#{p}#{n}", p, n, 0, True,
+                None, None, None, None, None,
+            )
             for p, n in deletes
         ]
         # COLUMN_STATS partition: per-(file, column) min/max/nullCount
@@ -685,7 +691,7 @@ class HudiWriter:
                 rows.append(
                     (
                         "column_stats",
-                        f"{p}#{n}#{col}",
+                        f"column_stats#{p}#{n}#{col}",
                         p,
                         n,
                         0,
@@ -694,8 +700,51 @@ class HudiWriter:
                         vmin,
                         vmax,
                         int(st.get("nullCount", {}).get(col, 0) or 0),
+                        None,
                     )
                 )
+        # BLOOM_FILTERS partition: one record-key bloom per base file
+        # (built from the exact key column — no false negatives, the
+        # property the upsert pruning relies on); sized per file at
+        # BITS_PER_KEY. One single-column read per new file —
+        # write-time metadata IO, the budget real Hudi spends in its
+        # bloom index too.
+        import pyarrow.parquet as _pq
+
+        from plankton_spark.sources.hudi_bloom import bloom_build
+
+        for p, n, _s in adds:
+            if ".log." in n:
+                continue
+            full = os.path.join(
+                self.table_path, os.path.join(p, n) if p else n
+            )
+            if not os.path.isfile(full):
+                continue
+            try:
+                keys = (
+                    _pq.read_table(full, columns=["_hoodie_record_key"])
+                    .column(0)
+                    .to_pylist()
+                )
+            except Exception:
+                continue  # key column absent: no bloom row — the
+                # probe treats bloom-less files as always-candidate
+            rows.append(
+                (
+                    "bloom_filters",
+                    f"bloom_filters#{p}#{n}",
+                    p,
+                    n,
+                    0,
+                    False,
+                    None,
+                    None,
+                    None,
+                    None,
+                    bloom_build(keys),
+                )
+            )
         if not rows:
             return
         mpath = os.path.join(self.meta_dir, "metadata")
@@ -703,7 +752,7 @@ class HudiWriter:
             rows,
             "mpart string, mkey string, part string, fname string, "
             "fsize long, deleted boolean, col string, vmin string, "
-            "vmax string, nulls long",
+            "vmax string, nulls long, bloom string",
         )
         mw = HudiWriter(
             self.spark,
@@ -829,6 +878,75 @@ class HudiWriter:
                 "batch first (Hudi's precombine step)"
             )
 
+    def _bloom_candidate_set(self, incoming, file_entries):
+        """BLOOM-INDEX pruning for the upsert/delete tagging join:
+        probe the incoming keys against the metadata table's per-file
+        record-key blooms and return the (part, fid) set that MIGHT
+        hold any of them — or None when blooms are unavailable (the
+        unpruned full-index path). ``file_entries`` is
+        [(part, fid, rel)]. A file without a bloom row stays a
+        candidate unconditionally (no false negatives, ever); false
+        positives only widen the set. Probing runs on EXECUTORS
+        (mapInPandas over the incoming keys, blooms in the closure —
+        one SHA-256 per key, cheap bit tests per file); the collect
+        is the candidate (part, fid) list, bounded by live-file
+        count."""
+        if not self._metadata_enabled:
+            return None
+        mpath = os.path.join(self.meta_dir, "metadata")
+        if not os.path.isfile(
+            os.path.join(mpath, ".hoodie", "hoodie.properties")
+        ):
+            return None
+        from plankton_spark.sources.hudi_bloom import (
+            bloom_decode,
+            bloom_might_contain,
+        )
+
+        blooms = {
+            (r["part"], r["fname"]): r["bloom"]
+            for r in read_hudi(
+                self.spark, mpath, partition_path="bloom_filters"
+            )
+            .select("part", "fname", "bloom")
+            .collect()
+        }
+        always, probed = set(), []
+        for part, fid, rel in file_entries:
+            b = blooms.get((part, os.path.basename(rel)))
+            if b is None:
+                always.add((part, fid))
+            else:
+                probed.append((part, fid, bloom_decode(b)))
+        if not probed:
+            return None  # nothing to prune with
+
+        def probe(batches):
+            import pandas as pd
+
+            hits: set[tuple[str, str]] = set()
+            for pdf in batches:
+                for key in pdf["__key"]:
+                    for part, fid, dec in probed:
+                        if (part, fid) in hits:
+                            continue
+                        if bloom_might_contain(dec, key):
+                            hits.add((part, fid))
+                if len(hits) == len(probed):
+                    break  # every file already a candidate
+            yield pd.DataFrame(
+                sorted(hits), columns=["part", "fid"]
+            ) if hits else pd.DataFrame({"part": [], "fid": []})
+
+        cand = {
+            (r["part"], r["fid"])
+            for r in incoming.select("__key")
+            .mapInPandas(probe, "part string, fid string")
+            .distinct()
+            .collect()
+        }
+        return cand | always
+
     def _merge(self, df, delete: bool) -> str:
         instant = self._next_instant()
         t = HudiTable(self.table_path)
@@ -838,12 +956,33 @@ class HudiWriter:
         self._check_unique_keys(incoming)
         # global simple index: key → (partition, fileId) from the
         # snapshot's meta columns only (two-column projection — the
-        # scan prunes everything else)
-        snap = read_hudi(self.spark, self.table_path, with_meta=True)
-        index = snap.select(
-            F.col("_hoodie_record_key").alias("__key"),
-            F.col("_hoodie_partition_path").alias("__part"),
-            F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+        # scan prunes everything else); with the metadata table's
+        # BLOOM index, only files whose bloom MIGHT hold an incoming
+        # key are read at all
+        cand = self._bloom_candidate_set(
+            incoming, [(p, fid, rel) for p, fid, _ti, rel in slices]
+        )
+        if cand is None:
+            index_src = read_hudi(self.spark, self.table_path, with_meta=True)
+        else:
+            cand_paths = [
+                os.path.join(self.table_path, rel)
+                for p, fid, _ti, rel in slices
+                if (p, fid) in cand
+            ]
+            index_src = (
+                self.spark.read.parquet(*cand_paths) if cand_paths else None
+            )
+        index = (
+            index_src.select(
+                F.col("_hoodie_record_key").alias("__key"),
+                F.col("_hoodie_partition_path").alias("__part"),
+                F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+            )
+            if index_src is not None
+            else self.spark.createDataFrame(
+                [], "__key string, __part string, __fid string"
+            )
         )
         tagged = incoming.join(index, "__key", "left")
         tagged.persist()
@@ -1008,11 +1147,26 @@ class HudiWriter:
         base_of = {fid: bi for _p, fid, bi, _rel, _lrs in slices}
         incoming = df.withColumn("__key", self._key_expr())
         self._check_unique_keys(incoming)
-        base = self.spark.read.parquet(*base_paths)
-        index = base.select(
-            F.col("_hoodie_record_key").alias("__key"),
-            F.col("_hoodie_partition_path").alias("__part"),
-            F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+        cand = self._bloom_candidate_set(
+            incoming,
+            [(p, fid, rel) for p, fid, _bi, rel, _lrs in slices],
+        )
+        if cand is not None:
+            base_paths = [
+                os.path.join(table_path, rel)
+                for p, fid, _bi, rel, _lrs in slices
+                if (p, fid) in cand
+            ]
+        index = (
+            self.spark.read.parquet(*base_paths).select(
+                F.col("_hoodie_record_key").alias("__key"),
+                F.col("_hoodie_partition_path").alias("__part"),
+                F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+            )
+            if base_paths
+            else self.spark.createDataFrame(
+                [], "__key string, __part string, __fid string"
+            )
         )
         tagged = incoming.join(index, "__key", "left")
         tagged.persist()
@@ -1132,10 +1286,26 @@ class HudiWriter:
         base_paths = [
             os.path.join(table_path, rel) for _, _, _, rel, _ in slices
         ]
-        index = self.spark.read.parquet(*base_paths).select(
-            F.col("_hoodie_record_key").alias("__key"),
-            F.col("_hoodie_partition_path").alias("__part"),
-            F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+        cand = self._bloom_candidate_set(
+            incoming,
+            [(p, fid, rel) for p, fid, _bi, rel, _lrs in slices],
+        )
+        if cand is not None:
+            base_paths = [
+                os.path.join(table_path, rel)
+                for p, fid, _bi, rel, _lrs in slices
+                if (p, fid) in cand
+            ]
+        index = (
+            self.spark.read.parquet(*base_paths).select(
+                F.col("_hoodie_record_key").alias("__key"),
+                F.col("_hoodie_partition_path").alias("__part"),
+                F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+            )
+            if base_paths
+            else self.spark.createDataFrame(
+                [], "__key string, __part string, __fid string"
+            )
         )
         tagged = incoming.join(index, "__key", "inner").select(
             "__key", "__part", "__fid"

@@ -991,3 +991,80 @@ def test_hudiincr_starting_instant_option(spark, tmp_path):
     assert sorted(r["k"] for r in feed.select("k").collect()) == list(
         range(50, 60)
     )
+
+
+def test_bloom_codec_no_false_negatives(tmp_path):
+    from plankton_spark.sources.hudi_bloom import (
+        bloom_build,
+        bloom_decode,
+        bloom_might_contain,
+    )
+
+    keys = [f"k-{i}" for i in range(1000)]
+    dec = bloom_decode(bloom_build(keys))
+    assert all(bloom_might_contain(dec, k) for k in keys)  # NEVER misses
+    # false positives exist but stay rare at BITS_PER_KEY sizing
+    fp = sum(
+        bloom_might_contain(dec, f"absent-{i}") for i in range(2000)
+    )
+    assert fp < 20  # ~2e-4 expected; generous determinism margin
+
+
+def test_bloom_index_prunes_upsert_tagging(spark, tmp_path):
+    """The metadata table's bloom_filters partition: upsert tagging
+    reads ONLY the files whose bloom might hold an incoming key —
+    range-clustered ingest makes the prune exact — and the upsert
+    result is bit-identical to a metadata-disabled twin table
+    (false positives widen the read, never the result; no false
+    negatives by construction)."""
+    root_b = str(tmp_path / "bloomed")
+    root_p = str(tmp_path / "plain")
+    wb = HudiWriter(spark, root_b, record_key="k", metadata_table=True)
+    wp = HudiWriter(spark, root_p, record_key="k")
+    for w in (wb, wp):
+        w.create(_df(spark, 0, 100))
+        w.insert(_df(spark, 100, 200))
+        w.insert(_df(spark, 200, 300))
+    t = HudiTable(root_b)
+    slices = t.file_slices()
+    assert len(slices) == 3
+    incoming = _df(spark, 120, 180, status="B").withColumn(
+        "__key", F.col("k").cast("string")
+    )
+    cand = wb._bloom_candidate_set(
+        incoming, [(p, fid, rel) for p, fid, _ti, rel in slices]
+    )
+    assert cand is not None and len(cand) == 1  # only the 100..199 file
+    # plain table has no metadata → no pruning path
+    assert (
+        wp._bloom_candidate_set(
+            incoming,
+            [(p, fid, rel) for p, fid, _ti, rel in HudiTable(root_p).file_slices()],
+        )
+        is None
+    )
+    # differential: identical logical results, updates AND inserts
+    batch = _df(spark, 150, 320, status="B")
+    wb.upsert(batch)
+    wp.upsert(batch)
+    assert _content(read_hudi(spark, root_b)) == _content(
+        read_hudi(spark, root_p)
+    )
+    # delete through the pruned MOR path too (fresh MOR twin pair)
+    root_mb = str(tmp_path / "mor_bloomed")
+    root_mp = str(tmp_path / "mor_plain")
+    wmb = HudiWriter(
+        spark, root_mb, record_key="k", table_type="MERGE_ON_READ",
+        metadata_table=True,
+    )
+    wmp = HudiWriter(
+        spark, root_mp, record_key="k", table_type="MERGE_ON_READ"
+    )
+    for w in (wmb, wmp):
+        w.create(_df(spark, 0, 60))
+        w.insert(_df(spark, 60, 120))
+        w.upsert(_df(spark, 10, 20, status="B"))
+        w.delete_keys(spark.range(70, 80).select(F.col("id").alias("k")))
+    assert _content(read_hudi(spark, root_mb)) == _content(
+        read_hudi(spark, root_mp)
+    )
