@@ -104,13 +104,14 @@ def round_ratio6(p: Column, q: Column) -> Column:
     half-ties (round-12 sf0.1 soak): a small-integer ratio can land
     exactly on x.xxxxxx5, where Spark rounds half-up and DuckDB
     half-even. floor((2p·10⁶ + q) / 2q) computes the half-up rounding
-    in pure int64 (num − num % den is exactly divisible, so the
-    double division is exact for quotients < 2⁵³); the final /10⁶ maps
-    the same integer to the same double in both engines. SQL twin:
-    sql_ratio6."""
+    in pure int64 via Spark's integral ``div`` (IntegralDivide —
+    true 64-bit division, no double conversion), so exactness holds
+    whenever 2p·10⁶ + q fits int64 (p < ~4.6·10¹²); the final /10⁶
+    maps the same integer to the same double in both engines. SQL
+    twin: sql_ratio6."""
     num = p.cast("long") * F.lit(2000000) + q.cast("long")
     den = q.cast("long") * F.lit(2)
-    quot = ((num - num % den) / den).cast("long")
+    quot = F.call_function("div", num, den)
     return quot.cast("double") / F.lit(1000000.0)
 
 

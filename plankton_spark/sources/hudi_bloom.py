@@ -10,9 +10,9 @@ key-proportional scan of EVERY base file. Real Hudi serializes
 org.apache.hudi.common.bloom.BloomFilter (Hadoop DynamicBloomFilter
 internals — version-unstable Java serialization); this codec writes
 a DOCUMENTED self-consistent layout instead (the hudi_log.py honesty
-note): ``m`` (bits, 4-byte big-endian) | ``k`` (hashes, 4-byte) |
-ceil(m/8) bit bytes, base64-wrapped for the metadata-table string
-column.
+note): ``m`` (bits, 8-byte big-endian — 4 bytes would overflow at
+~10⁸ keys × 20 bits/key) | ``k`` (hashes, 4-byte) | ceil(m/8) bit
+bytes, base64-wrapped for the metadata-table string column.
 
 Guarantees the upsert integration relies on:
 - NO FALSE NEGATIVES: every key written to a base file is set in its
@@ -49,7 +49,16 @@ MIN_BITS = 1 << 12  # 4096 bits — floor for tiny files
 
 def _positions(key: str, m: int, k: int = BLOOM_K):
     """k deterministic bit positions for a key: SHA-256 split into
-    4-byte words (k ≤ 8), each mod m."""
+    4-byte words (k ≤ 8), each mod m. Refuses k outside [1, 8] —
+    SHA-256 yields exactly eight 4-byte words, and a silent
+    int.from_bytes(b'') = 0 for i ≥ 8 would degrade every extra
+    probe bit to position 0 instead of failing loudly."""
+    if not 1 <= k <= 8:
+        raise ValueError(
+            f"bloom k={k} out of range [1, 8]: SHA-256 provides only "
+            "eight 4-byte hash words — refusing a silently-degraded "
+            "probe (corrupt or foreign bloom blob?)"
+        )
     h = hashlib.sha256(key.encode("utf-8")).digest()
     for i in range(k):
         yield int.from_bytes(h[4 * i : 4 * i + 4], "big") % m
@@ -64,14 +73,21 @@ def bloom_build(keys) -> str:
         for pos in _positions(str(key), m):
             bits[pos >> 3] |= 1 << (pos & 7)
     return base64.b64encode(
-        struct.pack(">ii", m, BLOOM_K) + bytes(bits)
+        struct.pack(">qi", m, BLOOM_K) + bytes(bits)
     ).decode("ascii")
 
 
 def bloom_decode(blob: str) -> tuple[int, int, bytes]:
     raw = base64.b64decode(blob)
-    m, k = struct.unpack(">ii", raw[:8])
-    return m, k, raw[8:]
+    m, k = struct.unpack(">qi", raw[:12])
+    if not 1 <= k <= 8:
+        raise ValueError(
+            f"bloom blob declares k={k}, outside this codec's "
+            "supported [1, 8] — refusing (see _positions)"
+        )
+    if m <= 0:
+        raise ValueError(f"bloom blob declares m={m} <= 0 — refusing")
+    return m, k, raw[12:]
 
 
 def bloom_might_contain(decoded: tuple[int, int, bytes], key: str) -> bool:

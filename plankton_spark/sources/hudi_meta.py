@@ -660,6 +660,45 @@ class HudiWriter:
             )
             for p, n in deletes
         ]
+        # A removed file's column_stats and bloom_filters records
+        # tombstone WITH it — otherwise those partitions grow without
+        # bound and every upsert's bloom probe collects ever more
+        # stale blooms (the bounded-broadcast claim). The bloom key is
+        # deterministic (one per file); column_stats keys are
+        # per-column, so one bounded metadata read recovers the live
+        # keys to mark. Harmless if the partitions never held the
+        # file (latest-wins merge just sees a deleted-only record).
+        if deletes:
+            mpath0 = os.path.join(self.meta_dir, "metadata")
+            del_set = {(p, n) for p, n in deletes}
+            rows += [
+                (
+                    "bloom_filters", f"bloom_filters#{p}#{n}", p, n,
+                    0, True, None, None, None, None, None,
+                )
+                for p, n in deletes
+            ]
+            if os.path.isfile(
+                os.path.join(mpath0, ".hoodie", "hoodie.properties")
+            ):
+                live_cs = (
+                    read_hudi(
+                        self.spark, mpath0, partition_path="column_stats"
+                    )
+                    .where(~F.col("deleted"))
+                    .select("part", "fname", "col")
+                    .collect()
+                )
+                rows += [
+                    (
+                        "column_stats",
+                        f"column_stats#{r['part']}#{r['fname']}#{r['col']}",
+                        r["part"], r["fname"], 0, True,
+                        r["col"], None, None, None, None,
+                    )
+                    for r in live_cs
+                    if (r["part"], r["fname"]) in del_set
+                ]
         # COLUMN_STATS partition: per-(file, column) min/max/nullCount
         # from the parquet footer (metadata-scale IO at write time,
         # the same budget the converters already spend) — the input to
@@ -908,6 +947,7 @@ class HudiWriter:
             for r in read_hudi(
                 self.spark, mpath, partition_path="bloom_filters"
             )
+            .where(~F.col("deleted"))  # retention-tombstoned blooms out
             .select("part", "fname", "bloom")
             .collect()
         }
@@ -1833,14 +1873,37 @@ class HudiIncrStreamReader(DataSourceStreamReader):
     def _instants(self):
         return HudiTable(self.path).data_instants()
 
-    @staticmethod
-    def _last(offset: dict, instants) -> str:
+    def _last(self, offset: dict, instants) -> str:
         """Last-consumed instant time from an offset dict. Accepts the
         legacy ordinal form ({"pos": n}, a pre-instant-time checkpoint)
-        by mapping the position back onto the current timeline."""
+        by mapping the position back onto the current timeline — but
+        REFUSES when the timeline shows evidence of out-of-order
+        completion (a completed-instant file whose mtime precedes an
+        earlier-sorting instant's): that is exactly the hazard that
+        shifts ordinals, so the mapping could replay or skip a batch.
+        Residual imprecision (documented): inversions finer than the
+        filesystem mtime tick are unobservable, so a same-tick foreign
+        out-of-order commit can still slip through ONCE before the
+        checkpoint converts to the instant-time form."""
         if "last" in offset:
             return offset["last"]
         pos = offset.get("pos", 0)
+        if pos > 0:
+            meta_dir = os.path.join(self.path, ".hoodie")
+            mtimes = [
+                os.path.getmtime(os.path.join(meta_dir, f"{ti}.{a}"))
+                for ti, a in instants
+                if os.path.isfile(os.path.join(meta_dir, f"{ti}.{a}"))
+            ]
+            if any(b < a for a, b in zip(mtimes, mtimes[1:])):
+                raise ValueError(
+                    f"{self.path}: legacy ordinal offset {{'pos': "
+                    f"{pos}}} cannot be mapped safely — the timeline "
+                    "shows out-of-order instant completion, so "
+                    "ordinals may have shifted since the checkpoint; "
+                    "restart from a fresh checkpoint (offsets now "
+                    "carry instant times)"
+                )
         return instants[pos - 1][0] if 0 < pos <= len(instants) else ""
 
     def initialOffset(self) -> dict:
@@ -1988,7 +2051,7 @@ def prune_slices_by_stats(spark, table_path: str, slices, stats_filter):
     st = read_hudi(spark, mpath, partition_path="column_stats")
     ranges = {
         (r["part"], r["fname"]): (json.loads(r["vmin"]), json.loads(r["vmax"]))
-        for r in st.where(F.col("col") == col)
+        for r in st.where((F.col("col") == col) & ~F.col("deleted"))
         .select("part", "fname", "vmin", "vmax")
         .collect()
     }
