@@ -1088,3 +1088,104 @@ def q_hudi_bloom_index(spark, sf_dir):
         F.lit(len(slices)).cast("long").alias("n_slices_total"),
         F.lit(len(cand)).cast("long").alias("n_index_files_read"),
     )
+
+
+@query(
+    "q_hudi_precombine",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 1000
+    ),
+    upd_win AS (
+      SELECT o_orderkey, 'Y' AS o_orderstatus,
+             o_totalprice + 20 AS o_totalprice
+      FROM base WHERE o_orderkey < 200
+    ),
+    ins_win AS (
+      SELECT o_orderkey, 'J' AS o_orderstatus,
+             o_totalprice + 2 AS o_totalprice
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 2100
+    ),
+    final AS (
+      SELECT * FROM base WHERE o_orderkey >= 200
+      UNION ALL SELECT * FROM upd_win
+      UNION ALL SELECT * FROM ins_win
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum,
+           CAST(SUM(CASE WHEN o_orderstatus IN ('X', 'I') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_losers,
+           CAST((SELECT COUNT(*) FROM upd_win) AS BIGINT) AS n_upd_winners,
+           CAST((SELECT COUNT(*) FROM ins_win) AS BIGINT) AS n_ins_winners
+    FROM final
+    """,
+)
+def q_hudi_precombine(spark, sf_dir):
+    """Hudi PRECOMBINE-field upsert (round-12 verdict item 1 — the
+    duplicate-key refusal narrowed): a table created with
+    ``precombine=`` stores ``hoodie.table.precombine.field`` and
+    collapses duplicate-key upsert batches LATEST-WINS on that column
+    BEFORE tagging (real Hudi's preCombine step — one keyed window at
+    write grain, the same shuffle the tagging join pays). The batch
+    here carries TWO versions of every touched key — updates (status
+    'X' at price+10 vs 'Y' at price+20) and brand-new inserts ('I' at
+    +1 vs 'J' at +2) — and the snapshot must hold exactly the higher-
+    precombine version of each, with zero losers ('X'/'I') written.
+    The insert wave runs through a RE-OPENED writer (no precombine
+    argument) to pin that the property round-trips through
+    hoodie.properties. Ties on the precombine value refuse
+    (deterministic-results posture; real Hudi picks arbitrarily);
+    tables with NO declared precombine still refuse duplicate-key
+    batches loudly."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
+    root = _fresh(sf_dir, "hudi_precombine")
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark, root, record_key="o_orderkey", precombine="o_totalprice"
+    )
+    base = o.where(k < 1000)
+    w.create(base)
+    upd = base.where(k < 200)
+    dup_updates = upd.withColumn("o_orderstatus", F.lit("X")).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10
+    ).unionByName(
+        upd.withColumn("o_orderstatus", F.lit("Y")).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 20
+        )
+    )
+    w.upsert(dup_updates)
+    # precombine survives table reopen: the second writer reads it
+    # back from hoodie.properties
+    w2 = HudiWriter(spark, root)
+    ins = o.where((k >= 2000) & (k < 2100))
+    dup_inserts = ins.withColumn("o_orderstatus", F.lit("I")).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1
+    ).unionByName(
+        ins.withColumn("o_orderstatus", F.lit("J")).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 2
+        )
+    )
+    w2.upsert(dup_inserts)
+    snap = read_hudi(spark, root)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("price_sum"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("X", "I"), 1).otherwise(0)
+        ).cast("long").alias("n_losers"),
+        F.sum(F.when(F.col("o_orderstatus") == "Y", 1).otherwise(0))
+        .cast("long").alias("n_upd_winners"),
+        F.sum(F.when(F.col("o_orderstatus") == "J", 1).otherwise(0))
+        .cast("long").alias("n_ins_winners"),
+    )

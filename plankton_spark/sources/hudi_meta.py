@@ -140,6 +140,15 @@ class HudiTable:
         return f or None
 
     @property
+    def precombine_field(self) -> str | None:
+        """Declared precombine column (hoodie.table.precombine.field):
+        duplicate-key upsert batches collapse latest-wins on it BEFORE
+        tagging (real Hudi's preCombine step). None = not declared —
+        duplicate-key batches refuse."""
+        f = self.props.get("hoodie.table.precombine.field", "")
+        return f or None
+
+    @property
     def virtual_keys(self) -> bool:
         """hoodie.populate.meta.fields=false: files carry NO _hoodie_*
         meta columns; record identity is the declared key field (the
@@ -530,6 +539,7 @@ class HudiWriter:
         group_buckets: int = 1,
         table_type: str = "COPY_ON_WRITE",
         metadata_table: bool = False,
+        precombine: str | None = None,
     ):
         # group_buckets bounds FILE-GROUP size, not correctness: each
         # insert fans new records into this many groups per partition
@@ -573,12 +583,14 @@ class HudiWriter:
                 )
             self.record_key = t.record_key_field
             self.partition_field = t.partition_field
+            self.precombine = t.precombine_field
         else:
             if record_key is None:
                 raise ValueError("record_key is required to create a table")
             self.table_type = table_type
             self.record_key = record_key
             self.partition_field = partition_field
+            self.precombine = precombine
 
     @property
     def _is_mor(self) -> bool:
@@ -834,6 +846,18 @@ class HudiWriter:
         }
         if self._metadata_enabled:
             props["hoodie.metadata.enable"] = "true"
+        if self.precombine:
+            if self.precombine not in df.columns:
+                raise ValueError(
+                    f"{self.table_path}: precombine field "
+                    f"{self.precombine!r} not in the incoming schema"
+                )
+            # the spec's table-level property, plus the write-config
+            # alias foreign tooling reads
+            props["hoodie.table.precombine.field"] = self.precombine
+            props["hoodie.datasource.write.precombine.field"] = (
+                self.precombine
+            )
         _write_props(os.path.join(self.meta_dir, "hoodie.properties"), props)
         return self.insert(df, op="bulk_insert")
 
@@ -898,10 +922,10 @@ class HudiWriter:
         return self._merge(keys_df, delete=True)
 
     def _check_unique_keys(self, keyed) -> None:
-        """Refuse an upsert/delete batch carrying DUPLICATE record
-        keys: real Hudi collapses them with the precombine field
-        BEFORE the write; with no precombine declared here, writing
-        them would duplicate rows (COW) or make the log merge
+        """Refuse an upsert batch carrying DUPLICATE record keys when
+        NO precombine field is declared: real Hudi collapses them
+        with the precombine field BEFORE the write; without one,
+        writing them would duplicate rows (COW) or make the log merge
         nondeterministic (MOR) — refuse loudly instead. One bounded
         aggregate job per batch."""
         dup = (
@@ -913,9 +937,60 @@ class HudiWriter:
         if dup:
             raise ValueError(
                 f"{self.table_path}: incoming batch carries duplicate "
-                f"record keys (e.g. {dup[0]['__key']!r}) — dedupe the "
-                "batch first (Hudi's precombine step)"
+                f"record keys (e.g. {dup[0]['__key']!r}) and the table "
+                "declares no precombine field — dedupe the batch, or "
+                "create the table with precombine= "
+                "(hoodie.table.precombine.field) so Hudi's preCombine "
+                "step collapses them latest-wins"
             )
+
+    def _collapse_precombine(self, keyed, delete: bool = False):
+        """Hudi's preCombine step: collapse duplicate-key rows in an
+        upsert batch LATEST-WINS on the declared precombine field
+        (hoodie.table.precombine.field) BEFORE tagging — one keyed
+        window at write grain, the same shuffle the tagging join pays
+        anyway. Precombine TIES refuse: real Hudi's
+        OverwriteWithLatestAvroPayload picks an arbitrary winner
+        there, and this engine never writes nondeterministic results.
+        DELETE batches collapse to distinct keys unconditionally
+        (deleting a key twice in one batch is one delete). Without a
+        precombine field, a duplicate-key upsert batch still refuses
+        loudly (_check_unique_keys)."""
+        if delete:
+            return keyed.dropDuplicates(["__key"])
+        if not self.precombine:
+            self._check_unique_keys(keyed)
+            return keyed
+        pc = self.precombine
+        if pc not in keyed.columns:
+            raise ValueError(
+                f"{self.table_path}: precombine field {pc!r} missing "
+                "from the incoming batch"
+            )
+        w = Window.partitionBy("__key").orderBy(
+            F.col(pc).desc_nulls_last()
+        )
+        collapsed = (
+            keyed.withColumn("__pc_rank", F.rank().over(w))
+            .where(F.col("__pc_rank") == 1)
+            .drop("__pc_rank")
+        )
+        # rank() hands every tied top row rank 1, so any key still
+        # duplicated after the cut IS a precombine tie
+        tie = (
+            collapsed.groupBy("__key")
+            .count()
+            .where(F.col("count") > 1)
+            .take(1)
+        )
+        if tie:
+            raise ValueError(
+                f"{self.table_path}: duplicate-key rows tie on the "
+                f"precombine field {pc!r} (e.g. key "
+                f"{tie[0]['__key']!r}) — no deterministic winner; "
+                "break the tie in the batch"
+            )
+        return collapsed
 
     def _bloom_candidate_set(self, incoming, file_entries):
         """BLOOM-INDEX pruning for the upsert/delete tagging join:
@@ -993,7 +1068,7 @@ class HudiWriter:
         slices = t.file_slices()
         prev = {(p, fid): ti for p, fid, ti, _ in slices}
         incoming = df.withColumn("__key", self._key_expr())
-        self._check_unique_keys(incoming)
+        incoming = self._collapse_precombine(incoming, delete=delete)
         # global simple index: key → (partition, fileId) from the
         # snapshot's meta columns only (two-column projection — the
         # scan prunes everything else); with the metadata table's
@@ -1186,7 +1261,7 @@ class HudiWriter:
         }
         base_of = {fid: bi for _p, fid, bi, _rel, _lrs in slices}
         incoming = df.withColumn("__key", self._key_expr())
-        self._check_unique_keys(incoming)
+        incoming = self._collapse_precombine(incoming)
         cand = self._bloom_candidate_set(
             incoming,
             [(p, fid, rel) for p, fid, _bi, rel, _lrs in slices],
@@ -1322,7 +1397,7 @@ class HudiWriter:
         }
         base_of = {fid: bi for _p, fid, bi, _rel, _lrs in slices}
         incoming = keys_df.withColumn("__key", self._key_expr())
-        self._check_unique_keys(incoming)
+        incoming = self._collapse_precombine(incoming, delete=True)
         base_paths = [
             os.path.join(table_path, rel) for _, _, _, rel, _ in slices
         ]

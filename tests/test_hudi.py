@@ -1096,3 +1096,55 @@ def test_bloom_codec_property(tmp_path):
         assert k == 7 and m >= 4096 and len(bits) == (m + 7) // 8
 
     check()
+
+
+def test_precombine_collapses_dup_key_batches(spark, tmp_path):
+    """A table created with precombine= collapses duplicate-key
+    upsert batches latest-wins on that column (COW and MOR), refuses
+    precombine TIES, collapses delete batches to distinct keys, and
+    round-trips the property through hoodie.properties."""
+    from plankton_spark.sources.hudi_meta import HudiTable
+
+    def mk(n):
+        return spark.createDataFrame(
+            [(i, 0, "A") for i in range(n)], "k int, ts int, s string"
+        )
+
+    dup = spark.createDataFrame(
+        [(3, 5, "B"), (3, 9, "C"), (99, 1, "N"), (99, 7, "M")],
+        "k int, ts int, s string",
+    )
+    for ttype in ("COPY_ON_WRITE", "MERGE_ON_READ"):
+        root = str(tmp_path / ttype.lower())
+        w = HudiWriter(
+            spark, root, record_key="k", table_type=ttype, precombine="ts"
+        )
+        w.create(mk(10))
+        t = HudiTable(root)
+        assert t.precombine_field == "ts"
+        assert (
+            t.props["hoodie.datasource.write.precombine.field"] == "ts"
+        )
+        # reopened writer reads precombine back from props
+        w2 = HudiWriter(spark, root)
+        assert w2.precombine == "ts"
+        w2.upsert(dup)
+        rows = {
+            r["k"]: (r["ts"], r["s"])
+            for r in read_hudi(spark, root).collect()
+        }
+        assert rows[3] == (9, "C") and rows[99] == (7, "M")
+        assert len(rows) == 11
+        # ties have no deterministic winner — refuse
+        tie = spark.createDataFrame(
+            [(5, 1, "X"), (5, 1, "Y")], "k int, ts int, s string"
+        )
+        with pytest.raises(ValueError, match="tie"):
+            w2.upsert(tie)
+        # duplicate-key DELETE batches collapse to distinct keys
+        w2.delete_keys(
+            spark.createDataFrame(
+                [(3, 0, "z"), (3, 0, "z")], "k int, ts int, s string"
+            )
+        )
+        assert 3 not in {r["k"] for r in read_hudi(spark, root).collect()}
