@@ -160,18 +160,45 @@ _SHINGLES_SQL = """
   FROM documents
 """
 
+# Blocked exact-Jaccard pair derivation for the dedup oracles (round-13
+# verdict item 2 — the sf0.1-deferred oracles): instead of the all-pairs
+# O(N²) join, candidate pairs come from a SHARED-SHINGLE self-join — a
+# LOSSLESS block, because Jaccard >= 0.8 > 0 forces a non-empty
+# intersection, i.e. at least one shared shingle (shingle lists are
+# never empty: GREATEST(...,1) always yields one slice). Verification
+# on the candidates is the same exact integer-threshold Jaccard, so the
+# pair set is IDENTICAL to the brute-force formulation — just computed
+# in O(sum per-shingle doc-pair collisions) instead of O(N²) (sf0.1:
+# 1 460 candidates vs 12.5M all-pairs). CTE body only (callers prepend
+# WITH / WITH RECURSIVE); exposes `pairs(doc_a, doc_b, i, u)`.
+_BLOCKED_PAIRS_SQL = f"""
+    sh AS ({_SHINGLES_SQL}),
+    sets AS (SELECT doc_id, list(DISTINCT shingle) AS s FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             LENGTH(list_intersect(sa.s, sb.s)) AS i,
+             LENGTH(sa.s) + LENGTH(sb.s)
+               - LENGTH(list_intersect(sa.s, sb.s)) AS u
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.doc_a
+      JOIN sets sb ON sb.doc_id = c.doc_b
+    ),
+    pairs AS (SELECT doc_a, doc_b, i, u FROM scored WHERE 5 * i >= 4 * u)
+"""
+
 
 @query(
     "q_dedup_minhash",
     oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    sets AS (SELECT doc_id, list(DISTINCT shingle) AS s FROM sh GROUP BY doc_id)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST((2 * (LENGTH(list_intersect(a.s, b.s))) * 1000000 + (LENGTH(a.s) + LENGTH(b.s) - LENGTH(list_intersect(a.s, b.s)))) // (2 * (LENGTH(a.s) + LENGTH(b.s) - LENGTH(list_intersect(a.s, b.s)))) AS DOUBLE) / 1000000.0 AS jaccard
-    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-    WHERE 5 * LENGTH(list_intersect(a.s, b.s))
-          >= 4 * (LENGTH(a.s) + LENGTH(b.s)
-                  - LENGTH(list_intersect(a.s, b.s)))
+    WITH {_BLOCKED_PAIRS_SQL}
+    SELECT doc_a, doc_b,
+           CAST((2 * i * 1000000 + u) // (2 * u) AS DOUBLE) / 1000000.0
+             AS jaccard
+    FROM pairs
     """,
 )
 def q_dedup_minhash(spark, sf_dir):
@@ -179,8 +206,11 @@ def q_dedup_minhash(spark, sf_dir):
 
     Pipeline: distinct 5-gram shingles → 64 seeded xxhash64 min-hashes
     per doc → 8 bands × 8 rows → band-bucket self-join for candidates
-    → exact Jaccard verification ≥ 0.8. The oracle is the brute-force
-    O(n²) Jaccard; LSH must match it exactly at this threshold.
+    → exact Jaccard verification ≥ 0.8. The oracle derives the SAME
+    pair set via shared-shingle blocking + exact verification
+    (_BLOCKED_PAIRS_SQL — lossless at any positive threshold, and
+    what keeps the oracle tractable at sf0.1+); LSH must match it
+    exactly at this threshold.
     """
     sets, band_rows = minhash_structures(spark, sf_dir)
     candidates = lsh_band_candidates(band_rows)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from plankton_spark import cache
 from plankton_spark.functions import dsum, sql_sum
+from plankton_spark.queries.llm_dedup import _BLOCKED_PAIRS_SQL
 from plankton_spark.io import read_table
 from plankton_spark.registry import query
 
@@ -128,23 +129,8 @@ def q_sample_stratified(spark, sf_dir):
 
 @query(
     "q_dedup_components",
-    oracle="""
-    WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(LENGTH(list_intersect(a.s, b.s)) AS DOUBLE)
-               / (LENGTH(a.s) + LENGTH(b.s) - LENGTH(list_intersect(a.s, b.s))) AS j
-        FROM (SELECT doc_id, list_distinct(list_transform(
-                 generate_series(1, GREATEST(LENGTH(string_split(text,' ')) - 4, 1)),
-                 i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS s
-              FROM documents) a
-        JOIN (SELECT doc_id, list_distinct(list_transform(
-                 generate_series(1, GREATEST(LENGTH(string_split(text,' ')) - 4, 1)),
-                 i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS s
-              FROM documents) b
-          ON a.doc_id < b.doc_id
-      ) WHERE j >= 0.8
-    ),
+    oracle=f"""
+    WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
@@ -548,23 +534,8 @@ def q_agg_skewsalt(spark, sf_dir):
 
 @query(
     "q_dedup_canonical",
-    oracle="""
-    WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(LENGTH(list_intersect(a.s, b.s)) AS DOUBLE)
-               / (LENGTH(a.s) + LENGTH(b.s) - LENGTH(list_intersect(a.s, b.s))) AS j
-        FROM (SELECT doc_id, list_distinct(list_transform(
-                 generate_series(1, GREATEST(LENGTH(string_split(text,' ')) - 4, 1)),
-                 i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS s
-              FROM documents) a
-        JOIN (SELECT doc_id, list_distinct(list_transform(
-                 generate_series(1, GREATEST(LENGTH(string_split(text,' ')) - 4, 1)),
-                 i -> array_to_string((string_split(text,' '))[i:i+4], ' '))) AS s
-              FROM documents) b
-          ON a.doc_id < b.doc_id
-      ) WHERE j >= 0.8
-    ),
+    oracle=f"""
+    WITH RECURSIVE {_BLOCKED_PAIRS_SQL},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION SELECT doc_b, doc_a FROM pairs
