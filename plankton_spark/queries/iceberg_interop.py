@@ -2165,3 +2165,107 @@ def q_iceberg_changelog_multispec(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@query(
+    "q_stream_iceberg_cdf_eq",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_custkey AS c FROM orders
+      WHERE o_orderkey < 1200
+    ),
+    ch AS (
+      SELECT CAST(1 AS BIGINT) AS sid, 'insert' AS ct, k, c
+      FROM o WHERE k < 1000
+      UNION ALL
+      SELECT 2, 'insert', k, c FROM o WHERE k >= 1000
+      UNION ALL
+      SELECT 3, 'delete', k, c FROM o WHERE k < 1000 AND k % 5 = 0
+      UNION ALL
+      SELECT 4, 'insert', k, c FROM o WHERE k < 1000 AND k % 10 = 0
+      UNION ALL
+      SELECT 5, 'delete', k, c FROM o WHERE k % 20 = 0
+    )
+    SELECT sid, ct AS change_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(c) AS BIGINT) AS cust_sum
+    FROM ch GROUP BY sid, ct
+    """,
+)
+def q_stream_iceberg_cdf_eq(spark, sf_dir):
+    """The STREAMING Iceberg changelog over EQUALITY-DELETED ranges
+    (round-12 verdict item 3 — the last icebergcdf refusal,
+    deleted): planning folds each eq delete file into a
+    {key_tuple: max_delete_seq} payload (driver IO bounded by delete
+    rows, the DV precedent) and ships it INSIDE the partitions, so
+    the batch path's live-set diff evaluates per file with the
+    reader join-free. The lifecycle is the sequence-rule gauntlet
+    with a MID-STREAM RESTART on top: the appends drain; then an eq
+    delete (s3), a re-insert of a subset of the deleted keys (s4 —
+    those rows outrank the s3 delete and must NOT re-die), and a
+    SECOND eq delete (s5) land while the consumer is down. s5's
+    carried-file diff must kill k%20==0 rows in the s4 file (seq 4 <
+    5) and in the s2 file, but NOT re-emit deletes for rows s3
+    already killed in the s1 files — exactly the prev-live ∧
+    cur-dead mask. Oracle = the relational recompute of all five
+    change sets (the batch q_iceberg_changelog_eq contract, extended
+    one boundary)."""
+    import uuid as _uuid
+
+    root = _scratch(sf_dir, "stream_iceberg_cdf_eq")
+    shutil.rmtree(root, ignore_errors=True)
+    sink = root + "_sink"
+    ckpt = root + "_ckpt"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    from plankton_spark.sources.iceberg_meta import IcebergWriter, register
+
+    register(spark)
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") < 1200)
+        .select("o_orderkey", "o_custkey")
+    )
+    k = F.col("o_orderkey")
+    w = IcebergWriter(spark, root)
+    w.create(o.where(k < 1000).repartition(1).sortWithinPartitions("o_orderkey"))
+    w.append(o.where(k >= 1000).repartition(1).sortWithinPartitions("o_orderkey"))
+
+    def drain():
+        q = (
+            spark.readStream.format("icebergcdf")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(f"icdfeq_{_uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # snapshots 1-2
+    w.delete_where_eq(
+        o.where((k < 1000) & (k % 5 == 0)).select("o_orderkey")
+    )                                                   # s3: eq delete
+    w.append(
+        o.where((k < 1000) & (k % 10 == 0))
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )                                                   # s4: re-insert
+    w.delete_where_eq(
+        o.where(k % 20 == 0).select("o_orderkey")
+    )                                                   # s5: second eq
+    drain()  # restart: snapshots 3-5 only
+    feed = spark.read.parquet(sink)
+    return feed.groupBy(
+        F.col("_snapshot_id").alias("sid"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("o_custkey").cast("long").alias("cust_sum"),
+    )

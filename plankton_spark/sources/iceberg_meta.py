@@ -4700,10 +4700,10 @@ def read_iceberg_changelog(
     survives a spec change — including eq-deleted multi-spec
     boundaries (deletes are spec-agnostic: sequenced by data file,
     matched by value, so the live-set diff composes with the
-    per-spec assembly). The STREAMING icebergcdf source still
-    refuses eq-deleted ranges
-    (per-file partition readers can't carry the cross-file join).
-    Per-file DV
+    per-spec assembly). The STREAMING icebergcdf source handles
+    eq-deleted ranges too (round 13): planning computes the same
+    live-set diff into per-partition key payloads, keeping each
+    per-file reader join-free. Per-file DV
     index sets decode once per snapshot boundary (bounded by deleted
     rows — the same driver budget the DV writers accept); the row
     scans themselves are native parquet with the (file, position)
@@ -5000,9 +5000,23 @@ def read_iceberg_changelog(
 
 
 class _IceChangePartition(InputPartition):
+    """One self-contained file read of the changelog stream. Beyond
+    the position payloads (drop/keep), EQUALITY-DELETED boundaries
+    ship per-partition KEY payloads computed at planning time:
+    ``eq_groups`` is [(key_col_names, {key_tuple: max_delete_seq})]
+    and a row is eq-dead when its key tuple maps to a delete sequence
+    STRICTLY GREATER than ``data_seq`` (the spec's sequence rule,
+    evaluated locally — the per-file reader stays join-free).
+    ``prev_drop``/``prev_eq`` switch the partition into DIFF mode
+    (carried file at an eq boundary): emit rows live under the prev
+    payload but dead under the cur payload — the live-set diff, per
+    file, with no cross-file traffic."""
+
     def __init__(
         self, path: str, pv: dict, change_type: str, sid: int,
         drop_positions=None, keep_positions=None,
+        eq_groups=None, data_seq=None, prev_drop=None, prev_eq=None,
+        diff=False,
     ):
         self.path = path
         self.pv = pv
@@ -5010,6 +5024,11 @@ class _IceChangePartition(InputPartition):
         self.sid = sid
         self.drop_positions = drop_positions
         self.keep_positions = keep_positions
+        self.eq_groups = eq_groups or []
+        self.data_seq = data_seq
+        self.prev_drop = prev_drop
+        self.prev_eq = prev_eq or []
+        self.diff = diff
 
 
 class IcebergCdfDataSource(DataSource):
@@ -5049,7 +5068,11 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
     change sets under read_iceberg_changelog's rules: ADDED files as
     inserts (minus carried DVs), REMOVED files' pre-snapshot rows as
     deletes, DV GROWTH as exactly the newly-marked positions,
-    `replace` snapshots silent, equality-deleted snapshots refuse;
+    `replace` snapshots silent; EQUALITY-DELETED boundaries work
+    (round 13): planning folds each eq delete file into a
+    {key_tuple: max_seq} payload (driver IO bounded by delete rows —
+    the DV budget) and ships it inside the partitions, so the batch
+    path's live-set diff runs per file with zero cross-file traffic;
     PARTITION-EVOLVED (multi-spec) ranges work — each partition's
     reader fills missing identity columns from ITS OWN file's
     partition record, so the per-file read was spec-agnostic all
@@ -5099,25 +5122,68 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
             "this consumer; restart from a fresh checkpoint"
         )
 
+    @staticmethod
+    def _eq_payload(t, eqs):
+        """Equality-delete KEY payload for planning: read each eq
+        delete file ONCE on the driver (pyarrow — bounded by delete
+        rows, the same driver budget the DV position sets accept) and
+        fold per equality_ids group into {key_tuple: max_delete_seq}
+        (the spec's "exists a matching delete with seq > data_seq" ≡
+        "max seq per key > data_seq" reduction, the batch path's
+        _apply_equality_deletes rule evaluated as a payload). Columns
+        resolve by parquet field id when the footer carries ids, else
+        by current name — mirroring the batch path."""
+        from collections import defaultdict
+
+        import pyarrow.parquet as _pq
+
+        groups: dict[tuple[str, ...], dict] = defaultdict(dict)
+        for path, ids, seq in sorted(eqs):
+            cols = tuple(t.field_name_by_id(i) for i in ids)
+            tbl = _pq.read_table(path)
+            arrs = []
+            for fid, cname in zip(ids, cols):
+                col = None
+                for i, f in enumerate(tbl.schema):
+                    md = f.metadata or {}
+                    if md.get(b"PARQUET:field_id") == str(fid).encode():
+                        col = tbl.column(i)
+                        break
+                if col is None:
+                    col = tbl.column(cname)
+                arrs.append(col.to_pylist())
+            m = groups[cols]
+            for key in zip(*arrs):
+                if m.get(key, -(1 << 62)) < int(seq):
+                    m[key] = int(seq)
+        return [(list(c), m) for c, m in sorted(groups.items())]
+
     def partitions(self, start: dict, end: dict):
         from plankton_spark.sources import puffin as _puffin
 
         t = IcebergTable(self.path)
         snaps = t.metadata.get("snapshots") or []
         out: list[_IceChangePartition] = []
-        cache: dict[int | None, tuple[dict, dict]] = {}
+        cache: dict[int | None, tuple[dict, dict, list, dict]] = {}
 
         def state(sid: int | None):
             if sid in cache:
                 return cache[sid]
             if sid is None:
-                cache[sid] = ({}, {})
+                cache[sid] = ({}, {}, [], {})
                 return cache[sid]
             full, pos_dels, eq_dels, dv_dels = t.scan_entries_full(sid)
-            if eq_dels:
+            seq_map = {
+                os.path.basename(p): int(sq)
+                for p, _pv, sq, _s in full
+                if sq is not None
+            }
+            if eq_dels and len(seq_map) != len(full):
                 raise ValueError(
                     f"{self.path}: changelog stream over an equality-"
-                    "deleted snapshot is not supported"
+                    "deleted snapshot whose data files carry no "
+                    "sequence numbers — the deletes cannot be ordered "
+                    "(same refusal as read_iceberg)"
                 )
             files = {p: pv for p, pv, _sq, _sid2 in full}
             by_base = {os.path.basename(p): p for p in files}
@@ -5144,8 +5210,18 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
                             dvsets.setdefault(by_base[base], set()).add(
                                 int(pos)
                             )
-            cache[sid] = (files, dvsets)
+            cache[sid] = (files, dvsets, sorted(eq_dels), seq_map)
             return cache[sid]
+
+        eq_payload_cache: dict[tuple, list] = {}
+
+        def eq_payload(eqs):
+            key = tuple(eqs)
+            if key not in eq_payload_cache:
+                eq_payload_cache[key] = (
+                    self._eq_payload(t, eqs) if eqs else []
+                )
+            return eq_payload_cache[key]
 
         lo = self._pos_after(self.path, snaps, start)
         hi = self._pos_after(self.path, snaps, end)
@@ -5155,8 +5231,64 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
             if (snap.get("summary") or {}).get("operation") == "replace":
                 continue
             prev_sid = snaps[i - 1]["snapshot-id"] if i > 0 else None
-            files_prev, dv_prev = state(prev_sid)
-            files_cur, dv_cur = state(sid)
+            files_prev, dv_prev, eq_prev, seq_prev = state(prev_sid)
+            files_cur, dv_cur, eq_cur, seq_cur = state(sid)
+            if eq_prev or eq_cur:
+                # EQUALITY-DELETED boundary (the round-12 refusal,
+                # lifted): the live-set diff the batch changelog runs
+                # as a cross-file join is computed at PLANNING time
+                # into per-partition payloads — each reader applies
+                # its own file's position drops + eq-key payload
+                # locally and stays join-free. New eq delete FILES
+                # since prev decide which carried files can have
+                # newly-dead rows (eq state only accumulates).
+                pay_prev = eq_payload(eq_prev)
+                pay_cur = eq_payload(eq_cur)
+                new_eq = [e for e in eq_cur if e not in set(eq_prev)]
+                for p, pv in sorted(files_cur.items()):
+                    base = os.path.basename(p)
+                    if p not in files_prev:
+                        out.append(
+                            _IceChangePartition(
+                                p, pv, "insert", sid,
+                                drop_positions=sorted(dv_cur.get(p, ())),
+                                eq_groups=pay_cur,
+                                data_seq=seq_cur.get(base),
+                            )
+                        )
+                        continue
+                    dv_grew = set(dv_cur.get(p, ())) - set(
+                        dv_prev.get(p, ())
+                    )
+                    eq_hits = any(
+                        int(sq) > seq_cur.get(base, 1 << 62)
+                        for _pp, _ids, sq in new_eq
+                    )
+                    if dv_grew or eq_hits:
+                        out.append(
+                            _IceChangePartition(
+                                p, pv, "delete", sid,
+                                drop_positions=sorted(dv_cur.get(p, ())),
+                                eq_groups=pay_cur,
+                                data_seq=seq_cur.get(base),
+                                prev_drop=sorted(dv_prev.get(p, ())),
+                                prev_eq=pay_prev,
+                                diff=True,
+                            )
+                        )
+                for p, pv in sorted(files_prev.items()):
+                    if p not in files_cur:
+                        out.append(
+                            _IceChangePartition(
+                                p, pv, "delete", sid,
+                                drop_positions=sorted(dv_prev.get(p, ())),
+                                eq_groups=pay_prev,
+                                data_seq=seq_prev.get(
+                                    os.path.basename(p)
+                                ),
+                            )
+                        )
+                continue
             for p, pv in sorted(files_cur.items()):
                 if p in files_prev:
                     grown = sorted(
@@ -5187,6 +5319,46 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
                     )
         return out
 
+    def _eq_dead(self, batch, partition, eq_groups, target):
+        """Per-batch eq-deadness: a row is dead when its key tuple
+        maps (in some payload group) to a delete sequence strictly
+        greater than the file's data sequence. Key columns absent
+        from file content are identity partition columns — filled
+        from the partition record, typed like the main column fill.
+        Python tuple equality gives the spec's null-matches-null."""
+        import numpy as np
+        import pyarrow as pa
+
+        n = batch.num_rows
+        dead = np.zeros(n, dtype=bool)
+        ds = partition.data_seq
+        if ds is None:
+            return dead
+        for cols, keymap in eq_groups:
+            if not keymap:
+                continue
+            vals = []
+            for c in cols:
+                i = batch.schema.get_field_index(c)
+                if i >= 0:
+                    vals.append(batch.column(i).to_pylist())
+                else:
+                    fld = target.field(c)
+                    raw = partition.pv.get(c)
+                    typed = (
+                        pa.array([raw], type=pa.string())
+                        .cast(fld.type)[0]
+                        .as_py()
+                    )
+                    vals.append([typed] * n)
+            for r in range(n):
+                if dead[r]:
+                    continue
+                sq = keymap.get(tuple(v[r] for v in vals))
+                if sq is not None and sq > ds:
+                    dead[r] = True
+        return dead
+
     def read(self, partition: "_IceChangePartition"):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -5210,10 +5382,27 @@ class IcebergCdfStreamReader(DataSourceStreamReader):
 
             idx = np.arange(row_base, row_base + n)
             row_base += n
-            if keep is not None:
+            if partition.diff:
+                # carried file at an eq boundary: emit rows live
+                # under the PREV payload but dead under the CUR one
+                dead_prev = np.isin(
+                    idx, list(set(partition.prev_drop or ()))
+                ) | self._eq_dead(
+                    batch, partition, partition.prev_eq, target
+                )
+                dead_cur = np.isin(idx, list(drop)) | self._eq_dead(
+                    batch, partition, partition.eq_groups, target
+                )
+                mask = ~dead_prev & dead_cur
+            elif keep is not None:
                 mask = np.isin(idx, list(keep))
-            elif drop:
-                mask = ~np.isin(idx, list(drop))
+            elif drop or partition.eq_groups:
+                mask = ~(
+                    np.isin(idx, list(drop))
+                    | self._eq_dead(
+                        batch, partition, partition.eq_groups, target
+                    )
+                )
             else:
                 mask = None
             if mask is not None and not mask.any():

@@ -518,3 +518,72 @@ def test_icebergcdf_offsets_are_snapshot_id_keyed(spark, tmp_path):
         IcebergCdfStreamReader(root).partitions(
             first, IcebergCdfStreamReader(root).latestOffset()
         )
+
+
+def test_icebergcdf_stream_matches_batch_over_eq_deletes(spark, tmp_path):
+    """Round-13: the icebergcdf stream handles EQUALITY-DELETED
+    ranges — planning folds the eq delete files into per-partition
+    {key_tuple: max_seq} payloads so each per-file reader applies
+    the live-set diff locally (join-free). The stream's output over
+    an eq-delete → re-insert → second-eq lifecycle must equal the
+    batch changelog's exactly, including the sequence rule (the
+    re-inserted rows outrank the first delete; the second delete
+    kills them but never re-emits rows the first already killed)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from plankton_spark.sources.iceberg_meta import (
+        IcebergWriter,
+        read_iceberg_changelog,
+        register,
+    )
+
+    register(spark)
+    root = str(tmp_path / "t")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    o = spark.range(600).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("c")
+    )
+    k = F.col("k")
+    w = IcebergWriter(spark, root)
+    w.create(o.where(k < 500).coalesce(1))
+    w.append(o.where(k >= 500).coalesce(1))
+
+    def drain():
+        q = (
+            spark.readStream.format("icebergcdf")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(f"eqs_{uuid.uuid4().hex[:6]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    w.delete_where_eq(o.where((k < 500) & (k % 5 == 0)).select("k"))
+    w.append(o.where((k < 500) & (k % 10 == 0)).coalesce(1))
+    w.delete_where_eq(o.where(k % 20 == 0).select("k"))
+    drain()
+    stream = {
+        tuple(r)
+        for r in spark.read.parquet(sink)
+        .select("k", "c", "_change_type", "_snapshot_id")
+        .collect()
+    }
+    batch = {
+        tuple(r)
+        for r in read_iceberg_changelog(spark, root, 1, 5)
+        .select("k", "c", "_change_type", "_snapshot_id")
+        .collect()
+    }
+    assert stream == batch
+    # sanity: the second eq delete emitted deletes for the re-insert
+    # file's rows (seq 4 < 5) and s2's, never the already-dead ones
+    s5_dels = {r[0] for r in stream if r[3] == 5 and r[2] == "delete"}
+    assert s5_dels == {x for x in range(600) if x % 20 == 0}
