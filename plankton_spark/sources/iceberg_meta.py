@@ -684,12 +684,6 @@ def read_iceberg(
     lineage = None
     lineage_fields = None
     if with_lineage:
-        if len(spec_ids) > 1:
-            raise ValueError(
-                f"{t.table_path}: row-lineage reads over a multi-spec "
-                "(partition-evolved) snapshot are not supported — "
-                "compact to a single spec first"
-            )
         clash = sorted(
             {_ROW_ID_COL, _LAST_SEQ_COL} & {f.name for f in schema.fields}
         )
@@ -768,19 +762,18 @@ def read_iceberg(
         # at 100 TB that's the point (no rewrite), and per-group
         # assembly keeps every group's scan partition-prunable on its
         # own identity columns.
-        if pos_dels or eq_dels or dv_dels:
+        if pos_dels or eq_dels or dv_dels or lineage is not None:
             # round 12: deletes are SPEC-AGNOSTIC — position/DV
             # deletes key on file basename, equality deletes on
             # value + data sequence — so the per-spec union scan
             # (positions attached) feeds the exact same subtraction
-            # the single-spec path uses; only lineage stays refused
-            # over this combination (same boundary as OPTIMIZE).
-            if lineage is not None:
-                raise ValueError(
-                    f"{t.table_path}: lineage reads over a multi-spec "
-                    "snapshot with row-level deletes are not "
-                    "supported — compact to a single spec first"
-                )
+            # the single-spec path uses. Round 13 composes LINEAGE
+            # too (the last multi-spec refusal): lineage is likewise
+            # spec-agnostic — a per-file (first_row_id, data_seq) map
+            # joined on basename over the positioned scan, with
+            # materialized columns in the per-spec read schema
+            # winning (compacted files) — so the same pre-assembled
+            # scan feeds the single-spec lineage tail unchanged.
             data_seq = {os.path.basename(p): s for p, _pv, s, _sid in full}
             if eq_dels and len(data_seq) != len(full):
                 raise ValueError(
@@ -788,8 +781,13 @@ def read_iceberg(
                     "across directories — equality-delete sequencing "
                     "would be ambiguous"
                 )
+            ms_schema = schema
+            if lineage is not None and lineage_fields:
+                ms_schema = T.StructType(
+                    list(schema.fields) + list(lineage_fields)
+                )
             scan = _assemble_multispec(
-                spark, t, schema, full, with_pos=True
+                spark, t, ms_schema, full, with_pos=True
             )
             return _posdelete_filtered_read(
                 spark,
@@ -801,6 +799,8 @@ def read_iceberg(
                 eq_deletes=eq_dels,
                 data_seq=data_seq,
                 dv_deletes=dv_dels,
+                lineage=lineage,
+                lineage_fields=lineage_fields,
                 scan=scan,
             )
         out_cols = [f.name for f in schema.fields]
@@ -3651,10 +3651,12 @@ class IcebergWriter:
                 }
             ]
             ml_name = self._unique(f"snap-{snap_id}")
-            write_ocf_generic(
-                os.path.join(self.meta_dir, ml_name),
-                _MANIFEST_FILE_SCHEMA_V2,
-                manifests,
+            # _write_manifest_list preserves carried sequence numbers
+            # (a foreign v3/lineage table's data manifests carry them;
+            # re-listing with the seq-less record shape would zero
+            # every file's data sequence — found live, round 13)
+            _write_manifest_list(
+                os.path.join(self.meta_dir, ml_name), manifests
             )
             md = dict(table.metadata)
             md["format-version"] = 2
@@ -3910,10 +3912,11 @@ class IcebergWriter:
                 }
             ]
             ml_name = self._unique(f"snap-{snap_id}")
-            write_ocf_generic(
-                os.path.join(self.meta_dir, ml_name),
-                _MANIFEST_FILE_SCHEMA_V2,
-                manifests,
+            # same carried-seq preservation as delete_where_pos: the
+            # lineage fixture's _last_updated_sequence_number rides on
+            # these numbers
+            _write_manifest_list(
+                os.path.join(self.meta_dir, ml_name), manifests
             )
             md = dict(table.metadata)
             md["format-version"] = 3

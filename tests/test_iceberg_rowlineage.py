@@ -479,8 +479,10 @@ def test_multi_spec_compaction_preserves_lineage(spark, tmp_path):
     evolution — preserves lineage by scanning each spec group with its
     own identity columns and unioning: pre-evolution rows keep their
     ids through the spec-crossing rewrite, and the compacted table is
-    single-spec with lineage readable again (the multi-spec lineage
-    READ itself still refuses)."""
+    single-spec; since round 13 the multi-spec lineage READ works
+    directly too (per-spec union scan + the broadcast lineage join —
+    asserted mid-lifecycle below), so OPTIMIZE is an option, not a
+    prerequisite."""
     root = str(tmp_path / "ms_lin")
     w = IcebergWriter(spark, root)
     w.create(
@@ -499,8 +501,14 @@ def test_multi_spec_compaction_preserves_lineage(spark, tmp_path):
             [(100 + i, "a") for i in range(5)], "k long, grp string"
         ).repartition(1).sortWithinPartitions("k")
     )
-    with pytest.raises(ValueError, match="multi-spec"):
-        read_iceberg(spark, root, with_lineage=True).collect()
+    # round 13: the multi-spec lineage read composes (per-spec union
+    # scan + broadcast lineage join) — ids correct BEFORE any rewrite
+    mid = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert all(mid[k] == v for k, v in before.items())
+    assert sorted(mid[100 + i] for i in range(5)) == list(range(20, 25))
     w.optimize(num_files=1)
     after = {
         r["k"]: r["_row_id"]
@@ -510,3 +518,46 @@ def test_multi_spec_compaction_preserves_lineage(spark, tmp_path):
     assert sorted(after[100 + i] for i in range(5)) == list(range(20, 25))
     full, *_ = IcebergTable(root).scan_entries_full(None)
     assert len({sid for *_x, sid in full}) == 1  # compacted to one spec
+
+
+def test_dv_delete_preserves_carried_sequence_numbers(spark, tmp_path):
+    """Round-13 live fix: delete_where_dv / delete_where_pos rewrite
+    the manifest list — re-listing carried data manifests with the
+    seq-less record shape zeroed every file's data sequence number
+    (and with it _last_updated_sequence_number). Both now write via
+    _write_manifest_list; seqs must survive a DV delete, including
+    over a multi-spec snapshot with lineage read on top."""
+    import os
+
+    root = str(tmp_path / "seqkeep")
+    w = IcebergWriter(spark, root)
+    w.create(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(20)],
+            "k long, grp string",
+        ).coalesce(1)
+    )
+    w.evolve_spec(["grp"])
+    w.append(
+        spark.createDataFrame(
+            [(100 + i, "a") for i in range(5)], "k long, grp string"
+        ).coalesce(1)
+    )
+    t0 = IcebergTable(root)
+    seqs_before = {
+        os.path.basename(p): sq
+        for p, _pv, sq, _s in t0.scan_entries_full(None)[0]
+    }
+    w.delete_where_dv(F.col("k") % 4 == 0)
+    t1 = IcebergTable(root)
+    seqs_after = {
+        os.path.basename(p): sq
+        for p, _pv, sq, _s in t1.scan_entries_full(None)[0]
+    }
+    assert seqs_after == seqs_before
+    # and the multi-spec lineage read composes with the engine DVs
+    rows = {
+        r["k"]: r["_row_id"]
+        for r in read_iceberg(spark, root, with_lineage=True).collect()
+    }
+    assert set(rows) == {k for k in list(range(20)) + [100 + i for i in range(5)] if k % 4 != 0}
