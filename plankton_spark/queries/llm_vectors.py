@@ -71,6 +71,15 @@ def q_vec_norms(spark, sf_dir):
 
 GEMM_BLOCKS = 4
 
+# Scale threshold for checkpointing the blocked-GEMM survivor frame:
+# below it the double kernel execution is cheaper than a
+# materialization job (measured, round-12 bench audit at sf0.1:
+# persist made the query 1.05 s → 1.25 s); above it the kernel cost
+# dominates and one eager localCheckpoint of the TINY survivor frame
+# (≤ ~(k+margin-window)·n_queries rows) wins. 1M corpus rows ≈ the
+# point where one kernel pass clearly outweighs the checkpoint job.
+GEMM_TOPK_CHECKPOINT_MIN_ROWS = 1_000_000
+
 
 def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
                           n_blocks=None):
@@ -97,10 +106,11 @@ def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
     n_blocks=None auto-scales the base-side blocking with corpus size
     (llm_dedup.adaptive_gemm_blocks); any blocking yields identical
     results, so this is purely a task-sizing decision."""
+    n_rows = embeddings.count()
     if n_blocks is None:
         from plankton_spark.queries.llm_dedup import adaptive_gemm_blocks
 
-        n_blocks = adaptive_gemm_blocks(embeddings.count())
+        n_blocks = adaptive_gemm_blocks(n_rows)
     base = embeddings.select(
         "vec_id",
         "embedding",
@@ -160,9 +170,14 @@ def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
     # bench audit, sf0.1 warm): a persist_swap here made the query
     # SLOWER (1.05 s → 1.25 s) — the swap's materialization job plus
     # InMemoryTableScan overhead outweigh the ~0.3 s duplicated
-    # kernel at this scale — so the double-execution stays by
-    # measurement, not oversight. At 100 TB the calculus flips and a
-    # checkpoint of the (tiny) survivor frame is the right call.
+    # kernel at this scale. Past GEMM_TOPK_CHECKPOINT_MIN_ROWS the
+    # calculus flips (kernel cost grows with the corpus, the survivor
+    # frame stays ≤ ~margin-window·n_queries rows), so the documented
+    # right call is CODE: one eager localCheckpoint materializes the
+    # survivors and both consumers read the checkpointed partitions.
+    # Results are bit-equal either way (pinned in tests).
+    if n_rows >= GEMM_TOPK_CHECKPOINT_MIN_ROWS:
+        local = local.localCheckpoint(eager=True)
     # Global margin cut over the cell survivors: the k-th largest among
     # survivors equals the k-th over the full set (the true top-k all
     # survive the local pass), so this reproduces the single-block cut.

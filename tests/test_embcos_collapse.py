@@ -131,3 +131,38 @@ def test_semantic_dedup_ceiling_refuses(spark, monkeypatch):
     monkeypatch.setattr(llm_dedup, "SEMANTIC_MAX_PAIRS", 10)
     with pytest.raises(ValueError, match="exceeds the"):
         all_queries()["q_dedup_semantic"](spark, "/root/testdata/sf0.001")
+
+
+def test_gemm_topk_checkpoint_threshold_switch(spark, monkeypatch):
+    """Round-13: the blocked-GEMM survivor frame checkpoints past
+    GEMM_TOPK_CHECKPOINT_MIN_ROWS (code, not prose) — and the switch
+    is RESULT-INVISIBLE: candidate pairs bit-equal on both sides of
+    the threshold, with the checkpoint observably taken only above
+    it."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from plankton_spark.io import read_table
+    from plankton_spark.queries import llm_vectors as lv
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    calls = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(eager)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+
+    monkeypatch.setattr(lv, "GEMM_TOPK_CHECKPOINT_MIN_ROWS", 1 << 60)
+    below = sorted(
+        map(tuple, lv._gemm_topk_candidates(spark, e, 10, 5).collect())
+    )
+    assert calls == []  # below threshold: no checkpoint job
+
+    monkeypatch.setattr(lv, "GEMM_TOPK_CHECKPOINT_MIN_ROWS", 0)
+    above = sorted(
+        map(tuple, lv._gemm_topk_candidates(spark, e, 10, 5).collect())
+    )
+    assert calls == [True]  # above: exactly one eager checkpoint
+    assert below == above  # bit-equal candidates either way
