@@ -1189,3 +1189,104 @@ def q_hudi_precombine(spark, sf_dir):
         F.sum(F.when(F.col("o_orderstatus") == "J", 1).otherwise(0))
         .cast("long").alias("n_ins_winners"),
     )
+
+
+@query(
+    "q_hudi_virtual_write",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 1200
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice + 5 AS o_totalprice
+      FROM src WHERE o_orderkey < 100
+    ),
+    ins AS (
+      SELECT o_orderkey, 'N' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 2100
+    ),
+    final AS (
+      SELECT * FROM src
+      WHERE o_orderkey >= 100 AND NOT (o_orderkey % 9 = 0 AND o_orderkey < 1000)
+      UNION ALL
+      SELECT * FROM upd WHERE o_orderkey % 9 <> 0
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(SUM(CASE WHEN o_orderstatus = 'N' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST((SELECT COUNT(*) FROM src WHERE o_orderkey < 1000)
+                + (SELECT COUNT(*) FROM ins) AS BIGINT)
+             AS n_incr_slice_grain
+    FROM final
+    """,
+)
+def q_hudi_virtual_write(spark, sf_dir):
+    """VIRTUAL-KEY Hudi writes (round-12 verdict item 7 — the
+    writer refusal on converted tables, lifted): a Delta → Hudi
+    conversion authors populate.meta.fields=false, and engine
+    upserts/deletes now key on the DECLARED record-key column
+    directly — tagging and survivor anti-joins on o_orderkey, file
+    attribution via _metadata.file_path joined to a broadcast slice
+    map, NO meta-field backfill (real Hudi's virtual-key write
+    path). Lifecycle: convert (two file groups: keys <1000 /
+    1000-1199) → one upsert that updates keys <100 and inserts
+    2000-2099 (rewrites ONLY the first group + one fresh group; the
+    1000-1199 group is not read or written) → the incremental query
+    attributes at FILE-SLICE GRAIN (the documented virtual-key
+    precision limit: the rewritten slice re-emits copies, pinned as
+    count(keys<1000) + count(inserts)) → a delete wave (%9 of the
+    first group) → final snapshot relationally oracled. with_meta
+    still refuses (nothing to surface); time travel to the
+    conversion instant is asserted intact."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+    from plankton_spark.sources.hudi_meta import (
+        HudiWriter,
+        convert_delta_to_hudi,
+        read_hudi,
+    )
+
+    root = _fresh(sf_dir, "hudi_virtual_write")
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    dw = DeltaLogWriter(spark, root)
+    dw.create(o.where(k < 1000).coalesce(1))
+    dw.append(o.where((k >= 1000) & (k < 1200)).coalesce(1))
+    inst0 = convert_delta_to_hudi(spark, root, record_key="o_orderkey")
+    n_at_convert = read_hudi(spark, root).count()
+    w = HudiWriter(spark, root)
+    upd = (
+        o.where(k < 100)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5)
+    )
+    ins = o.where((k >= 2000) & (k < 2100)).withColumn(
+        "o_orderstatus", F.lit("N")
+    )
+    i1 = w.upsert(upd.unionByName(ins))
+    n_incr = read_hudi(spark, root, incremental=(inst0, i1)).count()
+    assert read_hudi(spark, root, as_of=inst0).count() == n_at_convert
+    w.delete_keys(
+        o.where((k % 9 == 0) & (k < 1000)).select("o_orderkey")
+    )
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("price_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+        .cast("long").alias("n_u"),
+        F.sum(F.when(F.col("o_orderstatus") == "N", 1).otherwise(0))
+        .cast("long").alias("n_new"),
+    ).withColumn("n_incr_slice_grain", F.lit(n_incr).cast("long"))

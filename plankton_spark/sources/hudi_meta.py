@@ -324,11 +324,12 @@ def read_hudi(
     Virtual-key tables (converted — no per-record meta columns) get
     FILE-SLICE-GRAIN incremental attribution: a slice belongs to the
     instant that committed it, so the range returns every record of
-    slices written in (begin, end]. Exact when file groups are never
-    rewritten (the converted-table case — this engine's writer
-    refuses them); a foreign rewrite would re-emit copies, the
-    documented precision limit of attribution without a commit-time
-    column. ``with_meta`` stays refused (nothing to surface).
+    slices written in (begin, end] — INCLUDING copied-forward
+    survivors when a rewrite (an engine virtual-key upsert/delete
+    since round 13, or a foreign writer) touched the group. That is
+    the documented precision limit of attribution without a
+    commit-time column (real Hudi's virtual-key incremental has the
+    same grain). ``with_meta`` stays refused (nothing to surface).
 
     An incremental range or partition prune that selects NOTHING on a
     non-empty table returns an EMPTY DataFrame with the table schema
@@ -574,12 +575,19 @@ class HudiWriter:
                 raise NotImplementedError(
                     f"{table_path}: hoodie.table.type={self.table_type}"
                 )
-            if t.virtual_keys:
+            # VIRTUAL-KEY tables (populate.meta.fields=false — the
+            # converted-table mode) write since round 13: tagging and
+            # survivor anti-joins key on the DECLARED record-key
+            # column directly (real Hudi's virtual-key write path),
+            # file attribution comes from _metadata.file_path joined
+            # to a broadcast slice map — no meta-field backfill ever.
+            # COW only: a virtual-key MOR log merge would need the
+            # meta columns the log records carry.
+            self.virtual = t.virtual_keys
+            if self.virtual and t.table_type == "MERGE_ON_READ":
                 raise NotImplementedError(
-                    f"{table_path}: virtual-key table (populate.meta."
-                    "fields=false) — this engine's upserts tag and copy "
-                    "records through the meta columns; backfilling them "
-                    "is a rewrite, not a write"
+                    f"{table_path}: virtual-key MERGE_ON_READ — the "
+                    "log-merge write path needs the meta columns"
                 )
             self.record_key = t.record_key_field
             self.partition_field = t.partition_field
@@ -587,6 +595,7 @@ class HudiWriter:
         else:
             if record_key is None:
                 raise ValueError("record_key is required to create a table")
+            self.virtual = False  # engine-created tables populate meta
             self.table_type = table_type
             self.record_key = record_key
             self.partition_field = partition_field
@@ -1062,6 +1071,19 @@ class HudiWriter:
         }
         return cand | always
 
+    def _slice_fid_map(self, slices):
+        """Broadcastable (file basename → partition, fileId) frame for
+        VIRTUAL-KEY attribution: converted files carry no
+        _hoodie_file_name, so file identity comes from
+        _metadata.file_path joined to this metadata-scale map."""
+        return self.spark.createDataFrame(
+            [
+                (os.path.basename(rel), p, fid)
+                for p, fid, _ti, rel in slices
+            ],
+            "__base string, __part string, __fid string",
+        )
+
     def _merge(self, df, delete: bool) -> str:
         instant = self._next_instant()
         t = HudiTable(self.table_path)
@@ -1073,32 +1095,44 @@ class HudiWriter:
         # snapshot's meta columns only (two-column projection — the
         # scan prunes everything else); with the metadata table's
         # BLOOM index, only files whose bloom MIGHT hold an incoming
-        # key are read at all
+        # key are read at all. VIRTUAL-KEY tables index on the
+        # declared key column + the slice map instead (same
+        # key-proportional join, no meta columns needed).
         cand = self._bloom_candidate_set(
             incoming, [(p, fid, rel) for p, fid, _ti, rel in slices]
         )
         if cand is None:
-            index_src = read_hudi(self.spark, self.table_path, with_meta=True)
+            cand_slices = slices
         else:
-            cand_paths = [
-                os.path.join(self.table_path, rel)
-                for p, fid, _ti, rel in slices
-                if (p, fid) in cand
+            cand_slices = [
+                s for s in slices if (s[0], s[1]) in cand
             ]
-            index_src = (
-                self.spark.read.parquet(*cand_paths) if cand_paths else None
+        cand_paths = [
+            os.path.join(self.table_path, rel)
+            for _p, _fid, _ti, rel in cand_slices
+        ]
+        if not cand_paths:
+            index = self.spark.createDataFrame(
+                [], "__key string, __part string, __fid string"
             )
-        index = (
-            index_src.select(
+        elif self.virtual:
+            index = (
+                self.spark.read.parquet(*cand_paths)
+                .select(
+                    self._key_expr().alias("__key"),
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/", -1
+                    ).alias("__base"),
+                )
+                .join(F.broadcast(self._slice_fid_map(slices)), "__base")
+                .select("__key", "__part", "__fid")
+            )
+        else:
+            index = self.spark.read.parquet(*cand_paths).select(
                 F.col("_hoodie_record_key").alias("__key"),
                 F.col("_hoodie_partition_path").alias("__part"),
                 F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
             )
-            if index_src is not None
-            else self.spark.createDataFrame(
-                [], "__key string, __part string, __fid string"
-            )
-        )
         tagged = incoming.join(index, "__key", "left")
         tagged.persist()
         try:
@@ -1133,15 +1167,35 @@ class HudiWriter:
                 # no broadcast hint: the update-key set is caller-sized
                 # (a bulk upsert can carry millions of keys) — AQE
                 # broadcasts when it is actually small
-                survivors = old.join(
-                    upd_keys,
-                    old["_hoodie_record_key"] == upd_keys["__key"],
-                    "left_anti",
-                ).withColumn(
-                    "__part", F.col("_hoodie_partition_path")
-                ).withColumn(
-                    "__fid", F.element_at(F.split("_hoodie_file_name", "_"), 1)
-                )
+                if self.virtual:
+                    survivors = (
+                        old.withColumn(
+                            "__base",
+                            F.substring_index(
+                                F.col("_metadata.file_path"), "/", -1
+                            ),
+                        )
+                        .join(
+                            upd_keys,
+                            self._key_expr() == upd_keys["__key"],
+                            "left_anti",
+                        )
+                        .join(
+                            F.broadcast(self._slice_fid_map(slices)),
+                            "__base",
+                        )
+                        .drop("__base")
+                    )
+                else:
+                    survivors = old.join(
+                        upd_keys,
+                        old["_hoodie_record_key"] == upd_keys["__key"],
+                        "left_anti",
+                    ).withColumn(
+                        "__part", F.col("_hoodie_partition_path")
+                    ).withColumn(
+                        "__fid", F.element_at(F.split("_hoodie_file_name", "_"), 1)
+                    )
                 parts.append(survivors)
                 if not delete:
                     updates = tagged.where(F.col("__fid").isNotNull()).drop("__key")
@@ -1159,8 +1213,23 @@ class HudiWriter:
             # seqno kept — the COW copy-forward contract; real Hudi
             # preserves both for copies, only updated/inserted rows
             # mint new ones in _write_groups); normalize all branches
-            # to the same column set before the union
+            # to the same column set before the union. Virtual-key
+            # branches carry only data columns + routing.
             normalized = []
+            if self.virtual:
+                normalized = [
+                    p.select(
+                        "__part",
+                        "__fid",
+                        *[
+                            c
+                            for c in p.columns
+                            if not c.startswith(("_hoodie_", "__"))
+                        ],
+                    )
+                    for p in parts
+                ]
+                parts = []
             for p in parts:
                 if "_hoodie_commit_time" not in p.columns:
                     p = self._attach_meta(p, instant, keep_commit_time=False)
@@ -1649,7 +1718,10 @@ class HudiWriter:
     def _attach_meta(self, df, instant: str, keep_commit_time: bool = False):
         """Attach the per-record meta columns the files must carry
         (file name + seqno are finalized in _write_groups once the
-        physical name is known)."""
+        physical name is known). VIRTUAL-KEY tables carry none — the
+        no-op keeps the staging pipeline uniform."""
+        if self.virtual:
+            return df
         out = df
         if "_hoodie_commit_time" not in out.columns or not keep_commit_time:
             if "_hoodie_commit_time" in out.columns:
@@ -1666,6 +1738,14 @@ class HudiWriter:
         columns derive from the physical file name chosen here. The
         repartition on __fid puts each file group in exactly one task,
         so partitionBy emits exactly one file per group."""
+        if self.virtual:
+            # virtual-key files carry data columns only; routing
+            # columns drive the one-file-per-group partitionBy below
+            data_cols = [
+                c for c in df.columns if not c.startswith(("_hoodie_", "__"))
+            ]
+            staged = df.select(*data_cols, "__part", "__fid")
+            return self._write_staged_groups(staged, instant, prev)
         fname = F.concat(
             F.col("__fid"), F.lit(f"_{self.WRITE_TOKEN}_{instant}.parquet")
         )
@@ -1699,6 +1779,11 @@ class HudiWriter:
             F.col("__part"),
             F.col("__fid"),
         )
+        return self._write_staged_groups(staged, instant, prev)
+
+    def _write_staged_groups(self, staged, instant: str, prev: dict) -> dict:
+        """Physical tail of _write_groups: one base file per
+        (partition, fileId), stats from the landed footers."""
         tmp = os.path.join(self.table_path, f".hoodie/.temp/{instant}")
         shutil.rmtree(tmp, ignore_errors=True)
         (

@@ -680,13 +680,14 @@ def test_delta_to_hudi_virtual_keys(spark, tmp_path):
     convert_delta_to_hudi(spark, root, record_key="k")
     got = _content(read_hudi(spark, root).select("k", "status", "grp"))
     assert got == expected
-    # virtual-key refusals: meta reads, engine writes (incremental is
-    # file-slice-grain attributed now — see
-    # test_virtual_key_incremental_slice_grain)
+    # virtual-key refusal: meta reads (nothing to surface). Engine
+    # WRITES work since round 13 (test_virtual_key_write_lifecycle);
+    # incremental is file-slice-grain attributed — see
+    # test_virtual_key_incremental_slice_grain.
     with pytest.raises(NotImplementedError, match="virtual-key"):
         read_hudi(spark, root, with_meta=True)
-    with pytest.raises(NotImplementedError, match="virtual-key"):
-        HudiWriter(spark, root)
+    w = HudiWriter(spark, root)
+    assert w.virtual and w.record_key == "k"
     with pytest.raises(FileExistsError):
         convert_delta_to_hudi(spark, root, record_key="k")
     # partitioned Delta refuses (content lacks the partition column)
@@ -1148,3 +1149,47 @@ def test_precombine_collapses_dup_key_batches(spark, tmp_path):
             )
         )
         assert 3 not in {r["k"] for r in read_hudi(spark, root).collect()}
+
+
+def test_virtual_key_write_lifecycle(spark, tmp_path):
+    """Round-13: engine writes on VIRTUAL-KEY (converted) tables —
+    tagging/survivor joins key on the declared record-key column,
+    file attribution via _metadata.file_path joined to the slice
+    map, no meta-field backfill. Upsert updates + inserts, delete
+    removes, untouched groups are not rewritten, time travel to the
+    conversion instant intact, virtual MOR refuses."""
+    from plankton_spark.sources.delta_log import DeltaLogWriter
+    from plankton_spark.sources.hudi_meta import (
+        HudiTable,
+        convert_delta_to_hudi,
+    )
+
+    root = str(tmp_path / "vk")
+    dw = DeltaLogWriter(spark, root)
+    dw.create(_df(spark, 0, 50).coalesce(1))
+    dw.append(_df(spark, 50, 80, status="B").coalesce(1))
+    inst0 = convert_delta_to_hudi(spark, root, record_key="k")
+    w = HudiWriter(spark, root)
+    assert w.virtual
+    up = _df(spark, 0, 5, status="U").unionByName(
+        _df(spark, 200, 205, status="N")
+    )
+    i1 = w.upsert(up)
+    snap = {r["k"]: r["status"] for r in read_hudi(spark, root).collect()}
+    assert len(snap) == 85
+    assert snap[0] == "U" and snap[49] == "A" and snap[200] == "N"
+    assert snap[60] == "B"
+    # untouched group (50-79) kept its original slice (not rewritten)
+    slices = {fid: ti for _p, fid, ti, _rel in HudiTable(root).file_slices()}
+    assert inst0 in slices.values()  # the B file untouched
+    assert i1 in slices.values()
+    # slice-grain incremental: rewritten group re-emits copies
+    assert read_hudi(spark, root, incremental=(inst0, i1)).count() == 55
+    # delete through the virtual path
+    w.delete_keys(_df(spark, 2, 4))
+    left = {r["k"] for r in read_hudi(spark, root).collect()}
+    assert left == set(range(85)) - {2, 3} - set(range(80, 200)) | set(
+        range(200, 205)
+    ) - {2, 3}
+    # time travel to conversion still sees the original 80 rows
+    assert read_hudi(spark, root, as_of=inst0).count() == 80
