@@ -1474,3 +1474,140 @@ def q_tpcds_netchain(spark, sf_dir):
     wants at 100 TB). Exact cent integers throughout. The SAME SQL
     text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_netchain", _NETCHAIN)
+
+
+# ---------------------------------------------------------------------
+# Round-13 suite, sixth tranche (round-12 verdict item 8): Q74
+# year-over-year MAX-guarded channel ratios, Q6 scalar-subquery
+# state-month filter, Q48 banded OR-of-conjunctions. Same one-SQL-text
+# contract; money stays exact cent integers, and every DECISION
+# comparison is integer cross-multiplication — doubles appear only in
+# emitted ROUND columns (the suite's determinism policy).
+# ---------------------------------------------------------------------
+
+_YOYMAX = """
+WITH year_total AS (
+  SELECT o_custkey AS ck,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 'express' ELSE 'other' END AS channel,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS maxcents
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1998-01-01'
+  GROUP BY o_custkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 'express' ELSE 'other' END,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+)
+SELECT e1.ck AS custkey,
+       e1.maxcents AS express_y1, e2.maxcents AS express_y2,
+       t1.maxcents AS other_y1, t2.maxcents AS other_y2,
+       ROUND(CAST(e2.maxcents AS DOUBLE) / e1.maxcents, 6)
+         AS express_growth,
+       ROUND(CAST(t2.maxcents AS DOUBLE) / t1.maxcents, 6)
+         AS other_growth
+FROM year_total e1, year_total e2, year_total t1, year_total t2
+WHERE e1.ck = e2.ck AND e1.ck = t1.ck AND t1.ck = t2.ck
+  AND e1.channel = 'express' AND e2.channel = 'express'
+  AND t1.channel = 'other' AND t2.channel = 'other'
+  AND e1.yr = 1996 AND e2.yr = 1997
+  AND t1.yr = 1996 AND t2.yr = 1997
+  AND e1.maxcents > 0 AND t1.maxcents > 0
+  AND CAST(e2.maxcents AS DECIMAL(19,0)) * CAST(t1.maxcents AS DECIMAL(19,0))
+      > CAST(t2.maxcents AS DECIMAL(19,0)) * CAST(e1.maxcents AS DECIMAL(19,0))
+"""
+
+_TABLES["q_tpcds_yoymax"] = ("orders",)
+
+
+@query("q_tpcds_yoymax", oracle=_YOYMAX)
+def q_tpcds_yoymax(spark, sf_dir):
+    """TPC-DS Q74 shape (fixture-adapted): Q4's single
+    year_total-CTE-four-consumers skeleton, but the per-(customer,
+    channel, year) total is a MAX (Q74 aggregates max list price, not
+    a sum) and the growth comparison carries Q74's POSITIVE-BASE
+    GUARD — a customer qualifies only when BOTH channels' first-year
+    totals are strictly positive (Q74's CASE WHEN year_total > 0
+    guard, which keeps NULL/zero-base ratios out of the comparison
+    rather than letting division semantics decide). The decision
+    itself cross-multiplies in DECIMAL(19,0) — exact; the emitted
+    growth ratios are display-only ROUNDs. At scale: one
+    customer-grain aggregate, four shuffle-reused equi-joins on ck.
+    The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_yoymax", _YOYMAX)
+
+
+_STATEMONTH = """
+SELECT n_name AS state, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM customer, orders, lineitem, part p, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_partkey = p.p_partkey
+  AND c_nationkey = n_nationkey
+  AND EXTRACT(MONTH FROM o_orderdate) =
+      (SELECT MIN(EXTRACT(MONTH FROM o_orderdate)) FROM orders
+       WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+  AND EXTRACT(YEAR FROM o_orderdate) = 1996
+  AND 51 * CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+        * (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+      > 50 * (SELECT SUM(CAST(ROUND(p2.p_retailprice * 100) AS BIGINT))
+              FROM part p2 WHERE p2.p_brand = p.p_brand)
+GROUP BY n_name
+HAVING COUNT(*) >= 10
+"""
+
+_TABLES["q_tpcds_statemonth"] = (
+    "customer", "orders", "lineitem", "part", "nation",
+)
+
+
+@query("q_tpcds_statemonth", oracle=_STATEMONTH)
+def q_tpcds_statemonth(spark, sf_dir):
+    """TPC-DS Q6 shape (fixture-adapted): customers-per-state whose
+    purchased items price above 1.02x their category average, in the
+    month an UNCORRELATED SCALAR SUBQUERY picks — Q6's two-subquery
+    signature. nation plays state; part brand plays category; the
+    above-average test is CORRELATED scalar subqueries rewritten as
+    integer cross-multiplication (51*price*count > 50*sum — exact,
+    where a double AVG would be summation-order dependent across
+    engines). HAVING COUNT >= 10 is Q6's tail. At scale: the scalar
+    subqueries are one-row broadcasts / per-brand aggregates Catalyst
+    rewrites to joins; the five-way join keys all equi. The SAME SQL
+    text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_statemonth", _STATEMONTH)
+
+
+_ORBANDS = """
+SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE (o_orderpriority = '1-URGENT'
+       AND l_quantity BETWEEN 1 AND 15
+       AND l_discount BETWEEN 0.02 AND 0.04)
+   OR (o_orderpriority = '3-MEDIUM'
+       AND l_quantity BETWEEN 16 AND 30
+       AND l_discount BETWEEN 0.05 AND 0.07)
+   OR (o_orderpriority = '5-LOW'
+       AND l_quantity BETWEEN 31 AND 50
+       AND l_discount BETWEEN 0.08 AND 0.10)
+"""
+
+_TABLES["q_tpcds_orbands"] = ("lineitem", "orders")
+
+
+@query("q_tpcds_orbands", oracle=_ORBANDS)
+def q_tpcds_orbands(spark, sf_dir):
+    """TPC-DS Q48 shape (fixture-adapted): one fact-dim join filtered
+    by an OR of three CONJUNCTION BANDS — each band pairs a dim
+    attribute with disjoint quantity and discount ranges (Q48's
+    marital-status x income x price bands). The optimizer challenge
+    Q48 exists for: the disjunction cannot push as one residual, so
+    the engine must either scan-and-filter or split the bands; either
+    way results are identical and the aggregate is exact cents.
+    Discount literals compare exactly (both engines parse the same
+    binary64). The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_orbands", _ORBANDS)
