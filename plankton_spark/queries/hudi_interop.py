@@ -1290,3 +1290,118 @@ def q_hudi_virtual_write(spark, sf_dir):
         F.sum(F.when(F.col("o_orderstatus") == "N", 1).otherwise(0))
         .cast("long").alias("n_new"),
     ).withColumn("n_incr_slice_grain", F.lit(n_incr).cast("long"))
+
+
+@query(
+    "q_hudi_record_index",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1200
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus FROM base
+      WHERE o_orderkey < 150
+    ),
+    ins AS (
+      SELECT o_orderkey, 'N' AS o_orderstatus FROM orders
+      WHERE o_orderkey >= 2000 AND o_orderkey < 2100
+    ),
+    final AS (
+      SELECT * FROM base
+      WHERE o_orderkey >= 150 AND o_orderkey % 13 <> 0
+      UNION ALL SELECT * FROM upd WHERE o_orderkey % 13 <> 0
+      UNION ALL SELECT * FROM ins WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(1 AS BIGINT) AS twin_match,
+           CAST(1 AS BIGINT) AS rli_matches_disk,
+           CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_index_rows
+    FROM final
+    """,
+)
+def q_hudi_record_index(spark, sf_dir):
+    """Hudi RECORD-LEVEL INDEX (round-12 verdict item 9 — the
+    metadata table's fourth and last partition, record_index): one
+    (record key → partition, fileId) mapping per LIVE KEY,
+    maintained DISTRIBUTED on every instant (the new base files' key
+    columns scan on executors and upsert into the metadata table;
+    delete ops tombstone their matched keys). Tagging then POINT-
+    LOOKS-UP the mapping — an upsert/delete batch joins the metadata
+    table's key→group frame and reads ZERO base files with ZERO
+    false positives, where the bloom index still opens FP-candidate
+    files to confirm. The differential: a TWIN table runs the
+    identical op sequence (partitioned create → dup-partition upsert
+    → delete) under the BLOOM index only; both snapshots must be
+    row-identical (twin_match), and the RLI mapping must equal the
+    physical key→fileId assignment read back from the files
+    (rli_matches_disk) with exactly one live row per live key
+    (n_index_rows)."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
+    def lifecycle(root, **kw):
+        o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+        k = F.col("o_orderkey")
+        w = HudiWriter(
+            spark,
+            root,
+            record_key="o_orderkey",
+            partition_field="o_orderstatus",
+            group_buckets=2,
+            **kw,
+        )
+        w.create(o.where(k < 1200))
+        w2 = HudiWriter(spark, root)
+        upd = o.where(k < 150).withColumn("o_orderstatus", F.lit("U"))
+        ins = o.where((k >= 2000) & (k < 2100)).withColumn(
+            "o_orderstatus", F.lit("N")
+        )
+        w2.upsert(upd.unionByName(ins))
+        w2.delete_keys(
+            o.where((k < 2100) & (k % 13 == 0)).select("o_orderkey")
+        )
+        return w2
+
+    root_rli = _fresh(sf_dir, "hudi_rli")
+    root_bloom = _fresh(sf_dir, "hudi_rli_twin")
+    w_rli = lifecycle(root_rli, record_index=True)
+    lifecycle(root_bloom, metadata_table=True)
+    assert w_rli._rli_enabled
+
+    cols = ["o_orderkey", "o_orderstatus"]
+    snap_rli = read_hudi(spark, root_rli).select(cols)
+    snap_bloom = read_hudi(spark, root_bloom).select(cols)
+    twin = (
+        1
+        if snap_rli.exceptAll(snap_bloom).isEmpty()
+        and snap_bloom.exceptAll(snap_rli).isEmpty()
+        else 0
+    )
+    # RLI ↔ physical parity: the mapping equals the key→fileId
+    # assignment read back from the live files themselves
+    disk = read_hudi(spark, root_rli, with_meta=True).select(
+        F.col("_hoodie_record_key").alias("__key"),
+        F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+    )
+    idx = w_rli._rli_lookup().select("__key", "__fid")
+    parity = (
+        1
+        if idx.exceptAll(disk).isEmpty() and disk.exceptAll(idx).isEmpty()
+        else 0
+    )
+    n_index = idx.count()
+    return snap_rli.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+        .cast("long").alias("n_u"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "n_u",
+        F.lit(twin).cast("long").alias("twin_match"),
+        F.lit(parity).cast("long").alias("rli_matches_disk"),
+        F.lit(n_index).cast("long").alias("n_index_rows"),
+    )

@@ -541,6 +541,7 @@ class HudiWriter:
         table_type: str = "COPY_ON_WRITE",
         metadata_table: bool = False,
         precombine: str | None = None,
+        record_index: bool = False,
     ):
         # group_buckets bounds FILE-GROUP size, not correctness: each
         # insert fans new records into this many groups per partition
@@ -559,7 +560,18 @@ class HudiWriter:
         self._is_meta = os.path.basename(norm) == "metadata" and (
             os.path.basename(os.path.dirname(norm)) == ".hoodie"
         )
-        self._metadata_enabled = bool(metadata_table) and not self._is_meta
+        self._metadata_enabled = (
+            bool(metadata_table) or bool(record_index)
+        ) and not self._is_meta
+        # RECORD-LEVEL INDEX (the metadata table's fourth partition,
+        # record_index): one (record key → partition, fileId) mapping
+        # per LIVE KEY, maintained distributed on every write — point
+        # lookups tag an upsert/delete batch with ZERO base-file
+        # reads and ZERO false positives (vs the bloom index's
+        # FP-widened candidate reads). Declared at CREATE (a later
+        # enable would need a backfill pass to be complete; props win
+        # on reopen).
+        self._rli_enabled = bool(record_index) and not self._is_meta
         if table_type not in ("COPY_ON_WRITE", "MERGE_ON_READ"):
             raise ValueError(f"unknown table_type {table_type!r}")
         props_path = os.path.join(self.meta_dir, "hoodie.properties")
@@ -568,6 +580,13 @@ class HudiWriter:
             self._metadata_enabled = (
                 not self._is_meta
                 and t.props.get("hoodie.metadata.enable", "false").lower()
+                == "true"
+            )
+            self._rli_enabled = (
+                self._metadata_enabled
+                and t.props.get(
+                    "hoodie.metadata.record.index.enable", "false"
+                ).lower()
                 == "true"
             )
             self.table_type = t.table_type
@@ -627,7 +646,13 @@ class HudiWriter:
         a = action or self._default_action
         open(os.path.join(self.meta_dir, f"{instant}.{a}.{phase}"), "w").close()
 
-    def _complete(self, instant: str, meta: dict, action: str | None = None) -> None:
+    def _complete(
+        self,
+        instant: str,
+        meta: dict,
+        action: str | None = None,
+        rli_deletes=None,
+    ) -> None:
         a = action or self._default_action
         with open(os.path.join(self.meta_dir, f"{instant}.{a}"), "w", encoding="utf-8") as fh:
             json.dump(meta, fh, indent=2, sort_keys=True)
@@ -647,9 +672,10 @@ class HudiWriter:
                 for st in lst
             ],
             [],
+            rli_deletes=rli_deletes,
         )
 
-    def _metadata_update(self, adds, deletes) -> None:
+    def _metadata_update(self, adds, deletes, rli_deletes=None) -> None:
         """Upsert file-listing records into the internal METADATA
         TABLE's ``files`` partition (hoodie.metadata.enable) —
         ``adds`` are (partition, file name, size) of files an instant
@@ -805,15 +831,73 @@ class HudiWriter:
                     bloom_build(keys),
                 )
             )
-        if not rows:
-            return
-        mpath = os.path.join(self.meta_dir, "metadata")
-        df = self.spark.createDataFrame(
-            rows,
+        # RECORD_INDEX partition (fourth and last): one mapping row
+        # per record key of every ADDED base file — built as a
+        # DISTRIBUTED frame (the key column scan runs on executors;
+        # real Hudi's RLI is likewise a key-proportional Hudi-table
+        # write, never a driver collect). fileId parses from the
+        # written _hoodie_file_name; updates re-map idempotently
+        # (latest-wins), clustering re-maps to the new groups, and
+        # delete ops pass their matched keys as ``rli_deletes``
+        # tombstones. Virtual-key tables never enable RLI (it is
+        # declared at engine create).
+        mschema = (
             "mpart string, mkey string, part string, fname string, "
             "fsize long, deleted boolean, col string, vmin string, "
-            "vmax string, nulls long, bloom string",
+            "vmax string, nulls long, bloom string"
         )
+        rli_df = None
+        if self._rli_enabled:
+            base_adds = [
+                os.path.join(
+                    self.table_path, os.path.join(p, n) if p else n
+                )
+                for p, n, _s in adds
+                if ".log." not in n
+            ]
+            base_adds = [p for p in base_adds if os.path.isfile(p)]
+            if base_adds:
+                rli_df = self.spark.read.parquet(*base_adds).select(
+                    F.lit("record_index").alias("mpart"),
+                    F.concat(
+                        F.lit("record_index#"),
+                        F.col("_hoodie_record_key"),
+                    ).alias("mkey"),
+                    F.col("_hoodie_partition_path").alias("part"),
+                    F.element_at(
+                        F.split("_hoodie_file_name", "_"), 1
+                    ).alias("fname"),
+                    F.lit(0).cast("long").alias("fsize"),
+                    F.lit(False).alias("deleted"),
+                    F.col("_hoodie_record_key").alias("col"),
+                    F.lit(None).cast("string").alias("vmin"),
+                    F.lit(None).cast("string").alias("vmax"),
+                    F.lit(None).cast("long").alias("nulls"),
+                    F.lit(None).cast("string").alias("bloom"),
+                )
+            if rli_deletes is not None:
+                tomb = rli_deletes.select(
+                    F.lit("record_index").alias("mpart"),
+                    F.concat(
+                        F.lit("record_index#"), F.col("__key")
+                    ).alias("mkey"),
+                    F.lit("").alias("part"),
+                    F.lit("").alias("fname"),
+                    F.lit(0).cast("long").alias("fsize"),
+                    F.lit(True).alias("deleted"),
+                    F.col("__key").alias("col"),
+                    F.lit(None).cast("string").alias("vmin"),
+                    F.lit(None).cast("string").alias("vmax"),
+                    F.lit(None).cast("long").alias("nulls"),
+                    F.lit(None).cast("string").alias("bloom"),
+                )
+                rli_df = tomb if rli_df is None else rli_df.unionByName(tomb)
+        if not rows and rli_df is None:
+            return
+        mpath = os.path.join(self.meta_dir, "metadata")
+        df = self.spark.createDataFrame(rows, mschema)
+        if rli_df is not None:
+            df = df.unionByName(rli_df)
         mw = HudiWriter(
             self.spark,
             mpath,
@@ -855,6 +939,8 @@ class HudiWriter:
         }
         if self._metadata_enabled:
             props["hoodie.metadata.enable"] = "true"
+        if self._rli_enabled:
+            props["hoodie.metadata.record.index.enable"] = "true"
         if self.precombine:
             if self.precombine not in df.columns:
                 raise ValueError(
@@ -1001,6 +1087,34 @@ class HudiWriter:
             )
         return collapsed
 
+    def _rli_lookup(self):
+        """RECORD-LEVEL-INDEX point lookup: the (__key, __part,
+        __fid) mapping frame from the metadata table's record_index
+        partition — or None when RLI is not enabled/materialized.
+        Tagging joins against THIS frame instead of reading any base
+        file: zero data IO, zero false positives (the bloom index
+        still reads FP-candidate files to confirm). The mapping is
+        key-proportional — but it is a bounded MOR metadata-table
+        READ feeding a distributed join, never a driver collect
+        (real Hudi's RLI shape). A key deleted and later re-upserted
+        routes to its original file group via the global-index rule
+        this engine already documents (updates stay in their group);
+        mappings left stale by insert_overwrite resolve the same way
+        — content stays exact, the group gets a fresh slice."""
+        if not self._rli_enabled:
+            return None
+        mpath = os.path.join(self.meta_dir, "metadata")
+        if not os.path.isfile(
+            os.path.join(mpath, ".hoodie", "hoodie.properties")
+        ):
+            return None
+        idx = read_hudi(self.spark, mpath, partition_path="record_index")
+        return idx.where(~F.col("deleted")).select(
+            F.col("col").alias("__key"),
+            F.col("part").alias("__part"),
+            F.col("fname").alias("__fid"),
+        )
+
     def _bloom_candidate_set(self, incoming, file_entries):
         """BLOOM-INDEX pruning for the upsert/delete tagging join:
         probe the incoming keys against the metadata table's per-file
@@ -1095,14 +1209,17 @@ class HudiWriter:
         # snapshot's meta columns only (two-column projection — the
         # scan prunes everything else); with the metadata table's
         # BLOOM index, only files whose bloom MIGHT hold an incoming
-        # key are read at all. VIRTUAL-KEY tables index on the
+        # key are read at all; with the RECORD-LEVEL INDEX, tagging
+        # joins the metadata table's key→group mapping directly and
+        # reads NO base file. VIRTUAL-KEY tables index on the
         # declared key column + the slice map instead (same
         # key-proportional join, no meta columns needed).
-        cand = self._bloom_candidate_set(
+        rli = self._rli_lookup()
+        cand = None if rli is not None else self._bloom_candidate_set(
             incoming, [(p, fid, rel) for p, fid, _ti, rel in slices]
         )
         if cand is None:
-            cand_slices = slices
+            cand_slices = slices if rli is None else []
         else:
             cand_slices = [
                 s for s in slices if (s[0], s[1]) in cand
@@ -1111,7 +1228,9 @@ class HudiWriter:
             os.path.join(self.table_path, rel)
             for _p, _fid, _ti, rel in cand_slices
         ]
-        if not cand_paths:
+        if rli is not None:
+            index = rli
+        elif not cand_paths:
             index = self.spark.createDataFrame(
                 [], "__key string, __part string, __fid string"
             )
@@ -1142,6 +1261,7 @@ class HudiWriter:
                     F.col("__fid").isNotNull()
                 ).distinct().collect()  # one row per TOUCHED FILE GROUP
             }
+            rli_del = None
             if delete:
                 news = None
             else:
@@ -1164,6 +1284,9 @@ class HudiWriter:
                 upd_keys = tagged.select("__key").where(
                     F.col("__fid").isNotNull()
                 ).distinct()
+                if delete and self._rli_enabled:
+                    # matched delete keys tombstone their RLI rows
+                    rli_del = upd_keys
                 # no broadcast hint: the update-key set is caller-sized
                 # (a bulk upsert can carry millions of keys) — AQE
                 # broadcasts when it is actually small
@@ -1272,6 +1395,7 @@ class HudiWriter:
                     "operationType": "DELETE" if delete else "UPSERT",
                     "partitionToWriteStats": stats,
                 },
+                rli_deletes=rli_del,
             )
             return instant
         finally:
@@ -1331,7 +1455,8 @@ class HudiWriter:
         base_of = {fid: bi for _p, fid, bi, _rel, _lrs in slices}
         incoming = df.withColumn("__key", self._key_expr())
         incoming = self._collapse_precombine(incoming)
-        cand = self._bloom_candidate_set(
+        rli = self._rli_lookup()
+        cand = None if rli is not None else self._bloom_candidate_set(
             incoming,
             [(p, fid, rel) for p, fid, _bi, rel, _lrs in slices],
         )
@@ -1341,17 +1466,20 @@ class HudiWriter:
                 for p, fid, _bi, rel, _lrs in slices
                 if (p, fid) in cand
             ]
-        index = (
-            self.spark.read.parquet(*base_paths).select(
-                F.col("_hoodie_record_key").alias("__key"),
-                F.col("_hoodie_partition_path").alias("__part"),
-                F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+        if rli is not None:
+            index = rli
+        else:
+            index = (
+                self.spark.read.parquet(*base_paths).select(
+                    F.col("_hoodie_record_key").alias("__key"),
+                    F.col("_hoodie_partition_path").alias("__part"),
+                    F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+                )
+                if base_paths
+                else self.spark.createDataFrame(
+                    [], "__key string, __part string, __fid string"
+                )
             )
-            if base_paths
-            else self.spark.createDataFrame(
-                [], "__key string, __part string, __fid string"
-            )
-        )
         tagged = incoming.join(index, "__key", "left")
         tagged.persist()
         try:
@@ -1470,7 +1598,8 @@ class HudiWriter:
         base_paths = [
             os.path.join(table_path, rel) for _, _, _, rel, _ in slices
         ]
-        cand = self._bloom_candidate_set(
+        rli = self._rli_lookup()
+        cand = None if rli is not None else self._bloom_candidate_set(
             incoming,
             [(p, fid, rel) for p, fid, _bi, rel, _lrs in slices],
         )
@@ -1480,17 +1609,20 @@ class HudiWriter:
                 for p, fid, _bi, rel, _lrs in slices
                 if (p, fid) in cand
             ]
-        index = (
-            self.spark.read.parquet(*base_paths).select(
-                F.col("_hoodie_record_key").alias("__key"),
-                F.col("_hoodie_partition_path").alias("__part"),
-                F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+        if rli is not None:
+            index = rli
+        else:
+            index = (
+                self.spark.read.parquet(*base_paths).select(
+                    F.col("_hoodie_record_key").alias("__key"),
+                    F.col("_hoodie_partition_path").alias("__part"),
+                    F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+                )
+                if base_paths
+                else self.spark.createDataFrame(
+                    [], "__key string, __part string, __fid string"
+                )
             )
-            if base_paths
-            else self.spark.createDataFrame(
-                [], "__key string, __part string, __fid string"
-            )
-        )
         tagged = incoming.join(index, "__key", "inner").select(
             "__key", "__part", "__fid"
         )
@@ -1544,6 +1676,11 @@ class HudiWriter:
         self._complete(
             instant,
             {"operationType": "DELETE", "partitionToWriteStats": stats},
+            rli_deletes=(
+                tagged.select("__key").distinct()
+                if self._rli_enabled
+                else None
+            ),
         )
         return instant
 

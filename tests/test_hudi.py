@@ -1193,3 +1193,44 @@ def test_virtual_key_write_lifecycle(spark, tmp_path):
     ) - {2, 3}
     # time travel to conversion still sees the original 80 rows
     assert read_hudi(spark, root, as_of=inst0).count() == 80
+
+
+def test_record_level_index_lifecycle(spark, tmp_path):
+    """Round-13: the metadata table's record_index partition — one
+    (key → partition, fileId) mapping per LIVE key, maintained on
+    every instant; tagging point-looks-up the mapping (no base-file
+    read); deletes tombstone; a re-inserted key routes back to its
+    original group (global-index rule) and re-maps; the mapping
+    always equals the physical key→fileId assignment."""
+    root = str(tmp_path / "rli")
+    w = HudiWriter(
+        spark, root, record_key="k", group_buckets=3, record_index=True
+    )
+    w.create(_df(spark, 0, 60))
+    t = HudiTable(root)
+    assert t.props["hoodie.metadata.record.index.enable"] == "true"
+    w2 = HudiWriter(spark, root)  # reopen reads the prop back
+    assert w2._rli_enabled
+    w2.upsert(_df(spark, 0, 10, status="B").unionByName(_df(spark, 100, 105, status="N")))
+    w2.delete_keys(_df(spark, 7, 8).unionByName(_df(spark, 100, 101)))
+    snap = {r["k"]: r["status"] for r in read_hudi(spark, root).collect()}
+    assert len(snap) == 63 and snap[5] == "B" and snap[101] == "N"
+    assert 7 not in snap and 100 not in snap
+    idx = {r["__key"]: r["__fid"] for r in w2._rli_lookup().collect()}
+    assert len(idx) == 63 and "7" not in idx
+    # parity with physical placement
+    disk = {
+        r["k2"]: r["fid"]
+        for r in read_hudi(spark, root, with_meta=True).select(
+            F.col("_hoodie_record_key").alias("k2"),
+            F.element_at(F.split("_hoodie_file_name", "_"), 1).alias(
+                "fid"
+            ),
+        ).collect()
+    }
+    assert idx == disk
+    # re-insert of a deleted key: original group, fresh mapping
+    w2.upsert(_df(spark, 7, 8, status="Z"))
+    snap2 = {r["k"]: r["status"] for r in read_hudi(spark, root).collect()}
+    assert snap2[7] == "Z" and len(snap2) == 64
+    assert "7" in {r["__key"] for r in w2._rli_lookup().collect()}
