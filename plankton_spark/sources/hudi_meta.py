@@ -55,9 +55,11 @@ cluster() writes one.
 
 Honest refusals (never fabricate): format converters on un-compacted
 MOR tables (a log delta has no Delta/Iceberg representation; after
-compact() the conversion proceeds), virtual-key tables are read-only
-for this engine's writer (meta-field backfill is a rewrite), and
-pending (inflight) instants are never read.
+compact() the conversion proceeds), virtual-key tables refuse
+with_meta reads (nothing to surface) and MOR writes (the log merge
+needs the meta columns) — COW virtual-key writes work since round 13
+by keying on the declared record-key column — and pending (inflight)
+instants are never read.
 """
 
 from __future__ import annotations

@@ -24,11 +24,18 @@ from plankton_spark.io import TABLES
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        # the driver's fixtures are single files; gen_sf.py scale-up
+        # fixtures are Spark DIRECTORY outputs — glob the parts then
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{path}')"
         )
     return con
 
