@@ -1611,3 +1611,192 @@ def q_tpcds_orbands(spark, sf_dir):
     Discount literals compare exactly (both engines parse the same
     binary64). The SAME SQL text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_orbands", _ORBANDS)
+
+
+_WINSELECT = """
+WITH sales AS (
+  SELECT n_name AS state, c_mktsegment AS seg, n_regionkey AS region,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1997-01-01'
+),
+qual AS (
+  SELECT state FROM (
+    SELECT state,
+           RANK() OVER (PARTITION BY region
+                        ORDER BY SUM(cents) DESC, state) AS rnk
+    FROM sales GROUP BY region, state
+  ) ranked WHERE rnk <= 2
+),
+r AS (
+  SELECT state, seg,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(GROUPING(state) + GROUPING(seg) AS BIGINT) AS lochierarchy,
+         GROUPING(seg) AS gseg
+  FROM sales
+  WHERE state IN (SELECT state FROM qual)
+  GROUP BY ROLLUP(state, seg)
+)
+SELECT lochierarchy, state, seg, total_cents,
+       CAST(RANK() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN gseg = 0 THEN state END
+         ORDER BY total_cents DESC) AS BIGINT) AS rank_within_parent
+FROM r
+"""
+
+_TABLES["q_tpcds_winselect"] = ("orders", "customer", "nation")
+
+
+@query("q_tpcds_winselect", oracle=_WINSELECT)
+def q_tpcds_winselect(spark, sf_dir):
+    """TPC-DS Q70 shape (fixture-adapted): the IN-subquery whose
+    predicate is itself a WINDOW FUNCTION (states ranking top-2 by
+    revenue WITHIN THEIR REGION — Q70's rank-in-subquery signature,
+    which Catalyst must plan as window-then-semi-join, not a pushable
+    filter), feeding a ROLLUP whose rank partitions on
+    GROUPING()-derived lochierarchy + a CASE NULL-ing the parent key
+    at subtotal rows (Q70's rank_within_parent idiom exactly).
+    nation plays state, region its hierarchy, mktsegment the county.
+    Exact cent integers; RANK (not ROW_NUMBER) so revenue ties get
+    equal ranks deterministically on both engines; the in-subquery
+    rank carries a state tiebreak so top-2 is a deterministic SET.
+    Scale shape: both windows partition (region / lochierarchy+state
+    — no single-partition exchange); the semi-join broadcasts a
+    <=2-per-region state list. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_winselect", _WINSELECT)
+
+
+# Portable weekday: Spark's EXTRACT has DOW_ISO but no ISODOW, DuckDB
+# the reverse, and their DOW/DAYOFWEEK fields disagree on the Sunday
+# origin (Spark 1, DuckDB 0). Both agree on DOY, so the ISO weekday is
+# derived from the day-of-year plus a per-year anchor (1996-01-01 is a
+# Monday, 1997-01-01 a Wednesday) — exact integer arithmetic, no
+# engine-specific field names, valid for the two years the query pins.
+_WEEKPIVOT = """
+WITH daily AS (
+  SELECT n_name AS state,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(WEEK FROM o_orderdate) AS BIGINT) AS wk,
+         MOD(CAST(EXTRACT(DOY FROM o_orderdate) AS BIGINT)
+             + CASE CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+                 WHEN 1996 THEN 6 WHEN 1997 THEN 1 END, 7) + 1 AS dow,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1998-01-01'
+),
+weekly AS (
+  SELECT state, yr, wk,
+         SUM(CASE WHEN dow = 1 THEN cents ELSE 0 END) AS mon,
+         SUM(CASE WHEN dow = 2 THEN cents ELSE 0 END) AS tue,
+         SUM(CASE WHEN dow = 3 THEN cents ELSE 0 END) AS wed,
+         SUM(CASE WHEN dow = 4 THEN cents ELSE 0 END) AS thu,
+         SUM(CASE WHEN dow = 5 THEN cents ELSE 0 END) AS fri,
+         SUM(CASE WHEN dow = 6 THEN cents ELSE 0 END) AS sat,
+         SUM(CASE WHEN dow = 7 THEN cents ELSE 0 END) AS sun
+  FROM daily
+  WHERE wk BETWEEN 5 AND 48
+  GROUP BY state, yr, wk
+)
+SELECT y1.state AS state, y1.wk AS wk,
+       CAST(y1.mon AS BIGINT) AS mon_y1,
+       CAST(y2.mon - y1.mon AS BIGINT) AS mon_delta,
+       CAST(y1.tue AS BIGINT) AS tue_y1,
+       CAST(y2.tue - y1.tue AS BIGINT) AS tue_delta,
+       CAST(y1.wed AS BIGINT) AS wed_y1,
+       CAST(y2.wed - y1.wed AS BIGINT) AS wed_delta,
+       CAST(y1.thu AS BIGINT) AS thu_y1,
+       CAST(y2.thu - y1.thu AS BIGINT) AS thu_delta,
+       CAST(y1.fri AS BIGINT) AS fri_y1,
+       CAST(y2.fri - y1.fri AS BIGINT) AS fri_delta,
+       CAST(y1.sat AS BIGINT) AS sat_y1,
+       CAST(y2.sat - y1.sat AS BIGINT) AS sat_delta,
+       CAST(y1.sun AS BIGINT) AS sun_y1,
+       CAST(y2.sun - y1.sun AS BIGINT) AS sun_delta
+FROM weekly y1 JOIN weekly y2
+  ON y1.state = y2.state AND y1.wk = y2.wk
+WHERE y1.yr = 1996 AND y2.yr = 1997
+"""
+
+_TABLES["q_tpcds_weekpivot"] = ("orders", "customer", "nation")
+
+
+@query("q_tpcds_weekpivot", oracle=_WEEKPIVOT)
+def q_tpcds_weekpivot(spark, sf_dir):
+    """TPC-DS Q59/Q2 shape (fixture-adapted): weekly sales PIVOTED BY
+    WEEKDAY via conditional aggregation, the pivoted series SELF-JOINED
+    on (store, week-index) across adjacent years, one comparison
+    column per weekday — Q59's fourteen-column signature. nation
+    plays store; the year-over-year comparison is an exact integer
+    DELTA per weekday (Q59 divides; a cent-sum difference carries the
+    same information without the cross-engine double-division
+    hazard). The weekday derives from DOY + a per-year anchor (see
+    the module comment above _WEEKPIVOT — Spark and DuckDB share no
+    day-of-week EXTRACT field). ISO-week boundary days (late-Dec
+    dates whose EXTRACT(WEEK) wraps to 1) fall outside the wk 5..48
+    band identically on both engines. Scale shape: one groupBy on
+    (state, yr, wk) with map-side partials over the 7 CASE sums, then
+    an equi self-join keyed (state, wk) — dimension-bounded output
+    (25 states x 44 weeks). The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_weekpivot", _WEEKPIVOT)
+
+
+# Q9's literal structure: one CASE of UNCORRELATED scalar subqueries
+# per bucket (Spark 4.1's decorrelator rejects the tidier
+# correlated-against-an-inline-bucket-table form with non-equi
+# correlates — "key not found" during DecorrelateInnerQuery — so the
+# bounds are inlined per arm exactly as Q9 itself writes them). The
+# text is generated once at import into a STATIC string; both engines
+# see the identical SQL.
+def _bucketcase_sql() -> str:
+    arms = []
+    for bucket, lo, hi, mult in (
+        (1, 1, 11, 4),
+        (2, 11, 21, 6),
+        (3, 21, 31, 4),
+        (4, 31, 41, 6),
+        (5, 41, 51, 4),
+    ):
+        band = f"l_quantity >= {lo} AND l_quantity < {hi}"
+        arms.append(
+            f"SELECT {bucket} AS bucket,\n"
+            f"  CASE WHEN {mult} * (SELECT COUNT(*) FROM lineitem"
+            f" WHERE {band})\n"
+            f"         > (SELECT COUNT(*) FROM lineitem)\n"
+            f"    THEN (SELECT CAST(SUM(CAST(ROUND(l_extendedprice"
+            f" * 100) AS BIGINT)) AS BIGINT)\n"
+            f"          FROM lineitem WHERE {band})\n"
+            f"    ELSE (SELECT CAST(SUM(CAST(ROUND(l_extendedprice"
+            f" * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)\n"
+            f"          FROM lineitem WHERE {band})\n"
+            f"  END AS chosen_cents"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
+_BUCKETCASE = _bucketcase_sql()
+
+_TABLES["q_tpcds_bucketcase"] = ("lineitem",)
+
+
+@query("q_tpcds_bucketcase", oracle=_BUCKETCASE)
+def q_tpcds_bucketcase(spark, sf_dir):
+    """TPC-DS Q9 shape (fixture-adapted): five quantity buckets, each
+    emitting ONE of two aggregates chosen by a CASE whose predicate
+    is ITSELF a scalar subquery over the same fact (Q9's
+    count-above-threshold-picks-which-average signature — fifteen
+    scalar subqueries against one table, the scan-reuse stress). The
+    threshold is RELATIVE (bucket_count x mult vs total count, exact
+    integer cross-multiply), so branch selection is scale-stable
+    where Q9's literal thresholds would flip between sf0.01 and sf1;
+    averages become exact cent sums (gross vs discounted — same
+    either-or information, no double division). All 15 subqueries are
+    uncorrelated (see the comment above _bucketcase_sql: Spark 4.1's
+    decorrelator rejects the inline-bucket-table form); each plans as
+    a one-row aggregate over a two-column pruned scan. The SAME SQL
+    text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_bucketcase", _BUCKETCASE)
