@@ -1405,3 +1405,134 @@ def q_hudi_record_index(spark, sf_dir):
         F.lit(parity).cast("long").alias("rli_matches_disk"),
         F.lit(n_index).cast("long").alias("n_index_rows"),
     )
+
+
+@query(
+    "q_hudi_virtual_mor",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 1200
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice + 5 AS o_totalprice
+      FROM base WHERE o_orderkey < 150
+    ),
+    ins AS (
+      SELECT o_orderkey, 'N' AS o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey >= 2000 AND o_orderkey < 2100
+    ),
+    upd2 AS (
+      SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice FROM ins
+      WHERE o_orderkey < 2020
+    ),
+    final AS (
+      SELECT * FROM base WHERE o_orderkey >= 150
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins WHERE o_orderkey >= 2020
+      UNION ALL SELECT * FROM upd2
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(SUM(CASE WHEN o_orderstatus = 'M' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_m,
+           CAST(SUM(CASE WHEN o_orderstatus = 'N' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(1 AS BIGINT) AS compact_equal
+    FROM final
+    WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey < 1200)
+    """,
+)
+def q_hudi_virtual_mor(spark, sf_dir):
+    """VIRTUAL-KEY MERGE_ON_READ (the last virtual-key refusal,
+    lifted): an engine-created populate.meta.fields=false MOR table
+    — log DATA BLOCKS carry data columns only, the block header's
+    deltacommit instant is the version authority the meta
+    commit-time column would have been, DELETE_BLOCKs carry (key,
+    partition), and the read merge keys base + log rows on the
+    DECLARED record-key column, base rows versioned by a broadcast
+    (basename → slice instant) map (sources/hudi_meta.py
+    _read_mor_virtual). Lifecycle: create (two hash-routed file
+    groups) → upsert wave 1 (updates 'U' append log blocks, inserts
+    'N' open a fresh base group) → REOPENED writer upsert wave 2
+    ('M' log-updates rows that themselves arrived via wave-1 insert
+    — log-over-log precedence) → DELETE_BLOCK wave (%11 keys) →
+    snapshot oracled relationally; compact() folds the logs and the
+    post-compaction snapshot is asserted ROW-IDENTICAL
+    (compact_equal pin). Time travel to the create instant still
+    sees the original rows; with_meta and incremental refuse
+    (incremental needs per-record commit times — compact first,
+    then slice-grain applies). At scale: log parse runs one task
+    per log file on executors, the merge shuffles once on the key,
+    tagging joins the declared key against base key columns + a
+    broadcast slice map (no meta backfill ever)."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
+    root = _fresh(sf_dir, "hudi_virtual_mor")
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark,
+        root,
+        record_key="o_orderkey",
+        table_type="MERGE_ON_READ",
+        group_buckets=2,
+        populate_meta_fields=False,
+    )
+    inst0 = w.create(o.where(k < 1200))
+    n0 = read_hudi(spark, root).count()
+    upd = (
+        o.where(k < 150)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5)
+    )
+    ins = o.where((k >= 2000) & (k < 2100)).withColumn(
+        "o_orderstatus", F.lit("N")
+    )
+    w.upsert(upd.unionByName(ins))
+    # reopen: populate.meta.fields=false round-trips hoodie.properties
+    w2 = HudiWriter(spark, root)
+    assert w2.virtual and w2._is_mor
+    w2.upsert(
+        o.where((k >= 2000) & (k < 2020)).withColumn(
+            "o_orderstatus", F.lit("M")
+        )
+    )
+    w2.delete_keys(
+        o.where((k % 11 == 0) & (k < 1200)).select("o_orderkey")
+    )
+    assert read_hudi(spark, root, as_of=inst0).count() == n0
+    for kw in ({"with_meta": True}, {"incremental": (inst0, inst0)}):
+        try:
+            read_hudi(spark, root, **kw)
+            raise AssertionError(f"virtual MOR {kw} must refuse")
+        except NotImplementedError:
+            pass
+    pre = read_hudi(spark, root)
+    pre_rows = pre.collect()
+    w2.compact()
+    post = read_hudi(spark, root)
+    same = sorted(map(tuple, pre_rows)) == sorted(
+        map(tuple, post.collect())
+    )
+    return post.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("price_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+        .cast("long").alias("n_u"),
+        F.sum(F.when(F.col("o_orderstatus") == "M", 1).otherwise(0))
+        .cast("long").alias("n_m"),
+        F.sum(F.when(F.col("o_orderstatus") == "N", 1).otherwise(0))
+        .cast("long").alias("n_new"),
+    ).withColumn("compact_equal", F.lit(1 if same else 0).cast("long"))

@@ -451,6 +451,11 @@ def _read_mor(
         for _, _, _, _, lrs in slices
         for lr in lrs
     ]
+    if t.virtual_keys:
+        return _read_mor_virtual(
+            spark, t, table_path, slices, base, log_paths,
+            as_of, incremental, with_meta,
+        )
     merged = base
     if log_paths:
         schema = base.schema
@@ -519,6 +524,129 @@ def _read_mor(
     return merged
 
 
+def _read_mor_virtual(
+    spark, t, table_path, slices, base, log_paths, as_of, incremental,
+    with_meta,
+):
+    """MERGE_ON_READ snapshot for a VIRTUAL-KEY table (populate.meta.
+    fields=false): record identity is the declared key column, and
+    the version authority the meta commit-time column would carry
+    comes from (a) the SLICE's base instant for base rows — one
+    broadcast (basename → instant) map joined on _metadata.file_path,
+    metadata-scale — and (b) the LOG BLOCK HEADER's instant for log
+    rows (each block records the deltacommit that appended it, so
+    per-row commit times were always redundant at this grain: one
+    instant per block). Log data records carry data columns only;
+    DELETE_BLOCK events carry (key, partition). The same single keyed
+    window as the meta path picks the latest version, ties to the log
+    side. with_meta and incremental refuse — there are no meta
+    columns to surface, and per-RECORD incremental attribution needs
+    the commit-time column (the COW virtual path's slice-grain
+    answer is wrong once log events hide or rewrite rows mid-range);
+    compact() first, then the COW-style slice-grain read applies."""
+    import pyspark.sql.types as T
+
+    if with_meta:
+        raise NotImplementedError(
+            f"{table_path}: virtual-key table carries no per-record "
+            "meta columns to surface"
+        )
+    if incremental is not None:
+        raise NotImplementedError(
+            f"{table_path}: incremental on a virtual-key MERGE_ON_READ "
+            "— log events carry no per-record commit time and "
+            "slice-grain attribution cannot represent them; compact() "
+            "first"
+        )
+    key_expr = F.col(t.record_key_field).cast("string")
+    merged = base
+    if log_paths:
+        inst_map = spark.createDataFrame(
+            [(os.path.basename(rel), bi) for _p, _fid, bi, rel, _l in slices],
+            "__base string, __ct string",
+        )
+        data_cols = [f.name for f in base.schema.fields]
+        log_schema = T.StructType(
+            list(base.schema.fields)
+            + [
+                T.StructField("__logkey", T.StringType()),
+                T.StructField("__ct", T.StringType()),
+                T.StructField("__del", T.IntegerType()),
+            ]
+        )
+        cutoff = as_of
+
+        def parse(batches):
+            import pandas as pd
+
+            from plankton_spark.sources.hudi_log import (
+                AVRO_DATA_BLOCK,
+                read_log_blocks,
+            )
+
+            for pdf in batches:
+                rows: list[dict] = []
+                for p in pdf["path"]:
+                    for instant, btype, payload in read_log_blocks(p):
+                        if cutoff is not None and instant > cutoff:
+                            continue
+                        if btype == AVRO_DATA_BLOCK:
+                            for rec in payload:
+                                rows.append(
+                                    {
+                                        **rec,
+                                        "__logkey": None,
+                                        "__ct": instant,
+                                        "__del": 0,
+                                    }
+                                )
+                        else:  # DELETE_BLOCK: key-only tombstone event
+                            for key, _part in payload:
+                                rows.append(
+                                    {
+                                        "__logkey": key,
+                                        "__ct": instant,
+                                        "__del": 1,
+                                    }
+                                )
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=data_cols + ["__logkey", "__ct", "__del"]
+                    )
+
+        logs_df = (
+            spark.createDataFrame(
+                [(p,) for p in sorted(log_paths)], "path string"
+            )
+            .repartition(min(len(log_paths), 32))
+            .mapInPandas(parse, log_schema)
+            .withColumn("__key", F.coalesce(F.col("__logkey"), key_expr))
+            .drop("__logkey")
+            .withColumn("__src", F.lit(1))
+        )
+        base_k = (
+            base.withColumn(
+                "__base",
+                F.substring_index(F.col("_metadata.file_path"), "/", -1),
+            )
+            .join(F.broadcast(inst_map), "__base")
+            .drop("__base")
+            .withColumn("__key", key_expr)
+            .withColumn("__del", F.lit(0))
+            .withColumn("__src", F.lit(0))
+        )
+        w = Window.partitionBy("__key").orderBy(
+            F.col("__ct").desc(), F.col("__src").desc()
+        )
+        merged = (
+            base_k.unionByName(logs_df)
+            .withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") == 1) & (F.col("__del") == 0))
+            .drop("__rn", "__src", "__del", "__ct", "__key")
+        )
+    return merged
+
+
 class HudiWriter:
     """Hudi writer: create / insert / upsert / delete_keys /
     compact, each one completed timeline instant. COPY_ON_WRITE
@@ -544,6 +672,7 @@ class HudiWriter:
         metadata_table: bool = False,
         precombine: str | None = None,
         record_index: bool = False,
+        populate_meta_fields: bool = True,
     ):
         # group_buckets bounds FILE-GROUP size, not correctness: each
         # insert fans new records into this many groups per partition
@@ -602,21 +731,28 @@ class HudiWriter:
             # column directly (real Hudi's virtual-key write path),
             # file attribution comes from _metadata.file_path joined
             # to a broadcast slice map — no meta-field backfill ever.
-            # COW only: a virtual-key MOR log merge would need the
-            # meta columns the log records carry.
+            # MERGE_ON_READ too: log data blocks carry data columns
+            # only, the block header's instant supplies the version
+            # ordering the meta commit-time column would have
+            # (see _read_mor's virtual branch).
             self.virtual = t.virtual_keys
-            if self.virtual and t.table_type == "MERGE_ON_READ":
-                raise NotImplementedError(
-                    f"{table_path}: virtual-key MERGE_ON_READ — the "
-                    "log-merge write path needs the meta columns"
-                )
             self.record_key = t.record_key_field
             self.partition_field = t.partition_field
             self.precombine = t.precombine_field
         else:
             if record_key is None:
                 raise ValueError("record_key is required to create a table")
-            self.virtual = False  # engine-created tables populate meta
+            # engine-created tables populate meta fields unless the
+            # caller declares virtual keys (populate_meta_fields=False
+            # — real Hudi's hoodie.populate.meta.fields write config)
+            self.virtual = not populate_meta_fields
+            if self.virtual and record_index:
+                raise NotImplementedError(
+                    f"{table_path}: record_index with virtual keys — "
+                    "the RLI maintenance scan reads the "
+                    "_hoodie_record_key column virtual files never "
+                    "carry; use the base-file index or blooms"
+                )
             self.table_type = table_type
             self.record_key = record_key
             self.partition_field = partition_field
@@ -943,6 +1079,8 @@ class HudiWriter:
             props["hoodie.metadata.enable"] = "true"
         if self._rli_enabled:
             props["hoodie.metadata.record.index.enable"] = "true"
+        if self.virtual:
+            props["hoodie.populate.meta.fields"] = "false"
         if self.precombine:
             if self.precombine not in df.columns:
                 raise ValueError(
@@ -1470,17 +1608,37 @@ class HudiWriter:
             ]
         if rli is not None:
             index = rli
-        else:
+        elif not base_paths:
+            index = self.spark.createDataFrame(
+                [], "__key string, __part string, __fid string"
+            )
+        elif self.virtual:
+            # virtual-key tagging: the declared key column + the
+            # broadcast (basename → part, fileId) slice map stand in
+            # for the meta columns (same shape as the COW branch)
             index = (
-                self.spark.read.parquet(*base_paths).select(
-                    F.col("_hoodie_record_key").alias("__key"),
-                    F.col("_hoodie_partition_path").alias("__part"),
-                    F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+                self.spark.read.parquet(*base_paths)
+                .select(
+                    self._key_expr().alias("__key"),
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/", -1
+                    ).alias("__base"),
                 )
-                if base_paths
-                else self.spark.createDataFrame(
-                    [], "__key string, __part string, __fid string"
+                .join(
+                    F.broadcast(
+                        self._slice_fid_map(
+                            [(p, fid, bi, rel) for p, fid, bi, rel, _l in slices]
+                        )
+                    ),
+                    "__base",
                 )
+                .select("__key", "__part", "__fid")
+            )
+        else:
+            index = self.spark.read.parquet(*base_paths).select(
+                F.col("_hoodie_record_key").alias("__key"),
+                F.col("_hoodie_partition_path").alias("__part"),
+                F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
             )
         tagged = incoming.join(index, "__key", "left")
         tagged.persist()
@@ -1490,8 +1648,16 @@ class HudiWriter:
             data_fields = [
                 f for f in df.schema.fields if not f.name.startswith("_hoodie_")
             ]
+            # virtual-key log records carry DATA COLUMNS ONLY — the
+            # block header's instant is the version authority the
+            # meta commit-time column would have been (the reader
+            # orders log rows by it); key identity re-derives from
+            # the declared key column at read time
+            virtual = self.virtual
             row_schema = T.StructType(
-                [T.StructField(c, T.StringType()) for c in META_COLS]
+                ([] if virtual else [
+                    T.StructField(c, T.StringType()) for c in META_COLS
+                ])
                 + data_fields
             )
             avro_schema = schema_to_avro(row_schema)
@@ -1513,7 +1679,7 @@ class HudiWriter:
                 pdf = pdf.sort_values("__key")
                 records = []
                 for i, (_, row) in enumerate(pdf.iterrows(), 1):
-                    rec = {
+                    rec = {} if virtual else {
                         "_hoodie_commit_time": instant,
                         "_hoodie_commit_seqno": f"{instant}_{i}",
                         "_hoodie_record_key": row["__key"],
@@ -1613,17 +1779,34 @@ class HudiWriter:
             ]
         if rli is not None:
             index = rli
-        else:
+        elif not base_paths:
+            index = self.spark.createDataFrame(
+                [], "__key string, __part string, __fid string"
+            )
+        elif self.virtual:
             index = (
-                self.spark.read.parquet(*base_paths).select(
-                    F.col("_hoodie_record_key").alias("__key"),
-                    F.col("_hoodie_partition_path").alias("__part"),
-                    F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+                self.spark.read.parquet(*base_paths)
+                .select(
+                    self._key_expr().alias("__key"),
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/", -1
+                    ).alias("__base"),
                 )
-                if base_paths
-                else self.spark.createDataFrame(
-                    [], "__key string, __part string, __fid string"
+                .join(
+                    F.broadcast(
+                        self._slice_fid_map(
+                            [(p, fid, bi, rel) for p, fid, bi, rel, _l in slices]
+                        )
+                    ),
+                    "__base",
                 )
+                .select("__key", "__part", "__fid")
+            )
+        else:
+            index = self.spark.read.parquet(*base_paths).select(
+                F.col("_hoodie_record_key").alias("__key"),
+                F.col("_hoodie_partition_path").alias("__part"),
+                F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
             )
         tagged = incoming.join(index, "__key", "inner").select(
             "__key", "__part", "__fid"
@@ -1711,19 +1894,46 @@ class HudiWriter:
             )
             return instant
         merged = _read_mor(
-            self.spark, t, self.table_path, None, None, None, with_meta=True
+            self.spark, t, self.table_path, None, None, None,
+            with_meta=not self.virtual,
         )
         todo_bases = [
             os.path.join(self.table_path, rel) for _, _, _, rel, _ in todo
         ]
-        index = self.spark.read.parquet(*todo_bases).select(
-            F.col("_hoodie_record_key").alias("__key"),
-            F.col("_hoodie_partition_path").alias("__part"),
-            F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
-        )
-        rows = merged.join(
-            index, merged["_hoodie_record_key"] == index["__key"], "inner"
-        ).drop("__key")
+        if self.virtual:
+            # virtual-key group routing: a record compacts into the
+            # file group whose base held its key (same attribution as
+            # the write paths — declared key + broadcast slice map)
+            index = (
+                self.spark.read.parquet(*todo_bases)
+                .select(
+                    self._key_expr().alias("__key"),
+                    F.substring_index(
+                        F.col("_metadata.file_path"), "/", -1
+                    ).alias("__base"),
+                )
+                .join(
+                    F.broadcast(
+                        self._slice_fid_map(
+                            [(p, fid, bi, rel) for p, fid, bi, rel, _l in todo]
+                        )
+                    ),
+                    "__base",
+                )
+                .select("__key", "__part", "__fid")
+            )
+            rows = merged.join(
+                index, self._key_expr() == index["__key"], "inner"
+            ).drop("__key")
+        else:
+            index = self.spark.read.parquet(*todo_bases).select(
+                F.col("_hoodie_record_key").alias("__key"),
+                F.col("_hoodie_partition_path").alias("__part"),
+                F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+            )
+            rows = merged.join(
+                index, merged["_hoodie_record_key"] == index["__key"], "inner"
+            ).drop("__key")
         prev = {(part, fid): bi for part, fid, bi, _rel, _lrs in todo}
         stats = self._write_groups(rows, instant, prev=prev)
         # a group whose every record was log-DELETED contributes no

@@ -1234,3 +1234,93 @@ def test_record_level_index_lifecycle(spark, tmp_path):
     snap2 = {r["k"]: r["status"] for r in read_hudi(spark, root).collect()}
     assert snap2[7] == "Z" and len(snap2) == 64
     assert "7" in {r["__key"] for r in w2._rli_lookup().collect()}
+
+
+def test_virtual_mor_lifecycle(spark, tmp_path):
+    """Round-13: VIRTUAL-KEY MERGE_ON_READ — log data blocks carry
+    DATA COLUMNS ONLY (block-header instant is the version
+    authority), DELETE_BLOCKs key on the declared column, the read
+    merge and compaction route by declared key + slice map. The
+    engine can CREATE virtual tables too (populate_meta_fields=
+    False), not only inherit them from converts."""
+    from plankton_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK,
+        read_log_blocks,
+    )
+    from plankton_spark.sources.hudi_meta import HudiTable
+
+    root = str(tmp_path / "vmor")
+    w = HudiWriter(
+        spark,
+        root,
+        record_key="k",
+        table_type="MERGE_ON_READ",
+        group_buckets=2,
+        populate_meta_fields=False,
+    )
+    inst0 = w.create(_df(spark, 0, 80))
+    assert HudiTable(root).virtual_keys
+    # wave 1: log-updates + a fresh-base insert
+    w.upsert(
+        _df(spark, 0, 10, status="U").unionByName(
+            _df(spark, 200, 210, status="N")
+        )
+    )
+    # wave 2 (REOPENED writer): log-over-log precedence, including on
+    # a row that itself arrived via the wave-1 insert
+    w2 = HudiWriter(spark, root)
+    assert w2.virtual and w2._is_mor
+    w2.upsert(_df(spark, 5, 7, status="V").unionByName(
+        _df(spark, 200, 202, status="V")
+    ))
+    w2.delete_keys(_df(spark, 8, 9).unionByName(_df(spark, 205, 206)))
+    snap = {r["k"]: r["status"] for r in read_hudi(spark, root).collect()}
+    assert len(snap) == 88  # 80 + 10 - 2
+    assert snap[0] == "U" and snap[5] == "V" and snap[6] == "V"
+    assert snap[200] == "V" and snap[202] == "N" and snap[20] == "A"
+    assert 8 not in snap and 205 not in snap
+    # log data records are META-LESS on disk
+    logs = [
+        lr
+        for *_x, lrs in HudiTable(root).file_slices_with_logs()
+        for lr in lrs
+    ]
+    assert logs
+    recs = [
+        rec
+        for lp in logs
+        for _inst, btype, payload in read_log_blocks(
+            str(tmp_path / "vmor" / lp)
+        )
+        if btype == AVRO_DATA_BLOCK
+        for rec in payload
+    ]
+    assert recs and all(
+        not any(c.startswith("_hoodie_") for c in rec) for rec in recs
+    )
+    # time travel to create
+    assert read_hudi(spark, root, as_of=inst0).count() == 80
+    # refusals: with_meta, incremental, RLI at create
+    with pytest.raises(NotImplementedError, match="meta columns"):
+        read_hudi(spark, root, with_meta=True)
+    with pytest.raises(NotImplementedError, match="incremental"):
+        read_hudi(spark, root, incremental=(inst0, inst0))
+    with pytest.raises(NotImplementedError, match="record_index"):
+        HudiWriter(
+            spark,
+            str(tmp_path / "vmor2"),
+            record_key="k",
+            record_index=True,
+            populate_meta_fields=False,
+        )
+    # compaction folds logs, snapshot bit-identical, logs detach
+    pre = _content(read_hudi(spark, root))
+    w2.compact()
+    assert _content(read_hudi(spark, root)) == pre
+    t = HudiTable(root)
+    assert all(not lrs for *_x, lrs in t.file_slices_with_logs())
+    # compacted virtual MOR still carries no meta columns in bases
+    assert not any(
+        c.startswith("_hoodie_")
+        for c in read_hudi(spark, root).columns
+    )
