@@ -1494,7 +1494,7 @@ def q_hudi_virtual_mor(spark, sf_dir):
     ins = o.where((k >= 2000) & (k < 2100)).withColumn(
         "o_orderstatus", F.lit("N")
     )
-    w.upsert(upd.unionByName(ins))
+    i1 = w.upsert(upd.unionByName(ins))
     # reopen: populate.meta.fields=false round-trips hoodie.properties
     w2 = HudiWriter(spark, root)
     assert w2.virtual and w2._is_mor
@@ -1507,7 +1507,7 @@ def q_hudi_virtual_mor(spark, sf_dir):
         o.where((k % 11 == 0) & (k < 1200)).select("o_orderkey")
     )
     assert read_hudi(spark, root, as_of=inst0).count() == n0
-    for kw in ({"with_meta": True}, {"incremental": (inst0, inst0)}):
+    for kw in ({"with_meta": True}, {"incremental": (inst0, i1)}):
         try:
             read_hudi(spark, root, **kw)
             raise AssertionError(f"virtual MOR {kw} must refuse")

@@ -539,11 +539,15 @@ def _read_mor_virtual(
     instant per block). Log data records carry data columns only;
     DELETE_BLOCK events carry (key, partition). The same single keyed
     window as the meta path picks the latest version, ties to the log
-    side. with_meta and incremental refuse — there are no meta
-    columns to surface, and per-RECORD incremental attribution needs
-    the commit-time column (the COW virtual path's slice-grain
-    answer is wrong once log events hide or rewrite rows mid-range);
-    compact() first, then the COW-style slice-grain read applies."""
+    side. with_meta refuses — there are no meta columns to surface.
+    incremental refuses WHILE LOG EVENTS EXIST (per-record
+    attribution needs the commit-time column, and slice-grain
+    attribution cannot represent a log event hiding or rewriting a
+    row mid-range); once compact() has folded every log, the
+    COW-style FILE-SLICE-GRAIN incremental applies — slices whose
+    base instant falls in (begin, end] re-emit whole (the same
+    documented precision limit as the COW virtual path, with
+    compaction as the attribution grain)."""
     import pyspark.sql.types as T
 
     if with_meta:
@@ -552,12 +556,22 @@ def _read_mor_virtual(
             "meta columns to surface"
         )
     if incremental is not None:
-        raise NotImplementedError(
-            f"{table_path}: incremental on a virtual-key MERGE_ON_READ "
-            "— log events carry no per-record commit time and "
-            "slice-grain attribution cannot represent them; compact() "
-            "first"
-        )
+        if log_paths:
+            raise NotImplementedError(
+                f"{table_path}: incremental on a virtual-key "
+                "MERGE_ON_READ with un-compacted log events — they "
+                "carry no per-record commit time and slice-grain "
+                "attribution cannot represent them; compact() first"
+            )
+        begin, _end = incremental
+        paths = [
+            os.path.join(table_path, rel)
+            for _p, _fid, bi, rel, _l in slices
+            if bi > begin
+        ]
+        if not paths:
+            return base.where(F.lit(False))
+        return spark.read.parquet(*paths)
     key_expr = F.col(t.record_key_field).cast("string")
     merged = base
     if log_paths:

@@ -1261,7 +1261,7 @@ def test_virtual_mor_lifecycle(spark, tmp_path):
     inst0 = w.create(_df(spark, 0, 80))
     assert HudiTable(root).virtual_keys
     # wave 1: log-updates + a fresh-base insert
-    w.upsert(
+    i1 = w.upsert(
         _df(spark, 0, 10, status="U").unionByName(
             _df(spark, 200, 210, status="N")
         )
@@ -1304,7 +1304,7 @@ def test_virtual_mor_lifecycle(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="meta columns"):
         read_hudi(spark, root, with_meta=True)
     with pytest.raises(NotImplementedError, match="incremental"):
-        read_hudi(spark, root, incremental=(inst0, inst0))
+        read_hudi(spark, root, incremental=(inst0, i1))
     with pytest.raises(NotImplementedError, match="record_index"):
         HudiWriter(
             spark,
@@ -1315,7 +1315,7 @@ def test_virtual_mor_lifecycle(spark, tmp_path):
         )
     # compaction folds logs, snapshot bit-identical, logs detach
     pre = _content(read_hudi(spark, root))
-    w2.compact()
+    ic = w2.compact()
     assert _content(read_hudi(spark, root)) == pre
     t = HudiTable(root)
     assert all(not lrs for *_x, lrs in t.file_slices_with_logs())
@@ -1324,3 +1324,12 @@ def test_virtual_mor_lifecycle(spark, tmp_path):
         c.startswith("_hoodie_")
         for c in read_hudi(spark, root).columns
     )
+    # FULLY-COMPACTED virtual MOR: slice-grain incremental applies
+    # (compaction is the attribution grain — compacted groups re-emit
+    # whole, untouched groups are silent, empty ranges are legal)
+    inc = read_hudi(spark, root, incremental=(inst0, ic))
+    inc_rows = _content(inc)
+    assert set(inc_rows) <= set(pre)  # re-emitted groups, post-merge rows
+    changed = {k for k, s, _g in pre if s in ("U", "V", "N")}
+    assert changed <= {k for k, _s, _g in inc_rows}  # every touched row
+    assert read_hudi(spark, root, incremental=(ic, ic)).count() == 0
