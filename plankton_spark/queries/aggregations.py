@@ -571,10 +571,14 @@ def q_agg_regr(spark, sf_dir):
 
     Determinism policy: NOT regr_slope() on both engines (those
     accumulate doubles in partition order). Instead all five moments
-    are EXACT integer sums of 100x-scaled decimals (int64 per-row,
-    int128/decimal(38) for the n·Sxy − Sx·Sy combination), and only the
-    final division happens in double — the cancellation-prone
-    subtraction is exact, so a 6dp round is bit-stable cross-engine.
+    are EXACT integer sums of 100x-scaled decimals (int64 per-row;
+    the SECOND-MOMENT sums accumulate in DECIMAL(38,0) because a
+    cent² row is ~1e14 and six million of them overflow int64 — the
+    sf1 soak caught exactly that under ANSI mode; DuckDB's BIGINT
+    SUM widens to HUGEINT natively — and int128/decimal(38) for the
+    n·Sxy − Sx·Sy combination), and only the final division happens
+    in double — the cancellation-prone subtraction is exact, so a
+    6dp round is bit-stable cross-engine.
     Scale note: moments are plain map-side-combinable sums, so this is
     one partial+final hash agg at 100 TB, same as q_agg_group."""
     li = read_table(spark, sf_dir, "lineitem")
@@ -584,9 +588,9 @@ def q_agg_regr(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
     )
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     num = (d(F.col("n")) * d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy"))).cast(
