@@ -717,10 +717,72 @@ def collapse_duplicate_vectors(embeddings):
 
 @query(
     "q_dedup_embcos",
-    oracle=f"""
-    WITH pc AS ({SQL_PAIR_COSINE.format(a_filter="", pair_cond="a.vec_id < b.vec_id")})
-    SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine
-    FROM pc WHERE cosine >= 0.4
+    # Collapsed oracle (round-13 sf1 soak): the old all-pairs formulation
+    # exploded at 20k vectors — the per-component join materializes
+    # N²/2 × 64 rows (1.3e10 at sf1; DuckDB spilled >70 GB and died).
+    # This one mirrors the ENGINE's exact-duplicate collapse (phase 1
+    # of q_dedup_embcos itself): pairwise work runs on the U unique
+    # arrays, then rep pairs expand back through the membership map
+    # with LEAST/GREATEST canonicalization and intra-group pairs get
+    # the group's exact self-cosine — the same decimal folds, so
+    # values are bit-identical to the uncollapsed formulation (two
+    # identical arrays have identical dots/norms by construction).
+    oracle="""
+    WITH reps AS (
+      SELECT MIN(vec_id) AS rep_id, embedding
+      FROM embeddings GROUP BY embedding
+    ),
+    members AS (
+      SELECT e.vec_id, r.rep_id
+      FROM embeddings e JOIN reps r
+        ON e.embedding IS NOT DISTINCT FROM r.embedding
+    ),
+    u AS (
+      SELECT rep_id AS vec_id, CAST(x AS DOUBLE) AS x, i FROM (
+        SELECT rep_id, UNNEST(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM reps
+      )
+    ),
+    sq AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS dot2,
+             sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nrm
+      FROM u GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    rep_pairs AS (
+      SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+      FROM dots JOIN sq na ON na.vec_id = vec_a
+                JOIN sq nb ON nb.vec_id = vec_b
+      WHERE dot / (na.nrm * nb.nrm) >= 0.4
+    ),
+    cross_pairs AS (
+      SELECT LEAST(ma.vec_id, mb.vec_id) AS vec_a,
+             GREATEST(ma.vec_id, mb.vec_id) AS vec_b,
+             rp.cosine
+      FROM rep_pairs rp
+      JOIN members ma ON ma.rep_id = rp.vec_a
+      JOIN members mb ON mb.rep_id = rp.vec_b
+    ),
+    selfcos AS (
+      SELECT vec_id AS rep_id, dot2 / (nrm * nrm) AS cosine
+      FROM sq WHERE dot2 / (nrm * nrm) >= 0.4
+    ),
+    intra AS (
+      SELECT ma.vec_id AS vec_a, mb.vec_id AS vec_b, s.cosine
+      FROM selfcos s
+      JOIN members ma ON ma.rep_id = s.rep_id
+      JOIN members mb ON mb.rep_id = s.rep_id AND ma.vec_id < mb.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine FROM cross_pairs
+    UNION ALL
+    SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine FROM intra
     """,
 )
 def q_dedup_embcos(spark, sf_dir):
@@ -1038,14 +1100,23 @@ def _semantic_oracle(rule: str) -> str:
       FROM comps GROUP BY vec_id
     ),
     ak AS (SELECT vec_id, CAST(k AS BIGINT) AS k, d2 FROM asg2),
+    cpairs AS (
+      -- same-cluster pair list FIRST (Σ|cluster|² rows), then the
+      -- component join hangs off it: the old comps-self-join on the
+      -- 64-value component index built N²/2 × 64 intermediate rows
+      -- before the cluster filter could apply (the sf1 soak spilled
+      -- >70 GB there); this shape is Σ|c|²·d — the SemDeDup flop
+      -- contract the engine itself is bounded by
+      SELECT ka.vec_id AS vec_a, kb.vec_id AS vec_b
+      FROM ak ka JOIN ak kb ON ka.k = kb.k AND ka.vec_id < kb.vec_id
+    ),
     dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      SELECT p.vec_a, p.vec_b,
              CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
-      FROM comps a
-      JOIN comps b ON a.i = b.i AND a.vec_id < b.vec_id
-      JOIN ak ka ON ka.vec_id = a.vec_id
-      JOIN ak kb ON kb.vec_id = b.vec_id AND ka.k = kb.k
-      GROUP BY a.vec_id, b.vec_id
+      FROM cpairs p
+      JOIN comps a ON a.vec_id = p.vec_a
+      JOIN comps b ON b.vec_id = p.vec_b AND b.i = a.i
+      GROUP BY p.vec_a, p.vec_b
     ),
     pruned AS (
       SELECT DISTINCT {pick} AS vec_id

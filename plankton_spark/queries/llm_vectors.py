@@ -659,40 +659,47 @@ def kmeans_assign_ctes(kk_sql: str) -> str:
         SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e
       ) WHERE rn <= (SELECT kk FROM kp)
     ),
-    d1 AS (
-      SELECT e.vec_id, e.v, c0.k,
+    d1p AS (
+      -- project (vec_id, k, d2) BEFORE the window: carrying the two
+      -- 64-element BIGINT lists through an N×K ROW_NUMBER sort is
+      -- what made DuckDB spill at sf1 (the round-13 soak catch); the
+      -- window input here is three integers per row
+      SELECT e.vec_id, c0.k,
              CAST(list_sum(list_transform(
                generate_series(1, {KMEANS_DIMS}),
                i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i]))) AS BIGINT)
-               AS d2,
-             ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY CAST(list_sum(list_transform(
-                 generate_series(1, {KMEANS_DIMS}),
-                 i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i])))
-                 AS BIGINT), c0.k) AS rn
+               AS d2
       FROM e CROSS JOIN c0
     ),
-    asg1 AS (SELECT vec_id, v, k FROM d1 WHERE rn = 1),
+    d1 AS (
+      SELECT vec_id, k, d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY d2, k) AS rn
+      FROM d1p
+    ),
+    asg1 AS (
+      SELECT d1.vec_id, e.v, d1.k
+      FROM d1 JOIN e ON e.vec_id = d1.vec_id WHERE d1.rn = 1
+    ),
     c1dims AS (
       SELECT k, g.i, CAST(SUM(v[g.i]) // COUNT(*) AS BIGINT) AS cv
       FROM asg1, UNNEST(generate_series(1, {KMEANS_DIMS})) AS g(i)
       GROUP BY k, g.i
     ),
     c1 AS (SELECT k, list(cv ORDER BY i) AS c FROM c1dims GROUP BY k),
-    d2f AS (
+    d2p AS (
       SELECT e.vec_id, c1.k,
              CAST(list_sum(list_transform(
                generate_series(1, {KMEANS_DIMS}),
                i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i]))) AS BIGINT)
-               AS d2,
-             ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY CAST(list_sum(list_transform(
-                 generate_series(1, {KMEANS_DIMS}),
-                 i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i])))
-                 AS BIGINT), c1.k) AS rn
+               AS d2
       FROM e CROSS JOIN c1
+    ),
+    d2f AS (
+      SELECT vec_id, k, d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY d2, k) AS rn
+      FROM d2p
     ),
     asg2 AS (SELECT vec_id, k, d2 FROM d2f WHERE rn = 1)
 """
