@@ -1078,7 +1078,10 @@ def _semantic_oracle(rule: str) -> str:
     (the SemDeDup paper's survivor rule), tie on exact integer d2 →
     keep the lower vec_id. vec_a < vec_b always, so the tie-case prune
     target is vec_b in both rules."""
-    from plankton_spark.queries.llm_vectors import KMEANS_ASSIGN_CTES_ADAPTIVE
+    from plankton_spark.queries.llm_vectors import (
+        KMEANS_ASSIGN_CTES_ADAPTIVE,
+        KMEANS_DIMS,
+    )
 
     pick = (
         "d.vec_b"
@@ -1111,12 +1114,22 @@ def _semantic_oracle(rule: str) -> str:
       FROM ak ka JOIN ak kb ON ka.k = kb.k AND ka.vec_id < kb.vec_id
     ),
     dots AS (
+      -- in-row decimal dot over the pair frame: joining the unnested
+      -- component table back in leaves the optimizer free to pair
+      -- comps with itself on the 64-value component index first
+      -- (observed: the sf1 probe ran >550 s there); two unique-key
+      -- equi-joins + a list fold cannot be reordered into a blowup.
+      -- list_sum(DECIMAL(30,12)) accumulates in DECIMAL(38,12) —
+      -- bit-identical to SUM over UNNEST (probed), order-free.
       SELECT p.vec_a, p.vec_b,
-             CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
+             CAST(list_sum(list_transform(
+               generate_series(1, {KMEANS_DIMS}),
+               i -> CAST(CAST(ea.embedding[i] AS DOUBLE)
+                         * CAST(eb.embedding[i] AS DOUBLE)
+                         AS DECIMAL(30,12)))) AS DOUBLE) AS dot
       FROM cpairs p
-      JOIN comps a ON a.vec_id = p.vec_a
-      JOIN comps b ON b.vec_id = p.vec_b AND b.i = a.i
-      GROUP BY p.vec_a, p.vec_b
+      JOIN embeddings ea ON ea.vec_id = p.vec_a
+      JOIN embeddings eb ON eb.vec_id = p.vec_b
     ),
     pruned AS (
       SELECT DISTINCT {pick} AS vec_id
