@@ -54,6 +54,27 @@ def persist_swap(key: str, df):
     return track(key, df.persist())
 
 
+_GENERATIONS: dict[str, list[str]] = {}
+
+
+def persist_swap_bounded(prefix: str, unique: str, df, keep: int = 4):
+    """persist_swap under ``prefix:unique`` with a FIFO cap: at most
+    ``keep`` generations per prefix stay pinned, the oldest releases
+    as new ones arrive. For operators that may be instantiated more
+    than once inside a single returned plan (a fixed key would evict
+    a sibling the plan still depends on) but must not accumulate one
+    pinned frame per invocation across a long session."""
+    key = f"{prefix}:{unique}"
+    gens = _GENERATIONS.setdefault(prefix, [])
+    out = persist_swap(key, df)
+    if key in gens:
+        gens.remove(key)
+    gens.append(key)
+    while len(gens) > keep:
+        release(gens.pop(0))
+    return out
+
+
 def release(key: str) -> None:
     df = _TRACKED.pop(key, None)
     if df is not None:

@@ -116,9 +116,22 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     stage = f"{SCRATCH}/{tag}/events_src_{_events_source_key(sf_dir)}"
     os.makedirs(stage, exist_ok=True)
-    dst = f"{stage}/events.parquet"
-    if not os.path.exists(dst):
-        shutil.copyfile(table_path(sf_dir, "events"), dst)
+    src = table_path(sf_dir, "events")
+    if os.path.isdir(src):
+        # directory fixture (gen_sf scale-ups write multi-part
+        # tables): stage every part — the file source sees each as
+        # one arrived file, same replay semantics
+        import glob as _glob
+
+        parts = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        dst = f"{stage}/part00000.parquet"
+        if not os.path.exists(dst):
+            for i, p in enumerate(parts):
+                shutil.copyfile(p, f"{stage}/part{i:05d}.parquet")
+    else:
+        dst = f"{stage}/events.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
     return _normalized_events_stream(spark, stage, dst)
 
 
