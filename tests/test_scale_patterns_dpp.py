@@ -139,3 +139,48 @@ def test_runtimefilter_confs_restored(spark):
         ),
     )
     assert before == after
+
+
+def test_global_row_number_is_permutation_single_partitioning(spark):
+    """Round-13 sf1 soak regression (q_shard_assign ±3): the ranged
+    frame must be evaluated under ONE materialized range
+    partitioning — unpersisted, the counts branch and the window
+    branch each re-run repartitionByRange, whose sampler may pick
+    different boundaries per evaluation, and the offsets then belong
+    to a different partitioning than the window (row numbers stop
+    being a permutation). Pins (a) the persist (InMemoryTableScan
+    feeds both branches) and (b) the permutation property on a
+    skewed 60k-row frame, twice."""
+    from pyspark.sql import functions as F
+
+    from plankton_spark.operators.ranking import global_row_number
+
+    df = spark.range(60_000).select(
+        F.col("id").alias("k"),
+        # heavy ties in the leading key — the boundary-sensitive case
+        (F.col("id") % 7).alias("grp"),
+    )
+    ranked = global_row_number(df, [F.col("grp"), F.col("k")], out="rn")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    for _ in range(2):
+        rns = [r["rn"] for r in ranked.select("rn").collect()]
+        assert sorted(rns) == list(range(1, 60_001))
+
+
+def test_persist_swap_bounded_fifo(spark):
+    """persist_swap_bounded keeps at most `keep` generations pinned
+    per prefix and releases the oldest first."""
+    from plankton_spark import cache
+
+    frames = []
+    for i in range(6):
+        f = spark.range(i + 1, i + 100)
+        frames.append(cache.persist_swap_bounded("t13fifo", str(i), f, keep=3))
+    live = [k for k in cache._TRACKED if k.startswith("t13fifo:")]
+    assert sorted(live) == ["t13fifo:3", "t13fifo:4", "t13fifo:5"]
+    # evicted generations are unpersisted, survivors still cached
+    assert frames[0].storageLevel.useMemory is False
+    assert frames[5].storageLevel.useMemory is True
+    for k in list(live):
+        cache.release(k)
