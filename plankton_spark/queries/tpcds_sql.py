@@ -1800,3 +1800,78 @@ def q_tpcds_bucketcase(spark, sf_dir):
     a one-row aggregate over a two-column pruned scan. The SAME SQL
     text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_bucketcase", _BUCKETCASE)
+
+
+_DIMBOOL = """
+SELECT DISTINCT p1.p_name AS product_name
+FROM part p1
+WHERE p1.p_size BETWEEN 10 AND 40
+  AND (SELECT COUNT(*) FROM part p2
+       WHERE p2.p_brand = p1.p_brand
+         AND ((p2.p_type = 'ECONOMY'  AND p2.p_size BETWEEN 1  AND 10)
+           OR (p2.p_type = 'SMALL'    AND p2.p_size BETWEEN 11 AND 20)
+           OR (p2.p_type = 'STANDARD' AND p2.p_size BETWEEN 21 AND 30)
+           OR (p2.p_type = 'LARGE'    AND p2.p_size BETWEEN 31 AND 40))) > 0
+"""
+
+_TABLES["q_tpcds_dimbool"] = ("part",)
+
+
+@query("q_tpcds_dimbool", oracle=_DIMBOOL)
+def q_tpcds_dimbool(spark, sf_dir):
+    """TPC-DS Q41 shape (fixture-adapted): a DIMENSION-ONLY query
+    whose filter is a CORRELATED COUNT subquery over the same
+    dimension carrying Q41's OR-of-conjunction boolean blob (color x
+    units x size bands → type x size bands here), correlated on the
+    manufacturer family (p_brand plays i_manufact). The optimizer
+    work Q41 exists for: decorrelate the equality-correlated COUNT
+    into a per-brand aggregate join, and simplify-or-split the
+    disjunction; > 0 makes it semantically an EXISTS that engines may
+    or may not rewrite. DISTINCT product names, deterministic set
+    (no LIMIT — Q41's LIMIT 100 would cut on name ties). Dimension
+    tables stay small at any SF, so both the subquery and the outer
+    scan are broadcast-sized. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_dimbool", _DIMBOOL)
+
+
+_PROMORATIO = """
+WITH promo AS (
+  SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+),
+total AS (
+  SELECT SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+)
+SELECT CAST(promo.cents AS BIGINT) AS promo_cents,
+       CAST(total.cents AS BIGINT) AS total_cents,
+       ROUND(100 * CAST(promo.cents AS DOUBLE) / CAST(total.cents AS DOUBLE),
+             6) AS promo_pct
+FROM promo, total
+"""
+
+_TABLES["q_tpcds_promoratio"] = ("lineitem", "orders", "part")
+
+
+@query("q_tpcds_promoratio", oracle=_PROMORATIO)
+def q_tpcds_promoratio(spark, sf_dir):
+    """TPC-DS Q61 shape (fixture-adapted): promotional vs total
+    revenue as TWO INDEPENDENT one-row aggregate CTEs cross-joined
+    into a ratio — Q61's signature is that the promo side carries an
+    EXTRA join (promotion; part's PROMO type here) the total side
+    does not, so the engine runs two different join trees and
+    combines single rows (vs Q14's one-pass conditional aggregate).
+    Revenue is exact cents; the display ratio divides two cent sums
+    (corpus-sized denominator — the watch-class-safe category). At
+    scale both CTEs are independent scan+join+agg pipelines that
+    parallelize fully; the final cross join is 1x1. The SAME SQL
+    text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_promoratio", _PROMORATIO)
