@@ -1465,9 +1465,10 @@ def q_hudi_virtual_mor(spark, sf_dir):
     snapshot oracled relationally; compact() folds the logs and the
     post-compaction snapshot is asserted ROW-IDENTICAL
     (compact_equal pin). Time travel to the create instant still
-    sees the original rows; with_meta and incremental refuse
-    (incremental needs per-record commit times — compact first,
-    then slice-grain applies). At scale: log parse runs one task
+    sees the original rows; with_meta refuses (nothing to surface)
+    while incremental works at MIXED grain (block instants exact,
+    base rows slice-grain — q_hudi_virtual_mor_incr). At scale: log
+    parse runs one task
     per log file on executors, the merge shuffles once on the key,
     tagging joins the declared key against base key columns + a
     broadcast slice map (no meta backfill ever)."""
@@ -1507,12 +1508,18 @@ def q_hudi_virtual_mor(spark, sf_dir):
         o.where((k % 11 == 0) & (k < 1200)).select("o_orderkey")
     )
     assert read_hudi(spark, root, as_of=inst0).count() == n0
-    for kw in ({"with_meta": True}, {"incremental": (inst0, i1)}):
-        try:
-            read_hudi(spark, root, **kw)
-            raise AssertionError(f"virtual MOR {kw} must refuse")
-        except NotImplementedError:
-            pass
+    try:
+        read_hudi(spark, root, with_meta=True)
+        raise AssertionError("virtual MOR with_meta must refuse")
+    except NotImplementedError:
+        pass
+    # incremental over live logs works since the round-13
+    # continuation (q_hudi_virtual_mor_incr pins the semantics):
+    # (create, wave1] = exactly the wave-1 write-set
+    assert (
+        read_hudi(spark, root, incremental=(inst0, i1)).count()
+        == upd.count() + ins.count()
+    )
     pre = read_hudi(spark, root)
     pre_rows = pre.collect()
     w2.compact()
@@ -1536,3 +1543,346 @@ def q_hudi_virtual_mor(spark, sf_dir):
         F.sum(F.when(F.col("o_orderstatus") == "N", 1).otherwise(0))
         .cast("long").alias("n_new"),
     ).withColumn("compact_equal", F.lit(1 if same else 0).cast("long"))
+
+
+@query(
+    "q_hudi_mor_cluster",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 900
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus FROM base
+      WHERE o_orderkey < 150
+    ),
+    ins AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderkey >= 900 AND o_orderkey < 1100
+    ),
+    merged AS (
+      SELECT * FROM base WHERE o_orderkey >= 150
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    ),
+    final AS (
+      SELECT * FROM merged
+      WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey < 300)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(3 AS BIGINT) AS n_groups_after,
+           CAST(0 AS BIGINT) AS n_live_logs_after,
+           CAST(0 AS BIGINT) AS n_incr_cluster_only
+    FROM final
+    """,
+)
+def q_hudi_mor_cluster(spark, sf_dir):
+    """LOG-AWARE MOR CLUSTERING (round-13 continuation — the
+    compact-first refusal lifted): cluster() on an un-compacted
+    MERGE_ON_READ table folds the live log deltas — update blocks
+    AND delete tombstones — into the replacement layout, because the
+    snapshot read already merges them latest-wins and every merged
+    row carries the commit time + seqno of its LATEST version
+    (exactly what compact() would have written). The replaced
+    groups' logs detach with their bases (the replacecommit replay
+    pops both, the insert_overwrite precedent). Lifecycle: MOR
+    create (2 groups) → upsert ('U' updates append logs, inserts
+    open a fresh base) → DELETE_BLOCK wave (%7 keys) → cluster()
+    into 3 key-hash buckets. Pinned: merged snapshot relationally
+    oracled, post-cluster group count (n_groups_after), ZERO live
+    logs after (n_live_logs_after — the fold consumed them), and
+    the cluster-only incremental range is SILENT
+    (n_incr_cluster_only = 0: latest-version identity preserved,
+    no phantom changes). At 100 TB: the fold is the same one-shuffle
+    keyed merge the snapshot read pays, and replacement is pure
+    replace metadata — no survivor rewrite amplification."""
+    from plankton_spark.sources.hudi_meta import (
+        HudiTable,
+        HudiWriter,
+        read_hudi,
+    )
+
+    root = _fresh(sf_dir, "hudi_mor_cluster")
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark,
+        root,
+        record_key="o_orderkey",
+        table_type="MERGE_ON_READ",
+        group_buckets=2,
+    )
+    w.create(o.where(k < 900))
+    upd = o.where(k < 150).withColumn("o_orderstatus", F.lit("U"))
+    ins = o.where((k >= 900) & (k < 1100))
+    w.upsert(upd.unionByName(ins))
+    i3 = w.delete_keys(
+        o.where((k % 7 == 0) & (k < 300)).select("o_orderkey")
+    )
+    w.group_buckets = 3
+    ic = w.cluster()
+    slices = HudiTable(root).file_slices_with_logs()
+    n_groups = len(slices)
+    n_logs = sum(len(lrs) for *_x, lrs in slices)
+    n_cluster_only = read_hudi(spark, root, incremental=(i3, ic)).count()
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+        .cast("long").alias("n_u"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "n_u",
+        F.lit(n_groups).cast("long").alias("n_groups_after"),
+        F.lit(n_logs).cast("long").alias("n_live_logs_after"),
+        F.lit(n_cluster_only).cast("long").alias("n_incr_cluster_only"),
+    )
+
+
+@query(
+    "q_hudi_virtual_mor_incr",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey < 1000
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice + 5 AS o_totalprice
+      FROM base WHERE o_orderkey < 120
+    ),
+    ins AS (
+      SELECT o_orderkey, 'N' AS o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey >= 2000 AND o_orderkey < 2080
+    ),
+    upd2 AS (
+      SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice FROM ins
+      WHERE o_orderkey < 2040
+    ),
+    merged AS (
+      SELECT * FROM base WHERE o_orderkey >= 120
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins WHERE o_orderkey >= 2040
+      UNION ALL SELECT * FROM upd2
+    ),
+    final AS (
+      SELECT * FROM merged
+      WHERE NOT (o_orderkey % 13 = 0 AND o_orderkey < 1000)
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+             AS price_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(SUM(CASE WHEN o_orderstatus = 'M' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_m,
+           CAST((SELECT COUNT(*) FROM upd) + (SELECT COUNT(*) FROM ins)
+                AS BIGINT) AS n_incr_mixed,
+           CAST(0 AS BIGINT) AS n_incr_delete_only
+    FROM final
+    """,
+)
+def q_hudi_virtual_mor_incr(spark, sf_dir):
+    """VIRTUAL-KEY MOR INCREMENTAL over LIVE LOGS (round-13
+    continuation — the compact-first refusal lifted): log rows
+    attribute at their BLOCK's instant, which is EXACT (one commit
+    per block — the per-record commit-time column was always
+    redundant at this grain), base rows at their slice instant (the
+    documented slice-grain precision limit), and the range filter
+    runs AFTER the latest-wins merge so a record updated twice
+    in-range emits ONCE in its end state. Lifecycle: virtual MOR
+    create (keys < 1000) → wave 1 ('U' log-updates keys < 120,
+    'N' inserts 2000-2079 open a fresh base) → wave 2 ('M'
+    log-over-log on 2000-2039) → DELETE_BLOCK wave (%13). Pinned:
+    the (create, wave2] incremental count is exactly |wave-1
+    write-set| (n_incr_mixed — 'M' overwrites emit once, original
+    base rows are silent), a delete-only range emits ZERO rows
+    (n_incr_delete_only), and the final snapshot is relationally
+    oracled. At 100 TB: the incremental pays the same one keyed
+    shuffle as the snapshot merge — no extra pass, no driver
+    state."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
+    root = _fresh(sf_dir, "hudi_virtual_mor_incr")
+    o = _orders(spark, sf_dir)
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark,
+        root,
+        record_key="o_orderkey",
+        table_type="MERGE_ON_READ",
+        group_buckets=2,
+        populate_meta_fields=False,
+    )
+    i0 = w.create(o.where(k < 1000))
+    upd = (
+        o.where(k < 120)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5)
+    )
+    ins = o.where((k >= 2000) & (k < 2080)).withColumn(
+        "o_orderstatus", F.lit("N")
+    )
+    w.upsert(upd.unionByName(ins))
+    i2 = w.upsert(
+        o.where((k >= 2000) & (k < 2040)).withColumn(
+            "o_orderstatus", F.lit("M")
+        )
+    )
+    n_mixed = read_hudi(spark, root, incremental=(i0, i2)).count()
+    i3 = w.delete_keys(
+        o.where((k % 13 == 0) & (k < 1000)).select("o_orderkey")
+    )
+    n_del_only = read_hudi(spark, root, incremental=(i2, i3)).count()
+    return read_hudi(spark, root).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("price_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+        .cast("long").alias("n_u"),
+        F.sum(F.when(F.col("o_orderstatus") == "M", 1).otherwise(0))
+        .cast("long").alias("n_m"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "price_sum",
+        "n_u",
+        "n_m",
+        F.lit(n_mixed).cast("long").alias("n_incr_mixed"),
+        F.lit(n_del_only).cast("long").alias("n_incr_delete_only"),
+    )
+
+
+@query(
+    "q_hudi_virtual_rli",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 1200
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus FROM base
+      WHERE o_orderkey < 150
+    ),
+    ins AS (
+      SELECT o_orderkey, 'N' AS o_orderstatus FROM orders
+      WHERE o_orderkey >= 2000 AND o_orderkey < 2100
+    ),
+    final AS (
+      SELECT * FROM base
+      WHERE o_orderkey >= 150 AND o_orderkey % 13 <> 0
+      UNION ALL SELECT * FROM upd WHERE o_orderkey % 13 <> 0
+      UNION ALL SELECT * FROM ins WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_u,
+           CAST(1 AS BIGINT) AS twin_match,
+           CAST(1 AS BIGINT) AS rli_matches_disk,
+           CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_index_rows
+    FROM final
+    """,
+)
+def q_hudi_virtual_rli(spark, sf_dir):
+    """RECORD-LEVEL INDEX on VIRTUAL-KEY tables (round-13
+    continuation — the create-time refusal lifted): the RLI
+    maintenance scan reads the DECLARED record-key column (virtual
+    files carry no _hoodie_record_key) and attributes (partition,
+    fileId) from a broadcast basename map built off the commit's own
+    add list — metadata-scale, the same attribution every virtual
+    write path uses. The BLOOM partition builds from the declared
+    key column too (str-of-int matches Spark's string cast), so the
+    twin differential is meaningful: a TWIN virtual table runs the
+    identical op sequence (partitioned create → dup-partition upsert
+    → delete) under the BLOOM index, both snapshots must be
+    row-identical (twin_match), and the RLI mapping must equal the
+    physical key→fileId assignment read back from the live files via
+    _metadata.file_path (rli_matches_disk) with one live row per
+    live key (n_index_rows). Tagging under RLI reads ZERO base files
+    with ZERO false positives — on a virtual table that matters
+    twice, because the bloom fallback must scan the full declared
+    key column of every candidate."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
+    def lifecycle(root, **kw):
+        o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+        k = F.col("o_orderkey")
+        w = HudiWriter(
+            spark,
+            root,
+            record_key="o_orderkey",
+            partition_field="o_orderstatus",
+            group_buckets=2,
+            populate_meta_fields=False,
+            **kw,
+        )
+        w.create(o.where(k < 1200))
+        w2 = HudiWriter(spark, root)
+        assert w2.virtual
+        upd = o.where(k < 150).withColumn("o_orderstatus", F.lit("U"))
+        ins = o.where((k >= 2000) & (k < 2100)).withColumn(
+            "o_orderstatus", F.lit("N")
+        )
+        w2.upsert(upd.unionByName(ins))
+        w2.delete_keys(
+            o.where((k < 2100) & (k % 13 == 0)).select("o_orderkey")
+        )
+        return w2
+
+    root_rli = _fresh(sf_dir, "hudi_virtual_rli")
+    root_bloom = _fresh(sf_dir, "hudi_virtual_rli_twin")
+    w_rli = lifecycle(root_rli, record_index=True)
+    lifecycle(root_bloom, metadata_table=True)
+    assert w_rli._rli_enabled
+
+    cols = ["o_orderkey", "o_orderstatus"]
+    snap_rli = read_hudi(spark, root_rli).select(cols)
+    snap_bloom = read_hudi(spark, root_bloom).select(cols)
+    twin = (
+        1
+        if snap_rli.exceptAll(snap_bloom).isEmpty()
+        and snap_bloom.exceptAll(snap_rli).isEmpty()
+        else 0
+    )
+    # RLI ↔ physical parity WITHOUT meta columns: declared key +
+    # _metadata.file_path stand in for _hoodie_record_key/_file_name
+    disk = (
+        read_hudi(spark, root_rli)
+        .withColumn(
+            "__b",
+            F.substring_index(F.col("_metadata.file_path"), "/", -1),
+        )
+        .select(
+            F.col("o_orderkey").cast("string").alias("__key"),
+            F.element_at(F.split("__b", "_"), 1).alias("__fid"),
+        )
+    )
+    idx = w_rli._rli_lookup().select("__key", "__fid")
+    parity = (
+        1
+        if idx.exceptAll(disk).isEmpty() and disk.exceptAll(idx).isEmpty()
+        else 0
+    )
+    n_index = idx.count()
+    return snap_rli.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+        .cast("long").alias("n_u"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        "n_u",
+        F.lit(twin).cast("long").alias("twin_match"),
+        F.lit(parity).cast("long").alias("rli_matches_disk"),
+        F.lit(n_index).cast("long").alias("n_index_rows"),
+    )

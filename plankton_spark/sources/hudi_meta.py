@@ -540,14 +540,17 @@ def _read_mor_virtual(
     DELETE_BLOCK events carry (key, partition). The same single keyed
     window as the meta path picks the latest version, ties to the log
     side. with_meta refuses — there are no meta columns to surface.
-    incremental refuses WHILE LOG EVENTS EXIST (per-record
-    attribution needs the commit-time column, and slice-grain
-    attribution cannot represent a log event hiding or rewriting a
-    row mid-range); once compact() has folded every log, the
-    COW-style FILE-SLICE-GRAIN incremental applies — slices whose
-    base instant falls in (begin, end] re-emit whole (the same
-    documented precision limit as the COW virtual path, with
-    compaction as the attribution grain)."""
+    incremental attributes at MIXED grain: LOG rows carry an EXACT
+    per-version commit time (the block header's instant — one commit
+    per block, so block grain IS commit grain) and BASE rows carry
+    their slice's base instant (the COW-virtual precision limit:
+    a rewritten/compacted slice re-emits its copied-forward rows).
+    The range filter runs AFTER the latest-wins merge — a record
+    whose newest version landed in-range emits once in its merged
+    state, a record log-deleted in-range just disappears (the same
+    semantics as the meta-column path). With zero live logs this
+    degrades to the pure FILE-SLICE-GRAIN path (whole slices with
+    base instant in (begin, end])."""
     import pyspark.sql.types as T
 
     if with_meta:
@@ -555,14 +558,7 @@ def _read_mor_virtual(
             f"{table_path}: virtual-key table carries no per-record "
             "meta columns to surface"
         )
-    if incremental is not None:
-        if log_paths:
-            raise NotImplementedError(
-                f"{table_path}: incremental on a virtual-key "
-                "MERGE_ON_READ with un-compacted log events — they "
-                "carry no per-record commit time and slice-grain "
-                "attribution cannot represent them; compact() first"
-            )
+    if incremental is not None and not log_paths:
         begin, _end = incremental
         paths = [
             os.path.join(table_path, rel)
@@ -588,7 +584,10 @@ def _read_mor_virtual(
                 T.StructField("__del", T.IntegerType()),
             ]
         )
-        cutoff = as_of
+        # in incremental mode the slice list is already bounded by
+        # ``end``, but a foreign writer may have appended LATER
+        # instants' blocks to a selected log file — cut at ``end``
+        cutoff = incremental[1] if incremental is not None else as_of
 
         def parse(batches):
             import pandas as pd
@@ -652,12 +651,18 @@ def _read_mor_virtual(
         w = Window.partitionBy("__key").orderBy(
             F.col("__ct").desc(), F.col("__src").desc()
         )
-        merged = (
-            base_k.unionByName(logs_df)
-            .withColumn("__rn", F.row_number().over(w))
-            .where((F.col("__rn") == 1) & (F.col("__del") == 0))
-            .drop("__rn", "__src", "__del", "__ct", "__key")
-        )
+        merged = base_k.unionByName(logs_df).withColumn(
+            "__rn", F.row_number().over(w)
+        ).where((F.col("__rn") == 1) & (F.col("__del") == 0))
+        if incremental is not None:
+            # mixed-grain attribution AFTER the merge: the surviving
+            # version's __ct (exact block instant for log rows, slice
+            # instant for base rows) decides range membership
+            begin, end = incremental
+            merged = merged.where(
+                (F.col("__ct") > begin) & (F.col("__ct") <= end)
+            )
+        merged = merged.drop("__rn", "__src", "__del", "__ct", "__key")
     return merged
 
 
@@ -760,13 +765,6 @@ class HudiWriter:
             # caller declares virtual keys (populate_meta_fields=False
             # — real Hudi's hoodie.populate.meta.fields write config)
             self.virtual = not populate_meta_fields
-            if self.virtual and record_index:
-                raise NotImplementedError(
-                    f"{table_path}: record_index with virtual keys — "
-                    "the RLI maintenance scan reads the "
-                    "_hoodie_record_key column virtual files never "
-                    "carry; use the base-file index or blooms"
-                )
             self.table_type = table_type
             self.record_key = record_key
             self.partition_field = partition_field
@@ -959,12 +957,21 @@ class HudiWriter:
             )
             if not os.path.isfile(full):
                 continue
+            # virtual-key files carry no meta columns — the bloom is
+            # built from the DECLARED key column instead; str() of an
+            # int key matches Spark's string cast, so probe keys and
+            # bloom keys agree (non-integer declared keys are already
+            # strings at this engine's write grain)
+            key_col = (
+                self.record_key if self.virtual else "_hoodie_record_key"
+            )
             try:
-                keys = (
-                    _pq.read_table(full, columns=["_hoodie_record_key"])
+                keys = [
+                    v if isinstance(v, str) else str(v)
+                    for v in _pq.read_table(full, columns=[key_col])
                     .column(0)
                     .to_pylist()
-                )
+                ]
             except Exception:
                 continue  # key column absent: no bloom row — the
                 # probe treats bloom-less files as always-candidate
@@ -991,8 +998,10 @@ class HudiWriter:
         # written _hoodie_file_name; updates re-map idempotently
         # (latest-wins), clustering re-maps to the new groups, and
         # delete ops pass their matched keys as ``rli_deletes``
-        # tombstones. Virtual-key tables never enable RLI (it is
-        # declared at engine create).
+        # tombstones. VIRTUAL-KEY tables participate too (round 13):
+        # the key scans from the declared record-key column and the
+        # (part, fid) attribution comes from the commit's own add
+        # list — no meta columns needed anywhere in the chain.
         mschema = (
             "mpart string, mkey string, part string, fname string, "
             "fsize long, deleted boolean, col string, vmin string, "
@@ -1009,19 +1018,48 @@ class HudiWriter:
             ]
             base_adds = [p for p in base_adds if os.path.isfile(p)]
             if base_adds:
-                rli_df = self.spark.read.parquet(*base_adds).select(
+                if self.virtual:
+                    # virtual-key files carry no meta columns: key =
+                    # the declared record-key column, (part, fid)
+                    # from a broadcast basename map built off the
+                    # commit's own add list (metadata-scale) — the
+                    # same attribution the virtual write paths use
+                    amap = self.spark.createDataFrame(
+                        [
+                            (n, p, n.split("_")[0])
+                            for p, n, _s in adds
+                            if ".log." not in n
+                        ],
+                        "__base string, part string, fname string",
+                    )
+                    keyed = (
+                        self.spark.read.parquet(*base_adds)
+                        .select(
+                            self._key_expr().alias("__k"),
+                            F.substring_index(
+                                F.col("_metadata.file_path"), "/", -1
+                            ).alias("__base"),
+                        )
+                        .join(F.broadcast(amap), "__base")
+                    )
+                else:
+                    keyed = self.spark.read.parquet(*base_adds).select(
+                        F.col("_hoodie_record_key").alias("__k"),
+                        F.col("_hoodie_partition_path").alias("part"),
+                        F.element_at(
+                            F.split("_hoodie_file_name", "_"), 1
+                        ).alias("fname"),
+                    )
+                rli_df = keyed.select(
                     F.lit("record_index").alias("mpart"),
                     F.concat(
-                        F.lit("record_index#"),
-                        F.col("_hoodie_record_key"),
+                        F.lit("record_index#"), F.col("__k")
                     ).alias("mkey"),
-                    F.col("_hoodie_partition_path").alias("part"),
-                    F.element_at(
-                        F.split("_hoodie_file_name", "_"), 1
-                    ).alias("fname"),
+                    F.col("part"),
+                    F.col("fname"),
                     F.lit(0).cast("long").alias("fsize"),
                     F.lit(False).alias("deleted"),
-                    F.col("_hoodie_record_key").alias("col"),
+                    F.col("__k").alias("col"),
                     F.lit(None).cast("string").alias("vmin"),
                     F.lit(None).cast("string").alias("vmax"),
                     F.lit(None).cast("long").alias("nulls"),
@@ -2036,23 +2074,38 @@ class HudiWriter:
         query and the streaming feed stay silent across it — the
         compaction precedent, replace-metadata edition. Empty-group
         tombstone files compact away naturally (an empty group is
-        replaced by nothing). COW only: cluster a MOR table after
-        compact() via a COW-typed rewrite, or extend this to schedule
-        log-aware clustering — refused here rather than merged
-        wrong."""
-        if self._is_mor:
+        replaced by nothing). MERGE_ON_READ clusters LOG-AWARE: the
+        snapshot read already folds live log deltas (latest-wins
+        merge, delete tombstones hidden) and every merged row carries
+        the commit time + seqno of its LATEST version — exactly what
+        compact() writes — so the replacement groups hold the folded
+        state and the replaced groups' logs detach with their bases
+        (the replacecommit replay pops both, the insert_overwrite
+        precedent). VIRTUAL-KEY tables refuse: a layout-only rewrite
+        must preserve per-record commit identity, which virtual files
+        do not carry — slice-grain attribution would re-emit the
+        whole table as changed, breaking the silence contract."""
+        if self.virtual:
             raise NotImplementedError(
-                f"{self.table_path}: cluster() on MERGE_ON_READ would "
-                "have to fold live log deltas into the replacement "
-                "layout — compact() first, then cluster"
+                f"{self.table_path}: cluster() on a virtual-key table "
+                "— layout-only rewrites must preserve per-record "
+                "commit identity, which populate.meta.fields=false "
+                "files never carry; slice-grain attribution would "
+                "re-emit every row as changed"
             )
         instant = self._next_instant()
         t = HudiTable(self.table_path)
-        slices = t.file_slices()
-        if not slices:
+        if self._is_mor:
+            groups = [
+                (p, fid)
+                for p, fid, _bi, _rel, _lrs in t.file_slices_with_logs()
+            ]
+        else:
+            groups = [(p, fid) for p, fid, _ti, _rel in t.file_slices()]
+        if not groups:
             raise ValueError(f"{self.table_path}: nothing to cluster")
         replaced: dict[str, list[str]] = {}
-        for part, fid, _ti, _rel in slices:
+        for part, fid in groups:
             replaced.setdefault(part, []).append(fid)
         rows = read_hudi(
             self.spark, self.table_path, with_meta=True

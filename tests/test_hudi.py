@@ -357,9 +357,6 @@ def test_mor_refusals(spark, tmp_path):
     # converters can't represent un-compacted log deltas
     with pytest.raises(NotImplementedError, match="log"):
         convert_hudi_to_delta(spark, root)
-    # clustering an un-compacted MOR table refuses too
-    with pytest.raises(NotImplementedError, match="compact"):
-        w.cluster()
     # a deltacommit on a COW table is an inconsistent timeline
     root2 = str(tmp_path / "t2")
     w2 = HudiWriter(spark, root2, record_key="k")
@@ -1300,19 +1297,20 @@ def test_virtual_mor_lifecycle(spark, tmp_path):
     )
     # time travel to create
     assert read_hudi(spark, root, as_of=inst0).count() == 80
-    # refusals: with_meta, incremental, RLI at create
+    # with_meta still refuses (nothing to surface)
     with pytest.raises(NotImplementedError, match="meta columns"):
         read_hudi(spark, root, with_meta=True)
-    with pytest.raises(NotImplementedError, match="incremental"):
-        read_hudi(spark, root, incremental=(inst0, i1))
-    with pytest.raises(NotImplementedError, match="record_index"):
-        HudiWriter(
-            spark,
-            str(tmp_path / "vmor2"),
-            record_key="k",
-            record_index=True,
-            populate_meta_fields=False,
-        )
+    # incremental over LIVE LOGS works since round 13 (mixed grain:
+    # block instants are exact, base rows carry the slice instant) —
+    # (create, wave1]: the wave-1 write-set in its as-of-i1 state,
+    # wave-2 'V' overwrites and the later deletes both cut at end
+    inc1 = {
+        r["k"]: r["status"]
+        for r in read_hudi(spark, root, incremental=(inst0, i1)).collect()
+    }
+    assert set(inc1) == set(range(0, 10)) | set(range(200, 210))
+    assert all(inc1[k] == "U" for k in range(0, 10))
+    assert all(inc1[k] == "N" for k in range(200, 210))
     # compaction folds logs, snapshot bit-identical, logs detach
     pre = _content(read_hudi(spark, root))
     ic = w2.compact()
@@ -1333,3 +1331,162 @@ def test_virtual_mor_lifecycle(spark, tmp_path):
     changed = {k for k, s, _g in pre if s in ("U", "V", "N")}
     assert changed <= {k for k, _s, _g in inc_rows}  # every touched row
     assert read_hudi(spark, root, incremental=(ic, ic)).count() == 0
+
+
+def test_mor_clustering_log_aware(spark, tmp_path):
+    """Round-13 continuation: cluster() on an UN-COMPACTED MOR table
+    folds live log deltas (updates AND delete tombstones) into the
+    replacement layout — merged content identical, replaced groups'
+    logs detach with their bases, records keep their latest-version
+    commit time + seqno so the incremental query is silent across
+    the replacecommit, and post-cluster upserts open fresh log
+    chains against the new groups."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(
+        spark, root, record_key="k",
+        table_type="MERGE_ON_READ", group_buckets=2,
+    )
+    w.create(_df(spark, 0, 100))
+    i2 = w.upsert(_df(spark, 20, 120, status="B"))  # logs + fresh base
+    i3 = w.delete_keys(
+        spark.range(0, 100, 9).select(F.col("id").alias("k"))
+    )  # DELETE_BLOCK tombstones in the logs
+    before = _content(read_hudi(spark, root))
+    meta_before = {
+        r["_hoodie_record_key"]: (
+            r["_hoodie_commit_time"], r["_hoodie_commit_seqno"]
+        )
+        for r in read_hudi(spark, root, with_meta=True).collect()
+    }
+    w.group_buckets = 3
+    ic = w.cluster()
+    assert _content(read_hudi(spark, root)) == before
+    t = HudiTable(root)
+    slices = t.file_slices_with_logs()
+    assert len(slices) == 3
+    assert all(not lrs for *_x, lrs in slices)  # logs detached
+    # latest-version identity carried through the fold untouched
+    meta_after = {
+        r["_hoodie_record_key"]: (
+            r["_hoodie_commit_time"], r["_hoodie_commit_seqno"]
+        )
+        for r in read_hudi(spark, root, with_meta=True).collect()
+    }
+    assert meta_after == meta_before
+    # silence: the cluster-only range emits nothing; ranges through
+    # it equal the pre-cluster ranges
+    assert read_hudi(spark, root, incremental=(i3, ic)).count() == 0
+    assert (
+        read_hudi(spark, root, incremental=(i2, ic)).count()
+        == read_hudi(spark, root, incremental=(i2, i3)).count()
+    )
+    # time travel before the replacecommit sees the old slices
+    assert read_hudi(spark, root, as_of=i3).count() == len(before)
+    # post-cluster upsert logs against the NEW groups
+    w.upsert(_df(spark, 1, 4, status="E"))
+    out = read_hudi(spark, root)
+    assert out.where(F.col("status") == "E").count() == 3
+    # ...and compaction still folds them
+    pre = _content(out)
+    w.compact()
+    assert _content(read_hudi(spark, root)) == pre
+
+
+def test_virtual_cluster_refuses(spark, tmp_path):
+    """Clustering is layout-only — it must preserve per-record commit
+    identity, which virtual-key files never carry; refuse rather than
+    re-emit the whole table as an incremental change."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(
+        spark, root, record_key="k", populate_meta_fields=False,
+    )
+    w.create(_df(spark, 0, 20))
+    with pytest.raises(NotImplementedError, match="virtual-key"):
+        w.cluster()
+
+
+def test_virtual_mor_incremental_mixed_grain(spark, tmp_path):
+    """Round-13 continuation: incremental over a virtual-key MOR with
+    LIVE LOGS — log rows attribute at their block's instant (exact:
+    one commit per block), base rows at their slice instant, the
+    filter runs after the latest-wins merge, and deletes inside the
+    range just hide their keys."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(
+        spark, root, record_key="k",
+        table_type="MERGE_ON_READ", group_buckets=2,
+        populate_meta_fields=False,
+    )
+    i0 = w.create(_df(spark, 0, 40))
+    i1 = w.upsert(_df(spark, 10, 20, status="B"))     # log updates
+    i2 = w.upsert(_df(spark, 15, 25, status="C"))     # log-over-log + inserts
+    i3 = w.delete_keys(spark.range(0, 3).select(F.col("id").alias("k")))
+    # (i0, i2]: merged-latest versions committed in range
+    inc = {
+        r["k"]: r["status"]
+        for r in read_hudi(spark, root, incremental=(i0, i2)).collect()
+    }
+    assert set(inc) == set(range(10, 25))
+    assert all(inc[k] == "B" for k in range(10, 15))
+    assert all(inc[k] == "C" for k in range(15, 25))
+    # a delete-only range emits nothing
+    assert read_hudi(spark, root, incremental=(i2, i3)).count() == 0
+    # full range: deleted keys vanish even though 0..2 never changed
+    inc2 = read_hudi(spark, root, incremental=(i0, i3))
+    assert inc2.count() == 15
+    # an update mid-range later overwritten in-range emits ONCE, in
+    # its end-state ('C' wins over 'B' for 15..19)
+    assert not any(
+        r["status"] == "B" and r["k"] >= 15 for r in inc2.collect()
+    )
+
+
+def test_virtual_rli_lifecycle(spark, tmp_path):
+    """Round-13 continuation: the RECORD-LEVEL INDEX on virtual-key
+    tables — maintenance scans the DECLARED key column with (part,
+    fid) attribution from the commit's add list; tagging point-looks-
+    up with zero base reads; parity with the physical assignment."""
+    root = str(tmp_path / "t")
+    w = HudiWriter(
+        spark, root, record_key="k", group_buckets=2,
+        populate_meta_fields=False, record_index=True,
+    )
+    w.create(_df(spark, 0, 40))
+    w2 = HudiWriter(spark, root)  # props round-trip
+    assert w2.virtual and w2._rli_enabled
+    w2.upsert(_df(spark, 10, 50, status="B"))
+    w2.delete_keys(spark.range(0, 5).select(F.col("id").alias("k")))
+    snap = read_hudi(spark, root)
+    assert snap.count() == 45
+    assert snap.where(F.col("status") == "B").count() == 40
+    idx = w2._rli_lookup()
+    assert idx is not None and idx.count() == 45
+    # mapping equals the physical key→fileId assignment on disk
+    disk = (
+        snap.withColumn(
+            "__b",
+            F.substring_index(F.col("_metadata.file_path"), "/", -1),
+        )
+        .select(
+            F.col("k").cast("string").alias("__key"),
+            F.element_at(F.split("__b", "_"), 1).alias("__fid"),
+        )
+    )
+    pairs = idx.select("__key", "__fid")
+    assert pairs.exceptAll(disk).isEmpty()
+    assert disk.exceptAll(pairs).isEmpty()
+    # virtual MOR + RLI: updates log, mapping stays put, compaction
+    # re-maps idempotently
+    root2 = str(tmp_path / "t2")
+    wm = HudiWriter(
+        spark, root2, record_key="k", table_type="MERGE_ON_READ",
+        populate_meta_fields=False, record_index=True,
+    )
+    wm.create(_df(spark, 0, 30))
+    wm.upsert(_df(spark, 5, 35, status="B"))
+    assert read_hudi(spark, root2).count() == 35
+    assert wm._rli_lookup().count() == 35
+    pre = _content(read_hudi(spark, root2))
+    wm.compact()
+    assert _content(read_hudi(spark, root2)) == pre
+    assert wm._rli_lookup().count() == 35
