@@ -1886,3 +1886,112 @@ def q_hudi_virtual_rli(spark, sf_dir):
         F.lit(parity).cast("long").alias("rli_matches_disk"),
         F.lit(n_index).cast("long").alias("n_index_rows"),
     )
+
+
+@query(
+    "q_stream_hudi_incr_virtual",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s FROM orders
+      WHERE o_orderkey < 1200
+    ),
+    f1 AS (SELECT 1 AS seq, k, s FROM o WHERE k < 1000),
+    f2 AS (
+      SELECT 2, k, 'U' FROM o WHERE k < 200
+      UNION ALL
+      SELECT 2, k, s FROM o WHERE k >= 1000
+    ),
+    f3 AS (SELECT 3, k, 'V' FROM o WHERE k < 100),
+    feed AS (
+      SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+    )
+    SELECT seq, COUNT(*) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN s = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_u,
+           CAST(SUM(CASE WHEN s = 'V' THEN 1 ELSE 0 END) AS BIGINT) AS n_v
+    FROM feed GROUP BY seq
+    """,
+)
+def q_stream_hudi_incr_virtual(spark, sf_dir):
+    """The hudiincr STREAMING feed over a VIRTUAL-KEY MOR table
+    (round-13 continuation — the stream's last virtual refusal,
+    lifted): virtual files carry no per-record commit time, so the
+    READER synthesizes the feed's _hoodie_commit_time column from
+    each partition's instant — EXACT on MOR, because log blocks
+    carry their deltacommit's instant (one commit per block) and
+    fresh-group base files are wholly written by theirs; COMPACT
+    instants skip at PLANNING time (layout-only — their records
+    already streamed from the log blocks that fed the fold), the
+    silence the commit-time filter provides on meta-column tables.
+    Same gauntlet as q_stream_hudi_incr: create + first upsert
+    drain; a second upsert AND a compaction AND a DELETE_BLOCK wave
+    land while the consumer is down; the resumed query emits exactly
+    the second upsert's log records and NOTHING for the compaction
+    or the deletes, never replaying earlier instants. Per-record
+    attribution folds by instant ordinal (driver-literal
+    instant→seq join; a compaction/delete leak surfaces as seq=-1
+    and hash-mismatches the oracle)."""
+    import uuid as _uuid
+
+    from plankton_spark.sources.hudi_meta import HudiWriter, register
+
+    register(spark)
+    root = _fresh(sf_dir, "stream_hudi_incr_virtual")
+    sink = root + "_sink"
+    ckpt = root + "_ckpt"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    w = HudiWriter(
+        spark,
+        root,
+        record_key="o_orderkey",
+        table_type="MERGE_ON_READ",
+        group_buckets=2,
+        populate_meta_fields=False,
+    )
+    i1 = w.create(o.where(k < 1000))
+    upd1 = o.where(k < 200).withColumn("o_orderstatus", F.lit("U"))
+    ins = o.where((k >= 1000) & (k < 1200))
+    i2 = w.upsert(upd1.unionByName(ins))
+
+    def drain():
+        q = (
+            spark.readStream.format("hudiincr")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(f"hvincr_{_uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # instants 1-2
+    i3 = w.upsert(o.where(k < 100).withColumn("o_orderstatus", F.lit("V")))
+    w.compact()  # SILENT: planning-time skip, not a filter
+    w.delete_keys(
+        o.where((k % 5 == 0) & (k < 100)).select("o_orderkey")
+    )  # SILENT: DELETE_BLOCKs emit no records
+    drain()  # restart: the down-time instants only
+    seq_map = spark.createDataFrame(
+        [(i1, 1), (i2, 2), (i3, 3)], "_hoodie_commit_time string, seq int"
+    )
+    feed = spark.read.parquet(sink)
+    return (
+        feed.join(F.broadcast(seq_map), "_hoodie_commit_time", "left")
+        .withColumn("seq", F.coalesce("seq", F.lit(-1)))
+        .groupBy("seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.when(F.col("o_orderstatus") == "U", 1).otherwise(0))
+            .cast("long").alias("n_u"),
+            F.sum(F.when(F.col("o_orderstatus") == "V", 1).otherwise(0))
+            .cast("long").alias("n_v"),
+        )
+    )

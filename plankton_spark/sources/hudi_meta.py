@@ -2404,6 +2404,7 @@ class HudiIncrDataSource(DataSource):
         return path
 
     def schema(self):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import from_arrow_schema
@@ -2414,11 +2415,22 @@ class HudiIncrDataSource(DataSource):
             for _part, stats in meta.get("partitionToWriteStats", {}).items():
                 for st in stats:
                     if ".log." not in os.path.basename(st["path"]):
-                        return from_arrow_schema(
-                            pq.read_schema(
-                                os.path.join(self._path(), st["path"])
-                            )
+                        sch = pq.read_schema(
+                            os.path.join(self._path(), st["path"])
                         )
+                        if t.virtual_keys:
+                            # virtual files carry no meta columns —
+                            # the FEED still surfaces the instant
+                            # (reader-synthesized from block/slice
+                            # instants), real Hudi's incremental-view
+                            # contract
+                            sch = sch.insert(
+                                0,
+                                pa.field(
+                                    "_hoodie_commit_time", pa.string()
+                                ),
+                            )
+                        return from_arrow_schema(sch)
         raise ValueError(f"{self._path()}: no base file to derive a schema")
 
     def streamReader(self, schema) -> "HudiIncrStreamReader":
@@ -2439,12 +2451,17 @@ class HudiIncrStreamReader(DataSourceStreamReader):
         self._starting = starting_instant or ""
         t = HudiTable(path)
         t._check_readable(None)  # refuse what reads refuse
-        if t.virtual_keys:
-            raise NotImplementedError(
-                f"{path}: virtual-key table — the incremental feed "
-                "filters on the per-record commit time, which these "
-                "files do not carry"
-            )
+        # VIRTUAL-KEY tables stream too (round-13 continuation): the
+        # reader SYNTHESIZES the _hoodie_commit_time column from the
+        # partition's instant — EXACT for log blocks (one commit per
+        # block) and for fresh-group inserts / insert_overwrite
+        # (wholly written by their instant); COMPACT instants are
+        # skipped at planning (layout-only — their records already
+        # streamed from the log blocks that fed them). The one
+        # imprecision is the COW-rewrite class (virtual COW upsert/
+        # delete survivors re-emit at the rewrite instant — the same
+        # slice-grain limit the batch incremental documents).
+        self._virtual = t.virtual_keys
 
     def _instants(self):
         return HudiTable(self.path).data_instants()
@@ -2499,6 +2516,12 @@ class HudiIncrStreamReader(DataSourceStreamReader):
             if not (lo < ti <= hi):
                 continue
             meta = t.commit_meta(ti, action)
+            if self._virtual and meta.get("operationType") == "COMPACT":
+                # layout-only fold: its records were already emitted
+                # from the log blocks that fed it — skipping keeps the
+                # virtual feed exact where the commit-time filter
+                # would have silenced it on a meta-column table
+                continue
             for _part, stats in meta.get(
                 "partitionToWriteStats", {}
             ).items():
@@ -2546,7 +2569,13 @@ class HudiIncrStreamReader(DataSourceStreamReader):
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(
-                            [rec.get(f.name) for rec in records]
+                            [
+                                rec.get(f.name, partition.instant)
+                                if self._virtual
+                                and f.name == "_hoodie_commit_time"
+                                else rec.get(f.name)
+                                for rec in records
+                            ]
                         ).cast(f.type)
                         for f in target
                     ],
@@ -2559,6 +2588,24 @@ class HudiIncrStreamReader(DataSourceStreamReader):
 
         pf = pq.ParquetFile(partition.path)
         for batch in pf.iter_batches():
+            if self._virtual:
+                # virtual base files are wholly attributed to their
+                # writing instant (fresh groups exact, COW rewrites
+                # slice-grain) — synthesize the feed's instant column
+                if batch.num_rows == 0:
+                    continue
+                cols = [
+                    pa.array(
+                        [partition.instant] * batch.num_rows
+                    ).cast(f.type)
+                    if f.name == "_hoodie_commit_time"
+                    else batch.column(
+                        batch.schema.get_field_index(f.name)
+                    ).cast(f.type)
+                    for f in target
+                ]
+                yield pa.RecordBatch.from_arrays(cols, schema=target)
+                continue
             mask = pc.equal(
                 batch.column(
                     batch.schema.get_field_index("_hoodie_commit_time")

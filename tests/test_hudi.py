@@ -1490,3 +1490,69 @@ def test_virtual_rli_lifecycle(spark, tmp_path):
     wm.compact()
     assert _content(read_hudi(spark, root2)) == pre
     assert wm._rli_lookup().count() == 35
+
+
+def test_virtual_stream_feed(spark, tmp_path):
+    """Round-13 continuation: the hudiincr STREAMING feed on a
+    virtual-key MOR table — the reader synthesizes
+    _hoodie_commit_time from each partition's instant (exact for log
+    blocks and fresh-group bases), COMPACT instants skip at planning
+    (layout-only), DELETE_BLOCKs stay silent, and a mid-stream
+    restart resumes from the checkpointed instant."""
+    import shutil
+    import uuid as _uuid
+
+    from plankton_spark.sources.hudi_meta import register
+
+    register(spark)
+    root = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    w = HudiWriter(
+        spark, root, record_key="k",
+        table_type="MERGE_ON_READ", group_buckets=2,
+        populate_meta_fields=False,
+    )
+    i1 = w.create(_df(spark, 0, 40))
+    i2 = w.upsert(_df(spark, 10, 20, status="B").unionByName(
+        _df(spark, 100, 110, status="N")
+    ))
+
+    def drain():
+        shutil.rmtree(sink + "_tmp", ignore_errors=True)
+        q = (
+            spark.readStream.format("hudiincr")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .queryName(f"vsf_{_uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    i3 = w.upsert(_df(spark, 15, 18, status="C"))  # while consumer is down
+    ic = w.compact()                               # must be silent
+    i4 = w.delete_keys(
+        spark.range(0, 3).select(F.col("id").alias("k"))
+    )                                              # must be silent
+    drain()
+    feed = spark.read.parquet(sink)
+    by_inst = {
+        r["_hoodie_commit_time"]: r["count"]
+        for r in feed.groupBy("_hoodie_commit_time").count().collect()
+    }
+    assert by_inst == {i1: 40, i2: 20, i3: 3}
+    assert ic not in by_inst and i4 not in by_inst
+    # data columns ride along untouched; no other meta columns appear
+    assert set(feed.columns) == {"_hoodie_commit_time", "k", "status", "grp"}
+    # per-instant content: the down-time upsert's exact write-set
+    assert sorted(
+        r["k"] for r in feed.where(
+            F.col("_hoodie_commit_time") == i3
+        ).collect()
+    ) == [15, 16, 17]
