@@ -1085,3 +1085,60 @@ def q_text_cooccur(spark, sf_dir):
         )
     )
     return out.orderBy(F.col("n_docs_pair").desc(), "w1", "w2").limit(20)
+
+
+@query(
+    "q_text_bpe_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (
+      SELECT w, COUNT(*) AS f FROM words WHERE LENGTH(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, w, f
+      FROM (SELECT w, f, unnest(range(1, LENGTH(w))) AS i FROM wf)
+    )
+    SELECT pair,
+           CAST(SUM(f) AS BIGINT) AS total,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+    FROM pairs GROUP BY pair
+    ORDER BY total DESC, pair
+    LIMIT 20
+    """,
+)
+def q_text_bpe_pairs(spark, sf_dir):
+    """BPE MERGE-CANDIDATE counting — the inner loop of byte-pair-
+    encoding tokenizer training: count adjacent character pairs
+    across the corpus, each occurrence weighted by its word's corpus
+    frequency, and rank the top merge candidates (what the first BPE
+    merge would pick). The scale trick is the one real BPE trainers
+    use: corpus text folds to a (distinct word → frequency) table
+    FIRST — vocabulary-bounded, not corpus-bounded — and the
+    quadratic-ish pair expansion (sequence(1, len-1) explode +
+    substr) runs over DISTINCT WORDS ONLY, so 100 TB of text costs
+    one word-count shuffle plus work proportional to |vocab| x
+    avg word length. Ties rank by pair text; counts are exact
+    integers end-to-end."""
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pairs = wf.select(
+        "w",
+        "f",
+        F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"),
+    ).select(
+        F.expr("substr(w, i, 2)").alias("pair"), "w", "f"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("f").cast("long").alias("total"),
+            F.countDistinct("w").cast("long").alias("n_types"),
+        )
+        .orderBy(F.col("total").desc(), "pair")
+        .limit(20)
+    )

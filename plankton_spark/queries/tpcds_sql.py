@@ -1875,3 +1875,155 @@ def q_tpcds_promoratio(spark, sf_dir):
     parallelize fully; the final cross join is 1x1. The SAME SQL
     text is the oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_promoratio", _PROMORATIO)
+
+
+_DEVAVG = """
+WITH m AS (
+  SELECT o_custkey % 25 AS grp,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1998-01-01'
+  GROUP BY o_custkey % 25,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT),
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+),
+w AS (
+  SELECT grp, y, mo, cents,
+         SUM(cents) OVER (PARTITION BY grp, y) AS ytotal,
+         COUNT(*) OVER (PARTITION BY grp, y) AS ymonths,
+         LAG(cents) OVER (PARTITION BY grp ORDER BY y, mo) AS prev_cents,
+         LEAD(cents) OVER (PARTITION BY grp ORDER BY y, mo) AS next_cents
+  FROM m
+)
+SELECT grp, y, mo,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(ytotal AS BIGINT) AS ytotal,
+       CAST(prev_cents AS BIGINT) AS prev_cents,
+       CAST(next_cents AS BIGINT) AS next_cents
+FROM w
+WHERE ymonths = 12
+  AND 10 * ABS(12 * cents - ytotal) > ytotal
+ORDER BY grp, y, mo
+"""
+
+_TABLES["q_tpcds_devavg"] = ("orders",)
+
+
+@query("q_tpcds_devavg", oracle=_DEVAVG)
+def q_tpcds_devavg(spark, sf_dir):
+    """TPC-DS Q47/Q57 shape (fixture-adapted): monthly revenue per
+    customer group filtered to months DEVIATING >10% from their
+    year's average, each emitted WITH its LAG and LEAD neighbor
+    months — the three-window signature (a year-partitioned
+    aggregate window plus two offset windows ordered ACROSS year
+    boundaries) Q47 exists to stress. The deviation predicate is
+    exact integer cross-multiplication: |monthly/avg - 1| > 0.1 ⟺
+    10·|12·cents - ytotal| > ytotal (no doubles anywhere); Q47's
+    full-year guard is ymonths = 12. Neighbor columns are NULL at
+    series edges — deterministically. At scale all three windows
+    share ONE (grp) hash partitioning; rows per (grp, y, mo) cell
+    shrink with SF so the window state is calendar-bounded. The
+    SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_devavg", _DEVAVG)
+
+
+_TIMESLOTS = """
+SELECT
+  (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+   WHERE l_quantity >= 1 AND l_quantity < 7
+     AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS s1,
+  (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+   WHERE l_quantity >= 7 AND l_quantity < 13
+     AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS s2,
+  (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+   WHERE l_quantity >= 13 AND l_quantity < 19
+     AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS s3,
+  (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+   WHERE l_quantity >= 19 AND l_quantity < 25
+     AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS s4,
+  (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+   WHERE l_quantity >= 25 AND l_quantity < 31
+     AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS s5,
+  (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+   WHERE l_quantity >= 31 AND l_quantity < 37
+     AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS s6,
+  (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+   WHERE l_quantity >= 37 AND l_quantity < 43
+     AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS s7,
+  (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+   WHERE l_quantity >= 43 AND l_quantity < 50
+     AND o_orderpriority IN ('1-URGENT', '2-HIGH')) AS s8
+"""
+
+_TABLES["q_tpcds_timeslots"] = ("lineitem", "orders")
+
+
+@query("q_tpcds_timeslots", oracle=_TIMESLOTS)
+def q_tpcds_timeslots(spark, sf_dir):
+    """TPC-DS Q88 shape (fixture-adapted): EIGHT independent
+    single-row COUNT aggregates over disjoint bands (Q88's
+    half-hour time slots → quantity bands here), each carrying its
+    own fact-dim join, cross-joined into ONE wide row — the
+    scan-reuse / subquery-factoring stress: a naive plan scans the
+    fact table eight times, a good one shares or at least pipelines
+    the scans (Spark runs eight parallel subquery jobs; the bands
+    are disjoint so counts partition the filtered fact). All counts
+    are exact integers; the 1x1x...x1 cross join is free. The SAME
+    SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_timeslots", _TIMESLOTS)
+
+
+_CHANDECLINE = """
+WITH chan AS (
+  SELECT l_partkey % 50 AS fam,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS y,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_returnflag = 'N'
+  UNION ALL
+  SELECT l_partkey % 50 AS fam,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS y,
+         -CAST(l_quantity AS BIGINT) AS qty,
+         -CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+),
+yr AS (
+  SELECT fam, y,
+         CAST(SUM(qty) AS BIGINT) AS qty,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM chan
+  WHERE y IN (1996, 1997)
+  GROUP BY fam, y
+)
+SELECT c.fam AS fam,
+       p.qty AS prev_qty, c.qty AS curr_qty,
+       p.cents AS prev_cents, c.cents AS curr_cents,
+       CAST(c.cents - p.cents AS BIGINT) AS delta_cents
+FROM yr c JOIN yr p ON c.fam = p.fam AND c.y = 1997 AND p.y = 1996
+WHERE p.qty > 0 AND c.qty * 10 < p.qty * 9
+ORDER BY delta_cents, fam
+"""
+
+_TABLES["q_tpcds_chandecline"] = ("lineitem",)
+
+
+@query("q_tpcds_chandecline", oracle=_CHANDECLINE)
+def q_tpcds_chandecline(spark, sf_dir):
+    """TPC-DS Q75 shape (fixture-adapted): NET sales per item family
+    and year assembled as a UNION ALL where RETURNS enter as
+    NEGATIVE rows (Q75's sales-minus-returns signature — returnflag
+    'R' rows negate quantity and cents), aggregated per (family,
+    year), self-joined current-vs-prior year, and filtered to
+    families whose net quantity DECLINED below 90% — as exact
+    integer cross-multiplication (curr·10 < prev·9), with the
+    monetary delta surfaced. Deterministic order by (delta, fam).
+    At scale: one fact scan feeds both union arms (column-pruned to
+    4 columns), the aggregate shuffles 50 families x 2 years, and
+    the self-join is metadata-sized. The SAME SQL text is the
+    oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_chandecline", _CHANDECLINE)
