@@ -296,3 +296,72 @@ def test_hudi_tracks_delta_contents(spark, tmp_path, seed):
             dw.optimize(num_files=1)
             clean(str(tmp_path / "hd"), keep_last_slices=1)
         check(f"{step}:{op}")
+
+
+@pytest.mark.parametrize("seed", [11, 31])
+def test_virtual_mor_tracks_delta_contents(spark, tmp_path, seed):
+    """Round-13 continuation: the VIRTUAL-KEY MERGE_ON_READ writer
+    under the differential harness — the same seeded logical op
+    sequence runs through the Delta writer and a
+    populate.meta.fields=false MOR Hudi writer (append → insert,
+    predicate delete → DELETE_BLOCK keys, merge → log upsert,
+    replace_where → delete+insert, optimize → compact), and contents
+    must stay two-way identical after EVERY step. This drives the
+    meta-less log codec, the declared-key merge window, the broadcast
+    slice-instant attribution, and compaction routing under random
+    interleavings no single-purpose unit test enumerates."""
+    from plankton_spark.sources.hudi_meta import HudiWriter, read_hudi
+
+    rng = random.Random(seed)
+    dw = DeltaLogWriter(spark, str(tmp_path / "dl"))
+    hw = HudiWriter(
+        spark,
+        str(tmp_path / "hd"),
+        record_key="k",
+        table_type="MERGE_ON_READ",
+        group_buckets=2,
+        populate_meta_fields=False,
+    )
+    first = _batch(spark, seed, 0, 40).coalesce(1)
+    dw.create(first)
+    hw.create(first)
+    next_k = 1000
+
+    def check(step):
+        a = _content(read_delta(spark, str(tmp_path / "dl")))
+        b = _content(read_hudi(spark, str(tmp_path / "hd")))
+        assert a == b, f"divergence after step {step}: seed={seed}"
+
+    check("create")
+    for step in range(8):
+        op = rng.choice(["append", "delete", "merge", "replace", "compact"])
+        if op == "append":
+            df = _batch(spark, seed * 100 + step, next_k, rng.randrange(5, 20))
+            next_k += 1000
+            dw.append(df.coalesce(1))
+            hw.insert(df)
+        elif op == "delete":
+            g = rng.randrange(0, 5)
+            cond = F.col("grp") == g
+            keys = read_hudi(spark, str(tmp_path / "hd")).where(cond).select("k")
+            dw.delete_where(cond)
+            hw.delete_keys(keys)
+        elif op == "merge":
+            df = _batch(spark, seed * 200 + step, next_k - 1000, 8)
+            dw.merge(df, "k")
+            hw.upsert(df)
+        elif op == "replace":
+            g = rng.randrange(0, 5)
+            repl = _batch(
+                spark, seed * 300 + step, next_k, rng.randrange(3, 9)
+            ).withColumn("grp", F.lit(g).cast("long"))
+            next_k += 1000
+            cond = F.col("grp") == g
+            keys = read_hudi(spark, str(tmp_path / "hd")).where(cond).select("k")
+            dw.replace_where(repl, cond)
+            hw.delete_keys(keys)
+            hw.insert(repl.coalesce(1))
+        else:
+            dw.optimize(num_files=1)
+            hw.compact()
+        check(f"{step}:{op}")
