@@ -2027,3 +2027,131 @@ def q_tpcds_chandecline(spark, sf_dir):
     the self-join is metadata-sized. The SAME SQL text is the
     oracle."""
     return _run_sql(spark, sf_dir, "q_tpcds_chandecline", _CHANDECLINE)
+
+
+_UNIONCHAN = """
+WITH dim AS (
+  SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+),
+arm1 AS (
+  SELECT l_partkey % 40 AS fam, 1 AS arm,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '1-URGENT'
+    AND l_partkey IN (SELECT p_partkey FROM dim)
+),
+arm2 AS (
+  SELECT l_partkey % 40 AS fam, 2 AS arm,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '2-HIGH'
+    AND l_partkey IN (SELECT p_partkey FROM dim)
+),
+arm3 AS (
+  SELECT l_partkey % 40 AS fam, 3 AS arm,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderpriority = '3-MEDIUM'
+    AND l_partkey IN (SELECT p_partkey FROM dim)
+),
+u AS (
+  SELECT * FROM arm1 UNION ALL SELECT * FROM arm2 UNION ALL SELECT * FROM arm3
+)
+SELECT fam,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(COUNT(DISTINCT arm) AS BIGINT) AS n_arms,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM u GROUP BY fam
+ORDER BY total_cents DESC, fam
+LIMIT 25
+"""
+
+_TABLES["q_tpcds_unionchan"] = ("lineitem", "orders", "part")
+
+
+@query("q_tpcds_unionchan", oracle=_UNIONCHAN)
+def q_tpcds_unionchan(spark, sf_dir):
+    """TPC-DS Q33/Q56/Q60 shape (fixture-adapted): THREE channel
+    arms, each a fact-dim join restricted by the SAME IN-subquery
+    dimension set (Q33's manufacturer-restriction CTE → the PROMO
+    part set here), UNION ALL'd and re-aggregated per item family —
+    the repeated-subtree factoring stress (a good engine evaluates
+    the shared dim subquery once and may share the fact scan; the
+    semi-join should broadcast). Top-25 by exact cent total with
+    family tiebreak; n_arms pins that every family aggregates across
+    all three channels. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_unionchan", _UNIONCHAN)
+
+
+_EXCESSDISC = """
+WITH d AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS dc,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1997-01-01'
+)
+SELECT CAST(SUM(cents) AS BIGINT) AS excess_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_excess,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+FROM d
+WHERE 10 * dc * (SELECT COUNT(*) FROM d d2 WHERE d2.l_partkey = d.l_partkey)
+      > 13 * (SELECT SUM(dc) FROM d d2 WHERE d2.l_partkey = d.l_partkey)
+"""
+
+_TABLES["q_tpcds_excessdisc"] = ("lineitem", "orders")
+
+
+@query("q_tpcds_excessdisc", oracle=_EXCESSDISC)
+def q_tpcds_excessdisc(spark, sf_dir):
+    """TPC-DS Q92/Q32 shape (fixture-adapted): rows whose discount
+    exceeds 1.3x the AVERAGE discount of their part — written as TWO
+    CORRELATED SCALAR SUBQUERIES over the same CTE (Q92's
+    'excess discount' signature), which both engines must
+    decorrelate into per-part aggregate joins. The 1.3x threshold is
+    exact integer cross-multiplication (10·dc·count > 13·sum_dc —
+    no division, no doubles), so the row selection is bit-stable at
+    any scale. One-row output: excess cents, row count, distinct
+    parts. The SAME SQL text is the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_excessdisc", _EXCESSDISC)
+
+
+_ZIPJOIN = """
+WITH zips AS (
+  SELECT DISTINCT SUBSTR(n_name, 1, 3) AS z
+  FROM nation WHERE n_regionkey IN (1, 2)
+  INTERSECT
+  SELECT SUBSTR(n_name, 1, 3) AS z
+  FROM nation JOIN customer ON c_nationkey = n_nationkey
+  GROUP BY SUBSTR(n_name, 1, 3) HAVING COUNT(*) > 10
+)
+SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE SUBSTR(n_name, 1, 3) IN (SELECT z FROM zips)
+  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+ORDER BY mo
+"""
+
+_TABLES["q_tpcds_zipjoin"] = ("orders", "customer", "nation")
+
+
+@query("q_tpcds_zipjoin", oracle=_ZIPJOIN)
+def q_tpcds_zipjoin(spark, sf_dir):
+    """TPC-DS Q8 shape (fixture-adapted): monthly revenue for
+    customers whose geography key matches a COMPUTED-SUBSTRING set
+    built by an INTERSECT of two differently-derived dimension
+    subqueries (Q8's zip-prefix ∩ preferred-customer-zips → region
+    membership ∩ populous nation-name prefixes here). The shape
+    stresses (a) join/filter keys that are EXPRESSIONS over dim
+    columns — no stats, no pushdown shortcut — and (b) set INTERSECT
+    feeding a semi-join. Dims stay broadcast-sized at any SF; exact
+    cent sums; deterministic month ordering. The SAME SQL text is
+    the oracle."""
+    return _run_sql(spark, sf_dir, "q_tpcds_zipjoin", _ZIPJOIN)
