@@ -128,6 +128,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """EXACT row count of a fixture table from parquet FOOTER metadata —
+    no Spark job, no data read. Equals ``read_table(...).count()``
+    bit-for-bit (fixture readers never filter rows), so task-sizing and
+    sampling decisions derived from it are value-identical to the
+    count-job formulation they replace; at 100 TB this turns a full
+    count pass into the metadata-scale footer read every table format's
+    planner already pays (optimization guide §1.2: don't run a job for
+    a number the storage layer already recorded). Handles both the
+    single-file fixture layout and a directory of part files."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = table_path(sf_dir, name)
+    if _os.path.isdir(path):
+        return sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(_os.path.join(path, "*.parquet"))
+        )
+    return _pq.ParquetFile(path).metadata.num_rows
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a fixture table. Plain parquet scan → full pushdown/pruning.
 

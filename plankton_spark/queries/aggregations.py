@@ -352,18 +352,32 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     """,
 )
 def q_agg_pivot(spark, sf_dir):
-    """PIVOT event_type → one summed column per category."""
+    """PIVOT event_type → one summed column per category.
+
+    Written as conditional aggregation (one sum per category) instead
+    of ``.pivot()``: the pivot form compiles to TWO aggregates and TWO
+    exchanges — partial/final sum keyed (user_id, event_type), then a
+    pivotfirst re-aggregation keyed user_id — while the conditional
+    form is one partial+final aggregate with a single exchange that
+    carries one row per user instead of one per (user, category)
+    (optimization round 13; guide §2.3/§2.4). Value-identical: the
+    exact decimal sums see the same operands plus exact-zero terms for
+    other categories, and the NULL→0 coalesce is preserved for the
+    all-NULL-values edge."""
     e = read_table(spark, sf_dir, "events")
-    pivoted = (
-        e.groupBy("user_id")
-        .pivot("event_type", EVENT_TYPES)
-        .agg(F.sum(F.col("value").cast("decimal(18,4)")))
-    )
-    cols = [F.col("user_id")] + [
-        F.round(F.coalesce(F.col(t), F.lit(0)).cast("double"), 4).alias(t)
+    sums = [
+        F.sum(
+            F.when(F.col("event_type") == t, F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,4)")
+        ).alias(f"__{t}")
         for t in EVENT_TYPES
     ]
-    return pivoted.select(*cols)
+    cols = [F.col("user_id")] + [
+        F.round(F.coalesce(F.col(f"__{t}"), F.lit(0)).cast("double"), 4).alias(t)
+        for t in EVENT_TYPES
+    ]
+    return e.groupBy("user_id").agg(*sums).select(*cols)
 
 
 @query(

@@ -16,7 +16,7 @@ import numpy as np
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from plankton_spark.io import read_table
+from plankton_spark.io import read_table, table_rows
 from plankton_spark.queries.llm_dedup import (
     SQL_PAIR_COSINE,
     dot_cosine,
@@ -82,7 +82,7 @@ GEMM_TOPK_CHECKPOINT_MIN_ROWS = 1_000_000
 
 
 def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
-                          n_blocks=None):
+                          n_blocks=None, n_rows=None):
     """Per-query top-k candidate pairs via grid-blocked GEMM,
     superset-exact and fully distributed (no driver collect).
 
@@ -106,7 +106,11 @@ def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
     n_blocks=None auto-scales the base-side blocking with corpus size
     (llm_dedup.adaptive_gemm_blocks); any blocking yields identical
     results, so this is purely a task-sizing decision."""
-    n_rows = embeddings.count()
+    if n_rows is None:
+        # callers that read a fixture table directly pass the footer
+        # count (io.table_rows) instead — this job is the fallback for
+        # derived frames only
+        n_rows = embeddings.count()
     if n_blocks is None:
         from plankton_spark.queries.llm_dedup import adaptive_gemm_blocks
 
@@ -199,7 +203,9 @@ def _brute_force_topk(spark, sf_dir):
     decimal rescore, then per-query window top-k. Value-identical to
     the all-pairs component join (pair_cosines) it replaced."""
     e = read_table(spark, sf_dir, "embeddings")
-    cand = _gemm_topk_candidates(spark, e, N_QUERIES, TOP_K)
+    cand = _gemm_topk_candidates(
+        spark, e, N_QUERIES, TOP_K, n_rows=table_rows(sf_dir, "embeddings")
+    )
     pc = rescore_pairs_exact(e, cand)
     scored = pc.select(
         F.col("vec_a").alias("q_id"),
@@ -453,7 +459,17 @@ def q_knn_lsh(spark, sf_dir):
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id")
     )
-    exact = _brute_force_topk(spark, sf_dir).select("q_id", "n_id")
+    # The exact-top-k subplan (GEMM prefilter + rescore + window) is
+    # consumed by BOTH recall counts below; an eager localCheckpoint of
+    # this TINY frame (≤ N_QUERIES·TOP_K rows) executes it once instead
+    # of once per count (optimization guide §1.2 / §5 — the heavy plan
+    # runs once, the checkpointed rows feed both actions). Counts and
+    # recall are value-identical to the uncheckpointed formulation.
+    exact = (
+        _brute_force_topk(spark, sf_dir)
+        .select("q_id", "n_id")
+        .localCheckpoint(eager=True)
+    )
     hits = approx.join(exact, ["q_id", "n_id"], "inner").count()
     total = exact.count()
     recall = round(hits / total, 4) if total else 0.0
@@ -513,7 +529,17 @@ def q_knn_ivf(spark, sf_dir):
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id")
     )
-    exact = _brute_force_topk(spark, sf_dir).select("q_id", "n_id")
+    # The exact-top-k subplan (GEMM prefilter + rescore + window) is
+    # consumed by BOTH recall counts below; an eager localCheckpoint of
+    # this TINY frame (≤ N_QUERIES·TOP_K rows) executes it once instead
+    # of once per count (optimization guide §1.2 / §5 — the heavy plan
+    # runs once, the checkpointed rows feed both actions). Counts and
+    # recall are value-identical to the uncheckpointed formulation.
+    exact = (
+        _brute_force_topk(spark, sf_dir)
+        .select("q_id", "n_id")
+        .localCheckpoint(eager=True)
+    )
     hits = approx.join(exact, ["q_id", "n_id"], "inner").count()
     total = exact.count()
     recall = round(hits / total, 4) if total else 0.0
@@ -1135,7 +1161,13 @@ def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
     if k is None:
         # floor(sqrt) on an IEEE double matches DuckDB's FLOOR(SQRT())
         # exactly for counts < 2^52 (sqrt is correctly rounded).
-        k = max(KMEANS_K, math.floor(math.sqrt(float(e.count()))))
+        # Footer count (identical to e.count(): the quantized frame is
+        # 1:1 with the table) — drops the count job; the persisted
+        # frame materializes on its first Lloyd consumer instead.
+        k = max(
+            KMEANS_K,
+            math.floor(math.sqrt(float(table_rows(sf_dir, "embeddings")))),
+        )
     if k > TWO_LEVEL_MIN_K:
         # the round-11 watch item, one level deeper: past the
         # two-level threshold the SEEDS and the Lloyd state never
@@ -1325,7 +1357,7 @@ def q_emb_outliers(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     scored = e.select("vec_id", "label", d2.alias("d2"))
-    n = scored.count()
+    n = table_rows(sf_dir, "embeddings")  # footer count — scored is 1:1
     n_out = n * OUTLIER_PCT // 100
     flagged = scored.orderBy(F.col("d2").desc(), "vec_id").limit(n_out)
     return flagged.groupBy("label").agg(
@@ -1384,7 +1416,7 @@ def q_knn_pq(spark, sf_dir):
     # FAISS practice — codebook quality saturates long before the
     # corpus is exhausted, and training cost must not scale with N);
     # ENCODING still touches every vector exactly once.
-    n_vecs = e.count()
+    n_vecs = table_rows(sf_dir, "embeddings")  # footer count, no job
     mod = max(1, n_vecs // 8192)
     train = comps.where(
         (F.col("vec_id") < K_CODES) | (F.col("vec_id") % mod == 0)
@@ -1501,7 +1533,17 @@ def q_knn_pq(spark, sf_dir):
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id")
     )
-    exact = _brute_force_topk(spark, sf_dir).select("q_id", "n_id")
+    # The exact-top-k subplan (GEMM prefilter + rescore + window) is
+    # consumed by BOTH recall counts below; an eager localCheckpoint of
+    # this TINY frame (≤ N_QUERIES·TOP_K rows) executes it once instead
+    # of once per count (optimization guide §1.2 / §5 — the heavy plan
+    # runs once, the checkpointed rows feed both actions). Counts and
+    # recall are value-identical to the uncheckpointed formulation.
+    exact = (
+        _brute_force_topk(spark, sf_dir)
+        .select("q_id", "n_id")
+        .localCheckpoint(eager=True)
+    )
     hits = approx.join(exact, ["q_id", "n_id"], "inner").count()
     total = exact.count()
     recall = round(hits / total, 4) if total else 0.0
