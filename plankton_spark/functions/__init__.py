@@ -122,3 +122,29 @@ def sql_ratio6(p: str, q: str) -> str:
         f"CAST((2 * ({p}) * 1000000 + ({q})) // (2 * ({q})) AS DOUBLE)"
         " / 1000000.0"
     )
+
+
+def lit_array(values) -> Column:
+    """Nested numeric ARRAY literal built as ONE parsed SQL expression
+    instead of one ``F.lit``/``F.array`` py4j round trip per element
+    (optimization round 13): a 48x64 plane matrix costs ~3 000 py4j
+    calls (~1 ms each of driver latency) the literal-text form does
+    not. Value- and type-identical to the F.array(*[F.lit(v) ...])
+    construction it replaces: ints in int32 range render bare (INT,
+    as py4j maps them), wider ints render with the L suffix (BIGINT),
+    floats render as repr()+D — repr round-trips exactly through
+    Java's correctly-rounded Double.parseDouble, and the D suffix pins
+    DoubleType (a bare decimal literal would parse as DECIMAL)."""
+
+    def enc(v) -> str:
+        if isinstance(v, bool):
+            raise TypeError("lit_array is for numeric literals")
+        if isinstance(v, int):
+            return str(v) if -2147483648 <= v <= 2147483647 else f"{v}L"
+        if isinstance(v, float):
+            return f"{v!r}D"
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(enc(x) for x in v) + ")"
+        raise TypeError(f"lit_array: unsupported element {type(v)!r}")
+
+    return F.expr(enc(list(values)))

@@ -152,6 +152,24 @@ def table_rows(sf_dir: str, name: str) -> int:
     return _pq.ParquetFile(path).metadata.num_rows
 
 
+# Resolved base-relation reuse (optimization round 13): each
+# spark.read.parquet() call costs ~120 ms of driver-side work (data
+# source resolution + footer schema inference + py4j chatter) — pure
+# fixed overhead repeated by every query over the same immutable
+# fixture file. Re-resolving the SAME path in the SAME session is what
+# a catalog table avoids by design, so resolve once per (session,
+# path) and reuse the DataFrame handle. This caches NO DATA and NO
+# RESULTS: the returned frame is an unexecuted plan whose every action
+# still scans the parquet; it is exactly the plan the uncached call
+# would have produced (fixture files are immutable for a session —
+# table-format queries use their own readers, never this one).
+_RESOLVED: dict[tuple[str, str], DataFrame] = {}
+
+
+def _resolved_key(spark: SparkSession, path: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a fixture table. Plain parquet scan → full pushdown/pruning.
 
@@ -165,6 +183,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = _resolved_key(spark, table_path(sf_dir, name))
+    cached = _RESOLVED.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table_uncached(spark, sf_dir, name)
+    _RESOLVED[key] = df
+    return df
+
+
+def _read_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))

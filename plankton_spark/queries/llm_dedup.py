@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from plankton_spark import cache
-from plankton_spark.functions import driver_scalar
+from plankton_spark.functions import driver_scalar, lit_array
 from plankton_spark.io import read_table
 from plankton_spark.functions import round_ratio6
 from plankton_spark.registry import query
@@ -270,10 +270,10 @@ def minhash_structures(spark, sf_dir):
     # JIT — the 64-column formulation compiled to a huge interpreted-
     # only method and was ~10x slower on a warm JVM (measured).
     M = 2147483647  # 2^31 - 1
-    a_lits = F.array(
-        *[F.lit((0x9E3779B9 * (2 * i + 1)) % M | 1) for i in range(N_PERM)]
-    )
-    b_lits = F.array(*[F.lit((0xC2B2AE3D * (i + 1)) % M) for i in range(N_PERM)])
+    # lit_array: one parsed literal per constant array instead of
+    # ~130 py4j round trips (plan-construction latency, guide §1.2)
+    a_lits = lit_array([(0x9E3779B9 * (2 * i + 1)) % M | 1 for i in range(N_PERM)])
+    b_lits = lit_array([(0xC2B2AE3D * (i + 1)) % M for i in range(N_PERM)])
 
     def _min_for_perm(i):
         ai = F.element_at(a_lits, i + 1)

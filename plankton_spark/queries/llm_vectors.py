@@ -16,6 +16,7 @@ import numpy as np
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from plankton_spark.functions import lit_array
 from plankton_spark.io import read_table, table_rows
 from plankton_spark.queries.llm_dedup import (
     SQL_PAIR_COSINE,
@@ -411,7 +412,8 @@ def q_knn_lsh(spark, sf_dir):
     # unrolled into flat codegen blew past JIT method limits and ran
     # interpreted (the minhash lesson) — this compiles to one small
     # loop-shaped method instead.
-    planes_lit = F.array(*[F.array(*[F.lit(v) for v in p]) for p in planes])
+    # one parsed 48x64 literal instead of ~3 000 py4j round trips
+    planes_lit = lit_array(planes)
 
     def sign_bit(i: F.Column) -> F.Column:  # i: 0-based plane index Column
         dot = F.aggregate(
@@ -1187,7 +1189,7 @@ def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
                     F.aggregate(
                         F.zip_with(
                             "v",
-                            F.array(*[F.lit(c) for c in cvec]),
+                            lit_array(list(cvec)),
                             lambda x, y: (x - y) * (x - y),
                         ),
                         F.lit(0).cast("long"),
@@ -1350,7 +1352,7 @@ def q_emb_outliers(spark, sf_dir):
     d2 = F.aggregate(
         F.zip_with(
             "v",
-            F.array(*[F.lit(c) for c in cent]),
+            lit_array(list(cent)),
             lambda x, y: (x - y) * (x - y),
         ),
         F.lit(0).cast("long"),
@@ -1455,16 +1457,16 @@ def q_knn_pq(spark, sf_dir):
     Cmap: dict[tuple[int, int, int], float] = {
         (r["m"], r["code"], r["j"]): r["c"] for r in cent.collect()
     }
-    C_lit = F.array(*[
-        F.array(*[
-            F.array(*[
-                F.lit(Cmap.get((m, c, j), 1e30))
-                for j in range(SUBDIM)
-            ])
-            for c in range(K_CODES)
-        ])
-        for m in range(M_SUB)
-    ])
+    # one parsed 8x16x8 literal instead of ~1 200 py4j round trips
+    C_lit = lit_array(
+        [
+            [
+                [Cmap.get((m, c, j), 1e30) for j in range(SUBDIM)]
+                for c in range(K_CODES)
+            ]
+            for m in range(M_SUB)
+        ]
+    )
 
     def _dists(m: F.Column):
         return F.transform(
