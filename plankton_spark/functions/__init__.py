@@ -124,17 +124,11 @@ def sql_ratio6(p: str, q: str) -> str:
     )
 
 
-def lit_array(values) -> Column:
-    """Nested numeric ARRAY literal built as ONE parsed SQL expression
-    instead of one ``F.lit``/``F.array`` py4j round trip per element
-    (optimization round 13): a 48x64 plane matrix costs ~3 000 py4j
-    calls (~1 ms each of driver latency) the literal-text form does
-    not. Value- and type-identical to the F.array(*[F.lit(v) ...])
-    construction it replaces: ints in int32 range render bare (INT,
-    as py4j maps them), wider ints render with the L suffix (BIGINT),
-    floats render as repr()+D — repr round-trips exactly through
-    Java's correctly-rounded Double.parseDouble, and the D suffix pins
-    DoubleType (a bare decimal literal would parse as DECIMAL)."""
+def lit_array_sql(values) -> str:
+    """SQL text of a nested numeric ARRAY literal — see lit_array for
+    the type-pinning rules. Exposed separately so larger hand-written
+    F.expr() expressions can inline constant arrays without paying
+    per-element py4j construction either."""
 
     def enc(v) -> str:
         if isinstance(v, bool):
@@ -147,4 +141,18 @@ def lit_array(values) -> Column:
             return "array(" + ",".join(enc(x) for x in v) + ")"
         raise TypeError(f"lit_array: unsupported element {type(v)!r}")
 
-    return F.expr(enc(list(values)))
+    return enc(list(values))
+
+
+def lit_array(values) -> Column:
+    """Nested numeric ARRAY literal built as ONE parsed SQL expression
+    instead of one ``F.lit``/``F.array`` py4j round trip per element
+    (optimization round 13): a 48x64 plane matrix costs ~3 000 py4j
+    calls (~1 ms each of driver latency) the literal-text form does
+    not. Value- and type-identical to the F.array(*[F.lit(v) ...])
+    construction it replaces: ints in int32 range render bare (INT,
+    as py4j maps them), wider ints render with the L suffix (BIGINT),
+    floats render as repr()+D — repr round-trips exactly through
+    Java's correctly-rounded Double.parseDouble, and the D suffix pins
+    DoubleType (a bare decimal literal would parse as DECIMAL)."""
+    return F.expr(lit_array_sql(values))

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from plankton_spark import cache
-from plankton_spark.functions import driver_scalar, lit_array
+from plankton_spark.functions import driver_scalar, lit_array_sql
 from plankton_spark.io import read_table
 from plankton_spark.functions import round_ratio6
 from plankton_spark.registry import query
@@ -270,33 +270,33 @@ def minhash_structures(spark, sf_dir):
     # JIT — the 64-column formulation compiled to a huge interpreted-
     # only method and was ~10x slower on a warm JVM (measured).
     M = 2147483647  # 2^31 - 1
-    # lit_array: one parsed literal per constant array instead of
-    # ~130 py4j round trips (plan-construction latency, guide §1.2)
-    a_lits = lit_array([(0x9E3779B9 * (2 * i + 1)) % M | 1 for i in range(N_PERM)])
-    b_lits = lit_array([(0xC2B2AE3D * (i + 1)) % M for i in range(N_PERM)])
+    # The signature and band-hash expressions are built as SINGLE
+    # parsed SQL strings (optimization round 13): the nested
+    # higher-order construction cost hundreds of py4j round trips of
+    # plan-construction latency per invocation; the parsed text is the
+    # same expression tree (verified value-identical via the oracle
+    # gate and pinned in tests/test_r13_optimizations.py). Semantics
+    # unchanged from the commented formulation below: permutation i is
+    # h -> pmod(pmod(h, M) * a_i + b_i, M) (the outer mod is what makes
+    # the permutations independent), constants inline via
+    # lit_array_sql, and the band hash is a polynomial fold over each
+    # 8-slot slice (31-bit safe).
+    a_sql = lit_array_sql(
+        [(0x9E3779B9 * (2 * i + 1)) % M | 1 for i in range(N_PERM)]
+    )
+    b_sql = lit_array_sql([(0xC2B2AE3D * (i + 1)) % M for i in range(N_PERM)])
+    sig = F.expr(
+        f"transform(sequence(0, {N_PERM - 1}), i -> array_min(transform(hs, "
+        f"h -> pmod(pmod(h, {M}) * element_at({a_sql}, i + 1) "
+        f"+ element_at({b_sql}, i + 1), {M}))))"
+    )
 
-    def _min_for_perm(i):
-        ai = F.element_at(a_lits, i + 1)
-        bi = F.element_at(b_lits, i + 1)
-        return F.array_min(
-            F.transform(
-                "hs", lambda h: F.pmod(F.pmod(h, F.lit(M)) * ai + bi, F.lit(M))
-            )
-        )
-
-    sig = F.transform(F.sequence(F.lit(0), F.lit(N_PERM - 1)), _min_for_perm)
-
-    # Band hash: polynomial fold over each 8-slot slice (31-bit safe).
-    def _band_hash(b):
-        return F.aggregate(
-            F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, F.lit(ROWS_PER_BAND)),
-            F.lit(0).cast("long"),
-            lambda acc, x: F.pmod(acc * 1000003 + x, F.lit(M)),
-        )
-
-    bands_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-        lambda b: F.struct(b.alias("band_idx"), _band_hash(b).alias("band_hash")),
+    bands_arr = F.expr(
+        f"transform(sequence(0, {N_BANDS - 1}), b -> named_struct("
+        f"'band_idx', b, "
+        f"'band_hash', aggregate(slice(sig, b * {ROWS_PER_BAND} + 1, "
+        f"{ROWS_PER_BAND}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> pmod(acc * 1000003 + x, {M}))))"
     )
     # persist(): band_rows is consumed three times (bucket-width count
     # for the skew guard + both self-join sides); without it the
@@ -618,22 +618,30 @@ def dot_cosine(a_col: str, b_col: str):
     Per-element double products are IEEE-deterministic; the reduction
     runs in DECIMAL(30,12) so accumulation order cannot matter.
     """
-    prod = F.zip_with(
-        F.col(a_col),
-        F.col(b_col),
-        lambda x, y: (x.cast("double") * y.cast("double")).cast(_DOT_DECIMAL),
+    # One parsed SQL expression (round 13): the higher-order
+    # construction cost ~130 ms of py4j latency per call site; the
+    # parsed text is the identical expression tree (same casts, same
+    # DECIMAL(30,12) fold, same double division — gate-verified).
+    dec = _DOT_DECIMAL
+
+    def fold(arr_expr: str) -> str:
+        return (
+            f"CAST(aggregate({arr_expr}, CAST(0 AS {dec}), "
+            f"(acc, x) -> CAST(acc + x AS {dec})) AS DOUBLE)"
+        )
+
+    prod = (
+        f"zip_with({a_col}, {b_col}, (x, y) -> "
+        f"CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS {dec}))"
     )
-    dot = F.aggregate(
-        prod, F.lit(0).cast(_DOT_DECIMAL), lambda acc, x: (acc + x).cast(_DOT_DECIMAL)
-    ).cast("double")
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(
-            F.col(c), lambda x: (x.cast("double") * x.cast("double")).cast(_DOT_DECIMAL)
-        ),
-        F.lit(0).cast(_DOT_DECIMAL),
-        lambda acc, x: (acc + x).cast(_DOT_DECIMAL),
-    ).cast("double")
-    return dot / (F.sqrt(sq(a_col)) * F.sqrt(sq(b_col)))
+
+    def sq(c: str) -> str:
+        return fold(
+            f"transform({c}, x -> "
+            f"CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {dec}))"
+        )
+
+    return F.expr(f"{fold(prod)} / (SQRT({sq(a_col)}) * SQRT({sq(b_col)}))")
 
 
 SQL_PAIR_COSINE = """
