@@ -440,16 +440,20 @@ def q_stream_session_changelog(spark, sf_dir):
         stream = (
             spark.readStream.format("deltalog").option("path", root).load()
         )
-        q = (
-            jobs.session_windows(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
+        # stateful session-window agg: pin the state-store partition
+        # count instead of inheriting the batch session's shuffle
+        # default (jobs.stream_state_partitions rationale)
+        with jobs.stream_state_partitions(spark):
+            q = (
+                jobs.session_windows(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
 
     drain()  # batch 0: first half of the events
     w.append(ev.where(F.col("event_id") > half))  # lands while "down"

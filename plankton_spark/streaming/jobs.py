@@ -13,6 +13,8 @@ into its sink.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import shutil
 import uuid
 
@@ -22,6 +24,38 @@ from pyspark.sql import functions as F
 from plankton_spark.io import table_path
 
 SCRATCH = "/root/repo/.scratch/streaming"
+
+# State-store partition count for the STATEFUL streaming shadows
+# (optimization round 13). A stateful operator spins one state-store
+# instance per shuffle partition, each paying per-micro-batch
+# snapshot/commit overhead — inheriting the BATCH session's
+# spark.sql.shuffle.partitions (200 in the driver's vanilla session)
+# means 200 state stores for a fixture stream with a few hundred
+# keys, which dominated q_stream_session_changelog's wall. State
+# sizing is a deliberate per-stream decision (key cardinality × state
+# row width), not the batch shuffle default, so it is parameterized
+# here with a local default; results are partitioning-invariant
+# (oracle-hash pinned). Spark persists the count in the checkpoint's
+# offset log, so resumed queries keep their original partitioning
+# regardless of this setting.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+@contextlib.contextmanager
+def stream_state_partitions(spark: SparkSession, n: int | None = None):
+    """Temporarily pin spark.sql.shuffle.partitions while a stateful
+    streaming query plans its first micro-batch; restores the batch
+    session's value afterwards (same pattern as read_table's
+    nanosAsLong conf)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n or STREAM_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 EVENTS_NANOS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
@@ -237,15 +271,16 @@ def run_available_now(
     name = run_name or f"mem_{uuid.uuid4().hex[:8]}"
     ckpt = f"{SCRATCH}/ckpt_{name}"
     shutil.rmtree(ckpt, ignore_errors=True)
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return df.sparkSession.table(name)
 
 
