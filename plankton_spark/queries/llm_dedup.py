@@ -115,20 +115,58 @@ def _lsh_cells(band_rows, cap):
 
 def lsh_band_candidates(band_rows, cap=LSH_BUCKET_CAP):
     """Distinct candidate pairs (doc_a < doc_b) from LSH band buckets,
-    skew-guarded via _lsh_cells. Replication cost for a bucket split s
-    ways is ~(s/2 + 1) copies per doc per join side (s + 1 total across
-    both sides) — linear in width, vs the quadratic single-task blowup
-    it prevents."""
-    side_a, side_b = _lsh_cells(band_rows, cap)
-    return (
-        side_a.join(side_b, ["band_idx", "band_hash", "pa", "pb"])
-        .where(F.col("ida") != F.col("idb"))
-        .select(
-            F.least("ida", "idb").alias("doc_a"),
-            F.greatest("ida", "idb").alias("doc_b"),
+    skew-guarded by the same sub-bucket grid as _lsh_cells. Replication
+    cost for a bucket split s ways is ~(s/2 + 1) copies per doc per
+    join side (s + 1 total across both sides) — linear in width, vs
+    the quadratic single-task blowup it prevents.
+
+    Built as ONE spark.sql text over a temp view (optimization round
+    13): the DataFrame formulation cost ~300 ms of py4j plan-
+    construction latency per invocation (~700 round trips at ~0.4 ms);
+    the SQL parses in one call to the identical logical plan. The
+    decomposition mirrors _lsh_cells line for line (that helper stays
+    as the unit-tested reference — tests/test_skew_aqe.py pins this
+    derivation against it and against the unguarded join)."""
+    spark = band_rows.sparkSession
+    band_rows.createOrReplaceTempView("_lsh_band_rows_v")
+    return spark.sql(f"""
+        WITH wide AS (
+          SELECT band_idx, band_hash,
+                 CAST(CEIL(COUNT(*) / {cap}) AS INT) AS n_sub
+          FROM _lsh_band_rows_v
+          GROUP BY band_idx, band_hash
+          HAVING COUNT(*) > {cap}
+        ),
+        rows AS (
+          SELECT /*+ BROADCAST(w) */ r.doc_id,
+                 r.band_idx, r.band_hash,
+                 COALESCE(w.n_sub, 1) AS n_sub,
+                 CAST(pmod(xxhash64(r.doc_id, {0x5DEECE66}),
+                           COALESCE(w.n_sub, 1)) AS INT) AS g
+          FROM _lsh_band_rows_v r
+          LEFT JOIN wide w
+            ON r.band_idx = w.band_idx AND r.band_hash = w.band_hash
+        ),
+        side_a AS (
+          SELECT band_idx, band_hash, g AS pa,
+                 explode(sequence(g, n_sub - 1)) AS pb,
+                 doc_id AS ida
+          FROM rows
+        ),
+        side_b AS (
+          SELECT band_idx, band_hash,
+                 explode(sequence(0, g)) AS pa, g AS pb,
+                 doc_id AS idb
+          FROM rows
         )
-        .distinct()
-    )
+        SELECT DISTINCT least(ida, idb) AS doc_a,
+                        greatest(ida, idb) AS doc_b
+        FROM side_a a
+        JOIN side_b b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.pa = b.pa AND a.pb = b.pb
+        WHERE ida != idb
+    """)
 
 
 @query(
@@ -314,22 +352,36 @@ def minhash_structures(spark, sf_dir):
 def _verify_candidates(candidates, sa, sb):
     # integer threshold + exact-rational rounding (round-12 half-tie
     # hardening): i/u >= 0.8 <=> 5i >= 4u, and the emitted jaccard
-    # rounds the exact rational — no double feeds a decision
-    verified = (
-        candidates.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sa", "sb")).cast("long"))
-        .withColumn(
-            "n_union",
-            F.size("sa") + F.size("sb") - F.col("n_inter"),
+    # rounds the exact rational — no double feeds a decision.
+    # One spark.sql text (round 13): same plan as the DataFrame
+    # join/withColumn chain, ~100 fewer py4j round trips per build;
+    # the DIV expression is round_ratio6's exact int64 half-up form
+    # (functions.sql_ratio6 is the DuckDB twin).
+    spark = candidates.sparkSession
+    candidates.createOrReplaceTempView("_verify_cand_v")
+    sa.createOrReplaceTempView("_verify_sa_v")
+    sb.createOrReplaceTempView("_verify_sb_v")
+    return spark.sql("""
+        WITH scored AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(size(array_intersect(a.sa, b.sb)) AS BIGINT)
+                   AS n_inter,
+                 size(a.sa) + size(b.sb) AS n_tot
+          FROM _verify_cand_v c
+          JOIN _verify_sa_v a ON c.doc_a = a.doc_a
+          JOIN _verify_sb_v b ON c.doc_b = b.doc_b
+        ),
+        thresh AS (
+          SELECT doc_a, doc_b, n_inter,
+                 n_tot - n_inter AS n_union
+          FROM scored
         )
-        .where(F.col("n_inter") * 5 >= F.col("n_union") * 4)
-    )
-    return verified.select(
-        "doc_a",
-        "doc_b",
-        round_ratio6(F.col("n_inter"), F.col("n_union")).alias("jaccard"),
-    )
+        SELECT doc_a, doc_b,
+               CAST((n_inter * 2000000 + n_union) DIV (n_union * 2)
+                    AS DOUBLE) / 1000000.0 AS jaccard
+        FROM thresh
+        WHERE n_inter * 5 >= n_union * 4
+    """)
 
 
 def _simhash_bits_sql() -> str:

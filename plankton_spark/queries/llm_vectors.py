@@ -72,14 +72,18 @@ def q_vec_norms(spark, sf_dir):
 
 GEMM_BLOCKS = 4
 
-# Scale threshold for checkpointing the blocked-GEMM survivor frame:
-# below it the double kernel execution is cheaper than a
-# materialization job (measured, round-12 bench audit at sf0.1:
-# persist made the query 1.05 s → 1.25 s); above it the kernel cost
-# dominates and one eager localCheckpoint of the TINY survivor frame
-# (≤ ~(k+margin-window)·n_queries rows) wins. 1M corpus rows ≈ the
-# point where one kernel pass clearly outweighs the checkpoint job.
-GEMM_TOPK_CHECKPOINT_MIN_ROWS = 1_000_000
+# Scale threshold for checkpointing the blocked-GEMM survivor frame.
+# Round 12 measured a persist_swap here as SLOWER at sf0.1 (1.05 s →
+# 1.25 s) and gated the materialization on 1M corpus rows; round 13
+# re-measured with localCheckpoint (no cache-registry generation, no
+# InMemoryRelation rebuild) and always-checkpoint wins even at 2 k
+# rows: each extra execution of the applyInPandas kernel pays an
+# Arrow + Python-worker round trip (~0.3 s) that dwarfs the one-job
+# checkpoint of the ≤ ~(k+margin-window)·n_queries-row survivor frame
+# (q_sim_cosine_topk median 2.14 s → 1.47 s back-to-back). At larger
+# corpora the gap only widens (the kernel cost grows with the data,
+# the survivor frame does not), so the threshold is now 0.
+GEMM_TOPK_CHECKPOINT_MIN_ROWS = 0
 
 
 def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,

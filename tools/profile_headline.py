@@ -42,7 +42,12 @@ EVLOG_DIR = "/tmp/spark-events-profile"
 def main() -> None:
     os.makedirs(EVLOG_DIR, exist_ok=True)
     for f in glob.glob(EVLOG_DIR + "/*"):
-        os.remove(f)
+        if os.path.isdir(f):
+            import shutil
+
+            shutil.rmtree(f, ignore_errors=True)
+        else:
+            os.remove(f)
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Event-log confs must exist at JVM launch; PYSPARK_SUBMIT_ARGS
