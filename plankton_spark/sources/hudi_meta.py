@@ -414,7 +414,8 @@ def _empty_like(spark, t, table_path, with_meta):
 
 
 def _read_mor(
-    spark, t, table_path, as_of, incremental, partition_path, with_meta
+    spark, t, table_path, as_of, incremental, partition_path, with_meta,
+    slice_filter=None,
 ):
     """MERGE_ON_READ snapshot: base-file multi-path scan UNIONed with
     the log records, then ONE record-key window keeps the latest
@@ -440,6 +441,12 @@ def _read_mor(
     slices = t.file_slices_with_logs(end if incremental else as_of)
     if partition_path is not None:
         slices = [s for s in slices if s[0] == partition_path]
+    if slice_filter is not None:
+        # caller-scoped read (compaction): only the named (partition,
+        # fileId) groups are scanned — keys live in exactly one file
+        # group, so the latest-wins merge over this subset is
+        # identical to merging the whole table and filtering after
+        slices = [s for s in slices if (s[0], s[1]) in slice_filter]
     if not slices:
         if incremental is not None or partition_path is not None:
             return _empty_like(spark, t, table_path, with_meta)
@@ -664,6 +671,69 @@ def _read_mor_virtual(
             )
         merged = merged.drop("__rn", "__src", "__del", "__ct", "__key")
     return merged
+
+
+def _make_group_log_writer(
+    table_path, names, instant, avro_schema, data_cols, virtual
+):
+    """applyInPandas closure appending ONE avro data block per file
+    group's log — shared by the MOR upsert and the metadata-table
+    fast path. ``names`` maps fileId → (partition, log file name)."""
+
+    def write_group_log(pdf):
+        import pandas as pd
+
+        from plankton_spark.sources.hudi_log import append_data_block
+
+        fid = pdf["__fid"].iloc[0]
+        part, name = names[fid]
+        rel = os.path.join(part, name) if part else name
+        dst = os.path.join(table_path, rel)
+        os.makedirs(os.path.dirname(dst) or table_path, exist_ok=True)
+        pdf = pdf.sort_values("__key")
+        # column-at-a-time extraction (guide §4.2): one
+        # tolist()/isna() pass per column instead of a Python loop
+        # over iterrows — Series.tolist() performs the same
+        # numpy-scalar → native conversion .item() did, and the isna
+        # mask the same NaN/NaT → None mapping
+        n_rows = len(pdf)
+        col_vals = {}
+        for c in data_cols:
+            vals = pdf[c].tolist()
+            mask = pdf[c].isna().tolist()
+            col_vals[c] = [None if m else v for v, m in zip(vals, mask)]
+        if virtual:
+            records = [
+                {c: col_vals[c][i] for c in data_cols}
+                for i in range(n_rows)
+            ]
+        else:
+            keys = pdf["__key"].tolist()
+            records = [
+                {
+                    "_hoodie_commit_time": instant,
+                    "_hoodie_commit_seqno": f"{instant}_{i + 1}",
+                    "_hoodie_record_key": keys[i],
+                    "_hoodie_partition_path": part,
+                    "_hoodie_file_name": name,
+                    **{c: col_vals[c][i] for c in data_cols},
+                }
+                for i in range(n_rows)
+            ]
+        append_data_block(dst, instant, avro_schema, records)
+        return pd.DataFrame(
+            [
+                {
+                    "part": part,
+                    "fid": fid,
+                    "rel": rel,
+                    "n": len(records),
+                    "sz": os.path.getsize(dst),
+                }
+            ]
+        )
+
+    return write_group_log
 
 
 class HudiWriter:
@@ -1106,7 +1176,15 @@ class HudiWriter:
         if os.path.isfile(
             os.path.join(mpath, ".hoodie", "hoodie.properties")
         ):
-            mw.upsert(df)
+            # fast-path upsert: the batch's partition set is known
+            # right here (the rows above are driver-built; rli_df is
+            # all record_index), so the writer can log-append to the
+            # static per-partition groups without any index read,
+            # tagging join, or probe job — see _merge_mor_meta
+            batch_parts = {r[0] for r in rows}
+            if rli_df is not None:
+                batch_parts.add("record_index")
+            mw._merge_mor_meta(df, batch_parts)
             # bounded log chains: fold the listing logs back into
             # bases once they pile up (real Hudi compacts its
             # metadata table on a deltacommit budget)
@@ -1244,7 +1322,47 @@ class HudiWriter:
                 "step collapses them latest-wins"
             )
 
-    def _collapse_precombine(self, keyed, delete: bool = False):
+    def _probe_tagged_unique(self, tagged) -> None:
+        """Deferred batch-uniqueness/tie probe, run on the PERSISTED
+        tagged frame (optimization round 13): one aggregate over
+        (__key, __fid) detects exactly batch-side duplicates — a
+        batch row matching one file group contributes one row per
+        (key, fid), so count > 1 within a (key, fid) cell (or within
+        the NULL-fid cell for new keys) means two BATCH rows carried
+        the key, never join multiplication. Folding the probe into
+        the tagged materialization both warms the persist and drops
+        the separate pre-join scan of the incoming batch that
+        _check_unique_keys / the precombine tie check used to pay.
+        Raises the same errors as those checks; must run BEFORE any
+        timeline transition or file write."""
+        if self._trusted_unique_batch:
+            return
+        dup = (
+            tagged.groupBy("__key", "__fid")
+            .count()
+            .where(F.col("count") > 1)
+            .take(1)
+        )
+        if not dup:
+            return
+        if self.precombine:
+            raise ValueError(
+                f"{self.table_path}: duplicate-key rows tie on the "
+                f"precombine field {self.precombine!r} (e.g. key "
+                f"{dup[0]['__key']!r}) — no deterministic winner; "
+                "break the tie in the batch"
+            )
+        raise ValueError(
+            f"{self.table_path}: incoming batch carries duplicate "
+            f"record keys (e.g. {dup[0]['__key']!r}) and the table "
+            "declares no precombine field — dedupe the batch, or "
+            "create the table with precombine= "
+            "(hoodie.table.precombine.field) so Hudi's preCombine "
+            "step collapses them latest-wins"
+        )
+
+    def _collapse_precombine(self, keyed, delete: bool = False,
+                             defer_check: bool = False):
         """Hudi's preCombine step: collapse duplicate-key rows in an
         upsert batch LATEST-WINS on the declared precombine field
         (hoodie.table.precombine.field) BEFORE tagging — one keyed
@@ -1255,11 +1373,16 @@ class HudiWriter:
         DELETE batches collapse to distinct keys unconditionally
         (deleting a key twice in one batch is one delete). Without a
         precombine field, a duplicate-key upsert batch still refuses
-        loudly (_check_unique_keys)."""
+        loudly (_check_unique_keys). ``defer_check=True`` skips the
+        probe jobs here — the caller MUST run _probe_tagged_unique on
+        the tagged frame before any side effect, which answers the
+        same question inside the job that materializes the tag join
+        instead of paying a separate scan of the batch."""
         if delete:
             return keyed.dropDuplicates(["__key"])
         if not self.precombine:
-            self._check_unique_keys(keyed)
+            if not defer_check:
+                self._check_unique_keys(keyed)
             return keyed
         pc = self.precombine
         if pc not in keyed.columns:
@@ -1277,19 +1400,20 @@ class HudiWriter:
         )
         # rank() hands every tied top row rank 1, so any key still
         # duplicated after the cut IS a precombine tie
-        tie = (
-            collapsed.groupBy("__key")
-            .count()
-            .where(F.col("count") > 1)
-            .take(1)
-        )
-        if tie:
-            raise ValueError(
-                f"{self.table_path}: duplicate-key rows tie on the "
-                f"precombine field {pc!r} (e.g. key "
-                f"{tie[0]['__key']!r}) — no deterministic winner; "
-                "break the tie in the batch"
+        if not defer_check:
+            tie = (
+                collapsed.groupBy("__key")
+                .count()
+                .where(F.col("count") > 1)
+                .take(1)
             )
+            if tie:
+                raise ValueError(
+                    f"{self.table_path}: duplicate-key rows tie on the "
+                    f"precombine field {pc!r} (e.g. key "
+                    f"{tie[0]['__key']!r}) — no deterministic winner; "
+                    "break the tie in the batch"
+                )
         return collapsed
 
     def _rli_lookup(self):
@@ -1409,7 +1533,9 @@ class HudiWriter:
         slices = t.file_slices()
         prev = {(p, fid): ti for p, fid, ti, _ in slices}
         incoming = df.withColumn("__key", self._key_expr())
-        incoming = self._collapse_precombine(incoming, delete=delete)
+        incoming = self._collapse_precombine(
+            incoming, delete=delete, defer_check=not delete
+        )
         # global simple index: key → (partition, fileId) from the
         # snapshot's meta columns only (two-column projection — the
         # scan prunes everything else); with the metadata table's
@@ -1460,6 +1586,11 @@ class HudiWriter:
         tagged = incoming.join(index, "__key", "left")
         tagged.persist()
         try:
+            # the deferred uniqueness/tie probe doubles as the cache
+            # materialization job; the routing collect below then
+            # reads the persisted frame only
+            if not delete:
+                self._probe_tagged_unique(tagged)
             # one row per TOUCHED FILE GROUP, plus one all-null row
             # iff the batch carries NEW keys — the same single job
             # answers both questions, so an update-only batch skips
@@ -1666,7 +1797,7 @@ class HudiWriter:
         }
         base_of = {fid: bi for _p, fid, bi, _rel, _lrs in slices}
         incoming = df.withColumn("__key", self._key_expr())
-        incoming = self._collapse_precombine(incoming)
+        incoming = self._collapse_precombine(incoming, defer_check=True)
         rli = self._rli_lookup()
         cand = None if rli is not None else self._bloom_candidate_set(
             incoming,
@@ -1715,6 +1846,10 @@ class HudiWriter:
         tagged = incoming.join(index, "__key", "left")
         tagged.persist()
         try:
+            # deferred uniqueness/tie probe: materializes the persist
+            # in the same job, and must precede the timeline
+            # transitions and every log write below
+            self._probe_tagged_unique(tagged)
             self._transition(instant, "requested")
             self._transition(instant, "inflight")
             data_fields = [
@@ -1735,49 +1870,9 @@ class HudiWriter:
             avro_schema = schema_to_avro(row_schema)
             data_cols = [f.name for f in data_fields]
             stats_schema = "part string, fid string, rel string, n long, sz long"
-
-            def write_group_log(pdf):
-                import pandas as pd
-
-                from plankton_spark.sources.hudi_log import (
-                    append_data_block,
-                )
-
-                fid = pdf["__fid"].iloc[0]
-                part, name = names[fid]
-                rel = os.path.join(part, name) if part else name
-                dst = os.path.join(table_path, rel)
-                os.makedirs(os.path.dirname(dst) or table_path, exist_ok=True)
-                pdf = pdf.sort_values("__key")
-                records = []
-                for i, (_, row) in enumerate(pdf.iterrows(), 1):
-                    rec = {} if virtual else {
-                        "_hoodie_commit_time": instant,
-                        "_hoodie_commit_seqno": f"{instant}_{i}",
-                        "_hoodie_record_key": row["__key"],
-                        "_hoodie_partition_path": part,
-                        "_hoodie_file_name": name,
-                    }
-                    for c in data_cols:
-                        v = row[c]
-                        if pd.isna(v):
-                            v = None
-                        elif hasattr(v, "item"):
-                            v = v.item()
-                        rec[c] = v
-                    records.append(rec)
-                append_data_block(dst, instant, avro_schema, records)
-                return pd.DataFrame(
-                    [
-                        {
-                            "part": part,
-                            "fid": fid,
-                            "rel": rel,
-                            "n": len(records),
-                            "sz": os.path.getsize(dst),
-                        }
-                    ]
-                )
+            write_group_log = _make_group_log_writer(
+                table_path, names, instant, avro_schema, data_cols, virtual
+            )
 
             updates = tagged.where(F.col("__fid").isNotNull())
             stats: dict[str, list] = {}
@@ -1821,6 +1916,127 @@ class HudiWriter:
             return instant
         finally:
             tagged.unpersist()
+
+    def _merge_mor_meta(self, df, batch_parts) -> str:
+        """METADATA-TABLE fast-path upsert (optimization round 13).
+
+        The metadata table is only ever read through the global
+        latest-wins key merge (_read_mor / metadata_listing /
+        _rli_lookup), never tagged against, so routing each record to
+        the file group holding its previous version buys nothing —
+        only a DETERMINISTIC group per metadata partition is needed
+        to keep listings bounded. That is real Hudi's metadata-table
+        design: a fixed set of key-routed file groups per partition,
+        every commit a pure LOG APPEND to them, compaction folding on
+        a deltacommit budget. Replacing the general _merge_mor here
+        removes, per main-table commit: the base-file index scan, the
+        tagging join, the uniqueness probe, the news take(1) probe,
+        and (in steady state) the fresh-base write pipeline — one
+        applyInPandas log-append job remains. ``batch_parts`` is the
+        batch's metadata-partition set, driver-known because the
+        caller builds the rows, so the news/updates split costs no
+        job; only a partition's FIRST appearance writes a base file
+        (one static ``fg-meta-<partition>`` group)."""
+        import pyspark.sql.types as T
+
+        from plankton_spark.sources.avro_ocf import schema_to_avro
+        from plankton_spark.sources.hudi_log import log_file_name
+
+        instant = self._next_instant()
+        table_path = self.table_path
+        t = HudiTable(table_path)
+        slices = t.file_slices_with_logs()
+        # one live group per metadata partition; if a legacy layout
+        # ever held several, route appends to the latest-based one —
+        # reads merge globally by key, so content is unaffected
+        part_group: dict[str, tuple] = {}
+        for part, fid, bi, _rel, lrs in slices:
+            cur = part_group.get(part)
+            if cur is None or bi > cur[1]:
+                part_group[part] = (fid, bi, lrs)
+        known = sorted(set(batch_parts) & set(part_group))
+        new_parts = sorted(set(batch_parts) - set(part_group))
+        incoming = df.withColumn("__key", self._key_expr())
+        self._transition(instant, "requested")
+        self._transition(instant, "inflight")
+        stats: dict[str, list] = {}
+        if known:
+            names = {
+                part_group[p][0]: (
+                    p,
+                    log_file_name(
+                        part_group[p][0],
+                        part_group[p][1],
+                        len(part_group[p][2]) + 1,
+                    ),
+                )
+                for p in known
+            }
+            data_fields = [
+                f for f in df.schema.fields
+                if not f.name.startswith("_hoodie_")
+            ]
+            avro_schema = schema_to_avro(
+                T.StructType(
+                    [T.StructField(c, T.StringType()) for c in META_COLS]
+                    + data_fields
+                )
+            )
+            fid_expr = F.create_map(
+                *[
+                    F.lit(x)
+                    for p in known
+                    for x in (p, part_group[p][0])
+                ]
+            )[F.col(self.partition_field)]
+            updates = incoming.where(
+                F.col(self.partition_field).isin(known)
+            ).withColumn("__fid", fid_expr)
+            write_group_log = _make_group_log_writer(
+                table_path, names, instant, avro_schema,
+                [f.name for f in data_fields], False,
+            )
+            stats_schema = (
+                "part string, fid string, rel string, n long, sz long"
+            )
+            for r in (
+                updates.groupBy("__fid")
+                .applyInPandas(write_group_log, stats_schema)
+                .collect()
+            ):
+                stats.setdefault(r["part"], []).append(
+                    {
+                        "fileId": r["fid"],
+                        "path": r["rel"],
+                        "prevCommit": part_group[r["part"]][1],
+                        "numWrites": r["n"],
+                        "fileSizeInBytes": r["sz"],
+                    }
+                )
+        if new_parts:
+            news = incoming.where(
+                F.col(self.partition_field).isin(new_parts)
+            ).drop("__key")
+            news = (
+                news.withColumn("__part", self._partition_expr())
+                .withColumn(
+                    "__fid",
+                    F.concat(
+                        F.lit("fg-meta-"),
+                        F.regexp_replace(F.col("__part"), "_", "-"),
+                    ),
+                )
+            )
+            news = self._attach_meta(news, instant)
+            for part, lst in self._write_groups(
+                news, instant, prev={}
+            ).items():
+                stats.setdefault(part, []).extend(lst)
+        self._complete(
+            instant,
+            {"operationType": "UPSERT", "partitionToWriteStats": stats},
+        )
+        return instant
 
     def _delete_mor(self, keys_df) -> str:
         """MOR delete: tag the incoming keys against the base-file
@@ -1907,7 +2123,7 @@ class HudiWriter:
             dst = os.path.join(table_path, rel)
             os.makedirs(os.path.dirname(dst) or table_path, exist_ok=True)
             deletes = sorted(
-                (row["__key"], part) for _, row in pdf.iterrows()
+                (k, part) for k in pdf["__key"].tolist()
             )
             append_delete_block(dst, instant, deletes)
             return pd.DataFrame(
@@ -1974,9 +2190,16 @@ class HudiWriter:
                 action="commit",
             )
             return instant
+        # the merge scan is SCOPED to the log-carrying groups (the
+        # docstring's "groups without logs are not read" promise):
+        # each record key lives in exactly one file group, so merging
+        # only the todo slices is identical to merging the whole
+        # table and keeping todo keys — at scale this turns
+        # compaction IO from O(table) into O(dirty groups)
         merged = _read_mor(
             self.spark, t, self.table_path, None, None, None,
             with_meta=not self.virtual,
+            slice_filter={(p, fid) for p, fid, _bi, _rel, _l in todo},
         )
         todo_bases = [
             os.path.join(self.table_path, rel) for _, _, _, rel, _ in todo
@@ -2007,14 +2230,25 @@ class HudiWriter:
                 index, self._key_expr() == index["__key"], "inner"
             ).drop("__key")
         else:
-            index = self.spark.read.parquet(*todo_bases).select(
-                F.col("_hoodie_record_key").alias("__key"),
-                F.col("_hoodie_partition_path").alias("__part"),
-                F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
+            # group routing from the merged rows' OWN meta columns —
+            # a base-row survivor names its base file, a log-row
+            # winner names its log file, and both parse to the
+            # fileId. With the scan already scoped to the todo
+            # groups, this replaces a SECOND read of every todo base
+            # plus a key-equality join (the old index path) with two
+            # string expressions: one data pass instead of two, no
+            # shuffle for routing.
+            fid_from_name = F.when(
+                F.col("_hoodie_file_name").startswith("."),
+                F.regexp_extract(
+                    "_hoodie_file_name", r"^\.(.*)_[^_]*\.log\..*$", 1
+                ),
+            ).otherwise(
+                F.element_at(F.split("_hoodie_file_name", "_"), 1)
             )
-            rows = merged.join(
-                index, merged["_hoodie_record_key"] == index["__key"], "inner"
-            ).drop("__key")
+            rows = merged.withColumn("__fid", fid_from_name).withColumn(
+                "__part", F.col("_hoodie_partition_path")
+            )
         prev = {(part, fid): bi for part, fid, bi, _rel, _lrs in todo}
         stats = self._write_groups(rows, instant, prev=prev)
         # a group whose every record was log-DELETED contributes no
@@ -2183,6 +2417,13 @@ class HudiWriter:
         columns derive from the physical file name chosen here. The
         repartition on __fid puts each file group in exactly one task,
         so partitionBy emits exactly one file per group."""
+        # one shuffle, up front: the per-group seqno window below and
+        # the one-file-per-group partitionBy both need the rows
+        # clustered by __fid, so establish that partitioning ONCE here
+        # and let the window reuse it (before this reorder the window
+        # forced its own exchange and _write_staged_groups added a
+        # second, back-to-back shuffle of the full write set)
+        df = df.repartition(F.col("__fid"))
         if self.virtual:
             # virtual-key files carry data columns only; routing
             # columns drive the one-file-per-group partitionBy below
@@ -2231,9 +2472,11 @@ class HudiWriter:
         (partition, fileId), stats from the landed footers."""
         tmp = os.path.join(self.table_path, f".hoodie/.temp/{instant}")
         shutil.rmtree(tmp, ignore_errors=True)
+        # _write_groups already clustered the rows by __fid (one
+        # shuffle shared with the seqno window), so each group lands
+        # wholly in one task and partitionBy emits one file per group
         (
-            staged.repartition(F.col("__fid"))
-            .write.partitionBy("__part", "__fid")
+            staged.write.partitionBy("__part", "__fid")
             .mode("overwrite")
             .parquet(tmp)
         )
