@@ -633,7 +633,8 @@ def gemm_candidates(spark, embeddings, threshold, margin=1e-6, n_blocks=None):
 RESCORE_BROADCAST_ROWS = 500_000
 
 
-def rescore_pairs_exact(embeddings, cand, broadcast_rows=RESCORE_BROADCAST_ROWS):
+def rescore_pairs_exact(embeddings, cand, broadcast_rows=RESCORE_BROADCAST_ROWS,
+                        bounded_cand=False):
     """Attach both embedding arrays to a candidate-pair frame and
     compute the exact-decimal cosine.
 
@@ -648,9 +649,17 @@ def rescore_pairs_exact(embeddings, cand, broadcast_rows=RESCORE_BROADCAST_ROWS)
     frame), and pick broadcast vs shuffled hash joins accordingly.
     Either plan is value-identical; this is purely join-strategy
     selection, the same call AQE can't make here because the frame's
-    size is unknown until the GEMM prefilter runs."""
+    size is unknown until the GEMM prefilter runs.
+
+    ``bounded_cand=True`` skips the sizing job: callers whose
+    candidate set is bounded BY CONSTRUCTION (the top-k margin cut
+    keeps ≤ ~(k+margin-window)·n_queries rows regardless of corpus
+    size) declare that bound instead of measuring it — the broadcast
+    choice is then static and the count job disappears from the hot
+    path (optimization round 13). Corpus-dependent candidate sets
+    (the dedup paths) must keep the measured decision."""
     cand = cache.persist_swap("rescore:candidates", cand)
-    n_cand = cand.count()
+    n_cand = 0 if bounded_cand else cand.count()
     ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     if n_cand <= broadcast_rows:

@@ -211,7 +211,10 @@ def _brute_force_topk(spark, sf_dir):
     cand = _gemm_topk_candidates(
         spark, e, N_QUERIES, TOP_K, n_rows=table_rows(sf_dir, "embeddings")
     )
-    pc = rescore_pairs_exact(e, cand)
+    # bounded_cand: the margin cut bounds the candidate set to
+    # ~(k+margin-window)·n_queries rows BY CONSTRUCTION, so the
+    # broadcast choice is static — no sizing job
+    pc = rescore_pairs_exact(e, cand, bounded_cand=True)
     scored = pc.select(
         F.col("vec_a").alias("q_id"),
         F.col("vec_b").alias("n_id"),

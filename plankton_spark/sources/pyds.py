@@ -86,7 +86,10 @@ import os
 import uuid
 
 from pyspark import TaskContext
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
 
 
 class _FileCommit(WriterCommitMessage):
@@ -94,7 +97,7 @@ class _FileCommit(WriterCommitMessage):
         self.filename = filename
 
 
-class JsonLinesWriter(DataSourceWriter):
+class JsonLinesWriter(DataSourceArrowWriter):
     def __init__(self, path: str, overwrite: bool = True):
         self.path = path
         self.overwrite = overwrite
@@ -106,13 +109,26 @@ class JsonLinesWriter(DataSourceWriter):
         self.run_id = uuid.uuid4().hex
 
     def write(self, iterator) -> _FileCommit:
+        # DataSourceArrowWriter (optimization round 13): partitions
+        # arrive as Arrow RecordBatches instead of pickled Rows —
+        # the JVM→Python hop is columnar Arrow, and to_pylist()
+        # yields the same Python natives Row.asDict() did (identical
+        # float repr, so byte-identical JSON lines); only the
+        # per-row pickle + Row construction cost is gone (guide §4.1)
         pid = TaskContext.get().partitionId()
         name = f"part-{self.run_id}-{pid:05d}-{uuid.uuid4().hex}.jsonl"
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, "." + name)
         with open(tmp, "w", encoding="utf-8") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+            for batch in iterator:
+                rows = batch.to_pylist()
+                if rows:
+                    f.write(
+                        "\n".join(
+                            json.dumps(r, sort_keys=True) for r in rows
+                        )
+                        + "\n"
+                    )
         os.replace(tmp, os.path.join(self.path, name))
         return _FileCommit(name)
 
