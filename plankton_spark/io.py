@@ -212,4 +212,27 @@ def _read_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture as a temp view so §2 queries also run as SQL."""
     for name in TABLES:
+        table_view(spark, sf_dir, name)
+
+
+# Registered-view reuse (optimization round 13, same rationale as
+# _RESOLVED above): createOrReplaceTempView costs ~10-15 ms of py4j +
+# catalog work per call, and every SQL-surface query re-registered its
+# 3-6 input views on every build — pure fixed overhead inside the
+# bench/gate timed region. A view is catalog METADATA over the cached
+# relation handle (no data, no results), so register once per
+# (session, view name) and skip when the registered path is unchanged.
+# All engine-internal registrations of fixture-named views go through
+# here; registering the same name for a DIFFERENT sf_dir re-registers.
+_VIEWS: dict[tuple[str, str], str] = {}
+
+
+def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Ensure fixture ``name`` is registered as a temp view named
+    ``name`` over ``sf_dir``; returns the view name."""
+    path = table_path(sf_dir, name)
+    key = (spark.sparkContext.applicationId, name)
+    if _VIEWS.get(key) != path:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        _VIEWS[key] = path
+    return name

@@ -22,16 +22,21 @@ from plankton_spark.functions import (
     sql_sum,
     sql_sum_dec,
 )
-from plankton_spark.io import read_table
+from plankton_spark.io import read_table, table_view
 from plankton_spark.operators import profile_table
 from plankton_spark.registry import query
 
 SHIP_CUTOFF = "1998-09-02"
 
 
-@query(
-    "q_agg_group",
-    oracle=f"""
+# ONE dialect-neutral SQL text: runs verbatim on Spark (temp view
+# over the fixture parquet) AND as the DuckDB oracle — the tpch_sql.py
+# parity pattern. The DataFrame formulation it replaces (optimization
+# round 13) built the same expression tree through ~250 py4j round
+# trips (~0.2 s of driver latency per bench invocation); the parsed
+# text is one round trip and the physical plan is unchanged
+# (plans/r13/q_agg_group_{before,after}.txt).
+_AGG_GROUP_SQL = f"""
     SELECT
       l_returnflag,
       l_linestatus,
@@ -46,29 +51,18 @@ SHIP_CUTOFF = "1998-09-02"
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
     GROUP BY l_returnflag, l_linestatus
-    """,
-)
+    """
+
+
+@query("q_agg_group", oracle=_AGG_GROUP_SQL)
 def q_agg_group(spark, sf_dir):
     """Flagship pricing-summary (TPC-H Q1 shape on the fixture subset).
 
     Scan → pushed filter → project → hash-aggregate; at scale this is
     one shuffle of ~6 grouped rows per map partition.
     """
-    li = read_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") <= F.to_timestamp(F.lit(SHIP_CUTOFF))
-    )
-    disc_price = money(F.col("l_extendedprice")) * money(1 - F.col("l_discount"))
-    charge = disc_price * money(1 + F.col("l_tax"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum(F.col("l_quantity"), "sum_qty"),
-        dsum(F.col("l_extendedprice"), "sum_base_price"),
-        dsum_dec(disc_price, "sum_disc_price"),
-        dsum_dec(charge, "sum_charge"),
-        davg(F.col("l_quantity"), "avg_qty"),
-        davg(F.col("l_extendedprice"), "avg_price"),
-        davg(F.col("l_discount"), "avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
-    )
+    table_view(spark, sf_dir, "lineitem")
+    return spark.sql(_AGG_GROUP_SQL)
 
 
 @query(
@@ -364,20 +358,21 @@ def q_agg_pivot(spark, sf_dir):
     exact decimal sums see the same operands plus exact-zero terms for
     other categories, and the NULL→0 coalesce is preserved for the
     all-NULL-values edge."""
-    e = read_table(spark, sf_dir, "events")
-    sums = [
-        F.sum(
-            F.when(F.col("event_type") == t, F.col("value"))
-            .otherwise(F.lit(0.0))
-            .cast("decimal(18,4)")
-        ).alias(f"__{t}")
+    # Parsed as ONE SQL text (optimization round 13): the conditional-
+    # aggregation expression list cost ~150 ms of py4j construction per
+    # build; the text is the same expression tree (CASE → decimal cast
+    # → SUM → COALESCE → double → ROUND, exactly mirroring the
+    # DataFrame form it replaces).
+    table_view(spark, sf_dir, "events")
+    sums = ", ".join(
+        f"ROUND(CAST(COALESCE(SUM(CAST(CASE WHEN event_type = '{t}' "
+        f"THEN value ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(18,4))), 0) "
+        f"AS DOUBLE), 4) AS {t}"
         for t in EVENT_TYPES
-    ]
-    cols = [F.col("user_id")] + [
-        F.round(F.coalesce(F.col(f"__{t}"), F.lit(0)).cast("double"), 4).alias(t)
-        for t in EVENT_TYPES
-    ]
-    return e.groupBy("user_id").agg(*sums).select(*cols)
+    )
+    return spark.sql(
+        f"SELECT user_id, {sums} FROM events GROUP BY user_id"
+    )
 
 
 @query(

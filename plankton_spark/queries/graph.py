@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from plankton_spark import cache
-from plankton_spark.io import read_table
+from plankton_spark.io import read_table, table_view
 from plankton_spark.registry import query
 
 SCALE = 1_000_000_000_000  # rank 1.0 in micro-units
@@ -253,5 +253,5 @@ def q_graph_triangles(spark, sf_dir):
     hot part otherwise emits deg^2 edges; the cap bounds per-part
     fanout, keeping edge volume linear in the relationship count).
     The SAME SQL text is the oracle."""
-    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table_view(spark, sf_dir, "lineitem")
     return spark.sql(_TRIANGLES)

@@ -129,11 +129,20 @@ def lsh_band_candidates(band_rows, cap=LSH_BUCKET_CAP):
     derivation against it and against the unguarded join)."""
     spark = band_rows.sparkSession
     band_rows.createOrReplaceTempView("_lsh_band_rows_v")
-    return spark.sql(f"""
-        WITH wide AS (
+    return spark.sql(
+        f"WITH {_lsh_candidates_cte(cap, '_lsh_band_rows_v')}\n"
+        "SELECT doc_a, doc_b FROM cand"
+    )
+
+
+def _lsh_candidates_cte(cap, from_view):
+    """The band-bucket candidate derivation as a CTE chain (text ends
+    with ``cand(doc_a, doc_b)``) so lsh_band_candidates and the merged
+    q_dedup_minhash text parse ONE source of truth (round 13)."""
+    return f"""wide AS (
           SELECT band_idx, band_hash,
                  CAST(CEIL(COUNT(*) / {cap}) AS INT) AS n_sub
-          FROM _lsh_band_rows_v
+          FROM {from_view}
           GROUP BY band_idx, band_hash
           HAVING COUNT(*) > {cap}
         ),
@@ -143,7 +152,7 @@ def lsh_band_candidates(band_rows, cap=LSH_BUCKET_CAP):
                  COALESCE(w.n_sub, 1) AS n_sub,
                  CAST(pmod(xxhash64(r.doc_id, {0x5DEECE66}),
                            COALESCE(w.n_sub, 1)) AS INT) AS g
-          FROM _lsh_band_rows_v r
+          FROM {from_view} r
           LEFT JOIN wide w
             ON r.band_idx = w.band_idx AND r.band_hash = w.band_hash
         ),
@@ -158,15 +167,16 @@ def lsh_band_candidates(band_rows, cap=LSH_BUCKET_CAP):
                  explode(sequence(0, g)) AS pa, g AS pb,
                  doc_id AS idb
           FROM rows
-        )
-        SELECT DISTINCT least(ida, idb) AS doc_a,
-                        greatest(ida, idb) AS doc_b
-        FROM side_a a
-        JOIN side_b b
-          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         AND a.pa = b.pa AND a.pb = b.pb
-        WHERE ida != idb
-    """)
+        ),
+        cand AS (
+          SELECT DISTINCT least(ida, idb) AS doc_a,
+                          greatest(ida, idb) AS doc_b
+          FROM side_a a
+          JOIN side_b b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.pa = b.pa AND a.pb = b.pb
+          WHERE ida != idb
+        )"""
 
 
 @query(
@@ -262,13 +272,39 @@ def q_dedup_minhash(spark, sf_dir):
     exactly at this threshold.
     """
     sets, band_rows = minhash_structures(spark, sf_dir)
-    candidates = lsh_band_candidates(band_rows)
     # Exact verification on the hashed shingle arrays (same Jaccard —
     # xxhash64 collisions among ~500 shingles are ~1e-16 — but long
-    # intersection beats 25-char string intersection).
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
-    return _verify_candidates(candidates, sa, sb)
+    # intersection beats 25-char string intersection). Candidate
+    # derivation + verification parse as ONE SQL text (round 13: one
+    # parse and two temp views instead of two parses, five views and
+    # the alias selects — same plan, ~0.1 s less driver latency per
+    # build; the candidate CTE chain is the same _lsh_candidates_cte
+    # text lsh_band_candidates runs standalone, and the verify tail is
+    # round_ratio6's exact int64 half-up form).
+    sets.createOrReplaceTempView("_mh_sets_v")
+    band_rows.createOrReplaceTempView("_lsh_band_rows_v")
+    return spark.sql(f"""
+        WITH {_lsh_candidates_cte(LSH_BUCKET_CAP, '_lsh_band_rows_v')},
+        scored AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(size(array_intersect(a.hs, b.hs)) AS BIGINT)
+                   AS n_inter,
+                 size(a.hs) + size(b.hs) AS n_tot
+          FROM cand c
+          JOIN _mh_sets_v a ON c.doc_a = a.doc_id
+          JOIN _mh_sets_v b ON c.doc_b = b.doc_id
+        ),
+        thresh AS (
+          SELECT doc_a, doc_b, n_inter,
+                 n_tot - n_inter AS n_union
+          FROM scored
+        )
+        SELECT doc_a, doc_b,
+               CAST((n_inter * 2000000 + n_union) DIV (n_union * 2)
+                    AS DOUBLE) / 1000000.0 AS jaccard
+        FROM thresh
+        WHERE n_inter * 5 >= n_union * 4
+    """)
 
 
 def minhash_structures(spark, sf_dir):
@@ -347,41 +383,6 @@ def minhash_structures(spark, sf_dir):
         .select("doc_id", F.col("bb.band_idx"), F.col("bb.band_hash")),
     )
     return sets, band_rows
-
-
-def _verify_candidates(candidates, sa, sb):
-    # integer threshold + exact-rational rounding (round-12 half-tie
-    # hardening): i/u >= 0.8 <=> 5i >= 4u, and the emitted jaccard
-    # rounds the exact rational — no double feeds a decision.
-    # One spark.sql text (round 13): same plan as the DataFrame
-    # join/withColumn chain, ~100 fewer py4j round trips per build;
-    # the DIV expression is round_ratio6's exact int64 half-up form
-    # (functions.sql_ratio6 is the DuckDB twin).
-    spark = candidates.sparkSession
-    candidates.createOrReplaceTempView("_verify_cand_v")
-    sa.createOrReplaceTempView("_verify_sa_v")
-    sb.createOrReplaceTempView("_verify_sb_v")
-    return spark.sql("""
-        WITH scored AS (
-          SELECT c.doc_a, c.doc_b,
-                 CAST(size(array_intersect(a.sa, b.sb)) AS BIGINT)
-                   AS n_inter,
-                 size(a.sa) + size(b.sb) AS n_tot
-          FROM _verify_cand_v c
-          JOIN _verify_sa_v a ON c.doc_a = a.doc_a
-          JOIN _verify_sb_v b ON c.doc_b = b.doc_b
-        ),
-        thresh AS (
-          SELECT doc_a, doc_b, n_inter,
-                 n_tot - n_inter AS n_union
-          FROM scored
-        )
-        SELECT doc_a, doc_b,
-               CAST((n_inter * 2000000 + n_union) DIV (n_union * 2)
-                    AS DOUBLE) / 1000000.0 AS jaccard
-        FROM thresh
-        WHERE n_inter * 5 >= n_union * 4
-    """)
 
 
 def _simhash_bits_sql() -> str:
@@ -658,8 +659,15 @@ def rescore_pairs_exact(embeddings, cand, broadcast_rows=RESCORE_BROADCAST_ROWS,
     choice is then static and the count job disappears from the hot
     path (optimization round 13). Corpus-dependent candidate sets
     (the dedup paths) must keep the measured decision."""
-    cand = cache.persist_swap("rescore:candidates", cand)
-    n_cand = 0 if bounded_cand else cand.count()
+    if bounded_cand:
+        # no sizing count → nothing re-reads the frame twice, so the
+        # persist (and its materialization + py4j bookkeeping) is pure
+        # overhead for the bounded callers; the single downstream
+        # broadcast build evaluates the plan exactly once either way
+        n_cand = 0
+    else:
+        cand = cache.persist_swap("rescore:candidates", cand)
+        n_cand = cand.count()
     ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     if n_cand <= broadcast_rows:

@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from plankton_spark.functions import round_ratio6
-from plankton_spark.io import read_table
+from plankton_spark.io import read_table, table_view
 from plankton_spark.registry import query
 
 # Fixed, arbitrary marker lists (the *mechanism* is the deliverable:
@@ -211,28 +211,45 @@ def q_text_quality(spark, sf_dir):
     identical truncating division on positive BIGINTs in either
     engine — then divide by 10⁶ in double (same int → same double).
     No double ever feeds a rounding decision."""
-    d = read_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    # pre-project the integer triple so the split/filter evaluate once
-    # per row instead of once per referencing score (measured ~20%
-    # at sf0.1)
-    base = d.select(
-        "doc_id",
-        F.col("n_chars").cast("long").alias("nc"),
-        F.size(toks).cast("long").alias("nt"),
-        F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
-        .cast("long")
-        .alias("ns"),
-    )
-    nc, nt, ns = F.col("nc"), F.col("nt"), F.col("ns")
-    lp = F.when(nc >= 400, F.lit(1)).otherwise(nc).cast("long")
-    lq = F.when(nc >= 400, F.lit(1)).otherwise(F.lit(400)).cast("long")
-    return base.select(
-        "doc_id",
-        round_ratio6(lp, lq).alias("len_score"),
-        round_ratio6(ns, nt).alias("stopword_ratio"),
-        round_ratio6(nc - nt + 1, nt).alias("avg_word_len"),
-        round_ratio6(lp * nt + lq * ns, F.lit(2) * lq * nt).alias("quality"),
+    # Parsed as ONE SQL text (optimization round 13): the expression
+    # chain cost ~180 ms of py4j construction per build. Same tree as
+    # the DataFrame form it replaces: the CTE pre-projects the integer
+    # triple (split/filter evaluate once per row — CollapseProject
+    # refuses to inline a non-cheap expr referenced by several
+    # consumers, in either formulation), and each score is
+    # round_ratio6's exact int64 half-up form (p·2e6 + q) DIV (2q).
+    table_view(spark, sf_dir, "documents")
+    in_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return spark.sql(
+        f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(n_chars AS BIGINT) AS nc,
+                 CAST(size(split(text, ' ')) AS BIGINT) AS nt,
+                 CAST(size(filter(split(text, ' '),
+                                  x -> x IN ({in_list}))) AS BIGINT) AS ns
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, nc, nt, ns,
+                 CAST(CASE WHEN nc >= 400 THEN 1 ELSE nc END AS BIGINT)
+                   AS lp,
+                 CAST(CASE WHEN nc >= 400 THEN 1 ELSE 400 END AS BIGINT)
+                   AS lq
+          FROM base
+        )
+        SELECT doc_id,
+               CAST((lp * 2000000 + lq) DIV (lq * 2) AS DOUBLE)
+                 / 1000000.0 AS len_score,
+               CAST((ns * 2000000 + nt) DIV (nt * 2) AS DOUBLE)
+                 / 1000000.0 AS stopword_ratio,
+               CAST(((nc - nt + 1) * 2000000 + nt) DIV (nt * 2) AS DOUBLE)
+                 / 1000000.0 AS avg_word_len,
+               CAST(((lp * nt + lq * ns) * 2000000 + 2 * lq * nt)
+                    DIV (2 * lq * nt * 2) AS DOUBLE)
+                 / 1000000.0 AS quality
+        FROM r
+        """
     )
 
 

@@ -120,20 +120,21 @@ def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
         from plankton_spark.queries.llm_dedup import adaptive_gemm_blocks
 
         n_blocks = adaptive_gemm_blocks(n_rows)
-    base = embeddings.select(
-        "vec_id",
-        "embedding",
-        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("pb"),
-    )
-    probe = embeddings.where(F.col("vec_id") < n_queries).select(
-        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("pb"),
-        F.lit(0).alias("side"),
-        "vec_id",
-        "embedding",
-    )
-    cells = probe.unionByName(
-        base.select("pb", F.lit(1).alias("side"), "vec_id", "embedding")
-    )
+    # Grid construction as ONE parsed SQL text (optimization round 13):
+    # the select/explode/union chain cost ~10 py4j-round-trip calls of
+    # plan-construction latency per build; the parsed text is the same
+    # logical plan (probe replication via explode(sequence), base
+    # routing via pmod(xxhash64)) — gate-verified on the four callers.
+    embeddings.createOrReplaceTempView("_gemm_topk_in_v")
+    cells = spark.sql(f"""
+        SELECT explode(sequence(0, {n_blocks - 1})) AS pb,
+               0 AS side, vec_id, embedding
+        FROM _gemm_topk_in_v WHERE vec_id < {n_queries}
+        UNION ALL
+        SELECT pmod(xxhash64(vec_id), {n_blocks}) AS pb,
+               1 AS side, vec_id, embedding
+        FROM _gemm_topk_in_v
+    """)
 
     def kernel(pdf):
         import numpy as np
@@ -152,8 +153,12 @@ def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
             return empty
         a_ids = a_pdf["vec_id"].to_numpy(dtype=np.int64)
         b_ids = b_pdf["vec_id"].to_numpy(dtype=np.int64)
-        a_mat = np.array([list(v) for v in a_pdf["embedding"]], dtype=np.float64)
-        b_mat = np.array([list(v) for v in b_pdf["embedding"]], dtype=np.float64)
+        # np.stack over the Arrow-decoded ndarrays — NOT a per-row
+        # list() conversion (a Python loop over every row); float32 →
+        # float64 widening is exact, so the matmul sees bit-identical
+        # operands (guide §4.2, same fix as gemm_candidates' kernel)
+        a_mat = np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64)
+        b_mat = np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64)
         a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
         b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
         cos = (a_mat @ b_mat.T) / np.outer(a_nrm, b_nrm)
@@ -190,16 +195,26 @@ def _gemm_topk_candidates(spark, embeddings, n_queries, k, margin=1e-5,
     # Global margin cut over the cell survivors: the k-th largest among
     # survivors equals the k-th over the full set (the true top-k all
     # survive the local pass), so this reproduces the single-block cut.
-    w = Window.partitionBy("vec_a").orderBy(F.col("cosf").desc(), F.col("vec_b"))
-    ranked = local.withColumn("rn", F.row_number().over(w))
-    kth_val = ranked.where(F.col("rn") == k).select(
-        "vec_a", F.col("cosf").alias("kth_cosf")
-    )
-    return (
-        local.join(F.broadcast(kth_val), "vec_a", "left")
-        .where(F.col("kth_cosf").isNull() | (F.col("cosf") >= F.col("kth_cosf") - margin))
-        .select("vec_a", "vec_b")
-    )
+    # One parsed SQL text (round 13) — same plan as the window/join
+    # chain it replaces: row_number window, k-th-value slice, broadcast
+    # left join, margin filter.
+    local.createOrReplaceTempView("_gemm_topk_local_v")
+    return spark.sql(f"""
+        WITH ranked AS (
+          SELECT vec_a, vec_b, cosf,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY vec_a ORDER BY cosf DESC, vec_b
+                 ) AS rn
+          FROM _gemm_topk_local_v
+        ),
+        kth AS (
+          SELECT vec_a, cosf AS kth_cosf FROM ranked WHERE rn = {k}
+        )
+        SELECT /*+ BROADCAST(kth) */ l.vec_a, l.vec_b
+        FROM _gemm_topk_local_v l
+        LEFT JOIN kth ON l.vec_a = kth.vec_a
+        WHERE kth.kth_cosf IS NULL OR l.cosf >= kth.kth_cosf - {margin!r}
+    """)
 
 
 def _brute_force_topk(spark, sf_dir):

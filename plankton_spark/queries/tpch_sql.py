@@ -20,7 +20,7 @@ picks when the plan is declared relationally.
 
 from __future__ import annotations
 
-from plankton_spark.io import read_table
+from plankton_spark.io import read_table, table_view
 from plankton_spark.registry import query
 
 _Q3 = """
@@ -87,7 +87,7 @@ _TABLES = {
 
 def _run_sql(spark, sf_dir, name, sql):
     for t in _TABLES[name]:
-        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        table_view(spark, sf_dir, t)
     return spark.sql(sql)
 
 

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from plankton_spark.io import read_table
+from plankton_spark.io import read_table, table_view
 from plankton_spark.registry import query
 
 
@@ -238,7 +238,7 @@ def q_udf_sqlfn(spark, sf_dir):
            RETURN CASE WHEN p >= 300000 THEN 'high'
                        WHEN p >= 100000 THEN 'mid' ELSE 'low' END"""
     )
-    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table_view(spark, sf_dir, "orders")
     return spark.sql(
         """SELECT plk_price_tier(o_totalprice) AS tier,
                   CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -277,7 +277,7 @@ def q_udtf_sqlfn(spark, sf_dir):
                          CAST(ROUND(o_totalprice * 100) AS BIGINT)
                   FROM orders WHERE o_custkey = ck"""
     )
-    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table_view(spark, sf_dir, "orders")
     return spark.sql(
         """SELECT s.ck,
                   t.n_orders,

@@ -107,3 +107,156 @@ def test_agg_pivot_single_exchange(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert plan.count("+- Exchange") + plan.count(": Exchange") == 1, plan
+
+
+def test_agg_group_sql_matches_dataframe_form(spark):
+    """q_agg_group now parses one dialect-neutral SQL text; it must
+    reproduce the DataFrame formulation it replaced bit-for-bit."""
+    from plankton_spark.functions import davg, dsum, dsum_dec, money
+    from plankton_spark.queries.aggregations import SHIP_CUTOFF
+    from plankton_spark.registry import all_queries
+
+    new = all_queries()["q_agg_group"](spark, SF0001)
+    li = read_table(spark, SF0001, "lineitem").where(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit(SHIP_CUTOFF))
+    )
+    disc_price = money(F.col("l_extendedprice")) * money(
+        1 - F.col("l_discount")
+    )
+    charge = disc_price * money(1 + F.col("l_tax"))
+    old = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_base_price"),
+        dsum_dec(disc_price, "sum_disc_price"),
+        dsum_dec(charge, "sum_charge"),
+        davg(F.col("l_quantity"), "avg_qty"),
+        davg(F.col("l_extendedprice"), "avg_price"),
+        davg(F.col("l_discount"), "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    assert new.schema == old.schema
+    key = lambda r: (r["l_returnflag"], r["l_linestatus"])  # noqa: E731
+    assert sorted(new.collect(), key=key) == sorted(old.collect(), key=key)
+
+
+def test_text_quality_sql_matches_dataframe_form(spark):
+    from plankton_spark.functions import round_ratio6
+    from plankton_spark.queries.llm_text import STOPWORDS
+    from plankton_spark.registry import all_queries
+
+    new = all_queries()["q_text_quality"](spark, SF0001)
+    d = read_table(spark, SF0001, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+        .cast("long")
+        .alias("ns"),
+    )
+    nc, nt, ns = F.col("nc"), F.col("nt"), F.col("ns")
+    lp = F.when(nc >= 400, F.lit(1)).otherwise(nc).cast("long")
+    lq = F.when(nc >= 400, F.lit(1)).otherwise(F.lit(400)).cast("long")
+    old = base.select(
+        "doc_id",
+        round_ratio6(lp, lq).alias("len_score"),
+        round_ratio6(ns, nt).alias("stopword_ratio"),
+        round_ratio6(nc - nt + 1, nt).alias("avg_word_len"),
+        round_ratio6(lp * nt + lq * ns, F.lit(2) * lq * nt).alias(
+            "quality"
+        ),
+    )
+    assert new.schema == old.schema
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(new.collect(), key=key) == sorted(old.collect(), key=key)
+
+
+def test_minhash_merged_sql_matches_composed_helpers(spark):
+    """q_dedup_minhash's single SQL text (candidates + verify) must
+    equal composing lsh_band_candidates with the verify join it
+    absorbed."""
+    from plankton_spark.queries.llm_dedup import (
+        lsh_band_candidates,
+        minhash_structures,
+    )
+    from plankton_spark.registry import all_queries
+
+    merged = all_queries()["q_dedup_minhash"](spark, SF0001).collect()
+    sets, band_rows = minhash_structures(spark, SF0001)
+    cand = lsh_band_candidates(band_rows)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sb"))
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("i"),
+            (F.size("sa") + F.size("sb")).alias("t"),
+        )
+        .withColumn("u", F.col("t") - F.col("i"))
+        .where(F.col("i") * 5 >= F.col("u") * 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.call_function(
+                    "div",
+                    F.col("i") * F.lit(2000000) + F.col("u"),
+                    F.col("u") * F.lit(2),
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("jaccard"),
+        )
+    )
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    assert sorted(merged, key=key) == sorted(scored.collect(), key=key)
+
+
+def test_cosine_topk_matches_allpairs_bruteforce(spark):
+    """The grid-blocked GEMM prefilter + SQL margin cut + exact rescore
+    must equal the undisguised all-pairs top-k (dot_cosine over every
+    (query, other) pair, round 6, ties by n_id) — the strongest value
+    pin on the q_sim_cosine_topk rewrite."""
+    from pyspark.sql import Window
+
+    from plankton_spark.queries.llm_dedup import dot_cosine
+    from plankton_spark.queries.llm_vectors import N_QUERIES, TOP_K
+    from plankton_spark.registry import all_queries
+
+    new = all_queries()["q_sim_cosine_topk"](spark, SF0001)
+    e = read_table(spark, SF0001, "embeddings")
+    a = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("emb_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("emb_b")
+    )
+    pairs = a.join(b, F.col("q_id") != F.col("n_id")).select(
+        "q_id",
+        "n_id",
+        F.round(dot_cosine("emb_a", "emb_b"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    old = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("q_id", "n_id", "cos", "rnk")
+    )
+    key = lambda r: (r["q_id"], r["rnk"])  # noqa: E731
+    assert sorted(new.collect(), key=key) == sorted(old.collect(), key=key)
+
+
+def test_table_view_reregisters_on_path_change(spark):
+    """table_view caches per (session, name) but must re-register when
+    the same name is requested for a different sf_dir."""
+    from plankton_spark.io import table_view
+
+    table_view(spark, SF0001, "nation")
+    n1 = spark.table("nation").count()
+    table_view(spark, SF001, "nation")
+    n2 = spark.table("nation").count()
+    assert n1 == table_rows(SF0001, "nation")
+    assert n2 == table_rows(SF001, "nation")

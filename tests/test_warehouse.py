@@ -113,9 +113,9 @@ def test_drift_overflow_bucket_clamps(spark, tmp_path):
 def test_triangles_match_python_bruteforce(spark):
     """Independent adjacency-set triangle count over the SAME edge
     set the query builds (collected once; ~2.5k edges at sf0.01)."""
-    from plankton_spark.io import read_table
+    from plankton_spark.io import table_view
 
-    read_table(spark, SF001, "lineitem").createOrReplaceTempView("lineitem")
+    table_view(spark, SF001, "lineitem")
     edges = spark.sql(
         """
         WITH ps AS (
