@@ -99,7 +99,15 @@ def q_graph_pagerank(spark, sf_dir):
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     ranks = nodes.select("node", F.lit(SCALE).alias("pr"))
     base = SCALE * 15 // 100
-    prev = None
+    # Fixed ITERS=5, no convergence check, and each iteration's frame
+    # is consumed exactly once (by the next iteration) — so the chain
+    # executes as ONE plan with zero recompute and nothing needs to be
+    # pinned. The per-iteration persist + count() this replaces paid 5
+    # materialization jobs to cache 25-row nation-graph frames
+    # (optimization round 13, guide §1.2; the persisted `ew` edge list
+    # is still scanned from cache by all 5 joins). A loop with a
+    # convergence check (min_label_propagation) must keep
+    # per-round materialization — the count there is load-bearing.
     for _ in range(ITERS):
         contrib = (
             ew.join(ranks, ew.src == ranks.node)
@@ -107,21 +115,10 @@ def q_graph_pagerank(spark, sf_dir):
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, F.col("node") == F.col("dst"), "left")
-            .select(
-                "node",
-                (F.lit(base) + F.expr("(coalesce(s, 0) * 85) div 100")).alias("pr"),
-            )
-            .persist()
+        ranks = nodes.join(contrib, F.col("node") == F.col("dst"), "left").select(
+            "node",
+            (F.lit(base) + F.expr("(coalesce(s, 0) * 85) div 100")).alias("pr"),
         )
-        # materialize the successor, then release the superseded
-        # iteration — otherwise every round stays pinned in storage
-        ranks.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
-    cache.track("q_graph_pagerank:ranks", ranks)
     return ranks.join(nation, ranks.node == nation.n_nationkey).select(
         F.col("n_name").alias("nation"), F.col("pr").alias("rank_micro")
     )

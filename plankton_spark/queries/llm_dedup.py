@@ -634,8 +634,7 @@ def gemm_candidates(spark, embeddings, threshold, margin=1e-6, n_blocks=None):
 RESCORE_BROADCAST_ROWS = 500_000
 
 
-def rescore_pairs_exact(embeddings, cand, broadcast_rows=RESCORE_BROADCAST_ROWS,
-                        bounded_cand=False):
+def rescore_pairs_exact(embeddings, cand, broadcast_rows=RESCORE_BROADCAST_ROWS):
     """Attach both embedding arrays to a candidate-pair frame and
     compute the exact-decimal cosine.
 
@@ -650,24 +649,12 @@ def rescore_pairs_exact(embeddings, cand, broadcast_rows=RESCORE_BROADCAST_ROWS,
     frame), and pick broadcast vs shuffled hash joins accordingly.
     Either plan is value-identical; this is purely join-strategy
     selection, the same call AQE can't make here because the frame's
-    size is unknown until the GEMM prefilter runs.
-
-    ``bounded_cand=True`` skips the sizing job: callers whose
-    candidate set is bounded BY CONSTRUCTION (the top-k margin cut
-    keeps ≤ ~(k+margin-window)·n_queries rows regardless of corpus
-    size) declare that bound instead of measuring it — the broadcast
-    choice is then static and the count job disappears from the hot
-    path (optimization round 13). Corpus-dependent candidate sets
-    (the dedup paths) must keep the measured decision."""
-    if bounded_cand:
-        # no sizing count → nothing re-reads the frame twice, so the
-        # persist (and its materialization + py4j bookkeeping) is pure
-        # overhead for the bounded callers; the single downstream
-        # broadcast build evaluates the plan exactly once either way
-        n_cand = 0
-    else:
-        cand = cache.persist_swap("rescore:candidates", cand)
-        n_cand = cand.count()
+    size is unknown until the GEMM prefilter runs. (Callers whose
+    candidate set is bounded BY CONSTRUCTION — the top-k margin cut —
+    splice the same join shape into their own parsed SQL with a static
+    broadcast hint instead: see llm_vectors._brute_force_topk.)"""
+    cand = cache.persist_swap("rescore:candidates", cand)
+    n_cand = cand.count()
     ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     if n_cand <= broadcast_rows:
@@ -679,18 +666,9 @@ def rescore_pairs_exact(embeddings, cand, broadcast_rows=RESCORE_BROADCAST_ROWS,
     return paired.select("vec_a", "vec_b", dot_cosine("emb_a", "emb_b").alias("cosine"))
 
 
-def dot_cosine(a_col: str, b_col: str):
-    """Exact-decimal cosine between two float-array columns
-    (higher-order-fold form — use only on small candidate sets;
-    pair_cosines is the scale path).
-
-    Per-element double products are IEEE-deterministic; the reduction
-    runs in DECIMAL(30,12) so accumulation order cannot matter.
-    """
-    # One parsed SQL expression (round 13): the higher-order
-    # construction cost ~130 ms of py4j latency per call site; the
-    # parsed text is the identical expression tree (same casts, same
-    # DECIMAL(30,12) fold, same double division — gate-verified).
+def dot_cosine_sql(a_col: str, b_col: str) -> str:
+    """The exact-decimal cosine as SQL text (see dot_cosine) — for
+    callers that splice it into a larger parsed statement."""
     dec = _DOT_DECIMAL
 
     def fold(arr_expr: str) -> str:
@@ -710,7 +688,22 @@ def dot_cosine(a_col: str, b_col: str):
             f"CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {dec}))"
         )
 
-    return F.expr(f"{fold(prod)} / (SQRT({sq(a_col)}) * SQRT({sq(b_col)}))")
+    return f"{fold(prod)} / (SQRT({sq(a_col)}) * SQRT({sq(b_col)}))"
+
+
+def dot_cosine(a_col: str, b_col: str):
+    """Exact-decimal cosine between two float-array columns
+    (higher-order-fold form — use only on small candidate sets;
+    pair_cosines is the scale path).
+
+    Per-element double products are IEEE-deterministic; the reduction
+    runs in DECIMAL(30,12) so accumulation order cannot matter.
+    """
+    # One parsed SQL expression (round 13): the higher-order
+    # construction cost ~130 ms of py4j latency per call site; the
+    # parsed text is the identical expression tree (same casts, same
+    # DECIMAL(30,12) fold, same double division — gate-verified).
+    return F.expr(dot_cosine_sql(a_col, b_col))
 
 
 SQL_PAIR_COSINE = """

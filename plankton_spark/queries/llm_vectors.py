@@ -21,6 +21,7 @@ from plankton_spark.io import read_table, table_rows
 from plankton_spark.queries.llm_dedup import (
     SQL_PAIR_COSINE,
     dot_cosine,
+    dot_cosine_sql,
     rescore_pairs_exact,
 )
 from plankton_spark.registry import query
@@ -226,21 +227,44 @@ def _brute_force_topk(spark, sf_dir):
     cand = _gemm_topk_candidates(
         spark, e, N_QUERIES, TOP_K, n_rows=table_rows(sf_dir, "embeddings")
     )
-    # bounded_cand: the margin cut bounds the candidate set to
-    # ~(k+margin-window)·n_queries rows BY CONSTRUCTION, so the
-    # broadcast choice is static — no sizing job
-    pc = rescore_pairs_exact(e, cand, bounded_cand=True)
-    scored = pc.select(
-        F.col("vec_a").alias("q_id"),
-        F.col("vec_b").alias("n_id"),
-        F.round("cosine", 6).alias("cos"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= TOP_K)
-        .select("q_id", "n_id", "cos", "rnk")
-    )
+    # Rescore + rank as ONE parsed SQL text (round 13). Join shape is
+    # rescore_pairs_exact's broadcast branch, statically chosen: the
+    # margin cut bounds the candidate set to ~(k+margin-window)·
+    # n_queries rows BY CONSTRUCTION at any corpus size, so the pairs
+    # (and the still-candidate-sized paired frame) broadcast while the
+    # embeddings stream — no sizing job, no vector shuffle. The cosine
+    # is the same exact-decimal fold (dot_cosine_sql), the ranking the
+    # same rounded-cosine window; value-identity is pinned against the
+    # undisguised all-pairs form in tests/test_r13_optimizations.py.
+    cand.createOrReplaceTempView("_cosine_topk_cand_v")
+    e.createOrReplaceTempView("_cosine_topk_emb_v")
+    return spark.sql(f"""
+        WITH with_a AS (
+          SELECT /*+ BROADCAST(c) */ c.vec_a, c.vec_b,
+                 ea.embedding AS emb_a
+          FROM _cosine_topk_emb_v ea
+          JOIN _cosine_topk_cand_v c ON ea.vec_id = c.vec_a
+        ),
+        paired AS (
+          SELECT /*+ BROADCAST(w) */ w.vec_a, w.vec_b, w.emb_a,
+                 eb.embedding AS emb_b
+          FROM _cosine_topk_emb_v eb
+          JOIN with_a w ON eb.vec_id = w.vec_b
+        ),
+        scored AS (
+          SELECT vec_a AS q_id, vec_b AS n_id,
+                 ROUND({dot_cosine_sql('emb_a', 'emb_b')}, 6) AS cos
+          FROM paired
+        ),
+        ranked AS (
+          SELECT q_id, n_id, cos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, n_id
+                 ) AS rnk
+          FROM scored
+        )
+        SELECT q_id, n_id, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+    """)
 
 
 @query(

@@ -161,8 +161,9 @@ def q_dedup_components(spark, sf_dir):
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         ),
     )
+    # (the loop's final generation stays pinned under the shared
+    # min_label_propagation generation key — released by the next run)
     labels = min_label_propagation(edges)
-    cache.track("q_dedup_components:labels", labels)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").cast("long").alias("canonical_id")
     )
@@ -181,35 +182,48 @@ def min_label_propagation(edges, max_rounds: int = 40, checkpoint_every: int = 6
       truncating a lineage that otherwise grows one join+agg per round
       (deep lineage = quadratic replanning cost and stack-depth risk on
       long-diameter graphs)."""
-    labels = (
+    gen_key = "min_label_propagation:gen"
+    pinned = cache.track(
+        gen_key,
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
-        .persist()
+        .persist(),
     )
+    labels = pinned
     for rnd in range(max_rounds):
-        # candidate labels from neighbors
+        # Candidate labels from neighbors, with each node's CURRENT
+        # label riding along as `old` (min over a single non-null value
+        # per group — every node has exactly one own-row). Labels only
+        # ever decrease, so the fixpoint test is lab < old; folding it
+        # into the propagation aggregate drops the per-round
+        # prop-join-labels comparison job the loop used to pay
+        # (optimization round 13, guide §1.2: one pass per round, not
+        # two). Fixpoint and final labels are unchanged. cache.track
+        # under one generation key releases each superseded frame —
+        # exactly one generation pinned at a time, as before.
+        lab_type = labels.schema["lab"].dataType
         prop = (
             edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "lab")
-            .unionByName(labels)
+            .select(
+                F.col("dst").alias("node"),
+                "lab",
+                F.lit(None).cast(lab_type).alias("own"),
+            )
+            .unionByName(
+                labels.select("node", "lab", F.col("lab").alias("own"))
+            )
             .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
+            .agg(F.min("lab").alias("lab"), F.min("own").alias("old"))
         ).persist()
-        changed = (
-            prop.alias("p")
-            .join(labels.alias("l"), "node")
-            .where(F.col("p.lab") != F.col("l.lab"))
-            .count()
-        )
-        labels.unpersist()  # superseded — prop is materialized now
-        labels = prop
+        changed = prop.where(F.col("lab") < F.col("old")).count()
+        pinned = cache.track(gen_key, prop)  # releases the predecessor
+        labels = prop.select("node", "lab")
         if changed == 0:
             break
         if (rnd + 1) % checkpoint_every == 0:
-            chk = labels.localCheckpoint(eager=True)
-            labels.unpersist()
-            labels = chk
+            labels = cache.track(gen_key, labels.localCheckpoint(eager=True))
+            pinned = labels
     return labels
 
 
@@ -586,7 +600,6 @@ def q_dedup_canonical(spark, sf_dir):
         ),
     )
     labels = min_label_propagation(edges)
-    cache.track("q_dedup_canonical:labels", labels)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     members = labels.join(docs, labels.node == docs.doc_id).select(
         F.col("lab").cast("long").alias("canonical_id"),
