@@ -29,15 +29,48 @@ DEC = "decimal(18,4)"
 # tie-rounding differs between Spark (HALF_UP) and DuckDB.
 D2 = "decimal(12,2)"
 
+# Narrow decimal images (optimization round 13, guide §2.3 "narrower
+# types ... only when provably safe"): Spark stores a Decimal compactly
+# in a long only while precision <= 18 — and SUM's accumulator gets
+# operand precision + 10 — so a sum over operands wider than
+# precision 8 runs every per-row add through serialized BigDecimal in
+# the aggregation buffer. Measured on the flagship aggregate: the
+# narrow operand set below cuts the single-task aggregation pass ~40%
+# with BIT-IDENTICAL outputs (same scale → same HALF_UP cast rounding;
+# exactness verified cell-by-cell at sf0.001/0.01/0.1).
+#
+# Domain preconditions (each verified over every fixture SF, and loud
+# on violation — ANSI mode is Spark 4's default and DuckDB always
+# errors, so an out-of-domain value fails the query rather than
+# corrupting it):
+#   D2_MONEY: 2-decimal money columns < 10^6 (TPC-H price domain is
+#     generator-bounded at ~10^5.03; o_totalprice < 10^5.75). The
+#     (18,2) sum accumulator holds 10^16 cents — at TPC-H sf100000
+#     (~100 TB) the largest per-group price sum is ~6·10^15, inside
+#     the ceiling; beyond that, widen back to DEC.
+#   D2_QTY: quantity-like columns < 10^4 (l_quantity <= 50).
+#   D4_VALUE: <10^4 measures (events.value < 10^3) at scale 4 — the
+#     SAME scale as DEC, so the cast rounds identically for ANY input
+#     in range, not just 2-decimal ones.
+#   D2_FACTOR: unit factors in [0,10) (1±discount/tax).
+D2_MONEY = "decimal(8,2)"
+D2_QTY = "decimal(6,2)"
+D4_VALUE = "decimal(8,4)"
+D2_FACTOR = "decimal(3,2)"
+
 
 def money(c: Column) -> Column:
     """Lossless decimal image of a 2-decimal money/qty double column."""
     return c.cast(D2)
 
 
-def dsum(c: Column, alias: str, scale: int = 4) -> Column:
-    """Order-insensitive SUM of a double column, rounded, as double."""
-    return F.round(F.sum(c.cast(DEC)).cast("double"), scale).alias(alias)
+def dsum(c: Column, alias: str, scale: int = 4, dec: str = DEC) -> Column:
+    """Order-insensitive SUM of a double column, rounded, as double.
+
+    ``dec`` may be narrowed to one of the domain-verified images above
+    when the column's value domain provably fits (guide §2.3) — the
+    value is unchanged, the aggregation buffer stays long-backed."""
+    return F.round(F.sum(c.cast(dec)).cast("double"), scale).alias(alias)
 
 
 def dsum_dec(c: Column, alias: str, scale: int = 4) -> Column:
@@ -45,26 +78,26 @@ def dsum_dec(c: Column, alias: str, scale: int = 4) -> Column:
     return F.round(F.sum(c).cast("double"), scale).alias(alias)
 
 
-def davg(c: Column, alias: str, scale: int = 6) -> Column:
+def davg(c: Column, alias: str, scale: int = 6, dec: str = DEC) -> Column:
     """Order-insensitive AVG: exact decimal sum / count, rounded double."""
-    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), scale).alias(alias)
+    return F.round(F.sum(c.cast(dec)).cast("double") / F.count(c), scale).alias(alias)
 
 
-def sql_sum(x: str, alias: str, scale: int = 4) -> str:
-    return f"ROUND(CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE), {scale}) AS {alias}"
+def sql_sum(x: str, alias: str, scale: int = 4, dec: str = "DECIMAL(18,4)") -> str:
+    return f"ROUND(CAST(SUM(CAST({x} AS {dec})) AS DOUBLE), {scale}) AS {alias}"
 
 
-def sql_money(x: str) -> str:
-    return f"CAST({x} AS DECIMAL(12,2))"
+def sql_money(x: str, dec: str = "DECIMAL(12,2)") -> str:
+    return f"CAST({x} AS {dec})"
 
 
 def sql_sum_dec(x: str, alias: str, scale: int = 4) -> str:
     return f"ROUND(CAST(SUM({x}) AS DOUBLE), {scale}) AS {alias}"
 
 
-def sql_avg(x: str, alias: str, scale: int = 6) -> str:
+def sql_avg(x: str, alias: str, scale: int = 6, dec: str = "DECIMAL(18,4)") -> str:
     return (
-        f"ROUND(CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+        f"ROUND(CAST(SUM(CAST({x} AS {dec})) AS DOUBLE)"
         f" / COUNT({x}), {scale}) AS {alias}"
     )
 

@@ -227,6 +227,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 _VIEWS: dict[tuple[str, str], str] = {}
 
 
+_OBJ_VIEWS: dict[tuple[str, str], DataFrame] = {}
+
+
+def ensure_view(df: DataFrame, name: str) -> str:
+    """createOrReplaceTempView, skipped when this exact DataFrame
+    handle is already registered under ``name`` (optimization round
+    13): engine-internal temp views over persist_swap'd / resolved-
+    relation frames are re-registered with the SAME handle on every
+    warm query build, each registration costing ~10-15 ms of py4j +
+    catalog work inside the bench's timed region. Object identity is
+    the guard (a different frame under the same name re-registers), so
+    this is pure metadata dedup — no data, no results."""
+    key = (df.sparkSession.sparkContext.applicationId, name)
+    if _OBJ_VIEWS.get(key) is not df:
+        df.createOrReplaceTempView(name)
+        _OBJ_VIEWS[key] = df
+    return name
+
+
 def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Ensure fixture ``name`` is registered as a temp view named
     ``name`` over ``sf_dir``; returns the view name."""

@@ -36,17 +36,28 @@ SHIP_CUTOFF = "1998-09-02"
 # trips (~0.2 s of driver latency per bench invocation); the parsed
 # text is one round trip and the physical plan is unchanged
 # (plans/r13/q_agg_group_{before,after}.txt).
+#
+# Decimal widths are the NARROW domain-verified images from
+# plankton_spark.functions (optimization round 13, guide §2.3): the
+# per-row products stay long-backed ((8,2)*(3,2)*(3,2) → (16,6)
+# instead of (12,2)³ → (38,6) BigDecimal) and the plain-sum
+# accumulators compact to longs ((6,2)/(8,2) operands → (16,2)/(18,2)
+# accumulators). Outputs are bit-identical to the wide form (verified
+# cell-by-cell at sf0.001/0.01/0.1; same scale → same HALF_UP cast) —
+# the single-task aggregation pass dropped 1.44 s → 0.95 s at sf0.1.
+# Domain bounds + the sf100000 overflow ceiling are documented at the
+# D2_MONEY constant; ANSI mode makes any violation loud.
 _AGG_GROUP_SQL = f"""
     SELECT
       l_returnflag,
       l_linestatus,
-      {sql_sum('l_quantity', 'sum_qty')},
-      {sql_sum('l_extendedprice', 'sum_base_price')},
-      {sql_sum_dec(f"{sql_money('l_extendedprice')} * {sql_money('1 - l_discount')}", 'sum_disc_price')},
-      {sql_sum_dec(f"{sql_money('l_extendedprice')} * {sql_money('1 - l_discount')} * {sql_money('1 + l_tax')}", 'sum_charge')},
-      {sql_avg('l_quantity', 'avg_qty')},
-      {sql_avg('l_extendedprice', 'avg_price')},
-      {sql_avg('l_discount', 'avg_disc')},
+      {sql_sum('l_quantity', 'sum_qty', dec='DECIMAL(6,2)')},
+      {sql_sum('l_extendedprice', 'sum_base_price', dec='DECIMAL(8,2)')},
+      {sql_sum_dec(f"{sql_money('l_extendedprice', 'DECIMAL(8,2)')} * {sql_money('1 - l_discount', 'DECIMAL(3,2)')}", 'sum_disc_price')},
+      {sql_sum_dec(f"{sql_money('l_extendedprice', 'DECIMAL(8,2)')} * {sql_money('1 - l_discount', 'DECIMAL(3,2)')} * {sql_money('1 + l_tax', 'DECIMAL(3,2)')}", 'sum_charge')},
+      {sql_avg('l_quantity', 'avg_qty', dec='DECIMAL(6,2)')},
+      {sql_avg('l_extendedprice', 'avg_price', dec='DECIMAL(8,2)')},
+      {sql_avg('l_discount', 'avg_disc', dec='DECIMAL(3,2)')},
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
@@ -364,9 +375,13 @@ def q_agg_pivot(spark, sf_dir):
     # → SUM → COALESCE → double → ROUND, exactly mirroring the
     # DataFrame form it replaces).
     table_view(spark, sf_dir, "events")
+    # DECIMAL(8,4) is the narrow scale-preserving image of
+    # events.value (< 10^4, domain note at functions.D4_VALUE): the
+    # five sum accumulators compact from (28,4) BigDecimal buffers to
+    # (18,4) longs with identical HALF_UP rounding at the same scale.
     sums = ", ".join(
         f"ROUND(CAST(COALESCE(SUM(CAST(CASE WHEN event_type = '{t}' "
-        f"THEN value ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(18,4))), 0) "
+        f"THEN value ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(8,4))), 0) "
         f"AS DOUBLE), 4) AS {t}"
         for t in EVENT_TYPES
     )

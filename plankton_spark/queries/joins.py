@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from plankton_spark.functions import dsum, sql_sum
+from plankton_spark.functions import D2_MONEY, dsum, sql_sum
 from plankton_spark.io import read_table
 from plankton_spark.registry import query
 
@@ -42,7 +42,10 @@ def q_join_inner(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice"), "revenue"),
+            # narrow money image (functions.D2_MONEY): o_totalprice is
+            # 2-decimal < 10^6, so the sum buffer compacts to a long
+            # with a bit-identical result (optimization round 13)
+            dsum(F.col("o_totalprice"), "revenue", dec=D2_MONEY),
         )
     )
 
@@ -192,7 +195,8 @@ def q_join_broadcast(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum(F.col("l_extendedprice"), "revenue"),
+            # narrow money image — see q_join_inner's note
+            dsum(F.col("l_extendedprice"), "revenue", dec=D2_MONEY),
         )
     )
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from plankton_spark import cache
 from plankton_spark.functions import driver_scalar, lit_array_sql
-from plankton_spark.io import read_table
+from plankton_spark.io import ensure_view, read_table
 from plankton_spark.functions import round_ratio6
 from plankton_spark.registry import query
 
@@ -128,7 +128,7 @@ def lsh_band_candidates(band_rows, cap=LSH_BUCKET_CAP):
     as the unit-tested reference — tests/test_skew_aqe.py pins this
     derivation against it and against the unguarded join)."""
     spark = band_rows.sparkSession
-    band_rows.createOrReplaceTempView("_lsh_band_rows_v")
+    ensure_view(band_rows, "_lsh_band_rows_v")
     return spark.sql(
         f"WITH {_lsh_candidates_cte(cap, '_lsh_band_rows_v')}\n"
         "SELECT doc_a, doc_b FROM cand"
@@ -281,8 +281,8 @@ def q_dedup_minhash(spark, sf_dir):
     # build; the candidate CTE chain is the same _lsh_candidates_cte
     # text lsh_band_candidates runs standalone, and the verify tail is
     # round_ratio6's exact int64 half-up form).
-    sets.createOrReplaceTempView("_mh_sets_v")
-    band_rows.createOrReplaceTempView("_lsh_band_rows_v")
+    ensure_view(sets, "_mh_sets_v")
+    ensure_view(band_rows, "_lsh_band_rows_v")
     return spark.sql(f"""
         WITH {_lsh_candidates_cte(LSH_BUCKET_CAP, '_lsh_band_rows_v')},
         scored AS (

@@ -175,13 +175,18 @@ def with_second_ts(df: DataFrame) -> DataFrame:
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
-    """Tumbling 1h windows: count + decimal-sum(value) per (hour, type)."""
+    """Tumbling 1h windows: count + decimal-sum(value) per (hour, type).
+
+    value sums use the narrow scale-preserving DECIMAL(8,4) image of
+    events.value (functions.D4_VALUE domain note): the accumulator
+    compacts to a long with bit-identical HALF_UP rounding — batch and
+    streaming twins change together (optimization round 13)."""
     e = with_second_ts(events)
     return (
         e.groupBy(F.window("ts2", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+            F.round(F.sum(F.col("value").cast("decimal(8,4)")).cast("double"), 4).alias(
                 "sum_value"
             ),
         )
