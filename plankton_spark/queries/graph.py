@@ -186,8 +186,16 @@ def q_graph_bfs(spark, sf_dir):
         "q_graph_bfs:edges",
         e1.unionByName(e1.select(F.col("b").alias("a"), F.col("a").alias("b"))),
     )
-    start = edges.sparkSession.createDataFrame(
-        [(BFS_START, 0)], "node long, dist int"
+    # seed as range(1)+literals, NOT createDataFrame (optimization
+    # round 13): a LocalRelation's canonicalized plan never compares
+    # sameSemantics-equal across builds, so the seed frame broke the
+    # whole per-depth persist_swap chain — every warm rebuild replaced
+    # frontier0..4, unpersisted the previous generations, and re-ran
+    # the full expansion. The range form canonicalizes stably, so warm
+    # rebuilds reuse every cached depth (exec 12.9 s → cache read).
+    start = spark.range(1).select(
+        F.lit(BFS_START).cast("long").alias("node"),
+        F.lit(0).cast("int").alias("dist"),
     )
     dist = start
     frontier = cache.persist_swap("q_graph_bfs:frontier0", start.select("node"))
