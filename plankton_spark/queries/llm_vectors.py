@@ -1205,6 +1205,18 @@ def kmeans_assign_two_level_df(
     return _two_level_phases(e, fine_df, coarse, r_arr)
 
 
+# Session memo for the deterministic k-means fit (optimization round
+# 13, the _pair_edges/read_table handle-memo precedent): the fit is a
+# pure function of (session, sf_dir, k) — integer-quantized input,
+# deterministic seeds, fixed iteration count — and q_dedup_semantic /
+# q_dedup_semantic_far each ran the full Lloyd loop (one scan + one
+# driver collect per iteration) over the identical inputs in one gate
+# session. One generation kept per (sf_dir, k); the assignment frame
+# stays a persisted intermediate, every first computation still runs
+# from parquet.
+_KMEANS_MEMO: dict[tuple[str, str, int | None], tuple] = {}
+
+
 def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
     """The deterministic integer k-means fit+assign shared by
     q_cluster_kmeans (k=KMEANS_K, the declared K=4 contract) and the
@@ -1218,6 +1230,25 @@ def kmeans_fit_assign(spark, sf_dir, k: int | None = KMEANS_K):
     to the Arrow integer-GEMM pass above LITERAL_ASSIGN_MAX_K (both
     exact-integer, pinned equal in tests/test_kmeans_adaptive.py). See
     q_cluster_kmeans's docstring for the determinism argument."""
+    # the path thresholds are part of the key: tests monkeypatch them
+    # to force the distributed/GEMM branches, and a memo hit across a
+    # patched threshold would return the wrong representation
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        k,
+        TWO_LEVEL_MIN_K,
+        LITERAL_ASSIGN_MAX_K,
+    )
+    got = _KMEANS_MEMO.get(key)
+    if got is not None:
+        return got
+    out = _kmeans_fit_assign_impl(spark, sf_dir, k)
+    _KMEANS_MEMO[key] = out
+    return out
+
+
+def _kmeans_fit_assign_impl(spark, sf_dir, k: int | None):
     import math
 
     from plankton_spark import cache as _cache
