@@ -260,3 +260,97 @@ def test_table_view_reregisters_on_path_change(spark):
     n2 = spark.table("nation").count()
     assert n1 == table_rows(SF0001, "nation")
     assert n2 == table_rows(SF001, "nation")
+
+
+# ---- session-3 internals -------------------------------------------
+
+
+def test_ensure_view_skips_same_handle_reregisters_new(spark):
+    """ensure_view is a metadata dedup keyed by object identity: the
+    same frame under the same name registers once; a different frame
+    under that name re-registers."""
+    from plankton_spark.io import ensure_view
+
+    a = read_table(spark, SF0001, "nation")
+    ensure_view(a, "_ev_test_v")
+    assert spark.table("_ev_test_v").count() == table_rows(SF0001, "nation")
+    b = read_table(spark, SF001, "nation")
+    ensure_view(b, "_ev_test_v")
+    assert spark.table("_ev_test_v").count() == table_rows(SF001, "nation")
+    # same handle again: still resolves (skip is unobservable in values)
+    ensure_view(b, "_ev_test_v")
+    assert spark.table("_ev_test_v").count() == table_rows(SF001, "nation")
+
+
+def test_gemm_checkpoint_reuse_same_values(spark):
+    """A warm rebuild of the GEMM top-k candidates returns the SAME
+    checkpointed survivor frame (no kernel re-execution) with
+    identical values; the reuse is keyed semantically so a different
+    input plan re-checkpoints."""
+    from plankton_spark.io import table_rows as _rows
+    from plankton_spark.queries import llm_vectors as lv
+
+    e = read_table(spark, SF0001, "embeddings")
+    n = _rows(SF0001, "embeddings")
+    c1 = lv._gemm_topk_candidates(spark, e, 10, 5, n_rows=n)
+    c2 = lv._gemm_topk_candidates(spark, e, 10, 5, n_rows=n)
+    r1 = sorted((r["vec_a"], r["vec_b"]) for r in c1.collect())
+    r2 = sorted((r["vec_a"], r["vec_b"]) for r in c2.collect())
+    assert r1 == r2 and len(r1) >= 5
+    # different k → different key → independent result set
+    c3 = lv._gemm_topk_candidates(spark, e, 10, 3, n_rows=n)
+    r3 = sorted((r["vec_a"], r["vec_b"]) for r in c3.collect())
+    assert set(r3) and set(r3) != set(r1) or len(r3) != len(r1)
+
+
+def test_label_propagation_memo_reuses_and_misses(spark):
+    """The (edges → labels) memo returns the prior fixpoint for the
+    SAME edges handle and recomputes for different edges."""
+    from plankton_spark.queries.scale_patterns import min_label_propagation
+
+    pairs = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    l1 = min_label_propagation(edges)
+    l2 = min_label_propagation(edges)  # identity fast path
+    assert l2 is l1
+    rows = {r.node: r.lab for r in l1.collect()}
+    assert rows == {i: 0 for i in range(6)}
+    other = spark.createDataFrame(
+        [(10, 11), (11, 10)], "src long, dst long"
+    )
+    l3 = min_label_propagation(other)
+    assert l3 is not l1
+    assert {r.node: r.lab for r in l3.collect()} == {10: 10, 11: 10}
+
+
+def test_pair_edges_shared_handle(spark):
+    """q_dedup_components and q_dedup_canonical consume ONE shared
+    edge frame per (session, sf_dir) — the memo that makes the
+    fixpoint reuse structural."""
+    from plankton_spark.queries.scale_patterns import _pair_edges
+
+    e1 = _pair_edges(spark, SF0001)
+    e2 = _pair_edges(spark, SF0001)
+    assert e2 is e1
+
+
+def test_narrow_decimal_sums_match_wide(spark):
+    """The domain-verified narrow decimal images must reproduce the
+    wide DEC sums bit-for-bit on every fixture column they are
+    applied to (functions.D2_MONEY/D4_VALUE preconditions)."""
+    from plankton_spark.functions import D2_MONEY, D4_VALUE, dsum
+
+    o = read_table(spark, SF001, "orders")
+    wide, narrow = o.agg(
+        dsum(F.col("o_totalprice"), "w"),
+        dsum(F.col("o_totalprice"), "n", dec=D2_MONEY),
+    ).first()
+    assert wide == narrow
+    ev = read_table(spark, SF001, "events")
+    wide_v, narrow_v = ev.agg(
+        dsum(F.col("value"), "w"),
+        dsum(F.col("value"), "n", dec=D4_VALUE),
+    ).first()
+    assert wide_v == narrow_v
