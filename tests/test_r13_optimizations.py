@@ -354,3 +354,17 @@ def test_narrow_decimal_sums_match_wide(spark):
         dsum(F.col("value"), "n", dec=D4_VALUE),
     ).first()
     assert wide_v == narrow_v
+
+
+def test_minhash_structures_shared_handle(spark):
+    """minhash_structures is memoized per (session, sf_dir) — the
+    _pair_edges/read_table handle-memo class: same persisted handles
+    back, a different sf_dir rebuilds (single-slot, so the memo never
+    outgrows one generation)."""
+    from plankton_spark.queries.llm_dedup import minhash_structures
+
+    s1, b1 = minhash_structures(spark, SF0001)
+    s2, b2 = minhash_structures(spark, SF0001)
+    assert s2 is s1 and b2 is b1
+    s3, b3 = minhash_structures(spark, SF001)
+    assert s3 is not s1 and b3 is not b1
