@@ -19,6 +19,8 @@ Scale design (the whole point of these):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from plankton_spark import cache
@@ -330,6 +332,24 @@ def minhash_structures(spark, sf_dir):
     if got is not None:
         return got
     d = read_table(spark, sf_dir, "documents")
+    # Scale-adaptive populate spread (guide §2.5, unsplittable input):
+    # the shingle+hash and 64-permutation populates below are CPU-bound
+    # row-parallel jobs, but a single-row-group parquet scan yields ONE
+    # task regardless of maxPartitionBytes, serializing ~7 s of compute
+    # at sf0.1. Spread the rows over a FEW tasks before the heavy
+    # projections — only when the scan's own split count is below the
+    # target (at real scale splits >> spread and this no-ops, costing
+    # nothing). Width is a small constant, NOT core count: the populate
+    # win saturates by ~4 tasks while every extra cached partition adds
+    # per-task overhead to the nine downstream candidate/verify stages
+    # (measured knee at sf0.1/local[32]: populate 6.9->2.1 s at P=4
+    # with warm exec unchanged; P>=8 regresses warm ~0.1-0.2 s).
+    # Env-parameterized for other deployments; results are
+    # partitioning-invariant (hash spread on the key, oracle-checked).
+    spread = int(os.environ.get("SPARK_GRAFT_MINHASH_SPREAD", "4"))
+    target = min(spread, spark.sparkContext.defaultParallelism)
+    if target > 1 and d.rdd.getNumPartitions() < target:
+        d = d.repartition(target, "doc_id")
     toks = F.split("text", " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1)))

@@ -368,3 +368,38 @@ def test_minhash_structures_shared_handle(spark):
     assert s2 is s1 and b2 is b1
     s3, b3 = minhash_structures(spark, SF001)
     assert s3 is not s1 and b3 is not b1
+
+
+def test_minhash_populate_spread(spark, monkeypatch):
+    """The scale-adaptive populate spread fires only when the scan's
+    split count is below the (env-parameterized) target, and the
+    spread/unspread pipelines produce the identical pair set — the
+    partitioning-invariance the oracle check relies on."""
+    from plankton_spark.queries import llm_dedup as ld
+
+    def fresh(width):
+        monkeypatch.setenv("SPARK_GRAFT_MINHASH_SPREAD", width)
+        ld._MH_MEMO.clear()
+        sets, band_rows = ld.minhash_structures(spark, SF0001)
+        return sets, band_rows
+
+    par = spark.sparkContext.defaultParallelism
+    sets4, _ = fresh("4")
+    expect = min(4, par)
+    if expect > 1:  # the fixture scan is a single split
+        assert sets4.rdd.getNumPartitions() == expect
+    sets1, _ = fresh("1")  # spread disabled -> raw scan layout
+    assert sets1.rdd.getNumPartitions() == 1
+
+    rows = lambda: sorted(  # noqa: E731
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ld.q_dedup_minhash(spark, SF0001).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_SPREAD", "1")
+    ld._MH_MEMO.clear()
+    unspread = rows()
+    monkeypatch.setenv("SPARK_GRAFT_MINHASH_SPREAD", "4")
+    ld._MH_MEMO.clear()
+    spread = rows()
+    assert spread == unspread and len(spread) > 0
+    ld._MH_MEMO.clear()  # leave no env-dependent generation behind
