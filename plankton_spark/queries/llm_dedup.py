@@ -325,8 +325,16 @@ def minhash_structures(spark, sf_dir):
     """(sets, band_rows) for the MinHash-LSH pipeline — shared by
     q_dedup_minhash and the skew watcher (framework/skewwatch.py).
 
-    sets: (doc_id, s: shingle strings, hs: hashed shingles), persisted.
-    band_rows: (doc_id, band_idx, band_hash), persisted."""
+    sets: (doc_id, hs: hashed shingles), persisted.
+    band_rows: (doc_id, band_idx, band_hash), persisted.
+
+    The shingle STRINGS are a transient expression intermediate, not a
+    persisted column (optimization round 13): no consumer reads them —
+    verification intersects the hashed arrays — and storing them made
+    the cached structure 4x larger (12.8 -> 3.1 MB at sf0.1) for zero
+    reads. The DuckDB oracle keeps its own string-set form; xxhash64
+    collisions among ~500 shingles/doc are ~1e-16 (see q_dedup_minhash
+    docstring)."""
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     got = _MH_MEMO.get(memo_key)
     if got is not None:
@@ -365,7 +373,6 @@ def minhash_structures(spark, sf_dir):
         "q_dedup_minhash:sets",
         d.select(
             "doc_id",
-            sh_arr.alias("s"),
             F.transform(sh_arr, lambda sgl: F.xxhash64(sgl)).alias("hs"),
         ),
     )
