@@ -23,6 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from plankton_spark.cache import reset_session_memos  # noqa: E402
 from plankton_spark.registry import all_queries  # noqa: E402
 from plankton_spark.session import get_spark  # noqa: E402
 
@@ -103,12 +104,19 @@ def main() -> None:
             # and page-cache population) and is reported separately —
             # averaging it into the spread made 5-8x warm/cold deltas
             # read as noisy queries (r6 verdict #4); value/spread come
-            # from WARM runs only
+            # from WARM runs only.
+            # reset_session_memos() before EVERY timed run (r13 verdict
+            # item 1): cross-build memos of executed results (eager GEMM
+            # checkpoint, fitted k-means, label-prop fixpoint) otherwise
+            # serve warm runs from materialized state, so the warm
+            # median measured a cache hit instead of recompute.
+            reset_session_memos()
             t0 = time.time()
             materialize(qs[name](spark, sf_dir))
             cold[name] = round(time.time() - t0, 3)
             runs: list[float] = []
             for _ in range(n_runs):
+                reset_session_memos()
                 t0 = time.time()
                 materialize(qs[name](spark, sf_dir))
                 runs.append(time.time() - t0)
@@ -170,11 +178,23 @@ def main() -> None:
                 "sf": sf_val,
                 "runs_per_query": n_runs,
                 "cold_sec": cold,
+                # cold-path total gates as loudly as the warm one
+                # (r13 verdict item 9): the 100 TB lever is the cold
+                # shape — a regression only the cold numbers can see
+                # must not hide inside per-query sub-entries
+                "cold_total": round(sum(cold.values()), 3),
                 "cold_is_warm_cache": cold_is_warm_cache,
                 "rel_half_spread": spread,
                 "loadavg_1m_at_start": round(load1, 2),
                 "loadavg_1m_peak": round(peak, 2),
                 "cpus": ncpu,
+                # effective parallelism, not the box size (r13 verdict
+                # item 2): the session really runs
+                # local[$SPARK_GRAFT_CPUS] (session.py), but reporting
+                # os.cpu_count() here made the driver's low-core probe
+                # conclude the env var was ignored
+                "cpus_requested": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
                 "contended": contended,
                 "measure_attempts": attempts,
                 "auto_retry_exhausted": retry_exhausted,

@@ -162,12 +162,11 @@ def q_graph_bfs(spark, sf_dir):
                       (left_anti against the dist table)
 
     The left_anti IS the min-dist semantics: a node joins the dist
-    table at its first (shortest) visit. Each depth's frontier is
-    persisted under its own swap key (the returned plan unions every
-    depth, so none may be released mid-query; re-invocation swaps each
-    generation — bounded at BFS_MAX_HOPS small frames). The oracle is
-    DuckDB's recursive CTE with the same hop cap, MIN-grouped to
-    first visits.
+    table at its first (shortest) visit. Each depth's frontier is a
+    lazy localCheckpoint — the returned plan unions BFS_MAX_HOPS tiny
+    checkpointed leaves instead of a quadratically nested union, and
+    nothing executes until the first action. The oracle is DuckDB's
+    recursive CTE with the same hop cap, MIN-grouped to first visits.
 
     Scale: per hop, one shuffle join frontier ⋈ edges + one distinct +
     one anti-join — all key-partitioned; no driver-side frontier.
@@ -187,18 +186,14 @@ def q_graph_bfs(spark, sf_dir):
         e1.unionByName(e1.select(F.col("b").alias("a"), F.col("a").alias("b"))),
     )
     # seed as range(1)+literals, NOT createDataFrame (optimization
-    # round 13): a LocalRelation's canonicalized plan never compares
-    # sameSemantics-equal across builds, so the seed frame broke the
-    # whole per-depth persist_swap chain — every warm rebuild replaced
-    # frontier0..4, unpersisted the previous generations, and re-ran
-    # the full expansion. The range form canonicalizes stably, so warm
-    # rebuilds reuse every cached depth (exec 12.9 s → cache read).
+    # round 13): the range form canonicalizes stably, so the edge
+    # frame's persist_swap above still matches across warm rebuilds.
     start = spark.range(1).select(
         F.lit(BFS_START).cast("long").alias("node"),
         F.lit(0).cast("int").alias("dist"),
     )
     dist = start
-    frontier = cache.persist_swap("q_graph_bfs:frontier0", start.select("node"))
+    frontier = start.select("node")
     for d in range(1, BFS_MAX_HOPS + 1):
         nxt = (
             frontier.join(edges, frontier.node == edges.a)
@@ -207,10 +202,20 @@ def q_graph_bfs(spark, sf_dir):
             .join(dist, "node", "left_anti")
             .select("node", F.lit(d).alias("dist"))
         )
-        # persist per depth (bounded: BFS_MAX_HOPS tiny frames, each
-        # swap-released on the next invocation); the returned plan
-        # unions every depth, so none may be dropped mid-query
-        nxt = cache.persist_swap(f"q_graph_bfs:frontier{d}", nxt)
+        # LAZY localCheckpoint per depth (optimization round 14, r13
+        # verdict item 5; guide §3.3/§5 lineage truncation): depth d's
+        # plan previously inlined the union of every earlier depth —
+        # each of which inlined the full edges lineage — so driver-side
+        # analysis grew O(depth²) (~3.2 s of the cold build for 4
+        # hops). eager=False swaps the subtree for a checkpointed-RDD
+        # leaf at BUILD time without executing anything: the frontier
+        # still computes lazily at first action (against the persisted
+        # edge cache), later depths and the final union reference the
+        # tiny leaf, and within the one returned plan each depth's
+        # blocks are computed exactly once. Bounded: BFS_MAX_HOPS small
+        # frontier frames per invocation, context-cleaned when the
+        # returned frame goes out of scope.
+        nxt = nxt.localCheckpoint(eager=False)
         dist = dist.unionByName(nxt)
         frontier = nxt.select("node")
     return dist.groupBy("dist").agg(

@@ -83,6 +83,51 @@ def _run_sql(spark, sf_dir, name, sql):
     return spark.sql(sql)
 
 
+# One child session per application whose cteRecursionRowLimit is
+# raised to corpus scale (optimization round 14, r13 verdict item 6):
+# the recursion-row valve is consulted at EXECUTION, so the previous
+# conf-raise/restore around the builder forced an eager
+# localCheckpoint — the whole ~10-iteration recursive walk executed
+# during query CONSTRUCTION (~7-11 s of the sf0.01 gate wall billed to
+# the build phase). SparkSession.newSession() shares the SparkContext
+# (and the builder-time confs: AQE, UTC timezone, shuffle partitions
+# all live in the shared SparkConf) but has its OWN runtime SQLConf,
+# so the valve stays raised for exactly this query's plans while every
+# other query keeps the default 1e6-row runaway guard (the round-8
+# verdict #7 contract, now enforced by session scoping instead of
+# try/finally + eager execution). The returned frame is fully lazy:
+# each action runs the recursion from parquet.
+_VALVE_SESSIONS: dict[str, object] = {}
+_VALVE_VIEWS: dict[tuple[str, str], str] = {}
+
+
+def _valve_session(spark):
+    app = spark.sparkContext.applicationId
+    child = _VALVE_SESSIONS.get(app)
+    if child is None:
+        child = spark.newSession()
+        child.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
+        _VALVE_SESSIONS[app] = child
+    return child
+
+
+def _run_sql_valved(spark, sf_dir, name, sql):
+    """_run_sql against the raised-valve child session. Temp views are
+    session-scoped, so the inputs are registered (once per sf_dir) in
+    the child itself — read_table's resolved-relation cache holds
+    parent-session frames, which the child's catalog cannot see."""
+    from plankton_spark.io import _read_table_uncached
+
+    child = _valve_session(spark)
+    app = spark.sparkContext.applicationId
+    for t in _TABLES[name]:
+        key = (app, t)
+        if _VALVE_VIEWS.get(key) != sf_dir:
+            _read_table_uncached(child, sf_dir, t).createOrReplaceTempView(t)
+            _VALVE_VIEWS[key] = sf_dir
+    return child.sql(sql)
+
+
 @query("q_cte_recursive", oracle=_RECURSIVE)
 def q_cte_recursive(spark, sf_dir):
     """Recursive CTE chain walk: each sampled customer's orders become
@@ -103,18 +148,15 @@ def q_cte_recursive(spark, sf_dir):
     is raised here to corpus scale; the level valve stays at its
     default deliberately, so a cyclic-links bug still terminates.
 
-    The valve is SCOPED: raised, the walk materialized via
-    localCheckpoint (the limit is consulted at execution, so the query
-    must run while the raise is in effect), then restored in a finally
-    — a later unrelated query in the same session gets the default
-    1e6-row runaway guard back (round-8 verdict #7)."""
-    prev = spark.conf.get("spark.sql.cteRecursionRowLimit")
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2_000_000_000))
-    try:
-        # executes NOW, under the raised valve
-        return _run_sql(spark, sf_dir, "q_cte_recursive", _RECURSIVE).localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
+    The valve is SCOPED by SESSION (optimization round 14): the plan
+    is built against a dedicated child session (shared SparkContext,
+    own runtime SQLConf) whose row valve is raised once — the calling
+    session keeps the default 1e6-row runaway guard at all times, and
+    the build no longer executes the walk eagerly to fit a
+    try/finally window (r13 verdict item 6: ~7-11 s of recursion ran
+    at query-construction time; now the frame is lazy and each action
+    computes from parquet)."""
+    return _run_sql_valved(spark, sf_dir, "q_cte_recursive", _RECURSIVE)
 
 
 @query("q_join_lateral", oracle=_LATERAL)
