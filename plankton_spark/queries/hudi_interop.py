@@ -500,7 +500,11 @@ def q_stream_hudi_incr(spark, sf_dir):
     write-sets relationally."""
     import uuid as _uuid
 
-    from plankton_spark.sources.hudi_meta import HudiWriter, register
+    from plankton_spark.sources.hudi_meta import (
+        HudiWriter,
+        incr_schema,
+        register,
+    )
 
     register(spark)
     root = _fresh(sf_dir, "stream_hudi_incr")
@@ -518,10 +522,16 @@ def q_stream_hudi_incr(spark, sf_dir):
     ins = o.where((k >= 1000) & (k < 1200))
     i2 = w.upsert(upd1.unionByName(ins))
 
+    # explicit schema (round 14): same bytes incr_schema/schema()
+    # derive, supplied up front so load() skips the Python-runner
+    # schema-probe round trip each drain otherwise pays
+    feed_schema = incr_schema(root)
+
     def drain():
         q = (
             spark.readStream.format("hudiincr")
             .option("path", root)
+            .schema(feed_schema)
             .load()
             .writeStream.format("parquet")
             .option("path", sink)
@@ -1933,7 +1943,11 @@ def q_stream_hudi_incr_virtual(spark, sf_dir):
     and hash-mismatches the oracle)."""
     import uuid as _uuid
 
-    from plankton_spark.sources.hudi_meta import HudiWriter, register
+    from plankton_spark.sources.hudi_meta import (
+        HudiWriter,
+        incr_schema,
+        register,
+    )
 
     register(spark)
     root = _fresh(sf_dir, "stream_hudi_incr_virtual")
@@ -1956,10 +1970,13 @@ def q_stream_hudi_incr_virtual(spark, sf_dir):
     ins = o.where((k >= 1000) & (k < 1200))
     i2 = w.upsert(upd1.unionByName(ins))
 
+    feed_schema = incr_schema(root)  # skip the per-load schema probe
+
     def drain():
         q = (
             spark.readStream.format("hudiincr")
             .option("path", root)
+            .schema(feed_schema)
             .load()
             .writeStream.format("parquet")
             .option("path", sink)

@@ -1932,10 +1932,15 @@ def q_stream_iceberg_cdf(spark, sf_dir):
     w.create(o.where(k < 1200).repartition(1).sortWithinPartitions("o_orderkey"))
     w.append(o.where(k >= 1200).repartition(1).sortWithinPartitions("o_orderkey"))
 
+    from plankton_spark.sources.iceberg_meta import cdf_schema
+
+    feed_schema = cdf_schema(root)  # skip the per-load schema probe
+
     def drain():
         q = (
             spark.readStream.format("icebergcdf")
             .option("path", root)
+            .schema(feed_schema)
             .load()
             .writeStream.format("parquet")
             .option("path", sink)
@@ -2232,10 +2237,15 @@ def q_stream_iceberg_cdf_eq(spark, sf_dir):
     w.create(o.where(k < 1000).repartition(1).sortWithinPartitions("o_orderkey"))
     w.append(o.where(k >= 1000).repartition(1).sortWithinPartitions("o_orderkey"))
 
+    from plankton_spark.sources.iceberg_meta import cdf_schema
+
+    feed_schema = cdf_schema(root)  # skip the per-load schema probe
+
     def drain():
         q = (
             spark.readStream.format("icebergcdf")
             .option("path", root)
+            .schema(feed_schema)
             .load()
             .writeStream.format("parquet")
             .option("path", sink)

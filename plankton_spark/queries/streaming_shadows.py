@@ -436,9 +436,16 @@ def q_stream_session_changelog(spark, sf_dir):
 
     name = f"chlog_sess_{_uuid.uuid4().hex[:8]}"
 
+    from plankton_spark.sources.delta_log import snapshot_schema
+
+    feed_schema = snapshot_schema(root)  # skip the per-load schema probe
+
     def drain():
         stream = (
-            spark.readStream.format("deltalog").option("path", root).load()
+            spark.readStream.format("deltalog")
+            .option("path", root)
+            .schema(feed_schema)
+            .load()
         )
         # stateful session-window agg: pin the state-store partition
         # count instead of inheriting the batch session's shuffle
@@ -602,9 +609,16 @@ def q_stream_cdf(spark, sf_dir):
     w = DeltaLogWriter(spark, root)
     w.create(o.repartition(1), change_data_feed=True)  # v0
 
+    from plankton_spark.sources.delta_log import cdf_schema
+
+    feed_schema = cdf_schema(root)  # skip the per-load schema probe
+
     def drain():
         stream = (
-            spark.readStream.format("deltacdf").option("path", root).load()
+            spark.readStream.format("deltacdf")
+            .option("path", root)
+            .schema(feed_schema)
+            .load()
         )
         q = (
             stream.writeStream.format("parquet")

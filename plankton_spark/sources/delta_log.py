@@ -1008,6 +1008,13 @@ def _assemble_view(
     )
 
 
+def snapshot_schema(table_path: str, version: int | None = None):
+    """The deltalog snapshot schema — shared by DataSource.schema()
+    and explicit-readStream-schema callers (round 14)."""
+    schema, _, _ = DeltaLog(table_path).snapshot(version)
+    return schema
+
+
 class DeltaLogDataSource(DataSource):
     """`spark.read.format("deltalog")` — options: path, versionAsOf."""
 
@@ -1024,8 +1031,7 @@ class DeltaLogDataSource(DataSource):
 
     def schema(self):
         path, version = self._resolved()
-        schema, _, _ = DeltaLog(path).snapshot(version)
-        return schema
+        return snapshot_schema(path, version)
 
     def reader(self, schema) -> "DeltaLogReader":
         path, version = self._resolved()
@@ -4105,6 +4111,21 @@ class _CdfPartition(InputPartition):
         self.version = version
 
 
+def cdf_schema(table_path: str) -> T.StructType:
+    """The deltacdf feed schema (table columns + _change_type +
+    _commit_version). Shared by DataSource.schema() and callers
+    passing an explicit readStream schema, which skips the
+    Python-runner schema-probe round trip per load() (round 14)."""
+    schema, _ = DeltaLog(table_path).schema_info(None)
+    return T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+    )
+
+
 class DeltaCdfDataSource(DataSource):
     """format("deltacdf"): the CHANGE DATA FEED as a STREAMING source —
     the CDC-to-downstream pattern (feed a materialized aggregate, sync
@@ -4125,14 +4146,7 @@ class DeltaCdfDataSource(DataSource):
         return path
 
     def schema(self):
-        schema, _ = DeltaLog(self._path()).schema_info(None)
-        return T.StructType(
-            list(schema.fields)
-            + [
-                T.StructField("_change_type", T.StringType()),
-                T.StructField("_commit_version", T.LongType()),
-            ]
-        )
+        return cdf_schema(self._path())
 
     def streamReader(self, schema) -> "DeltaCdfStreamReader":
         return DeltaCdfStreamReader(

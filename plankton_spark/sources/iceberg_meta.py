@@ -5034,6 +5034,21 @@ class _IceChangePartition(InputPartition):
         self.diff = diff
 
 
+def cdf_schema(table_path: str) -> T.StructType:
+    """The icebergcdf feed schema (table columns + _change_type +
+    _snapshot_id). Shared by DataSource.schema() and callers passing
+    an explicit readStream schema, which skips the Python-runner
+    schema-probe round trip per load() (optimization round 14)."""
+    t = IcebergTable(table_path)
+    return T.StructType(
+        list(t.schema().fields)
+        + [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_snapshot_id", T.LongType()),
+        ]
+    )
+
+
 class IcebergCdfDataSource(DataSource):
     """format("icebergcdf"): the Iceberg CHANGELOG SCAN as a streaming
     source — the cross-format twin of format("deltacdf"). Offsets are
@@ -5053,14 +5068,7 @@ class IcebergCdfDataSource(DataSource):
         return path
 
     def schema(self):
-        t = IcebergTable(self._path())
-        return T.StructType(
-            list(t.schema().fields)
-            + [
-                T.StructField("_change_type", T.StringType()),
-                T.StructField("_snapshot_id", T.LongType()),
-            ]
-        )
+        return cdf_schema(self._path())
 
     def streamReader(self, schema) -> "IcebergCdfStreamReader":
         return IcebergCdfStreamReader(self._path())
