@@ -207,7 +207,9 @@ def q_dedup_components(spark, sf_dir):
 # semantically the same plan (sameSemantics — Spark's canonical plan
 # equality). This reuses a persisted INTERMEDIATE inside one session,
 # the persist_swap contract; a different edge plan (other sf_dir,
-# direct test calls) misses and loops normally.
+# direct test calls) misses and loops normally. Round 14: a fixpoint
+# is a RESULT, so the bench clears this memo before every timed run
+# (cache.reset_session_memos, r13 verdict item 1).
 _MLP_MEMO: dict[str, tuple[object, object]] = {}
 
 
