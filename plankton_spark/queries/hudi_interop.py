@@ -26,6 +26,30 @@ def _fresh(sf_dir: str, name: str) -> str:
     return path
 
 
+def _multiset_equal(a, b) -> bool:
+    """Exact multiset equality of two same-schema frames in ONE action
+    (optimization round 14, guide §1.2): per-side group counts,
+    null-safe full-outer join, any count mismatch is a difference.
+    Replaces `a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()`,
+    which ran TWO actions and evaluated each side's plan TWICE — for
+    the RLI differentials each side is a full MOR merged read, so this
+    halves the verification compute and the action count. Boolean
+    result is identical (exceptAll-empty both ways <=> equal
+    multisets <=> per-group counts equal)."""
+    cols = a.columns
+    ac = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("__na"))
+    bc = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("__nb"))
+    cond = None
+    for c in cols:
+        e = ac[c].eqNullSafe(bc[c])
+        cond = e if cond is None else (cond & e)
+    diff = ac.join(bc, cond, "full_outer").where(
+        F.coalesce(F.col("__na"), F.lit(0))
+        != F.coalesce(F.col("__nb"), F.lit(0))
+    )
+    return not diff.take(1)
+
+
 def _orders(spark, sf_dir):
     return read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -1383,12 +1407,7 @@ def q_hudi_record_index(spark, sf_dir):
     cols = ["o_orderkey", "o_orderstatus"]
     snap_rli = read_hudi(spark, root_rli).select(cols)
     snap_bloom = read_hudi(spark, root_bloom).select(cols)
-    twin = (
-        1
-        if snap_rli.exceptAll(snap_bloom).isEmpty()
-        and snap_bloom.exceptAll(snap_rli).isEmpty()
-        else 0
-    )
+    twin = 1 if _multiset_equal(snap_rli, snap_bloom) else 0
     # RLI ↔ physical parity: the mapping equals the key→fileId
     # assignment read back from the live files themselves
     disk = read_hudi(spark, root_rli, with_meta=True).select(
@@ -1396,11 +1415,7 @@ def q_hudi_record_index(spark, sf_dir):
         F.element_at(F.split("_hoodie_file_name", "_"), 1).alias("__fid"),
     )
     idx = w_rli._rli_lookup().select("__key", "__fid")
-    parity = (
-        1
-        if idx.exceptAll(disk).isEmpty() and disk.exceptAll(idx).isEmpty()
-        else 0
-    )
+    parity = 1 if _multiset_equal(idx, disk) else 0
     n_index = idx.count()
     return snap_rli.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -1857,12 +1872,7 @@ def q_hudi_virtual_rli(spark, sf_dir):
     cols = ["o_orderkey", "o_orderstatus"]
     snap_rli = read_hudi(spark, root_rli).select(cols)
     snap_bloom = read_hudi(spark, root_bloom).select(cols)
-    twin = (
-        1
-        if snap_rli.exceptAll(snap_bloom).isEmpty()
-        and snap_bloom.exceptAll(snap_rli).isEmpty()
-        else 0
-    )
+    twin = 1 if _multiset_equal(snap_rli, snap_bloom) else 0
     # RLI ↔ physical parity WITHOUT meta columns: declared key +
     # _metadata.file_path stand in for _hoodie_record_key/_file_name
     disk = (
@@ -1877,11 +1887,7 @@ def q_hudi_virtual_rli(spark, sf_dir):
         )
     )
     idx = w_rli._rli_lookup().select("__key", "__fid")
-    parity = (
-        1
-        if idx.exceptAll(disk).isEmpty() and disk.exceptAll(idx).isEmpty()
-        else 0
-    )
+    parity = 1 if _multiset_equal(idx, disk) else 0
     n_index = idx.count()
     return snap_rli.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -92,6 +92,26 @@ def test_bfs_plan_is_linear_checkpointed(spark):
     assert len(plan.splitlines()) < 200
 
 
+def test_multiset_equal_matches_exceptall_semantics(spark):
+    """_multiset_equal == (exceptAll empty both ways), including the
+    duplicate-sensitive and null-key cases, and it must actually
+    DETECT differences (the RLI twin literals depend on it)."""
+    from plankton_spark.queries.hudi_interop import _multiset_equal
+
+    mk = lambda rows: spark.createDataFrame(rows, "k int, s string")  # noqa: E731
+    a = mk([(1, "x"), (1, "x"), (2, None)])
+    assert _multiset_equal(a, mk([(1, "x"), (1, "x"), (2, None)]))
+    # duplicate multiplicity differs
+    assert not _multiset_equal(a, mk([(1, "x"), (2, None)]))
+    # value differs
+    assert not _multiset_equal(a, mk([(1, "x"), (1, "x"), (3, None)]))
+    # one side empty
+    assert not _multiset_equal(a, mk([]).select("k", "s"))
+    # null-key groups compare null-safe
+    assert _multiset_equal(mk([(None, None)]), mk([(None, None)]))
+    assert not _multiset_equal(mk([(None, None)]), mk([(None, "y")]))
+
+
 def test_stream_schema_helpers_match_sources(spark):
     """Explicit readStream schemas must equal DataSource.schema()."""
     import shutil
