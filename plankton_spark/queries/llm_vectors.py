@@ -272,6 +272,13 @@ def _brute_force_topk(spark, sf_dir):
     # is the same exact-decimal fold (dot_cosine_sql), the ranking the
     # same rounded-cosine window; value-identity is pinned against the
     # undisguised all-pairs form in tests/test_r13_optimizations.py.
+    # Round 14: the query-side scan carries an explicit
+    # vec_id < N_QUERIES predicate — every cand.vec_a is a query id by
+    # construction, so the join result is identical, but the predicate
+    # reaches the scan (PushedFilters) where the derived candidate
+    # frame could never imply it: at 100 TB the min/max stats skip
+    # every non-query row group instead of streaming the corpus into
+    # the broadcast probe.
     ensure_view(cand, "_cosine_topk_cand_v")
     ensure_view(e, "_cosine_topk_emb_v")
     return spark.sql(f"""
@@ -280,6 +287,7 @@ def _brute_force_topk(spark, sf_dir):
                  ea.embedding AS emb_a
           FROM _cosine_topk_emb_v ea
           JOIN _cosine_topk_cand_v c ON ea.vec_id = c.vec_a
+          WHERE ea.vec_id < {N_QUERIES}
         ),
         paired AS (
           SELECT /*+ BROADCAST(w) */ w.vec_a, w.vec_b, w.emb_a,
