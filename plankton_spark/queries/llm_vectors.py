@@ -477,6 +477,37 @@ def _hyperplanes(n_planes: int, dim: int = 64) -> list[list[float]]:
     return [[float(v) for v in row] for row in rng.randn(n_planes, dim)]
 
 
+def _recall_result(spark, approx, sf_dir):
+    """Shared recall tail of the three ANN queries (round 14). The
+    exact-top-k subplan (GEMM prefilter + rescore + window) is
+    checkpointed eagerly — the heavy plan runs once, its TINY result
+    (≤ N_QUERIES·TOP_K rows) feeds the compare — and hits/total come
+    from ONE left-join aggregate instead of the former two count
+    actions: exact pairs are unique per (q_id, n_id) and so are the
+    window-top-k approx pairs, so count(marker) == the inner-join
+    count and count(*) == the exact count, value-identically."""
+    exact = (
+        _brute_force_topk(spark, sf_dir)
+        .select("q_id", "n_id")
+        .localCheckpoint(eager=True)
+    )
+    row = (
+        exact.join(
+            approx.withColumn("__hit", F.lit(1)), ["q_id", "n_id"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("__hit").alias("hits"),
+        )
+        .collect()[0]
+    )
+    hits, total = row["hits"], row["total"]
+    recall = round(hits / total, 4) if total else 0.0
+    return spark.createDataFrame(
+        [(recall, hits, total)], "recall_at_5 double, n_hits long, n_exact long"
+    )
+
+
 @query("q_knn_lsh")  # rows-only: self-referential recall metric
 def q_knn_lsh(spark, sf_dir):
     """ANN via random-hyperplane LSH, multi-table form: 16 tables × 3
@@ -551,23 +582,7 @@ def q_knn_lsh(spark, sf_dir):
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id")
     )
-    # The exact-top-k subplan (GEMM prefilter + rescore + window) is
-    # consumed by BOTH recall counts below; an eager localCheckpoint of
-    # this TINY frame (≤ N_QUERIES·TOP_K rows) executes it once instead
-    # of once per count (optimization guide §1.2 / §5 — the heavy plan
-    # runs once, the checkpointed rows feed both actions). Counts and
-    # recall are value-identical to the uncheckpointed formulation.
-    exact = (
-        _brute_force_topk(spark, sf_dir)
-        .select("q_id", "n_id")
-        .localCheckpoint(eager=True)
-    )
-    hits = approx.join(exact, ["q_id", "n_id"], "inner").count()
-    total = exact.count()
-    recall = round(hits / total, 4) if total else 0.0
-    return spark.createDataFrame(
-        [(recall, hits, total)], "recall_at_5 double, n_hits long, n_exact long"
-    )
+    return _recall_result(spark, approx, sf_dir)
 
 
 @query("q_knn_ivf")  # rows-only: self-referential recall metric
@@ -621,23 +636,7 @@ def q_knn_ivf(spark, sf_dir):
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id")
     )
-    # The exact-top-k subplan (GEMM prefilter + rescore + window) is
-    # consumed by BOTH recall counts below; an eager localCheckpoint of
-    # this TINY frame (≤ N_QUERIES·TOP_K rows) executes it once instead
-    # of once per count (optimization guide §1.2 / §5 — the heavy plan
-    # runs once, the checkpointed rows feed both actions). Counts and
-    # recall are value-identical to the uncheckpointed formulation.
-    exact = (
-        _brute_force_topk(spark, sf_dir)
-        .select("q_id", "n_id")
-        .localCheckpoint(eager=True)
-    )
-    hits = approx.join(exact, ["q_id", "n_id"], "inner").count()
-    total = exact.count()
-    recall = round(hits / total, 4) if total else 0.0
-    return spark.createDataFrame(
-        [(recall, hits, total)], "recall_at_5 double, n_hits long, n_exact long"
-    )
+    return _recall_result(spark, approx, sf_dir)
 
 
 GRAM_DIMS = 16  # leading dims for the declared Gram query
@@ -1657,20 +1656,4 @@ def q_knn_pq(spark, sf_dir):
         .where(F.col("rnk") <= TOP_K)
         .select("q_id", "n_id")
     )
-    # The exact-top-k subplan (GEMM prefilter + rescore + window) is
-    # consumed by BOTH recall counts below; an eager localCheckpoint of
-    # this TINY frame (≤ N_QUERIES·TOP_K rows) executes it once instead
-    # of once per count (optimization guide §1.2 / §5 — the heavy plan
-    # runs once, the checkpointed rows feed both actions). Counts and
-    # recall are value-identical to the uncheckpointed formulation.
-    exact = (
-        _brute_force_topk(spark, sf_dir)
-        .select("q_id", "n_id")
-        .localCheckpoint(eager=True)
-    )
-    hits = approx.join(exact, ["q_id", "n_id"], "inner").count()
-    total = exact.count()
-    recall = round(hits / total, 4) if total else 0.0
-    return spark.createDataFrame(
-        [(recall, hits, total)], "recall_at_5 double, n_hits long, n_exact long"
-    )
+    return _recall_result(spark, approx, sf_dir)
