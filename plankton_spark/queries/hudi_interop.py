@@ -26,6 +26,20 @@ def _fresh(sf_dir: str, name: str) -> str:
     return path
 
 
+def _counts(*frames) -> list[int]:
+    """Row counts of N same-lifecycle frames in ONE action (round 14):
+    each subplan projects a frame tag, the union groups by it. Every
+    subplan still computes exactly as its own .count() would — this
+    removes N-1 job submissions of fixed cost, not any work. Frames
+    absent from the union result (empty) count 0."""
+    tagged = None
+    for i, f in enumerate(frames):
+        t = f.select(F.lit(i).alias("__t"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    got = {r["__t"]: r["count"] for r in tagged.groupBy("__t").count().collect()}
+    return [int(got.get(i, 0)) for i in range(len(frames))]
+
+
 def _multiset_equal(a, b) -> bool:
     """Exact multiset equality of two same-schema frames in ONE action
     (optimization round 14, guide §1.2): per-side group counts,
@@ -777,8 +791,10 @@ def q_hudi_clustered(spark, sf_dir):
     w.group_buckets = 3
     ic = w.cluster()
     n_groups = len(HudiTable(root).file_slices())
-    n_cluster_only = read_hudi(spark, root, incremental=(i2, ic)).count()
-    n_through = read_hudi(spark, root, incremental=(i1, ic)).count()
+    n_cluster_only, n_through = _counts(
+        read_hudi(spark, root, incremental=(i2, ic)),
+        read_hudi(spark, root, incremental=(i1, ic)),
+    )
     return read_hudi(spark, root).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
@@ -970,8 +986,11 @@ def q_hudi_insert_overwrite(spark, sf_dir):
         .withColumn("o_orderstatus", F.lit("F"))
     )
     io = w.insert_overwrite(repl)
-    n_incr = read_hudi(spark, root, incremental=(i1, io)).count()
-    assert read_hudi(spark, root, as_of=i1).count() == n_before
+    n_incr, n_asof = _counts(
+        read_hudi(spark, root, incremental=(i1, io)),
+        read_hudi(spark, root, as_of=i1),
+    )
+    assert n_asof == n_before
     return read_hudi(spark, root).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
@@ -1305,8 +1324,11 @@ def q_hudi_virtual_write(spark, sf_dir):
         "o_orderstatus", F.lit("N")
     )
     i1 = w.upsert(upd.unionByName(ins))
-    n_incr = read_hudi(spark, root, incremental=(inst0, i1)).count()
-    assert read_hudi(spark, root, as_of=inst0).count() == n_at_convert
+    n_incr, n_asof = _counts(
+        read_hudi(spark, root, incremental=(inst0, i1)),
+        read_hudi(spark, root, as_of=inst0),
+    )
+    assert n_asof == n_at_convert
     w.delete_keys(
         o.where((k % 9 == 0) & (k < 1000)).select("o_orderkey")
     )
@@ -1532,19 +1554,23 @@ def q_hudi_virtual_mor(spark, sf_dir):
     w2.delete_keys(
         o.where((k % 11 == 0) & (k < 1200)).select("o_orderkey")
     )
-    assert read_hudi(spark, root, as_of=inst0).count() == n0
     try:
         read_hudi(spark, root, with_meta=True)
         raise AssertionError("virtual MOR with_meta must refuse")
     except NotImplementedError:
         pass
-    # incremental over live logs works since the round-13
-    # continuation (q_hudi_virtual_mor_incr pins the semantics):
-    # (create, wave1] = exactly the wave-1 write-set
-    assert (
-        read_hudi(spark, root, incremental=(inst0, i1)).count()
-        == upd.count() + ins.count()
+    # one action for the four verification counts (round 14, _counts):
+    # time travel to the create, the (create, wave1] incremental over
+    # live logs (q_hudi_virtual_mor_incr pins the semantics), and the
+    # two wave-1 input sizes it must equal
+    n_asof, n_incr, n_upd, n_ins = _counts(
+        read_hudi(spark, root, as_of=inst0),
+        read_hudi(spark, root, incremental=(inst0, i1)),
+        upd,
+        ins,
     )
+    assert n_asof == n0
+    assert n_incr == n_upd + n_ins
     pre = read_hudi(spark, root)
     pre_rows = pre.collect()
     w2.compact()
